@@ -1,0 +1,616 @@
+"""Database facade: catalog + node/edge tables + query/DML entry points.
+
+The reference equivalent is ``Database`` (src/main/database.cpp) backed by
+arena storage; here every node schema and edge type is a DataFrame, DML is
+copy-on-write lineage (or version-row appends when bitemporal versioning is
+on), and queries compile to Spark plans.
+
+Two ingestion paths, by design:
+- **point DML** (``create_node``/``connect``/``update``/``delete``) — parity
+  with the reference's embedded single-writer API; driver-coordinated,
+  buffered, fine for interactive/DDL-scale data.
+- **bulk registration** (``register_node_table``/``register_edge_table``/
+  ``bulk_insert``) — the 100 TB path: hand the engine existing DataFrames
+  (e.g. parquet scans); nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterable
+
+from pyspark.sql import DataFrame, Row, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from tundradb_spark.catalog import (
+    Catalog,
+    EDGE_STRUCTURAL_FIELDS,
+    ID_COL,
+    MAX_TS,
+    VERSION_COLS,
+    NodeSchema,
+)
+from tundradb_spark.errors import QueryError, SchemaError
+from tundradb_spark.query import Query
+from tundradb_spark.temporal import now_ms, resolve_as_of, stamp_initial_version
+
+
+def _with_version_fields(struct: T.StructType) -> T.StructType:
+    return T.StructType(
+        list(struct.fields)
+        + [T.StructField(c, T.LongType(), False) for c in VERSION_COLS]
+    )
+
+
+@dataclass
+class _Table:
+    struct: T.StructType  # logical struct (no version cols)
+    frame: DataFrame | None = None  # physical rows (version cols if versioned)
+    pending: list[dict] = field(default_factory=list)
+
+
+class Database:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str | None = None,
+        versioning: bool = False,
+        clock: Callable[[], int] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.versioning = versioning
+        self.clock = clock or now_ms
+        self.catalog = Catalog()
+        self._nodes: dict[str, _Table] = {}
+        self._edges: dict[str, _Table] = {}
+        # map-key overwrite semantics for SET u.props.k = v
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        if path is not None:
+            from tundradb_spark.sources.snapshot import try_restore
+
+            try_restore(self)
+
+    # ------------------------------------------------------------------ DDL
+    def create_schema(self, name: str, fields: dict[str, Any]) -> None:
+        """CREATE SCHEMA (TundraQL.g4:7); auto-prepends ``id``."""
+        schema = self.catalog.create_node_schema(name, fields)
+        self._nodes[name] = _Table(struct=schema.struct)
+
+    def create_edge_schema(self, name: str, props: dict[str, Any]) -> None:
+        """CREATE EDGE SCHEMA (TundraQL.g4:8)."""
+        es = self.catalog.create_edge_schema(name, props)
+        self._edges[name] = _Table(struct=es.full_struct())
+
+    def has_schema(self, name: str) -> bool:
+        return name in self.catalog.node_schemas
+
+    # ------------------------------------------------------- physical frames
+    def _physical_struct(self, t: _Table) -> T.StructType:
+        return _with_version_fields(t.struct) if self.versioning else t.struct
+
+    def _empty(self, t: _Table) -> DataFrame:
+        return self.spark.createDataFrame([], self._physical_struct(t))
+
+    def _materialize(self, t: _Table) -> DataFrame:
+        if t.pending:
+            struct = self._physical_struct(t)
+            names = [f.name for f in struct.fields]
+            rows = [Row(**{n: r.get(n) for n in names}) for r in t.pending]
+            fresh = self.spark.createDataFrame(rows, struct)
+            t.frame = fresh if t.frame is None else t.frame.unionByName(fresh)
+            t.pending = []
+        return t.frame if t.frame is not None else self._empty(t)
+
+    def _node(self, name: str) -> _Table:
+        if name not in self._nodes:
+            raise SchemaError(f"unknown schema: {name}")
+        return self._nodes[name]
+
+    def _edge(self, etype: str) -> _Table:
+        if etype not in self._edges:
+            es = self.catalog.get_or_create_edge_schema(etype)
+            self._edges[etype] = _Table(struct=es.full_struct())
+        return self._edges[etype]
+
+    # --------------------------------------------------------------- reads
+    def get_table(
+        self,
+        name: str,
+        valid_time: int | None = None,
+        tx_time: int | None = None,
+    ) -> DataFrame:
+        """Node table scan (reference Database::get_table,
+        src/main/database.cpp:153-172), honoring the temporal context."""
+        df = self._materialize(self._node(name))
+        if self.versioning:
+            df = resolve_as_of(df, valid_time, tx_time)
+        return df
+
+    def get_table_versions(self, name: str) -> DataFrame:
+        """All version rows incl. version columns (debug/temporal tests)."""
+        return self._materialize(self._node(name))
+
+    def get_edge_table(
+        self,
+        etype: str,
+        valid_time: int | None = None,
+        tx_time: int | None = None,
+    ) -> DataFrame:
+        """Edge table scan (reference EdgeStore::get_table,
+        src/core/edge_store.cpp:467-478). Edges are unversioned, as in the
+        reference's persisted edge schema."""
+        return self._materialize(self._edge(etype))
+
+    # ---------------------------------------------------------------- writes
+    def create_node(self, schema: str, **fields: Any) -> int:
+        """CREATE NODE (TundraQL.g4:14): append one row, return per-schema id.
+
+        Missing non-MAP fields error; MAP fields default to NULL
+        (apps/tundra_shell.cpp:205-382)."""
+        t = self._node(schema)
+        declared = {f.name: f.dataType for f in t.struct.fields if f.name != ID_COL}
+        unknown = set(fields) - set(declared)
+        if unknown:
+            raise QueryError(f"unknown fields for {schema}: {sorted(unknown)}")
+        missing = [
+            n
+            for n, dt in declared.items()
+            if n not in fields and not isinstance(dt, (T.MapType, T.ArrayType))
+        ]
+        if missing:
+            raise QueryError(f"missing required fields for {schema}: {missing}")
+        nid = self.catalog.next_node_id(schema)
+        row = {ID_COL: nid, **{n: fields.get(n) for n in declared}}
+        if self.versioning:
+            ts = self.clock()
+            row.update(
+                valid_from=ts, valid_to=MAX_TS, tx_from=ts, tx_to=MAX_TS, version_id=0
+            )
+        t.pending.append(row)
+        return nid
+
+    def bulk_insert(self, schema: str, df: DataFrame) -> None:
+        """Bulk append a DataFrame of field values (no id column): ids are
+        assigned as a contiguous per-schema range, scalably — a zipWithIndex
+        over partitions, no global window/shuffle."""
+        t = self._node(schema)
+        n = df.count()
+        first = self.catalog.next_node_id(schema, n)
+        with_id = _zip_with_contiguous_ids(df, first, ID_COL)
+        cols = [ID_COL] + [f.name for f in t.struct.fields if f.name != ID_COL]
+        out = with_id.select(*cols)
+        if self.versioning:
+            out = stamp_initial_version(out, self.clock())
+        base = self._materialize(t)
+        t.frame = base.unionByName(out) if (t.frame is not None or t.pending) else out
+
+    def register_node_table(self, name: str, df: DataFrame, id_col: str = ID_COL) -> None:
+        """Zero-copy registration of an existing DataFrame as a node table
+        (the scale path — e.g. a parquet scan). The id column is renamed to
+        ``id``; the per-schema counter resumes past max(id)."""
+        if name in self.catalog.node_schemas:
+            raise SchemaError(f"schema already exists: {name}")
+        if id_col != ID_COL:
+            df = df.withColumnRenamed(id_col, ID_COL)
+        if ID_COL not in df.columns:
+            raise SchemaError("register_node_table requires an id column")
+        df = df.withColumn(ID_COL, F.col(ID_COL).cast("long"))
+        df = df.select(ID_COL, *[c for c in df.columns if c != ID_COL])
+        struct = T.StructType(df.schema.fields)
+        self.catalog.node_schemas[name] = NodeSchema(name=name, struct=struct)
+        hi = df.agg(F.max(ID_COL)).first()[0]
+        self.catalog.node_id_counters[name] = int(hi) + 1 if hi is not None else 0
+        frame = stamp_initial_version(df, self.clock()) if self.versioning else df
+        self._nodes[name] = _Table(struct=struct, frame=frame)
+
+    def register_edge_table(
+        self,
+        etype: str,
+        df: DataFrame,
+        source_col: str = "source_id",
+        target_col: str = "target_id",
+    ) -> None:
+        """Register an existing DataFrame as an edge table. Structural
+        columns are synthesized if absent (id via per-partition offsets,
+        created_ts = now)."""
+        df = df.withColumnRenamed(source_col, "source_id").withColumnRenamed(
+            target_col, "target_id"
+        )
+        df = df.withColumn("source_id", F.col("source_id").cast("long")).withColumn(
+            "target_id", F.col("target_id").cast("long")
+        )
+        if "created_ts" not in df.columns:
+            df = df.withColumn("created_ts", F.lit(self.clock()).cast("long"))
+        if "id" not in df.columns:
+            n = df.count()
+            first = self.catalog.next_edge_id(n)
+            df = _zip_with_contiguous_ids(df, first, "id")
+        props = {
+            f.name: f.dataType
+            for f in df.schema.fields
+            if f.name not in EDGE_STRUCTURAL_FIELDS
+        }
+        es = self.catalog.get_or_create_edge_schema(etype)
+        if props and not es.props.fields:
+            self.catalog.edge_schemas[etype] = type(es)(
+                name=etype,
+                props=T.StructType(
+                    [T.StructField(k, v, True) for k, v in props.items()]
+                ),
+            )
+            es = self.catalog.edge_schemas[etype]
+        ordered = list(EDGE_STRUCTURAL_FIELDS) + [f.name for f in es.props.fields]
+        self._edges[etype] = _Table(
+            struct=es.full_struct(), frame=df.select(*ordered)
+        )
+
+    def connect(
+        self,
+        edge_type: str,
+        source: tuple[str, Any],
+        target: tuple[str, Any],
+        props: dict[str, Any] | None = None,
+        unique: bool = False,
+    ) -> list[int]:
+        """CREATE [UNIQUE] EDGE (TundraQL.g4:21-28; Database::connect,
+        src/main/database.cpp:122-139). Selectors are ``(schema, id)`` or
+        ``(schema, {prop: value})`` — property selectors may match many nodes
+        and produce the Cartesian product of source×target edges; UNIQUE
+        demands exactly 1×1."""
+        src_ids = self._resolve_selector(source)
+        tgt_ids = self._resolve_selector(target)
+        if unique and (len(src_ids) != 1 or len(tgt_ids) != 1):
+            raise QueryError(
+                f"UNIQUE edge requires exactly one source and one target; got "
+                f"{len(src_ids)}×{len(tgt_ids)}"
+            )
+        if not src_ids or not tgt_ids:
+            raise QueryError("edge endpoints not found")
+        t = self._edge(edge_type)
+        prop_fields = {
+            f.name for f in t.struct.fields if f.name not in EDGE_STRUCTURAL_FIELDS
+        }
+        props = props or {}
+        unknown = set(props) - prop_fields
+        if unknown:
+            raise QueryError(f"unknown edge props for {edge_type}: {sorted(unknown)}")
+        ids = []
+        ts = self.clock()
+        for s in src_ids:
+            for g in tgt_ids:
+                eid = self.catalog.next_edge_id()
+                row = {
+                    "id": eid,
+                    "source_id": s,
+                    "target_id": g,
+                    "created_ts": ts,
+                    **{p: props.get(p) for p in prop_fields},
+                }
+                t.pending.append(row)
+                ids.append(eid)
+        return ids
+
+    def _resolve_selector(self, sel: tuple[str, Any]) -> list[int]:
+        schema, key = sel
+        df = self.get_table(schema)
+        if isinstance(key, int):
+            hit = df.filter(F.col(ID_COL) == key).count()
+            return [key] if hit else []
+        if isinstance(key, dict):
+            cond = F.lit(True)
+            for k, v in key.items():
+                cond = cond & F.col(k).eqNullSafe(F.lit(v))
+            return [r[0] for r in df.filter(cond).select(ID_COL).collect()]
+        raise QueryError(f"bad selector: {sel!r}")
+
+    # ---------------------------------------------------------------- query
+    def query(self, q: Query) -> DataFrame:
+        from tundradb_spark.operators.match import execute_match
+
+        return execute_match(self, q)
+
+    def sql(self, text: str) -> DataFrame | None:
+        """Execute one TundraQL statement (text front end)."""
+        from tundradb_spark.ql.interpreter import execute_statement
+
+        return execute_statement(self, text)
+
+    # ----------------------------------------------------------------- DML
+    def update_by_id(
+        self,
+        schema: str,
+        node_id: int,
+        updates: dict[str, Any],
+        append: bool = False,
+    ) -> int:
+        """UPDATE Mode 1 (TundraQL.g4:56-64; update_executor.cpp:23-81).
+        Keys may be plain fields or nested map paths ``props.k``. With
+        ``append=True`` array fields get elements appended (UpdateType::APPEND,
+        include/core/update_type.hpp:13-16). Returns number of updated nodes
+        (0 if the update was a no-op — no version is created,
+        tests/temporal_query_test.cpp:823)."""
+        ids_df = self.spark.createDataFrame(
+            [(node_id,)], T.StructType([T.StructField(ID_COL, T.LongType())])
+        )
+        exists = self.get_table(schema).filter(F.col(ID_COL) == node_id).count()
+        if not exists:
+            raise QueryError(f"{schema}({node_id}) not found")
+        return self._update_ids(schema, ids_df, updates, append)
+
+    def update_nodes(
+        self,
+        schema: str,
+        ids_df: DataFrame,
+        updates: dict[str, Any],
+        append: bool = False,
+    ) -> int:
+        """Bulk update every node whose id appears in ids_df (single ``id``
+        column). The scale path for UPDATE-by-MATCH."""
+        return self._update_ids(schema, ids_df, updates, append)
+
+    def _update_ids(
+        self, schema: str, ids_df: DataFrame, updates: dict[str, Any], append: bool
+    ) -> int:
+        t = self._node(schema)
+        df = self._materialize(t)
+        ids = ids_df.select(F.col(ids_df.columns[0]).cast("long").alias("__uid"))
+        new_vals = self._assignment_columns(t.struct, updates, append)
+
+        hit = F.col("__uid").isNotNull()
+        marked = df.join(F.broadcast(ids), df[ID_COL] == F.col("__uid"), "left")
+
+        if not self.versioning:
+            out = marked
+            for name, col in new_vals.items():
+                out = out.withColumn(name, F.when(hit, col).otherwise(F.col(name)))
+            t.frame = out.drop("__uid")
+            return ids.count()
+
+        ts = self.clock()
+        head = hit & (F.col("tx_to") == MAX_TS) & (F.col("valid_to") == MAX_TS)
+        # no-op detection: only rows where some assigned value actually
+        # changes get a new version (reference skips no-op updates)
+        changed = F.lit(False)
+        for name, col in new_vals.items():
+            changed = changed | ~F.col(name).eqNullSafe(col)
+        to_version = marked.filter(head & changed)
+        n_changed = to_version.count()
+        if n_changed == 0:
+            return 0
+        closed = (
+            marked.withColumn(
+                "valid_to",
+                F.when(head & changed, F.lit(ts)).otherwise(F.col("valid_to")),
+            )
+            .withColumn(
+                "tx_to", F.when(head & changed, F.lit(ts)).otherwise(F.col("tx_to"))
+            )
+            .drop("__uid")
+        )
+        fresh = to_version
+        for name, col in new_vals.items():
+            fresh = fresh.withColumn(name, col)
+        fresh = (
+            fresh.withColumn("valid_from", F.lit(ts).cast("long"))
+            .withColumn("valid_to", F.lit(MAX_TS).cast("long"))
+            .withColumn("tx_from", F.lit(ts).cast("long"))
+            .withColumn("tx_to", F.lit(MAX_TS).cast("long"))
+            .withColumn("version_id", (F.col("version_id") + 1))
+            .drop("__uid")
+        )
+        t.frame = closed.unionByName(fresh)
+        return n_changed
+
+    def _assignment_columns(
+        self, struct: T.StructType, updates: dict[str, Any], append: bool
+    ) -> dict[str, Any]:
+        """Compile {field: value} / {"map.k": v} assignments to Columns."""
+        types = {f.name: f.dataType for f in struct.fields}
+        out: dict[str, Any] = {}
+        for key, v in updates.items():
+            name, _, sub = key.partition(".")
+            if name not in types:
+                raise QueryError(f"unknown field: {name}")
+            dt = types[name]
+            if sub:
+                if not isinstance(dt, T.MapType):
+                    raise QueryError(f"nested SET on non-map field: {key}")
+                addition = F.create_map(
+                    F.lit(sub), F.lit(v).cast(dt.valueType)
+                )
+                base = F.coalesce(F.col(name), F.create_map().cast(dt))
+                col = F.map_concat(base, addition)  # LAST_WIN dedup
+            elif append:
+                if not isinstance(dt, T.ArrayType):
+                    raise QueryError(f"APPEND on non-array field: {name}")
+                elems = v if isinstance(v, (list, tuple)) else [v]
+                addition = F.array(
+                    *[F.lit(e).cast(dt.elementType) for e in elems]
+                )
+                col = F.concat(
+                    F.coalesce(F.col(name), F.array().cast(dt)), addition
+                )
+            else:
+                col = F.lit(v).cast(dt)
+            prev = out.get(name)
+            out[name] = col if prev is None else col  # later assignment wins
+        return out
+
+    def update_by_match(
+        self,
+        q: Query,
+        assignments: dict[str, Any],
+        append: bool = False,
+    ) -> dict[str, int]:
+        """UPDATE Modes 2/3 (apps/tundra_shell.cpp:1067-1209;
+        update_executor.cpp:85-213): run the MATCH, then apply grouped
+        assignments per alias — to node tables and, for edge aliases, to the
+        edge table (resolved via the edge alias's id column)."""
+        from tundradb_spark.operators.match import MatchCompiler
+
+        mc = MatchCompiler(self, q)
+        result = mc.compile()
+
+        per_alias: dict[str, dict[str, Any]] = {}
+        for key, v in assignments.items():
+            alias, _, fieldpath = key.partition(".")
+            if not fieldpath:
+                raise QueryError(f"assignment must be alias.field: {key}")
+            per_alias.setdefault(alias, {})[fieldpath] = v
+
+        counts: dict[str, int] = {}
+        for alias, upd in per_alias.items():
+            if alias in mc.alias_schema:
+                ids = result.select(
+                    F.col(f"`{alias}.id`").alias(ID_COL)
+                ).distinct()
+                counts[alias] = self._update_ids(
+                    mc.alias_schema[alias], ids, upd, append
+                )
+            elif alias in mc.edge_alias_type:
+                etype = mc.edge_alias_type[alias]
+                ids = result.select(F.col(f"`{alias}.id`").alias("id")).distinct()
+                counts[alias] = self._update_edge_ids(etype, ids, upd)
+            else:
+                raise QueryError(f"SET references unknown alias: {alias}")
+        return counts
+
+    def _update_edge_ids(
+        self, etype: str, ids_df: DataFrame, updates: dict[str, Any]
+    ) -> int:
+        t = self._edge(etype)
+        df = self._materialize(t)
+        for key in updates:
+            base = key.partition(".")[0]
+            if base in EDGE_STRUCTURAL_FIELDS:
+                raise QueryError(f"cannot update structural edge field: {base}")
+        new_vals = self._assignment_columns(t.struct, updates, append=False)
+        ids = ids_df.select(F.col(ids_df.columns[0]).cast("long").alias("__uid"))
+        hit = F.col("__uid").isNotNull()
+        out = df.join(F.broadcast(ids), df["id"] == F.col("__uid"), "left")
+        for name, col in new_vals.items():
+            out = out.withColumn(name, F.when(hit, col).otherwise(F.col(name)))
+        t.frame = out.drop("__uid")
+        return ids.count()
+
+    # --------------------------------------------------------------- delete
+    def delete_node(self, schema: str, node_id: int) -> int:
+        """DELETE User(123) (TundraQL.g4:37-43)."""
+        return self.delete_nodes(
+            schema,
+            self.spark.createDataFrame(
+                [(node_id,)], T.StructType([T.StructField(ID_COL, T.LongType())])
+            ),
+        )
+
+    def delete_nodes(self, schema: str, ids_df: DataFrame) -> int:
+        """Delete all nodes whose id appears in ids_df. Versioned tables get
+        a logical delete (intervals closed); plain tables drop the rows."""
+        t = self._node(schema)
+        df = self._materialize(t)
+        ids = ids_df.select(F.col(ids_df.columns[0]).cast("long").alias("__did"))
+        n = ids.count()
+        if self.versioning:
+            ts = self.clock()
+            marked = df.join(F.broadcast(ids), df[ID_COL] == F.col("__did"), "left")
+            head = (
+                F.col("__did").isNotNull()
+                & (F.col("tx_to") == MAX_TS)
+                & (F.col("valid_to") == MAX_TS)
+            )
+            t.frame = (
+                marked.withColumn(
+                    "valid_to", F.when(head, F.lit(ts)).otherwise(F.col("valid_to"))
+                )
+                .withColumn(
+                    "tx_to", F.when(head, F.lit(ts)).otherwise(F.col("tx_to"))
+                )
+                .drop("__did")
+            )
+        else:
+            t.frame = df.join(
+                F.broadcast(ids), df[ID_COL] == F.col("__did"), "anti"
+            )
+        return n
+
+    def delete_by_match(self, q: Query, alias: str) -> int:
+        from tundradb_spark.operators.match import MatchCompiler
+
+        mc = MatchCompiler(self, q)
+        result = mc.compile()
+        if alias not in mc.alias_schema:
+            raise QueryError(f"unknown alias: {alias}")
+        ids = result.select(F.col(f"`{alias}.id`").alias(ID_COL)).distinct()
+        return self.delete_nodes(mc.alias_schema[alias], ids)
+
+    def delete_edges(
+        self,
+        etype: str,
+        from_selector: tuple[str, Any] | None = None,
+        to_selector: tuple[str, Any] | None = None,
+    ) -> int:
+        """DELETE EDGE type [FROM sel] [TO sel] (TundraQL.g4:46-50)."""
+        t = self._edge(etype)
+        df = self._materialize(t)
+        cond = F.lit(True)
+        if from_selector is not None:
+            ids = self._resolve_selector(from_selector)
+            cond = cond & F.col("source_id").isin(ids)
+        if to_selector is not None:
+            ids = self._resolve_selector(to_selector)
+            cond = cond & F.col("target_id").isin(ids)
+        n = df.filter(cond).count()
+        t.frame = df.filter(~cond)
+        return n
+
+    # ----------------------------------------------------------------- SHOW
+    def show_edges(self, etype: str) -> DataFrame:
+        return self.get_edge_table(etype)
+
+    def show_edge_types(self) -> DataFrame:
+        rows = [
+            (name, self.get_edge_table(name).count())
+            for name in sorted(self._edges)
+        ]
+        return self.spark.createDataFrame(rows, "edge_type string, count long")
+
+    # -------------------------------------------------------------- snapshot
+    def commit(self) -> str:
+        """COMMIT (TundraQL.g4:67): durable snapshot — versioned parquet dirs
+        + manifest (reference SnapshotManager::commit,
+        src/storage/snapshot_manager.cpp)."""
+        from tundradb_spark.sources.snapshot import commit_snapshot
+
+        if self.path is None:
+            raise QueryError("database opened without a path; cannot COMMIT")
+        return commit_snapshot(self)
+
+
+def _zip_with_contiguous_ids(df: DataFrame, first: int, col_name: str) -> DataFrame:
+    """Assign contiguous ids ``first..first+n-1`` without a global sort:
+    count rows per partition, prefix-sum the offsets on the driver (one tiny
+    action), then zip within partitions. O(1) shuffle — scales to any size.
+    """
+    spark = df.sparkSession
+    rdd = df.rdd
+    sizes = rdd.mapPartitionsWithIndex(
+        lambda i, it: [(i, sum(1 for _ in it))]
+    ).collect()
+    offsets = {}
+    acc = first
+    for i, n in sorted(sizes):
+        offsets[i] = acc
+        acc += n
+
+    schema = T.StructType(
+        [T.StructField(col_name, T.LongType(), False)] + list(df.schema.fields)
+    )
+
+    def attach(i: int, it: Iterable[Row]) -> Iterable[tuple]:
+        base = offsets[i]
+        for k, row in enumerate(it):
+            yield (base + k, *row)
+
+    return spark.createDataFrame(rdd.mapPartitionsWithIndex(attach), schema)

@@ -1,0 +1,453 @@
+"""MATCH pattern → Spark join-tree compiler.
+
+This replaces the reference's imperative traversal executor
+(src/query/traverse_executor.cpp, src/query/execution.cpp:790-883 hop
+expansion, src/query/join.cpp join strategies, src/query/result_builder.cpp
+BFS row population) with a declarative DataFrame plan. The semantics were
+derived from the reference's own strategy + row-builder code and verified
+against tests/join_test.cpp; they are NOT plain SQL joins:
+
+- every alias's table is renamed to ``alias.field`` columns (the denormalized
+  output schema, src/query/execution.cpp:483-549) and hops compose
+  **right-associatively along the alias tree**, so a hop's target subtree is
+  fully resolved before the parent joins it — reproducing the reference's
+  prune-ID-set-then-BFS behavior (traverse_executor.cpp:94-107 +
+  result_builder.cpp:251-389).
+- INNER prunes unmatched sources (join.cpp:51-76). Non-INNER hops never
+  prune sources; a source with **no edge at all** null-pads
+  (result_builder.cpp partial-path emission), while a source whose edges all
+  lead to targets pruned by deeper INNER hops produces **no row** (the BFS
+  ``skip`` logic, result_builder.cpp:95-110). Hence LEFT is *not* a plain
+  left_outer: it is ``matched ∪ (sources with no connection)``.
+- RIGHT/FULL keep all targets: unmatched-target rows are appended as a
+  **final pass** against the fully-joined result (the reference emits them
+  from the final ID sets during row population), carrying the target's own
+  subtree values; for **self-joins** (source schema == target schema) the
+  hop's matched *sources* are excluded so a node never appears both as a
+  matched source and as a null-source target row (join.cpp:184-198).
+- a FROM root with no connection on any hop is dropped unless the FROM alias
+  participates in a LEFT/FULL hop (result_builder.cpp:260-278 join-type map
+  + the INNER root skip at :203-206).
+- single-alias WHERE predicates apply to the alias table *before* its join
+  (the reference's inline_where / FROM pushdown,
+  src/query/query_bootstrap.cpp:46-56, execution.cpp:651-702); cross-alias
+  predicates are deferred until after all joins and unmatched-row padding
+  (src/query/filter_executor.cpp:26-33).
+
+Catalyst then performs predicate pushdown, column pruning, join reordering
+and (with AQE) broadcast/skew handling — none of which the reference has.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from tundradb_spark.errors import QueryError
+from tundradb_spark.query import (
+    Compare,
+    CompareOp,
+    Expr,
+    FieldRef,
+    Logical,
+    Query,
+    Traverse,
+    TraverseType,
+)
+
+if TYPE_CHECKING:
+    from tundradb_spark.database import Database
+
+
+def _bt(name: str) -> Column:
+    """Column ref for names containing dots (``u.age`` → `` `u.age` ``)."""
+    return F.col("`" + name + "`")
+
+
+def _prefix(df: DataFrame, alias: str) -> DataFrame:
+    return df.select([F.col("`" + c + "`").alias(f"{alias}.{c}") for c in df.columns])
+
+
+# ---------------------------------------------------------------------------
+# WHERE expression compilation
+# ---------------------------------------------------------------------------
+
+
+def compile_expr(expr: Expr) -> Column:
+    """Expr tree → Spark Column over alias-prefixed column names.
+
+    Parity notes (reference src/query/query.cpp:81-201):
+    - ``=`` / ``!=`` are **null-safe** (NULL = NULL → true), unlike SQL
+      three-valued logic → ``eqNullSafe``.
+    - CONTAINS / STARTS_WITH / ENDS_WITH are implemented correctly; the
+      reference's vectorized path degrades them to equality
+      (src/query/query.cpp:635-649) which SURVEY.md flags as a bug not to
+      replicate.
+    - nested map access ``u.props.role`` → ``element_at`` (the reference's
+      row-eval fallback, src/query/filter_executor.cpp:50-92, is unnecessary:
+      element_at is vectorized/codegen'd in Spark).
+    """
+    if isinstance(expr, Logical):
+        left, right = compile_expr(expr.left), compile_expr(expr.right)
+        return left & right if expr.op == "AND" else left | right
+    if isinstance(expr, Compare):
+        col = _bt(f"{expr.ref.alias}.{expr.ref.field}")
+        for key in expr.ref.nested_path:
+            col = F.element_at(col, key)
+        op, v = expr.op, expr.value
+        if op is CompareOp.EQ:
+            return col.eqNullSafe(F.lit(v))
+        if op is CompareOp.NE:
+            return ~col.eqNullSafe(F.lit(v))
+        if op is CompareOp.GT:
+            return col > v
+        if op is CompareOp.LT:
+            return col < v
+        if op is CompareOp.GE:
+            return col >= v
+        if op is CompareOp.LE:
+            return col <= v
+        if op is CompareOp.CONTAINS:
+            return col.contains(v)
+        if op is CompareOp.STARTS_WITH:
+            return col.startswith(v)
+        if op is CompareOp.ENDS_WITH:
+            return col.endswith(v)
+    raise QueryError(f"cannot compile expression: {expr!r}")
+
+
+def _split_filters(
+    wheres: list[Expr],
+) -> tuple[dict[str, list[Expr]], list[Expr]]:
+    """Single-alias predicates (pushed to the alias table) vs cross-alias
+    predicates (deferred post-join). AND trees are split so each conjunct is
+    pushed independently; OR trees spanning aliases stay deferred."""
+    per_alias: dict[str, list[Expr]] = {}
+    deferred: list[Expr] = []
+
+    def visit(e: Expr) -> None:
+        if isinstance(e, Logical) and e.op == "AND":
+            visit(e.left)
+            visit(e.right)
+            return
+        a = e.aliases()
+        if len(a) == 1:
+            per_alias.setdefault(next(iter(a)), []).append(e)
+        else:
+            deferred.append(e)
+
+    for w in wheres:
+        visit(w)
+    return per_alias, deferred
+
+
+# ---------------------------------------------------------------------------
+# Join tree construction
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _PendingExtra:
+    """A RIGHT/FULL hop's unmatched-target rows, appended post-join."""
+
+    target_alias: str
+    sub: DataFrame  # the target's fully-built subtree at hop time
+    matched_sources: DataFrame | None  # self-join exclusion set (ids)
+
+
+class MatchCompiler:
+    def __init__(self, db: "Database", q: Query) -> None:
+        self.db = db
+        self.q = q
+        self.alias_schema: dict[str, str] = {}  # node alias -> schema name
+        self.edge_alias_type: dict[str, str] = {}  # edge alias -> edge type
+        self.alias_order: list[str] = []  # bind order incl. edge aliases
+        self._edge_seq = 0
+        self._per_alias_filters: dict[str, list[Expr]] = {}
+        self.deferred: list[Expr] = []
+        self._extras: list[_PendingExtra] = []
+
+    # -- helpers -------------------------------------------------------------
+    def _node_table(self, alias: str) -> DataFrame:
+        schema = self.alias_schema[alias]
+        df = _prefix(
+            self.db.get_table(schema, self.q.valid_time, self.q.tx_time), alias
+        )
+        for e in self._per_alias_filters.get(alias, []):
+            df = df.filter(compile_expr(e))
+        return df
+
+    def _edge_table(self, hop: Traverse) -> tuple[DataFrame, str, str, list[str]]:
+        """Returns (edge_df, src_col, tgt_col, drop_cols)."""
+        raw = self.db.get_edge_table(hop.edge_type, self.q.valid_time, self.q.tx_time)
+        if hop.edge_alias:
+            ea = hop.edge_alias
+            df = _prefix(raw, ea)
+            for e in self._per_alias_filters.get(ea, []):
+                df = df.filter(compile_expr(e))
+            return df, f"{ea}.source_id", f"{ea}.target_id", []
+        self._edge_seq += 1
+        s, t = f"__e{self._edge_seq}_src", f"__e{self._edge_seq}_tgt"
+        df = raw.select(F.col("source_id").alias(s), F.col("target_id").alias(t))
+        return df, s, t, [s, t]
+
+    # -- main ---------------------------------------------------------------
+    def compile(self) -> DataFrame:
+        q = self.q
+        self.alias_schema[q.from_alias] = q.from_schema
+        self.alias_order.append(q.from_alias)
+
+        # Bind aliases & build the alias tree (reference prepare_query,
+        # src/query/execution.cpp:730-787).
+        children: dict[str, list[Traverse]] = {}
+        closing: list[Traverse] = []
+        from_hops: list[Traverse] = []
+        for hop in q.traverses:
+            src_b = hop.source_alias in self.alias_schema
+            tgt_b = hop.target_alias in self.alias_schema
+            if hop.edge_alias:
+                if hop.edge_alias in self.edge_alias_type:
+                    raise QueryError(f"duplicate edge alias: {hop.edge_alias}")
+                self.edge_alias_type[hop.edge_alias] = hop.edge_type
+            if src_b and not tgt_b:
+                self.alias_schema[hop.target_alias] = hop.target_schema
+                children.setdefault(hop.source_alias, []).append(hop)
+                self.alias_order.append(hop.target_alias)
+            elif src_b and tgt_b:
+                if self.alias_schema[hop.target_alias] != hop.target_schema:
+                    raise QueryError(
+                        f"alias {hop.target_alias} rebound to a different schema"
+                    )
+                closing.append(hop)
+            else:
+                raise QueryError(
+                    f"source alias {hop.source_alias!r} must be bound by FROM "
+                    "or a prior traverse before use"
+                )
+            if hop.edge_alias:
+                self.alias_order.append(hop.edge_alias)
+            if hop.source_alias == q.from_alias:
+                from_hops.append(hop)
+
+        self._per_alias_filters, self.deferred = _split_filters(q.wheres)
+        known = set(self.alias_schema) | set(self.edge_alias_type)
+        for a in self._per_alias_filters:
+            if a not in known:
+                raise QueryError(f"WHERE references unknown alias: {a!r}")
+        for e in self.deferred:
+            missing = e.aliases() - known
+            if missing:
+                raise QueryError(f"WHERE references unknown alias: {missing}")
+
+        df = self._build(q.from_alias, children)
+
+        # FROM-root semantics: with traversals, a root with no connection on
+        # any hop is skipped unless FROM participates in a LEFT/FULL hop
+        # (result_builder.cpp:260-278 + the INNER root-skip at :203-206).
+        # In the join tree a "no connection on hop h" row has a NULL target
+        # id for h, so the filter is: at least one FROM-hop target bound.
+        from_is_outer = any(
+            h.traverse_type in (TraverseType.LEFT, TraverseType.FULL)
+            for h in from_hops
+        )
+        if from_hops and not from_is_outer:
+            has_inner = any(
+                h.traverse_type is TraverseType.INNER for h in from_hops
+            )
+            if not has_inner:  # all RIGHT: require ≥1 live connection
+                cond = F.lit(False)
+                for h in from_hops:
+                    cond = cond | _bt(f"{h.target_alias}.id").isNotNull()
+                df = df.filter(cond)
+
+        # Closing hops: both aliases already bound — the edge constrains
+        # existing columns (multi-pattern conjunction,
+        # apps/tundra_shell.cpp:470-478; INNER ID-set intersection,
+        # src/query/join.cpp:51-76).
+        for hop in closing:
+            if hop.traverse_type is not TraverseType.INNER:
+                raise QueryError(
+                    "only INNER is supported for a pattern whose aliases are "
+                    "both already bound"
+                )
+            edf, sc, tc, drop = self._edge_table(hop)
+            df = df.join(
+                edf,
+                (_bt(f"{hop.source_alias}.id") == _bt(sc))
+                & (_bt(f"{hop.target_alias}.id") == _bt(tc)),
+                "inner",
+            )
+            if drop:
+                df = df.drop(*drop)
+
+        # RIGHT/FULL unmatched-target rows, appended against the final result
+        # in hop order (the reference emits them from the final ID sets,
+        # result_builder.cpp:305-330).
+        for extra in self._extras:
+            ckey = f"{extra.target_alias}.id"
+            present = df.select(_bt(ckey).alias("__mid")).distinct()
+            rows = extra.sub.join(present, _bt(ckey) == _bt("__mid"), "anti")
+            if extra.matched_sources is not None:
+                rows = rows.join(
+                    extra.matched_sources, _bt(ckey) == _bt("__srcid"), "anti"
+                )
+            df = df.unionByName(rows, allowMissingColumns=True)
+
+        # Deferred cross-alias WHERE: after joins AND null padding
+        # (src/query/filter_executor.cpp:26-33; build_result_table order).
+        for e in self.deferred:
+            df = df.filter(compile_expr(e))
+        return df
+
+    def _build(self, alias: str, children: dict[str, list[Traverse]]) -> DataFrame:
+        return self._build_from(self._node_table(alias), alias, children)
+
+    def _build_from(
+        self, base: DataFrame, alias: str, children: dict[str, list[Traverse]]
+    ) -> DataFrame:
+        df = base
+        for hop in children.get(alias, []):
+            tgt_base = self._node_table(hop.target_alias)
+            sub = self._build_from(tgt_base, hop.target_alias, children)
+            df = self._attach(df, alias, hop, sub, tgt_base)
+        return df
+
+    def _attach(
+        self,
+        parent: DataFrame,
+        alias: str,
+        hop: Traverse,
+        sub: DataFrame,
+        tgt_base: DataFrame,
+    ) -> DataFrame:
+        edf, src_col, tgt_col, drop = self._edge_table(hop)
+        pkey, ckey = f"{alias}.id", f"{hop.target_alias}.id"
+        jt = hop.traverse_type
+        self_join = self.alias_schema[alias] == hop.target_schema
+
+        # matched paths: source —edge→ surviving target subtree
+        matched = parent.join(edf, _bt(pkey) == _bt(src_col), "inner").join(
+            sub, _bt(tgt_col) == _bt(ckey), "inner"
+        )
+        if jt is TraverseType.INNER:
+            out = matched
+        else:
+            # Non-INNER: sources with NO connection (edge to a target passing
+            # the target's own filters) ride along null-padded; sources whose
+            # connections all lead into pruned subtrees do NOT (reference BFS
+            # skip). Connections are edge ⨝ filtered-target-base.
+            conn_src = (
+                edf.join(tgt_base, _bt(tgt_col) == _bt(ckey), "semi")
+                .select(_bt(src_col).alias("__csrc"))
+                .distinct()
+            )
+            no_conn = parent.join(conn_src, _bt(pkey) == _bt("__csrc"), "anti")
+            out = matched.unionByName(no_conn, allowMissingColumns=True)
+            if jt in (TraverseType.RIGHT, TraverseType.FULL):
+                msrc = (
+                    matched.select(_bt(pkey).alias("__srcid")).distinct()
+                    if self_join
+                    else None
+                )
+                self._extras.append(_PendingExtra(hop.target_alias, sub, msrc))
+        if drop:
+            out = out.drop(*drop)
+        return out
+
+    # -- projection -----------------------------------------------------------
+    def apply_select(self, df: DataFrame) -> DataFrame:
+        """SELECT projection (reference apply_select,
+        src/query/execution.cpp:585-635): exact ``alias.field`` names, bare
+        alias → all of that alias's columns, empty → full denormalized
+        schema in alias bind order. ``alias.map_field.key`` synthesizes a
+        flat column (reference enrich_nested_select_fields,
+        execution.cpp:32-207). ``AS`` aliasing is supported via
+        ``"u.name AS username"`` — the reference parses but drops AS
+        (apps/tundra_shell.cpp:485-494); we implement it properly.
+        """
+        fields = self.q.select_fields
+        if not fields:
+            ordered = [
+                c
+                for a in self.alias_order
+                for c in df.columns
+                if c.startswith(a + ".")
+            ]
+            rest = [c for c in df.columns if c not in ordered]
+            return df.select([_bt(c) for c in ordered + rest])
+
+        cols: list[Column] = []
+        for f_spec in fields:
+            out_name = None
+            spec = f_spec
+            low = f_spec.lower()
+            if " as " in low:
+                idx = low.rindex(" as ")
+                spec, out_name = f_spec[:idx].strip(), f_spec[idx + 4 :].strip()
+            if "." not in spec:
+                matches = [c for c in df.columns if c.startswith(spec + ".")]
+                if not matches:
+                    raise QueryError(f"SELECT alias not found: {spec!r}")
+                cols.extend(_bt(c) for c in matches)
+                continue
+            ref = FieldRef.parse(spec)
+            base = f"{ref.alias}.{ref.field}"
+            if base in df.columns and not ref.nested_path:
+                cols.append(_bt(base).alias(out_name or base))
+            elif ref.nested_path:
+                c = _bt(base)
+                for key in ref.nested_path:
+                    c = F.element_at(c, key)
+                cols.append(c.alias(out_name or str(ref)))
+            else:
+                raise QueryError(f"SELECT field not found: {spec!r}")
+        return df.select(cols)
+
+
+# ---------------------------------------------------------------------------
+# post-MATCH extensions: aggregation / ordering / limit
+# ---------------------------------------------------------------------------
+
+_AGG_FNS = {
+    "count": lambda c: F.count(c),
+    "count_distinct": lambda c: F.count_distinct(c),
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "stddev": F.stddev,
+    "collect_set": F.collect_set,
+}
+
+
+def apply_post_ops(df: DataFrame, q: Query) -> DataFrame:
+    if q.agg_spec is not None:
+        spec = q.agg_spec
+        aggs = []
+        for fn, fld, out in spec.aggs:
+            if fn not in _AGG_FNS:
+                raise QueryError(f"unknown aggregate: {fn}")
+            col = F.lit(1) if fld == "*" else _bt(fld)
+            aggs.append(_AGG_FNS[fn](col).alias(out))
+        if spec.group_cols:
+            df = df.groupBy([_bt(c) for c in spec.group_cols]).agg(*aggs)
+        else:
+            df = df.agg(*aggs)
+    if q.distinct_flag:
+        df = df.distinct()
+    if q.order_by_specs:
+        df = df.orderBy(
+            [_bt(c).asc() if asc else _bt(c).desc() for c, asc in q.order_by_specs]
+        )
+    if q.limit_n is not None:
+        df = df.limit(q.limit_n)
+    return df
+
+
+def execute_match(db: "Database", q: Query) -> DataFrame:
+    mc = MatchCompiler(db, q)
+    df = mc.compile()
+    df = mc.apply_select(df)
+    return apply_post_ops(df, q)

@@ -1,0 +1,104 @@
+"""Bitemporal version resolution.
+
+Reference model (include/memory/node_arena.hpp:40-81,
+include/query/temporal_context.hpp:20-145,
+docs/README_temporal_versioning.md:78-100): every logical record carries a
+chain of versions stamped ``valid_from/valid_to`` (application time) and
+``tx_from/tx_to`` (transaction time); a version is visible at
+``(vt, tt)`` iff ``valid_from <= vt < valid_to AND tx_from <= tt < tx_to``;
+among visible versions the newest wins. ``MAX_TS`` marks an open interval
+("now"), matching the reference's UINT64_MAX sentinel.
+
+Spark realization: versions are plain rows; AS-OF is an interval filter plus
+a per-id newest-version pick. The filter pushes down to the Parquet scan; the
+pick is one window (or a groupBy-max semi-join at extreme scale).
+"""
+
+from __future__ import annotations
+
+import itertools
+import threading
+import time
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from tundradb_spark.catalog import MAX_TS, VERSION_COLS
+
+
+def now_ms() -> int:
+    return time.time_ns() // 1_000_000
+
+
+class MockClock:
+    """Deterministic, strictly-increasing clock for temporal tests
+    (reference: include/common/clock.hpp:24-56)."""
+
+    def __init__(self, start: int = 1_000) -> None:
+        self._t = start
+        self._lock = threading.Lock()
+
+    def advance(self, ms: int = 1) -> int:
+        with self._lock:
+            self._t += ms
+            return self._t
+
+    def set(self, t: int) -> None:
+        with self._lock:
+            self._t = t
+
+    def __call__(self) -> int:
+        # Each tick returns a fresh timestamp so consecutive operations get
+        # distinct version boundaries, like the reference's logical clock.
+        return self.advance(1)
+
+
+def resolve_as_of(
+    df: DataFrame,
+    valid_time: int | None = None,
+    tx_time: int | None = None,
+    id_col: str = "id",
+    keep_version_cols: bool = False,
+) -> DataFrame:
+    """Pick each id's newest version visible at (valid_time, tx_time).
+
+    ``None`` means "now" (open side): only versions whose interval end is
+    still MAX_TS qualify — the reference's UINT64_MAX default
+    (include/query/temporal_context.hpp:20-39).
+    """
+    vt = F.lit(valid_time) if valid_time is not None else None
+    tt = F.lit(tx_time) if tx_time is not None else None
+
+    cond = F.lit(True)
+    if vt is not None:
+        cond = cond & (F.col("valid_from") <= vt) & (vt < F.col("valid_to"))
+    else:
+        cond = cond & (F.col("valid_to") == F.lit(MAX_TS))
+    if tt is not None:
+        cond = cond & (F.col("tx_from") <= tt) & (tt < F.col("tx_to"))
+    else:
+        cond = cond & (F.col("tx_to") == F.lit(MAX_TS))
+
+    visible = df.filter(cond)
+    w = Window.partitionBy(id_col).orderBy(F.col("version_id").desc())
+    out = (
+        visible.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if not keep_version_cols:
+        out = out.drop(*VERSION_COLS)
+    return out
+
+
+def stamp_initial_version(df: DataFrame, ts: int) -> DataFrame:
+    """Add version columns marking rows created at ``ts`` and still open."""
+    return (
+        df.withColumn("valid_from", F.lit(ts).cast("long"))
+        .withColumn("valid_to", F.lit(MAX_TS).cast("long"))
+        .withColumn("tx_from", F.lit(ts).cast("long"))
+        .withColumn("tx_to", F.lit(MAX_TS).cast("long"))
+        .withColumn("version_id", F.lit(0).cast("long"))
+    )
+
+
+_version_counter = itertools.count()
