@@ -186,10 +186,18 @@ class Database:
         base = self._materialize(t)
         t.frame = base.unionByName(out) if (t.frame is not None or t.pending) else out
 
-    def register_node_table(self, name: str, df: DataFrame, id_col: str = ID_COL) -> None:
+    def register_node_table(
+        self,
+        name: str,
+        df: DataFrame,
+        id_col: str = ID_COL,
+        resume_counter: bool = True,
+    ) -> None:
         """Zero-copy registration of an existing DataFrame as a node table
         (the scale path — e.g. a parquet scan). The id column is renamed to
-        ``id``; the per-schema counter resumes past max(id)."""
+        ``id``; the per-schema counter resumes past max(id) unless
+        ``resume_counter=False`` (read-only analytical use — skips the scan).
+        """
         if name in self.catalog.node_schemas:
             raise SchemaError(f"schema already exists: {name}")
         if id_col != ID_COL:
@@ -200,8 +208,9 @@ class Database:
         df = df.select(ID_COL, *[c for c in df.columns if c != ID_COL])
         struct = T.StructType(df.schema.fields)
         self.catalog.node_schemas[name] = NodeSchema(name=name, struct=struct)
-        hi = df.agg(F.max(ID_COL)).first()[0]
-        self.catalog.node_id_counters[name] = int(hi) + 1 if hi is not None else 0
+        if resume_counter:
+            hi = df.agg(F.max(ID_COL)).first()[0]
+            self.catalog.node_id_counters[name] = int(hi) + 1 if hi is not None else 0
         frame = stamp_initial_version(df, self.clock()) if self.versioning else df
         self._nodes[name] = _Table(struct=struct, frame=frame)
 
@@ -223,7 +232,9 @@ class Database:
         )
         if "created_ts" not in df.columns:
             df = df.withColumn("created_ts", F.lit(self.clock()).cast("long"))
-        if "id" not in df.columns:
+        if "id" in df.columns:
+            df = df.withColumn("id", F.col("id").cast("long"))
+        else:
             n = df.count()
             first = self.catalog.next_edge_id(n)
             df = _zip_with_contiguous_ids(df, first, "id")

@@ -1,0 +1,113 @@
+"""Map the driver's TPC-H-ish parquet tables onto the engine's graph model.
+
+FIXTURES.md ("Driver testdata note") prescribes exactly this: FK columns
+become edge tables, entity tables become node schemas, so the reference's
+join/filter/projection semantics are exercised at scale on real data.
+
+Node schemas (id = the table's primary key):
+    customer, nation, region, supplier, part, orders
+
+Edge types (source → target, built from FK projections of the same scans —
+Catalyst prunes the edge scan down to the 2-3 columns used):
+    IN_NATION        customer → nation
+    SUPP_IN_NATION   supplier → nation
+    IN_REGION        nation → region
+    HAS_ORDER        customer → orders
+    HAS_ITEM         orders → part     (props: l_suppkey, l_quantity,
+                     l_extendedprice, l_discount, l_returnflag, l_shipdate;
+                     edge id = l_orderkey*16 + l_linenumber, collision-free
+                     since l_linenumber ≤ 7 in TPC-H)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, functions as F
+
+from tundradb_spark.database import Database
+
+
+def load_graph(spark: SparkSession, sf_dir: str) -> Database:
+    db = Database(spark)
+    read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
+
+    db.register_node_table("customer", read("customer"), "c_custkey", resume_counter=False)
+    db.register_node_table("nation", read("nation"), "n_nationkey", resume_counter=False)
+    db.register_node_table("region", read("region"), "r_regionkey", resume_counter=False)
+    db.register_node_table("supplier", read("supplier"), "s_suppkey", resume_counter=False)
+    db.register_node_table("part", read("part"), "p_partkey", resume_counter=False)
+    db.register_node_table("orders", read("orders"), "o_orderkey", resume_counter=False)
+    db.register_node_table(
+        "lineitem",
+        read("lineitem").withColumn(
+            "id", F.col("l_orderkey") * 16 + F.col("l_linenumber")
+        ),
+        resume_counter=False,
+    )
+    # events: the reference's MAP column realization (map<string,X> with
+    # typed access, FIXTURES.md F6) — props JSON → map<string,long>
+    db.register_node_table(
+        "events",
+        read("events").withColumn(
+            "props_map", F.from_json("props", "map<string,bigint>")
+        ),
+        "event_id",
+        resume_counter=False,
+    )
+
+    cust = read("customer")
+    db.register_edge_table(
+        "IN_NATION",
+        cust.select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_custkey").alias("source_id"),
+            F.col("c_nationkey").alias("target_id"),
+            F.lit(0).cast("long").alias("created_ts"),
+        ),
+    )
+    supp = read("supplier")
+    db.register_edge_table(
+        "SUPP_IN_NATION",
+        supp.select(
+            F.col("s_suppkey").alias("id"),
+            F.col("s_suppkey").alias("source_id"),
+            F.col("s_nationkey").alias("target_id"),
+            F.lit(0).cast("long").alias("created_ts"),
+        ),
+    )
+    nat = read("nation")
+    db.register_edge_table(
+        "IN_REGION",
+        nat.select(
+            F.col("n_nationkey").alias("id"),
+            F.col("n_nationkey").alias("source_id"),
+            F.col("n_regionkey").alias("target_id"),
+            F.lit(0).cast("long").alias("created_ts"),
+        ),
+    )
+    orders = read("orders")
+    db.register_edge_table(
+        "HAS_ORDER",
+        orders.select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_custkey").alias("source_id"),
+            F.col("o_orderkey").alias("target_id"),
+            F.lit(0).cast("long").alias("created_ts"),
+        ),
+    )
+    li = read("lineitem")
+    db.register_edge_table(
+        "HAS_ITEM",
+        li.select(
+            (F.col("l_orderkey") * 16 + F.col("l_linenumber")).alias("id"),
+            F.col("l_orderkey").alias("source_id"),
+            F.col("l_partkey").alias("target_id"),
+            F.lit(0).cast("long").alias("created_ts"),
+            "l_suppkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_returnflag",
+            "l_shipdate",
+        ),
+    )
+    return db

@@ -426,10 +426,12 @@ def apply_post_ops(df: DataFrame, q: Query) -> DataFrame:
     if q.agg_spec is not None:
         spec = q.agg_spec
         aggs = []
-        for fn, fld, out in spec.aggs:
+        for fn, fld, out, cast in spec.aggs:
             if fn not in _AGG_FNS:
                 raise QueryError(f"unknown aggregate: {fn}")
             col = F.lit(1) if fld == "*" else _bt(fld)
+            if cast:
+                col = col.cast(cast)
             aggs.append(_AGG_FNS[fn](col).alias(out))
         if spec.group_cols:
             df = df.groupBy([_bt(c) for c in spec.group_cols]).agg(*aggs)

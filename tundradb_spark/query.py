@@ -145,7 +145,8 @@ class Traverse:
 @dataclass
 class AggSpec:
     group_cols: list[str]
-    aggs: list[tuple[str, str, str]]  # (fn, field-or-*, out_name)
+    # (fn, field-or-*, out_name, input_cast-or-None)
+    aggs: list[tuple[str, str, str, str | None]]
 
 
 @dataclass
@@ -223,11 +224,20 @@ class Query:
             self.agg_spec.group_cols = list(cols)
         return self
 
-    def agg(self, fn: str, field: str = "*", alias: str | None = None) -> "Query":
+    def agg(
+        self,
+        fn: str,
+        field: str = "*",
+        alias: str | None = None,
+        cast: str | None = None,
+    ) -> "Query":
+        """Aggregate ``fn`` over ``field``. ``cast`` coerces the input first —
+        e.g. ``cast="decimal(18,2)"`` makes a SUM over monetary doubles exact
+        and partition-order independent (important for distributed runs)."""
         if self.agg_spec is None:
             self.agg_spec = AggSpec(group_cols=[], aggs=[])
         out = alias or f"{fn}_{field.replace('.', '_').replace('*', 'all')}"
-        self.agg_spec.aggs.append((fn.lower(), field, out))
+        self.agg_spec.aggs.append((fn.lower(), field, out, cast))
         return self
 
     def order_by(self, *specs: str) -> "Query":
