@@ -1,0 +1,159 @@
+"""DML parity: UPDATE modes 1-3 (incl. nested map SET, APPEND, edge
+updates), DELETE variants, SHOW — reference tests/update_query_test.cpp,
+update_query_join_test.cpp, delete_test.sql, array_query_test.cpp."""
+
+import pytest
+
+from tundradb_spark.errors import QueryError
+from tundradb_spark.query import Query
+from tests.conftest import rows_set, setup_join_fixture
+
+
+@pytest.fixture()
+def jdb(db):
+    return setup_join_fixture(db)
+
+
+def test_update_by_id(jdb):
+    # UPDATE users(0) SET age = 26 (Mode 1, update_executor.cpp:23-81)
+    n = jdb.update_by_id("users", 0, {"age": 26})
+    assert n == 1
+    df = jdb.get_table("users").filter("id = 0")
+    assert [(r["name"], r["age"]) for r in df.collect()] == [("alex", 26)]
+
+
+def test_update_by_id_missing_node(jdb):
+    with pytest.raises(QueryError):
+        jdb.update_by_id("users", 99, {"age": 1})
+
+
+def test_update_nested_map(db):
+    # SET u.props.role = 'admin' (nested map path, tundra_shell.cpp:973-1066)
+    db.create_schema("User", {"name": "string", "props": "map<string,string>"})
+    db.create_node("User", name="a", props={"role": "user", "lvl": "3"})
+    db.create_node("User", name="b")
+    db.update_by_id("User", 0, {"props.role": "admin"})
+    db.update_by_id("User", 1, {"props.role": "guest"})  # null map → created
+    rows = {r["name"]: r["props"] for r in db.get_table("User").collect()}
+    assert rows["a"] == {"role": "admin", "lvl": "3"}
+    assert rows["b"] == {"role": "guest"}
+
+
+def test_update_array_append(db):
+    # UPDATE ... APPEND (UpdateType::APPEND, array_query_test.cpp:362-431)
+    db.create_schema("Person", {"name": "string", "tags": "array<string>"})
+    db.create_node("Person", name="a", tags=["cpp", "rust"])
+    db.create_node("Person", name="b", tags=[])
+    db.update_by_id("Person", 0, {"tags": "py"}, append=True)
+    db.update_by_id("Person", 1, {"tags": ["go", "zig"]}, append=True)
+    rows = {r["name"]: r["tags"] for r in db.get_table("Person").collect()}
+    assert rows["a"] == ["cpp", "rust", "py"]
+    assert rows["b"] == ["go", "zig"]
+
+
+def test_update_array_set_replaces(db):
+    db.create_schema("Person", {"name": "string", "tags": "array<string>"})
+    db.create_node("Person", name="a", tags=["x"])
+    db.update_by_id("Person", 0, {"tags": ["y", "z"]})
+    assert db.get_table("Person").collect()[0]["tags"] == ["y", "z"]
+
+
+def test_update_by_match_nodes(jdb):
+    # UPDATE (u:users) SET ... WHERE ... (Mode 2)
+    q = Query.from_("u:users").where("u.age", ">", 30)
+    counts = jdb.update_by_match(q, {"u.name": "senior"})
+    assert counts == {"u": 3}
+    assert rows_set(jdb.get_table("users").filter("name = 'senior'"), "id") == {
+        (1,),
+        (2,),
+        (4,),
+    }
+
+
+def test_update_by_match_edge_props(jdb):
+    # UPDATE MATCH (u)-[e:works_at]->(c) SET e.role = ... (Mode 3,
+    # update_executor.cpp:85-213, update_query_join_test.cpp:48-80)
+    jdb.create_edge_schema("works_at", {"since": "long", "role": "string"})
+    jdb.connect("works_at", ("users", 0), ("companies", 0), {"since": 2020, "role": "eng"})
+    jdb.connect("works_at", ("users", 1), ("companies", 0), {"since": 2021, "role": "pm"})
+    q = (
+        Query.from_("u:users")
+        .traverse("u", "e:works_at", "c:companies", "inner")
+        .where("e.since", "=", 2020)
+    )
+    counts = jdb.update_by_match(q, {"e.role": "principal", "u.age": 99})
+    assert counts == {"e": 1, "u": 1}
+    roles = {
+        (r["source_id"], r["role"]) for r in jdb.get_edge_table("works_at").collect()
+    }
+    assert roles == {(0, "principal"), (1, "pm")}
+    assert jdb.get_table("users").filter("id=0").collect()[0]["age"] == 99
+
+
+def test_delete_node_by_id(jdb):
+    assert jdb.delete_node("users", 3) == 1
+    assert jdb.get_table("users").count() == 4
+    assert rows_set(jdb.get_table("users"), "id") == {(0,), (1,), (2,), (4,)}
+
+
+def test_delete_by_match(jdb):
+    # DELETE (u:users) WHERE u.age < 30
+    q = Query.from_("u:users").where("u.age", "<", 30)
+    n = jdb.delete_by_match(q, "u")
+    assert n == 2  # alex(25), sam(21)
+    assert rows_set(jdb.get_table("users"), "name") == {("bob",), ("jeff",), ("matt",)}
+
+
+def test_delete_edges_variants(jdb):
+    # DELETE EDGE type [FROM sel] [TO sel] (TundraQL.g4:46-50)
+    jdb.connect("friend", ("users", 0), ("users", 1))
+    jdb.connect("friend", ("users", 0), ("users", 2))
+    jdb.connect("friend", ("users", 1), ("users", 2))
+    assert jdb.delete_edges("friend", from_selector=("users", 0)) == 2
+    assert jdb.get_edge_table("friend").count() == 1
+    assert jdb.delete_edges("friend") == 1
+    assert jdb.get_edge_table("friend").count() == 0
+
+
+def test_show_edge_types(jdb):
+    jdb.connect("friend", ("users", 0), ("users", 1))
+    jdb.connect("likes", ("users", 0), ("companies", 1))
+    jdb.connect("likes", ("users", 1), ("companies", 1))
+    rows = {(r["edge_type"], r["count"]) for r in jdb.show_edge_types().collect()}
+    assert rows == {("friend", 1), ("likes", 2)}
+
+
+def test_property_selector_cartesian(jdb):
+    # CREATE EDGE with property selectors hitting many nodes → cartesian
+    # (TundraQL.g4:21-28; apps/tundra_shell.cpp:385-460)
+    ids = jdb.connect(
+        "likes", ("users", {"age": 31}), ("companies", {"name": "ibm"})
+    )
+    assert len(ids) == 1
+    with pytest.raises(QueryError):
+        jdb.connect("likes", ("users", {"age": 31}), ("companies", 99))
+    # multi-match source: ages > exist twice? use name prefix instead
+    jdb.create_node("users", name="bob", age=31)  # second bob, id=5
+    ids = jdb.connect("likes", ("users", {"name": "bob"}), ("companies", 0))
+    assert len(ids) == 2  # 2 sources × 1 target
+
+
+def test_unique_edge_violation(jdb):
+    jdb.create_node("users", name="bob", age=31)  # duplicate name
+    with pytest.raises(QueryError):
+        jdb.connect(
+            "likes", ("users", {"name": "bob"}), ("companies", 0), unique=True
+        )
+
+
+def test_bulk_insert_contiguous_ids(db, spark):
+    db.create_schema("U", {"name": "string", "age": "long"})
+    db.create_node("U", name="first", age=1)
+    src = spark.range(100).selectExpr("concat('u', id) AS name", "id AS age")
+    db.bulk_insert("U", src)
+    df = db.get_table("U")
+    assert df.count() == 101
+    ids = sorted(r["id"] for r in df.select("id").collect())
+    assert ids == list(range(101))  # contiguous, resumes after point insert
+    nxt = db.create_node("U", name="last", age=2)
+    assert nxt == 101

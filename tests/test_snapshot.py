@@ -1,0 +1,90 @@
+"""Snapshot commit/restore — reference tests/snapshot_test.cpp +
+include/storage/snapshot_manager.hpp restore order (ID counters must
+survive restart or fresh IDs collide)."""
+
+import pytest
+
+from tundradb_spark.database import Database
+from tests.conftest import rows_set
+
+
+@pytest.fixture()
+def snap_path(tmp_path):
+    return str(tmp_path / "db")
+
+
+def test_commit_and_restore(spark, snap_path):
+    db = Database(spark, path=snap_path)
+    db.create_schema("User", {"name": "string", "age": "long"})
+    db.create_schema("Co", {"name": "string"})
+    db.create_node("User", name="a", age=1)
+    db.create_node("User", name="b", age=2)
+    db.create_node("Co", name="x")
+    db.create_edge_schema("works", {"role": "string"})
+    db.connect("works", ("User", 0), ("Co", 0), {"role": "eng"})
+    db.commit()
+
+    db2 = Database(spark, path=snap_path)
+    assert rows_set(db2.get_table("User"), "id", "name", "age") == {
+        (0, "a", 1),
+        (1, "b", 2),
+    }
+    assert rows_set(db2.get_edge_table("works"), "source_id", "target_id", "role") == {
+        (0, 0, "eng")
+    }
+    # ID counters restored → no collision (edge_store.hpp:124-143 bug class)
+    assert db2.create_node("User", name="c", age=3) == 2
+    ids = db2.connect("works", ("User", 1), ("Co", 0), {"role": "pm"})
+    assert ids[0] >= 1
+
+
+def test_multiple_snapshots_latest_wins(spark, snap_path):
+    db = Database(spark, path=snap_path)
+    db.create_schema("U", {"x": "long"})
+    db.create_node("U", x=1)
+    db.commit()
+    db.create_node("U", x=2)
+    db.commit()
+
+    db2 = Database(spark, path=snap_path)
+    assert db2.get_table("U").count() == 2
+
+
+def test_uncommitted_changes_not_persisted(spark, snap_path):
+    db = Database(spark, path=snap_path)
+    db.create_schema("U", {"x": "long"})
+    db.create_node("U", x=1)
+    db.commit()
+    db.create_node("U", x=2)  # not committed
+
+    db2 = Database(spark, path=snap_path)
+    assert db2.get_table("U").count() == 1
+
+
+def test_versioned_snapshot_roundtrip(spark, snap_path):
+    from tundradb_spark.temporal import MockClock
+
+    clock = MockClock(1000)
+    db = Database(spark, path=snap_path, versioning=True, clock=clock)
+    db.create_schema("U", {"x": "long"})
+    db.create_node("U", x=1)
+    t_old = clock.advance(10)
+    clock.advance(10)
+    db.update_by_id("U", 0, {"x": 2})
+    db.commit()
+
+    db2 = Database(spark, path=snap_path)
+    assert db2.versioning is True
+    assert db2.get_table("U").collect()[0]["x"] == 2
+    from tundradb_spark.query import Query
+
+    df = db2.query(Query.from_("u:U").as_of_valid_time(t_old))
+    assert rows_set(df, "u.x") == {(1,)}
+
+
+def test_commit_without_path_raises(spark):
+    from tundradb_spark.errors import QueryError
+
+    db = Database(spark)
+    with pytest.raises(QueryError):
+        db.commit()

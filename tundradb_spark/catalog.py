@@ -117,14 +117,20 @@ class Catalog:
     def create_node_schema(
         self, name: str, fields: dict[str, str | T.DataType]
     ) -> NodeSchema:
-        if name in self.node_schemas:
-            raise SchemaError(f"schema already exists: {name}")
         if ID_COL in fields:
             raise SchemaError(f"'{ID_COL}' is reserved (auto-prepended)")
         struct = T.StructType(
             [T.StructField(ID_COL, T.LongType(), False)]
             + [T.StructField(k, parse_type(v), True) for k, v in fields.items()]
         )
+        if name in self.node_schemas:
+            # Reference tolerates duplicate CREATE SCHEMA (emplace keeps the
+            # first, src/schema/schema.cpp:174-185) — so re-declaring after a
+            # snapshot restore must not fail. We no-op on an identical
+            # re-declaration and error only on a conflicting one.
+            if self.node_schemas[name].struct == struct:
+                return self.node_schemas[name]
+            raise SchemaError(f"schema already exists with different fields: {name}")
         schema = NodeSchema(name=name, struct=struct)
         self.node_schemas[name] = schema
         self.node_id_counters.setdefault(name, 0)

@@ -48,6 +48,7 @@ class _Table:
     struct: T.StructType  # logical struct (no version cols)
     frame: DataFrame | None = None  # physical rows (version cols if versioned)
     pending: list[dict] = field(default_factory=list)
+    versioned: bool = False  # node tables only; edges stay unversioned
 
 
 class Database:
@@ -76,7 +77,9 @@ class Database:
     def create_schema(self, name: str, fields: dict[str, Any]) -> None:
         """CREATE SCHEMA (TundraQL.g4:7); auto-prepends ``id``."""
         schema = self.catalog.create_node_schema(name, fields)
-        self._nodes[name] = _Table(struct=schema.struct)
+        if name in self._nodes:
+            return  # idempotent re-declaration (e.g. after snapshot restore)
+        self._nodes[name] = _Table(struct=schema.struct, versioned=self.versioning)
 
     def create_edge_schema(self, name: str, props: dict[str, Any]) -> None:
         """CREATE EDGE SCHEMA (TundraQL.g4:8)."""
@@ -88,7 +91,7 @@ class Database:
 
     # ------------------------------------------------------- physical frames
     def _physical_struct(self, t: _Table) -> T.StructType:
-        return _with_version_fields(t.struct) if self.versioning else t.struct
+        return _with_version_fields(t.struct) if t.versioned else t.struct
 
     def _empty(self, t: _Table) -> DataFrame:
         return self.spark.createDataFrame([], self._physical_struct(t))
@@ -212,7 +215,9 @@ class Database:
             hi = df.agg(F.max(ID_COL)).first()[0]
             self.catalog.node_id_counters[name] = int(hi) + 1 if hi is not None else 0
         frame = stamp_initial_version(df, self.clock()) if self.versioning else df
-        self._nodes[name] = _Table(struct=struct, frame=frame)
+        self._nodes[name] = _Table(
+            struct=struct, frame=frame, versioned=self.versioning
+        )
 
     def register_edge_table(
         self,
@@ -382,24 +387,30 @@ class Database:
         ts = self.clock()
         head = hit & (F.col("tx_to") == MAX_TS) & (F.col("valid_to") == MAX_TS)
         # no-op detection: only rows where some assigned value actually
-        # changes get a new version (reference skips no-op updates)
+        # changes get a new version (reference skips no-op updates,
+        # tests/temporal_query_test.cpp:823). MAP columns are not comparable
+        # in Spark (<=> has no map ordering) — a map assignment always counts
+        # as a change (conservative deviation, documented).
+        types = {f.name: f.dataType for f in t.struct.fields}
         changed = F.lit(False)
         for name, col in new_vals.items():
-            changed = changed | ~F.col(name).eqNullSafe(col)
-        to_version = marked.filter(head & changed)
+            if isinstance(types.get(name), T.MapType):
+                changed = F.lit(True)
+            else:
+                changed = changed | ~F.col(name).eqNullSafe(col)
+        # materialize the head marker BEFORE mutating interval columns
+        marked = marked.withColumn("__head", head & changed)
+        to_version = marked.filter(F.col("__head"))
         n_changed = to_version.count()
         if n_changed == 0:
             return 0
-        closed = (
-            marked.withColumn(
-                "valid_to",
-                F.when(head & changed, F.lit(ts)).otherwise(F.col("valid_to")),
-            )
-            .withColumn(
-                "tx_to", F.when(head & changed, F.lit(ts)).otherwise(F.col("tx_to"))
-            )
-            .drop("__uid")
-        )
+        # reference closes ONLY valid_to on update (node_arena.cpp:272);
+        # tx_to mutation is reserved for belief retraction
+        # (docs/README_temporal_versioning.md §3)
+        closed = marked.withColumn(
+            "valid_to",
+            F.when(F.col("__head"), F.lit(ts)).otherwise(F.col("valid_to")),
+        ).drop("__uid", "__head")
         fresh = to_version
         for name, col in new_vals.items():
             fresh = fresh.withColumn(name, col)
@@ -409,7 +420,7 @@ class Database:
             .withColumn("tx_from", F.lit(ts).cast("long"))
             .withColumn("tx_to", F.lit(MAX_TS).cast("long"))
             .withColumn("version_id", (F.col("version_id") + 1))
-            .drop("__uid")
+            .drop("__uid", "__head")
         )
         t.frame = closed.unionByName(fresh)
         return n_changed
@@ -531,15 +542,11 @@ class Database:
                 & (F.col("tx_to") == MAX_TS)
                 & (F.col("valid_to") == MAX_TS)
             )
-            t.frame = (
-                marked.withColumn(
-                    "valid_to", F.when(head, F.lit(ts)).otherwise(F.col("valid_to"))
-                )
-                .withColumn(
-                    "tx_to", F.when(head, F.lit(ts)).otherwise(F.col("tx_to"))
-                )
-                .drop("__did")
-            )
+            # logical delete = close the head's valid interval; past AS-OF
+            # reads keep seeing it (tx_to stays open — see update semantics)
+            t.frame = marked.withColumn(
+                "valid_to", F.when(head, F.lit(ts)).otherwise(F.col("valid_to"))
+            ).drop("__did")
         else:
             t.frame = df.join(
                 F.broadcast(ids), df[ID_COL] == F.col("__did"), "anti"

@@ -97,7 +97,9 @@ def try_restore(db: "Database") -> bool:
     for name, rel in manifest["nodes"].items():
         schema = db.catalog.get_node_schema(name)
         df = db.spark.read.parquet(os.path.join(snap_dir, rel))
-        db._nodes[name] = _Table(struct=schema.struct, frame=df)
+        db._nodes[name] = _Table(
+            struct=schema.struct, frame=df, versioned=db.versioning
+        )
     for etype, rel in manifest["edges"].items():
         es = db.catalog.get_or_create_edge_schema(etype)
         df = db.spark.read.parquet(os.path.join(snap_dir, rel))

@@ -61,9 +61,14 @@ def resolve_as_of(
 ) -> DataFrame:
     """Pick each id's newest version visible at (valid_time, tx_time).
 
-    ``None`` means "now" (open side): only versions whose interval end is
-    still MAX_TS qualify — the reference's UINT64_MAX default
-    (include/query/temporal_context.hpp:20-39).
+    ``None`` means "now": per the reference's find_visible_version
+    (include/query/temporal_context.hpp:112-141), a UINT64_MAX axis is
+    *always visible* — the chain walk then picks the newest version, so a
+    pinned tx_time with unpinned valid_time still sees versions whose valid
+    interval was later closed. A fully-current read (both None) additionally
+    requires the head's intervals to be open, which hides logically-deleted
+    records (the reference deletes physically, so this case never arises
+    there; our versioned DELETE closes the head instead).
     """
     vt = F.lit(valid_time) if valid_time is not None else None
     tt = F.lit(tx_time) if tx_time is not None else None
@@ -71,12 +76,12 @@ def resolve_as_of(
     cond = F.lit(True)
     if vt is not None:
         cond = cond & (F.col("valid_from") <= vt) & (vt < F.col("valid_to"))
-    else:
-        cond = cond & (F.col("valid_to") == F.lit(MAX_TS))
     if tt is not None:
         cond = cond & (F.col("tx_from") <= tt) & (tt < F.col("tx_to"))
-    else:
-        cond = cond & (F.col("tx_to") == F.lit(MAX_TS))
+    if vt is None and tt is None:
+        cond = (F.col("valid_to") == F.lit(MAX_TS)) & (
+            F.col("tx_to") == F.lit(MAX_TS)
+        )
 
     visible = df.filter(cond)
     w = Window.partitionBy(id_col).orderBy(F.col("version_id").desc())
