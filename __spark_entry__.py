@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tundradb_spark.graphs.tpch import load_graph
+from tundradb_spark.pipeline.queries import PIPELINE_ORACLES, PIPELINE_QUERIES
 from tundradb_spark.query import Query, where as W
 
 
@@ -236,6 +237,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_topk": q_topk,
     "q_map_access": q_map_access,
     "q_edge_count": q_edge_count,
+    # training-data pipeline operators (dedup / similarity / text / multimodal)
+    **PIPELINE_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -323,6 +326,7 @@ ORACLES: dict[str, str] = {
                COUNT(DISTINCT l_orderkey) AS n_sources
         FROM lineitem
     """,
+    **PIPELINE_ORACLES,
 }
 
 

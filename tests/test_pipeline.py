@@ -1,0 +1,181 @@
+"""Pipeline operator tests: dedup / similarity / text / multimodal.
+
+Small hand-built corpora with known answers (the testdata tables are covered
+by the driver's DuckDB-oracle gate; these tests pin the semantics)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tundradb_spark.pipeline import (
+    cosine_topk,
+    embedding_dup_pairs,
+    exact_dedup,
+    lang_id,
+    lsh_ann_topk,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    quality_scores,
+    simhash,
+    simhash_pairs,
+    token_stats,
+)
+from tundradb_spark.pipeline.multimodal import (
+    attach_binary,
+    decode_image,
+    sample_frames,
+)
+from tundradb_spark.pipeline.text import fingerprints
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "a"),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "a"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy cat", "en", "a"),  # near dup
+        (3, "completely different text about spark engines", "en", "b"),
+        (4, "der hund und die katze und das haus und der baum", "de", "b"),
+        (5, "THE  quick brown fox jumps over the lazy dog ", "en", "b"),  # norm dup
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),     # opposite
+        (4, [0.7, 0.7, 0.0, 0.0]),      # 45 degrees
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+class TestExactDedup:
+    def test_groups_normalized(self, docs):
+        out = exact_dedup(docs).collect()
+        # 0,1,5 collapse (case/whitespace normalization); 2,3,4 singletons
+        by_keep = {r.keep_id: r.n_copies for r in out}
+        assert by_keep == {0: 3, 2: 1, 3: 1, 4: 1}
+
+
+class TestMinHash:
+    def test_exact_dups_always_candidates(self, docs):
+        pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs).collect()}
+        # identical text ⇒ identical signature ⇒ every band matches
+        assert (0, 1) in pairs
+
+    def test_near_dup_found_unrelated_not(self, docs):
+        pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs).collect()}
+        assert (0, 2) in pairs  # 1-word-out-of-9 difference
+        assert (0, 3) not in pairs  # unrelated docs
+
+
+class TestSimHash:
+    def test_identical_text_identical_hash(self, docs):
+        sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+        assert sh[0] == sh[1]
+        assert sh[0] != sh[3]
+
+    def test_pairs_include_exact_dup_at_distance_zero(self, docs):
+        pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(docs).collect()}
+        assert pairs[(0, 1)] == 0
+
+
+class TestNgramJaccard:
+    def test_exact_dup_jaccard_one(self, docs):
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()
+        }
+        assert pairs[(0, 1)] == 1.0
+        # near dup: 7 trigrams each, only "the lazy dog/cat" differs -> 6/8
+        assert pairs[(0, 2)] == pytest.approx(6 / 8, abs=1e-6)
+        assert (0, 3) not in pairs
+
+    def test_blocking_excludes_cross_lang(self, docs):
+        pairs = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+        assert all(a != 4 and b != 4 for a, b in pairs)
+
+
+class TestEmbeddingDedup:
+    def test_brute_finds_near_dup(self, emb):
+        pairs = {
+            (r.id_a, r.id_b): r.cosine
+            for r in embedding_dup_pairs(emb, threshold=0.95, method="brute").collect()
+        }
+        assert (0, 1) in pairs and pairs[(0, 1)] > 0.999
+        assert (0, 2) not in pairs
+
+    def test_lsh_subset_of_brute(self, emb):
+        brute = {(r.id_a, r.id_b) for r in embedding_dup_pairs(
+            emb, threshold=0.5, method="brute").collect()}
+        lsh = {(r.id_a, r.id_b) for r in embedding_dup_pairs(
+            emb, threshold=0.5, method="lsh", n_planes=16, band_bits=8).collect()}
+        assert lsh <= brute
+        assert (0, 1) in lsh  # near-identical vectors share every band
+
+
+class TestSimilarity:
+    def test_topk_order_and_scores(self, emb):
+        out = cosine_topk(emb.filter("vec_id != 0"), [1.0, 0.0, 0.0, 0.0], 3).collect()
+        assert [r.vec_id for r in out] == [1, 4, 2]
+        assert out[0].cosine == pytest.approx(0.999 / math.hypot(0.999, 0.01), abs=1e-5)
+
+    def test_lsh_ann_finds_nearest(self, emb):
+        out = lsh_ann_topk(emb.filter("vec_id != 0"), [1.0, 0.0, 0.0, 0.0], 3).collect()
+        assert out and out[0].vec_id == 1
+
+
+class TestText:
+    def test_token_stats(self, docs):
+        stats = {r.source: r for r in token_stats(docs).collect()}
+        assert stats["a"].n_docs == 3
+        assert stats["a"].total_tokens == 27
+        assert stats["a"].avg_tokens == 9.0
+
+    def test_quality_monotone_in_stopwords(self, docs):
+        q = {r.doc_id: r for r in quality_scores(docs).collect()}
+        assert q[0].stop_ratio == pytest.approx(2 / 9, abs=1e-6)  # 'the' twice
+        assert 0.0 <= q[3].quality <= 1.0
+
+    def test_lang_id(self, docs):
+        pred = {r.doc_id: r.pred_lang for r in lang_id(docs).collect()}
+        assert pred[0] == "en"
+        assert pred[4] == "de"
+
+    def test_fingerprint_equal_iff_equal_text(self, docs):
+        fp = {r.doc_id: r.fingerprint for r in fingerprints(docs).collect()}
+        assert fp[0] == fp[1]
+        assert fp[0] != fp[5]  # fingerprint is over raw (un-normalized) text
+
+
+class TestMultimodal:
+    def test_attach_binary_meta(self, docs):
+        out = attach_binary(docs).collect()
+        byid = {r.doc_id: r for r in out}
+        assert bytes(byid[0].blob).decode() == "the quick brown fox jumps over the lazy dog"
+        assert byid[0].meta.n_bytes == 43
+
+    def test_decode_real_is_stub(self, docs):
+        with pytest.raises(NotImplementedError):
+            decode_image(attach_binary(docs))
+
+    def test_fake_decode_schema_and_determinism(self, docs):
+        out = decode_image(attach_binary(docs), codec="fake")
+        assert out.columns == ["doc_id", "width", "height", "mode", "n_bytes"]
+        rows = {r.doc_id: r for r in out.collect()}
+        assert rows[0].n_bytes == 43
+        assert rows[0].width == 44  # (43 % 640) + 1
+        assert rows[0].height == ord("t") * 4 + 1
+
+    def test_frame_sampling(self, docs):
+        frames = sample_frames(attach_binary(docs), frame_bytes=8, every_n=2).collect()
+        f0 = [r for r in frames if r.doc_id == 0]
+        # 43 bytes -> 5 full windows (0..4), every 2nd -> idx 0,2,4
+        assert sorted(r.frame_idx for r in f0) == [0, 2, 4]
+        first = next(r for r in f0 if r.frame_idx == 0)
+        assert bytes(first.frame) == b"the quic"

@@ -1,0 +1,76 @@
+"""Portable deterministic hashing shared by the pipeline operators.
+
+The hash of record is ``h32``: the first 8 hex chars of md5, read as an
+unsigned 32-bit integer.  md5 of a UTF-8 string is identical in every engine,
+so a DuckDB (or any ANSI SQL) oracle can reproduce MinHash/SimHash/LSH
+results exactly:
+
+    Spark : conv(substring(md5(s), 1, 8), 16, 10)::long
+    DuckDB: CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)
+
+All derived hashes stay below 2**62 so they are safe under Spark's ANSI-mode
+overflow checking (a < 2**30, h < 2**32 → a*h + b < 2**63).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, functions as F
+
+#: modulus for universal hashing: smallest prime > 2**32
+MERSENNE_P = 4294967311
+#: modulus for polynomial fingerprints
+FP_MOD = 1_000_000_007
+FP_BASE = 31
+
+
+def h32(col: Column) -> Column:
+    """First 32 bits of md5(col) as a long in [0, 2**32)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def h32_sql(expr: str) -> str:
+    """DuckDB SQL equivalent of :func:`h32`."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
+
+
+def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    ``(a*h + b) % MERSENNE_P``.  ``a`` is capped below 2**30 to keep
+    ``a*h`` within int64 under ANSI overflow checks."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 30), rng.randrange(0, MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane matrix for sign-LSH, embedded as
+    literals on both the Spark and the SQL-oracle side."""
+    rng = random.Random(seed)
+    return [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Distinct lowercase character k-grams of ``text`` (order of first
+    appearance; callers treat it as a set)."""
+    lowered = F.lower(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))),
+            lambda i: F.substring(lowered, i, k),
+        )
+    )
+
+
+def char_shingles_sql(expr: str, k: int = 5) -> str:
+    """DuckDB SQL equivalent of :func:`char_shingles`."""
+    return (
+        f"list_distinct([substr(lower({expr}), i, {k}) "
+        f"for i in generate_series(1, greatest(length({expr}) - {k - 1}, 1))])"
+    )

@@ -1,0 +1,449 @@
+"""Driver-contract queries + DuckDB oracles for the pipeline operators.
+
+Each entry pairs a Spark query (routed through the operators in this
+package) with a DuckDB SQL string that reproduces the SAME algorithm —
+including the md5-derived hashes, fold-order-exact double arithmetic, and
+deterministic tie-breaks — so the driver's value-hash comparison is exact.
+
+Seeded literals (MinHash (a,b) params, LSH hyperplanes) are generated once
+here and formatted into both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from tundradb_spark.pipeline import dedup, similarity, text
+from tundradb_spark.pipeline.hashing import (
+    MERSENNE_P,
+    h32_sql,
+    hyperplanes,
+    minhash_params,
+)
+from tundradb_spark.pipeline.multimodal import blob_meta_summary
+from tundradb_spark.pipeline.text import fingerprint_summary
+
+# shared tuning constants (must match between query and oracle)
+MINHASH_NUM, MINHASH_BANDS, SHINGLE_K = 12, 4, 5
+SIMHASH_BITS, SIMHASH_BAND_BITS, SIMHASH_MAX_HAMMING = 32, 8, 3
+NGRAM_N, NGRAM_THRESHOLD = 3, 0.5
+EMBED_PLANES, EMBED_BAND_BITS, EMBED_THRESHOLD = 16, 8, 0.30
+ANN_K = 10
+EMBED_DIM = 64
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).first()
+    return [float(x) for x in row["embedding"]]
+
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    groups = dedup.exact_dedup(_docs(spark, sf_dir))
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_copies").alias("n_docs"),
+        (F.sum("n_copies") - F.count(F.lit(1))).alias("n_dup_docs"),
+        F.max("n_copies").alias("max_copies"),
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir),
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        shingle_k=SHINGLE_K,
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(
+        _docs(spark, sf_dir),
+        bits=SIMHASH_BITS,
+        band_bits=SIMHASH_BAND_BITS,
+        max_hamming=SIMHASH_MAX_HAMMING,
+    )
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=NGRAM_N, threshold=NGRAM_THRESHOLD
+    )
+
+
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_dup_pairs(
+        _emb(spark, sf_dir),
+        threshold=EMBED_THRESHOLD,
+        method="lsh",
+        n_planes=EMBED_PLANES,
+        band_bits=EMBED_BAND_BITS,
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _query_vec(spark, sf_dir)
+    corpus = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    return similarity.cosine_topk(corpus, q, ANN_K)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _query_vec(spark, sf_dir)
+    corpus = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    return similarity.lsh_ann_topk(
+        corpus, q, ANN_K, n_planes=EMBED_PLANES, band_bits=EMBED_BAND_BITS
+    )
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_scores(_docs(spark, sf_dir))
+
+
+def q_text_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_confusion(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint_summary(_docs(spark, sf_dir))
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return blob_meta_summary(_docs(spark, sf_dir))
+
+
+PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_ngram": q_dedup_ngram,
+    "q_dedup_embed": q_dedup_embed,
+    "q_ann_topk": q_ann_topk,
+    "q_ann_lsh": q_ann_lsh,
+    "q_text_tokens": q_text_tokens,
+    "q_text_quality": q_text_quality,
+    "q_text_lang": q_text_lang,
+    "q_text_fingerprint": q_text_fingerprint,
+    "q_multimodal_meta": q_multimodal_meta,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (same algorithms, SQL-side)
+# ---------------------------------------------------------------------------
+
+_TOKS = "[t for t in string_split_regex(lower(text), '\\s+') if t != '']"
+
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "[{a}[i] * {b}[i] for i in generate_series(1, {n})]), (s, x) -> s + x)"
+)
+
+
+def _dot_sql(a: str, b: str, n: int | str = EMBED_DIM) -> str:
+    return _DOT.format(a=a, b=b, n=n)
+
+
+def _sig_terms_sql(vec: str) -> str:
+    """SQL expression: sign-LSH signature of DOUBLE[] column ``vec``."""
+    planes = hyperplanes(EMBED_PLANES, EMBED_DIM)
+    terms = []
+    for p, plane in enumerate(planes):
+        lit = "[" + ", ".join(str(c) for c in plane) + "]"
+        dot = _dot_sql(vec, f"(CAST({lit} AS DOUBLE[]))")
+        terms.append(
+            f"CASE WHEN {dot} > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def _minhash_sig_sql() -> str:
+    params = minhash_params(MINHASH_NUM)
+    entries = ", ".join(
+        f"list_min([({a} * h + {b}) % {MERSENNE_P} for h in hs])" for a, b in params
+    )
+    return f"[{entries}]"
+
+
+_MINHASH_R = MINHASH_NUM // MINHASH_BANDS
+
+Q_DEDUP_MINHASH_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+         [{h32_sql('x')} for x in
+          list_distinct([substr(lower(text), i, {SHINGLE_K})
+            for i in generate_series(1, greatest(length(text) - {SHINGLE_K - 1}, 1))])
+         ] AS hs
+  FROM documents
+),
+sig AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM sh),
+bands AS (
+  SELECT doc_id, i AS band_idx,
+         array_to_string(sig[(i*{_MINHASH_R}+1):(i*{_MINHASH_R}+{_MINHASH_R})], ',')
+           AS band_key
+  FROM sig, generate_series(0, {MINHASH_BANDS - 1}) t(i)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+"""
+
+Q_DEDUP_SIMHASH_SQL = f"""
+WITH hs AS (
+  SELECT doc_id, [{h32_sql('t')} for t in {_TOKS}] AS hs
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_sum([
+           CASE WHEN 2 * len([h for h in hs if (h & (CAST(1 AS BIGINT) << i)) != 0])
+                     > len(hs)
+                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+           for i in generate_series(0, {SIMHASH_BITS - 1})]) AS simhash
+  FROM hs
+),
+bands AS (
+  SELECT doc_id, simhash, i AS band_idx,
+         (simhash >> (i * {SIMHASH_BAND_BITS})) & {(1 << SIMHASH_BAND_BITS) - 1}
+           AS band_key
+  FROM sh, generate_series(0, {SIMHASH_BITS // SIMHASH_BAND_BITS - 1}) t(i)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+Q_DEDUP_NGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_TOKS} AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(tk) >= {NGRAM_N}
+              THEN list_distinct([array_to_string(tk[i:(i+{NGRAM_N - 1})], ' ')
+                     for i in generate_series(1, len(tk) - {NGRAM_N - 1})])
+              ELSE CAST([] AS VARCHAR[]) END AS g
+  FROM toks
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+               / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 6)
+           AS jaccard
+  FROM grams a JOIN grams b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+) WHERE jaccard >= {NGRAM_THRESHOLD}
+"""
+
+_EMBED_BANDS = EMBED_PLANES // EMBED_BAND_BITS
+_EMBED_MASK = (1 << EMBED_BAND_BITS) - 1
+
+Q_DEDUP_EMBED_SQL = f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sigs AS (
+  SELECT vec_id, v,
+         sqrt({_dot_sql('v', 'v')}) AS norm,
+         {_sig_terms_sql('v')} AS sig
+  FROM base
+),
+bands AS (
+  SELECT vec_id, v, norm, i AS band_idx,
+         (sig >> (i * {EMBED_BAND_BITS})) & {_EMBED_MASK} AS band_key
+  FROM sigs, generate_series(0, {_EMBED_BANDS - 1}) t(i)
+)
+SELECT DISTINCT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round({_dot_sql('a.v', 'b.v')} / (a.norm * b.norm), 6) AS cosine
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.vec_id < b.vec_id
+) WHERE cosine >= {EMBED_THRESHOLD}
+"""
+
+_COSINE_VS_Q = (
+    f"round({_dot_sql('v', 'qv')} / (sqrt({_dot_sql('v', 'v')}) "
+    f"* sqrt({_dot_sql('qv', 'qv')})), 6)"
+)
+
+Q_ANN_TOPK_SQL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id != 0
+)
+SELECT vec_id, {_COSINE_VS_Q} AS cosine
+FROM base, q
+ORDER BY cosine DESC, vec_id
+LIMIT {ANN_K}
+"""
+
+Q_ANN_LSH_SQL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv,
+         {_sig_terms_sql("CAST(embedding AS DOUBLE[])")} AS qsig
+  FROM embeddings WHERE vec_id = 0
+),
+sigs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_sig_terms_sql("CAST(embedding AS DOUBLE[])")} AS sig
+  FROM embeddings WHERE vec_id != 0
+),
+cands AS (
+  SELECT s.vec_id, s.v, q.qv
+  FROM sigs s, q
+  WHERE {" OR ".join(
+    f"((s.sig >> {i * EMBED_BAND_BITS}) & {_EMBED_MASK})"
+    f" = ((q.qsig >> {i * EMBED_BAND_BITS}) & {_EMBED_MASK})"
+    for i in range(_EMBED_BANDS)
+  )}
+)
+SELECT vec_id, {_COSINE_VS_Q} AS cosine
+FROM cands
+ORDER BY cosine DESC, vec_id
+LIMIT {ANN_K}
+"""
+
+_EN_STOPS = "[" + ", ".join(f"'{w}'" for w in text.LANG_PROFILES["en"]) + "]"
+
+Q_TEXT_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+              AS DOUBLE) AS n_punct
+  FROM documents
+),
+r AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         n_punct / greatest(n_chars, 1.0) AS punct_ratio,
+         CAST(len([x for x in toks if list_contains({_EN_STOPS}, x)]) AS DOUBLE)
+           / CAST(greatest(len(toks), 1) AS DOUBLE) AS stop_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.25 * (1.0 - punct_ratio)
+             + 0.25 * least(4.0 * stop_ratio, 1.0), 6) AS quality
+FROM r
+"""
+
+
+def _lang_score_sql(words: list[str]) -> str:
+    lit = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len([x for x in toks if list_contains({lit}, x)])"
+
+
+_LANG_SCORES = {
+    lang: _lang_score_sql(words) for lang, words in text.LANG_PROFILES.items()
+}
+_LANG_CASE = "CASE WHEN mx = 0 THEN 'und' " + " ".join(
+    f"WHEN s_{lang} = mx THEN '{lang}'" for lang in sorted(text.LANG_PROFILES)
+) + " END"
+
+Q_TEXT_LANG_SQL = f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+s AS (
+  SELECT doc_id, lang,
+         {", ".join(f"{expr} AS s_{lang}" for lang, expr in _LANG_SCORES.items())}
+  FROM t
+),
+p AS (
+  SELECT doc_id, lang, {_LANG_CASE} AS pred_lang
+  FROM (SELECT *, greatest({", ".join(f"s_{lang}" for lang in _LANG_SCORES)}) AS mx
+        FROM s)
+)
+SELECT lang, pred_lang, count(*) AS n_docs
+FROM p GROUP BY lang, pred_lang
+"""
+
+Q_TEXT_FP_SQL = """
+WITH fp AS (
+  SELECT doc_id, source,
+         CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+              ELSE list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  [unicode(substr(text, i, 1))
+                   for i in generate_series(1, greatest(length(text), 1))]),
+                (acc, c) -> (acc * 31 + c) % 1000000007)
+         END AS fingerprint
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT fingerprint) AS n_distinct_fp,
+       min(fingerprint) AS min_fp
+FROM fp GROUP BY source
+"""
+
+PIPELINE_ORACLES: dict[str, str] = {
+    "q_dedup_exact": r"""
+        WITH g AS (
+          SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
+                 count(*) AS n_copies
+          FROM documents GROUP BY 1
+        )
+        SELECT count(*) AS n_groups,
+               sum(n_copies) AS n_docs,
+               sum(n_copies) - count(*) AS n_dup_docs,
+               max(n_copies) AS max_copies
+        FROM g
+    """,
+    "q_dedup_minhash": Q_DEDUP_MINHASH_SQL,
+    "q_dedup_simhash": Q_DEDUP_SIMHASH_SQL,
+    "q_dedup_ngram": Q_DEDUP_NGRAM_SQL,
+    "q_dedup_embed": Q_DEDUP_EMBED_SQL,
+    "q_ann_topk": Q_ANN_TOPK_SQL,
+    "q_ann_lsh": Q_ANN_LSH_SQL,
+    "q_text_tokens": r"""
+        WITH t AS (
+          SELECT source,
+                 len([x for x in string_split_regex(lower(text), '\s+')
+                      if x != '']) AS n_tokens
+          FROM documents
+        )
+        SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+               min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+               round(CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                 AS avg_tokens
+        FROM t GROUP BY source
+    """,
+    "q_text_quality": Q_TEXT_QUALITY_SQL,
+    "q_text_lang": Q_TEXT_LANG_SQL,
+    "q_text_fingerprint": Q_TEXT_FP_SQL,
+    "q_multimodal_meta": """
+        SELECT CAST(floor(octet_length(encode(text)) / 100.0) AS BIGINT)
+                 AS size_bucket,
+               count(*) AS n_blobs,
+               sum(octet_length(encode(text))) AS total_bytes,
+               count(DISTINCT md5(text)) AS n_distinct
+        FROM documents
+        GROUP BY 1
+    """,
+}

@@ -1,0 +1,188 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+Capability extensions over the reference (which has no scalar text functions
+beyond contains/starts_with/ends_with — SURVEY.md §2.9).  All operators are
+narrow per-row projections built from ``pyspark.sql.functions`` only —
+whole-stage codegen, shuffle-free until the caller aggregates — and every
+formula is integer or per-row double arithmetic, so a SQL oracle reproduces
+results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from tundradb_spark.pipeline.hashing import FP_BASE, FP_MOD
+
+#: tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "en": ["the", "a", "of", "and", "is", "to", "in", "that"],
+    "es": ["el", "la", "de", "y", "es", "que", "un", "con"],
+    "fr": ["le", "la", "de", "et", "est", "que", "un", "dans"],
+    "zh": ["de", "shi", "le", "bu", "wo", "zai", "you", "he"],
+}
+
+#: punctuation class counted by the quality score (portable regex)
+PUNCT_RE = r"[.,!?;:]"
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach ``tokens`` and ``n_tokens`` columns."""
+    t = tokens(F.col(text_col))
+    return docs.withColumn("tokens", t).withColumn("n_tokens", F.size("tokens"))
+
+
+def token_stats(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-group token statistics: doc count, total/min/max tokens and the
+    exact average (integer sum / integer count — order-independent)."""
+    t = tokens(F.col(text_col))
+    return (
+        docs.select(F.col(group_col), F.size(t).alias("n_tokens"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .withColumn(
+            "avg_tokens",
+            F.round(
+                F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+def quality_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality heuristics.
+
+    - ``punct_ratio``: punctuation chars / chars
+    - ``stop_ratio``: English-stopword tokens / tokens
+    - ``quality``: 0.5·min(n_tokens/100, 1) + 0.25·(1 − punct_ratio)
+      + 0.25·min(4·stop_ratio, 1) — a length/cleanliness/naturalness blend.
+
+    All per-row double arithmetic from exact integers → bit-identical in any
+    engine; rounded to 6 for presentation.
+    """
+    toks = tokens(F.col(text_col))
+    n_chars = F.length(F.col(text_col)).cast("double")
+    n_toks = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    n_punct = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), PUNCT_RE, ""))
+    ).cast("double")
+    stops = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(stops, t))
+    ).cast("double")
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1.0))
+    stop_ratio = n_stop / n_toks
+    quality = (
+        F.lit(0.5) * F.least(F.size(toks).cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.25) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.25) * F.least(F.lit(4.0) * stop_ratio, F.lit(1.0))
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def lang_id(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic language ID: score = stopword hits per language profile,
+    prediction = argmax with 'und' when no profile matches and alphabetical
+    tie-break (deterministic)."""
+    toks = tokens(F.col(text_col))
+
+    def _score(words: list[str]) -> Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: _score(words) for lang, words in LANG_PROFILES.items()}
+    mx = F.greatest(*scores.values())
+    pred = F.when(mx == 0, F.lit("und"))
+    for lang in sorted(scores):
+        pred = pred.when(scores[lang] == mx, F.lit(lang))
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        pred.alias("pred_lang"),
+    )
+
+
+def lang_confusion(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Confusion matrix of metadata language vs predicted language."""
+    preds = lang_id(docs, text_col, id_col)
+    return (
+        docs.select(F.col(id_col).cast("long").alias(id_col), F.col(label_col))
+        .join(preds, id_col)
+        .groupBy(label_col, "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Polynomial rolling-hash fingerprint of the full text:
+    ``fp = fold(codepoints, (acc, c) -> (acc*31 + c) % 1e9+7)`` — the
+    classic Rabin–Karp document fingerprint, exactly reproducible in SQL via
+    a left fold."""
+    fp = F.when(F.length(F.col(text_col)) == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(F.col(text_col)), F.lit(1))),
+                lambda i: F.ascii(F.substring(F.col(text_col), i, 1)),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * FP_BASE + c) % FP_MOD,
+        )
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        fp.alias("fingerprint"),
+    )
+
+
+def fingerprint_summary(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group fingerprint stats: doc count, distinct fingerprints (equal
+    counts ⇒ no intra-group exact dup), and min fingerprint as a stable
+    group checksum."""
+    fps = fingerprints(docs, text_col, id_col)
+    base = docs.select(F.col(id_col).cast("long").alias(id_col), F.col(group_col))
+    return (
+        base.join(fps, id_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("fingerprint").alias("n_distinct_fp"),
+            F.min("fingerprint").alias("min_fp"),
+        )
+    )
