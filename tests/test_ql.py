@@ -1,0 +1,208 @@
+"""TundraQL front-end tests (parser + interpreter), modeled on the
+reference's script tests (test_scripts/*.sql + TEST.MD expectations)."""
+
+import pytest
+
+from tundradb_spark.errors import QueryError
+from tundradb_spark.ql.parser import parse_statement, split_statements
+from tundradb_spark.ql import ast
+from tests.conftest import rows_set
+
+
+@pytest.fixture()
+def qldb(db):
+    """The reference TEST.MD fixture: 4 users, 2 FRIEND edges, built purely
+    through TundraQL statements."""
+    for stmt in [
+        'CREATE SCHEMA User (name: STRING, age: INT64);',
+        'CREATE SCHEMA Company (name: STRING);',
+        'CREATE EDGE SCHEMA WORKS_AT (role: STRING, since: INT64);',
+        'CREATE NODE User (name = "alice", age = 30);',
+        'CREATE NODE User (name = "bob", age = 25);',
+        'CREATE NODE User (name = "carol", age = 41);',
+        'CREATE NODE User (name = "dave", age = 19);',
+        'CREATE NODE Company (name = "acme");',
+        'CREATE EDGE FRIEND FROM User(0) TO User(1);',
+        'CREATE EDGE FRIEND FROM User(2) TO User(3);',
+        'CREATE EDGE WORKS_AT FROM User(0) TO Company(0) '
+        'WITH (role = "eng", since = 2020);',
+    ]:
+        db.sql(stmt)
+    return db
+
+
+class TestParser:
+    def test_split_statements(self):
+        s = 'CREATE NODE A (x = "a;b");\n// comment; with semi\nCOMMIT;'
+        parts = split_statements(s)
+        assert len(parts) == 2
+        assert parts[0] == 'CREATE NODE A (x = "a;b");'
+        assert parts[1] == "COMMIT;"
+
+    def test_create_schema_types(self):
+        st = parse_statement(
+            "CREATE SCHEMA T (a: STRING, b: INT64, c: FLOAT64, d: MAP);"
+        )
+        assert st.fields == {"a": "string", "b": "long", "c": "double", "d": "map"}
+
+    def test_match_pattern_joins(self):
+        st = parse_statement(
+            "MATCH (u:User)-[e:FRIEND LEFT]->(f:User) WHERE u.age > 30 "
+            "SELECT u.name, f.name AS friend;"
+        )
+        assert isinstance(st, ast.Match)
+        hop = st.hops[0]
+        assert (hop.edge_alias, hop.edge_type, hop.join_type) == ("e", "FRIEND", "left")
+        assert st.select == [("u.name", None), ("f.name", "friend")]
+
+    def test_reversed_edge(self):
+        st = parse_statement("MATCH (c:Company)<-[:WORKS_AT]-(u:User);")
+        hop = st.hops[0]
+        assert hop.reversed and hop.source.alias == "c" and hop.target.alias == "u"
+
+    def test_where_precedence(self):
+        st = parse_statement(
+            'MATCH (u:User) WHERE u.a = 1 OR u.b = 2 AND u.c = 3;'
+        )
+        # OR binds loosest: (a=1) OR ((b=2) AND (c=3))
+        assert st.where.op == "OR"
+        assert st.where.right.op == "AND"
+
+    def test_parenthesized_where(self):
+        st = parse_statement(
+            'MATCH (u:User) WHERE (u.a = 1 OR u.b = 2) AND u.c = 3;'
+        )
+        assert st.where.op == "AND"
+        assert st.where.left.op == "OR"
+
+    def test_map_literal_value(self):
+        st = parse_statement(
+            'CREATE NODE User (name = "x", props = {role = "admin", lvl = 3});'
+        )
+        assert st.props["props"] == {"role": "admin", "lvl": 3}
+
+    def test_field_to_field_rejected(self):
+        with pytest.raises(QueryError):
+            parse_statement("MATCH (u:User) WHERE u.a = u.b;")
+
+    def test_swapped_literal_comparison(self):
+        st = parse_statement("MATCH (u:User) WHERE 30 < u.age;")
+        assert st.where.op.value == ">"
+        assert st.where.value == 30
+
+
+class TestInterpreter:
+    def test_match_inner(self, qldb):
+        df = qldb.sql("MATCH (u:User)-[:FRIEND]->(f:User) SELECT u.name, f.name;")
+        assert rows_set(df) == {("alice", "bob"), ("carol", "dave")}
+
+    def test_match_left_join_nulls(self, qldb):
+        df = qldb.sql(
+            "MATCH (u:User)-[:FRIEND LEFT]->(f:User) SELECT u.name, f.name;"
+        )
+        assert rows_set(df) == {
+            ("alice", "bob"),
+            ("carol", "dave"),
+            ("bob", None),
+            ("dave", None),
+        }
+
+    def test_match_where_and_or(self, qldb):
+        df = qldb.sql(
+            'MATCH (u:User) WHERE u.age > 20 AND u.age < 40 OR u.name = "carol" '
+            "SELECT u.name;"
+        )
+        assert rows_set(df) == {("alice",), ("bob",), ("carol",)}
+
+    def test_reversed_edge_semantics(self, qldb):
+        df = qldb.sql(
+            "MATCH (c:Company)<-[:WORKS_AT]-(u:User) SELECT c.name, u.name;"
+        )
+        assert rows_set(df) == {("acme", "alice")}
+
+    def test_edge_props_in_output(self, qldb):
+        df = qldb.sql(
+            "MATCH (u:User)-[w:WORKS_AT]->(c:Company) "
+            "SELECT u.name, w.role, w.since;"
+        )
+        assert rows_set(df) == {("alice", "eng", 2020)}
+
+    def test_select_as_alias(self, qldb):
+        df = qldb.sql("MATCH (u:User) WHERE u.age > 40 SELECT u.name AS who;")
+        assert df.columns == ["who"]
+        assert rows_set(df) == {("carol",)}
+
+    def test_create_node_return_id(self, qldb):
+        out = qldb.sql('CREATE NODE User (name = "eve", age = 55) RETURN id;')
+        assert [r.id for r in out.collect()] == [4]
+
+    def test_update_by_id(self, qldb):
+        qldb.sql('UPDATE User(1) SET age = 26, name = "bobby";')
+        df = qldb.sql("MATCH (u:User) WHERE u.id = 1 SELECT u.name, u.age;")
+        assert rows_set(df) == {("bobby", 26)}
+
+    def test_update_by_pattern_where(self, qldb):
+        qldb.sql('UPDATE (u:User) SET u.age = 100 WHERE u.age < 20;')
+        df = qldb.sql("MATCH (u:User) WHERE u.age = 100 SELECT u.name;")
+        assert rows_set(df) == {("dave",)}
+
+    def test_update_by_match_edge_props(self, qldb):
+        qldb.sql(
+            'UPDATE MATCH (u:User)-[w:WORKS_AT]->(c:Company) '
+            'SET w.role = "mgr" WHERE u.name = "alice";'
+        )
+        df = qldb.sql(
+            "MATCH (u:User)-[w:WORKS_AT]->(c:Company) SELECT u.name, w.role;"
+        )
+        assert rows_set(df) == {("alice", "mgr")}
+
+    def test_delete_by_id(self, qldb):
+        qldb.sql("DELETE User(3);")
+        df = qldb.sql("MATCH (u:User) SELECT u.name;")
+        assert ("dave",) not in rows_set(df)
+
+    def test_delete_by_pattern_where(self, qldb):
+        qldb.sql('DELETE (u:User) WHERE u.age < 20;')
+        df = qldb.sql("MATCH (u:User) SELECT u.name;")
+        assert rows_set(df) == {("alice",), ("bob",), ("carol",)}
+
+    def test_delete_edges_from(self, qldb):
+        qldb.sql("DELETE EDGE FRIEND FROM User(0);")
+        df = qldb.sql("MATCH (u:User)-[:FRIEND]->(f:User) SELECT u.name;")
+        assert rows_set(df) == {("carol",)}
+
+    def test_show_edge_types(self, qldb):
+        df = qldb.sql("SHOW EDGE TYPES;")
+        assert rows_set(df) == {("FRIEND", 2), ("WORKS_AT", 1)}
+
+    def test_show_edges(self, qldb):
+        df = qldb.sql("SHOW EDGES FRIEND;")
+        assert df.count() == 2
+        assert {"id", "source_id", "target_id", "created_ts"} <= set(df.columns)
+
+    def test_property_selector_edge(self, qldb):
+        qldb.sql(
+            'CREATE EDGE FRIEND FROM (User{name = "alice"}) TO (User{name = "carol"});'
+        )
+        df = qldb.sql("MATCH (u:User)-[:FRIEND]->(f:User) SELECT u.name, f.name;")
+        assert ("alice", "carol") in rows_set(df)
+
+    def test_unique_edge_violation(self, qldb):
+        with pytest.raises(QueryError):
+            qldb.sql(
+                'CREATE UNIQUE EDGE FRIEND FROM (User{age = 30}) TO (User{age = 25});'
+            )
+            # age=30 matches alice only — ok; make a many-match case
+            qldb.sql('CREATE UNIQUE EDGE FRIEND FROM (User{}) TO User(0);')
+
+    def test_path_delete_is_stub(self, qldb):
+        with pytest.raises(QueryError, match="not yet implemented"):
+            qldb.sql("DELETE (u:User)-[:FRIEND]->(f:User);")
+
+    def test_multi_pattern_shared_alias(self, qldb):
+        # second pattern re-uses f by alias only
+        df = qldb.sql(
+            "MATCH (u:User)-[:FRIEND]->(f:User), (f)-[:WORKS_AT LEFT]->(c:Company) "
+            "SELECT u.name, f.name, c.name;"
+        )
+        assert rows_set(df) == {("alice", "bob", None), ("carol", "dave", None)}

@@ -157,6 +157,43 @@ class _PendingExtra:
     matched_sources: DataFrame | None  # self-join exclusion set (ids)
 
 
+_MIRROR = {
+    TraverseType.INNER: TraverseType.INNER,
+    TraverseType.LEFT: TraverseType.RIGHT,
+    TraverseType.RIGHT: TraverseType.LEFT,
+    TraverseType.FULL: TraverseType.FULL,
+}
+
+
+@dataclass
+class _BuildHop:
+    """A traverse oriented for tree building. ``reversed_build=True`` means
+    the hop BINDS its written source, so the tree attaches it under the
+    written target with the edge roles swapped and the join type mirrored
+    (keep-all-sources LEFT becomes keep-all-child RIGHT from the parent's
+    viewpoint, etc.)."""
+
+    hop: Traverse
+    reversed_build: bool
+
+    @property
+    def parent_alias(self) -> str:
+        return self.hop.target_alias if self.reversed_build else self.hop.source_alias
+
+    @property
+    def child_alias(self) -> str:
+        return self.hop.source_alias if self.reversed_build else self.hop.target_alias
+
+    @property
+    def build_type(self) -> TraverseType:
+        t = self.hop.traverse_type
+        return _MIRROR[t] if self.reversed_build else t
+
+    @property
+    def written_type(self) -> TraverseType:
+        return self.hop.traverse_type
+
+
 class MatchCompiler:
     def __init__(self, db: "Database", q: Query) -> None:
         self.db = db
@@ -201,9 +238,9 @@ class MatchCompiler:
 
         # Bind aliases & build the alias tree (reference prepare_query,
         # src/query/execution.cpp:730-787).
-        children: dict[str, list[Traverse]] = {}
-        closing: list[Traverse] = []
-        from_hops: list[Traverse] = []
+        children: dict[str, list[_BuildHop]] = {}
+        closing: list[_BuildHop] = []
+        from_hops: list[_BuildHop] = []
         for hop in q.traverses:
             src_b = hop.source_alias in self.alias_schema
             tgt_b = hop.target_alias in self.alias_schema
@@ -213,23 +250,34 @@ class MatchCompiler:
                 self.edge_alias_type[hop.edge_alias] = hop.edge_type
             if src_b and not tgt_b:
                 self.alias_schema[hop.target_alias] = hop.target_schema
-                children.setdefault(hop.source_alias, []).append(hop)
+                bh = _BuildHop(hop, reversed_build=False)
+                children.setdefault(hop.source_alias, []).append(bh)
                 self.alias_order.append(hop.target_alias)
             elif src_b and tgt_b:
                 if self.alias_schema[hop.target_alias] != hop.target_schema:
                     raise QueryError(
                         f"alias {hop.target_alias} rebound to a different schema"
                     )
-                closing.append(hop)
+                bh = _BuildHop(hop, reversed_build=False)
+                closing.append(bh)
+            elif tgt_b and hop.source_schema is not None:
+                # the hop BINDS its source (reversed pattern (c)<-[:E]-(u)):
+                # build it as a child of the bound target, joining the edge
+                # with swapped roles (the reference loads the source table on
+                # demand, traverse_executor.cpp:61-69)
+                self.alias_schema[hop.source_alias] = hop.source_schema
+                bh = _BuildHop(hop, reversed_build=True)
+                children.setdefault(hop.target_alias, []).append(bh)
+                self.alias_order.append(hop.source_alias)
             else:
                 raise QueryError(
-                    f"source alias {hop.source_alias!r} must be bound by FROM "
-                    "or a prior traverse before use"
+                    f"source alias {hop.source_alias!r} must be bound by FROM, "
+                    "a prior traverse, or an inline schema (\"u:User\")"
                 )
             if hop.edge_alias:
                 self.alias_order.append(hop.edge_alias)
-            if hop.source_alias == q.from_alias:
-                from_hops.append(hop)
+            if bh.parent_alias == q.from_alias:
+                from_hops.append(bh)
 
         self._per_alias_filters, self.deferred = _split_filters(q.wheres)
         known = set(self.alias_schema) | set(self.edge_alias_type)
@@ -244,29 +292,33 @@ class MatchCompiler:
         df = self._build(q.from_alias, children)
 
         # FROM-root semantics: with traversals, a root with no connection on
-        # any hop is skipped unless FROM participates in a LEFT/FULL hop
+        # any hop is skipped unless FROM participates as an outer side
         # (result_builder.cpp:260-278 + the INNER root-skip at :203-206).
-        # In the join tree a "no connection on hop h" row has a NULL target
-        # id for h, so the filter is: at least one FROM-hop target bound.
+        # As written source, LEFT/FULL keep the root; as written target
+        # (reversed build) any non-INNER keeps it, because the target ID set
+        # is existing ∪ matched and FROM's existing set is the full table
+        # (src/query/join.cpp:119-137, 243-260).
         from_is_outer = any(
-            h.traverse_type in (TraverseType.LEFT, TraverseType.FULL)
+            (not h.reversed_build and h.written_type in (TraverseType.LEFT, TraverseType.FULL))
+            or (h.reversed_build and h.written_type is not TraverseType.INNER)
             for h in from_hops
         )
         if from_hops and not from_is_outer:
             has_inner = any(
-                h.traverse_type is TraverseType.INNER for h in from_hops
+                h.build_type is TraverseType.INNER for h in from_hops
             )
             if not has_inner:  # all RIGHT: require ≥1 live connection
                 cond = F.lit(False)
                 for h in from_hops:
-                    cond = cond | _bt(f"{h.target_alias}.id").isNotNull()
+                    cond = cond | _bt(f"{h.child_alias}.id").isNotNull()
                 df = df.filter(cond)
 
         # Closing hops: both aliases already bound — the edge constrains
         # existing columns (multi-pattern conjunction,
         # apps/tundra_shell.cpp:470-478; INNER ID-set intersection,
         # src/query/join.cpp:51-76).
-        for hop in closing:
+        for bh in closing:
+            hop = bh.hop
             if hop.traverse_type is not TraverseType.INNER:
                 raise QueryError(
                     "only INNER is supported for a pattern whose aliases are "
@@ -301,57 +353,66 @@ class MatchCompiler:
             df = df.filter(compile_expr(e))
         return df
 
-    def _build(self, alias: str, children: dict[str, list[Traverse]]) -> DataFrame:
+    def _build(self, alias: str, children: dict[str, list[_BuildHop]]) -> DataFrame:
         return self._build_from(self._node_table(alias), alias, children)
 
     def _build_from(
-        self, base: DataFrame, alias: str, children: dict[str, list[Traverse]]
+        self, base: DataFrame, alias: str, children: dict[str, list[_BuildHop]]
     ) -> DataFrame:
         df = base
-        for hop in children.get(alias, []):
-            tgt_base = self._node_table(hop.target_alias)
-            sub = self._build_from(tgt_base, hop.target_alias, children)
-            df = self._attach(df, alias, hop, sub, tgt_base)
+        for bh in children.get(alias, []):
+            child_base = self._node_table(bh.child_alias)
+            sub = self._build_from(child_base, bh.child_alias, children)
+            df = self._attach(df, alias, bh, sub, child_base)
         return df
 
     def _attach(
         self,
         parent: DataFrame,
         alias: str,
-        hop: Traverse,
+        bh: _BuildHop,
         sub: DataFrame,
-        tgt_base: DataFrame,
+        child_base: DataFrame,
     ) -> DataFrame:
+        hop = bh.hop
         edf, src_col, tgt_col, drop = self._edge_table(hop)
-        pkey, ckey = f"{alias}.id", f"{hop.target_alias}.id"
-        jt = hop.traverse_type
-        self_join = self.alias_schema[alias] == hop.target_schema
+        # edge columns keep true direction; a reversed build joins the parent
+        # on the edge's TARGET side and the child on its SOURCE side
+        pcol, ccol = (tgt_col, src_col) if bh.reversed_build else (src_col, tgt_col)
+        pkey, ckey = f"{alias}.id", f"{bh.child_alias}.id"
+        jt = bh.build_type
+        self_join = self.alias_schema[alias] == self.alias_schema[bh.child_alias]
 
-        # matched paths: source —edge→ surviving target subtree
-        matched = parent.join(edf, _bt(pkey) == _bt(src_col), "inner").join(
-            sub, _bt(tgt_col) == _bt(ckey), "inner"
+        # matched paths: parent —edge→ surviving child subtree
+        matched = parent.join(edf, _bt(pkey) == _bt(pcol), "inner").join(
+            sub, _bt(ccol) == _bt(ckey), "inner"
         )
         if jt is TraverseType.INNER:
             out = matched
         else:
-            # Non-INNER: sources with NO connection (edge to a target passing
-            # the target's own filters) ride along null-padded; sources whose
-            # connections all lead into pruned subtrees do NOT (reference BFS
-            # skip). Connections are edge ⨝ filtered-target-base.
+            # Non-INNER: parent rows with NO connection (edge to a child
+            # passing the child's own filters) ride along null-padded; rows
+            # whose connections all lead into pruned subtrees do NOT
+            # (reference BFS skip). Connections are edge ⨝ filtered-child-base.
             conn_src = (
-                edf.join(tgt_base, _bt(tgt_col) == _bt(ckey), "semi")
-                .select(_bt(src_col).alias("__csrc"))
+                edf.join(child_base, _bt(ccol) == _bt(ckey), "semi")
+                .select(_bt(pcol).alias("__csrc"))
                 .distinct()
             )
             no_conn = parent.join(conn_src, _bt(pkey) == _bt("__csrc"), "anti")
             out = matched.unionByName(no_conn, allowMissingColumns=True)
             if jt in (TraverseType.RIGHT, TraverseType.FULL):
+                # J4 self-join exclusion (matched sources never reappear as
+                # unmatched targets, src/query/join.cpp:184-198). Not applied
+                # to reversed builds: there the appended rows are the WRITTEN
+                # SOURCES, whose pad set (all − matched) is disjoint by
+                # construction (src/query/join.cpp:119-137).
                 msrc = (
                     matched.select(_bt(pkey).alias("__srcid")).distinct()
-                    if self_join
+                    if self_join and not bh.reversed_build
                     else None
                 )
-                self._extras.append(_PendingExtra(hop.target_alias, sub, msrc))
+                self._extras.append(_PendingExtra(bh.child_alias, sub, msrc))
         if drop:
             out = out.drop(*drop)
         return out

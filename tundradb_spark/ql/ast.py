@@ -1,0 +1,106 @@
+"""TundraQL abstract syntax tree (one dataclass per statement form).
+
+Mirrors the statement surface of the reference grammar
+(antlr/TundraQL.g4:4-74): CREATE SCHEMA / CREATE EDGE SCHEMA / CREATE NODE /
+CREATE EDGE / MATCH / UPDATE (3 modes) / DELETE (4 targets) / SHOW / COMMIT.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from tundradb_spark.query import Expr
+
+# node selector: ("User", 123) by id, or ("User", {"name": "Alice"}) by props
+Selector = tuple[str, Any]
+
+
+@dataclass(frozen=True)
+class NodeRef:
+    """(alias:Schema) or (alias) — schema optional on re-reference."""
+
+    alias: str
+    schema: str | None
+
+
+@dataclass(frozen=True)
+class Hop:
+    """One edge pattern between two node patterns; ``reversed`` for
+    ``<-[...]-`` (direction swapped at parse time, like the reference's
+    visitor, apps/tundra_shell.cpp:570-577)."""
+
+    source: NodeRef
+    target: NodeRef
+    edge_type: str | None
+    edge_alias: str | None
+    join_type: str  # inner|left|right|full
+    reversed: bool
+
+
+@dataclass(frozen=True)
+class CreateSchema:
+    name: str
+    fields: dict[str, str]
+    is_edge: bool
+
+
+@dataclass(frozen=True)
+class CreateNode:
+    schema: str
+    props: dict[str, Any]
+    return_id: bool
+
+
+@dataclass(frozen=True)
+class CreateEdge:
+    edge_type: str
+    source: Selector
+    target: Selector
+    props: dict[str, Any] = field(default_factory=dict)
+    unique: bool = False
+
+
+@dataclass(frozen=True)
+class Match:
+    hops: list[Hop]
+    roots: list[NodeRef]  # single-node patterns with no edges
+    where: Expr | None
+    select: list[tuple[str, str | None]]  # (dotted path, AS alias)
+
+
+@dataclass(frozen=True)
+class Update:
+    # exactly one of: locator (Mode 1), pattern (Mode 2), match (Mode 3)
+    locator: tuple[str, int] | None
+    pattern: NodeRef | None
+    match: Match | None
+    assignments: dict[str, Any]
+    where: Expr | None
+
+
+@dataclass(frozen=True)
+class Delete:
+    locator: tuple[str, int] | None = None
+    pattern: NodeRef | None = None
+    path: Match | None = None
+    edge_type: str | None = None
+    edge_from: Selector | None = None
+    edge_to: Selector | None = None
+    where: Expr | None = None
+
+
+@dataclass(frozen=True)
+class Show:
+    target: str  # "edges" | "edge_types"
+    edge_type: str | None = None
+
+
+@dataclass(frozen=True)
+class Commit:
+    pass
+
+
+Statement = (
+    CreateSchema | CreateNode | CreateEdge | Match | Update | Delete | Show | Commit
+)

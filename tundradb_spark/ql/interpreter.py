@@ -1,0 +1,199 @@
+"""TundraQL interpreter: AST → Database engine calls.
+
+Mirrors the behavior of the reference shell's visitor
+(apps/tundra_shell.cpp:114-1310): each statement maps onto the same engine
+entry points the fluent API uses, so text queries and builder queries share
+one execution path (reference entry points 1 and 2, SURVEY.md §3).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any
+
+from pyspark.sql import DataFrame
+
+from tundradb_spark.errors import QueryError
+from tundradb_spark.ql import ast
+from tundradb_spark.query import Query
+
+if TYPE_CHECKING:  # pragma: no cover
+    from tundradb_spark.database import Database
+
+
+def _build_query(db: "Database", m: ast.Match) -> Query:
+    """Compile a MATCH AST into an engine Query (alias/schema resolution,
+    hop ordering, WHERE, SELECT with AS — the reference drops AS aliases,
+    apps/tundra_shell.cpp:485-494; we implement them, SURVEY.md §7)."""
+    alias_schema: dict[str, str] = {}
+
+    def bind(ref: ast.NodeRef) -> str:
+        if ref.schema is not None:
+            prev = alias_schema.get(ref.alias)
+            if prev is not None and prev != ref.schema:
+                raise QueryError(
+                    f"alias {ref.alias!r} bound to both {prev} and {ref.schema}"
+                )
+            alias_schema[ref.alias] = ref.schema
+        elif ref.alias not in alias_schema:
+            raise QueryError(
+                f"alias {ref.alias!r} used without a schema binding"
+            )
+        return ref.alias
+
+    # first pass: bind every alias that declares a schema
+    for ref in list(m.roots):
+        bind(ref)
+    for hop in m.hops:
+        for ref in (hop.source, hop.target):
+            if ref.schema is not None:
+                bind(ref)
+    for hop in m.hops:
+        for ref in (hop.source, hop.target):
+            bind(ref)
+
+    if m.hops:
+        # the query roots at the pattern's first written node, even when the
+        # first hop is reversed (the traverse itself is emitted swapped)
+        first = m.hops[0].source
+    elif m.roots:
+        first = m.roots[0]
+    else:
+        raise QueryError("MATCH requires at least one pattern")
+
+    q = Query.from_(f"{first.alias}:{alias_schema[first.alias]}")
+
+    for hop in m.hops:
+        if hop.edge_type is None:
+            raise QueryError("edge pattern requires a type: -[:TYPE]->")
+        # <-[...]- swaps source/target at parse time into true edge direction
+        # (reference apps/tundra_shell.cpp:570-577); the engine loads unbound
+        # traverse sources on demand via the inline "alias:Schema" form
+        src, tgt = (hop.target, hop.source) if hop.reversed else (hop.source, hop.target)
+        q = q.traverse(
+            f"{src.alias}:{alias_schema[src.alias]}",
+            hop.edge_type,
+            f"{tgt.alias}:{alias_schema[tgt.alias]}",
+            hop.join_type,
+            edge_alias=hop.edge_alias,
+        )
+    if m.where is not None:
+        q = q.where(m.where)
+    if m.select:
+        q = q.select(
+            *[
+                f"{path} AS {as_name}" if as_name else path
+                for path, as_name in m.select
+            ]
+        )
+    return q
+
+
+def execute_statement(db: "Database", text: str) -> DataFrame | None:
+    """Parse + execute ONE TundraQL statement. Returns a DataFrame for
+    MATCH / SHOW / CREATE NODE ... RETURN id, else None."""
+    from tundradb_spark.ql.parser import parse_statement
+
+    stmt = parse_statement(text)
+    return execute_ast(db, stmt)
+
+
+def execute_ast(db: "Database", stmt: ast.Statement) -> DataFrame | None:
+    if isinstance(stmt, ast.CreateSchema):
+        if stmt.is_edge:
+            db.create_edge_schema(stmt.name, stmt.fields)
+        else:
+            db.create_schema(stmt.name, stmt.fields)
+        return None
+
+    if isinstance(stmt, ast.CreateNode):
+        nid = db.create_node(stmt.schema, **stmt.props)
+        if stmt.return_id:
+            return db.spark.createDataFrame([(nid,)], "id long")
+        return None
+
+    if isinstance(stmt, ast.CreateEdge):
+        db.connect(
+            stmt.edge_type,
+            stmt.source,
+            stmt.target,
+            props=stmt.props or None,
+            unique=stmt.unique,
+        )
+        return None
+
+    if isinstance(stmt, ast.Match):
+        return db.query(_build_query(db, stmt))
+
+    if isinstance(stmt, ast.Update):
+        return _execute_update(db, stmt)
+
+    if isinstance(stmt, ast.Delete):
+        return _execute_delete(db, stmt)
+
+    if isinstance(stmt, ast.Show):
+        if stmt.target == "edges":
+            return db.show_edges(stmt.edge_type)
+        return db.show_edge_types()
+
+    if isinstance(stmt, ast.Commit):
+        db.commit()
+        return None
+
+    raise QueryError(f"unhandled statement: {stmt!r}")
+
+
+def _execute_update(db: "Database", stmt: ast.Update) -> None:
+    if stmt.locator is not None:
+        # Mode 1: UPDATE User(0) SET f = v (update_executor.cpp:23-81)
+        schema, nid = stmt.locator
+        if stmt.where is not None:
+            raise QueryError("UPDATE by id takes no WHERE clause")
+        db.update_by_id(schema, nid, stmt.assignments)
+        return None
+
+    if stmt.pattern is not None:
+        # Mode 2: UPDATE (u:User) SET u.f = v WHERE ...
+        if stmt.pattern.schema is None:
+            raise QueryError("UPDATE pattern requires (alias:Schema)")
+        m = ast.Match(hops=[], roots=[stmt.pattern], where=stmt.where, select=[])
+        q = _build_query(db, m)
+        db.update_by_match(q, stmt.assignments)
+        return None
+
+    # Mode 3: UPDATE MATCH <patterns> SET alias.f = v WHERE ...
+    assert stmt.match is not None
+    m = ast.Match(
+        hops=stmt.match.hops, roots=stmt.match.roots, where=stmt.where, select=[]
+    )
+    q = _build_query(db, m)
+    db.update_by_match(q, stmt.assignments)
+    return None
+
+
+def _execute_delete(db: "Database", stmt: ast.Delete) -> None:
+    if stmt.edge_type is not None:
+        db.delete_edges(stmt.edge_type, stmt.edge_from, stmt.edge_to)
+        return None
+    if stmt.locator is not None:
+        schema, nid = stmt.locator
+        db.delete_node(schema, nid)
+        return None
+    if stmt.pattern is not None:
+        if stmt.pattern.schema is None:
+            raise QueryError("DELETE pattern requires (alias:Schema)")
+        m = ast.Match(hops=[], roots=[stmt.pattern], where=stmt.where, select=[])
+        q = _build_query(db, m)
+        db.delete_by_match(q, stmt.pattern.alias)
+        return None
+    # path-pattern deletion: the reference shell stubs this with "not yet
+    # implemented" (apps/tundra_shell.cpp:847-856) — parity-preserved.
+    raise QueryError("path-pattern DELETE is not yet implemented")
+
+
+def execute_script(db: "Database", script: str) -> list[DataFrame | None]:
+    """Execute a multi-statement script (``;``-separated), returning each
+    statement's result (reference --script mode, apps/tundra_shell.cpp:
+    1988-2051)."""
+    from tundradb_spark.ql.parser import split_statements
+
+    return [execute_statement(db, s) for s in split_statements(script)]

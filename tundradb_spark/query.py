@@ -140,6 +140,10 @@ class Traverse:
     target_schema: str
     traverse_type: TraverseType = TraverseType.INNER
     edge_alias: str | None = None
+    # schema of the source alias, needed only when the hop BINDS its source
+    # (a reversed pattern like (c:C)<-[:E]-(u:U) traverses u→c with u new;
+    # the reference loads the source table on demand, traverse_executor.cpp:61-69)
+    source_schema: str | None = None
 
 
 @dataclass
@@ -192,7 +196,10 @@ class Query:
         """``.traverse("u", "FRIEND", "f:User", "inner")``.
 
         ``edge_type`` may embed an edge alias as ``"e:FRIEND"`` (matches the
-        TundraQL ``-[e:FRIEND]->`` form, FIXTURES.md F4).
+        TundraQL ``-[e:FRIEND]->`` form, FIXTURES.md F4). ``source_alias``
+        may be ``"u:User"`` when the hop introduces its source alias (the
+        reversed-pattern case — the reference loads the source table on
+        demand, traverse_executor.cpp:61-69).
         """
         if ":" in edge_type and edge_alias is None:
             edge_alias, _, edge_type = edge_type.partition(":")
@@ -200,8 +207,10 @@ class Query:
         t_alias, _, t_schema = target_spec.partition(":")
         if not t_schema:
             raise QueryError(f"target spec must be alias:Schema: {target_spec!r}")
+        source_alias, _, source_schema = source_alias.partition(":")
         self.clauses.append(
             Traverse(
+                source_schema=source_schema.strip() or None,
                 source_alias=source_alias.strip(),
                 edge_type=edge_type.strip(),
                 target_alias=t_alias.strip(),
