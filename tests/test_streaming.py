@@ -1,0 +1,205 @@
+"""Structured Streaming tests: file-source micro-batches driven with
+processAllAvailable (deterministic — no rate/clock dependence)."""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from tundradb_spark.database import Database
+from tundradb_spark.streaming import (
+    stream_edges,
+    stream_nodes,
+    streaming_dedup,
+    windowed_event_counts,
+)
+
+NODE_SCHEMA = StructType(
+    [
+        StructField("name", StringType()),
+        StructField("age", LongType()),
+    ]
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _write_json(spark, path, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").json(path)
+
+
+class TestIngestion:
+    def test_stream_nodes_assigns_ids(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+        db = Database(spark)
+        db.create_schema("SUser", {"name": "string", "age": "long"})
+        db.create_node("SUser", name="seed", age=1)  # id 0 pre-assigned
+
+        _write_json(spark, src, [("a", 10), ("b", 20)], NODE_SCHEMA)
+        stream = spark.readStream.schema(NODE_SCHEMA).json(src)
+        q = stream_nodes(db, "SUser", stream, ckpt)
+        try:
+            q.processAllAvailable()
+            _write_json(spark, src, [("c", 30)], NODE_SCHEMA)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        rows = {(r.id, r.name) for r in db.get_table("SUser").collect()}
+        assert {r[1] for r in rows} == {"seed", "a", "b", "c"}
+        assert {r[0] for r in rows} == {0, 1, 2, 3}  # contiguous per-schema ids
+
+    def test_stream_edges(self, spark, tmp_path):
+        src = str(tmp_path / "esrc")
+        ckpt = str(tmp_path / "eckpt")
+        os.makedirs(src)
+        db = Database(spark)
+        db.create_schema("SUser", {"name": "string"})
+        db.create_edge_schema("FOLLOWS", {"w": "long"})
+        for n in ["x", "y", "z"]:
+            db.create_node("SUser", name=n)
+        edge_schema = StructType(
+            [
+                StructField("source_id", LongType()),
+                StructField("target_id", LongType()),
+                StructField("w", LongType()),
+            ]
+        )
+        _write_json(spark, src, [(0, 1, 5), (1, 2, 7)], edge_schema)
+        stream = spark.readStream.schema(edge_schema).json(src)
+        q = stream_edges(db, "FOLLOWS", stream, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        edges = {(r.source_id, r.target_id, r.w) for r in db.get_edge_table("FOLLOWS").collect()}
+        assert edges == {(0, 1, 5), (1, 2, 7)}
+        ids = [r.id for r in db.get_edge_table("FOLLOWS").collect()]
+        assert sorted(ids) == list(range(min(ids), min(ids) + 2))
+
+
+class TestWindowedAgg:
+    def test_event_window_counts(self, spark, tmp_path):
+        src = str(tmp_path / "ev")
+        ckpt = str(tmp_path / "evck")
+        out = str(tmp_path / "evout")
+        os.makedirs(src)
+        from datetime import datetime
+
+        rows = [
+            (datetime(2026, 1, 1, 10, 5), 1, "view", 1.0),
+            (datetime(2026, 1, 1, 10, 20), 2, "view", 2.0),
+            (datetime(2026, 1, 1, 11, 10), 1, "buy", 10.0),
+        ]
+        _write_json(spark, src, rows, EVENT_SCHEMA)
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+        agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("winagg")
+            .outputMode("append" if False else "complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r.window_start.hour, r.event_type): (r.n_events, r.total_value)
+                for r in spark.table("winagg").collect()
+            }
+        finally:
+            q.stop()
+        assert got[(10, "view")] == (2, 3.0)
+        assert got[(11, "buy")] == (1, 10.0)
+
+
+class TestStreamingDedup:
+    def test_dropduplicates_with_watermark(self, spark, tmp_path):
+        src = str(tmp_path / "dd")
+        ckpt = str(tmp_path / "ddck")
+        os.makedirs(src)
+        from datetime import datetime
+
+        t0 = datetime(2026, 1, 1, 9, 0)
+        rows = [
+            (t0, 1, "view", 1.0),
+            (t0, 1, "view", 1.0),  # exact duplicate
+            (t0, 2, "view", 1.0),
+        ]
+        _write_json(spark, src, rows, EVENT_SCHEMA)
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+        dd = streaming_dedup(stream, keys=["user_id", "event_type"])
+        q = (
+            dd.writeStream.format("memory")
+            .queryName("ddout")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.table("ddout").collect()
+        finally:
+            q.stop()
+        assert len(got) == 2  # duplicate dropped
+
+
+class TestSessionize:
+    def test_sessions_accumulate(self, spark, tmp_path):
+        src = str(tmp_path / "sess")
+        ckpt = str(tmp_path / "sessck")
+        os.makedirs(src)
+        from datetime import datetime
+
+        from tundradb_spark.streaming import sessionize
+
+        rows = [
+            (datetime(2026, 1, 1, 10, 0, 0), 1, "view", 1.0),
+            (datetime(2026, 1, 1, 10, 0, 30), 1, "view", 2.0),
+            (datetime(2026, 1, 1, 10, 0, 10), 2, "view", 5.0),
+        ]
+        _write_json(spark, src, rows, EVENT_SCHEMA)
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+        sess = sessionize(stream, gap_ms=2_000)
+        q = (
+            sess.writeStream.format("memory")
+            .queryName("sessout")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        # pending processing-time timeouts keep scheduling batches, so
+        # processAllAvailable never quiesces — poll the sink instead
+        got = {}
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                rows = spark.table("sessout").collect()
+                got = {r.user_id: r for r in rows if r.status == "closed"}
+                if len(got) == 2:
+                    break
+                time.sleep(1)
+        finally:
+            q.stop()
+        assert got[1].n_events == 2
+        assert got[1].total_value == 3.0
+        assert got[1].status == "closed"
+        assert got[1].session_end.second == 30
+        assert got[2].n_events == 1

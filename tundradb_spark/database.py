@@ -189,6 +189,34 @@ class Database:
         base = self._materialize(t)
         t.frame = base.unionByName(out) if (t.frame is not None or t.pending) else out
 
+    def bulk_connect(self, etype: str, df: DataFrame) -> None:
+        """Bulk append edges from a DataFrame with ``source_id, target_id``
+        (+ property columns). IDs assigned as a contiguous range per batch,
+        created_ts synthesized if absent. The streaming/batch scale path for
+        edge ingestion (single-row path: :meth:`connect`)."""
+        t = self._edge(etype)
+        prop_fields = [
+            f.name for f in t.struct.fields if f.name not in EDGE_STRUCTURAL_FIELDS
+        ]
+        need = {"source_id", "target_id"} - set(df.columns)
+        if need:
+            raise QueryError(f"bulk_connect requires columns: {sorted(need)}")
+        out = df.withColumn("source_id", F.col("source_id").cast("long")).withColumn(
+            "target_id", F.col("target_id").cast("long")
+        )
+        if "created_ts" not in out.columns:
+            out = out.withColumn("created_ts", F.lit(self.clock()).cast("long"))
+        for p in prop_fields:
+            if p not in out.columns:
+                out = out.withColumn(p, F.lit(None))
+        n = out.count()
+        first = self.catalog.next_edge_id(n)
+        out = _zip_with_contiguous_ids(out, first, "id")
+        ordered = list(EDGE_STRUCTURAL_FIELDS) + prop_fields
+        out = out.select(*ordered)
+        base = self._materialize(t)
+        t.frame = base.unionByName(out) if (t.frame is not None or t.pending) else out
+
     def register_node_table(
         self,
         name: str,

@@ -1,0 +1,32 @@
+"""Structured Streaming extensions.
+
+The reference has no streaming surface at all (SURVEY.md §2.12); these
+operators extend the engine with the standard Spark streaming shapes a
+continuously-ingesting graph/analytics deployment needs:
+
+- :func:`stream_nodes` / :func:`stream_edges` — continuous node/edge
+  ingestion into Database tables via ``foreachBatch`` (per-batch atomic
+  appends, engine-assigned per-schema IDs)
+- :func:`windowed_event_counts` — watermarked sliding-window aggregation
+  over an event stream (late data handled by the watermark)
+- :func:`sessionize` — custom stateful operator (session windows with gap
+  timeout) via ``applyInPandasWithState``
+- :func:`streaming_dedup` — watermark-bounded exact dedup
+  (``dropDuplicates`` with state cleanup)
+"""
+
+from tundradb_spark.streaming.ops import (
+    sessionize,
+    stream_edges,
+    stream_nodes,
+    streaming_dedup,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "stream_nodes",
+    "stream_edges",
+    "windowed_event_counts",
+    "sessionize",
+    "streaming_dedup",
+]

@@ -1,0 +1,232 @@
+"""Structured Streaming operators (capability extension — the reference has
+no streaming, SURVEY.md §2.12).
+
+Everything here is plain ``readStream``-shaped DataFrame logic: watermarks
+bound state, windows aggregate with partial (map-side) combine, and the one
+genuinely custom stateful operator (sessionization) uses
+``applyInPandasWithState`` with an explicit timeout — the Spark-native way
+to express reference-less semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import TYPE_CHECKING, Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql.streaming import StreamingQuery
+
+    from tundradb_spark.database import Database
+
+
+def stream_nodes(
+    db: "Database",
+    schema: str,
+    stream: DataFrame,
+    checkpoint: str,
+    query_name: str | None = None,
+) -> "StreamingQuery":
+    """Continuously ingest a node stream into a Database table.
+
+    ``foreachBatch`` gives per-micro-batch atomic appends with
+    engine-assigned contiguous per-schema IDs (``bulk_insert`` uses a
+    per-partition zipWithIndex — no global shuffle per batch)."""
+
+    def _sink(batch: DataFrame, _epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        db.bulk_insert(schema, batch)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name or f"nodes-{schema}")
+        .start()
+    )
+
+
+def stream_edges(
+    db: "Database",
+    etype: str,
+    stream: DataFrame,
+    checkpoint: str,
+    query_name: str | None = None,
+) -> "StreamingQuery":
+    """Continuously ingest an edge stream (``source_id, target_id`` +
+    props) into an edge table via ``foreachBatch`` + ``bulk_connect``."""
+
+    def _sink(batch: DataFrame, _epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        db.bulk_connect(etype, batch)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name or f"edges-{etype}")
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked (sliding) window aggregation over an event stream with
+    the driver's ``events`` table shape.
+
+    The watermark bounds state: windows older than max(event time) −
+    watermark are finalized and dropped, so state size is O(active windows),
+    not O(stream length). Aggregation is partially combined map-side before
+    the keyed shuffle."""
+    w = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            F.col(key_col),
+            "n_events",
+            "total_value",
+            "approx_users",
+        )
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("status", StringType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+
+#: processing-time gap after which an idle session closes
+DEFAULT_SESSION_GAP_MS = 10_000
+
+
+def _make_session_fn(gap_ms: int):
+    """Closure-captured gap so the setting travels to executor workers."""
+
+    def _session_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        # per-user session accumulator: extends the open session with each
+        # batch; on processing-time timeout, emits the closed session
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_ms, last_ms, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                    "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "status": ["closed"],
+                }
+            )
+            return
+
+        start_ms = last_ms = None
+        n = 0
+        total = 0.0
+        if state.exists:
+            start_ms, last_ms, n, total = state.get
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts_ms = pdf["ts"].astype("int64") // 1_000_000
+            lo, hi = int(ts_ms.min()), int(ts_ms.max())
+            start_ms = lo if start_ms is None else min(start_ms, lo)
+            last_ms = hi if last_ms is None else max(last_ms, hi)
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((start_ms, last_ms, n, total))
+        state.setTimeoutDuration(gap_ms)  # close after a silent gap
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_ms, unit="ms")],
+                "session_end": [pd.Timestamp(last_ms, unit="ms")],
+                "n_events": [n],
+                "total_value": [total],
+                "status": ["open"],
+            }
+        )
+
+    return _session_fn
+
+
+def sessionize(events: DataFrame, gap_ms: int = DEFAULT_SESSION_GAP_MS) -> DataFrame:
+    """Custom stateful operator: per-user session windows with a
+    processing-time gap timeout, via ``applyInPandasWithState`` (Arrow-batched;
+    state is a compact 4-field tuple per user — bounded, shuffled once on
+    user_id).
+
+    Note: pending timeouts make the engine schedule periodic empty batches,
+    so ``processAllAvailable()`` does not quiesce while sessions are open —
+    poll the sink instead (see tests)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_session_fn(gap_ms),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermark-bounded exact dedup: state for a key is dropped once the
+    watermark passes it, so memory is bounded while duplicates within the
+    late-data horizon are still caught — the streaming face of
+    ``pipeline.dedup.exact_dedup``."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(keys + [ts_col])
