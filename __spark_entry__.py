@@ -17,7 +17,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from tundradb_spark.graphs.tpch import load_graph
+from tundradb_spark.graphs.tpch import REPRICE_VT, load_graph, load_versioned_orders
+from tundradb_spark.operators.relational import (
+    asof_join,
+    except_distinct,
+    range_join,
+    union_distinct,
+)
 from tundradb_spark.pipeline.queries import PIPELINE_ORACLES, PIPELINE_QUERIES
 from tundradb_spark.query import Query, where as W
 
@@ -224,6 +230,190 @@ def q_edge_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14 extension: SEMI hop — customers having ≥1 order > 400k; the
+    target's columns never enter the output (two hash semi-joins, no row
+    amplification)."""
+    db = load_graph(spark, sf_dir)
+    q = (
+        Query.from_("c:customer")
+        .where("c.c_mktsegment", "=", "MACHINERY")
+        .traverse("c", "HAS_ORDER", "o:orders", "semi")
+        .where("o.o_totalprice", ">", 400000.0)
+        .select("c.id AS c_custkey", "c.c_name AS c_name", "c.c_acctbal AS c_acctbal")
+    )
+    return db.query(q)
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14 extension: ANTI hop with a target-side filter — high-balance
+    customers with NO order above 450k (the filter pushes into the child
+    table before the anti-join)."""
+    db = load_graph(spark, sf_dir)
+    q = (
+        Query.from_("c:customer")
+        .where("c.c_acctbal", ">", 9000.0)
+        .traverse("c", "HAS_ORDER", "o:orders", "anti")
+        .where("o.o_totalprice", ">", 450000.0)
+        .select("c.id AS c_custkey", "c.c_name AS c_name")
+    )
+    return db.query(q)
+
+
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 extension: top-3 orders per customer by price (rank-then-filter;
+    the k-filter runs in the window's own stage)."""
+    db = load_graph(spark, sf_dir)
+    q = (
+        Query.from_("o:orders")
+        .where("o.o_totalprice", ">", 100000.0)
+        .select(
+            "o.o_custkey AS o_custkey",
+            "o.id AS o_orderkey",
+            "o.o_totalprice AS o_totalprice",
+        )
+        .rank_within(
+            ["o_custkey"], ["o_totalprice desc", "o_orderkey"], alias="rn", top=3
+        )
+    )
+    return db.query(q).withColumn("rn", F.col("rn").cast("long"))
+
+
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 extension: distinct union of two engine-query segments."""
+    db = load_graph(spark, sf_dir)
+
+    def seg(segment: str) -> DataFrame:
+        q = (
+            Query.from_("c:customer")
+            .where("c.c_mktsegment", "=", segment)
+            .where("c.c_acctbal", ">", 9000.0)
+            .select("c.id AS c_custkey")
+        )
+        return db.query(q)
+
+    return union_distinct(seg("AUTOMOBILE"), seg("MACHINERY"))
+
+
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 extension: high-balance customers minus those with a 300k+ order."""
+    db = load_graph(spark, sf_dir)
+    rich = db.query(
+        Query.from_("c:customer").where("c.c_acctbal", ">", 9500.0).select("c.id AS c_custkey")
+    )
+    big_order = db.query(
+        Query.from_("c:customer")
+        .traverse("c", "HAS_ORDER", "o:orders", "semi")
+        .where("o.o_totalprice", ">", 300000.0)
+        .select("c.id AS c_custkey")
+    )
+    return except_distinct(rich, big_order)
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 extension: as-of join — for each purchase event, the customer's
+    most recent order at event time. Union-sort implementation: ONE shuffle
+    on the key, no row amplification (see operators/relational.asof_join)."""
+    db = load_graph(spark, sf_dir)
+    ev = (
+        db.get_table("events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("id").alias("event_id"),
+            F.col("user_id"),
+            F.expr("ts div 1000").alias("ts_us"),  # int div: ns→µs, no
+            # double round-trip (ns epochs exceed 2^53)
+        )
+    )
+    orders = db.get_table("orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("id").alias("o_orderkey"),
+        F.col("o_totalprice"),
+        # o_orderdate is TIMESTAMP_NTZ (µs precision); session TZ is UTC so
+        # the NTZ→TZ cast is identity and unix_micros is exact
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("odate_us"),
+    )
+    out = asof_join(
+        ev,
+        orders,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="odate_us",
+        right_cols=["o_orderkey", "o_totalprice"],
+        tie_break="o_orderkey",
+    )
+    return out.select("event_id", "user_id", "ts_us", "o_orderkey", "o_totalprice")
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 extension: self interval join — every event of a user within one
+    hour after one of that user's 'error' events. The equi-key (user_id)
+    carries the hash join; the range is a residual filter in the same
+    stage — no nested-loop join at any scale."""
+    db = load_graph(spark, sf_dir)
+    hour_ns = 3_600 * 1_000_000_000
+    ev = db.get_table("events").select(
+        F.col("id").alias("event_id"), F.col("user_id"), F.col("ts")
+    )
+    errs = (
+        db.get_table("events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("id").alias("err_id"),
+            F.col("user_id"),
+            F.col("ts").alias("lo_ns"),
+            (F.col("ts") + F.lit(hour_ns)).alias("hi_ns"),
+        )
+    )
+    out = range_join(ev, errs, "ts", "lo_ns", "hi_ns", on="user_id")
+    return out.select("err_id", "event_id", "user_id")
+
+
+def q_temporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2: bitemporal AS-OF read over a version-chained orders table —
+    vt AFTER the reprice update sees doubled 'F' prices (interval filter +
+    newest-visible pick, temporal.resolve_as_of)."""
+    db = load_versioned_orders(spark, sf_dir)
+    q = (
+        Query.from_("o:orders_v")
+        .as_of_valid_time(REPRICE_VT + 500)
+        .where("o.o_orderpriority", "=", "1-URGENT")
+        .select(
+            "o.id AS o_orderkey",
+            "o.o_orderstatus AS o_orderstatus",
+            "o.o_totalprice AS price_asof",
+        )
+    )
+    return db.query(q)
+
+
+def q_temporal_before(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T2: same table, vt BEFORE the update — original prices visible."""
+    db = load_versioned_orders(spark, sf_dir)
+    q = (
+        Query.from_("o:orders_v")
+        .as_of_valid_time(REPRICE_VT - 500)
+        .where("o.o_orderpriority", "=", "1-URGENT")
+        .select(
+            "o.id AS o_orderkey",
+            "o.o_orderstatus AS o_orderstatus",
+            "o.o_totalprice AS price_asof",
+        )
+    )
+    return db.query(q)
+
+
+def q_ql_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: TundraQL text → parser → engine (the reference's shell path,
+    apps/tundra_shell.cpp:463-510)."""
+    db = load_graph(spark, sf_dir)
+    return db.sql(
+        "MATCH (c:customer)-[:IN_NATION]->(n:nation) "
+        "WHERE c.c_acctbal > 9500.0 "
+        "SELECT c.id AS c_custkey, c.c_name AS c_name, n.n_name AS n_name;"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scan_filter": q_scan_filter,
     "q_inner_join": q_inner_join,
@@ -237,6 +427,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_topk": q_topk,
     "q_map_access": q_map_access,
     "q_edge_count": q_edge_count,
+    "q_semi_join": q_semi_join,
+    "q_anti_join": q_anti_join,
+    "q_window_topk": q_window_topk,
+    "q_set_union": q_set_union,
+    "q_set_except": q_set_except,
+    "q_asof_join": q_asof_join,
+    "q_range_join": q_range_join,
+    "q_temporal_asof": q_temporal_asof,
+    "q_temporal_before": q_temporal_before,
+    "q_ql_match": q_ql_match,
     # training-data pipeline operators (dedup / similarity / text / multimodal)
     **PIPELINE_QUERIES,
 }
@@ -325,6 +525,117 @@ ORACLES: dict[str, str] = {
         SELECT COUNT(*) AS n_edges,
                COUNT(DISTINCT l_orderkey) AS n_sources
         FROM lineitem
+    """,
+    "q_semi_join": """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE c_mktsegment = 'MACHINERY'
+          AND EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000.0)
+    """,
+    "q_anti_join": """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE c_acctbal > 9000.0
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 450000.0)
+    """,
+    "q_window_topk": """
+        SELECT * FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey)
+                       AS rn
+            FROM orders WHERE o_totalprice > 100000.0
+        ) WHERE rn <= 3
+    """,
+    "q_set_union": """
+        SELECT c_custkey FROM customer
+        WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 9000.0
+        UNION
+        SELECT c_custkey FROM customer
+        WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 9000.0
+    """,
+    "q_set_except": """
+        SELECT c_custkey FROM customer WHERE c_acctbal > 9500.0
+        EXCEPT
+        SELECT c_custkey FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000.0)
+    """,
+    "q_asof_join": """
+        WITH ev AS (
+            SELECT event_id, user_id, epoch_us(ts) AS ts_us, ts
+            FROM events WHERE event_type = 'purchase'
+        ), m AS (
+            SELECT e.event_id, e.user_id, e.ts_us,
+                   o.o_orderkey, o.o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                      ORDER BY o.o_orderdate DESC,
+                                               o.o_orderkey DESC) AS rn
+            FROM ev e JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        )
+        SELECT event_id, user_id, ts_us, o_orderkey, o_totalprice
+        FROM m WHERE rn = 1
+        UNION ALL
+        SELECT e.event_id, e.user_id, e.ts_us,
+               NULL AS o_orderkey, NULL AS o_totalprice
+        FROM ev e
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = e.user_id
+                            AND o.o_orderdate <= e.ts)
+    """,
+    "q_range_join": """
+        SELECT a.event_id AS err_id, b.event_id AS event_id,
+               a.user_id AS user_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'error'
+         AND b.ts >= a.ts
+         AND b.ts < a.ts + INTERVAL 1 HOUR
+    """,
+    "q_temporal_asof": f"""
+        WITH v AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
+                   0 AS valid_from,
+                   CASE WHEN o_orderstatus = 'F' THEN {REPRICE_VT}
+                        ELSE 9223372036854775807 END AS valid_to
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice * 2,
+                   o_orderpriority, {REPRICE_VT}, 9223372036854775807
+            FROM orders WHERE o_orderstatus = 'F'
+        )
+        SELECT o_orderkey, o_orderstatus, o_totalprice AS price_asof
+        FROM v
+        WHERE valid_from <= {REPRICE_VT + 500} AND {REPRICE_VT + 500} < valid_to
+          AND o_orderpriority = '1-URGENT'
+    """,
+    "q_temporal_before": f"""
+        WITH v AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
+                   0 AS valid_from,
+                   CASE WHEN o_orderstatus = 'F' THEN {REPRICE_VT}
+                        ELSE 9223372036854775807 END AS valid_to
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice * 2,
+                   o_orderpriority, {REPRICE_VT}, 9223372036854775807
+            FROM orders WHERE o_orderstatus = 'F'
+        )
+        SELECT o_orderkey, o_orderstatus, o_totalprice AS price_asof
+        FROM v
+        WHERE valid_from <= {REPRICE_VT - 500} AND {REPRICE_VT - 500} < valid_to
+          AND o_orderpriority = '1-URGENT'
+    """,
+    "q_ql_match": """
+        SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > 9500.0
     """,
     **PIPELINE_ORACLES,
 }

@@ -1,0 +1,191 @@
+"""Tests for the relational extension operators (SURVEY.md §2 J13/J14,
+§2.6 window, §2.8 set ops — all absent from the reference, added Spark-first).
+"""
+
+import pytest
+
+from tests.conftest import rows_set, setup_join_fixture
+from tundradb_spark.errors import QueryError
+from tundradb_spark.operators.relational import (
+    asof_join,
+    except_all,
+    except_distinct,
+    intersect,
+    range_join,
+    top_k_per_group,
+    union_distinct,
+)
+from tundradb_spark.query import Query
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def test_asof_basic(spark):
+    trades = spark.createDataFrame(
+        [("A", 5), ("A", 10), ("A", 25), ("B", 100), ("C", 50)],
+        "sym string, tts long",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 10, 1.0, 1), ("A", 20, 2.0, 2), ("A", 20, 2.5, 3), ("B", 15, 9.0, 4)],
+        "sym string, qts long, px double, qid long",
+    )
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+        right_cols=["px", "qid"], tie_break="qid",
+    )
+    got = {(r.sym, r.tts): (r.px, r.qid) for r in out.collect()}
+    assert got[("A", 5)] == (None, None)  # nothing at or before ts=5
+    assert got[("A", 10)] == (1.0, 1)  # exact-ts match counts (<=)
+    assert got[("A", 25)] == (2.5, 3)  # tie at qts=20 → max qid wins
+    assert got[("B", 100)] == (9.0, 4)
+    assert got[("C", 50)] == (None, None)  # key never seen on the right
+
+
+def test_asof_tolerance(spark):
+    trades = spark.createDataFrame([("A", 100)], "sym string, tts long")
+    quotes = spark.createDataFrame([("A", 10, 1.0)], "sym string, qts long, px double")
+    out = asof_join(
+        trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+        right_cols=["px"], tolerance=50,
+    )
+    assert out.collect()[0].px is None  # 100-10=90 > 50 → discarded
+    out2 = asof_join(
+        trades, quotes, on="sym", left_ts="tts", right_ts="qts",
+        right_cols=["px"], tolerance=95,
+    )
+    assert out2.collect()[0].px == 1.0
+
+
+# ---------------------------------------------------------------------------
+# range join
+# ---------------------------------------------------------------------------
+
+
+def test_range_join_keyed(spark):
+    left = spark.createDataFrame(
+        [(1, 5), (1, 15), (2, 5)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 0, 10, "r1"), (1, 10, 20, "r2"), (2, 100, 200, "r3")],
+        "k long, lo long, hi long, tag string",
+    )
+    out = range_join(left, right, "ts", "lo", "hi", on="k")
+    assert rows_set(out, "ts", "tag") == {(5, "r1"), (15, "r2")}
+
+
+def test_range_join_bucketed(spark):
+    left = spark.createDataFrame([(5,), (15,), (25,)], "ts long")
+    right = spark.createDataFrame(
+        [(0, 10, "a"), (10, 30, "b")], "lo long, hi long, tag string"
+    )
+    out = range_join(left, right, "ts", "lo", "hi", bucket_width=8)
+    assert rows_set(out, "ts", "tag") == {(5, "a"), (15, "b"), (25, "b")}
+    # keyless + no bucket_width must refuse (would be a nested-loop join)
+    with pytest.raises(QueryError):
+        range_join(left, right, "ts", "lo", "hi")
+
+
+def test_range_join_bucketed_no_dup(spark):
+    # an interval spanning many buckets must not duplicate matches
+    left = spark.createDataFrame([(17,)], "ts long")
+    right = spark.createDataFrame([(0, 100, "wide")], "lo long, hi long, tag string")
+    out = range_join(left, right, "ts", "lo", "hi", bucket_width=10)
+    assert out.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# top-k per group
+# ---------------------------------------------------------------------------
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("g1", 1), ("g1", 3), ("g1", 2), ("g2", 7)], "g string, v long"
+    )
+    out = top_k_per_group(df, ["g"], [("v", False)], k=2)
+    assert rows_set(out, "g", "v", "rn") == {
+        ("g1", 3, 1), ("g1", 2, 2), ("g2", 7, 1),
+    }
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+
+def test_set_ops(spark):
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,)], "x long")
+    b = spark.createDataFrame([(2,), (4,)], "x long")
+    assert rows_set(union_distinct(a, b), "x") == {(1,), (2,), (3,), (4,)}
+    assert rows_set(intersect(a, b), "x") == {(2,)}
+    assert rows_set(except_distinct(a, b), "x") == {(1,), (3,)}
+    assert except_all(a, b).filter("x = 2").count() == 1  # multiset semantics
+    mismatched = spark.createDataFrame([(1,)], "y long")
+    with pytest.raises(QueryError):
+        union_err = intersect(a, mismatched)
+
+
+# ---------------------------------------------------------------------------
+# SEMI / ANTI traverse hops (engine-level)
+# ---------------------------------------------------------------------------
+
+
+def _employment(db):
+    setup_join_fixture(db)
+    # alex→ibm, bob→google (others unemployed), per join_test.cpp style
+    db.connect("WORKS_AT", ("users", 0), ("companies", 0))
+    db.connect("WORKS_AT", ("users", 1), ("companies", 1))
+    return db
+
+
+def test_semi_hop(db):
+    _employment(db)
+    q = (
+        Query.from_("u:users")
+        .traverse("u", "WORKS_AT", "c:companies", "semi")
+        .select("u.name")
+    )
+    assert rows_set(db.query(q), "u.name") == {("alex",), ("bob",)}
+
+
+def test_semi_hop_target_filter(db):
+    _employment(db)
+    q = (
+        Query.from_("u:users")
+        .traverse("u", "WORKS_AT", "c:companies", "semi")
+        .where("c.size", ">", 2000)
+        .select("u.name")
+    )
+    # only google (size 3000) passes the child filter → only bob survives
+    assert rows_set(db.query(q), "u.name") == {("bob",)}
+
+
+def test_anti_hop(db):
+    _employment(db)
+    q = (
+        Query.from_("u:users")
+        .traverse("u", "WORKS_AT", "c:companies", "anti")
+        .select("u.name")
+    )
+    assert rows_set(db.query(q), "u.name") == {("jeff",), ("sam",), ("matt",)}
+
+
+def test_semi_output_has_no_target_columns(db):
+    _employment(db)
+    q = Query.from_("u:users").traverse("u", "WORKS_AT", "c:companies", "semi")
+    df = db.query(q)
+    assert all(not c.startswith("c.") for c in df.columns)
+
+
+def test_rank_within_query(db):
+    setup_join_fixture(db)
+    q = (
+        Query.from_("u:users")
+        .select("u.name AS name", "u.age AS age")
+        .rank_within([], ["age desc"], alias="r", top=2)
+    )
+    out = db.query(q)
+    assert rows_set(out, "name", "r") == {("matt", 1), ("jeff", 2)}

@@ -126,8 +126,9 @@ class Database:
     ) -> DataFrame:
         """Node table scan (reference Database::get_table,
         src/main/database.cpp:153-172), honoring the temporal context."""
-        df = self._materialize(self._node(name))
-        if self.versioning:
+        t = self._node(name)
+        df = self._materialize(t)
+        if t.versioned:
             df = resolve_as_of(df, valid_time, tx_time)
         return df
 
@@ -223,11 +224,17 @@ class Database:
         df: DataFrame,
         id_col: str = ID_COL,
         resume_counter: bool = True,
+        pre_versioned: bool = False,
     ) -> None:
         """Zero-copy registration of an existing DataFrame as a node table
         (the scale path — e.g. a parquet scan). The id column is renamed to
         ``id``; the per-schema counter resumes past max(id) unless
         ``resume_counter=False`` (read-only analytical use — skips the scan).
+
+        ``pre_versioned=True`` accepts a frame that already carries the
+        bitemporal version columns (valid_from/valid_to/tx_from/tx_to/
+        version_id) — e.g. a version-history parquet written by a prior
+        commit; ``get_table`` then resolves AS-OF reads against it.
         """
         if name in self.catalog.node_schemas:
             raise SchemaError(f"schema already exists: {name}")
@@ -237,15 +244,27 @@ class Database:
             raise SchemaError("register_node_table requires an id column")
         df = df.withColumn(ID_COL, F.col(ID_COL).cast("long"))
         df = df.select(ID_COL, *[c for c in df.columns if c != ID_COL])
-        struct = T.StructType(df.schema.fields)
+        if pre_versioned:
+            missing = [c for c in VERSION_COLS if c not in df.columns]
+            if missing:
+                raise SchemaError(f"pre_versioned frame lacks {missing}")
+            struct = T.StructType(
+                [f for f in df.schema.fields if f.name not in VERSION_COLS]
+            )
+        else:
+            struct = T.StructType(df.schema.fields)
         self.catalog.node_schemas[name] = NodeSchema(name=name, struct=struct)
         if resume_counter:
             hi = df.agg(F.max(ID_COL)).first()[0]
             self.catalog.node_id_counters[name] = int(hi) + 1 if hi is not None else 0
-        frame = stamp_initial_version(df, self.clock()) if self.versioning else df
-        self._nodes[name] = _Table(
-            struct=struct, frame=frame, versioned=self.versioning
-        )
+        versioned = self.versioning or pre_versioned
+        if pre_versioned:
+            frame = df
+        elif self.versioning:
+            frame = stamp_initial_version(df, self.clock())
+        else:
+            frame = df
+        self._nodes[name] = _Table(struct=struct, frame=frame, versioned=versioned)
 
     def register_edge_table(
         self,

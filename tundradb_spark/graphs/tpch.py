@@ -23,7 +23,62 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession, functions as F
 
+from tundradb_spark.catalog import MAX_TS
 from tundradb_spark.database import Database
+
+#: valid-time at which the synthetic "reprice" update happens (see
+#: load_versioned_orders)
+REPRICE_VT = 1_000
+
+
+def load_versioned_orders(spark: SparkSession, sf_dir: str) -> Database:
+    """A bitemporally versioned ``orders_v`` node table built
+    deterministically from the orders scan, exercising the reference's
+    version-chain model (include/memory/node_arena.hpp:40-81,
+    docs/README_temporal_versioning.md:78-100) at driver-data scale:
+
+    - version 0: every order as created at vt=0; for 'F' (fulfilled) orders
+      the valid interval is closed at REPRICE_VT by a later update.
+    - version 1: the update — 'F' orders get o_totalprice doubled (an exact
+      IEEE-754 scaling, so oracle comparison is bit-stable), valid from
+      REPRICE_VT, open-ended.
+
+    AS-OF vt < REPRICE_VT sees original prices; vt >= REPRICE_VT sees the
+    repriced rows. Resolution is ``resolve_as_of``: an interval filter that
+    pushes to the scan plus one per-id window pick.
+    """
+    db = Database(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    max_ts = F.lit(MAX_TS).cast("long")
+    zero = F.lit(0).cast("long")
+    is_f = F.col("o_orderstatus") == "F"
+    v0 = (
+        orders.withColumn("valid_from", zero)
+        .withColumn(
+            "valid_to",
+            F.when(is_f, F.lit(REPRICE_VT).cast("long")).otherwise(max_ts),
+        )
+        .withColumn("tx_from", zero)
+        .withColumn("tx_to", max_ts)
+        .withColumn("version_id", zero)
+    )
+    v1 = (
+        orders.filter(is_f)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("valid_from", F.lit(REPRICE_VT).cast("long"))
+        .withColumn("valid_to", max_ts)
+        .withColumn("tx_from", F.lit(REPRICE_VT).cast("long"))
+        .withColumn("tx_to", max_ts)
+        .withColumn("version_id", F.lit(1).cast("long"))
+    )
+    db.register_node_table(
+        "orders_v",
+        v0.unionByName(v1),
+        "o_orderkey",
+        resume_counter=False,
+        pre_versioned=True,
+    )
+    return db
 
 
 def load_graph(spark: SparkSession, sf_dir: str) -> Database:

@@ -162,7 +162,15 @@ _MIRROR = {
     TraverseType.LEFT: TraverseType.RIGHT,
     TraverseType.RIGHT: TraverseType.LEFT,
     TraverseType.FULL: TraverseType.FULL,
+    # a reversed-bound SEMI/ANTI hop still filters the already-bound alias
+    # by edge existence, so the semantics are direction-symmetric
+    TraverseType.SEMI: TraverseType.SEMI,
+    TraverseType.ANTI: TraverseType.ANTI,
 }
+
+# hops that prune the parent frontier directly (INNER semantics for the
+# FROM-root liveness rule)
+_PRUNING = (TraverseType.INNER, TraverseType.SEMI, TraverseType.ANTI)
 
 
 @dataclass
@@ -300,13 +308,11 @@ class MatchCompiler:
         # (src/query/join.cpp:119-137, 243-260).
         from_is_outer = any(
             (not h.reversed_build and h.written_type in (TraverseType.LEFT, TraverseType.FULL))
-            or (h.reversed_build and h.written_type is not TraverseType.INNER)
+            or (h.reversed_build and h.written_type not in _PRUNING)
             for h in from_hops
         )
         if from_hops and not from_is_outer:
-            has_inner = any(
-                h.build_type is TraverseType.INNER for h in from_hops
-            )
+            has_inner = any(h.build_type in _PRUNING for h in from_hops)
             if not has_inner:  # all RIGHT: require ≥1 live connection
                 cond = F.lit(False)
                 for h in from_hops:
@@ -382,6 +388,18 @@ class MatchCompiler:
         pkey, ckey = f"{alias}.id", f"{bh.child_alias}.id"
         jt = bh.build_type
         self_join = self.alias_schema[alias] == self.alias_schema[bh.child_alias]
+
+        # SEMI/ANTI (J14 extension): filter the parent by edge existence into
+        # the (filtered) child subtree; target columns never enter the output.
+        # Physically: one semi-join edge→child, one semi/anti-join parent→edge
+        # — both hash joins on ids, no row amplification.
+        if jt in (TraverseType.SEMI, TraverseType.ANTI):
+            hit = (
+                edf.join(sub, _bt(ccol) == _bt(ckey), "semi")
+                .select(_bt(pcol).alias("__hit"))
+            )
+            how = "semi" if jt is TraverseType.SEMI else "anti"
+            return parent.join(hit, _bt(pkey) == _bt("__hit"), how)
 
         # matched paths: parent —edge→ surviving child subtree
         matched = parent.join(edf, _bt(pkey) == _bt(pcol), "inner").join(
@@ -498,6 +516,23 @@ def apply_post_ops(df: DataFrame, q: Query) -> DataFrame:
             df = df.groupBy([_bt(c) for c in spec.group_cols]).agg(*aggs)
         else:
             df = df.agg(*aggs)
+    if q.rank_spec is not None:
+        from tundradb_spark.operators.relational import top_k_per_group
+
+        rs = q.rank_spec
+        if rs.top is not None:
+            df = top_k_per_group(
+                df, rs.partition_by, rs.order_by, rs.top, rs.alias, rs.fn
+            )
+        else:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy([_bt(c) for c in rs.partition_by]).orderBy(
+                [_bt(c).asc() if asc else _bt(c).desc() for c, asc in rs.order_by]
+            )
+            from tundradb_spark.operators.relational import _RANK_FNS
+
+            df = df.withColumn(rs.alias, _RANK_FNS[rs.fn]().over(w))
     if q.distinct_flag:
         df = df.distinct()
     if q.order_by_specs:

@@ -88,17 +88,30 @@ def minhash_signature(
     fully codegen'd projection (no shuffle, no UDF).
     """
     params = minhash_params(num_hashes, seed)
-    # hash each shingle ONCE (md5 dominates); the universal-hash family is
-    # cheap integer arithmetic over the shared base hashes
-    hs = F.transform(char_shingles(F.col(text_col), shingle_k), h32)
+    # Hash each shingle ONCE (md5 dominates). The base-hash array MUST be
+    # materialized in its own projection: inlining it into the 12 _mh
+    # expressions would re-run the md5 of every shingle per hash function
+    # (12× compute — measured ~100s→~4s at sf0.1). CollapseProject keeps the
+    # two projections separate because "hs" is referenced many times and is
+    # not a cheap expression.
+    # distinct=False: min() is duplicate-invariant, so skipping
+    # array_distinct's O(len²) pass changes nothing in the signature
+    hashed = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.transform(
+            char_shingles(F.col(text_col), shingle_k, distinct=False), h32
+        ).alias("hs"),
+    )
 
     def _mh(a: int, b: int) -> Column:
         return F.array_min(
-            F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P)
+            F.transform(
+                F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P
+            )
         )
 
     sig = F.array(*[_mh(a, b) for a, b in params])
-    return docs.select(F.col(id_col).cast("long").alias(id_col), sig.alias("sig"))
+    return hashed.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -122,10 +135,19 @@ def minhash_lsh_pairs(
     Returns distinct ``id_a < id_b`` pairs.
     """
     r = num_hashes // bands
-    sigs = minhash_signature(docs, text_col, id_col, num_hashes, shingle_k, seed)
+    # persist the signatures: the LSH self-join reads them twice, and the
+    # md5-per-shingle signature pass dominates cost. At cluster scale this
+    # is the standard "materialize signatures" step (n_docs × num_hashes
+    # longs — tiny next to the corpus).
+    sigs = minhash_signature(
+        docs, text_col, id_col, num_hashes, shingle_k, seed
+    ).persist()
     banded = sigs.select(
         F.col(id_col),
-        F.explode(
+        # explode_outer: keeps InferFiltersFromGenerate from pushing a
+        # size()>0 filter below the projection, which would re-inline (and
+        # recompute) the whole signature expression in the scan filter
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(
@@ -178,21 +200,29 @@ def simhash(
     ``bits`` codegen'd array filters — narrow, shuffle-free, and exactly
     reproducible in SQL.
     """
+    # Materialize token hashes once — inlining them into every bit term
+    # would recompute the md5 of every token ``bits`` times (32× compute).
     toks = _tokens(F.col(text_col))
-    n = F.size(toks)
-    hashes = F.transform(toks, h32)
+    hashed = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.transform(toks, h32).alias("hh"),
+    )
+    n = F.col("n_tokens")
 
     def _bit_term(i: int) -> Column:
-        cnt = F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << i)) != 0))
+        cnt = F.size(
+            F.filter(F.col("hh"), lambda h: h.bitwiseAND(F.lit(1 << i)) != 0)
+        )
         return F.when(cnt * 2 > n, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
 
     value = None
     for i in range(bits):
         term = _bit_term(i)
         value = term if value is None else value + term
-    return docs.select(
-        F.col(id_col).cast("long").alias(id_col),
-        n.alias("n_tokens"),
+    return hashed.select(
+        F.col(id_col),
+        n,
         value.alias("simhash"),
     )
 
@@ -215,12 +245,17 @@ def simhash_pairs(
     """
     bands = bits // band_bits
     assert max_hamming <= bands - 1, "banding misses pairs beyond bands-1 bits"
-    sh = simhash(docs, text_col, id_col, bits)
+    # persisted for the same reason as minhash_lsh_pairs: both join sides
+    # read the hash, and computing it dominates
+    sh = simhash(docs, text_col, id_col, bits).persist()
     mask = (1 << band_bits) - 1
     banded = sh.select(
         id_col,
         "simhash",
-        F.explode(
+        # explode_outer: keeps InferFiltersFromGenerate from pushing a
+        # size()>0 filter below the projection, which would re-inline (and
+        # recompute) the whole signature expression in the scan filter
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(
@@ -268,14 +303,38 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     block_col: str | None = "lang",
 ) -> DataFrame:
-    """Exact token-``n``-gram Jaccard similarity for pairs within a block.
+    """Exact token-``n``-gram Jaccard similarity via an inverted index.
 
-    Jaccard = |A ∩ B| / |A ∪ B| over distinct n-grams.  Blocking
-    (``block_col``) keeps the self-join from being all-pairs; at full scale
-    feed it LSH candidates instead of a column block.  Output:
-    ``id_a < id_b, jaccard`` (exact double, rounded to 6).
+    Jaccard = |A ∩ B| / |A ∪ B| over distinct n-grams, computed as
+    ``inter / (|A| + |B| - inter)`` where ``inter`` is a COUNT of shared
+    grams — never a per-pair array intersection.
+
+    Scale design: explode each doc's distinct grams into postings, self-join
+    on the GRAM (plus ``block_col`` if given), then groupBy the pair and
+    count.  The shuffle key is the gram — millions of distinct values — so
+    parallelism is full regardless of block cardinality, map-side combine
+    collapses the pair counts, and pairs sharing zero grams (jaccard 0,
+    i.e. everything below any positive threshold) are never generated at
+    all.  The previous formulation (block self-join + array_intersect per
+    pair) was quadratic per block and capped at ``distinct(block)`` tasks —
+    192 s vs ~8 s at sf0.1, and unusable at 100 TB.  A gram with doc-
+    frequency f contributes f² join rows; if boilerplate grams dominate a
+    real corpus, pre-filter high-df grams upstream (changes semantics, so
+    not done here).
+
+    Output: ``id_a < id_b, jaccard`` (exact double, rounded to 6) —
+    identical to the naive definition, verified against the same oracle.
     """
-    toks = _tokens(F.col(text_col))
+    # Tokenization is materialized as its own projection: inlining the
+    # regex split into the transform lambda would re-split the text once per
+    # element_at (~3·len(toks) regex evaluations per row — measured 66 s vs
+    # 8 s at sf0.1).
+    tok_df = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        *([F.col(block_col)] if block_col else []),
+        _tokens(F.col(text_col)).alias("toks"),
+    )
+    toks = F.col("toks")
     grams = F.when(
         F.size(toks) >= n,
         F.array_distinct(
@@ -287,28 +346,38 @@ def ngram_jaccard_pairs(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = docs.select(
-        F.col(id_col).cast("long").alias(id_col),
+    posting = tok_df.select(
+        F.col(id_col),
         *([F.col(block_col)] if block_col else []),
         grams.alias("grams"),
+    ).select(
+        F.col(id_col),
+        *([F.col(block_col)] if block_col else []),
+        F.size("grams").alias("n_grams"),
+        F.explode_outer("grams").alias("gram"),
     )
-    a = base.alias("a")
-    b = base.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    a, b = posting.alias("a"), posting.alias("b")
+    cond = (F.col("a.gram") == F.col("b.gram")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
-    jac = inter.cast("double") / union.cast("double")
-    return (
+    inter = F.count(F.lit(1))
+    na, nb = F.first("a.n_grams"), F.first("b.n_grams")
+    pairs = (
         a.join(b, cond)
-        .select(
+        .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(jac, 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .agg(inter.alias("inter"), na.alias("na"), nb.alias("nb"))
     )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    ).cast("double")
+    return pairs.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------

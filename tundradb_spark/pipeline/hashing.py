@@ -56,16 +56,19 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
     ]
 
 
-def char_shingles(text: Column, k: int = 5) -> Column:
-    """Distinct lowercase character k-grams of ``text`` (order of first
-    appearance; callers treat it as a set)."""
+def char_shingles(text: Column, k: int = 5, distinct: bool = True) -> Column:
+    """Lowercase character k-grams of ``text``.
+
+    ``distinct=True`` dedups (order of first appearance; callers treat it as
+    a set). Pass ``distinct=False`` for consumers that are invariant to
+    duplicates — e.g. MinHash, where ``min`` over a multiset equals ``min``
+    over its support — saving array_distinct's O(len²) comparisons."""
     lowered = F.lower(text)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))),
-            lambda i: F.substring(lowered, i, k),
-        )
+    out = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))),
+        lambda i: F.substring(lowered, i, k),
     )
+    return F.array_distinct(out) if distinct else out
 
 
 def char_shingles_sql(expr: str, k: int = 5) -> str:

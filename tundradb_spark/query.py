@@ -50,6 +50,13 @@ class TraverseType(str, Enum):
     LEFT = "left"
     RIGHT = "right"
     FULL = "full"
+    # extensions (SURVEY.md §2.4 J14): the reference uses semi/anti joins
+    # internally (INNER source-pruning is a semi-join, src/query/join.cpp:64-65;
+    # RIGHT-self subtraction an anti-join, join.cpp:187-188) but never exposes
+    # them in the language. We do: a SEMI/ANTI hop filters the source alias by
+    # edge existence without binding the target's columns into the output.
+    SEMI = "semi"
+    ANTI = "anti"
 
     @classmethod
     def parse(cls, t: "str | TraverseType") -> "TraverseType":
@@ -154,6 +161,15 @@ class AggSpec:
 
 
 @dataclass
+class RankSpec:
+    partition_by: list[str]
+    order_by: list[tuple[str, bool]]  # (col, ascending)
+    alias: str = "rn"
+    top: int | None = None
+    fn: str = "row_number"
+
+
+@dataclass
 class Query:
     """Immutable-ish query description; execute with ``Database.query``."""
 
@@ -162,6 +178,7 @@ class Query:
     clauses: list[Any] = dc_field(default_factory=list)  # Expr | Traverse in order
     select_fields: list[str] = dc_field(default_factory=list)
     agg_spec: AggSpec | None = None
+    rank_spec: RankSpec | None = None
     order_by_specs: list[tuple[str, bool]] = dc_field(default_factory=list)
     limit_n: int | None = None
     distinct_flag: bool = False
@@ -247,6 +264,29 @@ class Query:
             self.agg_spec = AggSpec(group_cols=[], aggs=[])
         out = alias or f"{fn}_{field.replace('.', '_').replace('*', 'all')}"
         self.agg_spec.aggs.append((fn.lower(), field, out, cast))
+        return self
+
+    def rank_within(
+        self,
+        partition_by: list[str],
+        order_by: list[str],
+        alias: str = "rn",
+        top: int | None = None,
+        fn: str = "row_number",
+    ) -> "Query":
+        """Window-rank extension (§2.6 — the reference has no window
+        functions). Ranks rows within each partition; ``top=k`` keeps only
+        the k best per group (rank-then-filter: the filter runs in the same
+        stage as the window, so k rows per group leave the shuffle).
+        ``order_by`` entries are ``"col [asc|desc]"`` strings."""
+        specs: list[tuple[str, bool]] = []
+        for s in order_by:
+            parts = s.rsplit(None, 1)
+            if len(parts) == 2 and parts[1].lower() in ("asc", "desc"):
+                specs.append((parts[0], parts[1].lower() == "asc"))
+            else:
+                specs.append((s, True))
+        self.rank_spec = RankSpec(list(partition_by), specs, alias, top, fn)
         return self
 
     def order_by(self, *specs: str) -> "Query":
