@@ -403,6 +403,34 @@ def q_temporal_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     return db.query(q)
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 graph analytics composed with dedup: MinHash-LSH pairs →
+    connected components → duplicate clusters (doc_id, keep_id=min of
+    cluster). Min-label propagation, one join+groupBy per round,
+    localCheckpoint between rounds."""
+    from tundradb_spark.graphs.algorithms import dedup_clusters
+    from tundradb_spark.pipeline.queries import PIPELINE_QUERIES
+
+    pairs = PIPELINE_QUERIES["q_dedup_minhash"](spark, sf_dir)
+    return dedup_clusters(pairs)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 graph analytics: 3 power iterations of PageRank over the
+    customer→nation membership edges (dangling mass redistributed; ranks
+    sum to |V| each round)."""
+    from tundradb_spark.graphs.algorithms import pagerank
+
+    db = load_graph(spark, sf_dir)
+    # per-schema IDs collide across node schemas (reference semantics); the
+    # vertex space is disambiguated by offsetting the nation side
+    e = db.get_edge_table("IN_NATION").select(
+        F.col("source_id"), (F.col("target_id") + F.lit(1_000_000)).alias("target_id")
+    )
+    pr = pagerank(e, iters=3)
+    return pr.select("vertex", F.round("rank", 6).alias("rank"))
+
+
 def q_ql_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5: TundraQL text → parser → engine (the reference's shell path,
     apps/tundra_shell.cpp:463-510)."""
@@ -436,10 +464,61 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_range_join": q_range_join,
     "q_temporal_asof": q_temporal_asof,
     "q_temporal_before": q_temporal_before,
+    "q_dup_clusters": q_dup_clusters,
+    "q_pagerank": q_pagerank,
     "q_ql_match": q_ql_match,
     # training-data pipeline operators (dedup / similarity / text / multimodal)
     **PIPELINE_QUERIES,
 }
+
+def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled power-iteration PageRank over customer→nation edges."""
+    d, reset = damping, 1.0 - damping
+    parts = [
+        "WITH edges AS (SELECT c_custkey AS u,"
+        " c_nationkey + 1000000 AS v FROM customer),",
+        "verts AS (SELECT u AS vertex FROM edges"
+        " UNION SELECT v FROM edges),",
+        "nn AS (SELECT COUNT(*) AS n FROM verts),",
+        "outdeg AS (SELECT u AS vertex, COUNT(*) AS outdeg"
+        " FROM edges GROUP BY u),",
+        "r0 AS (SELECT vertex, 1.0::DOUBLE AS rank FROM verts),",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"c{k} AS (SELECT e.v AS vertex, SUM(r.rank / o.outdeg) AS recv "
+            f"FROM edges e JOIN r{k-1} r ON e.u = r.vertex "
+            f"JOIN outdeg o ON e.u = o.vertex GROUP BY e.v),"
+        )
+        parts.append(
+            f"r{k} AS (SELECT v.vertex, {reset} + {d} * "
+            f"(COALESCE(c.recv, 0) + "
+            f"((SELECT n FROM nn) - (SELECT COALESCE(SUM(recv), 0) FROM c{k}))"
+            f" / (SELECT n FROM nn)) AS rank "
+            f"FROM verts v LEFT JOIN c{k} c ON v.vertex = c.vertex),"
+        )
+    sql = "\n".join(parts).rstrip(",")
+    return f"{sql}\nSELECT vertex, ROUND(rank, 6) AS rank FROM r{iters}"
+
+
+_PAGERANK_SQL = _pagerank_sql()
+
+_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({PIPELINE_ORACLES['q_dedup_minhash']}),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS keep_id
+FROM reach GROUP BY a
+"""
+
 
 ORACLES: dict[str, str] = {
     "q_scan_filter": """
@@ -632,6 +711,13 @@ ORACLES: dict[str, str] = {
         WHERE valid_from <= {REPRICE_VT - 500} AND {REPRICE_VT - 500} < valid_to
           AND o_orderpriority = '1-URGENT'
     """,
+    # dup clusters: transitive closure of the minhash pairs (recursive CTE)
+    # then min-reachable-id per vertex — equals min-label propagation run to
+    # convergence
+    "q_dup_clusters": _DUP_CLUSTERS_SQL,
+    # pagerank: the 3 power iterations unrolled as CTEs, dangling mass
+    # redistributed each round exactly as the engine does
+    "q_pagerank": _PAGERANK_SQL,
     "q_ql_match": """
         SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name
         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

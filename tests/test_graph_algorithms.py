@@ -1,0 +1,59 @@
+"""Tests for the graph algorithms module (SURVEY.md §7 M6 extension)."""
+
+import pytest
+
+from tests.conftest import rows_set
+from tundradb_spark.graphs import algorithms as ga
+
+
+def test_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    cc = ga.connected_components(pairs)
+    assert rows_set(cc, "vertex", "component") == {
+        (1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+    }
+
+
+def test_connected_components_chain(spark):
+    # a path graph needs diameter rounds to converge — exercises iteration
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5, 0, -1)], "id_a long, id_b long"
+    )
+    cc = ga.connected_components(pairs)
+    assert {r.component for r in cc.collect()} == {1}
+
+
+def test_dedup_clusters(spark):
+    pairs = spark.createDataFrame([(7, 3), (3, 9)], "id_a long, id_b long")
+    out = ga.dedup_clusters(pairs)
+    assert rows_set(out, "doc_id", "keep_id") == {(3, 3), (7, 3), (9, 3)}
+
+
+def test_degrees(spark):
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    assert rows_set(ga.degrees(pairs), "vertex", "degree") == {
+        (1, 2), (2, 1), (3, 1),
+    }
+
+
+def test_pagerank_cycle_uniform(spark):
+    # on a cycle every vertex has rank exactly 1.0 at every iteration
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "source_id long, target_id long"
+    )
+    pr = ga.pagerank(edges, iters=5)
+    for r in pr.collect():
+        assert r.rank == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_star_sink_gets_mass(spark):
+    # hub → spokes: the hub is dangling-fed only; spokes receive hub mass
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "source_id long, target_id long"
+    )
+    pr = {r.vertex: r.rank for r in ga.pagerank(edges, iters=10).collect()}
+    assert pr[1] == pytest.approx(pr[2]) == pytest.approx(pr[3])
+    assert pr[1] > pr[0]  # spokes out-rank the hub
+    assert sum(pr.values()) == pytest.approx(4.0, abs=1e-6)  # mass conserved

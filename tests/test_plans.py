@@ -1,0 +1,86 @@
+"""Physical-plan regression tests: pin the scale-critical plan properties
+(pushdown, pruning, broadcast, no nested-loop joins, bounded shuffles) for
+the headline driver-contract queries at sf0.001. A change that silently
+de-optimizes a plan fails here instead of surfacing as a cluster slowdown.
+"""
+
+import pytest
+
+import __spark_entry__ as entry
+from tundradb_spark.plans import audit
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qdfs(spark):
+    qs = entry.queries()
+    return {name: qs[name](spark, SF) for name in (
+        "q_scan_filter", "q_inner_join", "q_two_hop", "q_edge_props",
+        "q_agg_pricing", "q_semi_join", "q_asof_join", "q_range_join",
+        "q_temporal_asof",
+    )}
+
+
+def test_scan_filter_pushdown_and_pruning(qdfs):
+    df = qdfs["q_scan_filter"]
+    # the acctbal predicate must reach the parquet scan...
+    audit.assert_filter_pushed(df, "c_acctbal")
+    # ...and untouched columns must not be read at all
+    audit.assert_column_pruned(df, "c_nationkey")
+
+
+def test_inner_join_broadcasts_dimension(qdfs):
+    # nation (25 rows) must broadcast, never shuffle the fact side
+    audit.assert_broadcast(qdfs["q_inner_join"], at_least=1)
+    audit.assert_no_nested_loop(qdfs["q_inner_join"])
+
+
+def test_two_hop_all_broadcast_no_shuffle(qdfs):
+    df = qdfs["q_two_hop"]
+    # both dimension hops broadcast → ZERO shuffle exchanges end-to-end
+    audit.assert_broadcast(df, at_least=2)
+    assert audit.count_exchanges(df) == 0, audit.formatted_plan(df)
+
+
+def test_edge_props_filter_pushdown(qdfs):
+    df = qdfs["q_edge_props"]
+    # edge-property predicate (l_quantity) and node predicate (p_size) both
+    # reach their scans
+    audit.assert_filter_pushed(df, "l_quantity")
+    audit.assert_filter_pushed(df, "p_size")
+    audit.assert_no_nested_loop(df)
+
+
+def test_agg_partial_before_shuffle(qdfs):
+    # Q1-shaped agg: exactly one shuffle (the final groupBy exchange);
+    # map-side partial aggregation keeps shuffle volume at
+    # distinct-groups × tasks
+    df = qdfs["q_agg_pricing"]
+    assert audit.count_exchanges(df) <= 1, audit.formatted_plan(df)
+    assert "partial" in audit.formatted_plan(df).lower()
+
+
+def test_no_nested_loops_anywhere(qdfs):
+    for name, df in qdfs.items():
+        audit.assert_no_nested_loop(df)
+
+
+def test_asof_single_shuffle(qdfs):
+    # union-sort as-of join: at most one shuffle for the window partition
+    # (plus none for the unions)
+    df = qdfs["q_asof_join"]
+    assert audit.count_exchanges(df) <= 1, audit.formatted_plan(df)
+
+
+def test_temporal_filter_pushdown(qdfs):
+    # The AS-OF interval filter must reach the scans. Here the version
+    # columns are synthesized from literals (load_versioned_orders), so
+    # Catalyst constant-folds `valid_from <= vt < valid_to` per union branch
+    # down to the branch's defining predicate (o_orderstatus) — i.e. the
+    # visibility condition became a pushed parquet filter, which is exactly
+    # the behavior that prunes invisible version rows at scan time on a
+    # physical version-history table.
+    df = qdfs["q_temporal_asof"]
+    pushed = " ".join(audit.scan_pushed_filters(df))
+    assert "o_orderstatus" in pushed, pushed

@@ -1,0 +1,106 @@
+"""Scalar function surface (SURVEY.md §2.9).
+
+The reference exposes exactly four scalar capabilities (everything else —
+math/date/JSON — is absent): string predicates CONTAINS/STARTS_WITH/
+ENDS_WITH (include/query/query.hpp:74-84, eval src/query/query.cpp:181-199),
+array append (include/common/types.hpp:129-133), map key access
+(FieldRef::nested_path, include/query/query.hpp:107-161), and literal
+parsing/coercion in the shell (apps/tundra_shell.cpp:205-377). This module
+is their engine-level home; the MATCH compiler and DML paths build on it.
+
+Parity notes:
+- ``null_safe_eq``: the reference's ``Eq`` treats ``NULL = NULL`` as true
+  (src/query/query.cpp:84-96) — NOT SQL three-valued logic — hence ``<=>``.
+- string predicates are implemented correctly; the reference's vectorized
+  path silently degrades them to equality (src/query/query.cpp:635-649), a
+  bug SURVEY.md says not to replicate.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, functions as F
+
+# -- string predicates (SF1) -------------------------------------------------
+
+
+def contains(col: Column, needle: str) -> Column:
+    return col.contains(needle)
+
+
+def starts_with(col: Column, prefix: str) -> Column:
+    return col.startswith(prefix)
+
+
+def ends_with(col: Column, suffix: str) -> Column:
+    return col.endswith(suffix)
+
+
+# -- null-safe comparison (F3 parity) ----------------------------------------
+
+
+def null_safe_eq(col: Column, value: Any) -> Column:
+    """``NULL = NULL → true`` (reference semantics, not SQL 3VL)."""
+    return col.eqNullSafe(value if isinstance(value, Column) else F.lit(value))
+
+
+def null_safe_ne(col: Column, value: Any) -> Column:
+    return ~null_safe_eq(col, value)
+
+
+# -- array append (SF2) ------------------------------------------------------
+
+
+def array_append_value(col: Column, value: Any) -> Column:
+    """``UPDATE ... APPEND`` single-element semantics
+    (include/core/update_type.hpp:13-16): appending to a NULL array starts a
+    fresh one, as the reference's Value-level concat does."""
+    arr = F.coalesce(col, F.array())
+    return F.concat(arr, F.array(F.lit(value)))
+
+
+def array_append_all(col: Column, values: list[Any]) -> Column:
+    arr = F.coalesce(col, F.array())
+    return F.concat(arr, F.array(*[F.lit(v) for v in values]))
+
+
+# -- map key access (SF3) ----------------------------------------------------
+
+
+def map_get(col: Column, *path: str) -> Column:
+    """Nested path read ``u.props.role`` → ``element_at`` chain. One level in
+    the reference (map<string, value>); chaining supports nested maps."""
+    for key in path:
+        col = F.element_at(col, key)
+    return col
+
+
+# -- literal coercion (SF4) --------------------------------------------------
+
+_TRUE = {"true", "t", "yes", "1"}
+_FALSE = {"false", "f", "no", "0"}
+
+
+def coerce_literal(text: str, target_type: str) -> Any:
+    """Python-side literal coercion mirroring the shell's parseValueForField
+    (apps/tundra_shell.cpp:205-377): strip quotes, parse numerics/bools by
+    the field's declared type. Used by the TundraQL front end."""
+    t = target_type.lower()
+    s = text.strip()
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
+        s = s[1:-1]
+    if s.upper() == "NULL":
+        return None
+    if t in ("long", "bigint", "int64", "int", "integer", "int32"):
+        return int(float(s)) if "." in s else int(s)
+    if t in ("double", "float64", "float"):
+        return float(s)
+    if t in ("boolean", "bool"):
+        low = s.lower()
+        if low in _TRUE:
+            return True
+        if low in _FALSE:
+            return False
+        raise ValueError(f"cannot coerce {text!r} to boolean")
+    return s

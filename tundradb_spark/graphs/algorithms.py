@@ -1,0 +1,153 @@
+"""Distributed graph algorithms over node/edge DataFrames (SURVEY.md §7 M6:
+the GraphFrames-style analytics extension — the reference has no graph
+algorithms at all, only pattern-match traversal).
+
+Implemented directly as iterative DataFrame programs (GraphFrames is not a
+container dependency) with the standard scale disciplines:
+
+- each iteration is one shuffle on the vertex/edge key;
+- iteration state is ``localCheckpoint``-ed every round to cut the growing
+  lineage (without it, round k re-executes rounds 1..k-1 — quadratic work
+  and an eventual stack overflow in the planner);
+- convergence checks are single scalar aggregations, not collects of data.
+
+``connected_components`` composes with the dedup operators: the duplicate
+PAIRS from minhash/simhash/embedding LSH become duplicate CLUSTERS (pick
+``min(component)`` as the canonical doc — the standard corpus-dedup step).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _sym_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Symmetrized, deduped edge list (u, v) with both directions."""
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).filter(
+        F.col("u") != F.col("v")
+    ).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Label every vertex with the MIN vertex id reachable from it.
+
+    Min-label propagation: each round every vertex takes the minimum of its
+    own label and its neighbors' labels; stops when no label changes. Rounds
+    needed = graph diameter (dedup clusters are near-cliques → 2-3 rounds);
+    each round is one join + one groupBy on the vertex key.
+
+    Returns ``(vertex, component)`` — component = min id of the cluster.
+    """
+    edges = _sym_edges(pairs, src, dst).localCheckpoint()
+    labels = (
+        edges.select(F.col("u").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        # neighbor labels: for each vertex, min label among its neighbors
+        nbr = (
+            edges.join(labels, edges["v"] == labels["vertex"], "inner")
+            .groupBy(F.col("u").alias("vertex"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "vertex", "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce("nbr_min", F.col("component")) < F.col("component")
+                ).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter("changed").limit(1).count()
+        labels = new_labels.drop("changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: ``(doc_id, keep_id)`` where
+    ``keep_id`` is the cluster's canonical (minimum) id. Rows with
+    ``doc_id == keep_id`` are the survivors; the rest are the removal set."""
+    cc = connected_components(pairs, src, dst)
+    return cc.select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("keep_id")
+    )
+
+
+def degrees(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame:
+    """Undirected degree per vertex — one explode-free groupBy."""
+    return (
+        _sym_edges(pairs, src, dst)
+        .groupBy(F.col("u").alias("vertex"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "source_id",
+    dst: str = "target_id",
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """Standard power-iteration PageRank over a directed edge DataFrame.
+
+    Each iteration: one join (rank × out-degree) + one groupBy on the
+    destination (contributions), checkpointed. Dangling-node mass is
+    redistributed uniformly so ranks sum to |V| every round (the convention
+    GraphX uses with ``resetProb = 1 - damping``).
+
+    Returns ``(vertex, rank)``.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    verts = (
+        e.select(F.col("u").alias("vertex"))
+        .union(e.select(F.col("v").alias("vertex")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = verts.count()
+    outdeg = e.groupBy(F.col("u").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    ranks = verts.withColumn("rank", F.lit(1.0)).localCheckpoint()
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks, e["u"] == ranks["vertex"], "inner")
+            .join(outdeg, "vertex", "inner")
+            .select(F.col("v").alias("vertex"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("vertex")
+            .agg(F.sum("c").alias("recv"))
+        )
+        # dangling mass: total rank not passed along any edge
+        total_recv = contribs.agg(F.sum("recv")).first()[0] or 0.0
+        dangling = n - total_recv  # ranks sum to n each round
+        ranks = (
+            verts.join(contribs, "vertex", "left")
+            .select(
+                "vertex",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (F.coalesce("recv", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

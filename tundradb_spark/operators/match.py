@@ -93,14 +93,16 @@ def compile_expr(expr: Expr) -> Column:
         left, right = compile_expr(expr.left), compile_expr(expr.right)
         return left & right if expr.op == "AND" else left | right
     if isinstance(expr, Compare):
+        from tundradb_spark.functions import scalar as sf
+
         col = _bt(f"{expr.ref.alias}.{expr.ref.field}")
-        for key in expr.ref.nested_path:
-            col = F.element_at(col, key)
+        if expr.ref.nested_path:
+            col = sf.map_get(col, *expr.ref.nested_path)
         op, v = expr.op, expr.value
         if op is CompareOp.EQ:
-            return col.eqNullSafe(F.lit(v))
+            return sf.null_safe_eq(col, v)
         if op is CompareOp.NE:
-            return ~col.eqNullSafe(F.lit(v))
+            return sf.null_safe_ne(col, v)
         if op is CompareOp.GT:
             return col > v
         if op is CompareOp.LT:
@@ -110,11 +112,11 @@ def compile_expr(expr: Expr) -> Column:
         if op is CompareOp.LE:
             return col <= v
         if op is CompareOp.CONTAINS:
-            return col.contains(v)
+            return sf.contains(col, v)
         if op is CompareOp.STARTS_WITH:
-            return col.startswith(v)
+            return sf.starts_with(col, v)
         if op is CompareOp.ENDS_WITH:
-            return col.endswith(v)
+            return sf.ends_with(col, v)
     raise QueryError(f"cannot compile expression: {expr!r}")
 
 
