@@ -403,6 +403,29 @@ def q_temporal_before(spark: SparkSession, sf_dir: str) -> DataFrame:
     return db.query(q)
 
 
+def q_shared_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 multi-pattern conjunction with a shared alias + reversed binding:
+    (c:customer)-[:IN_NATION]->(n:nation)<-[:SUPP_IN_NATION]-(s:supplier).
+    The supplier hop BINDS its source via the reversed pattern and the two
+    patterns intersect on the shared nation alias (INNER ID-set
+    intersection, reference src/query/join.cpp:51-76)."""
+    db = load_graph(spark, sf_dir)
+    q = (
+        Query.from_("c:customer")
+        .where("c.c_acctbal", ">", 9800.0)
+        .traverse("c", "IN_NATION", "n:nation", "inner")
+        .traverse("s:supplier", "SUPP_IN_NATION", "n:nation", "inner")
+        .where("s.s_acctbal", ">", 9000.0)
+        .select(
+            "c.id AS c_custkey",
+            "n.n_name AS n_name",
+            "s.id AS s_suppkey",
+            "s.s_name AS s_name",
+        )
+    )
+    return db.query(q)
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 graph analytics composed with dedup: MinHash-LSH pairs →
     connected components → duplicate clusters (doc_id, keep_id=min of
@@ -429,6 +452,51 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(e, iters=3)
     return pr.select("vertex", F.round("rank", 6).alias("rank"))
+
+
+def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 extension: Structured Streaming windowed aggregation, run to
+    completion with an availableNow trigger + memory sink so the result is
+    batch-equivalent (and therefore SQL-oracle-checkable): daily event
+    counts and value totals per event type. The same pipeline with a live
+    source is an unbounded stream whose watermark bounds state."""
+    import os
+    import tempfile
+    import uuid
+
+    from tundradb_spark.streaming.ops import windowed_event_counts
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source requires a DIRECTORY to monitor; the testdata
+    # table is a single parquet file, so stage a symlink dir (at scale the
+    # source would already be a directory of arriving files)
+    stage = tempfile.mkdtemp(prefix="qsw_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(stage)
+        .withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = windowed_event_counts(
+        stream, window="1 day", watermark="2 hours", ts_col="ts_t"
+    )
+    name = "qsw_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        F.col("event_type"),
+        F.col("n_events"),
+        F.round(F.col("total_value"), 6).alias("total_value"),
+    )
 
 
 def q_ql_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,6 +532,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_range_join": q_range_join,
     "q_temporal_asof": q_temporal_asof,
     "q_temporal_before": q_temporal_before,
+    "q_shared_alias": q_shared_alias,
+    "q_stream_window": q_stream_window,
     "q_dup_clusters": q_dup_clusters,
     "q_pagerank": q_pagerank,
     "q_ql_match": q_ql_match,
@@ -710,6 +780,25 @@ ORACLES: dict[str, str] = {
         FROM v
         WHERE valid_from <= {REPRICE_VT - 500} AND {REPRICE_VT - 500} < valid_to
           AND o_orderpriority = '1-URGENT'
+    """,
+    "q_shared_alias": """
+        SELECT c.c_custkey AS c_custkey, n.n_name AS n_name,
+               s.s_suppkey AS s_suppkey, s.s_name AS s_name
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > 9800.0 AND s.s_acctbal > 9000.0
+    """,
+    # daily tumbling windows are epoch-aligned in both engines (86400s
+    # divides the 2000-01-03 time_bucket origin offset, and we floor epoch
+    # micros directly instead of relying on it)
+    "q_stream_window": """
+        SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS window_start_us,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS total_value
+        FROM events
+        GROUP BY 1, 2
     """,
     # dup clusters: transitive closure of the minhash pairs (recursive CTE)
     # then min-reachable-id per vertex — equals min-label propagation run to
