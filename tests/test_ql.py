@@ -206,3 +206,35 @@ class TestInterpreter:
             "SELECT u.name, f.name, c.name;"
         )
         assert rows_set(df) == {("alice", "bob", None), ("carol", "dave", None)}
+
+
+class TestQLSemiAnti:
+    """SEMI/ANTI join keywords — engine extension beyond the reference
+    grammar (antlr/TundraQL.g4:88 has only INNER/LEFT/RIGHT/FULL)."""
+
+    def test_semi_hop(self, qldb):
+        df = qldb.sql("MATCH (u:User)-[:FRIEND SEMI]->(f:User) SELECT u.name;")
+        names = {r[0] for r in df.collect()}
+        full = qldb.sql(
+            "MATCH (u:User)-[:FRIEND]->(f:User) SELECT u.name;"
+        )
+        assert names == {r[0] for r in full.collect()}
+        assert df.columns == ["u.name"]
+
+    def test_anti_hop(self, qldb):
+        semi = {
+            r[0]
+            for r in qldb.sql(
+                "MATCH (u:User)-[:FRIEND SEMI]->(f:User) SELECT u.name;"
+            ).collect()
+        }
+        anti = {
+            r[0]
+            for r in qldb.sql(
+                "MATCH (u:User)-[:FRIEND ANTI]->(f:User) SELECT u.name;"
+            ).collect()
+        }
+        everyone = {
+            r[0] for r in qldb.sql("MATCH (u:User) SELECT u.name;").collect()
+        }
+        assert semi | anti == everyone and not (semi & anti)

@@ -351,14 +351,16 @@ class Parser:
         if self.accept(":"):
             edge_type = self.ident()
         elif self.peek().kind == "ident" and self.peek().text not in (
-            "INNER", "LEFT", "RIGHT", "FULL",
+            "INNER", "LEFT", "RIGHT", "FULL", "SEMI", "ANTI",
         ):
             edge_alias = self.ident()
             self.expect(":")
             edge_type = self.ident()
         join = "inner"
+        # SEMI/ANTI are engine extensions beyond the reference grammar
+        # (TundraQL.g4:88 has only the four SQL join keywords)
         if self.peek().kind == "ident" and self.peek().text in (
-            "INNER", "LEFT", "RIGHT", "FULL",
+            "INNER", "LEFT", "RIGHT", "FULL", "SEMI", "ANTI",
         ):
             join = self.next().text.lower()
         self.expect("]")
