@@ -135,17 +135,27 @@ def pagerank(
             .groupBy("vertex")
             .agg(F.sum("c").alias("recv"))
         )
-        # dangling mass: total rank not passed along any edge
-        total_recv = contribs.agg(F.sum("recv")).first()[0] or 0.0
-        dangling = n - total_recv  # ranks sum to n each round
+        # dangling mass (rank not passed along any edge): carried as a lazy
+        # 1-row aggregate crossJoined in, NOT collected to the driver — the
+        # whole iteration stays one distributed plan, materialized once by
+        # the checkpoint. Ranks sum to n each round.
+        dang = contribs.agg(
+            (F.lit(float(n)) - F.coalesce(F.sum("recv"), F.lit(0.0))).alias(
+                "dangling"
+            )
+        )
         ranks = (
             verts.join(contribs, "vertex", "left")
+            .crossJoin(dang)
             .select(
                 "vertex",
                 (
                     F.lit(1.0 - damping)
                     + F.lit(damping)
-                    * (F.coalesce("recv", F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce("recv", F.lit(0.0))
+                        + F.col("dangling") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint()
