@@ -15,9 +15,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+from pyspark.sql import SparkSession
 
 import __spark_entry__ as entry_mod
-from tundradb_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
@@ -27,19 +27,20 @@ TABLES = [
 
 
 def norm(v):
+    import decimal
+
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return round(v, 9)
     if hasattr(v, "isoformat"):
         return v.isoformat()
-    try:
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return round(float(v), 9)
-    except ImportError:
-        pass
+    # Decimal is deliberately NOT coerced to float/int: the driver's value
+    # hash is type-sensitive, so a DuckDB HUGEINT/DECIMAL surfacing where
+    # Spark returns int64 must FAIL here too (round-1 lost 3 queries to a
+    # norm() that hid exactly this).
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", str(v))
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     return v
@@ -48,7 +49,17 @@ def norm(v):
 def main() -> int:
     only = set(sys.argv[1:])
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
-    spark = get_spark("check-oracle", cpus=8, shuffle_partitions=8)
+    # A deliberately PLAIN session, like the driver's: no repo confs (no
+    # nanosAsLong, no UTC timezone) — every query must set what it needs at
+    # runtime via ensure_runtime_confs. Round-1's check used get_spark() and
+    # masked a session-dependence that killed 23/38 driver queries.
+    spark = (
+        SparkSession.builder.appName("check-oracle")
+        .master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")  # perf only
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

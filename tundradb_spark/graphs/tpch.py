@@ -21,14 +21,28 @@ Catalyst prunes the edge scan down to the 2-3 columns used):
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import SparkSession, functions as F
 
 from tundradb_spark.catalog import MAX_TS
 from tundradb_spark.database import Database
+from tundradb_spark.session import ensure_runtime_confs
 
 #: valid-time at which the synthetic "reprice" update happens (see
 #: load_versioned_orders)
 REPRICE_VT = 1_000
+
+# Read-only Database instances cached per (session, sf_dir): the contract
+# queries never mutate the TPC-H graph, and re-registering 8 node + 5 edge
+# tables per query dominated the round-1 bench floor (~1.5s/query flat).
+# WeakKeyDictionary so a stopped/garbage-collected session drops its cache.
+_GRAPH_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, Database]]" = (
+    weakref.WeakKeyDictionary()
+)
+_VERSIONED_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, Database]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_versioned_orders(spark: SparkSession, sf_dir: str) -> Database:
@@ -47,6 +61,10 @@ def load_versioned_orders(spark: SparkSession, sf_dir: str) -> Database:
     repriced rows. Resolution is ``resolve_as_of``: an interval filter that
     pushes to the scan plus one per-id window pick.
     """
+    ensure_runtime_confs(spark)
+    cached = _VERSIONED_CACHE.setdefault(spark, {})
+    if sf_dir in cached:
+        return cached[sf_dir]
     db = Database(spark)
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     max_ts = F.lit(MAX_TS).cast("long")
@@ -78,10 +96,15 @@ def load_versioned_orders(spark: SparkSession, sf_dir: str) -> Database:
         resume_counter=False,
         pre_versioned=True,
     )
+    cached[sf_dir] = db
     return db
 
 
 def load_graph(spark: SparkSession, sf_dir: str) -> Database:
+    ensure_runtime_confs(spark)
+    cached = _GRAPH_CACHE.setdefault(spark, {})
+    if sf_dir in cached:
+        return cached[sf_dir]
     db = Database(spark)
     read = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")  # noqa: E731
 
@@ -165,4 +188,5 @@ def load_graph(spark: SparkSession, sf_dir: str) -> Database:
             "l_shipdate",
         ),
     )
+    cached[sf_dir] = db
     return db

@@ -410,8 +410,8 @@ PIPELINE_ORACLES: dict[str, str] = {
           FROM documents GROUP BY 1
         )
         SELECT count(*) AS n_groups,
-               sum(n_copies) AS n_docs,
-               sum(n_copies) - count(*) AS n_dup_docs,
+               CAST(sum(n_copies) AS BIGINT) AS n_docs,
+               CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dup_docs,
                max(n_copies) AS max_copies
         FROM g
     """,
@@ -428,7 +428,8 @@ PIPELINE_ORACLES: dict[str, str] = {
                       if x != '']) AS n_tokens
           FROM documents
         )
-        SELECT source, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
                round(CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
                  AS avg_tokens
@@ -441,7 +442,7 @@ PIPELINE_ORACLES: dict[str, str] = {
         SELECT CAST(floor(octet_length(encode(text)) / 100.0) AS BIGINT)
                  AS size_bucket,
                count(*) AS n_blobs,
-               sum(octet_length(encode(text))) AS total_bytes,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                count(DISTINCT md5(text)) AS n_distinct
         FROM documents
         GROUP BY 1

@@ -13,6 +13,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable confs the engine depends on to an
+    EXTERNALLY-created session (the correctness driver builds its own plain
+    ``SparkSession`` — round-1 lost 23/38 contract queries because
+    ``nanosAsLong`` was only set in :func:`get_spark`).
+
+    Only confs that Spark allows to change at runtime belong here; session
+    timezone matters for ``unix_micros``/NTZ casts, and ``nanosAsLong``
+    mirrors the reference's raw int64-nanos clock representation
+    (include/common/clock.hpp:24-33).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
 def get_spark(
     app_name: str = "tundradb-spark",
     cpus: int | None = None,
