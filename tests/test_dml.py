@@ -157,3 +157,55 @@ def test_bulk_insert_contiguous_ids(db, spark):
     assert ids == list(range(101))  # contiguous, resumes after point insert
     nxt = db.create_node("U", name="last", age=2)
     assert nxt == 101
+
+def test_update_nested_map_multi_assignment(db):
+    # Multiple nested assignments to the SAME map field in one UPDATE must
+    # all land (round-1 ADVICE: map_concat built from the original column
+    # dropped all but the last)
+    db.create_schema("User", {"name": "string", "props": "map<string,string>"})
+    db.create_node("User", name="a", props={"keep": "x"})
+    n = db.update_by_id("User", 0, {"props.a": "1", "props.b": "2"})
+    assert n == 1
+    props = db.get_table("User").collect()[0]["props"]
+    assert props == {"keep": "x", "a": "1", "b": "2"}
+
+
+def test_update_array_multi_append(db):
+    # two APPENDs to the same array in one statement accumulate
+    db.create_schema("P", {"name": "string", "tags": "array<string>"})
+    db.create_node("P", name="a", tags=["x"])
+    db.update_by_id("P", 0, {"tags": "y"}, append=True)
+    assert db.get_table("P").collect()[0]["tags"] == ["x", "y"]
+
+
+def test_update_count_matched_only(db, spark):
+    # ids absent from the table must not inflate the reported count
+    db.create_schema("U", {"name": "string", "age": "long"})
+    db.create_node("U", name="a", age=1)
+    db.create_node("U", name="b", age=2)
+    ids = spark.createDataFrame([(0,), (7,), (None,)], "id long")
+    assert db.update_nodes("U", ids, {"age": 10}) == 1
+    assert db.get_table("U").filter("age = 10").count() == 1
+
+
+def test_delete_count_matched_only(db, spark):
+    db.create_schema("U", {"name": "string", "age": "long"})
+    db.create_node("U", name="a", age=1)
+    ids = spark.createDataFrame([(0,), (42,)], "id long")
+    assert db.delete_nodes("U", ids) == 1
+    assert db.get_table("U").count() == 0
+
+
+def test_mixed_type_map_typed_access(db):
+    # reference P2 dominant-type inference: heterogeneous map values load as
+    # map<string,string>; a typed literal in a predicate forces a typed
+    # comparison and unparsable values coerce to NULL (execution.cpp:32-207)
+    db.create_schema("E", {"name": "string", "props": "map<string,string>"})
+    db.create_node("E", name="hi", props={"k": "95", "s": "abc"})
+    db.create_node("E", name="lo", props={"k": "7"})
+    db.create_node("E", name="bad", props={"k": "zzz"})
+    q = Query.from_("e:E").where("e.props.k", ">", 90).select("e.name AS name")
+    assert rows_set(db.query(q), "name") == {("hi",)}
+    # lexicographic comparison would have matched "zzz" > "90" too
+    q2 = Query.from_("e:E").where("e.props.k", "<", 10).select("e.name AS name")
+    assert rows_set(db.query(q2), "name") == {("lo",)}

@@ -189,3 +189,51 @@ def test_rank_within_query(db):
     )
     out = db.query(q)
     assert rows_set(out, "name", "r") == {("matt", 1), ("jeff", 2)}
+
+
+def test_range_join_left_keyed(spark):
+    # outer joins keep unmatched rows null-padded — the range predicate is
+    # part of the join condition, not a post-join filter (round-1 ADVICE)
+    left = spark.createDataFrame([(1, 5), (1, 99), (3, 5)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 0, 10, "r1")], "k long, lo long, hi long, tag string"
+    )
+    out = range_join(left, right, "ts", "lo", "hi", on="k", how="left")
+    assert rows_set(out, "ts", "tag") == {(5, "r1"), (99, None), (5, None)}
+
+
+def test_range_join_semi_anti_keyed(spark):
+    left = spark.createDataFrame([(1, 5), (1, 99), (3, 5)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 0, 10, "r1")], "k long, lo long, hi long, tag string"
+    )
+    semi = range_join(left, right, "ts", "lo", "hi", on="k", how="semi")
+    assert rows_set(semi, "k", "ts") == {(1, 5)}
+    anti = range_join(left, right, "ts", "lo", "hi", on="k", how="anti")
+    assert rows_set(anti, "k", "ts") == {(1, 99), (3, 5)}
+
+
+def test_range_join_full_keyed(spark):
+    left = spark.createDataFrame([(1, 5), (2, 5)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 0, 10, "r1"), (9, 0, 10, "r9")],
+        "k long, lo long, hi long, tag string",
+    )
+    out = range_join(left, right, "ts", "lo", "hi", on="k", how="full")
+    assert rows_set(out, "k", "ts", "tag") == {
+        (1, 5, "r1"),
+        (2, 5, None),
+        (9, None, "r9"),
+    }
+
+
+def test_range_join_left_bucketed(spark):
+    left = spark.createDataFrame([(5,), (999,)], "ts long")
+    right = spark.createDataFrame(
+        [(0, 10, "a")], "lo long, hi long, tag string"
+    )
+    out = range_join(left, right, "ts", "lo", "hi", bucket_width=8, how="left")
+    assert rows_set(out, "ts", "tag") == {(5, "a"), (999, None)}
+    # right/full in bucketed mode would duplicate unmatched exploded rows
+    with pytest.raises(QueryError):
+        range_join(left, right, "ts", "lo", "hi", bucket_width=8, how="full")

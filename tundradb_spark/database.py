@@ -355,18 +355,33 @@ class Database:
                 ids.append(eid)
         return ids
 
-    def _resolve_selector(self, sel: tuple[str, Any]) -> list[int]:
+    #: property-match selectors in point DML collect matched ids to the
+    #: driver; cap it so a broad selector on a huge table cannot OOM the
+    #: driver — bulk paths (bulk_connect / delete_edges) stay distributed
+    MAX_SELECTOR_IDS = 10_000
+
+    def _selector_df(self, sel: tuple[str, Any]) -> DataFrame:
+        """Selector as a distributed id set (single ``id`` column)."""
         schema, key = sel
         df = self.get_table(schema)
         if isinstance(key, int):
-            hit = df.filter(F.col(ID_COL) == key).count()
-            return [key] if hit else []
+            return df.filter(F.col(ID_COL) == key).select(ID_COL)
         if isinstance(key, dict):
             cond = F.lit(True)
             for k, v in key.items():
                 cond = cond & F.col(k).eqNullSafe(F.lit(v))
-            return [r[0] for r in df.filter(cond).select(ID_COL).collect()]
+            return df.filter(cond).select(ID_COL)
         raise QueryError(f"bad selector: {sel!r}")
+
+    def _resolve_selector(self, sel: tuple[str, Any]) -> list[int]:
+        ids_df = self._selector_df(sel)
+        rows = ids_df.limit(self.MAX_SELECTOR_IDS + 1).collect()
+        if len(rows) > self.MAX_SELECTOR_IDS:
+            raise QueryError(
+                f"selector {sel!r} matches more than {self.MAX_SELECTOR_IDS} "
+                "nodes; use the bulk API (bulk_connect / delete_edges) instead"
+            )
+        return [r[0] for r in rows]
 
     # ---------------------------------------------------------------- query
     def query(self, q: Query) -> DataFrame:
@@ -425,11 +440,15 @@ class Database:
         marked = df.join(F.broadcast(ids), df[ID_COL] == F.col("__uid"), "left")
 
         if not self.versioning:
+            # count rows actually touched (requested ids absent from the
+            # table — or NULL ids from outer-padded MATCH results — must not
+            # inflate the reported count)
+            n_hit = marked.filter(hit).count()
             out = marked
             for name, col in new_vals.items():
                 out = out.withColumn(name, F.when(hit, col).otherwise(F.col(name)))
             t.frame = out.drop("__uid")
-            return ids.count()
+            return n_hit
 
         ts = self.clock()
         head = hit & (F.col("tx_to") == MAX_TS) & (F.col("valid_to") == MAX_TS)
@@ -483,13 +502,18 @@ class Database:
             if name not in types:
                 raise QueryError(f"unknown field: {name}")
             dt = types[name]
+            # a later assignment to the same field builds on the PENDING
+            # column, not the original one — so `SET props.a='1', props.b='2'`
+            # accumulates both keys instead of silently keeping only the last
+            # (round-1 ADVICE: map_concat from F.col dropped earlier adds)
+            current = out.get(name, F.col(name))
             if sub:
                 if not isinstance(dt, T.MapType):
                     raise QueryError(f"nested SET on non-map field: {key}")
                 addition = F.create_map(
                     F.lit(sub), F.lit(v).cast(dt.valueType)
                 )
-                base = F.coalesce(F.col(name), F.create_map().cast(dt))
+                base = F.coalesce(current, F.create_map().cast(dt))
                 col = F.map_concat(base, addition)  # LAST_WIN dedup
             elif append:
                 if not isinstance(dt, T.ArrayType):
@@ -499,12 +523,11 @@ class Database:
                     *[F.lit(e).cast(dt.elementType) for e in elems]
                 )
                 col = F.concat(
-                    F.coalesce(F.col(name), F.array().cast(dt)), addition
+                    F.coalesce(current, F.array().cast(dt)), addition
                 )
             else:
-                col = F.lit(v).cast(dt)
-            prev = out.get(name)
-            out[name] = col if prev is None else col  # later assignment wins
+                col = F.lit(v).cast(dt)  # plain SET: later assignment wins
+            out[name] = col
         return out
 
     def update_by_match(
@@ -558,11 +581,13 @@ class Database:
         new_vals = self._assignment_columns(t.struct, updates, append=False)
         ids = ids_df.select(F.col(ids_df.columns[0]).cast("long").alias("__uid"))
         hit = F.col("__uid").isNotNull()
-        out = df.join(F.broadcast(ids), df["id"] == F.col("__uid"), "left")
+        marked = df.join(F.broadcast(ids), df["id"] == F.col("__uid"), "left")
+        n_hit = marked.filter(hit).count()  # edges actually matched
+        out = marked
         for name, col in new_vals.items():
             out = out.withColumn(name, F.when(hit, col).otherwise(F.col(name)))
         t.frame = out.drop("__uid")
-        return ids.count()
+        return n_hit
 
     # --------------------------------------------------------------- delete
     def delete_node(self, schema: str, node_id: int) -> int:
@@ -580,7 +605,6 @@ class Database:
         t = self._node(schema)
         df = self._materialize(t)
         ids = ids_df.select(F.col(ids_df.columns[0]).cast("long").alias("__did"))
-        n = ids.count()
         if self.versioning:
             ts = self.clock()
             marked = df.join(F.broadcast(ids), df[ID_COL] == F.col("__did"), "left")
@@ -589,12 +613,17 @@ class Database:
                 & (F.col("tx_to") == MAX_TS)
                 & (F.col("valid_to") == MAX_TS)
             )
+            n = marked.filter(head).count()  # live rows actually closed
             # logical delete = close the head's valid interval; past AS-OF
             # reads keep seeing it (tx_to stays open — see update semantics)
             t.frame = marked.withColumn(
                 "valid_to", F.when(head, F.lit(ts)).otherwise(F.col("valid_to"))
             ).drop("__did")
         else:
+            # matched rows, not requested ids: absent ids don't count
+            n = df.join(
+                F.broadcast(ids), df[ID_COL] == F.col("__did"), "semi"
+            ).count()
             t.frame = df.join(
                 F.broadcast(ids), df[ID_COL] == F.col("__did"), "anti"
             )
@@ -616,18 +645,37 @@ class Database:
         from_selector: tuple[str, Any] | None = None,
         to_selector: tuple[str, Any] | None = None,
     ) -> int:
-        """DELETE EDGE type [FROM sel] [TO sel] (TundraQL.g4:46-50)."""
+        """DELETE EDGE type [FROM sel] [TO sel] (TundraQL.g4:46-50).
+
+        Selectors stay distributed: each resolves to an id DataFrame joined
+        against the edge endpoints (marker columns), so an arbitrarily broad
+        property selector never materializes an id list on the driver."""
         t = self._edge(etype)
         df = self._materialize(t)
+        joined = df
         cond = F.lit(True)
         if from_selector is not None:
-            ids = self._resolve_selector(from_selector)
-            cond = cond & F.col("source_id").isin(ids)
+            fdf = (
+                self._selector_df(from_selector)
+                .select(F.col(ID_COL).alias("__fid"))
+                .distinct()
+            )
+            joined = joined.join(
+                fdf, joined["source_id"] == F.col("__fid"), "left"
+            )
+            cond = cond & F.col("__fid").isNotNull()
         if to_selector is not None:
-            ids = self._resolve_selector(to_selector)
-            cond = cond & F.col("target_id").isin(ids)
-        n = df.filter(cond).count()
-        t.frame = df.filter(~cond)
+            tdf = (
+                self._selector_df(to_selector)
+                .select(F.col(ID_COL).alias("__tid"))
+                .distinct()
+            )
+            joined = joined.join(
+                tdf, joined["target_id"] == F.col("__tid"), "left"
+            )
+            cond = cond & F.col("__tid").isNotNull()
+        n = joined.filter(cond).count()
+        t.frame = joined.filter(~cond).drop("__fid", "__tid")
         return n
 
     # ----------------------------------------------------------------- SHOW
@@ -640,6 +688,28 @@ class Database:
             for name in sorted(self._edges)
         ]
         return self.spark.createDataFrame(rows, "edge_type string, count long")
+
+    # ------------------------------------------------------------- lineage
+    def compact(
+        self, node: str | None = None, edge: str | None = None
+    ) -> None:
+        """Truncate COW lineage by localCheckpoint-ing table frames.
+
+        Every mutation layers another plan node (union / when-otherwise) on
+        the frame; a long-running ingest stream would grow planning time and
+        lineage depth without bound (round-1 ADVICE). Called with no
+        arguments it compacts every table; streaming sinks call it
+        periodically for just the table they append to."""
+        tables: list[_Table] = []
+        if node is not None:
+            tables.append(self._node(node))
+        if edge is not None:
+            tables.append(self._edge(edge))
+        if node is None and edge is None:
+            tables = list(self._nodes.values()) + list(self._edges.values())
+        for t in tables:
+            if t.frame is not None:
+                t.frame = t.frame.localCheckpoint(eager=True)
 
     # -------------------------------------------------------------- snapshot
     def commit(self) -> str:
@@ -659,6 +729,10 @@ def _zip_with_contiguous_ids(df: DataFrame, first: int, col_name: str) -> DataFr
     action), then zip within partitions. O(1) shuffle — scales to any size.
     """
     spark = df.sparkSession
+    # materialize ONCE so the size pass and the attach pass see identical
+    # partitions — df.rdd evaluated twice over a nondeterministic input
+    # (post-shuffle order, sample) could misalign offsets (round-1 ADVICE)
+    df = df.localCheckpoint(eager=True)
     rdd = df.rdd
     sizes = rdd.mapPartitionsWithIndex(
         lambda i, it: [(i, sum(1 for _ in it))]

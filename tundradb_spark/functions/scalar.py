@@ -76,6 +76,25 @@ def map_get(col: Column, *path: str) -> Column:
     return col
 
 
+def cast_for_literal(col: Column, value: Any) -> Column:
+    """Typed access over mixed-type maps (reference P2 dominant-type
+    inference, src/query/execution.cpp:32-207): heterogeneous map values
+    load as the string fallback type ``map<string,string>``; when such a
+    value meets a typed literal in a predicate, cast the value to the
+    literal's type so the comparison is numeric/boolean, not lexicographic.
+    A value that does not parse becomes NULL (``try_cast`` — ANSI-mode
+    ``cast`` would throw on the first malformed value) — the same per-value
+    coercion failure behavior as the reference. No-op when the map is
+    already typed (bigint→bigint)."""
+    if isinstance(value, bool):
+        return col.try_cast("boolean")
+    if isinstance(value, int):
+        return col.try_cast("bigint")
+    if isinstance(value, float):
+        return col.try_cast("double")
+    return col
+
+
 # -- literal coercion (SF4) --------------------------------------------------
 
 _TRUE = {"true", "t", "yes", "1"}

@@ -96,9 +96,12 @@ def compile_expr(expr: Expr) -> Column:
         from tundradb_spark.functions import scalar as sf
 
         col = _bt(f"{expr.ref.alias}.{expr.ref.field}")
+        op, v = expr.op, expr.value
         if expr.ref.nested_path:
             col = sf.map_get(col, *expr.ref.nested_path)
-        op, v = expr.op, expr.value
+            # mixed-type maps load as map<string,string>; typed literals
+            # force a typed comparison (reference dominant-type inference)
+            col = sf.cast_for_literal(col, v)
         if op is CompareOp.EQ:
             return sf.null_safe_eq(col, v)
         if op is CompareOp.NE:

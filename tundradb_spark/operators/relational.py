@@ -152,23 +152,43 @@ def range_join(
     """
     lts = _bt(left_ts)
     cond_range = (_bt(right_lo) <= lts) & (lts < _bt(right_hi))
+    _LEFTISH = {"left", "left_outer", "semi", "left_semi", "anti", "left_anti"}
     if on is not None:
         lk, rk = (on, on) if isinstance(on, str) else on
-        if rk != lk:
-            right = right.withColumnRenamed(rk, lk)
-        # name-based equi-join (dedups the key column); the range condition
-        # stays a residual filter on the hash-join output — same stage, no
-        # extra shuffle, and Catalyst can still broadcast the small side
-        return left.join(right, [lk], how).filter(cond_range)
+        if how == "inner":
+            if rk != lk:
+                right = right.withColumnRenamed(rk, lk)
+            # name-based equi-join (dedups the key column); the range
+            # condition stays a residual filter on the hash-join output —
+            # same stage, no extra shuffle, broadcast still applies
+            return left.join(right, [lk], how).filter(cond_range)
+        # outer/semi/anti: the range predicate must live IN the join
+        # condition — as a post-join filter it drops null-padded unmatched
+        # rows, silently turning outer joins into inner (round-1 ADVICE)
+        right2 = right.withColumnRenamed(rk, "__rkey")
+        cond = (F.col(lk) == F.col("__rkey")) & cond_range
+        out = left.join(right2, cond, how)
+        if how in _LEFTISH:
+            return out.drop("__rkey")  # semi/anti carry no right cols anyway
+        # right/full: recover a single key column from whichever side matched
+        return out.withColumn(
+            lk, F.coalesce(F.col(lk), F.col("__rkey"))
+        ).drop("__rkey")
     if bucket_width is None:
         raise QueryError(
             "range_join without an equi-key requires bucket_width "
             "(otherwise the plan is a nested-loop cross join)"
         )
+    if how not in {"inner"} | _LEFTISH:
+        # an unmatched RIGHT interval spans several exploded buckets and
+        # would null-pad once per bucket; right/full need the keyed path
+        raise QueryError(
+            f"bucketed range_join supports inner/left/semi/anti, not {how!r}"
+        )
     w = int(bucket_width)
     lb = left.withColumn("__bkt", (lts.cast("long") / w).cast("long"))
     rb = right.withColumn(
-        "__bkt",
+        "__bkt_r",
         F.explode(
             F.sequence(
                 (_bt(right_lo).cast("long") / w).cast("long"),
@@ -176,8 +196,10 @@ def range_join(
             )
         ),
     )
-    out = lb.join(rb, ["__bkt"], how).filter(cond_range).drop("__bkt")
-    return out
+    # range inside the join condition (same reason as above); Catalyst still
+    # extracts the bucket equality as the hash-join key
+    cond = (F.col("__bkt") == F.col("__bkt_r")) & cond_range
+    return lb.join(rb, cond, how).drop("__bkt", "__bkt_r")
 
 
 # ---------------------------------------------------------------------------

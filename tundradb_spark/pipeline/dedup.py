@@ -163,7 +163,7 @@ def minhash_lsh_pairs(
     ).select(id_col, "band.band_idx", "band.band_key")
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -176,6 +176,12 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+    # materialize the (small) pair set, then release the signature cache —
+    # otherwise it lingers in storage memory for the life of the session
+    # (round-1 ADVICE); the checkpoint also cuts lineage for the CC loop
+    pairs = pairs.localCheckpoint(eager=True)
+    sigs.unpersist()
+    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -271,7 +277,7 @@ def simhash_pairs(
     ).select(id_col, "simhash", "band.band_idx", "band.band_key")
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -288,6 +294,10 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    # materialize pairs, then drop the simhash cache (see minhash_lsh_pairs)
+    pairs = pairs.localCheckpoint(eager=True)
+    sh.unpersist()
+    return pairs
 
 
 # ---------------------------------------------------------------------------

@@ -31,23 +31,34 @@ if TYPE_CHECKING:  # pragma: no cover
     from tundradb_spark.database import Database
 
 
+#: compact (localCheckpoint) the target table every N micro-batches so plan
+#: depth stays bounded over an unbounded stream (round-1 ADVICE: each batch
+#: layers one union + zipWithIndex conversion on the frame's lineage)
+DEFAULT_COMPACT_EVERY = 16
+
+
 def stream_nodes(
     db: "Database",
     schema: str,
     stream: DataFrame,
     checkpoint: str,
     query_name: str | None = None,
+    compact_every: int = DEFAULT_COMPACT_EVERY,
 ) -> "StreamingQuery":
     """Continuously ingest a node stream into a Database table.
 
     ``foreachBatch`` gives per-micro-batch atomic appends with
     engine-assigned contiguous per-schema IDs (``bulk_insert`` uses a
-    per-partition zipWithIndex — no global shuffle per batch)."""
+    per-partition zipWithIndex — no global shuffle per batch). Every
+    ``compact_every`` batches the table lineage is truncated via
+    ``Database.compact`` so planning cost stays O(1) per batch."""
 
-    def _sink(batch: DataFrame, _epoch: int) -> None:
+    def _sink(batch: DataFrame, epoch: int) -> None:
         if batch.isEmpty():
             return
         db.bulk_insert(schema, batch)
+        if compact_every and (epoch + 1) % compact_every == 0:
+            db.compact(node=schema)
 
     return (
         stream.writeStream.foreachBatch(_sink)
@@ -63,14 +74,18 @@ def stream_edges(
     stream: DataFrame,
     checkpoint: str,
     query_name: str | None = None,
+    compact_every: int = DEFAULT_COMPACT_EVERY,
 ) -> "StreamingQuery":
     """Continuously ingest an edge stream (``source_id, target_id`` +
-    props) into an edge table via ``foreachBatch`` + ``bulk_connect``."""
+    props) into an edge table via ``foreachBatch`` + ``bulk_connect``,
+    with the same periodic lineage compaction as :func:`stream_nodes`."""
 
-    def _sink(batch: DataFrame, _epoch: int) -> None:
+    def _sink(batch: DataFrame, epoch: int) -> None:
         if batch.isEmpty():
             return
         db.bulk_connect(etype, batch)
+        if compact_every and (epoch + 1) % compact_every == 0:
+            db.compact(edge=etype)
 
     return (
         stream.writeStream.foreachBatch(_sink)
