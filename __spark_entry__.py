@@ -513,6 +513,86 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1-D12 driver coverage: CREATE SCHEMA → bulk insert → UPDATE by id /
+    by id-set (incl. multi-key nested map SET and array APPEND) → DELETE
+    nodes → bulk edge registration → DELETE EDGE by selector → MATCH over
+    the mutated state. The oracle recomputes the final state relationally
+    from the source tables, so every mutation is value-checked.
+
+    Determinism: customers 0..50 (driver custkeys are 0-based) are
+    bulk-inserted in custkey order from a single partition, so engine
+    id = c_custkey exactly."""
+    from tundradb_spark.database import Database
+
+    db = Database(spark)
+    db.create_schema(
+        "acct",
+        {
+            "name": "string",
+            "bal": "double",
+            "props": "map<string,string>",
+            "tags": "array<string>",
+        },
+    )
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_custkey") <= 50)
+        .orderBy("c_custkey")
+        .coalesce(1)
+        .select(
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("bal"),
+            F.lit(None).cast("map<string,string>").alias("props"),
+            F.array().cast("array<string>").alias("tags"),
+        )
+    )
+    db.bulk_insert("acct", cust)  # id = c_custkey (0-based keys)
+    db.update_by_id("acct", 0, {"name": "ACCT_ONE"})  # Mode 1
+    rich = db.get_table("acct").filter(F.col("bal") > 5000.0).select("id")
+    # one statement, two nested keys — must accumulate, not last-win
+    db.update_nodes("acct", rich, {"props.tier": "gold", "props.src": "dml"})
+    db.update_nodes("acct", rich, {"tags": "vip"}, append=True)
+    db.delete_nodes(
+        "acct", db.get_table("acct").filter(F.col("bal") < 0.0).select("id")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_custkey") <= 50
+    )
+    db.register_node_table(
+        "ordn",
+        orders.select(F.col("o_orderkey").alias("id"), "o_totalprice"),
+        resume_counter=False,
+    )
+    db.bulk_connect(
+        "ACCT_ORDER",
+        orders.select(
+            F.col("o_custkey").alias("source_id"),
+            F.col("o_orderkey").alias("target_id"),
+        ),
+    )
+    db.delete_edges("ACCT_ORDER", from_selector=("acct", 0))
+    q = (
+        Query.from_("a:acct")
+        .traverse("a", "ACCT_ORDER", "o:ordn", "left")
+        .select(
+            "a.id AS acct_id",
+            "a.name AS name",
+            "a.bal AS bal",
+            "a.props.tier AS tier",
+            "a.props.src AS src",
+            "a.tags AS tags",
+            "o.id AS oid",
+        )
+    )
+    res = db.query(q)
+    return (
+        res.withColumn("n_tags", F.size("tags").cast("long"))
+        .groupBy("acct_id", "name", "bal", "tier", "src", "n_tags")
+        .agg(F.count("oid").alias("n_orders"))
+    )
+
+
 def q_ql_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5: TundraQL text → parser → engine (the reference's shell path,
     apps/tundra_shell.cpp:463-510)."""
@@ -550,6 +630,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_window": q_stream_window,
     "q_dup_clusters": q_dup_clusters,
     "q_pagerank": q_pagerank,
+    "q_dml": q_dml,
     "q_ql_match": q_ql_match,
     # training-data pipeline operators (dedup / similarity / text / multimodal)
     **PIPELINE_QUERIES,
@@ -821,6 +902,29 @@ ORACLES: dict[str, str] = {
     # pagerank: the 3 power iterations unrolled as CTEs, dangling mass
     # redistributed each round exactly as the engine does
     "q_pagerank": _PAGERANK_SQL,
+    # the mutated-state oracle: re-derives create→update→delete relationally
+    "q_dml": """
+        WITH base AS (
+            SELECT c_custkey AS acct_id,
+                   CASE WHEN c_custkey = 0 THEN 'ACCT_ONE' ELSE c_name END
+                       AS name,
+                   c_acctbal AS bal
+            FROM customer
+            WHERE c_custkey <= 50 AND c_acctbal >= 0
+        ), ords AS (
+            SELECT o_custkey AS acct_id, count(*) AS n_orders
+            FROM orders
+            WHERE o_custkey BETWEEN 1 AND 50
+            GROUP BY 1
+        )
+        SELECT b.acct_id, b.name, b.bal,
+               CASE WHEN b.bal > 5000.0 THEN 'gold' END AS tier,
+               CASE WHEN b.bal > 5000.0 THEN 'dml' END AS src,
+               CAST(CASE WHEN b.bal > 5000.0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS n_tags,
+               COALESCE(o.n_orders, 0) AS n_orders
+        FROM base b LEFT JOIN ords o ON b.acct_id = o.acct_id
+    """,
     "q_ql_match": """
         SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name
         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
