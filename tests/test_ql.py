@@ -238,3 +238,24 @@ class TestQLSemiAnti:
             r[0] for r in qldb.sql("MATCH (u:User) SELECT u.name;").collect()
         }
         assert semi | anti == everyone and not (semi & anti)
+
+
+def test_shell_script_continue_on_error(db):
+    # reference script mode (SCRIPT_EXECUTION_FEATURE.md): execution
+    # continues past individual failures and reports statistics
+    from tundradb_spark.ql.shell import run_script, unique_db_path
+
+    script = (
+        'CREATE SCHEMA SU (name: STRING);\n'
+        'THIS IS NOT TUNDRAQL;\n'
+        'CREATE SCHEMA SV (name: STRING);'
+    )
+    failures = run_script(db, script)
+    assert failures == 1
+    assert db.has_schema("SU") and db.has_schema("SV")
+    # --stop-on-error opts back into abort-on-first-failure
+    script2 = 'ALSO NOT TUNDRAQL;\nCREATE SCHEMA SW (name: STRING);'
+    assert run_script(db, script2, stop_on_error=True) == 1
+    assert not db.has_schema("SW")
+    assert unique_db_path(None).startswith("./test-db_")
+    assert unique_db_path("/tmp/x").startswith("/tmp/x_")

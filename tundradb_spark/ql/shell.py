@@ -1,31 +1,56 @@
 """tundra-shell: interactive REPL / script runner for TundraQL.
 
 Usage:
-    python -m tundradb_spark.ql.shell [--db PATH] [--script FILE] [--cpus N]
+    python -m tundradb_spark.ql.shell [--db PATH] [--unique-db] \
+        [--script FILE] [--cpus N]
 
 Replicates the reference shell's modes (apps/tundra_shell.cpp:1860-2051):
 interactive REPL (statement per line, ``;``-terminated, multi-line
-continuation) and ``--script`` batch execution; results print as ASCII
+continuation, readline history — the reference uses linenoise,
+libs/linenoise) and ``--script`` batch execution; results print as ASCII
 tables via ``DataFrame.show`` (the reference's printTableAsAscii,
 apps/tundra_shell.cpp:1706-1800).
+
+Reference script-mode semantics (SCRIPT_EXECUTION_FEATURE.md): statements
+run sequentially, execution CONTINUES past failures, per-run statistics are
+reported, and the shell stays interactive after the script unless stdin is
+closed. ``--unique-db``/``--temp-db``/``-u`` appends a timestamp to the db
+path for isolated parallel runs.
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+import time
 
 from tundradb_spark.errors import QueryError, SchemaError
 from tundradb_spark.ql.interpreter import execute_statement
 from tundradb_spark.ql.parser import split_statements
 
+HISTORY_FILE = os.path.expanduser("~/.tundra_history")
 
-def run_script(db, text: str, echo: bool = False, stop_on_error: bool = True) -> int:
-    """Execute a script; returns number of failed statements."""
+
+def unique_db_path(base: str | None) -> str:
+    """Timestamp-suffixed db dir (reference SCRIPT_EXECUTION_FEATURE.md:
+    ``./test-db_20241128_143052_123``)."""
+    base = base or "./test-db"
+    stamp = time.strftime("%Y%m%d_%H%M%S") + f"_{int(time.time()*1000)%1000:03d}"
+    return f"{base}_{stamp}"
+
+
+def run_script(db, text: str, echo: bool = False, stop_on_error: bool = False) -> int:
+    """Execute a script; returns number of failed statements.
+
+    Matches the reference: execution continues past individual failures
+    (``stop_on_error=True`` opts out) and statistics are reported."""
     failures = 0
+    executed = 0
     for stmt in split_statements(text):
         if echo:
             print(f"tundra> {stmt}")
+        executed += 1
         try:
             result = execute_statement(db, stmt)
             if result is not None:
@@ -34,11 +59,36 @@ def run_script(db, text: str, echo: bool = False, stop_on_error: bool = True) ->
             failures += 1
             print(f"ERROR: {e}", file=sys.stderr)
             if stop_on_error:
-                return failures
+                break
+    print(f"-- {executed} statement(s) executed, {failures} failed")
     return failures
 
 
+def _init_history() -> None:
+    try:
+        import readline
+
+        try:
+            readline.read_history_file(HISTORY_FILE)
+        except OSError:
+            pass
+        readline.set_history_length(1000)
+        import atexit
+
+        atexit.register(lambda: _save_history(readline))
+    except ImportError:  # readline absent (e.g. minimal Windows build)
+        pass
+
+
+def _save_history(readline_mod) -> None:
+    try:
+        readline_mod.write_history_file(HISTORY_FILE)
+    except OSError:
+        pass
+
+
 def repl(db) -> None:
+    _init_history()
     print("tundradb-spark shell — TundraQL; end statements with ';', "
           "Ctrl-D to exit")
     buf: list[str] = []
@@ -70,24 +120,52 @@ def repl(db) -> None:
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="TundraQL shell (PySpark engine)")
     ap.add_argument("--db", default=None, help="snapshot directory (enables COMMIT)")
-    ap.add_argument("--script", default=None, help="run a .sql script and exit")
+    ap.add_argument(
+        "-u",
+        "--unique-db",
+        "--temp-db",
+        action="store_true",
+        dest="unique_db",
+        help="append a timestamp to the db path (isolated parallel runs)",
+    )
+    ap.add_argument("--script", default=None, help="run a .sql script first")
     ap.add_argument("--cpus", type=int, default=None, help="local[N] cores")
     ap.add_argument("--echo", action="store_true", help="echo statements (script mode)")
+    ap.add_argument(
+        "--stop-on-error",
+        action="store_true",
+        help="abort script on first failure (reference default is continue)",
+    )
+    ap.add_argument(
+        "--no-interactive",
+        action="store_true",
+        help="exit after --script instead of entering the REPL",
+    )
     args = ap.parse_args(argv)
 
     from tundradb_spark.database import Database
     from tundradb_spark.session import get_spark
 
+    db_path = args.db
+    if args.unique_db:
+        db_path = unique_db_path(db_path)
+        print(f"-- database: {db_path}")
+
     spark = get_spark("tundra-shell", cpus=args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    db = Database(spark, path=args.db)
+    db = Database(spark, path=db_path)
 
+    failures = 0
     if args.script:
         with open(args.script) as f:
             text = f.read()
-        return 1 if run_script(db, text, echo=args.echo) else 0
+        failures = run_script(
+            db, text, echo=args.echo, stop_on_error=args.stop_on_error
+        )
+        if args.no_interactive or not sys.stdin.isatty():
+            return 1 if failures else 0
     repl(db)
-    return 0
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":
