@@ -466,7 +466,9 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     written distributed, so nothing accumulates on the driver — the shape
     that survives 100 TB of events (round-1 verdict flagged memory sink as
     the scale-killer here)."""
+    import glob
     import os
+    import shutil
     import tempfile
 
     from tundradb_spark.session import ensure_runtime_confs
@@ -478,39 +480,54 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table is a single parquet file, so stage a symlink dir (at scale the
     # source would already be a directory of arriving files)
     stage = tempfile.mkdtemp(prefix="qsw_src_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(stage)
-        .withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-    agg = windowed_event_counts(
-        stream, window="1 day", watermark="2 hours", ts_col="ts_t"
-    )
     out_dir = tempfile.mkdtemp(prefix="qsw_out_")
     ckpt_dir = tempfile.mkdtemp(prefix="qsw_ckpt_")
-
-    def _write_refresh(batch_df: DataFrame, _epoch: int) -> None:
-        # complete mode re-emits the full aggregate each micro-batch; the
-        # last overwrite is the final batch-equivalent result
-        batch_df.write.mode("overwrite").parquet(out_dir)
-
-    q = (
-        agg.writeStream.foreachBatch(_write_refresh)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
+    out_schema = (
+        "window_start_us long, event_type string, "
+        "n_events long, total_value double"
     )
-    q.awaitTermination()
-    return spark.read.parquet(out_dir).select(
-        F.unix_micros(F.col("window_start")).alias("window_start_us"),
-        F.col("event_type"),
-        F.col("n_events"),
-        F.round(F.col("total_value"), 6).alias("total_value"),
-    )
+    try:
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(stage)
+            .withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        agg = windowed_event_counts(
+            stream, window="1 day", watermark="2 hours", ts_col="ts_t"
+        )
+
+        def _write_refresh(batch_df: DataFrame, _epoch: int) -> None:
+            # complete mode re-emits the full aggregate each micro-batch; the
+            # last overwrite is the final batch-equivalent result
+            batch_df.write.mode("overwrite").parquet(out_dir)
+
+        q = (
+            agg.writeStream.foreachBatch(_write_refresh)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if not glob.glob(f"{out_dir}/*.parquet"):
+            # zero micro-batches (empty source) → empty aggregate, not a
+            # read error on an empty directory (round-2 ADVICE)
+            return spark.createDataFrame([], out_schema)
+        result = spark.read.parquet(out_dir).select(
+            F.unix_micros(F.col("window_start")).alias("window_start_us"),
+            F.col("event_type"),
+            F.col("n_events"),
+            F.round(F.col("total_value"), 6).alias("total_value"),
+        )
+        # materialize before the temp dirs vanish (the caller's action would
+        # otherwise read deleted files)
+        return result.localCheckpoint(eager=True)
+    finally:
+        for d in (stage, out_dir, ckpt_dir):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def q_dml(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -237,3 +237,39 @@ def test_range_join_left_bucketed(spark):
     # right/full in bucketed mode would duplicate unmatched exploded rows
     with pytest.raises(QueryError):
         range_join(left, right, "ts", "lo", "hi", bucket_width=8, how="full")
+
+
+def test_asof_salted_matches_unsalted(spark):
+    # one dominant key: the salted two-phase merge must return the identical
+    # result (each (key, salt) window sees every right row of the key)
+    left = spark.createDataFrame(
+        [("HOT", t) for t in range(0, 200, 2)] + [("B", 7)],
+        "sym string, tts long",
+    )
+    right = spark.createDataFrame(
+        [("HOT", t, float(t)) for t in range(0, 200, 5)] + [("B", 5, 1.0)],
+        "sym string, qts long, px double",
+    )
+    base = asof_join(left, right, on="sym", left_ts="tts", right_ts="qts")
+    salted = asof_join(
+        left, right, on="sym", left_ts="tts", right_ts="qts", salt=4
+    )
+    cols = ["sym", "tts", "qts", "px"]
+    assert rows_set(salted, *cols) == rows_set(base, *cols)
+    assert salted.count() == left.count()  # no row amplification
+
+
+def test_range_join_keyed_outer_with_colliding_column(spark):
+    # right side carries a column with the LEFT key's name ("k"): the join
+    # condition must bind frame-qualified, not by name (round-2 ADVICE)
+    left = spark.createDataFrame([(1, 10), (2, 99)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 0, 20, 7)], "rk long, lo long, hi long, k long"
+    )
+    out = range_join(
+        left, right, "ts", "lo", "hi", on=("k", "rk"), how="left"
+    )
+    got = {
+        (r["ts"], r["lo"]) for r in out.select("ts", "lo").collect()
+    }
+    assert got == {(10, 0), (99, None)}

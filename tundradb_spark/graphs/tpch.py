@@ -96,6 +96,9 @@ def load_versioned_orders(spark: SparkSession, sf_dir: str) -> Database:
         resume_counter=False,
         pre_versioned=True,
     )
+    # shared across every later query in the process: a mutation would
+    # silently poison them all, so fail loudly instead (round-2 ADVICE)
+    db.read_only = True
     cached[sf_dir] = db
     return db
 
@@ -188,5 +191,6 @@ def load_graph(spark: SparkSession, sf_dir: str) -> Database:
             "l_shipdate",
         ),
     )
+    db.read_only = True  # shared cached instance (see load_versioned_orders)
     cached[sf_dir] = db
     return db

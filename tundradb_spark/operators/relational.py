@@ -52,6 +52,7 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance: int | None = None,
     tie_break: str | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right.right_ts <= left.left_ts`` sharing the equi-key ``on``
@@ -62,6 +63,15 @@ def asof_join(
     the last-seen right values forward (``last(..., ignorenulls=True)``).
     One shuffle on ``on``, zero row amplification, monotone memory — this is
     the plan that survives 1000 executors; a range-join formulation does not.
+
+    **Skew**: the window is partitioned by the key alone, so every row of
+    one key lands in one task — a pathological hot key (a null/default key
+    at corpus scale) straggles. Pass ``salt=S`` to spread each key's LEFT
+    rows over S subpartitions (deterministic hash of the row) while
+    replicating that key's RIGHT rows to all S — each (key, salt) window
+    still sees every right row of the key, so results are identical and the
+    hot task shrinks ~S× at the cost of S× the (usually far smaller) right
+    side. Use when |left per key| ≫ |right per key|.
 
     ``tie_break``: a right column ordered ascending among right rows with
     equal ``(key, ts)`` — the LAST one wins, making ties deterministic.
@@ -96,11 +106,22 @@ def asof_join(
         "__l", F.lit(None).cast(lt.schema["__l"].dataType)
     ).select(*lt.columns)
 
+    if salt is not None and salt > 1:
+        # left rows: deterministic spread; right rows: replicate to every
+        # salt so each (key, salt) window is self-sufficient
+        lt = lt.withColumn("__salt", F.pmod(F.hash(F.col("__l")), F.lit(salt)))
+        rt = rt.withColumn(
+            "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+        ).select(*lt.columns)
+        part_cols = ["__key", "__salt"]
+    else:
+        part_cols = ["__key"]
+
     u = lt.unionByName(rt)
     # right rows (side 0) sort before left rows at equal ts → "<=" semantics;
     # among equal right (key, ts), ascending __tie means the last wins.
     w = (
-        Window.partitionBy("__key")
+        Window.partitionBy(*part_cols)
         .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tie").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -164,15 +185,23 @@ def range_join(
             return left.join(right, [lk], how).filter(cond_range)
         # outer/semi/anti: the range predicate must live IN the join
         # condition — as a post-join filter it drops null-padded unmatched
-        # rows, silently turning outer joins into inner (round-1 ADVICE)
+        # rows, silently turning outer joins into inner (round-1 ADVICE).
+        # Every reference is frame-qualified: name-based F.col would be
+        # ambiguous (or silently bind wrong) when the other side happens to
+        # carry a same-named column (round-2 ADVICE)
         right2 = right.withColumnRenamed(rk, "__rkey")
-        cond = (F.col(lk) == F.col("__rkey")) & cond_range
+        lts_q = left[left_ts]
+        cond = (
+            (left[lk] == right2["__rkey"])
+            & (right2[right_lo] <= lts_q)
+            & (lts_q < right2[right_hi])
+        )
         out = left.join(right2, cond, how)
         if how in _LEFTISH:
             return out.drop("__rkey")  # semi/anti carry no right cols anyway
         # right/full: recover a single key column from whichever side matched
         return out.withColumn(
-            lk, F.coalesce(F.col(lk), F.col("__rkey"))
+            lk, F.coalesce(left[lk], right2["__rkey"])
         ).drop("__rkey")
     if bucket_width is None:
         raise QueryError(
@@ -197,8 +226,13 @@ def range_join(
         ),
     )
     # range inside the join condition (same reason as above); Catalyst still
-    # extracts the bucket equality as the hash-join key
-    cond = (F.col("__bkt") == F.col("__bkt_r")) & cond_range
+    # extracts the bucket equality as the hash-join key. Frame-qualified for
+    # the same collision-safety as the keyed path.
+    cond = (
+        (lb["__bkt"] == rb["__bkt_r"])
+        & (rb[right_lo] <= lb[left_ts])
+        & (lb[left_ts] < rb[right_hi])
+    )
     return lb.join(rb, cond, how).drop("__bkt", "__bkt_r")
 
 

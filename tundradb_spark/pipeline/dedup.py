@@ -122,6 +122,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_k: int = 5,
     seed: int = 42,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding of MinHash signatures.
 
@@ -133,6 +134,15 @@ def minhash_lsh_pairs(
     within-bucket self-join.  A degenerate bucket (mass-duplicated boilerplate)
     produces quadratic pairs — cap or sample buckets upstream if that bites.
     Returns distinct ``id_a < id_b`` pairs.
+
+    ``materialize=True`` (default): signatures are persisted for the
+    self-join, the (small) pair set is checkpointed eagerly, and the
+    signature cache is released — the returned frame reads materialized
+    blocks and holds no storage memory. The eager barrier means downstream
+    predicates cannot push into signature generation; pass
+    ``materialize=False`` to get the fully lazy plan instead (nothing
+    persisted — the self-join recomputes signatures on both sides, so only
+    worth it when a downstream filter prunes most of the input).
     """
     r = num_hashes // bands
     # persist the signatures: the LSH self-join reads them twice, and the
@@ -141,7 +151,9 @@ def minhash_lsh_pairs(
     # longs — tiny next to the corpus).
     sigs = minhash_signature(
         docs, text_col, id_col, num_hashes, shingle_k, seed
-    ).persist()
+    )
+    if materialize:
+        sigs = sigs.persist()
     banded = sigs.select(
         F.col(id_col),
         # explode_outer: keeps InferFiltersFromGenerate from pushing a
@@ -176,11 +188,13 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # materialize the (small) pair set, then release the signature cache —
-    # otherwise it lingers in storage memory for the life of the session
-    # (round-1 ADVICE); the checkpoint also cuts lineage for the CC loop
-    pairs = pairs.localCheckpoint(eager=True)
-    sigs.unpersist()
+    if materialize:
+        # materialize the (small) pair set, then release the signature
+        # cache — otherwise it lingers in storage memory for the life of the
+        # session (round-1 ADVICE); the checkpoint also cuts lineage for the
+        # CC loop
+        pairs = pairs.localCheckpoint(eager=True)
+        sigs.unpersist()
     return pairs
 
 
@@ -240,6 +254,7 @@ def simhash_pairs(
     bits: int = 32,
     band_bits: int = 8,
     max_hamming: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -247,13 +262,16 @@ def simhash_pairs(
     ``bands - 1`` differing bits shares at least one exact band
     (pigeonhole), so only same-band docs are joined; the Hamming filter
     (``bit_count(xor)``) then verifies.  Distinct ``id_a < id_b`` pairs with
-    their distance.
+    their distance.  ``materialize`` semantics as in
+    :func:`minhash_lsh_pairs`.
     """
     bands = bits // band_bits
     assert max_hamming <= bands - 1, "banding misses pairs beyond bands-1 bits"
     # persisted for the same reason as minhash_lsh_pairs: both join sides
     # read the hash, and computing it dominates
-    sh = simhash(docs, text_col, id_col, bits).persist()
+    sh = simhash(docs, text_col, id_col, bits)
+    if materialize:
+        sh = sh.persist()
     mask = (1 << band_bits) - 1
     banded = sh.select(
         id_col,
@@ -294,9 +312,10 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    # materialize pairs, then drop the simhash cache (see minhash_lsh_pairs)
-    pairs = pairs.localCheckpoint(eager=True)
-    sh.unpersist()
+    if materialize:
+        # materialize pairs, then drop the simhash cache (minhash_lsh_pairs)
+        pairs = pairs.localCheckpoint(eager=True)
+        sh.unpersist()
     return pairs
 
 
