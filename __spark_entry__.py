@@ -610,6 +610,152 @@ def q_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5-S8 + D12 driver coverage: COMMIT → restart → restore → mutate →
+    COMMIT → restore → MATCH, value-checked relationally.
+
+    The restore-order bug class this pins is the reference's
+    (include/storage/snapshot_manager.hpp:59-99,
+    src/storage/snapshot_manager.cpp:1-381): ID counters must survive a
+    restart — the post-restore ``create_node`` gets id 31 (max+1 from the
+    restored manifest), and the oracle asserts exactly that row; a counter
+    reset to 0 would collide with the restored id-0 account and change the
+    MATCH output.
+
+    Determinism: like q_dml, accounts 0..30 are bulk-inserted in custkey
+    order from one partition, so engine id = c_custkey."""
+    import shutil
+    import tempfile
+
+    from tundradb_spark.database import Database
+
+    root = tempfile.mkdtemp(prefix="qsnap_")
+    try:
+        db = Database(spark, path=root)
+        db.create_schema("acct", {"name": "string", "bal": "double"})
+        cust = (
+            spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .filter(F.col("c_custkey") <= 30)
+            .orderBy("c_custkey")
+            .coalesce(1)
+            .select(
+                F.col("c_name").alias("name"), F.col("c_acctbal").alias("bal")
+            )
+        )
+        db.bulk_insert("acct", cust)  # ids 0..30
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_custkey") <= 30
+        )
+        db.register_node_table(
+            "ordn",
+            orders.select(F.col("o_orderkey").alias("id"), "o_totalprice"),
+            resume_counter=False,
+        )
+        db.bulk_connect(
+            "SNAP_ORDER",
+            orders.select(
+                F.col("o_custkey").alias("source_id"),
+                F.col("o_orderkey").alias("target_id"),
+            ),
+        )
+        db.commit()  # snapshot 0
+
+        # "restart": a second Database on the same path restores snapshot 0
+        db2 = Database(spark, path=root)
+        nid = db2.create_node("acct", name="POST_RESTORE", bal=123.45)
+        assert nid == 31, f"node id counter lost on restore: got {nid}"
+        db2.update_by_id("acct", 5, {"name": "RESTORED_5"})
+        db2.delete_nodes(
+            "acct", db2.get_table("acct").filter(F.col("bal") < 0.0).select("id")
+        )
+        db2.commit()  # snapshot 1
+
+        # third restore reads the restored+mutated state back
+        db3 = Database(spark, path=root)
+        q = (
+            Query.from_("a:acct")
+            .traverse("a", "SNAP_ORDER", "o:ordn", "left")
+            .select("a.id AS acct_id", "a.name AS name", "a.bal AS bal", "o.id AS oid")
+        )
+        res = (
+            db3.query(q)
+            .groupBy("acct_id", "name", "bal")
+            .agg(F.count("oid").alias("n_orders"))
+        )
+        # materialize before the snapshot dir vanishes
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def q_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 driver coverage: the ENGINE creates a bitemporal version chain
+    (update closes the head's valid_to and appends v+1 — database.py
+    _update_ids versioned path; reference node_arena.cpp:272,
+    docs/README_temporal_versioning.md:78-100) and AS-OF reads at four
+    valid times are value-checked against a relational re-derivation.
+    q_temporal_asof/before read a PRE-BUILT history; this one proves the
+    write path. MockClock pins version boundaries: insert@1, status
+    update@101, logical delete@201, second update@301."""
+    from tundradb_spark.database import Database
+    from tundradb_spark.temporal import MockClock
+
+    clock = MockClock(start=0)
+    db = Database(spark, versioning=True, clock=clock)
+    db.create_schema(
+        "acct", {"name": "string", "bal": "double", "status": "string"}
+    )
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_custkey") <= 50)
+        .orderBy("c_custkey")
+        .coalesce(1)
+        .select(
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("bal"),
+            F.lit("new").alias("status"),
+        )
+    )
+    db.bulk_insert("acct", cust)  # valid_from = 1
+    rich = db.get_table("acct").filter(F.col("bal") > 5000.0).select("id")
+    clock.set(100)
+    db.update_nodes("acct", rich, {"status": "gold"})  # v1 @ 101
+    clock.set(200)
+    db.delete_nodes(  # logical delete @ 201 (closes valid_to)
+        "acct", db.get_table("acct").filter(F.col("bal") < 0.0).select("id")
+    )
+    clock.set(300)
+    db.update_nodes("acct", rich, {"status": "platinum"})  # v2 @ 301
+
+    def snap(vt: int, tag: str) -> DataFrame:
+        q = (
+            Query.from_("a:acct")
+            .as_of_valid_time(vt)
+            .select(
+                "a.id AS acct_id",
+                "a.name AS name",
+                "a.status AS status",
+                "a.bal AS bal",
+            )
+        )
+        return db.query(q).withColumn("asof", F.lit(tag))
+
+    return (
+        snap(50, "t50")
+        .unionByName(snap(150, "t150"))
+        .unionByName(snap(250, "t250"))
+        .unionByName(snap(350, "t350"))
+    )
+
+
+def q_show(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11 driver coverage: SHOW EDGE TYPES through the TundraQL text path
+    (apps/tundra_shell.cpp:1220-1310) — one lazy unioned plan, no per-type
+    driver action."""
+    db = load_graph(spark, sf_dir)
+    return db.sql("SHOW EDGE TYPES;")
+
+
 def q_ql_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5: TundraQL text → parser → engine (the reference's shell path,
     apps/tundra_shell.cpp:463-510)."""
@@ -648,6 +794,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dup_clusters": q_dup_clusters,
     "q_pagerank": q_pagerank,
     "q_dml": q_dml,
+    "q_snapshot": q_snapshot,
+    "q_versioned": q_versioned,
+    "q_show": q_show,
     "q_ql_match": q_ql_match,
     # training-data pipeline operators (dedup / similarity / text / multimodal)
     **PIPELINE_QUERIES,
@@ -941,6 +1090,59 @@ ORACLES: dict[str, str] = {
                    AS n_tags,
                COALESCE(o.n_orders, 0) AS n_orders
         FROM base b LEFT JOIN ords o ON b.acct_id = o.acct_id
+    """,
+    # snapshot round-trip: re-derives the committed→restored→mutated→
+    # re-committed state; the (31, 'POST_RESTORE') row pins counter survival
+    "q_snapshot": """
+        WITH base AS (
+            SELECT c_custkey AS acct_id,
+                   CASE WHEN c_custkey = 5 THEN 'RESTORED_5' ELSE c_name END
+                       AS name,
+                   c_acctbal AS bal
+            FROM customer
+            WHERE c_custkey <= 30 AND c_acctbal >= 0
+            UNION ALL
+            SELECT 31, 'POST_RESTORE', 123.45
+        ), ords AS (
+            SELECT o_custkey AS acct_id, count(*) AS n_orders
+            FROM orders WHERE o_custkey <= 30
+            GROUP BY 1
+        )
+        SELECT b.acct_id, b.name, b.bal, COALESCE(o.n_orders, 0) AS n_orders
+        FROM base b LEFT JOIN ords o ON b.acct_id = o.acct_id
+    """,
+    # engine-created version chain: four AS-OF reads re-derived relationally
+    # (insert@1 'new', gold@101, logical delete@201, platinum@301)
+    "q_versioned": """
+        WITH base AS (
+            SELECT c_custkey AS acct_id, c_name AS name, c_acctbal AS bal
+            FROM customer WHERE c_custkey <= 50
+        )
+        SELECT acct_id, name, 'new' AS status, bal, 't50' AS asof FROM base
+        UNION ALL
+        SELECT acct_id, name,
+               CASE WHEN bal > 5000.0 THEN 'gold' ELSE 'new' END, bal, 't150'
+        FROM base
+        UNION ALL
+        SELECT acct_id, name,
+               CASE WHEN bal > 5000.0 THEN 'gold' ELSE 'new' END, bal, 't250'
+        FROM base WHERE bal >= 0
+        UNION ALL
+        SELECT acct_id, name,
+               CASE WHEN bal > 5000.0 THEN 'platinum' ELSE 'new' END, bal,
+               't350'
+        FROM base WHERE bal >= 0
+    """,
+    "q_show": """
+        SELECT 'HAS_ITEM' AS edge_type, count(*) AS count FROM lineitem
+        UNION ALL
+        SELECT 'HAS_ORDER', count(*) FROM orders
+        UNION ALL
+        SELECT 'IN_NATION', count(*) FROM customer
+        UNION ALL
+        SELECT 'IN_REGION', count(*) FROM nation
+        UNION ALL
+        SELECT 'SUPP_IN_NATION', count(*) FROM supplier
     """,
     "q_ql_match": """
         SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name

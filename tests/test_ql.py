@@ -259,3 +259,26 @@ def test_shell_script_continue_on_error(db):
     assert not db.has_schema("SW")
     assert unique_db_path(None).startswith("./test-db_")
     assert unique_db_path("/tmp/x").startswith("/tmp/x_")
+
+
+def test_shell_completer(db):
+    # tab-completion over keywords + schema/edge names, mirroring the
+    # reference's linenoise completions (apps/tundra_shell.cpp:1860-1954)
+    from tundradb_spark.ql.shell import make_completer
+
+    db.create_schema("person", {"name": "string"})
+    db.create_edge_schema("KNOWS", {})
+    comp = make_completer(db)
+
+    def all_matches(prefix):
+        out, i = [], 0
+        while (m := comp(prefix, i)) is not None:
+            out.append(m)
+            i += 1
+        return out
+
+    assert "SELECT" in all_matches("sel")
+    assert all_matches("per") == ["person"]
+    assert all_matches("KNO") == ["KNOWS"]
+    assert "MATCH" in all_matches("")  # empty prefix offers everything
+    assert all_matches("zzz") == []

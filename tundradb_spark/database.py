@@ -16,7 +16,6 @@ Two ingestion paths, by design:
 
 from __future__ import annotations
 
-import time
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -774,7 +773,7 @@ class Database:
             tables = list(self._nodes.values()) + list(self._edges.values())
         for t in tables:
             if t.frame is not None:
-                t.frame = t.frame.localCheckpoint(eager=True)
+                t.frame = _checkpoint(t.frame)
 
     # -------------------------------------------------------------- snapshot
     def commit(self) -> str:

@@ -64,7 +64,35 @@ def run_script(db, text: str, echo: bool = False, stop_on_error: bool = False) -
     return failures
 
 
-def _init_history() -> None:
+#: TundraQL statement keywords offered by tab-completion, mirroring the
+#: reference's linenoise completions (apps/tundra_shell.cpp:1860-1954)
+COMPLETION_KEYWORDS = [
+    "CREATE", "SCHEMA", "EDGE", "NODE", "UNIQUE", "MATCH", "WHERE",
+    "SELECT", "UPDATE", "DELETE", "SET", "SHOW", "EDGES", "TYPES",
+    "COMMIT", "FROM", "TO", "AS", "AND", "OR", "ORDER", "BY", "LIMIT",
+    "INNER", "LEFT", "RIGHT", "FULL", "SEMI", "ANTI", "APPEND",
+]
+
+
+def make_completer(db):
+    """readline completer over TundraQL keywords + the database's schema and
+    edge-type names (reference hints/completions,
+    apps/tundra_shell.cpp:1860-1954). Pure function of (text, state) so it
+    is unit-testable without a terminal."""
+
+    def completer(text: str, state: int) -> str | None:
+        names = sorted(db.catalog.node_schemas) + sorted(db._edges)
+        pool = COMPLETION_KEYWORDS + names
+        tl = text.lower()
+        # keywords match case-insensitively and complete in upper case;
+        # schema/edge names complete verbatim
+        matches = [w for w in pool if w.lower().startswith(tl)] if text else pool
+        return matches[state] if state < len(matches) else None
+
+    return completer
+
+
+def _init_history(db=None) -> None:
     try:
         import readline
 
@@ -73,6 +101,10 @@ def _init_history() -> None:
         except OSError:
             pass
         readline.set_history_length(1000)
+        if db is not None:
+            readline.set_completer(make_completer(db))
+            readline.set_completer_delims(" \t\n(),;=<>-[]")
+            readline.parse_and_bind("tab: complete")
         import atexit
 
         atexit.register(lambda: _save_history(readline))
@@ -88,7 +120,7 @@ def _save_history(readline_mod) -> None:
 
 
 def repl(db) -> None:
-    _init_history()
+    _init_history(db)
     print("tundradb-spark shell — TundraQL; end statements with ';', "
           "Ctrl-D to exit")
     buf: list[str] = []
