@@ -573,8 +573,11 @@ def q_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     db.delete_nodes(
         "acct", db.get_table("acct").filter(F.col("bal") < 0.0).select("id")
     )
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
-        F.col("o_custkey") <= 50
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_custkey") <= 50)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .localCheckpoint(eager=True)  # one scan; reused by register+connect
     )
     db.register_node_table(
         "ordn",
@@ -610,6 +613,67 @@ def q_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 extension: watermark-bounded streaming exact dedup
+    (streaming/ops.streaming_dedup — dropDuplicates with state expiry), run
+    to completion with availableNow so the result is batch-equivalent: the
+    distinct (user_id, event_type, ts) stream, aggregated per event type.
+    State is dropped once the watermark passes a key's timestamp, so memory
+    is bounded on an unbounded stream; the driver-checked batch equivalent
+    is plain DISTINCT."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from tundradb_spark.session import ensure_runtime_confs
+    from tundradb_spark.streaming.ops import streaming_dedup
+
+    ensure_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = tempfile.mkdtemp(prefix="qsd_src_")
+    out_dir = tempfile.mkdtemp(prefix="qsd_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="qsd_ckpt_")
+    try:
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(stage)
+            .withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+            .select("user_id", "event_type", "ts_t")
+        )
+        deduped = streaming_dedup(
+            stream, ["user_id", "event_type"], watermark="2 hours", ts_col="ts_t"
+        )
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if not glob.glob(f"{out_dir}/*.parquet"):
+            return spark.createDataFrame(
+                [], "event_type string, n_rows long, n_users long"
+            )
+        result = (
+            spark.read.parquet(out_dir)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_distinct("user_id").alias("n_users"),
+            )
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        for d in (stage, out_dir, ckpt_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def q_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5-S8 + D12 driver coverage: COMMIT → restart → restore → mutate →
     COMMIT → restore → MATCH, value-checked relationally.
@@ -643,8 +707,13 @@ def q_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         db.bulk_insert("acct", cust)  # ids 0..30
-        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
-            F.col("o_custkey") <= 30
+        # one pushed-filter scan of orders, materialized once — register,
+        # bulk_connect, and both COMMIT serializations reuse the blocks
+        orders = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter(F.col("o_custkey") <= 30)
+            .select("o_custkey", "o_orderkey", "o_totalprice")
+            .localCheckpoint(eager=True)
         )
         db.register_node_table(
             "ordn",
@@ -794,6 +863,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dup_clusters": q_dup_clusters,
     "q_pagerank": q_pagerank,
     "q_dml": q_dml,
+    "q_stream_dedup": q_stream_dedup,
     "q_snapshot": q_snapshot,
     "q_versioned": q_versioned,
     "q_show": q_show,
@@ -1090,6 +1160,17 @@ ORACLES: dict[str, str] = {
                    AS n_tags,
                COALESCE(o.n_orders, 0) AS n_orders
         FROM base b LEFT JOIN ords o ON b.acct_id = o.acct_id
+    """,
+    # streaming dedup run to completion == batch DISTINCT over the dedup keys
+    "q_stream_dedup": """
+        WITH d AS (
+            -- µs, matching the engine's timestamp_micros(ts div 1000) key
+            SELECT DISTINCT user_id, event_type, epoch_us(ts) AS ts_us
+            FROM events
+        )
+        SELECT event_type, count(*) AS n_rows,
+               count(DISTINCT user_id) AS n_users
+        FROM d GROUP BY event_type
     """,
     # snapshot round-trip: re-derives the committed→restored→mutated→
     # re-committed state; the (31, 'POST_RESTORE') row pins counter survival

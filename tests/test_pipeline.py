@@ -179,3 +179,43 @@ class TestMultimodal:
         assert sorted(r.frame_idx for r in f0) == [0, 2, 4]
         first = next(r for r in f0 if r.frame_idx == 0)
         assert bytes(first.frame) == b"the quic"
+
+
+class TestNgramMaxDf:
+    def test_max_df_drops_boilerplate_grams(self, docs):
+        # every en doc 0,1,2,5 shares the "quick brown fox" boilerplate
+        # trigrams (df=4); capping df<=3 removes them from the index, so
+        # jaccard becomes a lower bound and sub-threshold pairs vanish
+        exact = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+        }
+        capped = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, threshold=0.0, max_df=3).collect()
+        }
+        assert set(capped) <= set(exact)
+        for pair, j in capped.items():
+            assert j <= exact[pair] + 1e-9  # lower bound
+
+    def test_max_df_high_cap_is_exact(self, docs):
+        exact = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()
+        }
+        capped = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, threshold=0.1, max_df=10_000).collect()
+        }
+        assert capped == exact
+
+
+class TestEmbeddingDimParam:
+    def test_explicit_dim_matches_probed(self, emb):
+        a = embedding_dup_pairs(emb, threshold=0.5, method="lsh", n_planes=8,
+                                band_bits=4)
+        b = embedding_dup_pairs(emb, threshold=0.5, method="lsh", n_planes=8,
+                                band_bits=4, dim=4)
+        ra = {(r.id_a, r.id_b, r.cosine) for r in a.collect()}
+        rb = {(r.id_a, r.id_b, r.cosine) for r in b.collect()}
+        assert ra == rb

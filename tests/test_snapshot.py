@@ -88,3 +88,39 @@ def test_commit_without_path_raises(spark):
     db = Database(spark)
     with pytest.raises(QueryError):
         db.commit()
+
+
+def test_incremental_commit_skips_clean_tables(spark, snap_path):
+    # dirty-shard semantics (reference snapshot_manager.cpp): a table
+    # untouched between commits is NOT re-serialized — the new manifest
+    # re-points at the previous snapshot's parquet
+    import json
+    import os
+
+    db = Database(spark, path=snap_path)
+    db.create_schema("A", {"v": "long"})
+    db.create_schema("B", {"v": "long"})
+    db.create_node("A", v=1)
+    db.create_node("B", v=2)
+    db.commit()
+    db.update_by_id("A", 0, {"v": 10})  # only A is dirty now
+    db.commit()
+
+    with open(os.path.join(snap_path, "snapshots", "1", "manifest.json")) as f:
+        m = json.load(f)
+    assert m["nodes"]["A"].startswith("snapshots/1/")
+    assert m["nodes"]["B"].startswith("snapshots/0/")  # carried over
+    assert not os.path.exists(
+        os.path.join(snap_path, "snapshots", "1", "nodes", "B")
+    )
+
+    # restore reads the stitched snapshot correctly
+    db2 = Database(spark, path=snap_path)
+    assert rows_set(db2.get_table("A"), "id", "v") == {(0, 10)}
+    assert rows_set(db2.get_table("B"), "id", "v") == {(0, 2)}
+    # and a third commit with nothing dirty re-points everything
+    db2.commit()
+    with open(os.path.join(snap_path, "snapshots", "2", "manifest.json")) as f:
+        m2 = json.load(f)
+    assert m2["nodes"]["A"].startswith("snapshots/1/")
+    assert m2["nodes"]["B"].startswith("snapshots/0/")

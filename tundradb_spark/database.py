@@ -48,6 +48,11 @@ class _Table:
     frame: DataFrame | None = None  # physical rows (version cols if versioned)
     pending: list[dict] = field(default_factory=list)
     versioned: bool = False  # node tables only; edges stay unversioned
+    #: mutated since the last COMMIT/restore — the reference's dirty-shard
+    #: tracking (src/storage/snapshot_manager.cpp: only dirty shards are
+    #: rewritten per commit); clean tables re-point at the previous
+    #: snapshot's parquet
+    dirty: bool = True
 
 
 class Database:
@@ -198,6 +203,7 @@ class Database:
                 valid_from=ts, valid_to=MAX_TS, tx_from=ts, tx_to=MAX_TS, version_id=0
             )
         t.pending.append(row)
+        t.dirty = True
         return nid
 
     def bulk_insert(self, schema: str, df: DataFrame) -> None:
@@ -206,15 +212,16 @@ class Database:
         offsets, no global window/shuffle, no Python workers."""
         self._writable()
         t = self._node(schema)
-        n = df.count()
-        first = self.catalog.next_node_id(schema, n)
-        with_id = _zip_with_contiguous_ids(df, first, ID_COL)
+        with_id = _zip_with_contiguous_ids(
+            df, lambda n: self.catalog.next_node_id(schema, n), ID_COL
+        )
         cols = [ID_COL] + [f.name for f in t.struct.fields if f.name != ID_COL]
         out = with_id.select(*cols)
         if self.versioning:
             out = stamp_initial_version(out, self.clock())
         base = self._materialize(t)
         t.frame = base.unionByName(out) if (t.frame is not None or t.pending) else out
+        t.dirty = True
 
     def bulk_connect(self, etype: str, df: DataFrame) -> None:
         """Bulk append edges from a DataFrame with ``source_id, target_id``
@@ -237,13 +244,12 @@ class Database:
         for p in prop_fields:
             if p not in out.columns:
                 out = out.withColumn(p, F.lit(None))
-        n = out.count()
-        first = self.catalog.next_edge_id(n)
-        out = _zip_with_contiguous_ids(out, first, "id")
+        out = _zip_with_contiguous_ids(out, self.catalog.next_edge_id, "id")
         ordered = list(EDGE_STRUCTURAL_FIELDS) + prop_fields
         out = out.select(*ordered)
         base = self._materialize(t)
         t.frame = base.unionByName(out) if (t.frame is not None or t.pending) else out
+        t.dirty = True
 
     def register_node_table(
         self,
@@ -316,9 +322,7 @@ class Database:
         if "id" in df.columns:
             df = df.withColumn("id", F.col("id").cast("long"))
         else:
-            n = df.count()
-            first = self.catalog.next_edge_id(n)
-            df = _zip_with_contiguous_ids(df, first, "id")
+            df = _zip_with_contiguous_ids(df, self.catalog.next_edge_id, "id")
         props = {
             f.name: f.dataType
             for f in df.schema.fields
@@ -383,6 +387,7 @@ class Database:
                 }
                 t.pending.append(row)
                 ids.append(eid)
+        t.dirty = True
         return ids
 
     #: property-match selectors in point DML collect matched ids to the
@@ -442,10 +447,18 @@ class Database:
         ids_df = self.spark.createDataFrame(
             [(node_id,)], T.StructType([T.StructField(ID_COL, T.LongType())])
         )
-        exists = self.get_table(schema).filter(F.col(ID_COL) == node_id).count()
-        if not exists:
+        if self.versioning:
+            # versioned updates legitimately return 0 for a no-op on an
+            # EXISTING node (no version created) — only here does "not
+            # found" need its own existence probe
+            exists = self.get_table(schema).filter(F.col(ID_COL) == node_id).count()
+            if not exists:
+                raise QueryError(f"{schema}({node_id}) not found")
+            return self._update_ids(schema, ids_df, updates, append)
+        n = self._update_ids(schema, ids_df, updates, append)
+        if n == 0:  # unversioned: zero hits ⇔ the id is absent
             raise QueryError(f"{schema}({node_id}) not found")
-        return self._update_ids(schema, ids_df, updates, append)
+        return n
 
     def update_nodes(
         self,
@@ -489,6 +502,7 @@ class Database:
             # inflate the reported count)
             n_hit = out.filter(hit).count()
             t.frame = out.drop("__uid")
+            t.dirty = True
             return n_hit
 
         ts = self.clock()
@@ -532,6 +546,7 @@ class Database:
             .drop("__uid", "__head")
         )
         t.frame = closed.unionByName(fresh)
+        t.dirty = True
         return n_changed
 
     def _assignment_columns(
@@ -634,6 +649,7 @@ class Database:
         out = self._compact_frame(out)
         n_hit = out.filter(hit).count()  # edges actually matched
         t.frame = out.drop("__uid")
+        t.dirty = True
         return n_hit
 
     # --------------------------------------------------------------- delete
@@ -677,6 +693,7 @@ class Database:
             t.frame = self._compact_frame(
                 df.join(F.broadcast(ids), df[ID_COL] == F.col("__did"), "anti")
             )
+        t.dirty = True
         return n
 
     def delete_by_match(self, q: Query, alias: str) -> int:
@@ -728,6 +745,7 @@ class Database:
         joined = self._compact_frame(joined)
         n = joined.filter(cond).count()
         t.frame = joined.filter(~cond).drop("__fid", "__tid")
+        t.dirty = True
         return n
 
     # ----------------------------------------------------------------- SHOW
@@ -806,12 +824,18 @@ def _checkpoint(df: DataFrame) -> DataFrame:
 _MID_OFFSET_MASK = (1 << 33) - 1
 
 
-def _zip_with_contiguous_ids(df: DataFrame, first: int, col_name: str) -> DataFrame:
+def _zip_with_contiguous_ids(
+    df: DataFrame, reserve: Callable[[int], int], col_name: str
+) -> DataFrame:
     """Assign contiguous ids ``first..first+n-1`` without a global sort and
     WITHOUT leaving the JVM: stamp ``monotonically_increasing_id`` (partition
     id in the high bits, consecutive row offset in the low 33 bits), count
     rows per partition (one tiny agg), prefix-sum the per-partition start ids
     on the driver, broadcast-join them back, and add the in-partition offset.
+
+    ``reserve(n) -> first`` bumps the id counter AFTER the size pass has
+    counted the batch, so the caller needs no separate ``df.count()`` action
+    (one full pass saved per bulk ingest).
 
     No full-row shuffle, no window, and — unlike the round-2 RDD
     ``mapPartitionsWithIndex`` zip — no Python workers in the plan: at 100 TB
@@ -832,7 +856,7 @@ def _zip_with_contiguous_ids(df: DataFrame, first: int, col_name: str) -> DataFr
         .collect()
     )
     offsets = []
-    acc = first
+    acc = reserve(sum(int(r["__n"]) for r in sizes))
     for row in sorted(sizes, key=lambda r: r["__pid"]):
         offsets.append((int(row["__pid"]), acc))
         acc += int(row["__n"])

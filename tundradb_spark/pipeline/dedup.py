@@ -331,6 +331,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     block_col: str | None = "lang",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact token-``n``-gram Jaccard similarity via an inverted index.
 
@@ -347,9 +348,12 @@ def ngram_jaccard_pairs(
     all.  The previous formulation (block self-join + array_intersect per
     pair) was quadratic per block and capped at ``distinct(block)`` tasks —
     192 s vs ~8 s at sf0.1, and unusable at 100 TB.  A gram with doc-
-    frequency f contributes f² join rows; if boilerplate grams dominate a
-    real corpus, pre-filter high-df grams upstream (changes semantics, so
-    not done here).
+    frequency f contributes f² join rows; ``max_df`` caps that: grams in
+    more than ``max_df`` docs are dropped from the index before the
+    self-join (the standard boilerplate-gram mitigation at corpus scale).
+    NOTE ``max_df`` changes semantics — dropped grams no longer count
+    toward the intersection, so jaccard becomes a lower bound; the default
+    (None) is the exact algorithm the oracle verifies.
 
     Output: ``id_a < id_b, jaccard`` (exact double, rounded to 6) —
     identical to the naive definition, verified against the same oracle.
@@ -385,6 +389,17 @@ def ngram_jaccard_pairs(
         F.size("grams").alias("n_grams"),
         F.explode_outer("grams").alias("gram"),
     )
+    if max_df is not None:
+        keys = ([block_col] if block_col else []) + ["gram"]
+        df_ok = (
+            posting.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+        # semi join: keep only postings of sub-cap grams; the f² blowup of a
+        # boilerplate gram never reaches the self-join
+        posting = posting.join(df_ok, keys, "semi")
     a, b = posting.alias("a"), posting.alias("b")
     cond = (F.col("a.gram") == F.col("b.gram")) & (
         F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
@@ -431,6 +446,7 @@ def embedding_dup_pairs(
     n_planes: int = 16,
     band_bits: int = 8,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs with cosine ≥ ``threshold``.
 
@@ -438,6 +454,10 @@ def embedding_dup_pairs(
     deterministic ±1 hyperplanes, band the sign bits, join only within
     buckets, then verify with exact cosine.  ``method='brute'``: all pairs
     (validation baseline; O(n²), do not use at scale).
+
+    ``dim``: embedding dimensionality. When None it is probed with one
+    driver-side ``first()`` — pass it explicitly in pipelines where that
+    extra action matters (or where the frame is a stream).
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = emb.select(
@@ -446,7 +466,8 @@ def embedding_dup_pairs(
     ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
 
     if method == "lsh":
-        dim = len(emb.select(vec_col).first()[0])
+        if dim is None:
+            dim = len(emb.select(vec_col).first()[0])
         planes = hyperplanes(n_planes, dim, seed)
         sig = None
         for p, plane in enumerate(planes):

@@ -108,6 +108,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         method="lsh",
         n_planes=EMBED_PLANES,
         band_bits=EMBED_BAND_BITS,
+        dim=EMBED_DIM,  # known a priori — skips the driver-side probe
     )
 
 

@@ -33,23 +33,51 @@ LATEST = "LATEST"
 
 
 def commit_snapshot(db: "Database") -> str:
+    """Write a snapshot. Incremental like the reference's dirty-shard commit
+    (src/storage/snapshot_manager.cpp — only dirty shards are rewritten):
+    tables untouched since the previous COMMIT are not re-serialized; the new
+    manifest re-points at their existing parquet. Paths in the manifest are
+    ROOT-relative (``snapshots/{n}/nodes/{name}``) so any snapshot may
+    reference files written by an earlier one; immutable writes make the
+    sharing safe."""
     root = db.path
     os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
     prev = _latest_id(root)
     snap_id = (prev if prev is not None else -1) + 1
     snap_dir = os.path.join(root, "snapshots", str(snap_id))
+    prev_manifest: dict = {"nodes": {}, "edges": {}}
+    if prev is not None:
+        with open(os.path.join(root, "snapshots", str(prev), MANIFEST)) as f:
+            prev_manifest = json.load(f)
+
+    def _prev_rel(section: str, name: str) -> str | None:
+        rel = prev_manifest.get(section, {}).get(name)
+        if rel is None:
+            return None
+        # old manifests stored snapshot-relative paths; normalize
+        return rel if rel.startswith("snapshots/") else f"snapshots/{prev}/{rel}"
 
     node_paths: dict[str, str] = {}
     for name in db.catalog.node_schemas:
+        t = db._nodes[name]
+        carry = None if t.dirty else _prev_rel("nodes", name)
+        if carry is not None:
+            node_paths[name] = carry
+            continue
         df = db.get_table_versions(name) if db.versioning else db.get_table(name)
-        rel = f"nodes/{name}"
-        df.write.mode("overwrite").parquet(os.path.join(snap_dir, rel))
+        rel = f"snapshots/{snap_id}/nodes/{name}"
+        df.write.mode("overwrite").parquet(os.path.join(root, rel))
         node_paths[name] = rel
     edge_paths: dict[str, str] = {}
     for etype in db._edges:
-        rel = f"edges/{etype}"
+        t = db._edges[etype]
+        carry = None if t.dirty else _prev_rel("edges", etype)
+        if carry is not None:
+            edge_paths[etype] = carry
+            continue
+        rel = f"snapshots/{snap_id}/edges/{etype}"
         db.get_edge_table(etype).write.mode("overwrite").parquet(
-            os.path.join(snap_dir, rel)
+            os.path.join(root, rel)
         )
         edge_paths[etype] = rel
 
@@ -61,6 +89,7 @@ def commit_snapshot(db: "Database") -> str:
         "nodes": node_paths,
         "edges": edge_paths,
     }
+    os.makedirs(snap_dir, exist_ok=True)
     with open(os.path.join(snap_dir, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=2)
     # atomic-ish pointer flip, written last
@@ -68,6 +97,8 @@ def commit_snapshot(db: "Database") -> str:
     with open(tmp, "w") as f:
         f.write(str(snap_id))
     os.replace(tmp, os.path.join(root, LATEST))
+    for t in list(db._nodes.values()) + list(db._edges.values()):
+        t.dirty = False
     return snap_dir
 
 
@@ -90,18 +121,23 @@ def try_restore(db: "Database") -> bool:
     with open(os.path.join(snap_dir, MANIFEST)) as f:
         manifest = json.load(f)
 
+    def _resolve(rel: str) -> str:
+        # root-relative (incremental format) vs legacy snapshot-relative
+        base = root if rel.startswith("snapshots/") else snap_dir
+        return os.path.join(base, rel)
+
     db.catalog = Catalog.from_manifest(manifest["catalog"])
     db.versioning = manifest.get("versioning", False)
     db._nodes = {}
     db._edges = {}
     for name, rel in manifest["nodes"].items():
         schema = db.catalog.get_node_schema(name)
-        df = db.spark.read.parquet(os.path.join(snap_dir, rel))
+        df = db.spark.read.parquet(_resolve(rel))
         db._nodes[name] = _Table(
-            struct=schema.struct, frame=df, versioned=db.versioning
+            struct=schema.struct, frame=df, versioned=db.versioning, dirty=False
         )
     for etype, rel in manifest["edges"].items():
         es = db.catalog.get_or_create_edge_schema(etype)
-        df = db.spark.read.parquet(os.path.join(snap_dir, rel))
-        db._edges[etype] = _Table(struct=es.full_struct(), frame=df)
+        df = db.spark.read.parquet(_resolve(rel))
+        db._edges[etype] = _Table(struct=es.full_struct(), frame=df, dirty=False)
     return True
