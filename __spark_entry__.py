@@ -674,6 +674,25 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(d, ignore_errors=True)
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 extension: event-time gap sessionization with Spark's native
+    ``session_window`` (streaming/ops.session_window_agg) — the batch face;
+    the identical expression sessionizes a readStream source with a
+    watermark (test_streaming covers that mode). Two events share a session
+    iff their gap is under 12 h; output is one row per (user, session) with
+    exact first/last event µs, count, and value total."""
+    from tundradb_spark.session import ensure_runtime_confs
+    from tundradb_spark.streaming.ops import session_window_agg
+
+    ensure_runtime_confs(spark)
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("user_id", "ts_t", "value")
+    )
+    return session_window_agg(events, gap="12 hours", ts_col="ts_t")
+
+
 def q_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5-S8 + D12 driver coverage: COMMIT → restart → restore → mutate →
     COMMIT → restore → MATCH, value-checked relationally.
@@ -864,6 +883,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pagerank": q_pagerank,
     "q_dml": q_dml,
     "q_stream_dedup": q_stream_dedup,
+    "q_sessionize": q_sessionize,
     "q_snapshot": q_snapshot,
     "q_versioned": q_versioned,
     "q_show": q_show,
@@ -1171,6 +1191,29 @@ ORACLES: dict[str, str] = {
         SELECT event_type, count(*) AS n_rows,
                count(DISTINCT user_id) AS n_users
         FROM d GROUP BY event_type
+    """,
+    # gap sessionization: lag ≥ gap starts a session; running sum of the
+    # starts numbers them — exactly session_window's merge rule (gap < 12h
+    # joins, end-exclusive)
+    "q_sessionize": """
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) AS t, value FROM events
+        ),
+        m AS (
+            SELECT user_id, t, value,
+                   CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                             >= 43200000000 THEN 1 ELSE 0 END AS new_sess
+            FROM e
+        ),
+        s AS (
+            SELECT user_id, t, value,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM m
+        )
+        SELECT user_id, MIN(t) AS session_start_us, MAX(t) AS session_end_us,
+               COUNT(*) AS n_events, ROUND(SUM(value), 6) AS total_value
+        FROM s GROUP BY user_id, sess_id
     """,
     # snapshot round-trip: re-derives the committed→restored→mutated→
     # re-committed state; the (31, 'POST_RESTORE') row pins counter survival

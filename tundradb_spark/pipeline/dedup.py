@@ -30,7 +30,9 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from tundradb_spark.pipeline.hashing import (
     MERSENNE_P,
+    arr_sql,
     char_shingles,
+    dot_sql,
     h32,
     hyperplanes,
     minhash_params,
@@ -228,22 +230,18 @@ def simhash(
         F.size(toks).alias("n_tokens"),
         F.transform(toks, h32).alias("hh"),
     )
-    n = F.col("n_tokens")
-
-    def _bit_term(i: int) -> Column:
-        cnt = F.size(
-            F.filter(F.col("hh"), lambda h: h.bitwiseAND(F.lit(1 << i)) != 0)
-        )
-        return F.when(cnt * 2 > n, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-
-    value = None
-    for i in range(bits):
-        term = _bit_term(i)
-        value = term if value is None else value + term
+    # all `bits` bit terms in ONE F.expr: per-term Column construction
+    # (size/filter/when × 32) is pure py4j driver overhead — see
+    # similarity.dot_sql for the measurement
+    value = " + ".join(
+        f"(CASE WHEN 2 * size(filter(hh, h -> (h & {1 << i}) != 0)) > n_tokens"
+        f" THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
     return hashed.select(
         F.col(id_col),
-        n,
-        value.alias("simhash"),
+        F.col("n_tokens"),
+        F.expr(value).alias("simhash"),
     )
 
 
@@ -469,12 +467,15 @@ def embedding_dup_pairs(
         if dim is None:
             dim = len(emb.select(vec_col).first()[0])
         planes = hyperplanes(n_planes, dim, seed)
-        sig = None
-        for p, plane in enumerate(planes):
-            proj = _dot(F.col("v"), F.array(*[F.lit(c) for c in plane]))
-            bit = F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
-            sig = bit if sig is None else sig + bit
-        base = base.withColumn("sig", sig)
+        # whole signature as ONE F.expr — Column-by-Column construction costs
+        # seconds of py4j driver time (see similarity.dot_sql); `v` is a
+        # materialized double-array column of `base`
+        sig = " + ".join(
+            f"(CASE WHEN {dot_sql('v', arr_sql(plane))} > 0"
+            f" THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for p, plane in enumerate(planes)
+        )
+        base = base.withColumn("sig", F.expr(sig))
         bands = n_planes // band_bits
         mask = (1 << band_bits) - 1
         banded = base.select(

@@ -56,6 +56,28 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
     ]
 
 
+def arr_sql(vals: list[float]) -> str:
+    """SQL double-array literal.  ``repr(float)`` is the shortest
+    round-tripping decimal, and Spark's ``…D`` literal parses with
+    ``Double.parseDouble`` — so the JVM sees the exact same IEEE-754
+    doubles a ``F.lit`` column would carry."""
+    return "array(" + ", ".join(repr(float(c)) + "D" for c in vals) + ")"
+
+
+def dot_sql(a: str, b: str) -> str:
+    """SQL fold-left dot product of two array expressions.
+
+    Why SQL strings and not Column algebra: every ``F.lit(list)`` /
+    ``F.zip_with(lambda)`` call is a py4j round-trip, and a
+    16-plane × 64-dim signature built Column-by-Column costs ~2 s of
+    DRIVER time per query before Spark sees any data (measured; ~78 ms per
+    64-element ``F.lit`` alone).  One ``F.expr`` ships the whole tree in a
+    single round-trip and the JVM parser builds it in ~1 ms.  The resulting
+    plan is identical, so execution and results don't change.
+    """
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (s, x) -> s + x)"
+
+
 def char_shingles(text: Column, k: int = 5, distinct: bool = True) -> Column:
     """Lowercase character k-grams of ``text``.
 

@@ -20,16 +20,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from tundradb_spark.pipeline.hashing import hyperplanes
+from tundradb_spark.pipeline.hashing import arr_sql, dot_sql, hyperplanes
 
 
-def _dot_lit(v: Column, q: list[float]) -> Column:
-    """Fold-left dot product of a vector column with a literal query vector."""
-    out = None
-    for i, c in enumerate(q):
-        term = F.element_at(v, i + 1) * F.lit(c)
-        out = term if out is None else out + term
-    return out
+def _vec_sql(vec_col: str) -> str:
+    """SQL expression casting an array column to double elements."""
+    return f"transform(`{vec_col}`, x -> cast(x as double))"
 
 
 def _norm_lit(q: list[float]) -> float:
@@ -43,14 +39,14 @@ def cosine_scores(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Exact cosine of every vector against a literal query vector."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    dot_vv = F.aggregate(
-        F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    v = _vec_sql(vec_col)
+    cos = (
+        f"{dot_sql(v, arr_sql(query))}"
+        f" / (sqrt({dot_sql(v, v)}) * {repr(_norm_lit(query))}D)"
     )
-    cos = _dot_lit(v, query) / (F.sqrt(dot_vv) * F.lit(_norm_lit(query)))
     return emb.select(
         F.col(id_col).cast("long").alias(id_col),
-        F.round(cos, 6).alias("cosine"),
+        F.round(F.expr(cos), 6).alias("cosine"),
     )
 
 
@@ -85,20 +81,17 @@ def lsh_signature(
     if dim is None:
         dim = len(emb.select(vec_col).first()[0])
     planes = hyperplanes(n_planes, dim, seed)
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    sig = None
-    for p, plane in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(c) for c in plane]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        bit = F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
+    # one F.expr for the whole signature — see dot_sql for why
+    v = _vec_sql(vec_col)
+    sig = " + ".join(
+        f"(CASE WHEN {dot_sql(v, arr_sql(plane))} > 0"
+        f" THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for p, plane in enumerate(planes)
+    )
     return emb.select(
         F.col(id_col).cast("long").alias(id_col),
         F.col(vec_col),
-        sig.alias("sig"),
+        F.expr(sig).alias("sig"),
     )
 
 

@@ -143,26 +143,32 @@ def lang_confusion(
     )
 
 
-def fingerprints(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Polynomial rolling-hash fingerprint of the full text:
+def fingerprint_expr(text_col: str = "text") -> Column:
+    """Polynomial rolling-hash fingerprint expression:
     ``fp = fold(codepoints, (acc, c) -> (acc*31 + c) % 1e9+7)`` — the
     classic Rabin–Karp document fingerprint, exactly reproducible in SQL via
-    a left fold."""
-    fp = F.when(F.length(F.col(text_col)) == 0, F.lit(0).cast("long")).otherwise(
+    a left fold.
+
+    split('') yields the char array in ONE pass; folding over
+    ``substring(text, i, 1)`` instead would rescan the variable-width UTF8
+    string per position — O(len²) per document.
+    """
+    return F.when(F.length(F.col(text_col)) == 0, F.lit(0).cast("long")).otherwise(
         F.aggregate(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length(F.col(text_col)), F.lit(1))),
-                lambda i: F.ascii(F.substring(F.col(text_col), i, 1)),
-            ),
+            F.transform(F.split(F.col(text_col), ""), lambda ch: F.ascii(ch)),
             F.lit(0).cast("long"),
             lambda acc, c: (acc * FP_BASE + c) % FP_MOD,
         )
     )
+
+
+def fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Rabin–Karp fingerprint (see :func:`fingerprint_expr`)."""
     return docs.select(
         F.col(id_col).cast("long").alias(id_col),
-        fp.alias("fingerprint"),
+        fingerprint_expr(text_col).alias("fingerprint"),
     )
 
 
@@ -175,10 +181,13 @@ def fingerprint_summary(
     """Per-group fingerprint stats: doc count, distinct fingerprints (equal
     counts ⇒ no intra-group exact dup), and min fingerprint as a stable
     group checksum."""
-    fps = fingerprints(docs, text_col, id_col)
-    base = docs.select(F.col(id_col).cast("long").alias(id_col), F.col(group_col))
+    # fingerprint and group key in ONE projection — joining a separate
+    # fingerprints() frame back on id would shuffle both sides for data that
+    # already sits on the same row
     return (
-        base.join(fps, id_col)
+        docs.select(
+            F.col(group_col), fingerprint_expr(text_col).alias("fingerprint")
+        )
         .groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -135,6 +135,50 @@ def windowed_event_counts(
     )
 
 
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "12 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Event-time gap sessionization via Spark's native ``session_window``
+    (capability extension — SURVEY.md §2.12; the reference has no streaming
+    or session semantics).
+
+    Two events of one user share a session iff their gap is < ``gap``;
+    the engine's SessionWindow exec merges as it aggregates — one shuffle
+    on ``user_col``, partial map-side combine, no self-join or window-lag
+    pass over the full stream.  The SAME expression runs over a batch
+    DataFrame (everything sessionized, nothing withheld) and over a
+    ``readStream`` source (add ``withWatermark`` upstream; sessions emit
+    once the watermark passes their close — state is bounded by open
+    sessions only).
+
+    Output: one row per (user, session) with the actual first/last event
+    times (µs since epoch — engine-portable longs, not the padded
+    ``session_window.end = last + gap``), event count, and the session's
+    value total rounded to 6.
+    """
+    sw = F.session_window(F.col(ts_col), gap)
+    return (
+        events.groupBy(F.col(user_col), sw)
+        .agg(
+            F.min(ts_col).alias("__first"),
+            F.max(ts_col).alias("__last"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 6).alias("total_value"),
+        )
+        .select(
+            F.col(user_col),
+            F.unix_micros("__first").alias("session_start_us"),
+            F.unix_micros("__last").alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
