@@ -129,6 +129,41 @@ class TestSimilarity:
         out = lsh_ann_topk(emb.filter("vec_id != 0"), [1.0, 0.0, 0.0, 0.0], 3).collect()
         assert out and out[0].vec_id == 1
 
+    def test_ivf_assign_cells_in_range(self, emb):
+        from tundradb_spark.pipeline.similarity import ivf_assign
+
+        cells = [r.cell for r in ivf_assign(emb, n_cells=8).collect()]
+        assert len(cells) == 5 and all(1 <= c <= 8 for c in cells)
+
+    def test_ivf_full_probe_equals_exact(self, emb):
+        # n_probe = n_cells probes every cell — IVF degrades to exact top-k
+        from tundradb_spark.pipeline.similarity import ivf_ann_topk
+
+        q = [1.0, 0.0, 0.0, 0.0]
+        exact = [
+            (r.vec_id, r.cosine)
+            for r in cosine_topk(emb.filter("vec_id != 0"), q, 4).collect()
+        ]
+        full = [
+            (r.vec_id, r.cosine)
+            for r in ivf_ann_topk(
+                emb.filter("vec_id != 0"), q, 4, n_cells=8, n_probe=8
+            ).collect()
+        ]
+        assert full == exact
+
+    def test_ivf_partial_probe_subset(self, emb):
+        from tundradb_spark.pipeline.similarity import ivf_ann_topk
+
+        q = [1.0, 0.0, 0.0, 0.0]
+        part = {
+            r.vec_id
+            for r in ivf_ann_topk(
+                emb.filter("vec_id != 0"), q, 4, n_cells=8, n_probe=2
+            ).collect()
+        }
+        assert part <= {1, 2, 3, 4}
+
 
 class TestText:
     def test_token_stats(self, docs):

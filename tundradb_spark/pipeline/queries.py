@@ -33,6 +33,7 @@ NGRAM_N, NGRAM_THRESHOLD = 3, 0.5
 EMBED_PLANES, EMBED_BAND_BITS, EMBED_THRESHOLD = 16, 8, 0.30
 ANN_K = 10
 EMBED_DIM = 64
+IVF_CELLS, IVF_PROBE, IVF_SEED = 16, 4, 11
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,6 +127,14 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _query_vec(spark, sf_dir)
+    corpus = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    return similarity.ivf_ann_topk(
+        corpus, q, ANN_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE, seed=IVF_SEED
+    )
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_stats(_docs(spark, sf_dir))
 
@@ -154,6 +163,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_embed": q_dedup_embed,
     "q_ann_topk": q_ann_topk,
     "q_ann_lsh": q_ann_lsh,
+    "q_ann_ivf": q_ann_ivf,
     "q_text_tokens": q_text_tokens,
     "q_text_quality": q_text_quality,
     "q_text_lang": q_text_lang,
@@ -345,6 +355,50 @@ ORDER BY cosine DESC, vec_id
 LIMIT {ANN_K}
 """
 
+def _ivf_dots_sql(vec: str) -> str:
+    """SQL: array of the vector's dot products with every IVF centroid."""
+    cents = similarity.ivf_centroids(IVF_CELLS, EMBED_DIM, IVF_SEED)
+    terms = []
+    for c in cents:
+        lit = "[" + ", ".join(str(x) for x in c) + "]"
+        terms.append(_dot_sql(vec, f"(CAST({lit} AS DOUBLE[]))"))
+    return "[" + ", ".join(terms) + "]"
+
+
+# IVF: cell = argmax centroid dot (first-max tie-break = list_position);
+# probe cells ranked by the QUERY's dots (desc, index asc) exactly as the
+# engine ranks them driver-side; candidates re-ranked by exact cosine
+Q_ANN_IVF_SQL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id != 0
+),
+assigned AS (
+  SELECT vec_id, v,
+         list_position(dots, list_aggregate(dots, 'max')) AS cell
+  FROM (SELECT vec_id, v, {_ivf_dots_sql('v')} AS dots FROM base)
+),
+probe AS (
+  SELECT i AS cell
+  FROM (SELECT {_ivf_dots_sql('qv')} AS dots FROM q),
+       generate_series(1, {IVF_CELLS}) t(i)
+  ORDER BY dots[i] DESC, i LIMIT {IVF_PROBE}
+),
+cands AS (
+  SELECT a.vec_id, a.v, q.qv
+  FROM assigned a, q
+  WHERE a.cell IN (SELECT cell FROM probe)
+)
+SELECT vec_id, {_COSINE_VS_Q} AS cosine
+FROM cands
+ORDER BY cosine DESC, vec_id
+LIMIT {ANN_K}
+"""
+
+
 _EN_STOPS = "[" + ", ".join(f"'{w}'" for w in text.LANG_PROFILES["en"]) + "]"
 
 Q_TEXT_QUALITY_SQL = f"""
@@ -437,6 +491,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "q_dedup_embed": Q_DEDUP_EMBED_SQL,
     "q_ann_topk": Q_ANN_TOPK_SQL,
     "q_ann_lsh": Q_ANN_LSH_SQL,
+    "q_ann_ivf": Q_ANN_IVF_SQL,
     "q_text_tokens": r"""
         WITH t AS (
           SELECT source,

@@ -132,3 +132,89 @@ def lsh_ann_topk(
     return cosine_topk(
         sigs.filter(cand_pred), query, k, vec_col=vec_col, id_col=id_col
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(n_cells: int, dim: int, seed: int = 11) -> list[list[float]]:
+    """Deterministic seeded ±1 coarse-quantizer directions.
+
+    A production deployment would Lloyd-train these on a corpus sample and
+    persist them; fixed random directions keep every engine (Spark, the SQL
+    oracle, a future reader) bit-reproducible with zero training state.  All
+    centroids share the same norm (√dim), so nearest-by-cosine equals
+    argmax-by-dot — the assignment below never needs the norms.
+    """
+    return hyperplanes(n_cells, dim, seed)
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 11,
+    dim: int | None = None,
+) -> DataFrame:
+    """Attach each vector's IVF cell: ``cell = argmax_c dot(v, centroid_c)``
+    (1-based, first-max tie-break — ``array_position(dots, array_max)``).
+
+    The per-row work is one pass over ``n_cells`` fold-left dots.  At
+    100 TB the assignment is the WRITE-side step: persist the corpus
+    partitioned/bucketed by ``cell`` (``.write.partitionBy('cell')``) and a
+    probe's ``cell IN (...)`` predicate prunes files — the inverted-file
+    effect; no scan of non-probed cells at all.
+    """
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    cents = ivf_centroids(n_cells, dim, seed)
+    v = _vec_sql(vec_col)
+    dots = "array(" + ", ".join(dot_sql(v, arr_sql(c)) for c in cents) + ")"
+    # __dots materialized in its own projection so the argmax's two
+    # references don't each re-inline the n_cells dot folds
+    return emb.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(vec_col),
+        F.expr(dots).alias("__dots"),
+    ).select(
+        id_col,
+        vec_col,
+        F.expr(
+            "cast(array_position(__dots, array_max(__dots)) as int)"
+        ).alias("cell"),
+    )
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 11,
+) -> DataFrame:
+    """IVF approximate top-k: rank cells by the QUERY's centroid dots
+    (driver-side — the centroids are literals), scan only the top
+    ``n_probe`` cells, exact-cosine re-rank the candidates.
+
+    ``n_probe = n_cells`` degrades gracefully to exact :func:`cosine_topk`
+    (every cell probed — pinned by test); small ``n_probe`` trades recall
+    for scanning ``~n_probe/n_cells`` of the corpus — with cell-partitioned
+    storage, that fraction of the FILES.
+    """
+    dim = len(query)
+    cents = ivf_centroids(n_cells, dim, seed)
+    qdots = [sum(a * b for a, b in zip(query, c)) for c in cents]
+    probe = [
+        i + 1  # 1-based cells, dot desc then cell asc — mirrors the oracle
+        for i, _ in sorted(enumerate(qdots), key=lambda t: (-t[1], t[0]))[:n_probe]
+    ]
+    cands = ivf_assign(emb, n_cells, vec_col, id_col, seed, dim=dim).filter(
+        F.col("cell").isin(probe)
+    )
+    return cosine_topk(cands, query, k, vec_col=vec_col, id_col=id_col)
