@@ -674,6 +674,122 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(d, ignore_errors=True)
 
 
+def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 driver coverage for continuous graph ingest
+    (streaming/ops.stream_nodes + stream_edges): a user slice of events is
+    staged as TWO files and streamed one-file-per-micro-batch into a live
+    Database — node ingest (engine-assigned ids continue ACROSS batches)
+    and edge ingest (bulk_connect per batch), each with a mid-stream
+    lineage compaction — then the final graph is MATCHed and value-checked.
+
+    Engine evlog ids depend on batch arrival order, so the result
+    aggregates payload columns only (order-free).  The slice (like
+    q_dml's) keeps the per-micro-batch fixed costs, which are the thing
+    under test, from being swamped by bulk rows the batch queries already
+    cover."""
+    import shutil
+    import tempfile
+
+    from tundradb_spark.database import Database
+    from tundradb_spark.session import ensure_runtime_confs
+    from tundradb_spark.streaming.ops import stream_edges, stream_nodes
+
+    ensure_runtime_confs(spark)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("user_id") < 60
+    )
+    stage = tempfile.mkdtemp(prefix="qsi_src_")
+    ck1 = tempfile.mkdtemp(prefix="qsi_ck1_")
+    ck2 = tempfile.mkdtemp(prefix="qsi_ck2_")
+    try:
+        events.repartition(2).write.mode("overwrite").parquet(stage)
+
+        db = Database(spark)
+        db.create_schema(
+            "evlog",
+            {"user_id": "long", "event_type": "string", "value": "double"},
+        )
+        db.register_node_table(
+            "person",
+            events.select(F.col("user_id").alias("id")).distinct(),
+            resume_counter=False,
+        )
+        db.register_node_table(
+            "evn",
+            events.select(
+                F.col("event_id").alias("id"), "event_type", "value"
+            ),
+            resume_counter=False,
+        )
+        db.create_edge_schema("DID", {"amount": "double"})
+
+        src = spark.readStream.schema(events.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(stage)
+        # the two streams write DISJOINT state (evlog node table + counter
+        # vs DID edge table + counter), so they run concurrently — per-batch
+        # streaming fixed costs overlap instead of adding
+        qn = stream_nodes(
+            db,
+            "evlog",
+            src.select("user_id", "event_type", "value"),
+            checkpoint=ck1,
+            compact_every=1,
+        )
+        qe = stream_edges(
+            db,
+            "DID",
+            src.select(
+                F.col("user_id").alias("source_id"),
+                F.col("event_id").alias("target_id"),
+                F.col("value").alias("amount"),
+            ),
+            checkpoint=ck2,
+            compact_every=1,
+        )
+        qn.processAllAvailable()
+        qe.processAllAvailable()
+        qn.stop()
+        qe.stop()
+
+        logs = (
+            db.get_table("evlog")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_log"),
+                F.round(F.sum("value"), 6).alias("log_value"),
+            )
+        )
+        hi = (
+            db.query(
+                Query.from_("p:person")
+                .traverse("p", "d:DID", "e:evn", "inner")
+                .where("d.amount", ">", 10.0)
+                .select(
+                    "e.event_type AS event_type",
+                    "e.value AS value",
+                )
+            )
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_hi"),
+                F.round(F.sum("value"), 6).alias("hi_value"),
+            )
+        )
+        res = logs.join(hi, "event_type", "left").select(
+            "event_type",
+            "n_log",
+            "log_value",
+            F.coalesce("n_hi", F.lit(0)).alias("n_hi"),
+            F.coalesce("hi_value", F.lit(0.0)).alias("hi_value"),
+        )
+        # materialize before the staged source vanishes
+        return res.localCheckpoint(eager=True)
+    finally:
+        for d in (stage, ck1, ck2):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.12 extension: event-time gap sessionization with Spark's native
     ``session_window`` (streaming/ops.session_window_agg) — the batch face;
@@ -883,6 +999,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pagerank": q_pagerank,
     "q_dml": q_dml,
     "q_stream_dedup": q_stream_dedup,
+    "q_stream_ingest": q_stream_ingest,
     "q_sessionize": q_sessionize,
     "q_snapshot": q_snapshot,
     "q_versioned": q_versioned,
@@ -1191,6 +1308,25 @@ ORACLES: dict[str, str] = {
         SELECT event_type, count(*) AS n_rows,
                count(DISTINCT user_id) AS n_users
         FROM d GROUP BY event_type
+    """,
+    # streamed graph ingest == batch: per-type totals from the streamed node
+    # log joined with the >10-amount edge MATCH re-derived from events
+    "q_stream_ingest": """
+        WITH ev AS (SELECT * FROM events WHERE user_id < 60),
+        lg AS (
+            SELECT event_type, count(*) AS n_log,
+                   round(sum(value), 6) AS log_value
+            FROM ev GROUP BY 1
+        ),
+        hi AS (
+            SELECT event_type, count(*) AS n_hi,
+                   round(sum(value), 6) AS hi_value
+            FROM ev WHERE value > 10.0 GROUP BY 1
+        )
+        SELECT l.event_type, l.n_log, l.log_value,
+               COALESCE(h.n_hi, 0) AS n_hi,
+               COALESCE(h.hi_value, 0.0) AS hi_value
+        FROM lg l LEFT JOIN hi h ON l.event_type = h.event_type
     """,
     # gap sessionization: lag ≥ gap starts a session; running sum of the
     # starts numbers them — exactly session_window's merge rule (gap < 12h
