@@ -790,6 +790,104 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(d, ignore_errors=True)
 
 
+def q_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 driver coverage for the CUSTOM stateful operator
+    (streaming/ops.sessionize — applyInPandasWithState, Arrow-batched
+    per-user session state).  Run with availableNow over ONE staged file:
+    every user's events arrive in a single micro-batch, so each user emits
+    exactly one 'open' session row whose start/end/count are plain per-user
+    aggregates — deterministic, hence fully oracle-checkable even though
+    the operator's processing-time timeout semantics are not SQL.  The
+    1-hour gap guarantees no timeout fires before the query is stopped.
+    Sink is foreachBatch → parquet append (executor-side, like
+    q_stream_window).  Pending processing-time timeouts keep the stateful
+    query alive (availableNow/processAllAvailable never quiesce — see
+    sessionize's docstring), so the sink is POLLED until every user's
+    session row has landed, then the query is stopped."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from tundradb_spark.session import ensure_runtime_confs
+    from tundradb_spark.streaming.ops import sessionize
+
+    ensure_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = tempfile.mkdtemp(prefix="qss_src_")
+    out_dir = tempfile.mkdtemp(prefix="qss_out_")
+    ckpt = tempfile.mkdtemp(prefix="qss_ckpt_")
+    try:
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(stage)
+            .filter(F.col("user_id") < 60)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .select("ts", "user_id", "event_type", "value")
+        )
+        expected = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .filter(F.col("user_id") < 60)
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        sess = sessionize(stream, gap_ms=3_600_000)
+
+        def _sink(batch, _epoch: int) -> None:
+            batch.write.mode("append").parquet(out_dir)
+
+        # the state exec inherits shuffle.partitions when the FIRST batch
+        # plans (async, on the stream thread): 60 users don't need 32 state
+        # stores + 32 Arrow python workers — pin 4 until the query stops
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        q = (
+            sess.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if glob.glob(f"{out_dir}/*.parquet") and (
+                    spark.read.parquet(out_dir)
+                    .filter(F.col("status") == "open")
+                    .select("user_id")
+                    .distinct()
+                    .count()
+                    >= expected
+                ):
+                    break
+                time.sleep(0.25)
+        finally:
+            q.stop()
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if not glob.glob(f"{out_dir}/*.parquet"):
+            return spark.createDataFrame(
+                [], "user_id long, start_ms long, end_ms long, n_events long"
+            )
+        res = (
+            spark.read.parquet(out_dir)
+            .filter(F.col("status") == "open")
+            .select(
+                "user_id",
+                F.unix_millis("session_start").alias("start_ms"),
+                F.unix_millis("session_end").alias("end_ms"),
+                F.col("n_events"),
+            )
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        for d in (stage, out_dir, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.12 extension: event-time gap sessionization with Spark's native
     ``session_window`` (streaming/ops.session_window_agg) — the batch face;
@@ -1001,6 +1099,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_dedup": q_stream_dedup,
     "q_stream_ingest": q_stream_ingest,
     "q_sessionize": q_sessionize,
+    "q_sessionize_state": q_sessionize_state,
     "q_snapshot": q_snapshot,
     "q_versioned": q_versioned,
     "q_show": q_show,
@@ -1327,6 +1426,17 @@ ORACLES: dict[str, str] = {
                COALESCE(h.n_hi, 0) AS n_hi,
                COALESCE(h.hi_value, 0.0) AS hi_value
         FROM lg l LEFT JOIN hi h ON l.event_type = h.event_type
+    """,
+    # stateful sessionize, single availableNow batch: one 'open' session per
+    # user == plain per-user aggregates (ms, matching the operator's
+    # ns→ms state key)
+    "q_sessionize_state": """
+        SELECT user_id,
+               epoch_us(min(ts)) // 1000 AS start_ms,
+               epoch_us(max(ts)) // 1000 AS end_ms,
+               count(*) AS n_events
+        FROM events WHERE user_id < 60
+        GROUP BY user_id
     """,
     # gap sessionization: lag ≥ gap starts a session; running sum of the
     # starts numbers them — exactly session_window's merge rule (gap < 12h
