@@ -471,7 +471,10 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from tundradb_spark.session import ensure_runtime_confs
+    from tundradb_spark.session import (
+        ensure_runtime_confs,
+        scoped_shuffle_partitions,
+    )
     from tundradb_spark.streaming.ops import windowed_event_counts
 
     ensure_runtime_confs(spark)
@@ -504,14 +507,16 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             # last overwrite is the final batch-equivalent result
             batch_df.write.mode("overwrite").parquet(out_dir)
 
-        q = (
-            agg.writeStream.foreachBatch(_write_refresh)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # ~150 (window, type) state keys — 8 state stores, not one per core
+        with scoped_shuffle_partitions(spark, 8):
+            q = (
+                agg.writeStream.foreachBatch(_write_refresh)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         if not glob.glob(f"{out_dir}/*.parquet"):
             # zero micro-batches (empty source) → empty aggregate, not a
             # read error on an empty directory (round-2 ADVICE)
@@ -626,7 +631,10 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from tundradb_spark.session import ensure_runtime_confs
+    from tundradb_spark.session import (
+        ensure_runtime_confs,
+        scoped_shuffle_partitions,
+    )
     from tundradb_spark.streaming.ops import streaming_dedup
 
     ensure_runtime_confs(spark)
@@ -647,15 +655,19 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped = streaming_dedup(
             stream, ["user_id", "event_type"], watermark="2 hours", ts_col="ts_t"
         )
-        q = (
-            deduped.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt_dir)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # dedup state is wide (every in-horizon key) but local[32] gains
+        # nothing from 32 state stores on one machine — 8 halves the
+        # provisioning cost; a real cluster would keep the default
+        with scoped_shuffle_partitions(spark, 8):
+            q = (
+                deduped.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt_dir)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         if not glob.glob(f"{out_dir}/*.parquet"):
             return spark.createDataFrame(
                 [], "event_type string, n_rows long, n_users long"
@@ -810,7 +822,10 @@ def q_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import time
 
-    from tundradb_spark.session import ensure_runtime_confs
+    from tundradb_spark.session import (
+        ensure_runtime_confs,
+        scoped_shuffle_partitions,
+    )
     from tundradb_spark.streaming.ops import sessionize
 
     ensure_runtime_confs(spark)
@@ -841,33 +856,29 @@ def q_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         def _sink(batch, _epoch: int) -> None:
             batch.write.mode("append").parquet(out_dir)
 
-        # the state exec inherits shuffle.partitions when the FIRST batch
-        # plans (async, on the stream thread): 60 users don't need 32 state
-        # stores + 32 Arrow python workers — pin 4 until the query stops
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        q = (
-            sess.writeStream.foreachBatch(_sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("update")
-            .start()
-        )
-        try:
-            deadline = time.time() + 120
-            while time.time() < deadline:
-                if glob.glob(f"{out_dir}/*.parquet") and (
-                    spark.read.parquet(out_dir)
-                    .filter(F.col("status") == "open")
-                    .select("user_id")
-                    .distinct()
-                    .count()
-                    >= expected
-                ):
-                    break
-                time.sleep(0.25)
-        finally:
-            q.stop()
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # 60 users don't need 32 state stores + 32 Arrow python workers
+        with scoped_shuffle_partitions(spark, 4):
+            q = (
+                sess.writeStream.foreachBatch(_sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .start()
+            )
+            try:
+                deadline = time.time() + 120
+                while time.time() < deadline:
+                    if glob.glob(f"{out_dir}/*.parquet") and (
+                        spark.read.parquet(out_dir)
+                        .filter(F.col("status") == "open")
+                        .select("user_id")
+                        .distinct()
+                        .count()
+                        >= expected
+                    ):
+                        break
+                    time.sleep(0.25)
+            finally:
+                q.stop()
         if not glob.glob(f"{out_dir}/*.parquet"):
             return spark.createDataFrame(
                 [], "user_id long, start_ms long, end_ms long, n_events long"

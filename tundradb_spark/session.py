@@ -9,6 +9,8 @@ parquet filter pushdown on.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
+from typing import Iterator
 
 from pyspark.sql import SparkSession
 
@@ -27,6 +29,25 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int) -> Iterator[None]:
+    """Temporarily pin ``spark.sql.shuffle.partitions``.
+
+    A stateful streaming query fixes its state-store partition count when
+    the FIRST micro-batch plans (async, on the stream thread) and keeps it
+    for the checkpoint's lifetime — a small-key local query planned at one
+    partition per core pays one state store + one Arrow python worker per
+    core for a handful of keys.  Keep the scope open until the query stops.
+    Not safe around CONCURRENT batch queries that need the session default.
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def get_spark(
