@@ -981,6 +981,16 @@ def q_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         db2.delete_nodes(
             "acct", db2.get_table("acct").filter(F.col("bal") < 0.0).select("id")
         )
+        # D4 point path: CREATE EDGE through a PROPERTY selector
+        # (Database.connect — reference Database::connect selector
+        # semantics, Cartesian source×target).  Guarded: the delete above
+        # may have removed account 5 (negative balance at some SF)
+        if db2.get_table("acct").filter(F.col("id") == 5).count():
+            min_ord = int(orders.agg(F.min("o_orderkey")).first()[0])
+            eids = db2.connect(
+                "SNAP_ORDER", ("acct", {"name": "RESTORED_5"}), ("ordn", min_ord)
+            )
+            assert len(eids) == 1  # selector matched exactly account 5
         db2.commit()  # snapshot 1
 
         # third restore reads the restored+mutated state back
@@ -1489,7 +1499,14 @@ ORACLES: dict[str, str] = {
             FROM orders WHERE o_custkey <= 30
             GROUP BY 1
         )
-        SELECT b.acct_id, b.name, b.bal, COALESCE(o.n_orders, 0) AS n_orders
+        -- the selector-created edge adds one order row to account 5 iff it
+        -- survived the negative-balance delete
+        SELECT b.acct_id, b.name, b.bal,
+               COALESCE(o.n_orders, 0)
+               + CASE WHEN b.acct_id = 5 AND EXISTS (
+                     SELECT 1 FROM customer
+                     WHERE c_custkey = 5 AND c_acctbal >= 0
+                 ) THEN 1 ELSE 0 END AS n_orders
         FROM base b LEFT JOIN ords o ON b.acct_id = o.acct_id
     """,
     # engine-created version chain: four AS-OF reads re-derived relationally
