@@ -84,3 +84,29 @@ def test_temporal_filter_pushdown(qdfs):
     df = qdfs["q_temporal_asof"]
     pushed = " ".join(audit.scan_pushed_filters(df))
     assert "o_orderstatus" in pushed, pushed
+
+
+def test_sessionize_single_shuffle_partial_merge(spark):
+    # native session_window agg: ONE shuffle (the user/session exchange)
+    # with map-side partial merge before it — the plan that scales to an
+    # unbounded event stream
+    df = entry.queries()["q_sessionize"](spark, SF)
+    assert audit.count_exchanges(df) <= 1, audit.formatted_plan(df)
+    assert "partial" in audit.formatted_plan(df).lower()
+
+
+def test_ivf_no_nested_loop_and_pruned_probe(spark):
+    # IVF probe: candidate filter is a literal cell predicate (scan-side
+    # with cell-partitioned storage); no nested-loop anywhere, and the
+    # assignment must not force a shuffle — TakeOrderedAndProject handles
+    # the top-k without a global sort
+    df = entry.queries()["q_ann_ivf"](spark, SF)
+    audit.assert_no_nested_loop(df)
+    assert audit.count_exchanges(df) == 0, audit.formatted_plan(df)
+    assert "TakeOrderedAndProject" in audit.simple_plan(df)
+
+
+def test_ann_topk_no_global_sort(spark):
+    df = entry.queries()["q_ann_topk"](spark, SF)
+    assert "TakeOrderedAndProject" in audit.simple_plan(df)
+    assert audit.count_exchanges(df) == 0, audit.formatted_plan(df)

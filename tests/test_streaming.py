@@ -203,3 +203,68 @@ class TestSessionize:
         assert got[1].status == "closed"
         assert got[1].session_end.second == 30
         assert got[2].n_events == 1
+
+
+class TestSessionWindowAgg:
+    def test_batch_mode_merges_by_gap(self, spark):
+        from datetime import datetime
+
+        from tundradb_spark.streaming import session_window_agg
+
+        rows = [
+            (datetime(2026, 1, 1, 10, 0, 0), 1, "view", 1.0),
+            (datetime(2026, 1, 1, 10, 10, 0), 1, "view", 2.0),   # merges (<30m)
+            (datetime(2026, 1, 1, 11, 0, 0), 1, "view", 4.0),    # new session
+            (datetime(2026, 1, 1, 10, 5, 0), 2, "view", 8.0),
+        ]
+        df = spark.createDataFrame(rows, EVENT_SCHEMA)
+        out = sorted(
+            session_window_agg(df, gap="30 minutes").collect(),
+            key=lambda r: (r.user_id, r.session_start_us),
+        )
+        assert len(out) == 3
+        s1, s2, s3 = out
+        # user 1: 10:00+10:10 merge (10 min < 30 min gap), 11:00 is new
+        assert (s1.user_id, s1.n_events, s1.total_value) == (1, 2, 3.0)
+        assert s1.session_end_us - s1.session_start_us == 600_000_000
+        assert (s2.user_id, s2.n_events, s2.total_value) == (1, 1, 4.0)
+        assert s2.session_start_us - s1.session_end_us == 3000_000_000
+        assert (s3.user_id, s3.n_events) == (2, 1)
+
+    def test_streaming_mode_watermark_closes_sessions(self, spark, tmp_path):
+        # the SAME expression over readStream: sessions whose close the
+        # watermark has passed emit in append mode; the tail session (within
+        # the delay of max event time) is withheld as still-open state
+        from datetime import datetime
+
+        from tundradb_spark.streaming import session_window_agg
+
+        src = str(tmp_path / "swsrc")
+        ckpt = str(tmp_path / "swck")
+        os.makedirs(src)
+        rows = [
+            (datetime(2026, 1, 1, 10, 0, 0), 1, "view", 1.0),
+            (datetime(2026, 1, 1, 10, 10, 0), 1, "view", 2.0),
+            (datetime(2026, 1, 1, 20, 0, 0), 1, "view", 4.0),  # advances wm to 19:00
+        ]
+        _write_json(spark, src, rows, EVENT_SCHEMA)
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(src).withWatermark(
+            "ts", "1 hour"
+        )
+        agg = session_window_agg(stream, gap="30 minutes")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("swout")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        got = spark.table("swout").collect()
+        # only the 10:00-10:10 session closed before the final watermark
+        assert len(got) == 1
+        assert got[0].n_events == 2 and got[0].total_value == 3.0

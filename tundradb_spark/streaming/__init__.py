@@ -9,6 +9,8 @@ continuously-ingesting graph/analytics deployment needs:
   appends, engine-assigned per-schema IDs)
 - :func:`windowed_event_counts` — watermarked sliding-window aggregation
   over an event stream (late data handled by the watermark)
+- :func:`session_window_agg` — event-time gap sessionization via the
+  native ``session_window`` (identical expression in batch and streaming)
 - :func:`sessionize` — custom stateful operator (session windows with gap
   timeout) via ``applyInPandasWithState``
 - :func:`streaming_dedup` — watermark-bounded exact dedup
@@ -16,6 +18,7 @@ continuously-ingesting graph/analytics deployment needs:
 """
 
 from tundradb_spark.streaming.ops import (
+    session_window_agg,
     sessionize,
     stream_edges,
     stream_nodes,
@@ -27,6 +30,7 @@ __all__ = [
     "stream_nodes",
     "stream_edges",
     "windowed_event_counts",
+    "session_window_agg",
     "sessionize",
     "streaming_dedup",
 ]
