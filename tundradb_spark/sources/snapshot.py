@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import TYPE_CHECKING
 
 from tundradb_spark.catalog import Catalog
@@ -58,6 +59,7 @@ def commit_snapshot(db: "Database") -> str:
         return rel if rel.startswith("snapshots/") else f"snapshots/{prev}/{rel}"
 
     node_paths: dict[str, str] = {}
+    writes: list[tuple] = []  # (df, root-relative path) for dirty tables
     for name in db.catalog.node_schemas:
         t = db._nodes[name]
         carry = None if t.dirty else _prev_rel("nodes", name)
@@ -66,7 +68,7 @@ def commit_snapshot(db: "Database") -> str:
             continue
         df = db.get_table_versions(name) if db.versioning else db.get_table(name)
         rel = f"snapshots/{snap_id}/nodes/{name}"
-        df.write.mode("overwrite").parquet(os.path.join(root, rel))
+        writes.append((df, rel))
         node_paths[name] = rel
     edge_paths: dict[str, str] = {}
     for etype in db._edges:
@@ -76,10 +78,29 @@ def commit_snapshot(db: "Database") -> str:
             edge_paths[etype] = carry
             continue
         rel = f"snapshots/{snap_id}/edges/{etype}"
-        db.get_edge_table(etype).write.mode("overwrite").parquet(
-            os.path.join(root, rel)
-        )
+        writes.append((db.get_edge_table(etype), rel))
         edge_paths[etype] = rel
+
+    # independent immutable directories → submit the write jobs from
+    # concurrent driver threads (Spark schedules them fairly); a commit of k
+    # dirty tables costs max(write) wall-clock, not sum(write)
+    if len(writes) > 1:
+        with ThreadPoolExecutor(max_workers=min(4, len(writes))) as pool:
+            futures = [
+                pool.submit(
+                    lambda d, r: d.write.mode("overwrite").parquet(
+                        os.path.join(root, r)
+                    ),
+                    df,
+                    rel,
+                )
+                for df, rel in writes
+            ]
+            for f in futures:
+                f.result()  # propagate the first failure
+    elif writes:
+        df, rel = writes[0]
+        df.write.mode("overwrite").parquet(os.path.join(root, rel))
 
     manifest = {
         "snapshot_id": snap_id,
