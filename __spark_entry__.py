@@ -13,7 +13,8 @@ to double for a type-stable comparison.
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Iterator
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -30,6 +31,33 @@ from tundradb_spark.query import Query, where as W
 
 def _bt(name: str):
     return F.col("`" + name + "`")
+
+
+@contextmanager
+def _tmpdirs(*prefixes: str) -> Iterator[list[str]]:
+    """Temp dirs for a streaming query (stage/out/checkpoint), removed on
+    exit — results must be localCheckpoint'ed before leaving the scope."""
+    import shutil
+    import tempfile
+
+    dirs = [tempfile.mkdtemp(prefix=p) for p in prefixes]
+    try:
+        yield dirs
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _parquet_or_empty(
+    spark: SparkSession, out_dir: str, empty_schema: str
+) -> DataFrame | None:
+    """The sink's parquet output, or an empty typed frame when the stream
+    produced zero micro-batches (empty source dir ≠ read error)."""
+    import glob
+
+    if not glob.glob(f"{out_dir}/*.parquet"):
+        return spark.createDataFrame([], empty_schema)
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -466,10 +494,7 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     written distributed, so nothing accumulates on the driver — the shape
     that survives 100 TB of events (round-1 verdict flagged memory sink as
     the scale-killer here)."""
-    import glob
     import os
-    import shutil
-    import tempfile
 
     from tundradb_spark.session import (
         ensure_runtime_confs,
@@ -479,17 +504,14 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_runtime_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file stream source requires a DIRECTORY to monitor; the testdata
-    # table is a single parquet file, so stage a symlink dir (at scale the
-    # source would already be a directory of arriving files)
-    stage = tempfile.mkdtemp(prefix="qsw_src_")
-    out_dir = tempfile.mkdtemp(prefix="qsw_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix="qsw_ckpt_")
     out_schema = (
         "window_start_us long, event_type string, "
         "n_events long, total_value double"
     )
-    try:
+    # the file stream source requires a DIRECTORY to monitor; the testdata
+    # table is a single parquet file, so stage a symlink dir (at scale the
+    # source would already be a directory of arriving files)
+    with _tmpdirs("qsw_src_", "qsw_out_", "qsw_ckpt_") as (stage, out_dir, ckpt):
         os.symlink(
             os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
         )
@@ -512,15 +534,14 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             q = (
                 agg.writeStream.foreachBatch(_write_refresh)
                 .outputMode("complete")
-                .option("checkpointLocation", ckpt_dir)
+                .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
                 .start()
             )
             q.awaitTermination()
-        if not glob.glob(f"{out_dir}/*.parquet"):
-            # zero micro-batches (empty source) → empty aggregate, not a
-            # read error on an empty directory (round-2 ADVICE)
-            return spark.createDataFrame([], out_schema)
+        empty = _parquet_or_empty(spark, out_dir, out_schema)
+        if empty is not None:
+            return empty
         result = spark.read.parquet(out_dir).select(
             F.unix_micros(F.col("window_start")).alias("window_start_us"),
             F.col("event_type"),
@@ -530,9 +551,6 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize before the temp dirs vanish (the caller's action would
         # otherwise read deleted files)
         return result.localCheckpoint(eager=True)
-    finally:
-        for d in (stage, out_dir, ckpt_dir):
-            shutil.rmtree(d, ignore_errors=True)
 
 
 def q_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,10 +644,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     State is dropped once the watermark passes a key's timestamp, so memory
     is bounded on an unbounded stream; the driver-checked batch equivalent
     is plain DISTINCT."""
-    import glob
     import os
-    import shutil
-    import tempfile
 
     from tundradb_spark.session import (
         ensure_runtime_confs,
@@ -639,10 +654,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_runtime_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stage = tempfile.mkdtemp(prefix="qsd_src_")
-    out_dir = tempfile.mkdtemp(prefix="qsd_out_")
-    ckpt_dir = tempfile.mkdtemp(prefix="qsd_ckpt_")
-    try:
+    with _tmpdirs("qsd_src_", "qsd_out_", "qsd_ckpt_") as (stage, out_dir, ckpt):
         os.symlink(
             os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
         )
@@ -662,16 +674,17 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             q = (
                 deduped.writeStream.format("parquet")
                 .option("path", out_dir)
-                .option("checkpointLocation", ckpt_dir)
+                .option("checkpointLocation", ckpt)
                 .outputMode("append")
                 .trigger(availableNow=True)
                 .start()
             )
             q.awaitTermination()
-        if not glob.glob(f"{out_dir}/*.parquet"):
-            return spark.createDataFrame(
-                [], "event_type string, n_rows long, n_users long"
-            )
+        empty = _parquet_or_empty(
+            spark, out_dir, "event_type string, n_rows long, n_users long"
+        )
+        if empty is not None:
+            return empty
         result = (
             spark.read.parquet(out_dir)
             .groupBy("event_type")
@@ -681,9 +694,6 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         return result.localCheckpoint(eager=True)
-    finally:
-        for d in (stage, out_dir, ckpt_dir):
-            shutil.rmtree(d, ignore_errors=True)
 
 
 def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -699,9 +709,6 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dml's) keeps the per-micro-batch fixed costs, which are the thing
     under test, from being swamped by bulk rows the batch queries already
     cover."""
-    import shutil
-    import tempfile
-
     from tundradb_spark.database import Database
     from tundradb_spark.session import ensure_runtime_confs
     from tundradb_spark.streaming.ops import stream_edges, stream_nodes
@@ -710,10 +717,7 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
         F.col("user_id") < 60
     )
-    stage = tempfile.mkdtemp(prefix="qsi_src_")
-    ck1 = tempfile.mkdtemp(prefix="qsi_ck1_")
-    ck2 = tempfile.mkdtemp(prefix="qsi_ck2_")
-    try:
+    with _tmpdirs("qsi_src_", "qsi_ck1_", "qsi_ck2_") as (stage, ck1, ck2):
         events.repartition(2).write.mode("overwrite").parquet(stage)
 
         db = Database(spark)
@@ -797,9 +801,6 @@ def q_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize before the staged source vanishes
         return res.localCheckpoint(eager=True)
-    finally:
-        for d in (stage, ck1, ck2):
-            shutil.rmtree(d, ignore_errors=True)
 
 
 def q_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -818,8 +819,6 @@ def q_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     session row has landed, then the query is stopped."""
     import glob
     import os
-    import shutil
-    import tempfile
     import time
 
     from tundradb_spark.session import (
@@ -830,10 +829,7 @@ def q_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_runtime_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stage = tempfile.mkdtemp(prefix="qss_src_")
-    out_dir = tempfile.mkdtemp(prefix="qss_out_")
-    ckpt = tempfile.mkdtemp(prefix="qss_ckpt_")
-    try:
+    with _tmpdirs("qss_src_", "qss_out_", "qss_ckpt_") as (stage, out_dir, ckpt):
         os.symlink(
             os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
         )
@@ -879,10 +875,13 @@ def q_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                     time.sleep(0.25)
             finally:
                 q.stop()
-        if not glob.glob(f"{out_dir}/*.parquet"):
-            return spark.createDataFrame(
-                [], "user_id long, start_ms long, end_ms long, n_events long"
-            )
+        empty = _parquet_or_empty(
+            spark,
+            out_dir,
+            "user_id long, start_ms long, end_ms long, n_events long",
+        )
+        if empty is not None:
+            return empty
         res = (
             spark.read.parquet(out_dir)
             .filter(F.col("status") == "open")
@@ -894,9 +893,6 @@ def q_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         return res.localCheckpoint(eager=True)
-    finally:
-        for d in (stage, out_dir, ckpt):
-            shutil.rmtree(d, ignore_errors=True)
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -259,6 +259,24 @@ def test_asof_salted_matches_unsalted(spark):
     assert salted.count() == left.count()  # no row amplification
 
 
+def test_asof_salt_with_map_column(spark):
+    # hash() over MAP elements is an AnalysisException — the salt spread
+    # must skip unhashable columns (node tables carry map props)
+    left = spark.createDataFrame(
+        [("A", 10, {"k": "v"}), ("A", 20, None)],
+        "sym string, tts long, props map<string,string>",
+    )
+    right = spark.createDataFrame(
+        [("A", 5, 1.0), ("A", 15, 2.0)], "sym string, qts long, px double"
+    )
+    base = asof_join(left, right, on="sym", left_ts="tts", right_ts="qts")
+    salted = asof_join(
+        left, right, on="sym", left_ts="tts", right_ts="qts", salt=3
+    )
+    cols = ["sym", "tts", "qts", "px"]
+    assert rows_set(salted, *cols) == rows_set(base, *cols)
+
+
 def test_range_join_keyed_outer_with_colliding_column(spark):
     # right side carries a column with the LEFT key's name ("k"): the join
     # condition must bind frame-qualified, not by name (round-2 ADVICE)

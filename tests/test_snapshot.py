@@ -124,3 +124,29 @@ def test_incremental_commit_skips_clean_tables(spark, snap_path):
         m2 = json.load(f)
     assert m2["nodes"]["A"].startswith("snapshots/1/")
     assert m2["nodes"]["B"].startswith("snapshots/0/")
+
+
+def test_noop_dml_does_not_dirty(spark, snap_path):
+    # a zero-effect mutation must not force the incremental COMMIT to
+    # re-serialize the table (review finding: dirty=True on no-op DML)
+    import json
+    import os
+
+    from tundradb_spark.errors import QueryError
+
+    db = Database(spark, path=snap_path)
+    db.create_schema("A", {"v": "long"})
+    db.create_node("A", v=1)
+    db.commit()  # snapshot 0
+
+    missing = spark.createDataFrame([(999,)], "id long")
+    assert db.update_nodes("A", missing, {"v": 2}) == 0
+    assert db.delete_nodes("A", missing) == 0
+    with pytest.raises(QueryError):
+        db.update_by_id("A", 999, {"v": 3})  # not-found: no side effects
+    assert rows_set(db.get_table("A"), "id", "v") == {(0, 1)}
+
+    db.commit()  # snapshot 1: nothing dirty -> everything carried over
+    with open(os.path.join(snap_path, "snapshots", "1", "manifest.json")) as f:
+        m = json.load(f)
+    assert m["nodes"]["A"].startswith("snapshots/0/")

@@ -489,6 +489,7 @@ class Database:
         marked = df.join(F.broadcast(ids), df[ID_COL] == F.col("__uid"), "left")
 
         if not self.versioning:
+            prev_frame, prev_dirty = t.frame, t.dirty
             out = marked
             for name, col in new_vals.items():
                 out = out.withColumn(name, F.when(hit, col).otherwise(F.col(name)))
@@ -501,6 +502,13 @@ class Database:
             # table — or NULL ids from outer-padded MATCH results — must not
             # inflate the reported count)
             n_hit = out.filter(hit).count()
+            if n_hit == 0:
+                # zero hits: keep the previous frame and dirty flag — a
+                # failed/no-op update must not force the incremental COMMIT
+                # to re-serialize an unchanged table (and update_by_id's
+                # not-found error path must leave no side effects)
+                t.frame, t.dirty = prev_frame, prev_dirty
+                return 0
             t.frame = out.drop("__uid")
             t.dirty = True
             return n_hit
@@ -646,8 +654,12 @@ class Database:
         out = marked
         for name, col in new_vals.items():
             out = out.withColumn(name, F.when(hit, col).otherwise(F.col(name)))
+        prev_frame, prev_dirty = t.frame, t.dirty
         out = self._compact_frame(out)
         n_hit = out.filter(hit).count()  # edges actually matched
+        if n_hit == 0:  # no-op: don't dirty the table (incremental COMMIT)
+            t.frame, t.dirty = prev_frame, prev_dirty
+            return 0
         t.frame = out.drop("__uid")
         t.dirty = True
         return n_hit
@@ -669,6 +681,7 @@ class Database:
         t = self._node(schema)
         df = self._materialize(t)
         ids = ids_df.select(F.col(ids_df.columns[0]).cast("long").alias("__did"))
+        prev_frame, prev_dirty = t.frame, t.dirty
         if self.versioning:
             ts = self.clock()
             marked = self._compact_frame(
@@ -680,6 +693,9 @@ class Database:
                 & (F.col("valid_to") == MAX_TS)
             )
             n = marked.filter(head).count()  # live rows actually closed
+            if n == 0:  # no-op: don't dirty the table (incremental COMMIT)
+                t.frame, t.dirty = prev_frame, prev_dirty
+                return 0
             # logical delete = close the head's valid interval; past AS-OF
             # reads keep seeing it (tx_to stays open — see update semantics)
             t.frame = marked.withColumn(
@@ -690,6 +706,9 @@ class Database:
             n = df.join(
                 F.broadcast(ids), df[ID_COL] == F.col("__did"), "semi"
             ).count()
+            if n == 0:
+                t.frame, t.dirty = prev_frame, prev_dirty
+                return 0
             t.frame = self._compact_frame(
                 df.join(F.broadcast(ids), df[ID_COL] == F.col("__did"), "anti")
             )
@@ -742,8 +761,12 @@ class Database:
                 tdf, joined["target_id"] == F.col("__tid"), "left"
             )
             cond = cond & F.col("__tid").isNotNull()
+        prev_frame, prev_dirty = t.frame, t.dirty
         joined = self._compact_frame(joined)
         n = joined.filter(cond).count()
+        if n == 0:  # no-op: don't dirty the table (incremental COMMIT)
+            t.frame, t.dirty = prev_frame, prev_dirty
+            return 0
         t.frame = joined.filter(~cond).drop("__fid", "__tid")
         t.dirty = True
         return n
@@ -812,7 +835,15 @@ def _checkpoint(df: DataFrame) -> DataFrame:
     (``sc.setCheckpointDir`` — cluster deployments: blocks survive executor
     loss); otherwise ``localCheckpoint`` (single-node fast path — blocks live
     only on executors, so an executor loss makes the frame unrecoverable;
-    acceptable in local mode, round-2 ADVICE)."""
+    acceptable in local mode, round-2 ADVICE).
+
+    Reliable checkpoint files are NOT auto-deleted by default — a
+    k-mutation session would leak k full table copies to durable storage.
+    ``get_spark`` therefore sets
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` so superseded
+    checkpoints are removed once their RDD is GC'd; an externally-created
+    session that configures a checkpoint dir must do the same (or clean the
+    dir itself)."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)

@@ -29,7 +29,7 @@ Every implementation here is chosen for 100 TB scale, not just correctness:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from tundradb_spark.errors import QueryError
 
@@ -108,8 +108,18 @@ def asof_join(
 
     if salt is not None and salt > 1:
         # left rows: deterministic spread; right rows: replicate to every
-        # salt so each (key, salt) window is self-sufficient
-        lt = lt.withColumn("__salt", F.pmod(F.hash(F.col("__l")), F.lit(salt)))
+        # salt so each (key, salt) window is self-sufficient.  Spread on a
+        # hash of the HASHABLE left columns — hash() over MAP elements is an
+        # AnalysisException in Spark, and node tables here routinely carry
+        # map props.  Must stay deterministic across task retries
+        # (a nondeterministic repartition key can lose/duplicate rows on
+        # recompute — the SPARK-23207 class), so no mid()/rand().
+        hashable = [
+            F.col("__l")[f.name]
+            for f in left.schema.fields
+            if _hash_safe(f.dataType)
+        ] or [F.col("__ts")]
+        lt = lt.withColumn("__salt", F.pmod(F.hash(*hashable), F.lit(salt)))
         rt = rt.withColumn(
             "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
         ).select(*lt.columns)
@@ -141,6 +151,17 @@ def asof_join(
         F.col("__match")[c].alias(c) for c in right_cols
     ]
     return u.select(*out_cols)
+
+
+def _hash_safe(dt: T.DataType) -> bool:
+    """True iff ``hash()`` accepts the type (no MapType anywhere inside)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hash_safe(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hash_safe(f.dataType) for f in dt.fields)
+    return True
 
 
 # ---------------------------------------------------------------------------

@@ -330,6 +330,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     block_col: str | None = "lang",
     max_df: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact token-``n``-gram Jaccard similarity via an inverted index.
 
@@ -387,6 +388,13 @@ def ngram_jaccard_pairs(
         F.size("grams").alias("n_grams"),
         F.explode_outer("grams").alias("gram"),
     )
+    # the posting list feeds BOTH sides of the pair self-join (and the df
+    # cap's aggregate when max_df is set) — persist it so tokenize+explode
+    # runs once, not 2-4×; same "materialize signatures" rule as
+    # minhash_lsh_pairs/simhash_pairs
+    if materialize:
+        posting = posting.persist()
+    cached = posting  # pre-cap handle for the unpersist below
     if max_df is not None:
         keys = ([block_col] if block_col else []) + ["gram"]
         df_ok = (
@@ -417,9 +425,15 @@ def ngram_jaccard_pairs(
     jac = F.col("inter").cast("double") / (
         F.col("na") + F.col("nb") - F.col("inter")
     ).cast("double")
-    return pairs.select(
+    out = pairs.select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+    if materialize:
+        # materialize the (small) pair set, then release the posting cache
+        # — semantics as in minhash_lsh_pairs
+        out = out.localCheckpoint(eager=True)
+        cached.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -74,6 +74,9 @@ def get_spark(
         # which is exactly the reference's time representation
         # (include/common/clock.hpp:24-33: raw int64 nanos/millis)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # reliable checkpoints (COW-DML compaction under a checkpoint dir)
+        # are never deleted by default — clean them when their RDD is GC'd
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
