@@ -77,7 +77,15 @@ def quality_scores(
     All per-row double arithmetic from exact integers → bit-identical in any
     engine; rounded to 6 for presentation.
     """
-    toks = tokens(F.col(text_col))
+    # tokenization materialized ONCE as its own projection — referenced from
+    # four sibling expressions, inlining would re-run the regex split per
+    # reference (the repo's dominant perf bug class)
+    base = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(text_col),
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    toks = F.col("__toks")
     n_chars = F.length(F.col(text_col)).cast("double")
     n_toks = F.greatest(F.size(toks), F.lit(1)).cast("double")
     n_punct = (
@@ -95,13 +103,44 @@ def quality_scores(
         + F.lit(0.25) * (F.lit(1.0) - punct_ratio)
         + F.lit(0.25) * F.least(F.lit(4.0) * stop_ratio, F.lit(1.0))
     )
-    return docs.select(
-        F.col(id_col).cast("long").alias(id_col),
+    return base.select(
+        id_col,
         F.size(toks).alias("n_tokens"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(quality, 6).alias("quality"),
     )
+
+
+def _pred_lang_frame(
+    docs: DataFrame, text_col: str, id_col: str, extra: list[str]
+) -> DataFrame:
+    """``(id, *extra, pred_lang)`` — staged projections so the tokenization
+    runs once and each per-language score once.
+
+    Without the staging, ``greatest(scores)`` plus the per-language
+    ``when(score == mx)`` chain re-inline every score (each re-inlining the
+    regex split) ~35× per row."""
+    keep = [F.col(c) for c in extra]
+    staged = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        *keep,
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+
+    def _score(words: list[str]) -> Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(F.col("__toks"), lambda t: F.array_contains(arr, t)))
+
+    scored = staged.select(
+        id_col,
+        *extra,
+        *[_score(w).alias(f"__s_{lang}") for lang, w in LANG_PROFILES.items()],
+    ).withColumn("__mx", F.greatest(*[f"__s_{lang}" for lang in LANG_PROFILES]))
+    pred = F.when(F.col("__mx") == 0, F.lit("und"))
+    for lang in sorted(LANG_PROFILES):
+        pred = pred.when(F.col(f"__s_{lang}") == F.col("__mx"), F.lit(lang))
+    return scored.select(id_col, *extra, pred.alias("pred_lang"))
 
 
 def lang_id(
@@ -110,21 +149,7 @@ def lang_id(
     """Heuristic language ID: score = stopword hits per language profile,
     prediction = argmax with 'und' when no profile matches and alphabetical
     tie-break (deterministic)."""
-    toks = tokens(F.col(text_col))
-
-    def _score(words: list[str]) -> Column:
-        arr = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-
-    scores = {lang: _score(words) for lang, words in LANG_PROFILES.items()}
-    mx = F.greatest(*scores.values())
-    pred = F.when(mx == 0, F.lit("und"))
-    for lang in sorted(scores):
-        pred = pred.when(scores[lang] == mx, F.lit(lang))
-    return docs.select(
-        F.col(id_col).cast("long").alias(id_col),
-        pred.alias("pred_lang"),
-    )
+    return _pred_lang_frame(docs, text_col, id_col, extra=[])
 
 
 def lang_confusion(
@@ -134,10 +159,10 @@ def lang_confusion(
     label_col: str = "lang",
 ) -> DataFrame:
     """Confusion matrix of metadata language vs predicted language."""
-    preds = lang_id(docs, text_col, id_col)
+    # label and prediction computed in ONE pass — joining a separate
+    # lang_id() frame back on id would shuffle data already on the row
     return (
-        docs.select(F.col(id_col).cast("long").alias(id_col), F.col(label_col))
-        .join(preds, id_col)
+        _pred_lang_frame(docs, text_col, id_col, extra=[label_col])
         .groupBy(label_col, "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
