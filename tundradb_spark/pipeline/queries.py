@@ -30,6 +30,7 @@ from tundradb_spark.pipeline.text import fingerprint_summary
 MINHASH_NUM, MINHASH_BANDS, SHINGLE_K = 12, 4, 5
 SIMHASH_BITS, SIMHASH_BAND_BITS, SIMHASH_MAX_HAMMING = 32, 8, 3
 NGRAM_N, NGRAM_THRESHOLD = 3, 0.5
+NGRAM_MAX_DF, NGRAM_CAP_THRESHOLD = 2, 0.2
 EMBED_PLANES, EMBED_BAND_BITS, EMBED_THRESHOLD = 16, 8, 0.30
 ANN_K = 10
 EMBED_DIM = 64
@@ -102,6 +103,19 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate-gram mitigation path: grams in more than NGRAM_MAX_DF
+    docs (per language block) are dropped from the inverted index BEFORE the
+    f² self-join — the shape that survives template-heavy corpora. The cap
+    is deterministic, so the oracle replicates it exactly."""
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        n=NGRAM_N,
+        threshold=NGRAM_CAP_THRESHOLD,
+        max_df=NGRAM_MAX_DF,
+    )
+
+
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dup_pairs(
         _emb(spark, sf_dir),
@@ -160,6 +174,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_ngram": q_dedup_ngram,
+    "q_dedup_ngram_capped": q_dedup_ngram_capped,
     "q_dedup_embed": q_dedup_embed,
     "q_ann_topk": q_ann_topk,
     "q_ann_lsh": q_ann_lsh,
@@ -281,6 +296,47 @@ SELECT id_a, id_b, jaccard FROM (
   FROM grams a JOIN grams b
     ON a.lang = b.lang AND a.doc_id < b.doc_id
 ) WHERE jaccard >= {NGRAM_THRESHOLD}
+"""
+
+# capped variant: df computed per (lang, gram); sub-cap postings joined;
+# n_grams (denominator) stays the PRE-cap distinct gram count — mirrors
+# ngram_jaccard_pairs(max_df=...) exactly
+Q_DEDUP_NGRAM_CAPPED_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_TOKS} AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(tk) >= {NGRAM_N}
+              THEN list_distinct([array_to_string(tk[i:(i+{NGRAM_N - 1})], ' ')
+                     for i in generate_series(1, len(tk) - {NGRAM_N - 1})])
+              ELSE CAST([] AS VARCHAR[]) END AS g
+  FROM toks
+),
+posting AS (
+  SELECT doc_id, lang, len(g) AS n_grams, unnest(g) AS gram FROM grams
+),
+ok AS (
+  SELECT lang, gram FROM posting GROUP BY lang, gram
+  HAVING count(*) <= {NGRAM_MAX_DF}
+),
+kept AS (
+  SELECT p.doc_id, p.lang, p.n_grams, p.gram
+  FROM posting p JOIN ok USING (lang, gram)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+         any_value(a.n_grams) AS na, any_value(b.n_grams) AS nb
+  FROM kept a JOIN kept b
+    ON a.lang = b.lang AND a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6)
+         AS jaccard
+FROM pairs
+WHERE round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6)
+      >= {NGRAM_CAP_THRESHOLD}
 """
 
 _EMBED_BANDS = EMBED_PLANES // EMBED_BAND_BITS
@@ -488,6 +544,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "q_dedup_minhash": Q_DEDUP_MINHASH_SQL,
     "q_dedup_simhash": Q_DEDUP_SIMHASH_SQL,
     "q_dedup_ngram": Q_DEDUP_NGRAM_SQL,
+    "q_dedup_ngram_capped": Q_DEDUP_NGRAM_CAPPED_SQL,
     "q_dedup_embed": Q_DEDUP_EMBED_SQL,
     "q_ann_topk": Q_ANN_TOPK_SQL,
     "q_ann_lsh": Q_ANN_LSH_SQL,
