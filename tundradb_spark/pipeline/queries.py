@@ -23,7 +23,12 @@ from tundradb_spark.pipeline.hashing import (
     hyperplanes,
     minhash_params,
 )
-from tundradb_spark.pipeline.multimodal import blob_meta_summary
+from tundradb_spark.pipeline.multimodal import (
+    attach_binary,
+    blob_meta_summary,
+    decode_image,
+    sample_frames,
+)
 from tundradb_spark.pipeline.text import fingerprint_summary
 
 # shared tuning constants (must match between query and oracle)
@@ -169,6 +174,40 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blob_meta_summary(_docs(spark, sf_dir))
 
 
+FRAME_BYTES, FRAME_EVERY_N = 64, 4
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe-sampling plumbing driver-verified: every 4th 64-byte window
+    of each payload, per-frame-index counts + digest stats. substring on
+    binary stays JVM-side; the oracle replicates on VARCHAR (testdata is
+    all-ASCII, so byte windows == char windows and digests agree)."""
+    frames = sample_frames(
+        attach_binary(_docs(spark, sf_dir)),
+        frame_bytes=FRAME_BYTES,
+        every_n=FRAME_EVERY_N,
+    )
+    return frames.groupBy("frame_idx").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.count_distinct(F.md5("frame")).alias("n_distinct"),
+        F.min(F.md5("frame")).alias("min_digest"),
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched mapInPandas decode path (deterministic fake kernel
+    — no image libs in this environment; the REAL codec shares schema,
+    batching, and partitioning), aggregated so the oracle re-derives
+    width/height from payload bytes."""
+    meta = decode_image(attach_binary(_docs(spark, sf_dir)), codec="fake")
+    return meta.groupBy("mode").agg(
+        F.count(F.lit(1)).alias("n_imgs"),
+        F.sum("width").alias("total_width"),
+        F.sum("height").alias("total_height"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
@@ -184,6 +223,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_lang": q_text_lang,
     "q_text_fingerprint": q_text_fingerprint,
     "q_multimodal_meta": q_multimodal_meta,
+    "q_multimodal_frames": q_multimodal_frames,
+    "q_multimodal_decode": q_multimodal_decode,
 }
 
 
@@ -574,5 +615,37 @@ PIPELINE_ORACLES: dict[str, str] = {
                count(DISTINCT md5(text)) AS n_distinct
         FROM documents
         GROUP BY 1
+    """,
+    # frame sampling replicated on VARCHAR — all-ASCII testdata makes byte
+    # and char windows identical; n_frames=0 docs still emit frame 0 (the
+    # engine's greatest(n-1, 0) sequence floor)
+    "q_multimodal_frames": f"""
+        WITH f AS (
+            SELECT doc_id, text,
+                   unnest([i FOR i IN generate_series(
+                       0,
+                       greatest(CAST(floor(length(text) / {FRAME_BYTES})
+                                AS BIGINT) - 1, 0))
+                       IF i % {FRAME_EVERY_N} = 0]) AS frame_idx
+            FROM documents
+        )
+        SELECT frame_idx, count(*) AS n_frames,
+               count(DISTINCT md5(substring(
+                   text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})))
+                 AS n_distinct,
+               min(md5(substring(
+                   text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})))
+                 AS min_digest
+        FROM f GROUP BY frame_idx
+    """,
+    # the fake decode kernel re-derived relationally: width=(bytes%640)+1,
+    # height=first_byte*4+1 (ASCII ⇒ first byte = ascii of first char)
+    "q_multimodal_decode": """
+        SELECT 'RGB' AS mode, count(*) AS n_imgs,
+               CAST(sum((length(text) % 640) + 1) AS BIGINT) AS total_width,
+               CAST(sum(ascii(substring(text, 1, 1)) * 4 + 1) AS BIGINT)
+                 AS total_height,
+               CAST(sum(length(text)) AS BIGINT) AS total_bytes
+        FROM documents
     """,
 }
