@@ -330,7 +330,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     block_col: str | None = "lang",
     max_df: int | None = None,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Exact token-``n``-gram Jaccard similarity via an inverted index.
 
@@ -389,9 +389,13 @@ def ngram_jaccard_pairs(
         F.explode_outer("grams").alias("gram"),
     )
     # the posting list feeds BOTH sides of the pair self-join (and the df
-    # cap's aggregate when max_df is set) — persist it so tokenize+explode
-    # runs once, not 2-4×; same "materialize signatures" rule as
-    # minhash_lsh_pairs/simhash_pairs
+    # cap's aggregate when max_df is set) — ``materialize=True`` persists it
+    # so tokenize+explode runs once instead of 2-4×.  Default OFF, unlike
+    # minhash/simhash: this posting is the EXPLODED grams (≫ input size), so
+    # caching it costs more memory+serialization than the narrow codegen'd
+    # recompute at moderate scale — flip it on when the tokenizer is the
+    # bottleneck (huge documents, expensive analyzers) and the cluster has
+    # the storage memory (measured locally: persist is ~1s SLOWER at sf0.1).
     if materialize:
         posting = posting.persist()
     cached = posting  # pre-cap handle for the unpersist below
