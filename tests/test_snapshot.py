@@ -150,3 +150,50 @@ def test_noop_dml_does_not_dirty(spark, snap_path):
     with open(os.path.join(snap_path, "snapshots", "1", "manifest.json")) as f:
         m = json.load(f)
     assert m["nodes"]["A"].startswith("snapshots/0/")
+
+
+def test_gc_preserves_shared_incremental_files(spark, snap_path):
+    import os
+
+    db = Database(spark, path=snap_path)
+    db.create_schema("A", {"v": "long"})
+    db.create_schema("B", {"v": "long"})
+    db.create_node("A", v=1)
+    db.create_node("B", v=2)
+    db.commit()  # snapshot 0: A + B written
+    db.update_by_id("A", 0, {"v": 10})
+    db.commit()  # snapshot 1: A rewritten, B carried from snapshot 0
+
+    removed = db.gc_snapshots(keep_last=1)
+    # snapshot 0 still holds B's only copy — must survive, A's old dir goes
+    assert removed == []
+    assert os.path.isdir(os.path.join(snap_path, "snapshots", "0", "nodes", "B"))
+    assert not os.path.isdir(
+        os.path.join(snap_path, "snapshots", "0", "nodes", "A")
+    )
+
+    # restore of the kept snapshot still reads the stitched state
+    db2 = Database(spark, path=snap_path)
+    assert rows_set(db2.get_table("A"), "id", "v") == {(0, 10)}
+    assert rows_set(db2.get_table("B"), "id", "v") == {(0, 2)}
+
+
+def test_gc_removes_fully_unreferenced_and_crashed(spark, snap_path):
+    import os
+
+    db = Database(spark, path=snap_path)
+    db.create_schema("A", {"v": "long"})
+    db.create_node("A", v=1)
+    db.commit()  # snapshot 0
+    db.update_by_id("A", 0, {"v": 2})
+    db.commit()  # snapshot 1 (A rewritten -> snapshot 0 unreferenced)
+    # crashed partial commit: dir exists, LATEST never flipped
+    os.makedirs(os.path.join(snap_path, "snapshots", "7", "nodes", "A"))
+
+    removed = db.gc_snapshots(keep_last=1)
+    assert set(removed) == {0, 7}
+    assert not os.path.isdir(os.path.join(snap_path, "snapshots", "0"))
+    assert not os.path.isdir(os.path.join(snap_path, "snapshots", "7"))
+
+    db2 = Database(spark, path=snap_path)
+    assert rows_set(db2.get_table("A"), "id", "v") == {(0, 2)}

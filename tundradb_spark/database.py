@@ -827,6 +827,16 @@ class Database:
             raise QueryError("database opened without a path; cannot COMMIT")
         return commit_snapshot(self)
 
+    def gc_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Reclaim old snapshot storage, manifest-aware (incremental commits
+        share parquet across snapshots — see sources/snapshot.gc_snapshots).
+        Returns ids of fully removed snapshots."""
+        from tundradb_spark.sources.snapshot import gc_snapshots
+
+        if self.path is None:
+            raise QueryError("database opened without a path; cannot GC")
+        return gc_snapshots(self.path, keep_last=keep_last)
+
 
 def _checkpoint(df: DataFrame) -> DataFrame:
     """Materialize a frame and cut its lineage.

@@ -131,6 +131,67 @@ def _latest_id(root: str) -> int | None:
         return int(f.read().strip())
 
 
+def gc_snapshots(root: str, keep_last: int = 1) -> list[int]:
+    """Reclaim storage from old snapshots, safely under incremental commit.
+
+    Incremental commits SHARE parquet directories across snapshots (a clean
+    table's manifest entry points at an earlier snapshot's files), so
+    deleting old snapshot directories naively would corrupt newer ones.
+    GC therefore works from the manifests: keep the newest ``keep_last``
+    snapshots, collect every root-relative path they reference, and delete
+    (a) whole snapshot dirs older than the kept set that contribute no
+    referenced files, and (b) unreferenced table dirs inside partially
+    shared old snapshots.  The LATEST pointer is never touched.
+
+    Returns the ids of fully removed snapshots.
+    """
+    import shutil
+
+    latest = _latest_id(root)
+    if latest is None:
+        return []
+    snaps_dir = os.path.join(root, "snapshots")
+    all_ids = sorted(
+        int(d) for d in os.listdir(snaps_dir) if d.isdigit()
+    )
+    # ids beyond LATEST are crashed partial commits (the pointer flips
+    # last) — invisible to restore, safe to drop with the old ones
+    kept = [i for i in all_ids if latest - keep_last < i <= latest]
+    referenced: set[str] = set()
+    for sid in kept:
+        with open(os.path.join(snaps_dir, str(sid), MANIFEST)) as f:
+            m = json.load(f)
+        for section in ("nodes", "edges"):
+            for rel in m.get(section, {}).values():
+                rel = (
+                    rel if rel.startswith("snapshots/")
+                    else f"snapshots/{sid}/{rel}"
+                )
+                referenced.add(os.path.normpath(rel))
+
+    removed: list[int] = []
+    for sid in all_ids:
+        if sid in kept:
+            continue
+        sdir = os.path.join(snaps_dir, str(sid))
+        prefix = os.path.normpath(f"snapshots/{sid}")
+        shared = {r for r in referenced if r.startswith(prefix + os.sep)}
+        if not shared:
+            shutil.rmtree(sdir, ignore_errors=True)
+            removed.append(sid)
+            continue
+        # partially shared: drop only table dirs no kept manifest references
+        for kind in ("nodes", "edges"):
+            kdir = os.path.join(sdir, kind)
+            if not os.path.isdir(kdir):
+                continue
+            for name in os.listdir(kdir):
+                rel = os.path.normpath(f"snapshots/{sid}/{kind}/{name}")
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(kdir, name), ignore_errors=True)
+    return removed
+
+
 def try_restore(db: "Database") -> bool:
     """Restore the latest snapshot if one exists (reference
     SnapshotManager::initialize order: schemas → counters → tables)."""
