@@ -34,6 +34,7 @@ from tundradb_spark.pipeline.hashing import (
     char_shingles,
     dot_sql,
     h32,
+    hbits,
     hyperplanes,
     minhash_params,
 )
@@ -218,9 +219,10 @@ def simhash(
     """Per-document ``bits``-bit SimHash over whitespace tokens.
 
     Bit i of the hash is set iff more than half the tokens have bit i set in
-    their h32: ``2 * |{t : h32(t) & 2^i}| > |tokens|``.  Expressed as
-    ``bits`` codegen'd array filters — narrow, shuffle-free, and exactly
-    reproducible in SQL.
+    their md5-derived token hash: ``2 * |{t : h(t) & 2^i}| > |tokens|``.
+    Expressed as ``bits`` codegen'd array filters — narrow, shuffle-free,
+    and exactly reproducible in SQL.  ``bits`` ≤ 60 (the token hash takes
+    the first bits/4 md5 hex chars, kept positive in a signed long).
     """
     # Materialize token hashes once — inlining them into every bit term
     # would recompute the md5 of every token ``bits`` times (32× compute).
@@ -228,7 +230,7 @@ def simhash(
     hashed = docs.select(
         F.col(id_col).cast("long").alias(id_col),
         F.size(toks).alias("n_tokens"),
-        F.transform(toks, h32).alias("hh"),
+        F.transform(toks, lambda t: hbits(t, bits)).alias("hh"),
     )
     # all `bits` bit terms in ONE F.expr: per-term Column construction
     # (size/filter/when × 32) is pure py4j driver overhead — see
@@ -256,12 +258,19 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs with SimHash Hamming distance ≤ ``max_hamming``.
 
-    Banding on ``bits // band_bits`` byte slices: any pair within
+    Banding on ``bits // band_bits`` bit slices: any pair within
     ``bands - 1`` differing bits shares at least one exact band
     (pigeonhole), so only same-band docs are joined; the Hamming filter
     (``bit_count(xor)``) then verifies.  Distinct ``id_a < id_b`` pairs with
     their distance.  ``materialize`` semantics as in
     :func:`minhash_lsh_pairs`.
+
+    **Band width is the scale knob**: candidate volume per band is
+    Σ_buckets k² with ~2^band_bits buckets, so 8-bit bands (256 buckets)
+    go quadratic once n ≫ 256 — measured 49× cost at 20× corpus.  Use the
+    classic wide config — ``bits=60, band_bits=15`` (4 bands still
+    pigeonhole hamming ≤ 3; 32k buckets/band) — for anything beyond toy
+    scale; the driver contract runs it.
     """
     bands = bits // band_bits
     assert max_hamming <= bands - 1, "banding misses pairs beyond bands-1 bits"

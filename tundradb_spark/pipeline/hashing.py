@@ -25,14 +25,29 @@ FP_MOD = 1_000_000_007
 FP_BASE = 31
 
 
+def hbits(col: Column, nbits: int = 32) -> Column:
+    """First ``nbits`` bits of md5(col) as a non-negative long.
+
+    ``nbits`` must be a multiple of 4 and ≤ 60 (15 hex chars < 2**60 keeps
+    the value positive in a signed 64-bit long on every engine)."""
+    assert nbits % 4 == 0 and 0 < nbits <= 60, nbits
+    return F.conv(F.substring(F.md5(col), 1, nbits // 4), 16, 10).cast("long")
+
+
+def hbits_sql(expr: str, nbits: int = 32) -> str:
+    """DuckDB SQL equivalent of :func:`hbits`."""
+    assert nbits % 4 == 0 and 0 < nbits <= 60, nbits
+    return f"CAST('0x' || substr(md5({expr}), 1, {nbits // 4}) AS BIGINT)"
+
+
 def h32(col: Column) -> Column:
     """First 32 bits of md5(col) as a long in [0, 2**32)."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    return hbits(col, 32)
 
 
 def h32_sql(expr: str) -> str:
     """DuckDB SQL equivalent of :func:`h32`."""
-    return f"CAST('0x' || substr(md5({expr}), 1, 8) AS BIGINT)"
+    return hbits_sql(expr, 32)
 
 
 def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:

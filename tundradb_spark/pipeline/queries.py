@@ -20,6 +20,7 @@ from tundradb_spark.pipeline import dedup, similarity, text
 from tundradb_spark.pipeline.hashing import (
     MERSENNE_P,
     h32_sql,
+    hbits_sql,
     hyperplanes,
     minhash_params,
 )
@@ -33,7 +34,9 @@ from tundradb_spark.pipeline.text import fingerprint_summary
 
 # shared tuning constants (must match between query and oracle)
 MINHASH_NUM, MINHASH_BANDS, SHINGLE_K = 12, 4, 5
-SIMHASH_BITS, SIMHASH_BAND_BITS, SIMHASH_MAX_HAMMING = 32, 8, 3
+# 60/15: 4 bands still pigeonhole hamming<=3, but 32k buckets per band
+# instead of 256 — the config that stays near-linear at corpus scale
+SIMHASH_BITS, SIMHASH_BAND_BITS, SIMHASH_MAX_HAMMING = 60, 15, 3
 NGRAM_N, NGRAM_THRESHOLD = 3, 0.5
 NGRAM_MAX_DF, NGRAM_CAP_THRESHOLD = 2, 0.2
 EMBED_PLANES, EMBED_BAND_BITS, EMBED_THRESHOLD = 16, 8, 0.30
@@ -291,7 +294,7 @@ FROM bands a JOIN bands b
 
 Q_DEDUP_SIMHASH_SQL = f"""
 WITH hs AS (
-  SELECT doc_id, [{h32_sql('t')} for t in {_TOKS}] AS hs
+  SELECT doc_id, [{hbits_sql('t', SIMHASH_BITS)} for t in {_TOKS}] AS hs
   FROM documents
 ),
 sh AS (
