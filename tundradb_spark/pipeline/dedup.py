@@ -483,6 +483,18 @@ def embedding_dup_pairs(
     ``dim``: embedding dimensionality. When None it is probed with one
     driver-side ``first()`` — pass it explicitly in pipelines where that
     extra action matters (or where the frame is a stream).
+
+    **Scale behavior** (measured on a 20× decorrelated probe): at LOW
+    thresholds the pair OUTPUT itself is Θ(n²) — every random pair clears
+    cosine ≥ 0.3 with fixed probability — so no bucketing scheme makes the
+    operator linear; that is a property of the question, not the plan.
+    Production near-dup runs use high thresholds (≥ 0.9), where output is
+    sparse and the cost is the candidate rate: with p = P(plane agrees),
+    each ``band_bits``-wide band admits a dissimilar pair with
+    ``0.5**band_bits`` and catches a near-dup with ``p**band_bits`` — the
+    standard LSH S-curve; tune (``n_planes``, ``band_bits``) to the
+    threshold (wider bands for higher thresholds).  For query-time ANN the
+    IVF path + cell-partitioned storage is the prefilter instead.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = emb.select(
