@@ -164,6 +164,44 @@ class TestSimilarity:
         }
         assert part <= {1, 2, 3, 4}
 
+    def test_ivf_train_deterministic_and_probe_invariant(self, emb):
+        from tundradb_spark.pipeline.similarity import (
+            ivf_ann_topk,
+            ivf_train,
+        )
+
+        c1 = ivf_train(emb, n_cells=4, iters=2, dim=4)
+        c2 = ivf_train(emb, n_cells=4, iters=2, dim=4)
+        assert c1 == c2  # fully deterministic
+        assert len(c1) == 4 and all(len(c) == 4 for c in c1)
+        # full probe with TRAINED centroids still equals exact top-k
+        q = [1.0, 0.0, 0.0, 0.0]
+        exact = [
+            (r.vec_id, r.cosine)
+            for r in cosine_topk(emb.filter("vec_id != 0"), q, 4).collect()
+        ]
+        trained = [
+            (r.vec_id, r.cosine)
+            for r in ivf_ann_topk(
+                emb.filter("vec_id != 0"), q, 4, n_probe=4, centroids=c1
+            ).collect()
+        ]
+        assert trained == exact
+
+    def test_ivf_train_moves_centroids_toward_data(self, emb):
+        # after Lloyd rounds a non-empty cell's centroid is the mean of its
+        # members — member vectors should be closer (by cosine) to their own
+        # trained centroid than the untrained ±1 directions on average
+        from tundradb_spark.pipeline.similarity import ivf_assign, ivf_train
+
+        trained = ivf_train(emb, n_cells=2, iters=3, dim=4)
+        out = {
+            r.vec_id: r.cell
+            for r in ivf_assign(emb, centroids=trained).collect()
+        }
+        assert set(out) == {0, 1, 2, 3, 4}
+        assert all(1 <= c <= 2 for c in out.values())
+
 
 class TestText:
     def test_token_stats(self, docs):

@@ -151,6 +151,11 @@ def ivf_centroids(n_cells: int, dim: int, seed: int = 11) -> list[list[float]]:
     return hyperplanes(n_cells, dim, seed)
 
 
+def _unit(c: list[float]) -> list[float]:
+    n = _norm_lit(c)
+    return [x / n for x in c] if n else c
+
+
 def ivf_assign(
     emb: DataFrame,
     n_cells: int = 16,
@@ -158,6 +163,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     seed: int = 11,
     dim: int | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Attach each vector's IVF cell: ``cell = argmax_c dot(v, centroid_c)``
     (1-based, first-max tie-break — ``array_position(dots, array_max)``).
@@ -167,10 +173,19 @@ def ivf_assign(
     partitioned/bucketed by ``cell`` (``.write.partitionBy('cell')``) and a
     probe's ``cell IN (...)`` predicate prunes files — the inverted-file
     effect; no scan of non-probed cells at all.
+
+    ``centroids``: explicit coarse quantizer (e.g. from :func:`ivf_train`);
+    normalized to unit length here so argmax-by-dot equals
+    nearest-by-cosine even for unequal-norm trained centroids.  Default:
+    the seeded ±1 directions (already equal-norm — left untouched so the
+    SQL oracle literals stay bit-identical).
     """
-    if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
-    cents = ivf_centroids(n_cells, dim, seed)
+    if centroids is not None:
+        cents = [_unit(c) for c in centroids]
+    else:
+        if dim is None:
+            dim = len(emb.select(vec_col).first()[0])
+        cents = ivf_centroids(n_cells, dim, seed)
     v = _vec_sql(vec_col)
     dots = "array(" + ", ".join(dot_sql(v, arr_sql(c)) for c in cents) + ")"
     # __dots materialized in its own projection so the argmax's two
@@ -197,6 +212,7 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 11,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: rank cells by the QUERY's centroid dots
     (driver-side — the centroids are literals), scan only the top
@@ -206,15 +222,81 @@ def ivf_ann_topk(
     (every cell probed — pinned by test); small ``n_probe`` trades recall
     for scanning ``~n_probe/n_cells`` of the corpus — with cell-partitioned
     storage, that fraction of the FILES.
+
+    ``centroids``: a trained quantizer from :func:`ivf_train` (normalized
+    here); default is the seeded oracle-reproducible quantizer.
     """
     dim = len(query)
-    cents = ivf_centroids(n_cells, dim, seed)
+    if centroids is not None:
+        cents = [_unit(c) for c in centroids]
+        n_cells = len(cents)
+    else:
+        cents = ivf_centroids(n_cells, dim, seed)
     qdots = [sum(a * b for a, b in zip(query, c)) for c in cents]
     probe = [
         i + 1  # 1-based cells, dot desc then cell asc — mirrors the oracle
         for i, _ in sorted(enumerate(qdots), key=lambda t: (-t[1], t[0]))[:n_probe]
     ]
-    cands = ivf_assign(emb, n_cells, vec_col, id_col, seed, dim=dim).filter(
-        F.col("cell").isin(probe)
-    )
+    cands = ivf_assign(
+        emb, n_cells, vec_col, id_col, seed, dim=dim, centroids=centroids
+    ).filter(F.col("cell").isin(probe))
     return cosine_topk(cands, query, k, vec_col=vec_col, id_col=id_col)
+
+
+def ivf_train(
+    emb: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    seed: int = 11,
+    dim: int | None = None,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Spherical-k-means training for the IVF coarse quantizer.
+
+    Lloyd iterations, fully deterministic: seeded ±1 init, assignment via
+    the same argmax-dot expression :func:`ivf_assign` uses (init centroids
+    are equal-norm; subsequent rounds normalize), new centroid = per-dim
+    mean of the cell's members.  Empty cells keep their previous centroid.
+
+    Scale: each iteration is one narrow assignment pass + one
+    (cell, dim)-keyed aggregation — the per-dim means come back as
+    ``n_cells × dim`` rows (tiny).  Train on a SAMPLE at corpus scale
+    (``sample_fraction`` — k-means needs thousands of points per cell, not
+    the whole corpus; the standard IVF recipe).
+
+    Returns plain Python lists — persist them with the index; pass to
+    :func:`ivf_assign` / :func:`ivf_ann_topk` via ``centroids=``.
+    """
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    if sample_fraction is not None:
+        emb = emb.sample(fraction=sample_fraction, seed=seed)
+    cur = ivf_centroids(n_cells, dim, seed)
+    for _ in range(max(0, iters)):
+        use = [_unit(c) for c in cur]
+        v = _vec_sql(vec_col)
+        dots = "array(" + ", ".join(dot_sql(v, arr_sql(c)) for c in use) + ")"
+        assigned = emb.select(
+            F.col(vec_col), F.expr(dots).alias("__dots")
+        ).select(
+            vec_col,
+            F.expr(
+                "cast(array_position(__dots, array_max(__dots)) as int)"
+            ).alias("cell"),
+        )
+        means = (
+            assigned.select(
+                "cell", F.posexplode(F.expr(_vec_sql(vec_col))).alias("pos", "x")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        fresh: dict[int, list[float]] = {}
+        for r in means:
+            fresh.setdefault(int(r["cell"]), [0.0] * dim)[int(r["pos"])] = float(
+                r["m"]
+            )
+        cur = [fresh.get(c + 1, cur[c]) for c in range(n_cells)]
+    return cur
