@@ -18,6 +18,7 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from tundradb_spark.functions.timecols import epoch_micros, event_timestamp
 from tundradb_spark.graphs.tpch import REPRICE_VT, load_graph, load_versioned_orders
 from tundradb_spark.operators.relational import (
     asof_join,
@@ -343,15 +344,12 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     most recent order at event time. Union-sort implementation: ONE shuffle
     on the key, no row amplification (see operators/relational.asof_join)."""
     db = load_graph(spark, sf_dir)
-    ev = (
-        db.get_table("events")
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("id").alias("event_id"),
-            F.col("user_id"),
-            F.expr("ts div 1000").alias("ts_us"),  # int div: ns→µs, no
-            # double round-trip (ns epochs exceed 2^53)
-        )
+    ev_src = db.get_table("events").filter(F.col("event_type") == "purchase")
+    ev = ev_src.select(
+        F.col("id").alias("event_id"),
+        F.col("user_id"),
+        # schema-robust µs key (raw-nanos long OR timestamp testdata)
+        epoch_micros(ev_src, "ts").alias("ts_us"),
     )
     orders = db.get_table("orders").select(
         F.col("o_custkey").alias("user_id"),
@@ -379,21 +377,21 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries the hash join; the range is a residual filter in the same
     stage — no nested-loop join at any scale."""
     db = load_graph(spark, sf_dir)
-    hour_ns = 3_600 * 1_000_000_000
-    ev = db.get_table("events").select(
-        F.col("id").alias("event_id"), F.col("user_id"), F.col("ts")
+    hour_us = 3_600 * 1_000_000
+    ev_src = db.get_table("events")
+    ev = ev_src.select(
+        F.col("id").alias("event_id"),
+        F.col("user_id"),
+        epoch_micros(ev_src, "ts").alias("ts_us"),
     )
-    errs = (
-        db.get_table("events")
-        .filter(F.col("event_type") == "error")
-        .select(
-            F.col("id").alias("err_id"),
-            F.col("user_id"),
-            F.col("ts").alias("lo_ns"),
-            (F.col("ts") + F.lit(hour_ns)).alias("hi_ns"),
-        )
+    errs_src = ev_src.filter(F.col("event_type") == "error")
+    errs = errs_src.select(
+        F.col("id").alias("err_id"),
+        F.col("user_id"),
+        epoch_micros(errs_src, "ts").alias("lo_us"),
+        (epoch_micros(errs_src, "ts") + F.lit(hour_us)).alias("hi_us"),
     )
-    out = range_join(ev, errs, "ts", "lo_ns", "hi_ns", on="user_id")
+    out = range_join(ev, errs, "ts_us", "lo_us", "hi_us", on="user_id")
     return out.select("err_id", "event_id", "user_id")
 
 
@@ -515,11 +513,8 @@ def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(
             os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
         )
-        stream = (
-            spark.readStream.schema(schema)
-            .parquet(stage)
-            .withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        stream = spark.readStream.schema(schema).parquet(stage)
+        stream = stream.withColumn("ts_t", event_timestamp(stream, "ts"))
         agg = windowed_event_counts(
             stream, window="1 day", watermark="2 hours", ts_col="ts_t"
         )
@@ -658,12 +653,10 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(
             os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
         )
-        stream = (
-            spark.readStream.schema(schema)
-            .parquet(stage)
-            .withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
-            .select("user_id", "event_type", "ts_t")
-        )
+        stream = spark.readStream.schema(schema).parquet(stage)
+        stream = stream.withColumn(
+            "ts_t", event_timestamp(stream, "ts")
+        ).select("user_id", "event_type", "ts_t")
         deduped = streaming_dedup(
             stream, ["user_id", "event_type"], watermark="2 hours", ts_col="ts_t"
         )
@@ -833,13 +826,12 @@ def q_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(
             os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
         )
-        stream = (
-            spark.readStream.schema(schema)
-            .parquet(stage)
-            .filter(F.col("user_id") < 60)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            .select("ts", "user_id", "event_type", "value")
+        stream = spark.readStream.schema(schema).parquet(stage).filter(
+            F.col("user_id") < 60
         )
+        stream = stream.withColumn(
+            "ts", event_timestamp(stream, "ts")
+        ).select("ts", "user_id", "event_type", "value")
         expected = (
             spark.read.parquet(f"{sf_dir}/events.parquet")
             .filter(F.col("user_id") < 60)
@@ -906,11 +898,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tundradb_spark.streaming.ops import session_window_agg
 
     ensure_runtime_confs(spark)
-    events = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("user_id", "ts_t", "value")
-    )
+    ev_src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = ev_src.withColumn(
+        "ts_t", event_timestamp(ev_src, "ts")
+    ).select("user_id", "ts_t", "value")
     return session_window_agg(events, gap="12 hours", ts_col="ts_t")
 
 
@@ -1417,7 +1408,7 @@ ORACLES: dict[str, str] = {
     # streaming dedup run to completion == batch DISTINCT over the dedup keys
     "q_stream_dedup": """
         WITH d AS (
-            -- µs, matching the engine's timestamp_micros(ts div 1000) key
+            -- µs, matching the engine's event_timestamp/epoch_micros key
             SELECT DISTINCT user_id, event_type, epoch_us(ts) AS ts_us
             FROM events
         )

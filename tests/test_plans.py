@@ -4,6 +4,8 @@ the headline driver-contract queries at sf0.001. A change that silently
 de-optimizes a plan fails here instead of surfacing as a cluster slowdown.
 """
 
+import os
+
 import pytest
 
 import __spark_entry__ as entry
@@ -104,6 +106,60 @@ def test_ivf_no_nested_loop_and_pruned_probe(spark):
     audit.assert_no_nested_loop(df)
     assert audit.count_exchanges(df) == 0, audit.formatted_plan(df)
     assert "TakeOrderedAndProject" in audit.simple_plan(df)
+
+
+def test_ivf_indexed_probe_prunes_files(spark, tmp_path):
+    # the 100 TB storage story: corpus persisted partitionBy('cell'), probe
+    # scan must carry a pruning PartitionFilter (cell IN ...) — files of
+    # non-probed cells are never opened — and stay TakeOrderedAndProject
+    from tundradb_spark.pipeline import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = emb.filter("vec_id != 0")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    path = str(tmp_path / "ivf_index")
+    similarity.index_corpus(corpus, path, n_cells=16, seed=11)
+    df = similarity.ivf_ann_topk_indexed(
+        spark, path, q, 10, n_cells=16, n_probe=4, seed=11
+    )
+    audit.assert_partition_pruned(df, "cell")
+    audit.assert_no_nested_loop(df)
+    assert "TakeOrderedAndProject" in audit.simple_plan(df)
+    # identical results to the compute path (same quantizer, exact re-rank)
+    compute = similarity.ivf_ann_topk(
+        corpus, q, 10, n_cells=16, n_probe=4, seed=11
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        tuple(r) for r in compute.collect()
+    ]
+    # physical proof of file pruning: delete every NON-probed cell directory
+    # and re-probe — identical results, because the pruned scan never opens
+    # those files (a post-scan filter would crash on the missing parquet)
+    import shutil
+
+    probed = set(similarity.probe_cells(q, 16, 4, 11))
+    removed = 0
+    for d in os.listdir(path):
+        if d.startswith("cell=") and int(d.split("=")[1]) not in probed:
+            shutil.rmtree(os.path.join(path, d))
+            removed += 1
+    assert removed > 0  # the layout actually had prunable cells
+    again = similarity.ivf_ann_topk_indexed(
+        spark, path, q, 10, n_cells=16, n_probe=4, seed=11
+    )
+    assert [tuple(r) for r in again.collect()] == [
+        tuple(r) for r in compute.collect()
+    ]
+
+
+def test_q_ann_ivf_index_flag_equivalent(spark, monkeypatch):
+    # TUNDRA_ANN_USE_INDEX=1 switches q_ann_ivf to the indexed path with
+    # byte-identical results — the contract row stays green either way
+    base = [tuple(r) for r in entry.queries()["q_ann_ivf"](spark, SF).collect()]
+    monkeypatch.setenv("TUNDRA_ANN_USE_INDEX", "1")
+    indexed_df = entry.queries()["q_ann_ivf"](spark, SF)
+    audit.assert_partition_pruned(indexed_df, "cell")
+    assert [tuple(r) for r in indexed_df.collect()] == base
 
 
 def test_ann_topk_no_global_sort(spark):

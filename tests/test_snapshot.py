@@ -197,3 +197,20 @@ def test_gc_removes_fully_unreferenced_and_crashed(spark, snap_path):
 
     db2 = Database(spark, path=snap_path)
     assert rows_set(db2.get_table("A"), "id", "v") == {(0, 2)}
+
+
+def test_gc_rejects_keep_last_below_one(spark, snap_path):
+    # keep_last=0 would collect the snapshot LATEST points at and leave the
+    # database unrestorable — validated before anything is touched
+    import os
+
+    import pytest
+
+    db = Database(spark, path=snap_path)
+    db.create_schema("A", {"v": "long"})
+    db.create_node("A", v=1)
+    db.commit()
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="keep_last"):
+            db.gc_snapshots(keep_last=bad)
+    assert os.path.isdir(os.path.join(snap_path, "snapshots", "0"))

@@ -206,13 +206,15 @@ class Database:
         t.dirty = True
         return nid
 
-    def bulk_insert(self, schema: str, df: DataFrame) -> None:
+    def bulk_insert(self, schema: str, df: DataFrame) -> int:
         """Bulk append a DataFrame of field values (no id column): ids are
         assigned as a contiguous per-schema range, scalably — per-partition
-        offsets, no global window/shuffle, no Python workers."""
+        offsets, no global window/shuffle, no Python workers. Returns the
+        number of rows inserted (from the id assigner's existing size pass —
+        no extra action)."""
         self._writable()
         t = self._node(schema)
-        with_id = _zip_with_contiguous_ids(
+        with_id, n_rows = _zip_with_contiguous_ids(
             df, lambda n: self.catalog.next_node_id(schema, n), ID_COL
         )
         cols = [ID_COL] + [f.name for f in t.struct.fields if f.name != ID_COL]
@@ -222,12 +224,14 @@ class Database:
         base = self._materialize(t)
         t.frame = base.unionByName(out) if (t.frame is not None or t.pending) else out
         t.dirty = True
+        return n_rows
 
-    def bulk_connect(self, etype: str, df: DataFrame) -> None:
+    def bulk_connect(self, etype: str, df: DataFrame) -> int:
         """Bulk append edges from a DataFrame with ``source_id, target_id``
         (+ property columns). IDs assigned as a contiguous range per batch,
         created_ts synthesized if absent. The streaming/batch scale path for
-        edge ingestion (single-row path: :meth:`connect`)."""
+        edge ingestion (single-row path: :meth:`connect`). Returns the
+        number of edges appended (no extra action — see bulk_insert)."""
         self._writable()
         t = self._edge(etype)
         prop_fields = [
@@ -244,12 +248,13 @@ class Database:
         for p in prop_fields:
             if p not in out.columns:
                 out = out.withColumn(p, F.lit(None))
-        out = _zip_with_contiguous_ids(out, self.catalog.next_edge_id, "id")
+        out, n_rows = _zip_with_contiguous_ids(out, self.catalog.next_edge_id, "id")
         ordered = list(EDGE_STRUCTURAL_FIELDS) + prop_fields
         out = out.select(*ordered)
         base = self._materialize(t)
         t.frame = base.unionByName(out) if (t.frame is not None or t.pending) else out
         t.dirty = True
+        return n_rows
 
     def register_node_table(
         self,
@@ -258,11 +263,13 @@ class Database:
         id_col: str = ID_COL,
         resume_counter: bool = True,
         pre_versioned: bool = False,
-    ) -> None:
+    ) -> int | None:
         """Zero-copy registration of an existing DataFrame as a node table
         (the scale path — e.g. a parquet scan). The id column is renamed to
         ``id``; the per-schema counter resumes past max(id) unless
         ``resume_counter=False`` (read-only analytical use — skips the scan).
+        Returns the row count when ``resume_counter=True`` (computed in the
+        same aggregation action as max(id) — no extra pass), else None.
 
         ``pre_versioned=True`` accepts a frame that already carries the
         bitemporal version columns (valid_from/valid_to/tx_from/tx_to/
@@ -288,8 +295,10 @@ class Database:
         else:
             struct = T.StructType(df.schema.fields)
         self.catalog.node_schemas[name] = NodeSchema(name=name, struct=struct)
+        n_rows: int | None = None
         if resume_counter:
-            hi = df.agg(F.max(ID_COL)).first()[0]
+            hi, n = df.agg(F.max(ID_COL), F.count(F.lit(1))).first()
+            n_rows = int(n)
             self.catalog.node_id_counters[name] = int(hi) + 1 if hi is not None else 0
         versioned = self.versioning or pre_versioned
         if pre_versioned:
@@ -299,6 +308,7 @@ class Database:
         else:
             frame = df
         self._nodes[name] = _Table(struct=struct, frame=frame, versioned=versioned)
+        return n_rows
 
     def register_edge_table(
         self,
@@ -322,7 +332,7 @@ class Database:
         if "id" in df.columns:
             df = df.withColumn("id", F.col("id").cast("long"))
         else:
-            df = _zip_with_contiguous_ids(df, self.catalog.next_edge_id, "id")
+            df, _ = _zip_with_contiguous_ids(df, self.catalog.next_edge_id, "id")
         props = {
             f.name: f.dataType
             for f in df.schema.fields
@@ -387,7 +397,9 @@ class Database:
                 }
                 t.pending.append(row)
                 ids.append(eid)
-        t.dirty = True
+        if ids:  # zero appended edges must not mark the table dirty (a
+            # no-op would needlessly re-serialize it at the next COMMIT)
+            t.dirty = True
         return ids
 
     #: property-match selectors in point DML collect matched ids to the
@@ -867,7 +879,7 @@ _MID_OFFSET_MASK = (1 << 33) - 1
 
 def _zip_with_contiguous_ids(
     df: DataFrame, reserve: Callable[[int], int], col_name: str
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """Assign contiguous ids ``first..first+n-1`` without a global sort and
     WITHOUT leaving the JVM: stamp ``monotonically_increasing_id`` (partition
     id in the high bits, consecutive row offset in the low 33 bits), count
@@ -897,7 +909,8 @@ def _zip_with_contiguous_ids(
         .collect()
     )
     offsets = []
-    acc = reserve(sum(int(r["__n"]) for r in sizes))
+    total = sum(int(r["__n"]) for r in sizes)
+    acc = reserve(total)
     for row in sorted(sizes, key=lambda r: r["__pid"]):
         offsets.append((int(row["__pid"]), acc))
         acc += int(row["__n"])
@@ -916,4 +929,6 @@ def _zip_with_contiguous_ids(
         .withColumn(col_name, (F.col("__start") + pos).cast("long"))
         .drop("__pid", "__mid", "__start")
     )
-    return out.select(col_name, *df.columns)
+    # the size pass already counted the batch — callers return it instead of
+    # paying a second full-scan df.count() (round-3 ADVICE, CSV loader)
+    return out.select(col_name, *df.columns), total

@@ -79,6 +79,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so memoizing the materialized frame per (session, sf_dir) makes the second
 # consumer free instead of paying the ~full signature+join cost twice
 # (round-2 verdict item 3). Same convention as graphs.tpch._GRAPH_CACHE.
+# ASSUMES AN IMMUTABLE CORPUS PATH: the memo keys on (session, sf_dir) only
+# — a caller who rewrites documents.parquet in-place would read stale pairs.
+# The driver testdata is read-only, so no mtime key; revisit if the corpus
+# ever becomes mutable.
 _MINHASH_PAIRS_CACHE: (
     "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]"
 ) = weakref.WeakKeyDictionary()
@@ -149,8 +153,55 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cell-partitioned index dirs per (session, sf_dir) — written once, then
+# every q_ann_ivf probe under TUNDRA_ANN_USE_INDEX=1 is pruned file IO
+# (PartitionFilters) instead of a full-corpus re-hash. Temp dirs are
+# reclaimed at interpreter exit (atexit in _ivf_index_dir).
+_IVF_INDEX_CACHE: (
+    "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]"
+) = weakref.WeakKeyDictionary()
+
+
+def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    cached = _IVF_INDEX_CACHE.setdefault(spark, {})
+    if sf_dir not in cached:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="tundra_ivf_index_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        corpus = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+        similarity.index_corpus(
+            corpus,
+            path,
+            n_cells=IVF_CELLS,
+            seed=IVF_SEED,
+            dim=EMBED_DIM,
+        )
+        cached[sf_dir] = path
+    return cached[sf_dir]
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k. Default: compute-path (assign + probe in one plan — the
+    oracle-reproducible contract row). With TUNDRA_ANN_USE_INDEX=1: probe a
+    cell-partitioned on-disk index (written once per session) whose scan
+    PRUNES non-probed cells at file level — identical results (same
+    quantizer, exact re-rank; equivalence test-pinned), the 100 TB plan."""
+    import os
+
     q = _query_vec(spark, sf_dir)
+    if os.environ.get("TUNDRA_ANN_USE_INDEX") == "1":
+        return similarity.ivf_ann_topk_indexed(
+            spark,
+            _ivf_index_dir(spark, sf_dir),
+            q,
+            ANN_K,
+            n_cells=IVF_CELLS,
+            n_probe=IVF_PROBE,
+            seed=IVF_SEED,
+        )
     corpus = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
     return similarity.ivf_ann_topk(
         corpus, q, ANN_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE, seed=IVF_SEED

@@ -8,9 +8,10 @@
   the exact cosine runs on a small candidate set.  Hyperplanes are
   deterministic literals (seeded), so results are reproducible anywhere.
 
-IVF-style partitioning note for 100 TB: persist the corpus bucketed by
-``signature % N`` (``df.write.bucketBy``), so a probe touches only matching
-buckets — same plan shape as below, but the bucket join prunes files too.
+- :func:`index_corpus` / :func:`ivf_ann_topk_indexed` — the 100 TB storage
+  half: the corpus persisted ``partitionBy('cell')`` so a probe's literal
+  ``cell IN (...)`` predicate prunes FILES (PartitionFilters — plan-test
+  pinned), not just rows; signatures are computed once at write time.
 
 Everything is built-in-function only (codegen; no UDFs); the dot product is
 a left-fold so any engine reproduces the exact IEEE-754 doubles.
@@ -203,6 +204,30 @@ def ivf_assign(
     )
 
 
+def probe_cells(
+    query: list[float],
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 11,
+    centroids: list[list[float]] | None = None,
+) -> list[int]:
+    """The query's top-``n_probe`` IVF cells, ranked by centroid dot
+    (desc, cell asc tie-break — mirrors the oracle).  Pure driver-side
+    arithmetic on the literal centroids; the result is the literal
+    ``cell IN (...)`` predicate both the compute path and the indexed path
+    push to their scans."""
+    if centroids is not None:
+        cents = [_unit(c) for c in centroids]
+        n_cells = len(cents)
+    else:
+        cents = ivf_centroids(n_cells, len(query), seed)
+    qdots = [sum(a * b for a, b in zip(query, c)) for c in cents]
+    return [
+        i + 1  # 1-based cells
+        for i, _ in sorted(enumerate(qdots), key=lambda t: (-t[1], t[0]))[:n_probe]
+    ]
+
+
 def ivf_ann_topk(
     emb: DataFrame,
     query: list[float],
@@ -220,26 +245,85 @@ def ivf_ann_topk(
 
     ``n_probe = n_cells`` degrades gracefully to exact :func:`cosine_topk`
     (every cell probed — pinned by test); small ``n_probe`` trades recall
-    for scanning ``~n_probe/n_cells`` of the corpus — with cell-partitioned
-    storage, that fraction of the FILES.
+    for scanning ``~n_probe/n_cells`` of the corpus.  This path re-derives
+    cell assignments per query; :func:`ivf_ann_topk_indexed` over an
+    :func:`index_corpus` layout skips the re-hash AND prunes that fraction
+    of the FILES.
 
     ``centroids``: a trained quantizer from :func:`ivf_train` (normalized
     here); default is the seeded oracle-reproducible quantizer.
     """
-    dim = len(query)
     if centroids is not None:
-        cents = [_unit(c) for c in centroids]
-        n_cells = len(cents)
-    else:
-        cents = ivf_centroids(n_cells, dim, seed)
-    qdots = [sum(a * b for a, b in zip(query, c)) for c in cents]
-    probe = [
-        i + 1  # 1-based cells, dot desc then cell asc — mirrors the oracle
-        for i, _ in sorted(enumerate(qdots), key=lambda t: (-t[1], t[0]))[:n_probe]
-    ]
+        n_cells = len(centroids)
+    probe = probe_cells(query, n_cells, n_probe, seed, centroids)
     cands = ivf_assign(
-        emb, n_cells, vec_col, id_col, seed, dim=dim, centroids=centroids
+        emb, n_cells, vec_col, id_col, seed, dim=len(query), centroids=centroids
     ).filter(F.col("cell").isin(probe))
+    return cosine_topk(cands, query, k, vec_col=vec_col, id_col=id_col)
+
+
+def index_corpus(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 11,
+    dim: int | None = None,
+    centroids: list[list[float]] | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Persist the corpus **cell-partitioned** — the write-side half of the
+    100 TB IVF story.
+
+    ``.write.partitionBy('cell')`` lays the corpus out as one directory per
+    IVF cell, so a probe's ``cell IN (...)`` predicate becomes a
+    **PartitionFilter** on the parquet scan: non-probed cells are pruned at
+    FILE level and are never opened, read, or decoded
+    (tests/test_plans.py pins this).  Signatures are computed exactly once,
+    at write time; every subsequent probe is pure pruned IO + re-rank.
+
+    At 100 TB, pair this with a per-cell file-size target (the writer
+    shuffles by ``cell`` first so each cell directory gets coalesced files,
+    not one sliver per input task).
+    """
+    if centroids is not None:
+        n_cells = len(centroids)
+    assigned = ivf_assign(
+        emb, n_cells, vec_col, id_col, seed, dim=dim, centroids=centroids
+    )
+    # one shuffle by cell at write time → each cell directory is a few dense
+    # files instead of n_input_tasks slivers; this is the write-amortized
+    # cost every probe stops paying
+    assigned.repartition("cell").write.mode(mode).partitionBy("cell").parquet(
+        path
+    )
+    return path
+
+
+def ivf_ann_topk_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 11,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Probe an :func:`index_corpus` layout: read ONLY the probed cells'
+    files (partition pruning — no signature recompute, no full-corpus scan),
+    then exact-cosine re-rank.
+
+    Must be called with the same quantizer (``n_cells``/``seed`` or
+    ``centroids``) the index was written with; results are identical to
+    :func:`ivf_ann_topk` on the same corpus (test-pinned), the plan reads
+    ``~n_probe/n_cells`` of the files.
+    """
+    probe = probe_cells(query, n_cells, n_probe, seed, centroids)
+    cands = spark.read.parquet(path).filter(F.col("cell").isin(probe))
     return cosine_topk(cands, query, k, vec_col=vec_col, id_col=id_col)
 
 

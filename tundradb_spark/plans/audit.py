@@ -35,6 +35,27 @@ def scan_pushed_filters(df: DataFrame) -> list[str]:
     return re.findall(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df))
 
 
+def scan_partition_filters(df: DataFrame) -> list[str]:
+    """All ``PartitionFilters: [...]`` entries across the plan's file scans.
+
+    Non-empty entries mean the scan prunes at FILE level (directories for
+    non-matching partition values are never listed or opened) — stronger
+    than ``PushedFilters``, which still opens every file and relies on
+    row-group stats."""
+    return re.findall(r"PartitionFilters: \[([^\]]*)\]", formatted_plan(df))
+
+
+def assert_partition_pruned(df: DataFrame, column: str) -> None:
+    """Assert some file scan carries a real partition filter on ``column``
+    (i.e. the predicate prunes files, not just rows post-scan)."""
+    parts = scan_partition_filters(df)
+    hits = [p for p in parts if column in p]
+    if not any("IN" in p or "=" in p for p in hits):
+        raise AssertionError(
+            f"no pruning PartitionFilter on {column!r}; scans carry: {parts}"
+        )
+
+
 def scan_read_schemas(df: DataFrame) -> list[str]:
     """All ``ReadSchema`` strings across the plan's parquet scans."""
     return re.findall(r"ReadSchema: (\S+)", formatted_plan(df))

@@ -40,21 +40,23 @@ def load_csv_nodes(
     With ``id_col`` present in the file the table is registered zero-copy
     (ids taken from the file, counter resumed past max). Without one,
     engine-contiguous ids are assigned via ``bulk_insert`` (the schema is
-    created from the frame when missing). ``schema`` is an optional DDL
-    string (``"id long, name string"``) — skips inference's extra pass.
-    Returns the number of rows loaded.
+    created from the frame when missing). Pass an explicit ``schema`` DDL
+    string (``"id long, name string"``) to skip inferSchema's extra pass
+    over the file.
+    Returns the number of rows loaded — taken from the ingest path's own
+    aggregation (register's max+count agg / bulk_insert's size pass), so a
+    load is exactly ONE pass over the data (plus inference when no
+    ``schema`` is given).
     """
     df = _read(db, path, schema)
     if id_col is not None and id_col in df.columns:
-        db.register_node_table(schema_name, df, id_col=id_col)
-        return df.count()
+        return db.register_node_table(schema_name, df, id_col=id_col)
     if schema_name not in db.catalog.node_schemas:
         db.create_schema(
             schema_name,
             {f.name: f.dataType.simpleString() for f in df.schema.fields},
         )
-    db.bulk_insert(schema_name, df)
-    return df.count()
+    return db.bulk_insert(schema_name, df)
 
 
 def load_csv_edges(
@@ -68,10 +70,11 @@ def load_csv_edges(
     """Load an edge CSV (``source_col, target_col`` + any property columns)
     into ``edge_type`` via the distributed ``bulk_connect`` path. Property
     columns beyond the endpoints must already exist on the edge schema
-    (``db.create_edge_schema``). Returns the number of edges loaded."""
+    (``db.create_edge_schema``). Returns the number of edges loaded (from
+    bulk_connect's id-assignment size pass — no extra scan; pass an
+    explicit ``schema`` to also skip inferSchema's pass)."""
     df = _read(db, path, schema)
     df = df.withColumnRenamed(source_col, "source_id").withColumnRenamed(
         target_col, "target_id"
     )
-    db.bulk_connect(edge_type, df)
-    return df.count()
+    return db.bulk_connect(edge_type, df)

@@ -143,10 +143,21 @@ def gc_snapshots(root: str, keep_last: int = 1) -> list[int]:
     referenced files, and (b) unreferenced table dirs inside partially
     shared old snapshots.  The LATEST pointer is never touched.
 
+    Single-writer assumption (matches the reference's lone shell process —
+    apps/tundra_shell.cpp): GC treats ids beyond LATEST as crashed partial
+    commits and reclaims them; a CONCURRENT writer mid-commit on the same
+    path (parquet written, LATEST not yet flipped) would lose its in-flight
+    snapshot.  Coordinate GC with commits externally if multiple writers
+    ever share a path.
+
     Returns the ids of fully removed snapshots.
     """
     import shutil
 
+    if keep_last < 1:
+        # keep_last=0 would reclaim the snapshot LATEST points at — the
+        # database would become unrestorable while the pointer survives
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     latest = _latest_id(root)
     if latest is None:
         return []
