@@ -90,6 +90,31 @@ class TestParser:
         assert st.where.op.value == ">"
         assert st.where.value == 30
 
+    def test_match_tail_extensions_parse(self):
+        st = parse_statement(
+            "MATCH (u:User) AS OF 1500 TX 99 WHERE u.age > 20 "
+            "SELECT u.name AS who "
+            "GROUP BY u.name AGG count(*) AS n, avg(u.age) AS mean_age "
+            "ORDER BY n DESC, u.name LIMIT 5;"
+        )
+        assert (st.as_of_vt, st.as_of_tt) == (1500, 99)
+        assert st.group_by == ["u.name"]
+        assert st.aggs == [("count", "*", "n"), ("avg", "u.age", "mean_age")]
+        assert st.order_by == [("n", False), ("u.name", True)]
+        assert st.limit == 5
+
+    def test_group_by_requires_agg(self):
+        with pytest.raises(QueryError, match="AGG"):
+            parse_statement("MATCH (u:User) GROUP BY u.name;")
+
+    def test_as_of_requires_int(self):
+        with pytest.raises(QueryError, match="AS OF"):
+            parse_statement('MATCH (u:User) AS OF "yesterday";')
+
+    def test_limit_rejects_negative(self):
+        with pytest.raises(QueryError, match="LIMIT"):
+            parse_statement("MATCH (u:User) LIMIT -1;")
+
 
 class TestInterpreter:
     def test_match_inner(self, qldb):
@@ -135,6 +160,44 @@ class TestInterpreter:
     def test_create_node_return_id(self, qldb):
         out = qldb.sql('CREATE NODE User (name = "eve", age = 55) RETURN id;')
         assert [r.id for r in out.collect()] == [4]
+
+    def test_order_by_limit_text(self, qldb):
+        df = qldb.sql(
+            "MATCH (u:User) SELECT u.name AS who, u.age AS age "
+            "ORDER BY u.age DESC LIMIT 2;"
+        )
+        assert [(r.who, r.age) for r in df.collect()] == [
+            ("carol", 41), ("alice", 30),
+        ]
+
+    def test_global_agg_text(self, qldb):
+        df = qldb.sql("MATCH (u:User) WHERE u.age > 20 AGG count(*) AS n, "
+                      "max(u.age) AS oldest;")
+        assert [tuple(r) for r in df.collect()] == [(3, 41)]
+
+    def test_group_by_agg_order_text(self, qldb):
+        df = qldb.sql(
+            "MATCH (u:User)-[:FRIEND LEFT]->(f:User) "
+            "GROUP BY u.name AGG count(f.id) AS n_friends "
+            "ORDER BY n_friends DESC, u.name LIMIT 3;"
+        )
+        assert [tuple(r) for r in df.collect()] == [
+            ("alice", 1), ("carol", 1), ("bob", 0),
+        ]
+
+    def test_as_of_text(self, spark):
+        from tundradb_spark.database import Database
+        from tundradb_spark.temporal import MockClock
+
+        db = Database(spark, versioning=True, clock=MockClock(1000))
+        db.sql("CREATE SCHEMA acct (bal: FLOAT64);")
+        db.sql("CREATE NODE acct (bal = 10.0);")
+        db.clock.advance(1000)
+        db.update_by_id("acct", 0, {"bal": 20.0})
+        before = db.sql("MATCH (a:acct) AS OF 1500 SELECT a.bal AS bal;")
+        after = db.sql("MATCH (a:acct) AS OF 2500 SELECT a.bal AS bal;")
+        assert [r.bal for r in before.collect()] == [10.0]
+        assert [r.bal for r in after.collect()] == [20.0]
 
     def test_update_by_id(self, qldb):
         qldb.sql('UPDATE User(1) SET age = 26, name = "bobby";')

@@ -89,6 +89,27 @@ SHOW EDGE TYPES;
     assert "|3" in out.replace(" ", "") and "|2" in out.replace(" ", "")
 
 
+def test_analytics_tail_script(db):
+    # the extension tail through the shell runner: aggregate + order + limit
+    # in pure TundraQL text (the reference's enum anticipated ORDER_BY/LIMIT,
+    # include/query/query.hpp:168; its parser never grew the productions)
+    out, failures = run(
+        db,
+        SETUP
+        + """
+MATCH (u:User)-[:WORKS_AT]->(c:Company)
+GROUP BY c.name AGG count(*) AS n_emps, max(u.age) AS oldest
+ORDER BY n_emps DESC, c.name LIMIT 2;
+MATCH (u:User) SELECT u.name AS who ORDER BY u.age DESC LIMIT 1;
+""",
+    )
+    assert failures == 0
+    assert "Acme" in out and "Globex" in out and "Cara" in out
+    compact = out.replace(" ", "")
+    assert "|2|31|" in compact  # Acme: 2 employees, oldest 31
+    assert "|1|40|" in compact  # Globex: 1 employee, oldest 40
+
+
 def test_script_continues_past_failures(db):
     # reference SCRIPT_EXECUTION_FEATURE.md: execution continues, stats
     # report the failure count

@@ -67,6 +67,17 @@ class Match:
     roots: list[NodeRef]  # single-node patterns with no edges
     where: Expr | None
     select: list[tuple[str, str | None]]  # (dotted path, AS alias)
+    # -- text-surface extensions (engine capabilities the reference grammar
+    # never grew productions for — its own clause enum anticipated them,
+    # include/query/query.hpp:168) --
+    group_by: list[str] = field(default_factory=list)
+    aggs: list[tuple[str, str, str | None]] = field(
+        default_factory=list
+    )  # (fn, field-or-*, AS alias)
+    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (path, asc)
+    limit: int | None = None
+    as_of_vt: int | None = None  # AS OF <valid-time>
+    as_of_tt: int | None = None  # ... TX <tx-time>
 
 
 @dataclass(frozen=True)

@@ -85,6 +85,21 @@ def _build_query(db: "Database", m: ast.Match) -> Query:
                 for path, as_name in m.select
             ]
         )
+    # text-surface extension clauses — one-to-one onto the builder, so the
+    # shell gains exactly the engine's post-MATCH capability set (§2.5/2.7,
+    # operators/match.apply_post_ops)
+    if m.as_of_vt is not None:
+        q = q.as_of_valid_time(m.as_of_vt)
+    if m.as_of_tt is not None:
+        q = q.as_of_tx_time(m.as_of_tt)
+    if m.group_by:
+        q = q.group_by(*m.group_by)
+    for fn, fld, as_name in m.aggs:
+        q = q.agg(fn, fld, alias=as_name)
+    for path, asc in m.order_by:
+        q = q.order_by(f"{path} {'asc' if asc else 'desc'}")
+    if m.limit is not None:
+        q = q.limit(m.limit)
     return q
 
 

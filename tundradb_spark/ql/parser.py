@@ -10,6 +10,12 @@ Extensions over the reference grammar (documented, deliberate):
   per-schema at apps/tundra_shell.cpp:205-377; we accept them as literals)
 - negative numeric literals
 - single-quoted strings in addition to double-quoted
+- MATCH tail clauses the reference's own clause enum anticipated but never
+  grew productions for (include/query/query.hpp:168 lists ORDER_BY/LIMIT):
+  ``AS OF <vt> [TX <tt>]`` (bitemporal read), ``GROUP BY p, ...``,
+  ``AGG fn(p|*) [AS name], ...``, ``ORDER BY p [ASC|DESC], ...``,
+  ``LIMIT n`` — each maps 1:1 onto the engine's Query builder
+  (query.py:246-323), so text and fluent queries share one execution path.
 """
 
 from __future__ import annotations
@@ -28,7 +34,7 @@ _TOKEN_RE = re.compile(
     | (?P<int>-?\d+)
     | (?P<string>"(?:[^"\\\r\n]|\\.)*"|'(?:[^'\\\r\n]|\\.)*')
     | (?P<ident>[a-zA-Z_][a-zA-Z_0-9]*)
-    | (?P<op><=|>=|!=|<>|<-|->|[()\[\]{};,:=<>.\-])
+    | (?P<op><=|>=|!=|<>|<-|->|[()\[\]{};,:=<>.\-*])
     """,
     re.VERBOSE,
 )
@@ -38,6 +44,8 @@ KEYWORDS = {
     "DELETE", "WHERE", "SELECT", "RETURN", "AS", "INNER", "LEFT", "RIGHT",
     "FULL", "AND", "OR", "UPDATE", "SET", "COMMIT", "UNIQUE", "SHOW",
     "EDGES", "TYPES",
+    # extension-surface keywords (see module docstring)
+    "OF", "TX", "GROUP", "BY", "AGG", "ORDER", "ASC", "DESC", "LIMIT",
 }
 
 TYPE_NAMES = {
@@ -422,6 +430,26 @@ class Parser:
     def match_statement(self) -> ast.Match:
         self.expect("MATCH")
         hops, roots = self.pattern_list()
+        as_of_vt = as_of_tt = None
+        # AS OF <vt> [TX <tt>] — bitemporal read point for every scan in
+        # the pattern (engine: Query.as_of_valid_time/as_of_tx_time)
+        if self.at_kw("AS") and self.peek(1).text == "OF":
+            self.next()
+            self.next()
+            t = self.next()
+            if t.kind != "int":
+                raise QueryError(
+                    f"TundraQL: AS OF expects an integer timestamp, got {t.text!r}"
+                )
+            as_of_vt = int(t.text)
+            if self.at_kw("TX"):
+                self.next()
+                t = self.next()
+                if t.kind != "int":
+                    raise QueryError(
+                        f"TundraQL: TX expects an integer timestamp, got {t.text!r}"
+                    )
+                as_of_tt = int(t.text)
         where = None
         if self.at_kw("WHERE"):
             self.next()
@@ -438,7 +466,74 @@ class Parser:
                 select.append((path, as_name))
                 if not self.accept(","):
                     break
-        return ast.Match(hops=hops, roots=roots, where=where, select=select)
+        group_by: list[str] = []
+        if self.at_kw("GROUP"):
+            self.next()
+            if not self.at_kw("BY"):
+                raise QueryError("TundraQL: GROUP must be followed by BY")
+            self.next()
+            while True:
+                group_by.append(self.dotted_path())
+                if not self.accept(","):
+                    break
+        aggs: list[tuple[str, str, str | None]] = []
+        if self.at_kw("AGG"):
+            self.next()
+            while True:
+                fn = self.ident()
+                self.expect("(")
+                if self.accept("*"):
+                    fld = "*"
+                else:
+                    fld = self.dotted_path()
+                self.expect(")")
+                as_name = None
+                if self.at_kw("AS"):
+                    self.next()
+                    as_name = self.ident()
+                aggs.append((fn.lower(), fld, as_name))
+                if not self.accept(","):
+                    break
+        if group_by and not aggs:
+            raise QueryError("TundraQL: GROUP BY requires an AGG clause")
+        order_by: list[tuple[str, bool]] = []
+        if self.at_kw("ORDER"):
+            self.next()
+            if not self.at_kw("BY"):
+                raise QueryError("TundraQL: ORDER must be followed by BY")
+            self.next()
+            while True:
+                path = self.dotted_path()
+                asc = True
+                if self.at_kw("ASC"):
+                    self.next()
+                elif self.at_kw("DESC"):
+                    self.next()
+                    asc = False
+                order_by.append((path, asc))
+                if not self.accept(","):
+                    break
+        limit = None
+        if self.at_kw("LIMIT"):
+            self.next()
+            t = self.next()
+            if t.kind != "int" or int(t.text) < 0:
+                raise QueryError(
+                    f"TundraQL: LIMIT expects a non-negative integer, got {t.text!r}"
+                )
+            limit = int(t.text)
+        return ast.Match(
+            hops=hops,
+            roots=roots,
+            where=where,
+            select=select,
+            group_by=group_by,
+            aggs=aggs,
+            order_by=order_by,
+            limit=limit,
+            as_of_vt=as_of_vt,
+            as_of_tt=as_of_tt,
+        )
 
     def dotted_path(self) -> str:
         parts = [self.ident()]
