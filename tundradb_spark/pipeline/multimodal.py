@@ -5,9 +5,10 @@ Modality payloads are opaque ``binary`` columns plus a typed metadata struct
 Parquet row groups, metadata queryable without touching the payload, column
 pruning keeps payload I/O out of metadata-only scans).
 
-Real decode needs image/audio libs this container doesn't ship, so the
-decode kernels are STUBS: :func:`decode_image` raises ``NotImplementedError``
-unless given ``codec='fake'``, whose deterministic output exercises the real
+Real decode needs image libs probed at call time: ``codec='real'`` uses PIL
+where importable and raises ``NotImplementedError`` otherwise (this
+container ships no image libs, so here it is an honest stub);
+``codec='fake'`` is a deterministic stand-in exercising the identical
 Spark-side machinery — Arrow-batched ``mapInPandas``, explicit output
 schemas, per-batch vectorized processing, payload-pruning projections.
 """
@@ -105,26 +106,59 @@ def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _pil_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Real decoder (PIL), vectorized per Arrow batch: one Image.open per
+    payload, metadata only — pixel data is never materialized (PIL reads
+    headers lazily, so this is cheap even for large images)."""
+    import io
+
+    from PIL import Image
+
+    widths, heights, modes = [], [], []
+    for b in pdf["blob"]:
+        with Image.open(io.BytesIO(b)) as im:
+            widths.append(im.width)
+            heights.append(im.height)
+            modes.append(im.mode)
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "width": pd.Series(widths, dtype="int64"),
+            "height": pd.Series(heights, dtype="int64"),
+            "mode": modes,
+            "n_bytes": pdf["blob"].map(len),
+        }
+    )
+
+
 def decode_image(blobs: DataFrame, codec: str = "real") -> DataFrame:
     """Decode image payloads to metadata via Arrow-batched ``mapInPandas``.
 
-    ``codec='real'`` raises ``NotImplementedError`` (no image libs in this
-    environment); ``codec='fake'`` runs the deterministic stand-in through
-    the identical Spark plumbing: same schema, same batching, same
-    partition-preserving narrow execution.
+    ``codec='real'`` uses PIL when importable (probed at call time) and
+    raises ``NotImplementedError`` otherwise — this container ships no image
+    libs, so here the real path stays an honest, clearly-marked stub;
+    ``codec='fake'`` runs the deterministic stand-in through the identical
+    Spark plumbing: same schema, same batching, same partition-preserving
+    narrow execution.
     """
     if codec == "real":
-        raise NotImplementedError(
-            "image decoding requires PIL/libvips, not available here; "
-            "use codec='fake' for the deterministic test kernel"
-        )
-    if codec != "fake":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "image decoding requires PIL (pillow), not available here; "
+                "use codec='fake' for the deterministic test kernel"
+            ) from exc
+        kernel = _pil_decode_batch
+    elif codec == "fake":
+        kernel = _fake_decode_batch
+    else:
         raise ValueError(f"unknown codec: {codec}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _fake_decode_batch(pdf)
+                yield kernel(pdf)
 
     return blobs.select("doc_id", "blob").mapInPandas(gen, IMAGE_META_SCHEMA)
 
