@@ -152,6 +152,55 @@ def test_ivf_indexed_probe_prunes_files(spark, tmp_path):
     ]
 
 
+def test_lsh_indexed_probe_prunes_files(spark, tmp_path):
+    # the banded inverted-file layout: probe must read only the query's
+    # (band_idx, band_key) directories and match the compute path exactly
+    from tundradb_spark.pipeline import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = emb.filter("vec_id != 0")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    path = str(tmp_path / "lsh_index")
+    similarity.index_corpus_lsh(corpus, path, n_planes=16, band_bits=8)
+    df = similarity.lsh_ann_topk_indexed(
+        spark, path, q, 10, n_planes=16, band_bits=8
+    )
+    audit.assert_partition_pruned(df, "band_key")
+    compute = similarity.lsh_ann_topk(corpus, q, 10, n_planes=16, band_bits=8)
+    assert [tuple(r) for r in df.collect()] == [
+        tuple(r) for r in compute.collect()
+    ]
+    # physical pruning proof: drop every band_key directory the query does
+    # not probe; the pruned scan must never notice
+    import shutil
+
+    from tundradb_spark.pipeline.hashing import hyperplanes
+
+    planes = hyperplanes(16, len(q), 7)
+    qsig = sum(
+        1 << p
+        for p, plane in enumerate(planes)
+        if sum(a * b for a, b in zip(q, plane)) > 0
+    )
+    removed = 0
+    for bdir in os.listdir(path):
+        if not bdir.startswith("band_idx="):
+            continue
+        i = int(bdir.split("=")[1])
+        keep = (qsig >> (i * 8)) & 0xFF
+        for kdir in os.listdir(os.path.join(path, bdir)):
+            if kdir.startswith("band_key=") and int(kdir.split("=")[1]) != keep:
+                shutil.rmtree(os.path.join(path, bdir, kdir))
+                removed += 1
+    assert removed > 0
+    again = similarity.lsh_ann_topk_indexed(
+        spark, path, q, 10, n_planes=16, band_bits=8
+    )
+    assert [tuple(r) for r in again.collect()] == [
+        tuple(r) for r in compute.collect()
+    ]
+
+
 def test_q_ann_ivf_index_flag_equivalent(spark, monkeypatch):
     # TUNDRA_ANN_USE_INDEX=1 switches q_ann_ivf to the indexed path with
     # byte-identical results — the contract row stays green either way

@@ -327,6 +327,96 @@ def ivf_ann_topk_indexed(
     return cosine_topk(cands, query, k, vec_col=vec_col, id_col=id_col)
 
 
+def index_corpus_lsh(
+    emb: DataFrame,
+    path: str,
+    n_planes: int = 16,
+    band_bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    mode: str = "overwrite",
+) -> str:
+    """Persist the corpus as a banded sign-LSH **inverted file**:
+    one row per (vector, band), partitioned by ``(band_idx, band_key)``.
+
+    This is the classic posting-list layout made of parquet directories:
+    a probe reads ONLY the ``bands`` directories matching the query's band
+    keys (PartitionFilters — file-level pruning), instead of re-hashing and
+    scanning the whole corpus per query.  Storage pays ×``bands``
+    duplication — the standard inverted-index trade; signatures are
+    computed exactly once, at write time.
+
+    ``band_bits`` sets the directory fan-out (``bands × 2^band_bits``):
+    8 bits → 512 dirs at 16 planes, fine everywhere; >16 bits starts to
+    strain object-store listings — prefer more planes over wider bands when
+    scaling selectivity.
+    """
+    bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    sigs = lsh_signature(emb, n_planes, vec_col, id_col, seed)
+    exploded = sigs.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(*[F.lit(i) for i in range(bands)])
+        ).alias("band_idx"),
+        F.col("sig"),
+    ).select(
+        id_col,
+        vec_col,
+        "band_idx",
+        F.expr(f"shiftright(sig, band_idx * {band_bits}) & {mask}").alias(
+            "band_key"
+        ),
+    )
+    # cluster by partition key at write time → dense per-directory files
+    exploded.repartition("band_idx", "band_key").write.mode(mode).partitionBy(
+        "band_idx", "band_key"
+    ).parquet(path)
+    return path
+
+
+def lsh_ann_topk_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 16,
+    band_bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Probe an :func:`index_corpus_lsh` layout: read only the directories
+    whose (band_idx, band_key) matches the query's bands, dedupe candidates
+    (a vector agreeing on several bands posts several times), exact-cosine
+    re-rank.  Identical results to :func:`lsh_ann_topk` on the same corpus
+    (test-pinned); the scan opens ``~bands/2^band_bits`` of the files.
+
+    Must use the same ``n_planes``/``band_bits``/``seed`` the index was
+    written with.
+    """
+    planes = hyperplanes(n_planes, len(query), seed)
+    qsig = 0
+    for p, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query, plane)) > 0:
+            qsig |= 1 << p
+    bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+    pred = None
+    for i in range(bands):
+        qband = (qsig >> (i * band_bits)) & mask
+        this = (F.col("band_idx") == i) & (F.col("band_key") == qband)
+        pred = this if pred is None else (pred | this)
+    cands = (
+        spark.read.parquet(path)
+        .filter(pred)
+        .dropDuplicates([id_col])
+    )
+    return cosine_topk(cands, query, k, vec_col=vec_col, id_col=id_col)
+
+
 def ivf_train(
     emb: DataFrame,
     n_cells: int = 16,
