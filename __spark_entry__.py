@@ -1478,9 +1478,10 @@ ORACLES: dict[str, str] = {
         FROM events WHERE user_id < 60
         GROUP BY user_id
     """,
-    # gap sessionization: lag ≥ gap starts a session; running sum of the
-    # starts numbers them — exactly session_window's merge rule (gap < 12h
-    # joins, end-exclusive)
+    # gap sessionization: lag > gap starts a session; running sum of the
+    # starts numbers them — exactly session_window's merge rule (gap ≤ 12h
+    # joins: Spark merges windows sharing a boundary, probed + pinned by
+    # tests/test_properties.py)
     "q_sessionize": """
         WITH e AS (
             SELECT user_id, epoch_us(ts) AS t, value FROM events
@@ -1488,7 +1489,7 @@ ORACLES: dict[str, str] = {
         m AS (
             SELECT user_id, t, value,
                    CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
-                             >= 43200000000 THEN 1 ELSE 0 END AS new_sess
+                             > 43200000000 THEN 1 ELSE 0 END AS new_sess
             FROM e
         ),
         s AS (

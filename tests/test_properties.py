@@ -60,7 +60,10 @@ def test_asof_join_matches_bruteforce(spark, left, right, salt):
 )
 def test_session_window_agg_matches_gap_rule(spark, events, gap_s):
     """Sessions = maximal runs where consecutive (sorted) event gaps are
-    < gap; output start/end/count per session match the brute-force split."""
+    <= gap (Spark's session_window merges windows sharing a boundary: an
+    event EXACTLY gap after the last still joins — probed empirically, and
+    hypothesis found the boundary in round 4); output start/end/count per
+    session match the brute-force split."""
     df = spark.createDataFrame(
         [(u, t * 1_000_000, 1.0) for u, t in events],
         "user_id long, ts_us long, value double",
@@ -80,7 +83,7 @@ def test_session_window_agg_matches_gap_rule(spark, events, gap_s):
         ts = sorted(t for uu, t in events if uu == u)
         runs: list[list[int]] = [[ts[0]]]
         for prev, cur in zip(ts, ts[1:]):
-            if cur - prev >= gap_s:
+            if cur - prev > gap_s:
                 runs.append([cur])
             else:
                 runs[-1].append(cur)
@@ -108,6 +111,7 @@ def test_contiguous_id_assignment_is_permutation(spark, sizes, first):
     if n == 0:
         return
     df = df.repartition(len(sizes))
-    out = _zip_with_contiguous_ids(df, lambda k: first, "id")
+    out, counted = _zip_with_contiguous_ids(df, lambda k: first, "id")
+    assert counted == n  # the size pass IS the returned row count
     ids = sorted(r["id"] for r in out.collect())
     assert ids == list(range(first, first + n))

@@ -268,3 +268,78 @@ class TestSessionWindowAgg:
         # only the 10:00-10:10 session closed before the final watermark
         assert len(got) == 1
         assert got[0].n_events == 2 and got[0].total_value == 3.0
+
+
+class TestStreamStreamJoin:
+    def test_banded_join_matches_batch(self, spark, tmp_path):
+        from datetime import datetime
+
+        from tundradb_spark.streaming import stream_stream_join
+
+        lsrc, rsrc = str(tmp_path / "ssl"), str(tmp_path / "ssr")
+        ckpt = str(tmp_path / "ssck")
+        os.makedirs(lsrc)
+        os.makedirs(rsrc)
+        base = datetime(2026, 1, 1, 10, 0, 0)
+
+        def at(minute):
+            return datetime(2026, 1, 1, 10 + minute // 60, minute % 60)
+
+        # left: error events; right: follow-up events — only follow-ups
+        # within 30 min of the same user's error should match
+        lrows = [(at(0), 1, "error", 0.0), (at(5), 2, "error", 0.0)]
+        rrows = [
+            (at(10), 1, "view", 1.0),   # +10 min -> match user 1
+            (at(50), 1, "view", 2.0),   # +50 min -> outside band
+            (at(20), 2, "buy", 3.0),    # +15 min -> match user 2
+            (at(25), 3, "view", 4.0),   # no left user 3
+        ]
+        left_schema = EVENT_SCHEMA
+        _write_json(spark, lsrc, lrows, left_schema)
+        _write_json(spark, rsrc, rrows, left_schema)
+        left = (
+            spark.readStream.schema(left_schema).json(lsrc)
+            .select("user_id", F.col("ts").alias("err_ts"))
+        )
+        right = (
+            spark.readStream.schema(left_schema).json(rsrc)
+            .select(
+                "user_id",
+                F.col("ts").alias("ev_ts"),
+                F.col("event_type").alias("ev_type"),
+                "value",
+            )
+        )
+        joined = stream_stream_join(
+            left, right, on="user_id", left_ts="err_ts", right_ts="ev_ts",
+            within="30 minutes", watermark="2 hours",
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssj")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+        got = {(r.user_id, r.ev_type, r.value) for r in spark.table("ssj").collect()}
+        assert got == {(1, "view", 1.0), (2, "buy", 3.0)}
+        # streaming result == the batch band join on the same frames
+        lb = spark.createDataFrame(lrows, left_schema).select(
+            "user_id", F.col("ts").alias("err_ts")
+        )
+        rb = spark.createDataFrame(rrows, left_schema).select(
+            "user_id", F.col("ts").alias("ev_ts"),
+            F.col("event_type").alias("ev_type"), "value",
+        )
+        batch = lb.join(
+            rb,
+            (lb.user_id == rb.user_id)
+            & (rb.ev_ts >= lb.err_ts)
+            & (rb.ev_ts <= lb.err_ts + F.expr("INTERVAL 30 minutes")),
+        )
+        assert {(r[0], r.ev_type, r.value) for r in batch.collect()} == got

@@ -15,6 +15,8 @@ continuously-ingesting graph/analytics deployment needs:
   timeout) via ``applyInPandasWithState``
 - :func:`streaming_dedup` — watermark-bounded exact dedup
   (``dropDuplicates`` with state cleanup)
+- :func:`stream_stream_join` — watermarked stream-stream join with a
+  mandatory event-time band (state bounded on both sides)
 """
 
 from tundradb_spark.streaming.ops import (
@@ -22,6 +24,7 @@ from tundradb_spark.streaming.ops import (
     sessionize,
     stream_edges,
     stream_nodes,
+    stream_stream_join,
     streaming_dedup,
     windowed_event_counts,
 )
@@ -33,4 +36,5 @@ __all__ = [
     "session_window_agg",
     "sessionize",
     "streaming_dedup",
+    "stream_stream_join",
 ]

@@ -146,7 +146,10 @@ def session_window_agg(
     (capability extension — SURVEY.md §2.12; the reference has no streaming
     or session semantics).
 
-    Two events of one user share a session iff their gap is < ``gap``;
+    Two events of one user share a session iff their gap is <= ``gap``
+    (session_window merges windows sharing a boundary — an event exactly
+    ``gap`` after the last still joins; empirically probed, and pinned by
+    tests/test_properties.py);
     the engine's SessionWindow exec merges as it aggregates — one shuffle
     on ``user_col``, partial map-side combine, no self-join or window-lag
     pass over the full stream.  The SAME expression runs over a batch
@@ -289,3 +292,40 @@ def streaming_dedup(
     late-data horizon are still caught — the streaming face of
     ``pipeline.dedup.exact_dedup``."""
     return stream.withWatermark(ts_col, watermark).dropDuplicates(keys + [ts_col])
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a bounded event-time band.
+
+    Joins two live streams on ``on`` where the right event lands within
+    ``[left_ts, left_ts + within]`` — the streaming face of
+    ``operators.relational.range_join``.  Both inputs are watermarked and
+    the time-band condition bounds the join STATE on both sides: a buffered
+    left row is dropped once the watermark passes ``left_ts + within``, a
+    right row once it can no longer land in any live band — without the
+    band (or with an unbounded ``how='left'`` missing a time bound) state
+    grows with the stream, which Spark rejects at analysis time; this
+    helper makes the bound mandatory so the operator is always
+    cluster-safe.
+
+    Column collisions: the right side contributes ``on``/``right_ts`` plus
+    its payload; alias payload columns distinctly upstream.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[on] == rw[on])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    joined = lw.join(rw, cond, how)
+    return joined.drop(rw[on])
