@@ -220,6 +220,30 @@ class TestText:
         assert pred[0] == "en"
         assert pred[4] == "de"
 
+    def test_repetition_scores(self, docs):
+        from tundradb_spark.pipeline.text import repetition_scores
+
+        rows = {r.doc_id: r for r in repetition_scores(docs).collect()}
+        # doc 4: "der hund und die katze und das haus und der baum"
+        # 11 tokens, 8 distinct -> token_rep 3/11; all 10 bigrams distinct
+        assert rows[4].n_tokens == 11
+        assert rows[4].token_rep == pytest.approx(round(3 / 11, 6))
+        assert rows[4].bigram_rep == 0.0
+        # doc 3 has all-distinct tokens -> zero repetition
+        assert rows[3].token_rep == 0.0
+
+    def test_repetition_detects_repeated_phrase(self, spark):
+        from tundradb_spark.pipeline.text import repetition_scores
+
+        df = spark.createDataFrame(
+            [(0, "spam ham spam ham spam ham"), (1, "one two three four")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in repetition_scores(df).collect()}
+        # 5 bigrams, 2 distinct ("spam ham"/"ham spam") -> 0.6
+        assert rows[0].bigram_rep == pytest.approx(0.6)
+        assert rows[1].token_rep == 0.0 and rows[1].bigram_rep == 0.0
+
     def test_fingerprint_equal_iff_equal_text(self, docs):
         fp = {r.doc_id: r.fingerprint for r in fingerprints(docs).collect()}
         assert fp[0] == fp[1]

@@ -161,6 +161,13 @@ class TestInterpreter:
         out = qldb.sql('CREATE NODE User (name = "eve", age = 55) RETURN id;')
         assert [r.id for r in out.collect()] == [4]
 
+    def test_select_distinct_text(self, qldb):
+        df = qldb.sql(
+            "MATCH (u:User)-[:FRIEND LEFT]->(f:User) SELECT DISTINCT u.age "
+            "ORDER BY u.age;"
+        )
+        assert [r[0] for r in df.collect()] == [19, 25, 30, 41]
+
     def test_order_by_limit_text(self, qldb):
         df = qldb.sql(
             "MATCH (u:User) SELECT u.name AS who, u.age AS age "

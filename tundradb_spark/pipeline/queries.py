@@ -224,6 +224,16 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_summary(_docs(spark, sf_dir))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most phrase-repetitive docs (bigram_rep desc, doc_id asc —
+    a total order, so LIMIT is deterministic for the oracle)."""
+    return (
+        text.repetition_scores(_docs(spark, sf_dir))
+        .orderBy(F.desc("bigram_rep"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blob_meta_summary(_docs(spark, sf_dir))
 
@@ -276,6 +286,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_quality": q_text_quality,
     "q_text_lang": q_text_lang,
     "q_text_fingerprint": q_text_fingerprint,
+    "q_text_repetition": q_text_repetition,
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_frames": q_multimodal_frames,
     "q_multimodal_decode": q_multimodal_decode,
@@ -661,6 +672,30 @@ PIPELINE_ORACLES: dict[str, str] = {
     "q_text_quality": Q_TEXT_QUALITY_SQL,
     "q_text_lang": Q_TEXT_LANG_SQL,
     "q_text_fingerprint": Q_TEXT_FP_SQL,
+    # repetition: 1 - distinct/total over tokens and adjacent bigrams;
+    # both engines index 1-based and divide the same doubles, so the
+    # round(…,6) values hash-match exactly
+    "q_text_repetition": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 [x for x in string_split_regex(lower(text), '\s+')
+                  if x != ''] AS toks
+          FROM documents
+        )
+        SELECT doc_id, len(toks) AS n_tokens,
+               ROUND(CASE WHEN len(toks) > 0
+                     THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                              / CAST(len(toks) AS DOUBLE)
+                     ELSE 0.0 END, 6) AS token_rep,
+               ROUND(CASE WHEN len(toks) > 1
+                     THEN 1.0 - CAST(len(list_distinct(
+                            [toks[i] || ' ' || toks[i + 1]
+                             for i in range(1, len(toks))])) AS DOUBLE)
+                              / CAST(len(toks) - 1 AS DOUBLE)
+                     ELSE 0.0 END, 6) AS bigram_rep
+        FROM t
+        ORDER BY bigram_rep DESC, doc_id ASC LIMIT 20
+    """,
     "q_multimodal_meta": """
         SELECT CAST(floor(octet_length(encode(text)) / 100.0) AS BIGINT)
                  AS size_bucket,

@@ -64,6 +64,52 @@ def token_stats(
     )
 
 
+def repetition_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition — a standard training-data quality
+    signal: ``token_rep`` = fraction of tokens that are repeats of an
+    earlier token (1 − distinct/total), ``bigram_rep`` the same over
+    adjacent token pairs (repeated phrases score high even when individual
+    words differ).
+
+    Built-in functions only (split/sequence/element_at/array_distinct —
+    codegen'd, no UDF); the token array is materialized in its own
+    projection so the bigram expression's three references don't re-inline
+    the split (the anti-inlining discipline measured at 10-60× on the
+    signature pipelines).  A narrow per-row projection: no shuffle, scales
+    linearly.
+    """
+    t = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).cast("long").alias(id_col), t.alias("__t"))
+    bigrams = (
+        "transform(sequence(1, size(__t) - 1), "
+        "i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"
+    )
+    return base.select(
+        id_col,
+        F.size("__t").alias("n_tokens"),
+        F.round(
+            F.when(
+                F.size("__t") > 0,
+                F.lit(1.0)
+                - F.size(F.array_distinct("__t")).cast("double")
+                / F.size("__t").cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("token_rep"),
+        F.round(
+            F.when(
+                F.size("__t") > 1,
+                F.lit(1.0)
+                - F.expr(f"size(array_distinct({bigrams}))").cast("double")
+                / (F.size("__t") - 1).cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("bigram_rep"),
+    )
+
+
 def quality_scores(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -70,6 +70,7 @@ class Match:
     # -- text-surface extensions (engine capabilities the reference grammar
     # never grew productions for — its own clause enum anticipated them,
     # include/query/query.hpp:168) --
+    distinct: bool = False  # SELECT DISTINCT
     group_by: list[str] = field(default_factory=list)
     aggs: list[tuple[str, str, str | None]] = field(
         default_factory=list

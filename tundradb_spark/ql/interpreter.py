@@ -88,6 +88,8 @@ def _build_query(db: "Database", m: ast.Match) -> Query:
     # text-surface extension clauses — one-to-one onto the builder, so the
     # shell gains exactly the engine's post-MATCH capability set (§2.5/2.7,
     # operators/match.apply_post_ops)
+    if m.distinct:
+        q = q.distinct()
     if m.as_of_vt is not None:
         q = q.as_of_valid_time(m.as_of_vt)
     if m.as_of_tt is not None:

@@ -12,8 +12,9 @@ Extensions over the reference grammar (documented, deliberate):
 - single-quoted strings in addition to double-quoted
 - MATCH tail clauses the reference's own clause enum anticipated but never
   grew productions for (include/query/query.hpp:168 lists ORDER_BY/LIMIT):
-  ``AS OF <vt> [TX <tt>]`` (bitemporal read), ``GROUP BY p, ...``,
-  ``AGG fn(p|*) [AS name], ...``, ``ORDER BY p [ASC|DESC], ...``,
+  ``AS OF <vt> [TX <tt>]`` (bitemporal read), ``SELECT DISTINCT``,
+  ``GROUP BY p, ...``, ``AGG fn(p|*) [AS name], ...``,
+  ``ORDER BY p [ASC|DESC], ...``,
   ``LIMIT n`` — each maps 1:1 onto the engine's Query builder
   (query.py:246-323), so text and fluent queries share one execution path.
 """
@@ -46,6 +47,7 @@ KEYWORDS = {
     "EDGES", "TYPES",
     # extension-surface keywords (see module docstring)
     "OF", "TX", "GROUP", "BY", "AGG", "ORDER", "ASC", "DESC", "LIMIT",
+    "DISTINCT",
 }
 
 TYPE_NAMES = {
@@ -455,8 +457,12 @@ class Parser:
             self.next()
             where = self.expression()
         select: list[tuple[str, str | None]] = []
+        distinct = False
         if self.at_kw("SELECT"):
             self.next()
+            if self.at_kw("DISTINCT"):
+                self.next()
+                distinct = True
             while True:
                 path = self.dotted_path()
                 as_name = None
@@ -527,6 +533,7 @@ class Parser:
             roots=roots,
             where=where,
             select=select,
+            distinct=distinct,
             group_by=group_by,
             aggs=aggs,
             order_by=order_by,
