@@ -23,6 +23,7 @@ from tundradb_spark.graphs.tpch import REPRICE_VT, load_graph, load_versioned_or
 from tundradb_spark.operators.relational import (
     asof_join,
     except_distinct,
+    group_quantiles,
     range_join,
     union_distinct,
 )
@@ -1090,6 +1091,28 @@ def q_ql_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (§2.5 extension depth): p25/p50/p90 of
+    lineitem extended price per return flag — percentile_cont linear
+    interpolation, reproduced exactly by the oracle's quantile_cont."""
+    li = load_graph(spark, sf_dir).get_table("lineitem")
+    return group_quantiles(
+        li.select(
+            F.col("l_returnflag"),
+            F.col("l_extendedprice").cast("double").alias("price"),
+        ),
+        ["l_returnflag"],
+        "price",
+        [0.25, 0.5, 0.9],
+    ).select(
+        "l_returnflag",
+        "n_rows",
+        F.col("p25"),
+        F.col("p50"),
+        F.col("p90"),
+    )
+
+
 def q_ql_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TundraQL text surface for the engine's analytics extensions
     (round-3 verdict item 2): GROUP BY + AGG + ORDER BY + LIMIT parsed from
@@ -1144,6 +1167,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_show": q_show,
     "q_ql_match": q_ql_match,
     "q_ql_analytics": q_ql_analytics,
+    "q_quantiles": q_quantiles,
     # training-data pipeline operators (dedup / similarity / text / multimodal)
     **PIPELINE_QUERIES,
 }
@@ -1566,6 +1590,19 @@ ORACLES: dict[str, str] = {
         SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name
         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         WHERE c.c_acctbal > 9500.0
+    """,
+    # exact percentile_cont interpolation — quantile_cont uses the same
+    # p*(n-1) linear rule, so round(…,6) values hash-match
+    "q_quantiles": """
+        SELECT l_returnflag,
+               count(*) AS n_rows,
+               ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 6)
+                 AS p25,
+               ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6)
+                 AS p50,
+               ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 6)
+                 AS p90
+        FROM lineitem GROUP BY l_returnflag
     """,
     # deterministic LIMIT: count desc then name asc is a total order
     "q_ql_analytics": """

@@ -244,6 +244,23 @@ class TestText:
         assert rows[0].bigram_rep == pytest.approx(0.6)
         assert rows[1].token_rep == 0.0 and rows[1].bigram_rep == 0.0
 
+    def test_pii_scan_counts_and_flag(self, spark):
+        from tundradb_spark.pipeline.text import pii_scan
+
+        df = spark.createDataFrame(
+            [
+                (0, "contact me at bob@example.com or https://x.io/a today"),
+                (1, "call 5551234567 twice: 5551234567"),
+                (2, "perfectly clean prose with no identifiers"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in pii_scan(df).collect()}
+        assert (rows[0].email, rows[0].url, rows[0].digit_run) == (1, 1, 0)
+        assert rows[0].any_pii is True
+        assert rows[1].digit_run == 2 and rows[1].any_pii is True
+        assert rows[2].any_pii is False
+
     def test_fingerprint_equal_iff_equal_text(self, docs):
         fp = {r.doc_id: r.fingerprint for r in fingerprints(docs).collect()}
         assert fp[0] == fp[1]

@@ -291,3 +291,22 @@ def test_range_join_keyed_outer_with_colliding_column(spark):
         (r["ts"], r["lo"]) for r in out.select("ts", "lo").collect()
     }
     assert got == {(10, 0), (99, None)}
+
+
+class TestGroupQuantiles:
+    def test_exact_linear_interpolation(self, spark):
+        from tundradb_spark.operators.relational import group_quantiles
+
+        df = spark.createDataFrame(
+            [("a", float(v)) for v in [10, 20, 30, 40]]
+            + [("b", float(v)) for v in [1, 2, 3]],
+            "g string, v double",
+        )
+        rows = {r.g: r for r in group_quantiles(
+            df, ["g"], "v", [0.25, 0.5, 0.9]).collect()}
+        # group a: sorted [10,20,30,40]; p50 at 1.5 -> 25.0; p25 at 0.75 -> 17.5
+        assert rows["a"].n_rows == 4
+        assert rows["a"].p25 == 17.5
+        assert rows["a"].p50 == 25.0
+        assert rows["a"].p90 == pytest.approx(37.0)
+        assert rows["b"].p50 == 2.0

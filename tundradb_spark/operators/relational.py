@@ -324,3 +324,35 @@ def except_distinct(a: DataFrame, b: DataFrame) -> DataFrame:
 
 def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.exceptAll(_align(a, b))
+
+
+# ---------------------------------------------------------------------------
+# exact distribution statistics (§2.5 extension depth)
+# ---------------------------------------------------------------------------
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probs: list[float],
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact per-group quantiles (linear interpolation at p*(n-1) — the
+    SQL-standard ``percentile_cont`` rule, so any engine reproduces the
+    values bit-for-bit after rounding).
+
+    Spark's exact ``percentile`` is a sort-based aggregate with partial
+    map-side collection: one shuffle on the group keys, no global sort.
+    For sketch-grade speed at extreme cardinality swap in
+    ``percentile_approx`` — kept out of the oracle surface because its
+    t-digest output is not engine-portable.
+    """
+    aggs = [
+        F.round(
+            F.expr(f"percentile(`{value_col}`, {p!r})"), round_to
+        ).alias(f"p{int(p * 100)}")
+        for p in probs
+    ]
+    n = [F.count(F.lit(1)).alias("n_rows")]
+    return df.groupBy([_bt(c) for c in group_cols]).agg(*(n + aggs))

@@ -224,6 +224,38 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_summary(_docs(spark, sf_dir))
 
 
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pattern sweep (pattern_counts) driven over the one testdata
+    column with realistic identifier shapes: customer names carry long
+    digit runs.  Counts aggregate per market segment; documents.text is
+    verified pattern-free in the same result (zero matches is itself the
+    assertion — the sweep must not false-positive on clean prose)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("doc_id"),
+        F.col("c_name").alias("text"),
+        "c_mktsegment",
+    )
+    counts = text.pattern_counts(
+        cust, {"digit_run": r"[0-9]{4,}", "id_tag": r"Customer#[0-9]+"}
+    )
+    per_seg = (
+        counts.join(cust.select("doc_id", "c_mktsegment"), "doc_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("digit_run").alias("n_digit_runs"),
+            F.sum("id_tag").alias("n_id_tags"),
+        )
+    )
+    docs_clean = text.pii_scan(_docs(spark, sf_dir)).agg(
+        F.lit("documents").alias("c_mktsegment"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("any_pii").cast("long")).alias("n_digit_runs"),
+        F.lit(0).cast("long").alias("n_id_tags"),
+    )
+    return per_seg.unionByName(docs_clean)
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most phrase-repetitive docs (bigram_rep desc, doc_id asc —
     a total order, so LIMIT is deterministic for the oracle)."""
@@ -287,6 +319,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_lang": q_text_lang,
     "q_text_fingerprint": q_text_fingerprint,
     "q_text_repetition": q_text_repetition,
+    "q_pii_scan": q_pii_scan,
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_frames": q_multimodal_frames,
     "q_multimodal_decode": q_multimodal_decode,
@@ -695,6 +728,27 @@ PIPELINE_ORACLES: dict[str, str] = {
                      ELSE 0.0 END, 6) AS bigram_rep
         FROM t
         ORDER BY bigram_rep DESC, doc_id ASC LIMIT 20
+    """,
+    # the PII sweep: customer names carry digit runs; documents must be
+    # pattern-free (any_pii sums to zero — clean-prose false-positive check)
+    "q_pii_scan": r"""
+        SELECT c_mktsegment,
+               count(*) AS n_rows,
+               CAST(sum(len(regexp_extract_all(c_name, '[0-9]{4,}')))
+                    AS BIGINT) AS n_digit_runs,
+               CAST(sum(len(regexp_extract_all(c_name, 'Customer#[0-9]+')))
+                    AS BIGINT) AS n_id_tags
+        FROM customer GROUP BY c_mktsegment
+        UNION ALL
+        SELECT 'documents', count(*),
+               CAST(sum(CASE WHEN
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+                   OR len(regexp_extract_all(text, 'https?://[^\s]+')) > 0
+                   OR len(regexp_extract_all(text, '[0-9]{4,}')) > 0
+                   THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM documents
     """,
     "q_multimodal_meta": """
         SELECT CAST(floor(octet_length(encode(text)) / 100.0) AS BIGINT)

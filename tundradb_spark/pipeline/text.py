@@ -64,6 +64,56 @@ def token_stats(
     )
 
 
+#: portable regexes (same semantics under Java regex and RE2): the standard
+#: pre-training PII sweep — emails, URLs, long digit runs (phone/account ids)
+DEFAULT_PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "digit_run": r"[0-9]{4,}",
+}
+
+
+def pattern_counts(
+    docs: DataFrame,
+    patterns: dict[str, str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-row occurrence counts for each named regex — the building block
+    for PII sweeps, boilerplate detection, and markup stripping decisions.
+
+    One ``regexp_count`` per pattern, all in a single codegen'd projection:
+    narrow, shuffle-free, linear at any scale.  Keep patterns in the
+    portable subset (no backrefs/lookaround) so the same scan runs under
+    Java regex, RE2, and the SQL oracle identically.
+    """
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        *[
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(name)
+            for name, pat in patterns.items()
+        ],
+    )
+
+
+def pii_scan(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """PII sweep: per-document counts for each pattern in
+    :data:`DEFAULT_PII_PATTERNS` (or ``patterns``) plus an ``any_pii``
+    flag — the filter stage a training corpus runs before anything else."""
+    pats = patterns or DEFAULT_PII_PATTERNS
+    counted = pattern_counts(docs, pats, text_col, id_col)
+    total = None
+    for name in pats:
+        c = F.col(name)
+        total = c if total is None else total + c
+    return counted.withColumn("any_pii", (total > 0).cast("boolean"))
+
+
 def repetition_scores(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
