@@ -145,3 +145,36 @@ COMMIT;
     )
     assert f2 == 0
     assert "|32" in out2.replace(" ", "")
+
+
+def test_detach_requires_script():
+    from tundradb_spark.ql.shell import main
+
+    with pytest.raises(SystemExit):
+        main(["--detach"])
+
+
+def test_detach_runs_script_in_background(tmp_path):
+    # the reference's detach mode: launcher returns immediately, the
+    # detached child executes the script, output lands in the log file
+    import time
+
+    from tundradb_spark.ql.shell import main
+
+    script = tmp_path / "d.sql"
+    script.write_text(
+        'CREATE SCHEMA DT (name: STRING);\n'
+        'CREATE NODE DT (name = "bg");\n'
+        "MATCH (d:DT) SELECT d.name AS n;\n"
+    )
+    log = tmp_path / "d.log"
+    assert main(
+        ["--detach", "--script", str(script), "--log-file", str(log), "--cpus", "2"]
+    ) == 0
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if log.exists() and "0 failed" in log.read_text():
+            break
+        time.sleep(1)
+    out = log.read_text()
+    assert "bg" in out and "3 statement(s) executed, 0 failed" in out

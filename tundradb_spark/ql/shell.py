@@ -2,7 +2,7 @@
 
 Usage:
     python -m tundradb_spark.ql.shell [--db PATH] [--unique-db] \
-        [--script FILE] [--cpus N]
+        [--script FILE] [--cpus N] [--detach [--log-file F]]
 
 Replicates the reference shell's modes (apps/tundra_shell.cpp:1860-2051):
 interactive REPL (statement per line, ``;``-terminated, multi-line
@@ -149,6 +149,38 @@ def repl(db) -> None:
                 print(f"ERROR: {e}", file=sys.stderr)
 
 
+def _detach(args) -> int:
+    """Re-launch this shell as a detached background process running the
+    script (``--no-interactive``), output redirected to the log file —
+    the reference's detach mode (apps/tundra_shell.cpp:1988-2051) done the
+    portable way: a new session-leader child, launcher returns at once."""
+    import subprocess
+
+    log_path = args.log_file or f"{args.script}.log"
+    cmd = [sys.executable, "-m", "tundradb_spark.ql.shell",
+           "--script", args.script, "--no-interactive"]
+    if args.db:
+        cmd += ["--db", args.db]
+    if args.unique_db:
+        cmd += ["--unique-db"]
+    if args.echo:
+        cmd += ["--echo"]
+    if args.stop_on_error:
+        cmd += ["--stop-on-error"]
+    if args.cpus is not None:
+        cmd += ["--cpus", str(args.cpus)]
+    with open(log_path, "ab") as log:
+        proc = subprocess.Popen(
+            cmd,
+            stdout=log,
+            stderr=subprocess.STDOUT,
+            stdin=subprocess.DEVNULL,
+            start_new_session=True,  # survives the launcher's terminal
+        )
+    print(f"-- detached: pid {proc.pid}, log {log_path}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="TundraQL shell (PySpark engine)")
     ap.add_argument("--db", default=None, help="snapshot directory (enables COMMIT)")
@@ -173,7 +205,24 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="exit after --script instead of entering the REPL",
     )
+    ap.add_argument(
+        "--detach",
+        action="store_true",
+        help="run --script in a background process (reference "
+        "apps/tundra_shell.cpp:1988-2051 detach mode); output goes to "
+        "--log-file, the launcher prints the PID and returns immediately",
+    )
+    ap.add_argument(
+        "--log-file",
+        default=None,
+        help="detached-mode output file (default: <script>.log)",
+    )
     args = ap.parse_args(argv)
+
+    if args.detach:
+        if not args.script:
+            ap.error("--detach requires --script")
+        return _detach(args)
 
     from tundradb_spark.database import Database
     from tundradb_spark.session import get_spark
