@@ -1091,6 +1091,56 @@ def q_ql_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKETED_CACHE: dict[tuple[int, str], str] = {}
+
+
+def q_bucketed_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH over the co-located bucketed layout (sources/bucketed.py):
+    customer bucketed by id, IN_NATION by source_id — the adjacency join
+    rides the bucket distribution instead of shuffling (plan pinned in
+    tests/test_bucketed.py).  Same query and oracle as q_inner_join, so the
+    row proves layout-independence of the results; the write happens once
+    per session (amortized, exactly like a real deployment's index build)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from tundradb_spark.database import Database
+    from tundradb_spark.sources.bucketed import (
+        load_graph_bucketed,
+        save_graph_bucketed,
+    )
+
+    key = (id(spark), sf_dir)
+    if key not in _BUCKETED_CACHE:
+        src = Database(spark)
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        src.register_node_table("customer", cust, "c_custkey", resume_counter=False)
+        src.register_node_table("nation", nat, "n_nationkey", resume_counter=False)
+        src.register_edge_table(
+            "IN_NATION",
+            cust.select(
+                F.col("c_custkey").alias("id"),
+                F.col("c_custkey").alias("source_id"),
+                F.col("c_nationkey").alias("target_id"),
+                F.lit(0).cast("long").alias("created_ts"),
+            ),
+        )
+        loc = tempfile.mkdtemp(prefix="tundra_bucketed_")
+        atexit.register(shutil.rmtree, loc, ignore_errors=True)
+        save_graph_bucketed(src, f"qbm{abs(id(spark)) % 100000}", loc, n_buckets=8)
+        _BUCKETED_CACHE[key] = loc
+    db = load_graph_bucketed(spark, _BUCKETED_CACHE[key])
+    q = (
+        Query.from_("c:customer")
+        .where("c.c_acctbal", ">", 7500.0)
+        .traverse("c", "IN_NATION", "n:nation", "inner")
+        .select("c.id AS c_custkey", "c.c_name AS c_name", "n.n_name AS n_name")
+    )
+    return db.query(q)
+
+
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group quantiles (§2.5 extension depth): p25/p50/p90 of
     lineitem extended price per return flag — percentile_cont linear
@@ -1168,6 +1218,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ql_match": q_ql_match,
     "q_ql_analytics": q_ql_analytics,
     "q_quantiles": q_quantiles,
+    "q_bucketed_match": q_bucketed_match,
     # training-data pipeline operators (dedup / similarity / text / multimodal)
     **PIPELINE_QUERIES,
 }
@@ -1590,6 +1641,12 @@ ORACLES: dict[str, str] = {
         SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name
         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         WHERE c.c_acctbal > 9500.0
+    """,
+    # bucketed layout must be result-identical to the parquet layout
+    "q_bucketed_match": """
+        SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > 7500.0
     """,
     # exact percentile_cont interpolation — quantile_cont uses the same
     # p*(n-1) linear rule, so round(…,6) values hash-match

@@ -208,6 +208,24 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with a spherical-k-means-TRAINED coarse quantizer
+    (similarity.ivf_train): deterministic Lloyd on a corpus sample, then
+    the same probe/re-rank path as q_ann_ivf.  No SQL oracle: the per-cell
+    means use unordered distributed sums, so another engine's last-ulp
+    differences could flip boundary assignments — the driver records the
+    rows-only check, and unit tests pin determinism + the
+    n_probe=n_cells==exact degradation (tests/test_pipeline.py)."""
+    q = _query_vec(spark, sf_dir)
+    corpus = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    cents = similarity.ivf_train(
+        corpus, n_cells=IVF_CELLS, iters=2, dim=EMBED_DIM, seed=IVF_SEED
+    )
+    return similarity.ivf_ann_topk(
+        corpus, q, ANN_K, n_probe=IVF_PROBE, centroids=cents
+    )
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_stats(_docs(spark, sf_dir))
 
@@ -314,6 +332,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_topk": q_ann_topk,
     "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,
+    "q_ann_ivf_trained": q_ann_ivf_trained,  # rows-only: no SQL oracle (FP)
     "q_text_tokens": q_text_tokens,
     "q_text_quality": q_text_quality,
     "q_text_lang": q_text_lang,
