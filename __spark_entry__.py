@@ -465,6 +465,23 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step that actually shrinks a training corpus: MinHash pairs →
+    clusters → drop non-canonical members (pipeline.dedup.apply_dedup),
+    summarized per language.  Third consumer of the memoized pair set —
+    the signature/join cost is already paid by q_dedup_minhash."""
+    from tundradb_spark.pipeline.dedup import apply_dedup
+    from tundradb_spark.pipeline.queries import PIPELINE_QUERIES
+
+    pairs = PIPELINE_QUERIES["q_dedup_minhash"](spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = apply_dedup(docs, pairs)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 graph analytics: 3 power iterations of PageRank over the
     customer→nation membership edges (dangling mass redistributed; ranks
@@ -1206,6 +1223,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_shared_alias": q_shared_alias,
     "q_stream_window": q_stream_window,
     "q_dup_clusters": q_dup_clusters,
+    "q_dedup_apply": q_dedup_apply,
     "q_pagerank": q_pagerank,
     "q_dml": q_dml,
     "q_stream_dedup": q_stream_dedup,
@@ -1486,6 +1504,16 @@ ORACLES: dict[str, str] = {
     # then min-reachable-id per vertex — equals min-label propagation run to
     # convergence
     "q_dup_clusters": _DUP_CLUSTERS_SQL,
+    # survivors = documents minus members whose cluster canonical is smaller
+    "q_dedup_apply": f"""
+        WITH clusters AS ({_DUP_CLUSTERS_SQL})
+        SELECT d.lang, count(*) AS n_docs,
+               CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM clusters c
+                          WHERE c.doc_id = d.doc_id AND c.keep_id < c.doc_id)
+        GROUP BY d.lang
+    """,
     # pagerank: the 3 power iterations unrolled as CTEs, dangling mass
     # redistributed each round exactly as the engine does
     "q_pagerank": _PAGERANK_SQL,

@@ -101,6 +101,24 @@ class TestNgramJaccard:
         assert all(a != 4 and b != 4 for a, b in pairs)
 
 
+class TestApplyDedup:
+    def test_drops_non_canonical_members(self, spark, docs):
+        from tundradb_spark.pipeline.dedup import apply_dedup
+
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 5), (2, 3)], "id_a long, id_b long"
+        )
+        kept = {r.doc_id for r in apply_dedup(docs, pairs).collect()}
+        # clusters {0,1,5} -> keep 0; {2,3} -> keep 2; 4 untouched
+        assert kept == {0, 2, 4}
+
+    def test_no_pairs_keeps_everything(self, spark, docs):
+        from tundradb_spark.pipeline.dedup import apply_dedup
+
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        assert apply_dedup(docs, pairs).count() == docs.count()
+
+
 class TestEmbeddingDedup:
     def test_brute_finds_near_dup(self, emb):
         pairs = {

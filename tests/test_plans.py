@@ -211,6 +211,25 @@ def test_q_ann_ivf_index_flag_equivalent(spark, monkeypatch):
     assert [tuple(r) for r in indexed_df.collect()] == base
 
 
+def test_text_ops_narrow_and_pushed(spark):
+    # repetition + PII scans must stay single-projection narrow plans:
+    # repetition's only exchange is the top-k (TakeOrderedAndProject — none),
+    # PII's single exchange is the segment aggregate
+    rep = entry.queries()["q_text_repetition"](spark, SF)
+    assert "TakeOrderedAndProject" in audit.simple_plan(rep)
+    assert audit.count_exchanges(rep) == 0, audit.formatted_plan(rep)
+    pii = entry.queries()["q_pii_scan"](spark, SF)
+    assert audit.count_exchanges(pii) <= 2, audit.formatted_plan(pii)
+    audit.assert_no_nested_loop(pii)
+
+
+def test_quantiles_single_shuffle_partial(spark):
+    # exact percentile: one exchange on the group key, partial map-side
+    df = entry.queries()["q_quantiles"](spark, SF)
+    assert audit.count_exchanges(df) <= 1, audit.formatted_plan(df)
+    assert "partial" in audit.formatted_plan(df).lower()
+
+
 def test_ann_topk_no_global_sort(spark):
     df = entry.queries()["q_ann_topk"](spark, SF)
     assert "TakeOrderedAndProject" in audit.simple_plan(df)

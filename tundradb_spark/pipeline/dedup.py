@@ -49,6 +49,35 @@ def normalized_text(col: Column) -> Column:
     return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
 
 
+def apply_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Materialize the DEDUPLICATED corpus from near-dup candidate pairs:
+    connected components over the pairs, keep each cluster's minimum-id
+    member, drop the rest — the step that actually shrinks a training set
+    after any pair generator (MinHash / SimHash / n-gram / embedding).
+
+    Scale: the removal set is (cluster members − canonicals), typically a
+    small fraction of the corpus; the final filter is one broadcastable
+    LEFT ANTI join — the full corpus is never shuffled.
+    """
+    from tundradb_spark.graphs.algorithms import dedup_clusters
+
+    clusters = dedup_clusters(pairs, src, dst)
+    removals = clusters.filter(F.col("doc_id") != F.col("keep_id")).select(
+        F.col("doc_id").alias("__rm")
+    )
+    return docs.join(
+        F.broadcast(removals),
+        F.col(id_col).cast("long") == F.col("__rm"),
+        "left_anti",
+    )
+
+
 def exact_dedup(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -254,11 +254,12 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
     )
     counts = text.pattern_counts(
-        cust, {"digit_run": r"[0-9]{4,}", "id_tag": r"Customer#[0-9]+"}
+        cust,
+        {"digit_run": r"[0-9]{4,}", "id_tag": r"Customer#[0-9]+"},
+        keep_cols=["c_mktsegment"],  # one scan — no join back to the source
     )
     per_seg = (
-        counts.join(cust.select("doc_id", "c_mktsegment"), "doc_id")
-        .groupBy("c_mktsegment")
+        counts.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("digit_run").alias("n_digit_runs"),

@@ -78,17 +78,22 @@ def pattern_counts(
     patterns: dict[str, str],
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-row occurrence counts for each named regex — the building block
     for PII sweeps, boilerplate detection, and markup stripping decisions.
 
     One ``regexp_count`` per pattern, all in a single codegen'd projection:
-    narrow, shuffle-free, linear at any scale.  Keep patterns in the
-    portable subset (no backrefs/lookaround) so the same scan runs under
-    Java regex, RE2, and the SQL oracle identically.
+    narrow, shuffle-free, linear at any scale.  ``keep_cols`` carries extra
+    columns through the same projection (e.g. a grouping key), so a
+    downstream aggregate never has to join back to the source — one scan,
+    not two.  Keep patterns in the portable subset (no
+    backrefs/lookaround) so the same scan runs under Java regex, RE2, and
+    the SQL oracle identically.
     """
     return docs.select(
         F.col(id_col).cast("long").alias(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
         *[
             F.regexp_count(F.col(text_col), F.lit(pat)).alias(name)
             for name, pat in patterns.items()
