@@ -182,6 +182,11 @@ class TestInterpreter:
                       "max(u.age) AS oldest;")
         assert [tuple(r) for r in df.collect()] == [(3, 41)]
 
+    def test_median_agg_text(self, qldb):
+        # ages 30, 25, 41, 19 -> median 27.5
+        df = qldb.sql("MATCH (u:User) AGG median(u.age) AS mid;")
+        assert [r.mid for r in df.collect()] == [27.5]
+
     def test_group_by_agg_order_text(self, qldb):
         df = qldb.sql(
             "MATCH (u:User)-[:FRIEND LEFT]->(f:User) "

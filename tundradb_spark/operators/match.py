@@ -502,6 +502,7 @@ _AGG_FNS = {
     "min": F.min,
     "max": F.max,
     "stddev": F.stddev,
+    "median": F.median,
     "collect_set": F.collect_set,
 }
 
