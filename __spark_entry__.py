@@ -465,6 +465,32 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS reachability (graphs.algorithms.bfs_levels) — the
+    variable-length traversal the reference's fixed-length MATCH cannot
+    express.  Vertex ids are schema-namespaced strings ('r0'/'n3'/'c17')
+    so the three id spaces union safely; reach from region ASIA downward:
+    level 0 the region, level 1 its nations, level 2 their customers."""
+    from tundradb_spark.graphs.algorithms import bfs_levels
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    r2n = nat.select(
+        F.concat(F.lit("r"), F.col("n_regionkey")).alias("src"),
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("dst"),
+    )
+    n2c = cust.select(
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("src"),
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("dst"),
+    )
+    sources = reg.filter(F.col("r_name") == "ASIA").select(
+        F.concat(F.lit("r"), F.col("r_regionkey")).alias("vertex")
+    )
+    lv = bfs_levels(r2n.unionByName(n2c), sources, max_hops=4)
+    return lv.groupBy("level").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
 def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The step that actually shrinks a training corpus: MinHash pairs →
     clusters → drop non-canonical members (pipeline.dedup.apply_dedup),
@@ -1224,6 +1250,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_window": q_stream_window,
     "q_dup_clusters": q_dup_clusters,
     "q_dedup_apply": q_dedup_apply,
+    "q_bfs_levels": q_bfs_levels,
     "q_pagerank": q_pagerank,
     "q_dml": q_dml,
     "q_stream_dedup": q_stream_dedup,
@@ -1504,6 +1531,29 @@ ORACLES: dict[str, str] = {
     # then min-reachable-id per vertex — equals min-label propagation run to
     # convergence
     "q_dup_clusters": _DUP_CLUSTERS_SQL,
+    # BFS levels = min walk length per vertex (the edge graph is a tree, so
+    # the recursive walk enumerates each vertex once per path — unique here)
+    "q_bfs_levels": """
+        WITH RECURSIVE e AS (
+            SELECT 'r' || CAST(n_regionkey AS VARCHAR) AS u,
+                   'n' || CAST(n_nationkey AS VARCHAR) AS v
+            FROM nation
+            UNION ALL
+            SELECT 'n' || CAST(c_nationkey AS VARCHAR),
+                   'c' || CAST(c_custkey AS VARCHAR)
+            FROM customer
+        ),
+        walk(vertex, level) AS (
+            SELECT 'r' || CAST(r_regionkey AS VARCHAR), 0
+            FROM region WHERE r_name = 'ASIA'
+            UNION ALL
+            SELECT e.v, w.level + 1
+            FROM walk w JOIN e ON e.u = w.vertex
+            WHERE w.level < 4
+        ),
+        lv AS (SELECT vertex, MIN(level) AS level FROM walk GROUP BY vertex)
+        SELECT level, count(*) AS n_vertices FROM lv GROUP BY level
+    """,
     # survivors = documents minus members whose cluster canonical is smaller
     "q_dedup_apply": f"""
         WITH clusters AS ({_DUP_CLUSTERS_SQL})

@@ -57,3 +57,35 @@ def test_pagerank_star_sink_gets_mass(spark):
     assert pr[1] == pytest.approx(pr[2]) == pytest.approx(pr[3])
     assert pr[1] > pr[0]  # spokes out-rank the hub
     assert sum(pr.values()) == pytest.approx(4.0, abs=1e-6)  # mass conserved
+
+
+class TestBfsLevels:
+    def test_levels_cycle_and_unreachable(self, spark):
+        from tundradb_spark.graphs.algorithms import bfs_levels
+
+        # 0 -> 1 -> 2 -> 0 (cycle), 2 -> 3, isolated 9 unreachable
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0), (2, 3), (8, 9)], "src long, dst long"
+        )
+        src = spark.createDataFrame([(0,)], "vertex long")
+        got = {r.vertex: r.level for r in bfs_levels(edges, src).collect()}
+        assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    def test_multi_source_takes_min(self, spark):
+        from tundradb_spark.graphs.algorithms import bfs_levels
+
+        edges = spark.createDataFrame([(0, 1), (1, 2), (5, 2)], "src long, dst long")
+        src = spark.createDataFrame([(0,), (5,)], "vertex long")
+        got = {r.vertex: r.level for r in bfs_levels(edges, src).collect()}
+        # 2 is reachable at distance 2 from 0 but 1 from 5 — BFS takes 1
+        assert got == {0: 0, 5: 0, 1: 1, 2: 1}
+
+    def test_max_hops_truncates(self, spark):
+        from tundradb_spark.graphs.algorithms import bfs_levels
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(6)], "src long, dst long"
+        )
+        src = spark.createDataFrame([(0,)], "vertex long")
+        got = bfs_levels(edges, src, max_hops=2).collect()
+        assert max(r.level for r in got) == 2 and len(got) == 3

@@ -161,3 +161,48 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    vertex_col: str = "vertex",
+    max_hops: int = 10,
+) -> DataFrame:
+    """Multi-source BFS: hop distance from the source set to every
+    reachable vertex (directed edges; pass a symmetrized list for
+    undirected reach).
+
+    The scale-standard iterative frontier program: per level, ONE join
+    (frontier → out-neighbors) plus one LEFT ANTI against the visited set;
+    both are equi-joins Catalyst plans freely (a small frontier
+    broadcasts).  Visited/frontier are ``localCheckpoint``-ed per round so
+    round k never re-executes rounds 1..k-1.  Terminates on an empty
+    frontier (one scalar count per round) or ``max_hops``.
+
+    Returns ``(vertex, level)`` with level 0 for the sources — the
+    reachability/radius primitive the reference's join-only traversal
+    cannot express (its MATCH is fixed-length).
+    """
+    frontier = sources.select(
+        F.col(vertex_col).alias("vertex")
+    ).distinct().localCheckpoint(eager=True)
+    visited = frontier.withColumn("level", F.lit(0))
+    out = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            out.join(frontier.withColumnRenamed("vertex", "u"), "u")
+            .select(F.col("v").alias("vertex"))
+            .distinct()
+            .join(visited.select("vertex"), "vertex", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.withColumn("level", F.lit(hop))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
