@@ -962,6 +962,73 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_agg(events, gap="12 hours", ts_col="ts_t")
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 extension: watermarked STREAM-STREAM band join
+    (streaming/ops.stream_stream_join) run to completion with availableNow
+    — every event within one hour at-or-after one of the same user's
+    'error' events, exactly the batch band join the oracle computes.  Both
+    sides stream from the same staged file; join state is bounded by the
+    watermark + band (the operator makes the bound mandatory)."""
+    import os
+
+    from tundradb_spark.session import (
+        ensure_runtime_confs,
+        scoped_shuffle_partitions,
+    )
+    from tundradb_spark.streaming.ops import stream_stream_join
+
+    ensure_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    with _tmpdirs("qsj_src_", "qsj_out_", "qsj_ckpt_") as (stage, out_dir, ckpt):
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
+        )
+
+        def _events():
+            s = spark.readStream.schema(schema).parquet(stage)
+            return s.withColumn("ts_t", event_timestamp(s, "ts"))
+
+        errs = (
+            _events()
+            .filter(F.col("event_type") == "error")
+            .select(
+                F.col("event_id").alias("err_id"),
+                F.col("user_id"),
+                F.col("ts_t").alias("err_ts"),
+            )
+        )
+        evs = _events().select(
+            F.col("event_id").alias("event_id"),
+            F.col("user_id"),
+            F.col("ts_t").alias("ev_ts"),
+        )
+        joined = stream_stream_join(
+            errs,
+            evs,
+            on="user_id",
+            left_ts="err_ts",
+            right_ts="ev_ts",
+            within="1 hour",
+            watermark="2 hours",
+        ).select("err_id", "event_id", "user_id")
+        with scoped_shuffle_partitions(spark, 8):
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        empty = _parquet_or_empty(
+            spark, out_dir, "err_id long, event_id long, user_id long"
+        )
+        if empty is not None:
+            return empty
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+
+
 def q_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5-S8 + D12 driver coverage: COMMIT → restart → restore → mutate →
     COMMIT → restore → MATCH, value-checked relationally.
@@ -1254,6 +1321,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pagerank": q_pagerank,
     "q_dml": q_dml,
     "q_stream_dedup": q_stream_dedup,
+    "q_stream_join": q_stream_join,
     "q_stream_ingest": q_stream_ingest,
     "q_sessionize": q_sessionize,
     "q_sessionize_state": q_sessionize_state,
@@ -1589,6 +1657,17 @@ ORACLES: dict[str, str] = {
                    AS n_tags,
                COALESCE(o.n_orders, 0) AS n_orders
         FROM base b LEFT JOIN ords o ON b.acct_id = o.acct_id
+    """,
+    # stream-stream band join run to completion == the batch band join
+    # (band is [err_ts, err_ts + 1h] INCLUSIVE — the operator's bound)
+    "q_stream_join": """
+        SELECT a.event_id AS err_id, b.event_id AS event_id,
+               a.user_id AS user_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'error'
+         AND b.ts >= a.ts
+         AND b.ts <= a.ts + INTERVAL 1 HOUR
     """,
     # streaming dedup run to completion == batch DISTINCT over the dedup keys
     "q_stream_dedup": """

@@ -39,6 +39,7 @@ HEAVY = frozenset(
         "q_stream_window",
         "q_stream_dedup",
         "q_stream_ingest",
+        "q_stream_join",
         "q_sessionize_state",
     }
 )
