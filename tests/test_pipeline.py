@@ -182,6 +182,42 @@ class TestSimilarity:
         }
         assert part <= {1, 2, 3, 4}
 
+    def test_pq_encode_shape_and_determinism(self, emb):
+        from tundradb_spark.pipeline.similarity import pq_encode
+
+        out = {r.vec_id: list(r.pq_code) for r in pq_encode(
+            emb, m=2, n_codes=4, dim=4).collect()}
+        assert set(out) == {0, 1, 2, 3, 4}
+        assert all(len(c) == 2 and all(1 <= x <= 4 for x in c)
+                   for c in out.values())
+        again = {r.vec_id: list(r.pq_code) for r in pq_encode(
+            emb, m=2, n_codes=4, dim=4).collect()}
+        assert out == again
+
+    def test_pq_full_refine_equals_exact(self, emb):
+        # refine >= corpus size -> every vector reaches the exact re-rank,
+        # so PQ degrades to exact top-k regardless of code quality
+        from tundradb_spark.pipeline.similarity import pq_ann_topk
+
+        q = [1.0, 0.0, 0.0, 0.0]
+        exact = [
+            (r.vec_id, r.cosine)
+            for r in cosine_topk(emb.filter("vec_id != 0"), q, 4).collect()
+        ]
+        pq = [
+            (r.vec_id, r.cosine)
+            for r in pq_ann_topk(
+                emb.filter("vec_id != 0"), q, 4, refine=100, m=2, n_codes=4
+            ).collect()
+        ]
+        assert pq == exact
+
+    def test_pq_rejects_indivisible_dim(self, emb):
+        from tundradb_spark.pipeline.similarity import pq_ann_topk
+
+        with pytest.raises(ValueError, match="divisible"):
+            pq_ann_topk(emb, [1.0, 0.0, 0.0, 0.0], m=3)
+
     def test_ivf_train_deterministic_and_probe_invariant(self, emb):
         from tundradb_spark.pipeline.similarity import (
             ivf_ann_topk,

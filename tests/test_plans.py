@@ -234,3 +234,13 @@ def test_ann_topk_no_global_sort(spark):
     df = entry.queries()["q_ann_topk"](spark, SF)
     assert "TakeOrderedAndProject" in audit.simple_plan(df)
     assert audit.count_exchanges(df) == 0, audit.formatted_plan(df)
+
+
+def test_pq_two_stage_no_shuffle_no_sort(spark):
+    # PQ = ADC coarse top-refine + exact re-rank: BOTH stages must be
+    # TakeOrderedAndProject (local top-k per partition, driver merge),
+    # zero shuffle exchanges end-to-end
+    df = entry.queries()["q_ann_pq"](spark, SF)
+    assert audit.simple_plan(df).count("TakeOrderedAndProject") >= 2
+    assert audit.count_exchanges(df) == 0, audit.formatted_plan(df)
+    audit.assert_no_nested_loop(df)

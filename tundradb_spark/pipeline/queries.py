@@ -208,6 +208,22 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M, PQ_CODES, PQ_REFINE, PQ_SEED = 8, 16, 50, 13
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 8×16 seeded codebooks, ADC coarse scoring
+    over 8-int codes (≈64× less data than raw vectors), exact re-rank of
+    the top-50.  Fully deterministic — the oracle replicates encode, the
+    literal lookup tables, and both orderings exactly."""
+    q = _query_vec(spark, sf_dir)
+    corpus = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    return similarity.pq_ann_topk(
+        corpus, q, ANN_K, refine=PQ_REFINE, m=PQ_M, n_codes=PQ_CODES,
+        seed=PQ_SEED,
+    )
+
+
 def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k with a spherical-k-means-TRAINED coarse quantizer
     (similarity.ivf_train): deterministic Lloyd on a corpus sample, then
@@ -334,6 +350,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_lsh": q_ann_lsh,
     "q_ann_ivf": q_ann_ivf,
     "q_ann_ivf_trained": q_ann_ivf_trained,  # rows-only: no SQL oracle (FP)
+    "q_ann_pq": q_ann_pq,
     "q_text_tokens": q_text_tokens,
     "q_text_quality": q_text_quality,
     "q_text_lang": q_text_lang,
@@ -614,6 +631,69 @@ LIMIT {ANN_K}
 """
 
 
+def _pq_oracle_parts() -> tuple[str, str, str]:
+    """(per-subspace dot columns, code list, adc sum) replicating pq_encode
+    + the ADC lookup: same slices, same fold order, same first-max
+    tie-break — every double identical to the engine's."""
+    sub = EMBED_DIM // PQ_M
+    books = similarity.pq_codebooks(PQ_M, PQ_CODES, sub, PQ_SEED)
+    dcols, adc_terms = [], []
+    for j in range(PQ_M):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        dots = "[" + ", ".join(
+            _dot_sql(
+                f"v[{lo}:{hi}]",
+                "(CAST([" + ", ".join(str(x) for x in cw) + "] AS DOUBLE[]))",
+                sub,
+            )
+            for cw in books[j]
+        ) + "]"
+        dcols.append(f"{dots} AS d{j}")
+        bk_lit = (
+            "(CAST(["
+            + ", ".join(
+                "[" + ", ".join(str(x) for x in cw) + "]" for cw in books[j]
+            )
+            + "] AS DOUBLE[][]))"
+        )
+        adc_terms.append(
+            _dot_sql(f"qv[{lo}:{hi}]", f"{bk_lit}[code[{j + 1}]]", sub)
+        )
+    code = "[" + ", ".join(
+        f"list_position(d{j}, list_aggregate(d{j}, 'max'))"
+        for j in range(PQ_M)
+    ) + "]"
+    return ", ".join(dcols), code, " + ".join(adc_terms)
+
+
+_PQ_DOTS, _PQ_CODE, _PQ_ADC = _pq_oracle_parts()
+
+# PQ: encode = per-subspace argmax codeword, ADC = query·codeword lookups
+# summed in subspace order, refine top-50 by (adc desc, id), exact re-rank
+Q_ANN_PQ_SQL = f"""
+WITH q AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+),
+base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id != 0
+),
+enc AS (
+  SELECT vec_id, v, {_PQ_CODE} AS code
+  FROM (SELECT vec_id, v, {_PQ_DOTS} FROM base)
+),
+ref AS (
+  SELECT e.vec_id, e.v, q.qv
+  FROM enc e, q
+  ORDER BY ({_PQ_ADC}) DESC, e.vec_id LIMIT {PQ_REFINE}
+)
+SELECT vec_id, {_COSINE_VS_Q} AS cosine
+FROM ref
+ORDER BY cosine DESC, vec_id
+LIMIT {ANN_K}
+"""
+
+
 _EN_STOPS = "[" + ", ".join(f"'{w}'" for w in text.LANG_PROFILES["en"]) + "]"
 
 Q_TEXT_QUALITY_SQL = f"""
@@ -708,6 +788,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "q_ann_topk": Q_ANN_TOPK_SQL,
     "q_ann_lsh": Q_ANN_LSH_SQL,
     "q_ann_ivf": Q_ANN_IVF_SQL,
+    "q_ann_pq": Q_ANN_PQ_SQL,
     "q_text_tokens": r"""
         WITH t AS (
           SELECT source,
