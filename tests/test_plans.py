@@ -202,13 +202,17 @@ def test_lsh_indexed_probe_prunes_files(spark, tmp_path):
 
 
 def test_q_ann_ivf_index_flag_equivalent(spark, monkeypatch):
-    # TUNDRA_ANN_USE_INDEX=1 switches q_ann_ivf to the indexed path with
-    # byte-identical results — the contract row stays green either way
-    base = [tuple(r) for r in entry.queries()["q_ann_ivf"](spark, SF).collect()]
+    # TUNDRA_ANN_USE_INDEX=1 switches q_ann_ivf/q_ann_pq to their indexed
+    # paths with byte-identical results — contract rows green either way
+    base_ivf = [tuple(r) for r in entry.queries()["q_ann_ivf"](spark, SF).collect()]
+    base_pq = [tuple(r) for r in entry.queries()["q_ann_pq"](spark, SF).collect()]
     monkeypatch.setenv("TUNDRA_ANN_USE_INDEX", "1")
     indexed_df = entry.queries()["q_ann_ivf"](spark, SF)
     audit.assert_partition_pruned(indexed_df, "cell")
-    assert [tuple(r) for r in indexed_df.collect()] == base
+    assert [tuple(r) for r in indexed_df.collect()] == base_ivf
+    assert [
+        tuple(r) for r in entry.queries()["q_ann_pq"](spark, SF).collect()
+    ] == base_pq
 
 
 def test_text_ops_narrow_and_pushed(spark):
@@ -234,6 +238,22 @@ def test_ann_topk_no_global_sort(spark):
     df = entry.queries()["q_ann_topk"](spark, SF)
     assert "TakeOrderedAndProject" in audit.simple_plan(df)
     assert audit.count_exchanges(df) == 0, audit.formatted_plan(df)
+
+
+def test_pq_indexed_probe_equals_compute(spark, tmp_path):
+    # encode-once index: the probe over precomputed codes must match the
+    # compute path exactly and read no embedding-encode expressions
+    from tundradb_spark.pipeline import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = emb.filter("vec_id != 0")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    path = str(tmp_path / "pq_index")
+    similarity.index_corpus_pq(corpus, path, m=8, n_codes=16)
+    idx = similarity.pq_ann_topk_indexed(spark, path, q, 10, refine=50)
+    cmp_ = similarity.pq_ann_topk(corpus, q, 10, refine=50)
+    assert [tuple(r) for r in idx.collect()] == [tuple(r) for r in cmp_.collect()]
+    assert audit.count_exchanges(idx) == 0, audit.formatted_plan(idx)
 
 
 def test_pq_two_stage_no_shuffle_no_sort(spark):

@@ -211,12 +211,44 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M, PQ_CODES, PQ_REFINE, PQ_SEED = 8, 16, 50, 13
 
 
+_PQ_INDEX_CACHE: (
+    "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]"
+) = weakref.WeakKeyDictionary()
+
+
+def _pq_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    cached = _PQ_INDEX_CACHE.setdefault(spark, {})
+    if sf_dir not in cached:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="tundra_pq_index_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        corpus = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+        similarity.index_corpus_pq(
+            corpus, path, m=PQ_M, n_codes=PQ_CODES, seed=PQ_SEED,
+            dim=EMBED_DIM,
+        )
+        cached[sf_dir] = path
+    return cached[sf_dir]
+
+
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN: 8×16 seeded codebooks, ADC coarse scoring
     over 8-int codes (≈64× less data than raw vectors), exact re-rank of
     the top-50.  Fully deterministic — the oracle replicates encode, the
-    literal lookup tables, and both orderings exactly."""
+    literal lookup tables, and both orderings exactly.  With
+    TUNDRA_ANN_USE_INDEX=1, probes an encode-once on-disk code index
+    (identical results, no per-query encode — the deployment shape)."""
+    import os
+
     q = _query_vec(spark, sf_dir)
+    if os.environ.get("TUNDRA_ANN_USE_INDEX") == "1":
+        return similarity.pq_ann_topk_indexed(
+            spark, _pq_index_dir(spark, sf_dir), q, ANN_K,
+            refine=PQ_REFINE, m=PQ_M, n_codes=PQ_CODES, seed=PQ_SEED,
+        )
     corpus = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
     return similarity.pq_ann_topk(
         corpus, q, ANN_K, refine=PQ_REFINE, m=PQ_M, n_codes=PQ_CODES,

@@ -461,18 +461,25 @@ def pq_encode(
     sub = dim // m
     books = pq_codebooks(m, n_codes, sub, seed)
     v = _vec_sql(vec_col)
+    # stage 1: materialize each subspace slice ONCE (each is referenced by
+    # n_codes dot folds — inlined, every dot would re-slice and re-cast)
+    sliced = emb.select(
+        F.col(id_col).cast("long").alias(id_col),
+        *([F.col(vec_col)] if keep_vec else []),
+        *[
+            F.expr(f"slice({v}, {j * sub + 1}, {sub})").alias(f"__s{j}")
+            for j in range(m)
+        ],
+    )
     dot_arrays = [
         "array("
-        + ", ".join(
-            dot_sql(f"slice({v}, {j * sub + 1}, {sub})", arr_sql(cw))
-            for cw in books[j]
-        )
+        + ", ".join(dot_sql(f"__s{j}", arr_sql(cw)) for cw in books[j])
         + ")"
         for j in range(m)
     ]
-    staged = emb.select(
-        F.col(id_col).cast("long").alias(id_col),
-        *([F.col(vec_col)] if keep_vec else []),
+    staged = sliced.select(
+        id_col,
+        *([vec_col] if keep_vec else []),
         *[F.expr(d).alias(f"__d{j}") for j, d in enumerate(dot_arrays)],
     )
     code = "array(" + ", ".join(
@@ -513,6 +520,21 @@ def pq_ann_topk(
     LUTs, (adc desc, id) refine order — the SQL oracle reproduces every
     double exactly.
     """
+    enc = pq_encode(
+        emb, m, n_codes, vec_col, id_col, seed, dim=len(query), keep_vec=True
+    )
+    adc = _pq_adc_expr(query, m, n_codes, seed)
+    cands = (
+        enc.select(id_col, vec_col, F.expr(adc).alias("__adc"))
+        .orderBy(F.desc("__adc"), F.asc(id_col))
+        .limit(refine)
+    )
+    return cosine_topk(cands, query, k, vec_col=vec_col, id_col=id_col)
+
+
+def _pq_adc_expr(query: list[float], m: int, n_codes: int, seed: int) -> str:
+    """ADC score expression: the query's per-subspace codeword dots become
+    literal lookup tables, summed in subspace order over the code ints."""
     dim = len(query)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
@@ -525,15 +547,54 @@ def pq_ann_topk(
         ]
         for j in range(m)
     ]
-    enc = pq_encode(
-        emb, m, n_codes, vec_col, id_col, seed, dim=dim, keep_vec=True
-    )
-    adc = " + ".join(
+    return " + ".join(
         f"element_at({arr_sql(luts[j])}, element_at(pq_code, {j + 1}))"
         for j in range(m)
     )
+
+
+def index_corpus_pq(
+    emb: DataFrame,
+    path: str,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 13,
+    dim: int | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """Persist the PQ-encoded corpus (id, vector, code): encoding — the
+    expensive half of PQ search, ~n_codes×m short dot folds per row — runs
+    ONCE at write time; every probe then reads precomputed codes.  At
+    100 TB, put ``pq_code`` first in a column-pruned scan and the ADC pass
+    reads ~m small ints per vector instead of the raw embedding."""
+    pq_encode(
+        emb, m, n_codes, vec_col, id_col, seed, dim=dim, keep_vec=True
+    ).write.mode(mode).parquet(path)
+    return path
+
+
+def pq_ann_topk_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    refine: int = 50,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 13,
+) -> DataFrame:
+    """Probe an :func:`index_corpus_pq` layout: ADC over the PRE-COMPUTED
+    codes (no encode work per query), refine, exact re-rank.  Identical
+    results to :func:`pq_ann_topk` with the same parameters (test-pinned).
+    """
+    adc = _pq_adc_expr(query, m, n_codes, seed)
     cands = (
-        enc.select(id_col, vec_col, F.expr(adc).alias("__adc"))
+        spark.read.parquet(path)
+        .select(id_col, vec_col, F.expr(adc).alias("__adc"))
         .orderBy(F.desc("__adc"), F.asc(id_col))
         .limit(refine)
     )
