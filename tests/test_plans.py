@@ -256,6 +256,32 @@ def test_pq_indexed_probe_equals_compute(spark, tmp_path):
     assert audit.count_exchanges(idx) == 0, audit.formatted_plan(idx)
 
 
+def test_ivfpq_indexed_prunes_and_degrades_to_exact(spark, tmp_path):
+    # the composed billion-scale layout: cell dirs pruned at file level,
+    # ADC over precomputed codes, exact refine; full probe + full refine
+    # must EQUAL exact cosine top-k
+    from tundradb_spark.pipeline import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = emb.filter("vec_id != 0")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    path = str(tmp_path / "ivfpq_index")
+    similarity.index_corpus_ivfpq(corpus, path, n_cells=16, m=8, n_codes=16)
+    df = similarity.ivfpq_ann_topk_indexed(
+        spark, path, q, 10, n_probe=4, refine=50
+    )
+    audit.assert_partition_pruned(df, "cell")
+    assert audit.count_exchanges(df) == 0, audit.formatted_plan(df)
+    # degradation pin: every cell probed + everything refined == exact
+    full = similarity.ivfpq_ann_topk_indexed(
+        spark, path, q, 10, n_probe=16, refine=10_000_000
+    )
+    exact = similarity.cosine_topk(corpus, q, 10)
+    assert [tuple(r) for r in full.collect()] == [
+        tuple(r) for r in exact.collect()
+    ]
+
+
 def test_pq_two_stage_no_shuffle_no_sort(spark):
     # PQ = ADC coarse top-refine + exact re-rank: BOTH stages must be
     # TakeOrderedAndProject (local top-k per partition, driver merge),

@@ -442,10 +442,13 @@ def pq_encode(
     seed: int = 13,
     dim: int | None = None,
     keep_vec: bool = True,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Product-quantize each vector: split into ``m`` subspaces, assign
     each slice to its nearest (max-dot) codeword — output ``pq_code``, an
     ``array<int>`` of length m (1-based codes, first-max tie-break).
+    ``keep_cols`` carries extra columns (e.g. an IVF cell) through the
+    staged projections, so composed indexes never join back to the source.
 
     The compression story at 100 TB: an m=8, k=16 code is 8 small ints per
     vector vs 64 float64s — the coarse-scoring pass reads ~64× fewer bytes
@@ -463,9 +466,11 @@ def pq_encode(
     v = _vec_sql(vec_col)
     # stage 1: materialize each subspace slice ONCE (each is referenced by
     # n_codes dot folds — inlined, every dot would re-slice and re-cast)
+    carry = list(keep_cols or [])
     sliced = emb.select(
         F.col(id_col).cast("long").alias(id_col),
         *([F.col(vec_col)] if keep_vec else []),
+        *[F.col(c) for c in carry],
         *[
             F.expr(f"slice({v}, {j * sub + 1}, {sub})").alias(f"__s{j}")
             for j in range(m)
@@ -480,6 +485,7 @@ def pq_encode(
     staged = sliced.select(
         id_col,
         *([vec_col] if keep_vec else []),
+        *carry,
         *[F.expr(d).alias(f"__d{j}") for j, d in enumerate(dot_arrays)],
     )
     code = "array(" + ", ".join(
@@ -489,6 +495,7 @@ def pq_encode(
     return staged.select(
         id_col,
         *([vec_col] if keep_vec else []),
+        *carry,
         F.expr(code).alias("pq_code"),
     )
 
@@ -594,6 +601,85 @@ def pq_ann_topk_indexed(
     adc = _pq_adc_expr(query, m, n_codes, seed)
     cands = (
         spark.read.parquet(path)
+        .select(id_col, vec_col, F.expr(adc).alias("__adc"))
+        .orderBy(F.desc("__adc"), F.asc(id_col))
+        .limit(refine)
+    )
+    return cosine_topk(cands, query, k, vec_col=vec_col, id_col=id_col)
+
+
+def index_corpus_ivfpq(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ivf_seed: int = 11,
+    pq_seed: int = 13,
+    dim: int | None = None,
+    centroids: list[list[float]] | None = None,
+    mode: str = "overwrite",
+) -> str:
+    """The composed IVF+PQ index — the standard billion-scale ANN layout:
+    rows carry (id, vector, pq_code) and are ``partitionBy('cell')``.
+
+    A probe then stacks every pruning stage this module provides:
+    cell dirs are skipped at FILE level (PartitionFilters), the ADC coarse
+    pass reads the precomputed 8-int codes, and only the refine survivors'
+    raw vectors are touched.  All assignment/encode cost is write-side.
+    """
+    if centroids is not None:
+        n_cells = len(centroids)
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    assigned = ivf_assign(
+        emb, n_cells, vec_col, id_col, ivf_seed, dim=dim, centroids=centroids
+    )
+    encoded = pq_encode(
+        assigned,
+        m,
+        n_codes,
+        vec_col,
+        id_col,
+        pq_seed,
+        dim=dim,
+        keep_vec=True,
+        keep_cols=["cell"],  # join-free: cell rides the staged projections
+    )
+    encoded.repartition("cell").write.mode(mode).partitionBy("cell").parquet(
+        path
+    )
+    return path
+
+
+def ivfpq_ann_topk_indexed(
+    spark,
+    path: str,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int = 50,
+    n_cells: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    ivf_seed: int = 11,
+    pq_seed: int = 13,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Probe an :func:`index_corpus_ivfpq` layout: prune to the query's
+    ``n_probe`` cells (file-level), ADC-score their precomputed codes,
+    refine the top candidates with exact cosine.  With
+    ``n_probe=n_cells`` and ``refine >= corpus`` this provably degrades to
+    exact :func:`cosine_topk` (test-pinned)."""
+    probe = probe_cells(query, n_cells, n_probe, ivf_seed, centroids)
+    adc = _pq_adc_expr(query, m, n_codes, pq_seed)
+    cands = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe))
         .select(id_col, vec_col, F.expr(adc).alias("__adc"))
         .orderBy(F.desc("__adc"), F.asc(id_col))
         .limit(refine)
