@@ -298,6 +298,23 @@ class TestText:
         assert rows[0].bigram_rep == pytest.approx(0.6)
         assert rows[1].token_rep == 0.0 and rows[1].bigram_rep == 0.0
 
+    def test_lm_scores_rank_fluency(self, spark):
+        from tundradb_spark.pipeline.text import lm_scores
+
+        df = spark.createDataFrame(
+            [
+                (0, "the cat sat on the mat"),
+                (1, "the cat sat on the mat"),
+                (2, "xylophone quixotic zephyr"),  # all-rare tokens
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in lm_scores(df).collect()}
+        # rare-vocabulary doc scores strictly lower than the common ones
+        assert rows[2].lm_logprob < rows[0].lm_logprob
+        assert rows[0].lm_logprob == rows[1].lm_logprob  # identical docs
+        assert rows[0].n_tokens == 6 and rows[2].n_tokens == 3
+
     def test_pii_scan_counts_and_flag(self, spark):
         from tundradb_spark.pipeline.text import pii_scan
 

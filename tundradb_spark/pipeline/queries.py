@@ -323,6 +323,16 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_seg.unionByName(docs_clean)
 
 
+def q_text_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20 least-fluent docs under the corpus's own unigram LM
+    (lm_logprob asc, doc_id asc — total order for a deterministic LIMIT)."""
+    return (
+        text.lm_scores(_docs(spark, sf_dir))
+        .orderBy(F.asc("lm_logprob"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most phrase-repetitive docs (bigram_rep desc, doc_id asc —
     a total order, so LIMIT is deterministic for the oracle)."""
@@ -388,6 +398,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_lang": q_text_lang,
     "q_text_fingerprint": q_text_fingerprint,
     "q_text_repetition": q_text_repetition,
+    "q_text_lm": q_text_lm,
     "q_pii_scan": q_pii_scan,
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_frames": q_multimodal_frames,
@@ -861,6 +872,27 @@ PIPELINE_ORACLES: dict[str, str] = {
                      ELSE 0.0 END, 6) AS bigram_rep
         FROM t
         ORDER BY bigram_rep DESC, doc_id ASC LIMIT 20
+    """,
+    # unigram LM: identical tokenization, decimal(20,10)-cast ln before the
+    # per-doc sum (order-free exact; truncation absorbs Math.log-vs-libm
+    # last-ulp divergence)
+    "q_text_lm": r"""
+        WITH toks AS (
+          SELECT doc_id, unnest([x for x in
+                 string_split_regex(lower(text), '\s+') if x != '']) AS tok
+          FROM documents
+        ),
+        freqs AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+        total AS (SELECT sum(freq) AS total FROM freqs)
+        SELECT t.doc_id,
+               count(*) AS n_tokens,
+               ROUND(CAST(sum(CAST(ln(CAST(f.freq AS DOUBLE)
+                                       / CAST(tt.total AS DOUBLE))
+                                   AS DECIMAL(20,10))) / count(*)
+                          AS DOUBLE), 6) AS lm_logprob
+        FROM toks t JOIN freqs f ON t.tok = f.tok, total tt
+        GROUP BY t.doc_id
+        ORDER BY lm_logprob ASC, doc_id ASC LIMIT 20
     """,
     # the PII sweep: customer names carry digit runs; documents must be
     # pattern-free (any_pii sums to zero — clean-prose false-positive check)

@@ -119,6 +119,51 @@ def pii_scan(
     return counted.withColumn("any_pii", (total > 0).cast("boolean"))
 
 
+def lm_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram corpus-LM quality score — the perplexity-shaped signal
+    training pipelines use to rank fluency: each document's mean
+    ``ln p(token)`` under the corpus's own unigram distribution (higher =
+    more typical; gibberish and vocabulary-odd docs sink).
+
+    Plan shape (both stages the classic inverted-index shuffles):
+    1. token frequencies: explode → one map-side-combined groupBy(token);
+    2. score join: exploded tokens ⋈ frequencies on token (full shuffle
+       parallelism on the token key), then groupBy(doc).
+
+    Engine-portability: per-token ``ln`` values are cast to
+    ``decimal(20,10)`` BEFORE the per-doc sum, making the aggregation
+    exact and order-independent — and the 10-decimal truncation absorbs
+    the ≤1-ulp divergence between JVM ``Math.log`` and libm ``log``, so a
+    SQL oracle reproduces every score bit-for-bit after the final
+    round(…,6).
+    """
+    toks = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    total = freqs.agg(F.sum("freq").alias("total"))
+    scored = (
+        toks.join(freqs, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.expr(
+                "cast(ln(cast(freq as double) / cast(total as double)) "
+                "as decimal(20,10))"
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            (F.sum("__lp") / F.count(F.lit(1))).cast("double"), 6
+        ).alias("lm_logprob"),
+    )
+
+
 def repetition_scores(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
