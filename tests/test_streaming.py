@@ -343,3 +343,44 @@ class TestStreamStreamJoin:
             & (rb.ev_ts <= lb.err_ts + F.expr("INTERVAL 30 minutes")),
         )
         assert {(r[0], r.ev_type, r.value) for r in batch.collect()} == got
+
+
+class TestStreamIndexVectors:
+    def test_incremental_index_probe_equals_batch(self, spark, tmp_path):
+        from tundradb_spark.pipeline import similarity
+        from tundradb_spark.streaming import stream_index_vectors
+
+        src = str(tmp_path / "vsrc")
+        idx = str(tmp_path / "vidx")
+        ckpt = str(tmp_path / "vck")
+        os.makedirs(src)
+        schema = "vec_id long, embedding array<double>"
+
+        def vecs(lo, hi):
+            return [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+                    for i in range(lo, hi)]
+
+        # two arriving batches of vectors
+        spark.createDataFrame(vecs(0, 40), schema).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = stream_index_vectors(
+            stream, idx, ckpt, n_cells=8, dim=8)
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(vecs(40, 80), schema).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # the live index serves the standard pruned probe, identical to the
+        # batch compute path over everything that has arrived
+        query = [1.0, -2.0, 0.5, 3.0, -1.0, 0.0, 2.0, -0.5]
+        got = similarity.ivf_ann_topk_indexed(
+            spark, idx, query, 5, n_cells=8, n_probe=8)
+        allvecs = spark.createDataFrame(vecs(0, 80), schema)
+        want = similarity.ivf_ann_topk(
+            allvecs, query, 5, n_cells=8, n_probe=8)
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in want.collect()]

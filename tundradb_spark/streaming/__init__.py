@@ -17,12 +17,15 @@ continuously-ingesting graph/analytics deployment needs:
   (``dropDuplicates`` with state cleanup)
 - :func:`stream_stream_join` — watermarked stream-stream join with a
   mandatory event-time band (state bounded on both sides)
+- :func:`stream_index_vectors` — incremental maintenance of the
+  cell-partitioned ANN index from a live vector stream
 """
 
 from tundradb_spark.streaming.ops import (
     session_window_agg,
     sessionize,
     stream_edges,
+    stream_index_vectors,
     stream_nodes,
     stream_stream_join,
     streaming_dedup,
@@ -37,4 +40,5 @@ __all__ = [
     "sessionize",
     "streaming_dedup",
     "stream_stream_join",
+    "stream_index_vectors",
 ]

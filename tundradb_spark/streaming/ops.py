@@ -294,6 +294,53 @@ def streaming_dedup(
     return stream.withWatermark(ts_col, watermark).dropDuplicates(keys + [ts_col])
 
 
+def stream_index_vectors(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 11,
+    dim: int | None = None,
+    query_name: str | None = None,
+) -> "StreamingQuery":
+    """Continuously maintain a cell-partitioned ANN index
+    (pipeline.similarity.index_corpus layout) from a vector stream.
+
+    Each micro-batch is IVF-assigned and appended into the SAME
+    ``partitionBy('cell')`` directory tree the batch writer produces, so
+    :func:`pipeline.similarity.ivf_ann_topk_indexed` probes a live,
+    growing index with unchanged file pruning — arriving vectors are
+    probe-visible at the next batch boundary.  The quantizer must be fixed
+    (seeded or trained-then-frozen): assignment is append-only, nothing is
+    re-clustered.  ``dim`` is required here (a streaming frame cannot be
+    probed for it).
+
+    At scale add periodic per-cell compaction (many small appended files →
+    rewrite a cell dir when its file count passes a threshold) — the same
+    maintenance any LSM-ish index needs; omitted here for brevity.
+    """
+    if dim is None:
+        raise ValueError("stream_index_vectors requires dim= (no probing a stream)")
+    from tundradb_spark.pipeline.similarity import ivf_assign
+
+    def _sink(batch: DataFrame, _epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        assigned = ivf_assign(
+            batch, n_cells, vec_col, id_col, seed, dim=dim
+        )
+        assigned.write.mode("append").partitionBy("cell").parquet(path)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name or "vector-index")
+        .start()
+    )
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,
