@@ -411,3 +411,62 @@ class TestEmbeddingDimParam:
         ra = {(r.id_a, r.id_b, r.cosine) for r in a.collect()}
         rb = {(r.id_a, r.id_b, r.cosine) for r in b.collect()}
         assert ra == rb
+
+
+class TestSamplingChunking:
+    def test_deterministic_sample_stable_and_monotone(self, spark):
+        from tundradb_spark.pipeline.sampling import deterministic_sample
+
+        df = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(1000)], "doc_id long, text string"
+        )
+        half = {r.doc_id for r in deterministic_sample(df, 5000).collect()}
+        again = {r.doc_id for r in deterministic_sample(df, 5000).collect()}
+        assert half == again  # rerun-stable
+        assert 350 < len(half) < 650  # roughly half
+        small = {r.doc_id for r in deterministic_sample(df, 1000).collect()}
+        assert small <= half  # threshold monotonicity: subsets nest
+        assert deterministic_sample(df, 0).count() == 0
+        assert deterministic_sample(df, 10000).count() == 1000
+
+    def test_stratified_sample_thresholds(self, spark):
+        from tundradb_spark.pipeline.sampling import stratified_sample
+
+        df = spark.createDataFrame(
+            [(i, "en" if i % 2 else "de") for i in range(1000)],
+            "doc_id long, lang string",
+        )
+        kept = stratified_sample(
+            df, {"en": 10000, "de": 0}, default_bp=0
+        ).collect()
+        assert all(r.lang == "en" for r in kept)
+        assert len(kept) == 500
+
+    def test_chunking_shapes_and_overlap(self, spark):
+        from tundradb_spark.pipeline.sampling import chunk_docs
+
+        df = spark.createDataFrame(
+            [(0, "a b c d e f g h i j"), (1, ""), (2, "solo")],
+            "doc_id long, text string",
+        )
+        rows = sorted(
+            (r.doc_id, r.chunk_idx, r.n_chunk_tokens, r.chunk)
+            for r in chunk_docs(df, chunk_tokens=4, overlap=1).collect()
+        )
+        # doc 0: starts 1,4,7,10 -> chunks of 4,4,4,1; doc 1 empty: none
+        assert rows == [
+            (0, 0, 4, "a b c d"),
+            (0, 1, 4, "d e f g"),
+            (0, 2, 4, "g h i j"),
+            (0, 3, 1, "j"),
+            (2, 0, 1, "solo"),
+        ]
+
+    def test_chunking_validates_args(self, spark):
+        from tundradb_spark.pipeline.sampling import chunk_docs
+
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_docs(df, chunk_tokens=0)
+        with pytest.raises(ValueError):
+            chunk_docs(df, chunk_tokens=4, overlap=4)

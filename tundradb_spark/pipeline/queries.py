@@ -290,6 +290,46 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_summary(_docs(spark, sf_dir))
 
 
+CHUNK_TOKENS, CHUNK_OVERLAP = 32, 8
+SAMPLE_SEED = 97
+SAMPLE_BP_BY = {"en": 5000, "de": 2500}
+SAMPLE_DEFAULT_BP = 1000
+
+
+def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token chunking with overlap (sampling.chunk_docs): every chunk
+    row value-checked (digest of the re-joined text), fully deterministic."""
+    from tundradb_spark.pipeline.sampling import chunk_docs
+
+    chunks = chunk_docs(
+        _docs(spark, sf_dir), chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.md5("chunk").alias("digest"),
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling (sampling.stratified_sample)
+    — the mixture-rebalancing step; content-hash coin, so the kept set is
+    identical on any engine/partitioning (per-language counts checked)."""
+    from tundradb_spark.pipeline.sampling import stratified_sample
+
+    kept = stratified_sample(
+        _docs(spark, sf_dir),
+        SAMPLE_BP_BY,
+        seed=SAMPLE_SEED,
+        default_bp=SAMPLE_DEFAULT_BP,
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII pattern sweep (pattern_counts) driven over the one testdata
     column with realistic identifier shapes: customer names carry long
@@ -400,6 +440,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_repetition": q_text_repetition,
     "q_text_lm": q_text_lm,
     "q_pii_scan": q_pii_scan,
+    "q_chunking": q_chunking,
+    "q_sample_stratified": q_sample_stratified,
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_frames": q_multimodal_frames,
     "q_multimodal_decode": q_multimodal_decode,
@@ -893,6 +935,44 @@ PIPELINE_ORACLES: dict[str, str] = {
         FROM toks t JOIN freqs f ON t.tok = f.tok, total tt
         GROUP BY t.doc_id
         ORDER BY lm_logprob ASC, doc_id ASC LIMIT 20
+    """,
+    # chunking: same tokenization, 1-based slice starts every
+    # (chunk - overlap) tokens, chunk re-joined with single spaces
+    "q_chunking": rf"""
+        WITH t AS (
+          SELECT doc_id, [x for x in
+                 string_split_regex(lower(text), '\s+') if x != ''] AS toks
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks),
+                                        {CHUNK_TOKENS - CHUNK_OVERLAP}))
+                   AS start
+          FROM t WHERE len(toks) > 0
+        )
+        SELECT doc_id,
+               CAST((start - 1) // {CHUNK_TOKENS - CHUNK_OVERLAP} AS INT)
+                 AS chunk_idx,
+               CAST(len(toks[start : least(start + {CHUNK_TOKENS} - 1,
+                                           len(toks))]) AS INT)
+                 AS n_chunk_tokens,
+               md5(array_to_string(
+                   toks[start : least(start + {CHUNK_TOKENS} - 1,
+                                      len(toks))], ' ')) AS digest
+        FROM s
+    """,
+    # stratified sampling: md5-derived [0,10000) bucket vs per-lang
+    # thresholds — identical hash text on both engines
+    "q_sample_stratified": f"""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE ({hbits_sql("'{seed}:' || CAST(doc_id AS VARCHAR)".format(seed=SAMPLE_SEED), 32)}) % 10000
+              < (CASE lang WHEN 'de' THEN {SAMPLE_BP_BY['de']}
+                           WHEN 'en' THEN {SAMPLE_BP_BY['en']}
+                           ELSE {SAMPLE_DEFAULT_BP} END)
+        GROUP BY lang
     """,
     # the PII sweep: customer names carry digit runs; documents must be
     # pattern-free (any_pii sums to zero — clean-prose false-positive check)
