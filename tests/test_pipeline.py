@@ -470,3 +470,29 @@ class TestSamplingChunking:
             chunk_docs(df, chunk_tokens=0)
         with pytest.raises(ValueError):
             chunk_docs(df, chunk_tokens=4, overlap=4)
+
+
+class TestRecipe:
+    def test_prepare_corpus_stages(self, spark):
+        from tundradb_spark.pipeline.recipe import prepare_corpus
+
+        df = spark.createDataFrame(
+            [
+                (0, "good clean prose that flows well and stays varied"),
+                (1, "good clean prose that flows well and stays varied"),  # dup
+                (2, "contact bob@example.com for details"),  # PII -> dropped
+                (3, "spam ham spam ham spam ham spam ham"),  # repetitive
+                (4, "another acceptable document with different words"),
+            ],
+            "doc_id long, text string",
+        )
+        chunks = prepare_corpus(
+            df, max_bigram_rep=0.4, chunk_tokens=4, sample_bp=10000
+        ).collect()
+        kept_docs = {r.doc_id for r in chunks}
+        # dup keeps min id 0; PII doc 2 and repetitive doc 3 gone
+        assert kept_docs == {0, 4}
+        # chunking applied: doc 0 has 9 tokens -> chunks of 4,4,1
+        assert sorted(
+            r.n_chunk_tokens for r in chunks if r.doc_id == 0
+        ) == [1, 4, 4]

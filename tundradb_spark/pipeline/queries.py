@@ -330,6 +330,29 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+E2E_BIGRAM_CAP, E2E_CHUNK, E2E_OVERLAP, E2E_BP = 0.5, 32, 8, 8000
+
+
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-prep pipeline (pipeline.recipe.prepare_corpus):
+    PII gate → exact dedup → repetition gate → chunk → deterministic
+    sample, value-checked to the chunk digest — one lazy plan whose only
+    shuffle is dedup's groupBy."""
+    from tundradb_spark.pipeline.recipe import prepare_corpus
+
+    chunks = prepare_corpus(
+        _docs(spark, sf_dir),
+        max_bigram_rep=E2E_BIGRAM_CAP,
+        chunk_tokens=E2E_CHUNK,
+        chunk_overlap=E2E_OVERLAP,
+        sample_bp=E2E_BP,
+        sample_seed=SAMPLE_SEED,
+    )
+    return chunks.select(
+        "doc_id", "chunk_idx", "n_chunk_tokens", F.md5("chunk").alias("digest")
+    )
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII pattern sweep (pattern_counts) driven over the one testdata
     column with realistic identifier shapes: customer names carry long
@@ -442,6 +465,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pii_scan": q_pii_scan,
     "q_chunking": q_chunking,
     "q_sample_stratified": q_sample_stratified,
+    "q_pipeline_e2e": q_pipeline_e2e,
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_frames": q_multimodal_frames,
     "q_multimodal_decode": q_multimodal_decode,
@@ -935,6 +959,67 @@ PIPELINE_ORACLES: dict[str, str] = {
         FROM toks t JOIN freqs f ON t.tok = f.tok, total tt
         GROUP BY t.doc_id
         ORDER BY lm_logprob ASC, doc_id ASC LIMIT 20
+    """,
+    # the composed pipeline: every stage reuses an already-proven oracle
+    # fragment (pii regexes, normalized-md5 dedup winners, bigram
+    # repetition, hash sampling, chunk slicing)
+    "q_pipeline_e2e": rf"""
+        WITH pii_ok AS (
+          SELECT doc_id, text FROM documents
+          WHERE len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) = 0
+            AND len(regexp_extract_all(text, 'https?://[^\s]+')) = 0
+            AND len(regexp_extract_all(text, '[0-9]{{4,}}')) = 0
+        ),
+        winners AS (
+          SELECT min(doc_id) AS doc_id
+          FROM (SELECT doc_id,
+                       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                         AS h
+                FROM pii_ok)
+          GROUP BY h
+        ),
+        deduped AS (
+          SELECT p.doc_id, p.text FROM pii_ok p
+          WHERE p.doc_id IN (SELECT doc_id FROM winners)
+        ),
+        toked AS (
+          SELECT doc_id, text,
+                 [x for x in string_split_regex(lower(text), '\s+')
+                  if x != ''] AS toks
+          FROM deduped
+        ),
+        gated AS (
+          -- ROUND(…,6) mirrors repetition_scores' emitted value exactly
+          SELECT doc_id, toks FROM toked
+          WHERE len(toks) > 0 AND ROUND(CASE WHEN len(toks) > 1
+                THEN 1.0 - CAST(len(list_distinct(
+                       [toks[i] || ' ' || toks[i + 1]
+                        for i in range(1, len(toks))])) AS DOUBLE)
+                         / CAST(len(toks) - 1 AS DOUBLE)
+                ELSE 0.0 END, 6) <= {E2E_BIGRAM_CAP}
+        ),
+        sampled AS (
+          SELECT doc_id, toks FROM gated
+          WHERE ({hbits_sql(f"'{SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)", 32)})
+                % 10000 < {E2E_BP}
+        ),
+        starts AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks),
+                                        {E2E_CHUNK - E2E_OVERLAP})) AS start
+          FROM sampled
+        )
+        SELECT doc_id,
+               CAST((start - 1) // {E2E_CHUNK - E2E_OVERLAP} AS INT)
+                 AS chunk_idx,
+               CAST(len(toks[start : least(start + {E2E_CHUNK} - 1,
+                                           len(toks))]) AS INT)
+                 AS n_chunk_tokens,
+               md5(array_to_string(
+                   toks[start : least(start + {E2E_CHUNK} - 1, len(toks))],
+                   ' ')) AS digest
+        FROM starts
     """,
     # chunking: same tokenization, 1-based slice starts every
     # (chunk - overlap) tokens, chunk re-joined with single spaces
