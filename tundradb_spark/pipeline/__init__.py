@@ -5,12 +5,20 @@ data-pipeline operators at all — SURVEY.md §2.5/§2.12), this package adds th
 operations a large-scale LLM training-data pipeline needs, built Spark-first:
 
 - :mod:`dedup` — exact hash dedup, MinHash+LSH, SimHash, n-gram Jaccard,
-  embedding-cosine near-duplicate detection
-- :mod:`similarity` — brute-force cosine top-k and LSH-bucketed ANN
-- :mod:`text` — language ID, quality scoring, token counting, fingerprinting
+  embedding-cosine near-duplicate detection, and :func:`apply_dedup` (the
+  corpus materializer: clusters → canonical survivors)
+- :mod:`similarity` — brute-force cosine top-k, sign-LSH / IVF / PQ / IVF+PQ
+  ANN, each with an on-disk index layer (``index_corpus*``) whose probes
+  prune files and read precomputed codes
+- :mod:`text` — language ID, quality scoring, token counting,
+  fingerprinting, repetition scoring, PII pattern sweeps, unigram-LM fluency
+- :mod:`sampling` — deterministic/stratified content-hash sampling and
+  fixed-token document chunking
+- :mod:`recipe` — the composed corpus-prep pipeline (gate → dedup → chunk →
+  sample as one lazy plan)
 - :mod:`multimodal` — binary (image/audio/video) column plumbing with
-  Arrow-batched ``mapInPandas`` decode/extract stages (decode itself stubbed;
-  the Spark-side schema/partitioning/batching is real)
+  Arrow-batched ``mapInPandas`` decode/extract stages (real decode probes
+  PIL at call time; the Spark-side schema/partitioning/batching is real)
 
 Every operator is pure DataFrame-in / DataFrame-out, expressed with built-in
 ``pyspark.sql.functions`` (JVM-side, whole-stage-codegen) — no Python UDFs in
@@ -19,6 +27,7 @@ DuckDB SQL oracle can reproduce results bit-for-bit (see __spark_entry__).
 """
 
 from tundradb_spark.pipeline.dedup import (
+    apply_dedup,
     embedding_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -27,23 +36,46 @@ from tundradb_spark.pipeline.dedup import (
     simhash,
     simhash_pairs,
 )
+from tundradb_spark.pipeline.recipe import prepare_corpus
+from tundradb_spark.pipeline.sampling import (
+    chunk_docs,
+    deterministic_sample,
+    stratified_sample,
+)
 from tundradb_spark.pipeline.similarity import (
     cosine_scores,
     cosine_topk,
+    index_corpus,
+    index_corpus_ivfpq,
+    index_corpus_lsh,
+    index_corpus_pq,
+    ivf_ann_topk,
+    ivf_ann_topk_indexed,
+    ivf_train,
+    ivfpq_ann_topk_indexed,
     lsh_ann_topk,
+    lsh_ann_topk_indexed,
     lsh_signature,
+    pq_ann_topk,
+    pq_ann_topk_indexed,
+    pq_encode,
 )
 from tundradb_spark.pipeline.text import (
     fingerprints,
     lang_confusion,
     lang_id,
+    lm_scores,
+    pattern_counts,
+    pii_scan,
     quality_scores,
+    repetition_scores,
     token_stats,
     with_tokens,
 )
 
 __all__ = [
     "exact_dedup",
+    "apply_dedup",
     "minhash_signature",
     "minhash_lsh_pairs",
     "simhash",
@@ -54,10 +86,30 @@ __all__ = [
     "cosine_topk",
     "lsh_signature",
     "lsh_ann_topk",
+    "lsh_ann_topk_indexed",
+    "ivf_ann_topk",
+    "ivf_ann_topk_indexed",
+    "ivf_train",
+    "pq_encode",
+    "pq_ann_topk",
+    "pq_ann_topk_indexed",
+    "ivfpq_ann_topk_indexed",
+    "index_corpus",
+    "index_corpus_lsh",
+    "index_corpus_pq",
+    "index_corpus_ivfpq",
     "with_tokens",
     "token_stats",
     "quality_scores",
+    "repetition_scores",
+    "pattern_counts",
+    "pii_scan",
+    "lm_scores",
     "lang_id",
     "lang_confusion",
     "fingerprints",
+    "chunk_docs",
+    "deterministic_sample",
+    "stratified_sample",
+    "prepare_corpus",
 ]
