@@ -340,8 +340,15 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is dedup's groupBy."""
     from tundradb_spark.pipeline.recipe import prepare_corpus
 
+    # the testdata table is ONE parquet file -> one input partition; the
+    # regex+bigram gates are the heavy per-row work, so spread them (at
+    # deployment scale the input is already many files and this is a no-op
+    # decision)
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     chunks = prepare_corpus(
-        _docs(spark, sf_dir),
+        docs,
         max_bigram_rep=E2E_BIGRAM_CAP,
         chunk_tokens=E2E_CHUNK,
         chunk_overlap=E2E_OVERLAP,

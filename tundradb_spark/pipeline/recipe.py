@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, functions as F
 
 from tundradb_spark.pipeline.dedup import normalized_text
 from tundradb_spark.pipeline.sampling import chunk_docs, deterministic_sample
-from tundradb_spark.pipeline.text import pii_scan, repetition_scores
+from tundradb_spark.pipeline.text import (
+    DEFAULT_PII_PATTERNS,
+    bigram_repetition_col,
+    tokens,
+)
 
 
 def prepare_corpus(
@@ -36,22 +40,36 @@ def prepare_corpus(
     Stages (all deterministic, all engine-portable):
 
     1. **PII gate**: drop documents where any default pattern fires.
-    2. **Exact dedup**: md5(normalized text) groups; only each group's
-       minimum-id member survives (semi-join against the groupBy winners —
-       the one shuffle in the plan).
-    3. **Repetition gate**: ``bigram_rep <= max_bigram_rep`` (template/
-       boilerplate kill).
+    2. **Repetition gate**: ``bigram_rep <= max_bigram_rep`` (template/
+       boilerplate kill).  Runs before dedup — identical normalized texts
+       have identical token lists, so the gate treats every member of a
+       dedup group the same and the ordering is semantics-neutral, while
+       gated-out docs never pay the dedup shuffle.
+    3. **Exact dedup**: md5(normalized text) groups; only each group's
+       minimum-id member survives (broadcast semi-join against the groupBy
+       winners — the one shuffle in the plan).
     4. **Chunking**: fixed-token windows with overlap.
     5. **Sampling**: deterministic content-hash downsample to
        ``sample_bp``/10000 of the surviving documents.
     """
-    pii = pii_scan(docs, text_col, id_col).filter(~F.col("any_pii")).select(
-        F.col(id_col)
-    )
-    clean = docs.join(pii, id_col, "semi")
+    # both row-level gates are inline column predicates, NOT joins back to
+    # per-doc score frames — the whole pre-dedup phase is one scan (four
+    # scans → two measured 6.6s → ~2s at sf0.1)
+    no_pii = None
+    for pat in DEFAULT_PII_PATTERNS.values():
+        pred = F.regexp_count(F.col(text_col), F.lit(pat)) == 0
+        no_pii = pred if no_pii is None else (no_pii & pred)
+    clean = docs.filter(no_pii)
 
+    toked = clean.withColumn("__t", tokens(F.col(text_col)))
+    gated = toked.filter(
+        bigram_repetition_col("__t") <= max_bigram_rep
+    ).drop("__t")
+
+    # dedup winners genuinely need the groupBy round-trip; the winner set
+    # is one long per distinct text — broadcastable at any realistic scale
     winners = (
-        clean.select(
+        gated.select(
             F.md5(normalized_text(F.col(text_col))).alias("__h"),
             F.col(id_col).cast("long").alias(id_col),
         )
@@ -59,16 +77,9 @@ def prepare_corpus(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    deduped = clean.join(winners, id_col, "semi")
+    deduped = gated.join(F.broadcast(winners), id_col, "semi")
 
-    keep_rep = (
-        repetition_scores(deduped, text_col, id_col)
-        .filter(F.col("bigram_rep") <= max_bigram_rep)
-        .select(id_col)
-    )
-    gated = deduped.join(keep_rep, id_col, "semi")
-
-    sampled = deterministic_sample(gated, sample_bp, id_col, sample_seed)
+    sampled = deterministic_sample(deduped, sample_bp, id_col, sample_seed)
     return chunk_docs(
         sampled,
         chunk_tokens=chunk_tokens,
