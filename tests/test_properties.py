@@ -115,3 +115,31 @@ def test_contiguous_id_assignment_is_permutation(spark, sizes, first):
     assert counted == n  # the size pass IS the returned row count
     ids = sorted(r["id"] for r in out.collect())
     assert ids == list(range(first, first + n))
+
+
+@settings(**_SETTINGS)
+@given(
+    words=st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "x", "longtoken"]),
+        min_size=1,
+        max_size=40,
+    ),
+    chunk=st.integers(1, 12),
+)
+def test_chunking_partitions_document(spark, words, chunk):
+    """With overlap=0, chunks PARTITION the token stream: sizes sum to
+    n_tokens, indexes are 0..k-1, and re-joining chunks in index order
+    reconstructs the whitespace-normalized document exactly."""
+    from tundradb_spark.pipeline.sampling import chunk_docs
+
+    df = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r.chunk_idx, r.n_chunk_tokens, r.chunk)
+        for r in chunk_docs(df, chunk_tokens=chunk, overlap=0).collect()
+    )
+    assert [i for i, _, _ in rows] == list(range(len(rows)))
+    assert sum(n for _, n, _ in rows) == len(words)
+    assert all(n == chunk for _, n, _ in rows[:-1])  # only tail is short
+    assert " ".join(c for _, _, c in rows) == " ".join(words)
