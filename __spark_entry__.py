@@ -9,10 +9,36 @@ equivalent with IDENTICAL output column names.
 Float determinism: monetary SUMs go through ``cast decimal(18,2)`` on both
 sides so results are exact and partition-order independent, then cast back
 to double for a type-stable comparison.
+
+50-slot rotation policy (round-4 verdict items 1 & 7)
+-----------------------------------------------------
+The driver verifies only the FIRST 50 ``queries()`` entries, so the
+registry is curated to EXACTLY 50 oracle-bearing rows.  To free slots
+without losing verification surface:
+
+* **Merged rows** — same-shaped operators share one slot via a tag-union
+  that preserves every original output column (``q_outer_joins`` =
+  left+right+full, ``q_semi_anti``, ``q_set_ops``, ``q_text_profile`` =
+  tokens+lang+fingerprint, ``q_text_scores`` = repetition+lm,
+  ``q_multimodal`` = meta+frames+decode).  The driver's order-insensitive
+  value hash covers each branch's full row set, so every merged operator
+  stays exactly as verified as when it held its own slot.
+* **Parked rows** (``PARKED_QUERIES`` / ``PARKED_ORACLES``) — true
+  redundancies whose value surface is covered elsewhere: q_bucketed_match
+  (result-identical to q_inner_join; the zero-shuffle plan proof lives in
+  tests/test_bucketed.py), q_stream_join (result-identical to
+  q_range_join; operator covered by tests/test_streaming.py),
+  q_temporal_before (complement read of q_temporal_asof), q_dedup_ngram
+  (subsumed by q_dedup_ngram_capped), q_ql_match (same parser/engine path
+  as q_ql_analytics), and the single-operator halves of the merged rows
+  above.  All were driver-green in rounds 3-4 (CORRECTNESS_r0{3,4}.json);
+  tests/test_parked_oracles.py re-checks each against its DuckDB oracle
+  every CI run, so parking them costs a driver row but not verification.
 """
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable, Iterator
 from contextlib import contextmanager
 
@@ -27,7 +53,12 @@ from tundradb_spark.operators.relational import (
     range_join,
     union_distinct,
 )
-from tundradb_spark.pipeline.queries import PIPELINE_ORACLES, PIPELINE_QUERIES
+from tundradb_spark.pipeline.queries import (
+    PARKED_PIPELINE_ORACLES,
+    PARKED_PIPELINE_QUERIES,
+    PIPELINE_ORACLES,
+    PIPELINE_QUERIES,
+)
 from tundradb_spark.query import Query, where as W
 
 
@@ -1201,7 +1232,12 @@ def q_ql_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BUCKETED_CACHE: dict[tuple[int, str], str] = {}
+# WeakKeyDictionary keyed on the live session (same pattern as
+# _IVF_INDEX_CACHE): id()-keyed entries could outlive a garbage-collected
+# SparkSession and leak a stale warehouse path into a new session
+_BUCKETED_CACHE: (
+    "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]"
+) = weakref.WeakKeyDictionary()
 
 
 def q_bucketed_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1221,8 +1257,8 @@ def q_bucketed_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         save_graph_bucketed,
     )
 
-    key = (id(spark), sf_dir)
-    if key not in _BUCKETED_CACHE:
+    cached = _BUCKETED_CACHE.setdefault(spark, {})
+    if sf_dir not in cached:
         src = Database(spark)
         cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
         nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -1240,8 +1276,8 @@ def q_bucketed_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         loc = tempfile.mkdtemp(prefix="tundra_bucketed_")
         atexit.register(shutil.rmtree, loc, ignore_errors=True)
         save_graph_bucketed(src, f"qbm{abs(id(spark)) % 100000}", loc, n_buckets=8)
-        _BUCKETED_CACHE[key] = loc
-    db = load_graph_bucketed(spark, _BUCKETED_CACHE[key])
+        cached[sf_dir] = loc
+    db = load_graph_bucketed(spark, cached[sf_dir])
     q = (
         Query.from_("c:customer")
         .where("c.c_acctbal", ">", 7500.0)
@@ -1291,28 +1327,77 @@ def q_ql_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# merged contract rows (round-4 verdict item 1): the driver checks the FIRST
+# 50 queries() entries only, so same-shaped operators share one slot via a
+# tag-union that keeps every original output column (nulls pad the rest) —
+# the order-insensitive value hash still pins each operator individually.
+# The single-operator functions remain exported for tests and users.
+# ---------------------------------------------------------------------------
+
+
+def q_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 LEFT + J5 RIGHT + J6 FULL in one tagged frame.  Each branch is the
+    original single-join engine query; `op` tags which join produced the
+    row, and the null patterns of (c_*, o_*) pin the outer semantics."""
+    nd = F.lit(None).cast("double")
+    ns = F.lit(None).cast("string")
+    left = q_left_join(spark, sf_dir).select(
+        F.lit("left").alias("op"), "c_custkey", ns.alias("c_name"),
+        "c_acctbal", "o_orderkey", "o_totalprice",
+    )
+    right = q_right_join(spark, sf_dir).select(
+        F.lit("right").alias("op"), "c_custkey", "c_name",
+        nd.alias("c_acctbal"), "o_orderkey", "o_totalprice",
+    )
+    full = q_full_join(spark, sf_dir).select(
+        F.lit("full").alias("op"), "c_custkey", ns.alias("c_name"),
+        "c_acctbal", "o_orderkey", "o_totalprice",
+    )
+    return left.unionByName(right).unionByName(full)
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J14 SEMI + ANTI hops in one tagged frame (both branches are the
+    original engine queries; anti's acctbal is null-padded)."""
+    semi = q_semi_join(spark, sf_dir).select(
+        F.lit("semi").alias("op"), "c_custkey", "c_name", "c_acctbal"
+    )
+    anti = q_anti_join(spark, sf_dir).select(
+        F.lit("anti").alias("op"), "c_custkey", "c_name",
+        F.lit(None).cast("double").alias("c_acctbal"),
+    )
+    return semi.unionByName(anti)
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 UNION + EXCEPT in one tagged frame."""
+    u = q_set_union(spark, sf_dir).select(
+        F.lit("union").alias("op"), "c_custkey"
+    )
+    e = q_set_except(spark, sf_dir).select(
+        F.lit("except").alias("op"), "c_custkey"
+    )
+    return u.unionByName(e)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scan_filter": q_scan_filter,
     "q_inner_join": q_inner_join,
     "q_two_hop": q_two_hop,
-    "q_left_join": q_left_join,
-    "q_right_join": q_right_join,
-    "q_full_join": q_full_join,
+    "q_outer_joins": q_outer_joins,  # left + right + full
     "q_edge_props": q_edge_props,
     "q_branching": q_branching,
     "q_agg_pricing": q_agg_pricing,
     "q_topk": q_topk,
     "q_map_access": q_map_access,
     "q_edge_count": q_edge_count,
-    "q_semi_join": q_semi_join,
-    "q_anti_join": q_anti_join,
+    "q_semi_anti": q_semi_anti,  # semi + anti
     "q_window_topk": q_window_topk,
-    "q_set_union": q_set_union,
-    "q_set_except": q_set_except,
+    "q_set_ops": q_set_ops,  # union + except
     "q_asof_join": q_asof_join,
     "q_range_join": q_range_join,
     "q_temporal_asof": q_temporal_asof,
-    "q_temporal_before": q_temporal_before,
     "q_shared_alias": q_shared_alias,
     "q_stream_window": q_stream_window,
     "q_dup_clusters": q_dup_clusters,
@@ -1321,19 +1406,34 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pagerank": q_pagerank,
     "q_dml": q_dml,
     "q_stream_dedup": q_stream_dedup,
-    "q_stream_join": q_stream_join,
     "q_stream_ingest": q_stream_ingest,
     "q_sessionize": q_sessionize,
     "q_sessionize_state": q_sessionize_state,
     "q_snapshot": q_snapshot,
     "q_versioned": q_versioned,
     "q_show": q_show,
-    "q_ql_match": q_ql_match,
     "q_ql_analytics": q_ql_analytics,
     "q_quantiles": q_quantiles,
-    "q_bucketed_match": q_bucketed_match,
     # training-data pipeline operators (dedup / similarity / text / multimodal)
     **PIPELINE_QUERIES,
+}
+
+#: queries parked out of the 50-slot driver window (module docstring has the
+#: rotation policy).  Still runnable, still oracle-bearing — checked every
+#: CI run by tests/test_parked_oracles.py instead of by the driver.
+PARKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_left_join": q_left_join,
+    "q_right_join": q_right_join,
+    "q_full_join": q_full_join,
+    "q_semi_join": q_semi_join,
+    "q_anti_join": q_anti_join,
+    "q_set_union": q_set_union,
+    "q_set_except": q_set_except,
+    "q_temporal_before": q_temporal_before,
+    "q_stream_join": q_stream_join,
+    "q_bucketed_match": q_bucketed_match,
+    "q_ql_match": q_ql_match,
+    **PARKED_PIPELINE_QUERIES,
 }
 
 def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
@@ -1385,6 +1485,64 @@ FROM reach GROUP BY a
 """
 
 
+_LEFT_JOIN_SQL = """
+        SELECT c.c_custkey AS c_custkey, c.c_acctbal AS c_acctbal,
+               o.o_orderkey AS o_orderkey, o.o_totalprice AS o_totalprice
+        FROM (SELECT * FROM customer WHERE c_acctbal > 9000.0) c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+"""
+
+_RIGHT_JOIN_SQL = """
+        SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+               o.o_orderkey AS o_orderkey, o.o_totalprice AS o_totalprice
+        FROM (SELECT * FROM customer WHERE c_acctbal > 9900.0) c
+        RIGHT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+          ON o.o_custkey = c.c_custkey
+"""
+
+_FULL_JOIN_SQL = """
+        SELECT c.c_custkey AS c_custkey, c.c_acctbal AS c_acctbal,
+               o.o_orderkey AS o_orderkey, o.o_totalprice AS o_totalprice
+        FROM (SELECT * FROM customer WHERE c_acctbal > 9900.0) c
+        FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
+          ON o.o_custkey = c.c_custkey
+"""
+
+_SEMI_JOIN_SQL = """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE c_mktsegment = 'MACHINERY'
+          AND EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000.0)
+"""
+
+_ANTI_JOIN_SQL = """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE c_acctbal > 9000.0
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 450000.0)
+"""
+
+_SET_UNION_SQL = """
+        SELECT c_custkey FROM customer
+        WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 9000.0
+        UNION
+        SELECT c_custkey FROM customer
+        WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 9000.0
+"""
+
+_SET_EXCEPT_SQL = """
+        SELECT c_custkey FROM customer WHERE c_acctbal > 9500.0
+        EXCEPT
+        SELECT c_custkey FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000.0)
+"""
+
 ORACLES: dict[str, str] = {
     "q_scan_filter": """
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment
@@ -1404,25 +1562,20 @@ ORACLES: dict[str, str] = {
         JOIN region r ON n.n_regionkey = r.r_regionkey
         WHERE r.r_name = 'ASIA' AND c.c_acctbal < 0.0
     """,
-    "q_left_join": """
-        SELECT c.c_custkey AS c_custkey, c.c_acctbal AS c_acctbal,
-               o.o_orderkey AS o_orderkey, o.o_totalprice AS o_totalprice
-        FROM (SELECT * FROM customer WHERE c_acctbal > 9000.0) c
-        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-    """,
-    "q_right_join": """
-        SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
-               o.o_orderkey AS o_orderkey, o.o_totalprice AS o_totalprice
-        FROM (SELECT * FROM customer WHERE c_acctbal > 9900.0) c
-        RIGHT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
-          ON o.o_custkey = c.c_custkey
-    """,
-    "q_full_join": """
-        SELECT c.c_custkey AS c_custkey, c.c_acctbal AS c_acctbal,
-               o.o_orderkey AS o_orderkey, o.o_totalprice AS o_totalprice
-        FROM (SELECT * FROM customer WHERE c_acctbal > 9900.0) c
-        FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 400000.0) o
-          ON o.o_custkey = c.c_custkey
+    # merged J3+J5+J6 row: each branch is the original oracle, tagged and
+    # column-aligned (null pads typed to match the Spark side)
+    "q_outer_joins": f"""
+        SELECT 'left' AS op, c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+               c_acctbal, o_orderkey, o_totalprice
+        FROM ({_LEFT_JOIN_SQL})
+        UNION ALL
+        SELECT 'right', c_custkey, c_name, CAST(NULL AS DOUBLE),
+               o_orderkey, o_totalprice
+        FROM ({_RIGHT_JOIN_SQL})
+        UNION ALL
+        SELECT 'full', c_custkey, CAST(NULL AS VARCHAR), c_acctbal,
+               o_orderkey, o_totalprice
+        FROM ({_FULL_JOIN_SQL})
     """,
     "q_edge_props": """
         SELECT l.l_orderkey AS o_orderkey, p.p_partkey AS p_partkey,
@@ -1470,21 +1623,12 @@ ORACLES: dict[str, str] = {
                COUNT(DISTINCT l_orderkey) AS n_sources
         FROM lineitem
     """,
-    "q_semi_join": """
-        SELECT c_custkey, c_name, c_acctbal
-        FROM customer c
-        WHERE c_mktsegment = 'MACHINERY'
-          AND EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey
-                        AND o.o_totalprice > 400000.0)
-    """,
-    "q_anti_join": """
-        SELECT c_custkey, c_name
-        FROM customer c
-        WHERE c_acctbal > 9000.0
-          AND NOT EXISTS (SELECT 1 FROM orders o
-                          WHERE o.o_custkey = c.c_custkey
-                            AND o.o_totalprice > 450000.0)
+    "q_semi_anti": f"""
+        SELECT 'semi' AS op, c_custkey, c_name, c_acctbal
+        FROM ({_SEMI_JOIN_SQL})
+        UNION ALL
+        SELECT 'anti', c_custkey, c_name, CAST(NULL AS DOUBLE)
+        FROM ({_ANTI_JOIN_SQL})
     """,
     "q_window_topk": """
         SELECT * FROM (
@@ -1495,20 +1639,10 @@ ORACLES: dict[str, str] = {
             FROM orders WHERE o_totalprice > 100000.0
         ) WHERE rn <= 3
     """,
-    "q_set_union": """
-        SELECT c_custkey FROM customer
-        WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 9000.0
-        UNION
-        SELECT c_custkey FROM customer
-        WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 9000.0
-    """,
-    "q_set_except": """
-        SELECT c_custkey FROM customer WHERE c_acctbal > 9500.0
-        EXCEPT
-        SELECT c_custkey FROM customer c
-        WHERE EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey
-                        AND o.o_totalprice > 300000.0)
+    "q_set_ops": f"""
+        SELECT 'union' AS op, c_custkey FROM ({_SET_UNION_SQL})
+        UNION ALL
+        SELECT 'except', c_custkey FROM ({_SET_EXCEPT_SQL})
     """,
     "q_asof_join": """
         WITH ev AS (
@@ -1557,23 +1691,6 @@ ORACLES: dict[str, str] = {
         SELECT o_orderkey, o_orderstatus, o_totalprice AS price_asof
         FROM v
         WHERE valid_from <= {REPRICE_VT + 500} AND {REPRICE_VT + 500} < valid_to
-          AND o_orderpriority = '1-URGENT'
-    """,
-    "q_temporal_before": f"""
-        WITH v AS (
-            SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
-                   0 AS valid_from,
-                   CASE WHEN o_orderstatus = 'F' THEN {REPRICE_VT}
-                        ELSE 9223372036854775807 END AS valid_to
-            FROM orders
-            UNION ALL
-            SELECT o_orderkey, o_orderstatus, o_totalprice * 2,
-                   o_orderpriority, {REPRICE_VT}, 9223372036854775807
-            FROM orders WHERE o_orderstatus = 'F'
-        )
-        SELECT o_orderkey, o_orderstatus, o_totalprice AS price_asof
-        FROM v
-        WHERE valid_from <= {REPRICE_VT - 500} AND {REPRICE_VT - 500} < valid_to
           AND o_orderpriority = '1-URGENT'
     """,
     "q_shared_alias": """
@@ -1657,17 +1774,6 @@ ORACLES: dict[str, str] = {
                    AS n_tags,
                COALESCE(o.n_orders, 0) AS n_orders
         FROM base b LEFT JOIN ords o ON b.acct_id = o.acct_id
-    """,
-    # stream-stream band join run to completion == the batch band join
-    # (band is [err_ts, err_ts + 1h] INCLUSIVE — the operator's bound)
-    "q_stream_join": """
-        SELECT a.event_id AS err_id, b.event_id AS event_id,
-               a.user_id AS user_id
-        FROM events a JOIN events b
-          ON a.user_id = b.user_id
-         AND a.event_type = 'error'
-         AND b.ts >= a.ts
-         AND b.ts <= a.ts + INTERVAL 1 HOUR
     """,
     # streaming dedup run to completion == batch DISTINCT over the dedup keys
     "q_stream_dedup": """
@@ -1794,17 +1900,6 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT 'SUPP_IN_NATION', count(*) FROM supplier
     """,
-    "q_ql_match": """
-        SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name
-        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-        WHERE c.c_acctbal > 9500.0
-    """,
-    # bucketed layout must be result-identical to the parquet layout
-    "q_bucketed_match": """
-        SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name
-        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-        WHERE c.c_acctbal > 7500.0
-    """,
     # exact percentile_cont interpolation — quantile_cont uses the same
     # p*(n-1) linear rule, so round(…,6) values hash-match
     "q_quantiles": """
@@ -1830,6 +1925,56 @@ ORACLES: dict[str, str] = {
     **PIPELINE_ORACLES,
 }
 
+PARKED_ORACLES: dict[str, str] = {
+    "q_left_join": _LEFT_JOIN_SQL,
+    "q_right_join": _RIGHT_JOIN_SQL,
+    "q_full_join": _FULL_JOIN_SQL,
+    "q_semi_join": _SEMI_JOIN_SQL,
+    "q_anti_join": _ANTI_JOIN_SQL,
+    "q_set_union": _SET_UNION_SQL,
+    "q_set_except": _SET_EXCEPT_SQL,
+    "q_temporal_before": f"""
+        WITH v AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority,
+                   0 AS valid_from,
+                   CASE WHEN o_orderstatus = 'F' THEN {REPRICE_VT}
+                        ELSE 9223372036854775807 END AS valid_to
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_totalprice * 2,
+                   o_orderpriority, {REPRICE_VT}, 9223372036854775807
+            FROM orders WHERE o_orderstatus = 'F'
+        )
+        SELECT o_orderkey, o_orderstatus, o_totalprice AS price_asof
+        FROM v
+        WHERE valid_from <= {REPRICE_VT - 500} AND {REPRICE_VT - 500} < valid_to
+          AND o_orderpriority = '1-URGENT'
+    """,
+    # stream-stream band join run to completion == the batch band join
+    # (band is [err_ts, err_ts + 1h] INCLUSIVE — the operator's bound)
+    "q_stream_join": """
+        SELECT a.event_id AS err_id, b.event_id AS event_id,
+               a.user_id AS user_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'error'
+         AND b.ts >= a.ts
+         AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+    "q_ql_match": """
+        SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > 9500.0
+    """,
+    # bucketed layout must be result-identical to the parquet layout
+    "q_bucketed_match": """
+        SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > 7500.0
+    """,
+    **PARKED_PIPELINE_ORACLES,
+}
+
 
 # ---------------------------------------------------------------------------
 # driver contract
@@ -1847,3 +1992,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLES)
+
+
+def parked_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Operators parked out of the driver's 50-slot window (see module
+    docstring) — still oracle-checked by tests/test_parked_oracles.py."""
+    return dict(PARKED_QUERIES)
+
+
+def parked_oracle_sql() -> dict[str, str]:
+    return dict(PARKED_ORACLES)

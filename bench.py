@@ -1,19 +1,27 @@
 #!/usr/bin/env python3
 """Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print the summary as
+ONE FINAL JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
+The driver records only a bounded tail of stdout, so the FINAL line must
+stay small (round-4 verdict item 2: the r4 line grew past the driver's
+2000-char tail and the round's bench signal was lost as `parsed: null`).
+Per-query spread (worst-best) is printed on its OWN earlier line, and the
+final line is asserted < 1900 chars so growth fails loudly, not silently.
+
 Each query is materialized with the noop sink (full computation + row
-materialization, no driver-side collect overhead). Best of 2 runs per query
-(first run pays codegen/JIT; a cluster amortizes that over far more data).
+materialization, no driver-side collect overhead).  Non-heavy queries get
+one UNTIMED warmup run first (round-4 verdict item 4): session-scoped
+one-time work — ANN index/bucketed-table builds, codegen/JIT — lands in
+the warmup, so `spread` measures steady-state jitter, not build
+amortization.  Then best-of-RUNS timed runs.
 
 Noise isolation (round-3 verdict item 5): the heavyweight state/IO queries
 (streaming, snapshot, versioned, DML) run in a SEPARATE subprocess — their
 own JVM — so their heap/codegen pressure cannot inflate the cheap graph
-queries sharing a session; round 3 lost a diagnosis cycle to exactly that
-(unchanged asof/range code timing 3-5x slower inside the mixed session).
-The JSON also carries per-query ``spread`` (worst-best across runs) so a
-real regression is distinguishable from run-to-run jitter.
+queries sharing a session.  Heavy queries mutate real state per run, so
+they skip the warmup (2 timed runs only, like before).
 """
 
 from __future__ import annotations
@@ -28,6 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("BENCH_RUNS", "2"))
+MAX_LINE = 1900  # driver stdout-tail budget (2000) minus headroom
 
 #: state/IO-bound queries: real parquet commits/restores, streaming
 #: checkpoints, per-mutation compaction — isolated in their own JVM
@@ -39,7 +48,6 @@ HEAVY = frozenset(
         "q_stream_window",
         "q_stream_dedup",
         "q_stream_ingest",
-        "q_stream_join",
         "q_sessionize_state",
     }
 )
@@ -49,7 +57,7 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_group(names: list[str] | None) -> tuple[dict, dict]:
+def run_group(names: list[str] | None, warmup: bool) -> tuple[dict, dict]:
     """Time the given queries (None = all) in THIS process's session.
     Returns (best, spread) per query."""
     import __spark_entry__ as entry_mod
@@ -60,23 +68,19 @@ def run_group(names: list[str] | None) -> tuple[dict, dict]:
     qs = entry_mod.queries()
     picked = {n: qs[n] for n in (names if names is not None else qs)}
 
-    # warm the JVM/codegen paths once with a cheap query from the group
-    warm = "q_topk" if "q_topk" in picked else next(iter(picked))
-    try:
-        materialize(picked[warm](spark, SF_DIR))
-    except Exception:
-        pass
-
     best: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name, fn in picked.items():
+        if warmup:
+            # untimed: absorbs one-time index/table builds + codegen
+            materialize(fn(spark, SF_DIR))
         times = []
         for _ in range(max(1, RUNS)):
             t0 = time.perf_counter()
             materialize(fn(spark, SF_DIR))
             times.append(time.perf_counter() - t0)
-        best[name] = round(min(times), 4)
-        spread[name] = round(max(times) - min(times), 4)
+        best[name] = round(min(times), 3)
+        spread[name] = round(max(times) - min(times), 3)
     return best, spread
 
 
@@ -84,7 +88,7 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--group":
         # subprocess mode: time the named queries, print one JSON line
         names = sys.argv[2].split(",")
-        best, spread = run_group(names)
+        best, spread = run_group(names, warmup=False)
         print(json.dumps({"queries": best, "spread": spread}))
         return
 
@@ -94,7 +98,7 @@ def main() -> None:
     cheap = [n for n in all_names if n not in HEAVY]
     heavy = [n for n in all_names if n in HEAVY]
 
-    timings, spread = run_group(cheap)
+    timings, spread = run_group(cheap, warmup=True)
 
     if heavy:
         # fresh JVM for the state/IO group — see module docstring
@@ -113,15 +117,22 @@ def main() -> None:
 
     ordered = {n: timings[n] for n in all_names}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # diagnostics FIRST, on their own line — only the LAST line must fit
+    # the driver's tail
+    print(json.dumps({"spread": {n: spread[n] for n in all_names}}))
     out = {
         "metric": "headline_queries_total_runtime",
-        "value": round(sum(ordered.values()), 4),
+        "value": round(sum(ordered.values()), 3),
         "unit": "sec",
         "queries": ordered,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "spread": {n: spread[n] for n in all_names},
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    assert len(line) < MAX_LINE, (
+        f"final bench line is {len(line)} chars (budget {MAX_LINE}) — trim "
+        f"the registry or the encoding before the driver truncates it"
+    )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -4,7 +4,14 @@ and print the time ratio — the near-linear-or-better evidence the plan
 audits claim.  A ratio well above ~10 on 10x data flags a super-linear
 operator (the round-3 SimHash banding bug was caught exactly this way).
 
-Usage: python scripts/scale_probe.py [query ...]   (default: round-4 set)
+Round-5 additions (verdict item 5): the storage-path probes.
+``--indexed`` rows time the SAME ANN query twice — compute path
+(TUNDRA_ANN_USE_INDEX unset) vs on-disk partition-pruned index
+(TUNDRA_ANN_USE_INDEX=1, index build excluded via warmup) — so the table
+shows both the data-scaling ratio AND that the indexed probe beats its
+compute twin at sf0.1.
+
+Usage: python scripts/scale_probe.py [query ...]   (default: round-5 set)
 """
 
 from __future__ import annotations
@@ -26,11 +33,16 @@ DEFAULT = [
     "q_ann_pq",
     "q_bfs_levels",
     "q_dedup_apply",
+    "q_pipeline_e2e",
 ]
+#: ANN queries with a persisted-index twin (TUNDRA_ANN_USE_INDEX=1)
+INDEXED = ["q_ann_ivf", "q_ann_lsh"]
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 
-def best(fn, spark, sf, runs=2) -> float:
+def best(fn, spark, sf, runs=2, warmup=False) -> float:
+    if warmup:  # absorbs one-time index builds (bench.py's convention)
+        fn(spark, sf).write.format("noop").mode("overwrite").save()
     ts = []
     for _ in range(runs):
         t0 = time.perf_counter()
@@ -43,12 +55,29 @@ def main() -> None:
     names = sys.argv[1:] or DEFAULT
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entry_mod.queries()
-    print(f"{'query':<20} {'sf0.01':>8} {'sf0.1':>8} {'ratio(10x data)':>16}")
+    qs = {**entry_mod.queries(), **entry_mod.parked_queries()}
+    print(f"{'query':<26} {'sf0.01':>8} {'sf0.1':>8} {'ratio(10x data)':>16}")
     for n in names:
         lo = best(qs[n], spark, SFS[0])
         hi = best(qs[n], spark, SFS[1])
-        print(f"{n:<20} {lo:>8.3f} {hi:>8.3f} {hi / lo:>15.1f}x")
+        print(f"{n:<26} {lo:>8.3f} {hi:>8.3f} {hi / lo:>15.1f}x")
+    if set(sys.argv[1:]) and not set(INDEXED) & set(sys.argv[1:]):
+        return
+    for n in INDEXED:
+        os.environ.pop("TUNDRA_ANN_USE_INDEX", None)
+        lo_c = best(qs[n], spark, SFS[0])
+        hi_c = best(qs[n], spark, SFS[1])
+        os.environ["TUNDRA_ANN_USE_INDEX"] = "1"
+        try:
+            lo_i = best(qs[n], spark, SFS[0], warmup=True)
+            hi_i = best(qs[n], spark, SFS[1], warmup=True)
+        finally:
+            os.environ.pop("TUNDRA_ANN_USE_INDEX", None)
+        print(f"{n + ' [compute]':<26} {lo_c:>8.3f} {hi_c:>8.3f} {hi_c / lo_c:>15.1f}x")
+        print(
+            f"{n + ' [indexed]':<26} {lo_i:>8.3f} {hi_i:>8.3f} {hi_i / lo_i:>15.1f}x"
+            f"   vs compute at sf0.1: {hi_i / hi_c:.2f}x"
+        )
 
 
 if __name__ == "__main__":

@@ -84,3 +84,20 @@ def test_bucketed_match_no_fact_shuffle(graphs, spark):
         assert "SortMergeJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_table_ident_rejects_unsafe_names():
+    """ADVICE r4: idents are interpolated into raw SQL — leading digits
+    and non-ASCII alphanumerics must be rejected, not passed through."""
+    import pytest
+
+    from tundradb_spark.errors import QueryError
+    from tundradb_spark.sources.bucketed import _table_ident
+
+    assert _table_ident("g", "node", "customer") == "g__node__customer"
+    with pytest.raises(QueryError):
+        _table_ident("1g", "node", "customer")  # leading digit
+    with pytest.raises(QueryError):
+        _table_ident("g", "node", "ｃｕｓｔ")  # non-ASCII alnum
+    with pytest.raises(QueryError):
+        _table_ident("g", "node", "cust; DROP TABLE x")

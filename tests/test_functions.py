@@ -62,3 +62,20 @@ def test_coerce_literal(text, typ, expected):
 def test_coerce_literal_bad_bool():
     with pytest.raises(ValueError):
         sf.coerce_literal("maybe", "bool")
+
+
+def test_lsh_bands_validation():
+    """ADVICE r4: band_bits > n_planes silently produced an empty index;
+    non-divisible n_planes silently ignored trailing planes."""
+    import pytest
+
+    from tundradb_spark.pipeline.hashing import lsh_bands
+
+    assert lsh_bands(16, 8) == 2
+    assert lsh_bands(60, 15) == 4
+    with pytest.raises(ValueError):
+        lsh_bands(16, 24)  # bands would be 0
+    with pytest.raises(ValueError):
+        lsh_bands(16, 5)  # trailing planes dropped
+    with pytest.raises(ValueError):
+        lsh_bands(0, 8)

@@ -496,3 +496,33 @@ class TestRecipe:
         assert sorted(
             r.n_chunk_tokens for r in chunks if r.doc_id == 0
         ) == [1, 4, 4]
+
+
+def test_decode_image_real_path_with_pil(spark, tmp_path):
+    """Where PIL exists, codec='real' must run true decodes through the
+    SAME mapInPandas plumbing as the fake kernel (round-4 verdict item 6).
+    Skips cleanly in containers without pillow."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from tundradb_spark.pipeline.multimodal import decode_image
+
+    def png_bytes(w, h, color):
+        buf = io.BytesIO()
+        PIL_Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    payloads = [
+        (1, png_bytes(12, 7, (255, 0, 0))),
+        (2, png_bytes(3, 21, (0, 255, 0))),
+        (3, png_bytes(64, 64, (0, 0, 255))),
+    ]
+    blobs = spark.createDataFrame(payloads, "doc_id long, blob binary")
+    got = {
+        r.doc_id: (r.width, r.height, r.mode, r.n_bytes)
+        for r in decode_image(blobs, codec="real").collect()
+    }
+    assert got[1][:3] == (12, 7, "RGB")
+    assert got[2][:3] == (3, 21, "RGB")
+    assert got[3][:3] == (64, 64, "RGB")
+    assert all(got[i][3] == len(p) for i, p in payloads)

@@ -16,7 +16,7 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def qdfs(spark):
-    qs = entry.queries()
+    qs = {**entry.queries(), **entry.parked_queries()}
     return {name: qs[name](spark, SF) for name in (
         "q_scan_filter", "q_inner_join", "q_two_hop", "q_edge_props",
         "q_agg_pricing", "q_semi_join", "q_asof_join", "q_range_join",
@@ -219,7 +219,7 @@ def test_text_ops_narrow_and_pushed(spark):
     # repetition + PII scans must stay single-projection narrow plans:
     # repetition's only exchange is the top-k (TakeOrderedAndProject — none),
     # PII's single exchange is the segment aggregate
-    rep = entry.queries()["q_text_repetition"](spark, SF)
+    rep = entry.parked_queries()["q_text_repetition"](spark, SF)
     assert "TakeOrderedAndProject" in audit.simple_plan(rep)
     assert audit.count_exchanges(rep) == 0, audit.formatted_plan(rep)
     pii = entry.queries()["q_pii_scan"](spark, SF)

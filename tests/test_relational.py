@@ -310,3 +310,29 @@ class TestGroupQuantiles:
         assert rows["a"].p50 == 25.0
         assert rows["a"].p90 == pytest.approx(37.0)
         assert rows["b"].p50 == 2.0
+
+
+def test_quantile_labels_decimal_safe():
+    """ADVICE r4: int(p*100) truncation mislabeled 0.29 as p28 and
+    collapsed 0.99/0.995 into duplicate p99 columns."""
+    import pytest
+
+    from tundradb_spark.operators.relational import _quantile_label
+
+    assert _quantile_label(0.25) == "p25"
+    assert _quantile_label(0.9) == "p90"
+    assert _quantile_label(0.29) == "p29"
+    assert _quantile_label(0.995) == "p99_5"
+    assert _quantile_label(0.99) == "p99"
+    with pytest.raises(ValueError):
+        _quantile_label(1.5)
+
+
+def test_quantile_duplicate_labels_raise(spark):
+    import pytest
+
+    from tundradb_spark.operators.relational import group_quantiles
+
+    df = spark.range(10).selectExpr("'a' AS g", "CAST(id AS DOUBLE) AS v")
+    with pytest.raises(ValueError, match="duplicate"):
+        group_quantiles(df, ["g"], "v", [0.99, 0.99])

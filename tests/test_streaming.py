@@ -384,3 +384,35 @@ class TestStreamIndexVectors:
             allvecs, query, 5, n_cells=8, n_probe=8)
         assert [tuple(r) for r in got.collect()] == [
             tuple(r) for r in want.collect()]
+
+    def test_epoch_replay_is_idempotent(self, spark, tmp_path):
+        """foreachBatch is at-least-once: replaying the same micro-batch
+        (same epoch ids, same data — here simulated by re-running the
+        stream with a FRESH checkpoint against the same index path) must
+        not duplicate vectors.  mode('append') would double every row;
+        the dynamic (cell, epoch) overwrite rewrites the same partitions."""
+        import os
+
+        from tundradb_spark.streaming import stream_index_vectors
+
+        src = str(tmp_path / "rsrc")
+        idx = str(tmp_path / "ridx")
+        os.makedirs(src)
+        schema = "vec_id long, embedding array<double>"
+        rows = [(i, [float((i * 5 + j) % 7 - 3) for j in range(8)])
+                for i in range(30)]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+
+        for attempt in ("ck1", "ck2"):  # second run replays epoch 0
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = stream_index_vectors(
+                stream, idx, str(tmp_path / attempt), n_cells=8, dim=8)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        indexed = spark.read.parquet(idx)
+        assert indexed.count() == 30
+        assert indexed.select("vec_id").distinct().count() == 30

@@ -354,6 +354,9 @@ def group_quantiles(
     """
     arr = ", ".join(repr(p) for p in probs)
     qcol = F.expr(f"percentile(`{value_col}`, array({arr}))")
+    labels = [_quantile_label(p) for p in probs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate quantile column labels: {labels}")
     return (
         df.groupBy([_bt(c) for c in group_cols])
         .agg(
@@ -364,10 +367,23 @@ def group_quantiles(
             *[_bt(c) for c in group_cols],
             "n_rows",
             *[
-                F.round(F.element_at("__qs", i + 1), round_to).alias(
-                    f"p{int(p * 100)}"
-                )
-                for i, p in enumerate(probs)
+                F.round(F.element_at("__qs", i + 1), round_to).alias(label)
+                for i, label in enumerate(labels)
             ],
         )
     )
+
+
+def _quantile_label(p: float) -> str:
+    """Column label for probability ``p``: ``p25`` for 0.25, ``p90`` for
+    0.9, ``p99_5`` for 0.995.  ``int(p*100)`` truncation would mislabel
+    0.29 as p28 and collapse 0.99/0.995 into one name; here the percentage
+    keeps its decimals (``_``-separated, identifier-safe) when it has any.
+    """
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"quantile probability out of [0, 1]: {p}")
+    pct = p * 100.0
+    if abs(pct - round(pct)) < 1e-9:
+        return f"p{int(round(pct))}"
+    # shortest round-tripping decimal text, e.g. 0.995 -> '99.5' -> p99_5
+    return "p" + repr(pct).replace(".", "_").rstrip("_0").replace("-", "m")

@@ -36,6 +36,7 @@ from tundradb_spark.pipeline.hashing import (
     h32,
     hbits,
     hyperplanes,
+    lsh_bands,
     minhash_params,
 )
 
@@ -544,7 +545,7 @@ def embedding_dup_pairs(
             for p, plane in enumerate(planes)
         )
         base = base.withColumn("sig", F.expr(sig))
-        bands = n_planes // band_bits
+        bands = lsh_bands(n_planes, band_bits)
         mask = (1 << band_bits) - 1
         banded = base.select(
             id_col,

@@ -71,6 +71,26 @@ def hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
     ]
 
 
+def lsh_bands(n_planes: int, band_bits: int) -> int:
+    """Validated band count for banded sign-LSH: ``n_planes / band_bits``.
+
+    Raises instead of silently degrading: ``band_bits > n_planes`` would
+    yield zero bands (an empty index and an unfilterable probe), and a
+    non-divisible ``n_planes`` would silently ignore the trailing planes.
+    """
+    if band_bits <= 0 or n_planes <= 0:
+        raise ValueError(
+            f"n_planes and band_bits must be positive, got "
+            f"n_planes={n_planes}, band_bits={band_bits}"
+        )
+    if n_planes % band_bits != 0:
+        raise ValueError(
+            f"n_planes ({n_planes}) must be divisible by band_bits "
+            f"({band_bits}) — trailing planes would be silently ignored"
+        )
+    return n_planes // band_bits
+
+
 def arr_sql(vals: list[float]) -> str:
     """SQL double-array literal.  ``repr(float)`` is the shortest
     round-tripping decimal, and Spark's ``…D`` literal parses with

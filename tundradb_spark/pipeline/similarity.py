@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from tundradb_spark.pipeline.hashing import arr_sql, dot_sql, hyperplanes
+from tundradb_spark.pipeline.hashing import arr_sql, dot_sql, hyperplanes, lsh_bands
 
 
 def _vec_sql(vec_col: str) -> str:
@@ -120,7 +120,7 @@ def lsh_ann_topk(
         proj = sum(a * b for a, b in zip(query, plane))
         if proj > 0:
             qsig |= 1 << p
-    bands = n_planes // band_bits
+    bands = lsh_bands(n_planes, band_bits)
     mask = (1 << band_bits) - 1
     sigs = lsh_signature(emb, n_planes, vec_col, id_col, seed, dim=dim)
     cand_pred = None
@@ -352,7 +352,7 @@ def index_corpus_lsh(
     strain object-store listings — prefer more planes over wider bands when
     scaling selectivity.
     """
-    bands = n_planes // band_bits
+    bands = lsh_bands(n_planes, band_bits)
     mask = (1 << band_bits) - 1
     sigs = lsh_signature(emb, n_planes, vec_col, id_col, seed)
     exploded = sigs.select(
@@ -402,7 +402,7 @@ def lsh_ann_topk_indexed(
     for p, plane in enumerate(planes):
         if sum(a * b for a, b in zip(query, plane)) > 0:
             qsig |= 1 << p
-    bands = n_planes // band_bits
+    bands = lsh_bands(n_planes, band_bits)
     mask = (1 << band_bits) - 1
     pred = None
     for i in range(bands):

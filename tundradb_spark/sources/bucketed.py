@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import TYPE_CHECKING
 
 from pyspark.sql import SparkSession
@@ -37,7 +38,10 @@ _GRAPH_META = "_graph.json"
 
 def _table_ident(prefix: str, kind: str, name: str) -> str:
     ident = f"{prefix}__{kind}__{name}"
-    if not ident.replace("_", "").isalnum():
+    # strict ASCII identifier: the ident is interpolated into raw SQL
+    # (DROP TABLE IF EXISTS ...) and saveAsTable — leading digits and
+    # non-ASCII alphanumerics (which isalnum() accepts) are rejected
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", ident):
         raise QueryError(f"bucketed table name not identifier-safe: {ident!r}")
     return ident
 

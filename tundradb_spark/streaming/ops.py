@@ -317,7 +317,16 @@ def stream_index_vectors(
     re-clustered.  ``dim`` is required here (a streaming frame cannot be
     probed for it).
 
-    At scale add periodic per-cell compaction (many small appended files →
+    Exactly-once index contents under micro-batch retries: each row is
+    stamped with its epoch and written with DYNAMIC partition overwrite on
+    ``(cell, epoch)`` — a replayed epoch (foreachBatch is at-least-once)
+    recomputes the same rows from the checkpointed offsets and overwrites
+    its own ``epoch=E`` partitions instead of appending duplicates, so a
+    partial write never double-counts a vector.  Probes filter on ``cell``
+    only, so the extra ``epoch`` partition level changes neither results
+    nor cell-level file pruning.
+
+    At scale add periodic per-cell compaction (many small per-epoch files →
     rewrite a cell dir when its file count passes a threshold) — the same
     maintenance any LSM-ish index needs; omitted here for brevity.
     """
@@ -325,13 +334,19 @@ def stream_index_vectors(
         raise ValueError("stream_index_vectors requires dim= (no probing a stream)")
     from tundradb_spark.pipeline.similarity import ivf_assign
 
-    def _sink(batch: DataFrame, _epoch: int) -> None:
+    def _sink(batch: DataFrame, epoch: int) -> None:
         if batch.isEmpty():
             return
         assigned = ivf_assign(
             batch, n_cells, vec_col, id_col, seed, dim=dim
         )
-        assigned.write.mode("append").partitionBy("cell").parquet(path)
+        (
+            assigned.withColumn("epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell", "epoch")
+            .parquet(path)
+        )
 
     return (
         stream.writeStream.foreachBatch(_sink)
