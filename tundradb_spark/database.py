@@ -63,10 +63,22 @@ class Database:
         versioning: bool = False,
         clock: Callable[[], int] | None = None,
         auto_compact: bool = True,
+        version_storage: str = "full",
     ) -> None:
+        if version_storage not in ("full", "delta"):
+            raise QueryError(
+                f"version_storage must be 'full' or 'delta', got "
+                f"{version_storage!r}"
+            )
         self.spark = spark
         self.path = path
         self.versioning = versioning
+        #: snapshot layout for version chains: 'full' appends whole rows per
+        #: version (read-optimal — columnar encoding dedupes repeats);
+        #: 'delta' stores only changed fields per version plus a field mask
+        #: (temporal.deltify_versions — the reference node_arena layout,
+        #: write-optimal for wide schemas with hot single-column updates)
+        self.version_storage = version_storage
         self.clock = clock or now_ms
         self.catalog = Catalog()
         self._nodes: dict[str, _Table] = {}

@@ -67,6 +67,12 @@ def commit_snapshot(db: "Database") -> str:
             node_paths[name] = carry
             continue
         df = db.get_table_versions(name) if db.versioning else db.get_table(name)
+        if db.versioning and getattr(db, "version_storage", "full") == "delta":
+            # sparse COW layout: store only the fields each version changed
+            # (+ field mask) — temporal.deltify_versions; restore inverts it
+            from tundradb_spark.temporal import deltify_versions
+
+            df = deltify_versions(df)
         rel = f"snapshots/{snap_id}/nodes/{name}"
         writes.append((df, rel))
         node_paths[name] = rel
@@ -106,6 +112,7 @@ def commit_snapshot(db: "Database") -> str:
         "snapshot_id": snap_id,
         "created_ms": int(time.time() * 1000),
         "versioning": db.versioning,
+        "version_storage": getattr(db, "version_storage", "full"),
         "catalog": db.catalog.to_manifest(),
         "nodes": node_paths,
         "edges": edge_paths,
@@ -221,11 +228,19 @@ def try_restore(db: "Database") -> bool:
 
     db.catalog = Catalog.from_manifest(manifest["catalog"])
     db.versioning = manifest.get("versioning", False)
+    # the manifest records how the SNAPSHOT was laid out (needed to read
+    # it back); db.version_storage keeps the caller's choice for future
+    # commits — the two may differ, e.g. migrating full -> delta
+    snap_storage = manifest.get("version_storage", "full")
     db._nodes = {}
     db._edges = {}
     for name, rel in manifest["nodes"].items():
         schema = db.catalog.get_node_schema(name)
         df = db.spark.read.parquet(_resolve(rel))
+        if db.versioning and snap_storage == "delta":
+            from tundradb_spark.temporal import undeltify_versions
+
+            df = undeltify_versions(df)
         db._nodes[name] = _Table(
             struct=schema.struct, frame=df, versioned=db.versioning, dirty=False
         )
