@@ -49,6 +49,9 @@ def norm(v):
 def main() -> int:
     only = set(sys.argv[1:])
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    if only:  # explicitly-named parked queries are checkable too
+        qs = {**qs, **entry_mod.parked_queries()}
+        os_ = {**os_, **entry_mod.parked_oracle_sql()}
     # A deliberately PLAIN session, like the driver's: no repo confs (no
     # nanosAsLong, no UTC timezone) — every query must set what it needs at
     # runtime via ensure_runtime_confs. Round-1's check used get_spark() and

@@ -526,3 +526,63 @@ def test_decode_image_real_path_with_pil(spark, tmp_path):
     assert got[2][:3] == (3, 21, "RGB")
     assert got[3][:3] == (64, 64, "RGB")
     assert all(got[i][3] == len(p) for i, p in payloads)
+
+
+class TestDecontaminate:
+    """Cross-corpus decontamination (pipeline.decontaminate)."""
+
+    def _frames(self, spark):
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "completely unrelated text about distributed query engines"),
+                (3, "short doc"),  # < n tokens -> 0 grams, never flagged
+                (4, "the quick brown fox jumps over something else entirely"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        return corpus, bench
+
+    def test_scores_and_gate(self, spark):
+        from tundradb_spark.pipeline.decontaminate import (
+            contamination_scores,
+            decontaminate,
+        )
+
+        corpus, bench = self._frames(spark)
+        scores = {
+            r.doc_id: r
+            for r in contamination_scores(corpus, bench, n=5).collect()
+        }
+        assert set(scores) == {1, 2, 3, 4}
+        assert scores[1].contamination > 0.5  # near-verbatim overlap
+        assert scores[2].n_hits == 0 and scores[2].contamination == 0.0
+        assert scores[3].n_grams == 0 and scores[3].contamination == 0.0
+        assert 0.0 < scores[4].contamination < scores[1].contamination
+        # doc 4 shares 2 of its 6 distinct 5-grams (0.333): kept at 0.4,
+        # dropped at 0.3; doc 1 (near-verbatim) dropped at both
+        clean = decontaminate(corpus, bench, n=5, max_contamination=0.4)
+        assert sorted(r.doc_id for r in clean.collect()) == [2, 3, 4]
+        strict = decontaminate(corpus, bench, n=5, max_contamination=0.3)
+        assert sorted(r.doc_id for r in strict.collect()) == [2, 3]
+
+    def test_shuffle_path_matches_broadcast(self, spark):
+        from tundradb_spark.pipeline.decontaminate import contamination_scores
+
+        corpus, bench = self._frames(spark)
+        a = sorted(
+            map(tuple, contamination_scores(corpus, bench, n=5).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                contamination_scores(
+                    corpus, bench, n=5, broadcast=False
+                ).collect(),
+            )
+        )
+        assert a == b

@@ -454,6 +454,27 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_N, DECON_BENCH_MOD = 5, 17
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus decontamination (pipeline.decontaminate): every 17th
+    document plays the held-out benchmark, the rest are the training
+    corpus; the 20 most benchmark-contaminated corpus docs by distinct
+    5-gram overlap (contamination desc, doc_id asc — a total order, so
+    LIMIT is deterministic for the oracle)."""
+    from tundradb_spark.pipeline.decontaminate import contamination_scores
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    return (
+        contamination_scores(corpus, bench, n=DECON_N)
+        .orderBy(F.desc("contamination"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # merged contract rows (round-4 verdict item 1): the driver checks only the
 # first 50 queries() entries, so small same-table operators share one slot
@@ -582,6 +603,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #: single-operator text/multimodal rows now ride the merged tag-union rows
 #: above.  Oracles retained; tests/test_parked_oracles.py still checks them.
 PARKED_PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_decontaminate": q_decontaminate,  # new in r5: no free driver slot
     "q_dedup_ngram": q_dedup_ngram,
     "q_text_tokens": q_text_tokens,
     "q_text_lang": q_text_lang,
@@ -1307,7 +1329,46 @@ PIPELINE_ORACLES: dict[str, str] = {
     "q_multimodal": Q_MULTIMODAL_SQL,
 }
 
+# decontamination: same tokenization + distinct-5-gram construction as the
+# n-gram dedup oracle; benchmark universe = distinct grams of the held-out
+# slice; contamination = per-doc hit fraction
+Q_DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= {DECON_N}
+              THEN list_distinct([array_to_string(tk[i:(i+{DECON_N - 1})], ' ')
+                     for i in generate_series(1, len(tk) - {DECON_N - 1})])
+              ELSE CAST([] AS VARCHAR[]) END AS g
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT unnest(g) AS gram FROM grams
+  WHERE doc_id % {DECON_BENCH_MOD} = 0
+),
+corp AS (
+  SELECT doc_id, g, len(g) AS n_grams FROM grams
+  WHERE doc_id % {DECON_BENCH_MOD} != 0
+),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_hits
+  FROM (SELECT doc_id, unnest(g) AS gram FROM corp) c
+  JOIN bench b ON c.gram = b.gram
+  GROUP BY 1
+)
+SELECT c.doc_id,
+       CAST(c.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+             / CAST(greatest(c.n_grams, 1) AS DOUBLE), 6) AS contamination
+FROM corp c LEFT JOIN hits h ON c.doc_id = h.doc_id
+ORDER BY contamination DESC, c.doc_id ASC LIMIT 20
+"""
+
 PARKED_PIPELINE_ORACLES: dict[str, str] = {
+    "q_decontaminate": Q_DECONTAMINATE_SQL,
     "q_dedup_ngram": Q_DEDUP_NGRAM_SQL,
     "q_text_tokens": Q_TEXT_TOKENS_SQL,
     "q_text_lang": Q_TEXT_LANG_SQL,
