@@ -586,3 +586,31 @@ class TestDecontaminate:
             )
         )
         assert a == b
+
+
+def test_duplicate_spans_semantics(spark):
+    """Passage-level span detection: spans repeated across docs surface
+    with correct doc/occurrence counts; within-doc-only repeats are
+    excluded by min_docs."""
+    from tundradb_spark.pipeline.dedup import duplicate_spans
+
+    header = "standard license header for every file in this repo"
+    docs = spark.createDataFrame(
+        [
+            (1, header + " alpha content one two three"),
+            (2, header + " beta totally different tail words"),
+            (3, "unique text without any shared passage at all ok"),
+            # within-doc repeat only — must NOT appear at min_docs=2
+            (4, "x y z a b c d e f x y z a b c d e f"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicate_spans(docs, k=9, min_docs=2).collect()
+    assert spans, "shared header must produce duplicated spans"
+    assert all(r.n_docs >= 2 for r in spans)
+    assert all(r.first_doc_id == 1 for r in spans)  # header docs are 1,2
+    # the 9-token header span appears once per doc
+    assert any(r.n_occurrences == 2 for r in spans)
+    # lone within-doc repeats are visible at min_docs=1 but filtered at 2
+    lone = duplicate_spans(docs, k=9, min_docs=1)
+    assert lone.filter("first_doc_id = 4 AND n_occurrences >= 2").count() > 0

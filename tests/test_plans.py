@@ -290,3 +290,15 @@ def test_pq_two_stage_no_shuffle_no_sort(spark):
     assert audit.simple_plan(df).count("TakeOrderedAndProject") >= 2
     assert audit.count_exchanges(df) == 0, audit.formatted_plan(df)
     audit.assert_no_nested_loop(df)
+
+
+def test_decontaminate_broadcast_probe(spark):
+    # the benchmark gram universe must BROADCAST (the corpus is never
+    # shuffled for the membership probe); the only exchange is the per-doc
+    # aggregation + the top-k, and nothing degenerates to a nested loop
+    from tundradb_spark.pipeline.queries import q_decontaminate
+
+    df = q_decontaminate(spark, SF)
+    audit.assert_broadcast(df, at_least=1)
+    audit.assert_no_nested_loop(df)
+    assert audit.count_exchanges(df) <= 2, audit.formatted_plan(df)

@@ -588,3 +588,59 @@ def embedding_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicated spans (passage-level boilerplate detection)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 16,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated ``k``-token spans across documents — the
+    passage-level view the pairwise operators can't give: license headers,
+    navigation chrome, and templated boilerplate show up as spans repeated
+    across ``min_docs``+ documents even when whole documents are unique.
+
+    Output per duplicated span: ``span_digest`` (md5 of the space-joined
+    span — portable to the SQL oracle), ``n_docs`` (distinct documents
+    containing it), ``n_occurrences`` (total, counting repeats within a
+    doc), ``first_doc_id`` (smallest containing id, a deterministic
+    exemplar).
+
+    Scale design: positional k-grams (NOT distinct — occurrence counts
+    matter) are digested to a fixed 32-char key in the same projection
+    that creates them, so the single groupBy shuffles digests, never span
+    text; map-side combine collapses within-partition repeats.  Cost is
+    one narrow pass + one aggregation, the same shape as exact_dedup.
+    """
+    toked = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        _tokens(F.col(text_col)).alias("toks"),
+    )
+    spans = toked.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - F.lit(k - 1)),
+                    lambda i: F.md5(F.array_join(F.slice("toks", i, k), " ")),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("span_digest"),
+    )
+    return (
+        spans.groupBy("span_digest")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.col(id_col)).alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

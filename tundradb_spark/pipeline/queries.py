@@ -454,6 +454,21 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_K, SPAN_MIN_DOCS = 8, 2
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level boilerplate detection (dedup.duplicate_spans): the 20
+    most widely duplicated 8-token spans across the corpus (n_docs desc,
+    n_occurrences desc, digest asc — a total order for the LIMIT)."""
+    spans = dedup.duplicate_spans(
+        _docs(spark, sf_dir), k=SPAN_K, min_docs=SPAN_MIN_DOCS
+    )
+    return spans.orderBy(
+        F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span_digest")
+    ).limit(20)
+
+
 DECON_N, DECON_BENCH_MOD = 5, 17
 
 
@@ -604,6 +619,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #: above.  Oracles retained; tests/test_parked_oracles.py still checks them.
 PARKED_PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_decontaminate": q_decontaminate,  # new in r5: no free driver slot
+    "q_dup_spans": q_dup_spans,  # new in r5: no free driver slot
     "q_dedup_ngram": q_dedup_ngram,
     "q_text_tokens": q_text_tokens,
     "q_text_lang": q_text_lang,
@@ -1367,8 +1383,32 @@ FROM corp c LEFT JOIN hits h ON c.doc_id = h.doc_id
 ORDER BY contamination DESC, c.doc_id ASC LIMIT 20
 """
 
+# duplicated spans: positional (non-distinct) k-gram digests, occurrence
+# and distinct-doc counts per digest — md5 text identical on both engines
+Q_DUP_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+),
+spans AS (
+  SELECT doc_id,
+         unnest([md5(array_to_string(tk[i:(i+{SPAN_K - 1})], ' '))
+                 for i in generate_series(1, greatest(len(tk) - {SPAN_K - 1}, 0))])
+           AS span_digest
+  FROM toks
+)
+SELECT span_digest,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences,
+       min(doc_id) AS first_doc_id
+FROM spans
+GROUP BY span_digest
+HAVING count(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+ORDER BY n_docs DESC, n_occurrences DESC, span_digest ASC LIMIT 20
+"""
+
 PARKED_PIPELINE_ORACLES: dict[str, str] = {
     "q_decontaminate": Q_DECONTAMINATE_SQL,
+    "q_dup_spans": Q_DUP_SPANS_SQL,
     "q_dedup_ngram": Q_DEDUP_NGRAM_SQL,
     "q_text_tokens": Q_TEXT_TOKENS_SQL,
     "q_text_lang": Q_TEXT_LANG_SQL,
