@@ -20,8 +20,13 @@ amortization.  Then best-of-RUNS timed runs.
 Noise isolation (round-3 verdict item 5): the heavyweight state/IO queries
 (streaming, snapshot, versioned, DML) run in a SEPARATE subprocess — their
 own JVM — so their heap/codegen pressure cannot inflate the cheap graph
-queries sharing a session.  Heavy queries mutate real state per run, so
-they skip the warmup (2 timed runs only, like before).
+queries sharing a session.  Every heavy call is self-contained (fresh
+Database / tempdir per invocation), so heavies get the same untimed warmup
+as the cheap group: measured r5, the first run in a fresh JVM is 2-5x the
+steady state (codegen + state-store + checkpoint-dir first-touch), and
+min-of-2 without warmup reports that cold-start blend, not the operator.
+The cheap group's session is STOPPED before the heavy subprocess launches
+so two local[32] JVMs never share the 32 cores.
 """
 
 from __future__ import annotations
@@ -88,7 +93,7 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--group":
         # subprocess mode: time the named queries, print one JSON line
         names = sys.argv[2].split(",")
-        best, spread = run_group(names, warmup=False)
+        best, spread = run_group(names, warmup=True)
         print(json.dumps({"queries": best, "spread": spread}))
         return
 
@@ -101,6 +106,12 @@ def main() -> None:
     timings, spread = run_group(cheap, warmup=True)
 
     if heavy:
+        # free the 32 cores before the heavy JVM spins up its own local[32]
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
         # fresh JVM for the state/IO group — see module docstring
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--group", ",".join(heavy)],
