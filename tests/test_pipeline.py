@@ -614,3 +614,57 @@ def test_duplicate_spans_semantics(spark):
     # lone within-doc repeats are visible at min_docs=1 but filtered at 2
     lone = duplicate_spans(docs, k=9, min_docs=1)
     assert lone.filter("first_doc_id = 4 AND n_occurrences >= 2").count() > 0
+
+
+class TestGopherRules:
+    def test_rules_and_keep(self, spark):
+        from tundradb_spark.pipeline.text import gopher_rules
+
+        rows = [
+            # 0: clean doc — passes every rule
+            (0, "the cat and the dog have played with all of that red wool "
+                "until both were far too worn out to even move another step"),
+            # 1: too short
+            (1, "the cat and of that have"),
+            # 2: symbol-heavy (### per word)
+            (2, "the # tag # and # more # tags # of # that # have # stuff # "
+                "here # plus # even # more # tags # again # and # again # ok"),
+            # 3: numeric words (alpha ratio low) — pad to pass word count
+            (3, "11 22 33 44 55 66 77 88 99 00 11 22 33 44 55 66 77 88 99 00 "
+                "11 22 33 44 55"),
+            # 4: no Gopher stopwords at all
+            (4, "cats dogs play wool red blue green yellow purple orange "
+                "brown black white gray pink cyan magenta lime navy teal"),
+            # 5: every line a bullet
+            (5, "- the cat and the dog\n- of that have with them\n"
+                "- to be or not to be\n- and that was all of it\n"
+                "- the end of the list"),
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in gopher_rules(
+                spark.createDataFrame(rows, ["doc_id", "text"])
+            ).collect()
+        }
+        assert out[0]["keep"] is True
+        assert out[1]["r_words"] is False and out[1]["keep"] is False
+        assert out[2]["r_symbols"] is False and out[2]["keep"] is False
+        assert out[3]["r_alpha"] is False and out[3]["keep"] is False
+        assert out[4]["r_stops"] is False and out[4]["n_stop_hits"] == 0
+        assert out[5]["r_bullets"] is False and out[5]["bullet_ratio"] == 1.0
+
+    def test_mean_word_len_bounds(self, spark):
+        from tundradb_spark.pipeline.text import gopher_rules
+
+        long_words = " ".join(["supercalifragilistic"] * 25)
+        df = spark.createDataFrame([(0, long_words)], ["doc_id", "text"])
+        row = gopher_rules(df).collect()[0]
+        assert row["mean_word_len"] == 20.0
+        assert row["r_word_len"] is False
+
+    def test_no_shuffle(self, spark):
+        from tundradb_spark.pipeline.text import gopher_rules
+
+        df = spark.createDataFrame([(0, "the cat")], ["doc_id", "text"])
+        plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan

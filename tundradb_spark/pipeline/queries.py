@@ -281,8 +281,50 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_stats(_docs(spark, sf_dir))
 
 
+#: min_stop_hits=1 for the driver corpus: its synthetic vocabulary contains
+#: exactly one GOPHER_STOPS word ('the'), so requiring 1 makes the flag vary
+GOPHER_MIN_STOPS = 1
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.quality_scores(_docs(spark, sf_dir))
+    """Blended quality score (text.quality_scores) + Gopher/C4 rule filter
+    (text.gopher_rules) in one tagged frame:
+    ('score'|'gopher', doc_id, n, v1..v5, flags) — gopher's six rule
+    booleans and ``keep`` are packed into the ``flags`` bitmask so every
+    per-rule decision is value-checked."""
+    score = text.quality_scores(_docs(spark, sf_dir)).select(
+        F.lit("score").alias("grp"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n"),
+        F.col("punct_ratio").cast("double").alias("v1"),
+        F.col("stop_ratio").cast("double").alias("v2"),
+        F.col("quality").cast("double").alias("v3"),
+        _ND().alias("v4"), _ND().alias("v5"), _NL().alias("flags"),
+    )
+    g = text.gopher_rules(
+        _docs(spark, sf_dir), min_stop_hits=GOPHER_MIN_STOPS
+    )
+    bits = (
+        F.col("r_words").cast("long")
+        + F.col("r_word_len").cast("long") * 2
+        + F.col("r_symbols").cast("long") * 4
+        + F.col("r_alpha").cast("long") * 8
+        + F.col("r_bullets").cast("long") * 16
+        + F.col("r_stops").cast("long") * 32
+        + F.col("keep").cast("long") * 64
+    )
+    gopher = g.select(
+        F.lit("gopher").alias("grp"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_words").cast("long").alias("n"),
+        F.col("mean_word_len").cast("double").alias("v1"),
+        F.col("symbol_ratio").cast("double").alias("v2"),
+        F.col("alpha_word_ratio").cast("double").alias("v3"),
+        F.col("bullet_ratio").cast("double").alias("v4"),
+        F.col("ellipsis_ratio").cast("double").alias("v5"),
+        bits.alias("flags"),
+    )
+    return score.unionByName(gopher)
 
 
 def q_text_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -964,9 +1006,66 @@ LIMIT {ANN_K}
 
 
 _EN_STOPS = "[" + ", ".join(f"'{w}'" for w in text.LANG_PROFILES["en"]) + "]"
+_GOPHER_STOPS = "[" + ", ".join(f"'{w}'" for w in text.GOPHER_STOPS) + "]"
+
+# Gopher rule thresholds mirror text.gopher_rules defaults (+ the driver's
+# GOPHER_MIN_STOPS); flags recompute the bitmask from the ROUNDED measures,
+# exactly as the Spark side does
+_GOPHER_SQL = f"""
+g_t AS (
+  SELECT doc_id, {_TOKS} AS toks,
+         string_split(text, chr(10)) AS lines,
+         len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_symbols
+  FROM documents
+),
+g_m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         round(CAST(list_sum(list_prepend(0, [length(t) for t in toks]))
+                    AS DOUBLE)
+               / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS mean_word_len,
+         round(CAST(n_symbols AS DOUBLE)
+               / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS symbol_ratio,
+         round(CAST(len([t for t in toks if regexp_matches(t, '[a-z]')])
+                    AS DOUBLE)
+               / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS alpha_word_ratio,
+         round(CAST(len([l for l in lines
+                         if regexp_matches(trim(l), '^[-*•]')]) AS DOUBLE)
+               / CAST(greatest(len(lines), 1) AS DOUBLE), 6) AS bullet_ratio,
+         round(CAST(len([l for l in lines
+                         if regexp_matches(l, '(\\.\\.\\.|…)$')]) AS DOUBLE)
+               / CAST(greatest(len(lines), 1) AS DOUBLE), 6) AS ellipsis_ratio,
+         len([s for s in {_GOPHER_STOPS} if list_contains(toks, s)])
+           AS n_stop_hits
+  FROM g_t
+),
+g_f AS (
+  SELECT *,
+         CAST(n_words >= 20 AND n_words <= 90 AS BIGINT) AS f_words,
+         CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS BIGINT)
+           AS f_wlen,
+         CAST(symbol_ratio <= 0.1 AS BIGINT) AS f_sym,
+         CAST(alpha_word_ratio >= 0.8 AS BIGINT) AS f_alpha,
+         CAST(bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3 AS BIGINT)
+           AS f_bul,
+         CAST(n_stop_hits >= 1 AS BIGINT) AS f_stop
+  FROM g_m
+),
+gopher AS (
+  SELECT 'gopher' AS grp, doc_id, CAST(n_words AS BIGINT) AS n,
+         mean_word_len AS v1, symbol_ratio AS v2, alpha_word_ratio AS v3,
+         bullet_ratio AS v4, ellipsis_ratio AS v5,
+         f_words + f_wlen * 2 + f_sym * 4 + f_alpha * 8 + f_bul * 16
+           + f_stop * 32
+           + (f_words * f_wlen * f_sym * f_alpha * f_bul * f_stop) * 64
+           AS flags
+  FROM g_f
+)
+"""
 
 Q_TEXT_QUALITY_SQL = f"""
-WITH t AS (
+WITH {_GOPHER_SQL.strip()},
+t AS (
   SELECT doc_id, text, {_TOKS} AS toks,
          CAST(length(text) AS DOUBLE) AS n_chars,
          CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
@@ -979,14 +1078,21 @@ r AS (
          CAST(len([x for x in toks if list_contains({_EN_STOPS}, x)]) AS DOUBLE)
            / CAST(greatest(len(toks), 1) AS DOUBLE) AS stop_ratio
   FROM t
+),
+score AS (
+  SELECT 'score' AS grp, doc_id, CAST(n_tokens AS BIGINT) AS n,
+         round(punct_ratio, 6) AS v1,
+         round(stop_ratio, 6) AS v2,
+         round(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+               + 0.25 * (1.0 - punct_ratio)
+               + 0.25 * least(4.0 * stop_ratio, 1.0), 6) AS v3,
+         CAST(NULL AS DOUBLE) AS v4, CAST(NULL AS DOUBLE) AS v5,
+         CAST(NULL AS BIGINT) AS flags
+  FROM r
 )
-SELECT doc_id, n_tokens,
-       round(punct_ratio, 6) AS punct_ratio,
-       round(stop_ratio, 6) AS stop_ratio,
-       round(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-             + 0.25 * (1.0 - punct_ratio)
-             + 0.25 * least(4.0 * stop_ratio, 1.0), 6) AS quality
-FROM r
+SELECT * FROM score
+UNION ALL
+SELECT grp, doc_id, n, v1, v2, v3, v4, v5, flags FROM gopher
 """
 
 

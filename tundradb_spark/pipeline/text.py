@@ -275,6 +275,106 @@ def quality_scores(
     )
 
 
+#: Gopher's required-word list (Rae et al. 2021, §A1.1.2): a document must
+#: contain at least ``min_stop_hits`` DISTINCT words from it
+GOPHER_STOPS: list[str] = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 90,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher/C4-style rule-based quality filter (Rae et al. 2021 §A1.1;
+    Raffel et al. 2020 §2.2) — the standard heuristic gate a pre-training
+    corpus runs before any model-based scoring.  Emits the measured signals,
+    one boolean per rule, and ``keep`` = AND of all rules:
+
+    - ``r_words``: word count in [min_words, max_words]
+    - ``r_word_len``: mean word length in [min_mean_word_len, max_…]
+    - ``r_symbols``: (# of '#' or '…'/'...') / words ≤ max_symbol_ratio
+    - ``r_alpha``: fraction of words containing a letter ≥ min_alpha_word_ratio
+    - ``r_bullets``: fraction of lines starting with a bullet ≤ max_bullet_ratio
+      AND fraction of lines ending with an ellipsis ≤ max_ellipsis_ratio
+    - ``r_stops``: ≥ min_stop_hits DISTINCT words from :data:`GOPHER_STOPS`
+
+    One staged narrow projection over built-in functions (the token array is
+    materialized once — the repo's anti-inlining discipline), zero shuffle,
+    all arithmetic integer-or-rounded-double so a SQL oracle reproduces every
+    flag exactly.  Linear at any corpus size."""
+    base = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(text_col),
+        tokens(F.col(text_col)).alias("__toks"),
+        F.split(F.col(text_col), r"\n").alias("__lines"),
+    )
+    toks = F.col("__toks")
+    n_words = F.size(toks)
+    nw_d = F.greatest(n_words, F.lit(1)).cast("double")
+    total_word_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + c,
+    )
+    mean_word_len = F.round(total_word_chars.cast("double") / nw_d, 6)
+    n_symbols = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\.|…"))
+    symbol_ratio = F.round(n_symbols.cast("double") / nw_d, 6)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_ratio = F.round(n_alpha.cast("double") / nw_d, 6)
+    lines = F.col("__lines")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
+    )
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$")))
+    bullet_ratio = F.round(n_bullet.cast("double") / n_lines, 6)
+    ellipsis_ratio = F.round(n_ellipsis.cast("double") / n_lines, 6)
+    stops = F.array(*[F.lit(w) for w in GOPHER_STOPS])
+    n_stops = F.size(F.filter(stops, lambda s: F.array_contains(toks, s)))
+
+    measured = base.select(
+        id_col,
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        n_stops.alias("n_stop_hits"),
+    )
+    r_words = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    r_word_len = (F.col("mean_word_len") >= min_mean_word_len) & (
+        F.col("mean_word_len") <= max_mean_word_len
+    )
+    r_symbols = F.col("symbol_ratio") <= max_symbol_ratio
+    r_alpha = F.col("alpha_word_ratio") >= min_alpha_word_ratio
+    r_bullets = (F.col("bullet_ratio") <= max_bullet_ratio) & (
+        F.col("ellipsis_ratio") <= max_ellipsis_ratio
+    )
+    r_stops = F.col("n_stop_hits") >= min_stop_hits
+    return measured.select(
+        "*",
+        r_words.alias("r_words"),
+        r_word_len.alias("r_word_len"),
+        r_symbols.alias("r_symbols"),
+        r_alpha.alias("r_alpha"),
+        r_bullets.alias("r_bullets"),
+        r_stops.alias("r_stops"),
+        (r_words & r_word_len & r_symbols & r_alpha & r_bullets & r_stops).alias(
+            "keep"
+        ),
+    )
+
+
 def _pred_lang_frame(
     docs: DataFrame, text_col: str, id_col: str, extra: list[str]
 ) -> DataFrame:
