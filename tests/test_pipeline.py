@@ -668,3 +668,137 @@ class TestGopherRules:
         df = spark.createDataFrame([(0, "the cat")], ["doc_id", "text"])
         plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestPackChunks:
+    def _chunks(self, spark):
+        # two docs in shard-hash order; tok counts chosen so sequences
+        # straddle boundaries: budget 10
+        rows = [
+            (0, 0, 4), (0, 1, 4), (0, 2, 4),   # starts 0,4,8 -> seq 0,0,0
+            (0, 3, 4),                          # start 12 -> seq 1
+            (1, 0, 7), (1, 1, 7),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "chunk_idx", "n_chunk_tokens"])
+
+    def test_pack_single_shard(self, spark):
+        from tundradb_spark.pipeline.sampling import pack_chunks
+
+        out = pack_chunks(
+            self._chunks(spark), seq_tokens=10, n_shards=1
+        ).collect()
+        by = {(r["doc_id"], r["chunk_idx"]): r for r in out}
+        # concatenated order: (0,0..3) then (1,0..1); starts 0,4,8,12,16,23
+        assert by[(0, 0)]["seq_idx"] == 0 and by[(0, 0)]["seq_pos"] == 0
+        assert by[(0, 2)]["seq_idx"] == 0 and by[(0, 2)]["seq_pos"] == 2
+        assert by[(0, 3)]["seq_idx"] == 1 and by[(0, 3)]["seq_pos"] == 0
+        assert by[(1, 0)]["seq_idx"] == 1 and by[(1, 0)]["seq_pos"] == 1
+        assert by[(1, 1)]["seq_idx"] == 2
+
+    def test_sharding_partitions_rows(self, spark):
+        from tundradb_spark.pipeline.sampling import pack_chunks
+
+        out = pack_chunks(self._chunks(spark), seq_tokens=10, n_shards=4)
+        rows = out.collect()
+        assert len(rows) == 6
+        # all chunks of one doc land in one shard
+        shards = {}
+        for r in rows:
+            shards.setdefault(r["doc_id"], set()).add(r["shard"])
+        assert all(len(s) == 1 for s in shards.values())
+
+    def test_summary_totals(self, spark):
+        from tundradb_spark.pipeline.sampling import pack_chunks, pack_summary
+
+        s = pack_summary(
+            pack_chunks(self._chunks(spark), seq_tokens=10, n_shards=1)
+        ).collect()
+        total = sum(r["n_tokens"] for r in s)
+        assert total == 30
+        n0 = [r for r in s if r["seq_idx"] == 0][0]
+        assert n0["n_chunks"] == 3 and n0["n_tokens"] == 12
+
+    def test_validation(self, spark):
+        from tundradb_spark.pipeline.sampling import pack_chunks
+
+        with pytest.raises(ValueError):
+            pack_chunks(self._chunks(spark), seq_tokens=0)
+        with pytest.raises(ValueError):
+            pack_chunks(self._chunks(spark), n_shards=0)
+
+
+class TestMixtureSample:
+    def _docs(self, spark):
+        rows = [
+            (i, "w " * (10 if i % 2 == 0 else 20), "a" if i < 10 else "b")
+            for i in range(20)
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    def test_exact_budget(self, spark):
+        from tundradb_spark.pipeline.sampling import mixture_budget_sample
+        from tundradb_spark.pipeline.text import tokens as tok
+
+        kept = mixture_budget_sample(
+            self._docs(spark), {"a": 40, "b": 25}, stratum_col="source"
+        )
+        agg = (
+            kept.withColumn("nt", F.size(tok(F.col("text"))))
+            .groupBy("source").agg(F.sum("nt").alias("t")).collect()
+        )
+        by = {r["source"]: r["t"] for r in agg}
+        # kept tokens reach the budget, last doc may spill past: budget <=
+        # kept < budget + max_doc_tokens (20)
+        assert 40 <= by["a"] < 60
+        assert 25 <= by["b"] < 45
+
+    def test_exact_deterministic_and_drops_unbudgeted(self, spark):
+        from tundradb_spark.pipeline.sampling import mixture_budget_sample
+
+        a = mixture_budget_sample(self._docs(spark), {"a": 40})
+        b = mixture_budget_sample(self._docs(spark), {"a": 40})
+        ids_a = sorted(r["doc_id"] for r in a.collect())
+        assert ids_a == sorted(r["doc_id"] for r in b.collect())
+        assert all(i < 10 for i in ids_a)  # stratum b dropped
+
+    def test_threshold_tracks_budget(self, spark):
+        from tundradb_spark.pipeline.sampling import mixture_threshold_sample
+        from tundradb_spark.pipeline.text import tokens as tok
+
+        # larger corpus for the law of large numbers
+        rows = [(i, "w " * 10, "a") for i in range(500)]
+        docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        kept = mixture_threshold_sample(docs, {"a": 2500})  # half of 5000
+        t = (
+            kept.withColumn("nt", F.size(tok(F.col("text"))))
+            .agg(F.sum("nt")).collect()[0][0]
+        )
+        assert 1800 <= t <= 3200  # ~2500 expected
+
+    def test_threshold_no_window_no_sort(self, spark):
+        from tundradb_spark.pipeline.sampling import mixture_threshold_sample
+
+        plan = (
+            mixture_threshold_sample(self._docs(spark), {"a": 40})
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan and "Sort" not in plan
+
+    def test_validation(self, spark):
+        from tundradb_spark.pipeline.sampling import (
+            mixture_budget_sample,
+            mixture_threshold_sample,
+        )
+
+        with pytest.raises(ValueError):
+            mixture_budget_sample(self._docs(spark), {"a": -1})
+        with pytest.raises(ValueError):
+            mixture_threshold_sample(self._docs(spark), {"a": -1})
+
+    def test_threshold_drops_unbudgeted(self, spark):
+        from tundradb_spark.pipeline.sampling import mixture_threshold_sample
+
+        # regression: Spark's least() skips NULLs, so an unbudgeted stratum
+        # must be dropped before the clamp, not resurrected at bp=10000
+        kept = mixture_threshold_sample(self._docs(spark), {"a": 10**6})
+        assert all(r["source"] == "a" for r in kept.collect())

@@ -336,25 +336,50 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CHUNK_TOKENS, CHUNK_OVERLAP = 32, 8
+PACK_SEQ_TOKENS, PACK_SHARDS = 64, 8
 SAMPLE_SEED = 97
 SAMPLE_BP_BY = {"en": 5000, "de": 2500}
 SAMPLE_DEFAULT_BP = 1000
+#: token budgets sized against ~1.4k tokens/source at sf0.01: src0/src5
+#: fill partially, src9's budget exceeds its stratum (keeps everything)
+MIX_BUDGET_BY = {"src0": 500, "src5": 800, "src9": 1_000_000}
+MIX_TH_BUDGET_BY = {"src1": 700, "src6": 400}
 
 
 def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-token chunking with overlap (sampling.chunk_docs): every chunk
-    row value-checked (digest of the re-joined text), fully deterministic."""
-    from tundradb_spark.pipeline.sampling import chunk_docs
+    """Fixed-token chunking (sampling.chunk_docs) + sequence packing
+    (sampling.pack_chunks/pack_summary) in one tagged frame:
+    ('chunk', doc_id, chunk_idx, n_tok, digest) ∪
+    ('pack', shard, seq_idx, seq_tokens, 'n_chunks:min_doc:max_doc').
+    Every chunk row is value-checked (digest of the re-joined text) and
+    every packed sequence's chunk count / token total / doc span too."""
+    from tundradb_spark.pipeline.sampling import (
+        chunk_docs,
+        pack_chunks,
+        pack_summary,
+    )
 
     chunks = chunk_docs(
         _docs(spark, sf_dir), chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
     )
-    return chunks.select(
-        "doc_id",
-        "chunk_idx",
-        "n_chunk_tokens",
-        F.md5("chunk").alias("digest"),
+    chunk_rows = chunks.select(
+        F.lit("chunk").alias("grp"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.col("chunk_idx").cast("long").alias("k2"),
+        F.col("n_chunk_tokens").cast("long").alias("m"),
+        F.md5("chunk").alias("s"),
     )
+    packed = pack_summary(
+        pack_chunks(chunks, seq_tokens=PACK_SEQ_TOKENS, n_shards=PACK_SHARDS)
+    )
+    pack_rows = packed.select(
+        F.lit("pack").alias("grp"),
+        F.col("shard").cast("long").alias("k1"),
+        F.col("seq_idx").cast("long").alias("k2"),
+        F.col("n_tokens").cast("long").alias("m"),
+        F.concat_ws(":", "n_chunks", "min_doc", "max_doc").alias("s"),
+    )
+    return chunk_rows.unionByName(pack_rows)
 
 
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,16 +388,46 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical on any engine/partitioning (per-language counts checked)."""
     from tundradb_spark.pipeline.sampling import stratified_sample
 
-    kept = stratified_sample(
-        _docs(spark, sf_dir),
-        SAMPLE_BP_BY,
-        seed=SAMPLE_SEED,
-        default_bp=SAMPLE_DEFAULT_BP,
+    from tundradb_spark.pipeline.sampling import (
+        mixture_budget_sample,
+        mixture_threshold_sample,
     )
-    return kept.groupBy("lang").agg(
+    from tundradb_spark.pipeline.text import tokens as _tok
+
+    docs = _docs(spark, sf_dir)
+    kept = stratified_sample(
+        docs, SAMPLE_BP_BY, seed=SAMPLE_SEED, default_bp=SAMPLE_DEFAULT_BP
+    )
+    strat = kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
+    ).select(
+        F.lit("strat").alias("grp"),
+        F.col("lang").alias("key"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_chars").cast("long").alias("m"),
     )
+
+    def _mix_rows(sample_fn, budgets, tag):
+        mixed = sample_fn(docs, budgets, stratum_col="source", seed=SAMPLE_SEED)
+        return (
+            mixed.withColumn("__nt", F.size(_tok(F.col("text"))))
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("__nt").alias("m"),
+            )
+            .select(
+                F.lit(tag).alias("grp"),
+                F.col("source").alias("key"),
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("m").cast("long").alias("m"),
+            )
+        )
+
+    mix = _mix_rows(mixture_budget_sample, MIX_BUDGET_BY, "mix")
+    mixth = _mix_rows(mixture_threshold_sample, MIX_TH_BUDGET_BY, "mixth")
+    return strat.unionByName(mix).unionByName(mixth)
 
 
 E2E_BIGRAM_CAP, E2E_CHUNK, E2E_OVERLAP, E2E_BP = 0.5, 32, 8, 8000
@@ -1280,30 +1335,108 @@ Q_CHUNKING_SQL = rf"""
                                         {CHUNK_TOKENS - CHUNK_OVERLAP}))
                    AS start
           FROM t WHERE len(toks) > 0
+        ),
+        ch AS (
+          SELECT doc_id,
+                 CAST((start - 1) // {CHUNK_TOKENS - CHUNK_OVERLAP} AS BIGINT)
+                   AS chunk_idx,
+                 CAST(len(toks[start : least(start + {CHUNK_TOKENS} - 1,
+                                             len(toks))]) AS BIGINT)
+                   AS n_chunk_tokens,
+                 md5(array_to_string(
+                     toks[start : least(start + {CHUNK_TOKENS} - 1,
+                                        len(toks))], ' ')) AS digest
+          FROM s
+        ),
+        sh AS (
+          SELECT *, ({hbits_sql("CAST(doc_id AS VARCHAR)", 32)})
+                      % {PACK_SHARDS} AS shard
+          FROM ch
+        ),
+        st AS (
+          SELECT *, sum(n_chunk_tokens)
+                      OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_chunk_tokens AS seq_start
+          FROM sh
+        ),
+        pk AS (
+          SELECT shard, CAST(seq_start // {PACK_SEQ_TOKENS} AS BIGINT)
+                          AS seq_idx,
+                 count(*) AS n_chunks,
+                 CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+                 min(doc_id) AS mn, max(doc_id) AS mx
+          FROM st GROUP BY shard, seq_start // {PACK_SEQ_TOKENS}
         )
-        SELECT doc_id,
-               CAST((start - 1) // {CHUNK_TOKENS - CHUNK_OVERLAP} AS INT)
-                 AS chunk_idx,
-               CAST(len(toks[start : least(start + {CHUNK_TOKENS} - 1,
-                                           len(toks))]) AS INT)
-                 AS n_chunk_tokens,
-               md5(array_to_string(
-                   toks[start : least(start + {CHUNK_TOKENS} - 1,
-                                      len(toks))], ' ')) AS digest
-        FROM s
+        SELECT 'chunk' AS grp, doc_id AS k1, chunk_idx AS k2,
+               n_chunk_tokens AS m, digest AS s
+        FROM ch
+        UNION ALL
+        SELECT 'pack' AS grp, CAST(shard AS BIGINT) AS k1, seq_idx AS k2,
+               n_tokens AS m, n_chunks || ':' || mn || ':' || mx AS s
+        FROM pk
 """
 
 # stratified sampling: md5-derived [0,10000) bucket vs per-lang
 # thresholds — identical hash text on both engines
+def _case_sql(col: str, mapping: dict[str, int]) -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(mapping.items())
+    )
+    return f"(CASE {col} {whens} END)"
+
+
+_COIN = (
+    hbits_sql(f"'{SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)", 32) + " % 10000"
+)
+
 Q_SAMPLE_STRAT_SQL = f"""
-        SELECT lang, count(*) AS n_docs,
-               CAST(sum(n_chars) AS BIGINT) AS total_chars
-        FROM documents
-        WHERE ({hbits_sql("'{seed}:' || CAST(doc_id AS VARCHAR)".format(seed=SAMPLE_SEED), 32)}) % 10000
-              < (CASE lang WHEN 'de' THEN {SAMPLE_BP_BY['de']}
-                           WHEN 'en' THEN {SAMPLE_BP_BY['en']}
-                           ELSE {SAMPLE_DEFAULT_BP} END)
-        GROUP BY lang
+WITH d AS (
+  SELECT doc_id, lang, source, n_chars,
+         CAST(len({_TOKS}) AS BIGINT) AS nt,
+         ({_COIN}) AS pri
+  FROM documents
+),
+strat AS (
+  SELECT 'strat' AS grp, lang AS key, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS m
+  FROM d
+  WHERE pri < (CASE lang WHEN 'de' THEN {SAMPLE_BP_BY['de']}
+                         WHEN 'en' THEN {SAMPLE_BP_BY['en']}
+                         ELSE {SAMPLE_DEFAULT_BP} END)
+  GROUP BY lang
+),
+mxk AS (
+  SELECT * FROM (
+    SELECT *, {_case_sql("source", MIX_BUDGET_BY)} AS budget,
+           sum(nt) OVER (PARTITION BY source ORDER BY pri, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - nt AS seq_start
+    FROM d WHERE {_case_sql("source", MIX_BUDGET_BY)} IS NOT NULL
+  ) WHERE seq_start < budget
+),
+mix AS (
+  SELECT 'mix' AS grp, source AS key, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nt) AS BIGINT) AS m
+  FROM mxk GROUP BY source
+),
+tot AS (SELECT source, sum(nt) AS total FROM d GROUP BY source),
+thk AS (
+  SELECT d.*
+  FROM d JOIN tot USING (source)
+  WHERE {_case_sql("source", MIX_TH_BUDGET_BY)} IS NOT NULL
+    AND pri < least(10000,
+          CAST(floor({_case_sql("source", MIX_TH_BUDGET_BY)} * 10000.0
+                     / CAST(total AS DOUBLE)) AS BIGINT))
+),
+mixth AS (
+  SELECT 'mixth' AS grp, source AS key, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nt) AS BIGINT) AS m
+  FROM thk GROUP BY source
+)
+SELECT * FROM strat
+UNION ALL SELECT * FROM mix
+UNION ALL SELECT * FROM mixth
 """
 
 # the PII sweep: customer names carry digit runs; documents must be

@@ -59,6 +59,165 @@ def stratified_sample(
     return docs.filter(sample_hash_col(id_col, seed) < threshold)
 
 
+def pack_chunks(
+    chunks: DataFrame,
+    seq_tokens: int = 1024,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    tok_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Sequence packing — assign token chunks to fixed-budget training
+    sequences (the concat-and-split packing every LM pre-training pipeline
+    runs between chunking and tokenizer output).
+
+    Semantics: within a shard, chunks are laid end-to-end in deterministic
+    ``(doc_id, chunk_idx)`` order; a chunk belongs to the sequence where its
+    START offset falls: ``seq_idx = floor(start / seq_tokens)``.  Sequences
+    are therefore ≥ ``seq_tokens`` long (the boundary chunk spills past the
+    budget rather than splitting — callers that need hard budgets chunk at a
+    divisor of ``seq_tokens``).
+
+    Scale: a GLOBAL running sum would serialize the corpus through one task,
+    so packing is sharded by a content hash of ``doc_id`` — each shard packs
+    independently (sequences never need to span shards), giving
+    ``n_shards``-way parallelism with a single hash-partition shuffle and a
+    per-shard sort.  Set ``n_shards`` to the cluster's parallelism; the
+    hash keeps shard sizes uniform.
+
+    Output: chunks + ``(shard, seq_idx, seq_pos)`` where ``seq_pos`` is the
+    chunk's rank within its sequence.  Deterministic on any engine — the
+    SQL-oracle window reproduces it exactly.
+    """
+    from pyspark.sql import Window
+
+    if seq_tokens < 1:
+        raise ValueError(f"seq_tokens must be >= 1, got {seq_tokens}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    sharded = chunks.withColumn(
+        "shard", (h32(F.col(id_col).cast("string")) % n_shards).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy(id_col, idx_col)
+    start = F.sum(tok_col).over(w) - F.col(tok_col)
+    with_seq = sharded.withColumn(
+        "seq_idx", F.floor(start / F.lit(seq_tokens)).cast("long")
+    )
+    w_seq = Window.partitionBy("shard", "seq_idx").orderBy(id_col, idx_col)
+    return with_seq.withColumn(
+        "seq_pos", (F.row_number().over(w_seq) - 1).cast("long")
+    )
+
+
+def pack_summary(packed: DataFrame, tok_col: str = "n_chunk_tokens") -> DataFrame:
+    """Per-sequence roll-up of :func:`pack_chunks`: chunk count, total
+    tokens, and the contributing doc-id span — the manifest a training
+    loader reads."""
+    return packed.groupBy("shard", "seq_idx").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(tok_col).alias("n_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def _with_tok_count(
+    docs: DataFrame, tok_col: str | None, text_col: str
+) -> tuple[DataFrame, str]:
+    if tok_col is not None:
+        return docs, tok_col
+    return (
+        docs.withColumn("__nt", F.size(tokens(F.col(text_col)))),
+        "__nt",
+    )
+
+
+def mixture_budget_sample(
+    docs: DataFrame,
+    budget_by: dict[str, int],
+    stratum_col: str = "source",
+    tok_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 97,
+) -> DataFrame:
+    """EXACT token-budget mixture: per stratum, keep highest-priority
+    documents until the stratum's token budget fills (the last kept doc may
+    spill past it).  Priority is the deterministic content-hash coin, so the
+    kept set is reproducible on any engine/partitioning — the property a
+    published data-mixture recipe needs.
+
+    Plan: one hash-partition shuffle on the stratum + a per-stratum
+    window sort.  A stratum sorts within ONE task, so this is the
+    small-strata path (≤ ~10M docs per stratum); for web-scale strata use
+    :func:`mixture_threshold_sample`, which needs no window at all.
+    Strata absent from ``budget_by`` are dropped (budget 0)."""
+    from pyspark.sql import Window
+
+    for k, v in budget_by.items():
+        if v < 0:
+            raise ValueError(f"budget for {k!r} must be >= 0, got {v}")
+    base, tc = _with_tok_count(docs, tok_col, text_col)
+    budget = F.lit(None).cast("long")
+    for stratum, b in sorted(budget_by.items()):
+        budget = F.when(F.col(stratum_col) == stratum, F.lit(b)).otherwise(budget)
+    pri = sample_hash_col(id_col, seed)
+    w = Window.partitionBy(stratum_col).orderBy(pri.asc(), F.col(id_col).asc())
+    start = F.sum(tc).over(w) - F.col(tc)
+    return (
+        base.withColumn("__budget", budget)
+        .filter(F.col("__budget").isNotNull())
+        .withColumn("__start", start)
+        .filter(F.col("__start") < F.col("__budget"))
+        .drop("__budget", "__start", "__nt")
+    )
+
+
+def mixture_threshold_sample(
+    docs: DataFrame,
+    budget_by: dict[str, int],
+    stratum_col: str = "source",
+    tok_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 97,
+) -> DataFrame:
+    """APPROXIMATE token-budget mixture — the 100 TB path: instead of a
+    per-stratum sorted window, compute each stratum's total token count
+    (one map-side-combined groupBy), convert the budget to a keep fraction
+    in basis points, and keep via the deterministic hash coin.  Expected
+    kept tokens ≈ budget with no per-stratum sort and no skew trap; the
+    kept set is still fully deterministic given (corpus, budgets, seed).
+    Strata absent from ``budget_by`` are dropped."""
+    for k, v in budget_by.items():
+        if v < 0:
+            raise ValueError(f"budget for {k!r} must be >= 0, got {v}")
+    base, tc = _with_tok_count(docs, tok_col, text_col)
+    totals = base.groupBy(stratum_col).agg(F.sum(tc).alias("__total"))
+    bp = F.lit(None).cast("long")
+    for stratum, b in sorted(budget_by.items()):
+        bp = F.when(F.col(stratum_col) == stratum, F.lit(b)).otherwise(bp)
+    # Spark's least() SKIPS nulls (it returns the smallest NON-null), so an
+    # unbudgeted stratum must be dropped BEFORE the clamp — least(10000,
+    # NULL) would otherwise resurrect it with a full keep fraction
+    keep_bp = F.least(
+        F.lit(10000),
+        F.floor(
+            F.col("__rawbp").cast("double")
+            * 10000.0
+            / F.col("__total").cast("double")
+        ),
+    )
+    return (
+        base.join(F.broadcast(totals), stratum_col)
+        .withColumn("__rawbp", bp)
+        .filter(F.col("__rawbp").isNotNull())
+        .withColumn("__bp", keep_bp)
+        .filter(sample_hash_col(id_col, seed) < F.col("__bp"))
+        .drop("__total", "__rawbp", "__bp", "__nt")
+    )
+
+
 def chunk_docs(
     docs: DataFrame,
     chunk_tokens: int = 128,
