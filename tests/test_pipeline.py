@@ -802,3 +802,61 @@ class TestMixtureSample:
         # must be dropped before the clamp, not resurrected at bp=10000
         kept = mixture_threshold_sample(self._docs(spark), {"a": 10**6})
         assert all(r["source"] == "a" for r in kept.collect())
+
+
+class TestDsirWeights:
+    def _corpora(self, spark):
+        raw = spark.createDataFrame(
+            [
+                (0, "spark engine shuffle partition executor"),   # target-like
+                (1, "cat dog bird fish hamster"),                 # off-domain
+                (2, "spark executor spark executor"),             # very target-like
+                (3, ""),                                          # empty -> absent
+            ],
+            ["doc_id", "text"],
+        )
+        target = spark.createDataFrame(
+            [(100, "spark executor shuffle spark engine partition")],
+            ["doc_id", "text"],
+        )
+        return raw, target
+
+    def test_ranking_and_empty(self, spark):
+        from tundradb_spark.pipeline.importance import dsir_weights
+
+        raw, target = self._corpora(spark)
+        rows = {r["doc_id"]: r for r in dsir_weights(raw, target).collect()}
+        assert 3 not in rows  # empty doc carries no evidence
+        # target-like docs outrank the off-domain doc
+        assert rows[2]["dsir_weight"] > rows[1]["dsir_weight"]
+        assert rows[0]["dsir_weight"] > rows[1]["dsir_weight"]
+
+    def test_feature_counts(self, spark):
+        from tundradb_spark.pipeline.importance import (
+            dsir_weights,
+            hashed_ngram_features,
+        )
+
+        raw, target = self._corpora(spark)
+        # 5 tokens + 4 bigrams
+        n = hashed_ngram_features(raw.filter("doc_id = 0")).count()
+        assert n == 9
+        rows = {r["doc_id"]: r for r in dsir_weights(raw, target).collect()}
+        assert rows[0]["n_feats"] == 9
+
+    def test_deterministic_across_partitionings(self, spark):
+        from tundradb_spark.pipeline.importance import dsir_weights
+
+        raw, target = self._corpora(spark)
+        a = sorted(map(tuple, dsir_weights(raw, target).collect()))
+        b = sorted(
+            map(tuple, dsir_weights(raw.repartition(7), target).collect())
+        )
+        assert a == b
+
+    def test_validation(self, spark):
+        from tundradb_spark.pipeline.importance import hashed_ngram_features
+
+        raw, _ = self._corpora(spark)
+        with pytest.raises(ValueError):
+            hashed_ngram_features(raw, n_buckets=1)

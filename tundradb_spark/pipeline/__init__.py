@@ -12,8 +12,11 @@ operations a large-scale LLM training-data pipeline needs, built Spark-first:
   prune files and read precomputed codes
 - :mod:`text` — language ID, quality scoring, token counting,
   fingerprinting, repetition scoring, PII pattern sweeps, unigram-LM fluency
-- :mod:`sampling` — deterministic/stratified content-hash sampling and
-  fixed-token document chunking
+- :mod:`sampling` — deterministic/stratified content-hash sampling,
+  fixed-token document chunking, sequence packing, and exact/approximate
+  token-budget mixture building
+- :mod:`importance` — DSIR hashed n-gram importance weights (target-domain
+  log-likelihood ratios) for importance resampling
 - :mod:`recipe` — the composed corpus-prep pipeline (gate → dedup → chunk →
   sample as one lazy plan)
 - :mod:`multimodal` — binary (image/audio/video) column plumbing with
@@ -36,10 +39,18 @@ from tundradb_spark.pipeline.dedup import (
     simhash,
     simhash_pairs,
 )
+from tundradb_spark.pipeline.importance import (
+    dsir_weights,
+    hashed_ngram_features,
+)
 from tundradb_spark.pipeline.recipe import prepare_corpus
 from tundradb_spark.pipeline.sampling import (
     chunk_docs,
     deterministic_sample,
+    mixture_budget_sample,
+    mixture_threshold_sample,
+    pack_chunks,
+    pack_summary,
     stratified_sample,
 )
 from tundradb_spark.pipeline.similarity import (
@@ -62,6 +73,7 @@ from tundradb_spark.pipeline.similarity import (
 )
 from tundradb_spark.pipeline.text import (
     fingerprints,
+    gopher_rules,
     lang_confusion,
     lang_id,
     lm_scores,
@@ -108,8 +120,15 @@ __all__ = [
     "lang_id",
     "lang_confusion",
     "fingerprints",
+    "gopher_rules",
     "chunk_docs",
+    "pack_chunks",
+    "pack_summary",
     "deterministic_sample",
     "stratified_sample",
+    "mixture_budget_sample",
+    "mixture_threshold_sample",
+    "dsir_weights",
+    "hashed_ngram_features",
     "prepare_corpus",
 ]

@@ -638,9 +638,30 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.unionByName(lang).unionByName(fp)
 
 
+DSIR_BUCKETS, DSIR_TARGET_MOD = 1024, 10
+
+
+def q_text_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most target-like raw docs by DSIR importance weight
+    (importance.dsir_weights): target = the ``doc_id % 10 == 0`` held-out
+    slice, raw = the rest (the decontamination split convention).  Total
+    order (weight desc, doc_id asc) so LIMIT is deterministic."""
+    from tundradb_spark.pipeline.importance import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("doc_id") % DSIR_TARGET_MOD == 0)
+    raw = docs.filter(F.col("doc_id") % DSIR_TARGET_MOD != 0)
+    return (
+        dsir_weights(raw, target, n_buckets=DSIR_BUCKETS)
+        .orderBy(F.desc("dsir_weight"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 def q_text_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Phrase-repetition top-20 + unigram-LM bottom-20 in one tagged frame:
-    ('rep'|'lm', doc_id, n_tokens, s1, s2)."""
+    """Phrase-repetition top-20 + unigram-LM bottom-20 + DSIR importance
+    top-20 in one tagged frame: ('rep'|'lm'|'dsir', doc_id, n_tokens, s1,
+    s2)."""
     rep = q_text_repetition(spark, sf_dir).select(
         F.lit("rep").alias("grp"),
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -655,7 +676,14 @@ def q_text_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lm_logprob").cast("double").alias("s1"),
         _ND().alias("s2"),
     )
-    return rep.unionByName(lm)
+    dsir = q_text_dsir(spark, sf_dir).select(
+        F.lit("dsir").alias("grp"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_feats").cast("long").alias("n_tokens"),
+        F.col("dsir_weight").cast("double").alias("s1"),
+        _ND().alias("s2"),
+    )
+    return rep.unionByName(lm).unionByName(dsir)
 
 
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1525,6 +1553,47 @@ Q_TEXT_PROFILE_SQL = f"""
     FROM ({Q_TEXT_FP_SQL})
 """
 
+# DSIR: same tokenization, unigram+bigram features md5-bucketed, Laplace-
+# smoothed log-likelihood ratio of the held-out target slice vs the rest;
+# per-feature ratios go through DECIMAL(20,10) before the per-doc sum —
+# the lm oracle's order-independence discipline
+Q_TEXT_DSIR_SQL = rf"""
+        WITH alltk AS (
+          SELECT doc_id, {_TOKS} AS tk FROM documents
+        ),
+        feats AS (
+          SELECT doc_id,
+                 ({hbits_sql("gram", 32)}) % {DSIR_BUCKETS} AS bucket
+          FROM (
+            SELECT doc_id,
+                   unnest(tk || (CASE WHEN len(tk) > 1
+                     THEN [tk[i] || ' ' || tk[i+1]
+                           for i in generate_series(1, len(tk) - 1)]
+                     ELSE CAST([] AS VARCHAR[]) END)) AS gram
+            FROM alltk)
+        ),
+        rf AS (SELECT * FROM feats WHERE doc_id % {DSIR_TARGET_MOD} != 0),
+        tf AS (SELECT * FROM feats WHERE doc_id % {DSIR_TARGET_MOD} = 0),
+        rc AS (SELECT bucket, count(*) AS cr FROM rf GROUP BY bucket),
+        tc AS (SELECT bucket, count(*) AS ct FROM tf GROUP BY bucket),
+        rt AS (SELECT sum(cr) AS r_total FROM rc),
+        tt AS (SELECT sum(ct) AS t_total FROM tc),
+        ratio AS (
+          SELECT rc.bucket,
+                 CAST(ln(CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE)
+                         / CAST(tt.t_total + {DSIR_BUCKETS} AS DOUBLE))
+                      - ln(CAST(rc.cr + 1 AS DOUBLE)
+                           / CAST(rt.r_total + {DSIR_BUCKETS} AS DOUBLE))
+                      AS DECIMAL(20,10)) AS lr
+          FROM rc LEFT JOIN tc USING (bucket), rt, tt
+        )
+        SELECT rf.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+               ROUND(CAST(sum(lr) AS DOUBLE), 6) AS dsir_weight
+        FROM rf JOIN ratio USING (bucket)
+        GROUP BY rf.doc_id
+        ORDER BY dsir_weight DESC, doc_id ASC LIMIT 20
+"""
+
 Q_TEXT_SCORES_SQL = f"""
     SELECT 'rep' AS grp, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
            token_rep AS s1, bigram_rep AS s2
@@ -1533,6 +1602,9 @@ Q_TEXT_SCORES_SQL = f"""
     SELECT 'lm', doc_id, CAST(n_tokens AS BIGINT), lm_logprob,
            CAST(NULL AS DOUBLE)
     FROM ({Q_TEXT_LM_SQL})
+    UNION ALL
+    SELECT 'dsir', doc_id, n_feats, dsir_weight, CAST(NULL AS DOUBLE)
+    FROM ({Q_TEXT_DSIR_SQL})
 """
 
 Q_MULTIMODAL_SQL = f"""
