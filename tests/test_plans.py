@@ -302,3 +302,39 @@ def test_decontaminate_broadcast_probe(spark):
     audit.assert_broadcast(df, at_least=1)
     audit.assert_no_nested_loop(df)
     assert audit.count_exchanges(df) <= 2, audit.formatted_plan(df)
+
+
+def test_dsir_ratio_broadcast_no_nested_loop(spark):
+    """The <=n_buckets-row log-ratio table must BROADCAST to the exploded
+    raw features — shuffling the feature stream on bucket would be the
+    scale-killer at corpus size."""
+    from tundradb_spark.pipeline.importance import dsir_weights
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    target = docs.filter("doc_id % 10 = 0")
+    raw = docs.filter("doc_id % 10 != 0")
+    df = dsir_weights(raw, target, n_buckets=256)
+    audit.assert_broadcast(df, at_least=1)
+    # the feature stream must never sort-merge on bucket; the only
+    # BroadcastNestedLoopJoins allowed are the 1-row scalar-total cross
+    # joins (the lm_scores pattern)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin Inner" in plan.replace("\n", " ") or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_pack_chunks_single_exchange(spark):
+    """Packing shards by doc-id hash: exactly ONE hash-partition shuffle
+    (the shard exchange) feeds both windows — a global running sum (a
+    single-partition window) would show an extra Exchange SinglePartition."""
+    from tundradb_spark.pipeline.sampling import chunk_docs, pack_chunks
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    packed = pack_chunks(chunk_docs(docs, chunk_tokens=16), seq_tokens=64,
+                         n_shards=4)
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
