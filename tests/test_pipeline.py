@@ -860,3 +860,79 @@ class TestDsirWeights:
         raw, _ = self._corpora(spark)
         with pytest.raises(ValueError):
             hashed_ngram_features(raw, n_buckets=1)
+
+
+class TestStripDuplicateSegments:
+    def test_line_mode_removes_shared_lines(self, spark):
+        from tundradb_spark.pipeline.dedup import strip_duplicate_segments
+
+        rows = [
+            (0, "COPYRIGHT 2026 ACME\nunique alpha text\nAll rights reserved"),
+            (1, "COPYRIGHT 2026 ACME\nunique beta text\nAll rights reserved"),
+            (2, "totally original document"),
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in strip_duplicate_segments(
+                spark.createDataFrame(rows, ["doc_id", "text"]), mode="line"
+            ).collect()
+        }
+        assert out[0]["text_clean"] == "unique alpha text"
+        assert out[0]["n_segments"] == 3 and out[0]["n_removed"] == 2
+        assert out[1]["text_clean"] == "unique beta text"
+        assert out[2]["text_clean"] == "totally original document"
+        assert out[2]["n_removed"] == 0
+
+    def test_all_boilerplate_doc_survives_empty(self, spark):
+        from tundradb_spark.pipeline.dedup import strip_duplicate_segments
+
+        rows = [(0, "same line"), (1, "same line"), (2, "same line\nextra")]
+        out = {
+            r["doc_id"]: r
+            for r in strip_duplicate_segments(
+                spark.createDataFrame(rows, ["doc_id", "text"]), mode="line"
+            ).collect()
+        }
+        assert out[0]["text_clean"] == "" and out[0]["n_removed"] == 1
+        assert out[2]["text_clean"] == "extra"
+
+    def test_window_mode(self, spark):
+        from tundradb_spark.pipeline.dedup import strip_duplicate_segments
+
+        # 4-token windows; the shared prefix window is removed, tails kept
+        rows = [
+            (0, "a b c d unique tail one"),
+            (1, "a b c d other ending here"),
+            (2, ""),
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in strip_duplicate_segments(
+                spark.createDataFrame(rows, ["doc_id", "text"]),
+                mode="window", window=4,
+            ).collect()
+        }
+        assert out[0]["text_clean"] == "unique tail one"
+        assert out[1]["text_clean"] == "other ending here"
+        assert 2 not in out  # empty doc absent
+
+    def test_min_docs_threshold(self, spark):
+        from tundradb_spark.pipeline.dedup import strip_duplicate_segments
+
+        rows = [(0, "x\ny"), (1, "x\nz"), (2, "x\nw")]
+        out3 = strip_duplicate_segments(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            mode="line", min_docs=4,
+        ).collect()
+        assert all(r["n_removed"] == 0 for r in out3)
+
+    def test_validation(self, spark):
+        from tundradb_spark.pipeline.dedup import strip_duplicate_segments
+
+        df = spark.createDataFrame([(0, "a")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            strip_duplicate_segments(df, mode="sentence")
+        with pytest.raises(ValueError):
+            strip_duplicate_segments(df, mode="window", window=0)
+        with pytest.raises(ValueError):
+            strip_duplicate_segments(df, min_docs=1)

@@ -31,6 +31,7 @@ DuckDB SQL oracle can reproduce results bit-for-bit (see __spark_entry__).
 
 from tundradb_spark.pipeline.dedup import (
     apply_dedup,
+    strip_duplicate_segments,
     embedding_dup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -93,6 +94,7 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "ngram_jaccard_pairs",
+    "strip_duplicate_segments",
     "embedding_dup_pairs",
     "cosine_scores",
     "cosine_topk",

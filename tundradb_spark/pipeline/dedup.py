@@ -644,3 +644,92 @@ def duplicate_spans(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def strip_duplicate_segments(
+    docs: DataFrame,
+    mode: str = "line",
+    window: int = 16,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style boilerplate REMOVAL (Raffel et al. 2020 §2.2 dedup the
+    corpus at sub-document granularity): segment every document, find
+    segments that appear in ``min_docs``+ DISTINCT documents, and rebuild
+    each document's text without them.  Where :func:`duplicate_spans`
+    REPORTS repeated passages, this operator produces the cleaned corpus.
+
+    ``mode='line'`` segments on newlines and rebuilds with ``'\\n'``
+    (raw lines preserved); ``mode='window'`` segments into non-overlapping
+    ``window``-token pieces of the NORMALIZED (lowercased,
+    whitespace-collapsed) token stream and rebuilds with ``' '`` — the
+    splitter for corpora without line structure.
+
+    Output: ``(doc_id, n_segments, n_removed, text_clean)``; documents
+    whose every segment is boilerplate survive with empty text; documents
+    with no segments at all (empty text) are absent, as in the other
+    per-token operators.
+
+    Scale: duplicate detection shuffles 32-char digests, never segment
+    text (one map-side-combined groupBy); membership is a digest-keyed
+    left join against the filtered duplicate set (small by construction —
+    boilerplate is the rare tail — so AQE broadcasts it); reconstruction
+    is one groupBy(doc) whose rows are exactly the input segments.  Three
+    shuffles total, each linear in the corpus.
+    """
+    if mode not in ("line", "window"):
+        raise ValueError(f"mode must be 'line' or 'window', got {mode!r}")
+    if mode == "window" and window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    if mode == "line":
+        segs_col = F.split(F.col(text_col), r"\n")
+        sep = "\n"
+    else:
+        toks = _tokens(F.col(text_col))
+        segs_col = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(window)),
+            lambda i: F.array_join(F.slice(toks, i, window), " "),
+        )
+        # F.when on empty docs: sequence(1, 1) still yields one empty seg;
+        # drop docs with zero tokens entirely
+        segs_col = F.when(F.size(toks) > 0, segs_col).otherwise(
+            F.array().cast("array<string>")
+        )
+        sep = " "
+    segs = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.posexplode(segs_col).alias("idx", "seg"),
+    ).withColumn("dg", F.md5("seg"))
+    dup = (
+        segs.groupBy("dg")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("dg", F.lit(True).alias("is_dup"))
+    )
+    marked = segs.join(dup, "dg", "left").withColumn(
+        "kept", F.col("is_dup").isNull()
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum((~F.col("kept")).cast("long")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"),
+                                F.struct(F.col("idx"), F.col("seg")),
+                            )
+                        )
+                    ),
+                    lambda x: x.getField("seg"),
+                ),
+                sep,
+            ).alias("text_clean"),
+        )
+    )

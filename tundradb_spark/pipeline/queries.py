@@ -63,14 +63,44 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
 # ---------------------------------------------------------------------------
 
 
+STRIP_WINDOW, STRIP_MIN_DOCS = 8, 2
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup corpus summary + C4-style duplicate-segment REMOVAL
+    (dedup.strip_duplicate_segments, window mode) in one tagged frame:
+    ('exact', n_groups, n_docs, n_dup_docs, max_copies, NULL) ∪
+    ('strip', doc_id, n_segments, n_removed, NULL, md5(text_clean)) —
+    every cleaned document's reconstructed text is value-checked via its
+    digest."""
     groups = dedup.exact_dedup(_docs(spark, sf_dir))
-    return groups.agg(
+    exact = groups.agg(
         F.count(F.lit(1)).alias("n_groups"),
         F.sum("n_copies").alias("n_docs"),
         (F.sum("n_copies") - F.count(F.lit(1))).alias("n_dup_docs"),
         F.max("n_copies").alias("max_copies"),
+    ).select(
+        F.lit("exact").alias("grp"),
+        F.col("n_groups").cast("long").alias("k1"),
+        F.col("n_docs").cast("long").alias("k2"),
+        F.col("n_dup_docs").cast("long").alias("k3"),
+        F.col("max_copies").cast("long").alias("k4"),
+        _NS().alias("s"),
     )
+    stripped = dedup.strip_duplicate_segments(
+        _docs(spark, sf_dir),
+        mode="window",
+        window=STRIP_WINDOW,
+        min_docs=STRIP_MIN_DOCS,
+    ).select(
+        F.lit("strip").alias("grp"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.col("n_segments").cast("long").alias("k2"),
+        F.col("n_removed").cast("long").alias("k3"),
+        _NL().alias("k4"),
+        F.md5("text_clean").alias("s"),
+    )
+    return exact.unionByName(stripped)
 
 
 # The MinHash pair set is consumed by BOTH q_dedup_minhash and
@@ -1623,19 +1653,52 @@ Q_MULTIMODAL_SQL = f"""
     FROM ({Q_MM_DECODE_SQL})
 """
 
+# duplicate-segment strip: same non-overlapping window construction as the
+# chunking oracle; a window is boilerplate when its md5 appears in >=
+# STRIP_MIN_DOCS distinct docs; text_clean = kept windows re-joined in order
+Q_DEDUP_EXACT_SQL = rf"""
+WITH g AS (
+  SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
+         count(*) AS n_copies
+  FROM documents GROUP BY 1
+),
+tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+seg AS (
+  SELECT doc_id, CAST((start - 1) // {STRIP_WINDOW} AS BIGINT) AS idx,
+         array_to_string(
+           toks[start : least(start + {STRIP_WINDOW} - 1, len(toks))], ' ')
+           AS seg
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks), {STRIP_WINDOW})) AS start
+        FROM tk WHERE len(toks) > 0)
+),
+dup AS (
+  SELECT md5(seg) AS dg FROM seg
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= {STRIP_MIN_DOCS}
+),
+mk AS (
+  SELECT s.doc_id, s.idx, s.seg, (d.dg IS NULL) AS kept
+  FROM seg s LEFT JOIN dup d ON md5(s.seg) = d.dg
+),
+strip AS (
+  SELECT 'strip' AS grp, doc_id AS k1, CAST(count(*) AS BIGINT) AS k2,
+         CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS k3,
+         CAST(NULL AS BIGINT) AS k4,
+         md5(coalesce(string_agg(CASE WHEN kept THEN seg END, ' '
+                                 ORDER BY idx), '')) AS s
+  FROM mk GROUP BY doc_id
+)
+SELECT 'exact' AS grp, CAST(count(*) AS BIGINT) AS k1,
+       CAST(sum(n_copies) AS BIGINT) AS k2,
+       CAST(sum(n_copies) - count(*) AS BIGINT) AS k3,
+       CAST(max(n_copies) AS BIGINT) AS k4, CAST(NULL AS VARCHAR) AS s
+FROM g
+UNION ALL
+SELECT * FROM strip
+"""
+
 PIPELINE_ORACLES: dict[str, str] = {
-    "q_dedup_exact": r"""
-        WITH g AS (
-          SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
-                 count(*) AS n_copies
-          FROM documents GROUP BY 1
-        )
-        SELECT count(*) AS n_groups,
-               CAST(sum(n_copies) AS BIGINT) AS n_docs,
-               CAST(sum(n_copies) - count(*) AS BIGINT) AS n_dup_docs,
-               max(n_copies) AS max_copies
-        FROM g
-    """,
+    "q_dedup_exact": Q_DEDUP_EXACT_SQL,
     "q_dedup_minhash": Q_DEDUP_MINHASH_SQL,
     "q_dedup_simhash": Q_DEDUP_SIMHASH_SQL,
     "q_dedup_ngram_capped": Q_DEDUP_NGRAM_CAPPED_SQL,
