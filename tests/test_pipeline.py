@@ -936,3 +936,73 @@ class TestStripDuplicateSegments:
             strip_duplicate_segments(df, mode="window", window=0)
         with pytest.raises(ValueError):
             strip_duplicate_segments(df, min_docs=1)
+
+
+class TestRandomProjection:
+    def test_shape_and_determinism(self, spark, emb):
+        from tundradb_spark.pipeline.similarity import random_projection
+
+        out = random_projection(emb, out_dim=2, dim=4)
+        rows = {r["vec_id"]: r["projected"] for r in out.collect()}
+        assert len(rows) == 5 and all(len(v) == 2 for v in rows.values())
+        again = {
+            r["vec_id"]: r["projected"]
+            for r in random_projection(emb.repartition(3), out_dim=2, dim=4).collect()
+        }
+        assert rows == again
+
+    def test_linearity(self, spark, emb):
+        from tundradb_spark.pipeline.similarity import random_projection
+
+        rows = {r["vec_id"]: r["projected"] for r in
+                random_projection(emb, out_dim=3, dim=4).collect()}
+        # vec 3 = -vec 0, projection is linear
+        assert all(abs(a + b) < 1e-9 for a, b in zip(rows[0], rows[3]))
+
+    def test_no_shuffle(self, spark, emb):
+        from tundradb_spark.pipeline.similarity import random_projection
+
+        plan = (random_projection(emb, out_dim=2, dim=4)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
+
+    def test_validation(self, spark, emb):
+        from tundradb_spark.pipeline.similarity import random_projection
+
+        with pytest.raises(ValueError):
+            random_projection(emb, out_dim=0, dim=4)
+
+
+class TestClusterPrune:
+    def test_keep_policies(self, spark, emb):
+        from tundradb_spark.pipeline.similarity import cluster_prune
+
+        base = dict(n_cells=2, dim=4, centroids=[[1.0, 0.0, 0.0, 0.0],
+                                                 [0.0, 1.0, 0.0, 0.0]])
+        # argmax-dot assignment: cell 1 = {0 (cos 1.0), 1 (~1.0),
+        # 4 (cos .71, tie-break first-max)}; cell 2 = {2 (cos 1.0),
+        # 3 (the opposite vector: dot 0 beats -1)}
+        central = cluster_prune(emb, keep_per_cell=1, keep="central", **base)
+        rows = {r["cell"]: r for r in central.collect()}
+        assert rows[1]["vec_id"] == 0 and rows[1]["rank"] == 1
+        assert rows[2]["vec_id"] == 2
+        diverse = cluster_prune(emb, keep_per_cell=1, keep="diverse", **base)
+        drows = {r["cell"]: r for r in diverse.collect()}
+        assert drows[1]["vec_id"] == 4  # least-central member of cell 1
+        assert drows[2]["vec_id"] == 3
+
+    def test_keep_per_cell_bound(self, spark, emb):
+        from tundradb_spark.pipeline.similarity import cluster_prune
+
+        out = cluster_prune(emb, n_cells=2, keep_per_cell=2, dim=4).collect()
+        from collections import Counter
+        assert all(v <= 2 for v in Counter(r["cell"] for r in out).values())
+        assert all(r["rank"] <= 2 for r in out)
+
+    def test_validation(self, spark, emb):
+        from tundradb_spark.pipeline.similarity import cluster_prune
+
+        with pytest.raises(ValueError):
+            cluster_prune(emb, keep="random", dim=4)
+        with pytest.raises(ValueError):
+            cluster_prune(emb, keep_per_cell=0, dim=4)

@@ -55,6 +55,7 @@ from tundradb_spark.pipeline.sampling import (
     stratified_sample,
 )
 from tundradb_spark.pipeline.similarity import (
+    cluster_prune,
     cosine_scores,
     cosine_topk,
     index_corpus,
@@ -71,6 +72,7 @@ from tundradb_spark.pipeline.similarity import (
     pq_ann_topk,
     pq_ann_topk_indexed,
     pq_encode,
+    random_projection,
 )
 from tundradb_spark.pipeline.text import (
     fingerprints,
@@ -112,6 +114,8 @@ __all__ = [
     "index_corpus_lsh",
     "index_corpus_pq",
     "index_corpus_ivfpq",
+    "random_projection",
+    "cluster_prune",
     "with_tokens",
     "token_stats",
     "quality_scores",

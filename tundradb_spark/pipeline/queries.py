@@ -158,15 +158,55 @@ def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RP_DIM, RP_SEED = 16, 23
+PRUNE_KEEP = 8
+
+
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.embedding_dup_pairs(
+    """Embedding-space corpus ops in one tagged frame:
+    ('pairs', id_a, id_b, cosine) — sign-LSH near-dup pairs;
+    ('prune', vec_id, cell, score) — prototype-based diversity pruning
+    (similarity.cluster_prune, keep most-central 8 per IVF cell);
+    ('rp', vec_id, out_dim, checksum) — Johnson–Lindenstrauss 64→16
+    random projection, every vector's projected coordinates value-checked
+    via an order-fixed fold checksum."""
+    pairs = dedup.embedding_dup_pairs(
         _emb(spark, sf_dir),
         threshold=EMBED_THRESHOLD,
         method="lsh",
         n_planes=EMBED_PLANES,
         band_bits=EMBED_BAND_BITS,
         dim=EMBED_DIM,  # known a priori — skips the driver-side probe
+    ).select(
+        F.lit("pairs").alias("grp"),
+        F.col("id_a").cast("long").alias("k1"),
+        F.col("id_b").cast("long").alias("k2"),
+        F.col("cosine").cast("double").alias("v"),
     )
+    prune = similarity.cluster_prune(
+        _emb(spark, sf_dir),
+        n_cells=IVF_CELLS,
+        keep_per_cell=PRUNE_KEEP,
+        keep="central",
+        seed=IVF_SEED,
+        dim=EMBED_DIM,
+    ).select(
+        F.lit("prune").alias("grp"),
+        F.col("vec_id").cast("long").alias("k1"),
+        F.col("cell").cast("long").alias("k2"),
+        F.col("score").cast("double").alias("v"),
+    )
+    rp = similarity.random_projection(
+        _emb(spark, sf_dir), out_dim=RP_DIM, seed=RP_SEED, dim=EMBED_DIM
+    ).select(
+        F.lit("rp").alias("grp"),
+        F.col("vec_id").cast("long").alias("k1"),
+        F.lit(RP_DIM).cast("long").alias("k2"),
+        F.expr("round(aggregate(projected, 0.0D, (s, x) -> s + x), 6)").alias(
+            "v"
+        ),
+    )
+    return pairs.unionByName(prune).unionByName(rp)
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1021,6 +1061,70 @@ def _ivf_dots_sql(vec: str) -> str:
     return "[" + ", ".join(terms) + "]"
 
 
+def _duck_arr(vals: list[float]) -> str:
+    return "(CAST([" + ", ".join(repr(float(x)) for x in vals) + "] AS DOUBLE[]))"
+
+
+def _prune_score_case_sql(vec: str) -> str:
+    """SQL: cosine of ``vec`` to its ASSIGNED cell's UNIT centroid — the
+    same CASE-over-literal-centroids expression cluster_prune codegens."""
+    cents = [
+        similarity._unit(c)
+        for c in similarity.ivf_centroids(IVF_CELLS, EMBED_DIM, IVF_SEED)
+    ]
+    whens = " ".join(
+        f"WHEN {i + 1} THEN {_dot_sql(vec, _duck_arr(c))}"
+        for i, c in enumerate(cents)
+    )
+    return f"(CASE cell {whens} END)"
+
+
+def _rp_checksum_sql(vec: str) -> str:
+    """SQL: order-fixed fold over the projected coordinates (each a
+    fold-left dot × 1/sqrt(out_dim)) — bit-identical to the Spark side."""
+    planes = hyperplanes(RP_DIM, EMBED_DIM, RP_SEED)
+    scale = 1.0 / (RP_DIM ** 0.5)
+    coords = ", ".join(
+        f"{_dot_sql(vec, _duck_arr(p))} * {scale!r}" for p in planes
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [{coords}]), "
+        f"(s, x) -> s + x)"
+    )
+
+
+Q_DEDUP_EMBED_UNION_SQL = f"""
+WITH pairs0 AS ({Q_DEDUP_EMBED_SQL}),
+base2 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+assigned2 AS (
+  SELECT vec_id, v,
+         list_position(dots, list_aggregate(dots, 'max')) AS cell
+  FROM (SELECT vec_id, v, {_ivf_dots_sql('v')} AS dots FROM base2)
+),
+pr AS (
+  SELECT vec_id, cell,
+         round({_prune_score_case_sql('v')}
+               / sqrt({_dot_sql('v', 'v')}), 6) AS score
+  FROM assigned2
+),
+prk AS (
+  SELECT *, row_number() OVER (PARTITION BY cell
+                               ORDER BY score DESC, vec_id) AS rk
+  FROM pr
+)
+SELECT 'pairs' AS grp, id_a AS k1, id_b AS k2, cosine AS v FROM pairs0
+UNION ALL
+SELECT 'prune', vec_id, CAST(cell AS BIGINT), score
+FROM prk WHERE rk <= {PRUNE_KEEP}
+UNION ALL
+SELECT 'rp', vec_id, CAST({RP_DIM} AS BIGINT),
+       round({_rp_checksum_sql('v')}, 6)
+FROM base2
+"""
+
+
 # IVF: cell = argmax centroid dot (first-max tie-break = list_position);
 # probe cells ranked by the QUERY's dots (desc, index asc) exactly as the
 # engine ranks them driver-side; candidates re-ranked by exact cosine
@@ -1702,7 +1806,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "q_dedup_minhash": Q_DEDUP_MINHASH_SQL,
     "q_dedup_simhash": Q_DEDUP_SIMHASH_SQL,
     "q_dedup_ngram_capped": Q_DEDUP_NGRAM_CAPPED_SQL,
-    "q_dedup_embed": Q_DEDUP_EMBED_SQL,
+    "q_dedup_embed": Q_DEDUP_EMBED_UNION_SQL,
     "q_ann_topk": Q_ANN_TOPK_SQL,
     "q_ann_lsh": Q_ANN_LSH_SQL,
     "q_ann_ivf": Q_ANN_IVF_SQL,
