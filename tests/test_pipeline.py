@@ -1006,3 +1006,56 @@ class TestClusterPrune:
             cluster_prune(emb, keep="random", dim=4)
         with pytest.raises(ValueError):
             cluster_prune(emb, keep_per_cell=0, dim=4)
+
+
+class TestWinnowFingerprints:
+    def test_shared_substring_shares_fingerprints(self, spark):
+        from tundradb_spark.pipeline.text import winnow_fingerprints
+
+        # identical normalized text -> identical digest; a doc sharing a
+        # long run shares SOME window minima with it (digest of union
+        # differs but count overlaps are nonzero) — pin the cheap
+        # guarantees: identity, normalization-invariance, difference
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "THE  quick   brown fox jumps over the lazy DOG"),  # normalizes same
+            (2, "a completely different sentence altogether"),
+            (3, "ab"),  # shorter than k -> absent
+        ]
+        out = {
+            r["doc_id"]: r
+            for r in winnow_fingerprints(
+                spark.createDataFrame(rows, ["doc_id", "text"]), k=5, window=4
+            ).collect()
+        }
+        assert out[0]["fp_digest"] == out[1]["fp_digest"]
+        assert out[0]["n_grams"] == out[1]["n_grams"]
+        assert out[0]["fp_digest"] != out[2]["fp_digest"]
+        assert 3 not in out
+
+    def test_density_bound(self, spark):
+        from tundradb_spark.pipeline.text import winnow_fingerprints
+
+        text = "x" * 20 + "abcdefghij" * 3
+        df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+        r = winnow_fingerprints(df, k=5, window=4).collect()[0]
+        # winnowing selects at most one fingerprint per window position and
+        # at least one per window-length run: 1 <= fps <= n_windows
+        assert 1 <= r["n_fingerprints"] <= r["n_grams"]
+
+    def test_no_shuffle(self, spark):
+        from tundradb_spark.pipeline.text import winnow_fingerprints
+
+        df = spark.createDataFrame([(0, "hello world")], ["doc_id", "text"])
+        plan = (winnow_fingerprints(df)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
+
+    def test_validation(self, spark):
+        from tundradb_spark.pipeline.text import winnow_fingerprints
+
+        df = spark.createDataFrame([(0, "abc")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            winnow_fingerprints(df, k=0)
+        with pytest.raises(ValueError):
+            winnow_fingerprints(df, window=0)

@@ -85,6 +85,7 @@ from tundradb_spark.pipeline.text import (
     quality_scores,
     repetition_scores,
     token_stats,
+    winnow_fingerprints,
     with_tokens,
 )
 
@@ -126,6 +127,7 @@ __all__ = [
     "lang_id",
     "lang_confusion",
     "fingerprints",
+    "winnow_fingerprints",
     "gopher_rules",
     "chunk_docs",
     "pack_chunks",

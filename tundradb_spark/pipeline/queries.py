@@ -679,9 +679,15 @@ def _NS():
     return F.lit(None).cast("string")
 
 
+WINNOW_K, WINNOW_W = 5, 4
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token stats + language-ID confusion + document fingerprints in one
-    tagged frame: ('tokens'|'lang'|'fp', key, n_docs, m1, m2, m3, v)."""
+    """Token stats + language-ID confusion + document fingerprints +
+    per-doc winnowing fingerprints in one tagged frame:
+    ('tokens'|'lang'|'fp'|'winnow', key, n_docs, m1, m2, m3, v).  Winnow
+    rows carry (doc_id as key, n_grams, n_fingerprints, 60-bit digest of
+    the sorted fingerprint set) — the full selected set is value-checked."""
     toks = q_text_tokens(spark, sf_dir).select(
         F.lit("tokens").alias("grp"),
         F.col("source").alias("key"),
@@ -705,7 +711,18 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_fp").cast("long").alias("m2"),
         _NL().alias("m3"), _ND().alias("v"),
     )
-    return toks.unionByName(lang).unionByName(fp)
+    winnow = text.winnow_fingerprints(
+        _docs(spark, sf_dir), k=WINNOW_K, window=WINNOW_W
+    ).select(
+        F.lit("winnow").alias("grp"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit(1).cast("long").alias("n_docs"),
+        F.col("n_grams").cast("long").alias("m1"),
+        F.col("n_fingerprints").cast("long").alias("m2"),
+        F.conv(F.substring("fp_digest", 1, 15), 16, 10).cast("long").alias("m3"),
+        _ND().alias("v"),
+    )
+    return toks.unionByName(lang).unionByName(fp).unionByName(winnow)
 
 
 DSIR_BUCKETS, DSIR_TARGET_MOD = 1024, 10
@@ -1670,6 +1687,36 @@ Q_MM_DECODE_SQL = """
 # merged-row oracles: UNION ALL of the single-operator oracles over the
 # aligned tag-union schema (see the q_text_profile/q_text_scores/
 # q_multimodal Spark wrappers above — same columns, same null pads)
+# winnowing oracle: same normalization, positional k-gram md5-hashes,
+# per-window minima, distinct+sort, md5 of the comma-joined set, first 15
+# hex chars as the 60-bit digest
+Q_TEXT_WINNOW_SQL = rf"""
+        WITH nm AS (
+          SELECT doc_id,
+                 regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+          FROM documents
+        ),
+        gr AS (
+          SELECT doc_id,
+                 [{hbits_sql(f"substr(norm, i, {WINNOW_K})", 32)}
+                  for i in generate_series(1, length(norm) - {WINNOW_K - 1})]
+                   AS h
+          FROM nm WHERE length(norm) >= {WINNOW_K}
+        ),
+        fp AS (
+          SELECT doc_id, CAST(len(h) AS BIGINT) AS n_grams,
+                 list_sort(list_distinct(
+                   [list_min(h[j : j + {WINNOW_W - 1}])
+                    for j in generate_series(
+                        1, greatest(len(h) - {WINNOW_W - 1}, 1))])) AS f
+          FROM gr
+        )
+        SELECT doc_id, n_grams, CAST(len(f) AS BIGINT) AS n_fingerprints,
+               CAST('0x' || substr(md5(array_to_string(f, ',')), 1, 15)
+                    AS BIGINT) AS digest60
+        FROM fp
+"""
+
 Q_TEXT_PROFILE_SQL = f"""
     SELECT 'tokens' AS grp, source AS key, n_docs,
            total_tokens AS m1, CAST(min_tokens AS BIGINT) AS m2,
@@ -1685,6 +1732,10 @@ Q_TEXT_PROFILE_SQL = f"""
            CAST(n_distinct_fp AS BIGINT), min_fp, CAST(NULL AS BIGINT),
            CAST(NULL AS DOUBLE)
     FROM ({Q_TEXT_FP_SQL})
+    UNION ALL
+    SELECT 'winnow', CAST(doc_id AS VARCHAR), CAST(1 AS BIGINT),
+           n_grams, n_fingerprints, digest60, CAST(NULL AS DOUBLE)
+    FROM ({Q_TEXT_WINNOW_SQL})
 """
 
 # DSIR: same tokenization, unigram+bigram features md5-bucketed, Laplace-
