@@ -416,3 +416,49 @@ class TestStreamIndexVectors:
         indexed = spark.read.parquet(idx)
         assert indexed.count() == 30
         assert indexed.select("vec_id").distinct().count() == 30
+
+
+class TestStreamGateCorpus:
+    def test_availablenow_equals_batch_gates(self, spark, tmp_path):
+        """The streaming gate must pass exactly the batch recipe's gate
+        phase (first-arrival dedup == min-id dedup here: one input file,
+        ascending ids, identical texts adjacent)."""
+        import os
+
+        from tundradb_spark.streaming import stream_gate_corpus
+        from tundradb_spark.pipeline.dedup import normalized_text
+        from tundradb_spark.pipeline.sampling import sample_hash_col
+        from tundradb_spark.pipeline.text import (
+            DEFAULT_PII_PATTERNS,
+            bigram_repetition_col,
+            tokens,
+        )
+
+        src = str(tmp_path / "dsrc")
+        os.makedirs(src)
+        rows = [
+            (0, "the quick brown fox jumps over the lazy dog", 1000),
+            (1, "the quick brown fox jumps over the lazy dog", 2000),  # dup
+            (2, "mail me at a@b.com please", 3000),                    # PII
+            (3, "spam spam spam spam spam spam spam spam", 4000),      # repetitive
+            (4, "a genuinely unique and useful document body", 5000),
+        ]
+        schema = "doc_id long, text string, ts timestamp"
+        df = spark.createDataFrame(
+            [(i, t, None) for i, t, _ in rows], "doc_id long, text string, ts long"
+        ).withColumn("ts", F.expr("timestamp_micros(doc_id * 1000000)"))
+        df.coalesce(1).write.mode("append").parquet(src)
+
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        gated = stream_gate_corpus(stream, sample_bp=10000)
+        out = str(tmp_path / "dout")
+        ckpt = str(tmp_path / "dck")
+        q = (gated.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+        # 2 (PII) and 3 (bigram_rep = 1.0) gated out; exactly ONE of the
+        # dup pair {0, 1} survives (within-batch dropDuplicates keeps an
+        # arbitrary member — documented on stream_gate_corpus)
+        assert len(got) == 2 and got[1] == 4 and got[0] in (0, 1)

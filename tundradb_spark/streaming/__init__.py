@@ -19,11 +19,15 @@ continuously-ingesting graph/analytics deployment needs:
   mandatory event-time band (state bounded on both sides)
 - :func:`stream_index_vectors` — incremental maintenance of the
   cell-partitioned ANN index from a live vector stream
+- :func:`stream_gate_corpus` — the corpus-prep gate phase (PII +
+  repetition + watermark dedup + deterministic sample) over a live
+  document stream
 """
 
 from tundradb_spark.streaming.ops import (
     session_window_agg,
     sessionize,
+    stream_gate_corpus,
     stream_edges,
     stream_index_vectors,
     stream_nodes,
@@ -41,4 +45,5 @@ __all__ = [
     "streaming_dedup",
     "stream_stream_join",
     "stream_index_vectors",
+    "stream_gate_corpus",
 ]

@@ -391,3 +391,57 @@ def stream_stream_join(
     )
     joined = lw.join(rw, cond, how)
     return joined.drop(rw[on])
+
+
+def stream_gate_corpus(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    max_bigram_rep: float = 0.5,
+    sample_bp: int = 10000,
+    sample_seed: int = 97,
+) -> DataFrame:
+    """Streaming face of ``pipeline.recipe.prepare_corpus``'s gate phase:
+    PII gate → repetition gate → watermark-bounded exact dedup →
+    deterministic sample, over a LIVE document stream — the shape of a
+    continuously-ingesting training-corpus front door.
+
+    The row-level gates and the content-hash sample are the IDENTICAL
+    inline predicates the batch recipe compiles (stateless, fused into the
+    source projection); only dedup differs by necessity: a stream cannot
+    pick each text group's global minimum id, so the FIRST-ARRIVING copy
+    within the watermark horizon wins (``dropDuplicates`` on the
+    normalized-text hash — bounded state, the standard streaming dedup
+    trade documented on :func:`streaming_dedup`; within a single
+    micro-batch the retained copy is whichever partition's row the state
+    store sees first, so the surviving ID — not the surviving TEXT — is
+    arbitrary among duplicates).
+
+    Returns the gated streaming frame (original columns + ``__h``
+    dropped); chunk/pack downstream or write to a corpus sink.
+    """
+    from tundradb_spark.pipeline.dedup import normalized_text
+    from tundradb_spark.pipeline.sampling import sample_hash_col
+    from tundradb_spark.pipeline.text import (
+        DEFAULT_PII_PATTERNS,
+        bigram_repetition_col,
+        tokens,
+    )
+
+    no_pii = None
+    for pat in DEFAULT_PII_PATTERNS.values():
+        pred = F.regexp_count(F.col(text_col), F.lit(pat)) == 0
+        no_pii = pred if no_pii is None else (no_pii & pred)
+    toked = stream.filter(no_pii).withColumn("__t", tokens(F.col(text_col)))
+    gated = toked.filter(
+        bigram_repetition_col("__t") <= max_bigram_rep
+    ).drop("__t")
+    deduped = (
+        gated.withColumn("__h", F.md5(normalized_text(F.col(text_col))))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates(["__h"])
+        .drop("__h")
+    )
+    return deduped.filter(sample_hash_col(id_col, sample_seed) < sample_bp)
