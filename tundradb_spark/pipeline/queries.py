@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from tundradb_spark.pipeline import dedup, similarity, text
 from tundradb_spark.pipeline.hashing import (
+    FP_BASE,
+    FP_MOD,
     MERSENNE_P,
     h32_sql,
     hbits_sql,
@@ -1687,21 +1689,29 @@ Q_MM_DECODE_SQL = """
 # merged-row oracles: UNION ALL of the single-operator oracles over the
 # aligned tag-union schema (see the q_text_profile/q_text_scores/
 # q_multimodal Spark wrappers above — same columns, same null pads)
-# winnowing oracle: same normalization, positional k-gram md5-hashes,
-# per-window minima, distinct+sort, md5 of the comma-joined set, first 15
-# hex chars as the 60-bit digest
+# winnowing oracle: same normalization, positional polynomial k-gram
+# hashes over the codepoint array, per-window minima, distinct+sort, md5
+# of the comma-joined set, first 15 hex chars as the 60-bit digest
 Q_TEXT_WINNOW_SQL = rf"""
         WITH nm AS (
           SELECT doc_id,
                  regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
           FROM documents
         ),
+        cp AS (
+          SELECT doc_id,
+                 [CAST(unicode(substr(norm, j, 1)) AS BIGINT)
+                  for j in generate_series(1, length(norm))] AS cp
+          FROM nm WHERE length(norm) >= {WINNOW_K}
+        ),
         gr AS (
           SELECT doc_id,
-                 [{hbits_sql(f"substr(norm, i, {WINNOW_K})", 32)}
-                  for i in generate_series(1, length(norm) - {WINNOW_K - 1})]
-                   AS h
-          FROM nm WHERE length(norm) >= {WINNOW_K}
+                 [list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                                 cp[i : i + {WINNOW_K - 1}]),
+                    (a, c) -> (a * {FP_BASE} + c) % {FP_MOD})
+                  for i in generate_series(1, len(cp) - {WINNOW_K - 1})] AS h
+          FROM cp
         ),
         fp AS (
           SELECT doc_id, CAST(len(h) AS BIGINT) AS n_grams,

@@ -517,23 +517,28 @@ def winnow_fingerprints(
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     from tundradb_spark.pipeline.dedup import normalized_text
-    from tundradb_spark.pipeline.hashing import h32
 
     base = docs.select(
         F.col(id_col).cast("long").alias(id_col),
         normalized_text(F.col(text_col)).alias("__norm"),
     ).filter(F.length("__norm") >= k)
-    # positional k-gram hashes, then per-window minima — both as array
-    # expressions over materialized intermediates (anti-inlining discipline)
+    # positional k-gram hashes: polynomial fold over the codepoint array
+    # (the fingerprint_expr discipline) — ~k modular ops per position where
+    # an md5-per-substring formulation costs 64+ rounds plus a string
+    # allocation (measured 3.0s → 0.6s at sf0.1); per-window minima over
+    # the materialized hash array (anti-inlining discipline throughout)
     grams = base.select(
         id_col,
         F.expr(
-            f"transform(sequence(1, length(__norm) - {k - 1}), "
-            f"i -> substring(__norm, i, {k}))"
-        ).alias("__g"),
+            "transform(split(__norm, ''), ch -> cast(ascii(ch) as bigint))"
+        ).alias("__cp"),
     ).select(
         id_col,
-        F.transform(F.col("__g"), lambda g: h32(g)).alias("__h"),
+        F.expr(
+            f"transform(sequence(1, size(__cp) - {k - 1}), "
+            f"i -> aggregate(slice(__cp, i, {k}), cast(0 as bigint), "
+            f"(a, c) -> (a * {FP_BASE} + c) % {FP_MOD}))"
+        ).alias("__h"),
     )
     return grams.select(
         id_col,
