@@ -83,7 +83,9 @@ from tundradb_spark.pipeline.text import (
     pattern_counts,
     pii_scan,
     quality_scores,
+    redact_patterns,
     repetition_scores,
+    tfidf_topk_terms,
     token_stats,
     winnow_fingerprints,
     with_tokens,
@@ -123,6 +125,8 @@ __all__ = [
     "repetition_scores",
     "pattern_counts",
     "pii_scan",
+    "redact_patterns",
+    "tfidf_topk_terms",
     "lm_scores",
     "lang_id",
     "lang_confusion",

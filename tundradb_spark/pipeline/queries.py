@@ -562,7 +562,41 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("any_pii").cast("long")).alias("n_digit_runs"),
         F.lit(0).cast("long").alias("n_id_tags"),
     )
-    return per_seg.unionByName(docs_clean)
+    # redaction branch (text.redact_patterns): id_tag FIRST (its digits
+    # would otherwise be eaten by digit_run), then digit_run; residual
+    # re-scan of the redacted names must count ZERO (self-asserting), and
+    # the per-segment sum of h32(redacted) value-checks every output text
+    # order-independently (each h32 < 2^32; 150k rows stay far under 2^63)
+    from tundradb_spark.pipeline.hashing import h32
+
+    red = text.redact_patterns(
+        cust,
+        {"id_tag": r"Customer#[0-9]+", "digit_run": r"[0-9]{4,}"},
+        keep_cols=["c_mktsegment"],
+        id_col="doc_id",
+    )
+    residual = F.regexp_count(
+        F.col("text_redacted"), F.lit(r"Customer#[0-9]+")
+    ) + F.regexp_count(F.col("text_redacted"), F.lit(r"[0-9]{4,}"))
+    redacted = (
+        red.withColumn("__res", residual)
+        .withColumn("__h", h32(F.col("text_redacted")))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__res").cast("long").alias("n_digit_runs"),
+            F.sum("__h").cast("long").alias("n_id_tags"),
+        )
+        .select(
+            F.concat(F.lit("redact:"), F.col("c_mktsegment")).alias(
+                "c_mktsegment"
+            ),
+            "n_rows",
+            "n_digit_runs",
+            "n_id_tags",
+        )
+    )
+    return per_seg.unionByName(docs_clean).unionByName(redacted)
 
 
 def q_text_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -831,9 +865,20 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #: un-capped n-gram pairs are value-subsumed by the capped variant, and the
 #: single-operator text/multimodal rows now ride the merged tag-union rows
 #: above.  Oracles retained; tests/test_parked_oracles.py still checks them.
+TFIDF_K = 5
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF keywords (text.tfidf_topk_terms) — the
+    corpus-catalog keyword extraction signal; decimal-exact ranking so the
+    kept (doc, term) set matches the oracle bit-for-bit."""
+    return text.tfidf_topk_terms(_docs(spark, sf_dir), k=TFIDF_K)
+
+
 PARKED_PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_decontaminate": q_decontaminate,  # new in r5: no free driver slot
     "q_dup_spans": q_dup_spans,  # new in r5: no free driver slot
+    "q_tfidf": q_tfidf,  # new in r5: no free driver slot
     "q_dedup_ngram": q_dedup_ngram,
     "q_text_tokens": q_text_tokens,
     "q_text_lang": q_text_lang,
@@ -1640,6 +1685,20 @@ Q_PII_SCAN_SQL = r"""
                    THEN 1 ELSE 0 END) AS BIGINT),
                CAST(0 AS BIGINT)
         FROM documents
+        UNION ALL
+        SELECT 'redact:' || c_mktsegment, count(*),
+               CAST(sum(len(regexp_extract_all(red, 'Customer#[0-9]+'))
+                        + len(regexp_extract_all(red, '[0-9]{4,}')))
+                    AS BIGINT),
+               CAST(sum(CAST('0x' || substr(md5(red), 1, 8) AS BIGINT))
+                    AS BIGINT)
+        FROM (
+          SELECT c_mktsegment,
+                 regexp_replace(
+                   regexp_replace(c_name, 'Customer#[0-9]+', '[ID_TAG]', 'g'),
+                   '[0-9]{4,}', '[DIGIT_RUN]', 'g') AS red
+          FROM customer
+        ) GROUP BY c_mktsegment
 """
 
 Q_MM_META_SQL = """
@@ -1945,9 +2004,40 @@ HAVING count(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
 ORDER BY n_docs DESC, n_occurrences DESC, span_digest ASC LIMIT 20
 """
 
+# TF-IDF: same tokenization; the idf ln is truncated to DECIMAL(20,10)
+# before the tf multiply on both sides, so ranks cannot flip (lm_scores
+# discipline); ties break on term asc
+Q_TFIDF_SQL = rf"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        ),
+        dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        nn AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+        sc AS (
+          SELECT tf.doc_id, tf.term, tf.tf,
+                 CAST(tf.tf AS DECIMAL(8,0))
+                   * CAST(ln(CAST(1 + nn.n AS DOUBLE)
+                             / CAST(1 + dfc.df AS DOUBLE)) + 1.0
+                          AS DECIMAL(20,10)) AS s
+          FROM tf JOIN dfc USING (term), nn
+        ),
+        rk AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY s DESC, term) AS r
+          FROM sc
+        )
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+               CAST(floor(s * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS tfidf
+        FROM rk WHERE r <= {TFIDF_K}
+"""
+
 PARKED_PIPELINE_ORACLES: dict[str, str] = {
     "q_decontaminate": Q_DECONTAMINATE_SQL,
     "q_dup_spans": Q_DUP_SPANS_SQL,
+    "q_tfidf": Q_TFIDF_SQL,
     "q_dedup_ngram": Q_DEDUP_NGRAM_SQL,
     "q_text_tokens": Q_TEXT_TOKENS_SQL,
     "q_text_lang": Q_TEXT_LANG_SQL,

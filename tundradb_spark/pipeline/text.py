@@ -554,3 +554,110 @@ def winnow_fingerprints(
         F.size("__fp").alias("n_fingerprints"),
         F.md5(F.array_join(F.col("__fp"), ",")).alias("fp_digest"),
     )
+
+
+def redact_patterns(
+    docs: DataFrame,
+    patterns: dict[str, str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """PII REDACTION — the cleaning step after :func:`pii_scan`'s audit:
+    every match of each named pattern is replaced with its ``[NAME]`` tag
+    (e.g. ``[EMAIL]``), in one chained ``regexp_replace`` projection.
+
+    Patterns apply in dict order; earlier replacements are visible to
+    later patterns (tags contain no digits/@/://, so the default patterns
+    never re-match a tag).  Output: ``(id, *keep_cols, text_redacted,
+    n_redactions)`` with ``n_redactions`` counted on the ORIGINAL text.
+    Narrow, shuffle-free, linear — and self-asserting: re-scanning
+    ``text_redacted`` with the same patterns must count zero.
+    """
+    pats = patterns or DEFAULT_PII_PATTERNS
+    red = F.col(text_col)
+    n_red = None
+    for name, pat in pats.items():
+        c = F.regexp_count(F.col(text_col), F.lit(pat))
+        n_red = c if n_red is None else n_red + c
+        red = F.regexp_replace(red, pat, f"[{name.upper()}]")
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
+        red.alias("text_redacted"),
+        n_red.cast("long").alias("n_redactions"),
+    )
+
+
+def tfidf_topk_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` terms by smoothed TF-IDF
+    (``tf × (ln((1+N)/(1+df)) + 1)``) — the classic keyword-extraction /
+    topic-tagging signal a corpus catalog builds.
+
+    Plan: explode → one map-side-combined ``groupBy(doc, term)`` (tf) →
+    ``groupBy(term)`` over those rows (df; already distinct per doc) →
+    broadcast scalar N → per-doc window for the top-k.  Two shuffles plus
+    the final doc-key window, each linear.
+
+    Engine-portability: the idf ``ln`` is cast to ``decimal(20,10)``
+    BEFORE the tf multiply, so scores are exact decimals — ranking ties
+    cannot flip between engines (the ``lm_scores`` discipline); ties
+    break on term asc.  Output: ``(doc_id, term, tf, tfidf)`` rounded to
+    6 for presentation."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tf = (
+        docs.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.agg(F.count_distinct(F.col(id_col)).alias("n"))
+    scored = (
+        tf.join(df_counts, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            # tf cast to decimal(8,0): a LONG multiplicand makes the
+            # product's precision exceed 38, and Spark's precision-loss
+            # rule silently truncates the scale to 7 — DuckDB keeps 10, so
+            # knife-edge values diverge at the output rounding.  (8,0) ×
+            # (20,10) stays within precision 38 at scale 10, exact.
+            (
+                F.col("tf").cast("decimal(8,0)")
+                * F.expr(
+                    "cast(ln(cast(1 + n as double) / cast(1 + df as double))"
+                    " + 1.0 as decimal(20,10))"
+                )
+            ).alias("__s"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__s"), F.asc("term"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            # half-up rounding done EXACTLY in decimal arithmetic
+            # (floor(s·10⁶ + ½)/10⁶): tf × a 10-dp decimal produces exact
+            # .xxxxxx5 halfway cases where engine round() conventions
+            # diverge (Spark half-up vs DuckDB half-even on doubles)
+            F.expr(
+                "cast(floor(__s * 1000000 + 0.5) as double) / 1000000.0"
+            ).alias("tfidf"),
+        )
+    )
