@@ -223,7 +223,9 @@ def test_text_ops_narrow_and_pushed(spark):
     assert "TakeOrderedAndProject" in audit.simple_plan(rep)
     assert audit.count_exchanges(rep) == 0, audit.formatted_plan(rep)
     pii = entry.queries()["q_pii_scan"](spark, SF)
-    assert audit.count_exchanges(pii) <= 2, audit.formatted_plan(pii)
+    # one aggregate exchange per tagged branch: segment counts, documents
+    # summary, and (r5) the redaction digest rollup
+    assert audit.count_exchanges(pii) <= 3, audit.formatted_plan(pii)
     audit.assert_no_nested_loop(pii)
 
 
