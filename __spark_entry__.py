@@ -519,7 +519,44 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("r"), F.col("r_regionkey")).alias("vertex")
     )
     lv = bfs_levels(r2n.unionByName(n2c), sources, max_hops=4)
-    return lv.groupBy("level").agg(F.count(F.lit(1)).alias("n_vertices"))
+    bfs = lv.groupBy("level").agg(F.count(F.lit(1)).alias("n_vertices")).select(
+        F.lit("bfs").alias("grp"),
+        F.col("level").cast("long").alias("level"),
+        F.col("n_vertices").cast("long").alias("n_vertices"),
+    )
+    # weighted SSSP branch (graphs.algorithms.sssp) over the same layered
+    # DAG with integer weights (fp-exact path sums) plus region→customer
+    # shortcut edges so relaxation genuinely competes with the direct hop;
+    # result summarized as a distance histogram
+    from tundradb_spark.graphs.algorithms import sssp
+
+    wr2n = nat.select(
+        F.concat(F.lit("r"), F.col("n_regionkey")).alias("src"),
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("dst"),
+        (F.col("n_nationkey") % 5 + 1).cast("double").alias("w"),
+    )
+    wn2c = cust.select(
+        F.concat(F.lit("n"), F.col("c_nationkey")).alias("src"),
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("dst"),
+        (F.col("c_custkey") % 7 + 1).cast("double").alias("w"),
+    )
+    wr2c = cust.filter(F.col("c_custkey") < 50).join(
+        nat.select("n_nationkey", "n_regionkey"),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(
+        F.concat(F.lit("r"), F.col("n_regionkey")).alias("src"),
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("dst"),
+        F.lit(9.0).alias("w"),
+    )
+    d = sssp(wr2n.unionByName(wn2c).unionByName(wr2c), sources)
+    ss = d.groupBy(F.col("dist").cast("long").alias("level")).agg(
+        F.count(F.lit(1)).alias("n_vertices")
+    ).select(
+        F.lit("sssp").alias("grp"),
+        "level",
+        F.col("n_vertices").cast("long").alias("n_vertices"),
+    )
+    return bfs.unionByName(ss)
 
 
 def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,8 +588,42 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = db.get_edge_table("IN_NATION").select(
         F.col("source_id"), (F.col("target_id") + F.lit(1_000_000)).alias("target_id")
     )
-    pr = pagerank(e, iters=3)
-    return pr.select("vertex", F.round("rank", 6).alias("rank"))
+    pr = pagerank(e, iters=3).select(
+        F.lit("pr").alias("grp"),
+        F.col("vertex").cast("long").alias("vertex"),
+        F.round("rank", 6).alias("val"),
+    )
+    # triangle branch (graphs.algorithms.triangle_counts): the layered
+    # key-offset graph region→nation→customer plus region→customer
+    # shortcuts — one triangle per shortcut customer; per-vertex
+    # participation counts value-check the full closure
+    from tundradb_spark.graphs.algorithms import triangle_counts
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_custkey") < 100
+    )
+    r2n = nat.select(
+        (F.col("n_regionkey") + 2_000_000).alias("id_a"),
+        (F.col("n_nationkey") + 1_000_000).alias("id_b"),
+    )
+    n2c = cust.select(
+        (F.col("c_nationkey") + 1_000_000).alias("id_a"),
+        F.col("c_custkey").alias("id_b"),
+    )
+    r2c = cust.join(
+        nat.select("n_nationkey", "n_regionkey"),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(
+        (F.col("n_regionkey") + 2_000_000).alias("id_a"),
+        F.col("c_custkey").alias("id_b"),
+    )
+    tri = triangle_counts(r2n.unionByName(n2c).unionByName(r2c)).select(
+        F.lit("tri").alias("grp"),
+        F.col("vertex").cast("long").alias("vertex"),
+        F.col("n_triangles").cast("double").alias("val"),
+    )
+    return pr.unionByName(tri)
 
 
 def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1718,6 +1789,9 @@ ORACLES: dict[str, str] = {
     "q_dup_clusters": _DUP_CLUSTERS_SQL,
     # BFS levels = min walk length per vertex (the edge graph is a tree, so
     # the recursive walk enumerates each vertex once per path — unique here)
+    # sssp branch: recursive CTE over the layered DAG (depth <= 2, so the
+    # recursion terminates without a visited set); integer weights keep
+    # the double path sums exact on both engines
     "q_bfs_levels": """
         WITH RECURSIVE e AS (
             SELECT 'r' || CAST(n_regionkey AS VARCHAR) AS u,
@@ -1736,8 +1810,39 @@ ORACLES: dict[str, str] = {
             FROM walk w JOIN e ON e.u = w.vertex
             WHERE w.level < 4
         ),
-        lv AS (SELECT vertex, MIN(level) AS level FROM walk GROUP BY vertex)
-        SELECT level, count(*) AS n_vertices FROM lv GROUP BY level
+        lv AS (SELECT vertex, MIN(level) AS level FROM walk GROUP BY vertex),
+        we AS (
+            SELECT 'r' || CAST(n_regionkey AS VARCHAR) AS u,
+                   'n' || CAST(n_nationkey AS VARCHAR) AS v,
+                   CAST(n_nationkey % 5 + 1 AS DOUBLE) AS w
+            FROM nation
+            UNION ALL
+            SELECT 'n' || CAST(c_nationkey AS VARCHAR),
+                   'c' || CAST(c_custkey AS VARCHAR),
+                   CAST(c_custkey % 7 + 1 AS DOUBLE)
+            FROM customer
+            UNION ALL
+            SELECT 'r' || CAST(n.n_regionkey AS VARCHAR),
+                   'c' || CAST(c.c_custkey AS VARCHAR),
+                   CAST(9.0 AS DOUBLE)
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_custkey < 50
+        ),
+        wwalk(vertex, dist, depth) AS (
+            SELECT 'r' || CAST(r_regionkey AS VARCHAR), CAST(0 AS DOUBLE), 0
+            FROM region WHERE r_name = 'ASIA'
+            UNION ALL
+            SELECT we.v, w.dist + we.w, w.depth + 1
+            FROM wwalk w JOIN we ON we.u = w.vertex
+            WHERE w.depth < 3
+        ),
+        sd AS (SELECT vertex, MIN(dist) AS dist FROM wwalk GROUP BY vertex)
+        SELECT 'bfs' AS grp, CAST(level AS BIGINT) AS level,
+               count(*) AS n_vertices
+        FROM lv GROUP BY level
+        UNION ALL
+        SELECT 'sssp', CAST(dist AS BIGINT), count(*)
+        FROM sd GROUP BY CAST(dist AS BIGINT)
     """,
     # survivors = documents minus members whose cluster canonical is smaller
     "q_dedup_apply": f"""
@@ -1750,8 +1855,43 @@ ORACLES: dict[str, str] = {
         GROUP BY d.lang
     """,
     # pagerank: the 3 power iterations unrolled as CTEs, dangling mass
-    # redistributed each round exactly as the engine does
-    "q_pagerank": _PAGERANK_SQL,
+    # redistributed each round exactly as the engine does; triangle
+    # branch: canonical a<b<c wedge-close join — every triangle once
+    "q_pagerank": f"""
+        WITH pr AS ({_PAGERANK_SQL}),
+        raw AS (
+            SELECT n_regionkey + 2000000 AS p, n_nationkey + 1000000 AS q
+            FROM nation
+            UNION ALL
+            SELECT c_nationkey + 1000000, c_custkey
+            FROM customer WHERE c_custkey < 100
+            UNION ALL
+            SELECT n.n_regionkey + 2000000, c.c_custkey
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_custkey < 100
+        ),
+        te AS (
+            SELECT DISTINCT least(p, q) AS a, greatest(p, q) AS b
+            FROM raw WHERE p != q
+        ),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM te e1
+            JOIN te e2 ON e2.a = e1.b
+            JOIN te e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        tc AS (
+            SELECT vertex, count(*) AS n_triangles
+            FROM (SELECT unnest([x, y, z]) AS vertex FROM tri)
+            GROUP BY vertex
+        )
+        SELECT 'pr' AS grp, CAST(vertex AS BIGINT) AS vertex,
+               rank AS val
+        FROM pr
+        UNION ALL
+        SELECT 'tri', CAST(vertex AS BIGINT), CAST(n_triangles AS DOUBLE)
+        FROM tc
+    """,
     # the mutated-state oracle: re-derives create→update→delete relationally
     "q_dml": """
         WITH base AS (

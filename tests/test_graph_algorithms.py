@@ -89,3 +89,67 @@ class TestBfsLevels:
         src = spark.createDataFrame([(0,)], "vertex long")
         got = bfs_levels(edges, src, max_hops=2).collect()
         assert max(r.level for r in got) == 2 and len(got) == 3
+
+
+class TestTriangleCounts:
+    def test_known_graph(self, spark):
+        from tundradb_spark.graphs.algorithms import triangle_counts
+
+        # K4 on {1,2,3,4}: every vertex is in C(3,2)=3 triangles
+        edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        out = {r["vertex"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+        assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_direction_and_dups_ignored(self, spark):
+        from tundradb_spark.graphs.algorithms import triangle_counts
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (3, 4)],
+            "id_a long, id_b long",
+        )
+        out = {r["vertex"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+        assert out == {1: 1, 2: 1, 3: 1}
+
+    def test_triangle_free(self, spark):
+        from tundradb_spark.graphs.algorithms import triangle_counts
+
+        df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+        assert triangle_counts(df).count() == 0
+
+
+class TestSssp:
+    def test_weighted_shortest_paths(self, spark):
+        from tundradb_spark.graphs.algorithms import sssp
+
+        # 0 ->(1) 1 ->(1) 2 ; 0 ->(5) 2 ; 2 ->(1) 3
+        e = spark.createDataFrame(
+            [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 5.0), (2, 3, 1.0)],
+            "src long, dst long, w double",
+        )
+        s = spark.createDataFrame([(0,)], "vertex long")
+        out = {r["vertex"]: r["dist"] for r in sssp(e, s).collect()}
+        assert out == {0: 0.0, 1: 1.0, 2: 2.0, 3: 3.0}
+
+    def test_unreachable_absent_and_multi_source(self, spark):
+        from tundradb_spark.graphs.algorithms import sssp
+
+        e = spark.createDataFrame(
+            [(0, 1, 2.0), (5, 6, 1.0)], "src long, dst long, w double"
+        )
+        s = spark.createDataFrame([(0,), (5,)], "vertex long")
+        out = {r["vertex"]: r["dist"] for r in sssp(e, s).collect()}
+        assert out == {0: 0.0, 1: 2.0, 5: 0.0, 6: 1.0}
+        assert 99 not in out
+
+    def test_relaxation_beats_greedy(self, spark):
+        from tundradb_spark.graphs.algorithms import sssp
+
+        # longer hop count but cheaper total must win
+        e = spark.createDataFrame(
+            [(0, 9, 10.0), (0, 1, 1.0), (1, 2, 1.0), (2, 9, 1.0)],
+            "src long, dst long, w double",
+        )
+        s = spark.createDataFrame([(0,)], "vertex long")
+        out = {r["vertex"]: r["dist"] for r in sssp(e, s).collect()}
+        assert out[9] == 3.0

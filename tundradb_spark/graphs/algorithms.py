@@ -206,3 +206,104 @@ def bfs_levels(
         ).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def triangle_counts(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Per-vertex triangle participation counts over the undirected graph.
+
+    The MapReduce-standard degree-ordered formulation (Suri &
+    Vassilvitskii 2011): canonicalize each undirected edge as
+    ``a < b``, enumerate wedges by joining the edge list with itself on
+    the middle vertex, and close each wedge with a third edge lookup —
+    with ``a < b < c`` ordering every triangle is produced exactly ONCE.
+    Two equi-joins of the (deduplicated) edge list; at scale the wedge
+    join's cost is bounded by the degree distribution, and skewed hubs
+    are exactly what AQE's skew-join splitting handles.
+
+    Returns ``(vertex, n_triangles)`` for every vertex in ≥1 triangle.
+    """
+    a, b = F.col(src).cast("long"), F.col(dst).cast("long")
+    e = (
+        pairs.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    vertex_col: str = "vertex",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Single-source (multi-source) shortest paths over WEIGHTED directed
+    edges — Bellman-Ford as the standard iterative frontier program
+    (:func:`bfs_levels` is the unit-weight special case).
+
+    Per round: one equi-join (current distances → out-edges), a
+    ``groupBy(vertex).min`` merge with the previous distances, and a
+    scalar improvement count for termination; frames are
+    ``localCheckpoint``-ed so round k never replays rounds 1..k-1.
+    Converges in ≤ diameter rounds on non-negative weights; ``max_iters``
+    bounds adversarial inputs (negative-cycle graphs are out of scope).
+
+    Returns ``(vertex, dist)`` for every reachable vertex (0 at sources).
+    Integer-valued weights keep the fp path sums exact, so a SQL oracle
+    (recursive CTE on a DAG) matches bit-for-bit.
+    """
+    dist = (
+        sources.select(F.col(vertex_col).alias("vertex"))
+        .distinct()
+        .withColumn("dist", F.lit(0.0))
+        .localCheckpoint(eager=True)
+    )
+    out = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+    )
+    for _ in range(max_iters):
+        relaxed = (
+            dist.withColumnRenamed("vertex", "u")
+            .join(out, "u")
+            .select(F.col("v").alias("vertex"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        merged = (
+            dist.unionByName(relaxed)
+            .groupBy("vertex")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            merged.join(dist.withColumnRenamed("dist", "old"), "vertex", "left")
+            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .limit(1)
+            .count()
+        )
+        dist = merged
+        if improved == 0:
+            break
+    return dist
