@@ -19,10 +19,17 @@ without losing verification surface:
 * **Merged rows** — same-shaped operators share one slot via a tag-union
   that preserves every original output column (``q_outer_joins`` =
   left+right+full, ``q_semi_anti``, ``q_set_ops``, ``q_text_profile`` =
-  tokens+lang+fingerprint, ``q_text_scores`` = repetition+lm,
-  ``q_multimodal`` = meta+frames+decode).  The driver's order-insensitive
-  value hash covers each branch's full row set, so every merged operator
-  stays exactly as verified as when it held its own slot.
+  tokens+lang+fingerprint+winnowing, ``q_text_scores`` =
+  repetition+lm+DSIR, ``q_multimodal`` = meta+frames+decode,
+  ``q_text_quality`` = blended score+Gopher rules, ``q_chunking`` =
+  chunks+sequence packing, ``q_sample_stratified`` = strat+token-budget
+  mixtures, ``q_dedup_exact`` = summary+segment strip, ``q_dedup_embed``
+  = pairs+diversity prune+JL projection, ``q_pii_scan`` =
+  counts+redaction, ``q_pagerank`` = ranks+triangle counts,
+  ``q_bfs_levels`` = levels+weighted SSSP).  The driver's
+  order-insensitive value hash covers each branch's full row set, so
+  every merged operator stays exactly as verified as when it held its
+  own slot.
 * **Parked rows** (``PARKED_QUERIES`` / ``PARKED_ORACLES``) — true
   redundancies whose value surface is covered elsewhere: q_bucketed_match
   (result-identical to q_inner_join; the zero-shuffle plan proof lives in

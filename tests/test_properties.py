@@ -143,3 +143,124 @@ def test_chunking_partitions_document(spark, words, chunk):
     assert sum(n for _, n, _ in rows) == len(words)
     assert all(n == chunk for _, n, _ in rows[:-1])  # only tail is short
     assert " ".join(c for _, _, c in rows) == " ".join(words)
+
+
+@settings(**_SETTINGS)
+@given(
+    toks=st.lists(st.integers(1, 9), min_size=1, max_size=20),
+    seq_tokens=st.sampled_from([5, 8, 16]),
+    n_shards=st.sampled_from([1, 3]),
+)
+def test_pack_chunks_is_order_preserving_partition(
+    spark, toks, seq_tokens, n_shards
+):
+    """Packing is a PARTITION of the chunk stream that preserves in-shard
+    order: every chunk appears exactly once; (seq_idx, seq_pos) ordering
+    equals (doc_id, chunk_idx) ordering within a shard; and each chunk's
+    sequence is floor(start/seq_tokens) of its shard-local start offset —
+    the concat-and-split definition."""
+    from tundradb_spark.pipeline.sampling import pack_chunks
+
+    rows = [(i // 3, i % 3, t) for i, t in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, chunk_idx long, n_chunk_tokens long")
+    out = pack_chunks(df, seq_tokens=seq_tokens, n_shards=n_shards).collect()
+    assert len(out) == len(rows)  # partition: nothing lost or duplicated
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        doc_order = sorted(rs, key=lambda r: (r["doc_id"], r["chunk_idx"]))
+        seq_order = sorted(rs, key=lambda r: (r["seq_idx"], r["seq_pos"]))
+        assert [(r["doc_id"], r["chunk_idx"]) for r in doc_order] == [
+            (r["doc_id"], r["chunk_idx"]) for r in seq_order
+        ]
+        start = 0
+        for r in doc_order:
+            assert r["seq_idx"] == start // seq_tokens, (toks, seq_tokens)
+            start += r["n_chunk_tokens"]
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=24),
+        min_size=1,
+        max_size=6,
+    ),
+    window=st.sampled_from([2, 4]),
+)
+def test_strip_segments_matches_bruteforce(spark, texts, window):
+    """Window-mode strip == the brute-force definition: a window is
+    removed iff its exact token window appears in >= 2 distinct docs;
+    kept windows re-join in order."""
+    from tundradb_spark.pipeline.dedup import strip_duplicate_segments
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in strip_duplicate_segments(
+            df, mode="window", window=window
+        ).collect()
+    }
+
+    segs = {}
+    for i, t in enumerate(texts):
+        tk = [w for w in t.lower().split() if w]
+        segs[i] = [
+            " ".join(tk[s : s + window]) for s in range(0, len(tk), window)
+        ]
+    from collections import Counter
+
+    docs_with = Counter()
+    for i, ss in segs.items():
+        for s in set(ss):
+            docs_with[s] += 1
+    for i, ss in segs.items():
+        if not ss:
+            assert i not in out
+            continue
+        kept = [s for s in ss if docs_with[s] < 2]
+        assert out[i]["text_clean"] == " ".join(kept), (texts, window)
+        assert out[i]["n_removed"] == len(ss) - len(kept)
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(1, 9)),
+        min_size=1,
+        max_size=10,
+    ),
+    budget=st.integers(1, 30),
+)
+def test_mixture_budget_minimal_prefix(spark, docs, budget):
+    """Exact mixture keeps precisely the minimal priority-ordered prefix
+    whose cumulative tokens reach the budget (last kept doc may spill)."""
+    from tundradb_spark.pipeline.sampling import (
+        mixture_budget_sample,
+        sample_hash_col,
+    )
+
+    rows = [(i, "w " * nt, s) for i, (s, nt) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pri = {
+        r["doc_id"]: r["p"]
+        for r in df.select("doc_id", sample_hash_col().alias("p")).collect()
+    }
+    kept = {
+        r["doc_id"]
+        for r in mixture_budget_sample(df, {"a": budget}).collect()
+    }
+    expect = set()
+    cum = 0
+    for i, (s, nt) in sorted(
+        enumerate(docs), key=lambda t: (pri[t[0]], t[0])
+    ):
+        if s != "a":
+            continue
+        if cum < budget:
+            expect.add(i)
+        cum += nt
+    assert kept == expect, (docs, budget)
