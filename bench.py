@@ -112,19 +112,24 @@ def main() -> None:
         active = SparkSession.getActiveSession()
         if active is not None:
             active.stop()
-        # fresh JVM for the state/IO group — see module docstring
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--group", ",".join(heavy)],
-            capture_output=True,
-            text=True,
-        )
-        if proc.returncode != 0:
-            raise RuntimeError(
-                f"heavy bench group failed:\n{proc.stdout}\n{proc.stderr}"
+        # ONE subprocess PER heavy query: a stall in one query's JVM
+        # (stuck python worker, state-store churn after many streaming
+        # queries share a session) cannot pollute its neighbors — measured
+        # r5, a shared heavy JVM once reported 12.9s for a query that
+        # times at 1.5s in isolation
+        for name in heavy:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--group", name],
+                capture_output=True,
+                text=True,
             )
-        payload = json.loads(proc.stdout.strip().splitlines()[-1])
-        timings.update(payload["queries"])
-        spread.update(payload["spread"])
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"heavy bench {name} failed:\n{proc.stdout}\n{proc.stderr}"
+                )
+            payload = json.loads(proc.stdout.strip().splitlines()[-1])
+            timings.update(payload["queries"])
+            spread.update(payload["spread"])
 
     ordered = {n: timings[n] for n in all_names}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
