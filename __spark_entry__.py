@@ -65,6 +65,7 @@ from tundradb_spark.pipeline.queries import (
     PARKED_PIPELINE_QUERIES,
     PIPELINE_ORACLES,
     PIPELINE_QUERIES,
+    Q_DOC_QUALITY_SQL as _DOC_QUALITY_SQL,
 )
 from tundradb_spark.query import Query, where as W
 
@@ -576,11 +577,27 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = PIPELINE_QUERIES["q_dedup_minhash"](spark, sf_dir)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    kept = apply_dedup(docs, pairs)
-    return kept.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
+
+    def _summary(kept, tag):
+        return kept.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        ).select(
+            F.lit(tag).alias("grp"),
+            F.col("lang"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_chars").cast("long").alias("total_chars"),
+        )
+
+    minid = _summary(apply_dedup(docs, pairs), "minid")
+    # quality-canonical branch: each cluster collapses to its BEST-quality
+    # member (text.quality_scores, rounded 6 on both engines; id asc ties)
+    from tundradb_spark.pipeline.text import quality_scores
+
+    best = _summary(
+        apply_dedup(docs, pairs, quality=quality_scores(docs)), "best"
     )
+    return minid.unionByName(best)
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1851,14 +1868,31 @@ ORACLES: dict[str, str] = {
         SELECT 'sssp', CAST(dist AS BIGINT), count(*)
         FROM sd GROUP BY CAST(dist AS BIGINT)
     """,
-    # survivors = documents minus members whose cluster canonical is smaller
+    # minid survivors = documents minus members whose cluster canonical is
+    # smaller; best survivors = minus members outranked by a
+    # higher-quality clustermate (quality desc nulls last, id asc)
     "q_dedup_apply": f"""
-        WITH clusters AS ({_DUP_CLUSTERS_SQL})
-        SELECT d.lang, count(*) AS n_docs,
+        WITH clusters AS ({_DUP_CLUSTERS_SQL}),
+        qual AS ({_DOC_QUALITY_SQL}),
+        ranked AS (
+            SELECT c.doc_id,
+                   row_number() OVER (
+                       PARTITION BY c.keep_id
+                       ORDER BY q.q DESC NULLS LAST, c.doc_id) AS rn
+            FROM clusters c LEFT JOIN qual q ON q.doc_id = c.doc_id
+        )
+        SELECT 'minid' AS grp, d.lang, count(*) AS n_docs,
                CAST(sum(d.n_chars) AS BIGINT) AS total_chars
         FROM documents d
         WHERE NOT EXISTS (SELECT 1 FROM clusters c
                           WHERE c.doc_id = d.doc_id AND c.keep_id < c.doc_id)
+        GROUP BY d.lang
+        UNION ALL
+        SELECT 'best', d.lang, count(*),
+               CAST(sum(d.n_chars) AS BIGINT)
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM ranked r
+                          WHERE r.doc_id = d.doc_id AND r.rn > 1)
         GROUP BY d.lang
     """,
     # pagerank: the 3 power iterations unrolled as CTEs, dangling mass

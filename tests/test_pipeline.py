@@ -1134,3 +1134,70 @@ class TestTfidfTopkTerms:
         df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
         with pytest.raises(ValueError):
             tfidf_topk_terms(df, k=0)
+
+
+class TestImportanceResample:
+    def test_selects_n_and_is_deterministic(self, spark):
+        from tundradb_spark.pipeline.importance import importance_resample
+
+        rows = [(i, float(i % 7) - 3.0) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, dsir_weight double")
+        a = importance_resample(df, 10)
+        got = [r["doc_id"] for r in a.collect()]
+        assert len(got) == 10 and len(set(got)) == 10
+        again = [r["doc_id"] for r in
+                 importance_resample(df.repartition(5), 10).collect()]
+        assert sorted(got) == sorted(again)
+
+    def test_weight_bias(self, spark):
+        from tundradb_spark.pipeline.importance import importance_resample
+
+        # half the corpus has weight +8 (e^8 ~ 3000x the mass): the top-k
+        # must be dominated by heavy docs
+        rows = [(i, 8.0 if i < 50 else -8.0) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, dsir_weight double")
+        got = [r["doc_id"] for r in importance_resample(df, 20).collect()]
+        assert all(i < 50 for i in got)
+
+    def test_no_global_sort(self, spark):
+        from tundradb_spark.pipeline.importance import importance_resample
+
+        df = spark.createDataFrame([(0, 1.0)], "doc_id long, dsir_weight double")
+        plan = (importance_resample(df, 5)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "TakeOrderedAndProject" in plan
+
+    def test_validation(self, spark):
+        from tundradb_spark.pipeline.importance import importance_resample
+
+        df = spark.createDataFrame([(0, 1.0)], "doc_id long, dsir_weight double")
+        with pytest.raises(ValueError):
+            importance_resample(df, 0)
+
+    def test_quality_canonical(self, spark, docs):
+        from tundradb_spark.pipeline.dedup import apply_dedup
+
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 5), (2, 3)], "id_a long, id_b long"
+        )
+        quality = spark.createDataFrame(
+            [(0, 0.1), (1, 0.9), (5, 0.5), (2, 0.2), (3, 0.8)],
+            "doc_id long, quality double",
+        )
+        kept = {
+            r.doc_id
+            for r in apply_dedup(docs, pairs, quality=quality).collect()
+        }
+        # cluster {0,1,5}: best quality is 1; {2,3}: best is 3; 4 untouched
+        assert kept == {1, 3, 4}
+
+    def test_quality_missing_ranks_last(self, spark, docs):
+        from tundradb_spark.pipeline.dedup import apply_dedup
+
+        pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+        quality = spark.createDataFrame([(1, 0.2)], "doc_id long, quality double")
+        kept = {
+            r.doc_id
+            for r in apply_dedup(docs, pairs, quality=quality).collect()
+        }
+        assert 1 in kept and 0 not in kept  # 0 has no score -> ranks last

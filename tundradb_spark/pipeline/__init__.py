@@ -43,6 +43,7 @@ from tundradb_spark.pipeline.dedup import (
 from tundradb_spark.pipeline.importance import (
     dsir_weights,
     hashed_ngram_features,
+    importance_resample,
 )
 from tundradb_spark.pipeline.recipe import prepare_corpus
 from tundradb_spark.pipeline.sampling import (
@@ -142,5 +143,6 @@ __all__ = [
     "mixture_threshold_sample",
     "dsir_weights",
     "hashed_ngram_features",
+    "importance_resample",
     "prepare_corpus",
 ]

@@ -56,22 +56,51 @@ def apply_dedup(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    quality: DataFrame | None = None,
+    quality_col: str = "quality",
 ) -> DataFrame:
     """Materialize the DEDUPLICATED corpus from near-dup candidate pairs:
-    connected components over the pairs, keep each cluster's minimum-id
-    member, drop the rest — the step that actually shrinks a training set
-    after any pair generator (MinHash / SimHash / n-gram / embedding).
+    connected components over the pairs, keep ONE member per cluster,
+    drop the rest — the step that actually shrinks a training set after
+    any pair generator (MinHash / SimHash / n-gram / embedding).
+
+    Canonical selection: by default each cluster's minimum-id member
+    survives (stable, content-independent).  Pass ``quality`` — a
+    ``(id, score)`` frame, e.g. ``text.quality_scores`` — to keep each
+    cluster's HIGHEST-quality member instead (score desc, id asc
+    tie-break; members missing from ``quality`` rank last), the policy a
+    curation pipeline actually wants: near-dup groups collapse to their
+    best-written representative rather than whichever arrived first.
 
     Scale: the removal set is (cluster members − canonicals), typically a
     small fraction of the corpus; the final filter is one broadcastable
-    LEFT ANTI join — the full corpus is never shuffled.
+    LEFT ANTI join — the full corpus is never shuffled.  The quality
+    ranking windows only over CLUSTER MEMBERS (a per-cluster handful),
+    never the corpus.
     """
     from tundradb_spark.graphs.algorithms import dedup_clusters
 
     clusters = dedup_clusters(pairs, src, dst)
-    removals = clusters.filter(F.col("doc_id") != F.col("keep_id")).select(
-        F.col("doc_id").alias("__rm")
-    )
+    if quality is None:
+        removals = clusters.filter(F.col("doc_id") != F.col("keep_id")).select(
+            F.col("doc_id").alias("__rm")
+        )
+    else:
+        from pyspark.sql import Window
+
+        q = quality.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(quality_col).alias("__q"),
+        )
+        w = Window.partitionBy("keep_id").orderBy(
+            F.desc_nulls_last("__q"), F.asc("doc_id")
+        )
+        removals = (
+            clusters.join(q, "doc_id", "left")
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") > 1)
+            .select(F.col("doc_id").alias("__rm"))
+        )
     return docs.join(
         F.broadcast(removals),
         F.col(id_col).cast("long") == F.col("__rm"),

@@ -122,3 +122,46 @@ def dsir_weights(
             F.round(F.sum("__lr").cast("double"), 6).alias("dsir_weight"),
         )
     )
+
+
+def importance_resample(
+    weighted: DataFrame,
+    n_target: int,
+    weight_col: str = "dsir_weight",
+    id_col: str = "doc_id",
+    seed: int = 131,
+) -> DataFrame:
+    """Deterministic Gumbel-top-k importance resampling — the selection
+    step that turns :func:`dsir_weights` into a dataset: drawing the
+    ``n_target`` documents with the largest ``w + Gumbel`` keys samples
+    WITHOUT replacement with probability proportional to ``exp(w)``
+    (the Gumbel-max trick), i.e. exactly the DSIR paper's resampling
+    distribution.
+
+    The Gumbel noise is derived from the content hash
+    (``-ln(-ln(u))``, ``u = (h32(seed:id)+1) / (2^32+1)`` — strictly
+    inside (0,1)), so the drawn set is reproducible on any engine and
+    rerun.  Engine-exactness: the noisy key is built decimal-exact from
+    the 10-dp truncated ``ln`` values, so ranking ties cannot flip
+    (the lm_scores discipline; ties break on id asc).
+
+    Plan: one narrow projection + a global top-``n_target``
+    (TakeOrderedAndProject — no full sort).  Output: the input columns
+    plus ``gumbel_key`` (rounded)."""
+    if n_target < 1:
+        raise ValueError(f"n_target must be >= 1, got {n_target}")
+    u = (
+        h32(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))) + 1
+    ).cast("double") / float((1 << 32) + 1)
+    key = F.col(weight_col).cast("decimal(20,10)") + F.expr(
+        "cast(-ln(-ln(__u)) as decimal(20,10))"
+    )
+    ranked = weighted.withColumn("__u", u).withColumn("__key", key)
+    return (
+        ranked.orderBy(F.desc("__key"), F.asc(id_col))
+        .limit(n_target)
+        .select(
+            *[c for c in weighted.columns],
+            F.col("__key").cast("double").alias("gumbel_key"),
+        )
+    )

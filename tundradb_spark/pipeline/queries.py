@@ -781,10 +781,21 @@ def q_text_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_dsir_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNtruncated DSIR weights over the held-out split (the resample
+    branch draws from the full distribution, not the top-20)."""
+    from tundradb_spark.pipeline.importance import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("doc_id") % DSIR_TARGET_MOD == 0)
+    raw = docs.filter(F.col("doc_id") % DSIR_TARGET_MOD != 0)
+    return dsir_weights(raw, target, n_buckets=DSIR_BUCKETS)
+
+
 def q_text_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase-repetition top-20 + unigram-LM bottom-20 + DSIR importance
-    top-20 in one tagged frame: ('rep'|'lm'|'dsir', doc_id, n_tokens, s1,
-    s2)."""
+    top-20 + Gumbel-top-20 importance resample in one tagged frame:
+    ('rep'|'lm'|'dsir'|'resample', doc_id, n_tokens, s1, s2)."""
     rep = q_text_repetition(spark, sf_dir).select(
         F.lit("rep").alias("grp"),
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -806,7 +817,18 @@ def q_text_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dsir_weight").cast("double").alias("s1"),
         _ND().alias("s2"),
     )
-    return rep.unionByName(lm).unionByName(dsir)
+    from tundradb_spark.pipeline.importance import importance_resample
+
+    resample = importance_resample(
+        q_text_dsir_full(spark, sf_dir), RESAMPLE_N, seed=RESAMPLE_SEED
+    ).select(
+        F.lit("resample").alias("grp"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_feats").cast("long").alias("n_tokens"),
+        F.col("gumbel_key").cast("double").alias("s1"),
+        F.col("dsir_weight").cast("double").alias("s2"),
+    )
+    return rep.unionByName(lm).unionByName(dsir).unionByName(resample)
 
 
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1344,6 +1366,30 @@ gopher AS (
 )
 """
 
+# standalone per-doc blended-quality scores (the 'score' branch of
+# q_text_quality) — reused by the q_dedup_apply quality-canonical oracle
+Q_DOC_QUALITY_SQL = f"""
+SELECT doc_id,
+       round(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.25 * (1.0 - punct_ratio)
+             + 0.25 * least(4.0 * stop_ratio, 1.0), 6) AS q
+FROM (
+  SELECT doc_id, len(toks) AS n_tokens,
+         n_punct / greatest(n_chars, 1.0) AS punct_ratio,
+         CAST(len([x for x in toks if list_contains({_EN_STOPS}, x)])
+              AS DOUBLE)
+           / CAST(greatest(len(toks), 1) AS DOUBLE) AS stop_ratio
+  FROM (
+    SELECT doc_id, {_TOKS} AS toks,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(length(text)
+                - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                AS DOUBLE) AS n_punct
+    FROM documents
+  )
+)
+"""
+
 Q_TEXT_QUALITY_SQL = f"""
 WITH {_GOPHER_SQL.strip()},
 t AS (
@@ -1811,7 +1857,7 @@ Q_TEXT_PROFILE_SQL = f"""
 # smoothed log-likelihood ratio of the held-out target slice vs the rest;
 # per-feature ratios go through DECIMAL(20,10) before the per-doc sum —
 # the lm oracle's order-independence discipline
-Q_TEXT_DSIR_SQL = rf"""
+_DSIR_WEIGHTS_SQL = rf"""
         WITH alltk AS (
           SELECT doc_id, {_TOKS} AS tk FROM documents
         ),
@@ -1845,7 +1891,31 @@ Q_TEXT_DSIR_SQL = rf"""
                ROUND(CAST(sum(lr) AS DOUBLE), 6) AS dsir_weight
         FROM rf JOIN ratio USING (bucket)
         GROUP BY rf.doc_id
+"""
+
+Q_TEXT_DSIR_SQL = f"""
+        SELECT * FROM ({_DSIR_WEIGHTS_SQL})
         ORDER BY dsir_weight DESC, doc_id ASC LIMIT 20
+"""
+
+# Gumbel-top-k resample oracle: u = (h32('131:'||id)+1)/(2^32+1), key =
+# decimal(weight) + decimal(-ln(-ln(u))) — identical decimal arithmetic
+# to importance.importance_resample
+RESAMPLE_SEED, RESAMPLE_N = 131, 20
+Q_TEXT_RESAMPLE_SQL = f"""
+        SELECT doc_id, n_feats, dsir_weight,
+               CAST(CAST(dsir_weight AS DECIMAL(20,10))
+                    + CAST(-ln(-ln(
+                        CAST({hbits_sql(f"'{RESAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)", 32)} + 1 AS DOUBLE)
+                        / 4294967297.0))
+                      AS DECIMAL(20,10)) AS DOUBLE) AS gumbel_key
+        FROM ({_DSIR_WEIGHTS_SQL})
+        ORDER BY CAST(dsir_weight AS DECIMAL(20,10))
+                 + CAST(-ln(-ln(
+                     CAST({hbits_sql(f"'{RESAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)", 32)} + 1 AS DOUBLE)
+                     / 4294967297.0))
+                   AS DECIMAL(20,10)) DESC, doc_id ASC
+        LIMIT {RESAMPLE_N}
 """
 
 Q_TEXT_SCORES_SQL = f"""
@@ -1859,6 +1929,9 @@ Q_TEXT_SCORES_SQL = f"""
     UNION ALL
     SELECT 'dsir', doc_id, n_feats, dsir_weight, CAST(NULL AS DOUBLE)
     FROM ({Q_TEXT_DSIR_SQL})
+    UNION ALL
+    SELECT 'resample', doc_id, n_feats, gumbel_key, dsir_weight
+    FROM ({Q_TEXT_RESAMPLE_SQL})
 """
 
 Q_MULTIMODAL_SQL = f"""
