@@ -887,6 +887,50 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #: un-capped n-gram pairs are value-subsumed by the capped variant, and the
 #: single-operator text/multimodal rows now ride the merged tag-union rows
 #: above.  Oracles retained; tests/test_parked_oracles.py still checks them.
+ZORDER_BITS = 8
+
+
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton keys over (c_custkey, c_acctbal) — the multi-column
+    data-skipping layout (sources.zorder.with_zorder); every key
+    value-checked against the bit-interleave oracle."""
+    from tundradb_spark.sources.zorder import with_zorder
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    )
+    return with_zorder(cust, ["c_custkey", "c_acctbal"], bits=ZORDER_BITS).select(
+        "c_custkey", F.col("zkey").cast("long").alias("zkey")
+    )
+
+
+def _zorder_sql() -> str:
+    top = float((1 << ZORDER_BITS) - 1)
+    terms = []
+    for j, norm in enumerate(("nx", "ny")):
+        for i in range(ZORDER_BITS):
+            terms.append(f"((({norm} >> {i}) & 1) << {i * 2 + j})")
+    interleave = " + ".join(terms)
+    return f"""
+        WITH b AS (
+          SELECT CAST(min(c_custkey) AS DOUBLE) AS mnx,
+                 CAST(max(c_custkey) AS DOUBLE) AS mxx,
+                 CAST(min(c_acctbal) AS DOUBLE) AS mny,
+                 CAST(max(c_acctbal) AS DOUBLE) AS mxy
+          FROM customer
+        ),
+        nrm AS (
+          SELECT c_custkey,
+                 CAST(floor((CAST(c_custkey AS DOUBLE) - mnx)
+                            / (mxx - mnx) * {top}) AS BIGINT) AS nx,
+                 CAST(floor((CAST(c_acctbal AS DOUBLE) - mny)
+                            / (mxy - mny) * {top}) AS BIGINT) AS ny
+          FROM customer, b
+        )
+        SELECT c_custkey, CAST({interleave} AS BIGINT) AS zkey FROM nrm
+    """
+
+
 TFIDF_K = 5
 
 
@@ -901,6 +945,7 @@ PARKED_PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_decontaminate": q_decontaminate,  # new in r5: no free driver slot
     "q_dup_spans": q_dup_spans,  # new in r5: no free driver slot
     "q_tfidf": q_tfidf,  # new in r5: no free driver slot
+    "q_zorder": q_zorder,  # new in r5: no free driver slot
     "q_dedup_ngram": q_dedup_ngram,
     "q_text_tokens": q_text_tokens,
     "q_text_lang": q_text_lang,
@@ -2111,6 +2156,7 @@ PARKED_PIPELINE_ORACLES: dict[str, str] = {
     "q_decontaminate": Q_DECONTAMINATE_SQL,
     "q_dup_spans": Q_DUP_SPANS_SQL,
     "q_tfidf": Q_TFIDF_SQL,
+    "q_zorder": _zorder_sql(),
     "q_dedup_ngram": Q_DEDUP_NGRAM_SQL,
     "q_text_tokens": Q_TEXT_TOKENS_SQL,
     "q_text_lang": Q_TEXT_LANG_SQL,
