@@ -1201,3 +1201,61 @@ class TestImportanceResample:
             for r in apply_dedup(docs, pairs, quality=quality).collect()
         }
         assert 1 in kept and 0 not in kept  # 0 has no score -> ranks last
+
+
+class TestIncrementalDupPairs:
+    def test_batch_vs_corpus(self, spark, docs):
+        from tundradb_spark.pipeline.dedup import incremental_dup_pairs
+
+        corpus = docs.filter("doc_id <= 3")
+        new = spark.createDataFrame(
+            [
+                (10, "the quick brown fox jumps over the lazy dog"),  # dup of 0,1
+                (11, "entirely novel content never seen before"),
+            ],
+            ["doc_id", "text"],
+        )
+        pairs = {
+            (r["new_id"], r["corpus_id"])
+            for r in incremental_dup_pairs(new, corpus).collect()
+        }
+        assert (10, 0) in pairs and (10, 1) in pairs
+        assert all(n != 11 for n, _ in pairs)
+
+    def test_matches_full_run_cross_pairs(self, spark, docs):
+        from tundradb_spark.pipeline.dedup import (
+            incremental_dup_pairs,
+            minhash_lsh_pairs,
+        )
+
+        corpus = docs.filter("doc_id <= 2").select("doc_id", "text")
+        new = docs.filter("doc_id >= 3").select(
+            (F.col("doc_id") + 100).alias("doc_id"), "text"
+        )
+        inc = {
+            (r["new_id"], r["corpus_id"])
+            for r in incremental_dup_pairs(new, corpus).collect()
+        }
+        full = minhash_lsh_pairs(
+            corpus.unionByName(new), materialize=False
+        ).collect()
+        cross = {
+            (b, a) for r in full for a, b in [(r["id_a"], r["id_b"])] if b >= 100
+        }
+        assert inc == cross
+
+    def test_precomputed_signature_table(self, spark, docs):
+        from tundradb_spark.pipeline.dedup import (
+            incremental_dup_pairs,
+            minhash_signature,
+        )
+
+        corpus = docs.filter("doc_id <= 3")
+        sigs = minhash_signature(corpus)
+        new = docs.filter("doc_id = 5").select(
+            (F.col("doc_id") + 100).alias("doc_id"), "text"
+        )
+        a = sorted(map(tuple, incremental_dup_pairs(new, corpus).collect()))
+        b = sorted(map(tuple, incremental_dup_pairs(
+            new, corpus, corpus_sigs=sigs).collect()))
+        assert a == b and a  # non-empty: 105 is a norm dup of 0/1

@@ -31,6 +31,7 @@ DuckDB SQL oracle can reproduce results bit-for-bit (see __spark_entry__).
 
 from tundradb_spark.pipeline.dedup import (
     apply_dedup,
+    incremental_dup_pairs,
     strip_duplicate_segments,
     embedding_dup_pairs,
     exact_dedup,
@@ -101,6 +102,7 @@ __all__ = [
     "simhash_pairs",
     "ngram_jaccard_pairs",
     "strip_duplicate_segments",
+    "incremental_dup_pairs",
     "embedding_dup_pairs",
     "cosine_scores",
     "cosine_topk",

@@ -216,25 +216,7 @@ def minhash_lsh_pairs(
     )
     if materialize:
         sigs = sigs.persist()
-    banded = sigs.select(
-        F.col(id_col),
-        # explode_outer: keeps InferFiltersFromGenerate from pushing a
-        # size()>0 filter below the projection, which would re-inline (and
-        # recompute) the whole signature expression in the scan filter
-        F.explode_outer(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.array_join(F.slice("sig", i * r + 1, r), ",").alias(
-                            "band_key"
-                        ),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_key")
+    banded = _banded(sigs, id_col, bands, r)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -761,4 +743,79 @@ def strip_duplicate_segments(
                 sep,
             ).alias("text_clean"),
         )
+    )
+
+
+def _banded(sigs: DataFrame, id_col: str, bands: int, r: int) -> DataFrame:
+    # explode_outer: keeps InferFiltersFromGenerate from pushing a
+    # size()>0 filter below the projection, which would re-inline (and
+    # recompute) the whole signature expression in the scan filter
+    return sigs.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.array_join(F.slice("sig", i * r + 1, r), ",").alias(
+                            "band_key"
+                        ),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_key")
+
+
+def incremental_dup_pairs(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 5,
+    seed: int = 42,
+    corpus_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """INCREMENTAL near-dup detection: candidate pairs between an arriving
+    batch and the EXISTING corpus (``(new_id, corpus_id)``), without ever
+    re-pairing the corpus against itself — the ingest-time dedup shape of
+    a continuously-growing training set.
+
+    The corpus side should be the PERSISTED signature table a deployment
+    maintains (pass ``corpus_sigs`` = ``(id, sig)`` — e.g. the
+    ``minhash_signature`` output written at ingest); when omitted it is
+    computed from ``corpus`` for convenience.  Cost per batch:
+    ``O(|new|)`` signature work + one band join whose left side is the
+    small batch (AQE broadcasts it), NOT the ``O(|corpus|²)`` full
+    re-pairing — the property that keeps ingest-time dedup flat as the
+    corpus grows.
+
+    Same banding and hash family as :func:`minhash_lsh_pairs`, so a
+    pair surfaces here iff the batch-vs-corpus pair would surface in a
+    full run over ``corpus ∪ new``.
+    """
+    r = num_hashes // bands
+    new_sigs = minhash_signature(
+        new_docs, text_col, id_col, num_hashes, shingle_k, seed
+    )
+    if corpus_sigs is None:
+        corpus_sigs = minhash_signature(
+            corpus, text_col, id_col, num_hashes, shingle_k, seed
+        )
+    nb = _banded(new_sigs, id_col, bands, r).alias("n")
+    cb = _banded(corpus_sigs, id_col, bands, r).alias("c")
+    return (
+        nb.join(
+            cb,
+            (F.col("n.band_idx") == F.col("c.band_idx"))
+            & (F.col("n.band_key") == F.col("c.band_key")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
     )

@@ -887,6 +887,19 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #: un-capped n-gram pairs are value-subsumed by the capped variant, and the
 #: single-operator text/multimodal rows now ride the merged tag-union rows
 #: above.  Oracles retained; tests/test_parked_oracles.py still checks them.
+INC_NEW_MOD = 7
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time incremental dedup (dedup.incremental_dup_pairs): the
+    ``doc_id % 7 == 0`` slice plays the arriving batch, the rest the
+    existing corpus; every (new, corpus) candidate pair value-checked."""
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % INC_NEW_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % INC_NEW_MOD != 0)
+    return dedup.incremental_dup_pairs(new, corpus)
+
+
 ZORDER_BITS = 8
 
 
@@ -946,6 +959,7 @@ PARKED_PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dup_spans": q_dup_spans,  # new in r5: no free driver slot
     "q_tfidf": q_tfidf,  # new in r5: no free driver slot
     "q_zorder": q_zorder,  # new in r5: no free driver slot
+    "q_dedup_incremental": q_dedup_incremental,  # new in r5
     "q_dedup_ngram": q_dedup_ngram,
     "q_text_tokens": q_text_tokens,
     "q_text_lang": q_text_lang,
@@ -2152,11 +2166,34 @@ Q_TFIDF_SQL = rf"""
         FROM rk WHERE r <= {TFIDF_K}
 """
 
+Q_DEDUP_INC_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+         [{h32_sql('x')} for x in
+          list_distinct([substr(lower(text), i, {SHINGLE_K})
+            for i in generate_series(1, greatest(length(text) - {SHINGLE_K - 1}, 1))])
+         ] AS hs
+  FROM documents
+),
+sig AS (SELECT doc_id, {_minhash_sig_sql()} AS sig FROM sh),
+bands AS (
+  SELECT doc_id, i AS band_idx,
+         array_to_string(sig[(i*{_MINHASH_R}+1):(i*{_MINHASH_R}+{_MINHASH_R})], ',')
+           AS band_key
+  FROM sig, generate_series(0, {MINHASH_BANDS - 1}) t(i)
+)
+SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+FROM bands n JOIN bands c
+  ON n.band_idx = c.band_idx AND n.band_key = c.band_key
+WHERE n.doc_id % {INC_NEW_MOD} = 0 AND c.doc_id % {INC_NEW_MOD} != 0
+"""
+
 PARKED_PIPELINE_ORACLES: dict[str, str] = {
     "q_decontaminate": Q_DECONTAMINATE_SQL,
     "q_dup_spans": Q_DUP_SPANS_SQL,
     "q_tfidf": Q_TFIDF_SQL,
     "q_zorder": _zorder_sql(),
+    "q_dedup_incremental": Q_DEDUP_INC_SQL,
     "q_dedup_ngram": Q_DEDUP_NGRAM_SQL,
     "q_text_tokens": Q_TEXT_TOKENS_SQL,
     "q_text_lang": Q_TEXT_LANG_SQL,
