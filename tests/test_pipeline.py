@@ -1259,3 +1259,41 @@ class TestIncrementalDupPairs:
         b = sorted(map(tuple, incremental_dup_pairs(
             new, corpus, corpus_sigs=sigs).collect()))
         assert a == b and a  # non-empty: 105 is a norm dup of 0/1
+
+
+class TestCompressionRatios:
+    def test_redundancy_extremes(self, spark):
+        from tundradb_spark.pipeline.text import compression_ratios
+
+        rows = [
+            (0, "spam " * 500),                      # ultra-repetitive
+            (1, "the quick brown fox jumps over the lazy dog and then "
+                "discusses epistemology with a passing badger " * 3),
+            (2, ""),                                  # empty
+        ]
+        out = {r["doc_id"]: r for r in compression_ratios(
+            spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+        assert out[0]["ratio"] < 0.05          # repeats compress away
+        assert 0.05 < out[1]["ratio"] < 1.0    # prose compresses moderately
+        assert out[0]["ratio"] < out[1]["ratio"]
+        assert out[2]["ratio"] == 1.0 and out[2]["n_bytes"] == 0
+
+    def test_matches_zlib_reference(self, spark):
+        import zlib
+
+        from tundradb_spark.pipeline.text import compression_ratios
+
+        text = "some deterministic reference text " * 7
+        out = compression_ratios(
+            spark.createDataFrame([(0, text)], ["doc_id", "text"])
+        ).collect()[0]
+        b = text.encode()
+        assert out["n_bytes"] == len(b)
+        assert out["n_compressed"] == len(zlib.compress(b, 6))
+
+    def test_validation(self, spark):
+        from tundradb_spark.pipeline.text import compression_ratios
+
+        df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            compression_ratios(df, level=0)

@@ -357,3 +357,22 @@ def test_shell_completer(db):
     assert all_matches("KNO") == ["KNOWS"]
     assert "MATCH" in all_matches("")  # empty prefix offers everything
     assert all_matches("zzz") == []
+
+
+class TestExplain:
+    def test_explain_match_returns_physical_plan(self, qldb):
+        from tundradb_spark.ql.interpreter import execute_statement
+
+        out = execute_statement(
+            qldb, 'EXPLAIN MATCH (u:User) WHERE u.age > 25 SELECT u.name'
+        )
+        text = "\n".join(r["plan"] for r in out.collect())
+        assert "Scan" in text or "LocalTableScan" in text
+        assert out.columns == ["plan"]
+
+    def test_explain_requires_match(self, db):
+        from tundradb_spark.errors import QueryError
+        from tundradb_spark.ql.interpreter import execute_statement
+
+        with pytest.raises(QueryError):
+            execute_statement(db, "EXPLAIN SHOW EDGE TYPES")

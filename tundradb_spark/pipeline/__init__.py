@@ -77,6 +77,7 @@ from tundradb_spark.pipeline.similarity import (
     random_projection,
 )
 from tundradb_spark.pipeline.text import (
+    compression_ratios,
     fingerprints,
     gopher_rules,
     lang_confusion,
@@ -135,6 +136,7 @@ __all__ = [
     "lang_confusion",
     "fingerprints",
     "winnow_fingerprints",
+    "compression_ratios",
     "gopher_rules",
     "chunk_docs",
     "pack_chunks",

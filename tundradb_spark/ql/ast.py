@@ -113,6 +113,22 @@ class Commit:
     pass
 
 
+@dataclass(frozen=True)
+class Explain:
+    """EXPLAIN MATCH … — surface the engine's physical plan (extension;
+    the reference has no plan introspection at all)."""
+
+    inner: "Match"
+
+
 Statement = (
-    CreateSchema | CreateNode | CreateEdge | Match | Update | Delete | Show | Commit
+    CreateSchema
+    | CreateNode
+    | CreateEdge
+    | Match
+    | Update
+    | Delete
+    | Show
+    | Commit
+    | Explain
 )

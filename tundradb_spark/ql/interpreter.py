@@ -156,6 +156,16 @@ def execute_ast(db: "Database", stmt: ast.Statement) -> DataFrame | None:
         db.commit()
         return None
 
+    if isinstance(stmt, ast.Explain):
+        # plan introspection (extension): the compiled MATCH's PHYSICAL
+        # plan, one output row per line so the shell renders it verbatim
+        df = db.query(_build_query(db, stmt.inner))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return db.spark.createDataFrame(
+            [(line,) for line in plan.rstrip("\n").split("\n")],
+            "plan string",
+        )
+
     raise QueryError(f"unhandled statement: {stmt!r}")
 
 

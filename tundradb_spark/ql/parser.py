@@ -44,7 +44,7 @@ KEYWORDS = {
     "CREATE", "SCHEMA", "NODE", "EDGE", "FROM", "TO", "WITH", "MATCH",
     "DELETE", "WHERE", "SELECT", "RETURN", "AS", "INNER", "LEFT", "RIGHT",
     "FULL", "AND", "OR", "UPDATE", "SET", "COMMIT", "UNIQUE", "SHOW",
-    "EDGES", "TYPES",
+    "EDGES", "TYPES", "EXPLAIN",
     # extension-surface keywords (see module docstring)
     "OF", "TX", "GROUP", "BY", "AGG", "ORDER", "ASC", "DESC", "LIMIT",
     "DISTINCT",
@@ -243,6 +243,11 @@ class Parser:
         elif kw == "COMMIT":
             self.next()
             stmt = ast.Commit()
+        elif kw == "EXPLAIN":
+            self.next()
+            if not self.at_kw("MATCH"):
+                raise QueryError("TundraQL: EXPLAIN expects a MATCH statement")
+            stmt = ast.Explain(self.match_statement())
         else:
             raise QueryError(f"TundraQL: unknown statement {kw!r}")
         self.accept(";")
