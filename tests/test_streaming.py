@@ -462,3 +462,47 @@ class TestStreamGateCorpus:
         # dup pair {0, 1} survives (within-batch dropDuplicates keeps an
         # arbitrary member — documented on stream_gate_corpus)
         assert len(got) == 2 and got[1] == 4 and got[0] in (0, 1)
+
+
+class TestStreamIngestDedup:
+    def test_cross_batch_near_dups_dropped(self, spark, tmp_path):
+        import os
+
+        from tundradb_spark.streaming import stream_ingest_dedup
+
+        src = str(tmp_path / "isrc")
+        out = str(tmp_path / "iout")
+        sig = str(tmp_path / "isig")
+        ckpt = str(tmp_path / "ick")
+        os.makedirs(src)
+        schema = "doc_id long, text string"
+        b1 = [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "a totally different first-batch document"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # in-batch dup of 0
+        ]
+        b2 = [
+            (10, "the quick brown fox jumps over the lazy dog"),  # dup of corpus 0
+            (11, "fresh second-batch content nobody has seen"),
+        ]
+        spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(
+            spark.createDataFrame(b1, schema).schema
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        q = stream_ingest_dedup(stream, out, sig, ckpt)
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        kept = sorted(
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        )
+        # 2 = in-batch exact dup of 0; 10 = cross-batch near-dup of corpus 0
+        assert kept == [0, 1, 11]
+        # signature table holds exactly the admitted docs
+        sigs = sorted(r["doc_id"] for r in spark.read.parquet(sig).collect())
+        assert sigs == [0, 1, 11]

@@ -28,6 +28,7 @@ from tundradb_spark.streaming.ops import (
     session_window_agg,
     sessionize,
     stream_gate_corpus,
+    stream_ingest_dedup,
     stream_edges,
     stream_index_vectors,
     stream_nodes,
@@ -46,4 +47,5 @@ __all__ = [
     "stream_stream_join",
     "stream_index_vectors",
     "stream_gate_corpus",
+    "stream_ingest_dedup",
 ]

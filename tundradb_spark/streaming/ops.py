@@ -445,3 +445,103 @@ def stream_gate_corpus(
         .drop("__h")
     )
     return deduped.filter(sample_hash_col(id_col, sample_seed) < sample_bp)
+
+
+def stream_ingest_dedup(
+    stream: DataFrame,
+    out_path: str,
+    sig_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 5,
+    seed: int = 42,
+    query_name: str | None = None,
+) -> "StreamingQuery":
+    """Ingest-time NEAR-dup gating against the corpus accumulated so far:
+    each micro-batch is MinHash-probed against the PERSISTED signature
+    table (``pipeline.dedup.incremental_dup_pairs`` — O(batch) per
+    ingest, never O(corpus²)); batch docs that band-match an existing
+    corpus doc are dropped, survivors land in ``out_path`` and their
+    signatures append to ``sig_path`` for the NEXT batch to probe.
+
+    Within-batch duplicates: survivors of the corpus probe are also
+    exact-deduplicated against each other (normalized-text hash, min-id
+    wins) before writing, so a batch containing its own near-identical
+    copies doesn't admit all of them.  Replay safety: both writes stamp
+    the epoch and use DYNAMIC partition overwrite on ``epoch`` — a
+    replayed micro-batch overwrites its own partitions instead of
+    duplicating rows (the ``stream_index_vectors`` discipline).
+
+    The first batch sees no signature table and admits everything — the
+    bootstrap every incremental index shares.
+    """
+    from pyspark.sql import Window
+
+    from tundradb_spark.pipeline.dedup import (
+        incremental_dup_pairs,
+        minhash_signature,
+        normalized_text,
+    )
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        try:
+            corpus_sigs = spark.read.parquet(sig_path).drop("epoch")
+            have_corpus = True
+        except Exception:
+            have_corpus = False
+        survivors = batch
+        if have_corpus:
+            dup_new = incremental_dup_pairs(
+                batch,
+                corpus=None,  # unused: corpus_sigs supplied below
+                text_col=text_col,
+                id_col=id_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_k=shingle_k,
+                seed=seed,
+                corpus_sigs=corpus_sigs,
+            ).select(F.col("new_id").alias("__dup"))
+            survivors = batch.join(
+                F.broadcast(dup_new.distinct()),
+                F.col(id_col).cast("long") == F.col("__dup"),
+                "left_anti",
+            )
+        # within-batch exact dedup: min-id per normalized-text hash
+        w = Window.partitionBy(
+            F.md5(normalized_text(F.col(text_col)))
+        ).orderBy(F.col(id_col).asc())
+        survivors = (
+            survivors.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        stamped = survivors.withColumn("epoch", F.lit(epoch))
+        (
+            stamped.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(out_path)
+        )
+        sigs = minhash_signature(
+            survivors, text_col, id_col, num_hashes, shingle_k, seed
+        ).withColumn("epoch", F.lit(epoch))
+        (
+            sigs.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(sig_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name or "ingest-dedup")
+        .start()
+    )
