@@ -647,7 +647,21 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vertex").cast("long").alias("vertex"),
         F.col("n_triangles").cast("double").alias("val"),
     )
-    return pr.unionByName(tri)
+    # personalized PageRank branch: walks restart at customers 0..9 —
+    # unreachable vertices hold exactly 0 (the locality property)
+    from tundradb_spark.graphs.algorithms import personalized_pagerank
+
+    seeds = spark.range(10).select(F.col("id").alias("vertex"))
+    # rounded at 3dp, not 6: PPR's symmetric seeds produce repeated
+    # values that can land exactly on a 6dp half boundary, where ~1e-12
+    # cross-engine fp iteration noise flips the rounding (measured:
+    # 39.4021875); at 3dp that noise cannot straddle a boundary
+    ppr = personalized_pagerank(e, seeds, iters=3).select(
+        F.lit("ppr").alias("grp"),
+        F.col("vertex").cast("long").alias("vertex"),
+        F.round("rank", 3).alias("val"),
+    )
+    return pr.unionByName(tri).unionByName(ppr)
 
 
 def q_stream_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1563,6 +1577,48 @@ def _pagerank_sql(iters: int = 3, damping: float = 0.85) -> str:
 
 _PAGERANK_SQL = _pagerank_sql()
 
+#: PPR personalization: customers 0..9 (all present at every driver sf)
+_PPR_SRC_MAX, _PPR_N_SRC = 10, 10
+
+
+def _ppr_sql(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled personalized PageRank over the same edges: reset AND
+    dangling mass directed to the personalization vector p (n/|S| on
+    customers < 10, 0 elsewhere); r0 = p — mirrors
+    graphs.algorithms.personalized_pagerank arithmetic exactly."""
+    d, reset = damping, 1.0 - damping
+    parts = [
+        "WITH edges AS (SELECT c_custkey AS u,"
+        " c_nationkey + 1000000 AS v FROM customer),",
+        "verts AS (SELECT u AS vertex FROM edges"
+        " UNION SELECT v FROM edges),",
+        "nn AS (SELECT COUNT(*) AS n FROM verts),",
+        "outdeg AS (SELECT u AS vertex, COUNT(*) AS outdeg"
+        " FROM edges GROUP BY u),",
+        f"pv AS (SELECT vertex, CASE WHEN vertex < {_PPR_SRC_MAX} THEN"
+        f" CAST((SELECT n FROM nn) AS DOUBLE) / {_PPR_N_SRC}.0"
+        f" ELSE 0.0 END AS p FROM verts),",
+        "p0 AS (SELECT vertex, p AS rank FROM pv),",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"pc{k} AS (SELECT e.v AS vertex, SUM(r.rank / o.outdeg) AS recv "
+            f"FROM edges e JOIN p{k-1} r ON e.u = r.vertex "
+            f"JOIN outdeg o ON e.u = o.vertex GROUP BY e.v),"
+        )
+        parts.append(
+            f"p{k} AS (SELECT pv.vertex, {reset} * pv.p + {d} * "
+            f"(COALESCE(c.recv, 0) + "
+            f"((SELECT n FROM nn) - (SELECT COALESCE(SUM(recv), 0) FROM pc{k}))"
+            f" * pv.p / (SELECT n FROM nn)) AS rank "
+            f"FROM pv LEFT JOIN pc{k} c ON pv.vertex = c.vertex),"
+        )
+    sql = "\n".join(parts).rstrip(",")
+    return f"{sql}\nSELECT vertex, ROUND(rank, 3) AS rank FROM p{iters}"
+
+
+_PPR_SQL = _ppr_sql()
+
 _DUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE pairs AS ({PIPELINE_ORACLES['q_dedup_minhash']}),
 edges AS (
@@ -1932,6 +1988,9 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT 'tri', CAST(vertex AS BIGINT), CAST(n_triangles AS DOUBLE)
         FROM tc
+        UNION ALL
+        SELECT 'ppr', CAST(vertex AS BIGINT), rank
+        FROM ({_PPR_SQL})
     """,
     # the mutated-state oracle: re-derives create→update→delete relationally
     "q_dml": """

@@ -153,3 +153,44 @@ class TestSssp:
         s = spark.createDataFrame([(0,)], "vertex long")
         out = {r["vertex"]: r["dist"] for r in sssp(e, s).collect()}
         assert out[9] == 3.0
+
+
+class TestPersonalizedPagerank:
+    def test_locality_and_mass(self, spark):
+        from tundradb_spark.graphs.algorithms import personalized_pagerank
+
+        # two disconnected components; sources only in the first
+        e = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0), (10, 11), (11, 10)],
+            "source_id long, target_id long",
+        )
+        s = spark.createDataFrame([(0,)], "vertex long")
+        out = {r["vertex"]: r["rank"] for r in
+               personalized_pagerank(e, s, iters=8).collect()}
+        # unreachable component holds zero rank
+        assert out[10] == 0.0 and out[11] == 0.0
+        # mass conserved at |V| = 5
+        assert sum(out.values()) == pytest.approx(5.0, abs=1e-6)
+        # the source outranks its downstream neighbors
+        assert out[0] > out[1] > 0
+
+    def test_uniform_sources_recover_standard(self, spark):
+        from tundradb_spark.graphs.algorithms import pagerank, personalized_pagerank
+
+        e = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0), (0, 2)], "source_id long, target_id long"
+        )
+        all_v = spark.createDataFrame([(0,), (1,), (2,)], "vertex long")
+        std = {r["vertex"]: r["rank"] for r in pagerank(e, iters=6).collect()}
+        ppr = {r["vertex"]: r["rank"] for r in
+               personalized_pagerank(e, all_v, iters=6).collect()}
+        for v in std:
+            assert ppr[v] == pytest.approx(std[v], abs=1e-9)
+
+    def test_empty_sources_raise(self, spark):
+        from tundradb_spark.graphs.algorithms import personalized_pagerank
+
+        e = spark.createDataFrame([(0, 1)], "source_id long, target_id long")
+        s = spark.createDataFrame([], "vertex long")
+        with pytest.raises(ValueError):
+            personalized_pagerank(e, s)
