@@ -501,7 +501,21 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tundradb_spark.pipeline.queries import PIPELINE_QUERIES
 
     pairs = PIPELINE_QUERIES["q_dedup_minhash"](spark, sf_dir)
-    return dedup_clusters(pairs)
+    cc = dedup_clusters(pairs).select(
+        F.lit("cc").alias("grp"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("keep_id").cast("long").alias("label"),
+    )
+    # density-sensitive communities over the SAME pair graph (deterministic
+    # synchronized LPA, graphs.algorithms.label_propagation)
+    from tundradb_spark.graphs.algorithms import label_propagation
+
+    lpa = label_propagation(pairs, iters=_LPA_ITERS).select(
+        F.lit("lpa").alias("grp"),
+        F.col("vertex").cast("long").alias("doc_id"),
+        F.col("label").cast("long").alias("label"),
+    )
+    return cc.unionByName(lpa)
 
 
 def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1636,6 +1650,51 @@ FROM reach GROUP BY a
 """
 
 
+_LPA_ITERS = 3
+
+
+def _lpa_sql(iters: int = _LPA_ITERS) -> str:
+    """Unrolled synchronized label propagation over the minhash pair
+    edges — mirrors graphs.algorithms.label_propagation: per round, every
+    vertex adopts its neighborhood's most frequent label (count desc,
+    label asc tie-break)."""
+    parts = [
+        "l0 AS (SELECT DISTINCT u AS vertex, u AS label FROM edges)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"c{k} AS (SELECT e.v AS vertex, l.label, count(*) AS cnt "
+            f"FROM edges e JOIN l{k-1} l ON e.u = l.vertex "
+            f"GROUP BY e.v, l.label)"
+        )
+        parts.append(
+            f"l{k} AS (SELECT vertex, label FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY vertex "
+            f"ORDER BY cnt DESC, label) AS rn FROM c{k}) WHERE rn = 1)"
+        )
+    return ",\n".join(parts)
+
+
+_DUP_CLUSTERS_UNION_SQL = f"""
+WITH RECURSIVE pairs AS ({PIPELINE_ORACLES['q_dedup_minhash']}),
+edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+),
+{_lpa_sql()}
+SELECT 'cc' AS grp, a AS doc_id, LEAST(a, MIN(b)) AS label
+FROM reach GROUP BY a
+UNION ALL
+SELECT 'lpa', vertex, label FROM l{_LPA_ITERS}
+"""
+
+
 _LEFT_JOIN_SQL = """
         SELECT c.c_custkey AS c_custkey, c.c_acctbal AS c_acctbal,
                o.o_orderkey AS o_orderkey, o.o_totalprice AS o_totalprice
@@ -1866,7 +1925,7 @@ ORACLES: dict[str, str] = {
     # dup clusters: transitive closure of the minhash pairs (recursive CTE)
     # then min-reachable-id per vertex — equals min-label propagation run to
     # convergence
-    "q_dup_clusters": _DUP_CLUSTERS_SQL,
+    "q_dup_clusters": _DUP_CLUSTERS_UNION_SQL,
     # BFS levels = min walk length per vertex (the edge graph is a tree, so
     # the recursive walk enumerates each vertex once per path — unique here)
     # sssp branch: recursive CTE over the layered DAG (depth <= 2, so the

@@ -194,3 +194,44 @@ class TestPersonalizedPagerank:
         s = spark.createDataFrame([], "vertex long")
         with pytest.raises(ValueError):
             personalized_pagerank(e, s)
+
+
+class TestLabelPropagation:
+    def test_clique_converges_to_min_label(self, spark):
+        from tundradb_spark.graphs.algorithms import label_propagation
+
+        # K4: after round 1 every vertex holds the min neighbor label; by
+        # round 2 all agree on 1 (tie-breaks are min-label)
+        edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        out = {r["vertex"]: r["label"]
+               for r in label_propagation(df, iters=3).collect()}
+        assert set(out.values()) == {1}
+
+    def test_two_cliques_two_labels(self, spark):
+        from tundradb_spark.graphs.algorithms import label_propagation
+
+        edges = [(a, b) for a in range(1, 4) for b in range(a + 1, 4)]
+        edges += [(a, b) for a in range(10, 13) for b in range(a + 1, 13)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        out = {r["vertex"]: r["label"]
+               for r in label_propagation(df, iters=3).collect()}
+        assert {out[v] for v in (1, 2, 3)} == {1}
+        assert {out[v] for v in (10, 11, 12)} == {10}
+
+    def test_deterministic_across_partitionings(self, spark):
+        from tundradb_spark.graphs.algorithms import label_propagation
+
+        edges = [(i, (i * 3 + 1) % 20) for i in range(20)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        a = sorted(map(tuple, label_propagation(df, iters=4).collect()))
+        b = sorted(map(tuple, label_propagation(
+            df.repartition(7), iters=4).collect()))
+        assert a == b
+
+    def test_validation(self, spark):
+        from tundradb_spark.graphs.algorithms import label_propagation
+
+        df = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+        with pytest.raises(ValueError):
+            label_propagation(df, iters=0)

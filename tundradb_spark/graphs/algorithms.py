@@ -391,3 +391,50 @@ def personalized_pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def label_propagation(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 3,
+) -> DataFrame:
+    """SYNCHRONIZED label-propagation communities (Raghavan et al. 2007,
+    made deterministic): every vertex starts as its own label; each round
+    ALL vertices simultaneously adopt their neighborhood's most frequent
+    label, ties broken by minimum label — no asynchronous update order,
+    no randomness, so any engine reproduces the labeling exactly.
+
+    Where :func:`connected_components` answers "touching at all", LPA
+    after k rounds reflects local edge DENSITY — dense near-dup blobs
+    converge to one label while chains fragment, which is the structure a
+    curation pass inspects before collapsing clusters.
+
+    Per round: one equi-join (labels → neighbors), one
+    ``groupBy(vertex, label)`` count, one per-vertex window argmax —
+    all hash-partitioned on the vertex key; frames checkpointed so round
+    k never replays earlier rounds.  Returns ``(vertex, label)``.
+    """
+    from pyspark.sql import Window
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = _sym_edges(pairs, src, dst)
+    verts = e.select(F.col("u").alias("vertex")).distinct().localCheckpoint()
+    labels = verts.withColumn("label", F.col("vertex"))
+    for _ in range(iters):
+        counts = (
+            e.join(labels.withColumnRenamed("vertex", "u"), "u")
+            .groupBy(F.col("v").alias("vertex"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("vertex").orderBy(
+            F.desc("cnt"), F.asc("label")
+        )
+        labels = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("vertex", "label")
+            .localCheckpoint()
+        )
+    return labels
