@@ -603,13 +603,20 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_chars").cast("long").alias("total_chars"),
         )
 
-    minid = _summary(apply_dedup(docs, pairs), "minid")
-    # quality-canonical branch: each cluster collapses to its BEST-quality
-    # member (text.quality_scores, rounded 6 on both engines; id asc ties)
+    # ONE cluster pass (iterative CC, checkpointed) shared by both
+    # canonical policies — recomputing it per branch doubled the query
+    from tundradb_spark.graphs.algorithms import dedup_clusters
     from tundradb_spark.pipeline.text import quality_scores
 
+    clusters = dedup_clusters(pairs)
+    minid = _summary(apply_dedup(docs, pairs, clusters=clusters), "minid")
+    # quality-canonical branch: each cluster collapses to its BEST-quality
+    # member (text.quality_scores, rounded 6 on both engines; id asc ties)
     best = _summary(
-        apply_dedup(docs, pairs, quality=quality_scores(docs)), "best"
+        apply_dedup(
+            docs, pairs, quality=quality_scores(docs), clusters=clusters
+        ),
+        "best",
     )
     return minid.unionByName(best)
 

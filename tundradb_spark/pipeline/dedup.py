@@ -58,6 +58,7 @@ def apply_dedup(
     dst: str = "id_b",
     quality: DataFrame | None = None,
     quality_col: str = "quality",
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Materialize the DEDUPLICATED corpus from near-dup candidate pairs:
     connected components over the pairs, keep ONE member per cluster,
@@ -78,9 +79,13 @@ def apply_dedup(
     ranking windows only over CLUSTER MEMBERS (a per-cluster handful),
     never the corpus.
     """
-    from tundradb_spark.graphs.algorithms import dedup_clusters
+    # clusters=: supply a precomputed dedup_clusters frame when applying
+    # several canonical policies over the SAME pair graph — the iterative
+    # CC pass runs once, not per policy
+    if clusters is None:
+        from tundradb_spark.graphs.algorithms import dedup_clusters
 
-    clusters = dedup_clusters(pairs, src, dst)
+        clusters = dedup_clusters(pairs, src, dst)
     if quality is None:
         removals = clusters.filter(F.col("doc_id") != F.col("keep_id")).select(
             F.col("doc_id").alias("__rm")
