@@ -25,8 +25,12 @@ without losing verification surface:
   chunks+sequence packing, ``q_sample_stratified`` = strat+token-budget
   mixtures, ``q_dedup_exact`` = summary+segment strip, ``q_dedup_embed``
   = pairs+diversity prune+JL projection, ``q_pii_scan`` =
-  counts+redaction, ``q_pagerank`` = ranks+triangle counts,
-  ``q_bfs_levels`` = levels+weighted SSSP).  The driver's
+  counts+redaction, ``q_pagerank`` = ranks+triangle counts+personalized
+  PageRank, ``q_bfs_levels`` = levels+weighted SSSP, ``q_dup_clusters``
+  = connected components+label-propagation communities,
+  ``q_dedup_apply`` = min-id+best-quality canonicals, and
+  ``q_text_scores`` additionally carries the Gumbel-top-k resample
+  branch).  The driver's
   order-insensitive value hash covers each branch's full row set, so
   every merged operator stays exactly as verified as when it held its
   own slot.
@@ -1551,6 +1555,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 #: queries parked out of the 50-slot driver window (module docstring has the
 #: rotation policy).  Still runnable, still oracle-bearing — checked every
 #: CI run by tests/test_parked_oracles.py instead of by the driver.
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (graphs.algorithms.hits) over the
+    customer→nation membership graph: nation authority ∝ member-hub mass,
+    customer hub ∝ its nation's authority.  Rounded at 3dp — same-nation
+    customers share identical hub values, the repeated-value knife-edge
+    class PPR hit at 6dp."""
+    from tundradb_spark.graphs.algorithms import hits
+
+    e = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("source_id"),
+        (F.col("c_nationkey") + 1_000_000).alias("target_id"),
+    )
+    return hits(e, iters=3).select(
+        "vertex",
+        F.round("hub", 3).alias("hub"),
+        F.round("authority", 3).alias("authority"),
+    )
+
+
+
 PARKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_left_join": q_left_join,
     "q_right_join": q_right_join,
@@ -1563,6 +1587,7 @@ PARKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_join": q_stream_join,
     "q_bucketed_match": q_bucketed_match,
     "q_ql_match": q_ql_match,
+    "q_hits": q_hits,
     **PARKED_PIPELINE_QUERIES,
 }
 
@@ -1655,6 +1680,45 @@ reach(a, b) AS (
 SELECT a AS doc_id, LEAST(a, MIN(b)) AS keep_id
 FROM reach GROUP BY a
 """
+
+
+def _hits_sql(iters: int = 3) -> str:
+    """Unrolled HITS (sum-to-|V| normalization each half-step) — mirrors
+    graphs.algorithms.hits arithmetic."""
+    parts = [
+        "WITH edges AS (SELECT c_custkey AS u,"
+        " c_nationkey + 1000000 AS v FROM customer),",
+        "verts AS (SELECT u AS vertex FROM edges"
+        " UNION SELECT v FROM edges),",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),",
+        "h0 AS (SELECT vertex, 1.0::DOUBLE AS hub FROM verts),",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"ar{k} AS (SELECT e.v AS vertex, SUM(h.hub) AS raw "
+            f"FROM edges e JOIN h{k-1} h ON e.u = h.vertex GROUP BY e.v),"
+        )
+        parts.append(
+            f"a{k} AS (SELECT v.vertex, COALESCE(ar.raw, 0) * (SELECT n FROM nn)"
+            f" / (SELECT SUM(raw) FROM ar{k}) AS authority "
+            f"FROM verts v LEFT JOIN ar{k} ar ON v.vertex = ar.vertex),"
+        )
+        parts.append(
+            f"hr{k} AS (SELECT e.u AS vertex, SUM(a.authority) AS raw "
+            f"FROM edges e JOIN a{k} a ON e.v = a.vertex GROUP BY e.u),"
+        )
+        parts.append(
+            f"h{k} AS (SELECT v.vertex, COALESCE(hr.raw, 0) * (SELECT n FROM nn)"
+            f" / (SELECT SUM(raw) FROM hr{k}) AS hub "
+            f"FROM verts v LEFT JOIN hr{k} hr ON v.vertex = hr.vertex),"
+        )
+    sql = "\n".join(parts).rstrip(",")
+    return (
+        f"{sql}\n"
+        f"SELECT h.vertex, ROUND(h.hub, 3) AS hub,"
+        f" ROUND(a.authority, 3) AS authority\n"
+        f"FROM h{iters} h JOIN a{iters} a ON h.vertex = a.vertex"
+    )
 
 
 _LPA_ITERS = 3
@@ -2232,6 +2296,7 @@ ORACLES: dict[str, str] = {
 }
 
 PARKED_ORACLES: dict[str, str] = {
+    "q_hits": _hits_sql(),
     "q_left_join": _LEFT_JOIN_SQL,
     "q_right_join": _RIGHT_JOIN_SQL,
     "q_full_join": _FULL_JOIN_SQL,

@@ -235,3 +235,30 @@ class TestLabelPropagation:
         df = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
         with pytest.raises(ValueError):
             label_propagation(df, iters=0)
+
+
+class TestHits:
+    def test_bipartite_authority_proportional_to_indegree(self, spark):
+        from tundradb_spark.graphs.algorithms import hits
+
+        # hubs 0..4 -> authorities 10 (3 in-edges) and 11 (2 in-edges)
+        e = spark.createDataFrame(
+            [(0, 10), (1, 10), (2, 10), (3, 11), (4, 11)],
+            "source_id long, target_id long",
+        )
+        out = {r["vertex"]: r for r in hits(e, iters=3).collect()}
+        assert out[10]["authority"] > out[11]["authority"] > 0
+        assert out[10]["hub"] == 0.0  # pure authority
+        assert out[0]["authority"] == 0.0  # pure hub
+        # hubs pointing at the stronger authority score higher
+        assert out[0]["hub"] > out[3]["hub"]
+
+    def test_mass_normalization(self, spark):
+        from tundradb_spark.graphs.algorithms import hits
+
+        e = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0)], "source_id long, target_id long"
+        )
+        out = hits(e, iters=4).collect()
+        assert sum(r["hub"] for r in out) == pytest.approx(3.0, abs=1e-9)
+        assert sum(r["authority"] for r in out) == pytest.approx(3.0, abs=1e-9)

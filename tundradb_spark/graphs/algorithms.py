@@ -438,3 +438,68 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "source_id",
+    dst: str = "target_id",
+    iters: int = 3,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999): authority(v) ∝ Σ hub(u)
+    over in-edges, hub(u) ∝ Σ authority(v) over out-edges, alternating.
+
+    Normalization: each half-step rescales its vector to SUM to |V|
+    (instead of the classic L2) — same fixed point direction, but the
+    rescale is a single distributed sum carried as a lazy 1-row aggregate
+    (the PageRank dangling-mass discipline), and the linear scale keeps a
+    SQL oracle exact after rounding.  Per iteration: two equi-joins + two
+    destination groupBys, checkpointed.  Returns
+    ``(vertex, hub, authority)``; sinks hold hub 0, sources authority 0.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    verts = (
+        e.select(F.col("u").alias("vertex"))
+        .union(e.select(F.col("v").alias("vertex")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = verts.count()
+    hubs = verts.withColumn("hub", F.lit(1.0)).localCheckpoint()
+    auths = verts.withColumn("authority", F.lit(1.0))
+    for _ in range(iters):
+        a_raw = (
+            e.join(hubs.withColumnRenamed("vertex", "u"), "u")
+            .groupBy(F.col("v").alias("vertex"))
+            .agg(F.sum("hub").alias("raw"))
+        )
+        a_tot = a_raw.agg(F.sum("raw").alias("tot"))
+        auths = (
+            verts.join(a_raw, "vertex", "left")
+            .crossJoin(a_tot)
+            .select(
+                "vertex",
+                (
+                    F.coalesce("raw", F.lit(0.0)) * F.lit(float(n)) / F.col("tot")
+                ).alias("authority"),
+            )
+            .localCheckpoint()
+        )
+        h_raw = (
+            e.join(auths.withColumnRenamed("vertex", "v"), "v")
+            .groupBy(F.col("u").alias("vertex"))
+            .agg(F.sum("authority").alias("raw"))
+        )
+        h_tot = h_raw.agg(F.sum("raw").alias("tot"))
+        hubs = (
+            verts.join(h_raw, "vertex", "left")
+            .crossJoin(h_tot)
+            .select(
+                "vertex",
+                (
+                    F.coalesce("raw", F.lit(0.0)) * F.lit(float(n)) / F.col("tot")
+                ).alias("hub"),
+            )
+            .localCheckpoint()
+        )
+    return hubs.join(auths, "vertex")
