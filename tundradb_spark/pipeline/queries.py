@@ -954,7 +954,54 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_topk_terms(_docs(spark, sf_dir), k=TFIDF_K)
 
 
+LM2_LAM = 0.7
+HLL_P = 9
+BLOOM_BAL = 5000.0
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source approximate distinct doc count via the deterministic
+    HyperLogLog sketch (sketches.hll_distinct) — constant shuffle state
+    per group at any corpus size; bit-exact against sketches.hll_sql."""
+    from tundradb_spark.pipeline.sketches import hll_distinct
+
+    return hll_distinct(_docs(spark, sf_dir), "doc_id", "source", p=HLL_P)
+
+
+def q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join: orders of high-balance customers.
+    The bitmap prefilter drops ~all non-matching orders inside the scan's
+    codegen stage before the join shuffle (plan pinned in
+    tests/test_sketches.py); the final semi join removes false positives,
+    so the result equals the plain IN-subquery oracle exactly."""
+    from tundradb_spark.pipeline.sketches import bloom_semi_join
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_acctbal") > BLOOM_BAL)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return bloom_semi_join(orders, keys, "o_custkey").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+def q_text_lm2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20 least-fluent docs under the interpolated bigram corpus LM
+    (text.lm_scores_bigram) — ordered lm2_logprob asc, doc_id asc (total
+    order, deterministic LIMIT)."""
+    return (
+        text.lm_scores_bigram(_docs(spark, sf_dir), lam=LM2_LAM)
+        .orderBy(F.asc("lm2_logprob"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 PARKED_PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_hll_distinct": q_hll_distinct,  # new in r5: no free driver slot
+    "q_bloom_semi": q_bloom_semi,  # new in r5: no free driver slot
+    "q_text_lm2": q_text_lm2,  # new in r5: no free driver slot
     "q_decontaminate": q_decontaminate,  # new in r5: no free driver slot
     "q_dup_spans": q_dup_spans,  # new in r5: no free driver slot
     "q_tfidf": q_tfidf,  # new in r5: no free driver slot
@@ -2188,7 +2235,58 @@ FROM bands n JOIN bands c
 WHERE n.doc_id % {INC_NEW_MOD} = 0 AND c.doc_id % {INC_NEW_MOD} != 0
 """
 
+def _hll_oracle_sql() -> str:
+    from tundradb_spark.pipeline.sketches import hll_sql
+
+    return hll_sql("documents", "doc_id", "source", p=HLL_P, group_alias="source")
+
+
+Q_BLOOM_SEMI_SQL = f"""
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_acctbal > {BLOOM_BAL!r})
+"""
+
+# bigram JM-interpolated LM: identical tokenization and bigram zip, weights
+# as DOUBLE literals in the same repr, decimal(20,10)-cast ln before the
+# per-doc sum (order-free exact)
+Q_TEXT_LM2_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, [x for x in string_split_regex(lower(text), '\s+')
+                  if x != ''] AS toks
+  FROM documents
+),
+uni AS (
+  SELECT tok, count(*) AS c1
+  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+),
+total AS (SELECT sum(c1) AS total FROM uni),
+bg AS (
+  SELECT doc_id,
+         unnest([toks[i] for i in range(1, len(toks))]) AS w1,
+         unnest([toks[i + 1] for i in range(1, len(toks))]) AS w2
+  FROM t WHERE len(toks) > 1
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2)
+SELECT b.doc_id, count(*) AS n_bigrams,
+       ROUND(CAST(sum(CAST(ln({LM2_LAM!r} * (CAST(c2.c2 AS DOUBLE)
+                                             / CAST(u1.c1 AS DOUBLE))
+                              + {1.0 - LM2_LAM!r} * (CAST(u2.c1 AS DOUBLE)
+                                             / CAST(tt.total AS DOUBLE)))
+                           AS DECIMAL(20,10))) / count(*)
+                  AS DOUBLE), 6) AS lm2_logprob
+FROM bg b
+JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+JOIN uni u1 ON b.w1 = u1.tok
+JOIN uni u2 ON b.w2 = u2.tok, total tt
+GROUP BY b.doc_id
+ORDER BY lm2_logprob ASC, doc_id ASC LIMIT 20
+"""
+
 PARKED_PIPELINE_ORACLES: dict[str, str] = {
+    "q_hll_distinct": _hll_oracle_sql(),
+    "q_bloom_semi": Q_BLOOM_SEMI_SQL,
+    "q_text_lm2": Q_TEXT_LM2_SQL,
     "q_decontaminate": Q_DECONTAMINATE_SQL,
     "q_dup_spans": Q_DUP_SPANS_SQL,
     "q_tfidf": Q_TFIDF_SQL,

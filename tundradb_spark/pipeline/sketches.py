@@ -1,0 +1,304 @@
+"""Distributed sketches: HyperLogLog distinct counts and Bloom-filter
+join pruning.
+
+Capability extensions over the reference (which has no approximate
+analytics — SURVEY.md §2.5 covers exact aggregation only): at 100 TB,
+``COUNT(DISTINCT url)`` per group is a full shuffle of every distinct key,
+and a semi-join against a mid-size key set shuffles the entire big side.
+Both sketches cut that to constant state per group / per filter.
+
+Engine-portability is the design constraint (same discipline as
+``hashing.py``): every sketch is built from the portable md5 hash family,
+with EXACT integer arithmetic everywhere order-independence matters —
+per-bucket registers are integer maxes, the HLL harmonic sum is an integer
+sum of powers of two, the Bloom bitmap is an integer bit_or — so a DuckDB
+oracle reproduces every output bit-for-bit (the only floats are a fixed
+sequence of IEEE-754 ops on exact integers, rounded at the end).
+
+Reference parity anchor: the reference's aggregation surface is
+``src/core/aggregations.cpp`` (COUNT/SUM/MIN/MAX/AVG); these sketches are
+the scale path those exact aggregates need at 1000 executors.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from tundradb_spark.pipeline.hashing import (
+    MERSENNE_P,
+    h32,
+    h32_sql,
+    hbits,
+    hbits_sql,
+    minhash_params,
+)
+
+#: hash bits consumed by the HLL sketch: p bucket bits + (48-p) register bits
+HLL_HASH_BITS = 48
+
+
+def _hll_alpha(m: int) -> float:
+    """Standard HLL bias-correction constant (Flajolet et al. 2007)."""
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    p: int = 9,
+) -> DataFrame:
+    """Per-(group, bucket) HLL registers: ``max(rho)`` over the keys that
+    hash into the bucket.
+
+    This is the MERGEABLE form: registers from disjoint partitions (or
+    disjoint corpora) union by taking the per-bucket max — exactly what
+    ``groupBy(group, bucket).max()`` computes, so Spark's map-side partial
+    aggregation IS the sketch merge and the shuffle carries at most
+    ``m = 2**p`` rows per group regardless of input size.
+
+    rho (the register value) is the 1-based position of the leftmost 1-bit
+    in the (48-p) remainder bits — computed with ``bin()`` string length,
+    which Spark and DuckDB define identically (minimal binary
+    representation, ``bin(0) = '0'``), so no floating-point ``log2``.
+    """
+    if not 4 <= p <= 14:
+        raise ValueError(f"p must be in [4, 14], got {p}")
+    rbits = HLL_HASH_BITS - p
+    h = hbits(F.col(key_col).cast("string"), HLL_HASH_BITS)
+    bucket = F.shiftright(h, rbits)
+    rem = h.bitwiseAND(F.lit((1 << rbits) - 1))
+    rho = F.when(rem > 0, F.lit(rbits) + 1 - F.length(F.bin(rem))).otherwise(
+        F.lit(rbits + 1)
+    )
+    return (
+        df.select(F.col(group_col), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    p: int = 9,
+) -> DataFrame:
+    """Per-group approximate distinct count of ``key_col`` via a
+    deterministic HyperLogLog (p bucket bits, 2**p registers).
+
+    Why not ``approx_count_distinct``: Spark's built-in HLL++ is the right
+    production call, but its estimates are engine-specific (dense/sparse
+    encodings, bias tables), so no external oracle can verify them.  This
+    sketch trades ~1% accuracy (no bias table) for bit-exact
+    reproducibility in any engine with md5 + bin() — the estimator itself
+    stays textbook Flajolet: harmonic mean of ``2^-M_j`` with the
+    linear-counting small-range correction.
+
+    Exactness discipline: the harmonic sum is computed as the INTEGER
+    ``S = sum(2^(cap - M_j))`` (cap = 48-p+1; every term and the sum fit a
+    long exactly), so partition order cannot perturb it; the only floating
+    ops are one literal-by-integer division (and ``ln`` in the small-range
+    branch), rounded to 4 decimals.
+
+    Output: ``group_col, n_buckets, est_distinct``.
+    """
+    m = 1 << p
+    rbits = HLL_HASH_BITS - p
+    cap = rbits + 1
+    alpha = _hll_alpha(m)
+    # alpha * m^2 * 2^cap, evaluated once in Python → identical literal
+    numer = float(alpha * m * m * (1 << cap))
+    regs = hll_registers(df, key_col, group_col, p)
+    per_group = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        # F.shiftleft only takes a literal shift; the per-register shift
+        # needs the SQL form (still codegen'd integer math)
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {cap} - m_reg)")).alias("s0"),
+    )
+    v = F.lit(m) - F.col("n_buckets")  # empty buckets (register 0)
+    s = F.col("s0") + v.cast("long") * F.lit(1 << cap)
+    raw = F.lit(numer) / s.cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return per_group.select(
+        group_col,
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.round(est, 4).alias("est_distinct"),
+    )
+
+
+def hll_sql(
+    table: str,
+    key_expr: str,
+    group_expr: str,
+    p: int = 9,
+    group_alias: str = "grp",
+) -> str:
+    """DuckDB oracle reproducing :func:`hll_distinct` bit-for-bit.
+
+    Kept adjacent to the Spark builder so the two formulas can only drift
+    in review, not silently."""
+    m = 1 << p
+    rbits = HLL_HASH_BITS - p
+    cap = rbits + 1
+    numer = repr(float(_hll_alpha(m) * m * m * (1 << cap)))
+    h = hbits_sql(f"CAST({key_expr} AS VARCHAR)", HLL_HASH_BITS)
+    return f"""
+WITH hashed AS (
+  SELECT {group_expr} AS {group_alias}, {h} AS h FROM {table}
+), regs AS (
+  SELECT {group_alias}, h >> {rbits} AS bucket,
+         MAX(CASE WHEN (h & {(1 << rbits) - 1}) > 0
+                  THEN {rbits} + 1 - length(bin(h & {(1 << rbits) - 1}))
+                  ELSE {rbits + 1} END) AS m_reg
+  FROM hashed GROUP BY {group_alias}, bucket
+), per_group AS (
+  SELECT {group_alias}, COUNT(*) AS n_buckets,
+         SUM(CAST(1 AS BIGINT) << ({cap} - m_reg)) AS s0
+  FROM regs GROUP BY {group_alias}
+)
+SELECT {group_alias}, CAST(n_buckets AS BIGINT) AS n_buckets,
+       round(CASE WHEN {numer} / CAST(s0 + ({m} - n_buckets) * (CAST(1 AS BIGINT) << {cap}) AS DOUBLE) <= {repr(2.5 * m)}
+                   AND ({m} - n_buckets) > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - n_buckets AS DOUBLE))
+                  ELSE {numer} / CAST(s0 + ({m} - n_buckets) * (CAST(1 AS BIGINT) << {cap}) AS DOUBLE)
+             END, 4) AS est_distinct
+FROM per_group
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+#: 32-bit words keep every mask positive in a signed 64-bit long on any engine
+BLOOM_WORD_BITS = 32
+
+
+def bloom_fpp(n: int, m_bits: int, k: int) -> float:
+    """Expected false-positive probability ``(1 - e^(-k n / m))^k``."""
+    return (1.0 - math.exp(-k * n / m_bits)) ** k
+
+
+def _bloom_positions(key: Column, m_bits: int, k: int, seed: int) -> list[Column]:
+    """k portable bit positions for ``key`` (universal hashes over h32).
+
+    Callers MUST pass an already-materialized hash column (not an
+    expression) as ``key`` is referenced k times — the anti-inlining
+    discipline (see ``bigram_repetition_col``): passing raw md5 math here
+    would re-run it per position."""
+    return [
+        ((key * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P) % F.lit(m_bits))
+        for a, b in minhash_params(k, seed=seed)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 65536,
+    k: int = 5,
+    seed: int = 101,
+) -> list[int]:
+    """Build a Bloom filter over ``key_col`` as a list of
+    ``m_bits / 32`` 32-bit words (driver-side, bounded: 65536 bits = 2048
+    longs, 16 KB — a literal small enough to embed in any plan).
+
+    Distributed build: positions are exploded and OR-folded per word with
+    map-side partial aggregation, so the shuffle carries at most
+    ``m_bits/32`` rows no matter how many keys — the same mergeable-
+    register shape as :func:`hll_registers`.
+    """
+    if m_bits % BLOOM_WORD_BITS != 0:
+        raise ValueError(f"m_bits must be a multiple of {BLOOM_WORD_BITS}")
+    n_words = m_bits // BLOOM_WORD_BITS
+    hashed = df.select(h32(F.col(key_col).cast("string")).alias("__h"))
+    pos = F.explode(F.array(*_bloom_positions(F.col("__h"), m_bits, k, seed)))
+    words = (
+        hashed.select(pos.alias("pos"))
+        .select(
+            F.expr(f"cast(pos div {BLOOM_WORD_BITS} as int)").alias("word"),
+            F.expr(
+                f"shiftleft(cast(1 as bigint), pos % {BLOOM_WORD_BITS})"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    out = [0] * n_words
+    for row in words:
+        out[row["word"]] = row["bits"]
+    return out
+
+
+def bloom_contains_sql(
+    key_sql: str, words: list[int], m_bits: int, k: int = 5, seed: int = 101
+) -> str:
+    """Spark-SQL membership predicate against a built filter — pure
+    codegen'd arithmetic on a literal array: no join, no shuffle, no UDF.
+
+    ``key_sql`` is a SQL expression (usually a column name).  The md5
+    appears once per probe position textually, but whole-stage codegen's
+    subexpression elimination evaluates it once per row (deterministic
+    expression, same stage)."""
+    h = (
+        f"cast(conv(substring(md5(cast({key_sql} as string)), 1, 8), 16, 10) "
+        "as bigint)"
+    )
+    arr = "array(" + ",".join(f"{w}L" for w in words) + ")"
+    checks = []
+    for a, b in minhash_params(k, seed=seed):
+        pos = f"((({h}) * {a}L + {b}L) % {MERSENNE_P}L) % {m_bits}L"
+        checks.append(
+            f"(element_at({arr}, cast(({pos}) div {BLOOM_WORD_BITS} as int) + 1)"
+            f" & shiftleft(cast(1 as bigint), cast(({pos}) % {BLOOM_WORD_BITS}"
+            " as int))) != 0"
+        )
+    return " AND ".join(checks)
+
+
+def bloom_contains(
+    key_sql: str, words: list[int], m_bits: int, k: int = 5, seed: int = 101
+) -> Column:
+    """Column form of :func:`bloom_contains_sql`."""
+    return F.expr(bloom_contains_sql(key_sql, words, m_bits, k, seed))
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    m_bits: int = 65536,
+    k: int = 5,
+    seed: int = 101,
+) -> DataFrame:
+    """Semi-join ``big`` against ``small``'s keys with a Bloom prefilter:
+    EXACT results (the final semi join removes false positives), but the
+    big side is filtered down BEFORE the join's shuffle by a literal
+    bitmap predicate evaluated inside the scan's codegen stage.
+
+    When it matters: ``small`` too big to broadcast but its key set fits a
+    few KB of Bloom bits — at 100 TB the alternative is shuffling the
+    entire big side on the join key.  Only the fpp fraction of
+    non-matching rows reaches the
+    shuffle (fpp(4096 keys, 65536 bits, k=5) ≈ 0.0014 — see
+    :func:`bloom_fpp`).  Spark's runtime bloom join —
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` — does this
+    automatically for shuffle joins; the explicit operator covers plans
+    AQE won't rewrite and makes the pruning testable.
+    """
+    words = bloom_build(small, on, m_bits=m_bits, k=k, seed=seed)
+    pre = big.filter(bloom_contains(f"`{on}`", words, m_bits, k, seed))
+    return pre.join(small.select(on).distinct(), on, "left_semi")

@@ -164,6 +164,77 @@ def lm_scores(
     )
 
 
+def lm_scores_bigram(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Bigram corpus-LM fluency score with Jelinek-Mercer interpolation —
+    the CCNet-style perplexity signal one order up from :func:`lm_scores`:
+    each document's mean ``ln p(w_i | w_{i-1})`` where
+    ``p = λ·c(w_{i-1} w_i)/c(w_{i-1}) + (1−λ)·c(w_i)/total``.  Scrambled
+    word salad that passes the unigram filter (common words, wrong order)
+    sinks here, because its bigrams are corpus-rare.
+
+    Plan shape — three inverted-index joins, all on token keys (full
+    shuffle parallelism, map-side-combined counts): bigrams ⋈ bigram
+    freqs ⋈ context unigram freqs ⋈ target unigram freqs; the corpus
+    total is a 1-row broadcast.
+
+    Determinism: counts are exact integers; the interpolated probability
+    is a FIXED sequence of IEEE-754 ops, and per-position ``ln`` values
+    are decimal(20,10)-cast before the per-doc sum (order-free; the
+    truncation absorbs Math.log-vs-libm last-ulp divergence) — so a SQL
+    oracle reproduces every score after round(…,6).  Docs with <2 tokens
+    have no bigrams and drop out (same contract as the oracle).
+    """
+    base = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        tokens(F.col(text_col)).alias("__t"),
+    )
+    bi = base.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "zip_with(slice(__t, 1, size(__t) - 1), "
+                "slice(__t, 2, size(__t) - 1), "
+                "(a, b) -> struct(a as w1, b as w2))"
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    uni = (
+        base.select(F.explode("__t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    total = uni.agg(F.sum("c1").alias("total"))
+    scored = (
+        bi.join(c2, ["w1", "w2"])
+        .join(uni.select(F.col("tok").alias("w1"), F.col("c1").alias("cctx")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c1").alias("ctgt")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.expr(
+                # the D suffix pins both weights as DOUBLE literals (not
+                # DECIMAL) so the arithmetic is the identical IEEE sequence
+                # the oracle runs
+                f"cast(ln({lam!r}D * (cast(c2 as double) / cast(cctx as double)) "
+                f"+ {1.0 - lam!r}D * (cast(ctgt as double) / cast(total as double))) "
+                "as decimal(20,10))"
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round((F.sum("__lp") / F.count(F.lit(1))).cast("double"), 6).alias(
+            "lm2_logprob"
+        ),
+    )
+
+
 def repetition_scores(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
