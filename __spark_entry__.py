@@ -1575,7 +1575,43 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients (graphs.algorithms.
+    clustering_coefficients) over q_pagerank's layered triangle graph
+    (region→nation→customer + region→customer shortcuts) — per-vertex
+    degree, triangle count, and 2T/(d(d−1)), all exact-integer inputs so
+    the rounded coefficient matches the SQL oracle bit-for-bit."""
+    from tundradb_spark.graphs.algorithms import clustering_coefficients
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_custkey") < 100
+    )
+    r2n = nat.select(
+        (F.col("n_regionkey") + 2_000_000).alias("id_a"),
+        (F.col("n_nationkey") + 1_000_000).alias("id_b"),
+    )
+    n2c = cust.select(
+        (F.col("c_nationkey") + 1_000_000).alias("id_a"),
+        F.col("c_custkey").alias("id_b"),
+    )
+    r2c = cust.join(
+        nat.select("n_nationkey", "n_regionkey"),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(
+        (F.col("n_regionkey") + 2_000_000).alias("id_a"),
+        F.col("c_custkey").alias("id_b"),
+    )
+    return clustering_coefficients(r2n.unionByName(n2c).unionByName(r2c)).select(
+        F.col("vertex").cast("long").alias("vertex"),
+        F.col("degree").cast("long").alias("degree"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        F.col("coeff").cast("double").alias("coeff"),
+    )
+
+
 PARKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_clustering": q_clustering,
     "q_left_join": q_left_join,
     "q_right_join": q_right_join,
     "q_full_join": q_full_join,
@@ -2342,6 +2378,49 @@ PARKED_ORACLES: dict[str, str] = {
         SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name
         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         WHERE c.c_acctbal > 7500.0
+    """,
+    # same layered triangle graph as q_pagerank's tri branch; coefficient
+    # is one IEEE division of exact integers, rounded 6
+    "q_clustering": """
+        WITH raw AS (
+            SELECT n_regionkey + 2000000 AS p, n_nationkey + 1000000 AS q
+            FROM nation
+            UNION ALL
+            SELECT c_nationkey + 1000000, c_custkey
+            FROM customer WHERE c_custkey < 100
+            UNION ALL
+            SELECT n.n_regionkey + 2000000, c.c_custkey
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_custkey < 100
+        ),
+        te AS (
+            SELECT DISTINCT least(p, q) AS a, greatest(p, q) AS b
+            FROM raw WHERE p != q
+        ),
+        deg AS (
+            SELECT vertex, count(*) AS degree
+            FROM (SELECT a AS vertex FROM te UNION ALL SELECT b FROM te)
+            GROUP BY vertex
+        ),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM te e1
+            JOIN te e2 ON e2.a = e1.b
+            JOIN te e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        tc AS (
+            SELECT vertex, count(*) AS n_triangles
+            FROM (SELECT unnest([x, y, z]) AS vertex FROM tri)
+            GROUP BY vertex
+        )
+        SELECT CAST(d.vertex AS BIGINT) AS vertex,
+               CAST(d.degree AS BIGINT) AS degree,
+               CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+               CAST(round(CASE WHEN d.degree > 1
+                          THEN 2.0 * coalesce(tc.n_triangles, 0)
+                               / (CAST(d.degree AS DOUBLE) * (d.degree - 1))
+                          ELSE 0.0 END, 6) AS DOUBLE) AS coeff
+        FROM deg d LEFT JOIN tc ON d.vertex = tc.vertex
     """,
     **PARKED_PIPELINE_ORACLES,
 }

@@ -262,3 +262,91 @@ class TestHits:
         out = hits(e, iters=4).collect()
         assert sum(r["hub"] for r in out) == pytest.approx(3.0, abs=1e-9)
         assert sum(r["authority"] for r in out) == pytest.approx(3.0, abs=1e-9)
+
+
+class TestClusteringCoefficients:
+    def test_triangle_with_pendant(self, spark):
+        from tundradb_spark.graphs.algorithms import clustering_coefficients
+
+        # triangle {1,2,3} plus pendant 4 attached to 3
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long"
+        )
+        out = {r["vertex"]: r for r in clustering_coefficients(df).collect()}
+        assert out[1]["coeff"] == 1.0 and out[2]["coeff"] == 1.0
+        # vertex 3: degree 3, one triangle → 2*1/(3*2)
+        assert out[3]["degree"] == 3
+        assert out[3]["coeff"] == pytest.approx(1 / 3, abs=1e-6)
+        # pendant: degree 1 → defined as 0
+        assert out[4]["coeff"] == 0.0 and out[4]["n_triangles"] == 0
+
+    def test_complete_graph_is_all_ones(self, spark):
+        from tundradb_spark.graphs.algorithms import clustering_coefficients
+
+        edges = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        for r in clustering_coefficients(df).collect():
+            assert r["coeff"] == 1.0 and r["degree"] == 4 and r["n_triangles"] == 6
+
+
+def _py_kcore(edges, k):
+    """Pure-python peeling reference."""
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in [v for v, ns in adj.items() if len(ns) < k]:
+            for u in adj.pop(v):
+                adj[u].discard(v)
+            changed = True
+    return {v: len(ns) for v, ns in adj.items() if ns}
+
+
+class TestKCore:
+    def test_known_graph(self, spark):
+        from tundradb_spark.graphs.algorithms import k_core
+
+        # K4 core {1,2,3,4} plus a tail 4-5-6
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        out = {r["vertex"]: r["core_degree"] for r in k_core(df, 3).collect()}
+        assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_no_core_is_empty(self, spark):
+        from tundradb_spark.graphs.algorithms import k_core
+
+        df = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+        assert k_core(df, 2).count() == 0
+
+    def test_matches_python_peeling_on_random_graph(self, spark):
+        import random
+
+        from tundradb_spark.graphs.algorithms import k_core
+
+        rng = random.Random(5)
+        edges = list(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(40), rng.randrange(40)) for _ in range(120)
+                )
+                if a != b
+            }
+        )
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        for k in (2, 3, 4):
+            got = {
+                r["vertex"]: r["core_degree"] for r in k_core(df, k).collect()
+            }
+            assert got == _py_kcore(edges, k), k
+
+    def test_validation(self, spark):
+        from tundradb_spark.graphs.algorithms import k_core
+
+        df = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+        with pytest.raises(ValueError):
+            k_core(df, 0)

@@ -252,6 +252,105 @@ def triangle_counts(
     )
 
 
+def clustering_coefficients(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Local clustering coefficient per vertex:
+    ``2·T(v) / (d(v)·(d(v)−1))`` — how close each vertex's neighborhood is
+    to a clique.  The standard community-structure signal one step past
+    :func:`triangle_counts`, which this reuses (same two wedge joins; the
+    degree side is one extra groupBy).
+
+    Vertices with degree < 2 have an undefined coefficient and emit 0.0
+    (the networkx convention).  The coefficient is a single IEEE division
+    of exact integers, rounded to 6 — bit-reproducible by a SQL oracle.
+
+    Returns ``(vertex, degree, n_triangles, coeff)`` for every vertex.
+    """
+    deg = degrees(pairs, src, dst)
+    tri = triangle_counts(pairs, src, dst)
+    joined = deg.join(tri, "vertex", "left").select(
+        "vertex",
+        F.col("degree").cast("long").alias("degree"),
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+            "n_triangles"
+        ),
+    )
+    return joined.withColumn(
+        "coeff",
+        F.round(
+            F.when(
+                F.col("degree") > 1,
+                F.lit(2.0)
+                * F.col("n_triangles").cast("double")
+                / (
+                    F.col("degree").cast("double")
+                    * (F.col("degree") - 1).cast("double")
+                ),
+            ).otherwise(0.0),
+            6,
+        ),
+    )
+
+
+def k_core(
+    pairs: DataFrame,
+    k: int,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """k-core decomposition subgraph: the maximal vertex set in which
+    every vertex has ≥ ``k`` neighbors WITHIN the set — the standard
+    dense-region extractor (spam farms, tightly-duplicated doc clusters,
+    collaboration cores).
+
+    Iterative peeling as a frontier program: each round recomputes degrees
+    over the surviving edge set and drops vertices below ``k``; terminates
+    at the fixpoint (≤ ``max_iters`` rounds; each round strictly shrinks
+    the vertex set, so it always terminates on its own).  Per round: one
+    groupBy + one semi-join pair, ``localCheckpoint``-ed so round i never
+    replays rounds 1..i-1 — the same scale discipline as
+    :func:`connected_components`.
+
+    Returns ``(vertex, core_degree)`` — the surviving vertices and their
+    degree inside the core (≥ k by construction; empty if no k-core).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    a, b = F.col(src).cast("long"), F.col(dst).cast("long")
+    edges = (
+        pairs.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        deg = (
+            edges.select(F.col("a").alias("u"))
+            .unionByName(edges.select(F.col("b").alias("u")))
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("u").localCheckpoint(eager=True)
+        pruned = (
+            edges.join(keep.withColumnRenamed("u", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("u", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        if pruned.count() == edges.count():
+            edges = pruned
+            break
+        edges = pruned
+    return (
+        edges.select(F.col("a").alias("vertex"))
+        .unionByName(edges.select(F.col("b").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+
+
 def sssp(
     edges: DataFrame,
     sources: DataFrame,
