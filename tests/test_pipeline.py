@@ -1297,3 +1297,76 @@ class TestCompressionRatios:
         df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
         with pytest.raises(ValueError):
             compression_ratios(df, level=0)
+
+
+class TestShuffleShards:
+    def test_deterministic_under_repartition(self, spark):
+        from tundradb_spark.pipeline.sampling import shuffle_shards
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(
+            (r["doc_id"], r["shard"], r["sort_key"])
+            for r in shuffle_shards(docs, 16).select(
+                "doc_id", "shard", "sort_key"
+            ).collect()
+        )
+        b = sorted(
+            (r["doc_id"], r["shard"], r["sort_key"])
+            for r in shuffle_shards(docs.repartition(13), 16).select(
+                "doc_id", "shard", "sort_key"
+            ).collect()
+        )
+        assert a == b
+
+    def test_seed_changes_permutation_not_membership(self, spark):
+        from tundradb_spark.pipeline.sampling import shuffle_shards
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        s1 = {r["doc_id"]: r["shard"] for r in shuffle_shards(docs, 16, seed=1).collect()}
+        s2 = {r["doc_id"]: r["shard"] for r in shuffle_shards(docs, 16, seed=2).collect()}
+        assert set(s1) == set(s2)  # same docs
+        assert s1 != s2  # different permutation
+
+    def test_balance(self, spark):
+        from tundradb_spark.pipeline.sampling import shard_summary, shuffle_shards
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        sizes = [
+            r["n_docs"]
+            for r in shard_summary(shuffle_shards(docs, 8)).collect()
+        ]
+        assert len(sizes) == 8 and sum(sizes) == docs.count()
+        # uniform hash: no shard more than 2x the mean at n=500/8
+        assert max(sizes) < 2 * (sum(sizes) / len(sizes))
+
+    def test_write_shards_roundtrip_order(self, spark, tmp_path):
+        from tundradb_spark.pipeline.sampling import shuffle_shards, write_shards
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        path = str(tmp_path / "shards")
+        write_shards(docs, path, n_shards=4)
+        back = spark.read.parquet(path)
+        assert back.count() == docs.count()
+        # each shard directory holds ascending sort_key order
+        for shard in range(4):
+            keys = [
+                r["sort_key"]
+                for r in back.filter(F.col("shard") == shard)
+                .orderBy("sort_key")
+                .collect()
+            ]
+            # membership matches the declarative assignment
+            want = sorted(
+                r["sort_key"]
+                for r in shuffle_shards(docs, 4)
+                .filter(F.col("shard") == shard)
+                .collect()
+            )
+            assert keys == want
+
+    def test_validation(self, spark):
+        from tundradb_spark.pipeline.sampling import shuffle_shards
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        with pytest.raises(ValueError):
+            shuffle_shards(docs, 0)

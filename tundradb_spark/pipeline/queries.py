@@ -416,6 +416,7 @@ SAMPLE_DEFAULT_BP = 1000
 #: fill partially, src9's budget exceeds its stratum (keeps everything)
 MIX_BUDGET_BY = {"src0": 500, "src5": 800, "src9": 1_000_000}
 MIX_TH_BUDGET_BY = {"src1": 700, "src6": 400}
+SHARD_N, SHARD_SEED = 16, 131
 
 
 def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,7 +500,19 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mix = _mix_rows(mixture_budget_sample, MIX_BUDGET_BY, "mix")
     mixth = _mix_rows(mixture_threshold_sample, MIX_TH_BUDGET_BY, "mixth")
-    return strat.unionByName(mix).unionByName(mixth)
+    # deterministic-global-shuffle branch (sampling.shuffle_shards): the
+    # per-shard balance manifest value-checks shard membership of every doc
+    from tundradb_spark.pipeline.sampling import shard_summary, shuffle_shards
+
+    shard = shard_summary(
+        shuffle_shards(docs, n_shards=SHARD_N, seed=SHARD_SEED)
+    ).select(
+        F.lit("shard").alias("grp"),
+        F.col("shard").cast("string").alias("key"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_size").cast("long").alias("m"),
+    )
+    return strat.unionByName(mix).unionByName(mixth).unionByName(shard)
 
 
 E2E_BIGRAM_CAP, E2E_CHUNK, E2E_OVERLAP, E2E_BP = 0.5, 32, 8, 8000
@@ -1815,6 +1828,14 @@ mixth AS (
 SELECT * FROM strat
 UNION ALL SELECT * FROM mix
 UNION ALL SELECT * FROM mixth
+UNION ALL
+SELECT 'shard' AS grp, CAST(shard AS VARCHAR) AS key,
+       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS m
+FROM (SELECT n_chars,
+             {h32_sql(f"'{SHARD_SEED}:' || CAST(doc_id AS VARCHAR)")}
+               % {SHARD_N} AS shard
+      FROM documents)
+GROUP BY shard
 """
 
 # the PII sweep: customer names carry digit runs; documents must be

@@ -261,3 +261,71 @@ def chunk_docs(
             "chunk"
         ),
     )
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int = 1024,
+    id_col: str = "doc_id",
+    seed: int = 131,
+) -> DataFrame:
+    """Deterministic global shuffle for training export: assign every row a
+    ``shard`` and a within-shard ``sort_key``, both content-hash-derived —
+    ``ORDER BY (shard, sort_key)`` is a full uniform permutation of the
+    corpus that is IDENTICAL on any engine, any partitioning, any rerun
+    (unlike ``df.orderBy(rand())``, whose seed is per-partition and whose
+    result moves under repartitioning).
+
+    Scale: no global sort is ever materialized — consumers
+    ``repartition('shard')`` + ``sortWithinPartitions`` (exactly what
+    :func:`write_shards` does), so the cost is one hash-partition shuffle
+    and an in-partition sort, the minimum any permutation needs.  Changing
+    ``seed`` reshuffles epochs without rewriting data.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    h = h32(key)
+    return docs.withColumn(
+        "shard", (h % n_shards).cast("long")
+    ).withColumn(
+        # independent second hash: shard uses h mod, order uses a fresh
+        # md5 over a distinct salt so within-shard order is uncorrelated
+        # with shard assignment
+        "sort_key",
+        h32(F.concat(F.lit(f"{seed}:order:"), F.col(id_col).cast("string"))),
+    )
+
+
+def shard_summary(sharded: DataFrame, size_col: str = "n_chars") -> DataFrame:
+    """Per-shard balance manifest for :func:`shuffle_shards`: row count and
+    total payload — the skew check a 1000-executor export reads before
+    writing (uniform hash → shard sizes concentrate tightly around
+    corpus/n_shards)."""
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(size_col).alias("total_size"),
+        F.min("sort_key").alias("min_sort_key"),
+        F.max("sort_key").alias("max_sort_key"),
+    )
+
+
+def write_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int = 1024,
+    id_col: str = "doc_id",
+    seed: int = 131,
+) -> None:
+    """Export the deterministic shuffle as ``path/shard=N/`` parquet: one
+    hash-partition shuffle, per-shard ascending ``sort_key`` order (the
+    order a sequential training reader consumes).  Re-running with the
+    same seed reproduces byte-identical shard membership and order."""
+    sharded = shuffle_shards(docs, n_shards, id_col, seed)
+    (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "sort_key")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
