@@ -1610,8 +1610,39 @@ def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BINS = 200
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory histogram quantiles (operators.relational.
+    histogram_quantiles) — q_quantiles' scale path: same p25/p50/p90 of
+    lineitem price per return flag, but n_bins counters per group instead
+    of an exact value buffer; estimates are bin lower edges, reproduced
+    bit-for-bit by the oracle's identical double arithmetic."""
+    from tundradb_spark.operators.relational import histogram_quantiles
+
+    li = load_graph(spark, sf_dir).get_table("lineitem")
+    return histogram_quantiles(
+        li.select(
+            F.col("l_returnflag"),
+            F.col("l_extendedprice").cast("double").alias("price"),
+        ),
+        ["l_returnflag"],
+        "price",
+        [0.25, 0.5, 0.9],
+        n_bins=HIST_BINS,
+    ).select(
+        F.col("l_returnflag").alias("grp"),
+        "n_rows",
+        "p25",
+        "p50",
+        "p90",
+    )
+
+
 PARKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_clustering": q_clustering,
+    "q_hist_quantiles": q_hist_quantiles,
     "q_left_join": q_left_join,
     "q_right_join": q_right_join,
     "q_full_join": q_full_join,
@@ -2378,6 +2409,50 @@ PARKED_ORACLES: dict[str, str] = {
         SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name
         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         WHERE c.c_acctbal > 7500.0
+    """,
+    # histogram quantiles: min/max come from the data (identical doubles
+    # both engines), every other op is the same fixed IEEE sequence the
+    # Spark operator runs — see relational.histogram_quantiles_sql for the
+    # literal-parameter generator this hand CTE mirrors
+    "q_hist_quantiles": f"""
+        WITH mm AS (
+          SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+                 max(CAST(l_extendedprice AS DOUBLE)) AS mx
+          FROM lineitem
+        ),
+        binned AS (
+          SELECT l_returnflag AS grp,
+                 least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - mn)
+                            / ((mx - mn) / {HIST_BINS})) AS BIGINT),
+                       {HIST_BINS - 1}) AS bin,
+                 count(*) AS c
+          FROM lineitem, mm GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT grp, bin, c,
+                 sum(c) OVER (PARTITION BY grp ORDER BY bin
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+                 sum(c) OVER (PARTITION BY grp) AS n
+          FROM binned
+        )
+        SELECT grp, CAST(max(n) AS BIGINT) AS n_rows,
+               round(max(mm.mn) + CAST(min(CASE WHEN cum >
+                       CAST(floor(CAST(0.25 AS DOUBLE)
+                            * CAST(n - 1 AS DOUBLE)) AS BIGINT)
+                     THEN bin END) AS DOUBLE)
+                     * ((max(mm.mx) - max(mm.mn)) / {HIST_BINS}), 6) AS p25,
+               round(max(mm.mn) + CAST(min(CASE WHEN cum >
+                       CAST(floor(CAST(0.5 AS DOUBLE)
+                            * CAST(n - 1 AS DOUBLE)) AS BIGINT)
+                     THEN bin END) AS DOUBLE)
+                     * ((max(mm.mx) - max(mm.mn)) / {HIST_BINS}), 6) AS p50,
+               round(max(mm.mn) + CAST(min(CASE WHEN cum >
+                       CAST(floor(CAST(0.9 AS DOUBLE)
+                            * CAST(n - 1 AS DOUBLE)) AS BIGINT)
+                     THEN bin END) AS DOUBLE)
+                     * ((max(mm.mx) - max(mm.mn)) / {HIST_BINS}), 6) AS p90
+        FROM cum, mm GROUP BY grp
     """,
     # same layered triangle graph as q_pagerank's tri branch; coefficient
     # is one IEEE division of exact integers, rounded 6

@@ -3,6 +3,7 @@
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import rows_set, setup_join_fixture
 from tundradb_spark.errors import QueryError
@@ -336,3 +337,84 @@ def test_quantile_duplicate_labels_raise(spark):
     df = spark.range(10).selectExpr("'a' AS g", "CAST(id AS DOUBLE) AS v")
     with pytest.raises(ValueError, match="duplicate"):
         group_quantiles(df, ["g"], "v", [0.99, 0.99])
+
+
+class TestHistogramQuantiles:
+    def test_matches_sql_oracle_bit_for_bit(self, spark):
+        import duckdb
+
+        from tundradb_spark.operators.relational import (
+            histogram_quantiles,
+            histogram_quantiles_sql,
+        )
+
+        path = "/root/testdata/sf0.001/lineitem.parquet"
+        li = spark.read.parquet(path).select(
+            "l_returnflag", F.col("l_extendedprice").cast("double").alias("v")
+        )
+        got = {
+            r["l_returnflag"]: (r["n_rows"], r["p25"], r["p50"], r["p99_5"])
+            for r in histogram_quantiles(
+                li, ["l_returnflag"], "v", [0.25, 0.5, 0.995], n_bins=100
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{path}'")
+        mn, mx = con.execute(
+            "SELECT min(CAST(l_extendedprice AS DOUBLE)),"
+            " max(CAST(l_extendedprice AS DOUBLE)) FROM lineitem"
+        ).fetchone()
+        sql = histogram_quantiles_sql(
+            "lineitem",
+            "l_returnflag",
+            "l_extendedprice",
+            [0.25, 0.5, 0.995],
+            mn,
+            mx,
+            n_bins=100,
+        )
+        want = {g: tuple(rest) for g, *rest in con.execute(sql).fetchall()}
+        assert got == want
+
+    def test_estimate_within_bin_width_of_exact(self, spark):
+        from tundradb_spark.operators.relational import (
+            group_quantiles,
+            histogram_quantiles,
+        )
+
+        li = spark.read.parquet(
+            "/root/testdata/sf0.001/lineitem.parquet"
+        ).select("l_returnflag", F.col("l_extendedprice").cast("double").alias("v"))
+        mm = li.agg(F.min("v"), F.max("v")).first()
+        width = (mm[1] - mm[0]) / 500
+        exact = {
+            r["l_returnflag"]: (r["p25"], r["p50"], r["p90"])
+            for r in group_quantiles(
+                li, ["l_returnflag"], "v", [0.25, 0.5, 0.9]
+            ).collect()
+        }
+        est = {
+            r["l_returnflag"]: (r["p25"], r["p50"], r["p90"])
+            for r in histogram_quantiles(
+                li, ["l_returnflag"], "v", [0.25, 0.5, 0.9], n_bins=500
+            ).collect()
+        }
+        for g in exact:
+            for e, a in zip(est[g], exact[g]):
+                assert abs(e - a) <= width * 1.5, (g, e, a)
+
+    def test_degenerate_single_value(self, spark):
+        from tundradb_spark.operators.relational import histogram_quantiles
+
+        df = spark.createDataFrame([("a", 7.0)] * 5, "g string, v double")
+        row = histogram_quantiles(df, ["g"], "v", [0.5]).first()
+        assert row["n_rows"] == 5 and row["p50"] == 7.0
+
+    def test_validation(self, spark):
+        from tundradb_spark.operators.relational import histogram_quantiles
+
+        df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+        with pytest.raises(ValueError):
+            histogram_quantiles(df, ["g"], "v", [0.5], n_bins=0)
+        with pytest.raises(ValueError):
+            histogram_quantiles(df, ["g"], "v", [0.99, 0.995, 0.99])

@@ -387,3 +387,120 @@ def _quantile_label(p: float) -> str:
         return f"p{int(round(pct))}"
     # shortest round-tripping decimal text, e.g. 0.995 -> '99.5' -> p99_5
     return "p" + repr(pct).replace(".", "_").rstrip("_0").replace("-", "m")
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probs: list[float],
+    n_bins: int = 1000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Bounded-memory per-group quantile ESTIMATES via a fixed-bin
+    histogram — the scale path :func:`group_quantiles`'s docstring points
+    at: exact percentile buffers every distinct value per group, this
+    buffers ``n_bins`` counters per group no matter how many rows, with
+    error ≤ one bin width of the global value range.
+
+    Unlike ``percentile_approx`` (t-digest: engine-specific, unverifiable
+    externally), every step here is portable arithmetic: one min/max pass
+    fixes the bin edges, one map-side-combined ``groupBy(group, bin)``
+    count is the only data-sized shuffle, and the estimate for probability
+    ``p`` is the LOWER EDGE of the bin holding rank ``floor(p·(n−1))`` —
+    integer rank logic plus a fixed IEEE expression, so a SQL oracle
+    reproduces every estimate bit-for-bit.
+
+    Returns one row per group: ``*group_cols, n_rows, <p-labels>``.
+    """
+    from pyspark.sql import Window
+
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    labels = [_quantile_label(p) for p in probs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate quantile column labels: {labels}")
+    v = F.col(value_col).cast("double")
+    mm = df.agg(F.min(v).alias("mn"), F.max(v).alias("mx")).first()
+    mn, mx = float(mm["mn"]), float(mm["mx"])
+    if mx == mn:  # degenerate: all values identical, one bin suffices
+        width_expr = "1.0"
+    else:
+        width_expr = f"(({mx!r}D - {mn!r}D) / {n_bins})"
+    bin_col = F.expr(
+        f"least(cast(floor((cast(`{value_col}` as double) - {mn!r}D)"
+        f" / {width_expr}) as bigint), {n_bins - 1}L)"
+    )
+    gb = [_bt(c) for c in group_cols]
+    binned = (
+        df.select(*gb, bin_col.alias("__bin"))
+        .groupBy(*gb, "__bin")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w_cum = (
+        Window.partitionBy(*gb)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*gb)
+    cum = binned.withColumn("__cum", F.sum("__c").over(w_cum)).withColumn(
+        "__n", F.sum("__c").over(w_all)
+    )
+    aggs = [F.max("__n").cast("long").alias("n_rows")]
+    for p, label in zip(probs, labels):
+        rank = F.floor(F.lit(p) * (F.col("__n") - 1).cast("double"))
+        hit_bin = F.min(F.when(F.col("__cum") > rank, F.col("__bin")))
+        est = F.round(
+            F.lit(mn) + hit_bin.cast("double") * F.expr(width_expr), round_to
+        )
+        aggs.append(est.alias(label))
+    return cum.groupBy(*gb).agg(*aggs)
+
+
+def histogram_quantiles_sql(
+    table: str,
+    group_expr: str,
+    value_expr: str,
+    probs: list[float],
+    mn: float,
+    mx: float,
+    n_bins: int = 1000,
+    round_to: int = 6,
+) -> str:
+    """DuckDB oracle reproducing :func:`histogram_quantiles` bit-for-bit
+    (pass the same min/max the Spark pass measured — they are data facts,
+    not tuning)."""
+    # every fractional literal is CAST AS DOUBLE: DuckDB parses bare
+    # decimal-point literals as DECIMAL, whose exact arithmetic would
+    # diverge from Spark's double math at rank boundaries
+    dmn, dmx = f"CAST({mn!r} AS DOUBLE)", f"CAST({mx!r} AS DOUBLE)"
+    width = "1.0" if mx == mn else f"(({dmx} - {dmn}) / {n_bins})"
+    cols = []
+    for p in probs:
+        label = _quantile_label(p)
+        rank = (
+            f"CAST(floor(CAST({p!r} AS DOUBLE) * CAST(n - 1 AS DOUBLE))"
+            " AS BIGINT)"
+        )
+        cols.append(
+            f"round({dmn} + CAST(min(CASE WHEN cum > {rank}"
+            f" THEN bin END) AS DOUBLE) * {width}, {round_to}) AS {label}"
+        )
+    return f"""
+WITH binned AS (
+  SELECT {group_expr} AS grp,
+         least(CAST(floor((CAST({value_expr} AS DOUBLE) - {dmn}) / {width})
+                    AS BIGINT), {n_bins - 1}) AS bin,
+         count(*) AS c
+  FROM {table} GROUP BY 1, 2
+),
+cum AS (
+  SELECT grp, bin, c,
+         sum(c) OVER (PARTITION BY grp ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY grp) AS n
+  FROM binned
+)
+SELECT grp, CAST(max(n) AS BIGINT) AS n_rows, {", ".join(cols)}
+FROM cum GROUP BY grp
+"""
