@@ -506,3 +506,57 @@ class TestStreamIngestDedup:
         # signature table holds exactly the admitted docs
         sigs = sorted(r["doc_id"] for r in spark.read.parquet(sig).collect())
         assert sigs == [0, 1, 11]
+
+
+class TestStreamHllRegisters:
+    def test_stream_merge_equals_batch_sketch(self, spark, tmp_path):
+        from tundradb_spark.pipeline.sketches import hll_distinct
+        from tundradb_spark.streaming import read_hll_distinct, stream_hll_registers
+
+        src = str(tmp_path / "hsrc")
+        regs = str(tmp_path / "hregs")
+        ckpt = str(tmp_path / "hck")
+        os.makedirs(src)
+        schema = "k string, g string"
+
+        def rows(lo, hi):
+            return [(f"key{i}", f"g{i % 3}") for i in range(lo, hi)]
+
+        spark.createDataFrame(rows(0, 300), schema).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = stream_hll_registers(stream, regs, ckpt, "k", "g", p=9)
+        try:
+            q.processAllAvailable()
+            # second arriving batch OVERLAPS the first (keys 200-299):
+            # distinct-count union, not sum
+            spark.createDataFrame(rows(200, 600), schema).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(map(tuple, read_hll_distinct(spark, regs, "g", p=9).collect()))
+        allrows = spark.createDataFrame(rows(0, 600), schema)
+        want = sorted(map(tuple, hll_distinct(allrows, "k", "g", p=9).collect()))
+        assert got == want
+
+    def test_estimates_are_close_to_exact(self, spark, tmp_path):
+        from tundradb_spark.streaming import read_hll_distinct, stream_hll_registers
+
+        src = str(tmp_path / "h2src")
+        regs = str(tmp_path / "h2regs")
+        ckpt = str(tmp_path / "h2ck")
+        os.makedirs(src)
+        schema = "k string, g string"
+        data = [(f"u{i}", "all") for i in range(4000)]
+        spark.createDataFrame(data, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_hll_registers(stream, regs, ckpt, "k", "g", p=11)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        est = read_hll_distinct(spark, regs, "g", p=11).first()["est_distinct"]
+        assert abs(est - 4000) / 4000 < 0.10

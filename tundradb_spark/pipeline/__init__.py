@@ -13,8 +13,11 @@ operations a large-scale LLM training-data pipeline needs, built Spark-first:
 - :mod:`text` — language ID, quality scoring, token counting,
   fingerprinting, repetition scoring, PII pattern sweeps, unigram-LM fluency
 - :mod:`sampling` — deterministic/stratified content-hash sampling,
-  fixed-token document chunking, sequence packing, and exact/approximate
-  token-budget mixture building
+  fixed-token document chunking, sequence packing, exact/approximate
+  token-budget mixture building, and the deterministic global shuffle /
+  shard export (:func:`shuffle_shards`, :func:`write_shards`)
+- :mod:`sketches` — HyperLogLog distinct-count sketches and Bloom-filter
+  join pruning, both oracle-exact via the portable hash family
 - :mod:`importance` — DSIR hashed n-gram importance weights (target-domain
   log-likelihood ratios) for importance resampling
 - :mod:`recipe` — the composed corpus-prep pipeline (gate → dedup → chunk →
@@ -54,7 +57,17 @@ from tundradb_spark.pipeline.sampling import (
     mixture_threshold_sample,
     pack_chunks,
     pack_summary,
+    shard_summary,
+    shuffle_shards,
     stratified_sample,
+    write_shards,
+)
+from tundradb_spark.pipeline.sketches import (
+    bloom_build,
+    bloom_contains,
+    bloom_semi_join,
+    hll_distinct,
+    hll_registers,
 )
 from tundradb_spark.pipeline.similarity import (
     cluster_prune,
@@ -79,6 +92,7 @@ from tundradb_spark.pipeline.similarity import (
 from tundradb_spark.pipeline.text import (
     compression_ratios,
     fingerprints,
+    lm_scores_bigram,
     gopher_rules,
     lang_confusion,
     lang_id,
@@ -96,6 +110,15 @@ from tundradb_spark.pipeline.text import (
 
 __all__ = [
     "exact_dedup",
+    "hll_distinct",
+    "hll_registers",
+    "bloom_build",
+    "bloom_contains",
+    "bloom_semi_join",
+    "shuffle_shards",
+    "shard_summary",
+    "write_shards",
+    "lm_scores_bigram",
     "apply_dedup",
     "minhash_signature",
     "minhash_lsh_pairs",

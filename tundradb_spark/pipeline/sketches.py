@@ -111,13 +111,19 @@ def hll_distinct(
 
     Output: ``group_col, n_buckets, est_distinct``.
     """
+    regs = hll_registers(df, key_col, group_col, p)
+    return hll_estimate(regs, group_col, p)
+
+
+def hll_estimate(regs: DataFrame, group_col: str, p: int = 9) -> DataFrame:
+    """Flajolet estimator over a ``(group, bucket, m_reg)`` register frame
+    — shared by the batch sketch and the streaming epoch-merge reader
+    (streaming.ops.read_hll_distinct), so the formula exists once."""
     m = 1 << p
     rbits = HLL_HASH_BITS - p
     cap = rbits + 1
-    alpha = _hll_alpha(m)
     # alpha * m^2 * 2^cap, evaluated once in Python → identical literal
-    numer = float(alpha * m * m * (1 << cap))
-    regs = hll_registers(df, key_col, group_col, p)
+    numer = float(_hll_alpha(m) * m * m * (1 << cap))
     per_group = regs.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_buckets"),
         # F.shiftleft only takes a literal shift; the per-register shift

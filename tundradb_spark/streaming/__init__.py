@@ -22,12 +22,17 @@ continuously-ingesting graph/analytics deployment needs:
 - :func:`stream_gate_corpus` — the corpus-prep gate phase (PII +
   repetition + watermark dedup + deterministic sample) over a live
   document stream
+- :func:`stream_hll_registers` / :func:`read_hll_distinct` — live
+  per-group distinct-count sketches with O(groups · 2^p) state
+  (register max-merge == sketch union)
 """
 
 from tundradb_spark.streaming.ops import (
+    read_hll_distinct,
     session_window_agg,
     sessionize,
     stream_gate_corpus,
+    stream_hll_registers,
     stream_ingest_dedup,
     stream_edges,
     stream_index_vectors,
@@ -48,4 +53,6 @@ __all__ = [
     "stream_index_vectors",
     "stream_gate_corpus",
     "stream_ingest_dedup",
+    "stream_hll_registers",
+    "read_hll_distinct",
 ]

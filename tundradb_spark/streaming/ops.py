@@ -545,3 +545,69 @@ def stream_ingest_dedup(
         .queryName(query_name or "ingest-dedup")
         .start()
     )
+
+
+def stream_hll_registers(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_col: str,
+    group_col: str,
+    p: int = 9,
+    query_name: str | None = None,
+) -> "StreamingQuery":
+    """Continuously maintain per-group HyperLogLog registers
+    (pipeline.sketches.hll_registers layout) from a row stream — live
+    approximate distinct counts over unbounded input with O(groups · 2^p)
+    state, where exact streaming COUNT(DISTINCT) state grows with the key
+    universe.
+
+    Mergeability does the work: each micro-batch is sketched independently
+    and written to its own ``epoch=E`` partition; a reader merges epochs
+    with one ``max(m_reg)`` per (group, bucket) —
+    :func:`read_hll_distinct` — which is EXACTLY the union semantics of
+    the sketch, so the merged estimate equals the batch sketch of all rows
+    seen.  Idempotent under micro-batch replay: dynamic partition
+    overwrite on ``epoch`` (the stream_index_vectors discipline) makes a
+    retried epoch overwrite itself instead of double-writing (harmless for
+    max-merge, but keeps storage exactly-once).
+
+    At scale, compact occasionally by rewriting the max-merged registers
+    as a single epoch and dropping the rest — the register table is tiny
+    (groups · 2^p rows) regardless of stream volume.
+    """
+    from tundradb_spark.pipeline.sketches import hll_registers
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        regs = hll_registers(batch, key_col, group_col, p)
+        (
+            regs.withColumn("epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name or "hll-registers")
+        .start()
+    )
+
+
+def read_hll_distinct(spark, path: str, group_col: str, p: int = 9) -> DataFrame:
+    """Merge all epochs of a :func:`stream_hll_registers` table and return
+    per-group distinct estimates — identical to running
+    ``pipeline.sketches.hll_distinct`` over every row the stream has
+    delivered (register max-merge == sketch union; test-pinned)."""
+    from tundradb_spark.pipeline.sketches import hll_estimate
+
+    merged = (
+        spark.read.parquet(path)
+        .groupBy(group_col, "bucket")
+        .agg(F.max("m_reg").alias("m_reg"))
+    )
+    return hll_estimate(merged, group_col, p)
