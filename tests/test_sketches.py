@@ -135,3 +135,126 @@ def test_bloom_build_rejects_bad_bits(spark):
     df = spark.range(5).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):
         sk.bloom_build(df, "k", m_bits=1000)
+
+
+class TestCountMin:
+    def test_never_undercounts_and_tight_on_sparse(self, spark):
+        from tundradb_spark.pipeline import sketches as sk2
+
+        # 26 keys with known frequencies 1..26
+        rows = [(chr(ord("a") + i),) for i in range(26) for _ in range(i + 1)]
+        df = spark.createDataFrame(rows, "k string")
+        sketch = sk2.cm_build(df, "k", d=4, w=512)
+        keys = spark.createDataFrame([(chr(ord("a") + i),) for i in range(26)], "k string")
+        est = {r["k"]: r["est_count"] for r in sk2.cm_estimate(sketch, keys, "k", d=4, w=512).collect()}
+        for i in range(26):
+            true = i + 1
+            assert est[chr(ord("a") + i)] >= true
+            # 351 items in 512 cells x 4 rows: collisions are rare
+            assert est[chr(ord("a") + i)] <= true + 4
+
+    def test_unseen_key_estimates_zero_on_empty_cells(self, spark):
+        from tundradb_spark.pipeline import sketches as sk2
+
+        df = spark.createDataFrame([("x",), ("y",)], "k string")
+        sketch = sk2.cm_build(df, "k", d=4, w=4096)
+        keys = spark.createDataFrame([("never-seen",)], "k string")
+        est = sk2.cm_estimate(sketch, keys, "k", d=4, w=4096).first()["est_count"]
+        assert est == 0
+
+    def test_merge_is_sum(self, spark):
+        from tundradb_spark.pipeline import sketches as sk2
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        lo = docs.filter(F.col("o_orderkey") % 2 == 0)
+        hi = docs.filter(F.col("o_orderkey") % 2 == 1)
+        merged = (
+            sk2.cm_build(lo, "o_custkey", d=3, w=256)
+            .unionByName(sk2.cm_build(hi, "o_custkey", d=3, w=256))
+            .groupBy("row_idx", "col_idx")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        whole = sk2.cm_build(docs, "o_custkey", d=3, w=256)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+
+    def test_matches_duckdb_oracle_bit_for_bit(self, spark):
+        import duckdb
+
+        from tundradb_spark.pipeline import sketches as sk2
+
+        path = "/root/testdata/sf0.001/orders.parquet"
+        orders = spark.read.parquet(path)
+        sketch = sk2.cm_build(orders, "o_custkey", d=4, w=512)
+        keys = orders.select("o_custkey").distinct().filter(F.col("o_custkey") < 60)
+        got = sorted(
+            (r["o_custkey"], r["est_count"])
+            for r in sk2.cm_estimate(sketch, keys, "o_custkey", d=4, w=512).collect()
+        )
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW orders AS SELECT * FROM '{path}'")
+        sql = sk2.cm_sql(
+            "orders",
+            "o_custkey",
+            "(SELECT DISTINCT o_custkey FROM orders WHERE o_custkey < 60)",
+            "o_custkey",
+            "o_custkey",
+            d=4,
+            w=512,
+        )
+        want = sorted(con.execute(sql).fetchall())
+        assert got == want
+
+    def test_validation(self, spark):
+        from tundradb_spark.pipeline import sketches as sk2
+
+        df = spark.createDataFrame([("x",)], "k string")
+        with pytest.raises(ValueError):
+            sk2.cm_build(df, "k", d=0)
+
+
+class TestStreamCmCounts:
+    def test_stream_merge_equals_batch_sketch(self, spark, tmp_path):
+        import os
+
+        from tundradb_spark.pipeline import sketches as sk2
+        from tundradb_spark.streaming import read_cm_estimate, stream_cm_counts
+
+        src = str(tmp_path / "csrc")
+        cm = str(tmp_path / "cm")
+        ckpt = str(tmp_path / "cck")
+        os.makedirs(src)
+        schema = "k string"
+
+        def rows(lo, hi):
+            return [(f"key{i % 50}",) for i in range(lo, hi)]
+
+        spark.createDataFrame(rows(0, 400), schema).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = stream_cm_counts(stream, cm, ckpt, "k", d=4, w=256)
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(rows(400, 1000), schema).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        keys = spark.createDataFrame([(f"key{i}",) for i in range(50)], schema)
+        got = sorted(
+            map(tuple, read_cm_estimate(spark, cm, keys, "k", d=4, w=256).collect())
+        )
+        allrows = spark.createDataFrame(rows(0, 1000), schema)
+        want = sorted(
+            map(
+                tuple,
+                sk2.cm_estimate(
+                    sk2.cm_build(allrows, "k", d=4, w=256), keys, "k", d=4, w=256
+                ).collect(),
+            )
+        )
+        assert got == want
+        # frequencies are exactly 20 per key here; CM never undercounts
+        assert all(c >= 20 for _, c in got)

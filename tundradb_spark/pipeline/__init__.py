@@ -16,8 +16,9 @@ operations a large-scale LLM training-data pipeline needs, built Spark-first:
   fixed-token document chunking, sequence packing, exact/approximate
   token-budget mixture building, and the deterministic global shuffle /
   shard export (:func:`shuffle_shards`, :func:`write_shards`)
-- :mod:`sketches` — HyperLogLog distinct-count sketches and Bloom-filter
-  join pruning, both oracle-exact via the portable hash family
+- :mod:`sketches` — HyperLogLog distinct counts, Count-Min frequency
+  estimates, and Bloom-filter join pruning, all oracle-exact via the
+  portable hash family
 - :mod:`importance` — DSIR hashed n-gram importance weights (target-domain
   log-likelihood ratios) for importance resampling
 - :mod:`recipe` — the composed corpus-prep pipeline (gate → dedup → chunk →
@@ -66,7 +67,10 @@ from tundradb_spark.pipeline.sketches import (
     bloom_build,
     bloom_contains,
     bloom_semi_join,
+    cm_build,
+    cm_estimate,
     hll_distinct,
+    hll_estimate,
     hll_registers,
 )
 from tundradb_spark.pipeline.similarity import (
@@ -115,6 +119,9 @@ __all__ = [
     "bloom_build",
     "bloom_contains",
     "bloom_semi_join",
+    "cm_build",
+    "cm_estimate",
+    "hll_estimate",
     "shuffle_shards",
     "shard_summary",
     "write_shards",

@@ -1000,6 +1000,22 @@ def q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CM_D, CM_W = 4, 512
+
+
+def q_cm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates (sketches.cm_build/cm_estimate):
+    order counts per customer for custkeys < 60, estimated through a
+    d×w counter sketch — never an undercount, O(d·w) state at any scale;
+    bit-exact against sketches.cm_sql."""
+    from tundradb_spark.pipeline.sketches import cm_build, cm_estimate
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sketch = cm_build(orders, "o_custkey", d=CM_D, w=CM_W)
+    keys = orders.select("o_custkey").distinct().filter(F.col("o_custkey") < 60)
+    return cm_estimate(sketch, keys, "o_custkey", d=CM_D, w=CM_W)
+
+
 def q_text_lm2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """20 least-fluent docs under the interpolated bigram corpus LM
     (text.lm_scores_bigram) — ordered lm2_logprob asc, doc_id asc (total
@@ -1015,6 +1031,7 @@ PARKED_PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hll_distinct": q_hll_distinct,  # new in r5: no free driver slot
     "q_bloom_semi": q_bloom_semi,  # new in r5: no free driver slot
     "q_text_lm2": q_text_lm2,  # new in r5: no free driver slot
+    "q_cm_counts": q_cm_counts,  # new in r5: no free driver slot
     "q_decontaminate": q_decontaminate,  # new in r5: no free driver slot
     "q_dup_spans": q_dup_spans,  # new in r5: no free driver slot
     "q_tfidf": q_tfidf,  # new in r5: no free driver slot
@@ -2304,8 +2321,23 @@ GROUP BY b.doc_id
 ORDER BY lm2_logprob ASC, doc_id ASC LIMIT 20
 """
 
+def _cm_oracle_sql() -> str:
+    from tundradb_spark.pipeline.sketches import cm_sql
+
+    return cm_sql(
+        "orders",
+        "o_custkey",
+        "(SELECT DISTINCT o_custkey FROM orders WHERE o_custkey < 60)",
+        "o_custkey",
+        "o_custkey",
+        d=CM_D,
+        w=CM_W,
+    )
+
+
 PARKED_PIPELINE_ORACLES: dict[str, str] = {
     "q_hll_distinct": _hll_oracle_sql(),
+    "q_cm_counts": _cm_oracle_sql(),
     "q_bloom_semi": Q_BLOOM_SEMI_SQL,
     "q_text_lm2": Q_TEXT_LM2_SQL,
     "q_decontaminate": Q_DECONTAMINATE_SQL,

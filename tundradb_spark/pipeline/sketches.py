@@ -308,3 +308,128 @@ def bloom_semi_join(
     words = bloom_build(small, on, m_bits=m_bits, k=k, seed=seed)
     pre = big.filter(bloom_contains(f"`{on}`", words, m_bits, k, seed))
     return pre.join(small.select(on).distinct(), on, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def cm_build(
+    df: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+    seed: int = 211,
+) -> DataFrame:
+    """Count-Min sketch of ``key_col``'s frequency distribution: ``d``
+    hash rows × ``w`` counters (Cormode & Muthukrishnan 2005).  The
+    frequency-estimation twin of the HLL sketch: O(d·w) state regardless
+    of key cardinality, estimates overcount by at most ``2n/w`` with
+    probability ``1 − 2^−d`` and NEVER undercount.
+
+    Same mergeable-register shape as :func:`hll_registers`: counters sum,
+    so map-side partial aggregation is the sketch merge and the shuffle
+    carries at most ``d·w`` rows; two sketches (or two epochs of a
+    stream — streaming.ops.stream_cm_counts) union by adding counters.
+
+    Returns ``(row_idx, col_idx, cnt)`` — only occupied cells.
+    """
+    if d < 1 or w < 1:
+        raise ValueError(f"d and w must be >= 1, got d={d}, w={w}")
+    h = h32(F.col(key_col).cast("string"))
+    hashed = df.select(h.alias("__h"))
+    cells = hashed.select(
+        F.posexplode(
+            F.array(
+                *[
+                    ((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P))
+                    % F.lit(w)
+                    for a, b in minhash_params(d, seed=seed)
+                ]
+            )
+        ).alias("row_idx", "col_idx")
+    )
+    return cells.groupBy("row_idx", "col_idx").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+    seed: int = 211,
+) -> DataFrame:
+    """Frequency estimates for ``keys`` against a :func:`cm_build` sketch:
+    ``min`` over the d probed counters (0 if any probed cell is empty —
+    the key was never seen).  One broadcastable join of ``|keys|·d`` probe
+    rows against the d·w-cell sketch; never an undercount, overcount
+    bounded by the sketch width.
+
+    Returns ``(key_col, est_count)``.
+    """
+    h = h32(F.col(key_col).cast("string"))
+    probes = keys.select(F.col(key_col), h.alias("__h")).select(
+        key_col,
+        F.posexplode(
+            F.array(
+                *[
+                    ((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P))
+                    % F.lit(w)
+                    for a, b in minhash_params(d, seed=seed)
+                ]
+            )
+        ).alias("row_idx", "col_idx"),
+    )
+    joined = probes.join(F.broadcast(sketch), ["row_idx", "col_idx"], "left")
+    return (
+        joined.groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+        .select(key_col, F.col("est_count").cast("long").alias("est_count"))
+    )
+
+
+def cm_sql(
+    table: str,
+    key_expr: str,
+    probe_table: str,
+    probe_key_expr: str,
+    key_alias: str,
+    d: int = 4,
+    w: int = 1024,
+    seed: int = 211,
+) -> str:
+    """DuckDB oracle reproducing :func:`cm_build` + :func:`cm_estimate`
+    end-to-end (build the sketch from ``table``, probe every key of
+    ``probe_table``) — kept beside the builders so the three hash
+    pipelines can only drift in review."""
+    params = minhash_params(d, seed=seed)
+    h = h32_sql(f"CAST({key_expr} AS VARCHAR)")
+    ph = h32_sql(f"CAST({probe_key_expr} AS VARCHAR)")
+    build_rows = " UNION ALL ".join(
+        f"SELECT {i} AS row_idx, (({h}) * {a} + {b}) % {MERSENNE_P} % {w}"
+        f" AS col_idx FROM {table}"
+        for i, (a, b) in enumerate(params)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {probe_key_expr} AS k, {i} AS row_idx,"
+        f" (({ph}) * {a} + {b}) % {MERSENNE_P} % {w} AS col_idx"
+        f" FROM {probe_table}"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""
+WITH cells AS ({build_rows}),
+sketch AS (
+  SELECT row_idx, col_idx, count(*) AS cnt FROM cells
+  GROUP BY row_idx, col_idx
+),
+probes AS ({probe_rows})
+SELECT p.k AS {key_alias},
+       CAST(min(coalesce(s.cnt, 0)) AS BIGINT) AS est_count
+FROM probes p LEFT JOIN sketch s
+  ON p.row_idx = s.row_idx AND p.col_idx = s.col_idx
+GROUP BY p.k
+"""

@@ -25,13 +25,17 @@ continuously-ingesting graph/analytics deployment needs:
 - :func:`stream_hll_registers` / :func:`read_hll_distinct` — live
   per-group distinct-count sketches with O(groups · 2^p) state
   (register max-merge == sketch union)
+- :func:`stream_cm_counts` / :func:`read_cm_estimate` — live Count-Min
+  frequency sketch with O(d·w) state (counter sum == sketch union)
 """
 
 from tundradb_spark.streaming.ops import (
+    read_cm_estimate,
     read_hll_distinct,
     session_window_agg,
     sessionize,
     stream_gate_corpus,
+    stream_cm_counts,
     stream_hll_registers,
     stream_ingest_dedup,
     stream_edges,
@@ -55,4 +59,6 @@ __all__ = [
     "stream_ingest_dedup",
     "stream_hll_registers",
     "read_hll_distinct",
+    "stream_cm_counts",
+    "read_cm_estimate",
 ]

@@ -611,3 +611,69 @@ def read_hll_distinct(spark, path: str, group_col: str, p: int = 9) -> DataFrame
         .agg(F.max("m_reg").alias("m_reg"))
     )
     return hll_estimate(merged, group_col, p)
+
+
+def stream_cm_counts(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+    seed: int = 211,
+    query_name: str | None = None,
+) -> "StreamingQuery":
+    """Continuously maintain a Count-Min sketch
+    (pipeline.sketches.cm_build layout) from a row stream — live frequency
+    estimates for ANY later-chosen key with O(d·w) state, where exact
+    streaming per-key counts grow with the key universe.
+
+    Counters are additive, so each micro-batch is sketched independently
+    into its own ``epoch=E`` partition and a reader sums cells across
+    epochs (:func:`read_cm_estimate`) — sketch union by addition.
+    Idempotent under replay via dynamic partition overwrite on ``epoch``
+    (required here: double-writing an epoch WOULD double its counts,
+    unlike the max-merged HLL registers)."""
+    from tundradb_spark.pipeline.sketches import cm_build
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        sk = cm_build(batch, key_col, d, w, seed)
+        (
+            sk.withColumn("epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name or "cm-counts")
+        .start()
+    )
+
+
+def read_cm_estimate(
+    spark,
+    path: str,
+    keys: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 1024,
+    seed: int = 211,
+) -> DataFrame:
+    """Sum all epochs of a :func:`stream_cm_counts` table into one sketch
+    and estimate frequencies for ``keys`` — identical to
+    ``pipeline.sketches.cm_estimate`` over a batch sketch of every row the
+    stream has delivered (counter sum == sketch union; test-pinned)."""
+    from tundradb_spark.pipeline.sketches import cm_estimate
+
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("row_idx", "col_idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return cm_estimate(merged, keys, key_col, d, w, seed)
