@@ -340,3 +340,64 @@ def test_pack_chunks_single_exchange(spark):
     assert "SinglePartition" not in plan
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan
+
+
+def test_hll_two_bounded_exchanges(spark):
+    """The HLL sketch pays exactly two hash exchanges — (group, bucket)
+    registers then per-group fold — and the register exchange carries at
+    most 2^p rows per group no matter the input size (partial max runs
+    map-side)."""
+    from tundradb_spark.pipeline.sketches import hll_distinct
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = hll_distinct(docs, "doc_id", "source", p=9)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    # partial aggregation (the sketch merge) before each exchange
+    assert "partial_max" in plan or "partial_" in plan, plan
+    assert "SinglePartition" not in plan
+
+
+def test_cm_build_single_exchange_partial_count(spark):
+    from tundradb_spark.pipeline.sketches import cm_build
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = (
+        cm_build(orders, "o_custkey", d=4, w=512)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_count" in plan, plan
+
+
+def test_histogram_quantiles_one_data_exchange(spark):
+    """The only data-sized shuffle is groupBy(group, bin); the window +
+    final fold run over n_bins-bounded rows."""
+    from tundradb_spark.operators.relational import histogram_quantiles
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = (
+        histogram_quantiles(li, ["l_returnflag"], "l_extendedprice", [0.5])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # bin-count exchange + per-group window/fold exchange, nothing else,
+    # and never a single-partition collapse
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "SinglePartition" not in plan
+    assert "partial_count" in plan, plan
+
+
+def test_shuffle_shards_is_narrow(spark):
+    """Shard assignment adds NO exchange — it's a projection; the shuffle
+    happens only when a writer repartitions by the assigned column."""
+    from tundradb_spark.pipeline.sampling import shuffle_shards
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        shuffle_shards(docs, 16)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
