@@ -1370,3 +1370,91 @@ class TestShuffleShards:
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         with pytest.raises(ValueError):
             shuffle_shards(docs, 0)
+
+
+class TestWeightedSample:
+    def test_exactly_k_and_deterministic(self, spark):
+        from tundradb_spark.pipeline.sampling import weighted_sample_topk
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = [tuple(r) for r in weighted_sample_topk(docs, "n_chars", 25).collect()]
+        b = [
+            tuple(r)
+            for r in weighted_sample_topk(
+                docs.repartition(9), "n_chars", 25
+            ).collect()
+        ]
+        assert len(a) == 25 and a == b
+
+    def test_weight_bias(self, spark):
+        """Heavily-weighted rows must be sampled far more often: weight
+        1000 vs 1 with k=half the population."""
+        from tundradb_spark.pipeline.sampling import weighted_sample_topk
+
+        rows = [(i, 1000.0 if i < 50 else 1.0) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, wt double")
+        kept = {r["doc_id"] for r in weighted_sample_topk(df, "wt", 60).collect()}
+        heavy = sum(1 for i in kept if i < 50)
+        assert heavy >= 45  # nearly all heavy rows survive
+
+    def test_nonpositive_weights_dropped(self, spark):
+        from tundradb_spark.pipeline.sampling import weighted_sample_topk
+
+        df = spark.createDataFrame(
+            [(1, 0.0), (2, -3.0), (3, 2.0)], "doc_id long, wt double"
+        )
+        kept = [r["doc_id"] for r in weighted_sample_topk(df, "wt", 5).collect()]
+        assert kept == [3]
+
+    def test_no_global_sort_in_plan(self, spark):
+        from tundradb_spark.pipeline.sampling import weighted_sample_topk
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (
+            weighted_sample_topk(docs, "n_chars", 10)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan, plan
+
+    def test_validation(self, spark):
+        from tundradb_spark.pipeline.sampling import weighted_sample_topk
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        with pytest.raises(ValueError):
+            weighted_sample_topk(docs, "n_chars", 0)
+
+
+class TestHllIntersect:
+    def test_overlap_estimate_close(self, spark):
+        from tundradb_spark.pipeline.sketches import (
+            hll_intersect_estimate,
+            hll_registers,
+        )
+
+        # A = 0..2999, B = 2000..5999 → |A∩B| = 1000
+        mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+            F.concat(F.lit("k"), F.col("id")).alias("k"), F.lit("g").alias("g")
+        )
+        ra = hll_registers(mk(0, 3000), "k", "g", p=11)
+        rb = hll_registers(mk(2000, 6000), "k", "g", p=11)
+        row = hll_intersect_estimate(ra, rb, "g", p=11).first()
+        assert abs(row["est_a"] - 3000) / 3000 < 0.10
+        assert abs(row["est_union"] - 6000) / 6000 < 0.10
+        # intersection compounds three estimates; allow a loose band
+        assert 500 < row["est_intersect"] < 1600
+
+    def test_disjoint_near_zero(self, spark):
+        from tundradb_spark.pipeline.sketches import (
+            hll_intersect_estimate,
+            hll_registers,
+        )
+
+        mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+            F.concat(F.lit("k"), F.col("id")).alias("k"), F.lit("g").alias("g")
+        )
+        ra = hll_registers(mk(0, 2000), "k", "g", p=11)
+        rb = hll_registers(mk(10000, 12000), "k", "g", p=11)
+        row = hll_intersect_estimate(ra, rb, "g", p=11).first()
+        assert row["est_intersect"] < 0.12 * 2000

@@ -61,6 +61,7 @@ from tundradb_spark.pipeline.sampling import (
     shard_summary,
     shuffle_shards,
     stratified_sample,
+    weighted_sample_topk,
     write_shards,
 )
 from tundradb_spark.pipeline.sketches import (
@@ -71,6 +72,7 @@ from tundradb_spark.pipeline.sketches import (
     cm_estimate,
     hll_distinct,
     hll_estimate,
+    hll_intersect_estimate,
     hll_registers,
 )
 from tundradb_spark.pipeline.similarity import (
@@ -122,6 +124,8 @@ __all__ = [
     "cm_build",
     "cm_estimate",
     "hll_estimate",
+    "hll_intersect_estimate",
+    "weighted_sample_topk",
     "shuffle_shards",
     "shard_summary",
     "write_shards",

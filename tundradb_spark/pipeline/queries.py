@@ -1000,6 +1000,45 @@ def q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WSAMPLE_K, WSAMPLE_SEED = 25, 7
+HLLX_SPLIT_LO, HLLX_SPLIT_HI = 150, 250  # A = id < HI, B = id >= LO
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted top-k sample (sampling.
+    weighted_sample_topk): 25 docs drawn without replacement with
+    probability ∝ n_chars — priorities u^(1/w) from the portable hash,
+    TakeOrderedAndProject (no global sort)."""
+    from tundradb_spark.pipeline.sampling import weighted_sample_topk
+
+    return weighted_sample_topk(
+        _docs(spark, sf_dir), "n_chars", WSAMPLE_K, seed=WSAMPLE_SEED
+    ).select(
+        "doc_id", F.col("weight").cast("double").alias("weight"), "priority"
+    )
+
+
+def q_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL inclusion-exclusion overlap estimate (sketches.
+    hll_intersect_estimate) between two overlapping doc-id slices of the
+    corpus — corpus-contamination sizing from two constant-size sketches;
+    every estimate reproduced bit-for-bit by the oracle's identical
+    register algebra."""
+    from tundradb_spark.pipeline.sketches import (
+        hll_intersect_estimate,
+        hll_registers,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ra = hll_registers(
+        docs.filter(F.col("doc_id") < HLLX_SPLIT_HI), "doc_id", "source"
+    )
+    rb = hll_registers(
+        docs.filter(F.col("doc_id") >= HLLX_SPLIT_LO), "doc_id", "source"
+    )
+    return hll_intersect_estimate(ra, rb, "source")
+
+
 CM_D, CM_W = 4, 512
 
 
@@ -1032,6 +1071,8 @@ PARKED_PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bloom_semi": q_bloom_semi,  # new in r5: no free driver slot
     "q_text_lm2": q_text_lm2,  # new in r5: no free driver slot
     "q_cm_counts": q_cm_counts,  # new in r5: no free driver slot
+    "q_weighted_sample": q_weighted_sample,  # new in r5
+    "q_hll_intersect": q_hll_intersect,  # new in r5
     "q_decontaminate": q_decontaminate,  # new in r5: no free driver slot
     "q_dup_spans": q_dup_spans,  # new in r5: no free driver slot
     "q_tfidf": q_tfidf,  # new in r5: no free driver slot
@@ -2321,6 +2362,60 @@ GROUP BY b.doc_id
 ORDER BY lm2_logprob ASC, doc_id ASC LIMIT 20
 """
 
+def _wsample_oracle_sql() -> str:
+    h = h32_sql(f"'{WSAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)")
+    pri = (
+        f"pow(CAST(({h}) + 1 AS DOUBLE) / CAST(4294967296 AS DOUBLE),"
+        " CAST(1.0 AS DOUBLE) / CAST(n_chars AS DOUBLE))"
+    )
+    return f"""
+SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+       round({pri}, 6) AS priority
+FROM documents WHERE n_chars > 0
+ORDER BY {pri} DESC, doc_id ASC LIMIT {WSAMPLE_K}
+"""
+
+
+def _hll_intersect_oracle_sql() -> str:
+    from tundradb_spark.pipeline.sketches import (
+        hll_estimate_sql,
+        hll_registers_sql,
+    )
+
+    ra = hll_registers_sql(
+        "documents", "doc_id", "source", group_alias="source",
+        where=f"doc_id < {HLLX_SPLIT_HI}",
+    )
+    rb = hll_registers_sql(
+        "documents", "doc_id", "source", group_alias="source",
+        where=f"doc_id >= {HLLX_SPLIT_LO}",
+    )
+    ea = hll_estimate_sql("ra", group_alias="source")
+    eb = hll_estimate_sql("rb", group_alias="source")
+    eu = hll_estimate_sql("ru", group_alias="source")
+    return f"""
+WITH ra AS ({ra}),
+rb AS ({rb}),
+ru AS (
+  SELECT source, bucket, MAX(m_reg) AS m_reg
+  FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+  GROUP BY source, bucket
+),
+ea AS ({ea}), eb AS ({eb}), eu AS ({eu})
+SELECT coalesce(ea.source, eb.source, eu.source) AS source,
+       coalesce(ea.est_distinct, 0.0) AS est_a,
+       coalesce(eb.est_distinct, 0.0) AS est_b,
+       coalesce(eu.est_distinct, 0.0) AS est_union,
+       round(greatest(coalesce(ea.est_distinct, 0.0)
+                      + coalesce(eb.est_distinct, 0.0)
+                      - coalesce(eu.est_distinct, 0.0), 0.0), 4)
+         AS est_intersect
+FROM ea
+FULL JOIN eb ON ea.source = eb.source
+FULL JOIN eu ON coalesce(ea.source, eb.source) = eu.source
+"""
+
+
 def _cm_oracle_sql() -> str:
     from tundradb_spark.pipeline.sketches import cm_sql
 
@@ -2338,6 +2433,8 @@ def _cm_oracle_sql() -> str:
 PARKED_PIPELINE_ORACLES: dict[str, str] = {
     "q_hll_distinct": _hll_oracle_sql(),
     "q_cm_counts": _cm_oracle_sql(),
+    "q_weighted_sample": _wsample_oracle_sql(),
+    "q_hll_intersect": _hll_intersect_oracle_sql(),
     "q_bloom_semi": Q_BLOOM_SEMI_SQL,
     "q_text_lm2": Q_TEXT_LM2_SQL,
     "q_decontaminate": Q_DECONTAMINATE_SQL,

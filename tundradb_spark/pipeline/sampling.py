@@ -329,3 +329,54 @@ def write_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def weighted_sample_topk(
+    docs: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep exactly
+    ``k`` rows with inclusion probability proportional to ``weight_col``
+    (Efraimidis & Spirakis 2006 A-ES): each row draws a content-hash
+    uniform ``u ∈ (0, 1]`` and the top-k by priority ``u^(1/w)`` are the
+    sample — the quality-weighted corpus subsetting step (weight = quality
+    score, token count, dup-cluster size…).
+
+    Distributed shape: the priority is a narrow per-row expression and
+    top-k compiles to TakeOrderedAndProject (per-partition heaps + one
+    k-row merge — no global sort), so the operator scales like
+    :func:`deterministic_sample` plus one bounded reduction.
+
+    Determinism: ``u`` is exact ((h32+1)/2^32 — a power-of-two division),
+    so the sample is partition- and rerun-stable.  Cross-ENGINE caveat:
+    ``pow`` differs by 1 ulp between the JVM and libm on ~1% of rows
+    (measured), so the reported priority is rounded to 6dp and boundary
+    membership carries a ~1e-16-scale knife-edge — the same accepted
+    class as PPR's 3dp rounding.  Weights must be > 0 (rows with
+    non-positive weight are dropped, matching "probability 0").
+
+    Output: ``id_col, weight, priority`` — the k sampled rows, priority
+    descending.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("double")
+    u = (
+        h32(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))) + 1
+    ).cast("double") / F.lit(float(1 << 32))
+    pri = F.pow(u, F.lit(1.0) / w)
+    return (
+        docs.filter(w > 0)
+        .select(
+            F.col(id_col),
+            w.alias("weight"),
+            F.round(pri, 6).alias("priority"),
+            pri.alias("__pri"),
+        )
+        .orderBy(F.desc("__pri"), F.asc(id_col))
+        .limit(k)
+        .drop("__pri")
+    )

@@ -144,6 +144,59 @@ def hll_estimate(regs: DataFrame, group_col: str, p: int = 9) -> DataFrame:
     )
 
 
+def hll_registers_sql(
+    table: str,
+    key_expr: str,
+    group_expr: str,
+    p: int = 9,
+    group_alias: str = "grp",
+    where: str = "",
+) -> str:
+    """SQL subquery producing :func:`hll_registers`'s
+    ``(group, bucket, m_reg)`` frame — the composable unit
+    :func:`hll_sql` and the intersection oracle both build on."""
+    rbits = HLL_HASH_BITS - p
+    h = hbits_sql(f"CAST({key_expr} AS VARCHAR)", HLL_HASH_BITS)
+    w = f"WHERE {where}" if where else ""
+    return f"""
+  SELECT {group_alias}, h >> {rbits} AS bucket,
+         MAX(CASE WHEN (h & {(1 << rbits) - 1}) > 0
+                  THEN {rbits} + 1 - length(bin(h & {(1 << rbits) - 1}))
+                  ELSE {rbits + 1} END) AS m_reg
+  FROM (SELECT {group_expr} AS {group_alias}, {h} AS h FROM {table} {w})
+  GROUP BY {group_alias}, bucket"""
+
+
+def hll_estimate_sql(
+    regs_ref: str,
+    p: int = 9,
+    group_alias: str = "grp",
+) -> str:
+    """SQL reproducing :func:`hll_estimate` over a register relation
+    (a CTE name or parenthesized subquery) — outputs
+    ``(group, n_buckets, est_distinct)``."""
+    m = 1 << p
+    rbits = HLL_HASH_BITS - p
+    cap = rbits + 1
+    numer = repr(float(_hll_alpha(m) * m * m * (1 << cap)))
+    raw = (
+        f"{numer} / CAST(s0 + ({m} - n_buckets) *"
+        f" (CAST(1 AS BIGINT) << {cap}) AS DOUBLE)"
+    )
+    return f"""
+SELECT {group_alias}, CAST(n_buckets AS BIGINT) AS n_buckets,
+       round(CASE WHEN {raw} <= {repr(2.5 * m)}
+                   AND ({m} - n_buckets) > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - n_buckets AS DOUBLE))
+                  ELSE {raw}
+             END, 4) AS est_distinct
+FROM (
+  SELECT {group_alias}, COUNT(*) AS n_buckets,
+         SUM(CAST(1 AS BIGINT) << ({cap} - m_reg)) AS s0
+  FROM {regs_ref} GROUP BY {group_alias}
+)"""
+
+
 def hll_sql(
     table: str,
     key_expr: str,
@@ -155,33 +208,8 @@ def hll_sql(
 
     Kept adjacent to the Spark builder so the two formulas can only drift
     in review, not silently."""
-    m = 1 << p
-    rbits = HLL_HASH_BITS - p
-    cap = rbits + 1
-    numer = repr(float(_hll_alpha(m) * m * m * (1 << cap)))
-    h = hbits_sql(f"CAST({key_expr} AS VARCHAR)", HLL_HASH_BITS)
-    return f"""
-WITH hashed AS (
-  SELECT {group_expr} AS {group_alias}, {h} AS h FROM {table}
-), regs AS (
-  SELECT {group_alias}, h >> {rbits} AS bucket,
-         MAX(CASE WHEN (h & {(1 << rbits) - 1}) > 0
-                  THEN {rbits} + 1 - length(bin(h & {(1 << rbits) - 1}))
-                  ELSE {rbits + 1} END) AS m_reg
-  FROM hashed GROUP BY {group_alias}, bucket
-), per_group AS (
-  SELECT {group_alias}, COUNT(*) AS n_buckets,
-         SUM(CAST(1 AS BIGINT) << ({cap} - m_reg)) AS s0
-  FROM regs GROUP BY {group_alias}
-)
-SELECT {group_alias}, CAST(n_buckets AS BIGINT) AS n_buckets,
-       round(CASE WHEN {numer} / CAST(s0 + ({m} - n_buckets) * (CAST(1 AS BIGINT) << {cap}) AS DOUBLE) <= {repr(2.5 * m)}
-                   AND ({m} - n_buckets) > 0
-                  THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - n_buckets AS DOUBLE))
-                  ELSE {numer} / CAST(s0 + ({m} - n_buckets) * (CAST(1 AS BIGINT) << {cap}) AS DOUBLE)
-             END, 4) AS est_distinct
-FROM per_group
-"""
+    regs = hll_registers_sql(table, key_expr, group_expr, p, group_alias)
+    return hll_estimate_sql("(" + regs + "\n)", p, group_alias)
 
 
 # ---------------------------------------------------------------------------
@@ -433,3 +461,53 @@ FROM probes p LEFT JOIN sketch s
   ON p.row_idx = s.row_idx AND p.col_idx = s.col_idx
 GROUP BY p.k
 """
+
+
+def hll_intersect_estimate(
+    regs_a: DataFrame, regs_b: DataFrame, group_col: str, p: int = 9
+) -> DataFrame:
+    """Per-group distinct-overlap estimates between two sketched corpora
+    by inclusion-exclusion: ``|A∩B| ≈ |A| + |B| − |A∪B|``, where the union
+    sketch is the per-bucket register max (exactly :func:`hll_registers`'s
+    merge) — the corpus-overlap sizing question (how contaminated is B by
+    A?) answered from two constant-size sketches, no key exchange.
+
+    Estimate error compounds (three estimates), so treat small
+    intersections as "below sketch resolution" — the standard HLL
+    inclusion-exclusion caveat; clamped at ≥ 0.
+
+    Output: ``group_col, est_a, est_b, est_union, est_intersect``.
+    """
+    est_a = hll_estimate(regs_a, group_col, p).select(
+        group_col, F.col("est_distinct").alias("est_a")
+    )
+    est_b = hll_estimate(regs_b, group_col, p).select(
+        group_col, F.col("est_distinct").alias("est_b")
+    )
+    union_regs = (
+        regs_a.unionByName(regs_b)
+        .groupBy(group_col, "bucket")
+        .agg(F.max("m_reg").alias("m_reg"))
+    )
+    est_u = hll_estimate(union_regs, group_col, p).select(
+        group_col, F.col("est_distinct").alias("est_union")
+    )
+    return (
+        est_a.join(est_b, group_col, "outer")
+        .join(est_u, group_col, "outer")
+        .select(
+            group_col,
+            F.coalesce("est_a", F.lit(0.0)).alias("est_a"),
+            F.coalesce("est_b", F.lit(0.0)).alias("est_b"),
+            F.coalesce("est_union", F.lit(0.0)).alias("est_union"),
+            F.round(
+                F.greatest(
+                    F.coalesce("est_a", F.lit(0.0))
+                    + F.coalesce("est_b", F.lit(0.0))
+                    - F.coalesce("est_union", F.lit(0.0)),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("est_intersect"),
+        )
+    )
