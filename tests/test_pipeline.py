@@ -1458,3 +1458,68 @@ class TestHllIntersect:
         rb = hll_registers(mk(10000, 12000), "k", "g", p=11)
         row = hll_intersect_estimate(ra, rb, "g", p=11).first()
         assert row["est_intersect"] < 0.12 * 2000
+
+
+class TestVocabEncode:
+    def test_vocab_deterministic_dense_ids(self, spark):
+        from tundradb_spark.pipeline.text import build_vocab
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        v1 = sorted(map(tuple, build_vocab(docs).collect()))
+        v2 = sorted(map(tuple, build_vocab(docs.repartition(7)).collect()))
+        assert v1 == v2
+        ids = sorted(t[1] for t in v1)
+        assert ids == list(range(len(v1)))  # dense 0..V-1
+        # ranking: higher count => smaller id; ties by token asc
+        by_id = sorted(v1, key=lambda t: t[1])
+        for a, b in zip(by_id, by_id[1:]):
+            assert (a[2], b[0]) >= (b[2], a[0])
+
+    def test_vocab_min_df_and_cap(self, spark):
+        from tundradb_spark.pipeline.text import build_vocab
+
+        df = spark.createDataFrame(
+            [(1, "a a a b"), (2, "a b c"), (3, "a b")],
+            "doc_id long, text string",
+        )
+        v = {r["token"]: r for r in build_vocab(df, min_df=2).collect()}
+        assert set(v) == {"a", "b"}  # c appears in 1 doc only
+        assert v["a"]["tok_id"] == 0 and v["a"]["count"] == 5 and v["a"]["df"] == 3
+        capped = build_vocab(df, max_vocab=1).collect()
+        assert len(capped) == 1 and capped[0]["token"] == "a"
+
+    def test_encode_roundtrip(self, spark):
+        from tundradb_spark.pipeline.text import build_vocab, encode_tokens, tokens
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(50)
+        vocab = build_vocab(docs)
+        enc = encode_tokens(docs, vocab)
+        inv = {r["tok_id"]: r["token"] for r in vocab.collect()}
+        orig = {
+            r["doc_id"]: r["t"]
+            for r in docs.select(
+                "doc_id", tokens(F.col("text")).alias("t")
+            ).collect()
+        }
+        for r in enc.collect():
+            assert r["n_tokens"] == len(r["ids"]) == len(orig[r["doc_id"]])
+            assert [inv[i] for i in r["ids"]] == orig[r["doc_id"]]
+
+    def test_encode_unk_for_oov(self, spark):
+        from tundradb_spark.pipeline.text import build_vocab, encode_tokens
+
+        train = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+        vocab = build_vocab(train)
+        test = spark.createDataFrame([(9, "a zzz b")], "doc_id long, text string")
+        row = encode_tokens(test, vocab).first()
+        ids = row["ids"]
+        assert ids[1] == -1 and -1 not in (ids[0], ids[2])
+
+    def test_vocab_validation(self, spark):
+        from tundradb_spark.pipeline.text import build_vocab
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            build_vocab(df, min_df=0)

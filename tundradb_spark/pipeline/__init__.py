@@ -96,7 +96,9 @@ from tundradb_spark.pipeline.similarity import (
     random_projection,
 )
 from tundradb_spark.pipeline.text import (
+    build_vocab,
     compression_ratios,
+    encode_tokens,
     fingerprints,
     lm_scores_bigram,
     gopher_rules,
@@ -130,6 +132,8 @@ __all__ = [
     "shard_summary",
     "write_shards",
     "lm_scores_bigram",
+    "build_vocab",
+    "encode_tokens",
     "apply_dedup",
     "minhash_signature",
     "minhash_lsh_pairs",

@@ -1000,6 +1000,31 @@ def q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_MIN_DF, VOCAB_MAX = 2, 500
+
+
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus vocabulary (text.build_vocab): dense ids by
+    (count desc, token asc), document-frequency cut at 2, capped at 500 —
+    the tokenizer-export step; the id of every kept token value-checked."""
+    from tundradb_spark.pipeline.text import build_vocab
+
+    return build_vocab(
+        _docs(spark, sf_dir), min_df=VOCAB_MIN_DF, max_vocab=VOCAB_MAX
+    )
+
+
+def q_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id encoding (text.encode_tokens) of every document against
+    the q_vocab vocabulary (OOV → −1) — order-exact id arrays
+    value-checked per document."""
+    from tundradb_spark.pipeline.text import build_vocab, encode_tokens
+
+    docs = _docs(spark, sf_dir)
+    vocab = build_vocab(docs, min_df=VOCAB_MIN_DF, max_vocab=VOCAB_MAX)
+    return encode_tokens(docs, vocab)
+
+
 WSAMPLE_K, WSAMPLE_SEED = 25, 7
 HLLX_SPLIT_LO, HLLX_SPLIT_HI = 150, 250  # A = id < HI, B = id >= LO
 
@@ -1073,6 +1098,8 @@ PARKED_PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cm_counts": q_cm_counts,  # new in r5: no free driver slot
     "q_weighted_sample": q_weighted_sample,  # new in r5
     "q_hll_intersect": q_hll_intersect,  # new in r5
+    "q_vocab": q_vocab,  # new in r5
+    "q_encode": q_encode,  # new in r5
     "q_decontaminate": q_decontaminate,  # new in r5: no free driver slot
     "q_dup_spans": q_dup_spans,  # new in r5: no free driver slot
     "q_tfidf": q_tfidf,  # new in r5: no free driver slot
@@ -2362,6 +2389,53 @@ GROUP BY b.doc_id
 ORDER BY lm2_logprob ASC, doc_id ASC LIMIT 20
 """
 
+_VOCAB_CTE = rf"""
+vtoks AS (
+  SELECT doc_id, unnest([x for x in string_split_regex(lower(text), '\s+')
+                         if x != '']) AS token
+  FROM documents
+),
+vcounts AS (
+  SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS df
+  FROM vtoks GROUP BY token
+),
+vocab AS (
+  SELECT token, tok_id, cnt, df FROM (
+    SELECT token, cnt, df,
+           row_number() OVER (ORDER BY cnt DESC, token ASC) - 1 AS tok_id
+    FROM vcounts WHERE df >= {VOCAB_MIN_DF}
+  ) WHERE tok_id < {VOCAB_MAX}
+)"""
+
+Q_VOCAB_SQL = f"""
+WITH {_VOCAB_CTE}
+SELECT token, CAST(tok_id AS BIGINT) AS tok_id,
+       CAST(cnt AS BIGINT) AS count, CAST(df AS BIGINT) AS df
+FROM vocab
+"""
+
+Q_ENCODE_SQL = rf"""
+WITH {_VOCAB_CTE},
+t AS (
+  SELECT doc_id, [x for x in string_split_regex(lower(text), '\s+')
+                  if x != ''] AS toks
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         unnest(toks) AS token,
+         unnest(range(1, len(toks) + 1)) AS pos
+  FROM t WHERE len(toks) > 0
+),
+j AS (
+  SELECT p.doc_id, p.pos, CAST(coalesce(v.tok_id, -1) AS BIGINT) AS tid
+  FROM p LEFT JOIN vocab v ON p.token = v.token
+)
+SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens, ids
+FROM (SELECT doc_id, list(tid ORDER BY pos) AS ids FROM j GROUP BY doc_id)
+"""
+
+
 def _wsample_oracle_sql() -> str:
     h = h32_sql(f"'{WSAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)")
     pri = (
@@ -2435,6 +2509,8 @@ PARKED_PIPELINE_ORACLES: dict[str, str] = {
     "q_cm_counts": _cm_oracle_sql(),
     "q_weighted_sample": _wsample_oracle_sql(),
     "q_hll_intersect": _hll_intersect_oracle_sql(),
+    "q_vocab": Q_VOCAB_SQL,
+    "q_encode": Q_ENCODE_SQL,
     "q_bloom_semi": Q_BLOOM_SEMI_SQL,
     "q_text_lm2": Q_TEXT_LM2_SQL,
     "q_decontaminate": Q_DECONTAMINATE_SQL,

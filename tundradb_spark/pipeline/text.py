@@ -783,3 +783,87 @@ def compression_ratios(
     return narrow.mapInPandas(
         _gen, f"{id_col} long, n_bytes long, n_compressed long, ratio double"
     )
+
+
+def build_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_df: int = 1,
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary with deterministic integer ids — the
+    tokenizer-export step of a training pipeline: tokens ranked by
+    (count desc, token asc) get dense ids 0..V−1, so the id mapping is a
+    pure function of the corpus (any engine, any partitioning, any rerun
+    produces the identical vocab).
+
+    ``min_df`` drops tokens appearing in fewer than that many DOCUMENTS
+    (document frequency, not term frequency — the standard rare-token
+    cut); ``max_vocab`` keeps the top-V after ranking.  One explode +
+    map-side-combined groupBy(token) is the only data-sized shuffle; the
+    ranking window runs over vocab-sized rows.
+
+    Output: ``(token, tok_id, count, df)``.
+    """
+    from pyspark.sql import Window
+
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    toks = docs.select(
+        F.col("doc_id"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("count"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    kept = counts.filter(F.col("df") >= min_df)
+    w = Window.orderBy(F.desc("count"), F.asc("token"))
+    ranked = kept.withColumn("tok_id", (F.row_number().over(w) - 1).cast("long"))
+    if max_vocab is not None:
+        ranked = ranked.filter(F.col("tok_id") < max_vocab)
+    return ranked.select("token", "tok_id", "count", "df")
+
+
+def encode_tokens(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Encode each document's token stream as an array of vocab ids
+    (out-of-vocab → ``unk_id``) — the materialization step between
+    :func:`build_vocab` and sequence packing.
+
+    Plan shape: posexplode → one broadcast (or hash, Catalyst's choice)
+    join against the vocab → per-doc reassembly via
+    ``array_agg`` over a (doc, pos)-sorted window — order restored
+    exactly, no Python in the loop.
+
+    Output: ``(id_col, n_tokens, ids)``.
+    """
+    from pyspark.sql import Window
+
+    pos = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    )
+    joined = pos.join(
+        F.broadcast(vocab.select("token", "tok_id")), "token", "left"
+    ).select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("tok_id"), F.lit(unk_id)).cast("long").alias("tid"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_doc = joined.withColumn("ids", F.collect_list("tid").over(w))
+    latest = per_doc.groupBy(id_col).agg(
+        F.max_by("ids", "pos").alias("ids"), F.count(F.lit(1)).alias("n_tokens")
+    )
+    return latest.select(
+        id_col, F.col("n_tokens").cast("long").alias("n_tokens"), "ids"
+    )
