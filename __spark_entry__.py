@@ -34,17 +34,24 @@ without losing verification surface:
   order-insensitive value hash covers each branch's full row set, so
   every merged operator stays exactly as verified as when it held its
   own slot.
-* **Parked rows** (``PARKED_QUERIES`` / ``PARKED_ORACLES``) — true
-  redundancies whose value surface is covered elsewhere: q_bucketed_match
-  (result-identical to q_inner_join; the zero-shuffle plan proof lives in
-  tests/test_bucketed.py), q_stream_join (result-identical to
-  q_range_join; operator covered by tests/test_streaming.py),
-  q_temporal_before (complement read of q_temporal_asof), q_dedup_ngram
-  (subsumed by q_dedup_ngram_capped), q_ql_match (same parser/engine path
-  as q_ql_analytics), and the single-operator halves of the merged rows
-  above.  All were driver-green in rounds 3-4 (CORRECTNESS_r0{3,4}.json);
-  tests/test_parked_oracles.py re-checks each against its DuckDB oracle
-  every CI run, so parking them costs a driver row but not verification.
+* **Parked rows** (``PARKED_QUERIES`` / ``PARKED_ORACLES``) — two
+  classes, both still oracle-bearing and re-checked against DuckDB every
+  CI run by tests/test_parked_oracles.py (parking costs a driver row,
+  never verification):
+
+  1. true redundancies whose value surface is covered elsewhere:
+     q_bucketed_match (result-identical to q_inner_join; zero-shuffle
+     plan proof in tests/test_bucketed.py), q_stream_join
+     (result-identical to q_range_join), q_temporal_before (complement
+     read of q_temporal_asof), q_dedup_ngram (subsumed by
+     q_dedup_ngram_capped), q_ql_match (same parser/engine path as
+     q_ql_analytics), and the single-operator halves of the merged rows
+     above — all driver-green in rounds 3-4 (CORRECTNESS_r0{3,4}.json);
+  2. operators added after the 50-slot window filled (each with its own
+     exact oracle): q_hits, q_clustering, q_hist_quantiles,
+     q_decontaminate, q_dup_spans, q_tfidf, q_zorder,
+     q_dedup_incremental, q_hll_distinct, q_hll_intersect, q_cm_counts,
+     q_bloom_semi, q_text_lm2, q_weighted_sample, q_vocab, q_encode.
 """
 
 from __future__ import annotations
