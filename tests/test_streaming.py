@@ -560,3 +560,80 @@ class TestStreamHllRegisters:
             q.stop()
         est = read_hll_distinct(spark, regs, "g", p=11).first()["est_distinct"]
         assert abs(est - 4000) / 4000 < 0.10
+
+
+class TestCompactStreamIndex:
+    def test_compaction_preserves_probe_results_and_shrinks_files(
+        self, spark, tmp_path
+    ):
+        from tundradb_spark.pipeline import similarity
+        from tundradb_spark.streaming import (
+            compact_stream_index,
+            stream_index_vectors,
+        )
+
+        src = str(tmp_path / "cvsrc")
+        idx = str(tmp_path / "cvidx")
+        ckpt = str(tmp_path / "cvck")
+        os.makedirs(src)
+        schema = "vec_id long, embedding array<double>"
+
+        def vecs(lo, hi):
+            return [(i, [float((i * 5 + j) % 9 - 4) for j in range(8)])
+                    for i in range(lo, hi)]
+
+        # 3 epochs of arrivals -> 3 epoch dirs per cell
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        spark.createDataFrame(vecs(0, 30), schema).coalesce(1).write.mode(
+            "append").parquet(src)
+        q = stream_index_vectors(stream, idx, ckpt, n_cells=4, dim=8)
+        try:
+            q.processAllAvailable()
+            for lo in (30, 60):
+                spark.createDataFrame(vecs(lo, lo + 30), schema).coalesce(
+                    1).write.mode("append").parquet(src)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+        query = [1.0, 0.0, -1.0, 2.0, 0.5, -0.5, 1.5, 0.0]
+        before = [tuple(r) for r in similarity.ivf_ann_topk_indexed(
+            spark, idx, query, 5, n_cells=4, n_probe=4).collect()]
+        import glob
+        files_before = len(glob.glob(f"{idx}/cell=*/epoch=*/*.parquet"))
+        n = compact_stream_index(spark, idx)
+        files_after = len(glob.glob(f"{idx}/cell=*/epoch=*/*.parquet"))
+        after = [tuple(r) for r in similarity.ivf_ann_topk_indexed(
+            spark, idx, query, 5, n_cells=4, n_probe=4).collect()]
+        assert after == before
+        assert n == 90
+        assert files_after < files_before
+
+    def test_epoch_only_layout(self, spark, tmp_path):
+        from tundradb_spark.streaming import (
+            compact_stream_index,
+            read_hll_distinct,
+            stream_hll_registers,
+        )
+
+        src = str(tmp_path / "ehsrc")
+        regs = str(tmp_path / "ehregs")
+        ckpt = str(tmp_path / "ehck")
+        os.makedirs(src)
+        schema = "k string, g string"
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        for lo in (0, 200, 400):
+            spark.createDataFrame(
+                [(f"key{i}", "g") for i in range(lo, lo + 200)], schema
+            ).coalesce(1).write.mode("append").parquet(src)
+        q = stream_hll_registers(stream, regs, ckpt, "k", "g", p=9)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        before = read_hll_distinct(spark, regs, "g", p=9).first()["est_distinct"]
+        compact_stream_index(spark, regs, partition_col=None)
+        after = read_hll_distinct(spark, regs, "g", p=9).first()["est_distinct"]
+        assert after == before

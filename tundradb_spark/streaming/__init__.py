@@ -30,6 +30,7 @@ continuously-ingesting graph/analytics deployment needs:
 """
 
 from tundradb_spark.streaming.ops import (
+    compact_stream_index,
     read_cm_estimate,
     read_hll_distinct,
     session_window_agg,
@@ -61,4 +62,5 @@ __all__ = [
     "read_hll_distinct",
     "stream_cm_counts",
     "read_cm_estimate",
+    "compact_stream_index",
 ]

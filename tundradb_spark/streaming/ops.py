@@ -677,3 +677,55 @@ def read_cm_estimate(
         .agg(F.sum("cnt").alias("cnt"))
     )
     return cm_estimate(merged, keys, key_col, d, w, seed)
+
+
+def compact_stream_index(
+    spark,
+    path: str,
+    partition_col: str | None = "cell",
+    epoch_col: str = "epoch",
+    target_epoch: int = -1,
+) -> int:
+    """Compact a :func:`stream_index_vectors` (or any per-epoch sketch)
+    directory: fold every ``epoch=E`` partition into one
+    ``epoch=target_epoch`` layout per ``partition_col`` value — the LSM
+    maintenance step the streaming writers' docstrings point at.  Many
+    small per-epoch files become one coalesced file set per partition,
+    restoring scan efficiency after long streams; probes are unaffected
+    (they filter on ``partition_col`` only).
+
+    Safe ordering: the compacted data is written to a sibling temp dir
+    first, then atomically swapped in (rename), so a concurrent reader
+    sees either the old multi-epoch layout or the new single-epoch one —
+    never a partial mix.  Run it with the stream STOPPED (or between
+    epochs): a sink writing epoch E during the swap would land in the old
+    dir and be lost.
+
+    Pass ``partition_col=None`` for epoch-only layouts
+    (stream_hll_registers / stream_cm_counts); every row is preserved
+    verbatim, so the readers' max/sum merges are unaffected — for the
+    sketches a further SEMANTIC compaction (pre-merging registers) is
+    just the reader's aggregation written back, left to the caller.
+
+    Returns the number of rows compacted.
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    cols = [c for c in df.columns if c != epoch_col]
+    tmp = path.rstrip("/") + ".compacting"
+    parts = ([partition_col] if partition_col else []) + [epoch_col]
+    out = df.select(*cols).withColumn(epoch_col, F.lit(target_epoch))
+    if partition_col:
+        out = out.repartition(F.col(partition_col))
+    else:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n
