@@ -637,3 +637,54 @@ class TestCompactStreamIndex:
         compact_stream_index(spark, regs, partition_col=None)
         after = read_hll_distinct(spark, regs, "g", p=9).first()["est_distinct"]
         assert after == before
+
+
+class TestStreamHistogram:
+    def test_stream_merge_equals_batch_histogram(self, spark, tmp_path):
+        from tundradb_spark.operators.relational import histogram_quantiles
+        from tundradb_spark.streaming import (
+            read_histogram_quantiles,
+            stream_histogram_bins,
+        )
+
+        src = str(tmp_path / "hbsrc")
+        bins = str(tmp_path / "hbins")
+        ckpt = str(tmp_path / "hbck")
+        os.makedirs(src)
+        schema = "g string, v double"
+
+        def rows(lo, hi):
+            return [(f"g{i % 2}", float((i * 37) % 1000)) for i in range(lo, hi)]
+
+        bounds = (0.0, 1000.0)
+        spark.createDataFrame(rows(0, 500), schema).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = stream_histogram_bins(stream, bins, ckpt, "g", "v", bounds, n_bins=100)
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(rows(500, 1200), schema).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        probs = [0.25, 0.5, 0.9]
+        got = sorted(map(tuple, read_histogram_quantiles(
+            spark, bins, "g", probs, bounds, n_bins=100).collect()))
+        want = sorted(map(tuple, histogram_quantiles(
+            spark.createDataFrame(rows(0, 1200), schema),
+            ["g"], "v", probs, n_bins=100, bounds=bounds).collect()))
+        assert got == want
+
+    def test_out_of_range_clamps_to_edge_bins(self, spark):
+        from tundradb_spark.operators.relational import histogram_quantiles
+
+        df = spark.createDataFrame(
+            [("g", -50.0), ("g", 5.0), ("g", 500.0)], "g string, v double"
+        )
+        row = histogram_quantiles(
+            df, ["g"], "v", [0.5], n_bins=10, bounds=(0.0, 10.0)
+        ).first()
+        assert row["n_rows"] == 3  # nothing dropped
+        assert 0.0 <= row["p50"] <= 10.0

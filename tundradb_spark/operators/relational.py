@@ -396,6 +396,7 @@ def histogram_quantiles(
     probs: list[float],
     n_bins: int = 1000,
     round_to: int = 6,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Bounded-memory per-group quantile ESTIMATES via a fixed-bin
     histogram — the scale path :func:`group_quantiles`'s docstring points
@@ -413,30 +414,65 @@ def histogram_quantiles(
 
     Returns one row per group: ``*group_cols, n_rows, <p-labels>``.
     """
-    from pyspark.sql import Window
-
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     labels = [_quantile_label(p) for p in probs]
     if len(set(labels)) != len(labels):
         raise ValueError(f"duplicate quantile column labels: {labels}")
     v = F.col(value_col).cast("double")
-    mm = df.agg(F.min(v).alias("mn"), F.max(v).alias("mx")).first()
-    mn, mx = float(mm["mn"]), float(mm["mx"])
-    if mx == mn:  # degenerate: all values identical, one bin suffices
-        width_expr = "1.0"
+    if bounds is None:
+        mm = df.agg(F.min(v).alias("mn"), F.max(v).alias("mx")).first()
+        mn, mx = float(mm["mn"]), float(mm["mx"])
     else:
-        width_expr = f"(({mx!r}D - {mn!r}D) / {n_bins})"
-    bin_col = F.expr(
-        f"least(cast(floor((cast(`{value_col}` as double) - {mn!r}D)"
-        f" / {width_expr}) as bigint), {n_bins - 1}L)"
-    )
+        mn, mx = float(bounds[0]), float(bounds[1])
+        if mx < mn:
+            raise ValueError(f"bounds must be (lo, hi) with hi >= lo: {bounds}")
     gb = [_bt(c) for c in group_cols]
     binned = (
-        df.select(*gb, bin_col.alias("__bin"))
+        df.select(
+            *gb,
+            histogram_bin_col(value_col, mn, mx, n_bins).alias("__bin"),
+        )
         .groupBy(*gb, "__bin")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
+    return histogram_estimate(
+        binned, group_cols, probs, mn, mx, n_bins, round_to
+    )
+
+
+def histogram_bin_col(value_col: str, mn: float, mx: float, n_bins: int):
+    """Bin index expression shared by the batch operator and the streaming
+    bin sink — values outside [mn, mx] clamp to the edge bins."""
+    width_expr = _hist_width_expr(mn, mx, n_bins)
+    return F.expr(
+        f"least(greatest(cast(floor((cast(`{value_col}` as double) - {mn!r}D)"
+        f" / {width_expr}) as bigint), 0L), {n_bins - 1}L)"
+    )
+
+
+def _hist_width_expr(mn: float, mx: float, n_bins: int) -> str:
+    return "1.0" if mx == mn else f"(({mx!r}D - {mn!r}D) / {n_bins})"
+
+
+def histogram_estimate(
+    binned: DataFrame,
+    group_cols: list[str],
+    probs: list[float],
+    mn: float,
+    mx: float,
+    n_bins: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Quantile estimates from a ``(group…, __bin, __c)`` count frame —
+    shared by :func:`histogram_quantiles` and the streaming epoch-merge
+    reader (streaming.ops.read_histogram_quantiles), so the rank/edge
+    formula exists once."""
+    from pyspark.sql import Window
+
+    labels = [_quantile_label(p) for p in probs]
+    width_expr = _hist_width_expr(mn, mx, n_bins)
+    gb = [_bt(c) for c in group_cols]
     w_cum = (
         Window.partitionBy(*gb)
         .orderBy("__bin")

@@ -27,16 +27,22 @@ continuously-ingesting graph/analytics deployment needs:
   (register max-merge == sketch union)
 - :func:`stream_cm_counts` / :func:`read_cm_estimate` — live Count-Min
   frequency sketch with O(d·w) state (counter sum == sketch union)
+- :func:`stream_histogram_bins` / :func:`read_histogram_quantiles` —
+  live per-group quantile estimates with O(groups · n_bins) state
+- :func:`compact_stream_index` — atomic per-epoch → single-epoch fold
+  for any of the streaming index/sketch tables
 """
 
 from tundradb_spark.streaming.ops import (
     compact_stream_index,
     read_cm_estimate,
+    read_histogram_quantiles,
     read_hll_distinct,
     session_window_agg,
     sessionize,
     stream_gate_corpus,
     stream_cm_counts,
+    stream_histogram_bins,
     stream_hll_registers,
     stream_ingest_dedup,
     stream_edges,
@@ -63,4 +69,6 @@ __all__ = [
     "stream_cm_counts",
     "read_cm_estimate",
     "compact_stream_index",
+    "stream_histogram_bins",
+    "read_histogram_quantiles",
 ]

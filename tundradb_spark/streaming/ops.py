@@ -729,3 +729,87 @@ def compact_stream_index(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n
+
+
+def stream_histogram_bins(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    group_col: str,
+    value_col: str,
+    bounds: tuple[float, float],
+    n_bins: int = 1000,
+    query_name: str | None = None,
+) -> "StreamingQuery":
+    """Continuously maintain per-group histogram bin counts from a row
+    stream — live quantile estimates over unbounded input with
+    O(groups · n_bins) state (the streaming face of
+    operators.relational.histogram_quantiles).
+
+    ``bounds`` must be FIXED up front (a stream has no final min/max);
+    out-of-range values clamp to the edge bins, so the stream never
+    drops rows — a drifting distribution shows up as edge-bin mass, the
+    operational signal to re-bin.  Counters are additive: per-epoch
+    partitions with dynamic overwrite (replay-safe), reader sums —
+    identical to the Count-Min discipline.
+    """
+    from tundradb_spark.operators.relational import histogram_bin_col
+
+    mn, mx = float(bounds[0]), float(bounds[1])
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        binned = (
+            batch.select(
+                F.col(group_col),
+                histogram_bin_col(value_col, mn, mx, n_bins).alias("__bin"),
+            )
+            .groupBy(group_col, "__bin")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        (
+            binned.withColumn("epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name or "histogram-bins")
+        .start()
+    )
+
+
+def read_histogram_quantiles(
+    spark,
+    path: str,
+    group_col: str,
+    probs: list[float],
+    bounds: tuple[float, float],
+    n_bins: int = 1000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Sum all epochs of a :func:`stream_histogram_bins` table and return
+    per-group quantile estimates — identical to running the batch
+    ``histogram_quantiles(..., bounds=...)`` over every row the stream
+    has delivered (counter sum == histogram union; test-pinned)."""
+    from tundradb_spark.operators.relational import histogram_estimate
+
+    merged = (
+        spark.read.parquet(path)
+        .groupBy(group_col, "__bin")
+        .agg(F.sum("__c").alias("__c"))
+    )
+    return histogram_estimate(
+        merged,
+        [group_col],
+        probs,
+        float(bounds[0]),
+        float(bounds[1]),
+        n_bins,
+        round_to,
+    )
