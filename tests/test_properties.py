@@ -264,3 +264,87 @@ def test_mixture_budget_minimal_prefix(spark, docs, budget):
             expect.add(i)
         cum += nt
     assert kept == expect, (docs, budget)
+
+
+@settings(**_SETTINGS)
+@given(
+    keys=st.lists(
+        st.text(
+            alphabet="abcdefgh", min_size=1, max_size=4
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    dup=st.integers(min_value=1, max_value=3),
+)
+def test_hll_multiplicity_invariance(spark, keys, dup):
+    """An HLL sketch depends only on the SET of keys: duplicating every
+    row `dup` times cannot change any register, hence not the estimate."""
+    from tundradb_spark.pipeline.sketches import hll_distinct
+
+    once = spark.createDataFrame([(k, "g") for k in keys], "k string, g string")
+    many = spark.createDataFrame(
+        [(k, "g") for k in keys for _ in range(dup)], "k string, g string"
+    )
+    assert sorted(map(tuple, hll_distinct(once, "k", "g").collect())) == sorted(
+        map(tuple, hll_distinct(many, "k", "g").collect())
+    )
+
+
+@settings(**_SETTINGS)
+@given(
+    keys=st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=3),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_cm_never_undercounts(spark, keys):
+    """The Count-Min guarantee: for EVERY key, estimate >= true count —
+    on arbitrary multisets, including heavy skew."""
+    import collections
+
+    from tundradb_spark.pipeline.sketches import cm_build, cm_estimate
+
+    true = collections.Counter(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    sketch = cm_build(df, "k", d=3, w=64)
+    probe = spark.createDataFrame([(k,) for k in true], "k string")
+    est = {
+        r["k"]: r["est_count"]
+        for r in cm_estimate(sketch, probe, "k", d=3, w=64).collect()
+    }
+    for k, c in true.items():
+        assert est[k] >= c, (k, est[k], c)
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=2,
+        max_size=40,
+    ),
+    p=st.sampled_from([0.1, 0.5, 0.9]),
+)
+def test_histogram_quantile_within_bin_width(spark, vals, p):
+    """The histogram estimate's defining bound: within one bin width of
+    the FLOOR-RANK ORDER STATISTIC x_{⌊p·(n−1)⌋} (the value whose bin it
+    reports the lower edge of), for arbitrary value sets.  (The
+    percentile_cont INTERPOLATED value can additionally differ by an
+    inter-sample gap on sparse data — that part is the data's, not the
+    histogram's.)"""
+    import math
+
+    from tundradb_spark.operators.relational import histogram_quantiles
+
+    n_bins = 64
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "g string, v double")
+    width = (max(vals) - min(vals)) / n_bins if max(vals) > min(vals) else 1.0
+    label = f"p{int(p * 100)}"
+    est = histogram_quantiles(df, ["g"], "v", [p], n_bins=n_bins).first()[label]
+    order_stat = sorted(vals)[math.floor(p * (len(vals) - 1))]
+    assert est <= order_stat + 1e-6, (est, order_stat)
+    assert abs(est - order_stat) <= width + 1e-6, (est, order_stat, width)
