@@ -688,3 +688,64 @@ class TestStreamHistogram:
         ).first()
         assert row["n_rows"] == 3  # nothing dropped
         assert 0.0 <= row["p50"] <= 10.0
+
+
+class TestStreamHeavyKeys:
+    def test_heavy_keys_found_with_upper_bound_estimates(self, spark, tmp_path):
+        import collections
+
+        from tundradb_spark.streaming import read_heavy_hitters, stream_heavy_keys
+
+        src = str(tmp_path / "hksrc")
+        cm = str(tmp_path / "hkcm")
+        cand = str(tmp_path / "hkcand")
+        ckpt = str(tmp_path / "hkck")
+        os.makedirs(src)
+        schema = "k string"
+        # zipf-ish: 'hot0'..'hot4' dominate, long tail of singletons
+        def rows(epoch):
+            out = []
+            for i in range(5):
+                out += [(f"hot{i}",)] * (40 - 6 * i)
+            out += [(f"tail{epoch}-{j}",) for j in range(50)]
+            return out
+
+        all_rows = []
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        for e in range(3):
+            spark.createDataFrame(rows(e), schema).coalesce(1).write.mode(
+                "append").parquet(src)
+            all_rows += rows(e)
+        q = stream_heavy_keys(stream, cm, cand, ckpt, "k",
+                              batch_threshold=5, d=4, w=512)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        top = read_heavy_hitters(spark, cm, cand, "k", k=5, d=4, w=512).collect()
+        got = {r["k"]: r["est_count"] for r in top}
+        true = collections.Counter(k for (k,) in all_rows)
+        assert set(got) == {f"hot{i}" for i in range(5)}
+        for k, est in got.items():
+            assert est >= true[k]  # CM never undercounts
+
+    def test_tail_keys_are_not_candidates(self, spark, tmp_path):
+        from tundradb_spark.streaming import stream_heavy_keys
+
+        src = str(tmp_path / "t2src")
+        cm = str(tmp_path / "t2cm")
+        cand = str(tmp_path / "t2cand")
+        ckpt = str(tmp_path / "t2ck")
+        os.makedirs(src)
+        rows = [("hot",)] * 10 + [(f"tail{j}",) for j in range(30)]
+        spark.createDataFrame(rows, "k string").coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema("k string").parquet(src)
+        q = stream_heavy_keys(stream, cm, cand, ckpt, "k", batch_threshold=3)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        cands = {r["k"] for r in spark.read.parquet(cand).collect()}
+        assert cands == {"hot"}  # bounded candidate state

@@ -36,12 +36,14 @@ continuously-ingesting graph/analytics deployment needs:
 from tundradb_spark.streaming.ops import (
     compact_stream_index,
     read_cm_estimate,
+    read_heavy_hitters,
     read_histogram_quantiles,
     read_hll_distinct,
     session_window_agg,
     sessionize,
     stream_gate_corpus,
     stream_cm_counts,
+    stream_heavy_keys,
     stream_histogram_bins,
     stream_hll_registers,
     stream_ingest_dedup,
@@ -71,4 +73,6 @@ __all__ = [
     "compact_stream_index",
     "stream_histogram_bins",
     "read_histogram_quantiles",
+    "stream_heavy_keys",
+    "read_heavy_hitters",
 ]

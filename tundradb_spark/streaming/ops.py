@@ -813,3 +813,80 @@ def read_histogram_quantiles(
         n_bins,
         round_to,
     )
+
+
+def stream_heavy_keys(
+    stream: DataFrame,
+    cm_path: str,
+    cand_path: str,
+    checkpoint: str,
+    key_col: str,
+    batch_threshold: int = 2,
+    d: int = 4,
+    w: int = 1024,
+    seed: int = 211,
+    query_name: str | None = None,
+) -> "StreamingQuery":
+    """Streaming heavy hitters: maintain BOTH a Count-Min sketch and a
+    per-batch candidate table from one stream — the classic CM+candidates
+    construction, since a sketch alone can estimate any key but cannot
+    enumerate which keys are heavy.
+
+    Each micro-batch writes (a) its CM cells and (b) the keys whose
+    WITHIN-BATCH count reaches ``batch_threshold`` — both into ``epoch=E``
+    partitions with dynamic overwrite (replay-safe).  Pigeonhole
+    guarantee: a key with total count ≥ ``batch_threshold × n_epochs``
+    must reach the threshold in at least one epoch, so every sufficiently
+    heavy key IS a candidate; :func:`read_heavy_hitters` then ranks the
+    candidate set by sketch estimate (which never undercounts).
+    Candidate state is bounded: ≤ batch_rows / batch_threshold keys per
+    epoch.
+    """
+    from tundradb_spark.pipeline.sketches import cm_build
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        (
+            cm_build(batch, key_col, d, w, seed)
+            .withColumn("epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(cm_path)
+        )
+        (
+            batch.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("batch_count"))
+            .filter(F.col("batch_count") >= batch_threshold)
+            .withColumn("epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(cand_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name or "heavy-keys")
+        .start()
+    )
+
+
+def read_heavy_hitters(
+    spark,
+    cm_path: str,
+    cand_path: str,
+    key_col: str,
+    k: int = 10,
+    d: int = 4,
+    w: int = 1024,
+    seed: int = 211,
+) -> DataFrame:
+    """Top-k heavy hitters from a :func:`stream_heavy_keys` pair: distinct
+    candidates ranked by the summed-epoch CM estimate (never an
+    undercount), ties broken by key for determinism."""
+    cands = spark.read.parquet(cand_path).select(key_col).distinct()
+    est = read_cm_estimate(spark, cm_path, cands, key_col, d, w, seed)
+    return est.orderBy(F.desc("est_count"), F.asc(key_col)).limit(k)
