@@ -598,6 +598,35 @@ def winnow_fingerprints(
     # an md5-per-substring formulation costs 64+ rounds plus a string
     # allocation (measured 3.0s → 0.6s at sf0.1); per-window minima over
     # the materialized hash array (anti-inlining discipline throughout)
+    # Unrolled gram hash: (Σ cp[i+j]·B^(k−1−j)) % M equals the stepwise
+    # fold ((a·B + c) % M) mathematically (mod distributes over the
+    # polynomial), but runs as k multiply-adds + ONE mod with NO per-
+    # position array allocation — the slice(…)+aggregate(…) formulation
+    # allocates a k-array and runs a lambda loop per character (measured
+    # 2.0s → 1.3s at sf0.1 on the winnow branch).  Single-mod is safe
+    # while max_codepoint · Σ B^j stays under 2^63; beyond that (huge k)
+    # fall back to the folding form.
+    unroll_bound = 0x10FFFF * sum(FP_BASE**j for j in range(k))
+    if unroll_bound < (1 << 62):
+        gram_hash = (
+            "("
+            + " + ".join(
+                f"element_at(__cp, i + {j}) * {FP_BASE ** (k - 1 - j)}"
+                for j in range(k)
+            )
+            + f") % {FP_MOD}"
+        )
+    else:  # pragma: no cover - unreachable at sane k
+        gram_hash = (
+            f"aggregate(slice(__cp, i, {k}), cast(0 as bigint), "
+            f"(a, c) -> (a * {FP_BASE} + c) % {FP_MOD})"
+        )
+    # Unrolled window minimum: least() over w in-bounds element_at refs —
+    # no slice allocation; the only short-array case (size < w) keeps the
+    # array_min form on the whole array.
+    win_min = "least(" + ", ".join(
+        f"element_at(__h, j + {i})" for i in range(window)
+    ) + ")"
     grams = base.select(
         id_col,
         F.expr(
@@ -606,18 +635,17 @@ def winnow_fingerprints(
     ).select(
         id_col,
         F.expr(
-            f"transform(sequence(1, size(__cp) - {k - 1}), "
-            f"i -> aggregate(slice(__cp, i, {k}), cast(0 as bigint), "
-            f"(a, c) -> (a * {FP_BASE} + c) % {FP_MOD}))"
+            f"transform(sequence(1, size(__cp) - {k - 1}), i -> {gram_hash})"
         ).alias("__h"),
     )
     return grams.select(
         id_col,
         F.size("__h").alias("n_grams"),
         F.expr(
-            f"array_sort(array_distinct(transform("
-            f"sequence(1, greatest(size(__h) - {window - 1}, 1)), "
-            f"j -> array_min(slice(__h, j, {window})))))"
+            f"array_sort(array_distinct(CASE WHEN size(__h) < {window} "
+            f"THEN array(array_min(__h)) "
+            f"ELSE transform(sequence(1, size(__h) - {window - 1}), "
+            f"j -> {win_min}) END))"
         ).alias("__fp"),
     ).select(
         id_col,
