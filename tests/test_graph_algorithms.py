@@ -350,3 +350,21 @@ class TestKCore:
         df = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
         with pytest.raises(ValueError):
             k_core(df, 0)
+
+
+class TestPprIsolatedSeed:
+    def test_isolated_seed_conserves_mass(self, spark):
+        """A seed with no edges must still hold its reset share (as a
+        dangling vertex) — deriving the universe from edges alone leaks
+        its n/|S| mass and deflates every rank."""
+        from tundradb_spark.graphs.algorithms import personalized_pagerank
+
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "source_id long, target_id long"
+        )
+        seeds = spark.createDataFrame([(1,), (99,)], "vertex long")  # 99 isolated
+        out = personalized_pagerank(e, seeds, iters=4)
+        ranks = {r["vertex"]: r["rank"] for r in out.collect()}
+        assert 99 in ranks and ranks[99] > 0  # the seed exists and holds mass
+        # ranks sum to |V| = 4 every round
+        assert sum(ranks.values()) == pytest.approx(4.0, abs=1e-9)

@@ -1523,3 +1523,25 @@ class TestVocabEncode:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with pytest.raises(ValueError):
             build_vocab(df, min_df=0)
+
+
+class TestRedactOverlap:
+    def test_overlapping_patterns_count_actual_replacements(self, spark):
+        from tundradb_spark.pipeline.text import redact_patterns
+
+        df = spark.createDataFrame(
+            [(0, "see Customer#123456 now")], ["doc_id", "text"]
+        )
+        row = redact_patterns(
+            df, {"id_tag": r"Customer#[0-9]+", "digit_run": r"[0-9]{4,}"}
+        ).first()
+        # one replacement happened; the digits were consumed by id_tag
+        assert row["text_redacted"] == "see [ID_TAG] now"
+        assert row["n_redactions"] == 1
+
+    def test_empty_patterns_rejected(self, spark):
+        from tundradb_spark.pipeline.text import redact_patterns
+
+        df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            redact_patterns(df, {})

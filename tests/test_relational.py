@@ -418,3 +418,34 @@ class TestHistogramQuantiles:
             histogram_quantiles(df, ["g"], "v", [0.5], n_bins=0)
         with pytest.raises(ValueError):
             histogram_quantiles(df, ["g"], "v", [0.99, 0.995, 0.99])
+
+
+class TestHistogramQuantilesBounded:
+    def test_bounded_oracle_matches_with_out_of_range_values(self, spark):
+        """Explicit bounds + values outside them: the oracle must apply
+        the same edge-bin clamp the Spark operator does."""
+        import duckdb
+
+        from tundradb_spark.operators.relational import (
+            histogram_quantiles,
+            histogram_quantiles_sql,
+        )
+
+        rows = [("g", -50.0), ("g", 5.0), ("g", 7.0), ("g", 500.0), ("h", 2.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = sorted(
+            map(
+                tuple,
+                histogram_quantiles(
+                    df, ["g"], "v", [0.5, 0.9], n_bins=10, bounds=(0.0, 10.0)
+                ).collect(),
+            )
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (g VARCHAR, v DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        sql = histogram_quantiles_sql(
+            "t", "g", "v", [0.5, 0.9], 0.0, 10.0, n_bins=10
+        )
+        want = sorted(map(tuple, con.execute(sql).fetchall()))
+        assert got == want

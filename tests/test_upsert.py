@@ -99,3 +99,15 @@ class TestKeyedUpsert:
                 str(tmp_path / "y"),
                 "c_custkey",
             )
+
+    def test_point_lookup_non_string_key_types(self, spark, tmp_path):
+        """Spark CAST(bool AS STRING) renders 'true'; a Python str(value)
+        bucket recomputation would look in the wrong bucket and silently
+        return nothing."""
+        path = str(tmp_path / "boolkey")
+        df = spark.createDataFrame(
+            [(True, "yes"), (False, "no")], "flag boolean, v string"
+        )
+        write_keyed(df, path, "flag", n_buckets=8)
+        row = read_keyed(spark, path, "flag", True, n_buckets=8).first()
+        assert row is not None and row["v"] == "yes"

@@ -430,19 +430,27 @@ def personalized_pagerank(
 
     Returns ``(vertex, rank)``; vertices unreachable from the sources
     hold rank 0 — the property that makes PPR a locality measure.
+
+    The vertex universe is the EDGE vertices ∪ the SOURCE set: a seed
+    with no edges still carries its ``n/|S|`` share of the reset vector
+    (as a dangling vertex whose mass redistributes to the seeds each
+    round).  Deriving the universe from edges alone would silently drop
+    absent seeds while still dividing by the full |S| — leaking their
+    reset mass and deflating every rank, breaking both invariants above.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
-    verts = (
-        e.select(F.col("u").alias("vertex"))
-        .union(e.select(F.col("v").alias("vertex")))
-        .distinct()
-        .localCheckpoint()
-    )
-    n = verts.count()
     s = sources.select(F.col(vertex_col).alias("vertex")).distinct()
     n_src = s.count()
     if n_src == 0:
         raise ValueError("personalized_pagerank needs a non-empty source set")
+    verts = (
+        e.select(F.col("u").alias("vertex"))
+        .union(e.select(F.col("v").alias("vertex")))
+        .union(s)
+        .distinct()
+        .localCheckpoint()
+    )
+    n = verts.count()
     pv = (
         verts.join(s.withColumn("__s", F.lit(True)), "vertex", "left")
         .select(

@@ -525,8 +525,9 @@ def histogram_quantiles_sql(
     return f"""
 WITH binned AS (
   SELECT {group_expr} AS grp,
-         least(CAST(floor((CAST({value_expr} AS DOUBLE) - {dmn}) / {width})
-                    AS BIGINT), {n_bins - 1}) AS bin,
+         least(greatest(CAST(floor((CAST({value_expr} AS DOUBLE) - {dmn})
+                                   / {width})
+                             AS BIGINT), 0), {n_bins - 1}) AS bin,
          count(*) AS c
   FROM {table} GROUP BY 1, 2
 ),

@@ -669,15 +669,24 @@ def redact_patterns(
     Patterns apply in dict order; earlier replacements are visible to
     later patterns (tags contain no digits/@/://, so the default patterns
     never re-match a tag).  Output: ``(id, *keep_cols, text_redacted,
-    n_redactions)`` with ``n_redactions`` counted on the ORIGINAL text.
-    Narrow, shuffle-free, linear — and self-asserting: re-scanning
-    ``text_redacted`` with the same patterns must count zero.
+    n_redactions)`` — ``n_redactions`` counts each pattern on the text
+    AS ALREADY REDACTED by the earlier patterns, so it equals the number
+    of replacements actually made (counting every pattern on the
+    original text would double-count overlaps, e.g. an id-tag's digits
+    re-counted by a digit-run pattern).  Narrow, shuffle-free, linear —
+    and self-asserting: re-scanning ``text_redacted`` with the same
+    patterns must count zero.
     """
-    pats = patterns or DEFAULT_PII_PATTERNS
+    pats = DEFAULT_PII_PATTERNS if patterns is None else patterns
+    if not pats:
+        raise ValueError(
+            "redact_patterns needs at least one pattern (pass None for the "
+            "default PII set; an empty dict is almost certainly a mistake)"
+        )
     red = F.col(text_col)
     n_red = None
     for name, pat in pats.items():
-        c = F.regexp_count(F.col(text_col), F.lit(pat))
+        c = F.regexp_count(red, F.lit(pat))
         n_red = c if n_red is None else n_red + c
         red = F.regexp_replace(red, pat, f"[{name.upper()}]")
     return docs.select(
@@ -864,14 +873,16 @@ def encode_tokens(
     :func:`build_vocab` and sequence packing.
 
     Plan shape: posexplode → one broadcast (or hash, Catalyst's choice)
-    join against the vocab → per-doc reassembly via
-    ``array_agg`` over a (doc, pos)-sorted window — order restored
-    exactly, no Python in the loop.
+    join against the vocab → per-doc reassembly via ONE unordered
+    ``collect_list(struct(pos, tid))`` + ``array_sort`` + ``transform``
+    — order restored exactly (pos is unique per doc, so the struct sort
+    is total) with one n-element array per document.  A running-window
+    ``collect_list`` would materialize a prefix array per token —
+    O(n²) cells for an n-token document — and is exactly the shape this
+    formulation exists to avoid.
 
     Output: ``(id_col, n_tokens, ids)``.
     """
-    from pyspark.sql import Window
-
     pos = docs.select(
         F.col(id_col).cast("long").alias(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
@@ -883,15 +894,12 @@ def encode_tokens(
         "pos",
         F.coalesce(F.col("tok_id"), F.lit(unk_id)).cast("long").alias("tid"),
     )
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per_doc = joined.groupBy(id_col).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, tid))), x -> x.tid)"
+        ).alias("ids"),
+        F.count(F.lit(1)).alias("n_tokens"),
     )
-    per_doc = joined.withColumn("ids", F.collect_list("tid").over(w))
-    latest = per_doc.groupBy(id_col).agg(
-        F.max_by("ids", "pos").alias("ids"), F.count(F.lit(1)).alias("n_tokens")
-    )
-    return latest.select(
+    return per_doc.select(
         id_col, F.col("n_tokens").cast("long").alias("n_tokens"), "ids"
     )

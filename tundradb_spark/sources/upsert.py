@@ -107,15 +107,25 @@ def read_keyed(
 ) -> DataFrame:
     """Read a keyed table; with ``key``/``value`` given, a point lookup
     that prunes to the single bucket directory: the bucket is recomputed
-    driver-side with the same portable hash, so the predicate is a
-    LITERAL and becomes a PartitionFilter — one directory opened out of
-    ``n_buckets`` (must match the written layout)."""
-    import hashlib
+    as a LITERAL so the predicate becomes a PartitionFilter — one
+    directory opened out of ``n_buckets`` (must match the written
+    layout).
 
+    The bucket is computed by evaluating the SAME Spark expression the
+    writer used over a 1-row frame (a ~ms local job) — a Python
+    ``str(value)`` re-implementation would diverge from Spark's
+    ``CAST(value AS STRING)`` rendering for booleans ('True' vs 'true'),
+    floats, dates, and decimals, silently filtering the wrong bucket."""
     df = spark.read.parquet(path)
     if key is None:
         return df.drop(BUCKET_COL)
-    b = int(hashlib.md5(str(value).encode()).hexdigest()[:8], 16) % n_buckets
+    b = (
+        spark.range(1)
+        .select(
+            (h32(F.lit(value).cast("string")) % n_buckets).cast("int").alias("b")
+        )
+        .first()["b"]
+    )
     return df.filter(
         (F.col(BUCKET_COL) == b) & (F.col(key) == value)
     ).drop(BUCKET_COL)

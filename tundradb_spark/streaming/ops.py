@@ -412,12 +412,17 @@ def stream_gate_corpus(
     inline predicates the batch recipe compiles (stateless, fused into the
     source projection); only dedup differs by necessity: a stream cannot
     pick each text group's global minimum id, so the FIRST-ARRIVING copy
-    within the watermark horizon wins (``dropDuplicates`` on the
-    normalized-text hash — bounded state, the standard streaming dedup
-    trade documented on :func:`streaming_dedup`; within a single
+    within the watermark horizon wins.  State boundedness requires
+    ``dropDuplicatesWithinWatermark``: plain ``dropDuplicates`` on a
+    non-event-time key NEVER evicts its state (the watermark only clears
+    dedup state when the event-time column is part of the keys), so a
+    long-running mostly-unique stream would grow state without bound.
+    The within-watermark form evicts each key once the watermark passes
+    it — the horizon trade documented on :func:`streaming_dedup`: a copy
+    re-arriving after the horizon is re-admitted.  Within a single
     micro-batch the retained copy is whichever partition's row the state
     store sees first, so the surviving ID — not the surviving TEXT — is
-    arbitrary among duplicates).
+    arbitrary among duplicates.
 
     Returns the gated streaming frame (original columns + ``__h``
     dropped); chunk/pack downstream or write to a corpus sink.
@@ -441,7 +446,7 @@ def stream_gate_corpus(
     deduped = (
         gated.withColumn("__h", F.md5(normalized_text(F.col(text_col))))
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["__h"])
+        .dropDuplicatesWithinWatermark(["__h"])
         .drop("__h")
     )
     return deduped.filter(sample_hash_col(id_col, sample_seed) < sample_bp)
@@ -694,12 +699,15 @@ def compact_stream_index(
     restoring scan efficiency after long streams; probes are unaffected
     (they filter on ``partition_col`` only).
 
-    Safe ordering: the compacted data is written to a sibling temp dir
-    first, then atomically swapped in (rename), so a concurrent reader
-    sees either the old multi-epoch layout or the new single-epoch one —
-    never a partial mix.  Run it with the stream STOPPED (or between
-    epochs): a sink writing epoch E during the swap would land in the old
-    dir and be lost.
+    Maintenance window required: the compacted data is fully staged in a
+    sibling temp dir first (no partial data is ever visible under
+    ``path``), but the swap itself is two renames + a delete, NOT one
+    atomic operation — a reader that lists ``path`` in the instant
+    between the renames errors, and one that listed the old files before
+    the swap can hit FileNotFound mid-scan when the old dir is removed.
+    Run it with the stream stopped AND readers quiesced (the same window
+    any file-level compaction without a table format needs); a sink
+    writing during the swap would also land in the doomed old dir.
 
     Pass ``partition_col=None`` for epoch-only layouts
     (stream_hll_registers / stream_cm_counts); every row is preserved
