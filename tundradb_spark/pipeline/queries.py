@@ -823,17 +823,29 @@ def q_text_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lm_logprob").cast("double").alias("s1"),
         _ND().alias("s2"),
     )
-    dsir = q_text_dsir(spark, sf_dir).select(
-        F.lit("dsir").alias("grp"),
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("n_feats").cast("long").alias("n_tokens"),
-        F.col("dsir_weight").cast("double").alias("s1"),
-        _ND().alias("s2"),
+    # the DSIR weight table feeds BOTH the top-20 branch and the Gumbel
+    # resample: ONE definition shared by both subtrees, so the plans are
+    # structurally identical and Spark's ReuseExchange deduplicates the
+    # featurize/bucket-count shuffles inside the union (two independent
+    # q_text_dsir* calls would run the whole pipeline twice; an explicit
+    # localCheckpoint was measured SLOWER here — materialization cost
+    # exceeds the saved recompute at bench scale)
+    full_dsir = q_text_dsir_full(spark, sf_dir)
+    dsir = (
+        full_dsir.orderBy(F.desc("dsir_weight"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            F.lit("dsir").alias("grp"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("n_feats").cast("long").alias("n_tokens"),
+            F.col("dsir_weight").cast("double").alias("s1"),
+            _ND().alias("s2"),
+        )
     )
     from tundradb_spark.pipeline.importance import importance_resample
 
     resample = importance_resample(
-        q_text_dsir_full(spark, sf_dir), RESAMPLE_N, seed=RESAMPLE_SEED
+        full_dsir, RESAMPLE_N, seed=RESAMPLE_SEED
     ).select(
         F.lit("resample").alias("grp"),
         F.col("doc_id").cast("long").alias("doc_id"),
