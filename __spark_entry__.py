@@ -632,6 +632,53 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minid.unionByName(best)
 
 
+def _triangle_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layered key-offset triangle graph shared by q_pagerank's tri
+    branch and q_clustering: region→nation→customer membership edges plus
+    region→customer shortcuts (one triangle per shortcut customer).
+    _TRIANGLE_GRAPH_SQL is the oracle-side twin — edit BOTH or neither."""
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_custkey") < 100
+    )
+    r2n = nat.select(
+        (F.col("n_regionkey") + 2_000_000).alias("id_a"),
+        (F.col("n_nationkey") + 1_000_000).alias("id_b"),
+    )
+    n2c = cust.select(
+        (F.col("c_nationkey") + 1_000_000).alias("id_a"),
+        F.col("c_custkey").alias("id_b"),
+    )
+    r2c = cust.join(
+        nat.select("n_nationkey", "n_regionkey"),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(
+        (F.col("n_regionkey") + 2_000_000).alias("id_a"),
+        F.col("c_custkey").alias("id_b"),
+    )
+    return r2n.unionByName(n2c).unionByName(r2c)
+
+
+#: oracle CTE fragment producing the same graph as canonical a<b edges
+#: (te) — the SQL twin of _triangle_graph
+_TRIANGLE_GRAPH_SQL = """
+        raw AS (
+            SELECT n_regionkey + 2000000 AS p, n_nationkey + 1000000 AS q
+            FROM nation
+            UNION ALL
+            SELECT c_nationkey + 1000000, c_custkey
+            FROM customer WHERE c_custkey < 100
+            UNION ALL
+            SELECT n.n_regionkey + 2000000, c.c_custkey
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_custkey < 100
+        ),
+        te AS (
+            SELECT DISTINCT least(p, q) AS a, greatest(p, q) AS b
+            FROM raw WHERE p != q
+        )"""
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 graph analytics: 3 power iterations of PageRank over the
     customer→nation membership edges (dangling mass redistributed; ranks
@@ -655,26 +702,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # participation counts value-check the full closure
     from tundradb_spark.graphs.algorithms import triangle_counts
 
-    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
-        F.col("c_custkey") < 100
-    )
-    r2n = nat.select(
-        (F.col("n_regionkey") + 2_000_000).alias("id_a"),
-        (F.col("n_nationkey") + 1_000_000).alias("id_b"),
-    )
-    n2c = cust.select(
-        (F.col("c_nationkey") + 1_000_000).alias("id_a"),
-        F.col("c_custkey").alias("id_b"),
-    )
-    r2c = cust.join(
-        nat.select("n_nationkey", "n_regionkey"),
-        F.col("c_nationkey") == F.col("n_nationkey"),
-    ).select(
-        (F.col("n_regionkey") + 2_000_000).alias("id_a"),
-        F.col("c_custkey").alias("id_b"),
-    )
-    tri = triangle_counts(r2n.unionByName(n2c).unionByName(r2c)).select(
+    tri = triangle_counts(_triangle_graph(spark, sf_dir)).select(
         F.lit("tri").alias("grp"),
         F.col("vertex").cast("long").alias("vertex"),
         F.col("n_triangles").cast("double").alias("val"),
@@ -1590,26 +1618,7 @@ def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rounded coefficient matches the SQL oracle bit-for-bit."""
     from tundradb_spark.graphs.algorithms import clustering_coefficients
 
-    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
-        F.col("c_custkey") < 100
-    )
-    r2n = nat.select(
-        (F.col("n_regionkey") + 2_000_000).alias("id_a"),
-        (F.col("n_nationkey") + 1_000_000).alias("id_b"),
-    )
-    n2c = cust.select(
-        (F.col("c_nationkey") + 1_000_000).alias("id_a"),
-        F.col("c_custkey").alias("id_b"),
-    )
-    r2c = cust.join(
-        nat.select("n_nationkey", "n_regionkey"),
-        F.col("c_nationkey") == F.col("n_nationkey"),
-    ).select(
-        (F.col("n_regionkey") + 2_000_000).alias("id_a"),
-        F.col("c_custkey").alias("id_b"),
-    )
-    return clustering_coefficients(r2n.unionByName(n2c).unionByName(r2c)).select(
+    return clustering_coefficients(_triangle_graph(spark, sf_dir)).select(
         F.col("vertex").cast("long").alias("vertex"),
         F.col("degree").cast("long").alias("degree"),
         F.col("n_triangles").cast("long").alias("n_triangles"),
@@ -2160,21 +2169,7 @@ ORACLES: dict[str, str] = {
     # branch: canonical a<b<c wedge-close join — every triangle once
     "q_pagerank": f"""
         WITH pr AS ({_PAGERANK_SQL}),
-        raw AS (
-            SELECT n_regionkey + 2000000 AS p, n_nationkey + 1000000 AS q
-            FROM nation
-            UNION ALL
-            SELECT c_nationkey + 1000000, c_custkey
-            FROM customer WHERE c_custkey < 100
-            UNION ALL
-            SELECT n.n_regionkey + 2000000, c.c_custkey
-            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-            WHERE c.c_custkey < 100
-        ),
-        te AS (
-            SELECT DISTINCT least(p, q) AS a, greatest(p, q) AS b
-            FROM raw WHERE p != q
-        ),
+        {_TRIANGLE_GRAPH_SQL},
         tri AS (
             SELECT e1.a AS x, e1.b AS y, e2.b AS z
             FROM te e1
@@ -2463,22 +2458,8 @@ PARKED_ORACLES: dict[str, str] = {
     """,
     # same layered triangle graph as q_pagerank's tri branch; coefficient
     # is one IEEE division of exact integers, rounded 6
-    "q_clustering": """
-        WITH raw AS (
-            SELECT n_regionkey + 2000000 AS p, n_nationkey + 1000000 AS q
-            FROM nation
-            UNION ALL
-            SELECT c_nationkey + 1000000, c_custkey
-            FROM customer WHERE c_custkey < 100
-            UNION ALL
-            SELECT n.n_regionkey + 2000000, c.c_custkey
-            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-            WHERE c.c_custkey < 100
-        ),
-        te AS (
-            SELECT DISTINCT least(p, q) AS a, greatest(p, q) AS b
-            FROM raw WHERE p != q
-        ),
+    "q_clustering": f"""
+        WITH {_TRIANGLE_GRAPH_SQL},
         deg AS (
             SELECT vertex, count(*) AS degree
             FROM (SELECT a AS vertex FROM te UNION ALL SELECT b FROM te)
