@@ -749,3 +749,37 @@ class TestStreamHeavyKeys:
             q.stop()
         cands = {r["k"] for r in spark.read.parquet(cand).collect()}
         assert cands == {"hot"}  # bounded candidate state
+
+
+class TestIngestDedupWithinBatchNear:
+    def test_near_dups_in_one_batch_admit_one(self, spark, tmp_path):
+        """Two near-identical (not byte-identical) docs arriving in the
+        SAME micro-batch must not both be admitted — the corpus probe
+        only sees previous batches, so the sink needs its own in-batch
+        banding pass."""
+        from tundradb_spark.streaming import stream_ingest_dedup
+
+        src = str(tmp_path / "nisrc")
+        out = str(tmp_path / "niout")
+        sig = str(tmp_path / "nisig")
+        ckpt = str(tmp_path / "nick")
+        os.makedirs(src)
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        rows = [
+            (1, base + "ending one"),
+            (2, base + "ending two"),  # near-dup of 1, same batch
+            (3, "a completely different document about spark plans " * 6),
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = stream_ingest_dedup(stream, out, sig, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+        assert kept == [1, 3]  # min-id near-dup wins; distinct doc admitted
+        # signature table only tracks admitted docs
+        sig_ids = sorted(r["doc_id"] for r in spark.read.parquet(sig).collect())
+        assert sig_ids == [1, 3]

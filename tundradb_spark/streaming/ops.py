@@ -473,9 +473,12 @@ def stream_ingest_dedup(
     signatures append to ``sig_path`` for the NEXT batch to probe.
 
     Within-batch duplicates: survivors of the corpus probe are also
-    exact-deduplicated against each other (normalized-text hash, min-id
-    wins) before writing, so a batch containing its own near-identical
-    copies doesn't admit all of them.  Replay safety: both writes stamp
+    deduplicated against EACH OTHER before writing — exact (normalized-
+    text hash, min-id wins) AND near (same MinHash banding as the corpus
+    probe: any doc band-matching a lower-id batch sibling is dropped;
+    greedy rather than connected-components, so a chain A~B~C keeps only
+    A — the conservative direction for a dedup gate).  Replay safety:
+    both writes stamp
     the epoch and use DYNAMIC partition overwrite on ``epoch`` — a
     replayed micro-batch overwrites its own partitions instead of
     duplicating rows (the ``stream_index_vectors`` discipline).
@@ -486,6 +489,7 @@ def stream_ingest_dedup(
     from pyspark.sql import Window
 
     from tundradb_spark.pipeline.dedup import (
+        _banded,
         incremental_dup_pairs,
         minhash_signature,
         normalized_text,
@@ -527,6 +531,29 @@ def stream_ingest_dedup(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+        # within-batch NEAR dedup: band the batch's own signatures and
+        # drop any doc that band-matches a lower-id sibling (the corpus
+        # probe above only sees PREVIOUS batches' signatures)
+        batch_sigs = minhash_signature(
+            survivors, text_col, id_col, num_hashes, shingle_k, seed
+        ).localCheckpoint(eager=True)
+        banded = _banded(batch_sigs, id_col, bands, num_hashes // bands)
+        near_dups = (
+            banded.alias("x")
+            .join(
+                banded.alias("y"),
+                (F.col("x.band_idx") == F.col("y.band_idx"))
+                & (F.col("x.band_key") == F.col("y.band_key"))
+                & (F.col(f"x.{id_col}") > F.col(f"y.{id_col}")),
+            )
+            .select(F.col(f"x.{id_col}").alias("__dup"))
+            .distinct()
+        )
+        survivors = survivors.join(
+            F.broadcast(near_dups),
+            F.col(id_col).cast("long") == F.col("__dup").cast("long"),
+            "left_anti",
+        )
         stamped = survivors.withColumn("epoch", F.lit(epoch))
         (
             stamped.write.mode("overwrite")
@@ -534,9 +561,12 @@ def stream_ingest_dedup(
             .partitionBy("epoch")
             .parquet(out_path)
         )
-        sigs = minhash_signature(
-            survivors, text_col, id_col, num_hashes, shingle_k, seed
-        ).withColumn("epoch", F.lit(epoch))
+        kept_ids = survivors.select(
+            F.col(id_col).cast("long").alias(id_col)
+        )
+        sigs = batch_sigs.join(kept_ids, id_col, "left_semi").withColumn(
+            "epoch", F.lit(epoch)
+        )
         (
             sigs.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
