@@ -783,3 +783,40 @@ class TestIngestDedupWithinBatchNear:
         # signature table only tracks admitted docs
         sig_ids = sorted(r["doc_id"] for r in spark.read.parquet(sig).collect())
         assert sig_ids == [1, 3]
+
+
+class TestStreamWeightedSample:
+    def test_stream_merge_equals_batch_topk(self, spark, tmp_path):
+        from tundradb_spark.pipeline.sampling import weighted_sample_topk
+        from tundradb_spark.streaming import (
+            read_weighted_sample,
+            stream_weighted_sample,
+        )
+
+        src = str(tmp_path / "wssrc")
+        res = str(tmp_path / "wsres")
+        ckpt = str(tmp_path / "wsck")
+        os.makedirs(src)
+        schema = "doc_id long, wt double"
+
+        def rows(lo, hi):
+            return [(i, float((i * 13) % 97 + 1)) for i in range(lo, hi)]
+
+        spark.createDataFrame(rows(0, 300), schema).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = stream_weighted_sample(stream, res, ckpt, "wt", k=15)
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(rows(300, 800), schema).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = [tuple(r) for r in read_weighted_sample(spark, res, 15).collect()]
+        allrows = spark.createDataFrame(rows(0, 800), schema)
+        want = [
+            tuple(r) for r in weighted_sample_topk(allrows, "wt", 15).collect()
+        ]
+        assert got == want

@@ -337,6 +337,7 @@ def weighted_sample_topk(
     k: int,
     id_col: str = "doc_id",
     seed: int = 7,
+    keep_raw: bool = False,
 ) -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement: keep exactly
     ``k`` rows with inclusion probability proportional to ``weight_col``
@@ -359,7 +360,10 @@ def weighted_sample_topk(
     non-positive weight are dropped, matching "probability 0").
 
     Output: ``id_col, weight, priority`` — the k sampled rows, priority
-    descending.
+    descending.  ``keep_raw=True`` additionally keeps the UNROUNDED
+    priority as ``raw_priority`` — required when downstream re-selects
+    among samples (the streaming reservoir merge): re-ranking by the
+    6dp-rounded value could flip a boundary member on a rounded tie.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -368,15 +372,15 @@ def weighted_sample_topk(
         h32(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))) + 1
     ).cast("double") / F.lit(float(1 << 32))
     pri = F.pow(u, F.lit(1.0) / w)
-    return (
+    out = (
         docs.filter(w > 0)
         .select(
             F.col(id_col),
             w.alias("weight"),
             F.round(pri, 6).alias("priority"),
-            pri.alias("__pri"),
+            pri.alias("raw_priority"),
         )
-        .orderBy(F.desc("__pri"), F.asc(id_col))
+        .orderBy(F.desc("raw_priority"), F.asc(id_col))
         .limit(k)
-        .drop("__pri")
     )
+    return out if keep_raw else out.drop("raw_priority")

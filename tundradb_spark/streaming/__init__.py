@@ -38,6 +38,7 @@ from tundradb_spark.streaming.ops import (
     read_cm_estimate,
     read_heavy_hitters,
     read_histogram_quantiles,
+    read_weighted_sample,
     read_hll_distinct,
     session_window_agg,
     sessionize,
@@ -45,6 +46,7 @@ from tundradb_spark.streaming.ops import (
     stream_cm_counts,
     stream_heavy_keys,
     stream_histogram_bins,
+    stream_weighted_sample,
     stream_hll_registers,
     stream_ingest_dedup,
     stream_edges,
@@ -75,4 +77,6 @@ __all__ = [
     "read_histogram_quantiles",
     "stream_heavy_keys",
     "read_heavy_hitters",
+    "stream_weighted_sample",
+    "read_weighted_sample",
 ]

@@ -928,3 +928,66 @@ def read_heavy_hitters(
     cands = spark.read.parquet(cand_path).select(key_col).distinct()
     est = read_cm_estimate(spark, cm_path, cands, key_col, d, w, seed)
     return est.orderBy(F.desc("est_count"), F.asc(key_col)).limit(k)
+
+
+def stream_weighted_sample(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 7,
+    query_name: str | None = None,
+) -> "StreamingQuery":
+    """Streaming weighted reservoir: maintain an EXACT
+    Efraimidis-Spirakis top-k sample over an unbounded stream with
+    O(k) state per epoch.
+
+    Each micro-batch keeps its own top-k by the content-hash priority
+    ``u^(1/w)`` (pipeline.sampling.weighted_sample_topk) into an
+    ``epoch=E`` partition; because the priority is a pure function of
+    (seed, id, weight), every member of the GLOBAL top-k is necessarily
+    in its own batch's top-k — so :func:`read_weighted_sample`'s merge
+    (top-k of the union of per-epoch top-ks) equals the batch operator
+    over all arrived rows EXACTLY, not approximately.  Replay-safe via
+    dynamic epoch overwrite (re-deriving a batch's top-k is
+    deterministic).
+    """
+    from tundradb_spark.pipeline.sampling import weighted_sample_topk
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        top = weighted_sample_topk(
+            batch, weight_col, k, id_col, seed, keep_raw=True
+        )
+        (
+            top.withColumn("epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name or "weighted-sample")
+        .start()
+    )
+
+
+def read_weighted_sample(
+    spark, path: str, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Merge all epochs of a :func:`stream_weighted_sample` table into
+    the global top-k (exact — see the writer's invariant).  The union is
+    at most k rows per epoch, so the merge is tiny at any stream
+    length."""
+    cands = spark.read.parquet(path).drop("epoch")
+    return (
+        cands.orderBy(F.desc("raw_priority"), F.asc(id_col))
+        .limit(k)
+        .drop("raw_priority")
+    )
