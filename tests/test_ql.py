@@ -376,3 +376,22 @@ class TestExplain:
 
         with pytest.raises(QueryError):
             execute_statement(db, "EXPLAIN SHOW EDGE TYPES")
+
+
+class TestApproxDistinctAgg:
+    def test_ql_approx_distinct(self, db):
+        from tests.conftest import setup_join_fixture
+
+        from tundradb_spark.ql.interpreter import execute_statement
+
+        setup_join_fixture(db)
+        out = execute_statement(
+            db,
+            'MATCH (u:users) GROUP BY u.age '
+            'AGG approx_distinct(u.name) AS n_names, count(*) AS n '
+            'ORDER BY u.age ASC;'
+        )
+        rows = {r["u.age"]: r for r in out.collect()}
+        # fixture names are unique per user: estimate == exact count here
+        for age, r in rows.items():
+            assert r["n_names"] == r["n"]

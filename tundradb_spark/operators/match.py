@@ -504,6 +504,11 @@ _AGG_FNS = {
     "stddev": F.stddev,
     "median": F.median,
     "collect_set": F.collect_set,
+    # approximate distinct via Spark's native HLL++ (constant state per
+    # group at any scale); the externally-verifiable deterministic sketch
+    # lives in pipeline.sketches.hll_distinct — use that when a SQL
+    # oracle must reproduce the estimate
+    "approx_distinct": F.approx_count_distinct,
 }
 
 
