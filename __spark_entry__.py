@@ -1627,6 +1627,44 @@ def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HIST_BINS = 200
+ROLLUP_BUCKET_US = 3_600_000_000  # 1 hour
+RESAMPLE_STEP_US = 86_400_000_000  # 1 day
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup (operators.relational.
+    time_bucket_rollup): hourly per-event-type aggregates over the events
+    stream — integer floor bucketing, decimal-exact sums."""
+    from tundradb_spark.operators.relational import time_bucket_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return time_bucket_rollup(
+        ev, ROLLUP_BUCKET_US, ["event_type"], "value"
+    ).select(
+        "event_type",
+        F.col("bucket_start_us").cast("long").alias("bucket_start_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "total_value",
+        "min_value",
+        "max_value",
+    )
+
+
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling daily resample with last-observation-carried-forward
+    (operators.relational.resample_ffill) per user; event_id pins the
+    within-timestamp tie so every carried value is engine-exact."""
+    from tundradb_spark.operators.relational import resample_ffill
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return resample_ffill(
+        ev, RESAMPLE_STEP_US, "user_id", "value", tiebreak_col="event_id"
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("bucket_start_us").cast("long").alias("bucket_start_us"),
+        "value_ffill",
+        "n_in_bucket",
+    )
 
 
 def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1659,6 +1697,8 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 PARKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_clustering": q_clustering,
     "q_hist_quantiles": q_hist_quantiles,
+    "q_time_rollup": q_time_rollup,
+    "q_resample": q_resample,
     "q_left_join": q_left_join,
     "q_right_join": q_right_join,
     "q_full_join": q_full_join,
@@ -2411,6 +2451,60 @@ PARKED_ORACLES: dict[str, str] = {
         SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name
         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         WHERE c.c_acctbal > 7500.0
+    """,
+    # hourly time-bucket rollup: integer floor bucketing on epoch µs,
+    # decimal-cast sums — engine-exact
+    "q_time_rollup": f"""
+        SELECT event_type,
+               CAST(epoch_us(ts) - (epoch_us(ts) % {ROLLUP_BUCKET_US})
+                    AS BIGINT) AS bucket_start_us,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                 AS total_value,
+               min(value) AS min_value,
+               max(value) AS max_value
+        FROM events GROUP BY 1, 2
+    """,
+    # daily LOCF resample: same bucket/grid/window algebra; the
+    # (us DESC, eid DESC) row_number pick equals Spark's
+    # max_by(v, struct(us, eid)) lexicographic max, so within-timestamp
+    # ties resolve identically
+    "q_resample": f"""
+        WITH base AS (
+          SELECT user_id AS k,
+                 epoch_us(ts) - (epoch_us(ts) % {RESAMPLE_STEP_US}) AS b,
+                 epoch_us(ts) AS us, value AS v, event_id AS eid
+          FROM events
+        ),
+        obs AS (
+          SELECT k, b, v AS lastv, n FROM (
+            SELECT k, b, v,
+                   row_number() OVER (PARTITION BY k, b
+                                      ORDER BY us DESC, eid DESC) AS rn,
+                   count(*) OVER (PARTITION BY k, b) AS n
+            FROM base
+          ) WHERE rn = 1
+        ),
+        bounds AS (
+          SELECT k, min(b) AS lo, max(b) AS hi FROM base GROUP BY k
+        ),
+        grid AS (
+          SELECT k, unnest(range(lo, hi + {RESAMPLE_STEP_US},
+                                 {RESAMPLE_STEP_US})) AS b
+          FROM bounds
+        ),
+        j AS (
+          SELECT g.k, g.b, o.lastv, coalesce(o.n, 0) AS n
+          FROM grid g LEFT JOIN obs o ON g.k = o.k AND g.b = o.b
+        )
+        SELECT CAST(k AS BIGINT) AS user_id,
+               CAST(b AS BIGINT) AS bucket_start_us,
+               last_value(lastv IGNORE NULLS)
+                 OVER (PARTITION BY k ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS value_ffill,
+               CAST(n AS BIGINT) AS n_in_bucket
+        FROM j
     """,
     # histogram quantiles: min/max come from the data (identical doubles
     # both engines), every other op is the same fixed IEEE sequence the

@@ -449,3 +449,68 @@ class TestHistogramQuantilesBounded:
         )
         want = sorted(map(tuple, con.execute(sql).fetchall()))
         assert got == want
+
+
+class TestTimeRollupResample:
+    def test_rollup_buckets_and_sums(self, spark):
+        from tundradb_spark.operators.relational import time_bucket_rollup
+
+        rows = [
+            (0, 1_000_000, "a", 1.5),
+            (1, 2_000_000, "a", 2.5),   # same 10s bucket
+            (2, 11_000_000, "a", 4.0),  # next bucket
+            (3, 1_500_000, "b", 7.0),
+        ]
+        df = spark.createDataFrame(rows, "event_id long, ts long, event_type string, value double")
+        # ts here is raw int64: treated as NANOS by epoch_micros → µs = ns/1000
+        out = {(r["event_type"], r["bucket_start_us"]): r
+               for r in time_bucket_rollup(df, 10_000, ["event_type"], "value").collect()}
+        # 1_000_000 ns = 1000 µs → bucket 0; 11_000_000 ns = 11000 µs → bucket 10000
+        assert out[("a", 0)]["n_events"] == 2
+        assert out[("a", 0)]["total_value"] == 4.0
+        assert out[("a", 10000)]["min_value"] == 4.0
+        assert out[("b", 0)]["max_value"] == 7.0
+
+    def test_resample_fills_gaps_with_locf(self, spark):
+        from tundradb_spark.operators.relational import resample_ffill
+
+        # user 1: events in buckets 0 and 30 (step 10) → gaps at 10, 20
+        rows = [
+            (0, 1_000_000, 1, 5.0),
+            (1, 2_000_000, 1, 6.0),    # same bucket, later ts → wins
+            (2, 31_000_000, 1, 9.0),
+        ]
+        df = spark.createDataFrame(rows, "event_id long, ts long, user_id long, value double")
+        out = {r["bucket_start_us"]: r
+               for r in resample_ffill(df, 10_000, "user_id", "value",
+                                       tiebreak_col="event_id").collect()}
+        assert sorted(out) == [0, 10000, 20000, 30000]
+        assert out[0]["value_ffill"] == 6.0 and out[0]["n_in_bucket"] == 2
+        assert out[10000]["value_ffill"] == 6.0 and out[10000]["n_in_bucket"] == 0
+        assert out[20000]["value_ffill"] == 6.0
+        assert out[30000]["value_ffill"] == 9.0 and out[30000]["n_in_bucket"] == 1
+
+    def test_resample_tiebreak_pins_equal_timestamps(self, spark):
+        from tundradb_spark.operators.relational import resample_ffill
+
+        rows = [(1, 1_000_000, 1, 5.0), (2, 1_000_000, 1, 8.0)]
+        df = spark.createDataFrame(rows, "event_id long, ts long, user_id long, value double")
+        row = resample_ffill(df, 10_000, "user_id", "value",
+                             tiebreak_col="event_id").first()
+        assert row["value_ffill"] == 8.0  # higher event_id wins
+
+    def test_resample_grid_guard(self, spark):
+        from tundradb_spark.operators.relational import resample_ffill
+
+        rows = [(0, 0, 1, 1.0), (1, 10**16, 1, 2.0)]  # ~10^13 µs apart
+        df = spark.createDataFrame(rows, "event_id long, ts long, user_id long, value double")
+        with pytest.raises(ValueError):
+            resample_ffill(df, 1, "user_id", "value")
+
+    def test_validation(self, spark):
+        from tundradb_spark.operators.relational import time_bucket_rollup
+
+        df = spark.createDataFrame([(0, 0, "a", 1.0)],
+                                   "event_id long, ts long, event_type string, value double")
+        with pytest.raises(ValueError):
+            time_bucket_rollup(df, 0, ["event_type"], "value")

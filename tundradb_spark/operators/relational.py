@@ -541,3 +541,130 @@ cum AS (
 SELECT grp, CAST(max(n) AS BIGINT) AS n_rows, {", ".join(cols)}
 FROM cum GROUP BY grp
 """
+
+
+def time_bucket_rollup(
+    events: DataFrame,
+    bucket_us: int,
+    key_cols: list[str],
+    value_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hypertable-style time-bucket rollup (TimescaleDB's
+    ``time_bucket`` + continuous-aggregate shape): floor event time to a
+    fixed ``bucket_us`` grid and aggregate per (keys, bucket) — the batch
+    face of ``streaming.ops.windowed_event_counts``.
+
+    One map-side-combined groupBy on (keys, bucket) is the whole plan:
+    integer floor-division bucketing (exact, engine-portable via
+    ``functions.timecols.epoch_micros``) means no window machinery and
+    full shuffle parallelism on the compound key.  Monetary-style SUMs go
+    through decimal(18,2) so results are partition-order independent.
+
+    Output: ``*key_cols, bucket_start_us, n_events, total_value,
+    min_value, max_value``.
+    """
+    from tundradb_spark.functions.timecols import epoch_micros
+
+    if bucket_us < 1:
+        raise ValueError(f"bucket_us must be >= 1, got {bucket_us}")
+    us = epoch_micros(events, ts_col)
+    bucket = (us - (us % F.lit(bucket_us))).alias("bucket_start_us")
+    gb = [_bt(c) for c in key_cols]
+    return (
+        events.select(*gb, bucket, F.col(value_col).alias("__v"))
+        .groupBy(*gb, "bucket_start_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("__v").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_value"),
+            F.min("__v").alias("min_value"),
+            F.max("__v").alias("max_value"),
+        )
+    )
+
+
+def resample_ffill(
+    events: DataFrame,
+    step_us: int,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Gap-filling resample with last-observation-carried-forward: emit
+    one row per key per ``step_us`` grid point between the key's first
+    and last event, carrying the latest observed value forward across
+    empty buckets — the regularization step between raw event streams
+    and window/asof analytics.
+
+    Plan: bucket + per-(key, bucket) last-by-time observation (one
+    groupBy with ``max_by``), per-key min/max grid bounds, then ONE
+    ``sequence→explode`` generates the grid and a per-key ordered window
+    carries ``last(value, ignoreNulls)`` forward.  One shuffle on the
+    key carries bounds, observations, and the fill window; grid rows are
+    generated, not stored.  The grid is capped at 1 << 22 points per key
+    (raise on violation) so a mis-set ``step_us`` fails loudly instead
+    of exploding a billion rows per key.
+
+    Output: ``key_col, bucket_start_us, value_ffill, n_in_bucket``
+    (``n_in_bucket`` 0 on gap rows).  Two events sharing an exact
+    timestamp within a bucket tie arbitrarily unless ``tiebreak_col``
+    (a unique column, e.g. the event id) pins the winner — pass it
+    whenever results must be engine-reproducible.
+    """
+    from pyspark.sql import Window
+
+    from tundradb_spark.functions.timecols import epoch_micros
+
+    if step_us < 1:
+        raise ValueError(f"step_us must be >= 1, got {step_us}")
+    us = epoch_micros(events, ts_col)
+    base = events.select(
+        _bt(key_col).alias("__k"),
+        (us - (us % F.lit(step_us))).alias("__b"),
+        us.alias("__us"),
+        F.col(value_col).alias("__v"),
+        (
+            _bt(tiebreak_col).cast("long") if tiebreak_col else F.lit(0)
+        ).alias("__tb"),
+    )
+    obs = base.groupBy("__k", "__b").agg(
+        F.max_by("__v", F.struct("__us", "__tb")).alias("__last"),
+        F.count(F.lit(1)).alias("n_in_bucket"),
+    )
+    bounds = base.groupBy("__k").agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    grid = bounds.select(
+        "__k",
+        F.explode(
+            F.expr(
+                f"sequence(__lo, __hi + {step_us} - 1, {step_us})"
+            )
+        ).alias("__b"),
+    )
+    n_points = F.expr(f"(__hi - __lo) div {step_us} + 1")
+    too_big = bounds.filter(n_points > (1 << 22)).limit(1).count()
+    if too_big:
+        raise ValueError(
+            f"resample_ffill: step_us={step_us} yields over {1 << 22} grid "
+            "points for at least one key — refusing to explode; widen the step"
+        )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        grid.join(obs, ["__k", "__b"], "left")
+        .withColumn("value_ffill", F.last("__last", ignorenulls=True).over(w))
+        .select(
+            F.col("__k").alias(key_col),
+            F.col("__b").alias("bucket_start_us"),
+            "value_ffill",
+            F.coalesce("n_in_bucket", F.lit(0)).cast("long").alias("n_in_bucket"),
+        )
+    )
+    return filled
