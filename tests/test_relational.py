@@ -514,3 +514,49 @@ class TestTimeRollupResample:
                                    "event_id long, ts long, event_type string, value double")
         with pytest.raises(ValueError):
             time_bucket_rollup(df, 0, ["event_type"], "value")
+
+
+class TestResampleInterp:
+    def test_linear_interpolation_between_observations(self, spark):
+        from tundradb_spark.operators.relational import resample_interp
+
+        # buckets 0 and 30000 observed (step 10000): gaps at 10000, 20000
+        rows = [(0, 1_000_000, 1, 3.0), (1, 31_000_000, 1, 9.0)]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, value double"
+        )
+        out = {r["bucket_start_us"]: r["value_interp"]
+               for r in resample_interp(df, 10_000, "user_id", "value",
+                                        tiebreak_col="event_id").collect()}
+        assert out[0] == 3.0 and out[30000] == 9.0
+        assert out[10000] == 5.0  # 3 + 6 * (1/3)
+        assert out[20000] == 7.0  # 3 + 6 * (2/3)
+
+    def test_edges_fall_back_to_available_side(self, spark):
+        from tundradb_spark.operators.relational import resample_interp
+
+        rows = [(0, 11_000_000, 1, 4.0)]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, value double"
+        )
+        out = resample_interp(df, 10_000, "user_id", "value").collect()
+        assert len(out) == 1 and out[0]["value_interp"] == 4.0
+
+    def test_matches_ffill_on_observed_buckets(self, spark):
+        from tundradb_spark.operators.relational import (
+            resample_ffill,
+            resample_interp,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        f = resample_ffill(ev, 86_400_000_000, "user_id", "value",
+                           tiebreak_col="event_id")
+        i = resample_interp(ev, 86_400_000_000, "user_id", "value",
+                            tiebreak_col="event_id")
+        joined = f.join(
+            i.drop("n_in_bucket"), ["user_id", "bucket_start_us"]
+        ).filter(F.col("n_in_bucket") > 0)
+        bad = joined.filter(
+            F.abs(F.col("value_ffill") - F.col("value_interp")) > 1e-6
+        ).count()
+        assert bad == 0 and joined.count() > 0

@@ -585,6 +585,55 @@ def time_bucket_rollup(
     )
 
 
+def _resample_grid(
+    events: DataFrame,
+    step_us: int,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    tiebreak_col: str | None,
+):
+    """Shared bucket/observation/grid machinery for the resamplers:
+    returns ``(base, obs, grid)`` frames; raises when any key's grid
+    would exceed 2^22 points (a mis-set step fails loudly instead of
+    exploding rows)."""
+    from tundradb_spark.functions.timecols import epoch_micros
+
+    if step_us < 1:
+        raise ValueError(f"step_us must be >= 1, got {step_us}")
+    us = epoch_micros(events, ts_col)
+    base = events.select(
+        _bt(key_col).alias("__k"),
+        (us - (us % F.lit(step_us))).alias("__b"),
+        us.alias("__us"),
+        F.col(value_col).alias("__v"),
+        (
+            _bt(tiebreak_col).cast("long") if tiebreak_col else F.lit(0)
+        ).alias("__tb"),
+    )
+    obs = base.groupBy("__k", "__b").agg(
+        F.max_by("__v", F.struct("__us", "__tb")).alias("__last"),
+        F.count(F.lit(1)).alias("n_in_bucket"),
+    )
+    bounds = base.groupBy("__k").agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    n_points = F.expr(f"(__hi - __lo) div {step_us} + 1")
+    too_big = bounds.filter(n_points > (1 << 22)).limit(1).count()
+    if too_big:
+        raise ValueError(
+            f"resample: step_us={step_us} yields over {1 << 22} grid "
+            "points for at least one key — refusing to explode; widen the step"
+        )
+    grid = bounds.select(
+        "__k",
+        F.explode(
+            F.expr(f"sequence(__lo, __hi + {step_us} - 1, {step_us})")
+        ).alias("__b"),
+    )
+    return base, obs, grid
+
+
 def resample_ffill(
     events: DataFrame,
     step_us: int,
@@ -618,40 +667,9 @@ def resample_ffill(
 
     from tundradb_spark.functions.timecols import epoch_micros
 
-    if step_us < 1:
-        raise ValueError(f"step_us must be >= 1, got {step_us}")
-    us = epoch_micros(events, ts_col)
-    base = events.select(
-        _bt(key_col).alias("__k"),
-        (us - (us % F.lit(step_us))).alias("__b"),
-        us.alias("__us"),
-        F.col(value_col).alias("__v"),
-        (
-            _bt(tiebreak_col).cast("long") if tiebreak_col else F.lit(0)
-        ).alias("__tb"),
+    base, obs, grid = _resample_grid(
+        events, step_us, key_col, value_col, ts_col, tiebreak_col
     )
-    obs = base.groupBy("__k", "__b").agg(
-        F.max_by("__v", F.struct("__us", "__tb")).alias("__last"),
-        F.count(F.lit(1)).alias("n_in_bucket"),
-    )
-    bounds = base.groupBy("__k").agg(
-        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
-    )
-    grid = bounds.select(
-        "__k",
-        F.explode(
-            F.expr(
-                f"sequence(__lo, __hi + {step_us} - 1, {step_us})"
-            )
-        ).alias("__b"),
-    )
-    n_points = F.expr(f"(__hi - __lo) div {step_us} + 1")
-    too_big = bounds.filter(n_points > (1 << 22)).limit(1).count()
-    if too_big:
-        raise ValueError(
-            f"resample_ffill: step_us={step_us} yields over {1 << 22} grid "
-            "points for at least one key — refusing to explode; widen the step"
-        )
     w = (
         Window.partitionBy("__k")
         .orderBy("__b")
@@ -668,3 +686,65 @@ def resample_ffill(
         )
     )
     return filled
+
+
+def resample_interp(
+    events: DataFrame,
+    step_us: int,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Gap-filling resample with LINEAR interpolation: like
+    :func:`resample_ffill` but gap buckets take
+    ``v_prev + (v_next − v_prev) · (b − b_prev)/(b_next − b_prev)``
+    between the surrounding observations; leading/trailing gaps (no
+    neighbor on one side) fall back to the available side's value.
+
+    Same single-shuffle grid plan plus one extra backward window pass
+    (the forward pass carries (prev value, prev bucket), the backward one
+    (next value, next bucket)).  The interpolation is a fixed IEEE
+    sequence over exact integers and observed doubles, rounded to
+    ``round_to`` — a SQL oracle reproduces every filled value.
+
+    Output: ``key_col, bucket_start_us, value_interp, n_in_bucket``.
+    """
+    base, obs, grid = _resample_grid(
+        events, step_us, key_col, value_col, ts_col, tiebreak_col
+    )
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy("__b")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    j = grid.join(obs, ["__k", "__b"], "left")
+    pick = F.when(F.col("__last").isNotNull(), F.struct("__b", "__last"))
+    j = (
+        j.withColumn("__prev", F.last(pick, ignorenulls=True).over(wf))
+        .withColumn("__next", F.first(pick, ignorenulls=True).over(wb))
+    )
+    pv, pb = F.col("__prev.__last"), F.col("__prev.__b")
+    nv, nb = F.col("__next.__last"), F.col("__next.__b")
+    interp = (
+        F.when(F.col("__last").isNotNull(), F.col("__last"))
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(
+            pv
+            + (nv - pv)
+            * ((F.col("__b") - pb).cast("double") / (nb - pb).cast("double"))
+        )
+    )
+    return j.select(
+        F.col("__k").alias(key_col),
+        F.col("__b").alias("bucket_start_us"),
+        F.round(interp, round_to).alias("value_interp"),
+        F.coalesce("n_in_bucket", F.lit(0)).cast("long").alias("n_in_bucket"),
+    )
