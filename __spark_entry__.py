@@ -1650,6 +1650,23 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation daily resample (operators.relational.
+    resample_interp): gap buckets take the exact linear blend of the
+    surrounding observations — every filled value oracle-checked."""
+    from tundradb_spark.operators.relational import resample_interp
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return resample_interp(
+        ev, RESAMPLE_STEP_US, "user_id", "value", tiebreak_col="event_id"
+    ).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("bucket_start_us").cast("long").alias("bucket_start_us"),
+        "value_interp",
+        "n_in_bucket",
+    )
+
+
 def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filling daily resample with last-observation-carried-forward
     (operators.relational.resample_ffill) per user; event_id pins the
@@ -1699,6 +1716,7 @@ PARKED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hist_quantiles": q_hist_quantiles,
     "q_time_rollup": q_time_rollup,
     "q_resample": q_resample,
+    "q_resample_interp": q_resample_interp,
     "q_left_join": q_left_join,
     "q_right_join": q_right_join,
     "q_full_join": q_full_join,
@@ -2505,6 +2523,71 @@ PARKED_ORACLES: dict[str, str] = {
                  AS value_ffill,
                CAST(n AS BIGINT) AS n_in_bucket
         FROM j
+    """,
+    # linear-interpolation resample: prev/next picked by the same
+    # ignore-nulls windows; the blend is a fixed IEEE sequence over exact
+    # integer bucket distances, rounded 6 both sides
+    "q_resample_interp": f"""
+        WITH base AS (
+          SELECT user_id AS k,
+                 epoch_us(ts) - (epoch_us(ts) % {RESAMPLE_STEP_US}) AS b,
+                 epoch_us(ts) AS us, value AS v, event_id AS eid
+          FROM events
+        ),
+        obs AS (
+          SELECT k, b, v AS lastv, n FROM (
+            SELECT k, b, v,
+                   row_number() OVER (PARTITION BY k, b
+                                      ORDER BY us DESC, eid DESC) AS rn,
+                   count(*) OVER (PARTITION BY k, b) AS n
+            FROM base
+          ) WHERE rn = 1
+        ),
+        bounds AS (
+          SELECT k, min(b) AS lo, max(b) AS hi FROM base GROUP BY k
+        ),
+        grid AS (
+          SELECT k, unnest(range(lo, hi + {RESAMPLE_STEP_US},
+                                 {RESAMPLE_STEP_US})) AS b
+          FROM bounds
+        ),
+        j AS (
+          SELECT g.k, g.b, o.lastv, coalesce(o.n, 0) AS n
+          FROM grid g LEFT JOIN obs o ON g.k = o.k AND g.b = o.b
+        ),
+        pn AS (
+          SELECT k, b, lastv, n,
+                 last_value(lastv IGNORE NULLS)
+                   OVER (PARTITION BY k ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS pv,
+                 last_value(CASE WHEN lastv IS NOT NULL THEN b END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY k ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS pb,
+                 first_value(lastv IGNORE NULLS)
+                   OVER (PARTITION BY k ORDER BY b
+                         ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING) AS nv,
+                 first_value(CASE WHEN lastv IS NOT NULL THEN b END
+                             IGNORE NULLS)
+                   OVER (PARTITION BY k ORDER BY b
+                         ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING) AS nb
+          FROM j
+        )
+        SELECT CAST(k AS BIGINT) AS user_id,
+               CAST(b AS BIGINT) AS bucket_start_us,
+               round(CASE WHEN lastv IS NOT NULL THEN lastv
+                          WHEN pv IS NULL THEN nv
+                          WHEN nv IS NULL THEN pv
+                          ELSE pv + (nv - pv)
+                               * (CAST(b - pb AS DOUBLE)
+                                  / CAST(nb - pb AS DOUBLE))
+                     END, 6) AS value_interp,
+               CAST(n AS BIGINT) AS n_in_bucket
+        FROM pn
     """,
     # histogram quantiles: min/max come from the data (identical doubles
     # both engines), every other op is the same fixed IEEE sequence the
