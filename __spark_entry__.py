@@ -2474,7 +2474,9 @@ PARKED_ORACLES: dict[str, str] = {
     # decimal-cast sums — engine-exact
     "q_time_rollup": f"""
         SELECT event_type,
-               CAST(epoch_us(ts) - (epoch_us(ts) % {ROLLUP_BUCKET_US})
+               CAST(epoch_us(ts)
+                    - (((epoch_us(ts) % {ROLLUP_BUCKET_US})
+                        + {ROLLUP_BUCKET_US}) % {ROLLUP_BUCKET_US})
                     AS BIGINT) AS bucket_start_us,
                CAST(count(*) AS BIGINT) AS n_events,
                round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
@@ -2490,7 +2492,8 @@ PARKED_ORACLES: dict[str, str] = {
     "q_resample": f"""
         WITH base AS (
           SELECT user_id AS k,
-                 epoch_us(ts) - (epoch_us(ts) % {RESAMPLE_STEP_US}) AS b,
+                 epoch_us(ts) - (((epoch_us(ts) % {RESAMPLE_STEP_US})
+                                  + {RESAMPLE_STEP_US}) % {RESAMPLE_STEP_US}) AS b,
                  epoch_us(ts) AS us, value AS v, event_id AS eid
           FROM events
         ),
@@ -2530,7 +2533,8 @@ PARKED_ORACLES: dict[str, str] = {
     "q_resample_interp": f"""
         WITH base AS (
           SELECT user_id AS k,
-                 epoch_us(ts) - (epoch_us(ts) % {RESAMPLE_STEP_US}) AS b,
+                 epoch_us(ts) - (((epoch_us(ts) % {RESAMPLE_STEP_US})
+                                  + {RESAMPLE_STEP_US}) % {RESAMPLE_STEP_US}) AS b,
                  epoch_us(ts) AS us, value AS v, event_id AS eid
           FROM events
         ),

@@ -560,3 +560,17 @@ class TestResampleInterp:
             F.abs(F.col("value_ffill") - F.col("value_interp")) > 1e-6
         ).count()
         assert bad == 0 and joined.count() > 0
+
+    def test_negative_epoch_floor_buckets(self, spark):
+        """Pre-1970 timestamps must floor to the bucket BEFORE them, not
+        truncate toward zero."""
+        from tundradb_spark.operators.relational import time_bucket_rollup
+
+        # raw int64 nanos: -500_000 ns = -500 µs → bucket -1000 at step 1000
+        df = spark.createDataFrame(
+            [(0, -500_000, "a", 2.0), (1, 500_000, "a", 3.0)],
+            "event_id long, ts long, event_type string, value double",
+        )
+        out = {r["bucket_start_us"]: r["n_events"]
+               for r in time_bucket_rollup(df, 1000, ["event_type"], "value").collect()}
+        assert out == {-1000: 1, 0: 1}

@@ -820,3 +820,28 @@ class TestStreamWeightedSample:
             tuple(r) for r in weighted_sample_topk(allrows, "wt", 15).collect()
         ]
         assert got == want
+
+
+class TestWeightedSampleKGuard:
+    def test_read_k_above_writer_k_raises(self, spark, tmp_path):
+        from tundradb_spark.streaming import (
+            read_weighted_sample,
+            stream_weighted_sample,
+        )
+
+        src = str(tmp_path / "kgsrc")
+        res = str(tmp_path / "kgres")
+        ckpt = str(tmp_path / "kgck")
+        os.makedirs(src)
+        spark.createDataFrame(
+            [(i, float(i + 1)) for i in range(50)], "doc_id long, wt double"
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id long, wt double").parquet(src)
+        q = stream_weighted_sample(stream, res, ckpt, "wt", k=10)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert read_weighted_sample(spark, res, 10).count() == 10
+        with pytest.raises(ValueError):
+            read_weighted_sample(spark, res, 11)

@@ -111,3 +111,12 @@ class TestKeyedUpsert:
         write_keyed(df, path, "flag", n_buckets=8)
         row = read_keyed(spark, path, "flag", True, n_buckets=8).first()
         assert row is not None and row["v"] == "yes"
+
+    def test_point_lookup_int_literal_on_double_key(self, spark, tmp_path):
+        """An int literal probing a double key column must hash as the
+        column-typed rendering ('1.0'), not the Python literal's ('1')."""
+        path = str(tmp_path / "dblkey")
+        df = spark.createDataFrame([(1.0, "one"), (2.5, "two")], "price double, v string")
+        write_keyed(df, path, "price", n_buckets=8)
+        row = read_keyed(spark, path, "price", 1, n_buckets=8).first()
+        assert row is not None and row["v"] == "one"

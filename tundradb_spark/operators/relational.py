@@ -569,7 +569,10 @@ def time_bucket_rollup(
     if bucket_us < 1:
         raise ValueError(f"bucket_us must be >= 1, got {bucket_us}")
     us = epoch_micros(events, ts_col)
-    bucket = (us - (us % F.lit(bucket_us))).alias("bucket_start_us")
+    # pmod, not %: Spark % truncates toward zero, so a pre-1970 (negative
+    # epoch) event would land in a bucket STARTING AFTER it; pmod gives
+    # true floor bucketing on both signs
+    bucket = (us - F.pmod(us, F.lit(bucket_us))).alias("bucket_start_us")
     gb = [_bt(c) for c in key_cols]
     return (
         events.select(*gb, bucket, F.col(value_col).alias("__v"))
@@ -594,9 +597,11 @@ def _resample_grid(
     tiebreak_col: str | None,
 ):
     """Shared bucket/observation/grid machinery for the resamplers:
-    returns ``(base, obs, grid)`` frames; raises when any key's grid
-    would exceed 2^22 points (a mis-set step fails loudly instead of
-    exploding rows)."""
+    returns ``(obs, grid)`` frames; raises when any key's grid would
+    exceed 2^22 points (a mis-set step fails loudly instead of exploding
+    rows).  The one-row-per-key bounds frame is localCheckpoint-ed so the
+    guard's count and the grid generation share a single materialization
+    instead of each re-scanning the events input."""
     from tundradb_spark.functions.timecols import epoch_micros
 
     if step_us < 1:
@@ -604,7 +609,8 @@ def _resample_grid(
     us = epoch_micros(events, ts_col)
     base = events.select(
         _bt(key_col).alias("__k"),
-        (us - (us % F.lit(step_us))).alias("__b"),
+        # pmod floor-buckets negative epochs too (see time_bucket_rollup)
+        (us - F.pmod(us, F.lit(step_us))).alias("__b"),
         us.alias("__us"),
         F.col(value_col).alias("__v"),
         (
@@ -617,7 +623,7 @@ def _resample_grid(
     )
     bounds = base.groupBy("__k").agg(
         F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
-    )
+    ).localCheckpoint(eager=True)
     n_points = F.expr(f"(__hi - __lo) div {step_us} + 1")
     too_big = bounds.filter(n_points > (1 << 22)).limit(1).count()
     if too_big:
@@ -631,7 +637,7 @@ def _resample_grid(
             F.expr(f"sequence(__lo, __hi + {step_us} - 1, {step_us})")
         ).alias("__b"),
     )
-    return base, obs, grid
+    return obs, grid
 
 
 def resample_ffill(
@@ -663,11 +669,7 @@ def resample_ffill(
     (a unique column, e.g. the event id) pins the winner — pass it
     whenever results must be engine-reproducible.
     """
-    from pyspark.sql import Window
-
-    from tundradb_spark.functions.timecols import epoch_micros
-
-    base, obs, grid = _resample_grid(
+    obs, grid = _resample_grid(
         events, step_us, key_col, value_col, ts_col, tiebreak_col
     )
     w = (
@@ -711,7 +713,7 @@ def resample_interp(
 
     Output: ``key_col, bucket_start_us, value_interp, n_in_bucket``.
     """
-    base, obs, grid = _resample_grid(
+    obs, grid = _resample_grid(
         events, step_us, key_col, value_col, ts_col, tiebreak_col
     )
     wf = (

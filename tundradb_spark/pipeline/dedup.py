@@ -190,6 +190,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     seed: int = 42,
     materialize: bool = True,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding of MinHash signatures.
 
@@ -210,15 +211,22 @@ def minhash_lsh_pairs(
     ``materialize=False`` to get the fully lazy plan instead (nothing
     persisted — the self-join recomputes signatures on both sides, so only
     worth it when a downstream filter prunes most of the input).
+
+    ``sigs``: an already-computed :func:`minhash_signature` frame (e.g.
+    one the caller also writes to a signature table — the
+    streaming ingest sink's case); ``docs``/``text_col`` are then unused
+    and the num_hashes/bands/shingle_k/seed parameters MUST match the
+    ones the signatures were built with.
     """
     r = num_hashes // bands
     # persist the signatures: the LSH self-join reads them twice, and the
     # md5-per-shingle signature pass dominates cost. At cluster scale this
     # is the standard "materialize signatures" step (n_docs × num_hashes
     # longs — tiny next to the corpus).
-    sigs = minhash_signature(
-        docs, text_col, id_col, num_hashes, shingle_k, seed
-    )
+    if sigs is None:
+        sigs = minhash_signature(
+            docs, text_col, id_col, num_hashes, shingle_k, seed
+        )
     if materialize:
         sigs = sigs.persist()
     banded = _banded(sigs, id_col, bands, r)

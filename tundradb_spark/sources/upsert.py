@@ -115,14 +115,20 @@ def read_keyed(
     writer used over a 1-row frame (a ~ms local job) — a Python
     ``str(value)`` re-implementation would diverge from Spark's
     ``CAST(value AS STRING)`` rendering for booleans ('True' vs 'true'),
-    floats, dates, and decimals, silently filtering the wrong bucket."""
+    floats, dates, and decimals, silently filtering the wrong bucket.
+    The literal is first cast to the KEY COLUMN's type so e.g. an int
+    ``1`` probing a double column hashes as '1.0' (what the writer
+    hashed), not '1'."""
     df = spark.read.parquet(path)
     if key is None:
         return df.drop(BUCKET_COL)
+    key_type = dict(df.dtypes)[key]
     b = (
         spark.range(1)
         .select(
-            (h32(F.lit(value).cast("string")) % n_buckets).cast("int").alias("b")
+            (h32(F.lit(value).cast(key_type).cast("string")) % n_buckets)
+            .cast("int")
+            .alias("b")
         )
         .first()["b"]
     )

@@ -489,8 +489,8 @@ def stream_ingest_dedup(
     from pyspark.sql import Window
 
     from tundradb_spark.pipeline.dedup import (
-        _banded,
         incremental_dup_pairs,
+        minhash_lsh_pairs,
         minhash_signature,
         normalized_text,
     )
@@ -531,22 +531,26 @@ def stream_ingest_dedup(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        # within-batch NEAR dedup: band the batch's own signatures and
-        # drop any doc that band-matches a lower-id sibling (the corpus
-        # probe above only sees PREVIOUS batches' signatures)
+        # within-batch NEAR dedup: reuse the standard banded self-join
+        # over the batch's own signatures (the corpus probe above only
+        # sees PREVIOUS batches' signatures).  Pairs come back id_a <
+        # id_b, so dropping every id_b member IS "drop any doc matching a
+        # lower-id sibling" (greedy, conservative)
         batch_sigs = minhash_signature(
             survivors, text_col, id_col, num_hashes, shingle_k, seed
         ).localCheckpoint(eager=True)
-        banded = _banded(batch_sigs, id_col, bands, num_hashes // bands)
         near_dups = (
-            banded.alias("x")
-            .join(
-                banded.alias("y"),
-                (F.col("x.band_idx") == F.col("y.band_idx"))
-                & (F.col("x.band_key") == F.col("y.band_key"))
-                & (F.col(f"x.{id_col}") > F.col(f"y.{id_col}")),
+            minhash_lsh_pairs(
+                None,
+                id_col=id_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_k=shingle_k,
+                seed=seed,
+                materialize=False,
+                sigs=batch_sigs,
             )
-            .select(F.col(f"x.{id_col}").alias("__dup"))
+            .select(F.col("id_b").alias("__dup"))
             .distinct()
         )
         survivors = survivors.join(
@@ -963,7 +967,8 @@ def stream_weighted_sample(
             batch, weight_col, k, id_col, seed, keep_raw=True
         )
         (
-            top.withColumn("epoch", F.lit(epoch))
+            top.withColumn("writer_k", F.lit(k))
+            .withColumn("epoch", F.lit(epoch))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("epoch")
@@ -983,11 +988,22 @@ def read_weighted_sample(
 ) -> DataFrame:
     """Merge all epochs of a :func:`stream_weighted_sample` table into
     the global top-k (exact — see the writer's invariant).  The union is
-    at most k rows per epoch, so the merge is tiny at any stream
-    length."""
+    at most k rows per epoch, so the merge is tiny at any stream length.
+
+    ``k`` may not exceed the k the stream was WRITTEN with (stamped per
+    row): the exactness argument only covers members that made their own
+    batch's top-k, so a larger read-k would silently return wrong ranks
+    past the writer's k — raise instead."""
     cands = spark.read.parquet(path).drop("epoch")
+    writer_k = cands.agg(F.min("writer_k")).first()[0]
+    if k > writer_k:
+        raise ValueError(
+            f"read_weighted_sample: k={k} exceeds the stream's writer k="
+            f"{writer_k} — ranks past {writer_k} were never persisted; "
+            "re-run the stream with a larger k"
+        )
     return (
         cands.orderBy(F.desc("raw_priority"), F.asc(id_col))
         .limit(k)
-        .drop("raw_priority")
+        .drop("raw_priority", "writer_k")
     )
