@@ -401,3 +401,20 @@ def test_shuffle_shards_is_narrow(spark):
         shuffle_shards(docs, 16)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_time_rollup_single_exchange_partial_agg(spark):
+    """The hypertable rollup is ONE map-side-combined groupBy on
+    (keys, bucket) — no window machinery, no extra exchange."""
+    from tundradb_spark.operators.relational import time_bucket_rollup
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = (
+        time_bucket_rollup(ev, 3_600_000_000, ["event_type"], "value")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_count" in plan, plan
+    assert "Window" not in plan
