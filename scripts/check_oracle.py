@@ -4,6 +4,7 @@ __spark_entry__.queries()[k] on Spark and oracle_sql()[k] on DuckDB at
 sf0.01, compare row count, column names, and order-insensitive values.
 
 Usage: python scripts/check_oracle.py [query ...]
+       python scripts/check_oracle.py --parked   # every parked query too
 """
 
 from __future__ import annotations
@@ -47,11 +48,15 @@ def norm(v):
 
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    parked = "--parked" in args
+    only = {a for a in args if a != "--parked"}
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
-    if only:  # explicitly-named parked queries are checkable too
+    if only or parked:  # parked queries are checkable too
         qs = {**qs, **entry_mod.parked_queries()}
         os_ = {**os_, **entry_mod.parked_oracle_sql()}
+    if parked and not only:
+        only = set(entry_mod.parked_queries())
     # A deliberately PLAIN session, like the driver's: no repo confs (no
     # nanosAsLong, no UTC timezone) — every query must set what it needs at
     # runtime via ensure_runtime_confs. Round-1's check used get_spark() and
