@@ -76,6 +76,7 @@ from tundradb_spark.pipeline.sketches import (
     hll_registers,
 )
 from tundradb_spark.pipeline.similarity import (
+    ann_recall,
     cluster_prune,
     cosine_scores,
     cosine_topk,
@@ -145,6 +146,7 @@ __all__ = [
     "embedding_dup_pairs",
     "cosine_scores",
     "cosine_topk",
+    "ann_recall",
     "lsh_signature",
     "lsh_ann_topk",
     "lsh_ann_topk_indexed",

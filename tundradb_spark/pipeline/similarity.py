@@ -849,3 +849,33 @@ def cluster_prune(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= keep_per_cell)
     )
+
+
+def ann_recall(
+    exact_topk: DataFrame,
+    approx_topk: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    method: str = "approx",
+) -> DataFrame:
+    """Recall@k of an approximate ANN result against the exact top-k —
+    the quality gauge every ANN deployment tracks next to its latency:
+    ``recall = |approx ∩ exact| / k``.
+
+    Declarative (no driver-side set math): one semi-join + a 1-row
+    aggregate, so recall over many queries/methods unions into a single
+    plan.  Returns ``(method, k, n_hits, recall)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    hits = approx_topk.join(
+        exact_topk.select(id_col), id_col, "left_semi"
+    )
+    return hits.agg(
+        F.lit(method).alias("method"),
+        F.lit(k).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_hits"),
+        F.round(F.count(F.lit(1)).cast("double") / F.lit(float(k)), 4).alias(
+            "recall"
+        ),
+    )
