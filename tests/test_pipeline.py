@@ -1545,3 +1545,31 @@ class TestRedactOverlap:
         df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
         with pytest.raises(ValueError):
             redact_patterns(df, {})
+
+
+class TestCorpusReport:
+    def test_metrics_on_known_corpus(self, spark):
+        from tundradb_spark.pipeline.recipe import corpus_report
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # exact dup
+            (3, "mail me at a@b.com please and thank you kindly"),  # pii
+            (4, "word word word word word word word word"),  # high repetition
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        m = {r["metric"]: r["value"] for r in corpus_report(df).collect()}
+        assert m["n_docs"] == 4.0
+        assert m["exact_dup_rate"] == 0.25
+        assert m["pii_rate"] == 0.25
+        assert m["high_rep_rate"] == 0.25
+        assert m["total_tokens"] == 9 + 9 + 9 + 8
+        assert 0.0 < m["mean_quality"] <= 1.0
+
+    def test_deterministic_under_repartition(self, spark):
+        from tundradb_spark.pipeline.recipe import corpus_report
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(map(tuple, corpus_report(docs).collect()))
+        b = sorted(map(tuple, corpus_report(docs.repartition(7)).collect()))
+        assert a == b

@@ -50,7 +50,7 @@ from tundradb_spark.pipeline.importance import (
     hashed_ngram_features,
     importance_resample,
 )
-from tundradb_spark.pipeline.recipe import prepare_corpus
+from tundradb_spark.pipeline.recipe import corpus_report, prepare_corpus
 from tundradb_spark.pipeline.sampling import (
     chunk_docs,
     deterministic_sample,
@@ -124,6 +124,7 @@ __all__ = [
     "bloom_build",
     "bloom_contains",
     "bloom_semi_join",
+    "corpus_report",
     "cm_build",
     "cm_estimate",
     "hll_estimate",

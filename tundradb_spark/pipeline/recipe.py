@@ -87,3 +87,104 @@ def prepare_corpus(
         text_col=text_col,
         id_col=id_col,
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-call corpus profile — the numbers a curation run reads FIRST,
+    as a single tagged frame ``(metric, value)``:
+
+    - ``n_docs``, ``total_tokens``, ``avg_tokens``
+    - ``exact_dup_rate``: fraction of docs that are exact copies of an
+      earlier doc (normalized-text hash)
+    - ``pii_rate``: fraction of docs with ≥1 default-PII match
+    - ``high_rep_rate``: fraction with bigram repetition > 0.5
+    - ``mean_quality``: mean of the blended quality score
+
+    Every metric reuses this package's proven operators; the whole report
+    is one plan with two shuffles (the dedup groupBy + the global
+    aggregate), so running it on 100 TB costs roughly one corpus scan.
+    Values are exact-integer ratios / decimal-summed means rounded to 6 —
+    engine-reproducible.
+    """
+    from tundradb_spark.pipeline.text import (
+        DEFAULT_PII_PATTERNS as _PII,
+        quality_scores,
+    )
+
+    t = tokens(F.col(text_col))
+    no_pii = None
+    for pat in _PII.values():
+        p = F.regexp_count(F.col(text_col), F.lit(pat)) == 0
+        no_pii = p if no_pii is None else (no_pii & p)
+    base = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.size(t).alias("__nt"),
+        (~no_pii).cast("long").alias("__pii"),
+        F.md5(normalized_text(F.col(text_col))).alias("__h"),
+        F.col(text_col).alias("__text"),
+        t.alias("__t"),
+    ).withColumn(
+        "__rep", (bigram_repetition_col("__t") > 0.5).cast("long")
+    )
+    qual = quality_scores(docs, text_col, id_col).select(
+        id_col, F.col("quality").alias("__q")
+    )
+    joined = base.join(qual, id_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+    flagged = joined.withColumn(
+        "__dup", (F.row_number().over(w) > 1).cast("long")
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("total_tokens"),
+        F.sum("__dup").alias("n_dups"),
+        F.sum("__pii").alias("n_pii"),
+        F.sum("__rep").alias("n_rep"),
+        F.sum(F.col("__q").cast("decimal(20,10)")).alias("q_sum"),
+    )
+    n = F.col("n_docs").cast("double")
+    rows = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("n_docs").alias("metric"),
+                    n.alias("value"),
+                ),
+                F.struct(
+                    F.lit("total_tokens").alias("metric"),
+                    F.col("total_tokens").cast("double").alias("value"),
+                ),
+                F.struct(
+                    F.lit("avg_tokens").alias("metric"),
+                    F.round(F.col("total_tokens").cast("double") / n, 6).alias(
+                        "value"
+                    ),
+                ),
+                F.struct(
+                    F.lit("exact_dup_rate").alias("metric"),
+                    F.round(F.col("n_dups").cast("double") / n, 6).alias("value"),
+                ),
+                F.struct(
+                    F.lit("pii_rate").alias("metric"),
+                    F.round(F.col("n_pii").cast("double") / n, 6).alias("value"),
+                ),
+                F.struct(
+                    F.lit("high_rep_rate").alias("metric"),
+                    F.round(F.col("n_rep").cast("double") / n, 6).alias("value"),
+                ),
+                F.struct(
+                    F.lit("mean_quality").alias("metric"),
+                    F.round(
+                        (F.col("q_sum") / F.col("n_docs")).cast("double"), 6
+                    ).alias("value"),
+                ),
+            )
+        ).alias("m")
+    ).select(F.col("m.metric").alias("metric"), F.col("m.value").alias("value"))
+    return rows
