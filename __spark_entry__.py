@@ -51,7 +51,8 @@ without losing verification surface:
      exact oracle): q_hits, q_clustering, q_hist_quantiles,
      q_decontaminate, q_dup_spans, q_tfidf, q_zorder,
      q_dedup_incremental, q_hll_distinct, q_hll_intersect, q_cm_counts,
-     q_bloom_semi, q_text_lm2, q_weighted_sample, q_vocab, q_encode.
+     q_bloom_semi, q_text_lm2, q_weighted_sample, q_vocab, q_encode,
+     q_time_rollup, q_resample, q_resample_interp, q_ann_recall.
 """
 
 from __future__ import annotations
