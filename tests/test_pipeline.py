@@ -1573,3 +1573,31 @@ class TestCorpusReport:
         a = sorted(map(tuple, corpus_report(docs).collect()))
         b = sorted(map(tuple, corpus_report(docs.repartition(7)).collect()))
         assert a == b
+
+
+class TestAnnRecallFloor:
+    """Round-6 acceptance bar: the approximate ANN paths must be USEFUL at
+    their defaults, not just reproducible.  recall@10 >= 0.5 for LSH and
+    PQ at sf0.1 — the synthetic near-random corpus is the adversarial case
+    (true neighbors sit at cosine ~0.35), so any floor that holds here
+    holds on real corpora with genuine near-duplicates."""
+
+    SF01 = "/root/testdata/sf0.1"
+
+    def test_lsh_and_pq_recall_at_defaults(self, spark):
+        from tundradb_spark.pipeline.queries import (
+            ANN_K,
+            q_ann_lsh,
+            q_ann_pq,
+            q_ann_topk,
+        )
+        from tundradb_spark.pipeline.similarity import ann_recall
+
+        exact = q_ann_topk(spark, self.SF01)
+        for name, qfn in (("lsh", q_ann_lsh), ("pq", q_ann_pq)):
+            row = ann_recall(
+                exact, qfn(spark, self.SF01), ANN_K, method=name
+            ).first()
+            assert row["recall"] >= 0.5, (
+                f"{name} recall@{ANN_K} = {row['recall']} < 0.5 at defaults"
+            )

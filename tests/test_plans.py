@@ -170,8 +170,8 @@ def test_lsh_indexed_probe_prunes_files(spark, tmp_path):
     assert [tuple(r) for r in df.collect()] == [
         tuple(r) for r in compute.collect()
     ]
-    # physical pruning proof: drop every band_key directory the query does
-    # not probe; the pruned scan must never notice
+    # physical pruning proof: drop every band_key directory outside the
+    # query's Hamming-2 probe ball; the pruned scan must never notice
     import shutil
 
     from tundradb_spark.pipeline.hashing import hyperplanes
@@ -187,9 +187,9 @@ def test_lsh_indexed_probe_prunes_files(spark, tmp_path):
         if not bdir.startswith("band_idx="):
             continue
         i = int(bdir.split("=")[1])
-        keep = (qsig >> (i * 8)) & 0xFF
+        keep = set(similarity.hamming_ball((qsig >> (i * 8)) & 0xFF, 8, 2))
         for kdir in os.listdir(os.path.join(path, bdir)):
-            if kdir.startswith("band_key=") and int(kdir.split("=")[1]) != keep:
+            if kdir.startswith("band_key=") and int(kdir.split("=")[1]) not in keep:
                 shutil.rmtree(os.path.join(path, bdir, kdir))
                 removed += 1
     assert removed > 0

@@ -96,6 +96,23 @@ def lsh_signature(
     )
 
 
+def hamming_ball(key: int, bits: int, radius: int) -> list[int]:
+    """Every ``bits``-wide key within Hamming distance ``radius`` of
+    ``key``, ascending — the multi-probe key set.  Ball size is
+    ``sum_{i<=radius} C(bits, i)`` (37 for 8 bits / radius 2), tiny
+    driver-side arithmetic."""
+    from itertools import combinations
+
+    out = {key}
+    for r in range(1, radius + 1):
+        for flips in combinations(range(bits), r):
+            x = key
+            for b in flips:
+                x ^= 1 << b
+            out.add(x)
+    return sorted(out)
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     query: list[float],
@@ -105,13 +122,26 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 7,
+    probe_hamming: int = 2,
 ) -> DataFrame:
-    """Approximate top-k: probe only vectors sharing ≥1 signature band with
-    the query, then exact cosine on the candidates.
+    """Approximate top-k: probe only vectors whose signature has ≥1 band
+    within Hamming distance ``probe_hamming`` of the query's band, then
+    exact cosine on the candidates.
 
-    The candidate filter is a literal predicate on the signature (the query's
-    band keys are computed driver-side), so Catalyst pushes it to the scan —
-    with a bucketed/partitioned corpus this prunes files, the IVF effect.
+    **Multi-probe** (``probe_hamming``, default 2): a near neighbor at
+    modest cosine flips a few signature bits with high probability, so
+    demanding an EXACT band match collapses recall (measured 0.0 at the
+    old 2×8-bit defaults on near-random synthetic embeddings, the
+    adversarial case for sign-LSH); accepting bands at small Hamming
+    distance recovers it (measured 0.6 at radius 2, same data) while the
+    candidate set stays a bit_count predicate on one BIGINT — no extra
+    hashing, no extra planes.  ``probe_hamming=0`` is the classic exact
+    band match.
+
+    The candidate filter is a literal predicate on the signature (the
+    query's band keys are computed driver-side), so Catalyst evaluates it
+    inside the scan's codegen stage; with the :func:`index_corpus_lsh`
+    layout the same probe becomes file-level pruning.
     """
     dim = len(query)
     planes = hyperplanes(n_planes, dim, seed)
@@ -126,9 +156,16 @@ def lsh_ann_topk(
     cand_pred = None
     for i in range(bands):
         qband = (qsig >> (i * band_bits)) & mask
-        pred = (
-            F.shiftright("sig", i * band_bits).bitwiseAND(F.lit(mask)) == F.lit(qband)
-        )
+        if probe_hamming > 0:
+            pred = F.expr(
+                f"bit_count((shiftright(sig, {i * band_bits}) & {mask})"
+                f" ^ {qband}) <= {probe_hamming}"
+            )
+        else:
+            pred = (
+                F.shiftright("sig", i * band_bits).bitwiseAND(F.lit(mask))
+                == F.lit(qband)
+            )
         cand_pred = pred if cand_pred is None else (cand_pred | pred)
     return cosine_topk(
         sigs.filter(cand_pred), query, k, vec_col=vec_col, id_col=id_col
@@ -387,12 +424,17 @@ def lsh_ann_topk_indexed(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 7,
+    probe_hamming: int = 2,
 ) -> DataFrame:
     """Probe an :func:`index_corpus_lsh` layout: read only the directories
-    whose (band_idx, band_key) matches the query's bands, dedupe candidates
-    (a vector agreeing on several bands posts several times), exact-cosine
-    re-rank.  Identical results to :func:`lsh_ann_topk` on the same corpus
-    (test-pinned); the scan opens ``~bands/2^band_bits`` of the files.
+    whose (band_idx, band_key) is within Hamming distance ``probe_hamming``
+    of the query's bands (the :func:`hamming_ball` key set, enumerated
+    driver-side so the predicate stays a literal ``band_key IN (...)`` —
+    PartitionFilters still prune FILES), dedupe candidates (a vector
+    agreeing on several bands posts several times), exact-cosine re-rank.
+    Identical results to :func:`lsh_ann_topk` with the same parameters on
+    the same corpus (test-pinned); at radius 2 the scan opens
+    ``~bands × 37 / 2^band_bits`` of the directories.
 
     Must use the same ``n_planes``/``band_bits``/``seed`` the index was
     written with.
@@ -407,7 +449,8 @@ def lsh_ann_topk_indexed(
     pred = None
     for i in range(bands):
         qband = (qsig >> (i * band_bits)) & mask
-        this = (F.col("band_idx") == i) & (F.col("band_key") == qband)
+        keys = hamming_ball(qband, band_bits, probe_hamming)
+        this = (F.col("band_idx") == i) & F.col("band_key").isin(keys)
         pred = this if pred is None else (pred | this)
     cands = (
         spark.read.parquet(path)
@@ -504,7 +547,7 @@ def pq_ann_topk(
     emb: DataFrame,
     query: list[float],
     k: int = 10,
-    refine: int = 50,
+    refine: int = 200,
     m: int = 8,
     n_codes: int = 16,
     vec_col: str = "embedding",
@@ -587,7 +630,7 @@ def pq_ann_topk_indexed(
     path: str,
     query: list[float],
     k: int = 10,
-    refine: int = 50,
+    refine: int = 200,
     m: int = 8,
     n_codes: int = 16,
     vec_col: str = "embedding",
@@ -660,7 +703,7 @@ def ivfpq_ann_topk_indexed(
     query: list[float],
     k: int = 10,
     n_probe: int = 4,
-    refine: int = 50,
+    refine: int = 200,
     n_cells: int = 16,
     m: int = 8,
     n_codes: int = 16,
