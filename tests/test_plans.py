@@ -108,6 +108,60 @@ def test_ivf_no_nested_loop_and_pruned_probe(spark):
     assert "TakeOrderedAndProject" in audit.simple_plan(df)
 
 
+def test_signature_index_probe_prunes_files(spark, tmp_path):
+    # r6: the persisted MinHash signature table is band-partitioned so the
+    # incremental-dedup probe prunes index FILES — the same layout story as
+    # the ANN indexes (the r5 verdict's worst scale ratio came from this
+    # probe scanning the whole signature table)
+    from tundradb_spark.pipeline import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    new = docs.filter("doc_id % 7 = 0")
+    corpus = docs.filter("doc_id % 7 != 0")
+    path = str(tmp_path / "sig_index")
+    dedup.write_signature_index(corpus, path)
+    df = dedup.incremental_dup_pairs_indexed(spark, new, path)
+    audit.assert_partition_pruned(df, "band_bucket")
+    audit.assert_no_nested_loop(df)
+    # identical pairs to the non-indexed probe over the same corpus
+    compute = dedup.incremental_dup_pairs(new, corpus)
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, compute.collect())
+    )
+    # physical proof: drop every (band_idx, band_bucket) directory the
+    # batch does not hash into — the pruned probe must never notice
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    probed = {
+        (int(r["band_idx"]), int(r["band_bucket"]))
+        for r in dedup._banded(
+            dedup.minhash_signature(new), "doc_id", 4, 3
+        )
+        .withColumn("band_bucket", dedup._band_bucket(64))
+        .select("band_idx", "band_bucket")
+        .distinct()
+        .collect()
+    }
+    removed = 0
+    for bdir in os.listdir(path):
+        if not bdir.startswith("band_idx="):
+            continue
+        i = int(bdir.split("=")[1])
+        for kdir in os.listdir(os.path.join(path, bdir)):
+            if not kdir.startswith("band_bucket="):
+                continue
+            if (i, int(kdir.split("=")[1])) not in probed:
+                shutil.rmtree(os.path.join(path, bdir, kdir))
+                removed += 1
+    assert removed > 0  # the layout actually had prunable buckets
+    again = dedup.incremental_dup_pairs_indexed(spark, new, path)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, compute.collect())
+    )
+
+
 def test_ivf_indexed_probe_prunes_files(spark, tmp_path):
     # the 100 TB storage story: corpus persisted partitionBy('cell'), probe
     # scan must carry a pruning PartitionFilter (cell IN ...) — files of

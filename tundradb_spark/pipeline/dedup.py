@@ -832,3 +832,114 @@ def incremental_dup_pairs(
         )
         .distinct()
     )
+
+
+def _band_bucket(n_buckets: int) -> Column:
+    """Stable layout bucket of a band key: ``pmod(xxhash64(key), n)``.
+    Layout-only — never part of the match semantics."""
+    return F.pmod(F.xxhash64("band_key"), F.lit(n_buckets)).cast("int")
+
+
+def write_signature_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 5,
+    seed: int = 42,
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> str:
+    """Persist the corpus' banded MinHash signatures as a PRUNABLE
+    inverted file: one row per (doc, band), ``partitionBy(band_idx,
+    band_bucket)`` where ``band_bucket = pmod(xxhash64(band_key),
+    n_buckets)``.
+
+    This is the ingest-dedup twin of :func:`~tundradb_spark.pipeline.
+    similarity.index_corpus_lsh`: signature work runs once at write time,
+    and a batch probe's literal ``(band_idx, band_bucket)`` predicate
+    prunes FILES (PartitionFilters), so probe IO is bounded by the
+    batch's own band keys, not the corpus size.  ``mode='append'`` is the
+    steady-state maintenance op — each ingested batch appends its own
+    signatures into the same directory tree.
+
+    ``n_buckets`` bounds the directory fan-out (``bands × n_buckets``
+    dirs) AND the probe's worst case: a batch touches at most
+    ``bands × n_buckets`` partitions no matter how large it is.
+    """
+    r = num_hashes // bands
+    sigs = minhash_signature(docs, text_col, id_col, num_hashes, shingle_k, seed)
+    banded = _banded(sigs, id_col, bands, r).withColumn(
+        "band_bucket", _band_bucket(n_buckets)
+    )
+    banded.repartition("band_idx", "band_bucket").write.mode(mode).partitionBy(
+        "band_idx", "band_bucket"
+    ).parquet(path)
+    return path
+
+
+def incremental_dup_pairs_indexed(
+    spark,
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_k: int = 5,
+    seed: int = 42,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Probe a :func:`write_signature_index` layout with an arriving
+    batch: identical pairs to :func:`incremental_dup_pairs` against the
+    same corpus (test-pinned), but the corpus side reads ONLY the
+    partitions whose ``(band_idx, band_bucket)`` some batch row hashes
+    into — file-level pruning instead of a full signature-table scan.
+
+    The probed bucket list is collected driver-side from the batch's own
+    band keys; it is bounded by ``min(bands × |batch|, bands ×
+    n_buckets)`` rows (≤256 at the defaults) regardless of corpus or
+    batch size.  Must use the same signature parameters the index was
+    written with.
+    """
+    r = num_hashes // bands
+    new_sigs = minhash_signature(
+        new_docs, text_col, id_col, num_hashes, shingle_k, seed
+    )
+    nb = (
+        _banded(new_sigs, id_col, bands, r)
+        .withColumn("band_bucket", _band_bucket(n_buckets))
+        .localCheckpoint(eager=True)  # signatures computed once, reused
+    )
+    probe = (
+        nb.select("band_idx", "band_bucket").distinct().collect()
+    )  # bounded: <= bands * n_buckets rows by construction
+    by_band: dict[int, list[int]] = {}
+    for row in probe:
+        by_band.setdefault(int(row["band_idx"]), []).append(
+            int(row["band_bucket"])
+        )
+    pred = None
+    for i, buckets in sorted(by_band.items()):
+        this = (F.col("band_idx") == i) & F.col("band_bucket").isin(
+            sorted(buckets)
+        )
+        pred = this if pred is None else (pred | this)
+    corpus_banded = spark.read.parquet(index_path)
+    if pred is not None:
+        corpus_banded = corpus_banded.filter(pred)
+    return (
+        nb.alias("n")
+        .join(
+            corpus_banded.alias("c"),
+            (F.col("n.band_idx") == F.col("c.band_idx"))
+            & (F.col("n.band_key") == F.col("c.band_key")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )

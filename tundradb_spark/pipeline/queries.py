@@ -925,14 +925,44 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 INC_NEW_MOD = 7
 
 
+_SIG_INDEX_CACHE: (
+    "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]"
+) = weakref.WeakKeyDictionary()
+
+
+def _sig_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The corpus slice's persisted banded-signature index (written once
+    per session/sf — the write-side half a deployment maintains at
+    ingest)."""
+    cached = _SIG_INDEX_CACHE.setdefault(spark, {})
+    if sf_dir not in cached:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="tundra_sig_index_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        corpus = _docs(spark, sf_dir).filter(
+            F.col("doc_id") % INC_NEW_MOD != 0
+        )
+        dedup.write_signature_index(corpus, path)
+        cached[sf_dir] = path
+    return cached[sf_dir]
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ingest-time incremental dedup (dedup.incremental_dup_pairs): the
-    ``doc_id % 7 == 0`` slice plays the arriving batch, the rest the
-    existing corpus; every (new, corpus) candidate pair value-checked."""
+    """Ingest-time incremental dedup against a PERSISTED banded-signature
+    index (dedup.write_signature_index + incremental_dup_pairs_indexed):
+    the ``doc_id % 7 == 0`` slice plays the arriving batch, the rest the
+    corpus whose signatures live partitioned by (band_idx, band_bucket) —
+    the probe prunes index FILES (plan-pinned in tests/test_plans.py).
+    Every (new, corpus) candidate pair value-checked; result identical to
+    the non-indexed incremental_dup_pairs (equivalence test-pinned)."""
     docs = _docs(spark, sf_dir)
     new = docs.filter(F.col("doc_id") % INC_NEW_MOD == 0)
-    corpus = docs.filter(F.col("doc_id") % INC_NEW_MOD != 0)
-    return dedup.incremental_dup_pairs(new, corpus)
+    return dedup.incremental_dup_pairs_indexed(
+        spark, new, _sig_index_dir(spark, sf_dir)
+    )
 
 
 ZORDER_BITS = 8
