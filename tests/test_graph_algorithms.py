@@ -368,3 +368,85 @@ class TestPprIsolatedSeed:
         assert 99 in ranks and ranks[99] > 0  # the seed exists and holds mass
         # ranks sum to |V| = 4 every round
         assert sum(ranks.values()) == pytest.approx(4.0, abs=1e-9)
+
+
+class TestConvergenceEarlyExit:
+    """Round-6: tol/stability-based early exit for the iterative ops —
+    iters becomes a cap, not a fixed cost; tol=None keeps the
+    oracle-pinned exact-iteration mode."""
+
+    def test_pagerank_tol_matches_long_run(self, spark):
+        from tundradb_spark.graphs.algorithms import pagerank
+
+        e = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0), (0, 2), (3, 0)],
+            "source_id long, target_id long",
+        )
+        full = {r["vertex"]: r["rank"] for r in pagerank(e, iters=60).collect()}
+        early = {
+            r["vertex"]: r["rank"]
+            for r in pagerank(e, iters=60, tol=1e-9).collect()
+        }
+        for v in full:
+            assert early[v] == pytest.approx(full[v], abs=1e-6)
+
+    def test_pagerank_tol_none_is_exact_iteration_mode(self, spark):
+        from tundradb_spark.graphs.algorithms import pagerank
+
+        e = spark.createDataFrame(
+            [(0, 1), (1, 0)], "source_id long, target_id long"
+        )
+        a = sorted(map(tuple, pagerank(e, iters=3).collect()))
+        b = sorted(map(tuple, pagerank(e, iters=3, tol=None).collect()))
+        assert a == b
+
+    def test_ppr_tol_matches_long_run(self, spark):
+        from tundradb_spark.graphs.algorithms import personalized_pagerank
+
+        e = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0)], "source_id long, target_id long"
+        )
+        s = spark.createDataFrame([(0,)], "vertex long")
+        full = {
+            r["vertex"]: r["rank"]
+            for r in personalized_pagerank(e, s, iters=60).collect()
+        }
+        early = {
+            r["vertex"]: r["rank"]
+            for r in personalized_pagerank(e, s, iters=60, tol=1e-9).collect()
+        }
+        for v in full:
+            assert early[v] == pytest.approx(full[v], abs=1e-6)
+
+    def test_lpa_stops_when_stable(self, spark):
+        from tundradb_spark.graphs.algorithms import label_propagation
+
+        # K4 stabilizes by round 2; a 50-round cap with stop_when_stable
+        # must return the same labels as the plain 3-round run
+        edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        stable = sorted(map(tuple, label_propagation(
+            df, iters=50, stop_when_stable=True).collect()))
+        fixed = sorted(map(tuple, label_propagation(df, iters=3).collect()))
+        assert stable == fixed
+
+
+class TestKCoreFixpoint:
+    def test_long_path_peels_to_empty(self, spark):
+        from tundradb_spark.graphs.algorithms import k_core
+
+        # r5 advice repro: a 12-vertex path has NO 2-core; peeling needs
+        # ~6 rounds (one layer per round) — must converge, not cap out
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+        )
+        assert k_core(df, 2).count() == 0
+
+    def test_finite_cap_raises_instead_of_lying(self, spark):
+        from tundradb_spark.graphs.algorithms import k_core
+
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+        )
+        with pytest.raises(RuntimeError, match="fixpoint"):
+            k_core(df, 2, max_iters=2)

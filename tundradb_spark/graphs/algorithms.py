@@ -99,12 +99,26 @@ def degrees(pairs: DataFrame, src: str = "id_a", dst: str = "id_b") -> DataFrame
     )
 
 
+def _l1_delta(cur: DataFrame, prev: DataFrame, val: str) -> float:
+    """Σ|cur − prev| over the shared vertex set — one join + a 1-row
+    aggregate (bounded collect)."""
+    row = (
+        cur.join(
+            prev.withColumnRenamed(val, "__prev"), "vertex", "inner"
+        )
+        .agg(F.sum(F.abs(F.col(val) - F.col("__prev"))).alias("d"))
+        .first()
+    )
+    return float(row["d"] or 0.0)
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "source_id",
     dst: str = "target_id",
     damping: float = 0.85,
     iters: int = 10,
+    tol: float | None = None,
 ) -> DataFrame:
     """Standard power-iteration PageRank over a directed edge DataFrame.
 
@@ -112,6 +126,12 @@ def pagerank(
     destination (contributions), checkpointed. Dangling-node mass is
     redistributed uniformly so ranks sum to |V| every round (the convention
     GraphX uses with ``resetProb = 1 - damping``).
+
+    ``tol``: convergence-based early exit — stop as soon as the L1 rank
+    delta of a round falls below ``tol`` (``iters`` becomes the CAP, not
+    the fixed cost; the check is one extra join + 1-row aggregate per
+    round, only when requested).  ``tol=None`` (default) runs exactly
+    ``iters`` rounds — the mode the unrolled SQL oracles pin.
 
     Returns ``(vertex, rank)``.
     """
@@ -144,6 +164,7 @@ def pagerank(
                 "dangling"
             )
         )
+        prev = ranks
         ranks = (
             verts.join(contribs, "vertex", "left")
             .crossJoin(dang)
@@ -160,6 +181,8 @@ def pagerank(
             )
             .localCheckpoint()
         )
+        if tol is not None and _l1_delta(ranks, prev, "rank") < tol:
+            break
     return ranks
 
 
@@ -298,7 +321,7 @@ def k_core(
     k: int,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iters: int = 50,
+    max_iters: int | None = None,
 ) -> DataFrame:
     """k-core decomposition subgraph: the maximal vertex set in which
     every vertex has ≥ ``k`` neighbors WITHIN the set — the standard
@@ -306,12 +329,16 @@ def k_core(
     collaboration cores).
 
     Iterative peeling as a frontier program: each round recomputes degrees
-    over the surviving edge set and drops vertices below ``k``; terminates
-    at the fixpoint (≤ ``max_iters`` rounds; each round strictly shrinks
-    the vertex set, so it always terminates on its own).  Per round: one
-    groupBy + one semi-join pair, ``localCheckpoint``-ed so round i never
-    replays rounds 1..i-1 — the same scale discipline as
-    :func:`connected_components`.
+    over the surviving edge set and drops vertices below ``k``; runs to
+    the FIXPOINT (each non-converged round strictly shrinks the edge set,
+    so termination is guaranteed in ≤ peel-depth rounds — long chains
+    peel one layer per round).  ``max_iters`` is an optional safety
+    valve: if given and exhausted before the fixpoint, this RAISES
+    instead of returning a set that violates the core invariant (r5
+    advice: a silent cap could hand back vertices with in-set degree
+    < k).  Per round: one groupBy + one semi-join pair,
+    ``localCheckpoint``-ed so round i never replays rounds 1..i-1 — the
+    same scale discipline as :func:`connected_components`.
 
     Returns ``(vertex, core_degree)`` — the surviving vertices and their
     degree inside the core (≥ k by construction; empty if no k-core).
@@ -325,7 +352,8 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iters):
+    rounds = 0
+    while True:
         deg = (
             edges.select(F.col("a").alias("u"))
             .unionByName(edges.select(F.col("b").alias("u")))
@@ -339,10 +367,17 @@ def k_core(
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
-        if pruned.count() == edges.count():
-            edges = pruned
-            break
+        converged = pruned.count() == edges.count()
         edges = pruned
+        rounds += 1
+        if converged:
+            break
+        if max_iters is not None and rounds >= max_iters:
+            raise RuntimeError(
+                f"k_core did not reach its fixpoint within max_iters="
+                f"{max_iters} rounds; pass max_iters=None to peel to "
+                f"convergence"
+            )
     return (
         edges.select(F.col("a").alias("vertex"))
         .unionByName(edges.select(F.col("b").alias("vertex")))
@@ -416,6 +451,7 @@ def personalized_pagerank(
     vertex_col: str = "vertex",
     damping: float = 0.85,
     iters: int = 10,
+    tol: float | None = None,
 ) -> DataFrame:
     """Personalized PageRank: random walks RESTART at the source set
     instead of a uniform jump — the graph-proximity relevance measure
@@ -437,6 +473,10 @@ def personalized_pagerank(
     round).  Deriving the universe from edges alone would silently drop
     absent seeds while still dividing by the full |S| — leaking their
     reset mass and deflating every rank, breaking both invariants above.
+
+    ``tol``: same convergence-based early exit as :func:`pagerank` —
+    stop when a round's L1 rank delta < ``tol``; ``None`` (default) runs
+    exactly ``iters`` rounds (the oracle-pinned mode).
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
     s = sources.select(F.col(vertex_col).alias("vertex")).distinct()
@@ -481,6 +521,7 @@ def personalized_pagerank(
                 "dangling"
             )
         )
+        prev = ranks
         ranks = (
             pv.join(contribs, "vertex", "left")
             .crossJoin(dang)
@@ -497,6 +538,8 @@ def personalized_pagerank(
             )
             .localCheckpoint()
         )
+        if tol is not None and _l1_delta(ranks, prev, "rank") < tol:
+            break
     return ranks
 
 
@@ -505,6 +548,7 @@ def label_propagation(
     src: str = "id_a",
     dst: str = "id_b",
     iters: int = 3,
+    stop_when_stable: bool = False,
 ) -> DataFrame:
     """SYNCHRONIZED label-propagation communities (Raghavan et al. 2007,
     made deterministic): every vertex starts as its own label; each round
@@ -521,6 +565,11 @@ def label_propagation(
     ``groupBy(vertex, label)`` count, one per-vertex window argmax —
     all hash-partitioned on the vertex key; frames checkpointed so round
     k never replays earlier rounds.  Returns ``(vertex, label)``.
+
+    ``stop_when_stable``: early exit when a round changes NO label
+    (``iters`` becomes the cap; the check is one anti-join ``limit(1)``
+    count per round).  Off by default — the oracle-pinned mode runs
+    exactly ``iters`` rounds.
     """
     from pyspark.sql import Window
 
@@ -538,12 +587,24 @@ def label_propagation(
         w = Window.partitionBy("vertex").orderBy(
             F.desc("cnt"), F.asc("label")
         )
+        prev = labels
         labels = (
             counts.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select("vertex", "label")
             .localCheckpoint()
         )
+        if stop_when_stable:
+            changed = (
+                labels.join(
+                    prev.withColumnRenamed("label", "__old"), "vertex", "inner"
+                )
+                .filter(F.col("label") != F.col("__old"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                break
     return labels
 
 
