@@ -1601,3 +1601,15 @@ class TestAnnRecallFloor:
             assert row["recall"] >= 0.5, (
                 f"{name} recall@{ANN_K} = {row['recall']} < 0.5 at defaults"
             )
+
+
+def test_build_vocab_custom_id_col(spark):
+    # r6 advice: df counting must honor id_col, not hardcode doc_id
+    from tundradb_spark.pipeline.text import build_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a c")], ["my_id", "text"]
+    )
+    out = {r["token"]: r["df"] for r in
+           build_vocab(docs, id_col="my_id").collect()}
+    assert out == {"a": 2, "b": 1, "c": 1}

@@ -574,3 +574,13 @@ class TestResampleInterp:
         out = {r["bucket_start_us"]: r["n_events"]
                for r in time_bucket_rollup(df, 1000, ["event_type"], "value").collect()}
         assert out == {-1000: 1, 0: 1}
+
+
+def test_histogram_quantiles_empty_input_raises(spark):
+    # r6 advice: bounds=None on an empty/all-null input must be a clear
+    # error, not a TypeError from float(None)
+    from tundradb_spark.operators.relational import histogram_quantiles
+
+    empty = spark.createDataFrame([], "g string, v double")
+    with pytest.raises(ValueError, match="non-null"):
+        histogram_quantiles(empty, ["g"], "v", [0.5])

@@ -845,3 +845,18 @@ class TestWeightedSampleKGuard:
         assert read_weighted_sample(spark, res, 10).count() == 10
         with pytest.raises(ValueError):
             read_weighted_sample(spark, res, 11)
+
+    def test_read_before_first_batch_returns_empty(self, spark, tmp_path):
+        # r6 advice: a started-but-empty sample table (no non-empty batch
+        # yet) must read as an empty frame, not TypeError on writer_k=None
+        from tundradb_spark.streaming import read_weighted_sample
+
+        res = str(tmp_path / "emptyres")
+        spark.createDataFrame(
+            [],
+            "doc_id long, wt double, raw_priority double,"
+            " writer_k int, epoch long",
+        ).coalesce(1).write.parquet(res)
+        out = read_weighted_sample(spark, res, 5)
+        assert out.count() == 0
+        assert "raw_priority" not in out.columns

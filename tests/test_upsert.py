@@ -120,3 +120,16 @@ class TestKeyedUpsert:
         write_keyed(df, path, "price", n_buckets=8)
         row = read_keyed(spark, path, "price", 1, n_buckets=8).first()
         assert row is not None and row["v"] == "one"
+
+
+def test_upsert_rejects_duplicate_keys_in_batch(spark, tmp_path):
+    # r6 advice: a batch carrying the same key twice would silently break
+    # the one-row-per-key invariant — must raise instead
+    from tundradb_spark.sources.upsert import upsert_keyed, write_keyed
+
+    path = str(tmp_path / "keyed")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    write_keyed(base, path, "k")
+    dupes = spark.createDataFrame([(1, "x"), (1, "y")], "k long, v string")
+    with pytest.raises(ValueError, match="duplicate"):
+        upsert_keyed(spark, path, dupes, "k")

@@ -422,6 +422,12 @@ def histogram_quantiles(
     v = F.col(value_col).cast("double")
     if bounds is None:
         mm = df.agg(F.min(v).alias("mn"), F.max(v).alias("mx")).first()
+        if mm["mn"] is None:
+            raise ValueError(
+                "histogram_quantiles: input has no non-null "
+                f"'{value_col}' values to derive bounds from; pass "
+                "bounds=(lo, hi) explicitly or supply data"
+            )
         mn, mx = float(mm["mn"]), float(mm["mx"])
     else:
         mn, mx = float(bounds[0]), float(bounds[1])

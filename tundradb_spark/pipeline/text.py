@@ -827,6 +827,7 @@ def build_vocab(
     text_col: str = "text",
     min_df: int = 1,
     max_vocab: int | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Corpus vocabulary with deterministic integer ids — the
     tokenizer-export step of a training pipeline: tokens ranked by
@@ -836,7 +837,7 @@ def build_vocab(
 
     ``min_df`` drops tokens appearing in fewer than that many DOCUMENTS
     (document frequency, not term frequency — the standard rare-token
-    cut); ``max_vocab`` keeps the top-V after ranking.  One explode +
+    cut; counted over ``id_col``, matching encode_tokens' signature); ``max_vocab`` keeps the top-V after ranking.  One explode +
     map-side-combined groupBy(token) is the only data-sized shuffle; the
     ranking window runs over vocab-sized rows.
 
@@ -847,11 +848,11 @@ def build_vocab(
     if min_df < 1:
         raise ValueError(f"min_df must be >= 1, got {min_df}")
     toks = docs.select(
-        F.col("doc_id"), F.explode(tokens(F.col(text_col))).alias("token")
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
     )
     counts = toks.groupBy("token").agg(
         F.count(F.lit(1)).alias("count"),
-        F.count_distinct("doc_id").alias("df"),
+        F.count_distinct(id_col).alias("df"),
     )
     kept = counts.filter(F.col("df") >= min_df)
     w = Window.orderBy(F.desc("count"), F.asc("token"))

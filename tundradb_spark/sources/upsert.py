@@ -79,6 +79,13 @@ def upsert_keyed(
     """
     if BUCKET_COL in updates.columns:
         raise ValueError(f"updates may not carry a '{BUCKET_COL}' column")
+    dup = updates.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
+    if dup:
+        raise ValueError(
+            f"updates batch contains duplicate '{key}' values — the keyed "
+            "table holds one row per key; dedupe the batch (pick a "
+            "last-wins ordering) before upserting"
+        )
     staged = updates.withColumn(BUCKET_COL, _bucket(key, n_buckets))
     touched = [r[BUCKET_COL] for r in staged.select(BUCKET_COL).distinct().collect()]
     if not touched:

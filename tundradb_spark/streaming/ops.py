@@ -996,6 +996,10 @@ def read_weighted_sample(
     past the writer's k — raise instead."""
     cands = spark.read.parquet(path).drop("epoch")
     writer_k = cands.agg(F.min("writer_k")).first()[0]
+    if writer_k is None:
+        # stream started but no non-empty batch committed yet — the table
+        # is a valid empty sample, not an error
+        return cands.drop("raw_priority", "writer_k").limit(0)
     if k > writer_k:
         raise ValueError(
             f"read_weighted_sample: k={k} exceeds the stream's writer k="
