@@ -34,25 +34,29 @@ without losing verification surface:
   order-insensitive value hash covers each branch's full row set, so
   every merged operator stays exactly as verified as when it held its
   own slot.
-* **Parked rows** (``PARKED_QUERIES`` / ``PARKED_ORACLES``) — two
-  classes, both still oracle-bearing and re-checked against DuckDB every
-  CI run by tests/test_parked_oracles.py (parking costs a driver row,
-  never verification):
+* **Parked rows** (``PARKED_QUERIES`` / ``PARKED_ORACLES``) — still
+  oracle-bearing and re-checked against DuckDB every CI run by
+  tests/test_parked_oracles.py (parking costs a driver row, never
+  verification).
 
-  1. true redundancies whose value surface is covered elsewhere:
-     q_bucketed_match (result-identical to q_inner_join; zero-shuffle
-     plan proof in tests/test_bucketed.py), q_stream_join
-     (result-identical to q_range_join), q_temporal_before (complement
-     read of q_temporal_asof), q_dedup_ngram (subsumed by
-     q_dedup_ngram_capped), q_ql_match (same parser/engine path as
-     q_ql_analytics), and the single-operator halves of the merged rows
-     above — all driver-green in rounds 3-4 (CORRECTNESS_r0{3,4}.json);
-  2. operators added after the 50-slot window filled (each with its own
-     exact oracle): q_hits, q_clustering, q_hist_quantiles,
-     q_decontaminate, q_dup_spans, q_tfidf, q_zorder,
-     q_dedup_incremental, q_hll_distinct, q_hll_intersect, q_cm_counts,
-     q_bloom_semi, q_text_lm2, q_weighted_sample, q_vocab, q_encode,
-     q_time_rollup, q_resample, q_resample_interp, q_ann_recall.
+**Round-6 rotation** (r5 verdict item 1): the 20 operators added in r5
+with exact oracles but no driver row ever (sketches, bigram LM,
+vocab/encode, weighted sample, time-series rollup/resample ×2, histogram
+quantiles, clustering coefficients, HITS, decontaminate, dup spans,
+TF-IDF, z-order, incremental dedup, ANN recall gauge) are SEATED this
+round — see the ``_SEAT_R6`` / ``_PARK_R6`` blocks here and in
+pipeline/queries.py.  Parked in exchange, all driver-green r3-r5 and
+frozen since: q_edge_props, q_branching, q_topk, q_map_access,
+q_edge_count, q_semi_anti, q_window_topk, q_set_ops, q_asof_join,
+q_range_join, q_temporal_asof, q_shared_alias, q_sessionize, q_show,
+q_ql_analytics, q_quantiles, q_dedup_simhash, q_dedup_ngram_capped,
+q_ann_topk, q_ann_ivf (the last two additionally stay driver-verified
+THROUGH the seated q_ann_recall, which unions both into its gauge).
+Previously-parked redundancies stay parked: q_bucketed_match
+(result-identical to q_inner_join), q_stream_join (≡ q_range_join),
+q_temporal_before (complement of q_temporal_asof), q_dedup_ngram
+(subsumed by q_dedup_ngram_capped), q_ql_match (same parser path as
+q_ql_analytics), and the single-operator halves of the merged rows.
 """
 
 from __future__ import annotations
@@ -2670,6 +2674,58 @@ PARKED_ORACLES: dict[str, str] = {
     **PARKED_PIPELINE_ORACLES,
 }
 
+
+# ---------------------------------------------------------------------------
+# Round-6 rotation, engine side (r5 verdict item 1): seat the sketch /
+# time-series / graph-coefficient operators that never held a driver row;
+# park MATCH/relational rows driver-green since r1-r3 and frozen since.
+# Every parked row keeps its exact oracle and stays CI-checked by
+# tests/test_parked_oracles.py.  The pipeline side of the same rotation
+# lives at the bottom of tundradb_spark/pipeline/queries.py.
+# ---------------------------------------------------------------------------
+
+_SEAT_R6_ENGINE = [
+    "q_hits",
+    "q_clustering",
+    "q_hist_quantiles",
+    "q_time_rollup",
+    "q_resample",
+    "q_resample_interp",
+]
+
+_PARK_R6_ENGINE = [
+    "q_edge_props",
+    "q_branching",
+    "q_topk",
+    "q_map_access",
+    "q_edge_count",
+    "q_semi_anti",
+    "q_window_topk",
+    "q_set_ops",
+    "q_asof_join",
+    "q_range_join",
+    "q_temporal_asof",
+    "q_shared_alias",
+    "q_sessionize",
+    "q_show",
+    "q_ql_analytics",
+    "q_quantiles",
+]
+
+for _n in _SEAT_R6_ENGINE:
+    QUERIES[_n] = PARKED_QUERIES.pop(_n)
+    ORACLES[_n] = PARKED_ORACLES.pop(_n)
+for _n in _PARK_R6_ENGINE:
+    PARKED_QUERIES[_n] = QUERIES.pop(_n)
+    PARKED_ORACLES[_n] = ORACLES.pop(_n)
+
+assert len(QUERIES) == 50 and set(QUERIES) == set(ORACLES), (
+    len(QUERIES),
+    set(QUERIES) ^ set(ORACLES),
+)
+assert set(PARKED_QUERIES) == set(PARKED_ORACLES), (
+    set(PARKED_QUERIES) ^ set(PARKED_ORACLES)
+)
 
 # ---------------------------------------------------------------------------
 # driver contract

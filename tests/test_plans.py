@@ -13,6 +13,13 @@ from tundradb_spark.plans import audit
 
 SF = "/root/testdata/sf0.001"
 
+def _q(name):
+    """Look up a query across the seated AND parked registries — plan
+    shapes are pinned regardless of which side of the driver's 50-slot
+    rotation a query currently sits on."""
+    return {**entry.queries(), **entry.parked_queries()}[name]
+
+
 
 @pytest.fixture(scope="module")
 def qdfs(spark):
@@ -92,7 +99,7 @@ def test_sessionize_single_shuffle_partial_merge(spark):
     # native session_window agg: ONE shuffle (the user/session exchange)
     # with map-side partial merge before it — the plan that scales to an
     # unbounded event stream
-    df = entry.queries()["q_sessionize"](spark, SF)
+    df = _q("q_sessionize")(spark, SF)
     assert audit.count_exchanges(df) <= 1, audit.formatted_plan(df)
     assert "partial" in audit.formatted_plan(df).lower()
 
@@ -102,7 +109,7 @@ def test_ivf_no_nested_loop_and_pruned_probe(spark):
     # with cell-partitioned storage); no nested-loop anywhere, and the
     # assignment must not force a shuffle — TakeOrderedAndProject handles
     # the top-k without a global sort
-    df = entry.queries()["q_ann_ivf"](spark, SF)
+    df = _q("q_ann_ivf")(spark, SF)
     audit.assert_no_nested_loop(df)
     assert audit.count_exchanges(df) == 0, audit.formatted_plan(df)
     assert "TakeOrderedAndProject" in audit.simple_plan(df)
@@ -258,14 +265,14 @@ def test_lsh_indexed_probe_prunes_files(spark, tmp_path):
 def test_q_ann_ivf_index_flag_equivalent(spark, monkeypatch):
     # TUNDRA_ANN_USE_INDEX=1 switches q_ann_ivf/q_ann_pq to their indexed
     # paths with byte-identical results — contract rows green either way
-    base_ivf = [tuple(r) for r in entry.queries()["q_ann_ivf"](spark, SF).collect()]
-    base_pq = [tuple(r) for r in entry.queries()["q_ann_pq"](spark, SF).collect()]
+    base_ivf = [tuple(r) for r in _q("q_ann_ivf")(spark, SF).collect()]
+    base_pq = [tuple(r) for r in _q("q_ann_pq")(spark, SF).collect()]
     monkeypatch.setenv("TUNDRA_ANN_USE_INDEX", "1")
-    indexed_df = entry.queries()["q_ann_ivf"](spark, SF)
+    indexed_df = _q("q_ann_ivf")(spark, SF)
     audit.assert_partition_pruned(indexed_df, "cell")
     assert [tuple(r) for r in indexed_df.collect()] == base_ivf
     assert [
-        tuple(r) for r in entry.queries()["q_ann_pq"](spark, SF).collect()
+        tuple(r) for r in _q("q_ann_pq")(spark, SF).collect()
     ] == base_pq
 
 
@@ -273,10 +280,10 @@ def test_text_ops_narrow_and_pushed(spark):
     # repetition + PII scans must stay single-projection narrow plans:
     # repetition's only exchange is the top-k (TakeOrderedAndProject — none),
     # PII's single exchange is the segment aggregate
-    rep = entry.parked_queries()["q_text_repetition"](spark, SF)
+    rep = _q("q_text_repetition")(spark, SF)
     assert "TakeOrderedAndProject" in audit.simple_plan(rep)
     assert audit.count_exchanges(rep) == 0, audit.formatted_plan(rep)
-    pii = entry.queries()["q_pii_scan"](spark, SF)
+    pii = _q("q_pii_scan")(spark, SF)
     # one aggregate exchange per tagged branch: segment counts, documents
     # summary, and (r5) the redaction digest rollup
     assert audit.count_exchanges(pii) <= 3, audit.formatted_plan(pii)
@@ -285,13 +292,13 @@ def test_text_ops_narrow_and_pushed(spark):
 
 def test_quantiles_single_shuffle_partial(spark):
     # exact percentile: one exchange on the group key, partial map-side
-    df = entry.queries()["q_quantiles"](spark, SF)
+    df = _q("q_quantiles")(spark, SF)
     assert audit.count_exchanges(df) <= 1, audit.formatted_plan(df)
     assert "partial" in audit.formatted_plan(df).lower()
 
 
 def test_ann_topk_no_global_sort(spark):
-    df = entry.queries()["q_ann_topk"](spark, SF)
+    df = _q("q_ann_topk")(spark, SF)
     assert "TakeOrderedAndProject" in audit.simple_plan(df)
     assert audit.count_exchanges(df) == 0, audit.formatted_plan(df)
 
@@ -342,7 +349,7 @@ def test_pq_two_stage_no_shuffle_no_sort(spark):
     # PQ = ADC coarse top-refine + exact re-rank: BOTH stages must be
     # TakeOrderedAndProject (local top-k per partition, driver merge),
     # zero shuffle exchanges end-to-end
-    df = entry.queries()["q_ann_pq"](spark, SF)
+    df = _q("q_ann_pq")(spark, SF)
     assert audit.simple_plan(df).count("TakeOrderedAndProject") >= 2
     assert audit.count_exchanges(df) == 0, audit.formatted_plan(df)
     audit.assert_no_nested_loop(df)

@@ -2629,3 +2629,48 @@ PARKED_PIPELINE_ORACLES: dict[str, str] = {
     "q_multimodal_frames": Q_MM_FRAMES_SQL,
     "q_multimodal_decode": Q_MM_DECODE_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Round-6 rotation (r5 verdict item 1): the driver verifies only the first
+# 50 queries() entries, and 20 operators added in r5 had exact oracles and
+# CI-green parked checks but had NEVER held a driver CORRECTNESS row.  Seat
+# them; park long-frozen rows in exchange.  Parking costs a driver slot,
+# never verification — tests/test_parked_oracles.py re-checks every parked
+# oracle on each CI run, exactly as it did for the rows now being seated.
+# ---------------------------------------------------------------------------
+
+#: parked -> driver window: first-ever driver rows for the r5 additions
+_SEAT_R6 = [
+    "q_hll_distinct",
+    "q_hll_intersect",
+    "q_cm_counts",
+    "q_bloom_semi",
+    "q_text_lm2",
+    "q_weighted_sample",
+    "q_vocab",
+    "q_encode",
+    "q_decontaminate",
+    "q_dup_spans",
+    "q_tfidf",
+    "q_zorder",
+    "q_dedup_incremental",
+    "q_ann_recall",
+]
+
+#: driver window -> parked: driver-green in r3-r5 and frozen since.
+#: q_ann_topk and q_ann_ivf additionally stay driver-verified THROUGH the
+#: seated q_ann_recall, which unions both into its gauge plan.
+_PARK_R6 = [
+    "q_dedup_simhash",
+    "q_dedup_ngram_capped",
+    "q_ann_topk",
+    "q_ann_ivf",
+]
+
+for _n in _SEAT_R6:
+    PIPELINE_QUERIES[_n] = PARKED_PIPELINE_QUERIES.pop(_n)
+    PIPELINE_ORACLES[_n] = PARKED_PIPELINE_ORACLES.pop(_n)
+for _n in _PARK_R6:
+    PARKED_PIPELINE_QUERIES[_n] = PIPELINE_QUERIES.pop(_n)
+    PARKED_PIPELINE_ORACLES[_n] = PIPELINE_ORACLES.pop(_n)
