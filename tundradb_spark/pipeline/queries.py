@@ -2674,3 +2674,75 @@ for _n in _SEAT_R6:
 for _n in _PARK_R6:
     PARKED_PIPELINE_QUERIES[_n] = PIPELINE_QUERIES.pop(_n)
     PARKED_PIPELINE_ORACLES[_n] = PIPELINE_ORACLES.pop(_n)
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call corpus profile (recipe.corpus_report): (metric, value)
+    rows — doc/token counts, exact-dup rate, PII rate, high-repetition
+    rate, mean quality.  Every constituent reuses an operator with its
+    own proven oracle; this row pins the COMPOSITION (r5 verdict item 6:
+    the one operator with no oracle row at all)."""
+    from tundradb_spark.pipeline.recipe import corpus_report
+
+    return corpus_report(_docs(spark, sf_dir))
+
+
+# composition oracle: same tokenization (_TOKS), normalized-md5 dup flag
+# (first doc_id per hash is the keeper), the three default PII regexes,
+# the bigram-repetition formula of Q_TEXT_REP_SQL, and the blended
+# quality score of Q_DOC_QUALITY_SQL summed as decimal(20,10) before the
+# final divide — each fragment already hash-verified in its own row
+Q_CORPUS_REPORT_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+              AS DOUBLE) AS n_punct
+  FROM documents
+),
+f AS (
+  SELECT doc_id, len(toks) AS nt,
+         CASE WHEN row_number() OVER (PARTITION BY h ORDER BY doc_id) > 1
+              THEN 1 ELSE 0 END AS dup,
+         CASE WHEN
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) > 0
+             OR len(regexp_extract_all(text, 'https?://[^\s]+')) > 0
+             OR len(regexp_extract_all(text, '[0-9]{{4,}}')) > 0
+           THEN 1 ELSE 0 END AS pii,
+         CASE WHEN len(toks) > 1 AND
+             round(1.0 - CAST(len(list_distinct(
+                 [toks[i] || ' ' || toks[i + 1]
+                  for i in range(1, len(toks))])) AS DOUBLE)
+               / CAST(len(toks) - 1 AS DOUBLE), 6) > 0.5
+           THEN 1 ELSE 0 END AS rep,
+         round(0.5 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+               + 0.25 * (1.0 - n_punct / greatest(n_chars, 1.0))
+               + 0.25 * least(4.0 * CAST(len([x for x in toks
+                     if list_contains({_EN_STOPS}, x)]) AS DOUBLE)
+                   / CAST(greatest(len(toks), 1) AS DOUBLE), 1.0), 6) AS q
+  FROM t
+),
+agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(nt) AS DOUBLE) AS tot,
+         CAST(sum(dup) AS DOUBLE) AS dups,
+         CAST(sum(pii) AS DOUBLE) AS piis,
+         CAST(sum(rep) AS DOUBLE) AS reps,
+         sum(CAST(q AS DECIMAL(20,10))) AS qsum,
+         count(*) AS n_long
+  FROM f
+)
+SELECT 'n_docs' AS metric, n AS value FROM agg
+UNION ALL SELECT 'total_tokens', tot FROM agg
+UNION ALL SELECT 'avg_tokens', round(tot / n, 6) FROM agg
+UNION ALL SELECT 'exact_dup_rate', round(dups / n, 6) FROM agg
+UNION ALL SELECT 'pii_rate', round(piis / n, 6) FROM agg
+UNION ALL SELECT 'high_rep_rate', round(reps / n, 6) FROM agg
+UNION ALL SELECT 'mean_quality',
+    round(CAST(qsum / n_long AS DOUBLE), 6) FROM agg
+"""
+
+PARKED_PIPELINE_QUERIES["q_corpus_report"] = q_corpus_report
+PARKED_PIPELINE_ORACLES["q_corpus_report"] = Q_CORPUS_REPORT_SQL
