@@ -224,3 +224,107 @@ class TestSparseDeltaStorage:
         }
         assert asof == {0: 5, 1: 7}
         assert now == {0: 50, 1: 7}
+
+
+class TestVersionStorageLayout:
+    """Round-6 data-driven storage decision (README 'Version storage'):
+    full-row chains CLUSTERED by id cost about the same as sparse deltas
+    (parquet dictionary folds unchanged repeats) while reading 3-13x
+    faster, so 'full' stays the default and commit clusters chains."""
+
+    def _chain(self, spark, n_ids=2000, n_vers=10, n_cols=16):
+        from pyspark.sql import functions as F
+
+        vers = spark.range(n_ids).crossJoin(
+            spark.range(n_vers).select(F.col("id").alias("version_id"))
+        )
+        cols = []
+        for c in range(n_cols):
+            last = (
+                F.floor((F.col("version_id").cast("long") - c) / n_cols)
+                * n_cols
+                + c
+            )
+            seed = F.when(last >= 0, last).otherwise(F.lit(-1))
+            cols.append(
+                F.md5(F.concat_ws("|", F.col("id"), F.lit(c), seed)).alias(
+                    f"c{c}"
+                )
+            )
+        return vers.select(
+            "id",
+            "version_id",
+            (F.col("version_id") * 1000).alias("valid_from"),
+            ((F.col("version_id") + 1) * 1000).alias("valid_to"),
+            (F.col("version_id") * 1000).alias("tx_from"),
+            F.lit(9223372036854775807).alias("tx_to"),
+            *cols,
+        )
+
+    @staticmethod
+    def _du(path):
+        import os
+
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    def test_clustered_full_within_2x_of_delta(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from tundradb_spark.temporal import deltify_versions
+
+        chain = self._chain(spark)
+        d_full = str(tmp_path / "full")
+        d_delta = str(tmp_path / "delta")
+        chain.repartition(4, "id").sortWithinPartitions(
+            "id", "version_id"
+        ).write.parquet(d_full)
+        deltify_versions(chain).repartition(4, "id").write.parquet(d_delta)
+        ratio = self._du(d_full) / self._du(d_delta)
+        assert ratio < 2.0, f"clustered full-row is {ratio:.2f}x delta"
+
+    def test_scattered_full_is_the_trap_delta_avoids(self, spark, tmp_path):
+        from tundradb_spark.temporal import deltify_versions
+
+        chain = self._chain(spark)
+        d_scat = str(tmp_path / "scat")
+        d_delta = str(tmp_path / "delta2")
+        # arrival order: an id's chain spans every file
+        chain.repartition(8, "version_id").write.parquet(d_scat)
+        deltify_versions(chain).repartition(4, "id").write.parquet(d_delta)
+        ratio = self._du(d_scat) / self._du(d_delta)
+        assert ratio > 2.0, (
+            f"expected scattered full-row >> delta, measured {ratio:.2f}x"
+        )
+
+    def test_commit_clusters_version_chains_by_id(self, spark, tmp_path):
+        # every id's chain must land in exactly ONE parquet file after a
+        # commit of a versioned full-row table
+        from pyspark.sql import functions as F
+
+        from tundradb_spark.database import Database
+
+        db = Database(spark, path=str(tmp_path / "db"), versioning=True)
+        db.create_schema("Doc", {"title": "string", "body": "string"})
+        for i in range(20):
+            db.create_node("Doc", title=f"t{i}", body=f"b{i}")
+        for i in range(20):
+            db.update_by_id("Doc", i, {"body": f"b{i}-v2"})
+        snap = db.commit()
+        import glob
+
+        files = glob.glob(f"{snap}/nodes/Doc/*.parquet")
+        assert files
+        per_id = (
+            spark.read.parquet(f"{snap}/nodes/Doc")
+            .select("id", F.input_file_name().alias("f"))
+            .groupBy("id")
+            .agg(F.count_distinct("f").alias("nf"))
+            .agg(F.max("nf"))
+            .first()[0]
+        )
+        assert per_id == 1, f"some id's chain spans {per_id} files"

@@ -877,8 +877,23 @@ def _checkpoint(df: DataFrame) -> DataFrame:
     ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` so superseded
     checkpoints are removed once their RDD is GC'd; an externally-created
     session that configures a checkpoint dir must do the same (or clean the
-    dir itself)."""
+    dir itself).
+
+    Partition-count cap (r6): every COW mutation UNIONS the previous frame
+    with the new rows, so the checkpointed partition count grows by the
+    new side's partitions each round — update k then schedules O(k) tasks
+    and a k-mutation chain turns quadratic (measured: update #10 of a
+    20-row table cost 10s at 4 cores).  Coalesce (no shuffle) down to the
+    session's parallelism before checkpointing; on a cluster a real
+    table's partitioning is sized by data and sits under the cap anyway.
+    """
     sc = df.sparkSession.sparkContext
+    cap = max(
+        sc.defaultParallelism,
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8")),
+    )
+    if df.rdd.getNumPartitions() > cap:
+        df = df.coalesce(cap)
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)

@@ -23,6 +23,8 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import TYPE_CHECKING
 
+from pyspark.sql import functions as F
+
 from tundradb_spark.catalog import Catalog
 from tundradb_spark.database import _Table
 
@@ -73,6 +75,19 @@ def commit_snapshot(db: "Database") -> str:
             from tundradb_spark.temporal import deltify_versions
 
             df = deltify_versions(df)
+        elif db.versioning:
+            # full-row chains are written CLUSTERED by id: in-memory
+            # version tables are union-appends (arrival order), and a
+            # scattered chain defeats parquet's dictionary/RLE folding of
+            # unchanged values — measured r6 on a wide high-entropy
+            # hot-update chain, arrival order costs 6.4-9.4x the delta
+            # layout while the SAME rows clustered by id cost 1.1-1.15x
+            # (README "Version storage" table).  One shuffle per dirty
+            # versioned table buys delta-grade storage with full-row
+            # read speed.
+            df = df.repartition(F.col("id")).sortWithinPartitions(
+                "id", "version_id"
+            )
         rel = f"snapshots/{snap_id}/nodes/{name}"
         writes.append((df, rel))
         node_paths[name] = rel
