@@ -267,6 +267,7 @@ def test_q_ann_ivf_index_flag_equivalent(spark, monkeypatch):
     # paths with byte-identical results — contract rows green either way
     base_ivf = [tuple(r) for r in _q("q_ann_ivf")(spark, SF).collect()]
     base_pq = [tuple(r) for r in _q("q_ann_pq")(spark, SF).collect()]
+    base_lsh = [tuple(r) for r in _q("q_ann_lsh")(spark, SF).collect()]
     monkeypatch.setenv("TUNDRA_ANN_USE_INDEX", "1")
     indexed_df = _q("q_ann_ivf")(spark, SF)
     audit.assert_partition_pruned(indexed_df, "cell")
@@ -274,6 +275,11 @@ def test_q_ann_ivf_index_flag_equivalent(spark, monkeypatch):
     assert [
         tuple(r) for r in _q("q_ann_pq")(spark, SF).collect()
     ] == base_pq
+    # r6: the lsh flag previously fell through to the compute path — now
+    # a real banded-inverted-file probe, pruned and result-identical
+    indexed_lsh = _q("q_ann_lsh")(spark, SF)
+    audit.assert_partition_pruned(indexed_lsh, "band_key")
+    assert [tuple(r) for r in indexed_lsh.collect()] == base_lsh
 
 
 def test_text_ops_narrow_and_pushed(spark):

@@ -222,8 +222,44 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(corpus, q, ANN_K)
 
 
+_LSH_INDEX_CACHE: (
+    "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]"
+) = weakref.WeakKeyDictionary()
+
+
+def _lsh_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    cached = _LSH_INDEX_CACHE.setdefault(spark, {})
+    if sf_dir not in cached:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="tundra_lsh_index_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        corpus = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+        similarity.index_corpus_lsh(
+            corpus, path, n_planes=EMBED_PLANES, band_bits=EMBED_BAND_BITS
+        )
+        cached[sf_dir] = path
+    return cached[sf_dir]
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN with Hamming-2 multi-probe (similarity.lsh_ann_topk).
+    With TUNDRA_ANN_USE_INDEX=1: probe the banded inverted-file layout
+    instead (index_corpus_lsh written once per session/sf; the probe ball
+    becomes a literal band_key IN (...) PartitionFilter) — identical
+    results, r6 closes the gap where the flag silently fell through to
+    the compute path."""
+    import os
+
     q = _query_vec(spark, sf_dir)
+    if os.environ.get("TUNDRA_ANN_USE_INDEX") == "1":
+        return similarity.lsh_ann_topk_indexed(
+            spark, _lsh_index_dir(spark, sf_dir), q, ANN_K,
+            n_planes=EMBED_PLANES, band_bits=EMBED_BAND_BITS,
+            probe_hamming=LSH_PROBE_HAMMING,
+        )
     corpus = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
     return similarity.lsh_ann_topk(
         corpus, q, ANN_K, n_planes=EMBED_PLANES, band_bits=EMBED_BAND_BITS,
