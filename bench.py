@@ -72,9 +72,12 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_group(names: list[str] | None, warmup: bool) -> tuple[dict, dict]:
+def run_group(
+    names: list[str] | None, warmup: int
+) -> tuple[dict, dict]:
     """Time the given queries (None = all) in THIS process's session.
-    Returns (best, spread) per query."""
+    ``warmup`` = number of untimed runs per query.  Returns
+    (best, spread) per query."""
     import __spark_entry__ as entry_mod
     from tundradb_spark.session import get_spark
 
@@ -86,7 +89,7 @@ def run_group(names: list[str] | None, warmup: bool) -> tuple[dict, dict]:
     best: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name, fn in picked.items():
-        if warmup:
+        for _ in range(warmup):
             # untimed: absorbs one-time index/table builds + codegen
             materialize(fn(spark, SF_DIR))
         times = []
@@ -101,9 +104,12 @@ def run_group(names: list[str] | None, warmup: bool) -> tuple[dict, dict]:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--group":
-        # subprocess mode: time the named queries, print one JSON line
+        # subprocess mode: time the named queries, print one JSON line;
+        # optional 3rd arg = warmup count (fresh-JVM groups whose first
+        # query is spread-asserted need 2 to finish JIT warming)
         names = sys.argv[2].split(",")
-        best, spread = run_group(names, warmup=True)
+        n_warm = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+        best, spread = run_group(names, warmup=n_warm)
         print(json.dumps({"queries": best, "spread": spread}))
         return
 
@@ -116,7 +122,7 @@ def main() -> None:
     graph = [n for n in all_names if n in GRAPH_ITER]
     heavy = [n for n in all_names if n in HEAVY]
 
-    timings, spread = run_group(cheap, warmup=True)
+    timings, spread = run_group(cheap, warmup=1)
 
     if graph or heavy:
         # free the 32 cores before isolated JVMs spin up their own local[32]
@@ -126,13 +132,14 @@ def main() -> None:
         if active is not None:
             active.stop()
 
-    def _sub(group_names: list[str]) -> None:
+    def _sub(group_names: list[str], n_warm: int = 1) -> None:
         proc = subprocess.run(
             [
                 sys.executable,
                 os.path.abspath(__file__),
                 "--group",
                 ",".join(group_names),
+                str(n_warm),
             ],
             capture_output=True,
             text=True,
@@ -148,8 +155,10 @@ def main() -> None:
 
     if graph:
         # one fresh JVM for ALL the iterative graph queries (steady
-        # together when not competing with 20 other queries' blocks)
-        _sub(graph)
+        # together when not competing with 20 other queries' blocks);
+        # 2 warmups — the group's first query otherwise eats the JVM's
+        # remaining JIT warm-up inside its timed runs
+        _sub(graph, n_warm=2)
     # ONE subprocess PER heavy query: a stall in one query's JVM
     # (stuck python worker, state-store churn after many streaming
     # queries share a session) cannot pollute its neighbors — measured
