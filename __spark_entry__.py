@@ -2727,6 +2727,52 @@ assert set(PARKED_QUERIES) == set(PARKED_ORACLES), (
     set(PARKED_QUERIES) ^ set(PARKED_ORACLES)
 )
 
+
+MOVING_WINDOW_US = 3_600_000_000  # 1 hour trailing
+
+
+def q_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour moving aggregates per user over the events stream
+    (operators.relational.moving_aggregate): count / decimal-exact sum /
+    min / max / rounded mean of each user's values in [t-1h, t] — one
+    output row per event, every value oracle-checked."""
+    from tundradb_spark.operators.relational import moving_aggregate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return moving_aggregate(
+        ev, MOVING_WINDOW_US, "user_id", "value"
+    ).select(
+        F.col("key").cast("long").alias("user_id"),
+        F.col("ts_us").cast("long").alias("ts_us"),
+        "value",
+        F.col("n_window").cast("long").alias("n_window"),
+        "sum_window",
+        "min_window",
+        "max_window",
+        "avg_window",
+    )
+
+
+PARKED_QUERIES["q_moving_agg"] = q_moving_agg
+# RANGE frame over the µs epoch: order-free decimal sum, same rounded
+# mean arithmetic as the Spark side (sum decimal / count, cast, round 6)
+PARKED_ORACLES["q_moving_agg"] = f"""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(us AS BIGINT) AS ts_us,
+           v AS value,
+           CAST(count(*) OVER w AS BIGINT) AS n_window,
+           CAST(sum(CAST(v AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS sum_window,
+           min(v) OVER w AS min_window,
+           max(v) OVER w AS max_window,
+           round(CAST(sum(CAST(v AS DECIMAL(18,2))) OVER w
+                      / count(*) OVER w AS DOUBLE), 6) AS avg_window
+    FROM (SELECT user_id, epoch_us(ts) AS us, value AS v FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN {MOVING_WINDOW_US} PRECEDING
+                 AND CURRENT ROW)
+"""
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

@@ -1613,3 +1613,41 @@ def test_build_vocab_custom_id_col(spark):
     out = {r["token"]: r["df"] for r in
            build_vocab(docs, id_col="my_id").collect()}
     assert out == {"a": 2, "b": 1, "c": 1}
+
+
+class TestCapPerKey:
+    def test_keeps_best_n_per_key(self, spark):
+        from tundradb_spark.pipeline.sampling import cap_per_key
+
+        rows = [
+            (1, "a", 10.0), (2, "a", 30.0), (3, "a", 20.0),
+            (4, "b", 5.0), (5, "b", 5.0), (6, "b", 5.0),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "q"])
+        out = cap_per_key(
+            df, ["source"], 2, order_by=[F.col("q").desc()]
+        )
+        kept = {r["doc_id"] for r in out.collect()}
+        # a: top-2 by q = {2, 3}; b: all tie on q -> doc_id tiebreak {4, 5}
+        assert kept == {2, 3, 4, 5}
+
+    def test_deterministic_across_partitionings(self, spark):
+        from tundradb_spark.pipeline.sampling import cap_per_key
+
+        rows = [(i, f"s{i % 5}", float(i % 7)) for i in range(100)]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "q"])
+        a = sorted(map(tuple, cap_per_key(
+            df, ["source"], 3, order_by=[F.col("q").desc()]).collect()))
+        b = sorted(map(tuple, cap_per_key(
+            df.repartition(7), ["source"], 3,
+            order_by=[F.col("q").desc()]).collect()))
+        assert a == b and len(a) == 15
+
+    def test_validation(self, spark):
+        from tundradb_spark.pipeline.sampling import cap_per_key
+
+        df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+        with pytest.raises(ValueError):
+            cap_per_key(df, ["source"], 0)
+        with pytest.raises(ValueError):
+            cap_per_key(df, [], 1)

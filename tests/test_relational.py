@@ -584,3 +584,48 @@ def test_histogram_quantiles_empty_input_raises(spark):
     empty = spark.createDataFrame([], "g string, v double")
     with pytest.raises(ValueError, match="non-null"):
         histogram_quantiles(empty, ["g"], "v", [0.5])
+
+
+class TestMovingAggregate:
+    def test_trailing_window_semantics(self, spark):
+        from tundradb_spark.operators.relational import moving_aggregate
+
+        # key 1: events at t=0, 50, 120 (us); window=100us trailing
+        rows = [(1, 0, 10.0), (1, 50, 20.0), (1, 120, 30.0), (2, 60, 5.0)]
+        df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+        # integer ts treated as raw nanos -> /1000 = us 0, 0, 0... use big gaps
+        rows = [
+            (1, 0, 10.0),
+            (1, 50_000, 20.0),
+            (1, 120_000, 30.0),
+            (2, 60_000, 5.0),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+        out = {
+            (r["key"], r["ts_us"]): (r["n_window"], r["sum_window"])
+            for r in moving_aggregate(df, 100, "user_id", "value").collect()
+        }
+        # ns->us: ts 0, 50, 120; window [t-100, t]
+        assert out[(1, 0)] == (1, 10.0)
+        assert out[(1, 50)] == (2, 30.0)
+        assert out[(1, 120)] == (2, 50.0)  # t=0 fell out of [20, 120]
+        assert out[(2, 60)] == (1, 5.0)
+
+    def test_equal_timestamps_share_frame(self, spark):
+        from tundradb_spark.operators.relational import moving_aggregate
+
+        rows = [(1, 1_000, 1.0), (1, 1_000, 2.0)]
+        df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+        out = [
+            (r["n_window"], r["sum_window"])
+            for r in moving_aggregate(df, 10, "user_id", "value").collect()
+        ]
+        # RANGE frame: both rows see both values — order-free
+        assert out == [(2, 3.0), (2, 3.0)]
+
+    def test_validation(self, spark):
+        from tundradb_spark.operators.relational import moving_aggregate
+
+        df = spark.createDataFrame([(1, 0, 1.0)], "user_id long, ts long, value double")
+        with pytest.raises(ValueError):
+            moving_aggregate(df, -1, "user_id", "value")

@@ -756,3 +756,57 @@ def resample_interp(
         F.round(interp, round_to).alias("value_interp"),
         F.coalesce("n_in_bucket", F.lit(0)).cast("long").alias("n_in_bucket"),
     )
+
+
+def moving_aggregate(
+    events: DataFrame,
+    window_us: int,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trailing time-range moving aggregates per key: for every event,
+    the count / decimal-exact sum / min / max / 6dp-rounded mean of the
+    key's values in ``[t - window_us, t]`` — the rolling-window analytics
+    surface (alert baselines, rate smoothing) complementing the bucketed
+    :func:`time_bucket_rollup` (discrete buckets) and
+    :func:`resample_ffill` (regular grid).
+
+    Plan shape: ONE hash shuffle on the key, then a RANGE window over the
+    µs epoch — each key's partition is sorted once and every aggregate
+    rides the same frame.  The sum is cast ``decimal(18,2)`` inside the
+    window so it is partition-order independent and any engine reproduces
+    it bit-for-bit (module float-determinism discipline).
+
+    Output: ``(key, ts_us, value, n_window, sum_window, min_window,
+    max_window, avg_window)`` — one row per input event.
+    """
+    from pyspark.sql import Window
+
+    from tundradb_spark.functions.timecols import epoch_micros
+
+    if window_us < 0:
+        raise ValueError(f"window_us must be >= 0, got {window_us}")
+    base = events.select(
+        F.col(key_col).alias("key"),
+        epoch_micros(events, ts_col).alias("ts_us"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.col("ts_us").asc())
+        .rangeBetween(-window_us, 0)
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    return base.select(
+        "key",
+        "ts_us",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.sum(dec).over(w).cast("double").alias("sum_window"),
+        F.min("value").over(w).alias("min_window"),
+        F.max("value").over(w).alias("max_window"),
+        F.round(
+            (F.sum(dec).over(w) / F.count(F.lit(1)).over(w)).cast("double"), 6
+        ).alias("avg_window"),
+    )

@@ -2782,3 +2782,40 @@ UNION ALL SELECT 'mean_quality',
 
 PARKED_PIPELINE_QUERIES["q_corpus_report"] = q_corpus_report
 PARKED_PIPELINE_ORACLES["q_corpus_report"] = Q_CORPUS_REPORT_SQL
+
+
+DOMAIN_CAP_N = 3
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (sampling.cap_per_key): keep the top-3 docs
+    per source by (longest text, doc_id) — the per-domain cap step of a
+    web corpus mixture; every surviving row value-checked."""
+    from tundradb_spark.pipeline.sampling import cap_per_key
+
+    docs = _docs(spark, sf_dir)
+    return cap_per_key(
+        docs,
+        ["source"],
+        DOMAIN_CAP_N,
+        order_by=[F.length("text").desc()],
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
+Q_DOMAIN_CAP_SQL = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+       CAST(length(text) AS BIGINT) AS text_len
+FROM (
+  SELECT doc_id, source, text,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY length(text) DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= {DOMAIN_CAP_N}
+"""
+
+PARKED_PIPELINE_QUERIES["q_domain_cap"] = q_domain_cap
+PARKED_PIPELINE_ORACLES["q_domain_cap"] = Q_DOMAIN_CAP_SQL

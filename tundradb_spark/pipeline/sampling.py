@@ -384,3 +384,41 @@ def weighted_sample_topk(
         .limit(k)
     )
     return out if keep_raw else out.drop("raw_priority")
+
+
+def cap_per_key(
+    docs: DataFrame,
+    key_cols: list[str],
+    n: int,
+    order_by: list | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-key quota cap: keep at most ``n`` rows per key, chosen by a
+    DETERMINISTIC preference order — the per-domain/per-source cap every
+    web-scale corpus applies so one prolific host cannot dominate the
+    mixture (the CCNet/C4 "per-domain quota" step).
+
+    ``order_by``: list of Columns ranking rows within a key (best first);
+    defaults to ``id_col`` ascending.  ``id_col`` ascending is always
+    appended as the final tiebreak so equal-ranked rows resolve
+    identically on any engine/partitioning.
+
+    Plan shape: ONE hash shuffle on the key + a per-key row_number — no
+    global sort; with millions of domains the window parallelizes on the
+    key like any grouped aggregate.  Skew note: a single monster key
+    serializes its own partition — cap such keys upstream with a coarse
+    deterministic_sample if one host is a double-digit corpus fraction.
+    """
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    order = list(order_by or []) + [F.col(id_col).asc()]
+    w = Window.partitionBy(*[F.col(k) for k in key_cols]).orderBy(*order)
+    return (
+        docs.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= n)
+        .drop("__rank")
+    )
