@@ -503,8 +503,11 @@ class TestStreamIngestDedup:
         )
         # 2 = in-batch exact dup of 0; 10 = cross-batch near-dup of corpus 0
         assert kept == [0, 1, 11]
-        # signature table holds exactly the admitted docs
-        sigs = sorted(r["doc_id"] for r in spark.read.parquet(sig).collect())
+        # signature table holds exactly the admitted docs (banded layout:
+        # one row per (doc, band) — r6 prunable index shape)
+        sigs = sorted(
+            {r["doc_id"] for r in spark.read.parquet(sig).collect()}
+        )
         assert sigs == [0, 1, 11]
 
 
@@ -780,8 +783,10 @@ class TestIngestDedupWithinBatchNear:
             q.stop()
         kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
         assert kept == [1, 3]  # min-id near-dup wins; distinct doc admitted
-        # signature table only tracks admitted docs
-        sig_ids = sorted(r["doc_id"] for r in spark.read.parquet(sig).collect())
+        # signature table only tracks admitted docs (banded r6 layout)
+        sig_ids = sorted(
+            {r["doc_id"] for r in spark.read.parquet(sig).collect()}
+        )
         assert sig_ids == [1, 3]
 
 

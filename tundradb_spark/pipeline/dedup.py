@@ -869,20 +869,35 @@ def write_signature_index(
     dirs) AND the probe's worst case: a batch touches at most
     ``bands × n_buckets`` partitions no matter how large it is.
     """
-    r = num_hashes // bands
     sigs = minhash_signature(docs, text_col, id_col, num_hashes, shingle_k, seed)
-    banded = _banded(sigs, id_col, bands, r).withColumn(
-        "band_bucket", _band_bucket(n_buckets)
-    )
+    banded = banded_signatures(sigs, id_col, num_hashes, bands, n_buckets)
     banded.repartition("band_idx", "band_bucket").write.mode(mode).partitionBy(
         "band_idx", "band_bucket"
     ).parquet(path)
     return path
 
 
+def banded_signatures(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """The prunable-index row shape from precomputed signatures:
+    ``(id, band_idx, band_key, band_bucket)`` — what
+    :func:`write_signature_index` writes and
+    :func:`incremental_dup_pairs_indexed` probes; exposed so streaming
+    sinks can append their own epochs into the same layout."""
+    r = num_hashes // bands
+    return _banded(sigs, id_col, bands, r).withColumn(
+        "band_bucket", _band_bucket(n_buckets)
+    )
+
+
 def incremental_dup_pairs_indexed(
     spark,
-    new_docs: DataFrame,
+    new_docs: DataFrame | None,
     index_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -891,6 +906,7 @@ def incremental_dup_pairs_indexed(
     shingle_k: int = 5,
     seed: int = 42,
     n_buckets: int = 64,
+    new_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Probe a :func:`write_signature_index` layout with an arriving
     batch: identical pairs to :func:`incremental_dup_pairs` against the
@@ -902,12 +918,15 @@ def incremental_dup_pairs_indexed(
     band keys; it is bounded by ``min(bands × |batch|, bands ×
     n_buckets)`` rows (≤256 at the defaults) regardless of corpus or
     batch size.  Must use the same signature parameters the index was
-    written with.
+    written with.  ``new_sigs``: pre-computed :func:`minhash_signature`
+    output for the batch (the streaming sink computes signatures once
+    and reuses them here).
     """
     r = num_hashes // bands
-    new_sigs = minhash_signature(
-        new_docs, text_col, id_col, num_hashes, shingle_k, seed
-    )
+    if new_sigs is None:
+        new_sigs = minhash_signature(
+            new_docs, text_col, id_col, num_hashes, shingle_k, seed
+        )
     nb = (
         _banded(new_sigs, id_col, bands, r)
         .withColumn("band_bucket", _band_bucket(n_buckets))

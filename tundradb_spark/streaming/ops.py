@@ -467,10 +467,20 @@ def stream_ingest_dedup(
 ) -> "StreamingQuery":
     """Ingest-time NEAR-dup gating against the corpus accumulated so far:
     each micro-batch is MinHash-probed against the PERSISTED signature
-    table (``pipeline.dedup.incremental_dup_pairs`` — O(batch) per
-    ingest, never O(corpus²)); batch docs that band-match an existing
+    table (``pipeline.dedup.incremental_dup_pairs_indexed`` — O(batch)
+    per ingest, never O(corpus²)); batch docs that band-match an existing
     corpus doc are dropped, survivors land in ``out_path`` and their
     signatures append to ``sig_path`` for the NEXT batch to probe.
+
+    r6: the signature table uses the BANDED prunable layout
+    (``dedup.write_signature_index`` shape — one row per (doc, band),
+    ``partitionBy(epoch, band_idx, band_bucket)``), so each batch's probe
+    reads only the directories its own band keys hash into
+    (PartitionFilters) instead of scanning every prior epoch's
+    signatures — probe IO is bounded by the batch, not the stream's age.
+    Epoch stays the leading partition column so dynamic-overwrite replay
+    semantics are unchanged (a replayed batch deterministically rewrites
+    its own (epoch, band_idx, bucket) partitions).
 
     Within-batch duplicates: survivors of the corpus probe are also
     deduplicated against EACH OTHER before writing — exact (normalized-
@@ -489,7 +499,7 @@ def stream_ingest_dedup(
     from pyspark.sql import Window
 
     from tundradb_spark.pipeline.dedup import (
-        incremental_dup_pairs,
+        incremental_dup_pairs_indexed,
         minhash_lsh_pairs,
         minhash_signature,
         normalized_text,
@@ -499,23 +509,24 @@ def stream_ingest_dedup(
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        try:
-            corpus_sigs = spark.read.parquet(sig_path).drop("epoch")
-            have_corpus = True
-        except Exception:
-            have_corpus = False
+        import glob as _glob
+
+        have_corpus = bool(_glob.glob(f"{sig_path}/*"))
         survivors = batch
         if have_corpus:
-            dup_new = incremental_dup_pairs(
-                batch,
-                corpus=None,  # unused: corpus_sigs supplied below
+            dup_new = incremental_dup_pairs_indexed(
+                spark,
+                None,  # new_sigs supplied below — computed once per batch
+                sig_path,
                 text_col=text_col,
                 id_col=id_col,
                 num_hashes=num_hashes,
                 bands=bands,
                 shingle_k=shingle_k,
                 seed=seed,
-                corpus_sigs=corpus_sigs,
+                new_sigs=minhash_signature(
+                    batch, text_col, id_col, num_hashes, shingle_k, seed
+                ),
             ).select(F.col("new_id").alias("__dup"))
             survivors = batch.join(
                 F.broadcast(dup_new.distinct()),
@@ -568,13 +579,18 @@ def stream_ingest_dedup(
         kept_ids = survivors.select(
             F.col(id_col).cast("long").alias(id_col)
         )
-        sigs = batch_sigs.join(kept_ids, id_col, "left_semi").withColumn(
-            "epoch", F.lit(epoch)
-        )
+        from tundradb_spark.pipeline.dedup import banded_signatures
+
+        sigs = banded_signatures(
+            batch_sigs.join(kept_ids, id_col, "left_semi"),
+            id_col,
+            num_hashes,
+            bands,
+        ).withColumn("epoch", F.lit(epoch))
         (
             sigs.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch")
+            .partitionBy("epoch", "band_idx", "band_bucket")
             .parquet(sig_path)
         )
 
