@@ -2819,3 +2819,33 @@ FROM (
 
 PARKED_PIPELINE_QUERIES["q_domain_cap"] = q_domain_cap
 PARKED_PIPELINE_ORACLES["q_domain_cap"] = Q_DOMAIN_CAP_SQL
+
+
+def q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ top-k with Lloyd-TRAINED per-subspace codebooks
+    (similarity.pq_train — deterministic: seeded init, unit-normalized
+    means) probed at refine >= corpus, which provably degrades to exact
+    cosine top-k regardless of the trained words — the same
+    oracle-exactness trade q_ann_ivf_trained makes with n_probe=n_cells.
+    Verifies the full train→encode→ADC→refine plumbing end-to-end; the
+    recall gauge measures the books' quality at tight pools (measured
+    sf0.1 refine=100: trained 0.5 vs seeded 0.3)."""
+    from tundradb_spark.pipeline.similarity import pq_ann_topk, pq_train
+
+    corpus = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
+    books = pq_train(
+        corpus, m=PQ_M, n_codes=PQ_CODES, iters=2, seed=PQ_SEED,
+        dim=EMBED_DIM,
+    )
+    q = _query_vec(spark, sf_dir)
+    return pq_ann_topk(
+        corpus, q, ANN_K, refine=1_000_000_000, m=PQ_M, n_codes=PQ_CODES,
+        seed=PQ_SEED, codebooks=books,
+    )
+
+
+PARKED_PIPELINE_QUERIES["q_ann_pq_trained"] = q_ann_pq_trained
+# refine >= corpus: the ADC pool is the whole corpus, so the exact
+# re-rank's result IS exact cosine top-k — the oracle is the proven
+# exact-top-k SQL, independent of the trained codebooks
+PARKED_PIPELINE_ORACLES["q_ann_pq_trained"] = Q_ANN_TOPK_SQL

@@ -470,10 +470,108 @@ def pq_codebooks(
 ) -> list[list[list[float]]]:
     """``m`` deterministic seeded ±1 codebooks of ``n_codes`` codewords
     each (one per subspace).  Production PQ k-means-trains these per
-    subspace; fixed seeded directions keep the whole pipeline (encode, ADC
-    lookup, the SQL oracle) bit-reproducible with zero training state —
-    the same trade :func:`ivf_centroids` makes."""
+    subspace (:func:`pq_train`); fixed seeded directions keep the whole
+    pipeline (encode, ADC lookup, the SQL oracle) bit-reproducible with
+    zero training state — the same trade :func:`ivf_centroids` makes."""
     return [hyperplanes(n_codes, sub_dim, seed + 31 * j) for j in range(m)]
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    seed: int = 13,
+    dim: int | None = None,
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd training for the PQ codebooks — the
+    :func:`ivf_train` recipe applied to each of the ``m`` sub-vectors.
+
+    Fully deterministic: seeded ±1 init, assignment via the same
+    argmax-dot expression :func:`pq_encode` compiles, new codeword =
+    per-dimension mean of the assigned slices, normalized to UNIT length
+    (argmax-dot then remains nearest-by-angle for unequal-norm trained
+    words — the :func:`ivf_assign` convention).  Empty codes keep their
+    previous word.
+
+    Scale: each iteration is one narrow encode pass + ONE
+    ``(subspace, code, sub-dim)``-keyed aggregation whose result is
+    ``m × n_codes × sub_dim`` rows (1,024 floats at the defaults) — train
+    on a ``sample_fraction`` at corpus scale, persist the books with the
+    index, pass to :func:`pq_encode` / :func:`pq_ann_topk` via
+    ``codebooks=``.
+    """
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    if sample_fraction is not None:
+        emb = emb.sample(fraction=sample_fraction, seed=seed)
+    cur = pq_codebooks(m, n_codes, sub, seed)
+    v = _vec_sql(vec_col)
+    for _ in range(max(0, iters)):
+        use = [[_unit(cw) for cw in cur[j]] for j in range(m)]
+        sliced = emb.select(
+            *[
+                F.expr(f"slice({v}, {j * sub + 1}, {sub})").alias(f"__s{j}")
+                for j in range(m)
+            ]
+        )
+        dot_arrays = [
+            "array("
+            + ", ".join(dot_sql(f"__s{j}", arr_sql(cw)) for cw in use[j])
+            + ")"
+            for j in range(m)
+        ]
+        staged = sliced.select(
+            *[F.col(f"__s{j}") for j in range(m)],
+            *[F.expr(d).alias(f"__d{j}") for j, d in enumerate(dot_arrays)],
+        )
+        # one narrow frame: (subspace, assigned code, sub-dim pos, value)
+        exploded = staged.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.expr(
+                                f"cast(array_position(__d{j},"
+                                f" array_max(__d{j})) as int)"
+                            ).alias("code"),
+                            F.col(f"__s{j}").alias("s"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("a")
+        ).select(
+            F.col("a.j"),
+            F.col("a.code"),
+            F.posexplode(F.expr("transform(a.s, x -> cast(x as double))")).alias(
+                "pos", "x"
+            ),
+        )
+        means = (
+            exploded.groupBy("j", "code", "pos")
+            .agg(F.avg("x").alias("mval"))
+            .collect()
+        )  # bounded: m * n_codes * sub rows
+        fresh: dict[tuple[int, int], list[float]] = {}
+        for r in means:
+            fresh.setdefault(
+                (int(r["j"]), int(r["code"])), [0.0] * sub
+            )[int(r["pos"])] = float(r["mval"])
+        cur = [
+            [
+                fresh.get((j, c + 1), cur[j][c])
+                for c in range(n_codes)
+            ]
+            for j in range(m)
+        ]
+    return [[_unit(cw) for cw in book] for book in cur]
 
 
 def pq_encode(
@@ -486,6 +584,7 @@ def pq_encode(
     dim: int | None = None,
     keep_vec: bool = True,
     keep_cols: list[str] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Product-quantize each vector: split into ``m`` subspaces, assign
     each slice to its nearest (max-dot) codeword — output ``pq_code``, an
@@ -505,7 +604,9 @@ def pq_encode(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
-    books = pq_codebooks(m, n_codes, sub, seed)
+    books = codebooks if codebooks is not None else pq_codebooks(
+        m, n_codes, sub, seed
+    )
     v = _vec_sql(vec_col)
     # stage 1: materialize each subspace slice ONCE (each is referenced by
     # n_codes dot folds — inlined, every dot would re-slice and re-cast)
@@ -553,6 +654,7 @@ def pq_ann_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 13,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """PQ approximate top-k with exact refinement — the classic two-stage
     compressed search:
@@ -571,9 +673,10 @@ def pq_ann_topk(
     double exactly.
     """
     enc = pq_encode(
-        emb, m, n_codes, vec_col, id_col, seed, dim=len(query), keep_vec=True
+        emb, m, n_codes, vec_col, id_col, seed, dim=len(query),
+        keep_vec=True, codebooks=codebooks,
     )
-    adc = _pq_adc_expr(query, m, n_codes, seed)
+    adc = _pq_adc_expr(query, m, n_codes, seed, codebooks=codebooks)
     cands = (
         enc.select(id_col, vec_col, F.expr(adc).alias("__adc"))
         .orderBy(F.desc("__adc"), F.asc(id_col))
@@ -582,14 +685,22 @@ def pq_ann_topk(
     return cosine_topk(cands, query, k, vec_col=vec_col, id_col=id_col)
 
 
-def _pq_adc_expr(query: list[float], m: int, n_codes: int, seed: int) -> str:
+def _pq_adc_expr(
+    query: list[float],
+    m: int,
+    n_codes: int,
+    seed: int,
+    codebooks: list[list[list[float]]] | None = None,
+) -> str:
     """ADC score expression: the query's per-subspace codeword dots become
     literal lookup tables, summed in subspace order over the code ints."""
     dim = len(query)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
-    books = pq_codebooks(m, n_codes, sub, seed)
+    books = codebooks if codebooks is not None else pq_codebooks(
+        m, n_codes, sub, seed
+    )
     luts = [
         [
             sum(a * b for a, b in zip(query[j * sub : (j + 1) * sub], cw))
