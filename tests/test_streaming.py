@@ -865,3 +865,62 @@ class TestWeightedSampleKGuard:
         out = read_weighted_sample(spark, res, 5)
         assert out.count() == 0
         assert "raw_priority" not in out.columns
+
+
+class TestCompactSignatureIndex:
+    def test_compaction_preserves_probe_and_layout(self, spark, tmp_path):
+        # r6: the banded signature table compacts with its epoch-FIRST
+        # layout preserved, so a still-running sink's next epoch appends
+        # cleanly and probes return identical pairs
+        from tundradb_spark.pipeline.dedup import (
+            incremental_dup_pairs_indexed,
+        )
+        from tundradb_spark.streaming import (
+            compact_stream_index,
+            stream_ingest_dedup,
+        )
+
+        src = str(tmp_path / "csrc")
+        out = str(tmp_path / "cout")
+        sig = str(tmp_path / "csig")
+        ckpt = str(tmp_path / "cck")
+        os.makedirs(src)
+        docs = [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "one two three four five six seven eight nine"),
+        ]
+        schema = "doc_id long, text string"
+        spark.createDataFrame(docs, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_ingest_dedup(stream, out, sig, ckpt)
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(
+                [(2, "totally different content words here okay then")],
+                schema,
+            ).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        probe = spark.createDataFrame(
+            [(10, "alpha beta gamma delta epsilon zeta eta theta")], schema
+        )
+        before = sorted(
+            map(tuple, incremental_dup_pairs_indexed(spark, probe, sig).collect())
+        )
+        assert before  # the near-dup of doc 0 must be found
+        n = compact_stream_index(
+            spark, sig, layout=["epoch", "band_idx", "band_bucket"]
+        )
+        assert n > 0
+        # single folded epoch, same probe result
+        epochs = {
+            r["epoch"] for r in spark.read.parquet(sig).select("epoch").collect()
+        }
+        assert epochs == {-1}
+        after = sorted(
+            map(tuple, incremental_dup_pairs_indexed(spark, probe, sig).collect())
+        )
+        assert after == before

@@ -740,6 +740,7 @@ def compact_stream_index(
     partition_col: str | None = "cell",
     epoch_col: str = "epoch",
     target_epoch: int = -1,
+    layout: list[str] | None = None,
 ) -> int:
     """Compact a :func:`stream_index_vectors` (or any per-epoch sketch)
     directory: fold every ``epoch=E`` partition into one
@@ -765,6 +766,14 @@ def compact_stream_index(
     sketches a further SEMANTIC compaction (pre-merging registers) is
     just the reader's aggregation written back, left to the caller.
 
+    ``layout``: the FULL partition-column order (including ``epoch_col``)
+    for tables whose directory order differs from the default
+    ``(partition_col, epoch)`` — e.g. the r6 banded signature table is
+    ``["epoch", "band_idx", "band_bucket"]`` (epoch leads for dynamic
+    overwrite); the compacted tree MUST keep the same order or Spark's
+    partition discovery breaks when the still-running sink appends its
+    next epoch.
+
     Returns the number of rows compacted.
     """
     import os
@@ -773,10 +782,17 @@ def compact_stream_index(
     df = spark.read.parquet(path)
     cols = [c for c in df.columns if c != epoch_col]
     tmp = path.rstrip("/") + ".compacting"
-    parts = ([partition_col] if partition_col else []) + [epoch_col]
+    if layout is not None:
+        if epoch_col not in layout:
+            raise ValueError(f"layout must include {epoch_col!r}: {layout}")
+        parts = list(layout)
+        cluster = [c for c in layout if c != epoch_col]
+    else:
+        parts = ([partition_col] if partition_col else []) + [epoch_col]
+        cluster = [partition_col] if partition_col else []
     out = df.select(*cols).withColumn(epoch_col, F.lit(target_epoch))
-    if partition_col:
-        out = out.repartition(F.col(partition_col))
+    if cluster:
+        out = out.repartition(*[F.col(c) for c in cluster])
     else:
         out = out.coalesce(1)
     out.write.mode("overwrite").partitionBy(*parts).parquet(tmp)
