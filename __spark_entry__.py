@@ -57,6 +57,10 @@ Previously-parked redundancies stay parked: q_bucketed_match
 q_temporal_before (complement of q_temporal_asof), q_dedup_ngram
 (subsumed by q_dedup_ngram_capped), q_ql_match (same parser path as
 q_ql_analytics), and the single-operator halves of the merged rows.
+New r6 operators join PARKED (window already full): q_corpus_report
+(composition oracle), q_domain_cap (per-key quota), q_moving_agg
+(trailing RANGE-window aggregates), q_ann_pq_trained (Lloyd-trained
+codebooks, exact-degradation oracle).
 """
 
 from __future__ import annotations

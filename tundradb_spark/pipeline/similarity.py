@@ -724,6 +724,7 @@ def index_corpus_pq(
     seed: int = 13,
     dim: int | None = None,
     mode: str = "overwrite",
+    codebooks: list[list[list[float]]] | None = None,
 ) -> str:
     """Persist the PQ-encoded corpus (id, vector, code): encoding — the
     expensive half of PQ search, ~n_codes×m short dot folds per row — runs
@@ -731,7 +732,8 @@ def index_corpus_pq(
     100 TB, put ``pq_code`` first in a column-pruned scan and the ADC pass
     reads ~m small ints per vector instead of the raw embedding."""
     pq_encode(
-        emb, m, n_codes, vec_col, id_col, seed, dim=dim, keep_vec=True
+        emb, m, n_codes, vec_col, id_col, seed, dim=dim, keep_vec=True,
+        codebooks=codebooks,
     ).write.mode(mode).parquet(path)
     return path
 
@@ -747,12 +749,13 @@ def pq_ann_topk_indexed(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 13,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Probe an :func:`index_corpus_pq` layout: ADC over the PRE-COMPUTED
     codes (no encode work per query), refine, exact re-rank.  Identical
     results to :func:`pq_ann_topk` with the same parameters (test-pinned).
     """
-    adc = _pq_adc_expr(query, m, n_codes, seed)
+    adc = _pq_adc_expr(query, m, n_codes, seed, codebooks=codebooks)
     cands = (
         spark.read.parquet(path)
         .select(id_col, vec_col, F.expr(adc).alias("__adc"))
