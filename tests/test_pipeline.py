@@ -1681,7 +1681,7 @@ class TestPqTrain:
         q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
         books = pq_train(corpus, iters=1, dim=64)
         got = pq_ann_topk(
-            corpus, q, 10, refine=10**9, codebooks=books
+            corpus, q, 10, refine=corpus.count(), codebooks=books
         ).collect()
         want = cosine_topk(corpus, q, 10).collect()
         assert [tuple(r) for r in got] == [tuple(r) for r in want]

@@ -2838,8 +2838,12 @@ def q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=EMBED_DIM,
     )
     q = _query_vec(spark, sf_dir)
+    # refine = |corpus| exactly: TakeOrderedAndProject pre-allocates its
+    # top-k buffer from the limit, so an "effectively infinite" literal
+    # (1e9) OOMs the executor — the degradation bound must be the real
+    # corpus size (one bounded count)
     return pq_ann_topk(
-        corpus, q, ANN_K, refine=1_000_000_000, m=PQ_M, n_codes=PQ_CODES,
+        corpus, q, ANN_K, refine=corpus.count(), m=PQ_M, n_codes=PQ_CODES,
         seed=PQ_SEED, codebooks=books,
     )
 
