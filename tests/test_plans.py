@@ -485,3 +485,24 @@ def test_time_rollup_single_exchange_partial_agg(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "partial_count" in plan, plan
     assert "Window" not in plan
+
+
+def test_cap_per_key_single_shuffle(spark):
+    # per-key quota: exactly one exchange (the key hash), no global sort
+    from tundradb_spark.pipeline.sampling import cap_per_key
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = cap_per_key(docs, ["source"], 3, order_by=[])
+    assert audit.count_exchanges(df) <= 1, audit.formatted_plan(df)
+    audit.assert_no_nested_loop(df)
+
+
+def test_moving_aggregate_single_shuffle(spark):
+    # trailing RANGE window: one key exchange; every aggregate shares the
+    # same window frame (a second exchange would mean a frame split)
+    from tundradb_spark.operators.relational import moving_aggregate
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    df = moving_aggregate(ev, 3_600_000_000, "user_id", "value")
+    assert audit.count_exchanges(df) <= 1, audit.formatted_plan(df)
+    audit.assert_no_nested_loop(df)

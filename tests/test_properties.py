@@ -348,3 +348,39 @@ def test_histogram_quantile_within_bin_width(spark, vals, p):
     order_stat = sorted(vals)[math.floor(p * (len(vals) - 1))]
     assert est <= order_stat + 1e-6, (est, order_stat)
     assert abs(est - order_stat) <= width + 1e-6, (est, order_stat, width)
+
+
+class TestHammingBall:
+    """hamming_ball is the LSH multi-probe key enumerator — its size and
+    symmetry are what make the indexed probe equal the bit_count compute
+    predicate."""
+
+    @given(
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=3),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_size_matches_binomial_sum(self, key, radius):
+        import math
+
+        from tundradb_spark.pipeline.similarity import hamming_ball
+
+        ball = hamming_ball(key, 8, radius)
+        want = sum(math.comb(8, i) for i in range(radius + 1))
+        assert len(ball) == want
+        assert all(0 <= x < 256 for x in ball)
+        assert ball == sorted(set(ball))
+
+    @given(
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=255),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_membership_is_symmetric_and_exact(self, a, b):
+        from tundradb_spark.pipeline.similarity import hamming_ball
+
+        d = bin(a ^ b).count("1")
+        for radius in (0, 1, 2):
+            in_ball = b in hamming_ball(a, 8, radius)
+            assert in_ball == (d <= radius)
+            assert in_ball == (a in hamming_ball(b, 8, radius))
