@@ -2853,3 +2853,67 @@ PARKED_PIPELINE_QUERIES["q_ann_pq_trained"] = q_ann_pq_trained
 # re-rank's result IS exact cosine top-k — the oracle is the proven
 # exact-top-k SQL, independent of the trained codebooks
 PARKED_PIPELINE_ORACLES["q_ann_pq_trained"] = Q_ANN_TOPK_SQL
+
+
+ANN_BATCH_NQ, ANN_BATCH_CORPUS_MIN, ANN_BATCH_K = 5, 20, 5
+
+
+def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF ANN (similarity.ivf_ann_topk_batch): top-5 per query for
+    a 5-query batch in ONE declarative plan — per-query probe cells
+    computed in SQL, corpus paired via a broadcast equi-join on cell
+    (the corpus never shuffles), one window rank over the cell-pruned
+    candidates.  Per-query results pinned identical to the single-query
+    ivf_ann_topk in tests; every (query, neighbor, cosine) value
+    oracle-checked here."""
+    from tundradb_spark.pipeline.similarity import ivf_ann_topk_batch
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= ANN_BATCH_CORPUS_MIN)
+    queries = emb.filter(F.col("vec_id") < ANN_BATCH_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_ann_topk_batch(
+        corpus, queries, k=ANN_BATCH_K, n_cells=IVF_CELLS,
+        n_probe=IVF_PROBE, seed=IVF_SEED, dim=EMBED_DIM,
+    )
+
+
+Q_ANN_BATCH_SQL = f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {ANN_BATCH_NQ}
+),
+base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= {ANN_BATCH_CORPUS_MIN}
+),
+assigned AS (
+  SELECT vec_id, v,
+         list_position(dots, list_aggregate(dots, 'max')) AS cell
+  FROM (SELECT vec_id, v, {_ivf_dots_sql('v')} AS dots FROM base)
+),
+probe AS (
+  SELECT query_id, i AS cell
+  FROM (SELECT query_id, {_ivf_dots_sql('qv')} AS dots FROM qs),
+       generate_series(1, {IVF_CELLS}) t(i)
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY dots[i] DESC, i) <= {IVF_PROBE}
+),
+cands AS (
+  SELECT p.query_id, a.vec_id,
+         round({_dot_sql('a.v', 'q.qv')}
+               / (sqrt({_dot_sql('a.v', 'a.v')})
+                  * sqrt({_dot_sql('q.qv', 'q.qv')})), 6) AS cosine
+  FROM assigned a JOIN probe p ON a.cell = p.cell
+  JOIN qs q ON q.query_id = p.query_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id, cosine
+FROM cands
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id) <= {ANN_BATCH_K}
+"""
+
+PARKED_PIPELINE_QUERIES["q_ann_batch"] = q_ann_batch
+PARKED_PIPELINE_ORACLES["q_ann_batch"] = Q_ANN_BATCH_SQL

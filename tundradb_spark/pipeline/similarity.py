@@ -1036,3 +1036,100 @@ def ann_recall(
             "recall"
         ),
     )
+
+
+def _pair_dot_sql(a: str, b: str) -> str:
+    """Fold-left dot of two array COLUMNS (both cast to double), same
+    accumulation order as :func:`~tundradb_spark.pipeline.hashing.dot_sql`
+    so any engine reproduces the doubles."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) ->"
+        f" cast(x as double) * cast(y as double)),"
+        f" cast(0.0 as double), (s, x) -> s + x)"
+    )
+
+
+def ivf_ann_topk_batch(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    seed: int = 11,
+    dim: int | None = None,
+) -> DataFrame:
+    """BATCH ANN: IVF top-k for a whole DataFrame of query vectors in ONE
+    declarative plan — the batch-retrieval shape (benchmark recall sweeps,
+    per-document nearest-neighbor curation) where a per-query driver loop
+    would serialize the work.
+
+    Plan: the corpus is cell-assigned once (write-side with
+    :func:`index_corpus`); each QUERY computes its own top-``n_probe``
+    cells IN SQL (sort_array over (−dot, cell) structs — no driver-side
+    per-query arithmetic) and explodes to (query, cell) rows; an
+    **equi-join on cell** (Catalyst broadcasts the tiny query side, so
+    the corpus never shuffles) pairs each query with only its probed
+    cells' vectors; exact cosine scores the pairs; one window over
+    ``query_id`` ranks the survivors.  Shuffle volume is the CANDIDATE
+    pairs (≈ ``n_probe/n_cells`` of corpus × batch), never corpus ×
+    batch — the same pruning the single-query probe gets from
+    PartitionFilters, expressed as a join.
+
+    Returns ``(query_id, vec_id, cosine)``, top-``k`` per query by
+    (cosine desc, id asc).  Identical per-query results to
+    :func:`ivf_ann_topk` with the same parameters (test-pinned).
+    """
+    if dim is None:
+        dim = len(queries.select(query_vec_col).first()[0])
+    cents = ivf_centroids(n_cells, dim, seed)
+    assigned = ivf_assign(
+        emb, n_cells, vec_col, id_col, seed, dim=dim
+    ).withColumnRenamed(vec_col, "__cvec")
+    qv = _vec_sql(query_vec_col)
+    qdots = "array(" + ", ".join(dot_sql(qv, arr_sql(c)) for c in cents) + ")"
+    # per-query probe cells, fully in SQL: sort (−dot, cell) structs asc
+    # == dot desc with first-cell tie-break (probe_cells' exact order)
+    probes = (
+        queries.select(
+            F.col(query_id_col).cast("long").alias(query_id_col),
+            F.col(query_vec_col).alias("__qvec"),
+            F.expr(qdots).alias("__qdots"),
+        )
+        .select(
+            query_id_col,
+            "__qvec",
+            F.expr(
+                "transform(slice(sort_array(transform(__qdots, "
+                f"(d, i) -> struct(-d as nd, i + 1 as cell))), 1, {n_probe}"
+                "), s -> s.cell)"
+            ).alias("__cells"),
+        )
+        .select(
+            query_id_col, "__qvec", F.explode("__cells").alias("cell")
+        )
+    )
+    pairs = assigned.join(probes, "cell")
+    cos = (
+        f"{_pair_dot_sql('__cvec', '__qvec')}"
+        f" / (sqrt({_pair_dot_sql('__cvec', '__cvec')})"
+        f" * sqrt({_pair_dot_sql('__qvec', '__qvec')}))"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        pairs.select(
+            query_id_col,
+            F.col(id_col).cast("long").alias(id_col),
+            F.round(F.expr(cos), 6).alias("cosine"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
