@@ -506,3 +506,28 @@ def test_moving_aggregate_single_shuffle(spark):
     df = moving_aggregate(ev, 3_600_000_000, "user_id", "value")
     assert audit.count_exchanges(df) <= 1, audit.formatted_plan(df)
     audit.assert_no_nested_loop(df)
+
+
+def test_index_sidecar_describes_probe_config(spark, tmp_path):
+    # r6: every index writer persists its quantizer sidecar, so a reader
+    # recovers the exact probe configuration (incl. trained centroids)
+    # instead of trusting call-site defaults to match the write side
+    from tundradb_spark.pipeline import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").filter("vec_id != 0")
+    cents = similarity.ivf_train(emb, n_cells=4, iters=1, dim=64)
+    path = str(tmp_path / "ivf_trained")
+    similarity.index_corpus(emb, path, centroids=cents)
+    meta = similarity.load_quantizer(path)
+    assert meta["kind"] == "ivf" and meta["centroids"] == cents
+    # probing with the sidecar's centroids == probing with the originals
+    q = [1.0] + [0.0] * 63
+    a = similarity.ivf_ann_topk_indexed(
+        spark, path, q, 5, centroids=meta["centroids"]
+    ).collect()
+    b = similarity.ivf_ann_topk_indexed(
+        spark, path, q, 5, centroids=cents
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # pre-r6 dirs without a sidecar read as None
+    assert similarity.load_quantizer(str(tmp_path)) is None

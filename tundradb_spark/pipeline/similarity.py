@@ -335,6 +335,10 @@ def index_corpus(
     assigned.repartition("cell").write.mode(mode).partitionBy("cell").parquet(
         path
     )
+    save_quantizer(path, {
+        "kind": "ivf", "n_cells": n_cells, "seed": seed,
+        "centroids": centroids,  # None = seeded defaults
+    })
     return path
 
 
@@ -411,6 +415,10 @@ def index_corpus_lsh(
     exploded.repartition("band_idx", "band_key").write.mode(mode).partitionBy(
         "band_idx", "band_key"
     ).parquet(path)
+    save_quantizer(path, {
+        "kind": "lsh", "n_planes": n_planes,
+        "band_bits": band_bits, "seed": seed,
+    })
     return path
 
 
@@ -735,6 +743,10 @@ def index_corpus_pq(
         emb, m, n_codes, vec_col, id_col, seed, dim=dim, keep_vec=True,
         codebooks=codebooks,
     ).write.mode(mode).parquet(path)
+    save_quantizer(path, {
+        "kind": "pq", "m": m, "n_codes": n_codes,
+        "seed": seed, "codebooks": codebooks,
+    })
     return path
 
 
@@ -808,6 +820,11 @@ def index_corpus_ivfpq(
     encoded.repartition("cell").write.mode(mode).partitionBy("cell").parquet(
         path
     )
+    save_quantizer(path, {
+        "kind": "ivfpq", "n_cells": n_cells, "m": m,
+        "n_codes": n_codes, "ivf_seed": ivf_seed,
+        "pq_seed": pq_seed, "centroids": centroids,
+    })
     return path
 
 
@@ -1133,3 +1150,40 @@ def ivf_ann_topk_batch(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# quantizer sidecar — indexes carry their own training state
+# ---------------------------------------------------------------------------
+
+_QUANTIZER_FILE = "_quantizer.json"
+
+
+def save_quantizer(path: str, meta: dict) -> str:
+    """Persist an index's quantizer description (kind, parameters, and —
+    for trained quantizers — the centroids/codebooks themselves) as a
+    JSON sidecar inside the index directory.  The index becomes
+    self-describing: a reader that did not run the training recovers the
+    EXACT probe configuration with :func:`load_quantizer` instead of
+    trusting call-site defaults to match the write-side."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    p = os.path.join(path, _QUANTIZER_FILE)
+    with open(p, "w") as f:
+        json.dump(meta, f)
+    return p
+
+
+def load_quantizer(path: str) -> dict | None:
+    """The quantizer sidecar written by the ``index_corpus*`` writers, or
+    ``None`` for a pre-r6 index directory without one."""
+    import json
+    import os
+
+    p = os.path.join(path, _QUANTIZER_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
