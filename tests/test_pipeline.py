@@ -1732,3 +1732,46 @@ class TestBatchAnn:
         # exchanges: the tiny probe-side prep + the final per-query window
         # rank over cell-pruned candidates — never a corpus-wide shuffle
         assert audit.count_exchanges(df) <= 2, audit.formatted_plan(df)
+
+
+class TestBatchLsh:
+    def test_per_query_equals_single_query_path(self, spark):
+        from tundradb_spark.pipeline.similarity import (
+            lsh_ann_topk,
+            lsh_ann_topk_batch,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        corpus = emb.filter("vec_id >= 10")
+        queries = emb.filter("vec_id < 3").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        rows = lsh_ann_topk_batch(corpus, queries, k=4).collect()
+        for qid in range(3):
+            q = [
+                float(x)
+                for x in emb.filter(f"vec_id = {qid}").first()["embedding"]
+            ]
+            single = [
+                (r["vec_id"], r["cosine"])
+                for r in lsh_ann_topk(corpus, q, 4).collect()
+            ]
+            got = [
+                (r["vec_id"], r["cosine"])
+                for r in rows
+                if r["query_id"] == qid
+            ]
+            assert got == single, f"query {qid} diverged"
+
+    def test_broadcast_and_no_nested_loop(self, spark):
+        from tundradb_spark.plans import audit
+        from tundradb_spark.pipeline.similarity import lsh_ann_topk_batch
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        corpus = emb.filter("vec_id >= 10")
+        queries = emb.filter("vec_id < 3").selectExpr(
+            "vec_id as query_id", "embedding"
+        )
+        df = lsh_ann_topk_batch(corpus, queries, k=4)
+        audit.assert_broadcast(df, at_least=1)
+        audit.assert_no_nested_loop(df)

@@ -2917,3 +2917,75 @@ QUALIFY row_number() OVER (PARTITION BY query_id
 
 PARKED_PIPELINE_QUERIES["q_ann_batch"] = q_ann_batch
 PARKED_PIPELINE_ORACLES["q_ann_batch"] = Q_ANN_BATCH_SQL
+
+
+LSH_BATCH_NQ = 4
+
+
+def q_ann_lsh_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch multi-probe LSH ANN (similarity.lsh_ann_topk_batch): top-5
+    per query for a 4-query batch — the Hamming-2 ball enumerated as a
+    literal XOR-mask explode joined against the corpus' banded posting
+    rows (broadcast equi-join; corpus never shuffles).  Per-query results
+    pinned identical to lsh_ann_topk in tests; every value
+    oracle-checked here."""
+    from tundradb_spark.pipeline.similarity import lsh_ann_topk_batch
+
+    emb = _emb(spark, sf_dir)
+    corpus = emb.filter(F.col("vec_id") >= ANN_BATCH_CORPUS_MIN)
+    queries = emb.filter(F.col("vec_id") < LSH_BATCH_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_ann_topk_batch(
+        corpus, queries, k=ANN_BATCH_K, n_planes=EMBED_PLANES,
+        band_bits=EMBED_BAND_BITS, probe_hamming=LSH_PROBE_HAMMING,
+        dim=EMBED_DIM,
+    )
+
+
+def _lsh_batch_sql() -> str:
+    from tundradb_spark.pipeline.similarity import hamming_ball
+
+    masks = hamming_ball(0, EMBED_BAND_BITS, LSH_PROBE_HAMMING)
+    mask_list = "[" + ", ".join(str(m) for m in masks) + "]"
+    return f"""
+WITH qs AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         {_sig_terms_sql("CAST(embedding AS DOUBLE[])")} AS sig
+  FROM embeddings WHERE vec_id < {LSH_BATCH_NQ}
+),
+base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_sig_terms_sql("CAST(embedding AS DOUBLE[])")} AS sig
+  FROM embeddings WHERE vec_id >= {ANN_BATCH_CORPUS_MIN}
+),
+cbands AS (
+  SELECT vec_id, v, i AS band_idx,
+         (sig >> (i * {EMBED_BAND_BITS})) & {_EMBED_MASK} AS band_key
+  FROM base, generate_series(0, {_EMBED_BANDS - 1}) t(i)
+),
+qkeys AS (
+  SELECT query_id, qv, i AS band_idx,
+         xor((sig >> (i * {EMBED_BAND_BITS})) & {_EMBED_MASK}, m)
+           AS band_key
+  FROM qs, generate_series(0, {_EMBED_BANDS - 1}) t(i),
+       unnest({mask_list}) u(m)
+),
+cands AS (
+  SELECT DISTINCT q.query_id, c.vec_id, c.v, q.qv
+  FROM cbands c JOIN qkeys q
+    ON c.band_idx = q.band_idx AND c.band_key = q.band_key
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       round({_dot_sql('v', 'qv')}
+             / (sqrt({_dot_sql('v', 'v')}) * sqrt({_dot_sql('qv', 'qv')})),
+             6) AS cosine
+FROM cands
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, vec_id) <= {ANN_BATCH_K}
+"""
+
+
+PARKED_PIPELINE_QUERIES["q_ann_lsh_batch"] = q_ann_lsh_batch
+PARKED_PIPELINE_ORACLES["q_ann_lsh_batch"] = _lsh_batch_sql()

@@ -1187,3 +1187,109 @@ def load_quantizer(path: str) -> dict | None:
         return None
     with open(p) as f:
         return json.load(f)
+
+
+def lsh_ann_topk_batch(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 16,
+    band_bits: int = 8,
+    probe_hamming: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """BATCH sign-LSH ANN: multi-probe top-k for a whole query DataFrame
+    in one plan — the :func:`ivf_ann_topk_batch` shape for the banded
+    index family.
+
+    The Hamming-ball multi-probe becomes pure relational algebra: the
+    radius-``probe_hamming`` ball around any band key is ``key XOR m``
+    over the LITERAL mask set ``hamming_ball(0, band_bits, radius)``
+    (37 masks at the defaults), so each query explodes to
+    ``bands × |masks|`` (band_idx, probe_key) rows — computed entirely
+    in SQL from the query's own signature, no per-query driver work —
+    and candidates come from an **equi-join** against the corpus'
+    banded posting rows (Catalyst broadcasts the tiny query side; the
+    corpus never shuffles).  Per-query results are identical to
+    :func:`lsh_ann_topk` with the same parameters (test-pinned): the
+    join enumerates exactly the keys the compute path's bit_count
+    predicate accepts.
+
+    Returns ``(query_id, vec_id, cosine)``, top-``k`` per query.
+    """
+    if dim is None:
+        dim = len(queries.select(query_vec_col).first()[0])
+    bands = lsh_bands(n_planes, band_bits)
+    mask = (1 << band_bits) - 1
+    masks = hamming_ball(0, band_bits, probe_hamming)
+    csigs = lsh_signature(emb, n_planes, vec_col, id_col, seed, dim=dim)
+    corpus_bands = csigs.select(
+        id_col,
+        F.col(vec_col).alias("__cvec"),
+        F.explode(F.array(*[F.lit(i) for i in range(bands)])).alias(
+            "band_idx"
+        ),
+        F.col("sig"),
+    ).select(
+        id_col,
+        "__cvec",
+        "band_idx",
+        F.expr(f"shiftright(sig, band_idx * {band_bits}) & {mask}").alias(
+            "band_key"
+        ),
+    )
+    qsigs = lsh_signature(
+        queries, n_planes, query_vec_col, query_id_col, seed, dim=dim
+    )
+    mask_arr = "array(" + ", ".join(str(m) for m in masks) + ")"
+    qkeys = (
+        qsigs.select(
+            F.col(query_id_col).cast("long").alias(query_id_col),
+            F.col(query_vec_col).alias("__qvec"),
+            F.explode(F.array(*[F.lit(i) for i in range(bands)])).alias(
+                "band_idx"
+            ),
+            F.col("sig"),
+        )
+        .select(
+            query_id_col,
+            "__qvec",
+            "band_idx",
+            F.explode(
+                F.expr(
+                    f"transform({mask_arr}, m ->"
+                    f" (shiftright(sig, band_idx * {band_bits}) & {mask})"
+                    f" ^ m)"
+                )
+            ).alias("band_key"),
+        )
+    )
+    cands = (
+        corpus_bands.join(qkeys, ["band_idx", "band_key"])
+        .dropDuplicates([query_id_col, id_col])
+    )
+    cos = (
+        f"{_pair_dot_sql('__cvec', '__qvec')}"
+        f" / (sqrt({_pair_dot_sql('__cvec', '__cvec')})"
+        f" * sqrt({_pair_dot_sql('__qvec', '__qvec')}))"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        cands.select(
+            query_id_col,
+            F.col(id_col).cast("long").alias(id_col),
+            F.round(F.expr(cos), 6).alias("cosine"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
