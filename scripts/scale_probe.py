@@ -30,9 +30,11 @@ DEFAULT = [
     "q_text_lm",
     "q_pii_scan",
     "q_quantiles",
+    "q_hist_quantiles",   # the bounded-memory twin — must hold ~1x
     "q_ann_pq",
     "q_bfs_levels",
     "q_dedup_apply",
+    "q_dedup_incremental",  # r6 banded-index probe — watch for regression
     "q_pipeline_e2e",
 ]
 #: ANN queries with a persisted-index twin (TUNDRA_ANN_USE_INDEX=1)

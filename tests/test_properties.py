@@ -384,3 +384,54 @@ class TestHammingBall:
             in_ball = b in hamming_ball(a, 8, radius)
             assert in_ball == (d <= radius)
             assert in_ball == (a in hamming_ball(b, 8, radius))
+
+
+class TestMovingAggregateProperty:
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),      # key
+                st.integers(min_value=0, max_value=50),     # ts (us after /1000)
+                st.integers(min_value=-99, max_value=99),   # value (int -> exact)
+            ),
+            min_size=1,
+            max_size=25,
+        ),
+        st.integers(min_value=0, max_value=20),             # window_us
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_matches_bruteforce(self, spark, rows, window_us):
+        from tundradb_spark.operators.relational import moving_aggregate
+
+        df = spark.createDataFrame(
+            [(k, t * 1000, float(v)) for k, t, v in rows],
+            "user_id long, ts long, value double",
+        )
+        got = {
+            (r["key"], r["ts_us"], r["value"]): (
+                r["n_window"],
+                r["sum_window"],
+                r["min_window"],
+                r["max_window"],
+            )
+            for r in moving_aggregate(df, window_us, "user_id", "value")
+            .collect()
+        }
+        # brute force per event: all same-key values in [t - w, t]
+        for k, t, v in rows:
+            frame = [
+                float(v2)
+                for k2, t2, v2 in rows
+                if k2 == k and t - window_us <= t2 <= t
+            ]
+            want = (
+                len(frame),
+                float(sum(frame)),
+                min(frame),
+                max(frame),
+            )
+            assert got[(k, t, float(v))] == want, (k, t, v)
