@@ -86,6 +86,8 @@ def run_group(
     qs = entry_mod.queries()
     picked = {n: qs[n] for n in (names if names is not None else qs)}
 
+    import gc
+
     best: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name, fn in picked.items():
@@ -94,6 +96,12 @@ def run_group(
             materialize(fn(spark, SF_DIR))
         times = []
         for _ in range(max(1, RUNS)):
+            # drop the previous run's DataFrame references BEFORE timing:
+            # iterative queries eagerly localCheckpoint per round, and
+            # superseded checkpoint blocks are only reclaimed once Python
+            # GC releases them — left to chance, the ContextCleaner fires
+            # MID-run and a 0.1s query reports seconds of jitter
+            gc.collect()
             t0 = time.perf_counter()
             materialize(fn(spark, SF_DIR))
             times.append(time.perf_counter() - t0)
