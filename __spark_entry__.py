@@ -2803,3 +2803,52 @@ def parked_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def parked_oracle_sql() -> dict[str, str]:
     return dict(PARKED_ORACLES)
+
+
+def q_time_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time-weighted averages per user over the events stream
+    (operators.relational.time_weighted_avg): LOCF-weighted means that
+    irregular sampling cannot bias — every bucket's weighted sum
+    oracle-checked (exact integer-µs spans, decimal-cast accumulation)."""
+    from tundradb_spark.operators.relational import time_weighted_avg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return time_weighted_avg(
+        ev, ROLLUP_BUCKET_US, "user_id", "value", tiebreak_col="event_id"
+    ).select(
+        F.col("key").cast("long").alias("user_id"),
+        F.col("bucket_start_us").cast("long").alias("bucket_start_us"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+        "twa",
+    )
+
+
+PARKED_QUERIES["q_time_twa"] = q_time_twa
+# same bucket floor, lead()-with-bucket-end segments, decimal(28,8)
+# weighted sum, double division, round 6 — every step mirrored
+PARKED_ORACLES["q_time_twa"] = f"""
+    WITH base AS (
+      SELECT user_id AS k, epoch_us(ts) AS us,
+             epoch_us(ts) - (((epoch_us(ts) % {ROLLUP_BUCKET_US})
+                              + {ROLLUP_BUCKET_US}) % {ROLLUP_BUCKET_US})
+               AS b,
+             value AS v, event_id AS tb
+      FROM events
+    ),
+    seg AS (
+      SELECT k, b, us, v,
+             coalesce(lead(us) OVER (PARTITION BY k, b
+                                     ORDER BY us ASC, tb ASC),
+                      b + {ROLLUP_BUCKET_US}) AS nxt,
+             min(us) OVER (PARTITION BY k, b) AS first_us
+      FROM base
+    )
+    SELECT CAST(k AS BIGINT) AS user_id,
+           CAST(b AS BIGINT) AS bucket_start_us,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           round(CAST(sum(CAST(v * (nxt - us) AS DECIMAL(28,8)))
+                      AS DOUBLE)
+                 / CAST(b + {ROLLUP_BUCKET_US} - min(first_us) AS DOUBLE),
+                 6) AS twa
+    FROM seg GROUP BY k, b
+"""

@@ -629,3 +629,45 @@ class TestMovingAggregate:
         df = spark.createDataFrame([(1, 0, 1.0)], "user_id long, ts long, value double")
         with pytest.raises(ValueError):
             moving_aggregate(df, -1, "user_id", "value")
+
+
+class TestTimeWeightedAvg:
+    def test_locf_weighting(self, spark):
+        from tundradb_spark.operators.relational import time_weighted_avg
+
+        # bucket [0, 100): v=10 holds [10, 60), v=20 holds [60, 100)
+        # twa = (10*50 + 20*40) / (100 - 10) = 900 / 90 = 10.0... wait:
+        # (500 + 800) / 90 = 14.444444
+        rows = [(1, 10_000, 10.0), (1, 60_000, 20.0)]
+        df = spark.createDataFrame(rows, "k long, ts long, v double")
+        out = time_weighted_avg(df, 100, "k", "v").collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n_obs"] == 2
+        assert r["twa"] == round((10 * 50 + 20 * 40) / 90, 6)
+
+    def test_single_observation_is_its_value(self, spark):
+        from tundradb_spark.operators.relational import time_weighted_avg
+
+        df = spark.createDataFrame(
+            [(1, 30_000, 42.5)], "k long, ts long, v double"
+        )
+        r = time_weighted_avg(df, 100, "k", "v").first()
+        assert r["twa"] == 42.5  # holds [30, 100) over span 70: 42.5*70/70
+
+    def test_unequal_sampling_beats_plain_avg(self, spark):
+        from tundradb_spark.operators.relational import time_weighted_avg
+
+        # v=0 held for 90% of the bucket, v=100 for 10%: plain avg says
+        # 50, TWA says ~11.1 — the irregular-sampling correction
+        rows = [(1, 0, 0.0), (1, 90_000, 100.0)]
+        df = spark.createDataFrame(rows, "k long, ts long, v double")
+        r = time_weighted_avg(df, 100, "k", "v").first()
+        assert r["twa"] == round((0 * 90 + 100 * 10) / 100, 6)
+
+    def test_validation(self, spark):
+        from tundradb_spark.operators.relational import time_weighted_avg
+
+        df = spark.createDataFrame([(1, 0, 1.0)], "k long, ts long, v double")
+        with pytest.raises(ValueError):
+            time_weighted_avg(df, 0, "k", "v")

@@ -810,3 +810,87 @@ def moving_aggregate(
             (F.sum(dec).over(w) / F.count(F.lit(1)).over(w)).cast("double"), 6
         ).alias("avg_window"),
     )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    bucket_us: int,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key, per-bucket TIME-WEIGHTED average with last-observation-
+    carried-forward weighting — the irregular-sampling mean (a sensor that
+    reports once an hour must not out-vote one reporting every second,
+    which is exactly what the plain AVG does).
+
+    Within each ``bucket_us`` bucket, an observation's value holds from
+    its timestamp until the next observation (or the bucket end), and
+
+        twa = Σ value_i · dt_i / (bucket_end − first_ts)
+
+    over that observed span.  All span arithmetic is exact integer µs;
+    the weighted sum is cast ``decimal(28,8)`` so it is partition-order
+    independent and any engine reproduces the rounded result bit-for-bit.
+    Within-timestamp ties resolve by ``tiebreak_col`` (the earlier row's
+    segment has zero width, so only the LAST value at a timestamp
+    contributes — deterministic given the tiebreak).
+
+    Plan shape: one hash shuffle on (key, bucket), one lead() window —
+    the :func:`time_bucket_rollup` discipline.  Output:
+    ``(key, bucket_start_us, n_obs, twa)``.
+    """
+    from pyspark.sql import Window
+
+    from tundradb_spark.functions.timecols import epoch_micros
+
+    if bucket_us <= 0:
+        raise ValueError(f"bucket_us must be > 0, got {bucket_us}")
+    us = epoch_micros(events, ts_col)
+    base = events.select(
+        F.col(key_col).alias("key"),
+        us.alias("us"),
+        (us - F.pmod(us, F.lit(bucket_us))).alias("bucket_start_us"),
+        F.col(value_col).cast("double").alias("v"),
+        *(
+            [F.col(tiebreak_col).alias("__tb")]
+            if tiebreak_col
+            else [F.lit(0).alias("__tb")]
+        ),
+    )
+    w = Window.partitionBy("key", "bucket_start_us").orderBy(
+        F.col("us").asc(), F.col("__tb").asc()
+    )
+    seg = base.select(
+        "key",
+        "bucket_start_us",
+        "us",
+        "v",
+        F.coalesce(
+            F.lead("us").over(w),
+            F.col("bucket_start_us") + F.lit(bucket_us),
+        ).alias("__next"),
+        F.min("us").over(
+            Window.partitionBy("key", "bucket_start_us")
+        ).alias("__first"),
+    )
+    dt = (F.col("__next") - F.col("us")).cast("long")
+    return (
+        seg.groupBy("key", "bucket_start_us")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(
+                (
+                    F.sum((F.col("v") * dt).cast("decimal(28,8)"))
+                    / (
+                        F.max(F.col("bucket_start_us"))
+                        + F.lit(bucket_us)
+                        - F.min("__first")
+                    ).cast("double")
+                ).cast("double"),
+                6,
+            ).alias("twa"),
+        )
+        .select("key", "bucket_start_us", "n_obs", "twa")
+    )
