@@ -2765,11 +2765,11 @@ PARKED_ORACLES["q_moving_agg"] = f"""
            CAST(us AS BIGINT) AS ts_us,
            v AS value,
            CAST(count(*) OVER w AS BIGINT) AS n_window,
-           CAST(sum(CAST(v AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           CAST(sum(CAST(v AS DECIMAL(30,10))) OVER w AS DOUBLE)
              AS sum_window,
            min(v) OVER w AS min_window,
            max(v) OVER w AS max_window,
-           round(CAST(sum(CAST(v AS DECIMAL(18,2))) OVER w
+           round(CAST(sum(CAST(v AS DECIMAL(30,10))) OVER w
                       / count(*) OVER w AS DOUBLE), 6) AS avg_window
     FROM (SELECT user_id, epoch_us(ts) AS us, value AS v FROM events)
     WINDOW w AS (PARTITION BY user_id ORDER BY us

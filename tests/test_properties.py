@@ -392,7 +392,10 @@ class TestMovingAggregateProperty:
             st.tuples(
                 st.integers(min_value=0, max_value=3),      # key
                 st.integers(min_value=0, max_value=50),     # ts (us after /1000)
-                st.integers(min_value=-99, max_value=99),   # value (int -> exact)
+                # value in centi-units: fractional (x/100 is 2dp, exactly
+                # representable in the decimal(30,10) sum — integers alone
+                # could not catch a sum that quantizes values)
+                st.integers(min_value=-9999, max_value=9999),
             ),
             min_size=1,
             max_size=25,
@@ -407,6 +410,7 @@ class TestMovingAggregateProperty:
     def test_matches_bruteforce(self, spark, rows, window_us):
         from tundradb_spark.operators.relational import moving_aggregate
 
+        rows = [(k, t, v / 100.0) for k, t, v in rows]
         df = spark.createDataFrame(
             [(k, t * 1000, float(v)) for k, t, v in rows],
             "user_id long, ts long, value double",
@@ -421,16 +425,26 @@ class TestMovingAggregateProperty:
             for r in moving_aggregate(df, window_us, "user_id", "value")
             .collect()
         }
-        # brute force per event: all same-key values in [t - w, t]
+        # brute force per event: all same-key values in [t - w, t].  The
+        # sum reference uses exact Decimal arithmetic — the operator's
+        # decimal(30,10) accumulation is EXACT for 2dp inputs, while a
+        # naive float sum (e.g. -0.01 + 0.03) drifts a few ulps
+        from decimal import Decimal
+
         for k, t, v in rows:
             frame = [
                 float(v2)
                 for k2, t2, v2 in rows
                 if k2 == k and t - window_us <= t2 <= t
             ]
+            exact = [
+                Decimal(str(v2))
+                for k2, t2, v2 in rows
+                if k2 == k and t - window_us <= t2 <= t
+            ]
             want = (
                 len(frame),
-                float(sum(frame)),
+                float(sum(exact)),
                 min(frame),
                 max(frame),
             )

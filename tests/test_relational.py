@@ -590,10 +590,8 @@ class TestMovingAggregate:
     def test_trailing_window_semantics(self, spark):
         from tundradb_spark.operators.relational import moving_aggregate
 
-        # key 1: events at t=0, 50, 120 (us); window=100us trailing
-        rows = [(1, 0, 10.0), (1, 50, 20.0), (1, 120, 30.0), (2, 60, 5.0)]
-        df = spark.createDataFrame(rows, "user_id long, ts long, value double")
-        # integer ts treated as raw nanos -> /1000 = us 0, 0, 0... use big gaps
+        # integer ts is treated as raw nanos (/1000 -> us), so use
+        # 1000x-scaled stamps; key 1 events land at us 0, 50, 120
         rows = [
             (1, 0, 10.0),
             (1, 50_000, 20.0),

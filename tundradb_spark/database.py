@@ -892,8 +892,11 @@ def _checkpoint(df: DataFrame) -> DataFrame:
         sc.defaultParallelism,
         int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8")),
     )
-    if df.rdd.getNumPartitions() > cap:
-        df = df.coalesce(cap)
+    # coalesce is lazy and never INCREASES partition count, so applying it
+    # unconditionally is a no-op below the cap — and skips the physical
+    # planning round-trip an rdd.getNumPartitions() probe would pay on
+    # every mutation
+    df = df.coalesce(cap)
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)

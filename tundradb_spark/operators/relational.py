@@ -774,9 +774,11 @@ def moving_aggregate(
 
     Plan shape: ONE hash shuffle on the key, then a RANGE window over the
     µs epoch — each key's partition is sorted once and every aggregate
-    rides the same frame.  The sum is cast ``decimal(18,2)`` inside the
+    rides the same frame.  The sum is cast ``decimal(30,10)`` inside the
     window so it is partition-order independent and any engine reproduces
-    it bit-for-bit (module float-determinism discipline).
+    it bit-for-bit (module float-determinism discipline); values are
+    thereby quantized to 10 decimal places in the sum/mean (min/max stay
+    full doubles).
 
     Output: ``(key, ts_us, value, n_window, sum_window, min_window,
     max_window, avg_window)`` — one row per input event.
@@ -797,7 +799,7 @@ def moving_aggregate(
         .orderBy(F.col("ts_us").asc())
         .rangeBetween(-window_us, 0)
     )
-    dec = F.col("value").cast("decimal(18,2)")
+    dec = F.col("value").cast("decimal(30,10)")
     return base.select(
         "key",
         "ts_us",

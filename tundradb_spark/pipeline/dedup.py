@@ -924,6 +924,10 @@ def incremental_dup_pairs_indexed(
     """
     r = num_hashes // bands
     if new_sigs is None:
+        if new_docs is None:
+            raise ValueError(
+                "incremental_dup_pairs_indexed needs new_docs or new_sigs"
+            )
         new_sigs = minhash_signature(
             new_docs, text_col, id_col, num_hashes, shingle_k, seed
         )

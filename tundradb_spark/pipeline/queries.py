@@ -222,26 +222,45 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(corpus, q, ANN_K)
 
 
-_LSH_INDEX_CACHE: (
-    "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]"
+
+_INDEX_DIR_CACHE: (
+    "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], str]]"
 ) = weakref.WeakKeyDictionary()
 
 
-def _lsh_index_dir(spark: SparkSession, sf_dir: str) -> str:
-    cached = _LSH_INDEX_CACHE.setdefault(spark, {})
-    if sf_dir not in cached:
+def _cached_index_dir(
+    spark: SparkSession, sf_dir: str, prefix: str, build
+) -> str:
+    """Session-scoped build-once temp directory for an on-disk index:
+    one (prefix, sf_dir) slot per SparkSession, built by ``build(path)``
+    on first use, removed at interpreter exit.  Shared by the LSH / PQ /
+    signature index rows so cache/cleanup semantics live in one place."""
+    cached = _INDEX_DIR_CACHE.setdefault(spark, {})
+    key = (prefix, sf_dir)
+    if key not in cached:
         import atexit
         import shutil
         import tempfile
 
-        path = tempfile.mkdtemp(prefix="tundra_lsh_index_")
+        path = tempfile.mkdtemp(prefix=f"tundra_{prefix}_index_")
         atexit.register(shutil.rmtree, path, ignore_errors=True)
-        corpus = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
-        similarity.index_corpus_lsh(
-            corpus, path, n_planes=EMBED_PLANES, band_bits=EMBED_BAND_BITS
-        )
-        cached[sf_dir] = path
-    return cached[sf_dir]
+        build(path)
+        cached[key] = path
+    return cached[key]
+
+
+def _lsh_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    return _cached_index_dir(
+        spark,
+        sf_dir,
+        "lsh",
+        lambda path: similarity.index_corpus_lsh(
+            _emb(spark, sf_dir).filter(F.col("vec_id") != 0),
+            path,
+            n_planes=EMBED_PLANES,
+            band_bits=EMBED_BAND_BITS,
+        ),
+    )
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,27 +348,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_M, PQ_CODES, PQ_REFINE, PQ_SEED = 8, 16, 200, 13
 
 
-_PQ_INDEX_CACHE: (
-    "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]"
-) = weakref.WeakKeyDictionary()
-
-
 def _pq_index_dir(spark: SparkSession, sf_dir: str) -> str:
-    cached = _PQ_INDEX_CACHE.setdefault(spark, {})
-    if sf_dir not in cached:
-        import atexit
-        import shutil
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix="tundra_pq_index_")
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
-        corpus = _emb(spark, sf_dir).filter(F.col("vec_id") != 0)
-        similarity.index_corpus_pq(
-            corpus, path, m=PQ_M, n_codes=PQ_CODES, seed=PQ_SEED,
+    return _cached_index_dir(
+        spark,
+        sf_dir,
+        "pq",
+        lambda path: similarity.index_corpus_pq(
+            _emb(spark, sf_dir).filter(F.col("vec_id") != 0),
+            path,
+            m=PQ_M,
+            n_codes=PQ_CODES,
+            seed=PQ_SEED,
             dim=EMBED_DIM,
-        )
-        cached[sf_dir] = path
-    return cached[sf_dir]
+        ),
+    )
 
 
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -961,29 +973,19 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 INC_NEW_MOD = 7
 
 
-_SIG_INDEX_CACHE: (
-    "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]"
-) = weakref.WeakKeyDictionary()
-
-
 def _sig_index_dir(spark: SparkSession, sf_dir: str) -> str:
     """The corpus slice's persisted banded-signature index (written once
     per session/sf — the write-side half a deployment maintains at
     ingest)."""
-    cached = _SIG_INDEX_CACHE.setdefault(spark, {})
-    if sf_dir not in cached:
-        import atexit
-        import shutil
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix="tundra_sig_index_")
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
-        corpus = _docs(spark, sf_dir).filter(
-            F.col("doc_id") % INC_NEW_MOD != 0
-        )
-        dedup.write_signature_index(corpus, path)
-        cached[sf_dir] = path
-    return cached[sf_dir]
+    return _cached_index_dir(
+        spark,
+        sf_dir,
+        "sig",
+        lambda path: dedup.write_signature_index(
+            _docs(spark, sf_dir).filter(F.col("doc_id") % INC_NEW_MOD != 0),
+            path,
+        ),
+    )
 
 
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -338,7 +338,7 @@ def index_corpus(
     save_quantizer(path, {
         "kind": "ivf", "n_cells": n_cells, "seed": seed,
         "centroids": centroids,  # None = seeded defaults
-    })
+    }, spark=emb.sparkSession)
     return path
 
 
@@ -418,7 +418,7 @@ def index_corpus_lsh(
     save_quantizer(path, {
         "kind": "lsh", "n_planes": n_planes,
         "band_bits": band_bits, "seed": seed,
-    })
+    }, spark=emb.sparkSession)
     return path
 
 
@@ -746,7 +746,7 @@ def index_corpus_pq(
     save_quantizer(path, {
         "kind": "pq", "m": m, "n_codes": n_codes,
         "seed": seed, "codebooks": codebooks,
-    })
+    }, spark=emb.sparkSession)
     return path
 
 
@@ -824,7 +824,7 @@ def index_corpus_ivfpq(
         "kind": "ivfpq", "n_cells": n_cells, "m": m,
         "n_codes": n_codes, "ivf_seed": ivf_seed,
         "pq_seed": pq_seed, "centroids": centroids,
-    })
+    }, spark=emb.sparkSession)
     return path
 
 
@@ -1157,36 +1157,70 @@ def ivf_ann_topk_batch(
 # ---------------------------------------------------------------------------
 
 _QUANTIZER_FILE = "_quantizer.json"
+_QUANTIZER_DIR = "_quantizer"
 
 
-def save_quantizer(path: str, meta: dict) -> str:
+def _is_local(path: str) -> bool:
+    return "://" not in path or path.startswith("file:")
+
+
+def save_quantizer(path: str, meta: dict, spark=None) -> str:
     """Persist an index's quantizer description (kind, parameters, and —
     for trained quantizers — the centroids/codebooks themselves) as a
     JSON sidecar inside the index directory.  The index becomes
     self-describing: a reader that did not run the training recovers the
     EXACT probe configuration with :func:`load_quantizer` instead of
-    trusting call-site defaults to match the write-side."""
+    trusting call-site defaults to match the write-side.
+
+    Local paths get a plain ``_quantizer.json`` file.  For any other
+    Hadoop filesystem URI (s3a://, hdfs://, …) the JSON is written as a
+    one-row Spark TEXT dataset under ``_quantizer/`` — the leading
+    underscore keeps both shapes invisible to the index's parquet reader,
+    and the write goes through the SAME filesystem the index itself uses
+    (a driver-local ``open()`` against an object-store URI would silently
+    write a literal local directory instead)."""
     import json
     import os
 
-    os.makedirs(path, exist_ok=True)
-    p = os.path.join(path, _QUANTIZER_FILE)
-    with open(p, "w") as f:
-        json.dump(meta, f)
+    payload = json.dumps(meta)
+    if _is_local(path):
+        os.makedirs(path, exist_ok=True)
+        p = os.path.join(path, _QUANTIZER_FILE)
+        with open(p, "w") as f:
+            f.write(payload)
+        return p
+    if spark is None:
+        raise ValueError(
+            f"save_quantizer needs a SparkSession for non-local path {path!r}"
+        )
+    p = path.rstrip("/") + "/" + _QUANTIZER_DIR
+    spark.createDataFrame([(payload,)], "v string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(p)
     return p
 
 
-def load_quantizer(path: str) -> dict | None:
+def load_quantizer(path: str, spark=None) -> dict | None:
     """The quantizer sidecar written by the ``index_corpus*`` writers, or
-    ``None`` for a pre-r6 index directory without one."""
+    ``None`` for an index directory without one."""
     import json
     import os
 
-    p = os.path.join(path, _QUANTIZER_FILE)
-    if not os.path.exists(p):
+    if _is_local(path):
+        p = os.path.join(path, _QUANTIZER_FILE)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+    if spark is None:
+        raise ValueError(
+            f"load_quantizer needs a SparkSession for non-local path {path!r}"
+        )
+    try:
+        rows = spark.read.text(path.rstrip("/") + "/" + _QUANTIZER_DIR).collect()
+    except Exception:
         return None
-    with open(p) as f:
-        return json.load(f)
+    return json.loads(rows[0]["value"]) if rows else None
 
 
 def lsh_ann_topk_batch(

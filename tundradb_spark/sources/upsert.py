@@ -79,15 +79,23 @@ def upsert_keyed(
     """
     if BUCKET_COL in updates.columns:
         raise ValueError(f"updates may not carry a '{BUCKET_COL}' column")
-    dup = updates.groupBy(key).count().filter(F.col("count") > 1).limit(1).count()
-    if dup:
+    staged = updates.withColumn(BUCKET_COL, _bucket(key, n_buckets))
+    # ONE job yields both the touched-bucket list (bounded by n_buckets)
+    # and the duplicate-key check — no extra action on the mutation path
+    stats = (
+        staged.groupBy(BUCKET_COL, key)
+        .count()
+        .groupBy(BUCKET_COL)
+        .agg(F.max("count").alias("__mx"))
+        .collect()
+    )
+    if any(r["__mx"] > 1 for r in stats):
         raise ValueError(
             f"updates batch contains duplicate '{key}' values — the keyed "
             "table holds one row per key; dedupe the batch (pick a "
             "last-wins ordering) before upserting"
         )
-    staged = updates.withColumn(BUCKET_COL, _bucket(key, n_buckets))
-    touched = [r[BUCKET_COL] for r in staged.select(BUCKET_COL).distinct().collect()]
+    touched = [r[BUCKET_COL] for r in stats]
     if not touched:
         return 0
     existing = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(touched))

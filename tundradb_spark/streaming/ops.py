@@ -509,10 +509,25 @@ def stream_ingest_dedup(
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        import glob as _glob
-
-        have_corpus = bool(_glob.glob(f"{sig_path}/*"))
+        # bootstrap probe: try/except the read, NOT a driver-local glob —
+        # sig_path may be any Hadoop filesystem (s3a://, hdfs://), where a
+        # local listing would silently disable corpus dedup forever
+        try:
+            corpus_cols = spark.read.parquet(sig_path).columns
+            have_corpus = True
+        except Exception:
+            have_corpus = False
         survivors = batch
+        if have_corpus and "band_key" not in corpus_cols:
+            # pre-r6 flat layout ((id, sig) rows, epoch-only partitions):
+            # refuse loudly with the migration step instead of dying on an
+            # unresolved-column AnalysisException mid-stream
+            raise ValueError(
+                f"signature table at {sig_path!r} uses the pre-r6 flat "
+                "layout; rebuild it in the banded shape "
+                "(dedup.write_signature_index / banded_signatures) before "
+                "resuming the stream"
+            )
         if have_corpus:
             dup_new = incremental_dup_pairs_indexed(
                 spark,
