@@ -1775,3 +1775,28 @@ class TestBatchLsh:
         df = lsh_ann_topk_batch(corpus, queries, k=4)
         audit.assert_broadcast(df, at_least=1)
         audit.assert_no_nested_loop(df)
+
+
+def test_ann_recall_batch(spark):
+    from tundradb_spark.pipeline.similarity import (
+        ann_recall_batch,
+        ivf_ann_topk_batch,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter("vec_id >= 10")
+    queries = emb.filter("vec_id < 3").selectExpr(
+        "vec_id as query_id", "embedding"
+    )
+    exact = ivf_ann_topk_batch(corpus, queries, k=4, n_probe=16)  # all cells
+    approx = ivf_ann_topk_batch(corpus, queries, k=4, n_probe=2)
+    out = {
+        r["query_id"]: (r["n_hits"], r["recall"])
+        for r in ann_recall_batch(exact, approx, 4).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    for qid, (hits, rec) in out.items():
+        assert 0 <= hits <= 4 and rec == round(hits / 4, 4)
+    # identity: approx == exact gives recall 1.0 everywhere
+    perfect = ann_recall_batch(exact, exact, 4).collect()
+    assert all(r["recall"] == 1.0 for r in perfect)

@@ -1327,3 +1327,49 @@ def lsh_ann_topk_batch(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ann_recall_batch(
+    exact_batch: DataFrame,
+    approx_batch: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Per-query recall@k for BATCH ANN results: join the approximate
+    (query, neighbor) pairs against the exact ones and count hits per
+    query — :func:`ann_recall` generalized over the query dimension, one
+    equi-join + one grouped aggregate.  Feed it
+    :func:`ivf_ann_topk_batch` / :func:`lsh_ann_topk_batch` output
+    against an exact batch (e.g. `ivf_ann_topk_batch` with
+    ``n_probe=n_cells``).  Returns ``(query_id, k, n_hits, recall)``,
+    one row per query appearing in either input.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    hits = approx_batch.select(query_id_col, id_col).join(
+        exact_batch.select(query_id_col, id_col),
+        [query_id_col, id_col],
+        "inner",
+    )
+    qids = (
+        exact_batch.select(query_id_col)
+        .union(approx_batch.select(query_id_col))
+        .distinct()
+    )
+    counted = hits.groupBy(query_id_col).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        qids.join(counted, query_id_col, "left")
+        .select(
+            query_id_col,
+            F.lit(k).cast("long").alias("k"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.lit(float(k)),
+                4,
+            ).alias("recall"),
+        )
+    )
