@@ -59,8 +59,10 @@ q_temporal_before (complement of q_temporal_asof), q_dedup_ngram
 q_ql_analytics), and the single-operator halves of the merged rows.
 New r6 operators join PARKED (window already full): q_corpus_report
 (composition oracle), q_domain_cap (per-key quota), q_moving_agg
-(trailing RANGE-window aggregates), q_ann_pq_trained (Lloyd-trained
-codebooks, exact-degradation oracle).
+(trailing RANGE-window aggregates), q_time_twa (time-weighted average),
+q_ann_pq_trained (Lloyd-trained codebooks, exact-degradation oracle),
+q_ann_batch / q_ann_lsh_batch (whole-query-set ANN, broadcast co-join
+plans) — every one oracle-bearing and CI-checked like the rest.
 """
 
 from __future__ import annotations
