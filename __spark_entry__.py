@@ -2854,3 +2854,87 @@ PARKED_ORACLES["q_time_twa"] = f"""
                  6) AS twa
     FROM seg GROUP BY k, b
 """
+
+
+LTTB_N_OUT = 40
+
+
+def q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling per user over the events stream
+    (operators.relational.downsample_lttb, parallel bucket-mean variant):
+    each user's series reduced to 40 visually-representative points —
+    every surviving (ts, value) oracle-checked."""
+    from tundradb_spark.operators.relational import downsample_lttb
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return downsample_lttb(
+        ev, LTTB_N_OUT, "user_id", "value", tiebreak_col="event_id"
+    ).select(
+        F.col("key").cast("long").alias("user_id"),
+        F.col("ts_us").cast("long").alias("ts_us"),
+        "value",
+    )
+
+
+PARKED_QUERIES["q_lttb"] = q_lttb
+# same rank bucketing (explicit floor — DuckDB's double->int cast ROUNDS
+# where Spark's truncates), exact-sum/one-division anchor means, same
+# area formula, (area desc, rank asc) argmax
+PARKED_ORACLES["q_lttb"] = f"""
+    WITH base AS (
+      SELECT user_id AS k, epoch_us(ts) AS us, value AS v, event_id AS tb
+      FROM events
+    ),
+    ranked AS (
+      SELECT k, us, v,
+             row_number() OVER (PARTITION BY k ORDER BY us, tb) AS r,
+             count(*) OVER (PARTITION BY k) AS n
+      FROM base
+    ),
+    small AS (SELECT k, us, v FROM ranked WHERE n <= {LTTB_N_OUT}),
+    big AS (SELECT * FROM ranked WHERE n > {LTTB_N_OUT}),
+    ends AS (
+      SELECT k, us, v,
+             CASE WHEN r = 1 THEN -1 ELSE {LTTB_N_OUT - 2} END AS b
+      FROM big WHERE r = 1 OR r = n
+    ),
+    interior AS (
+      SELECT k, us, v, r,
+             CAST(floor(CAST((r - 2) * {LTTB_N_OUT - 2} AS DOUBLE)
+                        / CAST(n - 2 AS DOUBLE)) AS BIGINT) AS b
+      FROM big WHERE r > 1 AND r < n
+    ),
+    bstats AS (
+      SELECT k, b,
+             CAST(sum(CAST(us AS DECIMAL(28,0))) AS DOUBLE) / count(*)
+               AS bx,
+             CAST(sum(CAST(v AS DECIMAL(30,10))) AS DOUBLE) / count(*)
+               AS by
+      FROM interior GROUP BY k, b
+      UNION ALL
+      SELECT k, b, CAST(us AS DOUBLE), v FROM ends
+    ),
+    anchors AS (
+      SELECT k, b,
+             lag(bx) OVER w AS lx, lag(by) OVER w AS ly,
+             lead(bx) OVER w AS rx, lead(by) OVER w AS ry
+      FROM bstats
+      WINDOW w AS (PARTITION BY k ORDER BY b)
+    ),
+    picked AS (
+      SELECT i.k, i.us, i.v
+      FROM interior i JOIN anchors a ON i.k = a.k AND i.b = a.b
+      WHERE a.b >= 0 AND a.b < {LTTB_N_OUT - 2}
+      QUALIFY row_number() OVER (
+        PARTITION BY i.k, i.b
+        ORDER BY abs((a.lx - a.rx) * (i.v - a.ly)
+                     - (a.lx - CAST(i.us AS DOUBLE)) * (a.ry - a.ly)) DESC,
+                 i.r ASC) = 1
+    )
+    SELECT CAST(k AS BIGINT) AS user_id, CAST(us AS BIGINT) AS ts_us, v AS value
+    FROM (
+      SELECT * FROM small
+      UNION ALL SELECT k, us, v FROM ends
+      UNION ALL SELECT * FROM picked
+    )
+"""

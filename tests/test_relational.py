@@ -669,3 +669,96 @@ class TestTimeWeightedAvg:
         df = spark.createDataFrame([(1, 0, 1.0)], "k long, ts long, v double")
         with pytest.raises(ValueError):
             time_weighted_avg(df, 0, "k", "v")
+
+
+def _lttb_reference(points, n_out):
+    """Pure-Python mirror of downsample_lttb's parallel bucket-mean
+    variant: same rank bucketing, same exact-sum/one-division anchor
+    means, same area formula and (area desc, rank asc) argmax."""
+    from decimal import Decimal
+
+    pts = sorted(points)  # (ts, tb, value) — ranks by (ts, tb)
+    n = len(pts)
+    if n <= n_out:
+        return sorted((t, v) for t, _tb, v in pts)
+    nb = n_out - 2
+    first, last = pts[0], pts[-1]
+    interior = pts[1:-1]
+    buckets = {}
+    for idx, p in enumerate(interior):  # idx = rank-2
+        b = int(idx * nb / (n - 2))
+        buckets.setdefault(b, []).append((idx, p))
+    anchors = {}
+    for b, members in buckets.items():
+        sx = sum(t for _i, (t, _tb, _v) in members)
+        sy = sum(Decimal(str(v)) for _i, (_t, _tb, v) in members)
+        anchors[b] = (float(sx) / len(members), float(sy) / len(members))
+    anchors[-1] = (float(first[0]), first[2])
+    anchors[nb] = (float(last[0]), last[2])
+    out = [(first[0], first[2]), (last[0], last[2])]
+    for b, members in buckets.items():
+        lx, ly = anchors[b - 1]
+        rx, ry = anchors[b + 1]
+        best = None
+        for idx, (t, _tb, v) in members:
+            area = abs((lx - rx) * (v - ly) - (lx - float(t)) * (ry - ly))
+            key = (-area, idx)
+            if best is None or key < best[0]:
+                best = (key, (t, v))
+        out.append(best[1])
+    return sorted(out)
+
+
+class TestDownsampleLttb:
+    def test_small_series_pass_through(self, spark):
+        from tundradb_spark.operators.relational import downsample_lttb
+
+        rows = [(1, t * 1000, float(t)) for t in range(5)]
+        df = spark.createDataFrame(rows, "k long, ts long, v double")
+        out = sorted(
+            (r["ts_us"], r["value"])
+            for r in downsample_lttb(df, 10, "k", "v").collect()
+        )
+        assert out == [(t, float(t)) for t in range(5)]
+
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from tundradb_spark.operators.relational import downsample_lttb
+
+        rng = random.Random(7)
+        rows = []
+        for k in (1, 2):
+            for i in range(60):
+                rows.append(
+                    (k, i * 1000, round(rng.uniform(-10, 10), 2), i)
+                )
+        df = spark.createDataFrame(
+            rows, "k long, ts long, v double, eid long"
+        )
+        got = {}
+        for r in downsample_lttb(df, 12, "k", "v", tiebreak_col="eid").collect():
+            got.setdefault(r["key"], []).append((r["ts_us"], r["value"]))
+        for k in (1, 2):
+            pts = [(t, eid, v) for k2, t2, v, eid in rows if k2 == k
+                   for t in [t2 // 1000]]
+            want = _lttb_reference(pts, 12)
+            assert sorted(got[k]) == want, f"key {k}"
+
+    def test_output_size_and_endpoints(self, spark):
+        from tundradb_spark.operators.relational import downsample_lttb
+
+        rows = [(1, t * 1000, float(t % 7)) for t in range(100)]
+        df = spark.createDataFrame(rows, "k long, ts long, v double")
+        out = sorted(
+            r["ts_us"] for r in downsample_lttb(df, 10, "k", "v").collect()
+        )
+        assert len(out) == 10
+        assert out[0] == 0 and out[-1] == 99
+
+    def test_validation(self, spark):
+        from tundradb_spark.operators.relational import downsample_lttb
+
+        df = spark.createDataFrame([(1, 0, 1.0)], "k long, ts long, v double")
+        with pytest.raises(ValueError):
+            downsample_lttb(df, 2, "k", "v")

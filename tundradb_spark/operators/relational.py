@@ -896,3 +896,136 @@ def time_weighted_avg(
         )
         .select("key", "bucket_start_us", "n_obs", "twa")
     )
+
+
+def downsample_lttb(
+    events: DataFrame,
+    n_out: int,
+    key_col: str,
+    value_col: str,
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling per key (Steinarsson
+    2013) — reduce each key's series to ``n_out`` visually-representative
+    points: first and last always survive; interior points split into
+    ``n_out − 2`` equal-COUNT buckets (rank-based, the classic LTTB
+    bucketing) and each bucket keeps the point forming the largest
+    triangle with its neighbor anchors.
+
+    **Parallel variant**: the left anchor is the PREVIOUS BUCKET'S
+    AVERAGE, not the previously selected point — classic LTTB's selection
+    is sequential (bucket i needs bucket i−1's winner), which would
+    serialize a distributed pass; with bucket-mean anchors every bucket
+    selects independently (both anchors are averages, as classic LTTB
+    already does for the right one).  Deterministic: per-key ranks order
+    by (ts, tiebreak), bucket sums are decimal-cast (order-free), area
+    argmax ties resolve by rank.
+
+    Series with ≤ ``n_out`` points pass through untouched.  Plan shape:
+    one per-key rank window, one (key, bucket) aggregate, lag/lead over
+    the TINY bucket frame, one join back, one per-bucket argmax window —
+    everything keyed, nothing global.
+
+    Output: ``(key, ts_us, value)`` — the surviving points.
+    """
+    from pyspark.sql import Window
+
+    from tundradb_spark.functions.timecols import epoch_micros
+
+    if n_out < 3:
+        raise ValueError(f"n_out must be >= 3, got {n_out}")
+    nb = n_out - 2
+    base = events.select(
+        F.col(key_col).alias("key"),
+        epoch_micros(events, ts_col).alias("ts_us"),
+        F.col(value_col).cast("double").alias("value"),
+        *(
+            [F.col(tiebreak_col).alias("__tb")]
+            if tiebreak_col
+            else [F.lit(0).alias("__tb")]
+        ),
+    )
+    wrank = Window.partitionBy("key").orderBy(
+        F.col("ts_us").asc(), F.col("__tb").asc()
+    )
+    ranked = base.select(
+        "key",
+        "ts_us",
+        "value",
+        F.row_number().over(wrank).alias("__r"),
+        F.count(F.lit(1)).over(Window.partitionBy("key")).alias("__n"),
+    ).localCheckpoint(eager=True)  # ranks reused by three branches
+    small = ranked.filter(F.col("__n") <= n_out).select(
+        "key", "ts_us", "value"
+    )
+    big = ranked.filter(F.col("__n") > n_out)
+    # endpoints pass through; interior ranks 2..n-1 bucket by POSITION
+    ends = big.filter(
+        (F.col("__r") == 1) | (F.col("__r") == F.col("__n"))
+    )
+    interior = big.filter(
+        (F.col("__r") > 1) & (F.col("__r") < F.col("__n"))
+    ).withColumn(
+        "__b",
+        (
+            (F.col("__r") - 2).cast("long") * nb
+            / (F.col("__n") - 2).cast("long")
+        ).cast("long"),
+    )
+    # bucket anchors: decimal-exact means; bucket -1 / nb are the
+    # endpoints themselves (single points), spliced in via union
+    # anchor means: EXACT integer/decimal sums cast to double, then ONE
+    # IEEE division — partition-order independent AND bit-reproducible by
+    # any engine (float(sum_exact) / count)
+    bstats = (
+        interior.groupBy("key", "__b")
+        .agg(
+            (
+                F.sum(F.col("ts_us").cast("decimal(28,0)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("bx"),
+            (
+                F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("by"),
+        )
+        .unionByName(
+            ends.select(
+                "key",
+                F.when(F.col("__r") == 1, F.lit(-1))
+                .otherwise(F.lit(nb))
+                .cast("long")
+                .alias("__b"),
+                F.col("ts_us").cast("double").alias("bx"),
+                F.col("value").alias("by"),
+            )
+        )
+    )
+    wb = Window.partitionBy("key").orderBy(F.col("__b").asc())
+    anchors = bstats.select(
+        "key",
+        "__b",
+        F.lag("bx").over(wb).alias("lx"),
+        F.lag("by").over(wb).alias("ly"),
+        F.lead("bx").over(wb).alias("rx"),
+        F.lead("by").over(wb).alias("ry"),
+    ).filter((F.col("__b") >= 0) & (F.col("__b") < nb))
+    area = F.abs(
+        (F.col("lx") - F.col("rx")) * (F.col("value") - F.col("ly"))
+        - (F.col("lx") - F.col("ts_us").cast("double"))
+        * (F.col("ry") - F.col("ly"))
+    )
+    wsel = Window.partitionBy("key", "__b").orderBy(
+        F.desc("__area"), F.asc("__r")
+    )
+    picked = (
+        interior.join(anchors, ["key", "__b"])
+        .withColumn("__area", area)
+        .withColumn("__rn", F.row_number().over(wsel))
+        .filter(F.col("__rn") == 1)
+        .select("key", "ts_us", "value")
+    )
+    return small.unionByName(ends.select("key", "ts_us", "value")).unionByName(
+        picked
+    )
