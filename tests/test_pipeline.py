@@ -1800,3 +1800,31 @@ def test_ann_recall_batch(spark):
     # identity: approx == exact gives recall 1.0 everywhere
     perfect = ann_recall_batch(exact, exact, 4).collect()
     assert all(r["recall"] == 1.0 for r in perfect)
+
+
+class TestSplitCorpus:
+    def test_disjoint_exhaustive_deterministic(self, spark):
+        from tundradb_spark.pipeline.sampling import split_corpus
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        splits = {"train": 8000, "val": 1000, "test": 1000}
+        a = split_corpus(docs, splits)
+        counts = {r["split"]: r["count"] for r in a.groupBy("split").count().collect()}
+        assert set(counts) <= {"train", "val", "test"}
+        assert sum(counts.values()) == docs.count()  # exhaustive, disjoint
+        # rough proportions at 500 docs
+        assert counts["train"] > counts.get("val", 0)
+        # rerun + repartition give the identical assignment
+        b = split_corpus(docs.repartition(7), splits)
+        assert sorted(
+            map(tuple, a.select("doc_id", "split").collect())
+        ) == sorted(map(tuple, b.select("doc_id", "split").collect()))
+
+    def test_validation(self, spark):
+        from tundradb_spark.pipeline.sampling import split_corpus
+
+        docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            split_corpus(docs, {"train": 9000, "val": 500})
+        with pytest.raises(ValueError):
+            split_corpus(docs, {"train": 11000, "val": -1000})

@@ -2991,3 +2991,39 @@ QUALIFY row_number() OVER (PARTITION BY query_id
 
 PARKED_PIPELINE_QUERIES["q_ann_lsh_batch"] = q_ann_lsh_batch
 PARKED_PIPELINE_ORACLES["q_ann_lsh_batch"] = _lsh_batch_sql()
+
+
+SPLIT_BP = {"train": 8000, "val": 1000, "test": 1000}
+
+
+def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (sampling.split_corpus):
+    every document's split label value-checked against the hash-coin
+    oracle — the no-leakage split a training pipeline runs last."""
+    from tundradb_spark.pipeline.sampling import split_corpus
+
+    return split_corpus(_docs(spark, sf_dir), SPLIT_BP).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "split"
+    )
+
+
+def _split_oracle_sql() -> str:
+    from tundradb_spark.pipeline.hashing import h32_sql
+
+    arg = "'97:' || CAST(doc_id AS VARCHAR)"
+    coin = f"({h32_sql(arg)}) % 10000"
+    cases, lo = [], 0
+    for label, bp in sorted(SPLIT_BP.items()):
+        hi = lo + bp
+        cases.append(f"WHEN {coin} >= {lo} AND {coin} < {hi} THEN '{label}'")
+        lo = hi
+    whens = " ".join(cases)
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CASE {whens} END AS split
+        FROM documents
+    """
+
+
+PARKED_PIPELINE_QUERIES["q_split"] = q_split
+PARKED_PIPELINE_ORACLES["q_split"] = _split_oracle_sql()

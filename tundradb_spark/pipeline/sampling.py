@@ -422,3 +422,44 @@ def cap_per_key(
         .filter(F.col("__rank") <= n)
         .drop("__rank")
     )
+
+
+def split_corpus(
+    docs: DataFrame,
+    splits: dict[str, int],
+    id_col: str = "doc_id",
+    seed: int = 97,
+) -> DataFrame:
+    """Deterministic disjoint corpus split — the train/validation/test
+    assignment step: each row gets exactly one split label from its
+    content-hash coin, so the SAME document lands in the SAME split on
+    any engine, partitioning, or rerun (and documents can never leak
+    between splits across reruns — the property ``df.randomSplit``
+    cannot give you).
+
+    ``splits``: label → basis points (must sum to exactly 10000; order
+    of assignment is label-sorted so the mapping is unambiguous).  Adds a
+    ``split`` column; filter on it for each side.  Pure narrow
+    projection — no shuffle, pushes to the scan like every hash-coin
+    sampler here.
+    """
+    total = sum(splits.values())
+    if total != 10000:
+        raise ValueError(
+            f"split basis points must sum to 10000, got {total}: {splits}"
+        )
+    if any(bp < 0 for bp in splits.values()):
+        raise ValueError(f"split basis points must be >= 0: {splits}")
+    coin = sample_hash_col(id_col, seed)
+    expr = None
+    lo = 0
+    for label, bp in sorted(splits.items()):
+        hi = lo + bp
+        cond = (coin >= F.lit(lo)) & (coin < F.lit(hi))
+        expr = (
+            F.when(cond, F.lit(label))
+            if expr is None
+            else expr.when(cond, F.lit(label))
+        )
+        lo = hi
+    return docs.withColumn("split", expr)
