@@ -1,7 +1,11 @@
 """Driver-contract invariants: the registry shape the CORRECTNESS gate
 depends on, pinned so a rotation edit cannot silently break it."""
 
+import pytest
+
 import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_window_is_exactly_50_oracle_bearing_rows():
@@ -17,4 +21,39 @@ def test_parked_registry_is_oracle_consistent():
     assert set(pq) == set(po), set(pq) ^ set(po)
     assert not set(pq) & set(entry.queries()), (
         "a query may not be seated AND parked"
+    )
+
+
+def _flat_types(dt):
+    """dt + every nested dataType (struct fields only — a top-level
+    Array/Map is the failure class regardless of its element type)."""
+    from pyspark.sql import types as T
+
+    yield dt
+    if isinstance(dt, T.StructType):
+        for f in dt.fields:
+            yield from _flat_types(f.dataType)
+
+
+@pytest.mark.parametrize("name", sorted(entry.queries()))
+def test_seated_schema_is_driver_canonicalizable(spark, name):
+    """No seated query may return Array/Map (or struct-of-them) columns:
+    the driver's pandas canonicalizer sorts+hashes cell values and dies
+    on unhashable list/dict cells (r6's one red row, q_encode, was
+    exactly this — correct values, uncheckable shape).  Digest such
+    columns to a scalar (see q_encode's ids_md5) before seating."""
+    from pyspark.sql import types as T
+
+    df = entry.queries()[name](spark, SF_DIR)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if any(
+            isinstance(t, (T.ArrayType, T.MapType))
+            for t in _flat_types(f.dataType)
+        )
+    ]
+    assert not bad, (
+        f"{name}: driver-unhashable Array/Map columns {bad} — digest them "
+        "to scalars before seating (driver canonicalizer contract)"
     )

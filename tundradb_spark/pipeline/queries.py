@@ -1133,13 +1133,24 @@ def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-id encoding (text.encode_tokens) of every document against
-    the q_vocab vocabulary (OOV → −1) — order-exact id arrays
-    value-checked per document."""
+    the q_vocab vocabulary (OOV → −1) — the order-exact id array is
+    value-checked per document THROUGH a scalar digest (md5 of the
+    comma-joined ids: covers both content and order), because the
+    driver's pandas canonicalizer cannot sort/hash list cells (r6
+    verdict item 1; the raw-array shape was the one red r6 row).  The
+    registry invariant in tests/test_contract.py now forbids Array/Map
+    columns in any seated query's schema."""
     from tundradb_spark.pipeline.text import build_vocab, encode_tokens
 
     docs = _docs(spark, sf_dir)
     vocab = build_vocab(docs, min_df=VOCAB_MIN_DF, max_vocab=VOCAB_MAX)
-    return encode_tokens(docs, vocab)
+    return encode_tokens(docs, vocab).select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.concat_ws(",", F.col("ids").cast("array<string>"))).alias(
+            "ids_md5"
+        ),
+    )
 
 
 WSAMPLE_K, WSAMPLE_SEED = 25, 7
@@ -2550,7 +2561,8 @@ j AS (
   SELECT p.doc_id, p.pos, CAST(coalesce(v.tok_id, -1) AS BIGINT) AS tid
   FROM p LEFT JOIN vocab v ON p.token = v.token
 )
-SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens, ids
+SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+       md5(array_to_string(ids, ',')) AS ids_md5
 FROM (SELECT doc_id, list(tid ORDER BY pos) AS ids FROM j GROUP BY doc_id)
 """
 
