@@ -2725,13 +2725,17 @@ for _n in _PARK_R6_ENGINE:
     PARKED_QUERIES[_n] = QUERIES.pop(_n)
     PARKED_ORACLES[_n] = ORACLES.pop(_n)
 
-assert len(QUERIES) == 50 and set(QUERIES) == set(ORACLES), (
-    len(QUERIES),
-    set(QUERIES) ^ set(ORACLES),
-)
-assert set(PARKED_QUERIES) == set(PARKED_ORACLES), (
-    set(PARKED_QUERIES) ^ set(PARKED_ORACLES)
-)
+# explicit raises, not asserts — python -O would compile asserts out and
+# let a malformed rotation reach the driver silently
+if len(QUERIES) != 50 or set(QUERIES) != set(ORACLES):
+    raise RuntimeError(
+        f"rotation broke the 50-slot window: {len(QUERIES)} seated, "
+        f"query/oracle diff {set(QUERIES) ^ set(ORACLES)}"
+    )
+if set(PARKED_QUERIES) != set(PARKED_ORACLES):
+    raise RuntimeError(
+        f"parked query/oracle diff: {set(PARKED_QUERIES) ^ set(PARKED_ORACLES)}"
+    )
 
 
 MOVING_WINDOW_US = 3_600_000_000  # 1 hour trailing

@@ -187,9 +187,11 @@ def main() -> None:
     noisy = {
         n: s for n, s in spread.items() if n not in HEAVY and s >= 1.0
     }
-    assert not noisy, (
-        f"non-heavy spread >= 1s (warmup is leaking one-time work): {noisy}"
-    )
+    if noisy:  # explicit raise — a bare assert vanishes under python -O
+        raise RuntimeError(
+            f"non-heavy spread >= 1s (warmup is leaking one-time work): "
+            f"{noisy}"
+        )
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(ordered.values()), 3),

@@ -1660,11 +1660,11 @@ class TestPqTrain:
         emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
         a = pq_train(emb, m=4, n_codes=4, iters=1, dim=64)
         b = pq_train(emb.repartition(5), m=4, n_codes=4, iters=1, dim=64)
-        assert a == b  # partitioning-independent (avg over exact doubles…
-        # …is NOT order-free in general, but the collect-side dict fill is
-        # keyed, and Spark's avg of the same value set at 6dp inputs is
-        # stable across these partitionings for this corpus; equality here
-        # pins the determinism CONTRACT the docstring claims)
+        assert a == b  # partitioning-independent BY CONSTRUCTION (r7):
+        # codeword means are decimal(30,10) sums / count with one final
+        # double division — order-free for any corpus and any cluster
+        # layout, not merely stable for this one (F.avg over raw doubles,
+        # the pre-r7 shape, was partition-order dependent)
         for book in a:
             for cw in book:
                 assert abs(sum(x * x for x in cw) - 1.0) < 1e-9

@@ -531,3 +531,19 @@ def test_index_sidecar_describes_probe_config(spark, tmp_path):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     # pre-r6 dirs without a sidecar read as None
     assert similarity.load_quantizer(str(tmp_path)) is None
+
+
+def test_quantizer_sidecar_file_uri_lands_in_index_dir(tmp_path):
+    # r7 (advice): 'file:' URIs are local to Spark's parquet writer, so
+    # the sidecar must land in the SAME directory — the raw string handed
+    # to os.makedirs would create a cwd-relative './file:/…' dir instead
+    import os
+
+    from tundradb_spark.pipeline import similarity
+
+    d = str(tmp_path / "idx")
+    for uri in (f"file:{d}", f"file://{d}"):
+        similarity.save_quantizer(uri, {"kind": "lsh", "planes": 8})
+        assert os.path.exists(os.path.join(d, "_quantizer.json"))
+        assert similarity.load_quantizer(uri) == {"kind": "lsh", "planes": 8}
+        assert not os.path.exists(f"./file:{d}")

@@ -790,6 +790,61 @@ class TestIngestDedupWithinBatchNear:
         assert sig_ids == [1, 3]
 
 
+class TestIngestDedupReplay:
+    def test_partial_sig_epoch_from_failed_attempt_is_replaced(
+        self, spark, tmp_path
+    ):
+        """r7 (advice): a crash mid-sig-write leaves partial epoch=E
+        signature leaves; the replayed probe must NOT self-match against
+        them (that would drop the batch's own docs and strand phantom
+        signatures for documents absent from out_path).  The sink deletes
+        the epoch=E subtree before probing, so the replay sees exactly
+        what the original attempt saw."""
+        import shutil
+
+        from tundradb_spark.streaming import stream_ingest_dedup
+
+        schema = "doc_id long, text string"
+        doc1 = (1, "alpha beta gamma delta epsilon zeta eta theta " * 4)
+        doc2 = (2, "one two three four five six seven eight nine " * 4)
+
+        # fabricate the failed attempt: run the real sink over doc1 only,
+        # then transplant its epoch=0 signature leaves as the partial state
+        scratch = {k: str(tmp_path / f"s_{k}") for k in ("src", "out", "sig", "ck")}
+        os.makedirs(scratch["src"])
+        spark.createDataFrame([doc1], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(scratch["src"])
+        st = spark.readStream.schema(schema).parquet(scratch["src"])
+        q = stream_ingest_dedup(st, scratch["out"], scratch["sig"], scratch["ck"])
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "out")
+        sig = str(tmp_path / "sig")
+        ckpt = str(tmp_path / "ck")
+        os.makedirs(src)
+        shutil.copytree(f"{scratch['sig']}/epoch=0", f"{sig}/epoch=0")
+
+        # the "replay": a fresh run whose epoch 0 carries both docs
+        spark.createDataFrame([doc1, doc2], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_ingest_dedup(stream, out, sig, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+        assert kept == [1, 2]  # doc1 NOT dropped by its own stale sigs
+        sig_ids = sorted({r["doc_id"] for r in spark.read.parquet(sig).collect()})
+        assert sig_ids == [1, 2]  # no phantom leaves beyond the rewrite
+
+
 class TestStreamWeightedSample:
     def test_stream_merge_equals_batch_topk(self, spark, tmp_path):
         from tundradb_spark.pipeline.sampling import weighted_sample_topk

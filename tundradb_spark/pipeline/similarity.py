@@ -562,9 +562,20 @@ def pq_train(
                 "pos", "x"
             ),
         )
+        # decimal-sum / count, ONE double division: partition-order-free
+        # (a raw F.avg over doubles is not — trained codebooks persisted
+        # via the quantizer sidecar must be bit-identical across cluster
+        # layouts for the 'fully deterministic' contract to hold)
         means = (
             exploded.groupBy("j", "code", "pos")
-            .agg(F.avg("x").alias("mval"))
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(30,10)"))
+                    / F.count(F.lit(1))
+                )
+                .cast("double")
+                .alias("mval")
+            )
             .collect()
         )  # bounded: m * n_codes * sub rows
         fresh: dict[tuple[int, int], list[float]] = {}
@@ -1160,8 +1171,18 @@ _QUANTIZER_FILE = "_quantizer.json"
 _QUANTIZER_DIR = "_quantizer"
 
 
-def _is_local(path: str) -> bool:
-    return "://" not in path or path.startswith("file:")
+def _local_path(path: str) -> str | None:
+    """The local-filesystem path for ``path``, or ``None`` for a
+    non-local Hadoop URI.  ``file:`` URIs ARE local but must lose the
+    scheme before any ``os.path`` use — handing the raw string
+    ``'file:/tmp/idx'`` to ``os.makedirs`` creates a cwd-relative
+    ``./file:/tmp/idx`` directory while the parquet writer targets the
+    real ``/tmp/idx``, splitting the index from its sidecar."""
+    if path.startswith("file:"):
+        from urllib.parse import urlparse
+
+        return urlparse(path).path
+    return path if "://" not in path else None
 
 
 def save_quantizer(path: str, meta: dict, spark=None) -> str:
@@ -1183,9 +1204,10 @@ def save_quantizer(path: str, meta: dict, spark=None) -> str:
     import os
 
     payload = json.dumps(meta)
-    if _is_local(path):
-        os.makedirs(path, exist_ok=True)
-        p = os.path.join(path, _QUANTIZER_FILE)
+    lp = _local_path(path)
+    if lp is not None:
+        os.makedirs(lp, exist_ok=True)
+        p = os.path.join(lp, _QUANTIZER_FILE)
         with open(p, "w") as f:
             f.write(payload)
         return p
@@ -1206,8 +1228,9 @@ def load_quantizer(path: str, spark=None) -> dict | None:
     import json
     import os
 
-    if _is_local(path):
-        p = os.path.join(path, _QUANTIZER_FILE)
+    lp = _local_path(path)
+    if lp is not None:
+        p = os.path.join(lp, _QUANTIZER_FILE)
         if not os.path.exists(p):
             return None
         with open(p) as f:

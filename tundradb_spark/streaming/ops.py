@@ -478,9 +478,18 @@ def stream_ingest_dedup(
     reads only the directories its own band keys hash into
     (PartitionFilters) instead of scanning every prior epoch's
     signatures — probe IO is bounded by the batch, not the stream's age.
-    Epoch stays the leading partition column so dynamic-overwrite replay
-    semantics are unchanged (a replayed batch deterministically rewrites
-    its own (epoch, band_idx, bucket) partitions).
+
+    r7 (replay correctness with the banded layout): leaf-level dynamic
+    overwrite alone is NOT replay-safe here — a crash mid-sig-write
+    leaves partial ``(epoch, band_idx, band_bucket)`` leaves, the
+    replayed probe would self-match against them (shrinking the survivor
+    set), and the shrunken rewrite would strand the stale leaves as
+    phantom signatures for documents absent from ``out_path``.  The sink
+    therefore DELETES the entire ``epoch=E`` subtree of ``sig_path``
+    first (a no-op on the normal path): the replay probe sees only
+    prior epochs — exactly what the original attempt saw — so it
+    recomputes the identical survivor set and rewrites the epoch from
+    scratch.
 
     Within-batch duplicates: survivors of the corpus probe are also
     deduplicated against EACH OTHER before writing — exact (normalized-
@@ -509,6 +518,14 @@ def stream_ingest_dedup(
         if batch.isEmpty():
             return
         spark = batch.sparkSession
+        # replay hygiene (docstring above): drop any partial epoch=E
+        # signature leaves from a failed attempt BEFORE the probe, via
+        # Hadoop FS so s3a:// / hdfs:// sig_paths work like local ones
+        jvm = spark._jvm
+        epoch_dir = jvm.org.apache.hadoop.fs.Path(f"{sig_path}/epoch={epoch}")
+        epoch_dir.getFileSystem(spark._jsc.hadoopConfiguration()).delete(
+            epoch_dir, True
+        )
         # bootstrap probe: try/except the read, NOT a driver-local glob —
         # sig_path may be any Hadoop filesystem (s3a://, hdfs://), where a
         # local listing would silently disable corpus dedup forever
