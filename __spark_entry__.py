@@ -57,12 +57,22 @@ Previously-parked redundancies stay parked: q_bucketed_match
 q_temporal_before (complement of q_temporal_asof), q_dedup_ngram
 (subsumed by q_dedup_ngram_capped), q_ql_match (same parser path as
 q_ql_analytics), and the single-operator halves of the merged rows.
-New r6 operators join PARKED (window already full): q_corpus_report
+New r6 operators joined PARKED (window was full): q_corpus_report
 (composition oracle), q_domain_cap (per-key quota), q_moving_agg
 (trailing RANGE-window aggregates), q_time_twa (time-weighted average),
+q_lttb (LTTB downsampling), q_split (train/val/test corpus split),
 q_ann_pq_trained (Lloyd-trained codebooks, exact-degradation oracle),
 q_ann_batch / q_ann_lsh_batch (whole-query-set ANN, broadcast co-join
 plans) — every one oracle-bearing and CI-checked like the rest.
+
+**Round-7 rotation** (r6 verdict item 2): those 9 never-driver-checked
+r6 operators are SEATED this round (``_SEAT_R7`` / ``_PARK_R7`` at the
+bottom of this module — the rotation runs AFTER their definitions).
+Parked in exchange, all first-green in r6 and frozen since:
+q_hll_distinct, q_hll_intersect, q_cm_counts, q_bloom_semi, q_text_lm2,
+q_weighted_sample, q_vocab, q_zorder, q_tfidf.  q_encode stays seated —
+its r6 row was red on harness shape (raw array column) and needs its
+first green with the r7 ids_md5 digest.
 """
 
 from __future__ import annotations
@@ -2942,3 +2952,58 @@ PARKED_ORACLES["q_lttb"] = f"""
       UNION ALL SELECT * FROM picked
     )
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-7 rotation (r6 verdict item 2): seat the 9 r6 operators that have
+# exact oracles and CI-green parked checks but never held a driver
+# CORRECTNESS row; park 9 rows first-green in r6 and frozen since.  This
+# block must run LAST — the seated callables are defined above and in
+# pipeline/queries.py's tail.  Parking costs a driver slot, never
+# verification: tests/test_parked_oracles.py re-checks every parked oracle
+# each CI run.
+# ---------------------------------------------------------------------------
+
+_SEAT_R7 = [
+    "q_moving_agg",
+    "q_time_twa",
+    "q_lttb",
+    "q_domain_cap",
+    "q_corpus_report",
+    "q_ann_pq_trained",
+    "q_ann_batch",
+    "q_ann_lsh_batch",
+    "q_split",
+]
+
+#: driver-green in r6, frozen since; q_encode is deliberately NOT parked —
+#: its r6 row was red on harness shape and needs its first green with the
+#: ids_md5 digest
+_PARK_R7 = [
+    "q_hll_distinct",
+    "q_hll_intersect",
+    "q_cm_counts",
+    "q_bloom_semi",
+    "q_text_lm2",
+    "q_weighted_sample",
+    "q_vocab",
+    "q_zorder",
+    "q_tfidf",
+]
+
+for _n in _SEAT_R7:
+    QUERIES[_n] = PARKED_QUERIES.pop(_n)
+    ORACLES[_n] = PARKED_ORACLES.pop(_n)
+for _n in _PARK_R7:
+    PARKED_QUERIES[_n] = QUERIES.pop(_n)
+    PARKED_ORACLES[_n] = ORACLES.pop(_n)
+
+if len(QUERIES) != 50 or set(QUERIES) != set(ORACLES):
+    raise RuntimeError(
+        f"r7 rotation broke the 50-slot window: {len(QUERIES)} seated, "
+        f"query/oracle diff {set(QUERIES) ^ set(ORACLES)}"
+    )
+if set(PARKED_QUERIES) != set(PARKED_ORACLES):
+    raise RuntimeError(
+        f"parked query/oracle diff: {set(PARKED_QUERIES) ^ set(PARKED_ORACLES)}"
+    )
