@@ -542,7 +542,12 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synchronized LPA, graphs.algorithms.label_propagation)
     from tundradb_spark.graphs.algorithms import label_propagation
 
-    lpa = label_propagation(pairs, iters=_LPA_ITERS).select(
+    # r7 (r6 verdict item 5): stop_when_stable=True — labels measured
+    # identical with the cap at sf0.1, ~0.8s cheaper on the most
+    # expensive seated query (early-exit when a round changes no label)
+    lpa = label_propagation(
+        pairs, iters=_LPA_ITERS, stop_when_stable=True
+    ).select(
         F.lit("lpa").alias("grp"),
         F.col("vertex").cast("long").alias("doc_id"),
         F.col("label").cast("long").alias("label"),

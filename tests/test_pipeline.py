@@ -1584,9 +1584,13 @@ class TestAnnRecallFloor:
 
     SF01 = "/root/testdata/sf0.1"
 
-    def test_lsh_and_pq_recall_at_defaults(self, spark):
+    def test_lsh_ivf_and_pq_recall_at_defaults(self, spark):
+        # r7 (r6 verdict item 6): ivf pinned too — it measured 0.5 with
+        # zero margin at n_probe=4, so the gauge default moved to
+        # n_probe=8 (recall 0.7) before pinning
         from tundradb_spark.pipeline.queries import (
             ANN_K,
+            q_ann_ivf,
             q_ann_lsh,
             q_ann_pq,
             q_ann_topk,
@@ -1594,7 +1598,11 @@ class TestAnnRecallFloor:
         from tundradb_spark.pipeline.similarity import ann_recall
 
         exact = q_ann_topk(spark, self.SF01)
-        for name, qfn in (("lsh", q_ann_lsh), ("pq", q_ann_pq)):
+        for name, qfn in (
+            ("lsh", q_ann_lsh),
+            ("ivf", q_ann_ivf),
+            ("pq", q_ann_pq),
+        ):
             row = ann_recall(
                 exact, qfn(spark, self.SF01), ANN_K, method=name
             ).first()

@@ -49,7 +49,11 @@ EMBED_PLANES, EMBED_BAND_BITS, EMBED_THRESHOLD = 16, 8, 0.30
 LSH_PROBE_HAMMING = 2
 ANN_K = 10
 EMBED_DIM = 64
-IVF_CELLS, IVF_PROBE, IVF_SEED = 16, 4, 11
+# IVF_PROBE=8 (r7, r6 verdict item 6): n_probe=4 measured recall@10 of
+# exactly 0.5 at sf0.1 on the adversarial near-random corpus — the pinned
+# floor with zero margin; 8/16 cells gives 0.7 (still a 2x cell prune;
+# both oracles parameterize on this constant)
+IVF_CELLS, IVF_PROBE, IVF_SEED = 16, 8, 11
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
