@@ -214,7 +214,7 @@ def test_ivf_indexed_probe_prunes_files(spark, tmp_path):
 
 
 def test_lsh_indexed_probe_prunes_files(spark, tmp_path):
-    # the banded inverted-file layout: probe must read only the query's
+    # the 'dirs' inverted-file layout: probe must read only the query's
     # (band_idx, band_key) directories and match the compute path exactly
     from tundradb_spark.pipeline import similarity
 
@@ -222,7 +222,9 @@ def test_lsh_indexed_probe_prunes_files(spark, tmp_path):
     corpus = emb.filter("vec_id != 0")
     q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
     path = str(tmp_path / "lsh_index")
-    similarity.index_corpus_lsh(corpus, path, n_planes=16, band_bits=8)
+    similarity.index_corpus_lsh(
+        corpus, path, n_planes=16, band_bits=8, layout="dirs"
+    )
     df = similarity.lsh_ann_topk_indexed(
         spark, path, q, 10, n_planes=16, band_bits=8
     )
@@ -260,6 +262,60 @@ def test_lsh_indexed_probe_prunes_files(spark, tmp_path):
     assert [tuple(r) for r in again.collect()] == [
         tuple(r) for r in compute.collect()
     ]
+
+
+def test_lsh_sorted_layout_probe_matches_and_stays_dense(spark, tmp_path):
+    # r7 (r6 verdict item 4): the default 'sorted' layout — bands
+    # directories, ONE band_key-sorted file each — must (a) match the
+    # compute path exactly through the SAME prober, (b) keep band_idx as
+    # a partition filter and push band_key down to the scan (row-group
+    # stats on the sorted column carry the pruning the directory tree
+    # used to), (c) actually be dense: one data file per band directory
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tundradb_spark.pipeline import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = emb.filter("vec_id != 0")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    path = str(tmp_path / "lsh_sorted")
+    similarity.index_corpus_lsh(corpus, path, n_planes=16, band_bits=8)
+    assert similarity.load_quantizer(path)["layout"] == "sorted"
+    df = similarity.lsh_ann_topk_indexed(
+        spark, path, q, 10, n_planes=16, band_bits=8
+    )
+    audit.assert_partition_pruned(df, "band_idx")
+    audit.assert_filter_pushed(df, "band_key")
+    compute = similarity.lsh_ann_topk(corpus, q, 10, n_planes=16, band_bits=8)
+    assert [tuple(r) for r in df.collect()] == [
+        tuple(r) for r in compute.collect()
+    ]
+    band_dirs = [d for d in os.listdir(path) if d.startswith("band_idx=")]
+    assert len(band_dirs) == 2  # 16 planes / 8 bits
+    for d in band_dirs:
+        files = [
+            f
+            for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)
+    # the sort actually happened: band_key non-decreasing within each
+    # file (pyarrow reads preserve file row order; a Spark read may pack
+    # several files into one partition and interleave)
+    import pyarrow.parquet as pq
+
+    for d in band_dirs:
+        (f,) = [
+            f
+            for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet")
+        ]
+        ks = pq.read_table(
+            os.path.join(path, d, f), columns=["band_key"]
+        ).column("band_key").to_pylist()
+        assert ks == sorted(ks), d
 
 
 def test_q_ann_ivf_index_flag_equivalent(spark, monkeypatch):

@@ -270,10 +270,12 @@ def _lsh_index_dir(spark: SparkSession, sf_dir: str) -> str:
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH ANN with Hamming-2 multi-probe (similarity.lsh_ann_topk).
     With TUNDRA_ANN_USE_INDEX=1: probe the banded inverted-file layout
-    instead (index_corpus_lsh written once per session/sf; the probe ball
-    becomes a literal band_key IN (...) PartitionFilter) — identical
-    results, r6 closes the gap where the flag silently fell through to
-    the compute path."""
+    instead (index_corpus_lsh written once per session/sf; r7 default is
+    the 'sorted' layout — band_idx PartitionFilter + band_key IN (...)
+    pushed onto ONE dense sorted file per band, after r6 measured the
+    dir-per-key layout's ~74 tiny directory opens costing 3.7x the
+    compute path) — identical results, r6 closes the gap where the flag
+    silently fell through to the compute path."""
     import os
 
     q = _query_vec(spark, sf_dir)

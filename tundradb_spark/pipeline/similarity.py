@@ -377,22 +377,36 @@ def index_corpus_lsh(
     id_col: str = "vec_id",
     seed: int = 7,
     mode: str = "overwrite",
+    layout: str = "sorted",
 ) -> str:
-    """Persist the corpus as a banded sign-LSH **inverted file**:
-    one row per (vector, band), partitioned by ``(band_idx, band_key)``.
+    """Persist the corpus as a banded sign-LSH **inverted file**: one row
+    per (vector, band).  Storage pays ×``bands`` duplication — the
+    standard inverted-index trade; signatures are computed exactly once,
+    at write time.  Two physical layouts, one logical probe
+    (:func:`lsh_ann_topk_indexed` works on either; the quantizer sidecar
+    records which was written):
 
-    This is the classic posting-list layout made of parquet directories:
-    a probe reads ONLY the ``bands`` directories matching the query's band
-    keys (PartitionFilters — file-level pruning), instead of re-hashing and
-    scanning the whole corpus per query.  Storage pays ×``bands``
-    duplication — the standard inverted-index trade; signatures are
-    computed exactly once, at write time.
+    ``layout='sorted'`` (default, r7): ``partitionBy(band_idx)`` only —
+    ``bands`` directories total — with each band's postings in ONE file
+    sorted by ``band_key``, which stays a data column.  The probe's
+    ``band_key IN (...)`` predicate prunes at parquet row-group/page
+    level (min/max stats on the sorted column) instead of directory
+    level.  This exists because the r6 measurement was honest about the
+    dir-per-key layout: at sf0.1 the Hamming-2 probe opened ~74 tiny
+    directories and file-open cost made the "index" 3.7× SLOWER than
+    recomputing signatures; opening ``bands`` dense sorted files makes
+    the crossover real at demo scale AND keeps object-store listings
+    O(bands) at 100 TB.
 
-    ``band_bits`` sets the directory fan-out (``bands × 2^band_bits``):
-    8 bits → 512 dirs at 16 planes, fine everywhere; >16 bits starts to
-    strain object-store listings — prefer more planes over wider bands when
-    scaling selectivity.
+    ``layout='dirs'`` (pre-r7): ``partitionBy(band_idx, band_key)`` —
+    one directory per posting key, PartitionFilters prune whole
+    directories.  Right when postings-per-key is large enough that a
+    directory outweighs its open cost (very large corpora with narrow
+    probes); the physical delete-non-probed-dirs proof in
+    tests/test_plans.py runs against this layout.
     """
+    if layout not in ("sorted", "dirs"):
+        raise ValueError(f"unknown LSH index layout {layout!r}")
     bands = lsh_bands(n_planes, band_bits)
     mask = (1 << band_bits) - 1
     sigs = lsh_signature(emb, n_planes, vec_col, id_col, seed)
@@ -411,13 +425,27 @@ def index_corpus_lsh(
             "band_key"
         ),
     )
-    # cluster by partition key at write time → dense per-directory files
-    exploded.repartition("band_idx", "band_key").write.mode(mode).partitionBy(
-        "band_idx", "band_key"
-    ).parquet(path)
+    if layout == "dirs":
+        # cluster by partition key at write time → dense per-directory files
+        exploded.repartition("band_idx", "band_key").write.mode(
+            mode
+        ).partitionBy("band_idx", "band_key").parquet(path)
+    else:
+        # one dense file per band, rows sorted by band_key → row-group
+        # min/max stats carry the pruning the directory tree used to.
+        # band_idx leads the sort so the partitioned write's required
+        # child ordering (partition cols) is already satisfied — its own
+        # unstable re-sort would otherwise scramble band_key again
+        (
+            exploded.repartition("band_idx")
+            .sortWithinPartitions("band_idx", "band_key")
+            .write.mode(mode)
+            .partitionBy("band_idx")
+            .parquet(path)
+        )
     save_quantizer(path, {
         "kind": "lsh", "n_planes": n_planes,
-        "band_bits": band_bits, "seed": seed,
+        "band_bits": band_bits, "seed": seed, "layout": layout,
     }, spark=emb.sparkSession)
     return path
 
