@@ -11,7 +11,21 @@ Round-5 additions (verdict item 5): the storage-path probes.
 shows both the data-scaling ratio AND that the indexed probe beats its
 compute twin at sf0.1.
 
+Round-7 additions (verdict items 3 & 8):
+
+* ``--norm`` rows add a ``per-output-row`` column: time ratio divided by
+  output-row ratio.  A query whose OUTPUT grows super-linearly by
+  construction (duplicated-segment volume in a boilerplate-heavy corpus)
+  can show a >1x wall ratio with perfectly flat work per output row —
+  the normalized column separates "operator is super-linear" from
+  "answer is bigger".
+* ``--sf1`` probes sf0.1 → a generated 10x replica (``.probe/sf1``,
+  built on demand by scripts/make_probe_sf1.py) — the sf0.01 base is
+  overhead-dominated enough to hide super-linearity.
+
 Usage: python scripts/scale_probe.py [query ...]   (default: round-5 set)
+       python scripts/scale_probe.py --norm [query ...]
+       python scripts/scale_probe.py --sf1 [query ...]
 """
 
 from __future__ import annotations
@@ -37,6 +51,10 @@ DEFAULT = [
     "q_dedup_incremental",  # r6 banded-index probe — watch for regression
     "q_pipeline_e2e",
 ]
+#: r6 borderline rows — probe with the per-output-row column
+NORM_DEFAULT = ["q_dedup_exact", "q_pipeline_e2e"]
+#: r6 verdict item 8: worst standard rows, re-based at sf0.1→sf1
+SF1_DEFAULT = ["q_quantiles", "q_dedup_exact", "q_text_scores"]
 #: ANN queries with a persisted-index twin (TUNDRA_ANN_USE_INDEX=1)
 INDEXED = ["q_ann_ivf", "q_ann_lsh"]
 SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
@@ -53,17 +71,52 @@ def best(fn, spark, sf, runs=2, warmup=False) -> float:
     return min(ts)
 
 
+def probe_pair(qs, names, spark, sfs, labels, norm=False) -> None:
+    head = f"{'query':<26} {labels[0]:>8} {labels[1]:>8} {'ratio(10x data)':>16}"
+    if norm:
+        head += f" {'rows ' + labels[0]:>12} {'rows ' + labels[1]:>12} {'per-output-row':>15}"
+    print(head)
+    for n in names:
+        lo = best(qs[n], spark, sfs[0])
+        hi = best(qs[n], spark, sfs[1])
+        line = f"{n:<26} {lo:>8.3f} {hi:>8.3f} {hi / lo:>15.1f}x"
+        if norm:
+            rlo = qs[n](spark, sfs[0]).count()
+            rhi = qs[n](spark, sfs[1]).count()
+            per_row = (hi / rhi) / (lo / rlo) if rlo and rhi else float("nan")
+            line += f" {rlo:>12} {rhi:>12} {per_row:>14.1f}x"
+        print(line)
+
+
 def main() -> None:
-    names = sys.argv[1:] or DEFAULT
+    args = sys.argv[1:]
+    norm = "--norm" in args
+    sf1 = "--sf1" in args
+    names = [a for a in args if not a.startswith("--")]
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     qs = {**entry_mod.queries(), **entry_mod.parked_queries()}
-    print(f"{'query':<26} {'sf0.01':>8} {'sf0.1':>8} {'ratio(10x data)':>16}")
-    for n in names:
-        lo = best(qs[n], spark, SFS[0])
-        hi = best(qs[n], spark, SFS[1])
-        print(f"{n:<26} {lo:>8.3f} {hi:>8.3f} {hi / lo:>15.1f}x")
-    if set(sys.argv[1:]) and not set(INDEXED) & set(sys.argv[1:]):
+    if sf1:
+        from make_probe_sf1 import build
+
+        hi_dir = build()  # idempotent — skips existing tables
+        probe_pair(
+            qs,
+            names or SF1_DEFAULT,
+            spark,
+            ["/root/testdata/sf0.1", hi_dir],
+            ["sf0.1", "sf1"],
+            norm=norm,
+        )
+        return
+    if norm:
+        probe_pair(
+            qs, names or NORM_DEFAULT, spark, SFS, ["sf0.01", "sf0.1"],
+            norm=True,
+        )
+        return
+    probe_pair(qs, names or DEFAULT, spark, SFS, ["sf0.01", "sf0.1"])
+    if names and not set(INDEXED) & set(names):
         return
     for n in INDEXED:
         os.environ.pop("TUNDRA_ANN_USE_INDEX", None)
