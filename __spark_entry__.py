@@ -542,12 +542,14 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synchronized LPA, graphs.algorithms.label_propagation)
     from tundradb_spark.graphs.algorithms import label_propagation
 
-    # r7 (r6 verdict item 5): stop_when_stable=True — labels measured
-    # identical with the cap at sf0.1, ~0.8s cheaper on the most
-    # expensive seated query (early-exit when a round changes no label)
-    lpa = label_propagation(
-        pairs, iters=_LPA_ITERS, stop_when_stable=True
-    ).select(
+    # r7 (r6 verdict item 5 MEASURED AND DECLINED): stop_when_stable=True
+    # is a net LOSS here — this pair graph does not stabilize within the
+    # iters=3 cap, so every round's change check (join + limit(1) count
+    # action) is pure overhead: 6.7s vs 5.3s best-of-3 at sf0.1.  The
+    # early-exit pays off only when the cap comfortably exceeds the
+    # convergence round; at a tight oracle-pinned cap the fixed-rounds
+    # mode is the fast path.
+    lpa = label_propagation(pairs, iters=_LPA_ITERS).select(
         F.lit("lpa").alias("grp"),
         F.col("vertex").cast("long").alias("doc_id"),
         F.col("label").cast("long").alias("label"),

@@ -60,9 +60,11 @@ HEAVY = frozenset(
 #: iterative graph queries: eager localCheckpoint per round leaves RDD
 #: blocks in the block manager, and a JVM already carrying 20+ earlier
 #: queries' blocks GC-thrashes them into multi-second jitter (measured r6:
-#: q_pagerank spread 6.7s shared vs 0.07s isolated, same data).  They run
-#: together in ONE isolated subprocess — unlike HEAVY they stay in the
-#: spread assertion, because isolated they are steady.
+#: q_pagerank spread 6.7s shared vs 0.07s isolated, same data).  r7: ONE
+#: subprocess EACH — even sharing a JVM among just these four left
+#: q_pagerank at 9.3s (both timed runs; block-manager pressure from its
+#: group predecessors) vs 4.8s in a fresh JVM.  Unlike HEAVY they stay in
+#: the spread assertion, because isolated they are steady.
 GRAPH_ITER = frozenset(
     {"q_bfs_levels", "q_pagerank", "q_dup_clusters", "q_dedup_apply"}
 )
@@ -130,7 +132,11 @@ def main() -> None:
     graph = [n for n in all_names if n in GRAPH_ITER]
     heavy = [n for n in all_names if n in HEAVY]
 
-    timings, spread = run_group(cheap, warmup=1)
+    # 2 warmups (r7, r6 verdict item 7): four cheap-group queries drifted
+    # +22-43% vs r5 with no plan change — sub-second absolute deltas
+    # within jitter; a second untimed warmup settles codegen/JIT before
+    # the timed runs so best-of-RUNS measures steady state
+    timings, spread = run_group(cheap, warmup=2)
 
     if graph or heavy:
         # free the 32 cores before isolated JVMs spin up their own local[32]
@@ -161,19 +167,18 @@ def main() -> None:
         timings.update(payload["queries"])
         spread.update(payload["spread"])
 
-    if graph:
-        # one fresh JVM for ALL the iterative graph queries (steady
-        # together when not competing with 20 other queries' blocks);
-        # 2 warmups — the group's first query otherwise eats the JVM's
-        # remaining JIT warm-up inside its timed runs
-        _sub(graph, n_warm=2)
+    for name in graph:
+        # one fresh JVM PER iterative graph query (see GRAPH_ITER note);
+        # 2 warmups — the fresh JVM otherwise eats its remaining JIT
+        # warm-up inside the timed runs
+        _sub([name], n_warm=2)
     # ONE subprocess PER heavy query: a stall in one query's JVM
     # (stuck python worker, state-store churn after many streaming
     # queries share a session) cannot pollute its neighbors — measured
     # r5, a shared heavy JVM once reported 12.9s for a query that
     # times at 1.5s in isolation
     for name in heavy:
-        _sub([name])
+        _sub([name], n_warm=2)  # r7: settle fresh-JVM JIT before timing
 
     ordered = {n: timings[n] for n in all_names}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -200,10 +205,12 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     line = json.dumps(out)
-    assert len(line) < MAX_LINE, (
-        f"final bench line is {len(line)} chars (budget {MAX_LINE}) — trim "
-        f"the registry or the encoding before the driver truncates it"
-    )
+    if len(line) >= MAX_LINE:  # explicit raise — asserts vanish under -O
+        raise RuntimeError(
+            f"final bench line is {len(line)} chars (budget {MAX_LINE}) — "
+            f"trim the registry or the encoding before the driver "
+            f"truncates it"
+        )
     print(line)
 
 

@@ -569,7 +569,15 @@ def label_propagation(
     ``stop_when_stable``: early exit when a round changes NO label
     (``iters`` becomes the cap; the check is one anti-join ``limit(1)``
     count per round).  Off by default — the oracle-pinned mode runs
-    exactly ``iters`` rounds.
+    exactly ``iters`` rounds.  r7: checks that can never save work are
+    skipped — after the FINAL round (nothing left to exit early from)
+    and after round 1 (in a symmetrized pair graph every vertex has a
+    neighbor and adopts the neighborhood min ≠ its own fresh id, so
+    round 1 always changes labels).  Each remaining check is a count
+    ACTION: worth it only when the cap comfortably exceeds the expected
+    convergence round, a pure loss at a tight cap (measured 6.7s vs
+    5.3s at iters=3 on the sf0.1 LSH pair graph — which is why
+    q_dup_clusters does not use it).
     """
     from pyspark.sql import Window
 
@@ -578,7 +586,7 @@ def label_propagation(
     e = _sym_edges(pairs, src, dst)
     verts = e.select(F.col("u").alias("vertex")).distinct().localCheckpoint()
     labels = verts.withColumn("label", F.col("vertex"))
-    for _ in range(iters):
+    for it in range(iters):
         counts = (
             e.join(labels.withColumnRenamed("vertex", "u"), "u")
             .groupBy(F.col("v").alias("vertex"), "label")
@@ -594,7 +602,7 @@ def label_propagation(
             .select("vertex", "label")
             .localCheckpoint()
         )
-        if stop_when_stable:
+        if stop_when_stable and 0 < it < iters - 1:
             changed = (
                 labels.join(
                     prev.withColumnRenamed("label", "__old"), "vertex", "inner"
