@@ -72,7 +72,10 @@ Parked in exchange, all first-green in r6 and frozen since:
 q_hll_distinct, q_hll_intersect, q_cm_counts, q_bloom_semi, q_text_lm2,
 q_weighted_sample, q_vocab, q_zorder, q_tfidf.  q_encode stays seated —
 its r6 row was red on harness shape (raw array column) and needs its
-first green with the r7 ids_md5 digest.
+first green with the r7 ids_md5 digest.  New r7 operators join PARKED
+(window full; seatable next rotation): q_bpe (BPE merge-rule induction,
+unrolled-iteration oracle) and q_cdc_chunks (content-defined chunking,
+rolling-hash boundaries) — oracle-bearing and CI-checked like the rest.
 """
 
 from __future__ import annotations

@@ -1836,3 +1836,102 @@ class TestSplitCorpus:
             split_corpus(docs, {"train": 9000, "val": 500})
         with pytest.raises(ValueError):
             split_corpus(docs, {"train": 11000, "val": -1000})
+
+
+class TestBpeTrain:
+    def test_classic_example_merges(self, spark):
+        # Sennrich et al.'s running example: 'es'/'est' come from newest,
+        # 'lo'/'low' from low/lower — exact counts pinned
+        from tundradb_spark.pipeline.text import bpe_train
+
+        docs = spark.createDataFrame(
+            [
+                (1, "low low low lower lower newest newest newest newest widest"),
+                (2, "low a"),
+            ],
+            "doc_id long, text string",
+        )
+        got = [tuple(r) for r in bpe_train(docs, n_merges=5).collect()]
+        assert got == [
+            (1, "l", "o", "lo", 6),
+            (2, "lo", "w", "low", 6),
+            (3, "e", "s", "es", 5),
+            (4, "es", "t", "est", 5),
+            (5, "e", "w", "ew", 4),
+        ]
+
+    def test_partitioning_independent(self, spark):
+        from tundradb_spark.pipeline.text import bpe_train
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = [tuple(r) for r in bpe_train(docs, n_merges=4,
+                                         max_word_types=100).collect()]
+        b = [tuple(r) for r in bpe_train(docs.repartition(7), n_merges=4,
+                                         max_word_types=100).collect()]
+        assert a == b and len(a) == 4
+
+    def test_single_char_words_and_validation(self, spark):
+        from tundradb_spark.pipeline.text import bpe_train
+
+        docs = spark.createDataFrame(
+            [(1, "a b c a b a")], "doc_id long, text string"
+        )
+        out = bpe_train(docs, n_merges=3).collect()
+        assert out == []  # no adjacent pairs inside 1-char words
+        with pytest.raises(ValueError):
+            bpe_train(docs, n_merges=0)
+
+
+class TestCdcChunks:
+    def test_chunks_tile_each_document_exactly(self, spark):
+        from tundradb_spark.pipeline.sampling import cdc_chunks
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(50)
+        chunks = cdc_chunks(docs).collect()
+        n = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+        by_doc: dict = {}
+        for r in chunks:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert set(by_doc) == {d for d, nc in n.items() if nc > 0}
+        for d, rs in by_doc.items():
+            rs.sort(key=lambda r: r["chunk_idx"])
+            pos = 1
+            for i, r in enumerate(rs, start=1):
+                assert r["chunk_idx"] == i and r["start_pos"] == pos
+                assert r["chunk_len"] >= 1
+                pos += r["chunk_len"]
+            assert pos - 1 == n[d]  # tiles the whole document
+
+    def test_boundaries_survive_a_prefix_insertion(self, spark):
+        # the content-defined property: prepending text leaves every
+        # chunk after the first boundary digest-identical, where
+        # fixed-offset chunking would shift them all
+        from tundradb_spark.pipeline.sampling import cdc_chunks
+
+        base = (
+            "the quick brown fox jumps over the lazy dog and then "
+            "wanders far across the wide green valley toward home "
+        ) * 6
+        docs = spark.createDataFrame(
+            [(1, base), (2, "INSERTED PREFIX >> " + base)],
+            "doc_id long, text string",
+        )
+        out = cdc_chunks(docs).collect()
+        d1 = {r["chunk_md5"] for r in out if r["doc_id"] == 1}
+        d2 = {r["chunk_md5"] for r in out if r["doc_id"] == 2}
+        shared = d1 & d2
+        assert len(shared) >= max(1, len(d1) - 2), (len(d1), len(shared))
+
+    def test_validation(self, spark):
+        from tundradb_spark.pipeline.sampling import cdc_chunks
+
+        docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            cdc_chunks(docs, k=0)
+        with pytest.raises(ValueError):
+            cdc_chunks(docs, boundary_bits=0)
+        # short doc: one whole-document chunk
+        row = cdc_chunks(docs).collect()
+        assert len(row) == 1 and row[0]["chunk_len"] == 3

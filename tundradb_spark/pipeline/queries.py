@@ -3045,3 +3045,134 @@ def _split_oracle_sql() -> str:
 
 PARKED_PIPELINE_QUERIES["q_split"] = q_split
 PARKED_PIPELINE_ORACLES["q_split"] = _split_oracle_sql()
+
+
+BPE_MERGES, BPE_WORD_TYPES = 6, 300
+
+
+def q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-rule induction (text.bpe_train, r7): the top 6 merges
+    learned from the corpus's 300 most frequent word types — every
+    rule's (rank, pair, merged symbol, weighted count) value-checked
+    against a DuckDB oracle replaying the identical iteration (same
+    overlapping pair counts, same (count desc, pair asc) tie-break, same
+    left-to-right replace merge).  Iteration cost is word-type-sized,
+    never corpus-sized — the classic scale shape of BPE training."""
+    from tundradb_spark.pipeline.text import bpe_train
+
+    return bpe_train(
+        _docs(spark, sf_dir),
+        n_merges=BPE_MERGES,
+        max_word_types=BPE_WORD_TYPES,
+    ).select(
+        "rank",
+        F.col("left").alias("lhs"),
+        F.col("right").alias("rhs"),
+        "merged",
+        "pair_count",
+    )
+
+
+def _bpe_oracle_sql() -> str:
+    """N unrolled merge iterations — each block recomputes pair counts
+    from the previous symbol state, picks the best pair, and applies the
+    replace merge, mirroring text.bpe_train step for step."""
+    blocks = [
+        f"""
+w AS (
+  SELECT t AS w, count(*) AS freq
+  FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+  GROUP BY t
+),
+wc AS (SELECT w, freq FROM w ORDER BY freq DESC, w ASC LIMIT {BPE_WORD_TYPES}),
+s0 AS (
+  SELECT ' ' || array_to_string(string_split_regex(w, ''), ' ') || ' '
+           AS syms,
+         freq
+  FROM wc
+)"""
+    ]
+    selects = []
+    for i in range(1, BPE_MERGES + 1):
+        prev = f"s{i - 1}"
+        blocks.append(
+            f"""
+p{i} AS (
+  SELECT pr.l AS l, pr.r AS r, sum(freq) AS cnt
+  FROM (
+    SELECT unnest([{{'l': a[j], 'r': a[j + 1]}}
+                   for j in range(1, len(a))]) AS pr,
+           freq
+    FROM (SELECT string_split(trim(syms), ' ') AS a, freq FROM {prev})
+    WHERE len(a) >= 2
+  )
+  GROUP BY pr.l, pr.r
+),
+b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+s{i} AS (
+  SELECT replace(syms, ' ' || b.l || ' ' || b.r || ' ',
+                 ' ' || b.l || b.r || ' ') AS syms,
+         freq
+  FROM {prev}, b{i} b
+)"""
+        )
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS rank, l AS lhs, r AS rhs,"
+            f" l || r AS merged, CAST(cnt AS BIGINT) AS pair_count"
+            f" FROM b{i}"
+        )
+    return "WITH " + ",".join(blocks) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+PARKED_PIPELINE_QUERIES["q_bpe"] = q_bpe
+PARKED_PIPELINE_ORACLES["q_bpe"] = _bpe_oracle_sql()
+
+
+CDC_K, CDC_BITS = 8, 5
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (sampling.cdc_chunks, r7): every chunk's
+    (index, start, length, digest) value-checked — the block-level unit
+    for cross-document span dedup whose boundaries survive insertions
+    (fixed-offset chunking's digests all shift after one edit)."""
+    from tundradb_spark.pipeline.sampling import cdc_chunks
+
+    return cdc_chunks(_docs(spark, sf_dir), k=CDC_K, boundary_bits=CDC_BITS)
+
+
+def _cdc_oracle_sql() -> str:
+    from tundradb_spark.pipeline.hashing import h32_sql
+
+    gram = f"substr(text, p - {CDC_K} + 1, {CDC_K})"
+    cond = f"({h32_sql(gram)}) % {1 << CDC_BITS} = 0"
+    return f"""
+WITH staged AS (
+  SELECT doc_id, text, length(text) AS n,
+         CASE WHEN length(text) > {CDC_K}
+              THEN [p for p in range({CDC_K}, length(text)) if {cond}]
+              ELSE [] END AS bpos
+  FROM documents WHERE length(text) > 0
+),
+spans AS (
+  SELECT doc_id, text,
+         [1] || [p + 1 for p in bpos] AS starts,
+         bpos || [n] AS ends
+  FROM staged
+)
+SELECT doc_id,
+       CAST(c.i AS BIGINT) AS chunk_idx,
+       CAST(c.s AS BIGINT) AS start_pos,
+       CAST(c.e - c.s + 1 AS BIGINT) AS chunk_len,
+       md5(substr(text, c.s, c.e - c.s + 1)) AS chunk_md5
+FROM (
+  SELECT doc_id, text,
+         unnest([{{'i': j, 's': starts[j], 'e': ends[j]}}
+                 for j in range(1, len(ends) + 1)]) AS c
+  FROM spans
+)
+"""
+
+
+PARKED_PIPELINE_QUERIES["q_cdc_chunks"] = q_cdc_chunks
+PARKED_PIPELINE_ORACLES["q_cdc_chunks"] = _cdc_oracle_sql()

@@ -463,3 +463,80 @@ def split_corpus(
         )
         lo = hi
     return docs.withColumn("split", expr)
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    k: int = 8,
+    boundary_bits: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (rolling-hash boundaries, the
+    FastCDC/rsync family): split each document at positions where the
+    hash of the trailing ``k``-gram lands in a ``1/2^boundary_bits``
+    bucket, so chunk boundaries depend on CONTENT, not offsets — insert
+    one sentence at the top of a document and every later chunk digest
+    still matches, which fixed-offset chunking can never do.  Block-level
+    dedup over ``chunk_md5`` therefore catches shared spans across
+    documents that whole-doc hashing misses (complements
+    ``dedup.strip_duplicate_segments``, whose unit is token windows).
+
+    Semantics (engine-reproducible, pinned by the SQL oracle): position
+    ``p`` (1-based, ``k <= p < n_chars``) is a boundary iff
+    ``h32(substr(text, p-k+1, k)) % 2^boundary_bits == 0``; chunks run
+    from the previous boundary+1 (or 1) through the boundary (or the
+    document end).  Expected chunk length ≈ ``2^boundary_bits`` chars.
+
+    Plan shape: the boundary-position array is ONE per-row
+    ``filter(sequence(...))`` lambda — whole-stage codegen, no explode of
+    per-character rows, no shuffle at all; the only row expansion is the
+    final per-chunk ``posexplode``.  At 100 TB this parallelizes per
+    document with zero data movement.
+
+    Output: ``(id_col, chunk_idx, start_pos, chunk_len, chunk_md5)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 1 <= boundary_bits <= 20:
+        raise ValueError(
+            f"boundary_bits must be in [1, 20], got {boundary_bits}"
+        )
+    b = 1 << boundary_bits
+    bpos = (
+        f"CASE WHEN length({text_col}) > {k} THEN"
+        f" filter(sequence({k}, length({text_col}) - 1),"
+        f"  p -> cast(conv(substring(md5(substring({text_col},"
+        f" p - {k} + 1, {k})), 1, 8), 16, 10) as bigint) % {b} = 0)"
+        f" ELSE array() END"
+    )
+    staged = docs.filter(F.length(text_col) > 0).select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(text_col).alias("__text"),
+        F.expr(bpos).alias("__bpos"),
+        F.length(text_col).alias("__n"),
+    )
+    spans = staged.select(
+        id_col,
+        "__text",
+        F.expr("concat(array(1), transform(__bpos, p -> p + 1))").alias(
+            "__starts"
+        ),
+        F.expr("concat(__bpos, array(__n))").alias("__ends"),
+    )
+    return spans.select(
+        id_col,
+        F.posexplode(F.arrays_zip("__starts", "__ends")).alias("__i", "__se"),
+        "__text",
+    ).select(
+        id_col,
+        (F.col("__i") + 1).cast("long").alias("chunk_idx"),
+        F.col("__se.__starts").cast("long").alias("start_pos"),
+        (F.col("__se.__ends") - F.col("__se.__starts") + 1)
+        .cast("long")
+        .alias("chunk_len"),
+        F.md5(
+            F.expr("substring(__text, __se.__starts,"
+                   " __se.__ends - __se.__starts + 1)")
+        ).alias("chunk_md5"),
+    )

@@ -904,3 +904,97 @@ def encode_tokens(
     return per_doc.select(
         id_col, F.col("n_tokens").cast("long").alias("n_tokens"), "ids"
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    max_word_types: int | None = None,
+) -> DataFrame:
+    """Learn the top ``n_merges`` byte-pair-encoding merge rules from the
+    corpus — the tokenizer-induction step between :func:`build_vocab`'s
+    whitespace vocabulary and a subword tokenizer.
+
+    Classic BPE (Sennrich et al. 2016) trains on the WORD-FREQUENCY
+    table, not the corpus: the only corpus-sized work here is one
+    map-side-combined ``groupBy(token)`` count; every merge iteration
+    runs over ≤ ``max_word_types`` rows (vocab-sized, broadcastable),
+    which is exactly why this scales to 100 TB — iteration cost is
+    independent of corpus size.  The chosen pair per round is a 1-row
+    driver collect (bounded metadata, the codebook-means convention).
+
+    Deterministic, engine-reproducible semantics (pinned by the SQL
+    oracle):
+
+    * word types ranked (freq desc, token asc), optionally capped at
+      ``max_word_types``;
+    * each word type becomes a space-joined character string with
+      sentinel spaces (``'abc'`` → ``' a b c '``);
+    * pair counts = OVERLAPPING adjacent symbol positions, weighted by
+      word frequency (``'aaa'`` contributes 2× freq to ``(a,a)``);
+    * best pair = (count desc, left asc, right asc);
+    * merge = plain left-to-right non-overlapping ``replace`` of
+      ``' l r '`` with ``' lr '`` (both engines share this exact
+      scan-resumes-after-replacement semantics, verified).
+
+    Output: ``(rank, left, right, merged, pair_count)`` — rank 1..n,
+    ``pair_count`` the weighted count at selection time.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    spark = docs.sparkSession
+    w = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if max_word_types is not None:
+        w = (
+            w.orderBy(F.desc("freq"), F.asc("w"))
+            .limit(max_word_types)
+        )
+    state = w.select(
+        F.concat(
+            F.lit(" "), F.array_join(F.split("w", ""), " "), F.lit(" ")
+        ).alias("syms"),
+        "freq",
+    ).localCheckpoint()  # word types only — small by construction
+    rules: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        # guard size<2: sequence(0, -1) DESCENDS in Spark instead of
+        # being empty, so single-symbol words need an explicit empty array
+        pairs = state.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(trim(syms), ' ')) < 2"
+                    " THEN array()"
+                    " ELSE transform("
+                    "   sequence(0, size(split(trim(syms), ' ')) - 2),"
+                    "   j -> struct(split(trim(syms), ' ')[j] AS l,"
+                    "               split(trim(syms), ' ')[j + 1] AS r))"
+                    " END"
+                )
+            ).alias("p"),
+            "freq",
+        ).select("p.l", "p.r", "freq")
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        rules.append((rank, l, r, l + r, cnt))
+        state = state.select(
+            F.replace(
+                "syms", F.lit(f" {l} {r} "), F.lit(f" {l}{r} ")
+            ).alias("syms"),
+            "freq",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        rules, "rank long, left string, right string, merged string, pair_count long"
+    )
