@@ -1935,3 +1935,53 @@ class TestCdcChunks:
         # short doc: one whole-document chunk
         row = cdc_chunks(docs).collect()
         assert len(row) == 1 and row[0]["chunk_len"] == 3
+
+
+class TestTemperatureMixture:
+    def _docs(self, spark):
+        rows = []
+        i = 0
+        for src, n in (("head", 400), ("mid", 80), ("tail", 20)):
+            for _ in range(n):
+                rows.append((i, src, "w%d x y z" % i))
+                i += 1
+        return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    def test_alpha_one_is_uniform_downsampling(self, spark):
+        from tundradb_spark.pipeline.sampling import temperature_mixture
+
+        out = temperature_mixture(
+            self._docs(spark), alpha=1.0, total_tokens=500
+        )
+        bps = {r["source"]: r["kept_bp"] for r in out.collect()}
+        # p_d^1 budget => keep fraction T/total for EVERY domain
+        assert len(set(bps.values())) == 1, bps
+
+    def test_low_alpha_boosts_tail_domains(self, spark):
+        from tundradb_spark.pipeline.sampling import temperature_mixture
+
+        out = temperature_mixture(
+            self._docs(spark), alpha=0.5, total_tokens=500
+        )
+        bps = {r["source"]: r["kept_bp"] for r in out.collect()}
+        assert bps["tail"] > bps["mid"] > bps["head"], bps
+
+    def test_deterministic_across_partitioning(self, spark):
+        from tundradb_spark.pipeline.sampling import temperature_mixture
+
+        docs = self._docs(spark)
+        a = sorted(r["doc_id"] for r in temperature_mixture(docs).collect())
+        b = sorted(
+            r["doc_id"]
+            for r in temperature_mixture(docs.repartition(7)).collect()
+        )
+        assert a == b and a
+
+    def test_validation(self, spark):
+        from tundradb_spark.pipeline.sampling import temperature_mixture
+
+        docs = self._docs(spark)
+        with pytest.raises(ValueError):
+            temperature_mixture(docs, alpha=0.0)
+        with pytest.raises(ValueError):
+            temperature_mixture(docs, total_tokens=-1)

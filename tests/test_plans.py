@@ -332,9 +332,12 @@ def test_q_ann_ivf_index_flag_equivalent(spark, monkeypatch):
         tuple(r) for r in _q("q_ann_pq")(spark, SF).collect()
     ] == base_pq
     # r6: the lsh flag previously fell through to the compute path — now
-    # a real banded-inverted-file probe, pruned and result-identical
+    # a real banded-inverted-file probe, pruned and result-identical.
+    # r7 sorted layout: band_idx is the partition filter; band_key prunes
+    # via parquet row-group stats (pushed scan filter on the sorted col)
     indexed_lsh = _q("q_ann_lsh")(spark, SF)
-    audit.assert_partition_pruned(indexed_lsh, "band_key")
+    audit.assert_partition_pruned(indexed_lsh, "band_idx")
+    audit.assert_filter_pushed(indexed_lsh, "band_key")
     assert [tuple(r) for r in indexed_lsh.collect()] == base_lsh
 
 

@@ -3176,3 +3176,60 @@ FROM (
 
 PARKED_PIPELINE_QUERIES["q_cdc_chunks"] = q_cdc_chunks
 PARKED_PIPELINE_ORACLES["q_cdc_chunks"] = _cdc_oracle_sql()
+
+
+TEMP_ALPHA, TEMP_TOKENS = 0.5, 20_000
+
+
+def q_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain rebalancing (sampling.temperature_mixture,
+    r7): sample domain d with probability ∝ share_d^0.5 toward a 20K-token
+    budget — the multilingual-pretraining mixture knob.  Every kept doc +
+    its domain's keep fraction value-checked; the only corpus-sized work
+    is one map-side-combined token sum per domain."""
+    from tundradb_spark.pipeline.sampling import temperature_mixture
+
+    return temperature_mixture(
+        _docs(spark, sf_dir),
+        alpha=TEMP_ALPHA,
+        total_tokens=TEMP_TOKENS,
+        stratum_col="source",
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("kept_bp").cast("long").alias("kept_bp"),
+    )
+
+
+def _temperature_oracle_sql() -> str:
+    from tundradb_spark.pipeline.hashing import h32_sql
+
+    arg = "'97:' || CAST(doc_id AS VARCHAR)"
+    coin = f"({h32_sql(arg)}) % 10000"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, len({_TOKS}) AS nt FROM documents
+),
+totals AS (
+  SELECT source, sum(nt) AS tok FROM toks GROUP BY source
+),
+weighted AS (
+  SELECT source, tok,
+         sqrt(CAST(tok AS DOUBLE) / sum(tok) OVER ()) AS w
+  FROM totals
+),
+plan AS (
+  SELECT source,
+         CAST(least(10000, floor(
+           w / sum(w) OVER () * {float(TEMP_TOKENS)}
+           / CAST(tok AS DOUBLE) * 10000.0)) AS BIGINT) AS kept_bp
+  FROM weighted
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id, t.source, p.kept_bp
+FROM toks t JOIN plan p ON t.source = p.source
+WHERE {coin} < p.kept_bp
+"""
+
+
+PARKED_PIPELINE_QUERIES["q_temperature"] = q_temperature
+PARKED_PIPELINE_ORACLES["q_temperature"] = _temperature_oracle_sql()

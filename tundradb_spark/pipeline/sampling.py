@@ -540,3 +540,74 @@ def cdc_chunks(
                    " __se.__ends - __se.__starts + 1)")
         ).alias("chunk_md5"),
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    total_tokens: int = 1_000_000,
+    stratum_col: str = "source",
+    tok_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 97,
+) -> DataFrame:
+    """Temperature-scaled domain rebalancing (the multilingual-pretraining
+    standard: sample domain d with probability ∝ p_d^alpha, where p_d is
+    d's token share) — alpha=1 keeps natural proportions, alpha→0
+    approaches uniform-per-domain, the usual range is 0.3-0.7 to keep
+    head domains from drowning the tail.
+
+    Given the target ``total_tokens``, each domain's budget is
+    ``q_d * total_tokens`` with ``q_d = p_d^alpha / Σ_e p_e^alpha``; the
+    keep fraction ``min(1, budget_d / tokens_d)`` is applied via the
+    deterministic content-hash coin in basis points — fully reproducible
+    on any engine/partitioning, like the other mixture samplers.
+
+    Plan: one map-side-combined ``groupBy(stratum)`` token sum (the only
+    corpus-sized work), the share/temperature algebra over the
+    DOMAIN-sized totals frame (global-window over tens of rows), one
+    broadcast join back, one hash-coin filter.  No sort, no skew trap —
+    the 100 TB path by construction.
+
+    Output: the kept documents with ``kept_bp`` (the domain's keep
+    fraction in basis points) attached.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    if total_tokens < 0:
+        raise ValueError(f"total_tokens must be >= 0, got {total_tokens}")
+    from pyspark.sql import Window
+
+    base, tc = _with_tok_count(docs, tok_col, text_col)
+    totals = base.groupBy(stratum_col).agg(F.sum(tc).alias("__tok"))
+    every = Window.partitionBy()  # domain-sized frame: tens of rows
+    share = (
+        F.col("__tok").cast("double")
+        / F.sum("__tok").over(every).cast("double")
+    )
+    # alpha=0.5 (the most common setting) routes through sqrt, which IS
+    # IEEE-correctly-rounded on every engine; pow(x, 0.5) carries a 1-ulp
+    # tolerance that could flip a keep-fraction floor across engines
+    weight = (
+        F.sqrt(share) if alpha == 0.5 else F.pow(share, F.lit(float(alpha)))
+    )
+    weighted = totals.withColumn("__w", weight)
+    kept_bp = F.least(
+        F.lit(10000),
+        F.floor(
+            F.col("__w")
+            / F.sum("__w").over(every)
+            * F.lit(float(total_tokens))
+            / F.col("__tok").cast("double")
+            * 10000.0
+        ),
+    ).cast("long")
+    plan = weighted.withColumn("kept_bp", kept_bp).select(
+        stratum_col, "kept_bp"
+    )
+    return (
+        base.join(F.broadcast(plan), stratum_col)
+        .filter(sample_hash_col(id_col, seed) < F.col("kept_bp"))
+        .drop("__nt")
+    )
