@@ -74,8 +74,10 @@ q_weighted_sample, q_vocab, q_zorder, q_tfidf.  q_encode stays seated —
 its r6 row was red on harness shape (raw array column) and needs its
 first green with the r7 ids_md5 digest.  New r7 operators join PARKED
 (window full; seatable next rotation): q_bpe (BPE merge-rule induction,
-unrolled-iteration oracle) and q_cdc_chunks (content-defined chunking,
-rolling-hash boundaries) — oracle-bearing and CI-checked like the rest.
+unrolled-iteration oracle), q_cdc_chunks (content-defined chunking,
+rolling-hash boundaries), q_temperature (temperature-scaled domain
+mixture) and q_semantic_dedup (SemDeDup-style within-cell cosine
+pruning) — oracle-bearing and CI-checked like the rest.
 """
 
 from __future__ import annotations

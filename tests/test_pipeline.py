@@ -1985,3 +1985,43 @@ class TestTemperatureMixture:
             temperature_mixture(docs, alpha=0.0)
         with pytest.raises(ValueError):
             temperature_mixture(docs, total_tokens=-1)
+
+
+class TestSemanticDedup:
+    def test_within_cell_chain_keeps_min_id(self, spark):
+        from tundradb_spark.pipeline.dedup import semantic_dedup
+
+        # cell axes: give every vector a dominant +e0 direction so all
+        # land in one cell; 1,2,3 nearly collinear, 9 orthogonal-ish
+        def vec(*tail):
+            v = [5.0] + [0.0] * 7
+            for i, x in enumerate(tail):
+                v[i + 1] = x
+            return v
+
+        emb = spark.createDataFrame(
+            [
+                (1, vec(1.0, 0.0)),
+                (2, vec(1.001, 0.0)),   # ~dup of 1
+                (3, vec(1.0, 0.002)),   # ~dup of 1 and 2
+                (9, vec(-4.0, 3.0)),    # same cell, far in cosine
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        out = {
+            r["vec_id"]: r["kept"]
+            for r in semantic_dedup(
+                emb, threshold=0.99, n_cells=4, dim=8
+            ).collect()
+        }
+        assert out == {1: True, 2: False, 3: False, 9: True}
+
+    def test_deterministic_across_partitioning(self, spark):
+        from tundradb_spark.pipeline.dedup import semantic_dedup
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        a = sorted(map(tuple, semantic_dedup(emb, 0.3, dim=64).collect()))
+        b = sorted(
+            map(tuple, semantic_dedup(emb.repartition(7), 0.3, dim=64).collect())
+        )
+        assert a == b and len(a) == emb.count()

@@ -966,3 +966,68 @@ def incremental_dup_pairs_indexed(
         )
         .distinct()
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 11,
+    dim: int | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: assign every vector to its
+    IVF cell (``similarity.ivf_assign`` — trained centroids welcome),
+    then compare pairs ONLY within a cell and drop any vector whose
+    cosine to a LOWER-id cell-mate reaches ``threshold`` (greedy min-id
+    keeper, the streaming-gate convention: a chain A~B~C keeps only A).
+
+    This is the published SemDeDup recipe (Abbas et al. 2023: k-means
+    clusters, within-cluster cosine pruning) re-expressed as one
+    cell-keyed self-join: candidate volume is Σ_c |cell_c|² instead of
+    n² — with balanced cells that is n²/n_cells, and the shuffle key is
+    the cell, so every cell dedups in parallel.  Cross-cell near-dups
+    are invisible BY DESIGN (both engines, same centroids → same blind
+    spot); raise ``n_cells`` with corpus size to hold cell volume flat.
+
+    Output: ``(id_col, cell, kept)`` — one row per input vector,
+    ``kept=false`` iff a lower-id cell-mate at ≥ ``threshold`` exists.
+    """
+    from tundradb_spark.pipeline.similarity import ivf_assign
+
+    assigned = ivf_assign(
+        emb,
+        n_cells=n_cells,
+        vec_col=vec_col,
+        id_col=id_col,
+        seed=seed,
+        dim=dim,
+        centroids=centroids,
+    )
+    base = assigned.select(
+        id_col,
+        "cell",
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    a, b = base.alias("a"), base.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(F.round(cos, 6) >= threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        base.join(dropped.withColumn("__drop", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+        )
+    )

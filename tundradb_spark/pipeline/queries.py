@@ -3233,3 +3233,54 @@ WHERE {coin} < p.kept_bp
 
 PARKED_PIPELINE_QUERIES["q_temperature"] = q_temperature
 PARKED_PIPELINE_ORACLES["q_temperature"] = _temperature_oracle_sql()
+
+
+SEM_THRESHOLD = 0.30
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (dedup.semantic_dedup, r7): IVF-cell
+    partitioned within-cell cosine pruning, greedy min-id keeper — every
+    vector's (cell, kept) decision value-checked.  Candidate volume is
+    per-cell, never corpus²; the same centroids give both engines the
+    same (documented) cross-cell blind spot."""
+    from tundradb_spark.pipeline.dedup import semantic_dedup
+
+    return semantic_dedup(
+        _emb(spark, sf_dir),
+        threshold=SEM_THRESHOLD,
+        n_cells=IVF_CELLS,
+        seed=IVF_SEED,
+        dim=EMBED_DIM,
+    )
+
+
+def _semantic_oracle_sql() -> str:
+    cos = f"round({_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm), 6)"
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, v,
+         list_position(dots, list_aggregate(dots, 'max')) AS cell
+  FROM (SELECT vec_id, v, {_ivf_dots_sql('v')} AS dots FROM base)
+),
+withn AS (
+  SELECT vec_id, v, cell, sqrt({_dot_sql('v', 'v')}) AS nrm FROM assigned
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM withn a JOIN withn b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {cos} >= {SEM_THRESHOLD}
+)
+SELECT CAST(w.vec_id AS BIGINT) AS vec_id,
+       CAST(w.cell AS BIGINT) AS cell,
+       d.vec_id IS NULL AS kept
+FROM withn w LEFT JOIN dropped d ON w.vec_id = d.vec_id
+"""
+
+
+PARKED_PIPELINE_QUERIES["q_semantic_dedup"] = q_semantic_dedup
+PARKED_PIPELINE_ORACLES["q_semantic_dedup"] = _semantic_oracle_sql()
