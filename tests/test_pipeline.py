@@ -2025,3 +2025,37 @@ class TestSemanticDedup:
             map(tuple, semantic_dedup(emb.repartition(7), 0.3, dim=64).collect())
         )
         assert a == b and len(a) == emb.count()
+
+
+class TestBpeSegment:
+    def test_classic_example_segmentation(self, spark):
+        from tundradb_spark.pipeline.text import bpe_segment
+
+        docs = spark.createDataFrame(
+            [
+                (1, "low low low lower lower newest newest newest newest widest"),
+                (2, "low a"),
+            ],
+            "doc_id long, text string",
+        )
+        segs = {
+            r["word"]: (r["seg"], r["n_subwords"])
+            for r in bpe_segment(docs, n_merges=5).collect()
+        }
+        assert segs["low"] == ("low", 1)
+        assert segs["newest"] == ("n ew est", 3)
+        assert segs["lower"] == ("low e r", 3)
+        assert segs["widest"] == ("w i d est", 4)
+        assert segs["a"] == ("a", 1)
+
+    def test_explicit_rules_match_trained(self, spark):
+        from tundradb_spark.pipeline.text import bpe_segment, bpe_train
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        rules = [
+            (r["left"], r["right"])
+            for r in bpe_train(docs, n_merges=4).orderBy("rank").collect()
+        ]
+        a = sorted(map(tuple, bpe_segment(docs, rules=rules).collect()))
+        b = sorted(map(tuple, bpe_segment(docs, n_merges=4).collect()))
+        assert a == b and a

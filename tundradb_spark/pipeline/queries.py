@@ -3073,10 +3073,12 @@ def q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_sql() -> str:
-    """N unrolled merge iterations — each block recomputes pair counts
-    from the previous symbol state, picks the best pair, and applies the
-    replace merge, mirroring text.bpe_train step for step."""
+def _bpe_blocks() -> list[str]:
+    """Shared CTE chain for the BPE oracles: N unrolled merge iterations
+    — each block recomputes pair counts from the previous symbol state,
+    picks the best pair, and applies the replace merge, mirroring
+    text.bpe_train step for step.  The word is carried through the state
+    chain so the segment oracle can read s{N} per word type."""
     blocks = [
         f"""
 w AS (
@@ -3086,13 +3088,13 @@ w AS (
 ),
 wc AS (SELECT w, freq FROM w ORDER BY freq DESC, w ASC LIMIT {BPE_WORD_TYPES}),
 s0 AS (
-  SELECT ' ' || array_to_string(string_split_regex(w, ''), ' ') || ' '
+  SELECT w,
+         ' ' || array_to_string(string_split_regex(w, ''), ' ') || ' '
            AS syms,
          freq
   FROM wc
 )"""
     ]
-    selects = []
     for i in range(1, BPE_MERGES + 1):
         prev = f"s{i - 1}"
         blocks.append(
@@ -3110,22 +3112,65 @@ p{i} AS (
 ),
 b{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
 s{i} AS (
-  SELECT replace(syms, ' ' || b.l || ' ' || b.r || ' ',
+  SELECT w,
+         replace(syms, ' ' || b.l || ' ' || b.r || ' ',
                  ' ' || b.l || b.r || ' ') AS syms,
          freq
   FROM {prev}, b{i} b
 )"""
         )
-        selects.append(
-            f"SELECT CAST({i} AS BIGINT) AS rank, l AS lhs, r AS rhs,"
-            f" l || r AS merged, CAST(cnt AS BIGINT) AS pair_count"
-            f" FROM b{i}"
-        )
-    return "WITH " + ",".join(blocks) + "\n" + "\nUNION ALL\n".join(selects)
+    return blocks
+
+
+def _bpe_oracle_sql() -> str:
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS rank, l AS lhs, r AS rhs,"
+        f" l || r AS merged, CAST(cnt AS BIGINT) AS pair_count"
+        f" FROM b{i}"
+        for i in range(1, BPE_MERGES + 1)
+    ]
+    return (
+        "WITH " + ",".join(_bpe_blocks()) + "\n" + "\nUNION ALL\n".join(selects)
+    )
 
 
 PARKED_PIPELINE_QUERIES["q_bpe"] = q_bpe
 PARKED_PIPELINE_ORACLES["q_bpe"] = _bpe_oracle_sql()
+
+
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE segmentation (text.bpe_segment, r7): every word type in the
+    300-type training table segmented by the 6 learned merges — the
+    apply half of q_bpe, value-checked per word (the oracle reads the
+    final symbol state of the SAME unrolled iteration chain)."""
+    from tundradb_spark.pipeline.text import bpe_segment
+
+    return bpe_segment(
+        _docs(spark, sf_dir),
+        n_merges=BPE_MERGES,
+        max_word_types=BPE_WORD_TYPES,
+    ).select(
+        "word",
+        F.col("freq").cast("long").alias("freq"),
+        "seg",
+        "n_subwords",
+    )
+
+
+def _bpe_segment_oracle_sql() -> str:
+    return (
+        "WITH "
+        + ",".join(_bpe_blocks())
+        + f"""
+SELECT w AS word, CAST(freq AS BIGINT) AS freq, trim(syms) AS seg,
+       CAST(len(string_split(trim(syms), ' ')) AS BIGINT) AS n_subwords
+FROM s{BPE_MERGES}
+"""
+    )
+
+
+PARKED_PIPELINE_QUERIES["q_bpe_segment"] = q_bpe_segment
+PARKED_PIPELINE_ORACLES["q_bpe_segment"] = _bpe_segment_oracle_sql()
 
 
 CDC_K, CDC_BITS = 8, 5

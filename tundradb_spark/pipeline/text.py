@@ -998,3 +998,57 @@ def bpe_train(
     return spark.createDataFrame(
         rules, "rank long, left string, right string, merged string, pair_count long"
     )
+
+
+def bpe_segment(
+    docs: DataFrame,
+    rules: list[tuple[str, str]] | None = None,
+    n_merges: int = 8,
+    text_col: str = "text",
+    max_word_types: int | None = None,
+) -> DataFrame:
+    """Segment every word type with BPE merge rules — the apply half of
+    :func:`bpe_train` (train once, segment any corpus).  ``rules`` is an
+    ordered list of (left, right) pairs; when None, rules are trained on
+    THIS corpus first (rank order preserved — merges must apply in
+    training order, later merges build on earlier ones).
+
+    Same scale shape as training: segmentation runs over the word-TYPE
+    table (one corpus-sized token count, then vocab-sized work); the
+    merge applications are a chain of ``n_merges`` literal ``replace``
+    expressions — whole-stage codegen, zero extra shuffles.
+
+    Output: ``(word, freq, seg, n_subwords)`` — ``seg`` the space-joined
+    subword segmentation, engine-reproducible via the same replace
+    semantics as training.
+    """
+    if rules is None:
+        rules = [
+            (r["left"], r["right"])
+            for r in bpe_train(
+                docs,
+                n_merges=n_merges,
+                text_col=text_col,
+                max_word_types=max_word_types,
+            )
+            .orderBy("rank")
+            .collect()
+        ]  # bounded: n_merges rows
+    w = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if max_word_types is not None:
+        w = w.orderBy(F.desc("freq"), F.asc("w")).limit(max_word_types)
+    seg = F.concat(
+        F.lit(" "), F.array_join(F.split("w", ""), " "), F.lit(" ")
+    )
+    for l, r in rules:
+        seg = F.replace(seg, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
+    return w.select(
+        F.col("w").alias("word"),
+        "freq",
+        F.trim(seg).alias("seg"),
+        F.size(F.split(F.trim(seg), " ")).cast("long").alias("n_subwords"),
+    )
