@@ -606,3 +606,38 @@ def test_quantizer_sidecar_file_uri_lands_in_index_dir(tmp_path):
         assert os.path.exists(os.path.join(d, "_quantizer.json"))
         assert similarity.load_quantizer(uri) == {"kind": "lsh", "planes": 8}
         assert not os.path.exists(f"./file:{d}")
+
+
+def test_cdc_chunks_no_shuffle(spark):
+    # content-defined chunking must stay a narrow per-row plan: boundary
+    # arrays via one filter(sequence(...)) lambda, the only row expansion
+    # the final posexplode — zero exchanges at any scale
+    from tundradb_spark.pipeline.sampling import cdc_chunks
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = cdc_chunks(docs)
+    assert audit.count_exchanges(df) == 0, audit.formatted_plan(df)
+    audit.assert_no_nested_loop(df)
+
+
+def test_temperature_mixture_broadcasts_the_plan(spark):
+    # the domain plan (totals + keep fractions) is domain-sized and must
+    # come back via broadcast — the corpus never shuffles; allowed
+    # exchanges: the totals aggregate + the tiny global window
+    from tundradb_spark.pipeline.sampling import temperature_mixture
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = temperature_mixture(docs, alpha=0.5, total_tokens=20_000)
+    audit.assert_broadcast(df)
+    audit.assert_no_nested_loop(df)
+    assert audit.count_exchanges(df) <= 3, audit.formatted_plan(df)
+
+
+def test_semantic_dedup_joins_on_the_cell(spark):
+    # the SemDeDup self-join must key on the cell (hash or broadcast
+    # equi-join) — never a nested-loop over all pairs
+    from tundradb_spark.pipeline.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = semantic_dedup(emb, threshold=0.3, dim=64)
+    audit.assert_no_nested_loop(df)
