@@ -449,3 +449,58 @@ class TestMovingAggregateProperty:
                 max(frame),
             )
             assert got[(k, t, float(v))] == want, (k, t, v)
+
+
+_txt = st.text(
+    alphabet=st.sampled_from("ab xyz."), min_size=0, max_size=120
+)
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(_txt, min_size=1, max_size=6), k=st.sampled_from([2, 4]))
+def test_cdc_chunks_tile_documents(spark, texts, k):
+    """CDC chunks tile each non-empty document exactly: contiguous,
+    1-based, covering all n_chars — for ANY text and window size (the
+    definition of a chunking)."""
+    from tundradb_spark.pipeline.sampling import cdc_chunks
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = cdc_chunks(docs, k=k, boundary_bits=2).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {i for i, t in enumerate(texts) if len(t) > 0}
+    for i, rs in by_doc.items():
+        rs.sort(key=lambda r: r["chunk_idx"])
+        pos = 1
+        for j, r in enumerate(rs, start=1):
+            assert r["chunk_idx"] == j and r["start_pos"] == pos
+            assert r["chunk_len"] >= 1
+            pos += r["chunk_len"]
+        assert pos - 1 == len(texts[i])
+
+
+@settings(**_SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=10,
+    ),
+    n=st.sampled_from([1, 3]),
+)
+def test_bpe_segment_concatenates_back(spark, words, n):
+    """Every BPE segmentation concatenates back to its word, and merges
+    never produce an empty subword — for ANY corpus and merge count."""
+    from tundradb_spark.pipeline.text import bpe_segment
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    for r in bpe_segment(docs, n_merges=n).collect():
+        parts = r["seg"].split(" ")
+        assert all(parts), r
+        assert "".join(parts) == r["word"], r
+        assert r["n_subwords"] == len(parts)
