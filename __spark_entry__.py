@@ -73,11 +73,12 @@ q_hll_distinct, q_hll_intersect, q_cm_counts, q_bloom_semi, q_text_lm2,
 q_weighted_sample, q_vocab, q_zorder, q_tfidf.  q_encode stays seated —
 its r6 row was red on harness shape (raw array column) and needs its
 first green with the r7 ids_md5 digest.  New r7 operators join PARKED
-(window full; seatable next rotation): q_bpe (BPE merge-rule induction,
-unrolled-iteration oracle), q_cdc_chunks (content-defined chunking,
-rolling-hash boundaries), q_temperature (temperature-scaled domain
-mixture) and q_semantic_dedup (SemDeDup-style within-cell cosine
-pruning) — oracle-bearing and CI-checked like the rest.
+(window full; seatable next rotation): q_bpe / q_bpe_segment (BPE
+merge-rule induction + segmentation, unrolled-iteration oracles),
+q_cdc_chunks (content-defined chunking, rolling-hash boundaries),
+q_temperature (temperature-scaled domain mixture) and q_semantic_dedup
+(SemDeDup-style within-cell cosine pruning) — oracle-bearing and
+CI-checked like the rest.
 """
 
 from __future__ import annotations
