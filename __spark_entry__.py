@@ -76,9 +76,11 @@ first green with the r7 ids_md5 digest.  New r7 operators join PARKED
 (window full; seatable next rotation): q_bpe / q_bpe_segment (BPE
 merge-rule induction + segmentation, unrolled-iteration oracles),
 q_cdc_chunks (content-defined chunking, rolling-hash boundaries),
-q_temperature (temperature-scaled domain mixture) and q_semantic_dedup
-(SemDeDup-style within-cell cosine pruning) — oracle-bearing and
-CI-checked like the rest.
+q_temperature (temperature-scaled domain mixture), q_semantic_dedup
+(SemDeDup-style within-cell cosine pruning) and q_typed_map (VARIANT
+property maps — the reference's map<utf8, dense_union> semantics
+realized natively; closes r6 verdict "missing" item 1) — oracle-bearing
+and CI-checked like the rest.
 """
 
 from __future__ import annotations
@@ -3020,3 +3022,40 @@ if set(PARKED_QUERIES) != set(PARKED_ORACLES):
     raise RuntimeError(
         f"parked query/oracle diff: {set(PARKED_QUERIES) ^ set(PARKED_ORACLES)}"
     )
+
+
+def q_typed_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: VARIANT property map through the full engine path — the
+    reference's map<utf8, dense_union> realization (P2/F6 deepened,
+    include/arrow/utils.hpp:127-137): events props parsed with
+    parse_json (runtime types preserved per row), registered as a node
+    table, filtered via a typed literal (try_variant_get bigint path in
+    operators/match.py) and selected via the string realization.
+    Heterogeneous per-row types are pinned in tests/test_functions.py;
+    this row value-checks the engine path against DuckDB's JSON access."""
+    from tundradb_spark.database import Database
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.parse_json("props").alias("props"),
+        "event_type",
+    )
+    db = Database(spark)
+    db.register_node_table("events_v", ev, "event_id", resume_counter=False)
+    q = (
+        Query.from_("e:events_v")
+        .where("e.props.k", ">", 90)
+        .where("e.event_type", "=", "purchase")
+        .select("e.id AS event_id", "e.props.k AS k_val")
+    )
+    return db.query(q)
+
+
+PARKED_QUERIES["q_typed_map"] = q_typed_map
+PARKED_ORACLES["q_typed_map"] = """
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           json_extract_string(props, '$.k') AS k_val
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 90
+      AND event_type = 'purchase'
+"""

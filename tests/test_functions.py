@@ -79,3 +79,72 @@ def test_lsh_bands_validation():
         lsh_bands(16, 5)  # trailing planes dropped
     with pytest.raises(ValueError):
         lsh_bands(0, 8)
+
+
+class TestVariantPropertyMaps:
+    """r7: VARIANT property columns carry the reference's full
+    map<utf8, dense_union> semantics (include/arrow/utils.hpp:127-137) —
+    per-KEY AND per-ROW runtime types — natively, where the
+    map<string,string> fallback collapses to a dominant type."""
+
+    def _db(self, spark):
+        from pyspark.sql import functions as F
+
+        from tundradb_spark import Database
+
+        rows = [
+            (1, '{"k": 69, "tag": "a"}'),
+            (2, '{"k": 99, "tag": 7}'),        # tag switches type per row
+            (3, '{"k": "high", "tag": "b"}'),  # k is a STRING here
+            (4, '{"k": 12.5}'),                # k is a DOUBLE here
+            (5, '{"other": 1}'),               # k absent
+        ]
+        df = spark.createDataFrame(rows, "id long, props_json string").select(
+            "id", F.parse_json("props_json").alias("props")
+        )
+        db = Database(spark)
+        db.register_node_table("ev", df, "id", resume_counter=False)
+        return db
+
+    def test_where_literal_type_selects_per_row_types(self, spark):
+        from tundradb_spark import Query
+
+        db = self._db(spark)
+        # bigint literal: numeric k rows compare numerically; the STRING
+        # k row null-outs (per-value coercion failure, the reference's
+        # dense_union behavior) instead of comparing lexicographically
+        got = db.query(
+            Query.from_("e:ev").where("e.props.k", ">", 50).select("e.id AS id")
+        )
+        assert sorted(r["id"] for r in got.collect()) == [1, 2]
+        # string literal: matches the string-typed row only
+        got2 = db.query(
+            Query.from_("e:ev")
+            .where("e.props.k", "=", "high")
+            .select("e.id AS id")
+        )
+        assert [r["id"] for r in got2.collect()] == [3]
+
+    def test_select_string_realization(self, spark):
+        from tundradb_spark import Query
+
+        db = self._db(spark)
+        got = {
+            r["id"]: r["k"]
+            for r in db.query(
+                Query.from_("e:ev").select("e.id AS id", "e.props.k AS k")
+            ).collect()
+        }
+        assert got[1] == "69" and got[3] == "high" and got[5] is None
+
+    def test_per_row_type_switch_on_same_key(self, spark):
+        from tundradb_spark import Query
+
+        db = self._db(spark)
+        # 'tag' is a string in row 1, a bigint in row 2 — the SAME key:
+        # exactly what map<string,string> cannot represent without
+        # collapsing; numeric comparison must pick row 2 only
+        got = db.query(
+            Query.from_("e:ev").where("e.props.tag", ">", 3).select("e.id AS id")
+        )
+        assert [r["id"] for r in got.collect()] == [2]

@@ -123,3 +123,49 @@ def coerce_literal(text: str, target_type: str) -> Any:
             return False
         raise ValueError(f"cannot coerce {text!r} to boolean")
     return s
+
+
+# -- VARIANT property maps (dense_union parity) ------------------------------
+
+
+def is_variant(dtype) -> bool:
+    """True for Spark 4's VARIANT type — the engine's native realization
+    of the reference's ``map<utf8, dense_union>`` property maps
+    (include/arrow/utils.hpp:127-137): per-KEY AND per-ROW runtime types
+    are preserved (the same key may hold a long in one row and a string
+    in the next), where the ``map<string,string>`` fallback collapses
+    everything to the dominant type at load."""
+    from pyspark.sql import types as T
+
+    return isinstance(dtype, T.VariantType)
+
+
+def _variant_path(path: tuple) -> str:
+    return "$." + ".".join(path)
+
+
+def variant_get_for_literal(col: Column, path: tuple, value: Any) -> Column:
+    """Typed per-key access over a VARIANT property map, the type chosen
+    by the comparison literal (the dominant-type-inference contract of
+    :func:`cast_for_literal`, but per VALUE instead of per column): a
+    value whose runtime type cannot coerce to the literal's type becomes
+    NULL (``try_variant_get``) — exactly the reference's per-value
+    coercion failure behavior over dense_union."""
+    if isinstance(value, bool):
+        t = "boolean"
+    elif isinstance(value, int):
+        t = "bigint"
+    elif isinstance(value, float):
+        t = "double"
+    else:
+        t = "string"
+    return F.try_variant_get(col, _variant_path(path), t)
+
+
+def variant_get_string(col: Column, path: tuple) -> Column:
+    """SELECT-side access over a VARIANT map: the string realization —
+    the one representation every runtime type coerces into, mirroring
+    the mixed-type→string fallback the map<string,string> path uses
+    (SURVEY §7's sanctioned behavior, now without losing WHERE-side
+    types)."""
+    return F.try_variant_get(col, _variant_path(path), "string")

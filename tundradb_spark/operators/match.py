@@ -70,12 +70,18 @@ def _prefix(df: DataFrame, alias: str) -> DataFrame:
     return df.select([F.col("`" + c + "`").alias(f"{alias}.{c}") for c in df.columns])
 
 
+def _dtypes(df: DataFrame) -> dict:
+    """Column name → dataType, for type-directed compilation (VARIANT
+    property maps take a different access path than map columns)."""
+    return {f.name: f.dataType for f in df.schema.fields}
+
+
 # ---------------------------------------------------------------------------
 # WHERE expression compilation
 # ---------------------------------------------------------------------------
 
 
-def compile_expr(expr: Expr) -> Column:
+def compile_expr(expr: Expr, dtypes: dict | None = None) -> Column:
     """Expr tree → Spark Column over alias-prefixed column names.
 
     Parity notes (reference src/query/query.cpp:81-201):
@@ -88,20 +94,33 @@ def compile_expr(expr: Expr) -> Column:
     - nested map access ``u.props.role`` → ``element_at`` (the reference's
       row-eval fallback, src/query/filter_executor.cpp:50-92, is unnecessary:
       element_at is vectorized/codegen'd in Spark).
+    - r7: a VARIANT property column (``dtypes`` carries the frame's
+      column types) takes the ``try_variant_get`` path instead — per-ROW
+      runtime types preserved, the full ``map<utf8, dense_union>``
+      semantics of the reference (include/arrow/utils.hpp:127-137) that
+      the map<string,string> fallback can only approximate.
     """
     if isinstance(expr, Logical):
-        left, right = compile_expr(expr.left), compile_expr(expr.right)
+        left = compile_expr(expr.left, dtypes)
+        right = compile_expr(expr.right, dtypes)
         return left & right if expr.op == "AND" else left | right
     if isinstance(expr, Compare):
         from tundradb_spark.functions import scalar as sf
 
-        col = _bt(f"{expr.ref.alias}.{expr.ref.field}")
+        base = f"{expr.ref.alias}.{expr.ref.field}"
+        col = _bt(base)
         op, v = expr.op, expr.value
         if expr.ref.nested_path:
-            col = sf.map_get(col, *expr.ref.nested_path)
-            # mixed-type maps load as map<string,string>; typed literals
-            # force a typed comparison (reference dominant-type inference)
-            col = sf.cast_for_literal(col, v)
+            if dtypes is not None and sf.is_variant(dtypes.get(base)):
+                col = sf.variant_get_for_literal(
+                    col, expr.ref.nested_path, v
+                )
+            else:
+                col = sf.map_get(col, *expr.ref.nested_path)
+                # mixed-type maps load as map<string,string>; typed
+                # literals force a typed comparison (reference
+                # dominant-type inference)
+                col = sf.cast_for_literal(col, v)
         if op is CompareOp.EQ:
             return sf.null_safe_eq(col, v)
         if op is CompareOp.NE:
@@ -226,7 +245,7 @@ class MatchCompiler:
             self.db.get_table(schema, self.q.valid_time, self.q.tx_time), alias
         )
         for e in self._per_alias_filters.get(alias, []):
-            df = df.filter(compile_expr(e))
+            df = df.filter(compile_expr(e, _dtypes(df)))
         return df
 
     def _edge_table(self, hop: Traverse) -> tuple[DataFrame, str, str, list[str]]:
@@ -236,7 +255,7 @@ class MatchCompiler:
             ea = hop.edge_alias
             df = _prefix(raw, ea)
             for e in self._per_alias_filters.get(ea, []):
-                df = df.filter(compile_expr(e))
+                df = df.filter(compile_expr(e, _dtypes(df)))
             return df, f"{ea}.source_id", f"{ea}.target_id", []
         self._edge_seq += 1
         s, t = f"__e{self._edge_seq}_src", f"__e{self._edge_seq}_tgt"
@@ -361,7 +380,7 @@ class MatchCompiler:
         # Deferred cross-alias WHERE: after joins AND null padding
         # (src/query/filter_executor.cpp:26-33; build_result_table order).
         for e in self.deferred:
-            df = df.filter(compile_expr(e))
+            df = df.filter(compile_expr(e, _dtypes(df)))
         return df
 
     def _build(self, alias: str, children: dict[str, list[_BuildHop]]) -> DataFrame:
@@ -481,9 +500,16 @@ class MatchCompiler:
             if base in df.columns and not ref.nested_path:
                 cols.append(_bt(base).alias(out_name or base))
             elif ref.nested_path:
+                from tundradb_spark.functions import scalar as sf
+
                 c = _bt(base)
-                for key in ref.nested_path:
-                    c = F.element_at(c, key)
+                if sf.is_variant(_dtypes(df).get(base)):
+                    # VARIANT map: string realization on SELECT (every
+                    # runtime type coerces; WHERE keeps literal types)
+                    c = sf.variant_get_string(c, tuple(ref.nested_path))
+                else:
+                    for key in ref.nested_path:
+                        c = F.element_at(c, key)
                 cols.append(c.alias(out_name or str(ref)))
             else:
                 raise QueryError(f"SELECT field not found: {spec!r}")
