@@ -76,7 +76,8 @@ first green with the r7 ids_md5 digest.  New r7 operators join PARKED
 (window full; seatable next rotation): q_bpe / q_bpe_segment (BPE
 merge-rule induction + segmentation, unrolled-iteration oracles),
 q_cdc_chunks (content-defined chunking, rolling-hash boundaries),
-q_temperature (temperature-scaled domain mixture), q_semantic_dedup
+q_temperature (temperature-scaled domain mixture), q_ewma
+(truncated-FIR EWMA smoothing), q_semantic_dedup
 (SemDeDup-style within-cell cosine pruning) and q_typed_map (VARIANT
 property maps — the reference's map<utf8, dense_union> semantics
 realized natively; closes r6 verdict "missing" item 1) — oracle-bearing
@@ -3059,3 +3060,55 @@ PARKED_ORACLES["q_typed_map"] = """
     WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 90
       AND event_type = 'purchase'
 """
+
+
+EWMA_ALPHA, EWMA_TAPS = 0.3, 8
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-FIR EWMA per user over the events stream
+    (operators.relational.ewma_filter, r7): every smoothed value
+    oracle-checked — the weights are computed once driver-side and
+    embedded as the SAME double literals in both engines, so each output
+    is one fixed IEEE expression."""
+    from tundradb_spark.operators.relational import ewma_filter
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ewma_filter(
+        ev, "user_id", "value", alpha=EWMA_ALPHA, taps=EWMA_TAPS,
+        tiebreak_col="event_id",
+    ).select(
+        F.col("key").cast("long").alias("user_id"),
+        F.col("ts_us").cast("long").alias("ts_us"),
+        "value",
+        "ewma",
+    )
+
+
+def _ewma_oracle_sql() -> str:
+    weights = [
+        EWMA_ALPHA * (1 - EWMA_ALPHA) ** j for j in range(EWMA_TAPS)
+    ]
+    num = " + ".join(
+        f"CASE WHEN lag(v, {j}) OVER w IS NOT NULL"
+        f" THEN {w!r} * lag(v, {j}) OVER w ELSE 0.0 END"
+        for j, w in enumerate(weights)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(v, {j}) OVER w IS NOT NULL"
+        f" THEN {w!r} ELSE 0.0 END"
+        for j, w in enumerate(weights)
+    )
+    return f"""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(us AS BIGINT) AS ts_us,
+           v AS value,
+           round(({num}) / ({den}), 6) AS ewma
+    FROM (SELECT user_id, epoch_us(ts) AS us, value AS v, event_id
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+"""
+
+
+PARKED_QUERIES["q_ewma"] = q_ewma
+PARKED_ORACLES["q_ewma"] = _ewma_oracle_sql()

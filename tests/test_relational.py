@@ -762,3 +762,54 @@ class TestDownsampleLttb:
         df = spark.createDataFrame([(1, 0, 1.0)], "k long, ts long, v double")
         with pytest.raises(ValueError):
             downsample_lttb(df, 2, "k", "v")
+
+
+class TestEwmaFilter:
+    def test_known_series(self, spark):
+        from tundradb_spark.operators.relational import ewma_filter
+
+        import datetime
+
+        rows = [
+            ("a", datetime.datetime(2024, 1, 1, 0, 0, i), float(v), i)
+            for i, v in enumerate([10.0, 20.0, 30.0])
+        ]
+        df = spark.createDataFrame(
+            rows, "user string, ts timestamp, value double, event_id long"
+        )
+        out = {
+            r["ts_us"]: r["ewma"]
+            for r in ewma_filter(
+                df, "user", "value", alpha=0.5, taps=3, tiebreak_col="event_id"
+            ).collect()
+        }
+        ts = sorted(out)
+        # row 0: only itself. row 1: (.5*20 + .25*10)/.75
+        # row 2: (.5*30 + .25*20 + .125*10)/.875
+        assert out[ts[0]] == 10.0
+        assert abs(out[ts[1]] - (0.5 * 20 + 0.25 * 10) / 0.75) < 1e-6
+        assert (
+            abs(out[ts[2]] - (0.5 * 30 + 0.25 * 20 + 0.125 * 10) / 0.875)
+            < 1e-6
+        )
+
+    def test_single_shuffle(self, spark):
+        from tundradb_spark.operators.relational import ewma_filter
+        from tundradb_spark.plans import audit
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        df = ewma_filter(ev, "user_id", "value", tiebreak_col="event_id")
+        assert audit.count_exchanges(df) <= 1, audit.formatted_plan(df)
+
+    def test_validation(self, spark):
+        import pytest
+
+        from tundradb_spark.operators.relational import ewma_filter
+
+        ev = spark.createDataFrame(
+            [], "user_id long, ts timestamp, value double"
+        )
+        with pytest.raises(ValueError):
+            ewma_filter(ev, "user_id", "value", alpha=0.0)
+        with pytest.raises(ValueError):
+            ewma_filter(ev, "user_id", "value", taps=0)

@@ -1029,3 +1029,69 @@ def downsample_lttb(
     return small.unionByName(ends.select("key", "ts_us", "value")).unionByName(
         picked
     )
+
+
+def ewma_filter(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    taps: int = 8,
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key, as a TRUNCATED
+    finite-impulse-response filter: ``ewma_t = Σ_j w_j · x_{t-j} / Σ_j
+    w_j`` over the trailing ``taps`` observations with ``w_j =
+    α(1−α)^j`` (weights renormalized over the lags that exist, so early
+    rows average their available history instead of emitting null).
+
+    Truncation is what makes the operator ENGINE-REPRODUCIBLE: the
+    classic recursive EWMA (``y_t = αx_t + (1−α)y_{t−1}``) is an
+    infinite recurrence no SQL window expresses exactly, while the
+    ``taps``-term form is a fixed lag-chain whose weights are computed
+    ONCE driver-side and embedded as identical double literals in both
+    the Spark plan and the SQL oracle — every output is a fixed
+    left-associated IEEE expression, bit-reproducible anywhere.  With
+    the default α=0.3, 8 taps carry >96% of the infinite-tail mass.
+
+    Plan shape: ONE hash shuffle on the key, one window sort, ``taps``
+    ``lag``s riding the same frame — identical cost profile to
+    :func:`moving_aggregate`.  Output: ``(key, ts_us, value, ewma)`` —
+    one row per input event, 6dp-rounded.
+    """
+    from pyspark.sql import Window
+
+    from tundradb_spark.functions.timecols import epoch_micros
+
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if taps < 1:
+        raise ValueError(f"taps must be >= 1, got {taps}")
+    weights = [alpha * (1 - alpha) ** j for j in range(taps)]
+    cols = [
+        F.col(key_col).alias("key"),
+        epoch_micros(events, ts_col).alias("ts_us"),
+        F.col(value_col).cast("double").alias("value"),
+    ]
+    order = [F.col("ts_us").asc()]
+    if tiebreak_col is not None:
+        cols.append(F.col(tiebreak_col).alias("__tb"))
+        order.append(F.col("__tb").asc())
+    base = events.select(*cols)
+    w = Window.partitionBy("key").orderBy(*order)
+    num, den = None, None
+    for j, wt in enumerate(weights):
+        lagged = F.lag("value", j).over(w)
+        term = F.when(lagged.isNotNull(), F.lit(wt) * lagged).otherwise(
+            F.lit(0.0)
+        )
+        avail = F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = avail if den is None else den + avail
+    return base.select(
+        "key",
+        "ts_us",
+        "value",
+        F.round(num / den, 6).alias("ewma"),
+    )
