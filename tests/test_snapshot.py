@@ -214,3 +214,27 @@ def test_gc_rejects_keep_last_below_one(spark, snap_path):
         with pytest.raises(ValueError, match="keep_last"):
             db.gc_snapshots(keep_last=bad)
     assert os.path.isdir(os.path.join(snap_path, "snapshots", "0"))
+
+
+def test_variant_table_survives_commit_restore(spark, snap_path):
+    # r7: a VARIANT property column (the dense_union map realization)
+    # must round-trip through snapshot parquet with its per-row runtime
+    # types intact — typed WHERE access works identically after restore
+    from pyspark.sql import functions as F
+
+    from tundradb_spark import Query
+
+    ev = spark.createDataFrame(
+        [(1, '{"k": 69}'), (2, '{"k": "high"}'), (3, '{"k": 99}')],
+        "id long, j string",
+    ).select("id", F.parse_json("j").alias("props"))
+    db = Database(spark, path=snap_path)
+    db.register_node_table("ev", ev, "id", resume_counter=False)
+    db.commit()
+
+    db2 = Database(spark, path=snap_path)
+    assert db2.get_table("ev").schema["props"].dataType.typeName() == "variant"
+    got = db2.query(
+        Query.from_("e:ev").where("e.props.k", ">", 50).select("e.id AS id")
+    )
+    assert sorted(r["id"] for r in got.collect()) == [1, 3]
