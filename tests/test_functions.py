@@ -148,3 +148,10 @@ class TestVariantPropertyMaps:
             Query.from_("e:ev").where("e.props.tag", ">", 3).select("e.id AS id")
         )
         assert [r["id"] for r in got.collect()] == [2]
+
+    def test_nested_set_on_variant_raises_clearly(self, spark):
+        from tundradb_spark.errors import QueryError
+
+        db = self._db(spark)
+        with pytest.raises(QueryError, match="VARIANT property column"):
+            db.update_by_id("ev", 1, {"props.k": 5})

@@ -395,3 +395,23 @@ class TestApproxDistinctAgg:
         # fixture names are unique per user: estimate == exact count here
         for age, r in rows.items():
             assert r["n_names"] == r["n"]
+
+
+def test_ql_nested_path_over_variant(spark):
+    # r7: the QL text surface shares match.py's type-dispatched compile
+    # path, so VARIANT property access works through MATCH text too
+    from pyspark.sql import functions as F
+
+    from tundradb_spark import Database
+    from tundradb_spark.ql.interpreter import execute_statement
+
+    ev = spark.createDataFrame(
+        [(1, '{"k": 69}'), (2, '{"k": "hi"}'), (3, '{"k": 95}')],
+        "id long, j string",
+    ).select("id", F.parse_json("j").alias("props"))
+    db = Database(spark)
+    db.register_node_table("ev", ev, "id", resume_counter=False)
+    res = execute_statement(
+        db, "MATCH (e:ev) WHERE e.props.k > 90 SELECT e.id AS id;"
+    )
+    assert sorted(r["id"] for r in res.collect()) == [3]

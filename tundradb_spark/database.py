@@ -598,6 +598,14 @@ class Database:
             # (round-1 ADVICE: map_concat from F.col dropped earlier adds)
             current = out.get(name, F.col(name))
             if sub:
+                if getattr(dt, "typeName", lambda: "")() == "variant":
+                    raise QueryError(
+                        f"nested SET on VARIANT property column: {key} — "
+                        "VARIANT is the read-optimized heterogeneous "
+                        "realization (no per-key writer exists in Spark); "
+                        "store mutable property maps as typed map columns "
+                        "(map<string,T>) instead"
+                    )
                 if not isinstance(dt, T.MapType):
                     raise QueryError(f"nested SET on non-map field: {key}")
                 addition = F.create_map(
