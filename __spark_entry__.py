@@ -78,7 +78,9 @@ merge-rule induction + segmentation, unrolled-iteration oracles),
 q_cdc_chunks (content-defined chunking, rolling-hash boundaries),
 q_temperature (temperature-scaled domain mixture), q_ewma
 (truncated-FIR EWMA smoothing), q_semantic_dedup
-(SemDeDup-style within-cell cosine pruning) and q_typed_map (VARIANT
+(SemDeDup-style within-cell cosine pruning), q_fuzzy_pairs (q-gram
+prefiltered Levenshtein entity resolution, brute-force oracle) and
+q_typed_map (VARIANT
 property maps — the reference's map<utf8, dense_union> semantics
 realized natively; closes r6 verdict "missing" item 1) — oracle-bearing
 and CI-checked like the rest.

@@ -2059,3 +2059,62 @@ class TestBpeSegment:
         a = sorted(map(tuple, bpe_segment(docs, rules=rules).collect()))
         b = sorted(map(tuple, bpe_segment(docs, n_merges=4).collect()))
         assert a == b and a
+
+
+class TestFuzzyStringPairs:
+    def _brute(self, rows, d):
+        def lev(a, b):
+            import functools
+
+            @functools.lru_cache(maxsize=None)
+            def rec(i, j):
+                if i == 0:
+                    return j
+                if j == 0:
+                    return i
+                return min(
+                    rec(i - 1, j) + 1,
+                    rec(i, j - 1) + 1,
+                    rec(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+                )
+
+            return rec(len(a), len(b))
+
+        return sorted(
+            (ia, ib, lev(sa, sb))
+            for ia, sa in rows
+            for ib, sb in rows
+            if ia < ib and lev(sa, sb) <= d
+        )
+
+    def test_matches_bruteforce_including_short_strings(self, spark):
+        from tundradb_spark.pipeline.dedup import fuzzy_string_pairs
+
+        rows = [
+            (1, "spark"), (2, "spork"), (3, "sparks"), (4, "park"),
+            (5, "a"), (6, "ab"), (7, "b"),   # short pool (<= q(d+1)-1)
+            (8, "abc"), (9, "zzzzzz"), (10, "spark"),
+        ]
+        df = spark.createDataFrame(rows, "id long, s string")
+        got = sorted(
+            map(tuple, fuzzy_string_pairs(df, "s", max_dist=2).collect())
+        )
+        assert got == self._brute(rows, 2)
+
+    def test_max_df_is_the_documented_approximate_mode(self, spark):
+        from tundradb_spark.pipeline.dedup import fuzzy_string_pairs
+
+        rows = [(i, f"prefix{i}") for i in range(20)]
+        df = spark.createDataFrame(rows, "id long, s string")
+        exact = fuzzy_string_pairs(df, "s", max_dist=1).count()
+        capped = fuzzy_string_pairs(df, "s", max_dist=1, max_df=2).count()
+        assert capped <= exact  # capping may only DROP pairs
+
+    def test_validation(self, spark):
+        from tundradb_spark.pipeline.dedup import fuzzy_string_pairs
+
+        df = spark.createDataFrame([(1, "x")], "id long, s string")
+        with pytest.raises(ValueError):
+            fuzzy_string_pairs(df, "s", max_dist=-1)
+        with pytest.raises(ValueError):
+            fuzzy_string_pairs(df, "s", q=0)

@@ -1031,3 +1031,115 @@ def semantic_dedup(
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def fuzzy_string_pairs(
+    df: DataFrame,
+    col: str,
+    id_col: str = "id",
+    max_dist: int = 2,
+    q: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Entity-resolution self-join: pairs of rows whose ``col`` strings
+    are within Levenshtein distance ``max_dist`` — near-identical
+    titles/names/URLs that MinHash (token-set similarity) does not model.
+
+    EXACT by construction (the brute-force oracle reproduces it):
+    candidates are generated by the classic q-gram prefilter and then
+    VERIFIED with exact ``levenshtein``.  The prefilter has no false
+    negatives: two strings within distance d must share at least one
+    q-gram once ``max(len) > q·(d+1) − 1`` (each edit destroys at most q
+    grams), so pairs sharing a gram cover every long pair; strings at or
+    below that length go into a SHORT POOL joined all-pairs within the
+    length band (tiny by definition — bounded length over a finite
+    alphabet).  A ``| |a|−|b| | ≤ d`` length filter prunes both arms
+    (length difference lower-bounds edit distance).
+
+    Plan shape: one distinct-gram explode + one gram-keyed equi-join
+    (the inverted-index shuffle — full parallelism on the gram key, the
+    n-gram-Jaccard shape) + one short-pool join, then the levenshtein
+    verify on candidates only — never corpus².  ``max_df`` drops grams
+    appearing in more than that many rows (boilerplate-gram skew escape
+    hatch, same trade as ngram_jaccard_pairs: capping CAN drop true
+    pairs, so the default is exact/uncapped).
+
+    Output: ``(id_a, id_b, dist)`` with ``id_a < id_b``.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if q < 1:
+        raise ValueError(f"q must be >= 1, got {q}")
+    short_max = q * (max_dist + 1) - 1
+    base = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(col).alias("s"),
+        F.length(col).alias("n"),
+    ).filter(F.col("s").isNotNull())
+    grams = base.filter(F.col("n") > short_max).select(
+        id_col,
+        "s",
+        "n",
+        F.explode_outer(
+            F.expr(
+                f"array_distinct(transform(sequence(1, n - {q} + 1),"
+                f" p -> substring(s, p, {q})))"
+            )
+        ).alias("g"),
+    )
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        df_w = Window.partitionBy("g")
+        grams = grams.withColumn(
+            "__df", F.count(F.lit(1)).over(df_w)
+        ).filter(F.col("__df") <= max_df).drop("__df")
+    a, b = grams.alias("a"), grams.alias("b")
+    long_cands = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.abs(F.col("a.n") - F.col("b.n")) <= max_dist),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.s").alias("sa"),
+            F.col("b.s").alias("sb"),
+        )
+        .distinct()
+    )
+    short = base.filter(F.col("n") <= short_max)
+    sa, sb = short.alias("a"), short.alias("b")
+    # short×long pairs: the long side's length bound keeps the gram arm
+    # sound only when max(len) > short_max, so pair shorts against ALL
+    # rows within the length band, not just other shorts
+    short_cands = (
+        sa.join(
+            base.alias("b"),
+            (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+            & (F.abs(F.col("a.n") - F.col("b.n")) <= max_dist),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias(
+                "id_b"
+            ),
+            F.when(
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"), F.col("a.s")
+            ).otherwise(F.col("b.s")).alias("sa"),
+            F.when(
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"), F.col("b.s")
+            ).otherwise(F.col("a.s")).alias("sb"),
+        )
+        .distinct()
+    )
+    cands = long_cands.unionByName(short_cands).dropDuplicates(
+        ["id_a", "id_b"]
+    )
+    return (
+        cands.withColumn("dist", F.levenshtein("sa", "sb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )

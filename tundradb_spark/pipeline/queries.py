@@ -3329,3 +3329,36 @@ FROM withn w LEFT JOIN dropped d ON w.vec_id = d.vec_id
 
 PARKED_PIPELINE_QUERIES["q_semantic_dedup"] = q_semantic_dedup
 PARKED_PIPELINE_ORACLES["q_semantic_dedup"] = _semantic_oracle_sql()
+
+
+FUZZY_MAX_DIST, FUZZY_KEYS = 1, 500
+
+
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy self-join (dedup.fuzzy_string_pairs, r7):
+    part-name pairs within Levenshtein distance 1 among the first 500
+    parts — q-gram-prefiltered candidates + exact verify; the oracle is
+    BRUTE-FORCE levenshtein over all pairs, so a green row proves the
+    prefilter has no false negatives."""
+    from tundradb_spark.pipeline.dedup import fuzzy_string_pairs
+
+    parts = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_partkey") < FUZZY_KEYS)
+        .select(F.col("p_partkey").alias("id"), "p_name")
+    )
+    return fuzzy_string_pairs(parts, "p_name", max_dist=FUZZY_MAX_DIST)
+
+
+Q_FUZZY_SQL = f"""
+WITH p AS (
+  SELECT p_partkey AS id, p_name AS s FROM part WHERE p_partkey < {FUZZY_KEYS}
+)
+SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM p a JOIN p b ON a.id < b.id
+WHERE levenshtein(a.s, b.s) <= {FUZZY_MAX_DIST}
+"""
+
+PARKED_PIPELINE_QUERIES["q_fuzzy_pairs"] = q_fuzzy_pairs
+PARKED_PIPELINE_ORACLES["q_fuzzy_pairs"] = Q_FUZZY_SQL
