@@ -2118,3 +2118,18 @@ class TestFuzzyStringPairs:
             fuzzy_string_pairs(df, "s", max_dist=-1)
         with pytest.raises(ValueError):
             fuzzy_string_pairs(df, "s", q=0)
+
+
+def test_semantic_dedup_auto_cells(spark):
+    from tundradb_spark.pipeline.dedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semantic_dedup(
+        emb, 0.3, n_cells="auto", dim=64, target_cell_size=10
+    )
+    # 500 vectors / target 10 -> 50 cells; all rows classified
+    cells = {r["cell"] for r in out.collect()}
+    assert cells and max(cells) <= 50 and len(cells) > 16
+    assert out.count() == emb.count()
+    with pytest.raises(ValueError):
+        semantic_dedup(emb, 0.3, n_cells="auto", dim=64, target_cell_size=0)

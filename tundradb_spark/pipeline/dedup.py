@@ -971,12 +971,13 @@ def incremental_dup_pairs_indexed(
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.9,
-    n_cells: int = 16,
+    n_cells: int | str = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 11,
     dim: int | None = None,
     centroids: list[list[float]] | None = None,
+    target_cell_size: int = 1000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: assign every vector to its
     IVF cell (``similarity.ivf_assign`` — trained centroids welcome),
@@ -990,12 +991,26 @@ def semantic_dedup(
     n² — with balanced cells that is n²/n_cells, and the shuffle key is
     the cell, so every cell dedups in parallel.  Cross-cell near-dups
     are invisible BY DESIGN (both engines, same centroids → same blind
-    spot); raise ``n_cells`` with corpus size to hold cell volume flat.
+    spot); raise ``n_cells`` with corpus size to hold cell volume flat —
+    or pass ``n_cells='auto'``, which sizes the quantizer as
+    ``max(16, ceil(count / target_cell_size))`` (one bounded count
+    action), keeping expected per-cell candidate volume constant at any
+    corpus size.
 
     Output: ``(id_col, cell, kept)`` — one row per input vector,
     ``kept=false`` iff a lower-id cell-mate at ≥ ``threshold`` exists.
     """
     from tundradb_spark.pipeline.similarity import ivf_assign
+
+    if n_cells == "auto":
+        if centroids is not None:
+            raise ValueError("n_cells='auto' conflicts with explicit centroids")
+        if target_cell_size < 1:
+            raise ValueError(
+                f"target_cell_size must be >= 1, got {target_cell_size}"
+            )
+        n = emb.count()
+        n_cells = max(16, -(-n // target_cell_size))
 
     assigned = ivf_assign(
         emb,
