@@ -51,7 +51,10 @@ SHIFTED: dict[str, list[str] | None] = {
     "part": ["p_partkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
-    "events": ["event_id"],
+    # user_id moves with the customer key space: per-user series stay
+    # sf0.1-length (10x USERS, not 10x-deeper partitions) and replica
+    # orders still find their replica's events
+    "events": ["event_id", "user_id"],
     "embeddings": ["vec_id"],
     "documents": ["doc_id"],
 }
@@ -84,6 +87,13 @@ def build(dst: str = DST, src: str = SRC, reps: int = REPS) -> str:
                         sel.append(
                             f"regexp_replace(text, '(\\S+)', "
                             f"'\\1r{rep}', 'g') AS text"
+                        )
+                    elif table == "documents" and c == "n_chars" and rep:
+                        # keep the size column consistent with the
+                        # suffixed text (weights/reports read n_chars)
+                        sel.append(
+                            f"length(regexp_replace(text, '(\\S+)', "
+                            f"'\\1r{rep}', 'g')) AS n_chars"
                         )
                     else:
                         sel.append(c)

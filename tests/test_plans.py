@@ -266,14 +266,17 @@ def test_lsh_indexed_probe_prunes_files(spark, tmp_path):
 
 def test_lsh_sorted_layout_probe_matches_and_stays_dense(spark, tmp_path):
     # r7 (r6 verdict item 4): the default 'sorted' layout — bands
-    # directories, ONE band_key-sorted file each — must (a) match the
-    # compute path exactly through the SAME prober, (b) keep band_idx as
-    # a partition filter and push band_key down to the scan (row-group
-    # stats on the sorted column carry the pruning the directory tree
-    # used to), (c) actually be dense: one data file per band directory
+    # directories, range-partitioned band_key-sorted files — must
+    # (a) match the compute path exactly through the SAME prober,
+    # (b) keep band_idx as a partition filter and push band_key down to
+    # the scan (footer min/max stats on the sorted column carry the
+    # pruning the directory tree used to), (c) actually have the
+    # pruning property: every file sorted by band_key, files within a
+    # band covering DISJOINT ranges (write parallelism comes from the
+    # range partitioner — one-task-per-band would straggle at scale)
     import os
 
-    from pyspark.sql import functions as F
+    import pyarrow.parquet as pq
 
     from tundradb_spark.pipeline import similarity
 
@@ -300,22 +303,19 @@ def test_lsh_sorted_layout_probe_matches_and_stays_dense(spark, tmp_path):
             for f in os.listdir(os.path.join(path, d))
             if f.endswith(".parquet")
         ]
-        assert len(files) == 1, (d, files)
-    # the sort actually happened: band_key non-decreasing within each
-    # file (pyarrow reads preserve file row order; a Spark read may pack
-    # several files into one partition and interleave)
-    import pyarrow.parquet as pq
-
-    for d in band_dirs:
-        (f,) = [
-            f
-            for f in os.listdir(os.path.join(path, d))
-            if f.endswith(".parquet")
-        ]
-        ks = pq.read_table(
-            os.path.join(path, d, f), columns=["band_key"]
-        ).column("band_key").to_pylist()
-        assert ks == sorted(ks), d
+        assert files, d
+        ranges = []
+        for f in files:
+            ks = (
+                pq.read_table(os.path.join(path, d, f), columns=["band_key"])
+                .column("band_key")
+                .to_pylist()
+            )
+            assert ks == sorted(ks), (d, f)  # sorted within the file
+            ranges.append((ks[0], ks[-1]))
+        ranges.sort()
+        for (lo_a, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+            assert hi_a <= lo_b, (d, ranges)  # disjoint file ranges
 
 
 def test_q_ann_ivf_index_flag_equivalent(spark, monkeypatch):

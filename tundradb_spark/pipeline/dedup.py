@@ -1126,7 +1126,7 @@ def fuzzy_string_pairs(
         .distinct()
     )
     short = base.filter(F.col("n") <= short_max)
-    sa, sb = short.alias("a"), short.alias("b")
+    sa = short.alias("a")
     # short×long pairs: the long side's length bound keeps the gram arm
     # sound only when max(len) > short_max, so pair shorts against ALL
     # rows within the length band, not just other shorts

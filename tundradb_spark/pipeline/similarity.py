@@ -387,16 +387,20 @@ def index_corpus_lsh(
     records which was written):
 
     ``layout='sorted'`` (default, r7): ``partitionBy(band_idx)`` only —
-    ``bands`` directories total — with each band's postings in ONE file
-    sorted by ``band_key``, which stays a data column.  The probe's
-    ``band_key IN (...)`` predicate prunes at parquet row-group/page
-    level (min/max stats on the sorted column) instead of directory
-    level.  This exists because the r6 measurement was honest about the
-    dir-per-key layout: at sf0.1 the Hamming-2 probe opened ~74 tiny
-    directories and file-open cost made the "index" 3.7× SLOWER than
-    recomputing signatures; opening ``bands`` dense sorted files makes
-    the crossover real at demo scale AND keeps object-store listings
-    O(bands) at 100 TB.
+    ``bands`` directories total — with each band's postings RANGE-
+    partitioned and sorted by ``band_key``, which stays a data column:
+    every output file covers a disjoint contiguous ``band_key`` range,
+    so the probe's ``band_key IN (...)`` predicate prunes whole FILES
+    via parquet footer min/max (and row groups within them) instead of
+    directory entries.  Write parallelism is the range partitioner's
+    (AQE-coalesced on small corpora, cluster-wide on big ones — never
+    the one-task-per-band funnel a plain ``repartition(band_idx)``
+    would force at 100 TB).  This exists because the r6 measurement was
+    honest about the dir-per-key layout: at sf0.1 the Hamming-2 probe
+    opened ~74 tiny directories and file-open cost made the "index"
+    3.7× SLOWER than recomputing signatures; opening a handful of dense
+    range-sorted files makes the crossover real at demo scale AND keeps
+    object-store listings O(bands) at 100 TB.
 
     ``layout='dirs'`` (pre-r7): ``partitionBy(band_idx, band_key)`` —
     one directory per posting key, PartitionFilters prune whole
@@ -431,13 +435,16 @@ def index_corpus_lsh(
             mode
         ).partitionBy("band_idx", "band_key").parquet(path)
     else:
-        # one dense file per band, rows sorted by band_key → row-group
-        # min/max stats carry the pruning the directory tree used to.
-        # band_idx leads the sort so the partitioned write's required
-        # child ordering (partition cols) is already satisfied — its own
-        # unstable re-sort would otherwise scramble band_key again
+        # disjoint sorted band_key ranges per file → footer min/max
+        # stats carry the pruning the directory tree used to.  Range
+        # partitioning keeps write parallelism (a plain
+        # repartition(band_idx) would funnel each band through ONE
+        # task — an OOM/straggler at corpus scale).  band_idx leads the
+        # sort so the partitioned write's required child ordering
+        # (partition cols) is already satisfied — its own unstable
+        # re-sort would otherwise scramble band_key again
         (
-            exploded.repartition("band_idx")
+            exploded.repartitionByRange("band_idx", "band_key")
             .sortWithinPartitions("band_idx", "band_key")
             .write.mode(mode)
             .partitionBy("band_idx")

@@ -906,11 +906,28 @@ def encode_tokens(
     )
 
 
+def _bpe_word_types(
+    docs: DataFrame, text_col: str, max_word_types: int | None
+) -> DataFrame:
+    """The capped word-frequency table both BPE halves train/apply on —
+    the ONLY corpus-sized work in either (one map-side-combined token
+    count)."""
+    w = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if max_word_types is not None:
+        w = w.orderBy(F.desc("freq"), F.asc("w")).limit(max_word_types)
+    return w
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 8,
     text_col: str = "text",
     max_word_types: int | None = None,
+    _words: DataFrame | None = None,
 ) -> DataFrame:
     """Learn the top ``n_merges`` byte-pair-encoding merge rules from the
     corpus — the tokenizer-induction step between :func:`build_vocab`'s
@@ -945,15 +962,10 @@ def bpe_train(
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     spark = docs.sparkSession
     w = (
-        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
+        _words
+        if _words is not None
+        else _bpe_word_types(docs, text_col, max_word_types)
     )
-    if max_word_types is not None:
-        w = (
-            w.orderBy(F.desc("freq"), F.asc("w"))
-            .limit(max_word_types)
-        )
     state = w.select(
         F.concat(
             F.lit(" "), F.array_join(F.split("w", ""), " "), F.lit(" ")
@@ -1023,24 +1035,19 @@ def bpe_segment(
     semantics as training.
     """
     if rules is None:
+        # ONE corpus pass for train + apply: checkpoint the word table,
+        # train from it, then segment the same materialized frame
+        # (rules=None through two separate corpus scans was the r7
+        # review's double-work finding)
+        w = _bpe_word_types(docs, text_col, max_word_types).localCheckpoint()
         rules = [
             (r["left"], r["right"])
-            for r in bpe_train(
-                docs,
-                n_merges=n_merges,
-                text_col=text_col,
-                max_word_types=max_word_types,
-            )
+            for r in bpe_train(docs, n_merges=n_merges, _words=w)
             .orderBy("rank")
             .collect()
         ]  # bounded: n_merges rows
-    w = (
-        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    if max_word_types is not None:
-        w = w.orderBy(F.desc("freq"), F.asc("w")).limit(max_word_types)
+    else:
+        w = _bpe_word_types(docs, text_col, max_word_types)
     seg = F.concat(
         F.lit(" "), F.array_join(F.split("w", ""), " "), F.lit(" ")
     )
