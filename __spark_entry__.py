@@ -2788,6 +2788,7 @@ def q_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_window",
         "max_window",
         "avg_window",
+        "std_window",
     )
 
 
@@ -2804,7 +2805,13 @@ PARKED_ORACLES["q_moving_agg"] = f"""
            min(v) OVER w AS min_window,
            max(v) OVER w AS max_window,
            round(CAST(sum(CAST(v AS DECIMAL(30,10))) OVER w
-                      / count(*) OVER w AS DOUBLE), 6) AS avg_window
+                      / count(*) OVER w AS DOUBLE), 6) AS avg_window,
+           round(sqrt(greatest(
+             (CAST(sum(CAST(v * v AS DECIMAL(30,10))) OVER w AS DOUBLE)
+              - CAST(sum(CAST(v AS DECIMAL(30,10))) OVER w AS DOUBLE)
+                * CAST(sum(CAST(v AS DECIMAL(30,10))) OVER w AS DOUBLE)
+                / count(*) OVER w)
+             / count(*) OVER w, 0.0)), 6) AS std_window
     FROM (SELECT user_id, epoch_us(ts) AS us, value AS v FROM events)
     WINDOW w AS (PARTITION BY user_id ORDER BY us
                  RANGE BETWEEN {MOVING_WINDOW_US} PRECEDING

@@ -813,3 +813,26 @@ class TestEwmaFilter:
             ewma_filter(ev, "user_id", "value", alpha=0.0)
         with pytest.raises(ValueError):
             ewma_filter(ev, "user_id", "value", taps=0)
+
+
+def test_moving_aggregate_std_matches_reference(spark):
+    # r7: population std over the trailing window from decimal-exact
+    # sums — the z-score anomaly-detection input
+    import datetime
+    import statistics
+
+    from tundradb_spark.operators.relational import moving_aggregate
+
+    vals = [10.0, 12.0, 9.0, 30.0, 11.0]
+    rows = [
+        ("a", datetime.datetime(2024, 1, 1, 0, 0, i), v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp, value double")
+    out = sorted(
+        (r["ts_us"], r["std_window"])
+        for r in moving_aggregate(df, 3_600_000_000, "user", "value").collect()
+    )
+    for i, (_, got) in enumerate(out):
+        want = statistics.pstdev(vals[: i + 1])
+        assert abs(got - want) < 1e-6, (i, got, want)

@@ -800,17 +800,27 @@ def moving_aggregate(
         .rangeBetween(-window_us, 0)
     )
     dec = F.col("value").cast("decimal(30,10)")
+    # population variance from decimal-exact sums: (Σx² − (Σx)²/n)/n —
+    # order-free until the single sqrt; enables trailing-window z-score
+    # anomaly detection ((value − avg)/std) with zero extra shuffles
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(dec).over(w)
+    s2 = F.sum((F.col("value") * F.col("value")).cast("decimal(30,10)")).over(w)
+    # sums are decimal-exact (order-free); the variance combination runs
+    # in DOUBLE — decimal×decimal would hit the precision-38 cap, whose
+    # rounding semantics differ across engines
+    s1d, s2d = s1.cast("double"), s2.cast("double")
+    var = (s2d - s1d * s1d / n) / n
     return base.select(
         "key",
         "ts_us",
         "value",
-        F.count(F.lit(1)).over(w).alias("n_window"),
-        F.sum(dec).over(w).cast("double").alias("sum_window"),
+        n.alias("n_window"),
+        s1.cast("double").alias("sum_window"),
         F.min("value").over(w).alias("min_window"),
         F.max("value").over(w).alias("max_window"),
-        F.round(
-            (F.sum(dec).over(w) / F.count(F.lit(1)).over(w)).cast("double"), 6
-        ).alias("avg_window"),
+        F.round((s1 / n).cast("double"), 6).alias("avg_window"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6).alias("std_window"),
     )
 
 
