@@ -2133,3 +2133,98 @@ def test_semantic_dedup_auto_cells(spark):
     assert out.count() == emb.count()
     with pytest.raises(ValueError):
         semantic_dedup(emb, 0.3, n_cells="auto", dim=64, target_cell_size=0)
+
+
+class TestExactSubstringSpans:
+    """r7: maximal duplicated-span detection + surgical removal
+    (dedup.exact_substring_spans / strip_duplicate_spans)."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                # docs 1+4 share "a b c d e f"; docs 1+2 share
+                # "c d e f g h i" — doc 1's duplicated windows merge into
+                # ONE maximal span [1, 10)
+                (1, "a b c d e f g h i j"),
+                (2, "x x c d e f g h i y"),
+                (3, "unique tokens only here none"),
+                (4, "a b c d e f q r s t"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_overlapping_windows_merge_maximally(self, spark):
+        from tundradb_spark.pipeline.dedup import exact_substring_spans
+
+        spans = {
+            r.doc_id: r
+            for r in exact_substring_spans(
+                self._docs(spark), k=4, min_docs=2
+            ).collect()
+        }
+        assert set(spans) == {1, 2, 4}  # doc 3 has no cross-doc window
+        assert (spans[1].span_start, spans[1].span_end) == (1, 10)
+        assert spans[1].n_windows == 6 and spans[1].span_tokens == 9
+        assert (spans[2].span_start, spans[2].span_end) == (3, 10)
+        assert (spans[4].span_start, spans[4].span_end) == (1, 7)
+
+    def test_gap_splits_spans(self, spark):
+        from tundradb_spark.pipeline.dedup import exact_substring_spans
+
+        docs = spark.createDataFrame(
+            [
+                # two shared 2-grams separated by a non-shared middle →
+                # two spans, not one
+                (1, "p q m1 m2 m3 r s"),
+                (2, "p q n1 n2 n3 r s"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = sorted(
+            exact_substring_spans(docs, k=2, min_docs=2).collect(),
+            key=lambda r: (r.doc_id, r.span_start),
+        )
+        assert [(r.doc_id, r.span_start, r.span_end) for r in rows] == [
+            (1, 1, 3), (1, 6, 8), (2, 1, 3), (2, 6, 8),
+        ]
+
+    def test_within_doc_repeat_not_cross_doc(self, spark):
+        from tundradb_spark.pipeline.dedup import exact_substring_spans
+
+        docs = spark.createDataFrame(
+            [(1, "r r r r r r r r"), (2, "totally different words here")],
+            "doc_id long, text string",
+        )
+        assert exact_substring_spans(docs, k=4, min_docs=2).count() == 0
+
+    def test_strip_reconstruction(self, spark):
+        from tundradb_spark.pipeline.dedup import strip_duplicate_spans
+
+        out = {
+            r.doc_id: r
+            for r in strip_duplicate_spans(
+                self._docs(spark), k=4, min_docs=2
+            ).collect()
+        }
+        assert out[1].text_clean == "j" and out[1].n_removed == 9
+        assert out[2].text_clean == "x x y" and out[2].n_removed == 7
+        assert out[3].text_clean == "unique tokens only here none"
+        assert out[3].n_removed == 0
+        assert out[4].text_clean == "q r s t"
+        # every doc reports its full normalized token count
+        assert {d: r.n_tokens for d, r in out.items()} == {
+            1: 10, 2: 10, 3: 5, 4: 10,
+        }
+
+    def test_fully_duplicated_doc_survives_empty(self, spark):
+        from tundradb_spark.pipeline.dedup import strip_duplicate_spans
+
+        docs = spark.createDataFrame(
+            [(1, "same four tokens here"), (2, "same four tokens here")],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in strip_duplicate_spans(
+            docs, k=4, min_docs=2
+        ).collect()}
+        assert rows[1].text_clean == "" and rows[1].n_removed == 4
+        assert rows[2].text_clean == "" and rows[2].n_removed == 4

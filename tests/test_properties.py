@@ -504,3 +504,75 @@ def test_bpe_segment_concatenates_back(spark, words, n):
         assert all(parts), r
         assert "".join(parts) == r["word"], r
         assert r["n_subwords"] == len(parts)
+
+
+def _brute_spans(texts: dict, k: int, min_docs: int):
+    """Brute-force reference for exact_substring_spans: duplicated window
+    positions per doc, merged into maximal [start, end) token spans."""
+    toks = {d: [t for t in t_.lower().split() if t] for d, t_ in texts.items()}
+    grams: dict = {}
+    for d, tk in toks.items():
+        for i in range(len(tk) - k + 1):
+            grams.setdefault(tuple(tk[i : i + k]), set()).add(d)
+    dup = {g for g, ds in grams.items() if len(ds) >= min_docs}
+    spans = {}
+    for d, tk in toks.items():
+        pos = [
+            i + 1
+            for i in range(len(tk) - k + 1)
+            if tuple(tk[i : i + k]) in dup
+        ]
+        merged = []
+        for p in pos:
+            if merged and p <= merged[-1][1]:  # overlap or touch
+                merged[-1][1] = p + k
+                merged[-1][2] += 1
+            else:
+                merged.append([p, p + k, 1])
+        if merged:
+            spans[d] = [tuple(m) for m in merged]
+    return toks, spans
+
+
+_span_txt = st.text(alphabet=st.sampled_from("ab x"), min_size=0, max_size=60)
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(_span_txt, min_size=2, max_size=6),
+    k=st.sampled_from([2, 3]),
+)
+def test_exact_substring_spans_match_brute_force(spark, texts, k):
+    """exact_substring_spans equals the brute-force merge of duplicated
+    window positions, and strip_duplicate_spans removes exactly the
+    covered tokens — for ANY corpus over a tiny alphabet (maximally
+    duplication-prone input)."""
+    from tundradb_spark.pipeline.dedup import (
+        exact_substring_spans,
+        strip_duplicate_spans,
+    )
+
+    texts_d = {i: t for i, t in enumerate(texts)}
+    toks, expect = _brute_spans(texts_d, k=k, min_docs=2)
+    docs = spark.createDataFrame(
+        list(texts_d.items()), "doc_id long, text string"
+    )
+    got: dict = {}
+    for r in exact_substring_spans(docs, k=k, min_docs=2).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_end, r.n_windows)
+        )
+    assert {d: sorted(v) for d, v in got.items()} == expect
+
+    stripped = {
+        r.doc_id: r for r in strip_duplicate_spans(docs, k=k, min_docs=2).collect()
+    }
+    assert set(stripped) == {d for d, tk in toks.items() if tk}
+    for d, r in stripped.items():
+        covered = set()
+        for s, e, _ in expect.get(d, []):
+            covered.update(range(s, e))
+        kept = [t for i, t in enumerate(toks[d], 1) if i not in covered]
+        assert r.text_clean == " ".join(kept)
+        assert r.n_tokens == len(toks[d])
+        assert r.n_removed == len(covered)

@@ -1158,3 +1158,159 @@ def fuzzy_string_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
     )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style MAXIMAL duplicated spans per document (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): every token range of a document that is covered by
+    ``k``-token windows occurring in ``min_docs``+ distinct documents,
+    with overlapping/adjacent windows merged into one span.  Where
+    :func:`duplicate_spans` reports the global digest view (which spans
+    exist), this gives the per-document cut list (where each document is
+    duplicated) — the input a surgical remover needs.
+
+    Output per merged span: ``(doc_id, span_start, span_end, n_windows,
+    span_tokens)`` — 1-based token positions, ``span_end`` exclusive,
+    ``n_windows`` the count of duplicated k-windows merged into the span,
+    ``span_tokens = span_end - span_start``.
+
+    Scale design: positional k-gram digests (32-char md5, text never
+    shuffled) → one map-side-combined groupBy for the ``min_docs`` filter
+    → one digest-keyed equi-join to mark duplicated positions → one
+    doc-keyed window pass (classic gaps-and-islands: a new island starts
+    when ``pos > lag(pos) + k``, i.e. the previous window [p, p+k) no
+    longer overlaps or touches) → one groupBy(doc, island).  Every
+    shuffle is linear in the corpus; per-doc state is the window
+    positions of ONE document.  Equal-length intervals sorted by start
+    make the running-max-end trick unnecessary: the previous window's
+    end IS the max end so far.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    from pyspark.sql import Window
+
+    toked = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        _tokens(F.col(text_col)).alias("toks"),
+    )
+    grams = toked.select(
+        id_col,
+        F.posexplode_outer(
+            F.when(
+                F.size("toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - F.lit(k - 1)),
+                    lambda i: F.md5(F.array_join(F.slice("toks", i, k), " ")),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos0", "dg"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "dg").filter(
+        F.col("dg").isNotNull()
+    )
+    dup = (
+        grams.groupBy("dg")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("dg")
+    )
+    hits = grams.join(dup, "dg").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = hits.withColumn(
+        "new_span",
+        (F.col("pos") > F.lag("pos").over(w) + k).cast("long"),
+    ).withColumn(
+        "island",
+        F.sum(F.coalesce(F.col("new_span"), F.lit(1))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            id_col,
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            F.col("n_windows").cast("long").alias("n_windows"),
+            (F.col("span_end") - F.col("span_start"))
+            .cast("long")
+            .alias("span_tokens"),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Surgical span removal — the apply half of
+    :func:`exact_substring_spans`: rebuild every document's NORMALIZED
+    token stream without the tokens covered by any maximal duplicated
+    span.  The C4-style :func:`strip_duplicate_segments` cuts on fixed
+    segment boundaries (lines / non-overlapping windows) and can only
+    remove a segment whole; this removes exactly the duplicated tokens,
+    wherever the duplication starts and ends.
+
+    Output: ``(doc_id, n_tokens, n_removed, text_clean)`` for every
+    document with at least one token; ``text_clean`` joins the surviving
+    normalized tokens with single spaces (empty when the whole document
+    is duplicated).
+
+    Scale design: spans per doc are collected into an array (bounded by
+    doc length / k — documents are bounded, corpora are not) and joined
+    back doc-keyed; the token filter is a JVM-side ``exists`` over that
+    small array inside one projection.  Two extra shuffles over
+    :func:`exact_substring_spans` (collect_list groupBy + the doc-keyed
+    join), both linear.
+    """
+    spans = exact_substring_spans(
+        docs, k=k, min_docs=min_docs, text_col=text_col, id_col=id_col
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    toked = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        _tokens(F.col(text_col)).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    joined = toked.join(per_doc, id_col, "left")
+    kept = F.filter(
+        F.transform(
+            F.col("toks"),
+            lambda t, i: F.struct(
+                (i + 1).alias("p"), t.alias("t")
+            ),
+        ),
+        lambda s: ~F.coalesce(
+            F.exists(
+                F.col("spans"),
+                lambda sp: (s.getField("p") >= sp.getField("span_start"))
+                & (s.getField("p") < sp.getField("span_end")),
+            ),
+            F.lit(False),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(kept, lambda s: s.getField("t")), " "
+        ).alias("text_clean"),
+    )

@@ -3362,3 +3362,114 @@ WHERE levenshtein(a.s, b.s) <= {FUZZY_MAX_DIST}
 
 PARKED_PIPELINE_QUERIES["q_fuzzy_pairs"] = q_fuzzy_pairs
 PARKED_PIPELINE_ORACLES["q_fuzzy_pairs"] = Q_FUZZY_SQL
+
+
+# ---------------------------------------------------------------------------
+# r7: ExactSubstr-style maximal duplicated spans + surgical removal (Lee et
+# al. 2022).  Merged row: ('span', doc_id, span_start, span_end, n_windows,
+# NULL) ∪ ('strip', doc_id, n_tokens, n_removed, NULL, md5(text_clean)) —
+# the strip branch's n_removed is computed by Spark from the actual token
+# filter but by the oracle from span arithmetic (sum of merged span
+# lengths), so a green row cross-checks two independent derivations; the
+# text digest pins the reconstruction itself.
+# ---------------------------------------------------------------------------
+
+SUBSTR_K, SUBSTR_MIN_DOCS = 8, 2
+
+
+def q_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-span detection + removal
+    (dedup.exact_substring_spans / strip_duplicate_spans, r7): every
+    merged cross-document duplicated 8-token span per document, plus the
+    per-document surgical strip summary with the cleaned text pinned via
+    md5."""
+    from tundradb_spark.pipeline.dedup import (
+        exact_substring_spans,
+        strip_duplicate_spans,
+    )
+
+    spans = exact_substring_spans(
+        _docs(spark, sf_dir), k=SUBSTR_K, min_docs=SUBSTR_MIN_DOCS
+    ).select(
+        F.lit("span").alias("grp"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.col("span_start").cast("long").alias("k2"),
+        F.col("span_end").cast("long").alias("k3"),
+        F.col("n_windows").cast("long").alias("k4"),
+        _NS().alias("s"),
+    )
+    stripped = strip_duplicate_spans(
+        _docs(spark, sf_dir), k=SUBSTR_K, min_docs=SUBSTR_MIN_DOCS
+    ).select(
+        F.lit("strip").alias("grp"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.col("n_tokens").cast("long").alias("k2"),
+        F.col("n_removed").cast("long").alias("k3"),
+        _NL().alias("k4"),
+        F.md5("text_clean").alias("s"),
+    )
+    return spans.unionByName(stripped)
+
+
+Q_SUBSTR_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest([{{'pos': i,
+                   'dg': md5(array_to_string(tk[i:(i+{SUBSTR_K - 1})], ' '))}}
+                 for i in generate_series(
+                     1, greatest(len(tk) - {SUBSTR_K - 1}, 0))]) AS u
+  FROM toks
+),
+g2 AS (SELECT doc_id, u.pos AS pos, u.dg AS dg FROM grams),
+dup AS (SELECT dg FROM g2 GROUP BY dg
+        HAVING count(DISTINCT doc_id) >= {SUBSTR_MIN_DOCS}),
+hits AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (dg)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL THEN 1
+              WHEN pos > lag(pos) OVER w + {SUBSTR_K} THEN 1 ELSE 0 END
+           AS new_span
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS span_start,
+         max(pos) + {SUBSTR_K} AS span_end, count(*) AS n_windows
+  FROM isl2 GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, list({{'s': span_start, 'e': span_end}}) AS sp
+  FROM spans GROUP BY 1
+),
+strip AS (
+  SELECT t.doc_id, len(tk) AS n_tokens,
+         coalesce((SELECT sum(s.span_end - s.span_start)
+                   FROM spans s WHERE s.doc_id = t.doc_id), 0) AS n_removed,
+         coalesce(array_to_string(
+           [tk[i] for i in generate_series(1, len(tk))
+            if len(list_filter(coalesce(p.sp, []),
+                               s -> i >= s.s AND i < s.e)) = 0], ' '), '')
+           AS text_clean
+  FROM toks t LEFT JOIN per_doc p USING (doc_id)
+  WHERE len(tk) > 0
+)
+SELECT 'span' AS grp, CAST(doc_id AS BIGINT) AS k1,
+       CAST(span_start AS BIGINT) AS k2, CAST(span_end AS BIGINT) AS k3,
+       CAST(n_windows AS BIGINT) AS k4, CAST(NULL AS VARCHAR) AS s
+FROM spans
+UNION ALL
+SELECT 'strip' AS grp, CAST(doc_id AS BIGINT) AS k1,
+       CAST(n_tokens AS BIGINT) AS k2, CAST(n_removed AS BIGINT) AS k3,
+       CAST(NULL AS BIGINT) AS k4, md5(text_clean) AS s
+FROM strip
+"""
+
+PARKED_PIPELINE_QUERIES["q_substr_spans"] = q_substr_spans
+PARKED_PIPELINE_ORACLES["q_substr_spans"] = Q_SUBSTR_SPANS_SQL
