@@ -79,11 +79,15 @@ q_cdc_chunks (content-defined chunking, rolling-hash boundaries),
 q_temperature (temperature-scaled domain mixture), q_ewma
 (truncated-FIR EWMA smoothing), q_semantic_dedup
 (SemDeDup-style within-cell cosine pruning), q_fuzzy_pairs (q-gram
-prefiltered Levenshtein entity resolution, brute-force oracle) and
+prefiltered Levenshtein entity resolution, brute-force oracle),
 q_typed_map (VARIANT
 property maps — the reference's map<utf8, dense_union> semantics
-realized natively; closes r6 verdict "missing" item 1) — oracle-bearing
-and CI-checked like the rest.
+realized natively; closes r6 verdict "missing" item 1), q_substr_spans
+(ExactSubstr-style maximal duplicated spans + surgical removal, Lee et
+al. 2022) and q_classify (in-engine multinomial Naive Bayes train +
+score — the fastText-style classifier slot, closed-form so both halves
+are exactly oracle-checked) — oracle-bearing and CI-checked like the
+rest.
 """
 
 from __future__ import annotations

@@ -2228,3 +2228,88 @@ class TestExactSubstringSpans:
         ).collect()}
         assert rows[1].text_clean == "" and rows[1].n_removed == 4
         assert rows[2].text_clean == "" and rows[2].n_removed == 4
+
+
+class TestNaiveBayes:
+    """r7: in-engine multinomial NB classifier (pipeline/classify.py)."""
+
+    def _train_docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "fr", "le chat mange le poisson"),
+                (2, "fr", "le chien aime le parc"),
+                (3, "en", "the cat eats the fish"),
+                (4, "en", "the dog likes the park"),
+            ],
+            "doc_id long, lang string, text string",
+        )
+
+    def test_separable_corpus_classifies_correctly(self, spark):
+        from tundradb_spark.pipeline.classify import nb_score, nb_train
+
+        docs = self._train_docs(spark)
+        terms, labels = nb_train(docs, label_col="lang")
+        pred = {r.doc_id: r for r in nb_score(docs, terms, labels).collect()}
+        assert {d: r.pred_label for d, r in pred.items()} == {
+            1: "fr", 2: "fr", 3: "en", 4: "en",
+        }
+        assert all(r.margin > 0 for r in pred.values())
+        assert all(r.score < 0 for r in pred.values())
+
+    def test_model_values_closed_form(self, spark):
+        import math
+
+        from tundradb_spark.pipeline.classify import nb_train
+
+        docs = spark.createDataFrame(
+            [(1, "a", "x x y"), (2, "b", "y z")],
+            "doc_id long, lang string, text string",
+        )
+        terms, labels = nb_train(docs, label_col="lang")
+        t = {(r.label, r.tok): float(r.llik) for r in terms.collect()}
+        lb = {r.label: r for r in labels.collect()}
+        # vocab = {x, y, z} (V=3); label a: N=3, label b: N=2, α=1
+        assert t[("a", "x")] == pytest.approx(math.log(3 / 6), abs=1e-9)
+        assert t[("a", "y")] == pytest.approx(math.log(2 / 6), abs=1e-9)
+        assert t[("b", "z")] == pytest.approx(math.log(2 / 5), abs=1e-9)
+        assert float(lb["a"].prior) == pytest.approx(math.log(0.5), abs=1e-9)
+        assert float(lb["a"].unseen_llik) == pytest.approx(
+            math.log(1 / 6), abs=1e-9
+        )
+        assert float(lb["b"].unseen_llik) == pytest.approx(
+            math.log(1 / 5), abs=1e-9
+        )
+
+    def test_unseen_tokens_use_smoothed_mass(self, spark):
+        import math
+
+        from tundradb_spark.pipeline.classify import nb_score, nb_train
+
+        docs = self._train_docs(spark)
+        terms, labels = nb_train(docs, label_col="lang")
+        new = spark.createDataFrame(
+            [(10, "zzz qqq www")], "doc_id long, text string"
+        )
+        row = nb_score(new, terms, labels).collect()[0]
+        # all-unseen doc: score = (prior + 3·unseen)/3, identical token
+        # mass per label → decided by prior and per-label unseen rate
+        lb = {r.label: r for r in labels.collect()}
+        want = {
+            lab: (float(r.prior) + 3 * float(r.unseen_llik)) / 3
+            for lab, r in lb.items()
+        }
+        best = max(sorted(want), key=lambda k: want[k])
+        assert row.pred_label == best
+        assert row.score == pytest.approx(want[best], abs=2e-6)
+
+    def test_empty_doc_scored_on_prior(self, spark):
+        from tundradb_spark.pipeline.classify import nb_score, nb_train
+
+        docs = self._train_docs(spark)
+        terms, labels = nb_train(docs, label_col="lang")
+        empty = spark.createDataFrame(
+            [(20, "")], "doc_id long, text string"
+        )
+        rows = nb_score(empty, terms, labels).collect()
+        assert len(rows) == 1  # priors are equal here → tie breaks 'en'
+        assert rows[0].pred_label == "en" and rows[0].margin == 0.0

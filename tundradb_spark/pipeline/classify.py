@@ -1,0 +1,190 @@
+"""In-engine text classification: multinomial Naive Bayes train + score.
+
+The fastText-style linear classifier slot of an LLM data pipeline
+(CCNet/DCLM/FineWeb-style language-ID and quality gating) realized with a
+closed-form trainer so both halves stay exactly oracle-checkable: training
+is two aggregations (no iteration, no randomness), scoring is one
+token-keyed join + one decimal-exact per-(doc,label) sum.  A fastText
+binary is neither trainable nor reproducible inside a SQL oracle;
+multinomial NB with add-α smoothing is the classical closed-form stand-in
+with the same plan shape a learned linear scorer would have (token
+weights joined in, summed per document).
+
+Float determinism: every ``ln`` is truncated to ``decimal(20,10)`` BEFORE
+any per-document sum (the lm_scores discipline — text.py:120), so scores
+are exact decimals, partition-order independent, and bit-equal across
+engines after the final ``round(…, 6)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from tundradb_spark.pipeline.text import tokens
+
+__all__ = ["nb_train", "nb_score"]
+
+
+def nb_train(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    smoothing: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Train multinomial Naive Bayes with add-``smoothing`` Laplace
+    smoothing over whitespace tokens.
+
+    Returns ``(terms, labels)``:
+
+    * ``terms`` — ``(label, tok, llik)`` where ``llik = ln((c(label,tok)
+      + α) / (N(label) + α·V))`` as ``decimal(20,10)``;
+    * ``labels`` — ``(label, prior, unseen_llik)``: document-frequency
+      log prior and the smoothed log-likelihood every token ABSENT from
+      the label's training text receives at score time.
+
+    Scale design: one explode + one map-side-combined
+    groupBy(label, tok) builds the count table (the corpus shuffles
+    32-char-bounded tokens, never text); label totals and the vocab size
+    are tiny aggregates.  The model is (labels × vocab)-sized — broadcast
+    material for any real label set.
+    """
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    toks = docs.select(
+        F.col(label_col).alias("label"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    counts = toks.groupBy("label", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    label_tot = counts.groupBy("label").agg(F.sum("c").alias("n_tok"))
+    vocab = counts.select("tok").distinct().agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    a = float(smoothing)
+    terms = (
+        counts.join(label_tot, "label")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "label",
+            "tok",
+            F.expr(
+                f"cast(ln((cast(c as double) + {a!r})"
+                f" / (cast(n_tok as double) + {a!r} * cast(v as double)))"
+                " as decimal(20,10))"
+            ).alias("llik"),
+        )
+    )
+    doc_counts = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    total_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    labels = (
+        doc_counts.crossJoin(F.broadcast(total_docs))
+        .join(label_tot, "label")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "label",
+            F.expr(
+                "cast(ln(cast(n_docs as double) / cast(n as double))"
+                " as decimal(20,10))"
+            ).alias("prior"),
+            F.expr(
+                f"cast(ln({a!r} / (cast(n_tok as double)"
+                f" + {a!r} * cast(v as double))) as decimal(20,10))"
+            ).alias("unseen_llik"),
+        )
+    )
+    return terms, labels
+
+
+def nb_score(
+    docs: DataFrame,
+    terms: DataFrame,
+    labels: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document against every label and keep the argmax.
+
+    Output: ``(doc_id, pred_label, score, margin)`` — ``score`` the
+    winning PER-TOKEN mean log-joint ``(prior + Σ llik) / max(n, 1)``
+    rounded to 6 dp, ``margin`` its per-token lead over the runner-up
+    (0.0 for a single-label model).  Ties break on ``pred_label``
+    ascending; the argmax is taken on the exact decimal sums BEFORE any
+    division, so predictions are engine-portable.  Documents with zero
+    tokens are scored on priors alone.
+
+    Per-token normalization is deliberate (the lm_scores discipline,
+    text.py:120): raw log-joint sums amplify the ≤1-ulp
+    ``Math.log``-vs-libm divergence of a single term by its occurrence
+    count, which is enough to flip a 6-dp rounding boundary on a
+    SUM-of-hundreds; dividing by ``n`` first shrinks the cross-engine
+    delta back to ~1e-10, far inside the rounding grain.
+
+    Scale design: tokens × |labels| rows flow through ONE
+    (tok, label)-keyed equi-join against the model (inverted-index
+    shuffle; the model side is broadcast material), then one
+    map-side-combined groupBy(doc, label); the argmax is a per-doc
+    window over |labels| rows.  Document text is never shuffled.
+    """
+    lab = F.broadcast(labels)
+    toks = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.explode_outer(tokens(F.col(text_col))).alias("tok"),
+    )
+    per_label = (
+        toks.crossJoin(lab.select("label"))
+        .join(terms, ["tok", "label"], "left")
+        .groupBy(id_col, "label")
+        .agg(
+            F.sum(F.col("llik")).alias("sum_seen"),
+            F.sum(
+                F.when(
+                    F.col("llik").isNull() & F.col("tok").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("n_unseen"),
+            F.sum(
+                F.when(F.col("tok").isNotNull(), 1).otherwise(0)
+            ).alias("n_tok"),
+        )
+    )
+    scored = per_label.join(lab, "label").select(
+        id_col,
+        "label",
+        (
+            F.col("prior")
+            + F.coalesce(F.col("sum_seen"), F.lit(0).cast("decimal(20,10)"))
+            # n_unseen cast to decimal(10,0): a LONG multiplicand makes
+            # the product overflow Spark's 38-digit cap and its
+            # precision-loss rule silently truncates the scale to 7 —
+            # DuckDB keeps 10 (the tfidf_scores trap, text.py:743)
+            + F.col("n_unseen").cast("decimal(10,0)")
+            * F.col("unseen_llik")
+        ).alias("score_d"),
+        F.greatest(F.col("n_tok"), F.lit(1)).alias("n_div"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_d"), F.asc("label")
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w)).withColumn(
+        "nxt", F.lead("score_d").over(w)
+    )
+    # the per-token division runs in DOUBLE on the exact decimal sum
+    # (decimal-division scale rules differ across engines; IEEE double
+    # division does not), then half-up rounding via floor(x·10⁶ + ½)
+    # (engine round() conventions diverge on halfway doubles — the
+    # tfidf_scores discipline)
+    return ranked.filter(F.col("rk") == 1).select(
+        id_col,
+        F.col("label").alias("pred_label"),
+        F.expr(
+            "cast(floor(cast(score_d as double) / cast(n_div as double)"
+            " * 1000000 + 0.5) as double) / 1000000.0"
+        ).alias("score"),
+        F.expr(
+            "cast(floor(cast(score_d - coalesce(nxt, score_d) as double)"
+            " / cast(n_div as double) * 1000000 + 0.5) as double)"
+            " / 1000000.0"
+        ).alias("margin"),
+    )

@@ -3473,3 +3473,128 @@ FROM strip
 
 PARKED_PIPELINE_QUERIES["q_substr_spans"] = q_substr_spans
 PARKED_PIPELINE_ORACLES["q_substr_spans"] = Q_SUBSTR_SPANS_SQL
+
+
+# ---------------------------------------------------------------------------
+# r7: in-engine Naive Bayes classifier (pipeline/classify.py) — the
+# fastText-style classifier slot (CCNet language-ID / DCLM quality gating)
+# with a closed-form trainer so train AND score are exactly
+# oracle-checkable.  Merged row: ('pred', doc_id, pred_label, NULL, score,
+# margin) per document ∪ ('conf', n, pred_label, true_lang, NULL, NULL)
+# confusion-matrix cells.  Scores are decimal-exact (lm_scores
+# discipline), so the argmax, tie-breaks and margins are engine-portable.
+# ---------------------------------------------------------------------------
+
+
+def q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train multinomial NB on the corpus's lang labels and score every
+    document (classify.nb_train / nb_score, r7), plus the confusion
+    matrix against the training labels."""
+    from tundradb_spark.pipeline.classify import nb_score, nb_train
+
+    docs = _docs(spark, sf_dir)
+    terms, labels = nb_train(docs, label_col="lang")
+    pred = nb_score(docs, terms, labels)
+    pred_rows = pred.select(
+        F.lit("pred").alias("grp"),
+        F.col("doc_id").cast("long").alias("k1"),
+        F.col("pred_label").alias("s1"),
+        _NS().alias("s2"),
+        F.col("score").alias("d1"),
+        F.col("margin").alias("d2"),
+    )
+    conf = (
+        pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("pred_label", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("conf").alias("grp"),
+            F.col("n").cast("long").alias("k1"),
+            F.col("pred_label").alias("s1"),
+            F.col("lang").alias("s2"),
+            _ND().alias("d1"),
+            _ND().alias("d2"),
+        )
+    )
+    return pred_rows.unionByName(conf)
+
+
+Q_CLASSIFY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_TOKS} AS tk FROM documents
+),
+tok AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+tok_o AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(tk) = 0 THEN [CAST(NULL AS VARCHAR)]
+                     ELSE tk END) AS tok
+  FROM toks
+),
+ltok AS (SELECT t.lang, u.tok
+         FROM toks t, unnest(t.tk) AS u(tok)),
+counts AS (SELECT lang AS label, tok, count(*) AS c FROM ltok GROUP BY 1, 2),
+ltot AS (SELECT label, sum(c) AS n_tok FROM counts GROUP BY 1),
+voc AS (SELECT count(DISTINCT tok) AS v FROM counts),
+terms AS (
+  SELECT c.label, c.tok,
+         CAST(ln((CAST(c.c AS DOUBLE) + 1.0)
+                 / (CAST(lt.n_tok AS DOUBLE) + 1.0 * CAST(voc.v AS DOUBLE)))
+              AS DECIMAL(20,10)) AS llik
+  FROM counts c JOIN ltot lt ON c.label = lt.label CROSS JOIN voc
+),
+dc AS (SELECT lang AS label, count(*) AS n_docs FROM documents GROUP BY 1),
+td AS (SELECT count(*) AS n FROM documents),
+labels AS (
+  SELECT dc.label,
+         CAST(ln(CAST(dc.n_docs AS DOUBLE) / CAST(td.n AS DOUBLE))
+              AS DECIMAL(20,10)) AS prior,
+         CAST(ln(1.0 / (CAST(lt.n_tok AS DOUBLE)
+                        + 1.0 * CAST(voc.v AS DOUBLE))) AS DECIMAL(20,10))
+           AS unseen_llik
+  FROM dc CROSS JOIN td JOIN ltot lt ON dc.label = lt.label CROSS JOIN voc
+),
+dl AS (
+  SELECT t.doc_id, l.label,
+         sum(tr.llik) AS sum_seen,
+         sum(CASE WHEN tr.llik IS NULL AND t.tok IS NOT NULL
+                  THEN 1 ELSE 0 END) AS n_unseen,
+         sum(CASE WHEN t.tok IS NOT NULL THEN 1 ELSE 0 END) AS n_tok
+  FROM tok_o t CROSS JOIN (SELECT label FROM labels) l
+  LEFT JOIN terms tr ON tr.tok = t.tok AND tr.label = l.label
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT dl.doc_id, dl.label,
+         lb.prior + coalesce(dl.sum_seen, CAST(0 AS DECIMAL(20,10)))
+           + CAST(dl.n_unseen AS DECIMAL(10,0)) * lb.unseen_llik AS score_d,
+         greatest(dl.n_tok, 1) AS n_div
+  FROM dl JOIN labels lb ON dl.label = lb.label
+),
+ranked AS (
+  SELECT doc_id, label, score_d, n_div,
+         row_number() OVER w AS rk, lead(score_d) OVER w AS nxt
+  FROM scored WINDOW w AS (PARTITION BY doc_id
+                           ORDER BY score_d DESC, label ASC)
+),
+pred AS (
+  SELECT doc_id, label AS pred_label,
+         CAST(floor(CAST(score_d AS DOUBLE) / CAST(n_div AS DOUBLE)
+                    * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS score,
+         CAST(floor(CAST(score_d - coalesce(nxt, score_d) AS DOUBLE)
+                    / CAST(n_div AS DOUBLE) * 1000000 + 0.5)
+              AS DOUBLE) / 1000000.0 AS margin
+  FROM ranked WHERE rk = 1
+)
+SELECT 'pred' AS grp, CAST(doc_id AS BIGINT) AS k1, pred_label AS s1,
+       CAST(NULL AS VARCHAR) AS s2, score AS d1, margin AS d2
+FROM pred
+UNION ALL
+SELECT 'conf' AS grp, CAST(count(*) AS BIGINT) AS k1,
+       p.pred_label AS s1, d.lang AS s2,
+       CAST(NULL AS DOUBLE) AS d1, CAST(NULL AS DOUBLE) AS d2
+FROM pred p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY p.pred_label, d.lang
+"""
+
+PARKED_PIPELINE_QUERIES["q_classify"] = q_classify
+PARKED_PIPELINE_ORACLES["q_classify"] = Q_CLASSIFY_SQL
