@@ -544,14 +544,21 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components → duplicate clusters (doc_id, keep_id=min of
     cluster). Min-label propagation, one join+groupBy per round,
     localCheckpoint between rounds."""
-    from tundradb_spark.graphs.algorithms import dedup_clusters
+    from tundradb_spark.graphs.algorithms import (
+        _sym_edges,
+        connected_components,
+    )
     from tundradb_spark.pipeline.queries import PIPELINE_QUERIES
 
     pairs = PIPELINE_QUERIES["q_dedup_minhash"](spark, sf_dir)
-    cc = dedup_clusters(pairs).select(
+    # r7: symmetrize+dedup+checkpoint the pair graph ONCE — CC and LPA
+    # both consume it (presymmetrized=True), saving a full
+    # shuffle-distinct-materialize per algorithm
+    edges = _sym_edges(pairs, "id_a", "id_b").localCheckpoint()
+    cc = connected_components(edges, "u", "v", presymmetrized=True).select(
         F.lit("cc").alias("grp"),
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("keep_id").cast("long").alias("label"),
+        F.col("vertex").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("label"),
     )
     # density-sensitive communities over the SAME pair graph (deterministic
     # synchronized LPA, graphs.algorithms.label_propagation)
@@ -564,7 +571,9 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # early-exit pays off only when the cap comfortably exceeds the
     # convergence round; at a tight oracle-pinned cap the fixed-rounds
     # mode is the fast path.
-    lpa = label_propagation(pairs, iters=_LPA_ITERS).select(
+    lpa = label_propagation(
+        edges, "u", "v", iters=_LPA_ITERS, presymmetrized=True
+    ).select(
         F.lit("lpa").alias("grp"),
         F.col("vertex").cast("long").alias("doc_id"),
         F.col("label").cast("long").alias("label"),

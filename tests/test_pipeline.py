@@ -2313,3 +2313,70 @@ class TestNaiveBayes:
         rows = nb_score(empty, terms, labels).collect()
         assert len(rows) == 1  # priors are equal here → tie breaks 'en'
         assert rows[0].pred_label == "en" and rows[0].margin == 0.0
+
+
+class TestSoftDedupWeights:
+    """r7: SoftDeDup duplication-aware reweighting
+    (dedup.soft_dedup_weights)."""
+
+    def test_copy_sets_share_unit_weight(self, spark):
+        from tundradb_spark.pipeline.dedup import soft_dedup_weights
+
+        docs = spark.createDataFrame(
+            [
+                (1, "one common shared passage of text here ok fine"),
+                (2, "one common shared passage of text here ok fine"),
+                (3, "one common shared passage of text here ok fine"),
+                (4, "completely unrelated totally distinct words appear"),
+            ],
+            "doc_id long, text string",
+        )
+        w = {r.doc_id: r for r in soft_dedup_weights(docs, k=4).collect()}
+        # exact triplet: each copy gets 1/3; coverage vs OTHER texts is 0
+        for d in (1, 2, 3):
+            assert w[d].n_copies == 3 and w[d].dup_tokens == 0
+            assert w[d].weight == pytest.approx(1 / 3, abs=1e-6)
+        assert w[4].weight == 1.0 and w[4].n_copies == 1
+
+    def test_partial_overlap_discounts(self, spark):
+        from tundradb_spark.pipeline.dedup import soft_dedup_weights
+
+        shared = "alpha beta gamma delta"
+        docs = spark.createDataFrame(
+            [
+                (1, shared + " unique tail one two three four"),
+                (2, shared + " other words entirely different here"),
+            ],
+            "doc_id long, text string",
+        )
+        w = {r.doc_id: r for r in soft_dedup_weights(docs, k=4).collect()}
+        # 4 of 10 tokens covered in each → weight 0.6
+        for d in (1, 2):
+            assert w[d].n_copies == 1 and w[d].n_tokens == 10
+            assert w[d].dup_tokens == 4
+            assert w[d].weight == pytest.approx(0.6, abs=1e-6)
+
+    def test_whitespace_variants_are_exact_copies(self, spark):
+        from tundradb_spark.pipeline.dedup import soft_dedup_weights
+
+        docs = spark.createDataFrame(
+            [(1, "Spaced   Out    Text here"), (2, "spaced out text here")],
+            "doc_id long, text string",
+        )
+        w = {r.doc_id: r for r in soft_dedup_weights(docs, k=2).collect()}
+        assert w[1].n_copies == 2 and w[2].n_copies == 2
+        assert w[1].weight == pytest.approx(0.5, abs=1e-6)
+
+    def test_fully_boilerplate_doc_gets_zero(self, spark):
+        from tundradb_spark.pipeline.dedup import soft_dedup_weights
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the whole body is shared text"),
+                (2, "the whole body is shared text plus unique suffix"),
+            ],
+            "doc_id long, text string",
+        )
+        w = {r.doc_id: r for r in soft_dedup_weights(docs, k=6).collect()}
+        assert w[1].dup_tokens == w[1].n_tokens and w[1].weight == 0.0
+        assert 0.0 < w[2].weight < 1.0

@@ -34,6 +34,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 50,
+    presymmetrized: bool = False,
 ) -> DataFrame:
     """Label every vertex with the MIN vertex id reachable from it.
 
@@ -42,9 +43,19 @@ def connected_components(
     needed = graph diameter (dedup clusters are near-cliques → 2-3 rounds);
     each round is one join + one groupBy on the vertex key.
 
+    ``presymmetrized=True`` declares ``pairs`` an ALREADY symmetrized,
+    deduped, materialized (u, v) edge list — callers running several
+    algorithms over the same pair graph (q_dup_clusters: CC + LPA) build
+    ``_sym_edges(...).localCheckpoint()`` once instead of paying the
+    symmetrize-distinct shuffle and its checkpoint per algorithm.
+
     Returns ``(vertex, component)`` — component = min id of the cluster.
     """
-    edges = _sym_edges(pairs, src, dst).localCheckpoint()
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        if presymmetrized
+        else _sym_edges(pairs, src, dst).localCheckpoint()
+    )
     labels = (
         edges.select(F.col("u").alias("vertex"))
         .distinct()
@@ -549,6 +560,7 @@ def label_propagation(
     dst: str = "id_b",
     iters: int = 3,
     stop_when_stable: bool = False,
+    presymmetrized: bool = False,
 ) -> DataFrame:
     """SYNCHRONIZED label-propagation communities (Raghavan et al. 2007,
     made deterministic): every vertex starts as its own label; each round
@@ -578,12 +590,19 @@ def label_propagation(
     convergence round, a pure loss at a tight cap (measured 6.7s vs
     5.3s at iters=3 on the sf0.1 LSH pair graph — which is why
     q_dup_clusters does not use it).
+
+    ``presymmetrized``: see :func:`connected_components` — skip the
+    symmetrize-distinct pass when the caller already materialized it.
     """
     from pyspark.sql import Window
 
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
-    e = _sym_edges(pairs, src, dst)
+    e = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        if presymmetrized
+        else _sym_edges(pairs, src, dst)
+    )
     verts = e.select(F.col("u").alias("vertex")).distinct().localCheckpoint()
     labels = verts.withColumn("label", F.col("vertex"))
     for it in range(iters):

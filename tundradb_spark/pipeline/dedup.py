@@ -1314,3 +1314,85 @@ def strip_duplicate_spans(
             F.transform(kept, lambda s: s.getField("t")), " "
         ).alias("text_clean"),
     )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    k: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SoftDeDup-style sampling weights (He et al. 2024, "SoftDedup:
+    an Efficient Data Reweighting Method for Speeding Up Language Model
+    Pre-training"): instead of DROPPING duplicated data, DOWN-WEIGHT it
+    for the training sampler — removal loses the unique remainder of a
+    half-duplicated document; reweighting keeps it at fair mass.
+
+    Per document: ``n_copies`` (exact-duplicate multiplicity of the
+    normalized text), ``dup_frac`` (fraction of tokens covered by
+    duplicated spans ACROSS DISTINCT TEXTS, :func:`exact_substring_spans`
+    over one representative per exact-dup group), and
+
+        ``weight = (1 / n_copies) · (1 − dup_frac)``
+
+    rounded half-up to 6 dp — an exact-copy set of size ``m`` carries
+    total weight 1 like a single document, and partially-duplicated text
+    is discounted by its duplicated mass.  Span coverage deliberately
+    excludes a document's own exact copies (otherwise every copy of a
+    ≥k-token duplicate set would be 100% covered and the two factors
+    would double-count the same duplication straight to weight 0);
+    ``dup_frac`` therefore measures overlap with OTHER text only.
+    Documents that are entirely boilerplate get weight 0 (the hard-dedup
+    limit); fully unique documents get 1.
+
+    Scale design: the two inputs are the cheapest dedup passes in the
+    module — one digest groupBy (exact) + the span pipeline's
+    digest-keyed join and per-doc window over the DEDUPLICATED corpus —
+    with coverage joined back hash-keyed; weights are plain double
+    arithmetic (no ln), so the SQL oracle reproduces every value
+    bit-for-bit.  One extra hash-keyed shuffle over the span pass.
+    """
+    base = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.md5(normalized_text(F.col(text_col))).alias("dup_hash"),
+        F.size(_tokens(F.col(text_col))).alias("n_tokens"),
+        F.col(text_col).alias("__text"),
+    )
+    groups = base.groupBy("dup_hash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(F.col(id_col)).alias("rep_id"),
+    )
+    reps = (
+        base.join(groups, "dup_hash")
+        .filter(F.col(id_col) == F.col("rep_id"))
+        .select("dup_hash", F.col(id_col).alias("__rid"), "__text")
+    )
+    covered = (
+        exact_substring_spans(
+            reps, k=k, min_docs=min_docs, text_col="__text", id_col="__rid"
+        )
+        .groupBy("__rid")
+        .agg(F.sum("span_tokens").alias("dup_tokens"))
+    )
+    cov_by_hash = reps.join(covered, "__rid", "left").select(
+        "dup_hash", "dup_tokens"
+    )
+    return (
+        base.join(groups, "dup_hash")
+        .join(cov_by_hash, "dup_hash", "left")
+        .select(
+            id_col,
+            F.col("n_copies").cast("long").alias("n_copies"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.expr(
+                "cast(floor((1.0 / cast(n_copies as double))"
+                " * (1.0 - cast(coalesce(dup_tokens, 0) as double)"
+                "     / cast(greatest(n_tokens, 1) as double))"
+                " * 1000000 + 0.5) as double) / 1000000.0"
+            ).alias("weight"),
+        )
+    )

@@ -3598,3 +3598,84 @@ GROUP BY p.pred_label, d.lang
 
 PARKED_PIPELINE_QUERIES["q_classify"] = q_classify
 PARKED_PIPELINE_ORACLES["q_classify"] = Q_CLASSIFY_SQL
+
+
+# ---------------------------------------------------------------------------
+# r7: SoftDeDup duplication-aware reweighting — down-weight duplicated
+# mass instead of dropping documents.  weight = (1/n_copies)·(1−dup_frac)
+# over exact-copy multiplicity × duplicated-span coverage; pure rational
+# arithmetic (no ln), so the oracle reproduces every weight exactly.
+# ---------------------------------------------------------------------------
+
+
+def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SoftDeDup sampling weights
+    (dedup.soft_dedup_weights, r7): exact-copy multiplicity, duplicated
+    8-token-span coverage, and the blended training weight."""
+    from tundradb_spark.pipeline.dedup import soft_dedup_weights
+
+    return soft_dedup_weights(
+        _docs(spark, sf_dir), k=SUBSTR_K, min_docs=SUBSTR_MIN_DOCS
+    )
+
+
+Q_SOFT_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           AS dup_hash,
+         {_TOKS} AS tk
+  FROM documents
+),
+groups AS (
+  SELECT dup_hash, count(*) AS n_copies, min(doc_id) AS rep_id
+  FROM toks GROUP BY 1
+),
+reps AS (
+  SELECT t.doc_id, t.dup_hash, t.tk FROM toks t
+  JOIN groups g ON t.doc_id = g.rep_id
+),
+grams AS (
+  SELECT doc_id,
+         unnest([{{'pos': i,
+                   'dg': md5(array_to_string(tk[i:(i+{SUBSTR_K - 1})], ' '))}}
+                 for i in generate_series(
+                     1, greatest(len(tk) - {SUBSTR_K - 1}, 0))]) AS u
+  FROM reps
+),
+g2 AS (SELECT doc_id, u.pos AS pos, u.dg AS dg FROM grams),
+dup AS (SELECT dg FROM g2 GROUP BY dg
+        HAVING count(DISTINCT doc_id) >= {SUBSTR_MIN_DOCS}),
+hits AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN dup USING (dg)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL THEN 1
+              WHEN pos > lag(pos) OVER w + {SUBSTR_K} THEN 1 ELSE 0 END
+           AS new_span
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {SUBSTR_K} AS e
+  FROM isl2 GROUP BY doc_id, island
+),
+cov AS (SELECT doc_id AS rep_id, sum(e - s) AS dup_tokens
+        FROM spans GROUP BY 1)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(g.n_copies AS BIGINT) AS n_copies,
+       CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       CAST(coalesce(v.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(floor((1.0 / CAST(g.n_copies AS DOUBLE))
+                  * (1.0 - CAST(coalesce(v.dup_tokens, 0) AS DOUBLE)
+                      / CAST(greatest(len(t.tk), 1) AS DOUBLE))
+                  * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS weight
+FROM toks t JOIN groups g ON t.dup_hash = g.dup_hash
+LEFT JOIN cov v ON g.rep_id = v.rep_id
+"""
+
+PARKED_PIPELINE_QUERIES["q_soft_dedup"] = q_soft_dedup
+PARKED_PIPELINE_ORACLES["q_soft_dedup"] = Q_SOFT_DEDUP_SQL
