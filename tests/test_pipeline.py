@@ -1677,6 +1677,17 @@ class TestPqTrain:
             for cw in book:
                 assert abs(sum(x * x for x in cw) - 1.0) < 1e-9
 
+    def test_ivf_train_deterministic_under_repartition(self, spark):
+        # r8 (r7 verdict item 5): ivf_train kept the raw-double F.avg
+        # path pq_train abandoned — persisted quantizer sidecars feed
+        # q_ann_ivf_trained, so centroids must be partition-order-free too
+        from tundradb_spark.pipeline.similarity import ivf_train
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        a = ivf_train(emb, n_cells=4, iters=2, dim=64)
+        b = ivf_train(emb.repartition(5), n_cells=4, iters=2, dim=64)
+        assert a == b
+
     def test_full_refine_degrades_to_exact(self, spark):
         from tundradb_spark.pipeline.similarity import (
             cosine_topk,
@@ -2345,7 +2356,7 @@ class TestSoftDedupWeights:
         docs = spark.createDataFrame(
             [
                 (1, shared + " unique tail one two three four"),
-                (2, shared + " other words entirely different here"),
+                (2, shared + " other words entirely different over here"),
             ],
             "doc_id long, text string",
         )

@@ -8,7 +8,7 @@ Spark jobs are slow per-example, so examples are capped low and each
 property folds many assertions into one DataFrame round-trip.
 """
 
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 
 from tests.conftest import rows_set
 from tundradb_spark.operators.relational import asof_join
@@ -17,6 +17,10 @@ from tundradb_spark.streaming.ops import session_window_agg
 _SETTINGS = dict(
     max_examples=10,
     deadline=None,
+    # derandomize: a property suite that gates a round must give the same
+    # verdict on every run (r7 verdict #3) — set HYPOTHESIS_FUZZ=1 to
+    # explore fresh examples in a manual fuzzing session.
+    derandomize=not __import__("os").environ.get("HYPOTHESIS_FUZZ"),
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
@@ -329,6 +333,9 @@ def test_cm_never_undercounts(spark, keys):
     ),
     p=st.sampled_from([0.1, 0.5, 0.9]),
 )
+# r7 regression: a subnormal range underflows (mx-mn)/n_bins to 0.0 and
+# the bin division raised DIVIDE_BY_ZERO under ANSI mode
+@example(vals=[0.0, 5e-324], p=0.5)
 def test_histogram_quantile_within_bin_width(spark, vals, p):
     """The histogram estimate's defining bound: within one bin width of
     the FLOOR-RANK ORDER STATISTIC x_{⌊p·(n−1)⌋} (the value whose bin it

@@ -458,7 +458,13 @@ def histogram_bin_col(value_col: str, mn: float, mx: float, n_bins: int):
 
 
 def _hist_width_expr(mn: float, mx: float, n_bins: int) -> str:
-    return "1.0" if mx == mn else f"(({mx!r}D - {mn!r}D) / {n_bins})"
+    # Guard on the computed quotient, not mx == mn: a subnormal range
+    # like (0.0, 5e-324) underflows to width 0.0 and the bin division
+    # would raise DIVIDE_BY_ZERO under ANSI mode.  Python float math is
+    # IEEE double, identical to what the SQL expression would compute.
+    if (mx - mn) / n_bins == 0.0:
+        return "1.0"
+    return f"(({mx!r}D - {mn!r}D) / {n_bins})"
 
 
 def histogram_estimate(
@@ -516,7 +522,9 @@ def histogram_quantiles_sql(
     # decimal-point literals as DECIMAL, whose exact arithmetic would
     # diverge from Spark's double math at rank boundaries
     dmn, dmx = f"CAST({mn!r} AS DOUBLE)", f"CAST({mx!r} AS DOUBLE)"
-    width = "1.0" if mx == mn else f"(({dmx} - {dmn}) / {n_bins})"
+    # same underflow guard as _hist_width_expr: a subnormal range makes
+    # the double quotient 0.0 even when mx != mn
+    width = "1.0" if (mx - mn) / n_bins == 0.0 else f"(({dmx} - {dmn}) / {n_bins})"
     cols = []
     for p in probs:
         label = _quantile_label(p)
