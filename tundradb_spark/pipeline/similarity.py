@@ -949,12 +949,22 @@ def ivf_train(
                 "cast(array_position(__dots, array_max(__dots)) as int)"
             ).alias("cell"),
         )
+        # decimal-sum / count, ONE double division: partition-order-free
+        # (same discipline as pq_train — persisted quantizer sidecars must
+        # be bit-identical across cluster layouts)
         means = (
             assigned.select(
                 "cell", F.posexplode(F.expr(_vec_sql(vec_col))).alias("pos", "x")
             )
             .groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(30,10)"))
+                    / F.count(F.lit(1))
+                )
+                .cast("double")
+                .alias("m")
+            )
             .collect()
         )
         fresh: dict[int, list[float]] = {}
