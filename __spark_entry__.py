@@ -88,6 +88,19 @@ al. 2022) and q_classify (in-engine multinomial Naive Bayes train +
 score — the fastText-style classifier slot, closed-form so both halves
 are exactly oracle-checked) — oracle-bearing and CI-checked like the
 rest.
+
+**Round-8 rotation** (r7 verdict item 3): the 11 operators that had
+never held a driver row — q_bpe, q_bpe_segment, q_cdc_chunks,
+q_temperature, q_ewma, q_semantic_dedup, q_fuzzy_pairs, q_typed_map,
+q_substr_spans, q_classify, q_soft_dedup — are SEATED (``_SEAT_R8`` /
+``_PARK_R8`` at the bottom of this module).  Parked in exchange: the 9
+rows first-green in r7, q_encode (first green r7), and
+q_resample_interp (green since r6; q_resample keeps the grid seated).
+
+The per-round narrative above records WHY each rotation happened; the
+AUTHORITATIVE seated/parked lists at HEAD are runtime facts — read them
+from ``queries()`` / ``parked_queries()`` (or the ``_SEAT_R*`` /
+``_PARK_R*`` blocks), never from this docstring.
 """
 
 from __future__ import annotations
@@ -3134,3 +3147,66 @@ def _ewma_oracle_sql() -> str:
 
 PARKED_QUERIES["q_ewma"] = q_ewma
 PARKED_ORACLES["q_ewma"] = _ewma_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Round-8 rotation (r7 verdict item 3): seat the 11 operators that have
+# exact oracles and CI-green parked checks but have NEVER held a driver
+# CORRECTNESS row — both prior rotations surfaced a real defect CI could
+# not (r6: q_encode's uncanonicalizable shape), so every operator must
+# take its turn under the driver.  Parked in exchange: the 9 rows
+# first-green in r7 (seated by the r7 rotation) plus q_encode (first
+# green r7 with its ids_md5 digest) plus q_resample_interp (green since
+# r6; its sibling q_resample keeps the resample grid seated, and the
+# interpolation branch stays CI-checked like every parked row).  This
+# block must run LAST — q_typed_map / q_ewma are defined immediately
+# above.
+# ---------------------------------------------------------------------------
+
+_SEAT_R8 = [
+    "q_bpe",
+    "q_bpe_segment",
+    "q_cdc_chunks",
+    "q_temperature",
+    "q_ewma",
+    "q_semantic_dedup",
+    "q_fuzzy_pairs",
+    "q_typed_map",
+    "q_substr_spans",
+    "q_classify",
+    "q_soft_dedup",
+]
+
+#: first driver-green in r7 (or, for q_resample_interp, r6) and frozen
+#: since; every parked row keeps its oracle and is re-checked against
+#: DuckDB each CI run by tests/test_parked_oracles.py
+_PARK_R8 = [
+    "q_moving_agg",
+    "q_time_twa",
+    "q_lttb",
+    "q_domain_cap",
+    "q_corpus_report",
+    "q_ann_pq_trained",
+    "q_ann_batch",
+    "q_ann_lsh_batch",
+    "q_split",
+    "q_encode",
+    "q_resample_interp",
+]
+
+for _n in _SEAT_R8:
+    QUERIES[_n] = PARKED_QUERIES.pop(_n)
+    ORACLES[_n] = PARKED_ORACLES.pop(_n)
+for _n in _PARK_R8:
+    PARKED_QUERIES[_n] = QUERIES.pop(_n)
+    PARKED_ORACLES[_n] = ORACLES.pop(_n)
+
+if len(QUERIES) != 50 or set(QUERIES) != set(ORACLES):
+    raise RuntimeError(
+        f"r8 rotation broke the 50-slot window: {len(QUERIES)} seated, "
+        f"query/oracle diff {set(QUERIES) ^ set(ORACLES)}"
+    )
+if set(PARKED_QUERIES) != set(PARKED_ORACLES):
+    raise RuntimeError(
+        f"parked query/oracle diff: {set(PARKED_QUERIES) ^ set(PARKED_ORACLES)}"
+    )

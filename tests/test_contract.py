@@ -35,16 +35,21 @@ def _flat_types(dt):
             yield from _flat_types(f.dataType)
 
 
-@pytest.mark.parametrize("name", sorted(entry.queries()))
+@pytest.mark.parametrize(
+    "name", sorted(set(entry.queries()) | set(entry.parked_queries()))
+)
 def test_seated_schema_is_driver_canonicalizable(spark, name):
-    """No seated query may return Array/Map (or struct-of-them) columns:
-    the driver's pandas canonicalizer sorts+hashes cell values and dies
-    on unhashable list/dict cells (r6's one red row, q_encode, was
-    exactly this — correct values, uncheckable shape).  Digest such
-    columns to a scalar (see q_encode's ids_md5) before seating."""
+    """No seated OR parked query may return Array/Map (or struct-of-them)
+    columns: the driver's pandas canonicalizer sorts+hashes cell values
+    and dies on unhashable list/dict cells (r6's one red row, q_encode,
+    was exactly this — correct values, uncheckable shape).  Digest such
+    columns to a scalar (see q_encode's ids_md5) before seating.  Parked
+    rows are covered too (r7 verdict item 7) so a future rotation can
+    never seat an uncanonicalizable shape."""
     from pyspark.sql import types as T
 
-    df = entry.queries()[name](spark, SF_DIR)
+    fn = {**entry.parked_queries(), **entry.queries()}[name]
+    df = fn(spark, SF_DIR)
     bad = [
         f.name
         for f in df.schema.fields
