@@ -155,3 +155,31 @@ class TestVariantPropertyMaps:
         db = self._db(spark)
         with pytest.raises(QueryError, match="VARIANT property column"):
             db.update_by_id("ev", 1, {"props.k": 5})
+
+    def test_non_identifier_keys_use_bracket_paths(self, spark):
+        # r8 (advice): '$.' + key silently returned NULL for every row
+        # when the key contains '.', spaces, '$', '['… — such keys must
+        # route through quoted bracket segments, and a key with BOTH
+        # quote characters (inexpressible) must raise, not null out
+        from pyspark.sql import functions as F
+
+        from tundradb_spark.errors import QueryError
+        from tundradb_spark.functions.scalar import (
+            _variant_path,
+            variant_get_string,
+        )
+
+        assert _variant_path(("a", "b")) == "$.a.b"
+        assert _variant_path(("a.b",)) == '$["a.b"]'
+        assert _variant_path(('say "hi"',)) == "$['say \"hi\"']"
+        with pytest.raises(QueryError, match="both quote"):
+            _variant_path(("""both ' and \"""",))
+
+        df = spark.createDataFrame(
+            [('{"a.b": 7, "c d": "x"}',)], "j string"
+        ).select(F.parse_json("j").alias("v"))
+        row = df.select(
+            variant_get_string(F.col("v"), ("a.b",)).alias("ab"),
+            variant_get_string(F.col("v"), ("c d",)).alias("cd"),
+        ).first()
+        assert row["ab"] == "7" and row["cd"] == "x"

@@ -641,3 +641,18 @@ def test_semantic_dedup_joins_on_the_cell(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     df = semantic_dedup(emb, threshold=0.3, dim=64)
     audit.assert_no_nested_loop(df)
+
+
+def test_fuzzy_pairs_no_nested_loop(spark):
+    # r8 (advice): the short pool used to join on |a.n - b.n| <= d alone,
+    # which compiles to a broadcast nested-loop over the ENTIRE corpus —
+    # O(|shorts| x corpus) on short-string-heavy data.  The length band
+    # is now an exploded equi key, so every join in the plan must be a
+    # hash or sort-merge join.
+    from tundradb_spark.pipeline.dedup import fuzzy_string_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id as id", "substring(text, 1, 12) as s"
+    )
+    df = fuzzy_string_pairs(docs, "s", id_col="id", max_dist=2, q=2)
+    audit.assert_no_nested_loop(df)

@@ -510,6 +510,51 @@ class TestStreamIngestDedup:
         )
         assert sigs == [0, 1, 11]
 
+    def test_fresh_checkpoint_refuses_reused_sig_path(self, spark, tmp_path):
+        # r8 (advice): a fresh checkpoint restarts epoch numbering at 0,
+        # and the replay-hygiene delete would silently wipe a prior run's
+        # signature partitions — the sink must refuse instead
+        from tundradb_spark.streaming import stream_ingest_dedup
+
+        src = str(tmp_path / "fsrc")
+        out = str(tmp_path / "fout")
+        sig = str(tmp_path / "fsig")
+        ckpt1 = str(tmp_path / "fck1")
+        ckpt2 = str(tmp_path / "fck2")
+        os.makedirs(src)
+        schema = "doc_id long, text string"
+        # two source files + maxFilesPerTrigger=1 → run 1 commits epochs
+        # 0 AND 1 (a single-epoch run-1 is the documented narrow edge the
+        # commit-log cross-check cannot distinguish from a replay of 0)
+        spark.createDataFrame(
+            [(0, "the quick brown fox jumps over the lazy dog")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(
+            [(1, "completely unrelated second epoch content here")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = stream_ingest_dedup(stream, out, sig, ckpt1)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert spark.read.parquet(sig).count() > 0
+        # second run: SAME sig_path, FRESH checkpoint — must fail loudly
+        # on its first batch, leaving the run-1 signatures intact
+        spark.createDataFrame(
+            [(10, "second run document body")], schema
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream2 = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q2 = stream_ingest_dedup(stream2, out, sig, ckpt2)
+        with pytest.raises(Exception, match="lifetime is tied to its checkpoint"):
+            try:
+                q2.processAllAvailable()
+            finally:
+                q2.stop()
+        assert {r["doc_id"] for r in spark.read.parquet(sig).collect()} == {0, 1}
+
 
 class TestStreamHllRegisters:
     def test_stream_merge_equals_batch_sketch(self, spark, tmp_path):

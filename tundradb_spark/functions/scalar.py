@@ -18,6 +18,7 @@ Parity notes:
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 from pyspark.sql import Column, functions as F
@@ -140,8 +141,30 @@ def is_variant(dtype) -> bool:
     return isinstance(dtype, T.VariantType)
 
 
+_VARIANT_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
 def _variant_path(path: tuple) -> str:
-    return "$." + ".".join(path)
+    """Variant JSON path for a key tuple.  Identifier-shaped keys use dot
+    syntax; anything else (dots, spaces, brackets, ``$``…) is emitted as
+    a quoted bracket segment — a bare ``'$.' + key`` would silently
+    return NULL for every row on such keys instead of accessing them."""
+    from tundradb_spark.errors import QueryError
+
+    parts = ["$"]
+    for seg in path:
+        if _VARIANT_IDENT.match(seg):
+            parts.append(f".{seg}")
+        elif '"' not in seg:
+            parts.append(f'["{seg}"]')
+        elif "'" not in seg:
+            parts.append(f"['{seg}']")
+        else:
+            raise QueryError(
+                f"unsupported property key {seg!r}: contains both quote "
+                "characters, which the variant path syntax cannot escape"
+            )
+    return "".join(parts)
 
 
 def variant_get_for_literal(col: Column, path: tuple, value: Any) -> Column:

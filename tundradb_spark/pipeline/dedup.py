@@ -1126,15 +1126,27 @@ def fuzzy_string_pairs(
         .distinct()
     )
     short = base.filter(F.col("n") <= short_max)
-    sa = short.alias("a")
     # short×long pairs: the long side's length bound keeps the gram arm
     # sound only when max(len) > short_max, so pair shorts against ALL
-    # rows within the length band, not just other shorts
+    # rows within the length band, not just other shorts.  The band is
+    # carried as an EQUI key — each short row explodes to its 2d+1
+    # admissible partner lengths and joins on b.n — because the bare
+    # |a.n − b.n| ≤ d predicate alone compiles to a broadcast
+    # nested-loop join over the ENTIRE corpus (O(|shorts| × corpus)),
+    # which on short-string-heavy corpora (names, codes) IS corpus².
+    sa = short.select(
+        id_col,
+        "s",
+        "n",
+        F.explode(
+            F.expr(f"sequence(greatest(n - {max_dist}, 0), n + {max_dist})")
+        ).alias("__bn"),
+    ).alias("a")
     short_cands = (
         sa.join(
             base.alias("b"),
-            (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
-            & (F.abs(F.col("a.n") - F.col("b.n")) <= max_dist),
+            (F.col("a.__bn") == F.col("b.n"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
         )
         .select(
             F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),

@@ -955,6 +955,17 @@ def bpe_train(
       ``' l r '`` with ``' lr '`` (both engines share this exact
       scan-resumes-after-replacement semantics, verified).
 
+    .. warning:: NOT segmentation-compatible with canonical Sennrich /
+       HuggingFace / sentencepiece BPE on REPEATED-SYMBOL RUNS.  The
+       single-pass replace consumes the shared sentinel space, so
+       ``'a a a a'`` merges to ``'aa a a'`` where canonical BPE gives
+       ``'aa aa'``; relatedly, the overlapping pair counts used for rule
+       SELECTION can overstate how many merges the replace then applies.
+       The semantics are internally consistent (training and
+       :func:`bpe_segment` share them, and the SQL oracle pins them
+       bit-for-bit) — use the rules with THIS engine's segmenter, not as
+       a drop-in vocabulary for an external BPE tokenizer.
+
     Output: ``(rank, left, right, merged, pair_count)`` — rank 1..n,
     ``pair_count`` the weighted count at selection time.
     """
@@ -1032,7 +1043,9 @@ def bpe_segment(
 
     Output: ``(word, freq, seg, n_subwords)`` — ``seg`` the space-joined
     subword segmentation, engine-reproducible via the same replace
-    semantics as training.
+    semantics as training.  Shares :func:`bpe_train`'s documented
+    divergence from canonical BPE on repeated-symbol runs — segmentations
+    are NOT HuggingFace/sentencepiece-compatible there.
     """
     if rules is None:
         # ONE corpus pass for train + apply: checkpoint the word table,

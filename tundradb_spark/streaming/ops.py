@@ -489,7 +489,12 @@ def stream_ingest_dedup(
     first (a no-op on the normal path): the replay probe sees only
     prior epochs — exactly what the original attempt saw — so it
     recomputes the identical survivor set and rewrites the epoch from
-    scratch.
+    scratch.  ``sig_path``'s lifetime is tied to ``checkpoint``: the
+    sink cross-checks the signature table's epoch partitions against
+    the checkpoint's commit log and refuses to run if it finds epochs
+    this checkpoint never committed (r8) — restarting with a FRESH
+    checkpoint against a reused ``sig_path`` would otherwise restart
+    epoch numbering at 0 and silently delete the prior run's history.
 
     Within-batch duplicates: survivors of the corpus probe are also
     deduplicated against EACH OTHER before writing — exact (normalized-
@@ -520,12 +525,48 @@ def stream_ingest_dedup(
         spark = batch.sparkSession
         # replay hygiene (docstring above): drop any partial epoch=E
         # signature leaves from a failed attempt BEFORE the probe, via
-        # Hadoop FS so s3a:// / hdfs:// sig_paths work like local ones
+        # Hadoop FS so s3a:// / hdfs:// sig_paths work like local ones.
+        # Clobber guard (r8, advice): sig_path's lifetime is tied to THIS
+        # checkpoint — a fresh checkpoint restarts epoch numbering at 0,
+        # and the unconditional delete would silently destroy a prior
+        # run's signature history.  Any epoch partition that is neither
+        # committed in this checkpoint's commit log nor the current
+        # (possibly replayed) epoch is foreign data: refuse loudly.
         jvm = spark._jvm
-        epoch_dir = jvm.org.apache.hadoop.fs.Path(f"{sig_path}/epoch={epoch}")
-        epoch_dir.getFileSystem(spark._jsc.hadoopConfiguration()).delete(
-            epoch_dir, True
-        )
+        conf = spark._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        sig_root = HPath(sig_path)
+        sig_fs = sig_root.getFileSystem(conf)
+        present: set[int] = set()
+        if sig_fs.exists(sig_root):
+            for st in sig_fs.listStatus(sig_root):
+                name = st.getPath().getName()
+                if name.startswith("epoch="):
+                    try:
+                        present.add(int(name.split("=", 1)[1]))
+                    except ValueError:
+                        pass
+        if present:
+            commits_dir = HPath(f"{checkpoint}/commits")
+            ck_fs = commits_dir.getFileSystem(conf)
+            committed: set[int] = set()
+            if ck_fs.exists(commits_dir):
+                for st in ck_fs.listStatus(commits_dir):
+                    name = st.getPath().getName()
+                    if name.isdigit():
+                        committed.add(int(name))
+            foreign = present - committed - {epoch}
+            if foreign:
+                raise ValueError(
+                    f"signature table at {sig_path!r} contains epoch "
+                    f"partitions {sorted(foreign)} not written by this "
+                    f"stream's checkpoint ({checkpoint!r}) — sig_path's "
+                    "lifetime is tied to its checkpoint; resume with the "
+                    "original checkpoint or point the stream at a fresh "
+                    "sig_path"
+                )
+        epoch_dir = HPath(f"{sig_path}/epoch={epoch}")
+        sig_fs.delete(epoch_dir, True)
         # bootstrap probe: try/except the read, NOT a driver-local glob —
         # sig_path may be any Hadoop filesystem (s3a://, hdfs://), where a
         # local listing would silently disable corpus dedup forever
