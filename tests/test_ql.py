@@ -355,8 +355,32 @@ def test_shell_completer(db):
     assert "SELECT" in all_matches("sel")
     assert all_matches("per") == ["person"]
     assert all_matches("KNO") == ["KNOWS"]
-    assert "MATCH" in all_matches("")  # empty prefix offers everything
+    assert "MATCH" in all_matches("")  # empty buffer: top-level commands
     assert all_matches("zzz") == []
+
+
+def test_shell_context_completion_and_hints(db):
+    # r8: context-aware completion branches + syntax hints, the reference's
+    # completionCallback/hintsCallback parity (apps/tundra_shell.cpp:
+    # 1860-1954) with real catalog names instead of hard-coded examples
+    from tundradb_spark.ql.shell import completion_candidates, hint_for
+
+    db.create_schema("person", {"name": "string"})
+    db.create_edge_schema("KNOWS", {})
+
+    # after CREATE: statement kinds + schema names
+    got = completion_candidates("CREATE ", "", db)
+    assert "SCHEMA" in got and "NODE" in got and "person" in got
+    # after DELETE EDGE / SHOW EDGES: edge types only
+    assert completion_candidates("DELETE EDGE ", "", db) == ["KNOWS"]
+    assert completion_candidates("SHOW EDGES KN", "KN", db) == ["KNOWS"]
+    assert completion_candidates("SHOW ", "", db) == ["EDGES", "EDGE TYPES"]
+    # empty buffer: top-level commands, not the flat keyword pool
+    assert "AS" not in completion_candidates("", "", db)
+    # hints fire at exact syntax points only (reference semantics)
+    assert hint_for("CREATE ") == "SCHEMA|NODE|EDGE"
+    assert hint_for("MATCH ") == "(node1)-[rel]->(node2)"
+    assert hint_for("MATCH (u") is None
 
 
 class TestExplain:

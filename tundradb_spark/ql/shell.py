@@ -74,19 +74,84 @@ COMPLETION_KEYWORDS = [
 ]
 
 
+#: exact-buffer → syntax-template hints, mirroring the reference's
+#: linenoise hintsCallback (apps/tundra_shell.cpp:1911-1954) — shown when
+#: Tab is pressed at one of these points and no completion applies
+HINTS = {
+    "CREATE ": "SCHEMA|NODE|EDGE",
+    "CREATE SCHEMA ": "name (field1: TYPE, ...)",
+    "CREATE NODE ": "type (prop1=value1, ...)",
+    "CREATE EDGE ": "type FROM source TO target",
+    "MATCH ": "(node1)-[rel]->(node2)",
+    "DELETE ": "(u:User) WHERE ... | User(123) | EDGE edge_type",
+    "DELETE EDGE ": "edge_type [FROM node] [TO node]",
+    "UPDATE ": "User(0) SET field = value | (u:User) SET u.field = value WHERE ...",
+    "SHOW ": "EDGES edge_type | EDGE TYPES",
+    "SHOW EDGES ": "edge_type_name",
+}
+
+
+def hint_for(line: str) -> str | None:
+    """Syntax hint for the exact line buffer (reference hintsCallback
+    semantics: exact-match points only, NULL elsewhere)."""
+    return HINTS.get(line)
+
+
+def completion_candidates(line: str, text: str, db) -> list[str]:
+    """Context-aware candidate pool for the word ``text`` being completed
+    at the end of ``line`` — the reference's completionCallback branches
+    (apps/tundra_shell.cpp:1860-1908), with the hard-coded example names
+    replaced by the database's actual schema / edge-type catalogs.  Pure
+    function of its inputs so it is unit-testable without a terminal."""
+    schemas = sorted(db.catalog.node_schemas)
+    edges = sorted(db._edges)
+    if not line.endswith(text):
+        line = text  # no buffer context available (tests, plain stdin)
+    before = line[: len(line) - len(text)].strip().upper()
+    upper = line.upper()
+    if not line.strip():  # empty buffer: top-level commands only
+        pool = ["CREATE", "MATCH", "UPDATE", "DELETE", "SHOW", "COMMIT",
+                "EXPLAIN"]
+    elif upper.startswith(("DELETE EDGE ", "SHOW EDGES ")):
+        pool = edges
+    elif upper.startswith("CREATE EDGE "):
+        pool = ["UNIQUE", "FROM", "TO"] + edges + schemas
+    elif before == "CREATE":
+        pool = ["SCHEMA", "NODE", "EDGE", "UNIQUE"] + schemas
+    elif before == "SHOW":
+        pool = ["EDGES", "EDGE TYPES"]
+    elif before == "DELETE":
+        pool = ["EDGE"] + schemas
+    else:  # mid-statement (incl. a lone first word): the flat pool
+        pool = COMPLETION_KEYWORDS + schemas + edges
+    tl = text.lower()
+    # keywords match case-insensitively and complete in upper case;
+    # schema/edge names complete verbatim
+    return [w for w in pool if w.lower().startswith(tl)] if text else pool
+
+
 def make_completer(db):
-    """readline completer over TundraQL keywords + the database's schema and
-    edge-type names (reference hints/completions,
-    apps/tundra_shell.cpp:1860-1954). Pure function of (text, state) so it
-    is unit-testable without a terminal."""
+    """readline completer: context-aware candidates via
+    :func:`completion_candidates`; when Tab yields NO candidates but the
+    buffer sits at a known syntax point, the reference-style hint template
+    is printed below the line instead (linenoise shows it inline as you
+    type — readline has no hint channel, so Tab-to-hint is the portable
+    equivalent)."""
 
     def completer(text: str, state: int) -> str | None:
-        names = sorted(db.catalog.node_schemas) + sorted(db._edges)
-        pool = COMPLETION_KEYWORDS + names
-        tl = text.lower()
-        # keywords match case-insensitively and complete in upper case;
-        # schema/edge names complete verbatim
-        matches = [w for w in pool if w.lower().startswith(tl)] if text else pool
+        try:
+            import readline
+
+            line = readline.get_line_buffer()
+        except ImportError:  # pure-function fallback for tests/minimal builds
+            readline, line = None, text
+        matches = completion_candidates(line, text, db)
+        if not matches and state == 0 and readline is not None:
+            hint = hint_for(line)
+            if hint:
+                sys.stdout.write(f"\n  \x1b[2m{hint}\x1b[0m\n")
+                sys.stdout.flush()
+                readline.redisplay()
         return matches[state] if state < len(matches) else None
 
     return completer
