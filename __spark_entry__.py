@@ -3210,3 +3210,91 @@ if set(PARKED_QUERIES) != set(PARKED_ORACLES):
     raise RuntimeError(
         f"parked query/oracle diff: {set(PARKED_QUERIES) ^ set(PARKED_ORACLES)}"
     )
+
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WINDOW_US = 7 * 86_400_000_000  # 7 days from funnel entry
+RETENTION_PERIOD_US = 86_400_000_000  # daily cohorts
+RETENTION_MAX_OFFSET = 7
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8: ordered-funnel analysis (operators.analytics.funnel) over the
+    events stream — per step, users completing view→click→purchase IN
+    ORDER within 7 days of funnel entry; min-chaining semantics the SQL
+    oracle reproduces exactly."""
+    from tundradb_spark.operators.analytics import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(ev, FUNNEL_STEPS, within_us=FUNNEL_WINDOW_US)
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8: daily-cohort retention (operators.analytics.cohort_retention)
+    — users cohorted by first-event day, per-offset active counts and
+    retention ratios for the first week."""
+    from tundradb_spark.operators.analytics import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(
+        ev, period_us=RETENTION_PERIOD_US, max_offset=RETENTION_MAX_OFFSET
+    )
+
+
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8: neighborhood link prediction (graphs.algorithms.
+    link_prediction) over the layered triangle graph — common-neighbor
+    counts + Adamic–Adar scores for non-adjacent pairs, decimal-exact
+    aggregation."""
+    from tundradb_spark.graphs.algorithms import link_prediction
+
+    return link_prediction(_triangle_graph(spark, sf_dir)).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("common_neighbors").cast("long").alias("common_neighbors"),
+        "adamic_adar",
+    )
+
+
+def _funnel_oracle() -> str:
+    from tundradb_spark.operators.analytics import funnel_sql
+
+    return funnel_sql("events", FUNNEL_STEPS, within_us=FUNNEL_WINDOW_US)
+
+
+def _retention_oracle() -> str:
+    from tundradb_spark.operators.analytics import cohort_retention_sql
+
+    return cohort_retention_sql(
+        "events",
+        period_us=RETENTION_PERIOD_US,
+        max_offset=RETENTION_MAX_OFFSET,
+    )
+
+
+PARKED_QUERIES["q_funnel"] = q_funnel
+PARKED_ORACLES["q_funnel"] = _funnel_oracle()
+PARKED_QUERIES["q_cohort_retention"] = q_cohort_retention
+PARKED_ORACLES["q_cohort_retention"] = _retention_oracle()
+
+PARKED_QUERIES["q_link_prediction"] = q_link_prediction
+PARKED_ORACLES["q_link_prediction"] = f"""
+    WITH {_TRIANGLE_GRAPH_SQL.strip()},
+    adj AS (SELECT a AS u, b AS v FROM te UNION ALL SELECT b, a FROM te),
+    deg AS (SELECT u AS z, count(*) AS dz FROM adj GROUP BY u),
+    mid AS (SELECT adj.v AS z, adj.u AS u, deg.dz
+            FROM adj JOIN deg ON adj.v = deg.z),
+    wedges AS (SELECT l.u AS ua, r.u AS ub, l.dz
+               FROM mid l JOIN mid r ON l.z = r.z AND l.u < r.u),
+    scores AS (
+        SELECT ua, ub, count(*) AS cn,
+               round(CAST(sum(CAST(1.0 / ln(CAST(dz AS DOUBLE))
+                                   AS DECIMAL(20,10))) AS DOUBLE), 6) AS aa
+        FROM wedges GROUP BY ua, ub
+    )
+    SELECT CAST(ua AS BIGINT) AS id_a, CAST(ub AS BIGINT) AS id_b,
+           CAST(cn AS BIGINT) AS common_neighbors, aa AS adamic_adar
+    FROM scores
+    WHERE cn >= 1
+      AND NOT EXISTS (SELECT 1 FROM te WHERE te.a = ua AND te.b = ub)
+"""

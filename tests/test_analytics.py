@@ -1,0 +1,172 @@
+"""Event-sequence analytics (operators.analytics) + neighborhood link
+prediction (graphs.algorithms.link_prediction): semantics on hand-built
+fixtures where every expected value is derivable by eye."""
+
+import math
+
+import pytest
+
+from tests.conftest import rows_set
+
+
+US = 1_000_000  # µs per second
+
+
+def _ev(spark, rows):
+    # (user, t_seconds, type) → long-nanos ts column (the driver tables'
+    # physical representation under nanosAsLong)
+    return spark.createDataFrame(
+        [(u, t * US * 1000, et) for u, t, et in rows],
+        "user_id long, ts long, event_type string",
+    )
+
+
+class TestFunnel:
+    def test_ordered_min_chaining(self, spark):
+        from tundradb_spark.operators.analytics import funnel
+
+        rows = [
+            # u1 completes A→B→C in order
+            (1, 10, "A"), (1, 20, "B"), (1, 30, "C"),
+            # u2: B only BEFORE A — step 2 must not count (ordering), and
+            # the later C cannot rescue it (C needs a completed B first)
+            (2, 5, "B"), (2, 10, "A"), (2, 30, "C"),
+            # u3: A only
+            (3, 10, "A"),
+            # u4: never enters the funnel (no A)
+            (4, 10, "B"), (4, 20, "C"),
+        ]
+        got = {
+            r["step"]: (r["step_idx"], r["n_users"], r["conversion"])
+            for r in funnel(_ev(spark, rows), ["A", "B", "C"]).collect()
+        }
+        assert got["A"] == (1, 3, 1.0)
+        # step B: only u1 has B strictly after A
+        assert got["B"] == (2, 1, pytest.approx(1 / 3, abs=1e-6))
+        assert got["C"] == (3, 1, pytest.approx(1 / 3, abs=1e-6))
+
+    def test_window_anchored_at_entry(self, spark):
+        from tundradb_spark.operators.analytics import funnel
+
+        rows = [
+            (1, 0, "A"), (1, 5, "B"),      # inside the window
+            (2, 0, "A"), (2, 100, "B"),    # outside
+        ]
+        got = {
+            r["step"]: r["n_users"]
+            for r in funnel(
+                _ev(spark, rows), ["A", "B"], within_us=10 * US
+            ).collect()
+        }
+        assert got == {"A": 2, "B": 1}
+
+    def test_strictly_after_not_simultaneous(self, spark):
+        from tundradb_spark.operators.analytics import funnel
+
+        rows = [(1, 10, "A"), (1, 10, "B")]  # same instant: not "after"
+        got = {
+            r["step"]: r["n_users"]
+            for r in funnel(_ev(spark, rows), ["A", "B"]).collect()
+        }
+        assert got == {"A": 1, "B": 0}
+
+    def test_validation(self, spark):
+        from tundradb_spark.operators.analytics import funnel
+
+        with pytest.raises(ValueError):
+            funnel(_ev(spark, [(1, 1, "A")]), [])
+
+
+class TestCohortRetention:
+    def test_daily_cohorts(self, spark):
+        from tundradb_spark.operators.analytics import cohort_retention
+
+        day = 86_400
+        rows = [
+            # cohort day 0: u1 active days 0,1,2; u2 active days 0,2
+            (1, 10, "x"), (1, day + 10, "x"), (1, 2 * day + 10, "x"),
+            (2, 20, "x"), (2, 2 * day + 20, "x"),
+            # cohort day 1: u3 active day 1 only
+            (3, day + 30, "x"),
+        ]
+        got = rows_set(
+            cohort_retention(
+                _ev(spark, rows), period_us=day * US
+            ),
+            "cohort", "period_offset", "n_users", "retention",
+        )
+        assert got == {
+            (0, 0, 2, 1.0),
+            (0, 1, 1, 0.5),
+            (0, 2, 2, 1.0),
+            (1, 0, 1, 1.0),
+        }
+
+    def test_max_offset_and_validation(self, spark):
+        from tundradb_spark.operators.analytics import cohort_retention
+
+        day = 86_400
+        rows = [(1, 10, "x"), (1, 5 * day, "x")]
+        got = cohort_retention(
+            _ev(spark, rows), period_us=day * US, max_offset=3
+        ).collect()
+        assert {r["period_offset"] for r in got} == {0}
+        with pytest.raises(ValueError):
+            cohort_retention(_ev(spark, rows), period_us=0)
+
+
+class TestLinkPrediction:
+    def test_star_graph_scores(self, spark):
+        from tundradb_spark.graphs.algorithms import link_prediction
+
+        # star: 2 connects 1,3,4 → all leaf pairs share only vertex 2
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (2, 4)], "id_a long, id_b long"
+        )
+        w = round(1.0 / math.log(3.0), 6)
+        got = sorted(map(tuple, link_prediction(edges).collect()))
+        assert got == [(1, 3, 1, w), (1, 4, 1, w), (3, 4, 1, w)]
+
+    def test_existing_edges_excluded(self, spark):
+        from tundradb_spark.graphs.algorithms import link_prediction
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (2, 4), (1, 3)], "id_a long, id_b long"
+        )
+        got = {(r["id_a"], r["id_b"]) for r in link_prediction(edges).collect()}
+        assert (1, 3) not in got and (1, 4) in got
+
+    def test_multi_common_neighbors_sum(self, spark):
+        from tundradb_spark.graphs.algorithms import link_prediction
+
+        # 1 and 4 share middles 2 (deg 2) and 3 (deg 3): AA = 1/ln2 + 1/ln3
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 4), (1, 3), (3, 4), (3, 5)],
+            "id_a long, id_b long",
+        )
+        got = {
+            (r["id_a"], r["id_b"]): (r["common_neighbors"], r["adamic_adar"])
+            for r in link_prediction(edges).collect()
+        }
+        aa = round(1.0 / math.log(2.0) + 1.0 / math.log(3.0), 6)
+        assert got[(1, 4)] == (2, pytest.approx(aa, abs=2e-6))
+
+    def test_max_degree_drops_hub_middles(self, spark):
+        from tundradb_spark.graphs.algorithms import link_prediction
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (2, 4)], "id_a long, id_b long"
+        )
+        assert link_prediction(edges, max_degree=2).count() == 0
+        with pytest.raises(ValueError):
+            link_prediction(edges, min_common=0)
+
+
+def test_analytics_plans_no_nested_loop(spark):
+    from tundradb_spark.plans import audit
+    import __spark_entry__ as entry
+
+    SF = "/root/testdata/sf0.001"
+    qs = entry.parked_queries()
+    for name in ("q_funnel", "q_cohort_retention", "q_link_prediction"):
+        audit.assert_no_nested_loop(qs[name](spark, SF))

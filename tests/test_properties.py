@@ -14,13 +14,15 @@ from tests.conftest import rows_set
 from tundradb_spark.operators.relational import asof_join
 from tundradb_spark.streaming.ops import session_window_agg
 
+# derandomize: a property suite that gates a round must give the same
+# verdict on every run (r7 verdict #3).  HYPOTHESIS_FUZZ=N opts into a
+# manual fuzzing session: randomized, N examples per property (N=1 keeps
+# the default budget).
+_FUZZ = int(__import__("os").environ.get("HYPOTHESIS_FUZZ") or 0)
 _SETTINGS = dict(
-    max_examples=10,
+    max_examples=max(_FUZZ, 10),
     deadline=None,
-    # derandomize: a property suite that gates a round must give the same
-    # verdict on every run (r7 verdict #3) — set HYPOTHESIS_FUZZ=1 to
-    # explore fresh examples in a manual fuzzing session.
-    derandomize=not __import__("os").environ.get("HYPOTHESIS_FUZZ"),
+    derandomize=not _FUZZ,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 

@@ -698,3 +698,75 @@ def hits(
             .localCheckpoint()
         )
     return hubs.join(auths, "vertex")
+
+
+def link_prediction(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    min_common: int = 1,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Neighborhood-based link prediction over the undirected graph:
+    common-neighbor counts and Adamic–Adar scores
+    (``Σ_{z ∈ Γ(a)∩Γ(b)} 1/ln(deg(z))``, Adamic & Adar 2003) for every
+    NON-adjacent vertex pair sharing ≥ ``min_common`` neighbors — the
+    classic "who should connect next" / missing-edge signal.
+
+    Plan shape: symmetrize → one degree groupBy → ONE wedge self-join on
+    the middle vertex (the :func:`triangle_counts` join, with the middle
+    vertex's degree riding along) → one pair groupBy → one left-anti join
+    against the existing edge set.  Candidate volume is ``Σ_z deg(z)²``,
+    the same bound as triangle counting — never all-pairs; skewed hubs
+    are what ``max_degree`` is for: dropping middle vertices above it
+    caps per-vertex wedge fan-out (an APPROXIMATION — scores through
+    dropped hubs are lost — but hubs contribute the least Adamic–Adar
+    mass per pair by construction, ``1/ln(deg)``; same trade as the
+    dedup ``max_df`` caps, and the exact default leaves it off).
+
+    Determinism: per-middle-vertex weights are ``decimal(20,10)``-cast
+    BEFORE the pair sum (order-free aggregation; a middle vertex in a
+    wedge always has degree ≥ 2, so ``ln`` is never 0), and the final
+    score rounds to 6 — bit-reproducible by a SQL oracle.
+
+    Returns ``(id_a, id_b, common_neighbors, adamic_adar)`` with
+    ``id_a < id_b``.
+    """
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    a, b = F.col(src).cast("long"), F.col(dst).cast("long")
+    e = (
+        pairs.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = _sym_edges(e, "a", "b")  # (u, v): v neighbor of u
+    deg = adj.groupBy(F.col("u").alias("z")).agg(
+        F.count(F.lit(1)).alias("dz")
+    )
+    if max_degree is not None:
+        deg = deg.filter(F.col("dz") <= max_degree)
+    # neighbor lists keyed by the MIDDLE vertex z, degree attached once
+    mid = adj.select(F.col("v").alias("z"), F.col("u")).join(deg, "z")
+    l, r = mid.alias("l"), mid.alias("r")
+    wedges = l.join(r, "z").filter(F.col("l.u") < F.col("r.u"))
+    scores = (
+        wedges.select(
+            F.col("l.u").alias("id_a"),
+            F.col("r.u").alias("id_b"),
+            F.expr(
+                "cast(1.0 / ln(cast(l.dz as double)) as decimal(20,10))"
+            ).alias("w"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.round(F.sum("w").cast("double"), 6).alias("adamic_adar"),
+        )
+        .filter(F.col("common_neighbors") >= min_common)
+    )
+    return scores.join(
+        e,
+        (scores["id_a"] == e["a"]) & (scores["id_b"] == e["b"]),
+        "left_anti",
+    )

@@ -1,0 +1,242 @@
+"""Event-sequence analytics: ordered funnels and cohort retention.
+
+The events table is the same append-only stream the time-series and
+sessionization operators consume; these two operators answer the product
+questions a warehouse asks of it — "how many users progress through this
+ordered sequence of actions?" and "how many users come back k periods
+after their first visit?".  Both are exact, engine-reproducible (integer
+counts, one rounded ratio), and SQL-oracle-checkable.
+
+Scale design (100 TB events):
+
+* :func:`funnel` — each step is one type-filtered (pushed-down) scan plus
+  one ``groupBy(user)`` min-aggregate (map-side combined) joined to the
+  previous step's per-user frontier on the user key.  The frontier frames
+  shrink monotonically (step i+1 users ⊆ step i users), so every join
+  after the first is against an already-reduced side; nothing is
+  quadratic and no state exceeds one row per surviving user.
+* :func:`cohort_retention` — one ``(user, period)`` distinct (the only
+  corpus-sized shuffle), one per-user min for the cohort assignment, one
+  broadcast-able join back, one final small groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from tundradb_spark.functions.timecols import epoch_micros
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_us: int | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: for each prefix of ``steps``, the number
+    of users with events matching the prefix IN ORDER — the classic
+    product funnel (view → click → purchase).
+
+    Semantics (the min-chaining definition every SQL funnel uses, so the
+    oracle can reproduce it exactly): ``t₁(u)`` is the user's earliest
+    ``steps[0]`` event; ``tᵢ(u)`` is the earliest ``steps[i]`` event
+    STRICTLY after ``tᵢ₋₁(u)`` (and, when ``within_us`` is set, no later
+    than ``t₁(u) + within_us`` — a conversion window anchored at funnel
+    entry).  A user counts for step i iff ``tᵢ(u)`` exists.
+
+    Output: ``(step_idx, step, n_users, conversion)`` — 1-based index,
+    ``conversion = round(n_users / n_users(step 1), 6)``.
+    """
+    if not steps:
+        raise ValueError("steps must be a non-empty ordered list")
+    ev = events.select(
+        F.col(user_col).cast("long").alias("u"),
+        epoch_micros(events, ts_col).alias("t"),
+        F.col(type_col).alias("et"),
+    )
+    # step 1: funnel entry; t0 (the anchor) rides along every frontier
+    frontier = (
+        ev.filter(F.col("et") == steps[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("t"))
+        .withColumn("t0", F.col("t"))
+    )
+    counts = [
+        frontier.agg(
+            F.lit(1).cast("long").alias("step_idx"),
+            F.lit(steps[0]).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        prev = frontier.select(
+            "u", F.col("t").alias("pt"), "t0"
+        )
+        nxt = (
+            ev.filter(F.col("et") == s)
+            .join(prev, "u")
+            .filter(F.col("t") > F.col("pt"))
+        )
+        if within_us is not None:
+            nxt = nxt.filter(F.col("t") <= F.col("t0") + F.lit(within_us))
+        frontier = nxt.groupBy("u").agg(
+            F.min("t").alias("t"), F.min("t0").alias("t0")
+        )
+        counts.append(
+            frontier.agg(
+                F.lit(i).cast("long").alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    # conversion vs step 1: k rows total — an unpartitioned window is fine
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    first_n = F.max(
+        F.when(F.col("step_idx") == 1, F.col("n_users"))
+    ).over(w)
+    return out.select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double")
+            / F.nullif(first_n.cast("double"), F.lit(0.0)),
+            6,
+        ).alias("conversion"),
+    )
+
+
+def funnel_sql(
+    table: str,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_expr: str = "epoch_us(ts)",
+    type_col: str = "event_type",
+    within_us: int | None = None,
+) -> str:
+    """DuckDB oracle reproducing :func:`funnel` exactly — the same
+    min-chaining, unrolled one CTE per step."""
+    ctes = [
+        f"ev AS (SELECT CAST({user_col} AS BIGINT) u, {ts_expr} t,"
+        f" {type_col} et FROM {table})",
+        f"s1 AS (SELECT u, min(t) AS t, min(t) AS t0 FROM ev"
+        f" WHERE et = '{steps[0]}' GROUP BY u)",
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        win = (
+            f" AND ev.t <= s{i-1}.t0 + {within_us}"
+            if within_us is not None
+            else ""
+        )
+        ctes.append(
+            f"s{i} AS (SELECT ev.u, min(ev.t) AS t, min(s{i-1}.t0) AS t0"
+            f" FROM ev JOIN s{i-1} ON ev.u = s{i-1}.u"
+            f" WHERE ev.et = '{s}' AND ev.t > s{i-1}.t{win}"
+            f" GROUP BY ev.u)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) step_idx, '{s}' step,"
+        f" (SELECT count(*) FROM s{i}) n_users"
+        for i, s in enumerate(steps, start=1)
+    )
+    ctes.append(f"counts AS ({unions})")
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + " SELECT step_idx, step, CAST(n_users AS BIGINT) AS n_users,"
+        " round(CAST(n_users AS DOUBLE) / nullif(CAST((SELECT n_users"
+        " FROM counts WHERE step_idx = 1) AS DOUBLE), 0.0), 6)"
+        " AS conversion FROM counts"
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_us: int = 86_400_000_000,
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort retention: users are cohorted by the period of their FIRST
+    event; ``n_users(cohort, offset)`` counts the cohort's users active
+    ``offset`` periods later.  ``retention`` divides by the cohort's size
+    (its offset-0 count — every user is active in their first period by
+    definition).
+
+    Periods are integer indices (``epoch_µs div period_us``), not
+    calendar dates: exact on both engines and timezone-free.
+
+    Output: ``(cohort, period_offset, n_users, retention)``.
+    """
+    if period_us < 1:
+        raise ValueError(f"period_us must be >= 1, got {period_us}")
+    # floor-div semantics for nonnegative epochs; `div` keeps it integral
+    ev = events.select(
+        F.col(user_col).cast("long").alias("u"),
+        epoch_micros(events, ts_col).alias("t"),
+    ).select("u", F.expr(f"t div {period_us}").alias("p"))
+    active = ev.distinct()  # (user, period) — the one corpus-sized shuffle
+    first = active.groupBy("u").agg(F.min("p").alias("p0"))
+    ret = (
+        active.join(first, "u")
+        .select("p0", (F.col("p") - F.col("p0")).alias("off"))
+    )
+    if max_offset is not None:
+        ret = ret.filter(F.col("off") <= max_offset)
+    counts = ret.groupBy("p0", "off").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )  # (u, p) is distinct, so count(*) IS the distinct-user count
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p0")
+    base = F.max(F.when(F.col("off") == 0, F.col("n_users"))).over(w)
+    return counts.select(
+        F.col("p0").alias("cohort"),
+        F.col("off").alias("period_offset"),
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / base.cast("double"), 6
+        ).alias("retention"),
+    )
+
+
+def cohort_retention_sql(
+    table: str,
+    user_col: str = "user_id",
+    ts_expr: str = "epoch_us(ts)",
+    period_us: int = 86_400_000_000,
+    max_offset: int | None = None,
+) -> str:
+    """DuckDB oracle reproducing :func:`cohort_retention` exactly."""
+    off_filter = (
+        f" WHERE p - p0 <= {max_offset}" if max_offset is not None else ""
+    )
+    return f"""
+    WITH active AS (
+        SELECT DISTINCT CAST({user_col} AS BIGINT) u,
+               {ts_expr} // {period_us} AS p
+        FROM {table}
+    ),
+    first AS (SELECT u, min(p) AS p0 FROM active GROUP BY u),
+    ret AS (
+        SELECT p0, p - p0 AS off
+        FROM active JOIN first USING (u){off_filter}
+    ),
+    counts AS (
+        SELECT p0, off, count(*) AS n_users FROM ret GROUP BY p0, off
+    )
+    SELECT CAST(p0 AS BIGINT) AS cohort,
+           CAST(off AS BIGINT) AS period_offset,
+           CAST(n_users AS BIGINT) AS n_users,
+           round(CAST(n_users AS DOUBLE) /
+                 CAST(max(CASE WHEN off = 0 THEN n_users END)
+                      OVER (PARTITION BY p0) AS DOUBLE), 6) AS retention
+    FROM counts
+    """
