@@ -2146,6 +2146,25 @@ def test_semantic_dedup_auto_cells(spark):
         semantic_dedup(emb, 0.3, n_cells="auto", dim=64, target_cell_size=0)
 
 
+def test_semantic_dedup_vectorized_matches_fold_path(spark):
+    # r8: the Arrow/GEMM scale path (per-cell cosine matrix + numpy
+    # argmax assignment) must make the same (cell, kept) decisions as
+    # the oracle-pinned fold-expression path away from exact-threshold
+    # knife edges — pinned here on real embeddings at two thresholds
+    from tundradb_spark.pipeline.dedup import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for thr in (0.3, 0.9):
+        a = sorted(map(tuple, semantic_dedup(emb, thr, dim=64).collect()))
+        b = sorted(
+            map(
+                tuple,
+                semantic_dedup(emb, thr, dim=64, vectorized=True).collect(),
+            )
+        )
+        assert a == b, f"vectorized diverged at threshold {thr}"
+
+
 class TestExactSubstringSpans:
     """r7: maximal duplicated-span detection + surgical removal
     (dedup.exact_substring_spans / strip_duplicate_spans)."""

@@ -113,6 +113,24 @@ def dot_sql(a: str, b: str) -> str:
     return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (s, x) -> s + x)"
 
 
+def dots_sql(v: str, cents: list[list[float]]) -> str:
+    """SQL expression: ``array(dot(v, c) for c in cents)`` as ONE
+    higher-order ``transform`` over a constant centroid-matrix literal.
+
+    Value-identical to ``array(dot_sql(v, arr_sql(c)) for c in cents)``
+    (same per-element fold order), but the expression tree holds one
+    aggregate/zip_with node evaluated ``len(cents)`` times by the HOF
+    loop instead of ``len(cents)`` unrolled copies — at auto-scaled cell
+    counts (``n_cells ∝ corpus``) the unrolled tree blows past the
+    codegen size limit and falls back to interpreted eval (measured r8:
+    160-cell assignment dominated semantic_dedup's sf1 probe)."""
+    matrix = "array(" + ", ".join(arr_sql(c) for c in cents) + ")"
+    return (
+        f"transform({matrix}, c_ -> "
+        f"aggregate(zip_with({v}, c_, (x, y) -> x * y), 0.0D, (s, x) -> s + x))"
+    )
+
+
 def char_shingles(text: Column, k: int = 5, distinct: bool = True) -> Column:
     """Lowercase character k-grams of ``text``.
 

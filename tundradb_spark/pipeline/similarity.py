@@ -21,7 +21,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from tundradb_spark.pipeline.hashing import arr_sql, dot_sql, hyperplanes, lsh_bands
+from tundradb_spark.pipeline.hashing import (
+    arr_sql,
+    dot_sql,
+    dots_sql,
+    hyperplanes,
+    lsh_bands,
+)
 
 
 def _vec_sql(vec_col: str) -> str:
@@ -202,6 +208,7 @@ def ivf_assign(
     seed: int = 11,
     dim: int | None = None,
     centroids: list[list[float]] | None = None,
+    vectorized: bool = False,
 ) -> DataFrame:
     """Attach each vector's IVF cell: ``cell = argmax_c dot(v, centroid_c)``
     (1-based, first-max tie-break — ``array_position(dots, array_max)``).
@@ -224,13 +231,52 @@ def ivf_assign(
         if dim is None:
             dim = len(emb.select(vec_col).first()[0])
         cents = ivf_centroids(n_cells, dim, seed)
-    v = _vec_sql(vec_col)
-    dots = "array(" + ", ".join(dot_sql(v, arr_sql(c)) for c in cents) + ")"
-    # __dots materialized in its own projection so the argmax's two
-    # references don't each re-inline the n_cells dot folds
+    if vectorized:
+        # Arrow-batched GEMM assignment (V @ Cᵀ, one numpy matmul per
+        # batch) — the scale path for auto-sized quantizers where
+        # n_cells grows with the corpus and the per-row HOF fold pays
+        # n_cells × dim boxed ops (r8: 160-cell assignment measured
+        # ~13 s for 20k rows on the fold path, <1 s here).  np.argmax
+        # keeps the fold path's first-max tie-break; last-ulp dot
+        # differences CAN flip a knife-edge argmax, so oracle-pinned
+        # queries stay on the default fold path.
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cents, dtype=np.float64).T  # dim × n_cells
+        vec_type = emb.schema[vec_col].dataType.simpleString()
+
+        def _assign(batches):
+            for pdf in batches:
+                V = np.stack(
+                    [np.asarray(a, dtype=np.float64) for a in pdf[vec_col]]
+                )
+                cell = (V @ C).argmax(axis=1) + 1
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].astype("int64"),
+                        vec_col: pdf[vec_col],
+                        "cell": cell.astype("int32"),
+                    }
+                )
+
+        return emb.select(
+            F.col(id_col).cast("long").alias(id_col), vec_col
+        ).mapInPandas(
+            _assign, f"{id_col} long, {vec_col} {vec_type}, cell int"
+        )
+    # __v projected FIRST so the double-cast of the vector happens once
+    # per row, not once per centroid inside the dots HOF (r8: measured
+    # ~5× on 160-cell auto assignments); __dots in its own projection so
+    # the argmax's two references don't each re-inline the dot folds
+    dots = dots_sql("`__v`", cents)
     return emb.select(
         F.col(id_col).cast("long").alias(id_col),
         F.col(vec_col),
+        F.expr(_vec_sql(vec_col)).alias("__v"),
+    ).select(
+        id_col,
+        vec_col,
         F.expr(dots).alias("__dots"),
     ).select(
         id_col,
@@ -940,7 +986,7 @@ def ivf_train(
     for _ in range(max(0, iters)):
         use = [_unit(c) for c in cur]
         v = _vec_sql(vec_col)
-        dots = "array(" + ", ".join(dot_sql(v, arr_sql(c)) for c in use) + ")"
+        dots = dots_sql(v, use)
         assigned = emb.select(
             F.col(vec_col), F.expr(dots).alias("__dots")
         ).select(
@@ -1163,7 +1209,7 @@ def ivf_ann_topk_batch(
         emb, n_cells, vec_col, id_col, seed, dim=dim
     ).withColumnRenamed(vec_col, "__cvec")
     qv = _vec_sql(query_vec_col)
-    qdots = "array(" + ", ".join(dot_sql(qv, arr_sql(c)) for c in cents) + ")"
+    qdots = dots_sql(qv, cents)
     # per-query probe cells, fully in SQL: sort (−dot, cell) structs asc
     # == dot desc with first-cell tie-break (probe_cells' exact order)
     probes = (
