@@ -96,6 +96,12 @@ q_substr_spans, q_classify, q_soft_dedup — are SEATED (``_SEAT_R8`` /
 ``_PARK_R8`` at the bottom of this module).  Parked in exchange: the 9
 rows first-green in r7, q_encode (first green r7), and
 q_resample_interp (green since r6; q_resample keeps the grid seated).
+New r8 operators join PARKED (window full; seatable next rotation):
+q_funnel (ordered min-chaining funnel), q_cohort_retention (first-period
+cohorts), q_link_prediction (common-neighbor + Adamic–Adar wedge join),
+q_bm25 (Okapi BM25 ranked retrieval, broadcast-pruned postings), q_pmi
+(PMI bigram collocations) and q_outliers (per-group z-score anomalies,
+decimal moment sums) — oracle-bearing and CI-checked like the rest.
 
 The per-round narrative above records WHY each rotation happened; the
 AUTHORITATIVE seated/parked lists at HEAD are runtime facts — read them
@@ -3298,3 +3304,127 @@ PARKED_ORACLES["q_link_prediction"] = f"""
     WHERE cn >= 1
       AND NOT EXISTS (SELECT 1 FROM te WHERE te.a = ua AND te.b = ub)
 """
+
+
+# --- r8 additions: BM25 retrieval, PMI collocations, z-score outliers ---
+
+_DOC_TOKS = "[t for t in string_split_regex(lower(text), '\\s+') if t != '']"
+_QRY_TOKS = "[t for t in string_split_regex(lower(query), '\\s+') if t != '']"
+BM25_QUERY_SET = [
+    (0, "hash join table"),
+    (1, "window agg stream"),
+    (2, "spark query filter fast"),
+]
+BM25_K, BM25_K1, BM25_B = 10, 1.2, 0.75
+PMI_MIN_COUNT, PMI_TOP_N = 5, 40
+OUTLIER_Z = 2.0
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8: Okapi BM25 ranked retrieval (text.bm25_topk) — top-10 docs per
+    query for a fixed 3-query set, Lucene-variant idf, decimal-exact
+    per-document score sums; broadcast-pruned postings so the work is
+    bounded by the query terms' posting lists."""
+    from tundradb_spark.pipeline.text import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qdf = spark.createDataFrame(BM25_QUERY_SET, "query_id long, query string")
+    return bm25_topk(docs, qdf, k=BM25_K, k1=BM25_K1, b=BM25_B)
+
+
+def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8: PMI bigram collocations (text.pmi_collocations) — top-40
+    adjacent word pairs by pointwise mutual information with a min-count
+    floor; two map-side-combined corpus counts, vocabulary-keyed joins."""
+    from tundradb_spark.pipeline.text import pmi_collocations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pmi_collocations(docs, min_count=PMI_MIN_COUNT, top_n=PMI_TOP_N)
+
+
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8: per-event-type z-score outliers (analytics.value_outliers) —
+    decimal moment sums broadcast back onto a single never-shuffled
+    events scan."""
+    from tundradb_spark.operators.analytics import value_outliers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return value_outliers(ev, z_threshold=OUTLIER_Z)
+
+
+def _bm25_oracle() -> str:
+    vals = ", ".join(f"({i}, '{q}')" for i, q in BM25_QUERY_SET)
+    k1, b = BM25_K1, BM25_B
+    return f"""
+WITH qs(query_id, query) AS (VALUES {vals}),
+toks AS (SELECT doc_id, {_DOC_TOKS} AS tk FROM documents),
+ex AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM ex GROUP BY 1, 2, 3),
+stats AS (SELECT count(*) AS n, sum(dl) AS total_dl
+          FROM (SELECT len(tk) AS dl FROM toks) WHERE dl > 0),
+qt AS (SELECT CAST(query_id AS BIGINT) query_id,
+              unnest(list_distinct({_QRY_TOKS})) AS term FROM qs),
+terms AS (SELECT DISTINCT term FROM qt),
+pruned AS (SELECT tf.* FROM tf JOIN terms USING (term)),
+wdf AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM pruned),
+cand AS (SELECT qt.query_id, wdf.doc_id, wdf.tf, wdf.dl, wdf.df,
+                stats.n, stats.total_dl
+         FROM wdf JOIN qt USING (term) CROSS JOIN stats),
+scored AS (
+  SELECT query_id, doc_id, count(*) AS n_terms_hit,
+         sum(CAST(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                          / (CAST(df AS DOUBLE) + 0.5))
+               * (CAST(tf AS DOUBLE) * ({k1} + 1.0))
+                 / (CAST(tf AS DOUBLE)
+                    + {k1} * (1.0 - {b} + {b} * CAST(dl AS DOUBLE)
+                              / (CAST(total_dl AS DOUBLE) / CAST(n AS DOUBLE))))
+             AS DECIMAL(20,10))) AS score
+  FROM cand GROUP BY 1, 2),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS r
+       FROM scored)
+SELECT query_id, doc_id, CAST(n_terms_hit AS BIGINT) AS n_terms_hit,
+       CAST(floor(score * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS score
+FROM rk WHERE r <= {BM25_K}
+"""
+
+
+def _pmi_oracle() -> str:
+    return f"""
+WITH toks AS (SELECT {_DOC_TOKS} AS tk FROM documents),
+uni AS (SELECT unnest(tk) AS t FROM toks),
+uc AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+pairs AS (SELECT unnest([{{'a': tk[i], 'b': tk[i+1]}}
+                         for i in generate_series(1, greatest(len(tk)-1, 0))]) AS p
+          FROM toks),
+pp AS (SELECT p.a AS a, p.b AS b FROM pairs),
+big AS (SELECT a, b, count(*) AS pair_count FROM pp GROUP BY a, b
+        HAVING count(*) >= {PMI_MIN_COUNT}),
+tot AS (SELECT sum(len(tk)) AS t_uni,
+               sum(greatest(len(tk) - 1, 0)) AS t_big FROM toks),
+sc AS (
+  SELECT big.a, big.b, big.pair_count,
+         CAST(floor(CAST(ln((CAST(pair_count AS DOUBLE)
+                  * CAST(t_uni AS DOUBLE) * CAST(t_uni AS DOUBLE))
+                 / (CAST(t_big AS DOUBLE) * CAST(ua.c AS DOUBLE)
+                    * CAST(ub.c AS DOUBLE))) AS DECIMAL(20,10))
+           * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS pmi
+  FROM big JOIN uc ua ON big.a = ua.t JOIN uc ub ON big.b = ub.t,
+       tot)
+SELECT a, b, CAST(pair_count AS BIGINT) AS pair_count, pmi
+FROM sc ORDER BY pmi DESC, a, b LIMIT {PMI_TOP_N}
+"""
+
+
+def _outliers_oracle() -> str:
+    from tundradb_spark.operators.analytics import value_outliers_sql
+
+    return value_outliers_sql("events", z_threshold=OUTLIER_Z)
+
+
+PARKED_QUERIES["q_bm25"] = q_bm25
+PARKED_ORACLES["q_bm25"] = _bm25_oracle()
+PARKED_QUERIES["q_pmi"] = q_pmi
+PARKED_ORACLES["q_pmi"] = _pmi_oracle()
+PARKED_QUERIES["q_outliers"] = q_outliers
+PARKED_ORACLES["q_outliers"] = _outliers_oracle()

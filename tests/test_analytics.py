@@ -170,3 +170,47 @@ def test_analytics_plans_no_nested_loop(spark):
     qs = entry.parked_queries()
     for name in ("q_funnel", "q_cohort_retention", "q_link_prediction"):
         audit.assert_no_nested_loop(qs[name](spark, SF))
+
+
+class TestValueOutliers:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        )
+
+    def test_z_scores_by_hand(self, spark):
+        from tundradb_spark.operators.analytics import value_outliers
+
+        # group A: mean 2, var (0+0+0+0+100)/5 − 4 = 16, std 4 →
+        # z(10) = 2.0 (kept at threshold), z(0) = −0.5 (dropped)
+        rows = [(i, "A", 0.0) for i in range(4)] + [(4, "A", 10.0)]
+        got = value_outliers(
+            self._ev(spark, rows), z_threshold=2.0
+        ).collect()
+        assert [(r["event_id"], r["n_group"], r["z"]) for r in got] == [
+            (4, 5, 2.0)
+        ]
+
+    def test_zero_variance_and_null_excluded(self, spark):
+        from tundradb_spark.operators.analytics import value_outliers
+
+        rows = [(1, "B", 7.0), (2, "B", 7.0), (3, "B", None)]
+        assert (
+            value_outliers(self._ev(spark, rows), z_threshold=1.0).count()
+            == 0
+        )
+
+    def test_negative_tail_caught(self, spark):
+        from tundradb_spark.operators.analytics import value_outliers
+
+        rows = [(i, "A", 0.0) for i in range(4)] + [(4, "A", -10.0)]
+        got = value_outliers(
+            self._ev(spark, rows), z_threshold=2.0
+        ).collect()
+        assert [(r["event_id"], r["z"]) for r in got] == [(4, -2.0)]
+
+    def test_validation(self, spark):
+        from tundradb_spark.operators.analytics import value_outliers
+
+        with pytest.raises(ValueError):
+            value_outliers(self._ev(spark, [(1, "A", 1.0)]), z_threshold=0)

@@ -2410,3 +2410,120 @@ class TestSoftDedupWeights:
         w = {r.doc_id: r for r in soft_dedup_weights(docs, k=6).collect()}
         assert w[1].dup_tokens == w[1].n_tokens and w[1].weight == 0.0
         assert 0.0 < w[2].weight < 1.0
+
+
+class TestBm25TopK:
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "apple banana apple"),
+                (2, "banana cherry"),
+                (3, "cherry cherry cherry"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def _q(self, spark, *qs):
+        return spark.createDataFrame(
+            list(enumerate(qs)), "query_id long, query string"
+        )
+
+    def test_score_by_hand(self, spark):
+        import math
+
+        from tundradb_spark.pipeline.text import bm25_topk
+
+        got = bm25_topk(
+            self._corpus(spark), self._q(spark, "apple"), k=10
+        ).collect()
+        # only doc 1 contains "apple"; N=3, avgdl=8/3, df=1, tf=2, dl=3
+        idf = math.log(1.0 + (3.0 - 1.0 + 0.5) / 1.5)
+        norm = (2.0 * 2.2) / (2.0 + 1.2 * (0.25 + 0.75 * 3.0 / (8.0 / 3.0)))
+        assert [(r["doc_id"], r["n_terms_hit"]) for r in got] == [(1, 1)]
+        assert got[0]["score"] == pytest.approx(idf * norm, abs=1e-5)
+
+    def test_tf_ranks_higher(self, spark):
+        from tundradb_spark.pipeline.text import bm25_topk
+
+        got = bm25_topk(
+            self._corpus(spark), self._q(spark, "cherry"), k=10
+        ).collect()
+        assert [r["doc_id"] for r in got] == [3, 2]  # tf 3 beats tf 1
+
+    def test_multi_term_hits_and_k(self, spark):
+        from tundradb_spark.pipeline.text import bm25_topk
+
+        got = bm25_topk(
+            self._corpus(spark), self._q(spark, "apple cherry"), k=1
+        ).collect()
+        assert len(got) == 1  # k caps the per-query rows
+
+    def test_query_term_repetition_ignored(self, spark):
+        from tundradb_spark.pipeline.text import bm25_topk
+
+        once = bm25_topk(
+            self._corpus(spark), self._q(spark, "banana"), k=10
+        ).collect()
+        twice = bm25_topk(
+            self._corpus(spark), self._q(spark, "banana banana"), k=10
+        ).collect()
+        assert [tuple(r) for r in once] == [tuple(r) for r in twice]
+
+    def test_tie_breaks_on_doc_id(self, spark):
+        from tundradb_spark.pipeline.text import bm25_topk
+
+        docs = spark.createDataFrame(
+            [(7, "same text"), (3, "same text")], "doc_id long, text string"
+        )
+        got = bm25_topk(docs, self._q(spark, "same"), k=1).collect()
+        assert got[0]["doc_id"] == 3
+
+    def test_validation(self, spark):
+        from tundradb_spark.pipeline.text import bm25_topk
+
+        with pytest.raises(ValueError):
+            bm25_topk(self._corpus(spark), self._q(spark, "x"), k=0)
+        with pytest.raises(ValueError):
+            bm25_topk(self._corpus(spark), self._q(spark, "x"), b=1.5)
+
+
+class TestPmiCollocations:
+    def test_pmi_by_hand(self, spark):
+        import math
+
+        from tundradb_spark.pipeline.text import pmi_collocations
+
+        # 5 × "a b" plus one "c d": T_uni=12, T_big=6; c(a,b)=5 →
+        # PMI = ln(5·144 / (6·5·5)) = ln(4.8); (c,d) is below min_count
+        docs = spark.createDataFrame(
+            [(i, "a b") for i in range(5)] + [(5, "c d")],
+            "doc_id long, text string",
+        )
+        got = pmi_collocations(docs, min_count=5, top_n=10).collect()
+        assert [(r["a"], r["b"], r["pair_count"]) for r in got] == [
+            ("a", "b", 5)
+        ]
+        assert got[0]["pmi"] == pytest.approx(math.log(4.8), abs=1e-5)
+
+    def test_top_n_and_order(self, spark):
+        from tundradb_spark.pipeline.text import pmi_collocations
+
+        # (x,y) always adjacent → high PMI; (a,b) diluted by solo a/b
+        docs = spark.createDataFrame(
+            [(i, "x y") for i in range(5)]
+            + [(10 + i, "a b") for i in range(5)]
+            + [(20 + i, "a c b") for i in range(10)],
+            "doc_id long, text string",
+        )
+        got = pmi_collocations(docs, min_count=5, top_n=1).collect()
+        assert len(got) == 1
+        assert (got[0]["a"], got[0]["b"]) == ("x", "y")
+
+    def test_validation(self, spark):
+        from tundradb_spark.pipeline.text import pmi_collocations
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            pmi_collocations(docs, min_count=0)
+        with pytest.raises(ValueError):
+            pmi_collocations(docs, top_n=0)

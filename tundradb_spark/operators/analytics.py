@@ -240,3 +240,122 @@ def cohort_retention_sql(
                       OVER (PARTITION BY p0) AS DOUBLE), 6) AS retention
     FROM counts
     """
+
+
+def value_outliers(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score anomaly detection: rows whose ``value`` deviates
+    from their group's mean by at least ``z_threshold`` population
+    standard deviations — the metric-outlier sweep a pipeline runs over
+    an event stream before trusting its aggregates.
+
+    Plan / 100 TB shape: ONE map-side-combined ``groupBy(group)``
+    computing ``(n, Σv, Σv²)`` (a group-count-sized frame), broadcast
+    back onto the events scan for the per-row z — the events table is
+    scanned once and never shuffled.
+
+    Engine determinism: the moment sums are accumulated in
+    ``decimal(38,12)`` (cast per row from double, exact and
+    partition-order independent — the ``pq_train`` discipline); mean and
+    variance then come from single double divisions with an expression
+    shape shared by :func:`value_outliers_sql`, so z values are
+    bit-identical across engines.  Variance is clamped at 0 against
+    negative rounding residue; zero-variance groups produce no outliers.
+
+    Output: ``(id, group, value, n_group, z)`` with z rounded half-up
+    to 6 via exact decimal arithmetic.
+    """
+    if z_threshold <= 0:
+        raise ValueError(f"z_threshold must be > 0, got {z_threshold}")
+    ev = events.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(group_col).alias(group_col),
+        F.col(value_col).cast("double").alias(value_col),
+    ).filter(F.col(value_col).isNotNull())
+    stats = ev.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_group"),
+        F.sum(F.col(value_col).cast("decimal(38,12)")).alias("__sv"),
+        F.sum(
+            (F.col(value_col) * F.col(value_col)).cast("decimal(38,12)")
+        ).alias("__svv"),
+    )
+    mean = F.expr("cast(__sv as double) / cast(n_group as double)")
+    var = F.expr(
+        "greatest(cast(__svv as double) / cast(n_group as double)"
+        " - (cast(__sv as double) / cast(n_group as double))"
+        " * (cast(__sv as double) / cast(n_group as double)), 0.0)"
+    )
+    joined = ev.join(
+        F.broadcast(
+            stats.select(
+                group_col,
+                "n_group",
+                mean.alias("__mean"),
+                F.sqrt(var).alias("__std"),
+            )
+        ),
+        group_col,
+    ).filter(F.col("__std") > 0)
+    z = F.expr(f"cast(({value_col} - __mean) / __std as decimal(20,10))")
+    return (
+        joined.withColumn("__z", z)
+        .filter(F.abs(F.col("__z")) >= z_threshold)
+        .select(
+            id_col,
+            group_col,
+            value_col,
+            "n_group",
+            F.expr(
+                "cast(floor(__z * 1000000 + 0.5) as double) / 1000000.0"
+            ).alias("z"),
+        )
+    )
+
+
+def value_outliers_sql(
+    table: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    z_threshold: float = 3.0,
+) -> str:
+    """DuckDB oracle reproducing :func:`value_outliers` exactly — the
+    same decimal moment sums and double division shapes."""
+    return f"""
+    WITH ev AS (
+        SELECT CAST({id_col} AS BIGINT) AS {id_col}, {group_col},
+               CAST({value_col} AS DOUBLE) AS {value_col}
+        FROM {table} WHERE {value_col} IS NOT NULL
+    ),
+    stats AS (
+        SELECT {group_col}, count(*) AS n_group,
+               sum(CAST({value_col} AS DECIMAL(38,12))) AS sv,
+               sum(CAST({value_col} * {value_col} AS DECIMAL(38,12))) AS svv
+        FROM ev GROUP BY {group_col}
+    ),
+    m AS (
+        SELECT {group_col}, n_group,
+               CAST(sv AS DOUBLE) / CAST(n_group AS DOUBLE) AS mean,
+               sqrt(greatest(
+                   CAST(svv AS DOUBLE) / CAST(n_group AS DOUBLE)
+                   - (CAST(sv AS DOUBLE) / CAST(n_group AS DOUBLE))
+                     * (CAST(sv AS DOUBLE) / CAST(n_group AS DOUBLE)),
+                   0.0)) AS std
+        FROM stats
+    ),
+    zz AS (
+        SELECT ev.{id_col}, ev.{group_col}, ev.{value_col}, m.n_group,
+               CAST((ev.{value_col} - m.mean) / m.std
+                    AS DECIMAL(20,10)) AS z
+        FROM ev JOIN m USING ({group_col}) WHERE m.std > 0
+    )
+    SELECT {id_col}, {group_col}, {value_col},
+           CAST(n_group AS BIGINT) AS n_group,
+           CAST(floor(z * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS z
+    FROM zz WHERE abs(z) >= {z_threshold}
+    """

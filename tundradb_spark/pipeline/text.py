@@ -1072,3 +1072,198 @@ def bpe_segment(
         F.trim(seg).alias("seg"),
         F.size(F.split(F.trim(seg), " ")).cast("long").alias("n_subwords"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """Ranked retrieval: top-``k`` documents per query under Okapi BM25
+    (Robertson et al.; the Lucene-default variant with the +1-smoothed
+    idf) — the keyword-search half of a corpus catalog, complementing the
+    embedding ANN operators.
+
+    Semantics: query term frequency is ignored (each DISTINCT query term
+    contributes once — Lucene's practical BM25); ``N``/``avgdl`` are
+    computed over documents with at least one token::
+
+        idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+        score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Plan / 100 TB shape: ONE corpus-sized shuffle builds the
+    ``(doc, term, tf)`` postings with ``dl`` riding as a grouping column
+    (functionally dependent on the doc key, so it is free); the postings
+    are then pruned by a BROADCAST semi-join on the distinct query terms
+    BEFORE anything else touches them, so ``df`` and all scoring work is
+    bounded by the posting lists of the query's own terms, never the
+    vocabulary.  ``df`` comes from a window over the pruned postings (no
+    second vocabulary aggregate); corpus stats ``(N, total_dl)`` are a
+    1-row map-side-combined aggregate broadcast into the plan.  Final
+    top-k is a per-query window over the scored candidates.
+
+    Engine determinism: each per-term score is computed in double with an
+    expression shape shared with the SQL oracle, then cast to
+    ``decimal(20,10)`` BEFORE the per-document sum, so the aggregate is
+    exact and partition-order independent (the ``lm_scores`` /
+    ``tfidf_topk_terms`` discipline); ties break on ``doc_id`` asc.
+
+    Output: ``(query_id, doc_id, n_terms_hit, score)`` — score rounded
+    half-up to 6 via exact decimal arithmetic.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if k1 <= 0 or not 0 <= b <= 1:
+        raise ValueError(f"need k1 > 0 and 0 <= b <= 1, got k1={k1} b={b}")
+    base = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        tokens(F.col(text_col)).alias("__tk"),
+    ).select(
+        id_col,
+        F.size("__tk").cast("long").alias("dl"),
+        F.explode("__tk").alias("term"),
+    )
+    tf = base.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = (
+        docs.select(F.size(tokens(F.col(text_col))).cast("long").alias("__dl"))
+        .filter(F.col("__dl") > 0)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__dl").alias("total_dl"))
+    )
+    qterms = queries.select(
+        F.col(query_id_col).cast("long").alias(query_id_col),
+        F.explode(F.array_distinct(tokens(F.col(query_col)))).alias("term"),
+    )
+    terms_only = qterms.select("term").distinct()
+    pruned = tf.join(F.broadcast(terms_only), "term")
+    w_df = Window.partitionBy("term")
+    cand = (
+        pruned.withColumn("df", F.count(F.lit(1)).over(w_df))
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    # per-term BM25 contribution in double (expression shape mirrored in
+    # the SQL oracle), truncated to decimal(20,10) before the sum
+    contrib = F.expr(
+        f"cast(ln(1.0 + (cast(n as double) - cast(df as double) + 0.5)"
+        f"                / (cast(df as double) + 0.5))"
+        f"     * (cast(tf as double) * ({k1} + 1.0))"
+        f"       / (cast(tf as double)"
+        f"          + {k1} * (1.0 - {b} + {b} * cast(dl as double)"
+        f"                    / (cast(total_dl as double) / cast(n as double))))"
+        f" as decimal(20,10))"
+    )
+    scored = (
+        cand.select(query_id_col, id_col, contrib.alias("__s"))
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            F.sum("__s").alias("__score"),
+        )
+    )
+    w_top = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w_top))
+        .filter(F.col("__r") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            "n_terms_hit",
+            F.expr(
+                "cast(floor(__score * 1000000 + 0.5) as double) / 1000000.0"
+            ).alias("score"),
+        )
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_n: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram collocation mining by pointwise mutual information
+    (Church & Hanks 1990) — "which adjacent word pairs co-occur far more
+    than chance?", the phrase-discovery signal a tokenizer/vocab pipeline
+    uses to promote multi-word units.
+
+    ``PMI(a,b) = ln(P(ab) / (P(a)·P(b)))`` with ``P(ab) = c(ab)/T_big``,
+    ``P(x) = c(x)/T_uni`` — i.e. ``ln(c(ab)·T_uni² / (T_big·c(a)·c(b)))``.
+    ``min_count`` filters rare pairs (PMI's classic low-count
+    pathology); output is the global ``top_n`` by PMI desc, ties on
+    ``(a, b)`` asc.
+
+    Plan / 100 TB shape: one explode → ``groupBy(term)`` for unigram
+    counts and one adjacent-pair explode → ``groupBy(a, b)`` for bigram
+    counts (both map-side combined, the only corpus-sized shuffles); the
+    unigram table joins the SURVIVING bigrams (post ``min_count``) twice
+    on vocabulary-sized keys; totals are 1-row aggregates broadcast into
+    the plan.  Final top-n is ``TakeOrderedAndProject``, no global sort.
+
+    Engine determinism: counts are exact longs and the single ``ln`` is
+    computed per-row from integers with an expression shared by the SQL
+    oracle, so doubles are bit-identical; rounded half-up to 6 via exact
+    decimal arithmetic for presentation.
+
+    Output: ``(a, b, pair_count, pmi)``.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    toks = docs.select(tokens(F.col(text_col)).alias("tk"))
+    uni = (
+        toks.select(F.explode("tk").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+                " (x, i) -> struct(x as a, tk[i + 1] as b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    big = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    # totals from array sizes — one cheap 1-row aggregate over the token
+    # arrays, no second explode of the corpus
+    totals = toks.agg(
+        F.sum(F.size("tk")).cast("long").alias("t_uni"),
+        F.sum(F.greatest(F.size("tk") - F.lit(1), F.lit(0)))
+        .cast("long")
+        .alias("t_big"),
+    )
+    ua = uni.select(F.col("t").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("t").alias("b"), F.col("c").alias("cb"))
+    scored = (
+        big.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "a",
+            "b",
+            "pair_count",
+            F.expr(
+                "cast(floor(cast(ln((cast(pair_count as double)"
+                "         * cast(t_uni as double) * cast(t_uni as double))"
+                "        / (cast(t_big as double) * cast(ca as double)"
+                "           * cast(cb as double))) as decimal(20,10))"
+                " * 1000000 + 0.5) as double) / 1000000.0"
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b")).limit(top_n)
