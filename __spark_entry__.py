@@ -100,8 +100,11 @@ New r8 operators join PARKED (window full; seatable next rotation):
 q_funnel (ordered min-chaining funnel), q_cohort_retention (first-period
 cohorts), q_link_prediction (common-neighbor + Adamic–Adar wedge join),
 q_bm25 (Okapi BM25 ranked retrieval, broadcast-pruned postings), q_pmi
-(PMI bigram collocations) and q_outliers (per-group z-score anomalies,
-decimal moment sums) — oracle-bearing and CI-checked like the rest.
+(PMI bigram collocations), q_outliers (per-group z-score anomalies,
+decimal moment sums), q_markov (first-order Markov transition matrix)
+and q_cusum (one-sided CUSUM drift alarms via the closed-form
+prefix-sum − running-min window) — oracle-bearing and CI-checked like
+the rest.
 
 The per-round narrative above records WHY each rotation happened; the
 AUTHORITATIVE seated/parked lists at HEAD are runtime facts — read them
@@ -3428,3 +3431,63 @@ PARKED_QUERIES["q_pmi"] = q_pmi
 PARKED_ORACLES["q_pmi"] = _pmi_oracle()
 PARKED_QUERIES["q_outliers"] = q_outliers
 PARKED_ORACLES["q_outliers"] = _outliers_oracle()
+
+
+# --- r8 additions (2): Markov transitions, CUSUM change detection ---
+
+MARKOV_MIN_COUNT = 5
+CUSUM_SLACK, CUSUM_THRESHOLD = 20.0, 200.0
+
+
+def q_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8: first-order Markov transition matrix over per-user event
+    sequences (analytics.markov_transitions) — one user-keyed window
+    shuffle, states²-sized output, exact counts + decimal-rounded
+    probabilities."""
+    from tundradb_spark.operators.analytics import markov_transitions
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return markov_transitions(ev, min_count=MARKOV_MIN_COUNT)
+
+
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8: one-sided CUSUM drift alarms per user (relational.cusum_alarms)
+    — the max(0, S+d) recurrence evaluated closed-form as prefix-sum minus
+    running-min in ONE user-keyed window, decimal-exact increments, target
+    = each user's own mean."""
+    from tundradb_spark.operators.relational import cusum_alarms
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cusum_alarms(
+        ev,
+        "user_id",
+        "value",
+        slack=CUSUM_SLACK,
+        threshold=CUSUM_THRESHOLD,
+        tiebreak_col="event_id",
+    )
+
+
+def _markov_oracle() -> str:
+    from tundradb_spark.operators.analytics import markov_transitions_sql
+
+    return markov_transitions_sql("events", min_count=MARKOV_MIN_COUNT)
+
+
+def _cusum_oracle() -> str:
+    from tundradb_spark.operators.relational import cusum_alarms_sql
+
+    return cusum_alarms_sql(
+        "events",
+        "CAST(user_id AS BIGINT)",
+        "value",
+        slack=CUSUM_SLACK,
+        threshold=CUSUM_THRESHOLD,
+        tiebreak_col="event_id",
+    )
+
+
+PARKED_QUERIES["q_markov"] = q_markov
+PARKED_ORACLES["q_markov"] = _markov_oracle()
+PARKED_QUERIES["q_cusum"] = q_cusum
+PARKED_ORACLES["q_cusum"] = _cusum_oracle()

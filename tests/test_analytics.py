@@ -214,3 +214,63 @@ class TestValueOutliers:
 
         with pytest.raises(ValueError):
             value_outliers(self._ev(spark, [(1, "A", 1.0)]), z_threshold=0)
+
+
+class TestMarkovTransitions:
+    def _ev(self, spark, rows):
+        # (user, t_seconds, event_id, type) → long-nanos ts
+        return spark.createDataFrame(
+            [(u, t * US * 1000, i, et) for u, t, i, et in rows],
+            "user_id long, ts long, event_id long, event_type string",
+        )
+
+    def test_counts_and_probs_by_hand(self, spark):
+        from tundradb_spark.operators.analytics import markov_transitions
+
+        ev = self._ev(spark, [
+            # u1: A B A B → A→B ×2, B→A ×1
+            (1, 10, 1, "A"), (1, 20, 2, "B"),
+            (1, 30, 3, "A"), (1, 40, 4, "B"),
+            # u2: A C → A→C ×1; singleton u3 contributes nothing
+            (2, 10, 5, "A"), (2, 20, 6, "C"),
+            (3, 10, 7, "B"),
+        ])
+        got = {
+            (r.src, r.dst): (r.n_transitions, r.n_from_src, r.prob)
+            for r in markov_transitions(ev).collect()
+        }
+        assert got == {
+            ("A", "B"): (2, 3, pytest.approx(2 / 3, abs=2e-6)),
+            ("A", "C"): (1, 3, pytest.approx(1 / 3, abs=2e-6)),
+            ("B", "A"): (1, 1, 1.0),
+        }
+
+    def test_tiebreak_orders_same_ts(self, spark):
+        from tundradb_spark.operators.analytics import markov_transitions
+
+        # same timestamp: event_id decides A-then-B, not B-then-A
+        ev = self._ev(spark, [(1, 10, 1, "A"), (1, 10, 2, "B")])
+        rows = markov_transitions(ev).collect()
+        assert len(rows) == 1
+        assert (rows[0].src, rows[0].dst) == ("A", "B")
+
+    def test_min_count_keeps_full_denominator(self, spark):
+        from tundradb_spark.operators.analytics import markov_transitions
+
+        # A→B ×2, A→C ×1: pruning C must not inflate A→B's prob
+        ev = self._ev(spark, [
+            (1, 10, 1, "A"), (1, 20, 2, "B"),
+            (2, 10, 3, "A"), (2, 20, 4, "B"),
+            (3, 10, 5, "A"), (3, 20, 6, "C"),
+        ])
+        rows = markov_transitions(ev, min_count=2).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.src, r.dst, r.n_transitions, r.n_from_src) == ("A", "B", 2, 3)
+        assert r.prob == pytest.approx(2 / 3, abs=2e-6)
+
+    def test_validation(self, spark):
+        from tundradb_spark.operators.analytics import markov_transitions
+
+        with pytest.raises(ValueError, match="min_count"):
+            markov_transitions(self._ev(spark, []), min_count=0)

@@ -836,3 +836,103 @@ def test_moving_aggregate_std_matches_reference(spark):
     for i, (_, got) in enumerate(out):
         want = statistics.pstdev(vals[: i + 1])
         assert abs(got - want) < 1e-6, (i, got, want)
+
+
+class TestCusumAlarms:
+    def _df(self, spark, vals, key="a"):
+        import datetime
+
+        t0 = datetime.datetime(2024, 1, 1)
+        rows = [
+            (key, t0 + datetime.timedelta(seconds=i), float(v), i)
+            for i, v in enumerate(vals)
+        ]
+        return spark.createDataFrame(
+            rows, "user string, ts timestamp, value double, event_id long"
+        )
+
+    def test_closed_form_matches_recurrence(self, spark):
+        from tundradb_spark.operators.relational import cusum_alarms
+
+        # hand recurrence with target=0, slack=1:
+        # d = [-1,-1,9,9,-1]; S = [0,0,9,18,17] → threshold 10 flags rows 4,5
+        df = self._df(spark, [0, 0, 10, 10, 0])
+        got = sorted(
+            (r.value, r.cusum)
+            for r in cusum_alarms(
+                df, "user", "value", slack=1.0, threshold=10.0,
+                target=0.0, tiebreak_col="event_id",
+            ).collect()
+        )
+        assert got == [(0.0, 17.0), (10.0, 18.0)]
+
+    def test_resets_after_dip(self, spark):
+        from tundradb_spark.operators.relational import cusum_alarms
+
+        # a deep dip drives P to a new minimum → S restarts from 0 there,
+        # exactly max(0, ·) semantics: the later small rise never alarms
+        df = self._df(spark, [10, 10, -100, 5, 5])
+        rows = cusum_alarms(
+            df, "user", "value", slack=0.0, threshold=15.0,
+            target=0.0, tiebreak_col="event_id",
+        ).collect()
+        # S = [10, 20, 0, 5, 10] → only row 2 (S=20) crosses 15
+        assert [(r.value, r.cusum) for r in rows] == [(10.0, 20.0)]
+
+    def test_per_key_mean_target(self, spark):
+        from tundradb_spark.operators.relational import cusum_alarms
+
+        import datetime
+
+        # key a: mean 10, constant series → S stays ≤ 0, never alarms;
+        # key b: mean 5 with a late surge → alarms on the surge
+        rows = [
+            ("a", datetime.datetime(2024, 1, 1, 0, 0, i), 10.0, i)
+            for i in range(4)
+        ] + [
+            ("b", datetime.datetime(2024, 1, 1, 0, 0, i), v, 10 + i)
+            for i, v in enumerate([0.0, 0.0, 10.0, 10.0])
+        ]
+        df = spark.createDataFrame(
+            rows, "user string, ts timestamp, value double, event_id long"
+        )
+        got = cusum_alarms(
+            df, "user", "value", slack=0.0, threshold=8.0,
+            tiebreak_col="event_id",
+        ).collect()
+        # b: d = [-5,-5,5,5]; P = [-5,-10,-5,0]; S = [0,0,5,10]
+        assert [(r.key, r.value, r.cusum) for r in got] == [("b", 10.0, 10.0)]
+
+    def test_partition_order_independent(self, spark):
+        from tundradb_spark.operators.relational import cusum_alarms
+
+        import random
+
+        rng = random.Random(8)
+        vals = [rng.uniform(-3, 25) for _ in range(200)]
+        df = self._df(spark, vals)
+        kw = dict(slack=2.0, threshold=30.0, tiebreak_col="event_id")
+        a = sorted(
+            (r.ts_us, r.cusum)
+            for r in cusum_alarms(df, "user", "value", **kw).collect()
+        )
+        b = sorted(
+            (r.ts_us, r.cusum)
+            for r in cusum_alarms(
+                df.repartition(7), "user", "value", **kw
+            ).collect()
+        )
+        assert a == b and len(a) > 0
+
+    def test_validation(self, spark):
+        from tundradb_spark.operators.relational import cusum_alarms
+
+        df = self._df(spark, [1.0])
+        with pytest.raises(ValueError, match="slack"):
+            cusum_alarms(df, "user", "value", slack=-1.0, threshold=1.0)
+        with pytest.raises(ValueError, match="threshold"):
+            cusum_alarms(df, "user", "value", slack=0.0, threshold=0.0)
+        with pytest.raises(ValueError, match="target"):
+            cusum_alarms(
+                df, "user", "value", slack=0.0, threshold=1.0, target="median"
+            )

@@ -359,3 +359,109 @@ def value_outliers_sql(
            CAST(floor(z * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS z
     FROM zz WHERE abs(z) >= {z_threshold}
     """
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    min_count: int = 1,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every ordered pair of consecutive events a user emits,
+    count ``src_type → dst_type`` and normalize per source state — the
+    "what do users do next?" path-analysis primitive behind next-action
+    prediction and drop-off diagnosis.
+
+    Semantics: each user's events are ordered by ``(ts, tiebreak)``;
+    every adjacent pair contributes one transition (sequences of length 1
+    contribute none).  ``prob`` is ``n_transitions / n_from_src`` where
+    the denominator is the source state's TOTAL outgoing transitions
+    BEFORE any ``min_count`` pruning, so surviving rows keep their true
+    probabilities (they need not sum to 1 after pruning).
+
+    Plan / 100 TB shape: ONE hash shuffle on the user key, one window
+    sort, one ``lead`` — then a ``groupBy(src, dst)`` whose output is
+    states²-sized (map-side combined, trivially small); the per-source
+    totals are a window over that tiny frame.  Nothing corpus-sized
+    survives the first aggregate.
+
+    Engine determinism: counts are exact longs; the single division is
+    one double op rounded half-up to 6 via exact decimal arithmetic.
+
+    Output: ``(src, dst, n_transitions, n_from_src, prob)``.
+    """
+    from pyspark.sql import Window
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    ev = events.select(
+        F.col(user_col).cast("long").alias("u"),
+        epoch_micros(events, ts_col).alias("t"),
+        F.col(tiebreak_col).cast("long").alias("tb"),
+        F.col(type_col).alias("src"),
+    )
+    w = Window.partitionBy("u").orderBy(F.asc("t"), F.asc("tb"))
+    pairs = ev.withColumn("dst", F.lead("src").over(w)).filter(
+        F.col("dst").isNotNull()
+    )
+    counts = pairs.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_src = Window.partitionBy("src")
+    return (
+        counts.withColumn(
+            "n_from_src", F.sum("n_transitions").over(w_src)
+        )
+        .filter(F.col("n_transitions") >= min_count)
+        .select(
+            "src",
+            "dst",
+            "n_transitions",
+            "n_from_src",
+            F.expr(
+                "cast(floor(cast(cast(n_transitions as double)"
+                " / cast(n_from_src as double) as decimal(20,10))"
+                " * 1000000 + 0.5) as double) / 1000000.0"
+            ).alias("prob"),
+        )
+    )
+
+
+def markov_transitions_sql(
+    table: str,
+    user_col: str = "user_id",
+    ts_expr: str = "epoch_us(ts)",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    min_count: int = 1,
+) -> str:
+    """DuckDB oracle reproducing :func:`markov_transitions` exactly."""
+    return f"""
+    WITH ev AS (
+        SELECT CAST({user_col} AS BIGINT) u, {ts_expr} t,
+               CAST({tiebreak_col} AS BIGINT) tb, {type_col} AS src
+        FROM {table}
+    ),
+    pairs AS (
+        SELECT src,
+               lead(src) OVER (PARTITION BY u ORDER BY t ASC, tb ASC) AS dst
+        FROM ev
+    ),
+    counts AS (
+        SELECT src, dst, count(*) AS n_transitions
+        FROM pairs WHERE dst IS NOT NULL GROUP BY src, dst
+    ),
+    tot AS (
+        SELECT *, sum(n_transitions) OVER (PARTITION BY src) AS n_from_src
+        FROM counts
+    )
+    SELECT src, dst, CAST(n_transitions AS BIGINT) AS n_transitions,
+           CAST(n_from_src AS BIGINT) AS n_from_src,
+           CAST(floor(CAST(CAST(n_transitions AS DOUBLE)
+                           / CAST(n_from_src AS DOUBLE) AS DECIMAL(20,10))
+                      * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS prob
+    FROM tot WHERE n_transitions >= {min_count}
+    """

@@ -1113,3 +1113,175 @@ def ewma_filter(
         "value",
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+def cusum_alarms(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    slack: float,
+    threshold: float,
+    target: float | str = "mean",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """One-sided upward CUSUM change detection per key (Page 1954): emit
+    every observation where the cumulative-sum statistic
+
+    ``S_t = max(0, S_{t-1} + (x_t - target - slack))``, ``S_0 = 0``
+
+    has crossed ``threshold`` — the sequential drift detector a pipeline
+    runs over per-entity metric streams (is this user's/service's value
+    level shifting up faster than ``slack`` tolerates?).
+
+    The recurrence looks inherently sequential, but it has a closed form
+    every SQL window engine can evaluate: with ``d_t = x_t - target -
+    slack`` and prefix sums ``P_t = Σ_{j≤t} d_j``,
+
+    ``S_t = P_t - min(0, min_{j≤t} P_j)``
+
+    so the whole detector is ONE hash shuffle on the key and one window
+    sort, with two running aggregates (sum, min-of-sum) riding the same
+    frame — the :func:`moving_aggregate` cost profile, no iteration and
+    no state.
+
+    ``target`` is the in-control level: a float applied to every key, or
+    ``"mean"`` (default) to use each key's own mean — computed from
+    decimal-exact ``(n, Σv)`` moment sums (the ``pq_train`` discipline)
+    and broadcast back, adding one map-side-combined aggregate but no
+    extra scan of wide columns.
+
+    Engine determinism: ``d_t`` is a fixed per-row double expression cast
+    to ``decimal(38,12)`` BEFORE the running sum, so ``P_t`` (and hence
+    ``S_t``) is exact integer-scaled arithmetic — bit-identical on any
+    engine and any partitioning.  Rows order by ``(ts, tiebreak)``.
+
+    Scale note: the window partitions by ``key_col`` — use a key whose
+    cardinality grows with the data (user, device, series id), not a
+    low-cardinality enum, or one task owns a whole type's history.
+
+    Output: ``(key, ts_us, value, cusum)`` — only rows with
+    ``S_t ≥ threshold``, ``cusum`` rounded half-up to 6 via exact
+    decimal arithmetic.
+    """
+    from pyspark.sql import Window
+
+    from tundradb_spark.functions.timecols import epoch_micros
+
+    if slack < 0:
+        raise ValueError(f"slack must be >= 0, got {slack}")
+    if threshold <= 0:
+        raise ValueError(f"threshold must be > 0, got {threshold}")
+    if isinstance(target, str) and target != "mean":
+        raise ValueError(f"target must be a float or 'mean', got {target!r}")
+    cols = [
+        F.col(key_col).alias("key"),
+        epoch_micros(events, ts_col).alias("ts_us"),
+        F.col(value_col).cast("double").alias("value"),
+    ]
+    order = [F.col("ts_us").asc()]
+    if tiebreak_col is not None:
+        cols.append(F.col(tiebreak_col).alias("__tb"))
+        order.append(F.col("__tb").asc())
+    base = events.select(*cols).filter(F.col("value").isNotNull())
+    if target == "mean":
+        stats = base.groupBy("key").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("value").cast("decimal(38,12)")).alias("__sv"),
+        )
+        base = base.join(
+            F.broadcast(
+                stats.select(
+                    "key",
+                    F.expr(
+                        "cast(__sv as double) / cast(__n as double)"
+                    ).alias("__target"),
+                )
+            ),
+            "key",
+        )
+        tgt = F.col("__target")
+    else:
+        tgt = F.lit(float(target))
+    w = (
+        Window.partitionBy("key")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = F.expr(f"cast(value - ({slack!r}D) as decimal(38,12))") - tgt.cast(
+        "decimal(38,12)"
+    )
+    p = F.sum(d).over(w)
+    s = p - F.least(F.min(p).over(w), F.lit(0).cast("decimal(38,12)"))
+    return (
+        base.withColumn("__s", s)
+        .filter(F.col("__s") >= threshold)
+        .select(
+            "key",
+            "ts_us",
+            "value",
+            # narrow before the ×1e6: decimal(38,12)·1e6 would blow the
+            # 38-digit cap; (25,10) keeps 15 integer digits — plenty
+            F.expr(
+                "cast(floor(cast(__s as decimal(25,10)) * 1000000 + 0.5)"
+                " as double) / 1000000.0"
+            ).alias("cusum"),
+        )
+    )
+
+
+def cusum_alarms_sql(
+    table: str,
+    key_col: str,
+    value_col: str,
+    slack: float,
+    threshold: float,
+    target: float | str = "mean",
+    ts_expr: str = "epoch_us(ts)",
+    tiebreak_col: str | None = None,
+) -> str:
+    """DuckDB oracle reproducing :func:`cusum_alarms` bit-for-bit — the
+    same closed-form prefix-sum/running-min windows over the same
+    decimal(38,12) increments."""
+    tb = f", {tiebreak_col} ASC" if tiebreak_col is not None else ""
+    if target == "mean":
+        tgt_cte = f"""
+    stats AS (
+        SELECT key,
+               CAST(sum(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS tgt
+        FROM ev GROUP BY key
+    ),
+    evt AS (SELECT ev.*, stats.tgt FROM ev JOIN stats USING (key)),"""
+    else:
+        tgt_cte = f"""
+    evt AS (SELECT ev.*, CAST({float(target)!r} AS DOUBLE) AS tgt
+            FROM ev),"""
+    return f"""
+    WITH ev AS (
+        SELECT {key_col} AS key, {ts_expr} AS ts_us,
+               CAST({value_col} AS DOUBLE) AS value
+               {f', {tiebreak_col}' if tiebreak_col is not None else ''}
+        FROM {table} WHERE {value_col} IS NOT NULL
+    ),{tgt_cte}
+    pfx AS (
+        SELECT key, ts_us, value,
+               {f'{tiebreak_col}, ' if tiebreak_col is not None else ''}
+               sum(CAST(value - ({slack!r}) AS DECIMAL(38,12))
+                   - CAST(tgt AS DECIMAL(38,12)))
+                 OVER (PARTITION BY key ORDER BY ts_us ASC{tb}
+                       ROWS UNBOUNDED PRECEDING) AS p
+        FROM evt
+    ),
+    st AS (
+        SELECT key, ts_us, value,
+               p - least(min(p) OVER (PARTITION BY key ORDER BY ts_us ASC{tb}
+                                      ROWS UNBOUNDED PRECEDING),
+                         CAST(0 AS DECIMAL(38,12))) AS s
+        FROM pfx
+    )
+    SELECT key, ts_us, value,
+           CAST(floor(CAST(s AS DECIMAL(25,10)) * 1000000 + 0.5)
+                AS DOUBLE) / 1000000.0 AS cusum
+    FROM st WHERE s >= {threshold!r}
+    """
