@@ -1024,3 +1024,63 @@ class TestCompactSignatureIndex:
             map(tuple, incremental_dup_pairs_indexed(spark, probe, sig).collect())
         )
         assert after == before
+
+
+class TestStreamCusumAlarms:
+    def test_cross_batch_state_matches_batch_operator(self, spark, tmp_path):
+        """Drift accumulated in micro-batch 1 must carry into batch 2's
+        alarms, and the full alarm set must equal the batch operator's
+        (same constant target) digit-for-digit."""
+        from datetime import datetime, timedelta
+
+        from tundradb_spark.operators.relational import cusum_alarms
+        from tundradb_spark.streaming import stream_cusum_alarms
+
+        src = str(tmp_path / "cusrc")
+        ckpt = str(tmp_path / "cusck")
+        os.makedirs(src)
+        t0 = datetime(2026, 1, 1, 10, 0, 0)
+        # user 1 drifts +3/obs vs target 10 (slack 1 → +2 net per obs);
+        # user 2 stays on target and must never alarm
+        batch1 = [
+            (t0 + timedelta(seconds=i), 1, "view", 13.0) for i in range(4)
+        ] + [(t0 + timedelta(seconds=i), 2, "view", 10.0) for i in range(4)]
+        batch2 = [
+            (t0 + timedelta(seconds=10 + i), 1, "view", 13.0) for i in range(4)
+        ] + [(t0 + timedelta(seconds=10 + i), 2, "view", 10.0) for i in range(4)]
+        kw = dict(slack=1.0, threshold=9.0, target=10.0)
+
+        _write_json(spark, src, batch1, EVENT_SCHEMA)
+        stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+        out = stream_cusum_alarms(stream, **kw)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("cusumout")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # batch 1 alone: S for user 1 = 2,4,6,8 — below threshold 9
+            assert spark.table("cusumout").count() == 0
+            _write_json(spark, src, batch2, EVENT_SCHEMA)
+            q.processAllAvailable()
+            got = sorted(
+                (r.key, r.ts_us, r.value, r.cusum)
+                for r in spark.table("cusumout").collect()
+            )
+        finally:
+            q.stop()
+        # batch 2 continues S = 10,12,14,16: state crossed batches
+        assert [g[3] for g in got] == [10.0, 12.0, 14.0, 16.0]
+        assert {g[0] for g in got} == {1}
+
+        all_events = spark.createDataFrame(batch1 + batch2, EVENT_SCHEMA)
+        want = sorted(
+            (r.key, r.ts_us, r.value, r.cusum)
+            for r in cusum_alarms(
+                all_events, "user_id", "value", **kw
+            ).collect()
+        )
+        assert got == want

@@ -13,6 +13,8 @@ continuously-ingesting graph/analytics deployment needs:
   native ``session_window`` (identical expression in batch and streaming)
 - :func:`sessionize` — custom stateful operator (session windows with gap
   timeout) via ``applyInPandasWithState``
+- :func:`stream_cusum_alarms` — per-key CUSUM drift alarms with O(1)
+  exact-decimal state, batch-equivalent by construction
 - :func:`streaming_dedup` — watermark-bounded exact dedup
   (``dropDuplicates`` with state cleanup)
 - :func:`stream_stream_join` — watermarked stream-stream join with a
@@ -42,6 +44,7 @@ from tundradb_spark.streaming.ops import (
     read_hll_distinct,
     session_window_agg,
     sessionize,
+    stream_cusum_alarms,
     stream_gate_corpus,
     stream_cm_counts,
     stream_heavy_keys,
@@ -63,6 +66,7 @@ __all__ = [
     "windowed_event_counts",
     "session_window_agg",
     "sessionize",
+    "stream_cusum_alarms",
     "streaming_dedup",
     "stream_stream_join",
     "stream_index_vectors",

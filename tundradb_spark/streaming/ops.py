@@ -1116,3 +1116,138 @@ def read_weighted_sample(
         .limit(k)
         .drop("raw_priority", "writer_k")
     )
+
+
+CUSUM_ALARM_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("value", DoubleType()),
+        StructField("cusum", DoubleType()),
+    ]
+)
+
+#: decimal(38,12) running prefix-sum and its running minimum, serialized as
+#: strings (exact — the state never touches IEEE floats)
+_CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("p", StringType()),
+        StructField("min_p", StringType()),
+    ]
+)
+
+
+def _make_cusum_fn(slack: float, threshold: float, target: float):
+    """Closure-captured parameters travel to executor workers."""
+
+    def _cusum_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q12 = Decimal("1E-12")
+        q10 = Decimal("1E-10")
+        # mirror the batch plan's cast(double as decimal(38,12)): round the
+        # exact binary double HALF_UP at 12 decimal places
+        tgt = Decimal(float(target)).quantize(q12, rounding=ROUND_HALF_UP)
+        (k,) = key
+        if state.exists:
+            p_s, min_s = state.get
+            p, min_p = Decimal(p_s), Decimal(min_s)
+        else:
+            p, min_p = Decimal(0), Decimal(0)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((str(p), str(min_p)))
+            return
+        batch = pd.concat(chunks, ignore_index=True)
+        ts_us = (batch["ts"].astype("int64") // 1_000).tolist()
+        order = sorted(range(len(batch)), key=lambda i: ts_us[i])
+        out_ts, out_v, out_s = [], [], []
+        zero = Decimal(0)
+        vals = batch["value"].tolist()
+        for i in order:
+            v = float(vals[i])
+            d = Decimal(v - slack).quantize(
+                q12, rounding=ROUND_HALF_UP
+            ) - tgt
+            p += d
+            if p < min_p:
+                min_p = p
+            s = p - (min_p if min_p < zero else zero)
+            if float(s) >= threshold:
+                out_ts.append(int(ts_us[i]))
+                out_v.append(v)
+                # the batch operator's presentation rounding:
+                # decimal(25,10), then half-up at 6 dp via floor(x·1e6+0.5)
+                s10 = s.quantize(q10, rounding=ROUND_HALF_UP)
+                out_s.append(
+                    float((s10 * 1_000_000 + Decimal("0.5")).to_integral_value(
+                        rounding="ROUND_FLOOR"
+                    ))
+                    / 1_000_000.0
+                )
+        state.update((str(p), str(min_p)))
+        if out_ts:
+            yield pd.DataFrame(
+                {
+                    "key": [int(k)] * len(out_ts),
+                    "ts_us": out_ts,
+                    "value": out_v,
+                    "cusum": out_s,
+                }
+            )
+
+    return _cusum_fn
+
+
+def stream_cusum_alarms(
+    events: DataFrame,
+    slack: float,
+    threshold: float,
+    target: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming face of :func:`tundradb_spark.operators.relational.
+    cusum_alarms`: one-sided upward CUSUM drift alarms per key over an
+    unbounded stream.
+
+    The batch operator's closed form (``S_t = P_t − min(0, min_j P_j)``)
+    is what makes this streamable AT ALL: the per-key state is just the
+    two exact decimals ``(P, min P)`` — O(1) per key forever, no window
+    buffer, no timeout — carried across micro-batches by
+    ``applyInPandasWithState`` (Arrow-batched, shuffled once on the key).
+    Increment arithmetic reproduces the batch plan digit-for-digit
+    (``decimal(38,12)`` increments, half-up presentation rounding), so a
+    stream replay of a parquet table emits EXACTLY the alarms the batch
+    operator finds — the test pins that equivalence.
+
+    ``target`` must be an explicit in-control level (a stream cannot know
+    a key's final mean; calibrate offline — e.g. from the batch
+    operator's ``target="mean"`` stats — and pass it in).  Rows within a
+    micro-batch are processed in ``ts`` order; cross-batch ordering is
+    arrival order, the streaming contract.
+
+    Output (update mode): ``(key, ts_us, value, cusum)`` — one row per
+    alarm-crossing observation, empty batches emit nothing.
+    """
+    if slack < 0:
+        raise ValueError(f"slack must be >= 0, got {slack}")
+    if threshold <= 0:
+        raise ValueError(f"threshold must be > 0, got {threshold}")
+    sel = events.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    ).filter(F.col("value").isNotNull())
+    return sel.groupBy("key").applyInPandasWithState(
+        _make_cusum_fn(slack, threshold, target),
+        outputStructType=CUSUM_ALARM_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
