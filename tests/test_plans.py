@@ -656,3 +656,42 @@ def test_fuzzy_pairs_no_nested_loop(spark):
     )
     df = fuzzy_string_pairs(docs, "s", id_col="id", max_dist=2, q=2)
     audit.assert_no_nested_loop(df)
+
+
+def test_funnel_linear_exchanges(spark):
+    """r9 (r8 verdict item 4): a k-step funnel's plan must grow O(k), not
+    O(k^2) — the r8 shape unioned one count branch per step, re-deriving
+    frontiers 1..i for step i, and ReuseExchange does NOT collapse those
+    branches (column pruning makes them non-canonical-equal).  The
+    rewritten single-lineage chain pays one exchange per step (the new
+    step's type-filtered scan; the running frame reuses its hash(u)
+    partitioning) plus the final single-row totals aggregate."""
+    from tundradb_spark.operators.analytics import funnel
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    steps5 = ["view", "click", "add_to_cart", "purchase", "refund"]
+    n3 = audit.count_exchanges(funnel(ev, steps5[:3]))
+    n5 = audit.count_exchanges(funnel(ev, steps5))
+    # linear: two extra steps cost a bounded constant number of exchanges
+    # each; the quadratic union shape added ~2i exchanges at step i
+    assert n5 - n3 <= 2 * 2 + 1, (n3, n5)
+    assert n5 <= 2 * len(steps5) + 2, n5
+    audit.assert_no_nested_loop(funnel(ev, steps5))
+
+
+def test_substr_spans_single_digest_pipeline(spark):
+    """r9 (r8 verdict item 3): q_substr_spans' spans + strip branches must
+    share ONE exact_substring_spans computation.  ReuseExchange measured
+    0/8 exchanges reused on the shared-frame version (pruned aggregates
+    diverge), so the span frame is lazily localCheckpoint'd: the final
+    plan shows both branches scanning the SAME checkpointed RDD and the
+    k-gram digest pipeline (md5 over token windows) appears in neither —
+    it ran exactly once inside the checkpoint job."""
+    q = _q("q_substr_spans")
+    df = q(spark, SF)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ExistingRDD") == 2, plan
+    # only the strip branch's re-tokenization scan reads the corpus
+    assert plan.count("Scan parquet") == 1, plan
+    assert "slice" not in plan, plan  # the k-gram window digest pass

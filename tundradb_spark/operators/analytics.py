@@ -9,12 +9,19 @@ counts, one rounded ratio), and SQL-oracle-checkable.
 
 Scale design (100 TB events):
 
-* :func:`funnel` — each step is one type-filtered (pushed-down) scan plus
-  one ``groupBy(user)`` min-aggregate (map-side combined) joined to the
-  previous step's per-user frontier on the user key.  The frontier frames
-  shrink monotonically (step i+1 users ⊆ step i users), so every join
-  after the first is against an already-reduced side; nothing is
-  quadratic and no state exceeds one row per surviving user.
+* :func:`funnel` — ONE linear lineage: the per-user frame carries every
+  step's chained min time forward through k−1 user-keyed left joins
+  (each against a type-filtered, pushed-down scan), and ALL per-step
+  counts come from a single final aggregate over that one frame — so
+  each frontier is computed exactly once and the physical plan has O(k)
+  exchanges (pinned in tests/test_plans.py).  The r8 shape unioned one
+  count branch per step, re-deriving frontiers 1..i for step i — O(k²)
+  subplans that ReuseExchange does NOT collapse (column pruning makes
+  the branches non-canonical-equal; measured on the analogous
+  q_substr_spans plan).  The frame stays one row per funnel-ENTRY user
+  (left joins preserve it for counting), and every join/agg after the
+  first reuses the hash(user) partitioning — one exchange per step for
+  the new step's scan, zero for the running frame.
 * :func:`cohort_retention` — one ``(user, period)`` distinct (the only
   corpus-sized shuffle), one per-user min for the cohort assignment, one
   broadcast-able join back, one final small groupBy.
@@ -51,63 +58,66 @@ def funnel(
     """
     if not steps:
         raise ValueError("steps must be a non-empty ordered list")
+    k = len(steps)
     ev = events.select(
         F.col(user_col).cast("long").alias("u"),
         epoch_micros(events, ts_col).alias("t"),
         F.col(type_col).alias("et"),
     )
-    # step 1: funnel entry; t0 (the anchor) rides along every frontier
-    frontier = (
+    # step 1: funnel entry — t1 doubles as the conversion-window anchor.
+    # The frame stays one row per ENTRY user through the whole chain;
+    # step i's chained min rides in column ti (null = user never reached
+    # step i), so the final single aggregate can count every step.
+    frame = (
         ev.filter(F.col("et") == steps[0])
         .groupBy("u")
-        .agg(F.min("t").alias("t"))
-        .withColumn("t0", F.col("t"))
+        .agg(F.min("t").alias("t1"))
     )
-    counts = [
-        frontier.agg(
-            F.lit(1).cast("long").alias("step_idx"),
-            F.lit(steps[0]).alias("step"),
-            F.count(F.lit(1)).alias("n_users"),
-        )
-    ]
     for i, s in enumerate(steps[1:], start=2):
-        prev = frontier.select(
-            "u", F.col("t").alias("pt"), "t0"
+        step_ev = ev.filter(F.col("et") == s).select(
+            F.col("u").alias("su"), F.col("t").alias("st")
         )
-        nxt = (
-            ev.filter(F.col("et") == s)
-            .join(prev, "u")
-            .filter(F.col("t") > F.col("pt"))
+        cond = (F.col("u") == F.col("su")) & (
+            F.col("st") > F.col(f"t{i - 1}")
         )
         if within_us is not None:
-            nxt = nxt.filter(F.col("t") <= F.col("t0") + F.lit(within_us))
-        frontier = nxt.groupBy("u").agg(
-            F.min("t").alias("t"), F.min("t0").alias("t0")
-        )
-        counts.append(
-            frontier.agg(
-                F.lit(i).cast("long").alias("step_idx"),
-                F.lit(s).alias("step"),
-                F.count(F.lit(1)).alias("n_users"),
+            cond = cond & (F.col("st") <= F.col("t1") + F.lit(within_us))
+        # left join: a null t{i-1} never matches, so non-reaching users
+        # carry a null ti forward; min() per group is the chained min
+        frame = (
+            frame.join(step_ev, cond, "left")
+            .groupBy("u")
+            .agg(
+                *[F.min(f"t{j}").alias(f"t{j}") for j in range(1, i)],
+                F.min("st").alias(f"t{i}"),
             )
         )
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.unionByName(c)
-    # conversion vs step 1: k rows total — an unpartitioned window is fine
-    from pyspark.sql import Window
-
-    w = Window.partitionBy()
-    first_n = F.max(
-        F.when(F.col("step_idx") == 1, F.col("n_users"))
-    ).over(w)
-    return out.select(
-        "step_idx",
-        "step",
-        "n_users",
+    # ONE row with every step count, exploded to the k output rows
+    totals = frame.agg(
+        *[F.count(f"t{i}").alias(f"n{i}") for i in range(1, k + 1)]
+    )
+    rows = totals.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("step_idx"),
+                        F.lit(s).alias("step"),
+                        F.col(f"n{i}").alias("n_users"),
+                        F.col("n1").alias("n_first"),
+                    )
+                    for i, s in enumerate(steps, start=1)
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select(
+        F.col("r.step_idx").alias("step_idx"),
+        F.col("r.step").alias("step"),
+        F.col("r.n_users").alias("n_users"),
         F.round(
-            F.col("n_users").cast("double")
-            / F.nullif(first_n.cast("double"), F.lit(0.0)),
+            F.col("r.n_users").cast("double")
+            / F.nullif(F.col("r.n_first").cast("double"), F.lit(0.0)),
             6,
         ).alias("conversion"),
     )

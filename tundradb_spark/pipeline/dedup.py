@@ -1317,6 +1317,7 @@ def strip_duplicate_spans(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """Surgical span removal — the apply half of
     :func:`exact_substring_spans`: rebuild every document's NORMALIZED
@@ -1337,10 +1338,17 @@ def strip_duplicate_spans(
     small array inside one projection.  Two extra shuffles over
     :func:`exact_substring_spans` (collect_list groupBy + the doc-keyed
     join), both linear.
+
+    ``spans``: optionally pass a precomputed
+    :func:`exact_substring_spans` frame (same ``k``/``min_docs``/corpus)
+    so a plan that needs BOTH the span list and the stripped text
+    computes the span pipeline ONCE — at 100 TB the recompute is a full
+    extra corpus digest pass (r8 verdict item 2).
     """
-    spans = exact_substring_spans(
-        docs, k=k, min_docs=min_docs, text_col=text_col, id_col=id_col
-    )
+    if spans is None:
+        spans = exact_substring_spans(
+            docs, k=k, min_docs=min_docs, text_col=text_col, id_col=id_col
+        )
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("spans")
     )

@@ -3388,9 +3388,19 @@ def q_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         strip_duplicate_spans,
     )
 
-    spans = exact_substring_spans(
+    # ONE span pipeline for both branches (r8 verdict item 2): the strip
+    # branch previously recomputed exact_substring_spans internally — a
+    # full extra corpus digest pass at 100 TB.  ReuseExchange alone does
+    # NOT collapse the shared subtree (measured: column pruning makes
+    # the branches' pruned aggregates non-canonical-equal, 1 of 8
+    # exchanges reused), so the span frame is localCheckpoint'd lazily —
+    # computed once at first materialization, both branches read the
+    # checkpointed blocks.  Spans are corpus-SUMMARY sized (one row per
+    # merged span, no text), so the checkpoint is small at any scale.
+    spans_raw = exact_substring_spans(
         _docs(spark, sf_dir), k=SUBSTR_K, min_docs=SUBSTR_MIN_DOCS
-    ).select(
+    ).localCheckpoint(eager=False)
+    spans = spans_raw.select(
         F.lit("span").alias("grp"),
         F.col("doc_id").cast("long").alias("k1"),
         F.col("span_start").cast("long").alias("k2"),
@@ -3399,7 +3409,10 @@ def q_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NS().alias("s"),
     )
     stripped = strip_duplicate_spans(
-        _docs(spark, sf_dir), k=SUBSTR_K, min_docs=SUBSTR_MIN_DOCS
+        _docs(spark, sf_dir),
+        k=SUBSTR_K,
+        min_docs=SUBSTR_MIN_DOCS,
+        spans=spans_raw,
     ).select(
         F.lit("strip").alias("grp"),
         F.col("doc_id").cast("long").alias("k1"),
