@@ -3491,3 +3491,59 @@ PARKED_QUERIES["q_markov"] = q_markov
 PARKED_ORACLES["q_markov"] = _markov_oracle()
 PARKED_QUERIES["q_cusum"] = q_cusum
 PARKED_ORACLES["q_cusum"] = _cusum_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round-9 rotation (r8 verdict item 2): seat the 8 r8 analytics operators
+# that have exact oracles and CI-green parked checks but have NEVER held a
+# driver CORRECTNESS row — the rotation discipline exists because the
+# driver finds shape bugs CI cannot (r6: q_encode).  Parked in exchange: 8
+# rows first driver-green in r8 and frozen since — EXCEPT q_substr_spans,
+# which stays seated because its plan changed this round (the spans+strip
+# branches now share one checkpointed span pipeline, r8 verdict item 3)
+# and the new plan deserves a fresh driver row; q_semantic_dedup and
+# q_fuzzy_pairs also stay seated.  This block must run LAST — the r8
+# analytics callables are registered into PARKED immediately above.
+# ---------------------------------------------------------------------------
+
+_SEAT_R9 = [
+    "q_funnel",
+    "q_cohort_retention",
+    "q_link_prediction",
+    "q_bm25",
+    "q_pmi",
+    "q_outliers",
+    "q_markov",
+    "q_cusum",
+]
+
+#: first driver-green in r8, frozen since; every parked row keeps its
+#: oracle and is re-checked against DuckDB each CI run by
+#: tests/test_parked_oracles.py
+_PARK_R9 = [
+    "q_bpe",
+    "q_bpe_segment",
+    "q_cdc_chunks",
+    "q_temperature",
+    "q_ewma",
+    "q_typed_map",
+    "q_classify",
+    "q_soft_dedup",
+]
+
+for _n in _SEAT_R9:
+    QUERIES[_n] = PARKED_QUERIES.pop(_n)
+    ORACLES[_n] = PARKED_ORACLES.pop(_n)
+for _n in _PARK_R9:
+    PARKED_QUERIES[_n] = QUERIES.pop(_n)
+    PARKED_ORACLES[_n] = ORACLES.pop(_n)
+
+if len(QUERIES) != 50 or set(QUERIES) != set(ORACLES):
+    raise RuntimeError(
+        f"r9 rotation broke the 50-slot window: {len(QUERIES)} seated, "
+        f"query/oracle diff {set(QUERIES) ^ set(ORACLES)}"
+    )
+if set(PARKED_QUERIES) != set(PARKED_ORACLES):
+    raise RuntimeError(
+        f"parked query/oracle diff: {set(PARKED_QUERIES) ^ set(PARKED_ORACLES)}"
+    )
