@@ -101,6 +101,19 @@ def run_group(
     spread: dict[str, float] = {}
     for name, fn in picked.items():
         n_runs = max(RUNS, 3) if name in GRAPH_ITER else max(1, RUNS)
+        # ONE untimed JVM drain per QUERY, before its warmups: late
+        # queries in the shared session otherwise inherit 40+
+        # predecessors' queued block removals and broadcast garbage,
+        # which the ContextCleaner reclaims MID-measurement (r9: q_cusum
+        # timed 5.5s/6.3s-spread at position 50 of the shared session vs
+        # 1.0s/0.06 isolated).  Doing it before the WARMUPS — never
+        # between timed runs — means any code-cache sweep is re-JIT'd
+        # during the warmups, so the timed runs keep both properties:
+        # clean block manager AND warm codegen.  (r8 ran this before
+        # every TIMED run and uniformly paid the re-JIT: +40% vs r6.)
+        if JVM_GC_MODE != "none":
+            gc.collect()
+            spark._jvm.System.gc()
         for _ in range(warmup):
             # untimed: absorbs one-time index/table builds + codegen
             materialize(fn(spark, SF_DIR))
