@@ -3547,3 +3547,80 @@ if set(PARKED_QUERIES) != set(PARKED_ORACLES):
     raise RuntimeError(
         f"parked query/oracle diff: {set(PARKED_QUERIES) ^ set(PARKED_ORACLES)}"
     )
+
+
+# --- r9 additions: neighborhood Jaccard, sequential event n-grams ---
+# New operators join PARKED (window full; seatable next rotation) with
+# exact oracles, CI-checked by tests/test_parked_oracles.py like the rest.
+
+NGRAM_N, NGRAM_MIN, NGRAM_TOP = 3, 2, 50
+
+
+def q_event_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: frequent sequential patterns (analytics.event_ngrams) — top-50
+    contiguous event-type trigrams across per-user time-ordered streams,
+    total occurrences + distinct-user support; one user-keyed window
+    shuffle, TakeOrderedAndProject cut."""
+    from tundradb_spark.operators.analytics import event_ngrams
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_ngrams(
+        ev,
+        n=NGRAM_N,
+        min_count=NGRAM_MIN,
+        top_n=NGRAM_TOP,
+        tiebreak_col="event_id",
+    )
+
+
+def _event_ngrams_oracle() -> str:
+    from tundradb_spark.operators.analytics import event_ngrams_sql
+
+    return event_ngrams_sql(
+        "events",
+        n=NGRAM_N,
+        min_count=NGRAM_MIN,
+        top_n=NGRAM_TOP,
+        tiebreak_col="event_id",
+    )
+
+
+def q_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: neighborhood Jaccard similarity (graphs.algorithms.
+    neighborhood_similarity) over the layered triangle graph — union-
+    normalized structural similarity for every pair sharing a neighbor
+    (adjacent pairs included); same Σdeg² wedge bound as
+    link_prediction, IEEE-exact single-division score."""
+    from tundradb_spark.graphs.algorithms import neighborhood_similarity
+
+    return neighborhood_similarity(_triangle_graph(spark, sf_dir)).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("common_neighbors").cast("long").alias("common_neighbors"),
+        "jaccard",
+    )
+
+
+PARKED_QUERIES["q_event_ngrams"] = q_event_ngrams
+PARKED_ORACLES["q_event_ngrams"] = _event_ngrams_oracle()
+
+PARKED_QUERIES["q_node_similarity"] = q_node_similarity
+PARKED_ORACLES["q_node_similarity"] = f"""
+    WITH {_TRIANGLE_GRAPH_SQL.strip()},
+    adj AS (SELECT a AS u, b AS v FROM te UNION ALL SELECT b, a FROM te),
+    deg AS (SELECT u AS z, count(*) AS dz FROM adj GROUP BY u),
+    mid AS (SELECT adj.v AS z, adj.u AS u FROM adj),
+    cn AS (SELECT l.u AS ua, r.u AS ub, count(*) AS cn
+           FROM mid l JOIN mid r ON l.z = r.z AND l.u < r.u
+           GROUP BY l.u, r.u HAVING count(*) >= 1),
+    scored AS (
+        SELECT ua, ub, cn,
+               CAST(floor((CAST(cn AS DOUBLE)
+                           / CAST(da.dz + db.dz - cn AS DOUBLE))
+                          * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS jac
+        FROM cn JOIN deg da ON cn.ua = da.z JOIN deg db ON cn.ub = db.z
+    )
+    SELECT CAST(ua AS BIGINT) AS id_a, CAST(ub AS BIGINT) AS id_b,
+           CAST(cn AS BIGINT) AS common_neighbors, jac AS jaccard
+    FROM scored
+"""

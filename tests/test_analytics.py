@@ -167,7 +167,8 @@ def test_analytics_plans_no_nested_loop(spark):
     import __spark_entry__ as entry
 
     SF = "/root/testdata/sf0.001"
-    qs = entry.parked_queries()
+    # seated OR parked — plan pins survive the driver-window rotation
+    qs = {**entry.queries(), **entry.parked_queries()}
     for name in ("q_funnel", "q_cohort_retention", "q_link_prediction"):
         audit.assert_no_nested_loop(qs[name](spark, SF))
 
@@ -274,3 +275,103 @@ class TestMarkovTransitions:
 
         with pytest.raises(ValueError, match="min_count"):
             markov_transitions(self._ev(spark, []), min_count=0)
+
+
+class TestNeighborhoodSimilarity:
+    def _g(self, spark, edges):
+        return spark.createDataFrame(edges, "id_a long, id_b long")
+
+    def test_jaccard_on_cycle(self, spark):
+        from tundradb_spark.graphs.algorithms import neighborhood_similarity
+
+        # 4-cycle 1-2-3-4-1: opposite corners share BOTH neighbors
+        g = self._g(spark, [(1, 2), (2, 3), (3, 4), (4, 1)])
+        got = {
+            (r["id_a"], r["id_b"]): (r["common_neighbors"], r["jaccard"])
+            for r in neighborhood_similarity(g).collect()
+        }
+        assert got == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+
+    def test_adjacent_pairs_and_exclusion(self, spark):
+        from tundradb_spark.graphs.algorithms import neighborhood_similarity
+
+        # cycle + diagonal 1-3: now (1,3) is adjacent with J = 2/(3+3-2)
+        g = self._g(spark, [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)])
+        inc = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in neighborhood_similarity(g).collect()
+        }
+        assert inc[(1, 3)] == 0.5
+        exc = neighborhood_similarity(g, include_adjacent=False)
+        assert (1, 3) not in {
+            (r["id_a"], r["id_b"]) for r in exc.collect()
+        }
+
+    def test_hub_normalization_beats_adamic_on_unions(self, spark):
+        from tundradb_spark.graphs.algorithms import neighborhood_similarity
+
+        # hub 100 connects to everyone; leaf pair (1,2) shares ONLY the
+        # hub — union-normalized similarity must be small (1 / (1+1-... ))
+        edges = [(100, i) for i in range(1, 6)] + [(1, 50), (2, 60)]
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in neighborhood_similarity(self._g(spark, edges)).collect()
+        }
+        # leaves 3,4: deg 1 each, share hub: J = 1/(1+1-1) = 1.0
+        assert got[(3, 4)] == 1.0
+        # 1 and 2 have an extra private neighbor each: J = 1/(2+2-1)
+        assert got[(1, 2)] == round(1 / 3, 6)
+
+    def test_input_validation(self, spark):
+        from tundradb_spark.graphs.algorithms import neighborhood_similarity
+
+        with pytest.raises(ValueError):
+            neighborhood_similarity(self._g(spark, [(1, 2)]), min_common=0)
+
+
+class TestEventNgrams:
+    def test_trigram_counts_and_support(self, spark):
+        from tundradb_spark.operators.analytics import event_ngrams
+
+        rows = [
+            (1, 1, "A"), (1, 2, "B"), (1, 3, "C"), (1, 4, "B"), (1, 5, "C"),
+            (2, 1, "A"), (2, 2, "B"), (2, 3, "C"),
+        ]
+        got = {
+            r["gram"]: (r["n_occurrences"], r["n_users"])
+            for r in event_ngrams(_ev(spark, rows), n=3).collect()
+        }
+        assert got == {
+            "A>B>C": (2, 2),
+            "B>C>B": (1, 1),
+            "C>B>C": (1, 1),
+        }
+
+    def test_min_count_and_topn_are_deterministic(self, spark):
+        from tundradb_spark.operators.analytics import event_ngrams
+
+        rows = [
+            (1, 1, "A"), (1, 2, "B"), (1, 3, "A"), (1, 4, "B"),
+            (2, 1, "B"), (2, 2, "A"), (2, 3, "B"),
+        ]
+        out = event_ngrams(_ev(spark, rows), n=2, min_count=2, top_n=2).collect()
+        # A>B occurs 2x (u1) + 1x (u2) = 3; B>A occurs 1+1 = 2
+        assert [(r["gram"], r["n_occurrences"], r["n_users"]) for r in out] == [
+            ("A>B", 3, 2), ("B>A", 2, 2),
+        ]
+
+    def test_tiebreak_orders_equal_timestamps(self, spark):
+        from tundradb_spark.operators.analytics import event_ngrams
+
+        df = spark.createDataFrame(
+            [(1, 1_000, "B", 2), (1, 1_000, "A", 1)],
+            "user_id long, ts long, event_type string, event_id long",
+        )
+        got = event_ngrams(df, n=2, tiebreak_col="event_id").collect()
+        assert [(r["gram"],) for r in got] == [("A>B",)]
+
+    def test_n_must_be_at_least_two(self, spark):
+        from tundradb_spark.operators.analytics import event_ngrams
+
+        with pytest.raises(ValueError):
+            event_ngrams(_ev(spark, [(1, 1, "A")]), n=1)

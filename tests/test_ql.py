@@ -439,3 +439,84 @@ def test_ql_nested_path_over_variant(spark):
         db, "MATCH (e:ev) WHERE e.props.k > 90 SELECT e.id AS id;"
     )
     assert sorted(r["id"] for r in res.collect()) == [3]
+
+
+class TestQLAnalytics:
+    """FUNNEL / RETENTION statements — the analytics family on the text
+    surface (r8 verdict item 8), value-checked against the operators
+    they front."""
+
+    def test_funnel_parse(self):
+        st = parse_statement(
+            "FUNNEL ON events STEPS 'view', 'click', 'purchase' "
+            "USER uid TS at TYPE kind WITHIN 1000;"
+        )
+        assert isinstance(st, ast.Funnel)
+        assert st.table == "events"
+        assert st.steps == ("view", "click", "purchase")
+        assert (st.user_col, st.ts_col, st.type_col) == ("uid", "at", "kind")
+        assert st.within_us == 1000
+
+    def test_funnel_defaults(self):
+        st = parse_statement("FUNNEL ON events STEPS 'a', 'b';")
+        assert (st.user_col, st.ts_col, st.type_col) == (
+            "user_id", "ts", "event_type")
+        assert st.within_us is None
+
+    def test_retention_parse(self):
+        st = parse_statement(
+            "RETENTION ON events PERIOD 10000000 MAX OFFSET 7;")
+        assert isinstance(st, ast.Retention)
+        assert st.period_us == 10_000_000
+        assert st.max_offset == 7
+
+    def test_retention_bad_max(self):
+        with pytest.raises(QueryError):
+            parse_statement("RETENTION ON events MAX 7;")
+
+    def test_funnel_executes_like_operator(self, db, spark):
+        from tundradb_spark.operators.analytics import funnel
+
+        ev = spark.createDataFrame(
+            [
+                (0, 1, 1_000_000, "view"), (1, 1, 2_000_000, "click"),
+                (2, 2, 1_500_000, "view"),
+                (3, 3, 9_000_000, "click"),  # never views
+            ],
+            "row_id long, user_id long, ts_ns long, event_type string",
+        )
+        db.register_node_table("ev_tbl", ev, "row_id", resume_counter=False)
+        got = rows_set(
+            db.sql(
+                "FUNNEL ON ev_tbl STEPS 'view', 'click' TS ts_ns;"
+            ).select("step_idx", "step", "n_users", "conversion")
+        )
+        want = rows_set(
+            funnel(db.get_table("ev_tbl"), ["view", "click"], ts_col="ts_ns")
+        )
+        assert got == want
+        assert (2, "click", 1, 0.5) in got
+
+    def test_retention_executes_like_operator(self, db, spark):
+        from tundradb_spark.operators.analytics import cohort_retention
+
+        ev = spark.createDataFrame(
+            [
+                (0, 1, 1_000_000_000), (1, 1, 11_000_000_000),
+                (2, 2, 2_000_000_000), (3, 2, 22_000_000_000),
+            ],
+            "row_id long, user_id long, ts long",
+        )
+        db.register_node_table("ev_tbl2", ev, "row_id", resume_counter=False)
+        got = rows_set(
+            db.sql("RETENTION ON ev_tbl2 PERIOD 10000000 MAX OFFSET 3;"))
+        want = rows_set(
+            cohort_retention(
+                db.get_table("ev_tbl2"), period_us=10_000_000, max_offset=3))
+        assert got == want
+
+    def test_hints_cover_analytics(self):
+        from tundradb_spark.ql.shell import hint_for
+
+        assert "STEPS" in hint_for("FUNNEL ")
+        assert "PERIOD" in hint_for("RETENTION ")

@@ -1084,3 +1084,166 @@ class TestStreamCusumAlarms:
             ).collect()
         )
         assert got == want
+
+
+class TestStreamFunnel:
+    def test_stream_merge_equals_batch_funnel(self, spark, tmp_path):
+        """Multi-epoch delivery must reproduce the batch funnel exactly,
+        including the adversarial orderings the sink's reductions must
+        survive: a user whose ENTRY arrives an epoch after their step-2
+        event (no pruning bound yet), a later epoch improving a user's
+        entry min (window moves earlier), duplicate rows across epochs,
+        and step events outside the conversion window."""
+        from tundradb_spark.operators.analytics import funnel
+        from tundradb_spark.streaming import read_funnel, stream_funnel_events
+
+        src = str(tmp_path / "fsrc")
+        state = str(tmp_path / "fstate")
+        ckpt = str(tmp_path / "fck")
+        os.makedirs(src)
+        schema = "user_id long, ts timestamp, event_type string"
+        W = 100_000_000  # 100s conversion window, in µs
+
+        def t(sec):
+            from datetime import datetime, timezone
+
+            return datetime.fromtimestamp(sec, tz=timezone.utc).replace(
+                tzinfo=None
+            )
+
+        batch1 = [
+            (1, t(10), "view"), (1, t(20), "click"), (1, t(30), "purchase"),
+            # u2: click arrives BEFORE its view (next epoch) — the sink
+            # must keep it unpruned even though no entry bound exists yet
+            (2, t(50), "click"),
+            # u3: click outside any possible window of its epoch-2 view
+            (3, t(500), "click"),
+            (4, t(40), "view"), (4, t(35), "click"),  # click before entry
+        ]
+        batch2 = [
+            (2, t(45), "view"), (2, t(60), "purchase"),
+            (3, t(300), "view"),
+            (1, t(10), "view"), (1, t(20), "click"),  # exact duplicates
+            # u1's entry min moves EARLIER: chain must re-anchor
+            (1, t(5), "view"),
+        ]
+        steps = ["view", "click", "purchase"]
+        spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = stream_funnel_events(
+            stream, state, ckpt, steps, within_us=W)
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            map(tuple, read_funnel(spark, state, steps, within_us=W).collect())
+        )
+        allrows = spark.createDataFrame(batch1 + batch2, schema)
+        want = sorted(
+            map(tuple, funnel(allrows, steps, within_us=W).collect())
+        )
+        assert got == want
+        # value sanity, not just self-consistency: all four users enter
+        # (u4's pre-entry click never counts); u1 completes (5,20,30),
+        # u2 completes (45,50,60 — the click arriving an epoch early
+        # counts), u3's click at 500 is 200s past its 300 entry: out of
+        # window
+        assert [r for r in want if r[0] == 1][0][2] == 4
+        assert [r for r in want if r[0] == 3][0][2] == 2
+
+    def test_no_window_keeps_everything(self, spark, tmp_path):
+        from tundradb_spark.operators.analytics import funnel
+        from tundradb_spark.streaming import read_funnel, stream_funnel_events
+
+        src = str(tmp_path / "f2src")
+        state = str(tmp_path / "f2state")
+        ckpt = str(tmp_path / "f2ck")
+        os.makedirs(src)
+        schema = "user_id long, ts timestamp, event_type string"
+        from datetime import datetime, timezone
+
+        def t(sec):
+            return datetime.fromtimestamp(sec, tz=timezone.utc).replace(
+                tzinfo=None
+            )
+
+        rows = [
+            (1, t(0), "A"), (1, t(10_000), "B"),
+            (2, t(5), "A"), (2, t(3), "B"),
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = stream_funnel_events(stream, state, ckpt, ["A", "B"])
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(map(tuple, read_funnel(spark, state, ["A", "B"]).collect()))
+        want = sorted(
+            map(tuple, funnel(spark.createDataFrame(rows, schema), ["A", "B"]).collect())
+        )
+        assert got == want
+        assert [r for r in want if r[0] == 2][0][2] == 1  # u1 only
+
+
+class TestStreamCohort:
+    def test_stream_merge_equals_batch_retention(self, spark, tmp_path):
+        """Per-epoch distinct (user, period) pairs union-merge to the
+        batch operator's retention table — including a user whose FIRST
+        period arrives in a later epoch (cohort reassignment on merge)
+        and duplicate pairs across epochs."""
+        from tundradb_spark.operators.analytics import cohort_retention
+        from tundradb_spark.streaming import (
+            read_cohort_retention,
+            stream_cohort_periods,
+        )
+
+        src = str(tmp_path / "csrc")
+        state = str(tmp_path / "cstate")
+        ckpt = str(tmp_path / "cck")
+        os.makedirs(src)
+        schema = "user_id long, ts timestamp"
+        P = 10_000_000  # 10s periods, µs
+        from datetime import datetime, timezone
+
+        def t(sec):
+            return datetime.fromtimestamp(sec, tz=timezone.utc).replace(
+                tzinfo=None
+            )
+
+        batch1 = [(1, t(5)), (1, t(15)), (2, t(25)), (3, t(31))]
+        batch2 = [
+            (2, t(8)),            # u2's first period arrives late
+            (1, t(15)), (1, t(17)),  # duplicate pair (1, period 1)
+            (3, t(45)),
+        ]
+        spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = stream_cohort_periods(stream, state, ckpt, period_us=P)
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            map(tuple, read_cohort_retention(spark, state, period_us=P).collect())
+        )
+        allrows = spark.createDataFrame(batch1 + batch2, schema)
+        want = sorted(
+            map(tuple, cohort_retention(allrows, period_us=P).collect())
+        )
+        assert got == want
+        # u2 must be cohorted at period 0 (the late-arriving t=8), so
+        # cohort 0 has offsets {0 (u1,u2), 1 (u1), 2 (u2)}
+        assert (0, 2, 1, 0.5) in want

@@ -770,3 +770,95 @@ def link_prediction(
         (scores["id_a"] == e["a"]) & (scores["id_b"] == e["b"]),
         "left_anti",
     )
+
+
+def neighborhood_similarity(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    min_common: int = 1,
+    max_degree: int | None = None,
+    include_adjacent: bool = True,
+) -> DataFrame:
+    """Jaccard similarity of vertex neighborhoods: for every vertex pair
+    sharing >= ``min_common`` neighbors,
+
+        ``J(a, b) = |Γ(a) ∩ Γ(b)| / |Γ(a) ∪ Γ(b)|
+                  = cn / (deg(a) + deg(b) − cn)``
+
+    — the classic structural-equivalence / entity-matching signal
+    (graph counterpart of the MinHash Jaccard the dedup family estimates
+    on text).  :func:`link_prediction` weights the SHARED neighbors
+    (Adamic–Adar); this normalizes by the union, so hubs with huge
+    neighborhoods score low against small vertices even when they share
+    everything the small vertex has.
+
+    Plan shape (identical cost bound to :func:`link_prediction`):
+    symmetrize → one degree groupBy → ONE wedge self-join on the middle
+    vertex (``Σ_z deg(z)²`` candidates, ``max_degree`` caps skewed
+    middles) → one pair groupBy → one degree join per side (degree frame
+    is vertex-sized — broadcastable).  ``include_adjacent=False`` adds
+    the link-prediction left-anti join against the edge set.
+
+    Determinism: ``cn`` and degrees are exact longs, so the single
+    division is one correctly-rounded IEEE double op — identical on any
+    engine and partitioning — and the half-up 6-dp presentation uses the
+    ``floor(x·1e6 + 0.5)`` shape both engines share (the bm25/pmi
+    discipline; decimal division is avoided because its result scale is
+    engine-defined).
+
+    Returns ``(id_a, id_b, common_neighbors, jaccard)`` with
+    ``id_a < id_b``.
+    """
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    a, b = F.col(src).cast("long"), F.col(dst).cast("long")
+    e = (
+        pairs.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = _sym_edges(e, "a", "b")
+    deg = adj.groupBy(F.col("u").alias("z")).agg(
+        F.count(F.lit(1)).alias("dz")
+    )
+    mid_deg = (
+        deg.filter(F.col("dz") <= max_degree) if max_degree is not None
+        else deg
+    )
+    mid = adj.select(F.col("v").alias("z"), F.col("u")).join(
+        mid_deg.select("z"), "z"
+    )
+    l, r = mid.alias("l"), mid.alias("r")
+    cn = (
+        l.join(r, "z")
+        .filter(F.col("l.u") < F.col("r.u"))
+        .groupBy(
+            F.col("l.u").alias("id_a"), F.col("r.u").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+        .filter(F.col("common_neighbors") >= min_common)
+    )
+    da = deg.select(F.col("z").alias("id_a"), F.col("dz").alias("da"))
+    db = deg.select(F.col("z").alias("id_b"), F.col("dz").alias("db"))
+    scored = (
+        cn.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "common_neighbors",
+            F.expr(
+                "cast(floor((cast(common_neighbors as double)"
+                " / cast(da + db - common_neighbors as double))"
+                " * 1000000 + 0.5) as double) / 1000000.0"
+            ).alias("jaccard"),
+        )
+    )
+    if include_adjacent:
+        return scored
+    return scored.join(
+        e,
+        (scored["id_a"] == e["a"]) & (scored["id_b"] == e["b"]),
+        "left_anti",
+    )

@@ -475,3 +475,119 @@ def markov_transitions_sql(
                       * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS prob
     FROM tot WHERE n_transitions >= {min_count}
     """
+
+
+def event_ngrams(
+    events: DataFrame,
+    n: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    min_count: int = 1,
+    top_n: int | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Frequent sequential patterns: the contiguous length-``n`` event-type
+    sequences (n-grams over each user's time-ordered stream) with their
+    total occurrence counts and distinct-user support — the "what do
+    users actually do, in order" sweep that complements
+    :func:`markov_transitions` (which sees only adjacent pairs) and
+    :func:`funnel` (which checks ONE hypothesized order; this surfaces
+    the orders worth hypothesizing).
+
+    Semantics: a user's events are ordered by ``(ts, tiebreak)``; every
+    window of ``n`` consecutive events contributes one n-gram
+    (``a>b>c``); occurrences count every window, support counts distinct
+    users.
+
+    Plan / 100 TB shape: ONE user-keyed shuffle + window sort builds the
+    grams via ``lead`` chains (no per-user collect — per-row state is
+    ``n−1`` strings); the gram groupBy is map-side combined with
+    count-distinct expansion bounded by (gram, user) pairs; ``top_n``
+    compiles to TakeOrderedAndProject (no global sort).  Ordering ties
+    are broken by ``tiebreak_col`` so results are partition-order free.
+
+    Returns ``(gram, n_occurrences, n_users)``; with ``top_n``, the top
+    rows by ``(n_occurrences DESC, gram ASC)`` — a total order, so the
+    cut is deterministic.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    from pyspark.sql import Window
+
+    cols = [
+        F.col(user_col).cast("long").alias("u"),
+        epoch_micros(events, ts_col).alias("t"),
+        F.col(type_col).alias("et"),
+    ]
+    order = [F.col("t").asc()]
+    if tiebreak_col is not None:
+        cols.append(F.col(tiebreak_col).alias("__tb"))
+        order.append(F.col("__tb").asc())
+    ev = events.select(*cols)
+    w = Window.partitionBy("u").orderBy(*order)
+    parts = [F.col("et")] + [
+        F.lead("et", j).over(w) for j in range(1, n)
+    ]
+    grams = ev.select(
+        "u",
+        F.when(
+            parts[-1].isNotNull(),
+            F.concat_ws(">", *parts),
+        ).alias("gram"),
+    ).filter(F.col("gram").isNotNull())
+    counts = (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("u").alias("n_users"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    if top_n is not None:
+        counts = counts.orderBy(
+            F.col("n_occurrences").desc(), F.col("gram").asc()
+        ).limit(top_n)
+    return counts.select(
+        "gram",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
+def event_ngrams_sql(
+    table: str,
+    n: int = 3,
+    user_col: str = "user_id",
+    ts_expr: str = "epoch_us(ts)",
+    type_col: str = "event_type",
+    min_count: int = 1,
+    top_n: int | None = None,
+    tiebreak_col: str | None = None,
+) -> str:
+    """DuckDB oracle reproducing :func:`event_ngrams` exactly (same
+    window, same lead chain, same tie-breaks)."""
+    tb = ", tb ASC" if tiebreak_col is not None else ""
+    tb_sel = (
+        f", {tiebreak_col} AS tb" if tiebreak_col is not None else ""
+    )
+    leads = ["et"] + [f"lead(et, {j}) OVER w" for j in range(1, n)]
+    gram = " || '>' || ".join(leads)
+    tail = (
+        f" ORDER BY n_occurrences DESC, gram ASC LIMIT {top_n}"
+        if top_n is not None
+        else ""
+    )
+    return f"""
+    WITH ev AS (SELECT CAST({user_col} AS BIGINT) u, {ts_expr} t,
+                       {type_col} et{tb_sel} FROM {table}),
+    g AS (SELECT u, CASE WHEN {leads[-1]} IS NOT NULL
+                         THEN {gram} END AS gram
+          FROM ev WINDOW w AS (PARTITION BY u ORDER BY t ASC{tb}))
+    SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT u) AS BIGINT) AS n_users
+    FROM g WHERE gram IS NOT NULL
+    GROUP BY gram HAVING count(*) >= {min_count}{tail}
+    """

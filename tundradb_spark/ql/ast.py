@@ -121,6 +121,35 @@ class Explain:
     inner: "Match"
 
 
+@dataclass(frozen=True)
+class Funnel:
+    """FUNNEL ON <table> STEPS 's1', 's2', … [USER col] [TS col]
+    [TYPE col] [WITHIN µs] — the ordered-funnel operator
+    (operators.analytics.funnel) exposed on the text surface
+    (extension; the shell gains the engine's analytics family the way
+    the reference's shell fronts its own capability set)."""
+
+    table: str
+    steps: tuple[str, ...]
+    user_col: str = "user_id"
+    ts_col: str = "ts"
+    type_col: str = "event_type"
+    within_us: int | None = None
+
+
+@dataclass(frozen=True)
+class Retention:
+    """RETENTION ON <table> [USER col] [TS col] [PERIOD µs]
+    [MAX OFFSET n] — cohort retention
+    (operators.analytics.cohort_retention) on the text surface."""
+
+    table: str
+    user_col: str = "user_id"
+    ts_col: str = "ts"
+    period_us: int = 86_400_000_000
+    max_offset: int | None = None
+
+
 Statement = (
     CreateSchema
     | CreateNode
@@ -131,4 +160,6 @@ Statement = (
     | Show
     | Commit
     | Explain
+    | Funnel
+    | Retention
 )

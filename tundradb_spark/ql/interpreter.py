@@ -156,6 +156,29 @@ def execute_ast(db: "Database", stmt: ast.Statement) -> DataFrame | None:
         db.commit()
         return None
 
+    if isinstance(stmt, ast.Funnel):
+        from tundradb_spark.operators.analytics import funnel
+
+        return funnel(
+            db.get_table(stmt.table),
+            list(stmt.steps),
+            user_col=stmt.user_col,
+            ts_col=stmt.ts_col,
+            type_col=stmt.type_col,
+            within_us=stmt.within_us,
+        )
+
+    if isinstance(stmt, ast.Retention):
+        from tundradb_spark.operators.analytics import cohort_retention
+
+        return cohort_retention(
+            db.get_table(stmt.table),
+            user_col=stmt.user_col,
+            ts_col=stmt.ts_col,
+            period_us=stmt.period_us,
+            max_offset=stmt.max_offset,
+        )
+
     if isinstance(stmt, ast.Explain):
         # plan introspection (extension): the compiled MATCH's PHYSICAL
         # plan, one output row per line so the shell renders it verbatim

@@ -248,6 +248,10 @@ class Parser:
             if not self.at_kw("MATCH"):
                 raise QueryError("TundraQL: EXPLAIN expects a MATCH statement")
             stmt = ast.Explain(self.match_statement())
+        elif kw == "FUNNEL":
+            stmt = self.funnel_statement()
+        elif kw == "RETENTION":
+            stmt = self.retention_statement()
         else:
             raise QueryError(f"TundraQL: unknown statement {kw!r}")
         self.accept(";")
@@ -693,6 +697,97 @@ class Parser:
         return ast.Delete(locator=(schema, int(t.text)))
 
     # ---------------------------------------------------------------- SHOW
+    # -------------------------------------------- FUNNEL / RETENTION
+    def _int_clause(self, kw: str) -> int:
+        t = self.next()
+        if t.kind != "int" or int(t.text) < 0:
+            raise QueryError(
+                f"TundraQL: {kw} expects a non-negative integer, "
+                f"got {t.text!r}"
+            )
+        return int(t.text)
+
+    def funnel_statement(self) -> ast.Funnel:
+        """FUNNEL ON table STEPS 's1', 's2', … [USER col] [TS col]
+        [TYPE col] [WITHIN µs]"""
+        self.expect("FUNNEL")
+        self.expect("ON")
+        table = self.ident()
+        self.expect("STEPS")
+        steps: list[str] = []
+        while True:
+            t = self.peek()
+            if t.kind == "string":
+                steps.append(self.value())
+            else:
+                steps.append(self.ident())
+            if not self.accept(","):
+                break
+        user_col, ts_col, type_col, within = "user_id", "ts", "event_type", None
+        while True:
+            if self.at_kw("USER"):
+                self.next()
+                user_col = self.ident()
+            elif self.at_kw("TS"):
+                self.next()
+                ts_col = self.ident()
+            elif self.at_kw("TYPE"):
+                self.next()
+                type_col = self.ident()
+            elif self.at_kw("WITHIN"):
+                self.next()
+                within = self._int_clause("WITHIN")
+            else:
+                break
+        return ast.Funnel(
+            table=table,
+            steps=tuple(steps),
+            user_col=user_col,
+            ts_col=ts_col,
+            type_col=type_col,
+            within_us=within,
+        )
+
+    def retention_statement(self) -> ast.Retention:
+        """RETENTION ON table [USER col] [TS col] [PERIOD µs]
+        [MAX OFFSET n]"""
+        self.expect("RETENTION")
+        self.expect("ON")
+        table = self.ident()
+        user_col, ts_col = "user_id", "ts"
+        period_us, max_offset = 86_400_000_000, None
+        while True:
+            if self.at_kw("USER"):
+                self.next()
+                user_col = self.ident()
+            elif self.at_kw("TS"):
+                self.next()
+                ts_col = self.ident()
+            elif self.at_kw("PERIOD"):
+                self.next()
+                period_us = self._int_clause("PERIOD")
+                if period_us < 1:
+                    raise QueryError(
+                        "TundraQL: PERIOD expects a positive integer"
+                    )
+            elif self.at_kw("MAX"):
+                self.next()
+                if not self.at_kw("OFFSET"):
+                    raise QueryError(
+                        "TundraQL: MAX must be followed by OFFSET"
+                    )
+                self.next()
+                max_offset = self._int_clause("MAX OFFSET")
+            else:
+                break
+        return ast.Retention(
+            table=table,
+            user_col=user_col,
+            ts_col=ts_col,
+            period_us=period_us,
+            max_offset=max_offset,
+        )
+
     def show_statement(self) -> ast.Show:
         self.expect("SHOW")
         if self.at_kw("EDGES"):

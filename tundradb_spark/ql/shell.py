@@ -71,6 +71,10 @@ COMPLETION_KEYWORDS = [
     "SELECT", "UPDATE", "DELETE", "SET", "SHOW", "EDGES", "TYPES",
     "COMMIT", "FROM", "TO", "AS", "AND", "OR", "ORDER", "BY", "LIMIT",
     "INNER", "LEFT", "RIGHT", "FULL", "SEMI", "ANTI", "APPEND",
+    # analytics statements (r9); their clause keywords (STEPS, WITHIN,
+    # PERIOD, MAX OFFSET) are documented by the HINTS templates instead
+    # of polluting the global pool
+    "FUNNEL", "RETENTION", "ON",
 ]
 
 
@@ -88,6 +92,10 @@ HINTS = {
     "UPDATE ": "User(0) SET field = value | (u:User) SET u.field = value WHERE ...",
     "SHOW ": "EDGES edge_type | EDGE TYPES",
     "SHOW EDGES ": "edge_type_name",
+    "FUNNEL ": "ON table STEPS 's1', 's2', ... [WITHIN micros]",
+    "FUNNEL ON ": "table STEPS 's1', 's2', ...",
+    "RETENTION ": "ON table [PERIOD micros] [MAX OFFSET n]",
+    "RETENTION ON ": "table [PERIOD micros] [MAX OFFSET n]",
 }
 
 

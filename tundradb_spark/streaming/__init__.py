@@ -31,6 +31,12 @@ continuously-ingesting graph/analytics deployment needs:
   frequency sketch with O(d·w) state (counter sum == sketch union)
 - :func:`stream_histogram_bins` / :func:`read_histogram_quantiles` —
   live per-group quantile estimates with O(groups · n_bins) state
+- :func:`stream_funnel_events` / :func:`read_funnel` — live ordered
+  funnels: per-epoch entry-min + window-pruned step events, read-time
+  merge == the batch funnel exactly
+- :func:`stream_cohort_periods` / :func:`read_cohort_retention` — live
+  cohort retention: distinct (user, period) pairs per epoch,
+  union-mergeable == the batch operator exactly
 - :func:`compact_stream_index` — atomic per-epoch → single-epoch fold
   for any of the streaming index/sketch tables
 """
@@ -38,6 +44,10 @@ continuously-ingesting graph/analytics deployment needs:
 from tundradb_spark.streaming.ops import (
     compact_stream_index,
     read_cm_estimate,
+    read_cohort_retention,
+    read_funnel,
+    stream_cohort_periods,
+    stream_funnel_events,
     read_heavy_hitters,
     read_histogram_quantiles,
     read_weighted_sample,
@@ -83,4 +93,8 @@ __all__ = [
     "read_heavy_hitters",
     "stream_weighted_sample",
     "read_weighted_sample",
+    "stream_funnel_events",
+    "read_funnel",
+    "stream_cohort_periods",
+    "read_cohort_retention",
 ]

@@ -1251,3 +1251,192 @@ def stream_cusum_alarms(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_funnel_events(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_us: int | None = None,
+    query_name: str | None = None,
+) -> "StreamingQuery":
+    """Continuously maintain the EXACT mergeable state of
+    :func:`tundradb_spark.operators.analytics.funnel` from an event
+    stream — live ordered-funnel counts whose read-time merge equals the
+    batch operator over every row the stream has delivered
+    (test-pinned).
+
+    What makes the funnel's min-chaining mergeable, and how the state is
+    bounded below raw event volume:
+
+    * **Entry step collapses to one row per user per epoch** — only the
+      global min entry time matters, and min is mergeable, so each
+      micro-batch contributes its per-user batch-min.
+    * **Later steps keep distinct (user, type, time) rows, pruned to the
+      conversion window when possible** — the chained min for step i is
+      a function of t_{i-1}, which is only known globally, so per-step
+      times must survive the epoch; but any step-i event later than
+      ``batch_entry_min(u) + within_us`` can NEVER qualify (the global
+      entry min is <= every batch min, so the global window ends no
+      later), and is dropped at the sink.  Users whose entry arrives in
+      a later epoch keep their rows unpruned — correctness first.
+    * Duplicate rows across epochs are harmless: min-chaining over a
+      multiset equals min-chaining over its set.
+
+    Each micro-batch writes its reduction to an ``epoch=E`` partition
+    (dynamic partition overwrite — idempotent under replay, the
+    stream_index_vectors discipline); :func:`read_funnel` merges by
+    simply running the batch operator over the union.
+
+    At 100 TB: the sink is one type-filtered scan + one per-user
+    min-aggregate per batch (map-side combined) + one window-pruned
+    projection; state grows with distinct in-window step events, not raw
+    stream volume, and ``compact_stream_index``-style re-reduction can
+    fold old epochs (run the sink reduction over the merged read).
+    """
+    if not steps:
+        raise ValueError("steps must be a non-empty ordered list")
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        from tundradb_spark.functions.timecols import epoch_micros as _us
+
+        ev = batch.select(
+            F.col(user_col).cast("long").alias("u"),
+            _us(batch, ts_col).alias("t_us"),
+            F.col(type_col).alias("et"),
+        ).filter(F.col("et").isin(steps))
+        entry = (
+            ev.filter(F.col("et") == steps[0])
+            .groupBy("u")
+            .agg(F.min("t_us").alias("t_us"))
+            .select("u", "t_us", F.lit(steps[0]).alias("et"))
+        )
+        later = ev.filter(F.col("et") != steps[0]).distinct()
+        if within_us is not None:
+            bound = entry.select(
+                "u", (F.col("t_us") + F.lit(within_us)).alias("t_max")
+            )
+            later = (
+                later.join(bound, "u", "left")
+                .filter(
+                    F.col("t_max").isNull()
+                    | (F.col("t_us") <= F.col("t_max"))
+                )
+                .drop("t_max")
+            )
+        out = entry.unionByName(later.select("u", "t_us", "et"))
+        (
+            out.withColumn("epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name or "funnel-events")
+        .start()
+    )
+
+
+def read_funnel(
+    spark,
+    path: str,
+    steps: list[str],
+    within_us: int | None = None,
+) -> DataFrame:
+    """Merge all epochs of a :func:`stream_funnel_events` table and
+    return the funnel counts — identical to running
+    ``operators.analytics.funnel`` over every row the stream has
+    delivered (entry-min merge + window pruning preserve the chain
+    exactly; test-pinned)."""
+    from tundradb_spark.operators.analytics import funnel
+
+    state = spark.read.parquet(path).select(
+        F.col("u").alias("user_id"),
+        F.timestamp_micros(F.col("t_us")).alias("ts"),
+        F.col("et").alias("event_type"),
+    )
+    return funnel(state, steps, within_us=within_us)
+
+
+def stream_cohort_periods(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_us: int = 86_400_000_000,
+    query_name: str | None = None,
+) -> "StreamingQuery":
+    """Continuously maintain the exact mergeable state of
+    :func:`tundradb_spark.operators.analytics.cohort_retention`: the
+    DISTINCT ``(user, period)`` activity pairs.  That pair set is the
+    batch operator's one corpus-sized intermediate, it is union-mergeable
+    (distinct-of-unions == union-of-distincts), and it is bounded by
+    ``users x periods`` — not raw event volume.  Each micro-batch writes
+    its own distinct pairs to an ``epoch=E`` partition (dynamic partition
+    overwrite — idempotent under replay; duplicate pairs across epochs
+    are removed again at read time, so even cross-epoch duplication is
+    harmless)."""
+    if period_us < 1:
+        raise ValueError(f"period_us must be >= 1, got {period_us}")
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        from tundradb_spark.functions.timecols import epoch_micros as _us
+
+        pairs = (
+            batch.select(
+                F.col(user_col).cast("long").alias("u"),
+                _us(batch, ts_col).alias("t_us"),
+            )
+            .select("u", F.expr(f"t_us div {period_us}").alias("p"))
+            .distinct()
+        )
+        (
+            pairs.withColumn("epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name or "cohort-periods")
+        .start()
+    )
+
+
+def read_cohort_retention(
+    spark,
+    path: str,
+    period_us: int = 86_400_000_000,
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Merge all epochs of a :func:`stream_cohort_periods` table and
+    return the retention table — identical to running
+    ``operators.analytics.cohort_retention`` over every row the stream
+    has delivered.  Periods are re-materialized as the period-start
+    instant, so the batch operator's own ``div period_us`` maps each pair
+    back to exactly its period index (test-pinned)."""
+    from tundradb_spark.operators.analytics import cohort_retention
+
+    state = spark.read.parquet(path).select(
+        F.col("u").alias("user_id"),
+        F.timestamp_micros(F.col("p") * F.lit(period_us)).alias("ts"),
+    )
+    return cohort_retention(
+        state, period_us=period_us, max_offset=max_offset
+    )
