@@ -4,15 +4,27 @@ verdict item 5).
 
 The seated q_link_prediction runs on the fixed-size layered triangle
 graph (customers < 100 at every sf), so it cannot show data scaling.
-This probe builds the graph the operator would actually meet at scale:
-the lineitem supplier-order bipartite graph — orders as outer vertices,
-suppliers as shared middle vertices with HEAVY skewed degrees (every
-supplier serves ~60 orders at sf0.1, ~600 at sf1 in the replica), the
-exact Σ deg(z)² wedge-volume trap the docstring names.
+This probe builds the graph the operator actually meets at scale and
+with real skew: the doc→token bipartite graph — documents as outer
+vertices, tokens as shared middle vertices with ZIPF-skewed degrees
+(stopwords touch nearly every document), the exact ``Σ deg(z)²``
+wedge-volume trap the docstring names, and the graph analog of the
+dedup family's ``max_df`` caps.
 
-Three timings per sf: exact (no cap), max_degree at the sf0.1 p50
-supplier degree, and max_degree at a tight cap — measuring both the
-blow-up the cap prevents and the candidate mass it sacrifices.
+Three measurements:
+
+* degree stats per sf — the skew the cap exists for;
+* UNCAPPED at sf0.01 → sf0.1: hub degree grows with the corpus, so the
+  wedge volume grows ~quadratically — the blow-up, measured where it is
+  still feasible;
+* capped (``max_degree`` 100 and 20) at sf0.1 → sf1: per-middle fan-out
+  bounded, so candidate volume grows linearly with the corpus — the
+  scale path.  (The sf1 replica suffixes tokens per replica, so
+  cross-replica matches are impossible and true linear growth is the
+  correct expectation, not an artifact.)
+
+One timed ``count`` per cell — this is a SCALE probe (growth curve +
+cap trade), not a steady-state bench.
 """
 
 from __future__ import annotations
@@ -30,26 +42,33 @@ from tundradb_spark.session import get_spark
 
 
 def bipartite(spark, sf_dir: str):
-    """orders–suppliers from lineitem: vertex ids disjoint by offset."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return li.select(
-        F.col("l_orderkey").alias("id_a"),
-        (F.col("l_suppkey") + F.lit(1_000_000_000)).alias("id_b"),
+    """doc→token edges; token ids hashed into a disjoint range."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+                )
+            )
+        ).alias("tok"),
+    )
+    return toks.select(
+        F.col("doc_id").alias("id_a"),
+        (
+            F.pmod(F.xxhash64("tok"), F.lit(2_000_000_000))
+            + F.lit(1_000_000_000)
+        ).alias("id_b"),
     )
 
 
-def run(spark, sf_dir: str, max_degree, runs: int = 2):
+def run(spark, sf_dir: str, max_degree):
     g = bipartite(spark, sf_dir)
     df = link_prediction(g, max_degree=max_degree, min_common=2)
-    # warmup then best-of-N, bench.py convention
-    df.write.format("noop").mode("overwrite").save()
-    ts, rows = [], None
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        ts.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
     rows = df.count()
-    return min(ts), rows
+    return time.perf_counter() - t0, rows
 
 
 def main() -> None:
@@ -59,33 +78,46 @@ def main() -> None:
     spark = get_spark("probe-linkpred")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # supplier degree stats at each sf, to pick honest caps
-    for sf in ["/root/testdata/sf0.1", sf1]:
+    sfs = ["/root/testdata/sf0.01", "/root/testdata/sf0.1", sf1]
+    for sf in sfs:
         deg = (
             bipartite(spark, sf)
             .groupBy("id_b")
             .agg(F.count(F.lit(1)).alias("d"))
             .agg(
                 F.expr("percentile(d, 0.5)").alias("p50"),
-                F.expr("percentile(d, 0.95)").alias("p95"),
+                F.expr("percentile(d, 0.99)").alias("p99"),
                 F.max("d").alias("max"),
                 F.count(F.lit(1)).alias("n_mid"),
             )
             .first()
         )
-        print(f"{sf}: supplier degree p50={deg['p50']:.0f} "
-              f"p95={deg['p95']:.0f} max={deg['max']} n={deg['n_mid']}")
+        print(
+            f"{sf}: token degree p50={deg['p50']:.0f} "
+            f"p99={deg['p99']:.0f} max={deg['max']} vocab={deg['n_mid']}",
+            flush=True,
+        )
 
-    caps = [None, 100, 40]
-    print(f"{'cap':>8} {'sf0.1 s':>9} {'rows':>10} {'sf1 s':>9} "
-          f"{'rows':>10} {'wall ratio':>11} {'per-out-row':>12}")
-    for cap in caps:
-        lo, rlo = run(spark, "/root/testdata/sf0.1", cap)
-        hi, rhi = run(spark, sf1, cap)
-        ratio = hi / lo
+    print("\nUNCAPPED (the blow-up, measured where feasible):", flush=True)
+    lo, rlo = run(spark, sfs[0], None)
+    hi, rhi = run(spark, sfs[1], None)
+    print(
+        f"  none   sf0.01 {lo:8.3f}s {rlo:>10} rows | "
+        f"sf0.1 {hi:8.3f}s {rhi:>10} rows | wall {hi / lo:.1f}x",
+        flush=True,
+    )
+
+    print("\nCAPPED (the scale path) sf0.1 -> sf1:", flush=True)
+    for cap in (100, 20):
+        lo, rlo = run(spark, sfs[1], cap)
+        hi, rhi = run(spark, sfs[2], cap)
         norm = (hi / rhi) / (lo / rlo) if rlo and rhi else float("nan")
-        print(f"{str(cap):>8} {lo:>9.3f} {rlo:>10} {hi:>9.3f} {rhi:>10} "
-              f"{ratio:>10.1f}x {norm:>11.1f}x")
+        print(
+            f"  cap {cap:>3} sf0.1 {lo:8.3f}s {rlo:>10} rows | "
+            f"sf1 {hi:8.3f}s {rhi:>10} rows | wall {hi / lo:.1f}x | "
+            f"per-output-row {norm:.1f}x",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
