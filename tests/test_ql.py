@@ -520,3 +520,83 @@ class TestQLAnalytics:
 
         assert "STEPS" in hint_for("FUNNEL ")
         assert "PERIOD" in hint_for("RETENTION ")
+
+
+class TestQLAnalyticsR9b:
+    """OUTLIERS / CUSUM / NGRAMS statements — the rest of the analytics
+    family on the text surface."""
+
+    def test_outliers_parse(self):
+        st = parse_statement(
+            "OUTLIERS ON events GROUP kind VALUE v ID eid Z 2.5;")
+        assert isinstance(st, ast.Outliers)
+        assert (st.group_col, st.value_col, st.id_col, st.z) == (
+            "kind", "v", "eid", 2.5)
+
+    def test_cusum_parse_and_required_clauses(self):
+        st = parse_statement(
+            "CUSUM ON events SLACK 20 THRESHOLD 200.5 KEY uid TIEBREAK eid;")
+        assert isinstance(st, ast.Cusum)
+        assert (st.slack, st.threshold, st.key_col, st.tiebreak_col) == (
+            20.0, 200.5, "uid", "eid")
+        with pytest.raises(QueryError):
+            parse_statement("CUSUM ON events SLACK 20;")
+
+    def test_ngrams_parse(self):
+        st = parse_statement(
+            "NGRAMS ON events N 2 MIN 3 TOP 10 TIEBREAK eid;")
+        assert isinstance(st, ast.Ngrams)
+        assert (st.n, st.min_count, st.top_n, st.tiebreak_col) == (
+            2, 3, 10, "eid")
+
+    def test_outliers_executes_like_operator(self, db, spark):
+        from tundradb_spark.operators.analytics import value_outliers
+
+        ev = spark.createDataFrame(
+            [(0, "a", 1.0), (1, "a", 1.0), (2, "a", 1.0), (3, "a", 100.0)],
+            "event_id long, event_type string, value double",
+        )
+        db.register_node_table("ev_out", ev, "event_id", resume_counter=False)
+        got = rows_set(db.sql("OUTLIERS ON ev_out ID id Z 1.5;"))
+        want = rows_set(
+            value_outliers(db.get_table("ev_out"), id_col="id",
+                           z_threshold=1.5))
+        assert got == want and got  # non-empty: the 100.0 is an outlier
+
+    def test_ngrams_executes_like_operator(self, db, spark):
+        from tundradb_spark.operators.analytics import event_ngrams
+
+        ev = spark.createDataFrame(
+            [(0, 1, 1_000_000, "A"), (1, 1, 2_000_000, "B"),
+             (2, 1, 3_000_000, "A"), (3, 1, 4_000_000, "B")],
+            "row_id long, user_id long, ts_ns long, event_type string",
+        )
+        db.register_node_table("ev_ng", ev, "row_id", resume_counter=False)
+        got = rows_set(db.sql("NGRAMS ON ev_ng N 2 TS ts_ns;"))
+        want = rows_set(
+            event_ngrams(db.get_table("ev_ng"), n=2, ts_col="ts_ns"))
+        assert got == want
+        assert ("A>B", 2, 1) in got
+
+    def test_cusum_executes_like_operator(self, db, spark):
+        from tundradb_spark.operators.relational import cusum_alarms
+
+        ev = spark.createDataFrame(
+            [(0, 1, 1_000_000, 10.0), (1, 1, 2_000_000, 500.0),
+             (2, 1, 3_000_000, 500.0)],
+            "row_id long, user_id long, ts_ns long, value double",
+        )
+        db.register_node_table("ev_cu", ev, "row_id", resume_counter=False)
+        got = rows_set(
+            db.sql("CUSUM ON ev_cu SLACK 1 THRESHOLD 50 TS ts_ns;"))
+        want = rows_set(
+            cusum_alarms(db.get_table("ev_cu"), "user_id", "value",
+                         slack=1.0, threshold=50.0, ts_col="ts_ns"))
+        assert got == want
+
+    def test_hints_cover_new_statements(self):
+        from tundradb_spark.ql.shell import hint_for
+
+        assert "SLACK" in hint_for("CUSUM ")
+        assert "Z" in hint_for("OUTLIERS ")
+        assert "TOP" in hint_for("NGRAMS ")

@@ -150,6 +150,50 @@ class Retention:
     max_offset: int | None = None
 
 
+@dataclass(frozen=True)
+class Outliers:
+    """OUTLIERS ON <table> [GROUP col] [VALUE col] [ID col] [Z x] —
+    per-group z-score anomalies (operators.analytics.value_outliers) on
+    the text surface."""
+
+    table: str
+    group_col: str = "event_type"
+    value_col: str = "value"
+    id_col: str = "event_id"
+    z: float = 3.0
+
+
+@dataclass(frozen=True)
+class Cusum:
+    """CUSUM ON <table> SLACK x THRESHOLD y [KEY col] [VALUE col]
+    [TS col] [TIEBREAK col] — one-sided CUSUM drift alarms
+    (operators.relational.cusum_alarms, target = each key's own mean)."""
+
+    table: str
+    slack: float
+    threshold: float
+    key_col: str = "user_id"
+    value_col: str = "value"
+    ts_col: str = "ts"
+    tiebreak_col: str | None = None
+
+
+@dataclass(frozen=True)
+class Ngrams:
+    """NGRAMS ON <table> [N k] [USER col] [TS col] [TYPE col] [MIN m]
+    [TOP n] [TIEBREAK col] — sequential event-type n-grams
+    (operators.analytics.event_ngrams)."""
+
+    table: str
+    n: int = 3
+    user_col: str = "user_id"
+    ts_col: str = "ts"
+    type_col: str = "event_type"
+    min_count: int = 1
+    top_n: int | None = None
+    tiebreak_col: str | None = None
+
+
 Statement = (
     CreateSchema
     | CreateNode
@@ -162,4 +206,7 @@ Statement = (
     | Explain
     | Funnel
     | Retention
+    | Outliers
+    | Cusum
+    | Ngrams
 )

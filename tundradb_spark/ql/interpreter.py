@@ -179,6 +179,44 @@ def execute_ast(db: "Database", stmt: ast.Statement) -> DataFrame | None:
             max_offset=stmt.max_offset,
         )
 
+    if isinstance(stmt, ast.Outliers):
+        from tundradb_spark.operators.analytics import value_outliers
+
+        return value_outliers(
+            db.get_table(stmt.table),
+            group_col=stmt.group_col,
+            value_col=stmt.value_col,
+            id_col=stmt.id_col,
+            z_threshold=stmt.z,
+        )
+
+    if isinstance(stmt, ast.Cusum):
+        from tundradb_spark.operators.relational import cusum_alarms
+
+        return cusum_alarms(
+            db.get_table(stmt.table),
+            stmt.key_col,
+            stmt.value_col,
+            slack=stmt.slack,
+            threshold=stmt.threshold,
+            ts_col=stmt.ts_col,
+            tiebreak_col=stmt.tiebreak_col,
+        )
+
+    if isinstance(stmt, ast.Ngrams):
+        from tundradb_spark.operators.analytics import event_ngrams
+
+        return event_ngrams(
+            db.get_table(stmt.table),
+            n=stmt.n,
+            user_col=stmt.user_col,
+            ts_col=stmt.ts_col,
+            type_col=stmt.type_col,
+            min_count=stmt.min_count,
+            top_n=stmt.top_n,
+            tiebreak_col=stmt.tiebreak_col,
+        )
+
     if isinstance(stmt, ast.Explain):
         # plan introspection (extension): the compiled MATCH's PHYSICAL
         # plan, one output row per line so the shell renders it verbatim

@@ -252,6 +252,12 @@ class Parser:
             stmt = self.funnel_statement()
         elif kw == "RETENTION":
             stmt = self.retention_statement()
+        elif kw == "OUTLIERS":
+            stmt = self.outliers_statement()
+        elif kw == "CUSUM":
+            stmt = self.cusum_statement()
+        elif kw == "NGRAMS":
+            stmt = self.ngrams_statement()
         else:
             raise QueryError(f"TundraQL: unknown statement {kw!r}")
         self.accept(";")
@@ -746,6 +752,131 @@ class Parser:
             ts_col=ts_col,
             type_col=type_col,
             within_us=within,
+        )
+
+    def _num_clause(self, kw: str) -> float:
+        t = self.next()
+        if t.kind not in ("int", "float"):
+            raise QueryError(
+                f"TundraQL: {kw} expects a number, got {t.text!r}"
+            )
+        return float(t.text)
+
+    def outliers_statement(self) -> ast.Outliers:
+        """OUTLIERS ON table [GROUP col] [VALUE col] [ID col] [Z x]"""
+        self.expect("OUTLIERS")
+        self.expect("ON")
+        table = self.ident()
+        group_col, value_col, id_col, z = "event_type", "value", "event_id", 3.0
+        while True:
+            if self.at_kw("GROUP"):
+                self.next()
+                group_col = self.ident()
+            elif self.at_kw("VALUE"):
+                self.next()
+                value_col = self.ident()
+            elif self.at_kw("ID"):
+                self.next()
+                id_col = self.ident()
+            elif self.at_kw("Z"):
+                self.next()
+                z = self._num_clause("Z")
+            else:
+                break
+        return ast.Outliers(
+            table=table,
+            group_col=group_col,
+            value_col=value_col,
+            id_col=id_col,
+            z=z,
+        )
+
+    def cusum_statement(self) -> ast.Cusum:
+        """CUSUM ON table SLACK x THRESHOLD y [KEY col] [VALUE col]
+        [TS col] [TIEBREAK col]"""
+        self.expect("CUSUM")
+        self.expect("ON")
+        table = self.ident()
+        slack = threshold = None
+        key_col, value_col, ts_col, tiebreak = "user_id", "value", "ts", None
+        while True:
+            if self.at_kw("SLACK"):
+                self.next()
+                slack = self._num_clause("SLACK")
+            elif self.at_kw("THRESHOLD"):
+                self.next()
+                threshold = self._num_clause("THRESHOLD")
+            elif self.at_kw("KEY"):
+                self.next()
+                key_col = self.ident()
+            elif self.at_kw("VALUE"):
+                self.next()
+                value_col = self.ident()
+            elif self.at_kw("TS"):
+                self.next()
+                ts_col = self.ident()
+            elif self.at_kw("TIEBREAK"):
+                self.next()
+                tiebreak = self.ident()
+            else:
+                break
+        if slack is None or threshold is None:
+            raise QueryError(
+                "TundraQL: CUSUM requires SLACK and THRESHOLD clauses"
+            )
+        return ast.Cusum(
+            table=table,
+            slack=slack,
+            threshold=threshold,
+            key_col=key_col,
+            value_col=value_col,
+            ts_col=ts_col,
+            tiebreak_col=tiebreak,
+        )
+
+    def ngrams_statement(self) -> ast.Ngrams:
+        """NGRAMS ON table [N k] [USER col] [TS col] [TYPE col] [MIN m]
+        [TOP n] [TIEBREAK col]"""
+        self.expect("NGRAMS")
+        self.expect("ON")
+        table = self.ident()
+        n, min_count, top_n = 3, 1, None
+        user_col, ts_col, type_col, tiebreak = (
+            "user_id", "ts", "event_type", None,
+        )
+        while True:
+            if self.at_kw("N"):
+                self.next()
+                n = self._int_clause("N")
+            elif self.at_kw("USER"):
+                self.next()
+                user_col = self.ident()
+            elif self.at_kw("TS"):
+                self.next()
+                ts_col = self.ident()
+            elif self.at_kw("TYPE"):
+                self.next()
+                type_col = self.ident()
+            elif self.at_kw("MIN"):
+                self.next()
+                min_count = self._int_clause("MIN")
+            elif self.at_kw("TOP"):
+                self.next()
+                top_n = self._int_clause("TOP")
+            elif self.at_kw("TIEBREAK"):
+                self.next()
+                tiebreak = self.ident()
+            else:
+                break
+        return ast.Ngrams(
+            table=table,
+            n=n,
+            user_col=user_col,
+            ts_col=ts_col,
+            type_col=type_col,
+            min_count=min_count,
+            top_n=top_n,
+            tiebreak_col=tiebreak,
         )
 
     def retention_statement(self) -> ast.Retention:

@@ -72,9 +72,9 @@ COMPLETION_KEYWORDS = [
     "COMMIT", "FROM", "TO", "AS", "AND", "OR", "ORDER", "BY", "LIMIT",
     "INNER", "LEFT", "RIGHT", "FULL", "SEMI", "ANTI", "APPEND",
     # analytics statements (r9); their clause keywords (STEPS, WITHIN,
-    # PERIOD, MAX OFFSET) are documented by the HINTS templates instead
-    # of polluting the global pool
-    "FUNNEL", "RETENTION", "ON",
+    # PERIOD, MAX OFFSET, SLACK, THRESHOLD, ...) are documented by the
+    # HINTS templates instead of polluting the global pool
+    "FUNNEL", "RETENTION", "OUTLIERS", "CUSUM", "NGRAMS", "ON",
 ]
 
 
@@ -96,6 +96,9 @@ HINTS = {
     "FUNNEL ON ": "table STEPS 's1', 's2', ...",
     "RETENTION ": "ON table [PERIOD micros] [MAX OFFSET n]",
     "RETENTION ON ": "table [PERIOD micros] [MAX OFFSET n]",
+    "OUTLIERS ": "ON table [GROUP col] [VALUE col] [ID col] [Z x]",
+    "CUSUM ": "ON table SLACK x THRESHOLD y [KEY col] [VALUE col] [TS col]",
+    "NGRAMS ": "ON table [N k] [MIN m] [TOP n] [TYPE col]",
 }
 
 
