@@ -106,6 +106,19 @@ and q_cusum (one-sided CUSUM drift alarms via the closed-form
 prefix-sum − running-min window) — oracle-bearing and CI-checked like
 the rest.
 
+**Round-9 rotation** (r8 verdict item 2): the 8 r8 analytics operators
+that had never held a driver row — q_funnel, q_cohort_retention,
+q_link_prediction, q_bm25, q_pmi, q_outliers, q_markov, q_cusum — are
+SEATED (``_SEAT_R9`` / ``_PARK_R9``).  Parked in exchange: 8 rows first
+driver-green in r8 (q_bpe, q_bpe_segment, q_cdc_chunks, q_temperature,
+q_ewma, q_typed_map, q_classify, q_soft_dedup).  q_substr_spans stays
+seated — its plan changed in r9 (the spans and strip branches now share
+ONE checkpointed span pipeline, r8 verdict item 3) and the new plan gets
+a fresh driver row.  New r9 operators join PARKED (window full):
+q_event_ngrams (sequential event-type patterns with distinct-user
+support) and q_node_similarity (neighborhood Jaccard over the wedge
+join) — oracle-bearing and CI-checked like the rest.
+
 The per-round narrative above records WHY each rotation happened; the
 AUTHORITATIVE seated/parked lists at HEAD are runtime facts — read them
 from ``queries()`` / ``parked_queries()`` (or the ``_SEAT_R*`` /

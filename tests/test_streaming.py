@@ -1247,3 +1247,81 @@ class TestStreamCohort:
         # u2 must be cohorted at period 0 (the late-arriving t=8), so
         # cohort 0 has offsets {0 (u1,u2), 1 (u1), 2 (u2)}
         assert (0, 2, 1, 0.5) in want
+
+
+class TestStreamMarkov:
+    def test_stream_merge_equals_batch_matrix(self, spark, tmp_path):
+        """Two micro-batches splitting every user's sequence mid-stream:
+        the carried last-event state supplies the boundary transitions,
+        and the summed pairs reproduce the batch matrix exactly
+        (in-order delivery, the streaming contract)."""
+        from tundradb_spark.operators.analytics import markov_transitions
+        from tundradb_spark.streaming import (
+            merge_markov_counts,
+            stream_markov_pairs,
+        )
+
+        src = str(tmp_path / "mksrc")
+        ckpt = str(tmp_path / "mkck")
+        os.makedirs(src)
+        schema = "user_id long, ts timestamp, event_type string, event_id long"
+        from datetime import datetime, timezone
+
+        def t(sec):
+            return datetime.fromtimestamp(sec, tz=timezone.utc).replace(
+                tzinfo=None
+            )
+
+        batch1 = [
+            (1, t(1), "A", 1), (1, t(2), "B", 2),
+            (2, t(1), "A", 3),
+            (3, t(5), "C", 4),  # singleton so far — no transition yet
+        ]
+        batch2 = [
+            (1, t(3), "A", 5),   # boundary: B->A crosses the batches
+            (2, t(2), "A", 6),   # boundary: A->A
+            (2, t(2), "B", 7),   # same ts as event 6: tiebreak orders A,B
+            (3, t(6), "C", 8),
+        ]
+        spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        out = stream_markov_pairs(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("mkpairs")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            map(tuple, merge_markov_counts(spark.table("mkpairs")).collect())
+        )
+        allrows = spark.createDataFrame(batch1 + batch2, schema)
+        want = sorted(map(tuple, markov_transitions(allrows).collect()))
+        assert got == want
+        # value sanity: u1 A->B->A, u2 A->A->B, u3 C->C
+        d = {(r[0], r[1]): r[2] for r in want}
+        assert d == {("A", "B"): 2, ("B", "A"): 1, ("A", "A"): 1,
+                     ("C", "C"): 1}
+
+    def test_min_count_prunes_after_totals(self, spark, tmp_path):
+        from tundradb_spark.streaming import merge_markov_counts
+
+        pairs = spark.createDataFrame(
+            [("A", "B", 3), ("A", "C", 1)], "src string, dst string, cnt long"
+        )
+        out = {
+            (r["src"], r["dst"]): (r["n_from_src"], r["prob"])
+            for r in merge_markov_counts(pairs, min_count=2).collect()
+        }
+        # A->C pruned, but A->B's denominator still counts it
+        assert out == {("A", "B"): (4, 0.75)}

@@ -37,6 +37,9 @@ continuously-ingesting graph/analytics deployment needs:
 - :func:`stream_cohort_periods` / :func:`read_cohort_retention` — live
   cohort retention: distinct (user, period) pairs per epoch,
   union-mergeable == the batch operator exactly
+- :func:`stream_markov_pairs` / :func:`merge_markov_counts` — live
+  first-order transition counts with O(1) per-user state (the last
+  event type); summed pairs == the batch matrix under in-order delivery
 - :func:`compact_stream_index` — atomic per-epoch → single-epoch fold
   for any of the streaming index/sketch tables
 """
@@ -44,8 +47,10 @@ continuously-ingesting graph/analytics deployment needs:
 from tundradb_spark.streaming.ops import (
     compact_stream_index,
     read_cm_estimate,
+    merge_markov_counts,
     read_cohort_retention,
     read_funnel,
+    stream_markov_pairs,
     stream_cohort_periods,
     stream_funnel_events,
     read_heavy_hitters,
@@ -97,4 +102,6 @@ __all__ = [
     "read_funnel",
     "stream_cohort_periods",
     "read_cohort_retention",
+    "stream_markov_pairs",
+    "merge_markov_counts",
 ]

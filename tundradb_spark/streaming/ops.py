@@ -1440,3 +1440,133 @@ def read_cohort_retention(
     return cohort_retention(
         state, period_us=period_us, max_offset=max_offset
     )
+
+
+MARKOV_PAIR_SCHEMA = StructType(
+    [
+        StructField("src", StringType()),
+        StructField("dst", StringType()),
+        StructField("cnt", LongType()),
+    ]
+)
+_MARKOV_STATE_SCHEMA = StructType([StructField("last_et", StringType())])
+
+
+def _make_markov_fn():
+    def _markov_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last = state.get[0] if state.exists else None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((last,))
+            return
+        batch = pd.concat(chunks, ignore_index=True)
+        # within-batch order = (ts, tiebreak), the batch operator's sort
+        order = sorted(
+            range(len(batch)),
+            key=lambda i: (
+                int(batch["t_us"].iloc[i]),
+                int(batch["tb"].iloc[i]),
+            ),
+        )
+        counts: dict[tuple[str, str], int] = {}
+        for i in order:
+            et = batch["et"].iloc[i]
+            if last is not None:
+                k = (last, et)
+                counts[k] = counts.get(k, 0) + 1
+            last = et
+        state.update((last,))
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "src": [k[0] for k in counts],
+                    "dst": [k[1] for k in counts],
+                    "cnt": [counts[k] for k in counts],
+                }
+            )
+
+    return _markov_fn
+
+
+def stream_markov_pairs(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Streaming face of :func:`tundradb_spark.operators.analytics.
+    markov_transitions`: per-user first-order transition counts over an
+    unbounded event stream.
+
+    What makes the transition matrix streamable exactly: adjacency only
+    ever couples an event to its IMMEDIATE predecessor, so the per-key
+    state is one string — the user's last event type — carried across
+    micro-batches by ``applyInPandasWithState`` (Arrow-batched, one
+    shuffle on the user key, O(1) state per user forever).  Each
+    micro-batch emits that user's within-batch transition counts
+    (boundary transition included via the carried state); summing the
+    emitted ``(src, dst, cnt)`` rows over the whole stream —
+    :func:`merge_markov_counts` — reproduces the batch operator's counts
+    EXACTLY whenever the stream delivers each user's events in event-time
+    order across batches (within a batch, rows are sorted by
+    ``(ts, tiebreak)`` like the batch window; cross-batch ordering is
+    arrival order — the streaming contract, as for
+    :func:`stream_cusum_alarms`).
+
+    Output (update mode): ``(src, dst, cnt)`` rows per user per
+    micro-batch; sink them anywhere additive (memory table, epoch
+    parquet) and merge at read time.
+    """
+    from tundradb_spark.functions.timecols import epoch_micros as _us
+
+    sel = events.select(
+        F.col(user_col).cast("long").alias("key"),
+        _us(events, ts_col).alias("t_us"),
+        F.col(tiebreak_col).cast("long").alias("tb"),
+        F.col(type_col).alias("et"),
+    )
+    return sel.groupBy("key").applyInPandasWithState(
+        _make_markov_fn(),
+        outputStructType=MARKOV_PAIR_SCHEMA,
+        stateStructType=_MARKOV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def merge_markov_counts(pairs: DataFrame, min_count: int = 1) -> DataFrame:
+    """Fold :func:`stream_markov_pairs` output into the transition
+    matrix — identical tail (per-source totals BEFORE min_count pruning,
+    floor-trick rounded probability) to the batch operator, so
+    stream-merge == batch is exact under in-order delivery
+    (test-pinned)."""
+    from pyspark.sql import Window
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    counts = pairs.groupBy("src", "dst").agg(
+        F.sum("cnt").alias("n_transitions")
+    )
+    w_src = Window.partitionBy("src")
+    return (
+        counts.withColumn(
+            "n_from_src", F.sum("n_transitions").over(w_src)
+        )
+        .filter(F.col("n_transitions") >= min_count)
+        .select(
+            "src",
+            "dst",
+            F.col("n_transitions").cast("long").alias("n_transitions"),
+            F.col("n_from_src").cast("long").alias("n_from_src"),
+            F.expr(
+                "cast(floor(cast(cast(n_transitions as double)"
+                " / cast(n_from_src as double) as decimal(20,10))"
+                " * 1000000 + 0.5) as double) / 1000000.0"
+            ).alias("prob"),
+        )
+    )
