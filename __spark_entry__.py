@@ -2860,7 +2860,8 @@ PARKED_ORACLES["q_moving_agg"] = f"""
                 * CAST(sum(CAST(v AS DECIMAL(30,10))) OVER w AS DOUBLE)
                 / count(*) OVER w)
              / count(*) OVER w, 0.0)), 6) AS std_window
-    FROM (SELECT user_id, epoch_us(ts) AS us, value AS v FROM events)
+    FROM (SELECT user_id, epoch_us(ts) AS us, value AS v FROM events
+          WHERE abs(value) < 1000000000.0)
     WINDOW w AS (PARTITION BY user_id ORDER BY us
                  RANGE BETWEEN {MOVING_WINDOW_US} PRECEDING
                  AND CURRENT ROW)
@@ -2922,7 +2923,7 @@ PARKED_ORACLES["q_time_twa"] = f"""
                               + {ROLLUP_BUCKET_US}) % {ROLLUP_BUCKET_US})
                AS b,
              value AS v, event_id AS tb
-      FROM events
+      FROM events WHERE abs(value) < 1000000000.0
     ),
     seg AS (
       SELECT k, b, us, v,
@@ -2970,7 +2971,7 @@ PARKED_QUERIES["q_lttb"] = q_lttb
 PARKED_ORACLES["q_lttb"] = f"""
     WITH base AS (
       SELECT user_id AS k, epoch_us(ts) AS us, value AS v, event_id AS tb
-      FROM events
+      FROM events WHERE abs(value) < 1000000000.0
     ),
     ranked AS (
       SELECT k, us, v,

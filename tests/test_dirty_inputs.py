@@ -130,3 +130,106 @@ class TestDedupOpsSurviveDirtyInput:
         assert _ids(chunks) <= set(range(len(DIRTY)))
         cdc = cdc_chunks(dirty)
         cdc.collect()  # no raise on null/empty/unicode
+
+
+DIRTY_EVENTS = [
+    # (event_id, user_id, ts_ns, event_type, value)
+    (0, None, 1_000_000_000, "view", 1.0),        # NULL user
+    (1, 1, None, "view", 2.0),                    # NULL ts
+    (2, 1, 2_000_000_000, None, 3.0),             # NULL type
+    (3, 1, 3_000_000_000, "view", None),          # NULL value
+    (4, 2, 4_000_000_000, "", 5.0),               # empty type
+    (5, 2, 4_000_000_000, "🎉", 6.0),            # emoji type, equal ts
+    (6, 2, 4_000_000_000, "中文", 7.0),           # CJK type, equal ts
+    (7, 3, 5_000_000_000, "x" * 2000, -1e308),    # kilo-char type, huge neg
+    (8, 3, 6_000_000_000, "view", float("nan")),  # NaN value
+]
+
+
+@pytest.fixture(scope="module")
+def dirty_events(spark):
+    return spark.createDataFrame(
+        DIRTY_EVENTS,
+        "event_id long, user_id long, ts long, event_type string, "
+        "value double",
+    ).cache()
+
+
+class TestAnalyticsSurviveDirtyEvents:
+    """r9: the analytics family over pathological event streams — NULL
+    keys/timestamps/types/values, empty and kilo-char types, equal-ts
+    collisions, NaN and extreme values.  Crash/contract tests; exact
+    values live in test_analytics.py."""
+
+    def test_funnel(self, spark, dirty_events):
+        from tundradb_spark.operators.analytics import funnel
+
+        out = funnel(dirty_events, ["view", "🎉"], within_us=10**9).collect()
+        assert len(out) == 2  # one row per step, whatever the input
+
+    def test_cohort_retention(self, spark, dirty_events):
+        from tundradb_spark.operators.analytics import cohort_retention
+
+        assert cohort_retention(dirty_events, period_us=10**6).count() >= 1
+
+    def test_outliers_drop_only_null_values(self, spark, dirty_events):
+        from tundradb_spark.operators.analytics import value_outliers
+
+        # documented: NULL values are filtered; everything else must
+        # flow through the moment sums without raising
+        value_outliers(dirty_events, z_threshold=0.5).collect()
+
+    def test_markov(self, spark, dirty_events):
+        from tundradb_spark.operators.analytics import markov_transitions
+
+        out = markov_transitions(dirty_events).collect()
+        assert all(r["n_transitions"] >= 1 for r in out)
+
+    def test_event_ngrams(self, spark, dirty_events):
+        from tundradb_spark.operators.analytics import event_ngrams
+
+        out = event_ngrams(
+            dirty_events, n=2, tiebreak_col="event_id"
+        ).collect()
+        # grams build over whatever types exist, including emoji/CJK
+        assert all(r["n_occurrences"] >= 1 for r in out)
+
+    def test_cusum(self, spark, dirty_events):
+        from tundradb_spark.operators.relational import cusum_alarms
+
+        cusum_alarms(
+            dirty_events, "user_id", "value", slack=0.0, threshold=1.0,
+            tiebreak_col="event_id",
+        ).collect()
+
+    def test_neighborhood_similarity_degenerates(self, spark):
+        from tundradb_spark.graphs.algorithms import neighborhood_similarity
+
+        g = spark.createDataFrame(
+            [(1, 1), (2, 3), (None, 4)], "id_a long, id_b long"
+        )
+        # self-loop filtered, NULL endpoint flows through least/greatest
+        # as a NULL pair and never fabricates a wedge
+        out = neighborhood_similarity(g).collect()
+        assert out == []
+
+    def test_time_series_family_survives_extremes(self, spark, dirty_events):
+        """moving_aggregate / time_weighted_avg / downsample_lttb share
+        the METRIC_ABS_BOUND domain: a 1e308 glitch row is excluded (not
+        a job-killing ANSI decimal-cast error), everything else flows."""
+        from tundradb_spark.operators.relational import (
+            downsample_lttb,
+            moving_aggregate,
+            time_weighted_avg,
+        )
+
+        moving_aggregate(
+            dirty_events, 10**9, "user_id", "value"
+        ).collect()
+        time_weighted_avg(
+            dirty_events, 10**9, "user_id", "value",
+            tiebreak_col="event_id",
+        ).collect()
+        downsample_lttb(
+            dirty_events, 4, "user_id", "value", tiebreak_col="event_id"
+        ).collect()

@@ -269,6 +269,13 @@ def value_outliers(
     back onto the events scan for the per-row z — the events table is
     scanned once and never shuffled.
 
+    Metric domain (dirty-input policy, documented drop): rows with
+    ``|value| >= 1e9`` — including NULL, NaN and ±Inf, for which the
+    comparison is false in both engines — are excluded from the stats
+    AND the output: under ANSI mode one 1e308 glitch row would otherwise
+    throw on the decimal cast and kill the whole job
+    (operators.relational.METRIC_ABS_BOUND has the full rationale).
+
     Engine determinism: the moment sums are accumulated in
     ``decimal(38,12)`` (cast per row from double, exact and
     partition-order independent — the ``pq_train`` discipline); mean and
@@ -286,7 +293,7 @@ def value_outliers(
         F.col(id_col).cast("long").alias(id_col),
         F.col(group_col).alias(group_col),
         F.col(value_col).cast("double").alias(value_col),
-    ).filter(F.col(value_col).isNotNull())
+    ).filter(F.abs(F.col(value_col)) < F.lit(1e9))
     stats = ev.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_group"),
         F.sum(F.col(value_col).cast("decimal(38,12)")).alias("__sv"),
@@ -340,7 +347,7 @@ def value_outliers_sql(
     WITH ev AS (
         SELECT CAST({id_col} AS BIGINT) AS {id_col}, {group_col},
                CAST({value_col} AS DOUBLE) AS {value_col}
-        FROM {table} WHERE {value_col} IS NOT NULL
+        FROM {table} WHERE abs({value_col}) < 1000000000.0
     ),
     stats AS (
         SELECT {group_col}, count(*) AS n_group,

@@ -766,6 +766,30 @@ def resample_interp(
     )
 
 
+
+#: Shared metric-value domain for the exact-decimal operators
+#: (moving_aggregate, time_weighted_avg, downsample_lttb, cusum_alarms):
+#: |value| < 1e9, which simultaneously (a) excludes NaN and +/-Inf — the
+#: comparison is false for them in BOTH Spark and DuckDB, so the SQL
+#: oracles mirror it verbatim — and (b) guarantees every per-row decimal
+#: term fits its type with >= 8 orders of headroom (v^2 <= 1e18 against
+#: 20+ integer digits; v*dt against decimal(28,8) for buckets up to a
+#: day).  Under ANSI mode (Spark 4 default) an out-of-range cast THROWS,
+#: so without this guard ONE pathological row (a 1e308 sensor glitch)
+#: kills a 100 TB job (found by tests/test_dirty_inputs.py).  Rows
+#: outside the domain are excluded from stats AND output — documented
+#: drop, the dirty-input policy.  Aggregate-capacity overflow from
+#: astronomically adversarial row counts still fails loudly (ANSI)
+#: rather than silently corrupting.
+METRIC_ABS_BOUND = 1e9
+
+#: the SQL-side twin of the guard, for oracle generators / static oracles
+METRIC_DOMAIN_SQL = "abs({col}) < 1000000000.0"
+
+
+def _metric_domain(col: str):
+    return F.abs(F.col(col)) < F.lit(METRIC_ABS_BOUND)
+
 def moving_aggregate(
     events: DataFrame,
     window_us: int,
@@ -801,7 +825,7 @@ def moving_aggregate(
         F.col(key_col).alias("key"),
         epoch_micros(events, ts_col).alias("ts_us"),
         F.col(value_col).cast("double").alias("value"),
-    )
+    ).filter(_metric_domain("value"))
     w = (
         Window.partitionBy("key")
         .orderBy(F.col("ts_us").asc())
@@ -878,7 +902,7 @@ def time_weighted_avg(
             if tiebreak_col
             else [F.lit(0).alias("__tb")]
         ),
-    )
+    ).filter(_metric_domain("v"))
     w = Window.partitionBy("key", "bucket_start_us").orderBy(
         F.col("us").asc(), F.col("__tb").asc()
     )
@@ -963,7 +987,7 @@ def downsample_lttb(
             if tiebreak_col
             else [F.lit(0).alias("__tb")]
         ),
-    )
+    ).filter(_metric_domain("value"))
     wrank = Window.partitionBy("key").orderBy(
         F.col("ts_us").asc(), F.col("__tb").asc()
     )
@@ -1183,7 +1207,7 @@ def cusum_alarms(
     if tiebreak_col is not None:
         cols.append(F.col(tiebreak_col).alias("__tb"))
         order.append(F.col("__tb").asc())
-    base = events.select(*cols).filter(F.col("value").isNotNull())
+    base = events.select(*cols).filter(_metric_domain("value"))
     if target == "mean":
         stats = base.groupBy("key").agg(
             F.count(F.lit(1)).alias("__n"),
@@ -1262,7 +1286,7 @@ def cusum_alarms_sql(
         SELECT {key_col} AS key, {ts_expr} AS ts_us,
                CAST({value_col} AS DOUBLE) AS value
                {f', {tiebreak_col}' if tiebreak_col is not None else ''}
-        FROM {table} WHERE {value_col} IS NOT NULL
+        FROM {table} WHERE abs({value_col}) < 1000000000.0
     ),{tgt_cte}
     pfx AS (
         SELECT key, ts_us, value,

@@ -1243,7 +1243,9 @@ def stream_cusum_alarms(
         F.col(key_col).cast("long").alias("key"),
         F.col(ts_col).alias("ts"),
         F.col(value_col).cast("double").alias("value"),
-    ).filter(F.col("value").isNotNull())
+        # the batch operator's metric domain (relational.METRIC_ABS_BOUND):
+        # drops NULL/NaN/Inf/|v|>=1e9 so stream == batch stays exact
+    ).filter(F.abs(F.col("value")) < F.lit(1e9))
     return sel.groupBy("key").applyInPandasWithState(
         _make_cusum_fn(slack, threshold, target),
         outputStructType=CUSUM_ALARM_SCHEMA,
