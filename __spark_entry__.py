@@ -3638,3 +3638,39 @@ PARKED_ORACLES["q_node_similarity"] = f"""
            CAST(cn AS BIGINT) AS common_neighbors, jac AS jaccard
     FROM scored
 """
+
+
+# --- r9 addition (2): classifier calibration bins ---
+
+CALIB_BINS = 10
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r9: reliability-diagram calibration bins (pipeline.classify.
+    calibration_bins) — deterministic synthetic probabilities
+    ((doc_id % 97) / 96, spanning [0,1] incl. the 1.0 top-bin edge)
+    against a text-derived label; one map-side-combined groupBy(bin),
+    n_bins rows out."""
+    from tundradb_spark.pipeline.classify import calibration_bins
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        ((F.col("doc_id") % 97) / F.lit(96.0)).alias("p"),
+        (F.instr(F.lower("text"), "the") > 0).alias("y"),
+    )
+    return calibration_bins(scored, "p", "y", n_bins=CALIB_BINS)
+
+
+def _calibration_oracle() -> str:
+    from tundradb_spark.pipeline.classify import calibration_bins_sql
+
+    return calibration_bins_sql(
+        "documents",
+        "(doc_id % 97) / 96.0",
+        "strpos(lower(text), 'the') > 0",
+        n_bins=CALIB_BINS,
+    )
+
+
+PARKED_QUERIES["q_calibration"] = q_calibration
+PARKED_ORACLES["q_calibration"] = _calibration_oracle()

@@ -2527,3 +2527,55 @@ class TestPmiCollocations:
             pmi_collocations(docs, min_count=0)
         with pytest.raises(ValueError):
             pmi_collocations(docs, top_n=0)
+
+
+class TestCalibrationBins:
+    def test_perfectly_calibrated_and_miscalibrated(self, spark):
+        from tundradb_spark.pipeline.classify import calibration_bins
+
+        # bin [0.6, 0.7): predictions 0.6 x5, 3 positives -> obs 0.6
+        rows = [(0.6, i < 3) for i in range(5)]
+        # bin [0.0, 0.1): predicts 0.05 but everything is positive
+        rows += [(0.05, True) for _ in range(4)]
+        df = spark.createDataFrame(rows, "p double, y boolean")
+        out = {r["bin"]: r for r in calibration_bins(df, "p", "y").collect()}
+        assert out[6]["n"] == 5 and out[6]["mean_pred"] == 0.6
+        assert out[6]["obs_rate"] == 0.6 and out[6]["gap"] == 0.0
+        assert out[0]["gap"] == 0.95
+        assert (out[0]["p_lo"], out[0]["p_hi"]) == (0.0, 0.1)
+
+    def test_top_edge_joins_last_bin_and_domain_filtered(self, spark):
+        from tundradb_spark.pipeline.classify import calibration_bins
+
+        df = spark.createDataFrame(
+            [(1.0, True), (0.99, False), (1.5, True), (-0.1, True),
+             (float("nan"), True), (None, True), (0.5, None)],
+            "p double, y boolean",
+        )
+        out = {r["bin"]: r for r in calibration_bins(df, "p", "y").collect()}
+        # only the two in-domain labeled rows survive, both in bin 9
+        assert set(out) == {9} and out[9]["n"] == 2
+
+    def test_ece_composes(self, spark):
+        from tundradb_spark.pipeline.classify import calibration_bins
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(0.2, False), (0.2, False), (0.8, True), (0.8, False)],
+            "p double, y boolean",
+        )
+        bins = calibration_bins(df, "p", "y")
+        ece = bins.agg(
+            (F.sum(F.col("gap") * F.col("n")) / F.sum("n")).alias("ece")
+        ).first()["ece"]
+        # bin2 gap 0.2 (pred .2, obs 0), bin8 gap 0.3 (pred .8, obs .5)
+        assert abs(ece - 0.25) < 1e-9
+
+    def test_n_bins_validation(self, spark):
+        from tundradb_spark.pipeline.classify import calibration_bins
+
+        with pytest.raises(ValueError):
+            calibration_bins(
+                spark.createDataFrame([(0.5, True)], "p double, y boolean"),
+                "p", "y", n_bins=0,
+            )

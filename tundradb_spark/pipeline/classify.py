@@ -188,3 +188,121 @@ def nb_score(
             " / 1000000.0"
         ).alias("margin"),
     )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic classifier: partition
+    predictions into ``n_bins`` equal-width probability bins and compare
+    each bin's MEAN PREDICTED probability against its OBSERVED positive
+    rate — the calibration check (Murphy 1973; Guo et al. 2017 "On
+    Calibration of Modern Neural Networks") a filtering pipeline runs
+    before trusting :func:`nb_score`'s probabilities as keep/drop
+    thresholds.  A well-calibrated bin has ``gap ≈ 0``; the
+    ``n``-weighted sum of gaps is the expected calibration error (ECE),
+    computable from this output in one line.
+
+    Semantics (engine-reproducible): ``bin = min(floor(p·n_bins),
+    n_bins−1)`` (the 1.0 prediction joins the top bin); rows with
+    ``p`` outside ``[0, 1]`` or NULL are excluded — a probability
+    column containing anything else is a bug this operator should
+    surface, not average away; ``label`` is any boolean-able column
+    (cast to int 0/1, NULL label excluded and counted via ``n``'s
+    absence).
+
+    Plan / 100 TB shape: ONE map-side-combined ``groupBy(bin)`` over a
+    two-column projection — output is ``n_bins`` rows, nothing else
+    shuffles.  Mean prediction and observed rate come from
+    ``decimal(38,12)`` sums (partition-order free) divided once in
+    double, the module's float-determinism discipline.
+
+    Output: ``(bin, p_lo, p_hi, n, mean_pred, obs_rate, gap)`` with
+    ``gap = round(|mean_pred − obs_rate|, 6)``.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    p = F.col(prob_col).cast("double")
+    base = scored.select(
+        p.alias("__p"),
+        F.col(label_col).cast("boolean").cast("int").alias("__y"),
+    ).filter((p >= 0.0) & (p <= 1.0) & F.col(label_col).isNotNull())
+    binned = base.select(
+        F.least(
+            F.floor(F.col("__p") * n_bins).cast("long"),
+            F.lit(n_bins - 1),
+        ).alias("bin"),
+        "__p",
+        "__y",
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__p").cast("decimal(38,12)")).alias("__sp"),
+        F.sum(F.col("__y").cast("long")).alias("__sy"),
+    )
+    mean_pred = F.expr("cast(__sp as double) / cast(n as double)")
+    obs_rate = F.expr("cast(__sy as double) / cast(n as double)")
+    return agg.select(
+        "bin",
+        (F.col("bin").cast("double") / n_bins).alias("p_lo"),
+        ((F.col("bin") + 1).cast("double") / n_bins).alias("p_hi"),
+        F.col("n").cast("long").alias("n"),
+        F.expr(
+            "cast(floor((cast(__sp as double) / cast(n as double))"
+            " * 1000000 + 0.5) as double) / 1000000.0"
+        ).alias("mean_pred"),
+        F.expr(
+            "cast(floor((cast(__sy as double) / cast(n as double))"
+            " * 1000000 + 0.5) as double) / 1000000.0"
+        ).alias("obs_rate"),
+        F.expr(
+            "cast(floor(abs(cast(__sp as double) / cast(n as double)"
+            " - cast(__sy as double) / cast(n as double))"
+            " * 1000000 + 0.5) as double) / 1000000.0"
+        ).alias("gap"),
+    )
+
+
+def calibration_bins_sql(
+    table: str,
+    prob_expr: str,
+    label_expr: str,
+    n_bins: int = 10,
+) -> str:
+    """DuckDB oracle reproducing :func:`calibration_bins` exactly."""
+    return f"""
+    WITH base AS (
+        SELECT CAST({prob_expr} AS DOUBLE) AS p,
+               CAST(CAST({label_expr} AS BOOLEAN) AS INT) AS y
+        FROM {table}
+        WHERE CAST({prob_expr} AS DOUBLE) >= 0.0
+          AND CAST({prob_expr} AS DOUBLE) <= 1.0
+          AND ({label_expr}) IS NOT NULL
+    ),
+    binned AS (
+        SELECT least(CAST(floor(p * {n_bins}) AS BIGINT),
+                     {n_bins - 1}) AS bin, p, y
+        FROM base
+    ),
+    agg AS (
+        SELECT bin, count(*) AS n,
+               sum(CAST(p AS DECIMAL(38,12))) AS sp,
+               sum(CAST(y AS BIGINT)) AS sy
+        FROM binned GROUP BY bin
+    )
+    SELECT bin,
+           CAST(bin AS DOUBLE) / {n_bins} AS p_lo,
+           CAST(bin + 1 AS DOUBLE) / {n_bins} AS p_hi,
+           CAST(n AS BIGINT) AS n,
+           CAST(floor((CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+                      * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS mean_pred,
+           CAST(floor((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                      * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS obs_rate,
+           CAST(floor(abs(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)
+                          - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                      * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS gap
+    FROM agg
+    """
