@@ -814,6 +814,10 @@ def moving_aggregate(
 
     Output: ``(key, ts_us, value, n_window, sum_window, min_window,
     max_window, avg_window)`` — one row per input event.
+
+    Metric domain (dirty-input policy, documented drop): rows with
+    ``|value| >= 1e9`` — including NULL, NaN and ±Inf — are excluded
+    from stats and output; see :data:`METRIC_ABS_BOUND`.
     """
     from pyspark.sql import Window
 
@@ -884,6 +888,10 @@ def time_weighted_avg(
     Plan shape: one hash shuffle on (key, bucket), one lead() window —
     the :func:`time_bucket_rollup` discipline.  Output:
     ``(key, bucket_start_us, n_obs, twa)``.
+
+    Metric domain (dirty-input policy, documented drop): rows with
+    ``|value| >= 1e9`` — including NULL, NaN and ±Inf — are excluded
+    from stats and output; see :data:`METRIC_ABS_BOUND`.
     """
     from pyspark.sql import Window
 
@@ -970,6 +978,10 @@ def downsample_lttb(
     everything keyed, nothing global.
 
     Output: ``(key, ts_us, value)`` — the surviving points.
+    
+    Metric domain (dirty-input policy, documented drop): rows with
+    ``|value| >= 1e9`` — including NULL, NaN and ±Inf — are excluded
+    from stats and output; see :data:`METRIC_ABS_BOUND`.
     """
     from pyspark.sql import Window
 
@@ -1187,6 +1199,10 @@ def cusum_alarms(
     Output: ``(key, ts_us, value, cusum)`` — only rows with
     ``S_t ≥ threshold``, ``cusum`` rounded half-up to 6 via exact
     decimal arithmetic.
+    
+    Metric domain (dirty-input policy, documented drop): rows with
+    ``|value| >= 1e9`` — including NULL, NaN and ±Inf — are excluded
+    from stats and output; see :data:`METRIC_ABS_BOUND`.
     """
     from pyspark.sql import Window
 
