@@ -119,6 +119,15 @@ q_event_ngrams (sequential event-type patterns with distinct-user
 support) and q_node_similarity (neighborhood Jaccard over the wedge
 join) — oracle-bearing and CI-checked like the rest.
 
+**Round-10 rotation** (r9 verdict item 1): the 3 r9 operators that had
+never held a driver row — q_event_ngrams, q_node_similarity,
+q_calibration — are SEATED (``_SEAT_R10`` / ``_PARK_R10``).  Parked in
+exchange: the 3 seated rows with the longest green streaks (r5-r9) whose
+operators are untouched this round — q_dedup_minhash, q_ann_lsh,
+q_pii_scan.  q_outliers stays seated: its output contract changed in r10
+(metric-domain violations surface as ``flag='domain'`` rows instead of
+vanishing, r9 verdict item 4) and the new shape gets a fresh driver row.
+
 The per-round narrative above records WHY each rotation happened; the
 AUTHORITATIVE seated/parked lists at HEAD are runtime facts — read them
 from ``queries()`` / ``parked_queries()`` (or the ``_SEAT_R*`` /
@@ -3674,3 +3683,47 @@ def _calibration_oracle() -> str:
 
 PARKED_QUERIES["q_calibration"] = q_calibration
 PARKED_ORACLES["q_calibration"] = _calibration_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round-10 rotation (r9 verdict item 1): seat the 3 r9 operators that have
+# exact oracles and CI-green parked checks but have NEVER held a driver
+# CORRECTNESS row — q_event_ngrams, q_node_similarity, q_calibration.
+# Parked in exchange: 3 rows with the LONGEST driver-green streaks
+# (r5-r9, five consecutive rounds) whose operators are untouched in r10.
+# q_outliers stays seated: its output contract changed this round
+# (metric-domain violations now surface as flag='domain' rows, r9
+# verdict item 4) and the new shape gets a fresh driver row.
+# ---------------------------------------------------------------------------
+
+_SEAT_R10 = [
+    "q_event_ngrams",
+    "q_node_similarity",
+    "q_calibration",
+]
+
+#: first driver-green in r5, green every round since; every parked row
+#: keeps its oracle and is re-checked against DuckDB each CI run by
+#: tests/test_parked_oracles.py
+_PARK_R10 = [
+    "q_dedup_minhash",
+    "q_ann_lsh",
+    "q_pii_scan",
+]
+
+for _n in _SEAT_R10:
+    QUERIES[_n] = PARKED_QUERIES.pop(_n)
+    ORACLES[_n] = PARKED_ORACLES.pop(_n)
+for _n in _PARK_R10:
+    PARKED_QUERIES[_n] = QUERIES.pop(_n)
+    PARKED_ORACLES[_n] = ORACLES.pop(_n)
+
+if len(QUERIES) != 50 or set(QUERIES) != set(ORACLES):
+    raise RuntimeError(
+        f"r10 rotation broke the 50-slot window: {len(QUERIES)} seated, "
+        f"query/oracle diff {set(QUERIES) ^ set(ORACLES)}"
+    )
+if set(PARKED_QUERIES) != set(PARKED_ORACLES):
+    raise RuntimeError(
+        f"parked query/oracle diff: {set(PARKED_QUERIES) ^ set(PARKED_ORACLES)}"
+    )

@@ -216,6 +216,32 @@ class TestValueOutliers:
         with pytest.raises(ValueError):
             value_outliers(self._ev(spark, [(1, "A", 1.0)]), z_threshold=0)
 
+    def test_domain_violations_are_flagged_not_dropped(self, spark):
+        from tundradb_spark.operators.analytics import value_outliers
+
+        # group A: normal outlier math over the in-domain rows, PLUS two
+        # glitch rows (1e308 and inf) surfaced as flag='domain' with the
+        # per-group violation count; group C is ALL glitches — its
+        # domain rows must still appear (n_group=0 stats path)
+        rows = (
+            [(i, "A", 0.0) for i in range(4)]
+            + [(4, "A", 10.0), (5, "A", 1e308), (6, "A", float("inf"))]
+            + [(7, "C", -1e308)]
+        )
+        got = {
+            r["event_id"]: r
+            for r in value_outliers(
+                self._ev(spark, rows), z_threshold=2.0
+            ).collect()
+        }
+        assert got[4]["flag"] == "outlier" and got[4]["z"] == 2.0
+        assert got[4]["n_group"] == 5  # stats exclude the glitches
+        assert got[5]["flag"] == "domain" and got[5]["value"] == 1e308
+        assert got[5]["n_group"] == 2 and got[5]["z"] is None
+        assert got[6]["value"] is None  # inf: no portable representation
+        assert got[7]["flag"] == "domain" and got[7]["n_group"] == 1
+        assert set(got) == {4, 5, 6, 7}
+
 
 class TestMarkovTransitions:
     def _ev(self, spark, rows):
@@ -369,6 +395,25 @@ class TestEventNgrams:
         )
         got = event_ngrams(df, n=2, tiebreak_col="event_id").collect()
         assert [(r["gram"],) for r in got] == [("A>B",)]
+
+    def test_null_type_poisons_its_windows(self, spark):
+        """r10 (ADVICE item 1): a NULL event type must contribute NO
+        gram from any window containing it — concat_ws would otherwise
+        collapse (A, NULL, C) into the string 'A>C', indistinguishable
+        from a real bigram and divergent from the SQL oracle's ||
+        chain."""
+        from tundradb_spark.operators.analytics import event_ngrams
+
+        rows = [(1, 1, "A"), (1, 2, None), (1, 3, "C"), (1, 4, "D")]
+        got = {
+            r["gram"] for r in event_ngrams(_ev(spark, rows), n=2).collect()
+        }
+        # A>NULL and NULL>C gone entirely (NOT folded into 'A>C');
+        # only the clean window survives
+        assert got == {"C>D"}
+        assert (
+            event_ngrams(_ev(spark, rows), n=3).count() == 0
+        )  # every trigram window touches the NULL
 
     def test_n_must_be_at_least_two(self, spark):
         from tundradb_spark.operators.analytics import event_ngrams

@@ -172,12 +172,21 @@ class TestAnalyticsSurviveDirtyEvents:
 
         assert cohort_retention(dirty_events, period_us=10**6).count() >= 1
 
-    def test_outliers_drop_only_null_values(self, spark, dirty_events):
+    def test_outliers_surface_domain_violations(self, spark, dirty_events):
         from tundradb_spark.operators.analytics import value_outliers
 
-        # documented: NULL values are filtered; everything else must
-        # flow through the moment sums without raising
-        value_outliers(dirty_events, z_threshold=0.5).collect()
+        # r10: the metric-domain guard no longer hides the glitch rows —
+        # the -1e308 and NaN events come back as flag='domain' rows with
+        # a visible per-group violation count (NULL values still carry
+        # no metric and are dropped)
+        out = value_outliers(dirty_events, z_threshold=0.5).collect()
+        dom = {r["event_id"]: r for r in out if r["flag"] == "domain"}
+        assert set(dom) == {7, 8}
+        assert dom[7]["value"] == -1e308  # finite glitch passes through
+        assert dom[7]["n_group"] == 1 and dom[7]["z"] is None
+        assert dom[8]["value"] is None  # NaN has no portable hash
+        assert dom[8]["n_group"] == 1
+        assert all(r["flag"] == "outlier" for r in out if r["event_id"] not in (7, 8))
 
     def test_markov(self, spark, dirty_events):
         from tundradb_spark.operators.analytics import markov_transitions

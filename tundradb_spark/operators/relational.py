@@ -778,7 +778,12 @@ def resample_interp(
 #: so without this guard ONE pathological row (a 1e308 sensor glitch)
 #: kills a 100 TB job (found by tests/test_dirty_inputs.py).  Rows
 #: outside the domain are excluded from stats AND output — documented
-#: drop, the dirty-input policy.  Aggregate-capacity overflow from
+#: drop, the dirty-input policy.  To OBSERVE how much a stream violates
+#: the domain (a ±1e308 glitch is itself a signal), run
+#: ``operators.analytics.value_outliers`` over the same metric: since
+#: r10 it emits every domain-violating row as a ``flag='domain'`` row
+#: with a per-group violation count, so the drop these operators apply
+#: is countable from the same table.  Aggregate-capacity overflow from
 #: astronomically adversarial row counts still fails loudly (ANSI)
 #: rather than silently corrupting.
 METRIC_ABS_BOUND = 1e9

@@ -40,6 +40,10 @@ continuously-ingesting graph/analytics deployment needs:
 - :func:`stream_markov_pairs` / :func:`merge_markov_counts` — live
   first-order transition counts with O(1) per-user state (the last
   event type); summed pairs == the batch matrix under in-order delivery
+- :func:`stream_event_ngrams` / :func:`merge_event_ngrams` — live
+  sequential n-gram counts with O(n) per-user state (the trailing n−1
+  event types); merged grams == the batch operator under in-order
+  delivery
 - :func:`compact_stream_index` — atomic per-epoch → single-epoch fold
   for any of the streaming index/sketch tables
 """
@@ -47,9 +51,11 @@ continuously-ingesting graph/analytics deployment needs:
 from tundradb_spark.streaming.ops import (
     compact_stream_index,
     read_cm_estimate,
+    merge_event_ngrams,
     merge_markov_counts,
     read_cohort_retention,
     read_funnel,
+    stream_event_ngrams,
     stream_markov_pairs,
     stream_cohort_periods,
     stream_funnel_events,
@@ -104,4 +110,6 @@ __all__ = [
     "read_cohort_retention",
     "stream_markov_pairs",
     "merge_markov_counts",
+    "stream_event_ngrams",
+    "merge_event_ngrams",
 ]

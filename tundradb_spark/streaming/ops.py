@@ -17,6 +17,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -1288,6 +1290,10 @@ def stream_funnel_events(
       a later epoch keep their rows unpruned — correctness first.
     * Duplicate rows across epochs are harmless: min-chaining over a
       multiset equals min-chaining over its set.
+    * **Restriction**: step names must be DISTINCT (ValueError
+      otherwise) — the entry-min collapse discards the later
+      entry-type occurrences a repeated step would need; the batch
+      funnel has no such restriction.
 
     Each micro-batch writes its reduction to an ``epoch=E`` partition
     (dynamic partition overwrite — idempotent under replay, the
@@ -1302,6 +1308,16 @@ def stream_funnel_events(
     """
     if not steps:
         raise ValueError("steps must be a non-empty ordered list")
+    if len(set(steps)) != len(steps):
+        # the sink collapses ALL entry-type events to the per-epoch
+        # per-user min; if the entry type recurs as a later step, the
+        # later occurrences that repeated step needs are discarded and
+        # read_funnel undercounts vs the batch funnel (which supports
+        # duplicate step names) — refuse rather than silently diverge
+        raise ValueError(
+            "stream_funnel_events requires distinct step names "
+            f"(got {steps}); the batch funnel supports duplicates"
+        )
 
     def _sink(batch: DataFrame, epoch: int) -> None:
         if batch.isEmpty():
@@ -1451,37 +1467,70 @@ MARKOV_PAIR_SCHEMA = StructType(
         StructField("cnt", LongType()),
     ]
 )
-_MARKOV_STATE_SCHEMA = StructType([StructField("last_et", StringType())])
+_MARKOV_STATE_SCHEMA = StructType(
+    [
+        # has_last distinguishes "no event seen yet" from "previous
+        # event had a NULL type" — the batch operator keeps transitions
+        # OUT of a NULL type (src NULL) while dropping transitions INTO
+        # one (lead-NULL pairs are filtered), so the carried state must
+        # represent NULL-et faithfully
+        StructField("has_last", BooleanType()),
+        StructField("last_et", StringType()),
+    ]
+)
+
+#: sentinel: no previous event for this user (distinct from a previous
+#: event whose type was NULL)
+_NO_PREV = object()
 
 
 def _make_markov_fn():
+    def _null_safe_key(batch: pd.DataFrame):
+        # batch window sort = ORDER BY t ASC, tb ASC with Spark's
+        # default NULLS FIRST; a NULL ts/tiebreak arrives as NaN/None
+        # in pandas and must sort, not raise (dirty-input discipline)
+        def key(i):
+            t, b = batch["t_us"].iloc[i], batch["tb"].iloc[i]
+            tn, bn = pd.isna(t), pd.isna(b)
+            return (
+                0 if tn else 1,
+                0 if tn else int(t),
+                0 if bn else 1,
+                0 if bn else int(b),
+            )
+
+        return key
+
     def _markov_fn(
         key: tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        last = state.get[0] if state.exists else None
+        if state.exists:
+            has_last, last_val = state.get
+            last = last_val if has_last else _NO_PREV
+        else:
+            last = _NO_PREV
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if not chunks:
-            state.update((last,))
+            state.update((last is not _NO_PREV,
+                          None if last is _NO_PREV else last))
             return
         batch = pd.concat(chunks, ignore_index=True)
         # within-batch order = (ts, tiebreak), the batch operator's sort
-        order = sorted(
-            range(len(batch)),
-            key=lambda i: (
-                int(batch["t_us"].iloc[i]),
-                int(batch["tb"].iloc[i]),
-            ),
-        )
-        counts: dict[tuple[str, str], int] = {}
+        order = sorted(range(len(batch)), key=_null_safe_key(batch))
+        counts: dict[tuple[str | None, str], int] = {}
         for i in order:
             et = batch["et"].iloc[i]
-            if last is not None:
+            if pd.isna(et):
+                et = None
+            # batch semantics: pairs with a NULL dst are filtered
+            # (lead-NULL), pairs with a NULL src survive
+            if last is not _NO_PREV and et is not None:
                 k = (last, et)
                 counts[k] = counts.get(k, 0) + 1
             last = et
-        state.update((last,))
+        state.update((True, last))
         if counts:
             yield pd.DataFrame(
                 {
@@ -1571,4 +1620,164 @@ def merge_markov_counts(pairs: DataFrame, min_count: int = 1) -> DataFrame:
                 " * 1000000 + 0.5) as double) / 1000000.0"
             ).alias("prob"),
         )
+    )
+
+
+NGRAM_OCC_SCHEMA = StructType(
+    [
+        StructField("u", LongType()),
+        StructField("gram", StringType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+
+def _ngram_state_schema() -> StructType:
+    # the trailing buffer holds the user's last (n-1) event TYPES, NULLs
+    # preserved (a NULL-typed event still occupies a sequence position,
+    # exactly as in the batch operator's lead chain); buffer LENGTH
+    # doubles as the events-seen-so-far counter (capped at n-1), so no
+    # separate counter field is needed
+    return StructType(
+        [StructField("buf", ArrayType(StringType(), containsNull=True))]
+    )
+
+
+def _make_ngram_fn(n: int):
+    def _key_fn(batch: pd.DataFrame):
+        def key(i):
+            t, b = batch["t_us"].iloc[i], batch["tb"].iloc[i]
+            tn, bn = pd.isna(t), pd.isna(b)
+            return (
+                0 if tn else 1,
+                0 if tn else int(t),
+                0 if bn else 1,
+                0 if bn else int(b),
+            )
+
+        return key
+
+    def _ngram_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        buf: list[str | None] = (
+            list(state.get[0]) if state.exists and state.get[0] is not None
+            else []
+        )
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((buf,))
+            return
+        batch = pd.concat(chunks, ignore_index=True)
+        order = sorted(range(len(batch)), key=_key_fn(batch))
+        counts: dict[str, int] = {}
+        for i in order:
+            et = batch["et"].iloc[i]
+            if pd.isna(et):
+                et = None
+            if len(buf) == n - 1:
+                parts = buf + [et]
+                # batch semantics (r10): a window containing a NULL
+                # type contributes no gram
+                if all(p is not None for p in parts):
+                    g = ">".join(parts)
+                    counts[g] = counts.get(g, 0) + 1
+            buf.append(et)
+            if len(buf) > n - 1:
+                buf.pop(0)
+        state.update((buf,))
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "u": [key[0]] * len(counts),
+                    "gram": list(counts),
+                    "cnt": [counts[g] for g in counts],
+                }
+            )
+
+    return _ngram_fn
+
+
+def stream_event_ngrams(
+    events: DataFrame,
+    n: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Streaming face of :func:`tundradb_spark.operators.analytics.
+    event_ngrams`: per-user contiguous event-type n-gram counts over an
+    unbounded stream — :func:`stream_markov_pairs` generalized from one
+    carried event type to the last ``n−1``.
+
+    What makes n-grams streamable exactly: a length-``n`` window couples
+    an event only to its ``n−1`` immediate predecessors, so the per-key
+    state is a bounded trailing buffer of ``n−1`` strings carried across
+    micro-batches by ``applyInPandasWithState`` (Arrow-batched, one
+    shuffle on the user key, O(n) state per user forever — NULL types
+    occupy buffer positions but never form grams, the batch operator's
+    r10 all-parts-non-null gate).  Each micro-batch emits that user's
+    within-batch gram counts, including the up-to-``n−1``
+    boundary grams that straddle the batch edge via the carried buffer;
+    merging with :func:`merge_event_ngrams` reproduces the batch
+    operator EXACTLY whenever each user's events arrive in event-time
+    order across batches (within a batch, rows sort by
+    ``(ts, tiebreak)`` with a null-safe NULLS FIRST key — the streaming
+    contract shared with :func:`stream_markov_pairs`).
+
+    Output (update mode): ``(u, gram, cnt)`` rows per user per
+    micro-batch; sink them anywhere additive and merge at read time —
+    ``u`` rides along so the merge can count distinct-user support.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    from tundradb_spark.functions.timecols import epoch_micros as _us
+
+    sel = events.select(
+        F.col(user_col).cast("long").alias("key"),
+        _us(events, ts_col).alias("t_us"),
+        F.col(tiebreak_col).cast("long").alias("tb"),
+        F.col(type_col).alias("et"),
+    )
+    return sel.groupBy("key").applyInPandasWithState(
+        _make_ngram_fn(n),
+        outputStructType=NGRAM_OCC_SCHEMA,
+        stateStructType=_ngram_state_schema(),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def merge_event_ngrams(
+    occs: DataFrame,
+    min_count: int = 1,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Fold :func:`stream_event_ngrams` output into the gram table —
+    identical tail (min_count AFTER summing, ``top_n`` by
+    ``(n_occurrences DESC, gram ASC)``) to the batch operator, so
+    stream-merge == batch is exact under in-order delivery
+    (test-pinned).  Distinct-user support is exact because every
+    occurrence row carries its user."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    counts = (
+        occs.groupBy("gram")
+        .agg(
+            F.sum("cnt").alias("n_occurrences"),
+            F.count_distinct("u").alias("n_users"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    if top_n is not None:
+        counts = counts.orderBy(
+            F.col("n_occurrences").desc(), F.col("gram").asc()
+        ).limit(top_n)
+    return counts.select(
+        "gram",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("n_users").cast("long").alias("n_users"),
     )
