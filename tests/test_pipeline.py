@@ -2579,3 +2579,100 @@ class TestCalibrationBins:
                 spark.createDataFrame([(0.5, True)], "p double, y boolean"),
                 "p", "y", n_bins=0,
             )
+
+
+class TestImageDhash:
+    """r10: perceptual-hash image dedup — the fake kernel's bit layout,
+    the banding pigeonhole (banded == brute force), and the PIL gate."""
+
+    def _hashes(self, spark, texts):
+        from tundradb_spark.pipeline.multimodal import image_dhash
+
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        return image_dhash(attach_binary(docs), codec="fake")
+
+    def test_fake_kernel_bit_layout_by_hand(self, spark):
+        # strictly increasing bytes → every adjacent comparison true →
+        # all 64 bits set → signed int64 -1
+        import string
+
+        rising = "".join(
+            chr(33 + i) for i in range(90)
+        )  # 90 strictly rising code points, ASCII
+        [row] = self._hashes(spark, [rising]).collect()
+        assert row["dhash"] == -1
+        # strictly falling bytes → no bit set
+        [row2] = self._hashes(spark, [rising[::-1]]).collect()
+        assert row2["dhash"] == 0
+        assert string  # keep the import honest under linting
+
+    def test_same_length_edit_stays_near(self, spark):
+        from tundradb_spark.pipeline.multimodal import dhash_duplicate_pairs
+
+        base = "the quick brown fox jumps over the lazy dog " * 4
+        edited = "Z" + base[1:]
+        pairs = dhash_duplicate_pairs(
+            self._hashes(spark, [base, edited, base[::-1]]), max_hamming=4
+        ).collect()
+        assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
+        assert pairs[0]["hamming"] <= 1
+
+    def test_banded_equals_brute_force(self, spark):
+        """The pigeonhole band split must be lossless: compare against a
+        quadratic crossJoin popcount at several Hamming budgets."""
+        from pyspark.sql import functions as F
+        from tundradb_spark.pipeline.multimodal import dhash_duplicate_pairs
+
+        texts = [f"document number {i} with shared prefix body" for i in range(12)] + [
+            "Zocument number 3 with shared prefix body",  # near-dup of 3
+            "document number 7 with shared prefix bodZ",  # near-dup of 7
+        ]
+        hashes = self._hashes(spark, texts).cache()
+        a = hashes.selectExpr("doc_id id_a", "dhash h_a")
+        b = hashes.selectExpr("doc_id id_b", "dhash h_b")
+        for k in (0, 3, 17):
+            brute = {
+                (r["id_a"], r["id_b"], r["ham"])
+                for r in a.join(b, F.col("id_a") < F.col("id_b"))
+                .select(
+                    "id_a",
+                    "id_b",
+                    F.bit_count(F.expr("h_a ^ h_b")).cast("long").alias("ham"),
+                )
+                .filter(F.col("ham") <= k)
+                .collect()
+            }
+            banded = {
+                tuple(r)
+                for r in dhash_duplicate_pairs(hashes, max_hamming=k).collect()
+            }
+            assert banded == brute, f"k={k}"
+
+    def test_empty_payloads_dropped_and_validation(self, spark):
+        from tundradb_spark.pipeline.multimodal import (
+            dhash_duplicate_pairs,
+            image_dhash,
+        )
+
+        out = self._hashes(spark, ["", "x"]).collect()
+        assert [r["doc_id"] for r in out] == [1]
+        docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            image_dhash(attach_binary(docs), codec="bogus")
+        with pytest.raises(ValueError):
+            dhash_duplicate_pairs(self._hashes(spark, ["x"]), max_hamming=64)
+
+    def test_real_codec_is_honest_stub_without_pil(self, spark):
+        from tundradb_spark.pipeline.multimodal import image_dhash
+
+        try:
+            import PIL  # noqa: F401
+
+            pytest.skip("PIL present: real path exercised elsewhere")
+        except ImportError:
+            pass
+        docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with pytest.raises(NotImplementedError):
+            image_dhash(attach_binary(docs), codec="real")

@@ -186,3 +186,252 @@ def sample_frames(
             "frame"
         ),
     )
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+#: samples for the 1-D fake kernel: 65 byte samples → 64 adjacent
+#: comparisons → 64 hash bits (the 2-D real kernel uses the classic
+#: 9×8 grid for the same 64 bits)
+_DHASH_SAMPLES = 65
+
+
+def _fake_dhash_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic stand-in for a perceptual image hash: a 1-D dHash
+    over the payload bytes — 65 evenly-spaced byte samples, bit i set
+    when sample i+1 > sample i, packed MSB-first into a signed int64.
+    Small payload edits move few samples, so near-identical payloads
+    land within a small Hamming distance — the property the banded
+    pair join exploits.  numpy-vectorized per Arrow batch; empty
+    payloads are dropped (no samples to compare)."""
+    import numpy as np
+
+    ids, hashes = [], []
+    offsets = np.arange(_DHASH_SAMPLES, dtype=np.int64)
+    for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
+        n = len(b)
+        if n < 1:
+            continue
+        arr = np.frombuffer(b, dtype=np.uint8)
+        cells = arr[(offsets * n) // _DHASH_SAMPLES].astype(np.int64)
+        bits = cells[1:] > cells[:-1]
+        h = 0
+        for i in range(64):
+            if bits[i]:
+                h |= 1 << (63 - i)
+        if h >= 1 << 63:
+            h -= 1 << 64
+        ids.append(doc_id)
+        hashes.append(h)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "dhash": pd.Series(hashes, dtype="int64"),
+        }
+    )
+
+
+def _pil_dhash_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Real perceptual hash (classic dHash, Krawetz 2013): decode,
+    grayscale, resize to 9×8, compare horizontal neighbors row-major
+    into 64 bits.  Needs PIL — gated by :func:`image_dhash`."""
+    import io
+
+    from PIL import Image
+
+    ids, hashes = [], []
+    for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
+        with Image.open(io.BytesIO(b)) as im:
+            px = list(im.convert("L").resize((9, 8)).getdata())
+        h = 0
+        bit = 0
+        for r in range(8):
+            for c in range(8):
+                if px[r * 9 + c + 1] > px[r * 9 + c]:
+                    h |= 1 << (63 - bit)
+                bit += 1
+        if h >= 1 << 63:
+            h -= 1 << 64
+        ids.append(doc_id)
+        hashes.append(h)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "dhash": pd.Series(hashes, dtype="int64"),
+        }
+    )
+
+
+def image_dhash(blobs: DataFrame, codec: str = "real") -> DataFrame:
+    """64-bit perceptual hash per payload via Arrow-batched
+    ``mapInPandas`` — the image counterpart of the text MinHash
+    signature (cites reference behavior: the reference has no image
+    ops; this extends the LLM-pipeline dedup family to the one
+    modality it lacked — text ✓ shingles, embeddings ✓ cosine,
+    images ✗ → dHash).
+
+    ``codec='real'`` = classic dHash (PIL, probed at call time, honest
+    ``NotImplementedError`` stub in this container);
+    ``codec='fake'`` = the deterministic byte-sampling kernel with the
+    same schema/batching/bit layout, reproducible in plain SQL
+    (:func:`image_dhash_sql`) so the whole banded-dedup pipeline is
+    oracle-checkable end to end.
+
+    Output: ``(doc_id, dhash)`` with dhash a signed int64.
+    """
+    if codec == "real":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "perceptual hashing requires PIL (pillow), not available "
+                "here; use codec='fake' for the deterministic test kernel"
+            ) from exc
+        kernel = _pil_dhash_batch
+    elif codec == "fake":
+        kernel = _fake_dhash_batch
+    else:
+        raise ValueError(f"unknown codec: {codec}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield kernel(pdf)
+
+    return blobs.select("doc_id", "blob").mapInPandas(gen, DHASH_SCHEMA)
+
+
+def image_dhash_sql(table: str, text_col: str = "text") -> str:
+    """DuckDB oracle reproducing ``image_dhash(codec='fake')``
+    byte-exactly: the same 65 sample positions over the UTF-8 payload
+    (``get_bit`` on the blob's bit view rebuilds each sampled byte),
+    the same MSB-first bit packing, the same unsigned→signed fold
+    (HUGEINT intermediate dodges the signed shift overflow at bit
+    63)."""
+    s = _DHASH_SAMPLES
+    return f"""
+    WITH blobs AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, encode({text_col}) AS b,
+               octet_length(encode({text_col})) AS n
+        FROM {table} WHERE octet_length(encode({text_col})) >= 1
+    ),
+    cells AS (
+        SELECT doc_id,
+               [ list_sum([get_bit(b::BIT,
+                                   CAST((i * n) // {s} * 8 + j AS INT))
+                           * (1 << (7 - j)) FOR j IN range(8)])
+                 FOR i IN range({s}) ] AS cell
+        FROM blobs
+    ),
+    h AS (
+        SELECT doc_id,
+               list_sum([CASE WHEN cell[i+2] > cell[i+1]
+                         THEN (1::HUGEINT << (63 - i))
+                         ELSE 0::HUGEINT END
+                         FOR i IN range(64)]) AS hu
+        FROM cells
+    )
+    SELECT doc_id,
+           CAST(hu - CASE WHEN hu >= 9223372036854775808::HUGEINT
+                THEN 18446744073709551616::HUGEINT
+                ELSE 0::HUGEINT END AS BIGINT) AS dhash
+    FROM h
+    """
+
+
+def dhash_duplicate_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 4,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """All pairs of payloads whose perceptual hashes differ in at most
+    ``max_hamming`` of 64 bits — near-duplicate image detection, banded
+    like MinHash-LSH so the corpus never self-joins quadratically.
+
+    Completeness by pigeonhole: the 64 bits split into
+    ``max_hamming + 1`` contiguous bands; a pair within the Hamming
+    budget cannot differ in every band, so it MUST collide on at least
+    one band — banding is a lossless prefilter here, not an
+    approximation, and the exact ``bit_count(xor)`` check after the
+    join makes the output exactly the brute-force pair set
+    (:func:`dhash_pairs_sql` verifies against the quadratic form).
+
+    Plan / 100 TB shape: one explode (``bands×`` rows of
+    ``(band_idx, band_val, id, hash)``), ONE shuffle on the band key,
+    within-bucket self-join, pair dedup, vectorized popcount filter.
+    Output and intermediate volume are bounded by band-bucket
+    collisions, not corpus²; degenerate buckets (constant payloads
+    hashing to the same band value) concentrate like any LSH bucket —
+    the same skew caveat, and the same salting remedy, as the MinHash
+    band join.
+
+    Output: ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    """
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(
+            f"max_hamming must be in [0, 63], got {max_hamming}"
+        )
+    bands = max_hamming + 1
+    width = 64 // bands
+    pieces = []
+    for i in range(bands):
+        lo = i * width
+        w = 64 - lo if i == bands - 1 else width
+        if w >= 64:  # max_hamming=0: the band is the whole hash
+            val = F.col(hash_col)
+        else:
+            mask = (1 << w) - 1
+            val = F.expr(
+                f"shiftrightunsigned({hash_col}, {lo}) & {mask}"
+            )
+        pieces.append(
+            F.struct(F.lit(i).alias("band_idx"), val.alias("band_val"))
+        )
+    exploded = hashes.select(
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("h"),
+        F.explode(F.array(*pieces)).alias("band"),
+    ).select("id", "h", "band.band_idx", "band.band_val")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.h").alias("h_a"),
+            F.col("b.h").alias("h_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.expr("h_a ^ h_b")).cast("long").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def dhash_pairs_sql(
+    table: str, text_col: str = "text", max_hamming: int = 4
+) -> str:
+    """DuckDB oracle for the fake-kernel dedup pipeline end to end:
+    hashes via :func:`image_dhash_sql`, pairs via the BRUTE-FORCE
+    quadratic join — the banded operator must equal it exactly (the
+    pigeonhole argument in :func:`dhash_duplicate_pairs`)."""
+    return f"""
+    WITH hs AS ({image_dhash_sql(table, text_col)})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
+    """

@@ -3692,3 +3692,53 @@ LEFT JOIN cov v ON g.rep_id = v.rep_id
 
 PARKED_PIPELINE_QUERIES["q_soft_dedup"] = q_soft_dedup
 PARKED_PIPELINE_ORACLES["q_soft_dedup"] = Q_SOFT_DEDUP_SQL
+
+
+# --- r10 addition: perceptual-hash (dHash) image dedup ---
+# The one LLM-pipeline dedup family not yet covered (text shingles ✓,
+# embeddings ✓, images ✗ → r9 verdict item 8).  The corpus carries no
+# near-duplicates at any SF (measured: min pairwise Hamming 13/64), so
+# the query PLANTS one deterministic near-dup per document — a
+# same-length one-char edit, built identically in both engines — and
+# the banded pair join must recover exactly those pairs (plus any
+# incidental sub-threshold pair, of which the corpus has none).
+
+PHASH_MAX_HAMMING = 4
+_PHASH_EDIT_OFFSET = 100_000
+
+
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: perceptual-hash near-duplicate image pairs
+    (multimodal.image_dhash fake kernel + dhash_duplicate_pairs) —
+    banded like MinHash-LSH with a pigeonhole-lossless band split, so
+    the output equals the brute-force Hamming-ball pair set without a
+    quadratic self-join."""
+    from tundradb_spark.pipeline.multimodal import (
+        dhash_duplicate_pairs,
+        image_dhash,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select("doc_id", "text").unionAll(
+        docs.select(
+            (F.col("doc_id") + _PHASH_EDIT_OFFSET).alias("doc_id"),
+            F.expr("concat('Z', substr(text, 2))").alias("text"),
+        )
+    )
+    hashes = image_dhash(attach_binary(corpus), codec="fake")
+    return dhash_duplicate_pairs(hashes, max_hamming=PHASH_MAX_HAMMING)
+
+
+def _phash_dedup_sql() -> str:
+    from tundradb_spark.pipeline.multimodal import dhash_pairs_sql
+
+    corpus = (
+        "(SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT doc_id + {_PHASH_EDIT_OFFSET}, 'Z' || substr(text, 2) "
+        "FROM documents)"
+    )
+    return dhash_pairs_sql(corpus, max_hamming=PHASH_MAX_HAMMING)
+
+
+PARKED_PIPELINE_QUERIES["q_phash_dedup"] = q_phash_dedup
+PARKED_PIPELINE_ORACLES["q_phash_dedup"] = _phash_dedup_sql()

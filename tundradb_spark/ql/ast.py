@@ -179,6 +179,36 @@ class Cusum:
 
 
 @dataclass(frozen=True)
+class Markov:
+    """MARKOV ON <table> [USER col] [TS col] [TYPE col] [TIEBREAK col]
+    [MIN m] — first-order transition matrix over per-user event
+    sequences (operators.analytics.markov_transitions)."""
+
+    table: str
+    user_col: str = "user_id"
+    ts_col: str = "ts"
+    type_col: str = "event_type"
+    tiebreak_col: str = "event_id"
+    min_count: int = 1
+
+
+@dataclass(frozen=True)
+class Similarity:
+    """SIMILARITY ON [EDGES] <name> [SRC col] [DST col] [MIN m]
+    [MAXDEG d] [EXCLUDE ADJACENT] — neighborhood Jaccard over a pair
+    table or a registered edge type
+    (graphs.algorithms.neighborhood_similarity)."""
+
+    table: str
+    edges: bool = False
+    src: str | None = None  # None → id_a (table) / source_id (EDGES)
+    dst: str | None = None  # None → id_b (table) / target_id (EDGES)
+    min_common: int = 1
+    max_degree: int | None = None
+    include_adjacent: bool = True
+
+
+@dataclass(frozen=True)
 class Ngrams:
     """NGRAMS ON <table> [N k] [USER col] [TS col] [TYPE col] [MIN m]
     [TOP n] [TIEBREAK col] — sequential event-type n-grams
@@ -209,4 +239,6 @@ Statement = (
     | Outliers
     | Cusum
     | Ngrams
+    | Markov
+    | Similarity
 )

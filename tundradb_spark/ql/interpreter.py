@@ -217,6 +217,38 @@ def execute_ast(db: "Database", stmt: ast.Statement) -> DataFrame | None:
             tiebreak_col=stmt.tiebreak_col,
         )
 
+    if isinstance(stmt, ast.Markov):
+        from tundradb_spark.operators.analytics import markov_transitions
+
+        return markov_transitions(
+            db.get_table(stmt.table),
+            user_col=stmt.user_col,
+            ts_col=stmt.ts_col,
+            type_col=stmt.type_col,
+            tiebreak_col=stmt.tiebreak_col,
+            min_count=stmt.min_count,
+        )
+
+    if isinstance(stmt, ast.Similarity):
+        from tundradb_spark.graphs.algorithms import neighborhood_similarity
+
+        if stmt.edges:
+            pairs = db.get_edge_table(stmt.table)
+            src = stmt.src or "source_id"
+            dst = stmt.dst or "target_id"
+        else:
+            pairs = db.get_table(stmt.table)
+            src = stmt.src or "id_a"
+            dst = stmt.dst or "id_b"
+        return neighborhood_similarity(
+            pairs,
+            src=src,
+            dst=dst,
+            min_common=stmt.min_common,
+            max_degree=stmt.max_degree,
+            include_adjacent=stmt.include_adjacent,
+        )
+
     if isinstance(stmt, ast.Explain):
         # plan introspection (extension): the compiled MATCH's PHYSICAL
         # plan, one output row per line so the shell renders it verbatim

@@ -258,6 +258,10 @@ class Parser:
             stmt = self.cusum_statement()
         elif kw == "NGRAMS":
             stmt = self.ngrams_statement()
+        elif kw == "MARKOV":
+            stmt = self.markov_statement()
+        elif kw == "SIMILARITY":
+            stmt = self.similarity_statement()
         else:
             raise QueryError(f"TundraQL: unknown statement {kw!r}")
         self.accept(";")
@@ -877,6 +881,86 @@ class Parser:
             min_count=min_count,
             top_n=top_n,
             tiebreak_col=tiebreak,
+        )
+
+    def markov_statement(self) -> ast.Markov:
+        """MARKOV ON table [USER col] [TS col] [TYPE col] [TIEBREAK col]
+        [MIN m]"""
+        self.expect("MARKOV")
+        self.expect("ON")
+        table = self.ident()
+        user_col, ts_col, type_col = "user_id", "ts", "event_type"
+        tiebreak, min_count = "event_id", 1
+        while True:
+            if self.at_kw("USER"):
+                self.next()
+                user_col = self.ident()
+            elif self.at_kw("TS"):
+                self.next()
+                ts_col = self.ident()
+            elif self.at_kw("TYPE"):
+                self.next()
+                type_col = self.ident()
+            elif self.at_kw("TIEBREAK"):
+                self.next()
+                tiebreak = self.ident()
+            elif self.at_kw("MIN"):
+                self.next()
+                min_count = self._int_clause("MIN")
+            else:
+                break
+        return ast.Markov(
+            table=table,
+            user_col=user_col,
+            ts_col=ts_col,
+            type_col=type_col,
+            tiebreak_col=tiebreak,
+            min_count=min_count,
+        )
+
+    def similarity_statement(self) -> ast.Similarity:
+        """SIMILARITY ON [EDGES] name [SRC col] [DST col] [MIN m]
+        [MAXDEG d] [EXCLUDE ADJACENT]"""
+        self.expect("SIMILARITY")
+        self.expect("ON")
+        edges = False
+        if self.at_kw("EDGES"):
+            self.next()
+            edges = True
+        table = self.ident()
+        src = dst = None
+        min_common, max_degree, include_adjacent = 1, None, True
+        while True:
+            if self.at_kw("SRC"):
+                self.next()
+                src = self.ident()
+            elif self.at_kw("DST"):
+                self.next()
+                dst = self.ident()
+            elif self.at_kw("MIN"):
+                self.next()
+                min_common = self._int_clause("MIN")
+                if min_common < 1:
+                    raise QueryError(
+                        "TundraQL: SIMILARITY MIN must be >= 1"
+                    )
+            elif self.at_kw("MAXDEG"):
+                self.next()
+                max_degree = self._int_clause("MAXDEG")
+            elif self.at_kw("EXCLUDE"):
+                self.next()
+                self.expect("ADJACENT")
+                include_adjacent = False
+            else:
+                break
+        return ast.Similarity(
+            table=table,
+            edges=edges,
+            src=src,
+            dst=dst,
+            min_common=min_common,
+            max_degree=max_degree,
+            include_adjacent=include_adjacent,
         )
 
     def retention_statement(self) -> ast.Retention:

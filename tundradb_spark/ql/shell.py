@@ -71,10 +71,11 @@ COMPLETION_KEYWORDS = [
     "SELECT", "UPDATE", "DELETE", "SET", "SHOW", "EDGES", "TYPES",
     "COMMIT", "FROM", "TO", "AS", "AND", "OR", "ORDER", "BY", "LIMIT",
     "INNER", "LEFT", "RIGHT", "FULL", "SEMI", "ANTI", "APPEND",
-    # analytics statements (r9); their clause keywords (STEPS, WITHIN,
-    # PERIOD, MAX OFFSET, SLACK, THRESHOLD, ...) are documented by the
-    # HINTS templates instead of polluting the global pool
-    "FUNNEL", "RETENTION", "OUTLIERS", "CUSUM", "NGRAMS", "ON",
+    # analytics statements (r9-r10); their clause keywords (STEPS,
+    # WITHIN, PERIOD, MAX OFFSET, SLACK, THRESHOLD, ...) are documented
+    # by the HINTS templates instead of polluting the global pool
+    "FUNNEL", "RETENTION", "OUTLIERS", "CUSUM", "NGRAMS", "MARKOV",
+    "SIMILARITY", "ON",
 ]
 
 
@@ -99,6 +100,8 @@ HINTS = {
     "OUTLIERS ": "ON table [GROUP col] [VALUE col] [ID col] [Z x]",
     "CUSUM ": "ON table SLACK x THRESHOLD y [KEY col] [VALUE col] [TS col]",
     "NGRAMS ": "ON table [N k] [MIN m] [TOP n] [TYPE col]",
+    "MARKOV ": "ON table [USER col] [TS col] [TYPE col] [TIEBREAK col] [MIN m]",
+    "SIMILARITY ": "ON [EDGES] name [SRC col] [DST col] [MIN m] [MAXDEG d] [EXCLUDE ADJACENT]",
 }
 
 
