@@ -3727,3 +3727,58 @@ if set(PARKED_QUERIES) != set(PARKED_ORACLES):
     raise RuntimeError(
         f"parked query/oracle diff: {set(PARKED_QUERIES) ^ set(PARKED_ORACLES)}"
     )
+
+# --- r10 additions: robust MAD outliers + event-type co-occurrence ---
+# New operators join PARKED (window full; seatable next rotation) with
+# exact oracles, CI-checked by tests/test_parked_oracles.py like the rest.
+
+ROBUST_K = 3.0
+COOC_MIN_USERS, COOC_TOP = 2, 50
+
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: median/MAD robust anomalies (analytics.robust_outliers) —
+    the 50%-breakdown complement to q_outliers' z-score (whose σ one
+    huge inlier-bound glitch can inflate until true outliers vanish);
+    explicit-rank medians shared bit-exactly with the oracle, domain
+    glitches surfaced as flag='domain' rows."""
+    from tundradb_spark.operators.analytics import robust_outliers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return robust_outliers(ev, k=ROBUST_K)
+
+
+def _robust_outliers_oracle() -> str:
+    from tundradb_spark.operators.analytics import robust_outliers_sql
+
+    return robust_outliers_sql("events", k=ROBUST_K)
+
+
+PARKED_QUERIES["q_robust_outliers"] = q_robust_outliers
+PARKED_ORACLES["q_robust_outliers"] = _robust_outliers_oracle()
+
+
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: unordered event-type affinity (analytics.event_cooccurrence)
+    — distinct-user pair support + lift over one (user, type) distinct
+    and a per-user self-join; completes the sequence family (markov =
+    adjacent, ngrams = contiguous, funnel = hypothesized order, this =
+    any-order)."""
+    from tundradb_spark.operators.analytics import event_cooccurrence
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_cooccurrence(
+        ev, min_users=COOC_MIN_USERS, top_n=COOC_TOP
+    )
+
+
+def _cooccurrence_oracle() -> str:
+    from tundradb_spark.operators.analytics import event_cooccurrence_sql
+
+    return event_cooccurrence_sql(
+        "events", min_users=COOC_MIN_USERS, top_n=COOC_TOP
+    )
+
+
+PARKED_QUERIES["q_cooccurrence"] = q_cooccurrence
+PARKED_ORACLES["q_cooccurrence"] = _cooccurrence_oracle()

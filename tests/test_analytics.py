@@ -420,3 +420,157 @@ class TestEventNgrams:
 
         with pytest.raises(ValueError):
             event_ngrams(_ev(spark, [(1, 1, "A")]), n=1)
+
+
+class TestRobustOutliers:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        )
+
+    def test_mad_by_hand(self, spark):
+        from tundradb_spark.operators.analytics import robust_outliers
+
+        # A: [1,2,3,4,100] → median 3, devs [2,1,0,1,97] → MAD 1,
+        # scale 1.4826 → score(100) = 97/1.4826 ≈ 65.43 (only flag at 3.5)
+        rows = [(i, "A", float(v)) for i, v in enumerate([1, 2, 3, 4, 100], 1)]
+        got = robust_outliers(self._ev(spark, rows), k=3.5).collect()
+        assert [(r["event_id"], r["n_group"], r["flag"]) for r in got] == [
+            (5, 5, "outlier")
+        ]
+        expected = math.floor(97 / 1.4826 * 1e6 + 0.5) / 1e6
+        assert got[0]["score"] == expected
+
+    def test_even_count_median_is_rank_average(self, spark):
+        from tundradb_spark.operators.analytics import robust_outliers
+
+        # [1,2,3,4] → median (2+3)/2 = 2.5, devs [1.5,.5,.5,1.5] →
+        # MAD (0.5+1.5)/2 = 1.0; at k=1: |1.5|/1.4826 ≈ 1.012 flags the
+        # two extremes, 0.5/1.4826 ≈ 0.337 keeps the middles
+        rows = [(i, "A", float(i)) for i in range(1, 5)]
+        got = sorted(
+            r["event_id"]
+            for r in robust_outliers(self._ev(spark, rows), k=1.0).collect()
+        )
+        assert got == [1, 4]
+
+    def test_robust_where_zscore_is_masked(self, spark):
+        from tundradb_spark.operators.analytics import (
+            robust_outliers,
+            value_outliers,
+        )
+
+        # [1..9, 50]: one huge value inflates σ so the z-score at 3.0
+        # misses 50 (z ≈ 2.95), while median/MAD (5.5, 2.5) flag it at
+        # 44.5/3.7065 ≈ 12.0 — the masking failure MAD exists for
+        rows = [(i, "A", float(v)) for i, v in enumerate(list(range(1, 10)) + [50], 1)]
+        ev = self._ev(spark, rows)
+        assert value_outliers(ev, z_threshold=3.0).count() == 0
+        got = robust_outliers(ev, k=3.5).collect()
+        assert [(r["event_id"], r["flag"]) for r in got] == [(10, "outlier")]
+        assert got[0]["score"] == math.floor(44.5 / (2.5 * 1.4826) * 1e6 + 0.5) / 1e6
+
+    def test_zero_mad_produces_no_outliers(self, spark):
+        from tundradb_spark.operators.analytics import robust_outliers
+
+        # over half the group identical → MAD 0 → scores undefined
+        rows = [(1, "B", 7.0), (2, "B", 7.0), (3, "B", 7.0), (4, "B", 100.0)]
+        assert robust_outliers(self._ev(spark, rows), k=1.0).count() == 0
+
+    def test_domain_violations_are_flagged_not_dropped(self, spark):
+        from tundradb_spark.operators.analytics import robust_outliers
+
+        # A: [0,0,1,10] → med 0.5, MAD 0.5 → 10 flags at 3.5; the 1e308
+        # and inf glitches surface as flag='domain' (inf value → NULL);
+        # group C is ALL glitches and must still surface
+        rows = (
+            [(1, "A", 0.0), (2, "A", 0.0), (3, "A", 1.0), (4, "A", 10.0)]
+            + [(5, "A", 1e308), (6, "A", float("inf"))]
+            + [(7, "C", -1e308), (8, "A", None)]
+        )
+        got = {
+            r["event_id"]: r
+            for r in robust_outliers(self._ev(spark, rows), k=3.5).collect()
+        }
+        assert got[4]["flag"] == "outlier" and got[4]["n_group"] == 4
+        assert got[4]["score"] == math.floor(9.5 / (0.5 * 1.4826) * 1e6 + 0.5) / 1e6
+        assert got[5]["flag"] == "domain" and got[5]["value"] == 1e308
+        assert got[5]["n_group"] == 2 and got[5]["score"] is None
+        assert got[6]["value"] is None
+        assert got[7]["flag"] == "domain" and got[7]["n_group"] == 1
+        assert set(got) == {4, 5, 6, 7}
+
+    def test_validation(self, spark):
+        from tundradb_spark.operators.analytics import robust_outliers
+
+        with pytest.raises(ValueError):
+            robust_outliers(self._ev(spark, [(1, "A", 1.0)]), k=0)
+
+
+class TestEventCooccurrence:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_type string"
+        )
+
+    def test_counts_support_lift_by_hand(self, spark):
+        from tundradb_spark.operators.analytics import event_cooccurrence
+
+        # u1:{A,B,C} u2:{A,B} u3:{A}; N=3, n_A=3 n_B=2 n_C=1
+        rows = [(1, "A"), (1, "B"), (1, "C"), (2, "A"), (2, "B"), (3, "A")]
+        got = {
+            (r["type_a"], r["type_b"]): (
+                r["n_users_both"], r["support"], r["lift"]
+            )
+            for r in event_cooccurrence(self._ev(spark, rows)).collect()
+        }
+        assert got[("A", "B")] == (2, 0.666667, 1.0)   # (2·3)/(3·2)
+        assert got[("A", "C")] == (1, 0.333333, 1.0)   # (1·3)/(3·1)
+        assert got[("B", "C")] == (1, 0.333333, 1.5)   # (1·3)/(2·1)
+        assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+
+    def test_duplicates_collapse_and_min_users(self, spark):
+        from tundradb_spark.operators.analytics import event_cooccurrence
+
+        rows = [(1, "A"), (1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A")]
+        got = event_cooccurrence(self._ev(spark, rows), min_users=2).collect()
+        assert [(r["type_a"], r["type_b"], r["n_users_both"]) for r in got] == [
+            ("A", "B", 2)
+        ]
+
+    def test_lift_above_one_for_correlated_pair(self, spark):
+        from tundradb_spark.operators.analytics import event_cooccurrence
+
+        # A and B always together, C separate → lift(A,B) = 2·3/(2·2) = 1.5
+        rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "C")]
+        got = {
+            (r["type_a"], r["type_b"]): r["lift"]
+            for r in event_cooccurrence(self._ev(spark, rows)).collect()
+        }
+        assert got == {("A", "B"): 1.5}
+
+    def test_max_types_per_user_drops_bots(self, spark):
+        from tundradb_spark.operators.analytics import event_cooccurrence
+
+        # u9 touches 4 types (a crawler); cap 3 removes it from counts
+        rows = [(1, "A"), (1, "B"), (9, "A"), (9, "B"), (9, "C"), (9, "D")]
+        got = event_cooccurrence(
+            self._ev(spark, rows), max_types_per_user=3
+        ).collect()
+        assert [(r["type_a"], r["type_b"], r["n_users_both"], r["support"])
+                for r in got] == [("A", "B", 1, 1.0)]
+
+    def test_top_n_total_order(self, spark):
+        from tundradb_spark.operators.analytics import event_cooccurrence
+
+        rows = [(1, "A"), (1, "B"), (1, "C"), (2, "A"), (2, "B")]
+        got = event_cooccurrence(self._ev(spark, rows), top_n=2).collect()
+        assert [(r["type_a"], r["type_b"]) for r in got] == [
+            ("A", "B"), ("A", "C")
+        ]
+
+    def test_validation(self, spark):
+        from tundradb_spark.operators.analytics import event_cooccurrence
+
+        with pytest.raises(ValueError):
+            event_cooccurrence(self._ev(spark, [(1, "A")]), min_users=0)

@@ -1543,3 +1543,80 @@ class TestStreamAnalyticsDirtyInputs:
         assert ("Z", "A") in pairs and (None, "B") in pairs
         assert ("B", "C") in pairs
         assert not any(dst is None for _, dst in pairs)
+
+
+class TestStreamOutlierMoments:
+    """r10: stream_outlier_moments — additive decimal moment partials per
+    epoch; read-time sum-merge + the batch operator's shared scoring
+    expressions make stream-maintained flagging == value_outliers
+    exactly, including metric-domain glitch rows split across epochs."""
+
+    SCHEMA = "event_id long, event_type string, value double"
+
+    def _run_stream(self, spark, tmp_path, batches):
+        src = str(tmp_path / "omsrc")
+        sink = str(tmp_path / "omsink")
+        ckpt = str(tmp_path / "omck")
+        os.makedirs(src)
+        from tundradb_spark.streaming import stream_outlier_moments
+
+        spark.createDataFrame(batches[0], self.SCHEMA).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(self.SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = stream_outlier_moments(stream, sink, ckpt)
+        try:
+            q.processAllAvailable()
+            for b in batches[1:]:
+                spark.createDataFrame(b, self.SCHEMA).coalesce(1).write.mode(
+                    "append").parquet(src)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        return sink
+
+    def test_stream_merge_equals_batch_operator(self, spark, tmp_path):
+        from tundradb_spark.operators.analytics import value_outliers
+        from tundradb_spark.streaming import read_outliers
+
+        # group A's stats straddle the epochs (outlier + one glitch in
+        # each); B is zero-variance; C is ALL glitches; NULLs drop
+        batch1 = [
+            (1, "A", 0.0), (2, "A", 0.0), (3, "A", 10.0),
+            (4, "B", 7.0), (5, "A", 1e308), (6, "C", float("inf")),
+        ]
+        batch2 = [
+            (7, "A", 0.0), (8, "A", 0.0),
+            (9, "B", 7.0), (10, "A", float("nan")), (11, "C", -1e308),
+            (12, "A", None),
+        ]
+        sink = self._run_stream(spark, tmp_path, [batch1, batch2])
+        allrows = spark.createDataFrame(batch1 + batch2, self.SCHEMA)
+        got = sorted(
+            map(tuple, read_outliers(
+                spark, sink, allrows, z_threshold=2.0
+            ).collect())
+        )
+        want = sorted(
+            map(tuple, value_outliers(allrows, z_threshold=2.0).collect())
+        )
+        assert got == want
+        # sanity: the z outlier survived the split and the glitches
+        # surfaced as domain rows with per-group counts
+        d = {r[0]: r for r in want}
+        assert d[3][5] == "outlier" and d[3][3] == 5
+        assert {i for i in d if d[i][5] == "domain"} == {5, 6, 10, 11}
+
+    def test_history_scores_new_rows(self, spark, tmp_path):
+        """The live-monitoring use: a NEW frame judged by the stream's
+        all-time moments, not its own — a single fresh row can be an
+        outlier against history even though alone it has zero variance."""
+        from tundradb_spark.streaming import read_outliers
+
+        history = [(i, "A", 0.0) for i in range(1, 5)] + [(5, "A", 10.0)]
+        sink = self._run_stream(spark, tmp_path, [history])
+        fresh = spark.createDataFrame([(99, "A", 10.0)], self.SCHEMA)
+        got = read_outliers(spark, sink, fresh, z_threshold=2.0).collect()
+        # history: mean 2, std 4 → z(10) = 2.0; n_group = 5 (history)
+        assert [(r["event_id"], r["n_group"], r["z"], r["flag"])
+                for r in got] == [(99, 5, 2.0, "outlier")]

@@ -300,8 +300,19 @@ def value_outliers(
     """
     if z_threshold <= 0:
         raise ValueError(f"z_threshold must be > 0, got {z_threshold}")
+    ev = _metric_tagged(events, group_col, value_col, id_col)
+    stats = outlier_moments(ev, group_col, value_col)
+    return flag_outliers(ev, stats, group_col, value_col, id_col, z_threshold)
+
+
+def _metric_tagged(
+    events: DataFrame, group_col: str, value_col: str, id_col: str
+) -> DataFrame:
+    """(id, group, value double) with NULL values dropped and the
+    metric-domain tag ``__ok`` — the shared front end of
+    :func:`value_outliers` and the streaming moment sink."""
     v = F.col(value_col)
-    ev = (
+    return (
         events.select(
             F.col(id_col).cast("long").alias(id_col),
             F.col(group_col).alias(group_col),
@@ -312,7 +323,19 @@ def value_outliers(
         # engines, so one predicate covers every domain violation
         .withColumn("__ok", F.abs(v) < F.lit(1e9))
     )
-    stats = ev.groupBy(group_col).agg(
+
+
+def outlier_moments(
+    ev: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group moment partials ``(n_group, __sv, __svv, __ndom)`` over a
+    ``__ok``-tagged frame.  Every column is ADDITIVE (exact longs and
+    exact ``decimal(38,12)`` sums), so partials from disjoint row sets —
+    micro-batch epochs, shards — merge by plain ``sum`` into exactly the
+    single-pass aggregate (streaming.ops.stream_outlier_moments is that
+    merge's producer)."""
+    v = F.col(value_col)
+    return ev.groupBy(group_col).agg(
         F.sum(F.when(F.col("__ok"), 1).otherwise(0)).alias("n_group"),
         F.sum(
             F.when(F.col("__ok"), v.cast("decimal(38,12)"))
@@ -322,6 +345,21 @@ def value_outliers(
         ).alias("__svv"),
         F.sum(F.when(~F.col("__ok"), 1).otherwise(0)).alias("__ndom"),
     )
+
+
+def flag_outliers(
+    ev: DataFrame,
+    stats: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    z_threshold: float,
+) -> DataFrame:
+    """Score a ``__ok``-tagged frame against per-group moment partials
+    (:func:`outlier_moments` layout) — the back half of
+    :func:`value_outliers`, shared verbatim with the streaming reader so
+    stream-merged moments flag IDENTICALLY to the batch operator."""
+    v = F.col(value_col)
     mean = F.expr(
         "cast(__sv as double) / nullif(cast(n_group as double), 0.0)"
     )
@@ -667,4 +705,370 @@ def event_ngrams_sql(
            CAST(count(DISTINCT u) AS BIGINT) AS n_users
     FROM g WHERE gram IS NOT NULL
     GROUP BY gram HAVING count(*) >= {min_count}{tail}
+    """
+
+
+def robust_outliers(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: float = 3.5,
+) -> DataFrame:
+    """Per-group ROBUST anomaly detection via the median / MAD rule
+    (Iglewicz & Hoaglin 1993): a row is an outlier when
+
+        ``|value − median| / (1.4826 · MAD) >= k``
+
+    — the standard complement to :func:`value_outliers`' z-score, whose
+    mean and standard deviation are themselves dragged by the very
+    extremes it hunts (one 1e8 inlier-bound glitch can mask every true
+    outlier by inflating σ).  Median and MAD have a 50% breakdown point,
+    so the threshold stays put no matter how wild the tail is.
+
+    Exact cross-engine medians WITHOUT interpolation ambiguity: the
+    median is computed from explicit ranks — ``row_number`` over
+    ``(value, id)`` picks the value(s) at 1-indexed ranks
+    ``floor((n+1)/2)`` and ``floor((n+2)/2)``, and the median is their
+    ``sum/count`` (one IEEE add + divide for even n, identity for odd) —
+    the SAME arithmetic in :func:`robust_outliers_sql`, avoiding
+    engine-defined ``percentile``/``quantile_cont`` interpolation shapes
+    (``lo + (hi−lo)·0.5`` and ``(lo+hi)/2`` differ in the last bit).
+    The MAD is the same rank trick over ``|value − median|``.
+
+    Plan / 100 TB shape: two sort-based window passes over the
+    ``(group, value, id)`` PROJECTION (never the full rows) — exact
+    distributed medians with no per-group in-memory buffering (Spark's
+    ``percentile`` aggregate collects every group value into one
+    executor's memory; ``row_number`` sorts spill) — plus group-sized
+    median/MAD frames broadcast back onto the scan.  For an approximate
+    single-pass alternative at extreme scale, see
+    ``relational.group_quantiles`` (histogram sketch).  Skewed groups
+    cost a skewed sort, which AQE splits.
+
+    Metric domain: same VISIBLE policy as :func:`value_outliers` —
+    NULL values drop silently; NaN/±Inf/|v| >= 1e9 rows are excluded
+    from median/MAD but emitted as ``flag='domain'`` rows (value NULL
+    for non-finite, ``n_group`` = per-group violation count, NULL
+    score).  Zero-MAD groups (over half the values identical) produce
+    no outlier rows; their domain rows still surface.
+
+    Output: ``(id, group, value, n_group, score, flag)`` — ``score`` is
+    the signed robust z rounded half-up to 6 dp, ``flag IN ('outlier',
+    'domain')``.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    ev = (
+        events.select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.col(group_col).alias(group_col),
+            v.cast("double").alias(value_col),
+        )
+        .filter(v.isNotNull())
+        .withColumn("__ok", F.abs(v) < F.lit(1e9))
+    )
+    ok = ev.filter("__ok")
+
+    def _rank_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        """Per-group median of ``col`` via explicit ranks (see above);
+        returns a group-sized ``(group, n_group?, out)`` frame."""
+        w = Window.partitionBy(group_col).orderBy(
+            F.col(col).asc(), F.col(id_col).asc()
+        )
+        ns = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+        ranked = df.select(
+            group_col, col, F.row_number().over(w).alias("__rn")
+        ).join(F.broadcast(ns), group_col)
+        return (
+            ranked.filter(
+                (F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
+                | (F.col("__rn") == F.floor((F.col("__n") + 2) / 2))
+            )
+            .groupBy(group_col)
+            .agg(
+                (F.sum(col) / F.count(F.lit(1))).alias(out),
+                F.first("__n").alias("__n"),
+            )
+        )
+    med = _rank_median(ok, value_col, "__med")
+    dev = ok.join(F.broadcast(med.select(group_col, "__med")), group_col).select(
+        id_col, group_col, F.abs(v - F.col("__med")).alias("__dev")
+    )
+    mad = _rank_median(dev, "__dev", "__mad").select(group_col, "__mad")
+    ndom = (
+        ev.filter(~F.col("__ok"))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__ndom"))
+    )
+    joined = (
+        ev.join(F.broadcast(med.withColumnRenamed("__n", "__nok")), group_col, "left")
+        .join(F.broadcast(mad), group_col, "left")
+        .join(F.broadcast(ndom), group_col, "left")
+    )
+    rz = F.expr(
+        f"case when __ok and __mad > 0 then"
+        f" cast(({value_col} - __med) / (__mad * 1.4826)"
+        f" as decimal(20,10)) end"
+    )
+    nonfinite = F.isnan(v) | (F.abs(v) == F.lit(float("inf")))
+    return (
+        joined.withColumn("__rz", rz)
+        .filter(
+            ~F.col("__ok")
+            | (F.col("__rz").isNotNull() & (F.abs(F.col("__rz")) >= k))
+        )
+        .select(
+            id_col,
+            group_col,
+            F.when(F.col("__ok") | ~nonfinite, v).alias(value_col),
+            F.when(F.col("__ok"), F.col("__nok"))
+            .otherwise(F.col("__ndom"))
+            .cast("long")
+            .alias("n_group"),
+            F.expr(
+                "cast(floor(__rz * 1000000 + 0.5) as double) / 1000000.0"
+            ).alias("score"),
+            F.when(F.col("__ok"), F.lit("outlier"))
+            .otherwise(F.lit("domain"))
+            .alias("flag"),
+        )
+    )
+
+
+def robust_outliers_sql(
+    table: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: float = 3.5,
+) -> str:
+    """DuckDB oracle reproducing :func:`robust_outliers` exactly — the
+    same explicit-rank medians (``sum/count`` of the rank-picked values,
+    never ``median()``/``quantile_cont`` whose interpolation shape is
+    engine-defined), the same ``(v − med) / (mad · 1.4826)`` score and
+    the same ``flag='domain'`` pass-through."""
+    return f"""
+    WITH raw AS (
+        SELECT CAST({id_col} AS BIGINT) AS {id_col}, {group_col},
+               CAST({value_col} AS DOUBLE) AS {value_col}
+        FROM {table} WHERE {value_col} IS NOT NULL
+    ),
+    tagged AS (
+        SELECT *, abs({value_col}) < 1000000000.0 AS ok FROM raw
+    ),
+    ok_rows AS (SELECT * FROM tagged WHERE ok),
+    ns AS (SELECT {group_col}, count(*) AS n FROM ok_rows
+           GROUP BY {group_col}),
+    ranked AS (
+        SELECT o.{group_col}, o.{value_col}, ns.n,
+               row_number() OVER (PARTITION BY o.{group_col}
+                                  ORDER BY o.{value_col} ASC,
+                                           o.{id_col} ASC) AS rn
+        FROM ok_rows o JOIN ns USING ({group_col})
+    ),
+    med AS (
+        SELECT {group_col}, sum({value_col}) / count(*) AS med,
+               first(n) AS nok
+        FROM ranked
+        WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2)
+        GROUP BY {group_col}
+    ),
+    dev AS (
+        SELECT o.{id_col}, o.{group_col},
+               abs(o.{value_col} - med.med) AS dv
+        FROM ok_rows o JOIN med USING ({group_col})
+    ),
+    dev_ranked AS (
+        SELECT d.{group_col}, d.dv, ns.n,
+               row_number() OVER (PARTITION BY d.{group_col}
+                                  ORDER BY d.dv ASC, d.{id_col} ASC) AS rn
+        FROM dev d JOIN ns USING ({group_col})
+    ),
+    mad AS (
+        SELECT {group_col}, sum(dv) / count(*) AS mad
+        FROM dev_ranked
+        WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2)
+        GROUP BY {group_col}
+    ),
+    dom AS (
+        SELECT {group_col}, count(*) AS n_domain
+        FROM tagged WHERE NOT ok GROUP BY {group_col}
+    ),
+    scored AS (
+        SELECT t.{id_col}, t.{group_col}, t.{value_col}, t.ok,
+               med.nok, dom.n_domain,
+               CASE WHEN t.ok AND mad.mad > 0
+                    THEN CAST((t.{value_col} - med.med)
+                              / (mad.mad * 1.4826)
+                              AS DECIMAL(20,10)) END AS rz
+        FROM tagged t
+        LEFT JOIN med USING ({group_col})
+        LEFT JOIN mad USING ({group_col})
+        LEFT JOIN dom USING ({group_col})
+    )
+    SELECT {id_col}, {group_col},
+           CASE WHEN ok OR NOT (isnan({value_col}) OR isinf({value_col}))
+                THEN {value_col} END AS {value_col},
+           CAST(CASE WHEN ok THEN nok ELSE n_domain END
+                AS BIGINT) AS n_group,
+           CAST(floor(rz * 1000000 + 0.5) AS DOUBLE) / 1000000.0
+               AS score,
+           CASE WHEN ok THEN 'outlier' ELSE 'domain' END AS flag
+    FROM scored
+    WHERE (NOT ok) OR (rz IS NOT NULL AND abs(rz) >= {k})
+    """
+
+
+def event_cooccurrence(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    min_users: int = 1,
+    top_n: int | None = None,
+    max_types_per_user: int | None = None,
+) -> DataFrame:
+    """Unordered event-type co-occurrence: for every pair of event types,
+    how many distinct users did BOTH, with support and lift — the
+    market-basket view of the events stream.  Completes the sequence-
+    analytics family: :func:`markov_transitions` sees adjacent pairs,
+    :func:`event_ngrams` contiguous runs, :func:`funnel` one hypothesized
+    order; this sees ANY-order affinity (``lift > 1`` = the pair
+    co-occurs more than independent usage predicts).
+
+    Plan / 100 TB shape: ONE ``(user, type)`` distinct (the only
+    corpus-sized shuffle; map-side combined), then a per-user self-join
+    whose fan-out is ``Σ_u t_u²`` — bounded by the event-type universe
+    squared per user, the same wedge shape as the graph family's
+    ``Σ deg²`` with the TYPE UNIVERSE (small) in the hub role, so the
+    blow-up risk sits on users, not types.  ``max_types_per_user`` is
+    the ``max_degree`` analog: drop users touching more distinct types
+    than the cap (bots/crawlers) before pairing.  Per-type user counts
+    and the total-user count are type-universe-sized frames, broadcast.
+
+    Determinism: all counts are exact longs; support and lift are each
+    ONE double division (lift's operands multiplied as doubles first —
+    ``n_ab · N`` can pass 2⁶³ at planetary user counts), rounded
+    half-up to 6 dp via the house ``floor(x·1e6 + 0.5)`` shape.
+
+    Returns ``(type_a, type_b, n_users_both, support, lift)`` with
+    ``type_a < type_b``; with ``top_n``, the top rows by
+    ``(n_users_both DESC, type_a, type_b)`` — a total order.
+    """
+    if min_users < 1:
+        raise ValueError(f"min_users must be >= 1, got {min_users}")
+    ut = (
+        events.select(
+            F.col(user_col).cast("long").alias("u"),
+            F.col(type_col).alias("et"),
+        )
+        .filter(F.col("u").isNotNull() & F.col("et").isNotNull())
+        .distinct()
+    )
+    if max_types_per_user is not None:
+        keep = ut.groupBy("u").agg(F.count(F.lit(1)).alias("__t")).filter(
+            F.col("__t") <= max_types_per_user
+        )
+        ut = ut.join(keep.select("u"), "u")
+    per_type = ut.groupBy("et").agg(F.count(F.lit(1)).alias("n_t"))
+    total = ut.select(F.count_distinct("u").alias("n_total"))
+    l, r = ut.alias("l"), ut.alias("r")
+    pairs = (
+        l.join(r, "u")
+        .filter(F.col("l.et") < F.col("r.et"))
+        .groupBy(
+            F.col("l.et").alias("type_a"), F.col("r.et").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users_both"))
+        .filter(F.col("n_users_both") >= min_users)
+    )
+    na = per_type.select(F.col("et").alias("type_a"), F.col("n_t").alias("__na"))
+    nb = per_type.select(F.col("et").alias("type_b"), F.col("n_t").alias("__nb"))
+    out = (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_users_both").cast("long").alias("n_users_both"),
+            F.expr(
+                "cast(floor(cast(n_users_both as double)"
+                " / cast(n_total as double) * 1000000 + 0.5) as double)"
+                " / 1000000.0"
+            ).alias("support"),
+            F.expr(
+                "cast(floor(cast(n_users_both as double)"
+                " * cast(n_total as double)"
+                " / (cast(__na as double) * cast(__nb as double))"
+                " * 1000000 + 0.5) as double) / 1000000.0"
+            ).alias("lift"),
+        )
+    )
+    if top_n is not None:
+        out = out.orderBy(
+            F.col("n_users_both").desc(),
+            F.col("type_a").asc(),
+            F.col("type_b").asc(),
+        ).limit(top_n)
+    return out
+
+
+def event_cooccurrence_sql(
+    table: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    min_users: int = 1,
+    top_n: int | None = None,
+    max_types_per_user: int | None = None,
+) -> str:
+    """DuckDB oracle reproducing :func:`event_cooccurrence` exactly (same
+    distinct, same self-join, same double-division shapes)."""
+    cap = (
+        f"""
+    , capped AS (
+        SELECT u FROM ut GROUP BY u
+        HAVING count(*) <= {max_types_per_user}
+    )"""
+        if max_types_per_user is not None
+        else ""
+    )
+    src = "ut JOIN capped USING (u)" if max_types_per_user is not None else "ut"
+    tail = (
+        f" ORDER BY n_users_both DESC, type_a ASC, type_b ASC LIMIT {top_n}"
+        if top_n is not None
+        else ""
+    )
+    return f"""
+    WITH ut0 AS (
+        SELECT DISTINCT CAST({user_col} AS BIGINT) AS u, {type_col} AS et
+        FROM {table}
+        WHERE {user_col} IS NOT NULL AND {type_col} IS NOT NULL
+    ),
+    ut AS (SELECT * FROM ut0){cap},
+    base AS (SELECT * FROM {src}),
+    per_type AS (SELECT et, count(*) AS n_t FROM base GROUP BY et),
+    total AS (SELECT count(DISTINCT u) AS n_total FROM base),
+    pairs AS (
+        SELECT l.et AS type_a, r.et AS type_b, count(*) AS n_users_both
+        FROM base l JOIN base r ON l.u = r.u AND l.et < r.et
+        GROUP BY l.et, r.et HAVING count(*) >= {min_users}
+    )
+    SELECT type_a, type_b,
+           CAST(n_users_both AS BIGINT) AS n_users_both,
+           CAST(floor(CAST(n_users_both AS DOUBLE)
+                      / CAST(n_total AS DOUBLE) * 1000000 + 0.5)
+                AS DOUBLE) / 1000000.0 AS support,
+           CAST(floor(CAST(n_users_both AS DOUBLE)
+                      * CAST(n_total AS DOUBLE)
+                      / (CAST(na.n_t AS DOUBLE) * CAST(nb.n_t AS DOUBLE))
+                      * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS lift
+    FROM pairs
+    JOIN per_type na ON pairs.type_a = na.et
+    JOIN per_type nb ON pairs.type_b = nb.et
+    CROSS JOIN total
+    {tail}
     """

@@ -44,6 +44,10 @@ continuously-ingesting graph/analytics deployment needs:
   sequential n-gram counts with O(n) per-user state (the trailing n−1
   event types); merged grams == the batch operator under in-order
   delivery
+- :func:`stream_outlier_moments` / :func:`read_outliers` — live
+  per-group z-score moments with O(groups) state per epoch (exact
+  decimal partials; sum-merge + shared scoring == the batch
+  value_outliers exactly, domain glitch rows included)
 - :func:`compact_stream_index` — atomic per-epoch → single-epoch fold
   for any of the streaming index/sketch tables
 """
@@ -56,6 +60,8 @@ from tundradb_spark.streaming.ops import (
     read_cohort_retention,
     read_funnel,
     stream_event_ngrams,
+    stream_outlier_moments,
+    read_outliers,
     stream_markov_pairs,
     stream_cohort_periods,
     stream_funnel_events,
@@ -112,4 +118,6 @@ __all__ = [
     "merge_markov_counts",
     "stream_event_ngrams",
     "merge_event_ngrams",
+    "stream_outlier_moments",
+    "read_outliers",
 ]

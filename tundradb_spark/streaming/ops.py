@@ -1781,3 +1781,98 @@ def merge_event_ngrams(
         F.col("n_occurrences").cast("long").alias("n_occurrences"),
         F.col("n_users").cast("long").alias("n_users"),
     )
+
+
+def stream_outlier_moments(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    query_name: str | None = None,
+) -> "StreamingQuery":
+    """Continuously maintain per-group outlier MOMENTS
+    (operators.analytics.outlier_moments layout: ``(n_group, __sv, __svv,
+    __ndom)``) from an event stream — the streaming half of
+    :func:`~tundradb_spark.operators.analytics.value_outliers`, with
+    O(groups) state per epoch where a naive streaming z-score would
+    re-scan history every trigger.
+
+    Additivity does the work (the HLL/CM discipline): counts are exact
+    longs and the value sums exact ``decimal(38,12)``, so per-epoch
+    partials summed across epochs equal the single-pass batch aggregate
+    BIT-EXACTLY — :func:`read_outliers` merges them and flags with the
+    very same expressions as the batch operator, so stream-maintained
+    flagging == ``value_outliers(all_rows)`` (test-pinned, including
+    metric-domain glitch rows split across epochs).  Idempotent under
+    micro-batch replay via dynamic partition overwrite on ``epoch``
+    (required: double-writing an epoch would double its sums).
+
+    At scale the moment table is ``groups × epochs`` rows regardless of
+    stream volume; fold occasionally with :func:`compact_stream_index`.
+    """
+    from tundradb_spark.operators.analytics import (
+        _metric_tagged,
+        outlier_moments,
+    )
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        ev = _metric_tagged(batch, group_col, value_col, id_col)
+        moments = outlier_moments(ev, group_col, value_col)
+        (
+            moments.withColumn("epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name or "outlier-moments")
+        .start()
+    )
+
+
+def read_outliers(
+    spark,
+    path: str,
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Merge all epochs of a :func:`stream_outlier_moments` table into
+    per-group stats and flag ``events`` against them — IDENTICAL to
+    ``value_outliers(events)`` when the stream has delivered exactly
+    ``events``' rows (decimal partial sums merge exactly; the scoring
+    expressions are shared verbatim via
+    ``operators.analytics.flag_outliers``).  The events side is whatever
+    event store the deployment keeps (e.g. the stream_ingest table);
+    passing a DIFFERENT frame scores it against the stream's history —
+    the live-monitoring use (new rows judged by all-time moments).
+    """
+    from tundradb_spark.operators.analytics import (
+        _metric_tagged,
+        flag_outliers,
+    )
+
+    merged = (
+        spark.read.parquet(path)
+        .groupBy(group_col)
+        .agg(
+            F.sum("n_group").alias("n_group"),
+            F.sum("__sv").cast("decimal(38,12)").alias("__sv"),
+            F.sum("__svv").cast("decimal(38,12)").alias("__svv"),
+            F.sum("__ndom").alias("__ndom"),
+        )
+    )
+    ev = _metric_tagged(events, group_col, value_col, id_col)
+    return flag_outliers(
+        ev, merged, group_col, value_col, id_col, z_threshold
+    )
