@@ -682,3 +682,69 @@ class TestQLAnalyticsR10:
 
         assert "TIEBREAK" in hint_for("MARKOV ")
         assert "MAXDEG" in hint_for("SIMILARITY ")
+
+
+class TestQLAnalyticsR10b:
+    """OUTLIERS ROBUST + COOCCURRENCE statements — the r10 operators on
+    the text surface, value-checked against the operators they front."""
+
+    def test_outliers_robust_parse(self):
+        st = parse_statement(
+            "OUTLIERS ON events GROUP kind VALUE v ROBUST K 4.0;")
+        assert isinstance(st, ast.Outliers)
+        assert st.robust and st.k == 4.0 and st.group_col == "kind"
+
+    def test_outliers_robust_default_k(self):
+        st = parse_statement("OUTLIERS ON events ROBUST;")
+        assert st.robust and st.k == 3.5 and st.z == 3.0
+
+    def test_outliers_k_without_robust_rejected(self):
+        with pytest.raises(QueryError):
+            parse_statement("OUTLIERS ON events K 4.0;")
+
+    def test_cooccurrence_parse(self):
+        st = parse_statement(
+            "COOCCURRENCE ON events USER uid TYPE kind MIN 2 TOP 10 CAP 50;")
+        assert isinstance(st, ast.Cooccurrence)
+        assert (st.user_col, st.type_col, st.min_users, st.top_n,
+                st.max_types_per_user) == ("uid", "kind", 2, 10, 50)
+
+    def test_cooccurrence_defaults(self):
+        st = parse_statement("COOCCURRENCE ON events;")
+        assert (st.user_col, st.type_col, st.min_users, st.top_n,
+                st.max_types_per_user) == (
+            "user_id", "event_type", 1, None, None)
+
+    def test_robust_outliers_executes_like_operator(self, db, spark):
+        from tundradb_spark.operators.analytics import robust_outliers
+
+        ev = spark.createDataFrame(
+            [(i, "A", float(v)) for i, v in
+             enumerate([1, 2, 3, 4, 100], 1)],
+            "event_id long, event_type string, value double",
+        )
+        db.register_node_table("ev_ro", ev, "event_id", resume_counter=False)
+        got = rows_set(db.sql("OUTLIERS ON ev_ro ID id ROBUST K 3.5;"))
+        want = rows_set(robust_outliers(db.get_table("ev_ro"), id_col="id", k=3.5))
+        assert got == want and len(got) == 1
+
+    def test_cooccurrence_executes_like_operator(self, db, spark):
+        from tundradb_spark.operators.analytics import event_cooccurrence
+
+        ev = spark.createDataFrame(
+            [(0, 1, "A"), (1, 1, "B"), (2, 2, "A"), (3, 2, "B"),
+             (4, 3, "A")],
+            "row_id long, user_id long, event_type string",
+        )
+        db.register_node_table("ev_co", ev, "row_id", resume_counter=False)
+        got = rows_set(db.sql("COOCCURRENCE ON ev_co MIN 2;"))
+        want = rows_set(
+            event_cooccurrence(db.get_table("ev_co"), min_users=2))
+        assert got == want
+        assert [(r[0], r[1], r[2]) for r in sorted(got)] == [("A", "B", 2)]
+
+    def test_hints_and_completions(self):
+        from tundradb_spark.ql.shell import hint_for
+
+        assert "ROBUST" in hint_for("OUTLIERS ")
+        assert "CAP" in hint_for("COOCCURRENCE ")

@@ -152,15 +152,18 @@ class Retention:
 
 @dataclass(frozen=True)
 class Outliers:
-    """OUTLIERS ON <table> [GROUP col] [VALUE col] [ID col] [Z x] —
-    per-group z-score anomalies (operators.analytics.value_outliers) on
-    the text surface."""
+    """OUTLIERS ON <table> [GROUP col] [VALUE col] [ID col] [Z x]
+    [ROBUST [K x]] — per-group anomalies on the text surface: z-score
+    (operators.analytics.value_outliers) by default, median/MAD
+    (robust_outliers, threshold ``K``) with the ROBUST modifier."""
 
     table: str
     group_col: str = "event_type"
     value_col: str = "value"
     id_col: str = "event_id"
     z: float = 3.0
+    robust: bool = False
+    k: float = 3.5
 
 
 @dataclass(frozen=True)
@@ -206,6 +209,21 @@ class Similarity:
     min_common: int = 1
     max_degree: int | None = None
     include_adjacent: bool = True
+
+
+@dataclass(frozen=True)
+class Cooccurrence:
+    """COOCCURRENCE ON <table> [USER col] [TYPE col] [MIN m] [TOP n]
+    [CAP c] — unordered event-type affinity: distinct-user pair support
+    + lift (operators.analytics.event_cooccurrence); CAP is the
+    max-types-per-user bot guard."""
+
+    table: str
+    user_col: str = "user_id"
+    type_col: str = "event_type"
+    min_users: int = 1
+    top_n: int | None = None
+    max_types_per_user: int | None = None
 
 
 @dataclass(frozen=True)

@@ -180,14 +180,37 @@ def execute_ast(db: "Database", stmt: ast.Statement) -> DataFrame | None:
         )
 
     if isinstance(stmt, ast.Outliers):
-        from tundradb_spark.operators.analytics import value_outliers
+        from tundradb_spark.operators.analytics import (
+            robust_outliers,
+            value_outliers,
+        )
 
+        if stmt.robust:
+            return robust_outliers(
+                db.get_table(stmt.table),
+                group_col=stmt.group_col,
+                value_col=stmt.value_col,
+                id_col=stmt.id_col,
+                k=stmt.k,
+            )
         return value_outliers(
             db.get_table(stmt.table),
             group_col=stmt.group_col,
             value_col=stmt.value_col,
             id_col=stmt.id_col,
             z_threshold=stmt.z,
+        )
+
+    if isinstance(stmt, ast.Cooccurrence):
+        from tundradb_spark.operators.analytics import event_cooccurrence
+
+        return event_cooccurrence(
+            db.get_table(stmt.table),
+            user_col=stmt.user_col,
+            type_col=stmt.type_col,
+            min_users=stmt.min_users,
+            top_n=stmt.top_n,
+            max_types_per_user=stmt.max_types_per_user,
         )
 
     if isinstance(stmt, ast.Cusum):

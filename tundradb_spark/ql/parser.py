@@ -262,6 +262,8 @@ class Parser:
             stmt = self.markov_statement()
         elif kw == "SIMILARITY":
             stmt = self.similarity_statement()
+        elif kw == "COOCCURRENCE":
+            stmt = self.cooccurrence_statement()
         else:
             raise QueryError(f"TundraQL: unknown statement {kw!r}")
         self.accept(";")
@@ -767,11 +769,13 @@ class Parser:
         return float(t.text)
 
     def outliers_statement(self) -> ast.Outliers:
-        """OUTLIERS ON table [GROUP col] [VALUE col] [ID col] [Z x]"""
+        """OUTLIERS ON table [GROUP col] [VALUE col] [ID col] [Z x]
+        [ROBUST [K x]]"""
         self.expect("OUTLIERS")
         self.expect("ON")
         table = self.ident()
         group_col, value_col, id_col, z = "event_type", "value", "event_id", 3.0
+        robust, k = False, 3.5
         while True:
             if self.at_kw("GROUP"):
                 self.next()
@@ -785,14 +789,62 @@ class Parser:
             elif self.at_kw("Z"):
                 self.next()
                 z = self._num_clause("Z")
+            elif self.at_kw("ROBUST"):
+                self.next()
+                robust = True
+            elif self.at_kw("K"):
+                self.next()
+                k = self._num_clause("K")
             else:
                 break
+        if not robust and k != 3.5:
+            raise QueryError(
+                "TundraQL: OUTLIERS K requires the ROBUST modifier "
+                "(z-score mode takes Z)"
+            )
         return ast.Outliers(
             table=table,
             group_col=group_col,
             value_col=value_col,
             id_col=id_col,
             z=z,
+            robust=robust,
+            k=k,
+        )
+
+    def cooccurrence_statement(self) -> ast.Cooccurrence:
+        """COOCCURRENCE ON table [USER col] [TYPE col] [MIN m] [TOP n]
+        [CAP c]"""
+        self.expect("COOCCURRENCE")
+        self.expect("ON")
+        table = self.ident()
+        user_col, type_col = "user_id", "event_type"
+        min_users, top_n, cap = 1, None, None
+        while True:
+            if self.at_kw("USER"):
+                self.next()
+                user_col = self.ident()
+            elif self.at_kw("TYPE"):
+                self.next()
+                type_col = self.ident()
+            elif self.at_kw("MIN"):
+                self.next()
+                min_users = self._int_clause("MIN")
+            elif self.at_kw("TOP"):
+                self.next()
+                top_n = self._int_clause("TOP")
+            elif self.at_kw("CAP"):
+                self.next()
+                cap = self._int_clause("CAP")
+            else:
+                break
+        return ast.Cooccurrence(
+            table=table,
+            user_col=user_col,
+            type_col=type_col,
+            min_users=min_users,
+            top_n=top_n,
+            max_types_per_user=cap,
         )
 
     def cusum_statement(self) -> ast.Cusum:

@@ -75,7 +75,7 @@ COMPLETION_KEYWORDS = [
     # WITHIN, PERIOD, MAX OFFSET, SLACK, THRESHOLD, ...) are documented
     # by the HINTS templates instead of polluting the global pool
     "FUNNEL", "RETENTION", "OUTLIERS", "CUSUM", "NGRAMS", "MARKOV",
-    "SIMILARITY", "ON",
+    "SIMILARITY", "COOCCURRENCE", "ON",
 ]
 
 
@@ -97,11 +97,12 @@ HINTS = {
     "FUNNEL ON ": "table STEPS 's1', 's2', ...",
     "RETENTION ": "ON table [PERIOD micros] [MAX OFFSET n]",
     "RETENTION ON ": "table [PERIOD micros] [MAX OFFSET n]",
-    "OUTLIERS ": "ON table [GROUP col] [VALUE col] [ID col] [Z x]",
+    "OUTLIERS ": "ON table [GROUP col] [VALUE col] [ID col] [Z x] [ROBUST [K x]]",
     "CUSUM ": "ON table SLACK x THRESHOLD y [KEY col] [VALUE col] [TS col]",
     "NGRAMS ": "ON table [N k] [MIN m] [TOP n] [TYPE col]",
     "MARKOV ": "ON table [USER col] [TS col] [TYPE col] [TIEBREAK col] [MIN m]",
     "SIMILARITY ": "ON [EDGES] name [SRC col] [DST col] [MIN m] [MAXDEG d] [EXCLUDE ADJACENT]",
+    "COOCCURRENCE ": "ON table [USER col] [TYPE col] [MIN m] [TOP n] [CAP c]",
 }
 
 
