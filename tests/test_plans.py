@@ -695,3 +695,38 @@ def test_substr_spans_single_digest_pipeline(spark):
     # only the strip branch's re-tokenization scan reads the corpus
     assert plan.count("Scan parquet") == 1, plan
     assert "slice" not in plan, plan  # the k-gram window digest pass
+
+
+def test_robust_outliers_plan_shape(spark):
+    """r10: robust_outliers must stay sort-window + broadcast — two
+    window sorts over the (group, value, id) projection for the exact
+    medians, with the group-sized median/MAD/domain frames broadcast
+    back onto the events scan (never a shuffled join of the full rows),
+    and no nested loop anywhere."""
+    from tundradb_spark.operators.analytics import robust_outliers
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    df = robust_outliers(ev, k=3.0)
+    audit.assert_no_nested_loop(df)
+    # med + mad + ndom joins are all broadcast (group-universe-sized)
+    audit.assert_broadcast(df, at_least=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly the value and dev sorts — a third sort would mean the
+    # final scoring pass re-sorted the corpus
+    assert plan.count("Sort ") <= 4, plan  # 2 logical sorts, AQE may split
+
+
+def test_event_cooccurrence_plan_shape(spark):
+    """r10: event_cooccurrence's per-type counts and the total-user row
+    must broadcast onto the pair aggregate (type-universe-sized frames),
+    and the only corpus-sized work is the (user, type) distinct + the
+    per-user self-join — no nested loop (the 1-row total crossJoin is
+    exempted by the auditor)."""
+    from tundradb_spark.operators.analytics import event_cooccurrence
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    df = event_cooccurrence(ev, min_users=2, top_n=50)
+    audit.assert_broadcast(df, at_least=2)
+    # top_n compiles to TakeOrderedAndProject, not a global sort
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
