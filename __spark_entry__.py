@@ -3782,3 +3782,30 @@ def _cooccurrence_oracle() -> str:
 
 PARKED_QUERIES["q_cooccurrence"] = q_cooccurrence
 PARKED_ORACLES["q_cooccurrence"] = _cooccurrence_oracle()
+
+
+# --- r10 addition (3): per-group winsorization ---
+
+WINSOR_P = (0.05, 0.95)
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: quantile clipping (analytics.winsorize) — the repair twin of
+    the outlier detectors: every event's value clamped into its group's
+    [q(0.05), q(0.95)] band via rank-picked type-1 quantiles (zero
+    interpolation arithmetic, bit-exact on any engine); domain glitches
+    pass through flagged, never becoming the bound."""
+    from tundradb_spark.operators.analytics import winsorize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return winsorize(ev, p_lo=WINSOR_P[0], p_hi=WINSOR_P[1])
+
+
+def _winsorize_oracle() -> str:
+    from tundradb_spark.operators.analytics import winsorize_sql
+
+    return winsorize_sql("events", p_lo=WINSOR_P[0], p_hi=WINSOR_P[1])
+
+
+PARKED_QUERIES["q_winsorize"] = q_winsorize
+PARKED_ORACLES["q_winsorize"] = _winsorize_oracle()

@@ -574,3 +574,72 @@ class TestEventCooccurrence:
 
         with pytest.raises(ValueError):
             event_cooccurrence(self._ev(spark, [(1, "A")]), min_users=0)
+
+
+class TestWinsorize:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string, value double"
+        )
+
+    def test_clip_bounds_by_hand(self, spark):
+        from tundradb_spark.operators.analytics import winsorize
+
+        # [1..10], p=(0.2, 0.8) → ranks ceil(2)=2, ceil(8)=8 → band [2, 8]
+        rows = [(i, "A", float(i)) for i in range(1, 11)]
+        got = {
+            r["event_id"]: (r["clipped"], r["flag"])
+            for r in winsorize(
+                self._ev(spark, rows), p_lo=0.2, p_hi=0.8
+            ).collect()
+        }
+        assert got[1] == (2.0, "clipped")
+        assert got[2] == (2.0, "kept")     # at the bound: inside
+        assert got[5] == (5.0, "kept")
+        assert got[8] == (8.0, "kept")
+        assert got[9] == (9.0, "clipped") or got[9] == (8.0, "clipped")
+        assert got[9] == (8.0, "clipped")
+        assert got[10] == (8.0, "clipped")
+        assert len(got) == 10  # row count preserved
+
+    def test_full_band_clips_nothing(self, spark):
+        from tundradb_spark.operators.analytics import winsorize
+
+        rows = [(i, "A", float(v)) for i, v in enumerate([3, 1, 2], 1)]
+        got = winsorize(self._ev(spark, rows), p_lo=0.0, p_hi=1.0).collect()
+        assert all(r["flag"] == "kept" and r["clipped"] == r["value"]
+                   for r in got)
+
+    def test_domain_rows_pass_through_unclipped(self, spark):
+        from tundradb_spark.operators.analytics import winsorize
+
+        # the 1e308 glitch must NOT become the upper clip bound, and
+        # must come back flagged, not repaired
+        rows = [(i, "A", float(i)) for i in range(1, 11)] + [
+            (11, "A", 1e308), (12, "A", float("inf")), (13, "A", None),
+        ]
+        got = {
+            r["event_id"]: r
+            for r in winsorize(
+                self._ev(spark, rows), p_lo=0.2, p_hi=0.8
+            ).collect()
+        }
+        assert got[10]["clipped"] == 8.0  # bound from in-domain rows only
+        assert got[11]["flag"] == "domain" and got[11]["clipped"] is None
+        assert got[11]["value"] == 1e308
+        assert got[12]["value"] is None  # inf: no portable representation
+        assert 13 not in got and len(got) == 12
+
+    def test_tiny_group_single_rank(self, spark):
+        from tundradb_spark.operators.analytics import winsorize
+
+        # n=1: both ranks = 1 → band collapses to the single value
+        rows = [(1, "B", 42.0)]
+        got = winsorize(self._ev(spark, rows), p_lo=0.25, p_hi=0.75).collect()
+        assert [(r["clipped"], r["flag"]) for r in got] == [(42.0, "kept")]
+
+    def test_validation(self, spark):
+        from tundradb_spark.operators.analytics import winsorize
+
+        with pytest.raises(ValueError):
+            winsorize(self._ev(spark, [(1, "A", 1.0)]), p_lo=0.9, p_hi=0.1)

@@ -1072,3 +1072,139 @@ def event_cooccurrence_sql(
     CROSS JOIN total
     {tail}
     """
+
+
+def winsorize(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorization: clamp ``value`` into its group's
+    ``[q(p_lo), q(p_hi)]`` quantile band — the standard metric-taming
+    transform a pipeline applies before trusting means/sums that
+    :func:`value_outliers` would otherwise show to be glitch-dominated
+    (detectors FLAG extremes; this REPAIRS them, preserving row count).
+
+    Exact cross-engine quantiles with NO arithmetic at all: ``q(p)`` is
+    the data value at 1-indexed rank ``max(1, ceil(n·p))`` under the
+    total order ``(value, id)`` — the classic type-1 (lower) empirical
+    quantile, so both engines pick the SAME physical row and the only
+    float op anywhere is the ``n·p`` product (IEEE-identical in both).
+    The clamp is pure comparisons (``greatest(lo, least(hi, v))``).
+
+    Plan / 100 TB shape: one sort-based window pass over the
+    ``(group, value, id)`` projection for the ranks (spills, no
+    per-group buffering), group-universe-sized bound/count frames
+    broadcast back onto the scan — the events table itself is never
+    shuffled.
+
+    Metric domain (house policy): NULL values drop; NaN/±Inf/|v| >= 1e9
+    rows are excluded from the quantile ranks (a ±1e308 glitch must not
+    BECOME the clip bound) and pass through with ``flag='domain'`` and a
+    NULL ``clipped`` (raw value preserved when finite, NULL for NaN/±Inf
+    which have no portable hash — the :func:`value_outliers` contract).
+    In-domain rows come back with the clamped value and
+    ``flag IN ('kept', 'clipped')``.
+
+    Output: ``(id, group, value, clipped, flag)`` — one row per
+    non-NULL input row.
+    """
+    if not (0.0 <= p_lo <= p_hi <= 1.0):
+        raise ValueError(
+            f"need 0 <= p_lo <= p_hi <= 1, got ({p_lo}, {p_hi})"
+        )
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    ev = _metric_tagged(events, group_col, value_col, id_col)
+    ok = ev.filter("__ok")
+    w = Window.partitionBy(group_col).orderBy(
+        v.asc(), F.col(id_col).asc()
+    )
+    ns = ok.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    ranked = ok.select(
+        group_col, value_col, F.row_number().over(w).alias("__rn")
+    ).join(F.broadcast(ns), group_col)
+    rank_lo = F.greatest(F.lit(1), F.ceil(F.col("__n") * F.lit(p_lo)))
+    rank_hi = F.greatest(F.lit(1), F.ceil(F.col("__n") * F.lit(p_hi)))
+    bounds = (
+        ranked.filter(
+            (F.col("__rn") == rank_lo) | (F.col("__rn") == rank_hi)
+        )
+        .groupBy(group_col)
+        .agg(
+            F.min(value_col).alias("__qlo"),
+            F.max(value_col).alias("__qhi"),
+        )
+    )
+    out = ev.join(F.broadcast(bounds), group_col, "left")
+    clipped = F.when(
+        F.col("__ok"),
+        F.greatest(F.col("__qlo"), F.least(F.col("__qhi"), v)),
+    )
+    nonfinite = F.isnan(v) | (F.abs(v) == F.lit(float("inf")))
+    return out.select(
+        id_col,
+        group_col,
+        F.when(F.col("__ok") | ~nonfinite, v).alias(value_col),
+        clipped.alias("clipped"),
+        F.when(~F.col("__ok"), F.lit("domain"))
+        .when((v < F.col("__qlo")) | (v > F.col("__qhi")), F.lit("clipped"))
+        .otherwise(F.lit("kept"))
+        .alias("flag"),
+    )
+
+
+def winsorize_sql(
+    table: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+) -> str:
+    """DuckDB oracle reproducing :func:`winsorize` exactly — the same
+    rank-picked type-1 quantiles (never ``quantile_cont``), the same
+    clamp comparisons, the same domain pass-through."""
+    return f"""
+    WITH raw AS (
+        SELECT CAST({id_col} AS BIGINT) AS {id_col}, {group_col},
+               CAST({value_col} AS DOUBLE) AS {value_col}
+        FROM {table} WHERE {value_col} IS NOT NULL
+    ),
+    tagged AS (
+        SELECT *, abs({value_col}) < 1000000000.0 AS ok FROM raw
+    ),
+    ok_rows AS (SELECT * FROM tagged WHERE ok),
+    ns AS (SELECT {group_col}, count(*) AS n FROM ok_rows
+           GROUP BY {group_col}),
+    ranked AS (
+        SELECT o.{group_col}, o.{value_col}, ns.n,
+               row_number() OVER (PARTITION BY o.{group_col}
+                                  ORDER BY o.{value_col} ASC,
+                                           o.{id_col} ASC) AS rn
+        FROM ok_rows o JOIN ns USING ({group_col})
+    ),
+    bounds AS (
+        SELECT {group_col}, min({value_col}) AS qlo, max({value_col}) AS qhi
+        FROM ranked
+        WHERE rn = greatest(1, ceil(n * {p_lo}))
+           OR rn = greatest(1, ceil(n * {p_hi}))
+        GROUP BY {group_col}
+    )
+    SELECT t.{id_col}, t.{group_col},
+           CASE WHEN t.ok OR NOT (isnan(t.{value_col})
+                                  OR isinf(t.{value_col}))
+                THEN t.{value_col} END AS {value_col},
+           CASE WHEN t.ok
+                THEN greatest(b.qlo, least(b.qhi, t.{value_col})) END
+               AS clipped,
+           CASE WHEN NOT t.ok THEN 'domain'
+                WHEN t.{value_col} < b.qlo OR t.{value_col} > b.qhi
+                    THEN 'clipped'
+                ELSE 'kept' END AS flag
+    FROM tagged t LEFT JOIN bounds b USING ({group_col})
+    """
