@@ -748,3 +748,37 @@ class TestQLAnalyticsR10b:
 
         assert "ROBUST" in hint_for("OUTLIERS ")
         assert "CAP" in hint_for("COOCCURRENCE ")
+
+
+class TestQLWinsorize:
+    def test_parse_and_defaults(self):
+        st = parse_statement(
+            "WINSORIZE ON events GROUP kind VALUE v PLO 0.05 PHI 0.95;")
+        assert isinstance(st, ast.Winsorize)
+        assert (st.group_col, st.value_col, st.p_lo, st.p_hi) == (
+            "kind", "v", 0.05, 0.95)
+        st2 = parse_statement("WINSORIZE ON events;")
+        assert (st2.p_lo, st2.p_hi) == (0.01, 0.99)
+
+    def test_bad_band_rejected(self):
+        with pytest.raises(QueryError):
+            parse_statement("WINSORIZE ON events PLO 0.9 PHI 0.1;")
+
+    def test_executes_like_operator(self, db, spark):
+        from tundradb_spark.operators.analytics import winsorize
+
+        ev = spark.createDataFrame(
+            [(i, "A", float(i)) for i in range(1, 11)],
+            "event_id long, event_type string, value double",
+        )
+        db.register_node_table("ev_wz", ev, "event_id", resume_counter=False)
+        got = rows_set(db.sql("WINSORIZE ON ev_wz ID id PLO 0.2 PHI 0.8;"))
+        want = rows_set(
+            winsorize(db.get_table("ev_wz"), id_col="id",
+                      p_lo=0.2, p_hi=0.8))
+        assert got == want and len(got) == 10
+
+    def test_hint(self):
+        from tundradb_spark.ql.shell import hint_for
+
+        assert "PLO" in hint_for("WINSORIZE ")

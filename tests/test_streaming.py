@@ -1620,3 +1620,48 @@ class TestStreamOutlierMoments:
         # history: mean 2, std 4 → z(10) = 2.0; n_group = 5 (history)
         assert [(r["event_id"], r["n_group"], r["z"], r["flag"])
                 for r in got] == [(99, 5, 2.0, "outlier")]
+
+
+class TestStreamCooccurrence:
+    """r10: stream_cooccurrence_pairs — the cohort-periods discipline on
+    event_cooccurrence's one corpus-sized intermediate: distinct
+    (user, type) pairs per epoch, union-merged at read time."""
+
+    SCHEMA = "user_id long, event_type string"
+
+    def test_stream_merge_equals_batch_operator(self, spark, tmp_path):
+        from tundradb_spark.operators.analytics import event_cooccurrence
+        from tundradb_spark.streaming import (
+            read_cooccurrence,
+            stream_cooccurrence_pairs,
+        )
+
+        src = str(tmp_path / "cosrc")
+        sink = str(tmp_path / "cosink")
+        ckpt = str(tmp_path / "cock")
+        os.makedirs(src)
+        # u1's pair set straddles the epochs; (1, A) repeats across
+        # epochs (the reader's distinct must collapse it); NULLs drop
+        batch1 = [(1, "A"), (2, "A"), (2, "B"), (None, "C"), (3, None)]
+        batch2 = [(1, "A"), (1, "B"), (3, "A"), (3, "B"), (3, "C")]
+        spark.createDataFrame(batch1, self.SCHEMA).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(self.SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = stream_cooccurrence_pairs(stream, sink, ckpt)
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(batch2, self.SCHEMA).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        allrows = spark.createDataFrame(batch1 + batch2, self.SCHEMA)
+        got = sorted(map(tuple, read_cooccurrence(
+            spark, sink, min_users=2).collect()))
+        want = sorted(map(tuple, event_cooccurrence(
+            allrows, min_users=2).collect()))
+        assert got == want
+        # sanity: A-B done by u1 (cross-epoch), u2, u3 → 3 users
+        d = {(r[0], r[1]): r[2] for r in want}
+        assert d == {("A", "B"): 3}

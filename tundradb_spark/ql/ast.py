@@ -227,6 +227,20 @@ class Cooccurrence:
 
 
 @dataclass(frozen=True)
+class Winsorize:
+    """WINSORIZE ON <table> [GROUP col] [VALUE col] [ID col] [PLO x]
+    [PHI x] — per-group quantile clipping
+    (operators.analytics.winsorize), the repair twin of OUTLIERS."""
+
+    table: str
+    group_col: str = "event_type"
+    value_col: str = "value"
+    id_col: str = "event_id"
+    p_lo: float = 0.01
+    p_hi: float = 0.99
+
+
+@dataclass(frozen=True)
 class Ngrams:
     """NGRAMS ON <table> [N k] [USER col] [TS col] [TYPE col] [MIN m]
     [TOP n] [TIEBREAK col] — sequential event-type n-grams

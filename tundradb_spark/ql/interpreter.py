@@ -201,6 +201,18 @@ def execute_ast(db: "Database", stmt: ast.Statement) -> DataFrame | None:
             z_threshold=stmt.z,
         )
 
+    if isinstance(stmt, ast.Winsorize):
+        from tundradb_spark.operators.analytics import winsorize
+
+        return winsorize(
+            db.get_table(stmt.table),
+            group_col=stmt.group_col,
+            value_col=stmt.value_col,
+            id_col=stmt.id_col,
+            p_lo=stmt.p_lo,
+            p_hi=stmt.p_hi,
+        )
+
     if isinstance(stmt, ast.Cooccurrence):
         from tundradb_spark.operators.analytics import event_cooccurrence
 

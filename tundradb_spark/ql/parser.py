@@ -264,6 +264,8 @@ class Parser:
             stmt = self.similarity_statement()
         elif kw == "COOCCURRENCE":
             stmt = self.cooccurrence_statement()
+        elif kw == "WINSORIZE":
+            stmt = self.winsorize_statement()
         else:
             raise QueryError(f"TundraQL: unknown statement {kw!r}")
         self.accept(";")
@@ -845,6 +847,45 @@ class Parser:
             min_users=min_users,
             top_n=top_n,
             max_types_per_user=cap,
+        )
+
+    def winsorize_statement(self) -> ast.Winsorize:
+        """WINSORIZE ON table [GROUP col] [VALUE col] [ID col] [PLO x]
+        [PHI x]"""
+        self.expect("WINSORIZE")
+        self.expect("ON")
+        table = self.ident()
+        group_col, value_col, id_col = "event_type", "value", "event_id"
+        p_lo, p_hi = 0.01, 0.99
+        while True:
+            if self.at_kw("GROUP"):
+                self.next()
+                group_col = self.ident()
+            elif self.at_kw("VALUE"):
+                self.next()
+                value_col = self.ident()
+            elif self.at_kw("ID"):
+                self.next()
+                id_col = self.ident()
+            elif self.at_kw("PLO"):
+                self.next()
+                p_lo = self._num_clause("PLO")
+            elif self.at_kw("PHI"):
+                self.next()
+                p_hi = self._num_clause("PHI")
+            else:
+                break
+        if not (0.0 <= p_lo <= p_hi <= 1.0):
+            raise QueryError(
+                "TundraQL: WINSORIZE needs 0 <= PLO <= PHI <= 1"
+            )
+        return ast.Winsorize(
+            table=table,
+            group_col=group_col,
+            value_col=value_col,
+            id_col=id_col,
+            p_lo=p_lo,
+            p_hi=p_hi,
         )
 
     def cusum_statement(self) -> ast.Cusum:

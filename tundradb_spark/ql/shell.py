@@ -75,7 +75,7 @@ COMPLETION_KEYWORDS = [
     # WITHIN, PERIOD, MAX OFFSET, SLACK, THRESHOLD, ...) are documented
     # by the HINTS templates instead of polluting the global pool
     "FUNNEL", "RETENTION", "OUTLIERS", "CUSUM", "NGRAMS", "MARKOV",
-    "SIMILARITY", "COOCCURRENCE", "ON",
+    "SIMILARITY", "COOCCURRENCE", "WINSORIZE", "ON",
 ]
 
 
@@ -103,6 +103,7 @@ HINTS = {
     "MARKOV ": "ON table [USER col] [TS col] [TYPE col] [TIEBREAK col] [MIN m]",
     "SIMILARITY ": "ON [EDGES] name [SRC col] [DST col] [MIN m] [MAXDEG d] [EXCLUDE ADJACENT]",
     "COOCCURRENCE ": "ON table [USER col] [TYPE col] [MIN m] [TOP n] [CAP c]",
+    "WINSORIZE ": "ON table [GROUP col] [VALUE col] [ID col] [PLO x] [PHI x]",
 }
 
 

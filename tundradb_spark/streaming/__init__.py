@@ -44,6 +44,9 @@ continuously-ingesting graph/analytics deployment needs:
   sequential n-gram counts with O(n) per-user state (the trailing n−1
   event types); merged grams == the batch operator under in-order
   delivery
+- :func:`stream_cooccurrence_pairs` / :func:`read_cooccurrence` — live
+  event-type affinity with ``users × types`` state per epoch (distinct
+  pair union-merge == the batch event_cooccurrence exactly)
 - :func:`stream_outlier_moments` / :func:`read_outliers` — live
   per-group z-score moments with O(groups) state per epoch (exact
   decimal partials; sum-merge + shared scoring == the batch
@@ -61,6 +64,8 @@ from tundradb_spark.streaming.ops import (
     read_funnel,
     stream_event_ngrams,
     stream_outlier_moments,
+    stream_cooccurrence_pairs,
+    read_cooccurrence,
     read_outliers,
     stream_markov_pairs,
     stream_cohort_periods,
@@ -120,4 +125,6 @@ __all__ = [
     "merge_event_ngrams",
     "stream_outlier_moments",
     "read_outliers",
+    "stream_cooccurrence_pairs",
+    "read_cooccurrence",
 ]

@@ -1876,3 +1876,73 @@ def read_outliers(
     return flag_outliers(
         ev, merged, group_col, value_col, id_col, z_threshold
     )
+
+
+def stream_cooccurrence_pairs(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    query_name: str | None = None,
+) -> "StreamingQuery":
+    """Continuously maintain the exact mergeable state of
+    :func:`tundradb_spark.operators.analytics.event_cooccurrence`: the
+    DISTINCT ``(user, type)`` pairs (the cohort-periods discipline).
+    That pair set is the batch operator's one corpus-sized intermediate,
+    union-mergeable, and bounded by ``users × type-universe`` — not raw
+    event volume.  Each micro-batch writes its own distinct pairs to an
+    ``epoch=E`` partition (dynamic partition overwrite — idempotent
+    under replay; cross-epoch duplicate pairs are removed again by the
+    reader's own distinct, so they are harmless)."""
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        pairs = (
+            batch.select(
+                F.col(user_col).cast("long").alias("u"),
+                F.col(type_col).alias("et"),
+            )
+            .filter(F.col("u").isNotNull() & F.col("et").isNotNull())
+            .distinct()
+        )
+        (
+            pairs.withColumn("epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name or "cooccurrence-pairs")
+        .start()
+    )
+
+
+def read_cooccurrence(
+    spark,
+    path: str,
+    min_users: int = 1,
+    top_n: int | None = None,
+    max_types_per_user: int | None = None,
+) -> DataFrame:
+    """Merge all epochs of a :func:`stream_cooccurrence_pairs` table and
+    return the co-occurrence table — identical to running
+    ``operators.analytics.event_cooccurrence`` over every row the stream
+    has delivered (the operator's own distinct collapses cross-epoch
+    duplicates; test-pinned)."""
+    from tundradb_spark.operators.analytics import event_cooccurrence
+
+    state = spark.read.parquet(path).select(
+        F.col("u").alias("user_id"), F.col("et").alias("event_type")
+    )
+    return event_cooccurrence(
+        state,
+        min_users=min_users,
+        top_n=top_n,
+        max_types_per_user=max_types_per_user,
+    )
