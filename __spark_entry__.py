@@ -3809,3 +3809,30 @@ def _winsorize_oracle() -> str:
 
 PARKED_QUERIES["q_winsorize"] = q_winsorize
 PARKED_ORACLES["q_winsorize"] = _winsorize_oracle()
+
+
+# --- r10 addition (4): Benford first-digit conformance scan ---
+
+BENFORD_MIN_N = 100
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: per-event-type Benford's-law scan (analytics.
+    benford_deviation) — chi-square of the first-significant-digit
+    distribution against log10(1+1/d), string-extracted integer digits
+    (no query-time log10 — libm-proof), ONE map-side-combined groupBy
+    emitting 11 longs per group."""
+    from tundradb_spark.operators.analytics import benford_deviation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return benford_deviation(ev, min_n=BENFORD_MIN_N)
+
+
+def _benford_oracle() -> str:
+    from tundradb_spark.operators.analytics import benford_deviation_sql
+
+    return benford_deviation_sql("events", min_n=BENFORD_MIN_N)
+
+
+PARKED_QUERIES["q_benford"] = q_benford
+PARKED_ORACLES["q_benford"] = _benford_oracle()

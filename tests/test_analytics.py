@@ -643,3 +643,78 @@ class TestWinsorize:
 
         with pytest.raises(ValueError):
             winsorize(self._ev(spark, [(1, "A", 1.0)]), p_lo=0.9, p_hi=0.1)
+
+
+class TestBenfordDeviation:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_type string, value double"
+        )
+
+    @staticmethod
+    def _expect(obs):
+        # the operator's own formula, re-evaluated in Python with the
+        # same injected log10(1+1/d) literals and d=1..9 order
+        P = {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+        n = sum(obs.values())
+        chi2 = sum(
+            (obs.get(d, 0) - n * P[d]) ** 2 / (n * P[d])
+            for d in range(1, 10)
+        )
+        devs = {d: abs(obs.get(d, 0) / n - P[d]) for d in range(1, 10)}
+        wd = min(d for d in range(1, 10) if devs[d] == max(devs.values()))
+        rnd = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+        return n, rnd(chi2), wd, rnd(max(devs.values()))
+
+    def test_chi2_by_hand(self, spark):
+        from tundradb_spark.operators.analytics import benford_deviation
+
+        obs = {1: 30, 2: 18, 3: 12, 4: 10, 5: 8, 6: 7, 7: 6, 8: 5, 9: 4}
+        rows = [
+            ("A", float(d * 100 + j)) for d, c in obs.items() for j in range(c)
+        ]
+        got = benford_deviation(self._ev(spark, rows), min_n=50).collect()
+        n, chi2, wd, wdev = self._expect(obs)
+        assert [(r["event_type"], r["n"], r["excluded"], r["chi2"],
+                 r["worst_digit"], r["worst_dev"]) for r in got] == [
+            ("A", n, 0, chi2, wd, wdev)
+        ]
+
+    def test_fabricated_group_scores_worse(self, spark):
+        from tundradb_spark.operators.analytics import benford_deviation
+
+        # A ~Benford-ish, B constant-injected (every value starts with 5)
+        obs = {1: 30, 2: 18, 3: 12, 4: 10, 5: 8, 6: 7, 7: 6, 8: 5, 9: 4}
+        rows = [
+            ("A", float(d * 100 + j)) for d, c in obs.items() for j in range(c)
+        ] + [("B", 500.0 + j) for j in range(100)]
+        got = {
+            r["event_type"]: r
+            for r in benford_deviation(
+                self._ev(spark, rows), min_n=50
+            ).collect()
+        }
+        assert got["B"]["chi2"] > 10 * got["A"]["chi2"]
+        assert got["B"]["worst_digit"] == 5
+
+    def test_exclusions_counted_and_first_digit_of_abs(self, spark):
+        from tundradb_spark.operators.analytics import benford_deviation
+
+        # negatives take |v|'s first digit; sub-1, 1e308 and inf are
+        # excluded but COUNTED; NULL drops silently
+        rows = (
+            [("A", float(v)) for v in range(10, 15)]
+            + [("A", -37.5), ("A", 0.5), ("A", 1e308),
+               ("A", float("inf")), ("A", None)]
+        )
+        got = benford_deviation(self._ev(spark, rows), min_n=1).collect()
+        r = got[0]
+        assert (r["n"], r["excluded"]) == (6, 3)
+
+    def test_min_n_gates_small_groups(self, spark):
+        from tundradb_spark.operators.analytics import benford_deviation
+
+        rows = [("A", 10.0), ("A", 20.0)]
+        assert benford_deviation(self._ev(spark, rows), min_n=3).count() == 0
+        with pytest.raises(ValueError):
+            benford_deviation(self._ev(spark, rows), min_n=0)

@@ -1208,3 +1208,176 @@ def winsorize_sql(
                 ELSE 'kept' END AS flag
     FROM tagged t LEFT JOIN bounds b USING ({group_col})
     """
+
+
+#: Benford expected first-digit mass, log10(1 + 1/d) — precomputed once
+#: in Python and injected as full-precision literals into BOTH engines'
+#: expressions (decimal-literal → double parsing is correctly rounded
+#: everywhere, so the constants are bit-identical; computing log10 at
+#: query time would tie the result to each engine's libm).
+_BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_deviation(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    min_n: int = 100,
+) -> DataFrame:
+    """Per-group Benford's-law conformance scan: the chi-square statistic
+    of the observed first-significant-digit distribution against
+    ``P(d) = log10(1 + 1/d)`` — the classic glitch/fabrication sweep for
+    metric columns (organically generated magnitude-spanning values
+    follow Benford; constant-injected, unit-scaled, or synthesized ones
+    pile onto a few digits).  Complements :func:`value_outliers` /
+    :func:`robust_outliers`: those flag individual extreme rows, this
+    flags a GROUP whose values are collectively implausible even when
+    every row is individually in range.
+
+    Engine-exact digit extraction WITHOUT ``log10`` at query time (libm
+    results differ across engines in the last ulp, and a flipped
+    ``floor`` flips the digit): the first digit is the first character
+    of the INTEGER part's decimal string — integer-to-string is
+    unambiguous everywhere — so the scan covers ``1 <= |v| < 1e9``
+    (the sub-1e9 bound doubles as the metric-domain/bigint-safety
+    guard: ``floor(±1e308)`` would overflow the cast; |v| < 1 has no
+    integer digits and is excluded, documented Benford practice is to
+    scale such series first).  NULLs and out-of-band rows drop;
+    ``excluded`` reports how many (the r10 visibility discipline).
+
+    Plan / 100 TB shape: ONE map-side-combined ``groupBy(group)``
+    producing 11 exact longs per group (n, 9 digit counts, excluded) —
+    the events table is scanned once and never shuffled; everything
+    after is per-group constant arithmetic.  Determinism: the chi-square
+    sum is written as a FIXED d=1..9 expression chain over the conditional
+    counts (never a float ``sum()`` over a digit table, whose partition
+    order would vary), so every double op has one engine-independent
+    evaluation order.
+
+    Output: ``(group, n, excluded, chi2, worst_digit, worst_dev)`` —
+    groups with ``n >= min_n``; ``worst_digit`` is the smallest digit
+    attaining the max ``|obs_d/n − P(d)|``; chi2/worst_dev rounded
+    half-up to 6 dp.
+    """
+    if min_n < 1:
+        raise ValueError(f"min_n must be >= 1, got {min_n}")
+    v = F.col(value_col)
+    ev = events.select(
+        F.col(group_col).alias(group_col), v.cast("double").alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    av = F.abs(F.col("__v"))
+    ok = (av >= 1.0) & (av < 1e9)
+    digit = F.substring(
+        F.floor(av).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    aggs = [
+        F.sum(F.when(ok, 1).otherwise(0)).alias("n"),
+        F.sum(F.when(~ok, 1).otherwise(0)).alias("excluded"),
+    ] + [
+        F.sum(F.when(ok & (digit == d), 1).otherwise(0)).alias(f"o{d}")
+        for d in range(1, 10)
+    ]
+    stats = ev.groupBy(group_col).agg(*aggs).filter(F.col("n") >= min_n)
+    chi_terms = " + ".join(
+        f"(cast(o{d} as double) - cast(n as double) * {_BENFORD_P[d]!r})"
+        f" * (cast(o{d} as double) - cast(n as double) * {_BENFORD_P[d]!r})"
+        f" / (cast(n as double) * {_BENFORD_P[d]!r})"
+        for d in range(1, 10)
+    )
+    devs = {
+        d: f"abs(cast(o{d} as double) / cast(n as double)"
+        f" - {_BENFORD_P[d]!r})"
+        for d in range(1, 10)
+    }
+    worst = "greatest(" + ", ".join(devs.values()) + ")"
+    worst_digit = (
+        "case "
+        + " ".join(
+            f"when {devs[d]} = __worst then {d}" for d in range(1, 10)
+        )
+        + " end"
+    )
+    return (
+        stats.withColumn("__chi2", F.expr(chi_terms))
+        .withColumn("__worst", F.expr(worst))
+        .select(
+            group_col,
+            F.col("n").cast("long").alias("n"),
+            F.col("excluded").cast("long").alias("excluded"),
+            F.expr(
+                "cast(floor(cast(__chi2 as decimal(28,10)) * 1000000"
+                " + 0.5) as double) / 1000000.0"
+            ).alias("chi2"),
+            F.expr(worst_digit).cast("int").alias("worst_digit"),
+            F.expr(
+                "cast(floor(cast(__worst as decimal(28,10)) * 1000000"
+                " + 0.5) as double) / 1000000.0"
+            ).alias("worst_dev"),
+        )
+    )
+
+
+def benford_deviation_sql(
+    table: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    min_n: int = 100,
+) -> str:
+    """DuckDB oracle reproducing :func:`benford_deviation` exactly — the
+    same injected digit-probability literals, string-extracted first
+    digits, fixed-order chi-square chain and greatest/case argmax."""
+    obs = ",\n               ".join(
+        f"sum(CASE WHEN ok AND digit = {d} THEN 1 ELSE 0 END) AS o{d}"
+        for d in range(1, 10)
+    )
+    chi_terms = " + ".join(
+        f"(CAST(o{d} AS DOUBLE) - CAST(n AS DOUBLE) * {_BENFORD_P[d]!r})"
+        f" * (CAST(o{d} AS DOUBLE) - CAST(n AS DOUBLE) * {_BENFORD_P[d]!r})"
+        f" / (CAST(n AS DOUBLE) * {_BENFORD_P[d]!r})"
+        for d in range(1, 10)
+    )
+    devs = {
+        d: f"abs(CAST(o{d} AS DOUBLE) / CAST(n AS DOUBLE)"
+        f" - {_BENFORD_P[d]!r})"
+        for d in range(1, 10)
+    }
+    worst = "greatest(" + ", ".join(devs.values()) + ")"
+    worst_digit = (
+        "CASE "
+        + " ".join(
+            f"WHEN {devs[d]} = w.worst THEN {d}" for d in range(1, 10)
+        )
+        + " END"
+    )
+    return f"""
+    WITH raw AS (
+        SELECT {group_col}, CAST({value_col} AS DOUBLE) AS v
+        FROM {table} WHERE {value_col} IS NOT NULL
+    ),
+    tagged AS (
+        SELECT {group_col},
+               abs(v) >= 1.0 AND abs(v) < 1000000000.0 AS ok,
+               CASE WHEN abs(v) >= 1.0 AND abs(v) < 1000000000.0
+                    THEN CAST(substr(CAST(CAST(floor(abs(v)) AS BIGINT)
+                                          AS VARCHAR), 1, 1) AS INT)
+               END AS digit
+        FROM raw
+    ),
+    stats AS (
+        SELECT {group_col},
+               sum(CASE WHEN ok THEN 1 ELSE 0 END) AS n,
+               sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS excluded,
+               {obs}
+        FROM tagged GROUP BY {group_col}
+        HAVING sum(CASE WHEN ok THEN 1 ELSE 0 END) >= {min_n}
+    ),
+    w AS (SELECT *, {chi_terms} AS chi2_raw, {worst} AS worst FROM stats)
+    SELECT {group_col}, CAST(n AS BIGINT) AS n,
+           CAST(excluded AS BIGINT) AS excluded,
+           CAST(floor(CAST(chi2_raw AS DECIMAL(28,10)) * 1000000 + 0.5)
+                AS DOUBLE) / 1000000.0 AS chi2,
+           CAST(({worst_digit}) AS INT) AS worst_digit,
+           CAST(floor(CAST(w.worst AS DECIMAL(28,10)) * 1000000 + 0.5)
+                AS DOUBLE) / 1000000.0 AS worst_dev
+    FROM w
+    """
