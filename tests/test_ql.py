@@ -782,3 +782,31 @@ class TestQLWinsorize:
         from tundradb_spark.ql.shell import hint_for
 
         assert "PLO" in hint_for("WINSORIZE ")
+
+
+class TestQLBenford:
+    def test_parse(self):
+        st = parse_statement("BENFORD ON events GROUP kind VALUE v MIN 50;")
+        assert isinstance(st, ast.Benford)
+        assert (st.group_col, st.value_col, st.min_n) == ("kind", "v", 50)
+        st2 = parse_statement("BENFORD ON events;")
+        assert (st2.group_col, st2.value_col, st2.min_n) == (
+            "event_type", "value", 100)
+
+    def test_executes_like_operator(self, db, spark):
+        from tundradb_spark.operators.analytics import benford_deviation
+
+        ev = spark.createDataFrame(
+            [(i, "A", float(100 + i)) for i in range(60)]
+            + [(100 + i, "A", float(900 + i)) for i in range(40)],
+            "row_id long, event_type string, value double",
+        )
+        db.register_node_table("ev_bf", ev, "row_id", resume_counter=False)
+        got = rows_set(db.sql("BENFORD ON ev_bf MIN 50;"))
+        want = rows_set(benford_deviation(db.get_table("ev_bf"), min_n=50))
+        assert got == want and len(got) == 1
+
+    def test_hint(self):
+        from tundradb_spark.ql.shell import hint_for
+
+        assert "MIN" in hint_for("BENFORD ")

@@ -241,6 +241,18 @@ class Winsorize:
 
 
 @dataclass(frozen=True)
+class Benford:
+    """BENFORD ON <table> [GROUP col] [VALUE col] [MIN n] — per-group
+    first-digit conformance scan
+    (operators.analytics.benford_deviation)."""
+
+    table: str
+    group_col: str = "event_type"
+    value_col: str = "value"
+    min_n: int = 100
+
+
+@dataclass(frozen=True)
 class Ngrams:
     """NGRAMS ON <table> [N k] [USER col] [TS col] [TYPE col] [MIN m]
     [TOP n] [TIEBREAK col] — sequential event-type n-grams

@@ -213,6 +213,16 @@ def execute_ast(db: "Database", stmt: ast.Statement) -> DataFrame | None:
             p_hi=stmt.p_hi,
         )
 
+    if isinstance(stmt, ast.Benford):
+        from tundradb_spark.operators.analytics import benford_deviation
+
+        return benford_deviation(
+            db.get_table(stmt.table),
+            group_col=stmt.group_col,
+            value_col=stmt.value_col,
+            min_n=stmt.min_n,
+        )
+
     if isinstance(stmt, ast.Cooccurrence):
         from tundradb_spark.operators.analytics import event_cooccurrence
 

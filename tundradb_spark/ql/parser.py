@@ -266,6 +266,8 @@ class Parser:
             stmt = self.cooccurrence_statement()
         elif kw == "WINSORIZE":
             stmt = self.winsorize_statement()
+        elif kw == "BENFORD":
+            stmt = self.benford_statement()
         else:
             raise QueryError(f"TundraQL: unknown statement {kw!r}")
         self.accept(";")
@@ -886,6 +888,31 @@ class Parser:
             id_col=id_col,
             p_lo=p_lo,
             p_hi=p_hi,
+        )
+
+    def benford_statement(self) -> ast.Benford:
+        """BENFORD ON table [GROUP col] [VALUE col] [MIN n]"""
+        self.expect("BENFORD")
+        self.expect("ON")
+        table = self.ident()
+        group_col, value_col, min_n = "event_type", "value", 100
+        while True:
+            if self.at_kw("GROUP"):
+                self.next()
+                group_col = self.ident()
+            elif self.at_kw("VALUE"):
+                self.next()
+                value_col = self.ident()
+            elif self.at_kw("MIN"):
+                self.next()
+                min_n = self._int_clause("MIN")
+            else:
+                break
+        return ast.Benford(
+            table=table,
+            group_col=group_col,
+            value_col=value_col,
+            min_n=min_n,
         )
 
     def cusum_statement(self) -> ast.Cusum:

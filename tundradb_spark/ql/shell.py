@@ -75,7 +75,7 @@ COMPLETION_KEYWORDS = [
     # WITHIN, PERIOD, MAX OFFSET, SLACK, THRESHOLD, ...) are documented
     # by the HINTS templates instead of polluting the global pool
     "FUNNEL", "RETENTION", "OUTLIERS", "CUSUM", "NGRAMS", "MARKOV",
-    "SIMILARITY", "COOCCURRENCE", "WINSORIZE", "ON",
+    "SIMILARITY", "COOCCURRENCE", "WINSORIZE", "BENFORD", "ON",
 ]
 
 
@@ -104,6 +104,7 @@ HINTS = {
     "SIMILARITY ": "ON [EDGES] name [SRC col] [DST col] [MIN m] [MAXDEG d] [EXCLUDE ADJACENT]",
     "COOCCURRENCE ": "ON table [USER col] [TYPE col] [MIN m] [TOP n] [CAP c]",
     "WINSORIZE ": "ON table [GROUP col] [VALUE col] [ID col] [PLO x] [PHI x]",
+    "BENFORD ": "ON table [GROUP col] [VALUE col] [MIN n]",
 }
 
 
