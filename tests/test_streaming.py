@@ -1665,3 +1665,54 @@ class TestStreamCooccurrence:
         # sanity: A-B done by u1 (cross-epoch), u2, u3 → 3 users
         d = {(r[0], r[1]): r[2] for r in want}
         assert d == {("A", "B"): 3}
+
+
+class TestStreamBenford:
+    """r10: stream_benford_counts — additive first-digit count partials
+    per epoch; sum-merge + the batch operator's shared benford_score ==
+    benford_deviation exactly."""
+
+    SCHEMA = "event_type string, value double"
+
+    def test_stream_merge_equals_batch_operator(self, spark, tmp_path):
+        from tundradb_spark.operators.analytics import benford_deviation
+        from tundradb_spark.streaming import (
+            read_benford,
+            stream_benford_counts,
+        )
+
+        src = str(tmp_path / "bfsrc")
+        sink = str(tmp_path / "bfsink")
+        ckpt = str(tmp_path / "bfck")
+        os.makedirs(src)
+        # group A reaches min_n=8 only ACROSS epochs (5 + 5 in-domain
+        # rows); each epoch carries an excluded glitch; B stays under
+        batch1 = [("A", float(100 + i)) for i in range(5)] + [
+            ("A", 1e308), ("B", 42.0),
+        ]
+        batch2 = [("A", float(900 + i)) for i in range(5)] + [
+            ("A", 0.5), ("B", 77.0),
+        ]
+        spark.createDataFrame(batch1, self.SCHEMA).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(self.SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = stream_benford_counts(stream, sink, ckpt)
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(batch2, self.SCHEMA).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        allrows = spark.createDataFrame(batch1 + batch2, self.SCHEMA)
+        got = sorted(map(tuple, read_benford(
+            spark, sink, min_n=8).collect()))
+        want = sorted(map(tuple, benford_deviation(
+            allrows, min_n=8).collect()))
+        assert got == want
+        assert len(want) == 1  # only A crosses min_n, and only merged
+        r = want[0]
+        # worst digit: 9 holds 50% of mass vs Benford's 4.6% (dev 0.454),
+        # beating digit 1's 0.199
+        assert (r[0], r[1], r[2], r[4]) == ("A", 10, 2, 9)

@@ -1261,6 +1261,18 @@ def benford_deviation(
     """
     if min_n < 1:
         raise ValueError(f"min_n must be >= 1, got {min_n}")
+    stats = benford_counts(events, group_col, value_col)
+    return benford_score(stats, group_col, min_n)
+
+
+def benford_counts(
+    events: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group first-digit count partials ``(n, excluded, o1..o9)`` —
+    11 exact longs per group from one map-side-combined aggregate.
+    ADDITIVE, so partials from disjoint row sets (micro-batch epochs,
+    shards) merge by plain ``sum`` into the single-pass aggregate
+    (streaming.ops.stream_benford_counts is that merge's producer)."""
     v = F.col(value_col)
     ev = events.select(
         F.col(group_col).alias(group_col), v.cast("double").alias("__v")
@@ -1277,7 +1289,18 @@ def benford_deviation(
         F.sum(F.when(ok & (digit == d), 1).otherwise(0)).alias(f"o{d}")
         for d in range(1, 10)
     ]
-    stats = ev.groupBy(group_col).agg(*aggs).filter(F.col("n") >= min_n)
+    return ev.groupBy(group_col).agg(*aggs)
+
+
+def benford_score(
+    stats: DataFrame, group_col: str, min_n: int
+) -> DataFrame:
+    """Chi-square + argmax over a :func:`benford_counts`-layout frame —
+    the back half of :func:`benford_deviation`, shared verbatim with the
+    streaming reader so sum-merged counts score IDENTICALLY to the batch
+    operator.  The ``min_n`` gate applies HERE (over total counts), so a
+    group that crosses the threshold only across epochs still scores."""
+    stats = stats.filter(F.col("n") >= min_n)
     chi_terms = " + ".join(
         f"(cast(o{d} as double) - cast(n as double) * {_BENFORD_P[d]!r})"
         f" * (cast(o{d} as double) - cast(n as double) * {_BENFORD_P[d]!r})"

@@ -51,6 +51,10 @@ continuously-ingesting graph/analytics deployment needs:
   per-group z-score moments with O(groups) state per epoch (exact
   decimal partials; sum-merge + shared scoring == the batch
   value_outliers exactly, domain glitch rows included)
+- :func:`stream_benford_counts` / :func:`read_benford` — live
+  first-digit conformance with ``groups × 11`` longs of state per epoch
+  (count sum-merge + the batch operator's shared scoring ==
+  benford_deviation exactly)
 - :func:`compact_stream_index` — atomic per-epoch → single-epoch fold
   for any of the streaming index/sketch tables
 """
@@ -66,6 +70,8 @@ from tundradb_spark.streaming.ops import (
     stream_outlier_moments,
     stream_cooccurrence_pairs,
     read_cooccurrence,
+    stream_benford_counts,
+    read_benford,
     read_outliers,
     stream_markov_pairs,
     stream_cohort_periods,
@@ -127,4 +133,6 @@ __all__ = [
     "read_outliers",
     "stream_cooccurrence_pairs",
     "read_cooccurrence",
+    "stream_benford_counts",
+    "read_benford",
 ]

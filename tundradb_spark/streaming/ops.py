@@ -1946,3 +1946,72 @@ def read_cooccurrence(
         top_n=top_n,
         max_types_per_user=max_types_per_user,
     )
+
+
+def stream_benford_counts(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    query_name: str | None = None,
+) -> "StreamingQuery":
+    """Continuously maintain per-group Benford first-digit COUNTS
+    (``(n, excluded, o1..o9)`` — the
+    :func:`~tundradb_spark.operators.analytics.benford_counts` layout,
+    11 exact longs per group) from an event stream.  Counts are
+    additive, so per-epoch partials summed across epochs equal the
+    single-pass batch aggregate exactly, and :func:`read_benford`
+    re-applies the batch operator's OWN scoring half
+    (``benford_score`` — shared verbatim, not copied) to the merged
+    counts: stream-maintained conformance == ``benford_deviation(
+    all_rows)`` (test-pinned, including groups that reach ``min_n``
+    only across epochs).  Idempotent under replay via dynamic partition
+    overwrite on ``epoch`` (double-writing would double counts).
+
+    State per epoch is ``groups × 11`` longs regardless of stream
+    volume; fold occasionally with :func:`compact_stream_index`.
+    """
+    from tundradb_spark.operators.analytics import benford_counts
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        counts = benford_counts(batch, group_col, value_col)
+        (
+            counts.withColumn("epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name or "benford-counts")
+        .start()
+    )
+
+
+def read_benford(
+    spark,
+    path: str,
+    group_col: str = "event_type",
+    min_n: int = 100,
+) -> DataFrame:
+    """Merge all epochs of a :func:`stream_benford_counts` table
+    (plain sums — the counts are exact longs) and score them through
+    ``operators.analytics.benford_score``, the batch operator's own
+    scoring expressions — identical to running ``benford_deviation``
+    over every row the stream has delivered.  The merge is
+    ``groups × epochs`` rows in, ``groups`` rows out — never touches
+    event volume."""
+    from tundradb_spark.operators.analytics import benford_score
+
+    merged = spark.read.parquet(path).groupBy(group_col).agg(
+        F.sum("n").alias("n"),
+        F.sum("excluded").alias("excluded"),
+        *[F.sum(f"o{d}").alias(f"o{d}") for d in range(1, 10)],
+    )
+    return benford_score(merged, group_col, min_n)
