@@ -242,3 +242,55 @@ class TestAnalyticsSurviveDirtyEvents:
         downsample_lttb(
             dirty_events, 4, "user_id", "value", tiebreak_col="event_id"
         ).collect()
+
+
+class TestR10AnalyticsSurviveDirtyEvents:
+    """r10: the new metric/affinity operators over the same pathological
+    stream — crash/contract tests; exact values live in
+    test_analytics.py."""
+
+    def test_robust_outliers_surface_domain(self, spark, dirty_events):
+        from tundradb_spark.operators.analytics import robust_outliers
+
+        out = robust_outliers(dirty_events, k=0.5).collect()
+        dom = {r["event_id"]: r for r in out if r["flag"] == "domain"}
+        assert set(dom) == {7, 8}
+        assert dom[7]["value"] == -1e308 and dom[7]["score"] is None
+        assert dom[8]["value"] is None  # NaN: no portable hash
+
+    def test_winsorize_never_clips_to_glitch(self, spark, dirty_events):
+        from tundradb_spark.operators.analytics import winsorize
+
+        out = {r["event_id"]: r for r in winsorize(
+            dirty_events, p_lo=0.0, p_hi=1.0).collect()}
+        # glitches flagged, not repaired — and never the bound
+        assert out[7]["flag"] == "domain" and out[7]["clipped"] is None
+        assert out[8]["flag"] == "domain"
+        # every in-domain row survives with a finite clipped value
+        for i, r in out.items():
+            if r["flag"] != "domain":
+                assert r["clipped"] is not None and abs(r["clipped"]) < 1e9
+        assert 3 not in out  # NULL value carries no metric
+
+    def test_benford_counts_exclusions(self, spark, dirty_events):
+        from tundradb_spark.operators.analytics import benford_deviation
+
+        out = benford_deviation(dirty_events, min_n=1).collect()
+        by_g = {r["event_type"]: r for r in out}
+        # the kilo-char group's only value is the -1e308 glitch:
+        # excluded=1, and with n=0 the group is min_n-gated out
+        assert "x" * 2000 not in by_g
+        # 'view' group: values 1.0, 2.0 in-domain; NaN excluded; NULL dropped
+        v = by_g["view"]
+        assert (v["n"], v["excluded"]) == (2, 1)
+
+    def test_cooccurrence_drops_null_keys(self, spark, dirty_events):
+        from tundradb_spark.operators.analytics import event_cooccurrence
+
+        out = event_cooccurrence(dirty_events).collect()
+        # NULL user (id 0) and NULL type (id 2) contribute nothing;
+        # u2's three types pair among themselves
+        for r in out:
+            assert r["type_a"] is not None and r["type_b"] is not None
+        pairs = {(r["type_a"], r["type_b"]) for r in out}
+        assert ("", "中文") in pairs and ("", "🎉") in pairs
