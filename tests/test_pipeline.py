@@ -2676,3 +2676,151 @@ class TestImageDhash:
         docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
         with pytest.raises(NotImplementedError):
             image_dhash(attach_binary(docs), codec="real")
+
+
+class TestAudioFingerprint:
+    """r10: windowed-energy audio fingerprints — the audio modality's
+    entry into the perceptual-dedup family.  The 'real' codec is stdlib
+    wave, so unlike the PIL-gated image path it runs (and is tested)
+    here on synthesized WAVs."""
+
+    @staticmethod
+    def _wav(samples, width=2, nch=1, rate=8000):
+        import io
+        import struct
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(nch)
+            wf.setsampwidth(width)
+            wf.setframerate(rate)
+            if width == 2:
+                data = b"".join(struct.pack("<h", int(s)) for s in samples)
+            else:  # 8-bit PCM is unsigned, centered at 128
+                data = bytes((int(s) + 128) % 256 for s in samples)
+            wf.writeframes(data)
+        return buf.getvalue()
+
+    def _blobs(self, spark, items):
+        return spark.createDataFrame(
+            items, "doc_id long, blob binary"
+        )
+
+    def test_fake_kernel_matches_sql_oracle(self, spark):
+        import duckdb
+
+        from tundradb_spark.pipeline.multimodal import (
+            attach_binary,
+            audio_fingerprint,
+            audio_fingerprint_sql,
+        )
+
+        texts = [
+            (0, "the quick brown fox jumps over the lazy dog " * 4),
+            (1, "short"),
+            (2, "x"),  # n=1: 64 empty windows
+            (3, "Pack my box with five dozen liquor jugs — naïve café."),
+        ]
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+        got = sorted(
+            map(
+                tuple,
+                audio_fingerprint(
+                    attach_binary(docs), codec="fake"
+                ).collect(),
+            )
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t (doc_id BIGINT, text VARCHAR)"
+        )
+        con.executemany("INSERT INTO t VALUES (?, ?)", texts)
+        want = sorted(
+            map(tuple, con.execute(
+                audio_fingerprint_sql("t")).fetchall())
+        )
+        assert got == want and len(got) == 4
+
+    def test_real_wav_gain_invariance(self, spark):
+        from tundradb_spark.pipeline.multimodal import audio_fingerprint
+
+        ramp = [(i % 200) * 40 - 4000 for i in range(2000)]
+        louder = [s * 2 for s in ramp]
+        noise = [((i * 2654435761) % 8000) - 4000 for i in range(2000)]
+        fp = {
+            r["doc_id"]: r["afp"]
+            for r in audio_fingerprint(
+                self._blobs(
+                    spark,
+                    [
+                        (0, self._wav(ramp)),
+                        (1, self._wav(louder)),
+                        (2, self._wav(noise)),
+                    ],
+                ),
+                codec="real",
+            ).collect()
+        }
+        # uniform gain preserves every energy comparison exactly
+        assert fp[0] == fp[1]
+        # a different signal lands far away in Hamming space
+        assert bin((fp[0] ^ fp[2]) & ((1 << 64) - 1)).count("1") > 10
+
+    def test_real_wav_stereo_and_8bit(self, spark):
+        from tundradb_spark.pipeline.multimodal import audio_fingerprint
+
+        mono = [(i % 100) * 80 - 4000 for i in range(1000)]
+        stereo = []
+        for s in mono:  # channel 0 = signal, channel 1 = junk
+            stereo.extend([s, 12345 - s])
+        eight = [s // 64 for s in mono]  # same shape at 8-bit scale
+        fp = {
+            r["doc_id"]: r["afp"]
+            for r in audio_fingerprint(
+                self._blobs(
+                    spark,
+                    [
+                        (0, self._wav(mono)),
+                        (1, self._wav(stereo, nch=2)),
+                        (2, self._wav(eight, width=1)),
+                    ],
+                ),
+                codec="real",
+            ).collect()
+        }
+        # stereo decodes channel 0 only → identical fingerprint
+        assert fp[0] == fp[1]
+        # 8-bit path produces A fingerprint (decode worked); scale
+        # quantization may flip near-tie bits, so just sanity it
+        assert isinstance(fp[2], int)
+
+    def test_banded_pairs_find_near_dup_wavs(self, spark):
+        from tundradb_spark.pipeline.multimodal import (
+            audio_fingerprint,
+            dhash_duplicate_pairs,
+        )
+
+        base = [(i % 200) * 40 - 4000 for i in range(2000)]
+        # tiny local edit: a click in one window
+        clicked = list(base)
+        clicked[100:110] = [8000] * 10
+        noise = [((i * 2654435761) % 8000) - 4000 for i in range(2000)]
+        fps = audio_fingerprint(
+            self._blobs(
+                spark,
+                [(0, self._wav(base)), (1, self._wav(clicked)),
+                 (2, self._wav(noise))],
+            ),
+            codec="real",
+        )
+        pairs = dhash_duplicate_pairs(
+            fps, max_hamming=4, hash_col="afp"
+        ).collect()
+        assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
+
+    def test_unknown_codec(self, spark):
+        from tundradb_spark.pipeline.multimodal import audio_fingerprint
+
+        with pytest.raises(ValueError):
+            audio_fingerprint(self._blobs(spark, [(0, b"x")]), codec="mp3")

@@ -3742,3 +3742,38 @@ def _phash_dedup_sql() -> str:
 
 PARKED_PIPELINE_QUERIES["q_phash_dedup"] = q_phash_dedup
 PARKED_PIPELINE_ORACLES["q_phash_dedup"] = _phash_dedup_sql()
+
+
+# --- r10 addition: audio windowed-energy fingerprints ---
+# Distinct oracle machinery from q_phash_dedup: EVERY byte contributes
+# (window sums via cumulative bounds, triple-nested get_bit rebuild in
+# the SQL) where the image kernel point-samples 65 bytes.  Fingerprints
+# only — the banded pair join is the same dhash_duplicate_pairs that
+# q_phash_dedup already gates.
+
+
+def q_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: 64-bit windowed-energy audio fingerprints
+    (multimodal.audio_fingerprint fake kernel: payload bytes as signal,
+    65 floor-split window sums, neighbor comparisons packed MSB-first;
+    the 'real' codec — stdlib wave PCM decode — is CI-tested on
+    synthesized WAVs, no image-lib stub needed)."""
+    from tundradb_spark.pipeline.multimodal import (
+        attach_binary,
+        audio_fingerprint,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return audio_fingerprint(
+        attach_binary(docs.select("doc_id", "text")), codec="fake"
+    )
+
+
+def _audio_fp_sql() -> str:
+    from tundradb_spark.pipeline.multimodal import audio_fingerprint_sql
+
+    return audio_fingerprint_sql("documents")
+
+
+PARKED_PIPELINE_QUERIES["q_audio_fp"] = q_audio_fp
+PARKED_PIPELINE_ORACLES["q_audio_fp"] = _audio_fp_sql()
