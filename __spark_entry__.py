@@ -3836,3 +3836,87 @@ def _benford_oracle() -> str:
 
 PARKED_QUERIES["q_benford"] = q_benford
 PARKED_ORACLES["q_benford"] = _benford_oracle()
+
+
+# --- r10 addition (5): hybrid-retrieval rank fusion ---
+
+RRF_K, RRF_TOP = 60, 10
+
+
+def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: reciprocal-rank fusion (text.rrf_fuse) of two rankers over
+    the fixed BM25 query set — keyword relevance (bm25_topk) fused with
+    a term-coverage ranker (distinct query terms present, the
+    field-agnostic recall prior).  Rank-only combination, so the
+    rankers' incomparable score scales cancel; every rank is total-
+    ordered by (score DESC, doc_id) and the fused score is one fixed
+    two-term double addition — engine-exact."""
+    from tundradb_spark.pipeline.text import bm25_topk, rrf_fuse
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qdf = spark.createDataFrame(BM25_QUERY_SET, "query_id long, query string")
+    bm = bm25_topk(docs, qdf, k=BM25_K, k1=BM25_K1, b=BM25_B).select(
+        "query_id", "doc_id", "score"
+    )
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+                )
+            )
+        ).alias("term"),
+    )
+    qt = qdf.select(
+        "query_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower("query"), r"\s+"), lambda t: t != ""
+                )
+            )
+        ).alias("term"),
+    )
+    from pyspark.sql import Window
+
+    ov = (
+        toks.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    cover = ov.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= BM25_K
+    ).select("query_id", "doc_id", "score")
+    return rrf_fuse(bm, cover, k=RRF_K, top_n=RRF_TOP)
+
+
+def _rrf_oracle() -> str:
+    from tundradb_spark.pipeline.text import rrf_fuse_sql
+
+    bm_sql = (
+        f"SELECT query_id, doc_id, score FROM ({_bm25_oracle()})"
+    )
+    vals = ", ".join(f"({i}, '{q}')" for i, q in BM25_QUERY_SET)
+    cover_sql = f"""
+        WITH qs(query_id, query) AS (VALUES {vals}),
+        toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                        unnest(list_distinct({_DOC_TOKS})) AS term
+                 FROM documents),
+        qt AS (SELECT CAST(query_id AS BIGINT) AS query_id,
+                      unnest(list_distinct({_QRY_TOKS})) AS term FROM qs),
+        ov AS (SELECT qt.query_id, toks.doc_id,
+                      CAST(count(*) AS DOUBLE) AS score
+               FROM toks JOIN qt USING (term) GROUP BY 1, 2),
+        cut AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id ASC) AS rn FROM ov)
+        SELECT query_id, doc_id, score FROM cut WHERE rn <= {BM25_K}
+    """
+    return rrf_fuse_sql(bm_sql, cover_sql, k=RRF_K, top_n=RRF_TOP)
+
+
+PARKED_QUERIES["q_rrf"] = q_rrf
+PARKED_ORACLES["q_rrf"] = _rrf_oracle()

@@ -2824,3 +2824,16 @@ class TestAudioFingerprint:
 
         with pytest.raises(ValueError):
             audio_fingerprint(self._blobs(spark, [(0, b"x")]), codec="mp3")
+
+
+def test_dedup_recall_gauge_perfect_on_exact_dups(spark):
+    """r10: the MinHash miner must recover EVERY exact duplicate —
+    identical texts share all shingles, hence identical signatures,
+    hence at least one band collision.  recall < 1.0 here means the
+    band join / hash family / signature layout broke."""
+    from tundradb_spark.pipeline.queries import q_dedup_recall
+
+    row = q_dedup_recall(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_true"] >= 10  # planted copies make truth non-vacuous
+    assert row["recall"] == 1.0
+    assert row["n_pred"] >= row["n_hit"] >= row["n_true"] - 0

@@ -1,0 +1,83 @@
+"""Retrieval-fusion operators (pipeline.text.rrf_fuse): semantics on
+hand-built rankings plus a DuckDB oracle cross-check."""
+
+import math
+
+import pytest
+
+
+
+
+class TestRrfFuse:
+    """r10: reciprocal-rank fusion — rank-only combination of two
+    rankers, engine-reproducible via total-order ranks and a fixed
+    two-term addition."""
+
+    def _rank(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "query_id long, doc_id long, score double"
+        )
+
+    def test_fusion_by_hand(self, spark):
+        from tundradb_spark.pipeline.text import rrf_fuse
+
+        # q1: ranker A orders (10, 11, 12); ranker B orders (12, 10)
+        a = self._rank(spark, [(1, 10, 9.0), (1, 11, 5.0), (1, 12, 1.0)])
+        b = self._rank(spark, [(1, 12, 0.9), (1, 10, 0.1)])
+        got = {
+            r["doc_id"]: (r["rrf_score"], r["fused_rank"])
+            for r in rrf_fuse(a, b, k=60).collect()
+        }
+        rnd = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+        assert got[10] == (rnd(1 / 61 + 1 / 62), 1)
+        assert got[12] == (rnd(1 / 63 + 1 / 61), 2)
+        assert got[11] == (rnd(1 / 62), 3)  # absent from B: one term
+
+    def test_score_scales_ignored(self, spark):
+        from tundradb_spark.pipeline.text import rrf_fuse
+
+        a = self._rank(spark, [(1, 10, 1e9), (1, 11, 1e-9)])
+        a2 = self._rank(spark, [(1, 10, 0.2), (1, 11, 0.1)])
+        b = self._rank(spark, [(1, 11, 7.0)])
+        r1 = sorted(map(tuple, rrf_fuse(a, b).collect()))
+        r2 = sorted(map(tuple, rrf_fuse(a2, b).collect()))
+        assert r1 == r2  # only ranks matter
+
+    def test_ties_break_on_doc_id(self, spark):
+        from tundradb_spark.pipeline.text import rrf_fuse
+
+        a = self._rank(spark, [(1, 20, 5.0), (1, 10, 5.0)])
+        b = self._rank(spark, [(1, 20, 5.0), (1, 10, 5.0)])
+        got = {r["doc_id"]: r["fused_rank"]
+               for r in rrf_fuse(a, b).collect()}
+        assert got == {10: 1, 20: 2}
+
+    def test_top_n_and_validation(self, spark):
+        from tundradb_spark.pipeline.text import rrf_fuse
+
+        a = self._rank(spark, [(1, i, float(-i)) for i in range(5)])
+        b = self._rank(spark, [])
+        assert rrf_fuse(a, b, top_n=2).count() == 2
+        with pytest.raises(ValueError):
+            rrf_fuse(a, b, k=0)
+
+    def test_matches_sql_oracle(self, spark):
+        import duckdb
+
+        from tundradb_spark.pipeline.text import rrf_fuse, rrf_fuse_sql
+
+        rows_a = [(q, d, float((q * 7 + d * 13) % 31))
+                  for q in (1, 2) for d in range(8)]
+        rows_b = [(q, d, float((q * 11 + d * 3) % 17))
+                  for q in (1, 2) for d in range(4, 12)]
+        a, b = self._rank(spark, rows_a), self._rank(spark, rows_b)
+        got = sorted(map(tuple, rrf_fuse(a, b, k=60, top_n=5).collect()))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE ta (query_id BIGINT, doc_id BIGINT, score DOUBLE)")
+        con.execute("CREATE TABLE tb (query_id BIGINT, doc_id BIGINT, score DOUBLE)")
+        con.executemany("INSERT INTO ta VALUES (?, ?, ?)", rows_a)
+        con.executemany("INSERT INTO tb VALUES (?, ?, ?)", rows_b)
+        want = sorted(map(tuple, con.execute(rrf_fuse_sql(
+            "SELECT * FROM ta", "SELECT * FROM tb", k=60, top_n=5
+        )).fetchall()))
+        assert got == want

@@ -3777,3 +3777,132 @@ def _audio_fp_sql() -> str:
 
 PARKED_PIPELINE_QUERIES["q_audio_fp"] = q_audio_fp
 PARKED_PIPELINE_ORACLES["q_audio_fp"] = _audio_fp_sql()
+
+
+# --- r10 addition: dedup precision/recall gauge ---
+# The dedup family's analog of q_ann_recall: the MinHash-LSH pair miner
+# judged against exact-duplicate ground truth (same normalized-text md5,
+# the exact_dedup digest).  Exact dups share every shingle, so their
+# signatures are identical and recall must be 1.0 — a broken band join,
+# hash family, or signature layout shows up here as recall < 1 long
+# before it corrupts a corpus; precision < 1 is EXPECTED (MinHash also
+# surfaces real near-dups beyond the exact truth set).  The raw corpus
+# has exact dups only at sf0.1 (measured: 8 pairs; none below), so the
+# query PLANTS one verbatim copy of every 5th document at an id offset —
+# built identically in both engines — making the gauge non-vacuous at
+# every SF; natural dups join the truth set where they exist.
+
+_RECALL_COPY_OFFSET = 1_000_000
+
+
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: MinHash pair-mining precision/recall vs exact-dup truth
+    (pairs with identical normalized-text md5 — the exact_dedup digest —
+    id_a < id_b, over the corpus + planted verbatim copies) — one row:
+    (n_true, n_pred, n_hit, precision, recall)."""
+    from tundradb_spark.pipeline.dedup import normalized_text
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    corpus = docs.unionAll(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + _RECALL_COPY_OFFSET).alias("doc_id"),
+            "text",
+        )
+    )
+    dg = corpus.select(
+        "doc_id", F.md5(normalized_text(F.col("text"))).alias("__dg")
+    ).filter(F.col("__dg").isNotNull())
+    a, b = dg.alias("a"), dg.alias("b")
+    truth = (
+        a.join(
+            b,
+            (F.col("a.__dg") == F.col("b.__dg"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.lit(1).alias("__t"),
+        )
+    )
+    pred = dedup.minhash_lsh_pairs(
+        corpus,
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        shingle_k=SHINGLE_K,
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.lit(1).alias("__p"),
+    )
+    m = truth.join(pred, ["id_a", "id_b"], "full_outer")
+    return m.agg(
+        F.sum("__t").cast("long").alias("n_true"),
+        F.sum("__p").cast("long").alias("n_pred"),
+        F.sum(
+            F.when(F.col("__t").isNotNull() & F.col("__p").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_hit"),
+    ).select(
+        "n_true",
+        "n_pred",
+        "n_hit",
+        F.expr(
+            "cast(floor(cast(n_hit as double)"
+            " / nullif(cast(n_pred as double), 0.0) * 1000000 + 0.5)"
+            " as double) / 1000000.0"
+        ).alias("precision"),
+        F.expr(
+            "cast(floor(cast(n_hit as double)"
+            " / nullif(cast(n_true as double), 0.0) * 1000000 + 0.5)"
+            " as double) / 1000000.0"
+        ).alias("recall"),
+    )
+
+
+_RECALL_CORPUS = f"""(SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+    FROM documents
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT) + {_RECALL_COPY_OFFSET}, text
+    FROM documents WHERE doc_id % 5 = 0)"""
+
+Q_DEDUP_RECALL_SQL = f"""
+WITH pred AS ({Q_DEDUP_MINHASH_SQL.replace("FROM documents",
+                                           f"FROM {_RECALL_CORPUS} documents")}),
+dg AS (SELECT doc_id,
+              md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                  AS dgst
+       FROM {_RECALL_CORPUS} c
+       WHERE md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+             IS NOT NULL),
+truth AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1 AS t
+    FROM dg a JOIN dg b ON a.dgst = b.dgst AND a.doc_id < b.doc_id
+),
+p2 AS (SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+              1 AS p FROM pred),
+m AS (
+    SELECT truth.t AS t, p2.p AS p
+    FROM truth FULL OUTER JOIN p2 USING (id_a, id_b)
+),
+c AS (
+    SELECT CAST(sum(t) AS BIGINT) AS n_true,
+           CAST(sum(p) AS BIGINT) AS n_pred,
+           CAST(sum(CASE WHEN t IS NOT NULL AND p IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+    FROM m
+)
+SELECT n_true, n_pred, n_hit,
+       CAST(floor(CAST(n_hit AS DOUBLE)
+                  / nullif(CAST(n_pred AS DOUBLE), 0.0) * 1000000 + 0.5)
+            AS DOUBLE) / 1000000.0 AS precision,
+       CAST(floor(CAST(n_hit AS DOUBLE)
+                  / nullif(CAST(n_true AS DOUBLE), 0.0) * 1000000 + 0.5)
+            AS DOUBLE) / 1000000.0 AS recall
+FROM c
+"""
+
+PARKED_PIPELINE_QUERIES["q_dedup_recall"] = q_dedup_recall
+PARKED_PIPELINE_ORACLES["q_dedup_recall"] = Q_DEDUP_RECALL_SQL

@@ -1267,3 +1267,137 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b")).limit(top_n)
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 60,
+    top_n: int | None = None,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    per-query rankings — the standard hybrid-retrieval combiner for this
+    package's two ranking families (:func:`bm25_topk` keyword scores +
+    the embedding ANN top-k), robust to their incomparable score scales
+    because only RANKS enter the fusion::
+
+        rrf(q, d) = Σ_r 1 / (k + rank_r(q, d))    (absent ⇒ no term)
+
+    Ranks are dense per query under the total order ``(score DESC,
+    id ASC)`` — the id tiebreak makes every rank, and therefore every
+    fused score, engine-reproducible.  The two contributions are
+    combined as one fixed ``coalesce(ta, 0) + coalesce(tb, 0)`` addition
+    (never a float ``sum()`` over an exploded ranker table, whose
+    partition order would vary).
+
+    Plan / 100 TB shape: each ranker frame is already top-k-per-query
+    sized (queries × k rows — tiny next to the corpora that produced
+    them); two window sorts on the query key, one full-outer join on
+    ``(query, doc)``, one optional per-query top-n window.  Nothing
+    corpus-sized is touched.
+
+    Output: ``(query_id, doc_id, rrf_score, fused_rank)`` — fused_rank
+    dense per query by ``(rrf_score DESC, doc_id ASC)``; ``top_n``
+    keeps the best per query; rrf_score rounded half-up to 6 dp.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    def _ranked(df: DataFrame, out: str) -> DataFrame:
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        )
+        return df.select(
+            F.col(query_id_col).cast("long").alias(query_id_col),
+            F.col(id_col).cast("long").alias(id_col),
+            F.row_number().over(w).alias(out),
+        )
+
+    a = _ranked(ranked_a, "__ra")
+    b = _ranked(ranked_b, "__rb")
+    fused = a.join(b, [query_id_col, id_col], "full_outer").select(
+        query_id_col,
+        id_col,
+        F.expr(
+            f"coalesce(cast(1.0 as double) / cast({k} + __ra as double),"
+            f" 0.0)"
+            f" + coalesce(cast(1.0 as double)"
+            f" / cast({k} + __rb as double), 0.0)"
+        ).alias("__rrf"),
+    )
+    wout = Window.partitionBy(query_id_col).orderBy(
+        F.col("__rrf").desc(), F.col(id_col).asc()
+    )
+    out = fused.select(
+        query_id_col,
+        id_col,
+        F.expr(
+            "cast(floor(cast(__rrf as decimal(20,12)) * 1000000 + 0.5)"
+            " as double) / 1000000.0"
+        ).alias("rrf_score"),
+        F.row_number().over(wout).cast("long").alias("fused_rank"),
+    )
+    if top_n is not None:
+        out = out.filter(F.col("fused_rank") <= top_n)
+    return out
+
+
+def rrf_fuse_sql(
+    ranked_a_sql: str,
+    ranked_b_sql: str,
+    k: int = 60,
+    top_n: int | None = None,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> str:
+    """DuckDB oracle reproducing :func:`rrf_fuse` exactly — the operands
+    are SQL snippets producing each ranker's ``(query_id, doc_id,
+    score)`` rows, so any oracle-expressible ranker pair composes."""
+    tail = (
+        f" WHERE fused_rank <= {top_n}" if top_n is not None else ""
+    )
+    return f"""
+    WITH ra AS (
+        SELECT CAST({query_id_col} AS BIGINT) AS {query_id_col},
+               CAST({id_col} AS BIGINT) AS {id_col},
+               row_number() OVER (PARTITION BY {query_id_col}
+                                  ORDER BY {score_col} DESC,
+                                           {id_col} ASC) AS r
+        FROM ({ranked_a_sql})
+    ),
+    rb AS (
+        SELECT CAST({query_id_col} AS BIGINT) AS {query_id_col},
+               CAST({id_col} AS BIGINT) AS {id_col},
+               row_number() OVER (PARTITION BY {query_id_col}
+                                  ORDER BY {score_col} DESC,
+                                           {id_col} ASC) AS r
+        FROM ({ranked_b_sql})
+    ),
+    fused AS (
+        SELECT coalesce(ra.{query_id_col}, rb.{query_id_col})
+                   AS {query_id_col},
+               coalesce(ra.{id_col}, rb.{id_col}) AS {id_col},
+               coalesce(CAST(1.0 AS DOUBLE)
+                        / CAST({k} + ra.r AS DOUBLE), 0.0)
+                 + coalesce(CAST(1.0 AS DOUBLE)
+                            / CAST({k} + rb.r AS DOUBLE), 0.0) AS rrf
+        FROM ra FULL OUTER JOIN rb
+          ON ra.{query_id_col} = rb.{query_id_col}
+         AND ra.{id_col} = rb.{id_col}
+    ),
+    outq AS (
+        SELECT {query_id_col}, {id_col},
+               CAST(floor(CAST(rrf AS DECIMAL(20,12)) * 1000000 + 0.5)
+                    AS DOUBLE) / 1000000.0 AS rrf_score,
+               CAST(row_number() OVER (PARTITION BY {query_id_col}
+                                       ORDER BY rrf DESC, {id_col} ASC)
+                    AS BIGINT) AS fused_rank
+        FROM fused
+    )
+    SELECT * FROM outq{tail}
+    """
