@@ -128,6 +128,25 @@ q_pii_scan.  q_outliers stays seated: its output contract changed in r10
 (metric-domain violations surface as ``flag='domain'`` rows instead of
 vanishing, r9 verdict item 4) and the new shape gets a fresh driver row.
 
+**New r10 operators join PARKED** (window full; seatable next
+rotation), every one oracle-exact and CI-checked: q_robust_outliers
+(median/MAD robust anomalies — explicit-rank medians, no engine
+interpolation), q_cooccurrence (event-type affinity: distinct-user pair
+support + lift), q_winsorize (per-group quantile clipping via
+rank-picked type-1 quantiles), q_benford (first-digit conformance,
+string-extracted digits, injected log10 literals), q_rrf
+(reciprocal-rank fusion of BM25 + a term-coverage ranker), q_audio_fp
+(windowed-energy audio fingerprints; the 'real' codec is stdlib wave,
+CI-tested on synthesized WAVs), q_dedup_recall (MinHash pair-mining
+precision/recall vs exact-dup ground truth with planted copies —
+recall pinned at 1.0) and q_phash_dedup (pre-session: banded
+perceptual-hash image pairs).  Streaming twins with exact batch parity:
+stream_outlier_moments (additive decimal moments),
+stream_cooccurrence_pairs (distinct-pair union-merge),
+stream_benford_counts (additive digit counts) — plus the pre-session
+stream_event_ngrams.  TundraQL grew OUTLIERS ROBUST, COOCCURRENCE,
+WINSORIZE and BENFORD statements (MARKOV/SIMILARITY pre-session).
+
 The per-round narrative above records WHY each rotation happened; the
 AUTHORITATIVE seated/parked lists at HEAD are runtime facts — read them
 from ``queries()`` / ``parked_queries()`` (or the ``_SEAT_R*`` /
