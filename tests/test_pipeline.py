@@ -2837,3 +2837,74 @@ def test_dedup_recall_gauge_perfect_on_exact_dups(spark):
     assert row["n_true"] >= 10  # planted copies make truth non-vacuous
     assert row["recall"] == 1.0
     assert row["n_pred"] >= row["n_hit"] >= row["n_true"] - 0
+
+
+class TestSceneChanges:
+    """r10: video cut detection — frame-sample → per-frame perceptual
+    hash → temporal lag, all three stages reusable and the whole
+    composition SQL-oracle-checkable on the byte stand-in payloads."""
+
+    def _blobs(self, spark, items):
+        return spark.createDataFrame(items, "doc_id long, blob binary")
+
+    def test_hard_cut_flips_many_bits(self, spark):
+        from tundradb_spark.pipeline.multimodal import scene_changes
+
+        # 3 'frames' of 64 bytes: two near-identical ramps, then a
+        # completely different texture — the cut lands at frame 2
+        ramp = bytes(range(64))
+        ramp2 = bytes([1] + list(range(1, 64)))  # one-byte wiggle
+        noise = bytes((i * 97 + 13) % 256 for i in range(64))
+        video = ramp + ramp2 + noise
+        got = {
+            r["frame_idx"]: (r["hamming"], r["is_cut"])
+            for r in scene_changes(
+                self._blobs(spark, [(0, video)]), cut_hamming=16
+            ).collect()
+        }
+        assert set(got) == {1, 2}
+        assert got[1][0] < 16 and not got[1][1]  # in-scene drift
+        assert got[2][0] >= 16 and got[2][1]     # hard cut
+
+    def test_every_n_skips_frames(self, spark):
+        from tundradb_spark.pipeline.multimodal import scene_changes
+
+        video = bytes(range(256))  # 4 frames of 64
+        out = scene_changes(
+            self._blobs(spark, [(0, video)]), every_n=2
+        ).collect()
+        # frames 0 and 2 sampled → one consecutive pair
+        assert [r["frame_idx"] for r in out] == [2]
+
+    def test_matches_sql_oracle(self, spark):
+        import duckdb
+
+        from tundradb_spark.pipeline.multimodal import (
+            attach_binary,
+            scene_changes,
+            scene_changes_sql,
+        )
+
+        texts = [
+            (0, "scene one stays calm and steady. " * 12
+                + "CUT! TOTALLY DIFFERENT CONTENT 0123456789 " * 8),
+            (1, "short clip"),
+            (2, "x" * 200),
+        ]
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+        got = sorted(map(tuple, scene_changes(
+            attach_binary(docs), frame_bytes=48, cut_hamming=20
+        ).collect()))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", texts)
+        want = sorted(map(tuple, con.execute(scene_changes_sql(
+            "t", frame_bytes=48, cut_hamming=20
+        )).fetchall()))
+        assert got == want and len(got) > 3
+
+    def test_validation(self, spark):
+        from tundradb_spark.pipeline.multimodal import scene_changes
+
+        with pytest.raises(ValueError):
+            scene_changes(self._blobs(spark, [(0, b"x")]), cut_hamming=65)

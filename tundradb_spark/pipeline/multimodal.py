@@ -608,3 +608,184 @@ def audio_fingerprint_sql(table: str, text_col: str = "text") -> str:
                 ELSE 0::HUGEINT END AS BIGINT) AS afp
     FROM h
     """
+
+
+# ---------------------------------------------------------------------------
+# Video: frame-level perceptual hashing + scene-change detection
+# ---------------------------------------------------------------------------
+
+FRAME_HASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("fhash", LongType()),
+    ]
+)
+
+
+def _fake_frame_dhash_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The image fake-dHash kernel lifted to (doc_id, frame_idx, frame)
+    rows — 65 evenly-spaced byte samples per FRAME, neighbor
+    comparisons packed MSB-first.  Empty frames are dropped."""
+    import numpy as np
+
+    ids, idxs, hashes = [], [], []
+    offsets = np.arange(_DHASH_SAMPLES, dtype=np.int64)
+    for doc_id, fi, b in zip(pdf["doc_id"], pdf["frame_idx"], pdf["frame"]):
+        n = len(b)
+        if n < 1:
+            continue
+        arr = np.frombuffer(b, dtype=np.uint8)
+        cells = arr[(offsets * n) // _DHASH_SAMPLES].astype(np.int64)
+        bits = cells[1:] > cells[:-1]
+        h = 0
+        for i in range(64):
+            if bits[i]:
+                h |= 1 << (63 - i)
+        if h >= 1 << 63:
+            h -= 1 << 64
+        ids.append(doc_id)
+        idxs.append(fi)
+        hashes.append(h)
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "frame_idx": pd.Series(idxs, dtype="int64"),
+            "fhash": pd.Series(hashes, dtype="int64"),
+        }
+    )
+
+
+def frame_dhash(frames: DataFrame) -> DataFrame:
+    """Per-frame 64-bit perceptual hash over a :func:`sample_frames`
+    output — Arrow-batched ``mapInPandas``, the fake byte-sampling
+    kernel (a real deployment swaps in the PIL kernel per decoded
+    frame; the Spark-side shape is identical).  Output:
+    ``(doc_id, frame_idx, fhash)``."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _fake_frame_dhash_batch(pdf)
+
+    return frames.select("doc_id", "frame_idx", "frame").mapInPandas(
+        gen, FRAME_HASH_SCHEMA
+    )
+
+
+def scene_changes(
+    blobs: DataFrame,
+    frame_bytes: int = 64,
+    every_n: int = 1,
+    cut_hamming: int = 20,
+) -> DataFrame:
+    """Scene-change (cut) detection over 'video' payloads: sample frames
+    (:func:`sample_frames`), perceptually hash each
+    (:func:`frame_dhash`), and compare CONSECUTIVE sampled frames —
+    a hard cut flips many perceptual bits at once, while in-scene
+    motion drifts a few.  The composition is the point: the same three
+    reusable stages a real keyframe pipeline runs (sample → decode-hash
+    → temporal lag), all shuffle work keyed on the video id.
+
+    Plan / 100 TB shape: the frame explode is JVM-side ``substring``
+    (payload bytes never cross into Python row-at-a-time), the hash is
+    one Arrow-batched pass, and the lag is one window sort per video —
+    ONE shuffle on ``doc_id``, state bounded by frames per video.
+
+    Output: one row per consecutive sampled-frame pair —
+    ``(doc_id, frame_idx, hamming, is_cut)`` with ``is_cut = hamming >=
+    cut_hamming``; ``frame_idx`` is the LATER frame (the first frame of
+    the new scene when ``is_cut``).
+    """
+    if not 0 <= cut_hamming <= 64:
+        raise ValueError(f"cut_hamming must be in [0, 64], got {cut_hamming}")
+    from pyspark.sql import Window
+
+    frames = sample_frames(blobs, frame_bytes=frame_bytes, every_n=every_n)
+    fh = frame_dhash(frames)
+    w = Window.partitionBy("doc_id").orderBy(F.col("frame_idx").asc())
+    lagged = fh.withColumn("__prev", F.lag("fhash").over(w)).filter(
+        F.col("__prev").isNotNull()
+    )
+    return lagged.select(
+        "doc_id",
+        "frame_idx",
+        F.bit_count(F.expr("__prev ^ fhash")).cast("long").alias("hamming"),
+        (
+            F.bit_count(F.expr("__prev ^ fhash")) >= F.lit(cut_hamming)
+        ).alias("is_cut"),
+    )
+
+
+def scene_changes_sql(
+    table: str,
+    text_col: str = "text",
+    frame_bytes: int = 64,
+    every_n: int = 1,
+    cut_hamming: int = 20,
+) -> str:
+    """DuckDB oracle reproducing :func:`scene_changes` byte-exactly over
+    the UTF-8 stand-in payloads: the same floor-split frame slices
+    (``substring`` byte semantics), the same 65-sample dHash per frame
+    (``get_bit`` rebuild), the same signed fold, the same lag —
+    hamming via ``bit_count(xor)`` on the signed BIGINTs, identical to
+    Spark's ``bit_count(a ^ b)`` two's-complement count."""
+    s = _DHASH_SAMPLES
+    return f"""
+    WITH blobs AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, encode({text_col}) AS b,
+               octet_length(encode({text_col})) AS n
+        FROM {table} WHERE octet_length(encode({text_col})) >= 1
+    ),
+    idx AS (
+        SELECT doc_id, b, n,
+               unnest(range(0, CAST(greatest(n // {frame_bytes}, 1)
+                                    AS BIGINT))) AS i
+        FROM blobs
+    ),
+    -- frame i = bytes [i*FB, i*FB + fn) of the payload; the sample
+    -- positions are computed ABSOLUTELY on the whole blob (DuckDB
+    -- cannot substring a BLOB), which is byte-identical to slicing
+    fok AS (
+        SELECT doc_id, i AS frame_idx, b,
+               CAST(i * {frame_bytes} AS BIGINT) AS f0,
+               least(CAST({frame_bytes} AS BIGINT),
+                     n - i * {frame_bytes}) AS fn
+        FROM idx
+        WHERE i % {every_n} = 0 AND n - i * {frame_bytes} >= 1
+    ),
+    cells AS (
+        SELECT doc_id, frame_idx,
+               [ list_sum([get_bit(b::BIT,
+                                   CAST((f0 + (i * fn) // {s}) * 8 + j
+                                        AS INT))
+                           * (1 << (7 - j)) FOR j IN range(8)])
+                 FOR i IN range({s}) ] AS cell
+        FROM fok
+    ),
+    h AS (
+        SELECT doc_id, frame_idx,
+               list_sum([CASE WHEN cell[i+2] > cell[i+1]
+                         THEN (1::HUGEINT << (63 - i))
+                         ELSE 0::HUGEINT END
+                         FOR i IN range(64)]) AS hu
+        FROM cells
+    ),
+    sh AS (
+        SELECT doc_id, frame_idx,
+               CAST(hu - CASE WHEN hu >= 9223372036854775808::HUGEINT
+                    THEN 18446744073709551616::HUGEINT
+                    ELSE 0::HUGEINT END AS BIGINT) AS fhash
+        FROM h
+    ),
+    lagd AS (
+        SELECT doc_id, frame_idx, fhash,
+               lag(fhash) OVER (PARTITION BY doc_id
+                                ORDER BY frame_idx ASC) AS prev
+        FROM sh
+    )
+    SELECT doc_id, frame_idx,
+           CAST(bit_count(xor(prev, fhash)) AS BIGINT) AS hamming,
+           bit_count(xor(prev, fhash)) >= {cut_hamming} AS is_cut
+    FROM lagd WHERE prev IS NOT NULL
+    """

@@ -3906,3 +3906,40 @@ FROM c
 
 PARKED_PIPELINE_QUERIES["q_dedup_recall"] = q_dedup_recall
 PARKED_PIPELINE_ORACLES["q_dedup_recall"] = Q_DEDUP_RECALL_SQL
+
+
+# --- r10 addition: video scene-change detection ---
+
+SCENE_FRAME_BYTES, SCENE_CUT_HAMMING = 64, 20
+
+
+def q_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: video cut detection (multimodal.scene_changes) — frame-
+    sample (JVM-side substring explode) → per-frame 64-bit perceptual
+    hash (one Arrow pass) → temporal lag (one doc-keyed window); a cut
+    is a consecutive-frame Hamming jump >= the threshold."""
+    from tundradb_spark.pipeline.multimodal import (
+        attach_binary,
+        scene_changes,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return scene_changes(
+        attach_binary(docs.select("doc_id", "text")),
+        frame_bytes=SCENE_FRAME_BYTES,
+        cut_hamming=SCENE_CUT_HAMMING,
+    )
+
+
+def _scene_cuts_sql() -> str:
+    from tundradb_spark.pipeline.multimodal import scene_changes_sql
+
+    return scene_changes_sql(
+        "documents",
+        frame_bytes=SCENE_FRAME_BYTES,
+        cut_hamming=SCENE_CUT_HAMMING,
+    )
+
+
+PARKED_PIPELINE_QUERIES["q_scene_cuts"] = q_scene_cuts
+PARKED_PIPELINE_ORACLES["q_scene_cuts"] = _scene_cuts_sql()
