@@ -1716,3 +1716,68 @@ class TestStreamBenford:
         # worst digit: 9 holds 50% of mass vs Benford's 4.6% (dev 0.454),
         # beating digit 1's 0.199
         assert (r[0], r[1], r[2], r[4]) == ("A", 10, 2, 9)
+
+
+class TestReadWinsorizeBounds:
+    """r10: approximate streaming winsorization — clip bounds from the
+    live histogram sketches, pinned to within one bin width of the
+    batch operator's exact band."""
+
+    SCHEMA = "event_id long, event_type string, value double"
+
+    def test_bounds_within_bin_width_of_batch(self, spark, tmp_path):
+        from tundradb_spark.operators.analytics import winsorize
+        from tundradb_spark.streaming import (
+            read_winsorize_bounds,
+            stream_histogram_bins,
+        )
+
+        src = str(tmp_path / "wzsrc")
+        sink = str(tmp_path / "wzsink")
+        ckpt = str(tmp_path / "wzck")
+        os.makedirs(src)
+        rows = [(i, "A", float(i)) for i in range(1, 101)] + [
+            (200, "A", 1e308), (201, "A", None),
+        ]
+        batch1, batch2 = rows[:50], rows[50:]
+        bounds, n_bins = (0.0, 100.0), 1000
+        spark.createDataFrame(batch1, self.SCHEMA).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(self.SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = stream_histogram_bins(
+            stream, sink, ckpt, "event_type", "value", bounds, n_bins
+        )
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(batch2, self.SCHEMA).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        allrows = spark.createDataFrame(rows, self.SCHEMA)
+        approx = {
+            r["event_id"]: r
+            for r in read_winsorize_bounds(
+                spark, sink, allrows, bounds, p_lo=0.1, p_hi=0.9,
+                n_bins=n_bins,
+            ).collect()
+        }
+        exact = {
+            r["event_id"]: r
+            for r in winsorize(allrows, p_lo=0.1, p_hi=0.9).collect()
+        }
+        assert set(approx) == set(exact)
+        bin_w = (bounds[1] - bounds[0]) / n_bins
+        for i, er in exact.items():
+            ar = approx[i]
+            assert ar["flag"] == "domain" if er["flag"] == "domain" else True
+            if er["flag"] == "domain":
+                assert ar["clipped"] is None
+            else:
+                # clipped values agree to within one bin width
+                assert abs(ar["clipped"] - er["clipped"]) <= bin_w + 1e-9
+        # and the clamp actually fired on the tails
+        assert approx[1]["flag"] == "clipped"
+        assert approx[100]["flag"] == "clipped"
+        assert approx[50]["flag"] == "kept"

@@ -51,6 +51,11 @@ continuously-ingesting graph/analytics deployment needs:
   per-group z-score moments with O(groups) state per epoch (exact
   decimal partials; sum-merge + shared scoring == the batch
   value_outliers exactly, domain glitch rows included)
+- :func:`read_winsorize_bounds` — approximate streaming
+  winsorization: clamp a frame into per-group quantile bands estimated
+  from the live histogram sketches (exact rank quantiles are not
+  mergeable; histogram counters are — bounds within one bin width,
+  test-pinned)
 - :func:`stream_benford_counts` / :func:`read_benford` — live
   first-digit conformance with ``groups × 11`` longs of state per epoch
   (count sum-merge + the batch operator's shared scoring ==
@@ -72,6 +77,7 @@ from tundradb_spark.streaming.ops import (
     read_cooccurrence,
     stream_benford_counts,
     read_benford,
+    read_winsorize_bounds,
     read_outliers,
     stream_markov_pairs,
     stream_cohort_periods,
@@ -135,4 +141,5 @@ __all__ = [
     "read_cooccurrence",
     "stream_benford_counts",
     "read_benford",
+    "read_winsorize_bounds",
 ]

@@ -2015,3 +2015,64 @@ def read_benford(
         *[F.sum(f"o{d}").alias(f"o{d}") for d in range(1, 10)],
     )
     return benford_score(merged, group_col, min_n)
+
+
+def read_winsorize_bounds(
+    spark,
+    path: str,
+    events: DataFrame,
+    bounds: tuple[float, float],
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    n_bins: int = 1000,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """APPROXIMATE streaming winsorization: clamp ``events`` into the
+    per-group ``[q(p_lo), q(p_hi)]`` band estimated from a
+    :func:`stream_histogram_bins` table — the documented at-scale
+    alternative to the batch :func:`~tundradb_spark.operators.analytics.
+    winsorize` (whose exact rank medians need a full sort and are NOT
+    mergeable across epochs; histogram counters are).
+
+    Contract: the clip bounds are histogram-quantile ESTIMATES — within
+    one bin width of the exact type-1 quantile (the
+    histogram_quantiles guarantee), so this is a rows-only/approximate
+    operator, not an oracle-exact one; the parity test pins the bounds
+    to within bin width of the batch operator's exact band.  Same
+    output shape as the batch operator: ``(id, group, value, clipped,
+    flag)`` with ``flag IN ('kept', 'clipped', 'domain')`` — domain
+    rows (NaN/±Inf/|v| >= 1e9) pass through unclipped exactly as in
+    batch.
+    """
+    from tundradb_spark.operators.analytics import _metric_tagged
+
+    qs = read_histogram_quantiles(
+        spark, path, group_col, [p_lo, p_hi], bounds, n_bins
+    )
+    # histogram_estimate output: (group, n_rows, one column per prob)
+    lo_col, hi_col = qs.columns[2], qs.columns[3]
+    b = qs.select(
+        group_col,
+        F.col(lo_col).alias("__qlo"),
+        F.col(hi_col).alias("__qhi"),
+    )
+    ev = _metric_tagged(events, group_col, value_col, id_col)
+    v = F.col(value_col)
+    out = ev.join(F.broadcast(b), group_col, "left")
+    clipped = F.when(
+        F.col("__ok"),
+        F.greatest(F.col("__qlo"), F.least(F.col("__qhi"), v)),
+    )
+    nonfinite = F.isnan(v) | (F.abs(v) == F.lit(float("inf")))
+    return out.select(
+        id_col,
+        group_col,
+        F.when(F.col("__ok") | ~nonfinite, v).alias(value_col),
+        clipped.alias("clipped"),
+        F.when(~F.col("__ok"), F.lit("domain"))
+        .when((v < F.col("__qlo")) | (v > F.col("__qhi")), F.lit("clipped"))
+        .otherwise(F.lit("kept"))
+        .alias("flag"),
+    )
