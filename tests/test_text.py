@@ -81,3 +81,17 @@ class TestRrfFuse:
             "SELECT * FROM ta", "SELECT * FROM tb", k=60, top_n=5
         )).fetchall()))
         assert got == want
+
+
+def test_rrf_rejects_duplicate_ranking_rows(spark):
+    from tundradb_spark.pipeline.text import rrf_fuse
+
+    dup = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 10, 4.0)],
+        "query_id long, doc_id long, score double",
+    )
+    clean = spark.createDataFrame(
+        [(1, 11, 1.0)], "query_id long, doc_id long, score double"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        rrf_fuse(dup, clean)

@@ -699,6 +699,11 @@ def scene_changes(
     """
     if not 0 <= cut_hamming <= 64:
         raise ValueError(f"cut_hamming must be in [0, 64], got {cut_hamming}")
+    if every_n < 1 or frame_bytes < 1:
+        raise ValueError(
+            f"every_n and frame_bytes must be >= 1, got "
+            f"({every_n}, {frame_bytes})"
+        )
     from pyspark.sql import Window
 
     frames = sample_frames(blobs, frame_bytes=frame_bytes, every_n=every_n)

@@ -1288,7 +1288,11 @@ def rrf_fuse(
 
     Ranks are dense per query under the total order ``(score DESC,
     id ASC)`` — the id tiebreak makes every rank, and therefore every
-    fused score, engine-reproducible.  The two contributions are
+    fused score, engine-reproducible.  Precondition: each ranker holds
+    at most ONE row per ``(query, doc)`` (the natural shape of a top-k
+    result); duplicate rows would take adjacent arbitrary ranks and
+    multiply through the join identically in both engines, so they are
+    rejected loudly rather than silently fused.  The two contributions are
     combined as one fixed ``coalesce(ta, 0) + coalesce(tb, 0)`` addition
     (never a float ``sum()`` over an exploded ranker table, whose
     partition order would vary).
@@ -1308,6 +1312,19 @@ def rrf_fuse(
     from pyspark.sql import Window
 
     def _ranked(df: DataFrame, out: str) -> DataFrame:
+        dup = (
+            df.groupBy(query_id_col, id_col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"rrf_fuse: ranker has duplicate ({query_id_col}, "
+                f"{id_col}) rows, e.g. {dup[0][0], dup[0][1]} — "
+                f"rankings must be unique per (query, doc)"
+            )
         w = Window.partitionBy(query_id_col).orderBy(
             F.col(score_col).desc(), F.col(id_col).asc()
         )
