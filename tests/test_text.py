@@ -95,3 +95,63 @@ def test_rrf_rejects_duplicate_ranking_rows(spark):
     )
     with pytest.raises(ValueError, match="duplicate"):
         rrf_fuse(dup, clean)
+
+
+class TestVocabCoverage:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_curve_by_hand(self, spark):
+        from tundradb_spark.pipeline.text import vocab_coverage
+
+        # counts: a=4, b=2, c=1 (total 7); ranks a,b,c
+        docs = self._docs(spark, ["a a b", "A b c a"])
+        got = {
+            r["n_vocab"]: (r["n_types"], r["covered_tokens"],
+                           r["total_tokens"], r["coverage"])
+            for r in vocab_coverage(docs, sizes=[1, 2, 10]).collect()
+        }
+        rnd = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+        assert got[1] == (1, 4, 7, rnd(4 / 7))
+        assert got[2] == (2, 6, 7, rnd(6 / 7))
+        assert got[10] == (3, 7, 7, 1.0)  # clamps at the type universe
+
+    def test_rank_ties_break_on_token(self, spark):
+        from tundradb_spark.pipeline.text import vocab_coverage
+
+        # b and a both count 2: rank order (count desc, token asc) → a first
+        docs = self._docs(spark, ["b a b a c"])
+        got = {r["n_vocab"]: r["covered_tokens"]
+               for r in vocab_coverage(docs, sizes=[1]).collect()}
+        assert got[1] == 2  # 'a' covers its 2 occurrences
+
+    def test_matches_sql_oracle(self, spark):
+        import duckdb
+
+        from tundradb_spark.pipeline.text import (
+            vocab_coverage,
+            vocab_coverage_sql,
+        )
+
+        texts = [
+            (0, "the cat sat on the mat"),
+            (1, "the dog ate the cat food"),
+            (2, "  spaced   out   tokens  "),
+        ]
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+        got = sorted(map(tuple, vocab_coverage(
+            docs, sizes=[1, 3, 100]).collect()))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", texts)
+        want = sorted(map(tuple, con.execute(
+            vocab_coverage_sql("t", sizes=[1, 3, 100])).fetchall()))
+        assert got == want
+
+    def test_validation(self, spark):
+        from tundradb_spark.pipeline.text import vocab_coverage
+
+        with pytest.raises(ValueError):
+            vocab_coverage(self._docs(spark, ["x"]), sizes=[])

@@ -3943,3 +3943,28 @@ def _scene_cuts_sql() -> str:
 
 PARKED_PIPELINE_QUERIES["q_scene_cuts"] = q_scene_cuts
 PARKED_PIPELINE_ORACLES["q_scene_cuts"] = _scene_cuts_sql()
+
+
+# --- r10 addition: vocabulary coverage curve ---
+
+COVERAGE_SIZES = [10, 100, 1000]
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: tokenizer-sizing curve (text.vocab_coverage) — fraction of
+    all corpus token occurrences covered by the top-N types, N in
+    {10, 100, 1000}; exact longs + one division per row, vocabulary-
+    bounded window, build_vocab's exact rank order."""
+    from tundradb_spark.pipeline.text import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir), sizes=COVERAGE_SIZES)
+
+
+def _vocab_coverage_sql() -> str:
+    from tundradb_spark.pipeline.text import vocab_coverage_sql
+
+    return vocab_coverage_sql("documents", sizes=COVERAGE_SIZES)
+
+
+PARKED_PIPELINE_QUERIES["q_vocab_coverage"] = q_vocab_coverage
+PARKED_PIPELINE_ORACLES["q_vocab_coverage"] = _vocab_coverage_sql()

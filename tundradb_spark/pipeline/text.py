@@ -1418,3 +1418,116 @@ def rrf_fuse_sql(
     )
     SELECT * FROM outq{tail}
     """
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    sizes: list[int],
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocabulary size
+    ``N``, the fraction of ALL corpus token occurrences covered by the
+    ``N`` most frequent token types — the tokenizer-sizing question
+    ("how big a vocab before OOV is negligible?") answered before
+    committing to a :func:`build_vocab` / BPE budget.
+
+    Ranks use the :func:`build_vocab` total order ``(count DESC, token
+    ASC)``, so the curve names exactly the types a same-sized vocab
+    export would keep.  Everything is exact longs (one count groupBy,
+    one rank window, one cumulative-sum window) plus ONE double
+    division per output row — engine-reproducible to the last bit.
+
+    Plan / 100 TB shape: one map-side-combined token count (the only
+    corpus-sized shuffle), one vocabulary-sized window sort, output
+    ``len(sizes)`` rows.  At planetary vocabularies the window sort is
+    vocabulary-bounded, never corpus-bounded.
+
+    Output: ``(n_vocab, n_types, covered_tokens, total_tokens,
+    coverage)`` — one row per requested size; ``n_types = min(size,
+    distinct types)``; coverage rounded half-up to 6 dp.
+    """
+    if not sizes or any(n < 1 for n in sizes):
+        raise ValueError(f"sizes must be non-empty positive ints: {sizes}")
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(text_col), r"\s+"), lambda t: t != ""
+            )
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = counts.select(
+        F.row_number().over(w).alias("rank"),
+        F.sum("cnt").over(wcum).alias("cum"),
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("total_tokens"))
+    pick = F.array(*[F.lit(int(n)) for n in sorted(set(sizes))])
+    # a size larger than the type universe covers everything: take the
+    # LAST rank ≤ n_vocab per requested size (max over the filtered
+    # vocabulary-sized frame — never corpus-sized)
+    probes = (
+        ranked.crossJoin(
+            F.broadcast(
+                total.select(
+                    "total_tokens", F.explode(pick).alias("n_vocab")
+                )
+            )
+        )
+        .filter(F.col("rank") <= F.col("n_vocab"))
+        .groupBy("n_vocab", "total_tokens")
+        .agg(
+            F.max("rank").cast("long").alias("n_types"),
+            F.max("cum").cast("long").alias("covered_tokens"),
+        )
+    )
+    return probes.select(
+        F.col("n_vocab").cast("long").alias("n_vocab"),
+        "n_types",
+        "covered_tokens",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.expr(
+            "cast(floor(cast(covered_tokens as double)"
+            " / nullif(cast(total_tokens as double), 0.0)"
+            " * 1000000 + 0.5) as double) / 1000000.0"
+        ).alias("coverage"),
+    )
+
+
+def vocab_coverage_sql(
+    table: str, sizes: list[int], text_col: str = "text"
+) -> str:
+    """DuckDB oracle reproducing :func:`vocab_coverage` exactly (same
+    tokenization, same rank order, same cumulative sums)."""
+    toks = (
+        f"[t for t in string_split_regex(lower({text_col}), '\\s+')"
+        f" if t != '']"
+    )
+    vals = ", ".join(f"({int(n)})" for n in sorted(set(sizes)))
+    return f"""
+    WITH uni AS (
+        SELECT unnest({toks}) AS token FROM {table}
+    ),
+    counts AS (SELECT token, count(*) AS cnt FROM uni GROUP BY token),
+    ranked AS (
+        SELECT row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+               sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum
+        FROM counts
+    ),
+    total AS (SELECT count(*) AS total_tokens FROM uni),
+    ns(n_vocab) AS (VALUES {vals})
+    SELECT CAST(n_vocab AS BIGINT) AS n_vocab,
+           CAST(max(rank) AS BIGINT) AS n_types,
+           CAST(max(cum) AS BIGINT) AS covered_tokens,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(floor(CAST(max(cum) AS DOUBLE)
+                      / nullif(CAST(total_tokens AS DOUBLE), 0.0)
+                      * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS coverage
+    FROM ranked CROSS JOIN total JOIN ns ON ranked.rank <= ns.n_vocab
+    GROUP BY n_vocab, total_tokens
+    """
