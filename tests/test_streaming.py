@@ -1781,3 +1781,48 @@ class TestReadWinsorizeBounds:
         assert approx[1]["flag"] == "clipped"
         assert approx[100]["flag"] == "clipped"
         assert approx[50]["flag"] == "kept"
+
+
+class TestStreamTokenCounts:
+    """r10: stream_token_counts — additive token-count partials per
+    epoch; sum-merge + the batch operator's shared vocab_coverage_curve
+    == vocab_coverage exactly."""
+
+    SCHEMA = "doc_id long, text string"
+
+    def test_stream_merge_equals_batch_operator(self, spark, tmp_path):
+        from tundradb_spark.pipeline.text import vocab_coverage
+        from tundradb_spark.streaming import (
+            read_vocab_coverage,
+            stream_token_counts,
+        )
+
+        src = str(tmp_path / "tcsrc")
+        sink = str(tmp_path / "tcsink")
+        ckpt = str(tmp_path / "tcck")
+        os.makedirs(src)
+        # token 'b' overtakes 'a' only once both epochs merge
+        batch1 = [(0, "a a b c"), (1, "a b")]
+        batch2 = [(2, "b b B d"), (3, "  e ")]
+        spark.createDataFrame(batch1, self.SCHEMA).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(self.SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = stream_token_counts(stream, sink, ckpt)
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(batch2, self.SCHEMA).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        allrows = spark.createDataFrame(batch1 + batch2, self.SCHEMA)
+        got = sorted(map(tuple, read_vocab_coverage(
+            spark, sink, sizes=[1, 2, 100]).collect()))
+        want = sorted(map(tuple, vocab_coverage(
+            allrows, sizes=[1, 2, 100]).collect()))
+        assert got == want
+        # sanity: merged counts a=3, b=5 (B lowercases in) → top-1 is
+        # b with 5 of 11
+        top1 = [r for r in want if r[0] == 1][0]
+        assert (top1[1], top1[2], top1[3]) == (1, 5, 11)

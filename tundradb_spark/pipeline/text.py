@@ -1448,8 +1448,14 @@ def vocab_coverage(
     """
     if not sizes or any(n < 1 for n in sizes):
         raise ValueError(f"sizes must be non-empty positive ints: {sizes}")
-    from pyspark.sql import Window
+    return vocab_coverage_curve(token_counts(docs, text_col), sizes)
 
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus token-type counts ``(token, cnt)`` — ADDITIVE (exact
+    longs), so partials from disjoint row sets (micro-batch epochs,
+    shards) merge by plain ``sum`` into the single-pass aggregate
+    (streaming.ops.stream_token_counts is that merge's producer)."""
     toks = docs.select(
         F.explode(
             F.filter(
@@ -1457,14 +1463,26 @@ def vocab_coverage(
             )
         ).alias("token")
     )
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    return toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def vocab_coverage_curve(counts: DataFrame, sizes: list[int]) -> DataFrame:
+    """Coverage curve over a :func:`token_counts`-layout frame — the
+    back half of :func:`vocab_coverage`, shared verbatim with the
+    streaming reader so sum-merged counts produce the identical curve.
+    The total-token denominator is ``sum(cnt)`` over the counts frame
+    (one vocabulary-sized aggregate — never a second corpus scan)."""
+    if not sizes or any(n < 1 for n in sizes):
+        raise ValueError(f"sizes must be non-empty positive ints: {sizes}")
+    from pyspark.sql import Window
+
     w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked = counts.select(
         F.row_number().over(w).alias("rank"),
         F.sum("cnt").over(wcum).alias("cum"),
     )
-    total = toks.agg(F.count(F.lit(1)).alias("total_tokens"))
+    total = counts.agg(F.sum("cnt").alias("total_tokens"))
     pick = F.array(*[F.lit(int(n)) for n in sorted(set(sizes))])
     # a size larger than the type universe covers everything: take the
     # LAST rank ≤ n_vocab per requested size (max over the filtered

@@ -60,6 +60,10 @@ continuously-ingesting graph/analytics deployment needs:
   first-digit conformance with ``groups × 11`` longs of state per epoch
   (count sum-merge + the batch operator's shared scoring ==
   benford_deviation exactly)
+- :func:`stream_token_counts` / :func:`read_vocab_coverage` — live
+  tokenizer-sizing curve with vocabulary-bounded state per epoch
+  (count sum-merge + the batch operator's shared curve ==
+  vocab_coverage exactly)
 - :func:`compact_stream_index` — atomic per-epoch → single-epoch fold
   for any of the streaming index/sketch tables
 """
@@ -78,6 +82,8 @@ from tundradb_spark.streaming.ops import (
     stream_benford_counts,
     read_benford,
     read_winsorize_bounds,
+    stream_token_counts,
+    read_vocab_coverage,
     read_outliers,
     stream_markov_pairs,
     stream_cohort_periods,
@@ -142,4 +148,6 @@ __all__ = [
     "stream_benford_counts",
     "read_benford",
     "read_winsorize_bounds",
+    "stream_token_counts",
+    "read_vocab_coverage",
 ]

@@ -2076,3 +2076,62 @@ def read_winsorize_bounds(
         .otherwise(F.lit("kept"))
         .alias("flag"),
     )
+
+
+def stream_token_counts(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    query_name: str | None = None,
+) -> "StreamingQuery":
+    """Continuously maintain corpus token-type counts
+    (``pipeline.text.token_counts`` layout, exact longs) from a
+    document stream.  Counts are additive, so per-epoch partials summed
+    across epochs equal the single-pass batch aggregate exactly, and
+    :func:`read_vocab_coverage` re-applies the batch operator's own
+    curve half (``vocab_coverage_curve`` — shared verbatim) to the
+    merged counts: stream-maintained coverage ==
+    ``vocab_coverage(all_docs)`` (test-pinned, including types whose
+    counts straddle epochs).  Idempotent under replay via dynamic
+    partition overwrite on ``epoch``.
+
+    State per epoch is that epoch's type universe — vocabulary-bounded,
+    not corpus-bounded; fold occasionally with
+    :func:`compact_stream_index`.
+    """
+    from tundradb_spark.pipeline.text import token_counts
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        counts = token_counts(batch, text_col)
+        (
+            counts.withColumn("epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name or "token-counts")
+        .start()
+    )
+
+
+def read_vocab_coverage(spark, path: str, sizes: list[int]) -> DataFrame:
+    """Merge all epochs of a :func:`stream_token_counts` table (plain
+    sums) and run the batch operator's own ``vocab_coverage_curve`` —
+    identical to ``vocab_coverage`` over every document the stream has
+    delivered."""
+    from tundradb_spark.pipeline.text import vocab_coverage_curve
+
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return vocab_coverage_curve(merged, sizes)
