@@ -106,14 +106,20 @@ def run_group(
     best: dict[str, float] = {}
     spread: dict[str, float] = {}
     for name, fn in picked.items():
-        # every SPREAD-ASSERTED query gets >= 3 timed runs: spread is the
-        # gap between the two BEST, so one stochastic GC/cleaner hiccup is
-        # shed instead of tripping the gate (r9: q_bm25 spread measured
-        # 0.033 / 0.224 / 2.055 across three identical sessions at 2
-        # runs — a single mid-run pause anywhere in 39 queries x 2 runs
-        # voids the artifact).  Heavies are exempt from the gate and keep
-        # RUNS (a third q_snapshot run is ~5s of real parquet commits).
-        n_runs = max(1, RUNS) if name in HEAVY else max(RUNS, 3)
+        # every SPREAD-ASSERTED query gets >= 4 timed runs: spread is the
+        # gap between the two BEST, so up to TWO stochastic GC/cleaner
+        # hiccups are shed instead of tripping the gate (r9 raised this
+        # from 2 to 3 runs after q_bm25 measured spreads of
+        # 0.033 / 0.224 / 2.055 across identical sessions; r10 measured
+        # the 3-run gate still tripping roughly one full run in three —
+        # q_pagerank 2.045s and q_dedup_incremental 1.505s spreads with
+        # two slow runs each, same plans, idle machine, a clean rc=0 run
+        # hours earlier).  Leaked one-time work — the thing the gate
+        # exists for — shows as large spread on EVERY run, so shedding a
+        # second hiccup does not weaken it.  Heavies are exempt from the
+        # gate and keep RUNS (a third q_snapshot run is ~5s of real
+        # parquet commits).
+        n_runs = max(1, RUNS) if name in HEAVY else max(RUNS, 4)
         # ONE untimed JVM drain per QUERY, before its warmups: late
         # queries in the shared session otherwise inherit 40+
         # predecessors' queued block removals and broadcast garbage,
