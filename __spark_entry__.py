@@ -147,6 +147,23 @@ stream_benford_counts (additive digit counts) — plus the pre-session
 stream_event_ngrams.  TundraQL grew OUTLIERS ROBUST, COOCCURRENCE,
 WINSORIZE and BENFORD statements (MARKOV/SIMILARITY pre-session).
 
+**Round-11 rotation** (r10 verdict item 1): ALL TEN operators that had
+never held a driver row — q_robust_outliers, q_cooccurrence,
+q_winsorize, q_benford, q_rrf, q_audio_fp, q_scene_cuts, q_dedup_recall,
+q_phash_dedup, q_vocab_coverage — are SEATED (``_SEAT_R11`` /
+``_PARK_R11`` at the bottom of this module).  Parked in exchange: the 10
+longest-green rows (streaks of 10/10/10/9/9/9/8/8/8/7 consecutive
+driver rounds) whose operators are untouched in r11 — q_dedup_embed,
+q_dedup_exact, q_dup_clusters, q_agg_pricing, q_pagerank,
+q_stream_window, q_sessionize_state, q_stream_dedup, q_stream_ingest,
+q_dedup_apply.  Deliberately NOT parked despite long streaks: the four
+baseline-anchor queries (q_scan_filter, q_inner_join, q_two_hop,
+q_outer_joins — BENCH_r11.json must keep the numbers the judge compares
+to BASELINE.md's join bounds) and the five heavy-tier-creep queries
+under r10-verdict-item-3 investigation (q_dml, q_snapshot, q_versioned,
+q_decontaminate, q_text_scores — their recovery must be visible IN the
+shipped artifact).
+
 The per-round narrative above records WHY each rotation happened; the
 AUTHORITATIVE seated/parked lists at HEAD are runtime facts — read them
 from ``queries()`` / ``parked_queries()`` (or the ``_SEAT_R*`` /
@@ -3939,3 +3956,74 @@ def _rrf_oracle() -> str:
 
 PARKED_QUERIES["q_rrf"] = q_rrf
 PARKED_ORACLES["q_rrf"] = _rrf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round-11 rotation (r10 verdict item 1): seat ALL TEN operators that have
+# exact oracles and CI-green parked checks but have NEVER held a driver
+# CORRECTNESS row — the eight r10 additions plus the two pre-session r10
+# rows (q_scene_cuts, q_vocab_coverage).  Parked in exchange: the 10 rows
+# with the LONGEST driver-green streaks whose operators are untouched in
+# r11, EXCLUDING two groups that must stay seated for the round's own
+# verification goals:
+#   * the four baseline-anchor queries (q_scan_filter, q_inner_join,
+#     q_two_hop, q_outer_joins) — BENCH_r11.json must keep carrying the
+#     numbers the judge compares against BASELINE.md's published join
+#     bounds, and
+#   * the five heavy-tier-creep queries under investigation (q_dml,
+#     q_snapshot, q_versioned, q_decontaminate, q_text_scores) — r10
+#     verdict item 3 requires their recovery to be visible IN the shipped
+#     artifact, which means they need both a driver row and a bench slot.
+# Streak ranking (consecutive green driver rounds ending r10, computed
+# from CORRECTNESS_r01..r10): q_dedup_embed/q_dedup_exact/q_dup_clusters
+# 10; q_agg_pricing/q_pagerank/q_stream_window 9; q_sessionize_state/
+# q_stream_dedup/q_stream_ingest 8; q_dedup_apply 7 (tie with
+# q_bfs_levels broken by keeping ONE GRAPH_ITER representative seated so
+# the tightened bench spread gate still has a subject).
+# ---------------------------------------------------------------------------
+
+_SEAT_R11 = [
+    "q_robust_outliers",
+    "q_cooccurrence",
+    "q_winsorize",
+    "q_benford",
+    "q_rrf",
+    "q_audio_fp",
+    "q_scene_cuts",
+    "q_dedup_recall",
+    "q_phash_dedup",
+    "q_vocab_coverage",
+]
+
+#: longest green streaks at r10 (10/10/10/9/9/9/8/8/8/7 consecutive
+#: rounds); every parked row keeps its oracle and is re-checked against
+#: DuckDB each CI run by tests/test_parked_oracles.py
+_PARK_R11 = [
+    "q_dedup_embed",
+    "q_dedup_exact",
+    "q_dup_clusters",
+    "q_agg_pricing",
+    "q_pagerank",
+    "q_stream_window",
+    "q_sessionize_state",
+    "q_stream_dedup",
+    "q_stream_ingest",
+    "q_dedup_apply",
+]
+
+for _n in _SEAT_R11:
+    QUERIES[_n] = PARKED_QUERIES.pop(_n)
+    ORACLES[_n] = PARKED_ORACLES.pop(_n)
+for _n in _PARK_R11:
+    PARKED_QUERIES[_n] = QUERIES.pop(_n)
+    PARKED_ORACLES[_n] = ORACLES.pop(_n)
+
+if len(QUERIES) != 50 or set(QUERIES) != set(ORACLES):
+    raise RuntimeError(
+        f"r11 rotation broke the 50-slot window: {len(QUERIES)} seated, "
+        f"query/oracle diff {set(QUERIES) ^ set(ORACLES)}"
+    )
+if set(PARKED_QUERIES) != set(PARKED_ORACLES):
+    raise RuntimeError(
+        f"parked query/oracle diff: {set(PARKED_QUERIES) ^ set(PARKED_ORACLES)}"
+    )

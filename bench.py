@@ -183,6 +183,37 @@ def run_group(
     return best, spread
 
 
+def _load_probe() -> tuple[float, int]:
+    """(1-minute loadavg, count of OTHER java/python processes) — recorded
+    at bench start and end into the final JSON (r10 verdict item 2): the
+    r9/r10 rounds each saw shipped-artifact timings ~8-10% above quiet
+    builder-local runs with identical plans, and without a load field IN
+    the artifact a loaded driver machine is indistinguishable from a real
+    regression.  Start probe runs BEFORE any JVM spins up, so foreign
+    load shows undiluted; the end probe catches load that arrived
+    mid-run."""
+    try:
+        load1 = round(os.getloadavg()[0], 1)
+    except OSError:  # platform without getloadavg
+        load1 = -1.0
+    me = os.getpid()
+    procs = 0
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as fh:
+                    comm = fh.read().strip()
+            except OSError:
+                continue
+            if comm.startswith(("java", "python")):
+                procs += 1
+    except OSError:
+        procs = -1
+    return load1, procs
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--group":
         # subprocess mode: time the named queries, print one JSON line;
@@ -193,6 +224,8 @@ def main() -> None:
         best, spread = run_group(names, warmup=n_warm)
         print(json.dumps({"queries": best, "spread": spread}))
         return
+
+    load1_start, procs_start = _load_probe()  # before any JVM exists
 
     import __spark_entry__ as entry_mod
 
@@ -256,12 +289,22 @@ def main() -> None:
     # diagnostics FIRST, on their own line — only the LAST line must fit
     # the driver's tail
     print(json.dumps({"spread": {n: spread[n] for n in all_names}}))
+    load1_end, procs_end = _load_probe()
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(ordered.values()), 3),
         "unit": "sec",
         "queries": ordered,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # machine-load context (r10 verdict item 2): loadavg-1m and count
+        # of OTHER java/python processes at start (pre-JVM) and end — a
+        # loaded run is now visible IN the artifact, not a guess
+        "load": {
+            "l1_start": load1_start,
+            "l1_end": load1_end,
+            "procs_start": procs_start,
+            "procs_end": procs_end,
+        },
     }
     line = json.dumps(out)
     if len(line) >= MAX_LINE:  # explicit raise — asserts vanish under -O
@@ -294,16 +337,22 @@ def main() -> None:
     # code-cache re-JIT (+30% best, the r9 "graph"-mode tax).  The
     # back-to-back rerun pressure is a bench artifact, not an operator
     # property, so the gate keeps the fast best and tolerates the known
-    # ~1-2s cleanup wobble: trip only at spread >= max(2.5s, 50% of
-    # best).  Genuinely leaked one-time work in these queries (index
-    # builds, memoized pair materialization) is multi-second and multi-X
-    # — still far above the floor.
+    # cleanup wobble — but r10's 2.5s absolute floor tolerated wobble
+    # near 100% of a ~2.6s best, wide enough for a genuine ~1-2s
+    # leaked-one-time-work regression to pass silently (r10 advisor).
+    # r11 tightens the floor to max(1.5s, 50% of best); after the r11
+    # rotation the only seated GRAPH_ITER query is q_bfs_levels (best
+    # 2.791s in the shipped BENCH_r10.json), whose 50% arm alone is
+    # ~1.4s, so the tighter absolute floor binds and a persistent ~1.5s
+    # per-run slowdown now trips instead of passing silently.  Genuinely leaked one-time work
+    # (index builds, memoized pair materialization) is multi-second and
+    # multi-X — far above either arm.
     noisy = {
         n: s
         for n, s in spread.items()
         if n not in HEAVY
         and (
-            s >= max(2.5, 0.5 * timings[n])
+            s >= max(1.5, 0.5 * timings[n])
             if n in GRAPH_ITER
             else s >= max(1.0, 0.25 * timings[n])
         )

@@ -2839,6 +2839,50 @@ def test_dedup_recall_gauge_perfect_on_exact_dups(spark):
     assert row["n_pred"] >= row["n_hit"] >= row["n_true"] - 0
 
 
+def test_recall_gauge_sampled_mode_equals_full_on_subset(spark):
+    """r10 verdict item 5: the gauge's corpus-scale path.  The
+    deterministic hash-coin sample must make recall_gauge(corpus, f)
+    EQUAL recall_gauge(corpus.filter(sample_coin(id, f))) — same coin,
+    same subset, same single answer row — so the sampled gauge is the
+    full gauge on a reproducible sub-corpus, not a different estimator.
+    Recall stays structurally 1.0 at any fraction (exact dups that
+    survive the coin still share every shingle)."""
+    from tundradb_spark.pipeline.dedup import recall_gauge, sample_coin
+    from tundradb_spark.pipeline.queries import (
+        _RECALL_COPY_OFFSET,
+        MINHASH_BANDS,
+        MINHASH_NUM,
+        SHINGLE_K,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    )
+    corpus = docs.unionAll(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + _RECALL_COPY_OFFSET).alias("doc_id"), "text"
+        )
+    )
+    kw = dict(
+        num_hashes=MINHASH_NUM, bands=MINHASH_BANDS, shingle_k=SHINGLE_K
+    )
+    sampled = recall_gauge(corpus, sample_fraction=0.5, **kw).collect()
+    subset = corpus.filter(sample_coin(F.col("doc_id"), 0.5))
+    full_on_subset = recall_gauge(subset, **kw).collect()
+    assert list(map(tuple, sampled)) == list(map(tuple, full_on_subset))
+    row = sampled[0]
+    # the coin thins pairs ~fraction², but a 0.5 coin over ~100 planted
+    # pairs leaves plenty; deterministic, so this can't flake
+    assert row["n_true"] >= 1
+    assert row["recall"] == 1.0
+    # and the fraction domain is guarded
+    with pytest.raises(ValueError, match="fraction"):
+        recall_gauge(corpus, sample_fraction=0.0, **kw)
+    with pytest.raises(ValueError, match="fraction"):
+        recall_gauge(corpus, sample_fraction=1.5, **kw)
+
+
 class TestSceneChanges:
     """r10: video cut detection — frame-sample → per-frame perceptual
     hash → temporal lag, all three stages reusable and the whole

@@ -810,3 +810,90 @@ class TestQLBenford:
         from tundradb_spark.ql.shell import hint_for
 
         assert "MIN" in hint_for("BENFORD ")
+
+
+class TestQLCalibration:
+    """r11: CALIBRATION statement — the shell surface for
+    pipeline.classify.calibration_bins (r10 verdict item 6)."""
+
+    def test_parse_and_defaults(self):
+        st = parse_statement(
+            "CALIBRATION ON preds PROB p LABEL y BINS 5;")
+        assert isinstance(st, ast.Calibration)
+        assert (st.table, st.prob_col, st.label_col, st.n_bins) == (
+            "preds", "p", "y", 5)
+        st2 = parse_statement("CALIBRATION ON preds;")
+        assert (st2.prob_col, st2.label_col, st2.n_bins) == (
+            "prob", "label", 10)
+
+    def test_bad_bins_rejected(self):
+        with pytest.raises(QueryError):
+            parse_statement("CALIBRATION ON preds BINS 0;")
+
+    def test_executes_like_operator(self, db, spark):
+        from tundradb_spark.pipeline.classify import calibration_bins
+
+        preds = spark.createDataFrame(
+            [(i, i / 10.0, i >= 5) for i in range(11)],
+            "row_id long, p double, y boolean",
+        )
+        db.register_node_table(
+            "preds_cal", preds, "row_id", resume_counter=False)
+        got = rows_set(
+            db.sql("CALIBRATION ON preds_cal PROB p LABEL y BINS 5;"))
+        want = rows_set(calibration_bins(
+            db.get_table("preds_cal"), "p", "y", n_bins=5))
+        assert got == want and len(got) == 5
+
+    def test_hint_and_completion(self):
+        from tundradb_spark.ql.shell import COMPLETION_KEYWORDS, hint_for
+
+        assert "BINS" in hint_for("CALIBRATION ")
+        assert "CALIBRATION" in COMPLETION_KEYWORDS
+
+
+class TestQLRrf:
+    """r11: RRF statement — the shell surface for
+    pipeline.text.rrf_fuse (r10 verdict item 6)."""
+
+    def test_parse_and_defaults(self):
+        st = parse_statement(
+            "RRF ON bm WITH ann K 10 TOP 3 QUERY q ID d SCORE s;")
+        assert isinstance(st, ast.Rrf)
+        assert (st.table_a, st.table_b, st.k, st.top_n) == (
+            "bm", "ann", 10, 3)
+        assert (st.query_col, st.id_col, st.score_col) == ("q", "d", "s")
+        st2 = parse_statement("RRF ON bm WITH ann;")
+        assert (st2.k, st2.top_n, st2.query_col, st2.id_col,
+                st2.score_col) == (60, None, "query_id", "doc_id", "score")
+
+    def test_bad_args_rejected(self):
+        with pytest.raises(QueryError):
+            parse_statement("RRF ON bm WITH ann K 0;")
+        with pytest.raises(QueryError):
+            parse_statement("RRF ON bm;")  # missing WITH operand
+
+    def test_executes_like_operator(self, db, spark):
+        from tundradb_spark.pipeline.text import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(0, 1, 10, 5.0), (1, 1, 11, 4.0), (2, 2, 10, 1.0)],
+            "row_id long, query_id long, doc_id long, score double",
+        )
+        b = spark.createDataFrame(
+            [(0, 1, 11, 9.0), (1, 1, 12, 2.0)],
+            "row_id long, query_id long, doc_id long, score double",
+        )
+        db.register_node_table("rank_a", a, "row_id", resume_counter=False)
+        db.register_node_table("rank_b", b, "row_id", resume_counter=False)
+        got = rows_set(db.sql("RRF ON rank_a WITH rank_b K 60 TOP 5;"))
+        want = rows_set(rrf_fuse(
+            db.get_table("rank_a"), db.get_table("rank_b"),
+            k=60, top_n=5))
+        assert got == want and len(got) == 4
+
+    def test_hint_and_completion(self):
+        from tundradb_spark.ql.shell import COMPLETION_KEYWORDS, hint_for
+
+        assert "WITH" in hint_for("RRF ")
+        assert "RRF" in COMPLETION_KEYWORDS

@@ -1621,6 +1621,28 @@ class TestStreamOutlierMoments:
         assert [(r["event_id"], r["n_group"], r["z"], r["flag"])
                 for r in got] == [(99, 5, 2.0, "outlier")]
 
+    def test_unseen_group_domain_rows_stay_visible(self, spark, tmp_path):
+        """r10 advisor: scoring a frame whose group NEVER appeared in the
+        stream must not silently drop its metric-domain glitch rows — the
+        stats join is LEFT, so flag='domain' visibility (the r10 batch
+        policy) holds for unseen groups too.  Unseen-group OK rows have no
+        moments to judge against and are dropped like any sub-threshold
+        row; n_group for the surfaced domain row is 0 (the stream saw no
+        domain rows for that group)."""
+        from tundradb_spark.streaming import read_outliers
+
+        history = [(i, "A", float(i)) for i in range(1, 6)]
+        sink = self._run_stream(spark, tmp_path, [history])
+        fresh = spark.createDataFrame(
+            [(90, "Z", float("inf")), (91, "Z", 1.0), (92, "Z", 2.0)],
+            self.SCHEMA,
+        )
+        got = read_outliers(spark, sink, fresh, z_threshold=2.0).collect()
+        assert [(r["event_id"], r["event_type"], r["value"], r["n_group"],
+                 r["z"], r["flag"]) for r in got] == [
+            (90, "Z", None, 0, None, "domain")
+        ]
+
 
 class TestStreamCooccurrence:
     """r10: stream_cooccurrence_pairs — the cohort-periods discipline on
@@ -1781,6 +1803,59 @@ class TestReadWinsorizeBounds:
         assert approx[1]["flag"] == "clipped"
         assert approx[100]["flag"] == "clipped"
         assert approx[50]["flag"] == "kept"
+
+    def test_equal_probs_collapse_to_one_quantile_column(
+        self, spark, tmp_path
+    ):
+        """r10 advisor: p_lo == p_hi is allowed by the batch winsorize
+        contract (clamp everything to the single quantile).  The reader
+        used to pick quantile columns POSITIONALLY ([2]/[3]), which a
+        deduped single-prob estimate breaks; columns are now picked by
+        their computed labels and the probs deduped, so the degenerate
+        band works: every in-band row clips to (within a bin width of)
+        the median."""
+        from tundradb_spark.streaming import (
+            read_winsorize_bounds,
+            stream_histogram_bins,
+        )
+
+        src = str(tmp_path / "wzesrc")
+        sink = str(tmp_path / "wzesink")
+        ckpt = str(tmp_path / "wzeck")
+        os.makedirs(src)
+        rows = [(i, "A", float(i)) for i in range(1, 101)]
+        bounds, n_bins = (0.0, 100.0), 1000
+        spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(self.SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = stream_histogram_bins(
+            stream, sink, ckpt, "event_type", "value", bounds, n_bins
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        allrows = spark.createDataFrame(rows, self.SCHEMA)
+        got = read_winsorize_bounds(
+            spark, sink, allrows, bounds, p_lo=0.5, p_hi=0.5, n_bins=n_bins
+        ).collect()
+        assert len(got) == 100
+        bin_w = (bounds[1] - bounds[0]) / n_bins
+        # type-1 median of 1..100 is 50; every clipped value collapses to
+        # the single estimated quantile, within one bin width of it
+        clip_vals = {r["clipped"] for r in got}
+        assert len(clip_vals) == 1
+        (cv,) = clip_vals
+        assert abs(cv - 50.0) <= bin_w + 1e-9
+        assert sum(r["flag"] == "clipped" for r in got) == 99
+        assert sum(r["flag"] == "kept" for r in got) == 1
+        # and invalid bands still fail loudly
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="p_lo"):
+            read_winsorize_bounds(
+                spark, sink, allrows, bounds, p_lo=0.9, p_hi=0.1
+            )
 
 
 class TestStreamTokenCounts:

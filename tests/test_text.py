@@ -84,6 +84,9 @@ class TestRrfFuse:
 
 
 def test_rrf_rejects_duplicate_ranking_rows(spark):
+    """The duplicate-(query, doc) precondition still fails LOUDLY, but at
+    execution time from inside the fused plan (raise_error under a window
+    count), not via an eager call-time collect (r10 verdict item 4)."""
     from tundradb_spark.pipeline.text import rrf_fuse
 
     dup = spark.createDataFrame(
@@ -93,8 +96,38 @@ def test_rrf_rejects_duplicate_ranking_rows(spark):
     clean = spark.createDataFrame(
         [(1, 11, 1.0)], "query_id long, doc_id long, score double"
     )
-    with pytest.raises(ValueError, match="duplicate"):
-        rrf_fuse(dup, clean)
+    fused = rrf_fuse(dup, clean)  # construction itself must not raise
+    with pytest.raises(Exception, match="duplicate"):
+        fused.collect()
+
+
+def test_rrf_fuse_is_lazy_zero_jobs_at_call_time(spark):
+    """rrf_fuse is a pure plan transformation: constructing the fused
+    DataFrame triggers ZERO Spark jobs (r10 verdict item 4 — the eager
+    precondition check used to re-run each ranker's full upstream plan
+    twice per call).  Verified with a job group: any job submitted while
+    the group is active would land in it."""
+    from tundradb_spark.pipeline.text import rrf_fuse
+
+    sc = spark.sparkContext
+    a = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, 4.0)],
+        "query_id long, doc_id long, score double",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 9.0), (1, 12, 1.0)],
+        "query_id long, doc_id long, score double",
+    )
+    group = "rrf-lazy-probe"
+    sc.setJobGroup(group, "assert rrf_fuse construction is job-free")
+    try:
+        fused = rrf_fuse(a, b, k=60, top_n=5)
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setJobGroup(None, None)
+    assert jobs == [], f"rrf_fuse construction ran Spark jobs: {jobs}"
+    # and the plan still executes correctly afterwards
+    assert fused.count() == 3
 
 
 class TestVocabCoverage:

@@ -354,11 +354,22 @@ def flag_outliers(
     value_col: str,
     id_col: str,
     z_threshold: float,
+    how: str = "inner",
 ) -> DataFrame:
     """Score a ``__ok``-tagged frame against per-group moment partials
     (:func:`outlier_moments` layout) — the back half of
     :func:`value_outliers`, shared verbatim with the streaming reader so
-    stream-merged moments flag IDENTICALLY to the batch operator."""
+    stream-merged moments flag IDENTICALLY to the batch operator.
+
+    ``how`` matters only when ``ev`` is a DIFFERENT frame than the one
+    the stats came from (the streaming reader's live-monitoring use):
+    with ``"left"``, a row whose group never appeared in the stats still
+    surfaces — an ``__ok`` row can't be judged without moments and is
+    dropped by the z-filter either way (its z is NULL), but a
+    metric-domain glitch row keeps its ``flag='domain'`` visibility
+    (``n_group`` coalesced to 0: the stats side saw zero domain rows for
+    that group).  In the batch operator the stats come FROM ``ev``, every
+    group is present, and ``"inner"`` ≡ ``"left"``."""
     v = F.col(value_col)
     mean = F.expr(
         "cast(__sv as double) / nullif(cast(n_group as double), 0.0)"
@@ -381,6 +392,7 @@ def flag_outliers(
             )
         ),
         group_col,
+        how,
     )
     zraw = F.expr(
         f"case when __ok and __std > 0 then"
@@ -398,7 +410,7 @@ def flag_outliers(
             group_col,
             F.when(F.col("__ok") | ~nonfinite, v).alias(value_col),
             F.when(F.col("__ok"), F.col("n_group"))
-            .otherwise(F.col("__ndom"))
+            .otherwise(F.coalesce(F.col("__ndom"), F.lit(0)))
             .cast("long")
             .alias("n_group"),
             F.expr(

@@ -1463,3 +1463,111 @@ def soft_dedup_weights(
             ).alias("weight"),
         )
     )
+
+
+def sample_coin(id_col: Column, fraction: float) -> Column:
+    """Deterministic hash-coin: keep a row iff
+    ``pmod(crc32(cast(id as string)), 1_000_000) < round(fraction * 1e6)``.
+    Engine-stable (crc32 is bit-defined, no RNG, no partition order), so
+    the SAME ids are kept on every run, every executor count, and in a
+    DuckDB twin — the property plain ``DataFrame.sample`` lacks that makes
+    sampled results oracle-checkable and resumable."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    return F.pmod(F.crc32(id_col.cast("string")), F.lit(1_000_000)) < int(
+        round(fraction * 1_000_000)
+    )
+
+
+def recall_gauge(
+    corpus: DataFrame,
+    *,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    sample_fraction: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Precision/recall of the MinHash-LSH pair miner against
+    exact-duplicate ground truth (pairs with identical normalized-text
+    md5 — the :func:`exact_dedup` digest — ``id_a < id_b``) over
+    ``corpus``.  One row: ``(n_true, n_pred, n_hit, precision, recall)``.
+    Exact dups share every shingle, so their signatures are identical and
+    recall MUST be 1.0 — a broken band join, hash family, or signature
+    layout shows here long before it corrupts a corpus; precision < 1 is
+    EXPECTED (MinHash also surfaces real near-dups beyond the exact truth
+    set).
+
+    ``sample_fraction`` (r10 verdict item 5) is the corpus-scale path:
+    the gauge's sf1 wall was 192 s NOT because any stage blows up (the
+    decade probe measured 0.08× per pair) but because the ANSWER — the
+    full truth pair set and the full mined pair set — grows with the
+    corpus's duplicate mass.  A quality gauge doesn't need every pair; it
+    needs an unbiased estimate.  With a fraction set, the corpus is
+    thinned FIRST by :func:`sample_coin` on ``id_col`` — deterministic,
+    so the sampled run EQUALS the full gauge on the pre-filtered subset
+    (unit-pinned) — and every downstream stage (truth mine, signature
+    build, band join, gauge) runs on the sample: cost scales with
+    fraction² on the pair side.  Documents survive independently, so
+    both dup-pair populations are thinned by the same fraction² coin and
+    the precision/recall RATIOS stay unbiased estimates of the full-run
+    ratios (recall of exact dups is structurally 1.0 at any fraction).
+
+    100 TB shape: nothing all-pairs — the truth mine is a digest
+    self-join (pairs only within identical-digest groups) and the miner
+    is the banded LSH join (:func:`minhash_lsh_pairs`); the gauge itself
+    is one full-outer join of two pair sets + a single aggregate row.
+    """
+    docs = corpus.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    if sample_fraction is not None:
+        docs = docs.filter(sample_coin(F.col("doc_id"), sample_fraction))
+    dg = docs.select(
+        "doc_id", F.md5(normalized_text(F.col("text"))).alias("__dg")
+    ).filter(F.col("__dg").isNotNull())
+    a, b = dg.alias("a"), dg.alias("b")
+    truth = a.join(
+        b,
+        (F.col("a.__dg") == F.col("b.__dg"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.lit(1).alias("__t"),
+    )
+    pred = minhash_lsh_pairs(
+        docs,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_k=shingle_k,
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.lit(1).alias("__p"),
+    )
+    m = truth.join(pred, ["id_a", "id_b"], "full_outer")
+    return m.agg(
+        F.sum("__t").cast("long").alias("n_true"),
+        F.sum("__p").cast("long").alias("n_pred"),
+        F.sum(
+            F.when(F.col("__t").isNotNull() & F.col("__p").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_hit"),
+    ).select(
+        "n_true",
+        "n_pred",
+        "n_hit",
+        F.expr(
+            "cast(floor(cast(n_hit as double)"
+            " / nullif(cast(n_pred as double), 0.0) * 1000000 + 0.5)"
+            " as double) / 1000000.0"
+        ).alias("precision"),
+        F.expr(
+            "cast(floor(cast(n_hit as double)"
+            " / nullif(cast(n_true as double), 0.0) * 1000000 + 0.5)"
+            " as double) / 1000000.0"
+        ).alias("recall"),
+    )

@@ -3799,9 +3799,11 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r10: MinHash pair-mining precision/recall vs exact-dup truth
     (pairs with identical normalized-text md5 — the exact_dedup digest —
     id_a < id_b, over the corpus + planted verbatim copies) — one row:
-    (n_true, n_pred, n_hit, precision, recall)."""
-    from tundradb_spark.pipeline.dedup import normalized_text
-
+    (n_true, n_pred, n_hit, precision, recall).  r11 extracted the gauge
+    into the first-class operator :func:`~tundradb_spark.pipeline.dedup.
+    recall_gauge` (same plan; this query runs it in FULL mode — the
+    deterministic ``sample_fraction`` mode is the corpus-scale path,
+    unit-pinned in tests/test_dedup_gauge.py)."""
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
@@ -3811,54 +3813,11 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
         )
     )
-    dg = corpus.select(
-        "doc_id", F.md5(normalized_text(F.col("text"))).alias("__dg")
-    ).filter(F.col("__dg").isNotNull())
-    a, b = dg.alias("a"), dg.alias("b")
-    truth = (
-        a.join(
-            b,
-            (F.col("a.__dg") == F.col("b.__dg"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.lit(1).alias("__t"),
-        )
-    )
-    pred = dedup.minhash_lsh_pairs(
+    return dedup.recall_gauge(
         corpus,
         num_hashes=MINHASH_NUM,
         bands=MINHASH_BANDS,
         shingle_k=SHINGLE_K,
-    ).select(
-        F.col("id_a").cast("long").alias("id_a"),
-        F.col("id_b").cast("long").alias("id_b"),
-        F.lit(1).alias("__p"),
-    )
-    m = truth.join(pred, ["id_a", "id_b"], "full_outer")
-    return m.agg(
-        F.sum("__t").cast("long").alias("n_true"),
-        F.sum("__p").cast("long").alias("n_pred"),
-        F.sum(
-            F.when(F.col("__t").isNotNull() & F.col("__p").isNotNull(), 1)
-            .otherwise(0)
-        ).cast("long").alias("n_hit"),
-    ).select(
-        "n_true",
-        "n_pred",
-        "n_hit",
-        F.expr(
-            "cast(floor(cast(n_hit as double)"
-            " / nullif(cast(n_pred as double), 0.0) * 1000000 + 0.5)"
-            " as double) / 1000000.0"
-        ).alias("precision"),
-        F.expr(
-            "cast(floor(cast(n_hit as double)"
-            " / nullif(cast(n_true as double), 0.0) * 1000000 + 0.5)"
-            " as double) / 1000000.0"
-        ).alias("recall"),
     )
 
 

@@ -1292,7 +1292,16 @@ def rrf_fuse(
     at most ONE row per ``(query, doc)`` (the natural shape of a top-k
     result); duplicate rows would take adjacent arbitrary ranks and
     multiply through the join identically in both engines, so they are
-    rejected loudly rather than silently fused.  The two contributions are
+    rejected loudly rather than silently fused.  The rejection happens
+    INSIDE the fused plan (a per-(query, doc) window count guarding the
+    rank expression with ``raise_error``), not as an eager
+    plan-construction check: calling this function triggers ZERO Spark
+    jobs, so a recipe can embed rrf_fuse and never pay the rankers'
+    upstream plans unless the fused result is actually materialized —
+    the r10 version ran two eager ``collect()`` precondition jobs per
+    call, re-executing each ranker's full upstream (e.g. the BM25
+    build) before the fused plan even ran (r10 advisor + verdict
+    item 4).  The two contributions are
     combined as one fixed ``coalesce(ta, 0) + coalesce(tb, 0)`` addition
     (never a float ``sum()`` over an exploded ranker table, whose
     partition order would vary).
@@ -1312,26 +1321,33 @@ def rrf_fuse(
     from pyspark.sql import Window
 
     def _ranked(df: DataFrame, out: str) -> DataFrame:
-        dup = (
-            df.groupBy(query_id_col, id_col)
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .filter(F.col("__c") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            raise ValueError(
-                f"rrf_fuse: ranker has duplicate ({query_id_col}, "
-                f"{id_col}) rows, e.g. {dup[0][0], dup[0][1]} — "
-                f"rankings must be unique per (query, doc)"
-            )
+        # lazy duplicate guard: a per-(query, doc) window count gates the
+        # rank expression — a duplicate row turns the rank into
+        # raise_error at EXECUTION time, and plan construction stays
+        # job-free (the r10 eager .collect() check re-ran each ranker's
+        # full upstream twice per call)
+        w_dup = Window.partitionBy(query_id_col, id_col)
         w = Window.partitionBy(query_id_col).orderBy(
             F.col(score_col).desc(), F.col(id_col).asc()
+        )
+        guard_msg = F.concat(
+            F.lit(
+                f"rrf_fuse: ranker has duplicate ({query_id_col}, "
+                f"{id_col}) rows, e.g. ("
+            ),
+            F.col(query_id_col).cast("string"),
+            F.lit(", "),
+            F.col(id_col).cast("string"),
+            F.lit(") — rankings must be unique per (query, doc)"),
         )
         return df.select(
             F.col(query_id_col).cast("long").alias(query_id_col),
             F.col(id_col).cast("long").alias(id_col),
-            F.row_number().over(w).alias(out),
+            F.when(
+                F.count(F.lit(1)).over(w_dup) > 1, F.raise_error(guard_msg)
+            )
+            .otherwise(F.row_number().over(w))
+            .alias(out),
         )
 
     a = _ranked(ranked_a, "__ra")

@@ -268,6 +268,34 @@ class Ngrams:
     tiebreak_col: str | None = None
 
 
+@dataclass(frozen=True)
+class Calibration:
+    """CALIBRATION ON <table> [PROB col] [LABEL col] [BINS n] —
+    reliability-diagram bins (mean predicted probability vs observed
+    positive rate per equal-width bin;
+    pipeline.classify.calibration_bins)."""
+
+    table: str
+    prob_col: str = "prob"
+    label_col: str = "label"
+    n_bins: int = 10
+
+
+@dataclass(frozen=True)
+class Rrf:
+    """RRF ON <table_a> WITH <table_b> [K k] [TOP n] [QUERY col]
+    [ID col] [SCORE col] — reciprocal-rank fusion of two per-query
+    rankings (pipeline.text.rrf_fuse)."""
+
+    table_a: str
+    table_b: str
+    k: int = 60
+    top_n: int | None = None
+    query_col: str = "query_id"
+    id_col: str = "doc_id"
+    score_col: str = "score"
+
+
 Statement = (
     CreateSchema
     | CreateNode
@@ -285,4 +313,9 @@ Statement = (
     | Ngrams
     | Markov
     | Similarity
+    | Cooccurrence
+    | Winsorize
+    | Benford
+    | Calibration
+    | Rrf
 )

@@ -294,6 +294,29 @@ def execute_ast(db: "Database", stmt: ast.Statement) -> DataFrame | None:
             include_adjacent=stmt.include_adjacent,
         )
 
+    if isinstance(stmt, ast.Calibration):
+        from tundradb_spark.pipeline.classify import calibration_bins
+
+        return calibration_bins(
+            db.get_table(stmt.table),
+            prob_col=stmt.prob_col,
+            label_col=stmt.label_col,
+            n_bins=stmt.n_bins,
+        )
+
+    if isinstance(stmt, ast.Rrf):
+        from tundradb_spark.pipeline.text import rrf_fuse
+
+        return rrf_fuse(
+            db.get_table(stmt.table_a),
+            db.get_table(stmt.table_b),
+            k=stmt.k,
+            top_n=stmt.top_n,
+            query_id_col=stmt.query_col,
+            id_col=stmt.id_col,
+            score_col=stmt.score_col,
+        )
+
     if isinstance(stmt, ast.Explain):
         # plan introspection (extension): the compiled MATCH's PHYSICAL
         # plan, one output row per line so the shell renders it verbatim

@@ -268,6 +268,10 @@ class Parser:
             stmt = self.winsorize_statement()
         elif kw == "BENFORD":
             stmt = self.benford_statement()
+        elif kw == "CALIBRATION":
+            stmt = self.calibration_statement()
+        elif kw == "RRF":
+            stmt = self.rrf_statement()
         else:
             raise QueryError(f"TundraQL: unknown statement {kw!r}")
         self.accept(";")
@@ -913,6 +917,75 @@ class Parser:
             group_col=group_col,
             value_col=value_col,
             min_n=min_n,
+        )
+
+    def calibration_statement(self) -> ast.Calibration:
+        """CALIBRATION ON table [PROB col] [LABEL col] [BINS n]"""
+        self.expect("CALIBRATION")
+        self.expect("ON")
+        table = self.ident()
+        prob_col, label_col, n_bins = "prob", "label", 10
+        while True:
+            if self.at_kw("PROB"):
+                self.next()
+                prob_col = self.ident()
+            elif self.at_kw("LABEL"):
+                self.next()
+                label_col = self.ident()
+            elif self.at_kw("BINS"):
+                self.next()
+                n_bins = self._int_clause("BINS")
+            else:
+                break
+        if n_bins < 1:
+            raise QueryError("TundraQL: CALIBRATION BINS must be >= 1")
+        return ast.Calibration(
+            table=table,
+            prob_col=prob_col,
+            label_col=label_col,
+            n_bins=n_bins,
+        )
+
+    def rrf_statement(self) -> ast.Rrf:
+        """RRF ON table_a WITH table_b [K k] [TOP n] [QUERY col] [ID col]
+        [SCORE col]"""
+        self.expect("RRF")
+        self.expect("ON")
+        table_a = self.ident()
+        self.expect("WITH")
+        table_b = self.ident()
+        k, top_n = 60, None
+        query_col, id_col, score_col = "query_id", "doc_id", "score"
+        while True:
+            if self.at_kw("K"):
+                self.next()
+                k = self._int_clause("K")
+            elif self.at_kw("TOP"):
+                self.next()
+                top_n = self._int_clause("TOP")
+            elif self.at_kw("QUERY"):
+                self.next()
+                query_col = self.ident()
+            elif self.at_kw("ID"):
+                self.next()
+                id_col = self.ident()
+            elif self.at_kw("SCORE"):
+                self.next()
+                score_col = self.ident()
+            else:
+                break
+        if k < 1:
+            raise QueryError("TundraQL: RRF K must be >= 1")
+        if top_n is not None and top_n < 1:
+            raise QueryError("TundraQL: RRF TOP must be >= 1")
+        return ast.Rrf(
+            table_a=table_a,
+            table_b=table_b,
+            k=k,
+            top_n=top_n,
+            query_col=query_col,
+            id_col=id_col,
+            score_col=score_col,
         )
 
     def cusum_statement(self) -> ast.Cusum:

@@ -75,7 +75,8 @@ COMPLETION_KEYWORDS = [
     # WITHIN, PERIOD, MAX OFFSET, SLACK, THRESHOLD, ...) are documented
     # by the HINTS templates instead of polluting the global pool
     "FUNNEL", "RETENTION", "OUTLIERS", "CUSUM", "NGRAMS", "MARKOV",
-    "SIMILARITY", "COOCCURRENCE", "WINSORIZE", "BENFORD", "ON",
+    "SIMILARITY", "COOCCURRENCE", "WINSORIZE", "BENFORD", "CALIBRATION",
+    "RRF", "ON",
 ]
 
 
@@ -105,6 +106,8 @@ HINTS = {
     "COOCCURRENCE ": "ON table [USER col] [TYPE col] [MIN m] [TOP n] [CAP c]",
     "WINSORIZE ": "ON table [GROUP col] [VALUE col] [ID col] [PLO x] [PHI x]",
     "BENFORD ": "ON table [GROUP col] [VALUE col] [MIN n]",
+    "CALIBRATION ": "ON table [PROB col] [LABEL col] [BINS n]",
+    "RRF ": "ON table_a WITH table_b [K k] [TOP n] [QUERY col] [ID col] [SCORE col]",
 }
 
 

@@ -1873,8 +1873,14 @@ def read_outliers(
         )
     )
     ev = _metric_tagged(events, group_col, value_col, id_col)
+    # LEFT join (r10 advisor): in the live-monitoring use the scored
+    # frame may hold groups the stream never delivered — their
+    # flag='domain' glitch rows must stay VISIBLE (the r10 batch-side
+    # domain policy), not vanish into an inner join.  When the stream
+    # delivered exactly `events`, every group is present and left ≡
+    # inner, so batch parity is untouched.
     return flag_outliers(
-        ev, merged, group_col, value_col, id_col, z_threshold
+        ev, merged, group_col, value_col, id_col, z_threshold, how="left"
     )
 
 
@@ -2047,12 +2053,22 @@ def read_winsorize_bounds(
     batch.
     """
     from tundradb_spark.operators.analytics import _metric_tagged
+    from tundradb_spark.operators.relational import _quantile_label
 
+    if not 0.0 <= p_lo <= p_hi <= 1.0:
+        raise ValueError(
+            f"need 0 <= p_lo <= p_hi <= 1, got ({p_lo}, {p_hi})"
+        )
+    # select the quantile columns by their COMPUTED labels, never by
+    # position (r10 advisor): histogram_estimate emits one column per
+    # DISTINCT prob, so p_lo == p_hi (allowed by the batch winsorize
+    # contract) would make a positional [2]/[3] pick raise or grab the
+    # wrong column — dedupe the probs and reuse the single column.
+    lo_col, hi_col = _quantile_label(p_lo), _quantile_label(p_hi)
+    probs = [p_lo] if lo_col == hi_col else [p_lo, p_hi]
     qs = read_histogram_quantiles(
-        spark, path, group_col, [p_lo, p_hi], bounds, n_bins
+        spark, path, group_col, probs, bounds, n_bins
     )
-    # histogram_estimate output: (group, n_rows, one column per prob)
-    lo_col, hi_col = qs.columns[2], qs.columns[3]
     b = qs.select(
         group_col,
         F.col(lo_col).alias("__qlo"),
