@@ -164,6 +164,16 @@ under r10-verdict-item-3 investigation (q_dml, q_snapshot, q_versioned,
 q_decontaminate, q_text_scores — their recovery must be visible IN the
 shipped artifact).
 
+**New in r11** (parked; window full): q_dedup_recall_sampled — the
+recall gauge's corpus-scale mode (r10 verdict item 5): the corpus is
+thinned FIRST by ``dedup.sample_coin`` (h32(id) % 1e6, the portable md5
+family, DuckDB-reproducible) so pair volume scales ~fraction²;
+unit-pinned equal to the full gauge on the pre-filtered subset AND
+oracle-exact.  TundraQL grew CALIBRATION and RRF statements (r10
+verdict item 6); rrf_fuse became lazily composable (the duplicate
+precondition moved inside the fused plan — zero jobs at call time, r10
+verdict item 4).
+
 The per-round narrative above records WHY each rotation happened; the
 AUTHORITATIVE seated/parked lists at HEAD are runtime facts — read them
 from ``queries()`` / ``parked_queries()`` (or the ``_SEAT_R*`` /

@@ -117,7 +117,11 @@ def main() -> None:
 
         make_probe_sf1.build()
 
-    spark = get_spark("probe-r11-recipe")
+    # UI on: the shuffle-byte probe reads the REST stage metrics (the
+    # library default disables the UI; this is a measurement script)
+    spark = get_spark(
+        "probe-r11-recipe", extra_conf={"spark.ui.enabled": "true"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     results = {}

@@ -34,6 +34,7 @@ from tundradb_spark.pipeline.hashing import (
     char_shingles,
     dot_sql,
     h32,
+    h32_sql,
     hbits,
     hyperplanes,
     lsh_bands,
@@ -1467,15 +1468,26 @@ def soft_dedup_weights(
 
 def sample_coin(id_col: Column, fraction: float) -> Column:
     """Deterministic hash-coin: keep a row iff
-    ``pmod(crc32(cast(id as string)), 1_000_000) < round(fraction * 1e6)``.
-    Engine-stable (crc32 is bit-defined, no RNG, no partition order), so
-    the SAME ids are kept on every run, every executor count, and in a
-    DuckDB twin — the property plain ``DataFrame.sample`` lacks that makes
-    sampled results oracle-checkable and resumable."""
+    ``h32(cast(id as string)) % 1_000_000 < round(fraction * 1e6)`` —
+    the house portable md5 family (:mod:`.hashing`), so the SAME ids are
+    kept on every run, every executor count, AND in a DuckDB oracle
+    (:func:`sample_coin_sql` is the SQL twin) — the properties plain
+    ``DataFrame.sample`` lacks that make sampled results oracle-checkable
+    and resumable."""
     if not 0.0 < fraction <= 1.0:
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
-    return F.pmod(F.crc32(id_col.cast("string")), F.lit(1_000_000)) < int(
+    return h32(id_col.cast("string")) % 1_000_000 < int(
         round(fraction * 1_000_000)
+    )
+
+
+def sample_coin_sql(id_expr: str, fraction: float) -> str:
+    """DuckDB predicate reproducing :func:`sample_coin` exactly."""
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    return (
+        f"{h32_sql(f'CAST({id_expr} AS VARCHAR)')} % 1000000"
+        f" < {int(round(fraction * 1_000_000))}"
     )
 
 

@@ -3867,6 +3867,55 @@ PARKED_PIPELINE_QUERIES["q_dedup_recall"] = q_dedup_recall
 PARKED_PIPELINE_ORACLES["q_dedup_recall"] = Q_DEDUP_RECALL_SQL
 
 
+# --- r11 addition (r10 verdict item 5): the gauge's corpus-scale mode ---
+# Same planted-copy construction, but the corpus is thinned FIRST by the
+# deterministic md5 hash-coin (dedup.sample_coin — h32(id) % 1e6, the
+# portable house hash, so DuckDB reproduces the exact subset).  At 100 TB
+# the full gauge's answer (every true pair + every mined pair) grows with
+# the corpus's duplicate mass even though no stage is super-linear
+# (SCALE_PROBE_r10: 0.08x per pair, 192 s wall at sf1); the sampled
+# gauge keeps the estimate and drops the answer-size wall — pair volume
+# scales by fraction².
+
+_RECALL_SAMPLE_F = 0.5
+
+
+def q_dedup_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: the MinHash precision/recall gauge in sampled mode —
+    identical to q_dedup_recall except the corpus (incl. planted copies)
+    is thinned by the deterministic 50% hash-coin before every stage.
+    Recall stays structurally 1.0 (surviving exact dups still share all
+    shingles); the pair populations shrink ~fraction²."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    corpus = docs.unionAll(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + _RECALL_COPY_OFFSET).alias("doc_id"),
+            "text",
+        )
+    )
+    return dedup.recall_gauge(
+        corpus,
+        num_hashes=MINHASH_NUM,
+        bands=MINHASH_BANDS,
+        shingle_k=SHINGLE_K,
+        sample_fraction=_RECALL_SAMPLE_F,
+    )
+
+
+def _recall_sampled_sql() -> str:
+    from tundradb_spark.pipeline.dedup import sample_coin_sql
+
+    sampled_corpus = f"""(SELECT doc_id, text FROM {_RECALL_CORPUS} c2
+        WHERE {sample_coin_sql("doc_id", _RECALL_SAMPLE_F)})"""
+    return Q_DEDUP_RECALL_SQL.replace(_RECALL_CORPUS, sampled_corpus)
+
+
+PARKED_PIPELINE_QUERIES["q_dedup_recall_sampled"] = q_dedup_recall_sampled
+PARKED_PIPELINE_ORACLES["q_dedup_recall_sampled"] = _recall_sampled_sql()
+
+
 # --- r10 addition: video scene-change detection ---
 
 SCENE_FRAME_BYTES, SCENE_CUT_HAMMING = 64, 20
