@@ -131,6 +131,33 @@ class TestDedupOpsSurviveDirtyInput:
         cdc = cdc_chunks(dirty)
         cdc.collect()  # no raise on null/empty/unicode
 
+    def test_recall_gauge_full_and_sampled(self, spark, dirty):
+        """r11: the gauge (and its hash-coin sampled mode) over the dirty
+        corpus.  NULL text drops from the digest mine (md5(NULL) is
+        NULL); '' and whitespace-only normalize to DIFFERENT digests
+        ('' vs ' ' — trim strips spaces only, in Spark AND DuckDB, so
+        the \\t\\n row keeps a one-space residue; engine parity holds
+        because the oracle uses the same expression shape).  The
+        all-dirty truth set is therefore empty and the gauge still
+        returns its one summary row (NULL counts, not a crash).  With
+        one planted verbatim copy of the clean row, recall snaps to 1.0
+        over the dirty neighbors."""
+        from pyspark.sql import functions as F
+        from tundradb_spark.pipeline.dedup import recall_gauge
+
+        kw = dict(num_hashes=12, bands=4, shingle_k=5)
+        row = recall_gauge(dirty, **kw).collect()[0]
+        assert row["n_true"] is None  # no exact dups among dirty rows
+        planted = dirty.unionAll(
+            dirty.filter(F.col("doc_id") == 3).select(
+                (F.col("doc_id") + 100).alias("doc_id"), "text"
+            )
+        )
+        row2 = recall_gauge(planted, **kw).collect()[0]
+        assert (row2["n_true"], row2["recall"]) == (1, 1.0)
+        sampled = recall_gauge(planted, sample_fraction=0.5, **kw).collect()
+        assert len(sampled) == 1  # still exactly one summary row
+
 
 DIRTY_EVENTS = [
     # (event_id, user_id, ts_ns, event_type, value)

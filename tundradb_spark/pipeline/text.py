@@ -1321,12 +1321,20 @@ def rrf_fuse(
     from pyspark.sql import Window
 
     def _ranked(df: DataFrame, out: str) -> DataFrame:
-        # lazy duplicate guard: a per-(query, doc) window count gates the
-        # rank expression — a duplicate row turns the rank into
-        # raise_error at EXECUTION time, and plan construction stays
-        # job-free (the r10 eager .collect() check re-ran each ranker's
-        # full upstream twice per call)
-        w_dup = Window.partitionBy(query_id_col, id_col)
+        # lazy duplicate guard: a duplicate (query, doc) row turns the
+        # rank expression into raise_error at EXECUTION time, and plan
+        # construction stays job-free (the r10 eager .collect() check
+        # re-ran each ranker's full upstream twice per call).  Detection
+        # is lag-based over a window on the QUERY KEY ALONE — duplicates
+        # of (query, doc) are adjacent in id order, so the second
+        # occurrence sees itself in lag(id) — keeping every window in
+        # the fused plan partitioned by the query key only (measured 5
+        # exchanges / 7 sorts; a (query, doc)-partitioned count guard
+        # measured the same today, but only because Catalyst coalesces
+        # the finer partitioning — this shape doesn't depend on that).
+        w_dup = Window.partitionBy(query_id_col).orderBy(
+            F.col(id_col).asc(), F.col(score_col).desc()
+        )
         w = Window.partitionBy(query_id_col).orderBy(
             F.col(score_col).desc(), F.col(id_col).asc()
         )
@@ -1344,7 +1352,8 @@ def rrf_fuse(
             F.col(query_id_col).cast("long").alias(query_id_col),
             F.col(id_col).cast("long").alias(id_col),
             F.when(
-                F.count(F.lit(1)).over(w_dup) > 1, F.raise_error(guard_msg)
+                F.lag(F.col(id_col)).over(w_dup) == F.col(id_col),
+                F.raise_error(guard_msg),
             )
             .otherwise(F.row_number().over(w))
             .alias(out),
