@@ -172,7 +172,9 @@ unit-pinned equal to the full gauge on the pre-filtered subset AND
 oracle-exact.  TundraQL grew CALIBRATION and RRF statements (r10
 verdict item 6); rrf_fuse became lazily composable (the duplicate
 precondition moved inside the fused plan — zero jobs at call time, r10
-verdict item 4).
+verdict item 4).  Streaming grew its last missing analytics twin:
+stream_calibration_bins / read_calibration (additive decimal per-bin
+partials, stream-merge == calibration_bins test-pinned).
 
 The per-round narrative above records WHY each rotation happened; the
 AUTHORITATIVE seated/parked lists at HEAD are runtime facts — read them

@@ -1740,6 +1740,64 @@ class TestStreamBenford:
         assert (r[0], r[1], r[2], r[4]) == ("A", 10, 2, 9)
 
 
+class TestStreamCalibration:
+    """r11: stream_calibration_bins — additive per-bin partials per
+    epoch; sum-merge + the batch operator's shared calibration_score ==
+    calibration_bins exactly, including bins straddling epochs and the
+    documented exclusions (NULL labels, probabilities outside [0, 1])."""
+
+    SCHEMA = "row_id long, prob double, label boolean"
+
+    def test_stream_merge_equals_batch_operator(self, spark, tmp_path):
+        from tundradb_spark.pipeline.classify import calibration_bins
+        from tundradb_spark.streaming import (
+            read_calibration,
+            stream_calibration_bins,
+        )
+
+        src = str(tmp_path / "calsrc")
+        sink = str(tmp_path / "calsink")
+        ckpt = str(tmp_path / "calck")
+        os.makedirs(src)
+        # bin 2 (0.2-0.3) and the top bin straddle the epochs; epoch 2
+        # carries the excluded rows (NULL label, p out of range)
+        batch1 = [
+            (1, 0.05, False), (2, 0.22, False), (3, 0.28, True),
+            (4, 1.0, True),   # p = 1.0 joins the TOP bin (documented)
+        ]
+        batch2 = [
+            (5, 0.25, True), (6, 0.95, True), (7, 0.91, False),
+            (8, 0.5, None),    # NULL label: excluded
+            (9, -0.1, True),   # out of range: excluded
+            (10, 1.5, False),  # out of range: excluded
+        ]
+        spark.createDataFrame(batch1, self.SCHEMA).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(self.SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = stream_calibration_bins(stream, sink, ckpt, n_bins=10)
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(batch2, self.SCHEMA).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        allrows = spark.createDataFrame(batch1 + batch2, self.SCHEMA)
+        got = sorted(map(tuple, read_calibration(
+            spark, sink, n_bins=10).collect()))
+        want = sorted(map(tuple, calibration_bins(
+            allrows, "prob", "label", n_bins=10).collect()))
+        assert got == want
+        d = {r[0]: r for r in want}
+        # bin 2 merged across epochs: n=3, obs_rate 2/3
+        assert d[2][3] == 3 and d[2][5] == 0.666667
+        # top bin holds 0.91, 0.95 AND the exact 1.0
+        assert d[9][3] == 3
+        # excluded rows reached neither side
+        assert sum(r[3] for r in want) == 7
+
+
 class TestReadWinsorizeBounds:
     """r10: approximate streaming winsorization — clip bounds from the
     live histogram sketches, pinned to within one bin width of the

@@ -223,6 +223,23 @@ def calibration_bins(
     Output: ``(bin, p_lo, p_hi, n, mean_pred, obs_rate, gap)`` with
     ``gap = round(|mean_pred − obs_rate|, 6)``.
     """
+    return calibration_score(
+        calibration_partials(scored, prob_col, label_col, n_bins), n_bins
+    )
+
+
+def calibration_partials(
+    scored: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-bin moment partials ``(bin, n, __sp, __sy)`` — the front half
+    of :func:`calibration_bins`.  Every column is ADDITIVE (exact long
+    counts, exact ``decimal(38,12)`` probability sums), so partials from
+    disjoint row sets — micro-batch epochs, shards — merge by plain
+    ``sum`` into exactly the single-pass aggregate
+    (streaming.ops.stream_calibration_bins is that merge's producer)."""
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     p = F.col(prob_col).cast("double")
@@ -238,13 +255,20 @@ def calibration_bins(
         "__p",
         "__y",
     )
-    agg = binned.groupBy("bin").agg(
+    return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("__p").cast("decimal(38,12)")).alias("__sp"),
         F.sum(F.col("__y").cast("long")).alias("__sy"),
     )
-    mean_pred = F.expr("cast(__sp as double) / cast(n as double)")
-    obs_rate = F.expr("cast(__sy as double) / cast(n as double)")
+
+
+def calibration_score(agg: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Score per-bin partials (:func:`calibration_partials` layout) into
+    the reliability-diagram output — the back half of
+    :func:`calibration_bins`, shared verbatim with the streaming reader
+    so stream-merged partials score IDENTICALLY to the batch operator."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
     return agg.select(
         "bin",
         (F.col("bin").cast("double") / n_bins).alias("p_lo"),

@@ -64,6 +64,10 @@ continuously-ingesting graph/analytics deployment needs:
   tokenizer-sizing curve with vocabulary-bounded state per epoch
   (count sum-merge + the batch operator's shared curve ==
   vocab_coverage exactly)
+- :func:`stream_calibration_bins` / :func:`read_calibration` — live
+  reliability-diagram bins with ``n_bins`` rows of state per epoch
+  (decimal partial sum-merge + the batch operator's shared scoring ==
+  calibration_bins exactly)
 - :func:`compact_stream_index` — atomic per-epoch → single-epoch fold
   for any of the streaming index/sketch tables
 """
@@ -81,6 +85,8 @@ from tundradb_spark.streaming.ops import (
     read_cooccurrence,
     stream_benford_counts,
     read_benford,
+    stream_calibration_bins,
+    read_calibration,
     read_winsorize_bounds,
     stream_token_counts,
     read_vocab_coverage,
@@ -147,6 +153,8 @@ __all__ = [
     "read_cooccurrence",
     "stream_benford_counts",
     "read_benford",
+    "stream_calibration_bins",
+    "read_calibration",
     "read_winsorize_bounds",
     "stream_token_counts",
     "read_vocab_coverage",

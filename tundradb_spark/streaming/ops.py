@@ -2023,6 +2023,83 @@ def read_benford(
     return benford_score(merged, group_col, min_n)
 
 
+def stream_calibration_bins(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    prob_col: str = "prob",
+    label_col: str = "label",
+    n_bins: int = 10,
+    query_name: str | None = None,
+) -> "StreamingQuery":
+    """r11: continuously maintain per-bin calibration partials
+    (``pipeline.classify.calibration_partials`` layout: ``(bin, n,
+    __sp, __sy)``) from a stream of scored predictions — the streaming
+    half of :func:`~tundradb_spark.pipeline.classify.calibration_bins`,
+    closing the twin symmetry the r10 round established (every analytics
+    operator with mergeable state gets one).
+
+    Additivity does the work: counts are exact longs and the
+    probability sums exact ``decimal(38,12)``, so per-epoch partials
+    summed across epochs equal the single-pass batch aggregate
+    BIT-EXACTLY — :func:`read_calibration` merges them and scores with
+    the batch operator's own expressions (``calibration_score``, shared
+    verbatim), so stream-maintained reliability bins ==
+    ``calibration_bins(all_rows)`` (test-pinned, including bins whose
+    rows straddle epochs and the documented exclusions: NULL labels,
+    probabilities outside [0, 1]).  Idempotent under micro-batch replay
+    via dynamic partition overwrite on ``epoch``.
+
+    At scale the partial table is ``n_bins × epochs`` rows regardless
+    of stream volume; fold occasionally with
+    :func:`compact_stream_index`.
+    """
+    from tundradb_spark.pipeline.classify import calibration_partials
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        partials = calibration_partials(
+            batch, prob_col, label_col, n_bins
+        )
+        (
+            partials.withColumn("epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name or "calibration-bins")
+        .start()
+    )
+
+
+def read_calibration(
+    spark,
+    path: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Merge all epochs of a :func:`stream_calibration_bins` table
+    (plain sums — every partial is additive) and score them through
+    ``pipeline.classify.calibration_score``, the batch operator's own
+    scoring expressions — identical to running ``calibration_bins``
+    over every row the stream has delivered.  The merge is
+    ``n_bins × epochs`` rows in, ``<= n_bins`` rows out — never touches
+    prediction volume."""
+    from tundradb_spark.pipeline.classify import calibration_score
+
+    merged = spark.read.parquet(path).groupBy("bin").agg(
+        F.sum("n").alias("n"),
+        F.sum("__sp").cast("decimal(38,12)").alias("__sp"),
+        F.sum("__sy").alias("__sy"),
+    )
+    return calibration_score(merged, n_bins)
+
+
 def read_winsorize_bounds(
     spark,
     path: str,
