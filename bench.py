@@ -100,10 +100,15 @@ def materialize(df) -> None:
 
 def run_group(
     names: list[str] | None, warmup: int
-) -> tuple[dict, dict]:
+) -> tuple[dict, dict, dict]:
     """Time the given queries (None = all) in THIS process's session.
     ``warmup`` = number of untimed runs per query.  Returns
-    (best, spread) per query."""
+    (best, spread, med_drift) per query — med_drift (upper-median minus
+    best, CHECKPOINT_WOBBLE queries only) is the r10 advisor's
+    persistent-slowdown signal: the wobble gate sheds two slow runs, so
+    a run where EVERY rerun pays a steady tax passes the gate — the
+    median gap in the diagnostics line keeps it visible in the
+    artifact without a trip risk."""
     import __spark_entry__ as entry_mod
     from tundradb_spark.session import get_spark
 
@@ -116,6 +121,7 @@ def run_group(
 
     best: dict[str, float] = {}
     spread: dict[str, float] = {}
+    med_drift: dict[str, float] = {}
     for name, fn in picked.items():
         # every SPREAD-ASSERTED query gets >= 4 timed runs: spread is the
         # gap between the two BEST, so up to TWO stochastic GC/cleaner
@@ -191,7 +197,9 @@ def run_group(
         # >= 3 times so one GC hiccup can be shed while still demanding
         # the steady state be repeatable twice
         spread[name] = round(ts[1] - ts[0], 3) if len(ts) > 1 else 0.0
-    return best, spread
+        if name in CHECKPOINT_WOBBLE and len(ts) > 2:
+            med_drift[name] = round(ts[len(ts) // 2] - ts[0], 3)
+    return best, spread, med_drift
 
 
 def _load_probe() -> tuple[float, int]:
@@ -252,8 +260,10 @@ def main() -> None:
         # query is spread-asserted need 2 to finish JIT warming)
         names = sys.argv[2].split(",")
         n_warm = int(sys.argv[3]) if len(sys.argv) > 3 else 1
-        best, spread = run_group(names, warmup=n_warm)
-        print(json.dumps({"queries": best, "spread": spread}))
+        best, spread, med_drift = run_group(names, warmup=n_warm)
+        print(json.dumps(
+            {"queries": best, "spread": spread, "med": med_drift}
+        ))
         return
 
     load1_start, procs_start = _load_probe()  # before any JVM exists
@@ -271,7 +281,7 @@ def main() -> None:
     # +22-43% vs r5 with no plan change — sub-second absolute deltas
     # within jitter; a second untimed warmup settles codegen/JIT before
     # the timed runs so best-of-RUNS measures steady state
-    timings, spread = run_group(cheap, warmup=2)
+    timings, spread, med_drift = run_group(cheap, warmup=2)
 
     if graph or heavy:
         # free the 32 cores before isolated JVMs spin up their own local[32]
@@ -301,6 +311,7 @@ def main() -> None:
         payload = json.loads(proc.stdout.strip().splitlines()[-1])
         timings.update(payload["queries"])
         spread.update(payload["spread"])
+        med_drift.update(payload.get("med", {}))
 
     for name in graph:
         # one fresh JVM PER iterative graph query (see GRAPH_ITER note);
@@ -319,7 +330,10 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # diagnostics FIRST, on their own line — only the LAST line must fit
     # the driver's tail
-    print(json.dumps({"spread": {n: spread[n] for n in all_names}}))
+    diag = {"spread": {n: spread[n] for n in all_names}}
+    if med_drift:  # CHECKPOINT_WOBBLE only: upper median minus best
+        diag["med_minus_best"] = med_drift
+    print(json.dumps(diag))
     load1_end, procs_end = _load_probe()
     out = {
         "metric": "headline_queries_total_runtime",
