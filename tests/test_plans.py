@@ -730,3 +730,26 @@ def test_event_cooccurrence_plan_shape(spark):
     # top_n compiles to TakeOrderedAndProject, not a global sort
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_recall_gauge_sampled_no_nested_loop_and_coin_pushed(spark):
+    # r11: the sampled gauge must keep the full gauge's join discipline
+    # (digest self-join + banded LSH join + full-outer gauge join — all
+    # equi-keyed, never a nested loop), and the hash-coin filter must
+    # reach the parquet scan as a data filter (the sample prunes ROWS
+    # BEFORE the shuffles, which is the entire point of the mode)
+    from tundradb_spark.pipeline.dedup import recall_gauge
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    df = recall_gauge(
+        docs, num_hashes=12, bands=4, shingle_k=5, sample_fraction=0.5
+    )
+    audit.assert_no_nested_loop(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the coin is md5-based so it cannot be a parquet PushedFilter, but
+    # it must sit in the scan stage's Filter, upstream of every Exchange
+    first_exchange = plan.find("Exchange")
+    assert first_exchange != -1
+    assert "md5" in plan, "hash-coin filter vanished from the plan"
