@@ -176,6 +176,16 @@ verdict item 4).  Streaming grew its last missing analytics twin:
 stream_calibration_bins / read_calibration (additive decimal per-bin
 partials, stream-merge == calibration_bins test-pinned).
 
+Also new in r11 (parked; window full): the two corpus-monitoring
+operators — q_drift (analytics.distribution_drift: per-group PSI /
+Jensen-Shannon / total-variation between snapshot halves on the shared
+histogram grid, per-bin decimal(28,18) terms so the sums are
+partition-order-proof) and q_corpus_diff (dedup.corpus_diff:
+added/removed/changed delta by portable md5 digest, one id join).
+Both carry dirty-input rows, plan pins, decade probes
+(SCALE_PROBE_r11), a streaming twin for drift (stream_drift_bins /
+read_drift), and TundraQL DRIFT / DIFF statements.
+
 The per-round narrative above records WHY each rotation happened; the
 AUTHORITATIVE seated/parked lists at HEAD are runtime facts — read them
 from ``queries()`` / ``parked_queries()`` (or the ``_SEAT_R*`` /
@@ -4039,3 +4049,84 @@ if set(PARKED_QUERIES) != set(PARKED_ORACLES):
     raise RuntimeError(
         f"parked query/oracle diff: {set(PARKED_QUERIES) ^ set(PARKED_ORACLES)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# r11 additions (post-rotation): the two corpus-monitoring operators land
+# in PARKED (window full; seatable next rotation), CI-checked by
+# tests/test_parked_oracles.py from day one — the r8/r10 precedent.
+# ---------------------------------------------------------------------------
+
+DRIFT_BOUNDS = (0.0, 500.0)  # data fact: events.value spans [0.01, ~490]
+DRIFT_BINS, DRIFT_MIN_N = 20, 50
+
+
+def q_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: per-event-type distribution drift (analytics.
+    distribution_drift) — PSI / Jensen-Shannon / total-variation of the
+    value histogram between two deterministic snapshot halves of the
+    events table (ref = event_id % 3 < 2, cur = % 3 = 2: a same-process
+    split, so the scores measure sampling noise — the calibration
+    reading a deployment baselines before alerting on real drift).
+    House histogram binning shared with histogram_quantiles; per-bin
+    terms cast decimal(28,18) before the sum so partition order can
+    never wobble the totals."""
+    from tundradb_spark.operators.analytics import distribution_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return distribution_drift(
+        ev.filter("event_id % 3 < 2"),
+        ev.filter("event_id % 3 = 2"),
+        bounds=DRIFT_BOUNDS,
+        n_bins=DRIFT_BINS,
+        min_n=DRIFT_MIN_N,
+    )
+
+
+def _drift_oracle() -> str:
+    from tundradb_spark.operators.analytics import distribution_drift_sql
+
+    return distribution_drift_sql(
+        "(SELECT * FROM events WHERE event_id % 3 < 2)",
+        "(SELECT * FROM events WHERE event_id % 3 = 2)",
+        bounds=DRIFT_BOUNDS,
+        n_bins=DRIFT_BINS,
+        min_n=DRIFT_MIN_N,
+    )
+
+
+PARKED_QUERIES["q_drift"] = q_drift
+PARKED_ORACLES["q_drift"] = _drift_oracle()
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: snapshot-to-snapshot corpus diff (dedup.corpus_diff) — the
+    added/removed/changed delta between two deterministic versions of
+    the documents table (old drops doc_id % 11 = 0, new drops % 13 = 0
+    and rewrites % 7 = 0 texts), identity by engine-portable md5, ONE
+    id hash join, output proportional to the change."""
+    from tundradb_spark.pipeline.dedup import corpus_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old = docs.filter("doc_id % 11 != 0")
+    new = docs.filter("doc_id % 13 != 0").select(
+        "doc_id",
+        F.expr(
+            "case when doc_id % 7 = 0 then text || ' v2' else text end"
+        ).alias("text"),
+    )
+    return corpus_diff(old, new)
+
+
+def _corpus_diff_oracle() -> str:
+    from tundradb_spark.pipeline.dedup import corpus_diff_sql
+
+    return corpus_diff_sql(
+        "(SELECT * FROM documents WHERE doc_id % 11 != 0)",
+        "(SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2'"
+        " ELSE text END AS text FROM documents WHERE doc_id % 13 != 0)",
+    )
+
+
+PARKED_QUERIES["q_corpus_diff"] = q_corpus_diff
+PARKED_ORACLES["q_corpus_diff"] = _corpus_diff_oracle()

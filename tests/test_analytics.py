@@ -718,3 +718,117 @@ class TestBenfordDeviation:
         assert benford_deviation(self._ev(spark, rows), min_n=3).count() == 0
         with pytest.raises(ValueError):
             benford_deviation(self._ev(spark, rows), min_n=0)
+
+
+class TestDistributionDrift:
+    def _ev(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_type string, value double"
+        )
+
+    KW = dict(bounds=(0.0, 10.0), n_bins=5, min_n=1)
+
+    def test_identical_sides_score_zero(self, spark):
+        from tundradb_spark.operators.analytics import distribution_drift
+
+        rows = [("A", float(v)) for v in (1, 3, 5, 7, 9, 2, 4)]
+        ref, cur = self._ev(spark, rows), self._ev(spark, rows)
+        got = distribution_drift(ref, cur, **self.KW).collect()
+        assert [(r["event_type"], r["psi"], r["jsd"], r["tv"])
+                for r in got] == [("A", 0.0, 0.0, 0.0)]
+
+    def test_hand_computed_shift(self, spark):
+        import math
+
+        from tundradb_spark.operators.analytics import distribution_drift
+
+        # ref: all mass in bin 0 ([0,2)); cur: half bin 0, half bin 4
+        ref = self._ev(spark, [("A", 1.0)] * 4)
+        cur = self._ev(spark, [("A", 1.0), ("A", 1.0),
+                               ("A", 9.0), ("A", 9.0)])
+        r = distribution_drift(ref, cur, **self.KW).collect()[0]
+        eps = 1e-6
+        # bin 0: pr=1, pc=0.5; bin 4: pr=0 (->eps), pc=0.5
+        psi = (0.5 - 1.0) * math.log(0.5 / 1.0) + (0.5 - eps) * math.log(
+            0.5 / eps
+        )
+        jsd = 0.5 * (
+            1.0 * math.log(1.0 / 0.75) + 0.5 * math.log(0.5 / 0.75)
+        ) + 0.5 * (0.5 * math.log(0.5 / 0.25))
+        rnd = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+        assert (r["psi"], r["jsd"], r["tv"]) == (
+            rnd(psi), rnd(jsd), rnd(0.5),
+        )
+        assert (r["n_ref"], r["n_cur"]) == (4, 4)
+
+    def test_bigger_shift_scores_bigger(self, spark):
+        from tundradb_spark.operators.analytics import distribution_drift
+
+        ref = self._ev(spark, [("A", float(v % 10)) for v in range(100)])
+        small = self._ev(
+            spark, [("A", float((v % 10) * 0.8 + 1)) for v in range(100)]
+        )
+        large = self._ev(spark, [("A", 9.5)] * 100)
+        kw = dict(bounds=(0.0, 10.0), n_bins=10, min_n=1)
+        s = distribution_drift(ref, small, **kw).collect()[0]
+        g = distribution_drift(ref, large, **kw).collect()[0]
+        assert 0 < s["psi"] < g["psi"]
+        assert 0 < s["jsd"] < g["jsd"] <= math.log(2) + 1e-9
+        assert 0 < s["tv"] < g["tv"] <= 1.0
+
+    def test_domain_rows_counted_not_binned(self, spark):
+        from tundradb_spark.operators.analytics import distribution_drift
+
+        ref = self._ev(spark, [("A", 1.0)] * 3 + [("A", float("nan"))])
+        cur = self._ev(
+            spark,
+            [("A", 1.0)] * 3
+            + [("A", float("inf")), ("A", -1e300), ("A", None)],
+        )
+        r = distribution_drift(ref, cur, **self.KW).collect()[0]
+        # NULL drops silently; NaN/±Inf/huge count as excluded
+        assert (r["n_ref"], r["excluded_ref"]) == (3, 1)
+        assert (r["n_cur"], r["excluded_cur"]) == (3, 2)
+        assert (r["psi"], r["jsd"], r["tv"]) == (0.0, 0.0, 0.0)
+
+    def test_out_of_band_clamps_to_edge_bins(self, spark):
+        from tundradb_spark.operators.analytics import distribution_drift
+
+        # -5 clamps into bin 0, 100 into bin 4 — same grid both sides
+        ref = self._ev(spark, [("A", -5.0), ("A", 100.0)])
+        cur = self._ev(spark, [("A", 0.5), ("A", 9.9)])
+        r = distribution_drift(ref, cur, **self.KW).collect()[0]
+        assert (r["psi"], r["jsd"], r["tv"]) == (0.0, 0.0, 0.0)
+
+    def test_min_n_gates_each_side(self, spark):
+        from tundradb_spark.operators.analytics import distribution_drift
+
+        big = self._ev(spark, [("A", 1.0)] * 10)
+        small = self._ev(spark, [("A", 1.0)] * 3)
+        kw = dict(bounds=(0.0, 10.0), n_bins=5, min_n=5)
+        assert distribution_drift(big, small, **kw).count() == 0
+        assert distribution_drift(small, big, **kw).count() == 0
+        assert distribution_drift(big, big, **kw).count() == 1
+
+    def test_group_missing_one_side_drops(self, spark):
+        from tundradb_spark.operators.analytics import distribution_drift
+
+        ref = self._ev(spark, [("A", 1.0), ("B", 2.0)])
+        cur = self._ev(spark, [("A", 1.0)])
+        got = distribution_drift(ref, cur, **self.KW).collect()
+        assert [r["event_type"] for r in got] == ["A"]
+
+    def test_validation(self, spark):
+        from tundradb_spark.operators.analytics import distribution_drift
+
+        ev = self._ev(spark, [("A", 1.0)])
+        with pytest.raises(ValueError):
+            distribution_drift(ev, ev, bounds=(5.0, 5.0))
+        with pytest.raises(ValueError):
+            distribution_drift(ev, ev, bounds=(0.0, 2e9))
+        with pytest.raises(ValueError):
+            distribution_drift(ev, ev, n_bins=0)
+        with pytest.raises(ValueError):
+            distribution_drift(ev, ev, min_n=0)
+        with pytest.raises(ValueError):
+            distribution_drift(ev, ev, min_n=1, eps=0.0)

@@ -321,3 +321,50 @@ class TestR10AnalyticsSurviveDirtyEvents:
             assert r["type_a"] is not None and r["type_b"] is not None
         pairs = {(r["type_a"], r["type_b"]) for r in out}
         assert ("", "中文") in pairs and ("", "🎉") in pairs
+
+    def test_distribution_drift_survives_glitches(self, spark, dirty_events):
+        from tundradb_spark.operators.analytics import distribution_drift
+
+        out = distribution_drift(
+            dirty_events, dirty_events,
+            bounds=(0.0, 10.0), n_bins=5, min_n=1,
+        ).collect()
+        by_g = {r["event_type"]: r for r in out}
+        # same frame both sides → zero drift everywhere it scores;
+        # NULL type is a group like any other group key? no — NULL
+        # groups survive the groupBy but a NULL key still joins
+        # null-safely nowhere, so they simply never gate in
+        for r in out:
+            assert (r["psi"], r["jsd"], r["tv"]) == (0.0, 0.0, 0.0)
+        # 'view': 1.0, 2.0 in-domain; NaN excluded; NULL value dropped
+        v = by_g["view"]
+        assert (v["n_ref"], v["excluded_ref"]) == (2, 1)
+        # kilo-char group: only the -1e308 glitch → n=0, min_n-gated out
+        assert "x" * 2000 not in by_g
+        # emoji/CJK/empty types score like any group
+        assert {"", "🎉", "中文"} <= set(by_g)
+
+
+class TestCorpusDiffSurvivesDirtyDocs:
+    """r11: corpus_diff over pathological snapshots — NULL/empty/
+    kilo-char texts, emoji, NULL-safe change detection."""
+
+    SCHEMA = "doc_id long, text string"
+
+    def test_dirty_texts(self, spark):
+        from tundradb_spark.pipeline.dedup import corpus_diff
+
+        old = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "x" * 50_000), (4, "🎉 中文")],
+            self.SCHEMA,
+        )
+        new = spark.createDataFrame(
+            [(1, ""), (2, ""), (3, "x" * 50_000), (4, "🎉 中文!")],
+            self.SCHEMA,
+        )
+        got = {r["doc_id"]: r["status"] for r in corpus_diff(
+            old, new, include_unchanged=True).collect()}
+        # NULL→'' is a CHANGE (null-safe compare, not digest-NULL
+        # confusion); identical kilo-char and emoji texts are unchanged
+        assert got == {1: "changed", 2: "unchanged", 3: "unchanged",
+                       4: "changed"}

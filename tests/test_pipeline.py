@@ -2952,3 +2952,64 @@ class TestSceneChanges:
 
         with pytest.raises(ValueError):
             scene_changes(self._blobs(spark, [(0, b"x")]), cut_hamming=65)
+
+
+class TestCorpusDiff:
+    """r11: snapshot-to-snapshot corpus diff by md5 content digest."""
+
+    SCHEMA = "doc_id long, text string"
+
+    def _snap(self, spark, rows):
+        return spark.createDataFrame(rows, self.SCHEMA)
+
+    def test_statuses_by_hand(self, spark):
+        from tundradb_spark.pipeline.dedup import corpus_diff
+
+        old = self._snap(spark, [(1, "a"), (2, "b"), (3, "c")])
+        new = self._snap(spark, [(2, "b"), (3, "c2"), (4, "d")])
+        got = {r["doc_id"]: r["status"]
+               for r in corpus_diff(old, new).collect()}
+        assert got == {1: "removed", 3: "changed", 4: "added"}
+
+    def test_include_unchanged_and_digests(self, spark):
+        import hashlib
+
+        from tundradb_spark.pipeline.dedup import corpus_diff
+
+        old = self._snap(spark, [(1, "a"), (2, "b")])
+        new = self._snap(spark, [(1, "a"), (2, "x")])
+        got = {r["doc_id"]: r for r in corpus_diff(
+            old, new, include_unchanged=True).collect()}
+        assert got[1]["status"] == "unchanged"
+        assert got[1]["old_digest"] == hashlib.md5(b"a").hexdigest()
+        assert got[2]["new_digest"] == hashlib.md5(b"x").hexdigest()
+
+    def test_null_text_is_null_safe(self, spark):
+        from tundradb_spark.pipeline.dedup import corpus_diff
+
+        old = self._snap(spark, [(1, None), (2, None), (3, "t")])
+        new = self._snap(spark, [(1, None), (2, "t"), (3, None)])
+        got = {r["doc_id"]: r["status"] for r in corpus_diff(
+            old, new, include_unchanged=True).collect()}
+        # NULL→NULL is unchanged; NULL→text and text→NULL are changed
+        assert got == {1: "unchanged", 2: "changed", 3: "changed"}
+
+    def test_summary_counts(self, spark):
+        from tundradb_spark.pipeline.dedup import corpus_diff_summary
+
+        old = self._snap(spark, [(1, "a"), (2, "b"), (3, "c")])
+        new = self._snap(spark, [(2, "b"), (3, "c2"), (4, "d"), (5, "e")])
+        got = {r["status"]: r["n_docs"]
+               for r in corpus_diff_summary(old, new).collect()}
+        assert got == {"removed": 1, "unchanged": 1, "changed": 1,
+                       "added": 2}
+
+    def test_empty_sides(self, spark):
+        from tundradb_spark.pipeline.dedup import corpus_diff
+
+        old = self._snap(spark, [(1, "a")])
+        empty = self._snap(spark, [])
+        assert [r["status"] for r in corpus_diff(old, empty).collect()] \
+            == ["removed"]
+        assert [r["status"] for r in corpus_diff(empty, old).collect()] \
+            == ["added"]

@@ -753,3 +753,44 @@ def test_recall_gauge_sampled_no_nested_loop_and_coin_pushed(spark):
     first_exchange = plan.find("Exchange")
     assert first_exchange != -1
     assert "md5" in plan, "hash-coin filter vanished from the plan"
+
+
+def test_distribution_drift_scans_once_per_side(spark):
+    """r11: each snapshot must collapse to ONE map-side-combined
+    groupBy(group, bin) — the only corpus-sized exchanges (2, one per
+    side); everything downstream (totals, gate, bin join) is
+    groups x bins sized and the gate frame comes back via broadcast."""
+    from tundradb_spark.operators.analytics import distribution_drift
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    df = distribution_drift(
+        ev.filter("event_id % 3 < 2"),
+        ev.filter("event_id % 3 = 2"),
+        bounds=(0.0, 500.0),
+        n_bins=20,
+        min_n=50,
+    )
+    audit.assert_no_nested_loop(df)
+    audit.assert_broadcast(df)
+    plan = audit.formatted_plan(df)
+    # each side is scanned for its bin counts and its totals — Spark
+    # can't share a scan across the two aggregates without a CTE
+    # materialization, so allow up to 4 corpus-touching exchanges; the
+    # bin join and final agg must NOT add corpus-sized shuffles beyond
+    # the groups x bins frames
+    assert audit.count_exchanges(df) <= 8, plan
+
+
+def test_corpus_diff_single_id_join(spark):
+    """r11: the diff is ONE hash join on the id — digests computed in
+    the scan projection, never a nested loop, never a second join."""
+    from tundradb_spark.pipeline.dedup import corpus_diff
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = corpus_diff(
+        docs.filter("doc_id % 11 != 0"), docs.filter("doc_id % 13 != 0")
+    )
+    audit.assert_no_nested_loop(df)
+    plan = audit.simple_plan(df)  # tree only: each node counted once
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
+        + plan.count("BroadcastHashJoin") == 1, plan

@@ -897,3 +897,108 @@ class TestQLRrf:
 
         assert "WITH" in hint_for("RRF ")
         assert "RRF" in COMPLETION_KEYWORDS
+
+
+class TestQLDrift:
+    """r11: DRIFT statement — the shell surface for
+    operators.analytics.distribution_drift."""
+
+    def test_parse_and_defaults(self):
+        st = parse_statement(
+            "DRIFT ON today WITH baseline GROUP g VALUE v LO 1 HI 9 "
+            "BINS 4 MIN 2 EPS 0.001;")
+        assert isinstance(st, ast.Drift)
+        assert (st.cur, st.ref, st.group_col, st.value_col) == (
+            "today", "baseline", "g", "v")
+        assert (st.lo, st.hi, st.n_bins, st.min_n, st.eps) == (
+            1.0, 9.0, 4, 2, 0.001)
+        st2 = parse_statement("DRIFT ON today WITH baseline;")
+        assert (st2.group_col, st2.value_col, st2.lo, st2.hi,
+                st2.n_bins, st2.min_n, st2.eps) == (
+            "event_type", "value", 0.0, 1000.0, 10, 100, 1e-6)
+
+    def test_bad_args_rejected(self):
+        with pytest.raises(QueryError):
+            parse_statement("DRIFT ON today WITH baseline BINS 0;")
+        with pytest.raises(QueryError):
+            parse_statement("DRIFT ON today WITH baseline MIN 0;")
+        with pytest.raises(QueryError):
+            parse_statement("DRIFT ON today;")  # missing WITH operand
+
+    def test_executes_like_operator(self, db, spark):
+        from tundradb_spark.operators.analytics import distribution_drift
+
+        ref = spark.createDataFrame(
+            [(i, "A", float(i % 10)) for i in range(40)],
+            "row_id long, event_type string, value double",
+        )
+        cur = spark.createDataFrame(
+            [(i, "A", float(i % 5)) for i in range(40)],
+            "row_id long, event_type string, value double",
+        )
+        db.register_node_table("dr_ref", ref, "row_id",
+                               resume_counter=False)
+        db.register_node_table("dr_cur", cur, "row_id",
+                               resume_counter=False)
+        got = rows_set(db.sql(
+            "DRIFT ON dr_cur WITH dr_ref LO 0 HI 10 BINS 5 MIN 10;"))
+        want = rows_set(distribution_drift(
+            db.get_table("dr_ref"), db.get_table("dr_cur"),
+            bounds=(0.0, 10.0), n_bins=5, min_n=10))
+        assert got == want and len(got) == 1
+
+    def test_hint_and_completion(self):
+        from tundradb_spark.ql.shell import COMPLETION_KEYWORDS, hint_for
+
+        assert "WITH" in hint_for("DRIFT ")
+        assert "DRIFT" in COMPLETION_KEYWORDS
+
+
+class TestQLDiff:
+    """r11: DIFF statement — the shell surface for
+    pipeline.dedup.corpus_diff / corpus_diff_summary."""
+
+    def test_parse_and_defaults(self):
+        st = parse_statement("DIFF ON crawl2 WITH crawl1 ID id TEXT body;")
+        assert isinstance(st, ast.Diff)
+        assert (st.new, st.old, st.id_col, st.text_col) == (
+            "crawl2", "crawl1", "id", "body")
+        assert (st.include_unchanged, st.summary) == (False, False)
+        st2 = parse_statement("DIFF ON crawl2 WITH crawl1 ALL;")
+        assert st2.include_unchanged is True
+        st3 = parse_statement("DIFF ON crawl2 WITH crawl1 SUMMARY;")
+        assert st3.summary is True
+
+    def test_bad_args_rejected(self):
+        with pytest.raises(QueryError):
+            parse_statement("DIFF ON crawl2;")  # missing WITH operand
+
+    def test_executes_like_operator(self, db, spark):
+        from tundradb_spark.pipeline.dedup import (
+            corpus_diff,
+            corpus_diff_summary,
+        )
+
+        schema = "row_id long, doc_id long, text string"
+        old = spark.createDataFrame(
+            [(0, 1, "a"), (1, 2, "b"), (2, 3, "c")], schema)
+        new = spark.createDataFrame(
+            [(0, 2, "b"), (1, 3, "c2"), (2, 4, "d")], schema)
+        db.register_node_table("crawl1", old, "row_id",
+                               resume_counter=False)
+        db.register_node_table("crawl2", new, "row_id",
+                               resume_counter=False)
+        got = rows_set(db.sql("DIFF ON crawl2 WITH crawl1;"))
+        want = rows_set(corpus_diff(
+            db.get_table("crawl1"), db.get_table("crawl2")))
+        assert got == want and len(got) == 3
+        gsum = rows_set(db.sql("DIFF ON crawl2 WITH crawl1 SUMMARY;"))
+        wsum = rows_set(corpus_diff_summary(
+            db.get_table("crawl1"), db.get_table("crawl2")))
+        assert gsum == wsum
+
+    def test_hint_and_completion(self):
+        from tundradb_spark.ql.shell import COMPLETION_KEYWORDS, hint_for
+
+        assert "SUMMARY" in hint_for("DIFF ")
+        assert "DIFF" in COMPLETION_KEYWORDS

@@ -1959,3 +1959,87 @@ class TestStreamTokenCounts:
         # b with 5 of 11
         top1 = [r for r in want if r[0] == 1][0]
         assert (top1[1], top1[2], top1[3]) == (1, 5, 11)
+
+
+class TestStreamDrift:
+    """r11: stream_drift_bins — additive per-(group, bin) count partials
+    per epoch; sum-merge + the batch operator's shared binning/scoring
+    (drift_bin_counts / drift_score) == distribution_drift exactly."""
+
+    SCHEMA = "event_type string, value double"
+    BOUNDS, BINS = (0.0, 10.0), 5
+
+    def test_stream_merge_equals_batch_operator(self, spark, tmp_path):
+        from tundradb_spark.operators.analytics import distribution_drift
+        from tundradb_spark.streaming import read_drift, stream_drift_bins
+
+        src = str(tmp_path / "drsrc")
+        sink = str(tmp_path / "drsink")
+        ckpt = str(tmp_path / "drck")
+        os.makedirs(src)
+        ref = spark.createDataFrame(
+            [("A", float(v % 10)) for v in range(20)]
+            + [("A", float("nan"))],
+            self.SCHEMA,
+        )
+        # group A reaches min_n=10 only ACROSS epochs (6 + 6 in-domain
+        # rows); each epoch carries an excluded glitch
+        batch1 = [("A", float(v)) for v in (1, 1, 3, 5, 7, 9)] + [
+            ("A", float("inf"))
+        ]
+        batch2 = [("A", float(v)) for v in (2, 2, 4, 6, 8, 9)] + [
+            ("A", -1e300)
+        ]
+        spark.createDataFrame(batch1, self.SCHEMA).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(self.SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = stream_drift_bins(stream, sink, ckpt, self.BOUNDS, self.BINS)
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(batch2, self.SCHEMA).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        allrows = spark.createDataFrame(batch1 + batch2, self.SCHEMA)
+        got = sorted(map(tuple, read_drift(
+            spark, sink, ref, self.BOUNDS, self.BINS, min_n=10).collect()))
+        want = sorted(map(tuple, distribution_drift(
+            ref, allrows, bounds=self.BOUNDS, n_bins=self.BINS,
+            min_n=10).collect()))
+        assert got == want
+        assert len(want) == 1  # A crosses min_n only merged
+        r = want[0]
+        # domain visibility survives the merge: ref 1 NaN, cur 2 glitches
+        assert (r[1], r[2], r[3], r[4]) == (20, 12, 1, 2)
+
+    def test_replay_idempotent(self, spark, tmp_path):
+        from tundradb_spark.streaming import stream_drift_bins
+
+        # dynamic partition overwrite: re-processing an epoch replaces
+        # its partition rather than double-counting
+        src = str(tmp_path / "drsrc2")
+        sink = str(tmp_path / "drsink2")
+        os.makedirs(src)
+        rows = [("A", 1.0), ("A", 9.0)]
+        spark.createDataFrame(rows, self.SCHEMA).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(self.SCHEMA).parquet(src)
+        for attempt in ("ck1", "ck2"):  # fresh checkpoint → epoch 0 replays
+            q = stream_drift_bins(
+                stream, sink, str(tmp_path / attempt), self.BOUNDS, self.BINS
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        merged = (
+            spark.read.parquet(sink)
+            .groupBy("event_type", "__bin")
+            .agg(F.sum("__c").alias("c"))
+            .collect()
+        )
+        assert sorted((r["__bin"], r["c"]) for r in merged) == [
+            (0, 1), (4, 1),
+        ]

@@ -1416,3 +1416,324 @@ def benford_deviation_sql(
                 AS DOUBLE) / 1000000.0 AS worst_dev
     FROM w
     """
+
+
+def distribution_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bounds: tuple[float, float] = (0.0, 1000.0),
+    n_bins: int = 10,
+    min_n: int = 100,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Per-group distribution-drift scan between two snapshots of a
+    metric: the population stability index (PSI), Jensen-Shannon
+    divergence (nats), and total-variation distance of ``cur``'s
+    per-group value histogram against ``ref``'s — the standard
+    between-crawl / between-release data-quality gate ("did this
+    metric's SHAPE move?") that row-level detectors
+    (:func:`value_outliers`, :func:`benford_deviation`) can't answer:
+    every row can be individually in range while the distribution
+    silently shifts under a retrained model or a re-ingested corpus.
+
+    Binning is the house histogram formula (shared verbatim with
+    :func:`~tundradb_spark.operators.relational.histogram_quantiles`
+    via ``histogram_bin_col``): fixed-width bins over explicit
+    ``bounds`` — bounds are a DATA FACT the caller fixes up front
+    (same discipline as the streaming histogram sink), so ``ref`` and
+    ``cur`` are binned identically and the score never depends on
+    which side was scanned first.  Out-of-band finite values clamp to
+    the edge bins (drift INTO the tails is visible as edge-bin mass).
+
+    Score formulas over per-bin proportions ``p = c/n`` (only bins
+    observed in either side — absent-in-both bins contribute exactly 0
+    to every metric):
+
+    - ``psi = Σ (p_cur' − p_ref') · ln(p_cur'/p_ref')`` with both
+      proportions floored at ``eps`` (the classic zero-bin smoothing);
+    - ``jsd = Σ ½·(p_ref·ln(p_ref/m) + p_cur·ln(p_cur/m))``,
+      ``m = (p_ref+p_cur)/2``, ``0·ln(0) ≡ 0`` — bounded by ln 2;
+    - ``tv  = Σ ½·|p_cur − p_ref|`` — bounded by 1.
+
+    Engine determinism: each per-bin double term is cast to
+    ``decimal(28,18)`` BEFORE the sum, so the per-group total is exact
+    decimal addition — partition/partial-aggregation order can never
+    wobble the result (the Benford fixed-chain discipline, generalized
+    to a runtime bin count); results round half-up to 6 dp.  ``ln`` at
+    query time follows the BM25/PMI/TF-IDF precedent (oracle-green
+    across engines at 6 dp).
+
+    Metric domain (house policy): NULL values drop; NaN/±Inf/|v| >=
+    1e9 rows are excluded from the histograms and surfaced as
+    ``excluded_ref`` / ``excluded_cur`` counts — visible, not silent.
+    Groups need ``min_n`` in-domain rows on BOTH sides (a PSI against
+    a 3-row reference is noise); groups below the gate drop, the
+    Benford precedent.
+
+    Plan / 100 TB shape: each snapshot is scanned ONCE into a
+    map-side-combined ``groupBy(group, bin)`` — the only corpus-sized
+    work; everything downstream (totals, gate, full-outer bin join,
+    term sums) is ``groups × n_bins`` sized, with the group-sized gate
+    frame broadcast.  Neither events table is ever shuffled.
+
+    Output: ``(group, n_ref, n_cur, excluded_ref, excluded_cur, psi,
+    jsd, tv)`` — one row per gated group.
+    """
+    rb = drift_bin_counts(ref, group_col, value_col, bounds, n_bins)
+    cb = drift_bin_counts(cur, group_col, value_col, bounds, n_bins)
+    return drift_score(rb, cb, group_col, min_n=min_n, eps=eps)
+
+
+def drift_bin_counts(
+    events: DataFrame,
+    group_col: str,
+    value_col: str,
+    bounds: tuple[float, float],
+    n_bins: int,
+) -> DataFrame:
+    """Per-(group, bin) count partials ``(group, __bin, __c)`` — the
+    front half of :func:`distribution_drift`, shared verbatim with the
+    streaming bin sink (streaming.ops.stream_drift_bins) so sum-merged
+    epoch partials score IDENTICALLY to the batch operator.  ``__bin``
+    is the house histogram bin for in-domain rows, ``-1`` for
+    metric-domain rows (NaN/±Inf/|v| >= 1e9 — counted, never binned);
+    NULL values drop.  ADDITIVE: partials from disjoint row sets merge
+    by plain ``sum``."""
+    from tundradb_spark.operators.relational import histogram_bin_col
+
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    mn, mx = float(bounds[0]), float(bounds[1])
+    if not mn < mx:
+        raise ValueError(f"need bounds lo < hi, got ({mn}, {mx})")
+    if abs(mn) >= 1e9 or abs(mx) >= 1e9:
+        raise ValueError(
+            f"bounds must sit inside the metric domain |v| < 1e9, "
+            f"got ({mn}, {mx})"
+        )
+    v = F.col(value_col)
+    ev = events.select(
+        F.col(group_col).alias(group_col), v.cast("double").alias("__v")
+    ).filter(F.col("__v").isNotNull())
+    vv = F.col("__v")
+    # clamp BEFORE binning: the bin cast is bigint and a legit 1e8
+    # value against a subnormal-width band must clamp, not overflow
+    tagged = ev.select(
+        group_col,
+        vv.alias("__v"),
+        F.least(F.greatest(vv, F.lit(mn)), F.lit(mx)).alias("__vc"),
+    )
+    return (
+        tagged.select(
+            group_col,
+            F.when(
+                F.abs(F.col("__v")) < F.lit(1e9),
+                histogram_bin_col("__vc", mn, mx, n_bins),
+            )
+            .otherwise(F.lit(-1).cast("bigint"))
+            .alias("__bin"),
+        )
+        .groupBy(group_col, "__bin")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+
+
+def drift_score(
+    ref_bins: DataFrame,
+    cur_bins: DataFrame,
+    group_col: str,
+    min_n: int = 100,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """PSI / JSD / TV over two :func:`drift_bin_counts`-layout frames —
+    the back half of :func:`distribution_drift`, shared verbatim with
+    the streaming reader so stream-merged counts score IDENTICALLY to
+    the batch operator.  The ``min_n`` gate applies HERE (over merged
+    totals), so a side that crosses the threshold only across epochs
+    still scores."""
+    if min_n < 1:
+        raise ValueError(f"min_n must be >= 1, got {min_n}")
+    if not 0.0 < eps < 1.0:
+        raise ValueError(f"eps must be in (0, 1), got {eps}")
+
+    def _tot(b: DataFrame, side: str) -> DataFrame:
+        return b.groupBy(group_col).agg(
+            F.sum(
+                F.when(F.col("__bin") >= 0, F.col("__c")).otherwise(0)
+            ).alias(f"n_{side}"),
+            F.sum(
+                F.when(F.col("__bin") < 0, F.col("__c")).otherwise(0)
+            ).alias(f"excluded_{side}"),
+        )
+
+    gates = (
+        _tot(ref_bins, "ref")
+        .join(_tot(cur_bins, "cur"), group_col)
+        .filter((F.col("n_ref") >= min_n) & (F.col("n_cur") >= min_n))
+    )
+    r = ref_bins.filter(F.col("__bin") >= 0).select(
+        group_col, "__bin", F.col("__c").alias("__cr")
+    )
+    c = cur_bins.filter(F.col("__bin") >= 0).select(
+        group_col, "__bin", F.col("__c").alias("__cc")
+    )
+    j = (
+        r.join(c, [group_col, "__bin"], "full_outer")
+        .join(F.broadcast(gates), group_col)
+        .select(
+            group_col,
+            "n_ref",
+            "n_cur",
+            "excluded_ref",
+            "excluded_cur",
+            F.coalesce("__cr", F.lit(0)).alias("__cr"),
+            F.coalesce("__cc", F.lit(0)).alias("__cc"),
+        )
+    )
+    pr = "(cast(__cr as double) / cast(n_ref as double))"
+    pc = "(cast(__cc as double) / cast(n_cur as double))"
+    e = f"cast({eps!r} as double)"
+    prs = f"greatest({pr}, {e})"
+    pcs = f"greatest({pc}, {e})"
+    psi_t = f"({pcs} - {prs}) * ln({pcs} / {prs})"
+    m = f"(({pr} + {pc}) / cast(2.0 as double))"
+    jsd_t = (
+        f"cast(0.5 as double) * ("
+        f"(case when {pr} > cast(0.0 as double)"
+        f" then {pr} * ln({pr} / {m}) else cast(0.0 as double) end)"
+        f" + (case when {pc} > cast(0.0 as double)"
+        f" then {pc} * ln({pc} / {m}) else cast(0.0 as double) end))"
+    )
+    tv_t = f"cast(0.5 as double) * abs({pc} - {pr})"
+    agg = j.groupBy(group_col).agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.max("excluded_ref").alias("excluded_ref"),
+        F.max("excluded_cur").alias("excluded_cur"),
+        F.sum(F.expr(f"cast({psi_t} as decimal(28,18))")).alias("__psi"),
+        F.sum(F.expr(f"cast({jsd_t} as decimal(28,18))")).alias("__jsd"),
+        F.sum(F.expr(f"cast({tv_t} as decimal(28,18))")).alias("__tv"),
+    )
+
+    def _rnd(col: str) -> str:
+        return (
+            f"cast(floor(cast(cast({col} as double) as decimal(28,10))"
+            f" * 1000000 + 0.5) as double) / 1000000.0"
+        )
+
+    return agg.select(
+        group_col,
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.col("excluded_ref").cast("long").alias("excluded_ref"),
+        F.col("excluded_cur").cast("long").alias("excluded_cur"),
+        F.expr(_rnd("__psi")).alias("psi"),
+        F.expr(_rnd("__jsd")).alias("jsd"),
+        F.expr(_rnd("__tv")).alias("tv"),
+    )
+
+
+def distribution_drift_sql(
+    ref_table: str,
+    cur_table: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    bounds: tuple[float, float] = (0.0, 1000.0),
+    n_bins: int = 10,
+    min_n: int = 100,
+    eps: float = 1e-6,
+) -> str:
+    """DuckDB oracle reproducing :func:`distribution_drift` exactly —
+    the same clamp-then-bin formula, eps floors, 0·ln(0) ≡ 0 cases,
+    per-term decimal(28,18) casts (order-independent sums), and 6 dp
+    half-up rounding.  ``ref_table`` / ``cur_table`` may be subqueries."""
+    mn, mx = float(bounds[0]), float(bounds[1])
+    dmn, dmx = f"CAST({mn!r} AS DOUBLE)", f"CAST({mx!r} AS DOUBLE)"
+    width = (
+        "1.0" if (mx - mn) / n_bins == 0.0 else f"(({dmx} - {dmn}) / {n_bins})"
+    )
+    e = f"CAST({eps!r} AS DOUBLE)"
+
+    def _bins(table: str, name: str) -> str:
+        return f"""
+    {name}raw AS (
+        SELECT {group_col}, CAST({value_col} AS DOUBLE) AS v
+        FROM {table} WHERE {value_col} IS NOT NULL
+    ),
+    {name}bin AS (
+        SELECT {group_col},
+               CASE WHEN abs(v) < 1000000000.0
+                    THEN least(greatest(CAST(floor(
+                             (least(greatest(v, {dmn}), {dmx}) - {dmn})
+                             / {width}) AS BIGINT), 0), {n_bins - 1})
+                    ELSE -1 END AS bin,
+               count(*) AS c
+        FROM {name}raw GROUP BY 1, 2
+    )"""
+
+    pr = "(CAST(coalesce(cr, 0) AS DOUBLE) / CAST(n_ref AS DOUBLE))"
+    pc = "(CAST(coalesce(cc, 0) AS DOUBLE) / CAST(n_cur AS DOUBLE))"
+    prs = f"greatest({pr}, {e})"
+    pcs = f"greatest({pc}, {e})"
+    psi_t = f"({pcs} - {prs}) * ln({pcs} / {prs})"
+    m = f"(({pr} + {pc}) / CAST(2.0 AS DOUBLE))"
+    jsd_t = (
+        f"CAST(0.5 AS DOUBLE) * ("
+        f"(CASE WHEN {pr} > CAST(0.0 AS DOUBLE)"
+        f" THEN {pr} * ln({pr} / {m}) ELSE CAST(0.0 AS DOUBLE) END)"
+        f" + (CASE WHEN {pc} > CAST(0.0 AS DOUBLE)"
+        f" THEN {pc} * ln({pc} / {m}) ELSE CAST(0.0 AS DOUBLE) END))"
+    )
+    tv_t = f"CAST(0.5 AS DOUBLE) * abs({pc} - {pr})"
+
+    def _rnd(col: str) -> str:
+        return (
+            f"CAST(floor(CAST(CAST({col} AS DOUBLE) AS DECIMAL(28,10))"
+            f" * 1000000 + 0.5) AS DOUBLE) / 1000000.0"
+        )
+
+    return f"""
+    WITH {_bins(ref_table, 'r')},
+    {_bins(cur_table, 'c')},
+    rtot AS (
+        SELECT {group_col},
+               sum(CASE WHEN bin >= 0 THEN c ELSE 0 END) AS n_ref,
+               sum(CASE WHEN bin < 0 THEN c ELSE 0 END) AS excluded_ref
+        FROM rbin GROUP BY {group_col}
+    ),
+    ctot AS (
+        SELECT {group_col},
+               sum(CASE WHEN bin >= 0 THEN c ELSE 0 END) AS n_cur,
+               sum(CASE WHEN bin < 0 THEN c ELSE 0 END) AS excluded_cur
+        FROM cbin GROUP BY {group_col}
+    ),
+    gates AS (
+        SELECT * FROM rtot JOIN ctot USING ({group_col})
+        WHERE n_ref >= {min_n} AND n_cur >= {min_n}
+    ),
+    j AS (
+        SELECT {group_col}, bin, r.c AS cr, c.c AS cc
+        FROM (SELECT * FROM rbin WHERE bin >= 0) r
+        FULL OUTER JOIN (SELECT * FROM cbin WHERE bin >= 0) c
+        USING ({group_col}, bin)
+    ),
+    terms AS (
+        SELECT j.{group_col}, g.n_ref, g.n_cur,
+               g.excluded_ref, g.excluded_cur,
+               CAST({psi_t} AS DECIMAL(28,18)) AS psi_t,
+               CAST({jsd_t} AS DECIMAL(28,18)) AS jsd_t,
+               CAST({tv_t} AS DECIMAL(28,18)) AS tv_t
+        FROM j JOIN gates g USING ({group_col})
+    )
+    SELECT {group_col},
+           CAST(max(n_ref) AS BIGINT) AS n_ref,
+           CAST(max(n_cur) AS BIGINT) AS n_cur,
+           CAST(max(excluded_ref) AS BIGINT) AS excluded_ref,
+           CAST(max(excluded_cur) AS BIGINT) AS excluded_cur,
+           {_rnd('sum(psi_t)')} AS psi,
+           {_rnd('sum(jsd_t)')} AS jsd,
+           {_rnd('sum(tv_t)')} AS tv
+    FROM terms GROUP BY {group_col}
+    """

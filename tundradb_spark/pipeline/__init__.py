@@ -35,6 +35,8 @@ DuckDB SQL oracle can reproduce results bit-for-bit (see __spark_entry__).
 
 from tundradb_spark.pipeline.dedup import (
     apply_dedup,
+    corpus_diff,
+    corpus_diff_summary,
     incremental_dup_pairs,
     strip_duplicate_segments,
     embedding_dup_pairs,
@@ -118,6 +120,8 @@ from tundradb_spark.pipeline.text import (
 )
 
 __all__ = [
+    "corpus_diff",
+    "corpus_diff_summary",
     "exact_dedup",
     "hll_distinct",
     "hll_registers",

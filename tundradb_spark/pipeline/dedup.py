@@ -1583,3 +1583,132 @@ def recall_gauge(
             " as double) / 1000000.0"
         ).alias("recall"),
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff by content digest: which
+    documents were ``added``, ``removed``, or ``changed`` between two
+    versions of a corpus — the between-crawl bookkeeping a pipeline
+    needs BEFORE re-running dedup/decontamination (process the delta,
+    not the 100 TB), and the audit trail for "what moved" when a
+    re-ingest shifts downstream metrics
+    (:func:`~tundradb_spark.operators.analytics.distribution_drift`
+    answers "did the distribution move"; this answers "which rows").
+
+    Content identity is ``md5`` of the raw text — engine-portable
+    lowercase hex in both Spark and DuckDB, so the oracle twin
+    (:func:`corpus_diff_sql`) reproduces every digest byte-for-byte.
+    NULL texts carry a NULL digest; presence is tracked by explicit
+    flags (never digest-NULLness), and the change test is null-safe
+    (``<=>``), so two NULL-text versions of a doc compare ``unchanged``
+    while NULL→text and text→NULL are ``changed``.
+
+    Precondition (documented, same as :func:`~tundradb_spark.pipeline.
+    text.rrf_fuse`'s ranker frames): ``id_col`` is unique within each
+    snapshot — corpus snapshots are keyed; a duplicated id would make
+    the id join fan out.
+
+    Plan / 100 TB shape: digests are computed IN the scan projection
+    (JVM-side md5, no corpus-wide shuffle for hashing) and the only
+    shuffle is ONE hash join on the id — with both snapshots bucketed
+    by id this co-locates; AQE handles the skewless id key.  Emitting
+    only the delta (``include_unchanged=False``, the default) keeps the
+    output proportional to the CHANGE, not the corpus.
+
+    Output: ``(id, status, old_digest, new_digest)`` with ``status IN
+    ('added', 'removed', 'changed'[, 'unchanged'])``.
+    """
+    o = old.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.md5(F.col(text_col).cast("string")).alias("old_digest"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.md5(F.col(text_col).cast("string")).alias("new_digest"),
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_digest").eqNullSafe(F.col("new_digest")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    out = j.select(id_col, status.alias("status"), "old_digest", "new_digest")
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out
+
+
+def corpus_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Status counts over the FULL :func:`corpus_diff` (unchanged rows
+    included) — the one-line health check ("how big is this delta?")
+    emitted before deciding whether the incremental path is worth it.
+    One map-side-combined ``groupBy(status)`` over the diff; output
+    ``(status, n_docs)``."""
+    d = corpus_diff(
+        old, new, id_col, text_col, include_unchanged=True
+    )
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def corpus_diff_sql(
+    old_table: str,
+    new_table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    include_unchanged: bool = False,
+    summary: bool = False,
+) -> str:
+    """DuckDB oracle reproducing :func:`corpus_diff` /
+    :func:`corpus_diff_summary` exactly — same md5 digests, presence
+    flags, null-safe change test (``IS NOT DISTINCT FROM``).
+    ``old_table`` / ``new_table`` may be subqueries."""
+    base = f"""
+    WITH o AS (
+        SELECT CAST({id_col} AS BIGINT) AS {id_col},
+               md5(CAST({text_col} AS VARCHAR)) AS old_digest,
+               TRUE AS in_old
+        FROM {old_table}
+    ),
+    n AS (
+        SELECT CAST({id_col} AS BIGINT) AS {id_col},
+               md5(CAST({text_col} AS VARCHAR)) AS new_digest,
+               TRUE AS in_new
+        FROM {new_table}
+    ),
+    d AS (
+        SELECT {id_col},
+               CASE WHEN in_old IS NULL THEN 'added'
+                    WHEN in_new IS NULL THEN 'removed'
+                    WHEN old_digest IS NOT DISTINCT FROM new_digest
+                        THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               old_digest, new_digest
+        FROM o FULL OUTER JOIN n USING ({id_col})
+    )"""
+    if summary:
+        return (
+            base
+            + "\n    SELECT status, CAST(count(*) AS BIGINT) AS n_docs"
+            + " FROM d GROUP BY status"
+        )
+    where = "" if include_unchanged else " WHERE status != 'unchanged'"
+    return base + f"\n    SELECT * FROM d{where}"

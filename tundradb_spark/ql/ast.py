@@ -296,6 +296,38 @@ class Rrf:
     score_col: str = "score"
 
 
+@dataclass(frozen=True)
+class Drift:
+    """DRIFT ON <cur> WITH <ref> [GROUP col] [VALUE col] [LO x] [HI y]
+    [BINS n] [MIN n] [EPS x] — per-group PSI / Jensen-Shannon /
+    total-variation drift of cur's value histogram against ref's
+    (operators.analytics.distribution_drift)."""
+
+    cur: str
+    ref: str
+    group_col: str = "event_type"
+    value_col: str = "value"
+    lo: float = 0.0
+    hi: float = 1000.0
+    n_bins: int = 10
+    min_n: int = 100
+    eps: float = 1e-6
+
+
+@dataclass(frozen=True)
+class Diff:
+    """DIFF ON <new> WITH <old> [ID col] [TEXT col] [ALL] [SUMMARY] —
+    snapshot-to-snapshot corpus diff by md5 content digest
+    (pipeline.dedup.corpus_diff / corpus_diff_summary)."""
+
+    new: str
+    old: str
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    include_unchanged: bool = False
+    summary: bool = False
+
+
 Statement = (
     CreateSchema
     | CreateNode
@@ -318,4 +350,6 @@ Statement = (
     | Benford
     | Calibration
     | Rrf
+    | Drift
+    | Diff
 )

@@ -317,6 +317,41 @@ def execute_ast(db: "Database", stmt: ast.Statement) -> DataFrame | None:
             score_col=stmt.score_col,
         )
 
+    if isinstance(stmt, ast.Drift):
+        from tundradb_spark.operators.analytics import distribution_drift
+
+        return distribution_drift(
+            db.get_table(stmt.ref),
+            db.get_table(stmt.cur),
+            group_col=stmt.group_col,
+            value_col=stmt.value_col,
+            bounds=(stmt.lo, stmt.hi),
+            n_bins=stmt.n_bins,
+            min_n=stmt.min_n,
+            eps=stmt.eps,
+        )
+
+    if isinstance(stmt, ast.Diff):
+        from tundradb_spark.pipeline.dedup import (
+            corpus_diff,
+            corpus_diff_summary,
+        )
+
+        if stmt.summary:
+            return corpus_diff_summary(
+                db.get_table(stmt.old),
+                db.get_table(stmt.new),
+                id_col=stmt.id_col,
+                text_col=stmt.text_col,
+            )
+        return corpus_diff(
+            db.get_table(stmt.old),
+            db.get_table(stmt.new),
+            id_col=stmt.id_col,
+            text_col=stmt.text_col,
+            include_unchanged=stmt.include_unchanged,
+        )
+
     if isinstance(stmt, ast.Explain):
         # plan introspection (extension): the compiled MATCH's PHYSICAL
         # plan, one output row per line so the shell renders it verbatim

@@ -272,6 +272,10 @@ class Parser:
             stmt = self.calibration_statement()
         elif kw == "RRF":
             stmt = self.rrf_statement()
+        elif kw == "DRIFT":
+            stmt = self.drift_statement()
+        elif kw == "DIFF":
+            stmt = self.diff_statement()
         else:
             raise QueryError(f"TundraQL: unknown statement {kw!r}")
         self.accept(";")
@@ -986,6 +990,91 @@ class Parser:
             query_col=query_col,
             id_col=id_col,
             score_col=score_col,
+        )
+
+    def drift_statement(self) -> ast.Drift:
+        """DRIFT ON cur WITH ref [GROUP col] [VALUE col] [LO x] [HI y]
+        [BINS n] [MIN n] [EPS x]"""
+        self.expect("DRIFT")
+        self.expect("ON")
+        cur = self.ident()
+        self.expect("WITH")
+        ref = self.ident()
+        group_col, value_col = "event_type", "value"
+        lo, hi, n_bins, min_n, eps = 0.0, 1000.0, 10, 100, 1e-6
+        while True:
+            if self.at_kw("GROUP"):
+                self.next()
+                group_col = self.ident()
+            elif self.at_kw("VALUE"):
+                self.next()
+                value_col = self.ident()
+            elif self.at_kw("LO"):
+                self.next()
+                lo = self._num_clause("LO")
+            elif self.at_kw("HI"):
+                self.next()
+                hi = self._num_clause("HI")
+            elif self.at_kw("BINS"):
+                self.next()
+                n_bins = self._int_clause("BINS")
+            elif self.at_kw("MIN"):
+                self.next()
+                min_n = self._int_clause("MIN")
+            elif self.at_kw("EPS"):
+                self.next()
+                eps = self._num_clause("EPS")
+            else:
+                break
+        # range/positivity checks live in the operator (shared with the
+        # DataFrame API); fail fast here only on what the grammar owns
+        if n_bins < 1:
+            raise QueryError("TundraQL: DRIFT BINS must be >= 1")
+        if min_n < 1:
+            raise QueryError("TundraQL: DRIFT MIN must be >= 1")
+        return ast.Drift(
+            cur=cur,
+            ref=ref,
+            group_col=group_col,
+            value_col=value_col,
+            lo=lo,
+            hi=hi,
+            n_bins=n_bins,
+            min_n=min_n,
+            eps=eps,
+        )
+
+    def diff_statement(self) -> ast.Diff:
+        """DIFF ON new WITH old [ID col] [TEXT col] [ALL] [SUMMARY]"""
+        self.expect("DIFF")
+        self.expect("ON")
+        new = self.ident()
+        self.expect("WITH")
+        old = self.ident()
+        id_col, text_col = "doc_id", "text"
+        include_unchanged = summary = False
+        while True:
+            if self.at_kw("ID"):
+                self.next()
+                id_col = self.ident()
+            elif self.at_kw("TEXT"):
+                self.next()
+                text_col = self.ident()
+            elif self.at_kw("ALL"):
+                self.next()
+                include_unchanged = True
+            elif self.at_kw("SUMMARY"):
+                self.next()
+                summary = True
+            else:
+                break
+        return ast.Diff(
+            new=new,
+            old=old,
+            id_col=id_col,
+            text_col=text_col,
+            include_unchanged=include_unchanged,
+            summary=summary,
         )
 
     def cusum_statement(self) -> ast.Cusum:

@@ -76,7 +76,7 @@ COMPLETION_KEYWORDS = [
     # by the HINTS templates instead of polluting the global pool
     "FUNNEL", "RETENTION", "OUTLIERS", "CUSUM", "NGRAMS", "MARKOV",
     "SIMILARITY", "COOCCURRENCE", "WINSORIZE", "BENFORD", "CALIBRATION",
-    "RRF", "ON",
+    "RRF", "DRIFT", "DIFF", "ON",
 ]
 
 
@@ -108,6 +108,8 @@ HINTS = {
     "BENFORD ": "ON table [GROUP col] [VALUE col] [MIN n]",
     "CALIBRATION ": "ON table [PROB col] [LABEL col] [BINS n]",
     "RRF ": "ON table_a WITH table_b [K k] [TOP n] [QUERY col] [ID col] [SCORE col]",
+    "DRIFT ": "ON cur WITH ref [GROUP col] [VALUE col] [LO x] [HI y] [BINS n] [MIN n] [EPS x]",
+    "DIFF ": "ON new WITH old [ID col] [TEXT col] [ALL] [SUMMARY]",
 }
 
 

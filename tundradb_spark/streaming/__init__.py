@@ -68,6 +68,11 @@ continuously-ingesting graph/analytics deployment needs:
   reliability-diagram bins with ``n_bins`` rows of state per epoch
   (decimal partial sum-merge + the batch operator's shared scoring ==
   calibration_bins exactly)
+- :func:`stream_drift_bins` / :func:`read_drift` — live distribution
+  drift (PSI / Jensen-Shannon / total-variation) against a frozen
+  reference snapshot with ``groups × (n_bins + 1)`` longs of state per
+  epoch (count sum-merge + the batch operator's shared binning and
+  scoring == distribution_drift exactly)
 - :func:`compact_stream_index` — atomic per-epoch → single-epoch fold
   for any of the streaming index/sketch tables
 """
@@ -90,6 +95,8 @@ from tundradb_spark.streaming.ops import (
     read_winsorize_bounds,
     stream_token_counts,
     read_vocab_coverage,
+    stream_drift_bins,
+    read_drift,
     read_outliers,
     stream_markov_pairs,
     stream_cohort_periods,
@@ -158,4 +165,6 @@ __all__ = [
     "read_winsorize_bounds",
     "stream_token_counts",
     "read_vocab_coverage",
+    "stream_drift_bins",
+    "read_drift",
 ]

@@ -2228,3 +2228,94 @@ def read_vocab_coverage(spark, path: str, sizes: list[int]) -> DataFrame:
         .agg(F.sum("cnt").alias("cnt"))
     )
     return vocab_coverage_curve(merged, sizes)
+
+
+def stream_drift_bins(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    bounds: tuple[float, float],
+    n_bins: int = 10,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    query_name: str | None = None,
+) -> "StreamingQuery":
+    """r11: continuously maintain per-(group, bin) histogram counts in
+    the :func:`~tundradb_spark.operators.analytics.drift_bin_counts`
+    layout (``(group, __bin, __c)`` with ``__bin = -1`` for
+    metric-domain rows) from an event stream — the live "current"
+    side of :func:`~tundradb_spark.operators.analytics.
+    distribution_drift`, so a deployment can score today's traffic
+    against a frozen reference histogram continuously instead of
+    re-scanning the stream's history per check.
+
+    ``bounds`` are FIXED up front (the streaming-histogram discipline:
+    a stream has no final min/max; out-of-band finite values clamp to
+    the edge bins, domain rows count at ``__bin = -1``).  Counts are
+    additive, so per-epoch partials summed across epochs equal the
+    single-pass batch binning exactly, and :func:`read_drift`
+    re-applies the batch operator's OWN scoring half (``drift_score``
+    — shared verbatim, not copied) to the merged counts:
+    stream-maintained drift == ``distribution_drift(ref, all_rows)``
+    (test-pinned, including groups that reach ``min_n`` only across
+    epochs and the ``excluded`` domain-count visibility).  Idempotent
+    under replay via dynamic partition overwrite on ``epoch``.
+
+    State per epoch is ``groups × (n_bins + 1)`` longs regardless of
+    stream volume; fold occasionally with :func:`compact_stream_index`.
+    """
+    from tundradb_spark.operators.analytics import drift_bin_counts
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        counts = drift_bin_counts(
+            batch, group_col, value_col, bounds, n_bins
+        )
+        (
+            counts.withColumn("epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name or "drift-bins")
+        .start()
+    )
+
+
+def read_drift(
+    spark,
+    path: str,
+    ref: DataFrame,
+    bounds: tuple[float, float],
+    n_bins: int = 10,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    min_n: int = 100,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Merge all epochs of a :func:`stream_drift_bins` table into
+    per-(group, bin) counts and score them against the ``ref``
+    snapshot — IDENTICAL to ``distribution_drift(ref, delivered)``
+    when the stream has delivered exactly those rows (counts merge by
+    plain sum; binning and scoring are shared verbatim via
+    ``drift_bin_counts`` / ``drift_score``).  The reference side is
+    binned HERE with the same bounds, so ref and stream are always on
+    the same grid."""
+    from tundradb_spark.operators.analytics import (
+        drift_bin_counts,
+        drift_score,
+    )
+
+    merged = (
+        spark.read.parquet(path)
+        .groupBy(group_col, "__bin")
+        .agg(F.sum("__c").alias("__c"))
+    )
+    rb = drift_bin_counts(ref, group_col, value_col, bounds, n_bins)
+    return drift_score(rb, merged, group_col, min_n=min_n, eps=eps)
