@@ -184,7 +184,12 @@ partition-order-proof) and q_corpus_diff (dedup.corpus_diff:
 added/removed/changed delta by portable md5 digest, one id join).
 Both carry dirty-input rows, plan pins, decade probes
 (SCALE_PROBE_r11), a streaming twin for drift (stream_drift_bins /
-read_drift), and TundraQL DRIFT / DIFF statements.
+read_drift), and TundraQL DRIFT / DIFF statements.  A third,
+q_token_drift (text.token_drift), measures corpus-COMPOSITION drift —
+token-level JSD / TV + new-token mass between snapshots on the shared
+house tokenization — with its live reader (read_token_drift) reusing
+the stream_token_counts sketch the vocab-coverage reader already
+maintains.
 
 The per-round narrative above records WHY each rotation happened; the
 AUTHORITATIVE seated/parked lists at HEAD are runtime facts — read them
@@ -4130,3 +4135,36 @@ def _corpus_diff_oracle() -> str:
 
 PARKED_QUERIES["q_corpus_diff"] = q_corpus_diff
 PARKED_ORACLES["q_corpus_diff"] = _corpus_diff_oracle()
+
+
+def q_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: token-distribution drift (text.token_drift) — corpus-
+    composition shift between two deterministic versions of the
+    documents table (cur rewrites doc_id % 7 = 0 texts with a ' v2'
+    suffix, so the 'v2' type is genuinely NEW): Jensen-Shannon / total-
+    variation over token frequencies + new-token mass, one map-side
+    token count per side, vocabulary-sized join, ONE output row —
+    per-token decimal(28,18) terms keep the sums partition-order-proof."""
+    from tundradb_spark.pipeline.text import token_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cur = docs.select(
+        F.expr(
+            "case when doc_id % 7 = 0 then text || ' v2' else text end"
+        ).alias("text")
+    )
+    return token_drift(docs, cur)
+
+
+def _token_drift_oracle() -> str:
+    from tundradb_spark.pipeline.text import token_drift_sql
+
+    return token_drift_sql(
+        "documents",
+        "(SELECT CASE WHEN doc_id % 7 = 0 THEN text || ' v2'"
+        " ELSE text END AS text FROM documents)",
+    )
+
+
+PARKED_QUERIES["q_token_drift"] = q_token_drift
+PARKED_ORACLES["q_token_drift"] = _token_drift_oracle()

@@ -52,6 +52,18 @@ def diff_at(spark, sf_dir: str):
     return corpus_diff(old, new)
 
 
+def token_drift_at(spark, sf_dir: str):
+    from tundradb_spark.pipeline.text import token_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cur = docs.select(
+        F.expr(
+            "case when doc_id % 7 = 0 then text || ' v2' else text end"
+        ).alias("text")
+    )
+    return token_drift(docs, cur)
+
+
 def main() -> None:
     sf01 = "/root/testdata/sf0.1"
     sf1 = os.path.join(
@@ -62,7 +74,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     results: dict[tuple[str, str], tuple[float, int, int]] = {}
-    for op, build in [("drift", drift_at), ("corpus_diff", diff_at)]:
+    for op, build in [
+        ("drift", drift_at),
+        ("corpus_diff", diff_at),
+        ("token_drift", token_drift_at),
+    ]:
         for label, sf in [("sf0.1", sf01), ("sf1", sf1)]:
             df = build(spark, sf)
             n_ex = audit.count_exchanges(df)
@@ -77,7 +93,7 @@ def main() -> None:
                 f"[{op} {label}] wall={wall:6.2f}s out={n:>7,}"
                 f" exchanges={n_ex}"
             )
-    for op in ("drift", "corpus_diff"):
+    for op in ("drift", "corpus_diff", "token_drift"):
         w0, n0, e0 = results[(op, "sf0.1")]
         w1, n1, e1 = results[(op, "sf1")]
         ratio = w1 / w0

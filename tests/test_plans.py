@@ -794,3 +794,21 @@ def test_corpus_diff_single_id_join(spark):
     plan = audit.simple_plan(df)  # tree only: each node counted once
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
         + plan.count("BroadcastHashJoin") == 1, plan
+
+
+def test_token_drift_one_count_per_side(spark):
+    """r11: each snapshot collapses to ONE map-side-combined token
+    count (plus its single-row total); the token join and term sums are
+    vocabulary-sized, the totals come back via broadcast crossJoin —
+    never a corpus-sized shuffle beyond the two counts."""
+    from tundradb_spark.pipeline.text import token_drift
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = token_drift(docs.filter("doc_id % 2 = 0"),
+                     docs.filter("doc_id % 2 = 1"))
+    audit.assert_no_nested_loop(df)
+    plan = audit.formatted_plan(df)
+    # 2 corpus-sized count shuffles + vocabulary-sized join/aggregate
+    # exchanges; the single-row totals must be BroadcastNestedLoop-free
+    # (crossJoin of 1-row frames broadcasts)
+    assert audit.count_exchanges(df) <= 9, plan

@@ -2043,3 +2043,48 @@ class TestStreamDrift:
         assert sorted((r["__bin"], r["c"]) for r in merged) == [
             (0, 1), (4, 1),
         ]
+
+
+class TestReadTokenDrift:
+    """r11: read_token_drift — the second reader over the
+    stream_token_counts table (the first is read_vocab_coverage);
+    sum-merged epoch counts + the batch scorer (token_drift_score,
+    shared verbatim) == token_drift exactly."""
+
+    SCHEMA = "doc_id long, text string"
+
+    def test_stream_merge_equals_batch_operator(self, spark, tmp_path):
+        from tundradb_spark.pipeline.text import token_drift
+        from tundradb_spark.streaming import (
+            read_token_drift,
+            stream_token_counts,
+        )
+
+        src = str(tmp_path / "tdsrc")
+        sink = str(tmp_path / "tdsink")
+        ckpt = str(tmp_path / "tdck")
+        os.makedirs(src)
+        ref = spark.createDataFrame(
+            [(0, "a a a b"), (1, "b c")], self.SCHEMA)
+        # the 'd' type appears only in epoch 2; 'a' counts straddle epochs
+        batch1 = [(10, "a a b"), (11, None)]
+        batch2 = [(12, "a d d")]
+        spark.createDataFrame(batch1, self.SCHEMA).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(self.SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = stream_token_counts(stream, sink, ckpt)
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(batch2, self.SCHEMA).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        allrows = spark.createDataFrame(batch1 + batch2, self.SCHEMA)
+        got = [tuple(r) for r in read_token_drift(spark, sink, ref).collect()]
+        want = [tuple(r) for r in token_drift(ref, allrows).collect()]
+        assert got == want
+        r = want[0]
+        # new type 'd' (2 occurrences of 6 delivered tokens)
+        assert (r[0], r[1], r[5]) == (6, 6, 1)

@@ -188,3 +188,95 @@ class TestVocabCoverage:
 
         with pytest.raises(ValueError):
             vocab_coverage(self._docs(spark, ["x"]), sizes=[])
+
+
+class TestTokenDrift:
+    """r11: corpus-composition drift — token-level JSD / TV / new-token
+    mass between two snapshots."""
+
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_identical_corpora_score_zero(self, spark):
+        from tundradb_spark.pipeline.text import token_drift
+
+        docs = self._docs(spark, ["a b c", "b c d", "a a"])
+        r = token_drift(docs, docs).collect()[0]
+        assert (r["jsd"], r["tv"], r["new_mass"], r["new_types"]) == (
+            0.0, 0.0, 0.0, 0)
+        assert r["n_ref"] == r["n_cur"] == 8
+        assert r["shared_types"] == r["types_ref"] == 4
+
+    def test_hand_computed_shift(self, spark):
+        from tundradb_spark.pipeline.text import token_drift
+
+        # ref: a x3, b x1; cur: a x2, c x2 (c is NEW)
+        ref = self._docs(spark, ["a a a b"])
+        cur = self._docs(spark, ["a a c c"])
+        r = token_drift(ref, cur).collect()[0]
+        p = {"a": 0.75, "b": 0.25, "c": 0.0}
+        q = {"a": 0.5, "b": 0.0, "c": 0.5}
+        jsd = sum(
+            0.5 * (
+                (p[t] * math.log(p[t] / ((p[t] + q[t]) / 2)) if p[t] else 0)
+                + (q[t] * math.log(q[t] / ((p[t] + q[t]) / 2)) if q[t] else 0)
+            )
+            for t in p
+        )
+        tv = sum(0.5 * abs(q[t] - p[t]) for t in p)
+        rnd = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+        assert (r["jsd"], r["tv"], r["new_mass"]) == (
+            rnd(jsd), rnd(tv), 0.5)
+        assert (r["types_ref"], r["types_cur"], r["shared_types"],
+                r["new_types"]) == (2, 2, 1, 1)
+
+    def test_tokenization_shared_with_token_counts(self, spark):
+        from tundradb_spark.pipeline.text import token_drift
+
+        # case-folding + whitespace split + empty-token drop: "A  a\tb"
+        # and "a a b" are the same distribution
+        ref = self._docs(spark, ["A  a\tb"])
+        cur = self._docs(spark, ["a a b"])
+        r = token_drift(ref, cur).collect()[0]
+        assert (r["jsd"], r["tv"]) == (0.0, 0.0)
+
+    def test_empty_sides(self, spark):
+        import math
+
+        from tundradb_spark.pipeline.text import token_drift
+
+        # an empty side is maximally drifted by the formula itself (no
+        # special case): the one-sided JSD halves sum to ln(2)/2 and TV
+        # to 1/2 — the documented degenerate-snapshot convention
+        rnd = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+        docs = self._docs(spark, ["a b"])
+        empty = self._docs(spark, [])
+        r = token_drift(docs, empty).collect()[0]
+        assert (r["n_cur"], r["types_cur"], r["new_mass"]) == (0, 0, 0.0)
+        assert (r["jsd"], r["tv"]) == (rnd(math.log(2) / 2), 0.5)
+        # everything in cur is new when ref is empty
+        r2 = token_drift(empty, docs).collect()[0]
+        assert (r2["n_ref"], r2["new_types"], r2["new_mass"]) == (0, 2, 1.0)
+        assert (r2["jsd"], r2["tv"]) == (rnd(math.log(2) / 2), 0.5)
+
+    def test_null_and_whitespace_texts_drop(self, spark):
+        from tundradb_spark.pipeline.text import token_drift
+
+        ref = self._docs(spark, ["a b", None, "   ", "\t\n"])
+        cur = self._docs(spark, ["a b"])
+        r = token_drift(ref, cur).collect()[0]
+        assert (r["n_ref"], r["jsd"], r["tv"]) == (2, 0.0, 0.0)
+
+    def test_dirty_texts_survive(self, spark):
+        from tundradb_spark.pipeline.text import token_drift
+
+        ref = self._docs(
+            spark, ["🎉 中文 a", "x" * 50_000, None, "a  a"])
+        cur = self._docs(spark, ["🎉 a a 中文", "x" * 50_000])
+        r = token_drift(ref, cur).collect()[0]
+        # same multiset both sides (emoji, CJK, kilo-char tokens all
+        # count once each plus a's) → only distribution masses differ
+        assert (r["types_ref"], r["types_cur"], r["new_types"]) == (4, 4, 0)
+        assert r["new_mass"] == 0.0 and r["tv"] > 0.0

@@ -114,6 +114,8 @@ from tundradb_spark.pipeline.text import (
     redact_patterns,
     repetition_scores,
     tfidf_topk_terms,
+    token_drift,
+    token_drift_score,
     token_stats,
     winnow_fingerprints,
     with_tokens,
@@ -172,6 +174,8 @@ __all__ = [
     "token_stats",
     "quality_scores",
     "repetition_scores",
+    "token_drift",
+    "token_drift_score",
     "pattern_counts",
     "pii_scan",
     "redact_patterns",

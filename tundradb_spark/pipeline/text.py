@@ -1574,3 +1574,223 @@ def vocab_coverage_sql(
     FROM ranked CROSS JOIN total JOIN ns ON ranked.rank <= ns.n_vocab
     GROUP BY n_vocab, total_tokens
     """
+
+
+def token_drift(
+    ref_docs: DataFrame,
+    cur_docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-composition drift between two snapshots, measured on the
+    TOKEN distribution: Jensen-Shannon divergence (nats) and
+    total-variation distance between the snapshots' token frequency
+    distributions, plus the new-token mass (fraction of current token
+    occurrences whose type the reference never saw — the OOV-vs-
+    reference rate).  The text counterpart of
+    :func:`~tundradb_spark.operators.analytics.distribution_drift`:
+    that answers "did this METRIC's shape move", this answers "did the
+    LANGUAGE of the corpus move" — the between-crawl gate before
+    trusting a tokenizer budget (:func:`vocab_coverage`), a trained
+    quality LM (:func:`lm_scores`), or DSIR importance weights against
+    a shifted crawl.
+
+    Tokenization is the house whitespace-lowercase split
+    (:func:`token_counts` — shared verbatim, so the streaming twin and
+    every other token-counting operator agree on what a token is).
+    Score formulas over per-token proportions ``p = c_ref/n_ref``,
+    ``q = c_cur/n_cur`` across the full-outer token join (``0·ln 0 ≡
+    0``; tokens absent from both cannot exist):
+
+    - ``jsd = Σ ½·(p·ln(p/m) + q·ln(q/m))``, ``m = (p+q)/2`` —
+      bounded by ln 2; - ``tv = Σ ½·|q − p|`` — bounded by 1;
+    - ``new_mass = Σ q over tokens with c_ref = 0``.
+
+    Engine determinism follows the drift discipline: each per-token
+    double term is cast ``decimal(28,18)`` BEFORE the sum (vocabulary
+    partition order can never wobble the totals), ``ln`` at query time
+    per the BM25/PMI precedent, 6 dp half-up rounding.
+
+    Plan / 100 TB shape: one map-side-combined token count per snapshot
+    (the only corpus-sized shuffles — identical to what
+    :func:`vocab_coverage` already pays), one vocabulary-sized
+    full-outer join on the token, vocabulary-sized term sums, ONE output
+    row; the two totals frames are single rows broadcast via crossJoin.
+    Smoothing is deliberately NOT applied (unlike PSI): JSD and TV are
+    finite at zeros, so the scores need no epsilon and stay exactly
+    reproducible.  Degenerate snapshots fall out of the formula rather
+    than a special case: an EMPTY side scores jsd = ln(2)/2, tv = 0.5
+    (its zero pseudo-distribution is disjoint from the other side on
+    every observed token) — an empty crawl IS maximally drifted.
+
+    Output: ``(n_ref, n_cur, types_ref, types_cur, shared_types,
+    new_types, new_mass, jsd, tv)`` — one row.
+    """
+    return token_drift_score(
+        token_counts(ref_docs, text_col), token_counts(cur_docs, text_col)
+    )
+
+
+def token_drift_score(
+    ref_counts: DataFrame, cur_counts: DataFrame
+) -> DataFrame:
+    """JSD / TV / new-token mass over two :func:`token_counts`-layout
+    frames — the back half of :func:`token_drift`, shared verbatim with
+    the streaming reader (streaming.ops.read_token_drift) so
+    sum-merged epoch counts score IDENTICALLY to the batch operator."""
+    from pyspark.sql import Window
+
+    r = ref_counts.select("token", F.col("cnt").alias("__cr"))
+    c = cur_counts.select("token", F.col("cnt").alias("__cc"))
+    # totals come from GLOBAL windows over the joined frame itself (the
+    # temperature_mixture pattern): every ref/cur token appears in the
+    # full-outer join exactly once, so the window sums equal the
+    # per-side totals — no totals join at all (a crossJoin would compile
+    # to BroadcastNestedLoopJoin even at 1 row, and a constant-key
+    # equi-join constant-folds back into one; the no-nested-loop plan
+    # discipline is pinned repo-wide).  The single-partition window is
+    # VOCABULARY-sized, never corpus-sized — the vocab_coverage
+    # precedent.
+    every = Window.partitionBy()
+    j = (
+        r.join(c, "token", "full_outer")
+        .select(
+            F.coalesce("__cr", F.lit(0)).alias("__cr"),
+            F.coalesce("__cc", F.lit(0)).alias("__cc"),
+        )
+        .select(
+            "__cr",
+            "__cc",
+            F.sum("__cr").over(every).alias("n_ref"),
+            F.sum("__cc").over(every).alias("n_cur"),
+            F.sum(
+                F.when(F.col("__cr") > 0, 1).otherwise(0)
+            ).over(every).alias("types_ref"),
+            F.sum(
+                F.when(F.col("__cc") > 0, 1).otherwise(0)
+            ).over(every).alias("types_cur"),
+        )
+    )
+    p = (
+        "coalesce(cast(__cr as double)"
+        " / nullif(cast(n_ref as double), 0.0), cast(0.0 as double))"
+    )
+    q = (
+        "coalesce(cast(__cc as double)"
+        " / nullif(cast(n_cur as double), 0.0), cast(0.0 as double))"
+    )
+    m = f"(({p} + {q}) / cast(2.0 as double))"
+    jsd_t = (
+        f"cast(0.5 as double) * ("
+        f"(case when {p} > cast(0.0 as double)"
+        f" then {p} * ln({p} / {m}) else cast(0.0 as double) end)"
+        f" + (case when {q} > cast(0.0 as double)"
+        f" then {q} * ln({q} / {m}) else cast(0.0 as double) end))"
+    )
+    tv_t = f"cast(0.5 as double) * abs({q} - {p})"
+    new_t = f"case when __cr = 0 then {q} else cast(0.0 as double) end"
+    agg = j.agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.max("types_ref").alias("types_ref"),
+        F.max("types_cur").alias("types_cur"),
+        F.sum(
+            F.when((F.col("__cr") > 0) & (F.col("__cc") > 0), 1).otherwise(0)
+        ).alias("shared_types"),
+        F.sum(
+            F.when((F.col("__cr") == 0) & (F.col("__cc") > 0), 1).otherwise(0)
+        ).alias("new_types"),
+        F.sum(F.expr(f"cast({new_t} as decimal(28,18))")).alias("__new"),
+        F.sum(F.expr(f"cast({jsd_t} as decimal(28,18))")).alias("__jsd"),
+        F.sum(F.expr(f"cast({tv_t} as decimal(28,18))")).alias("__tv"),
+    )
+
+    def _rnd(col: str) -> str:
+        return (
+            f"cast(floor(cast(cast({col} as double) as decimal(28,10))"
+            f" * 1000000 + 0.5) as double) / 1000000.0"
+        )
+
+    return agg.select(
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.col("types_ref").cast("long").alias("types_ref"),
+        F.col("types_cur").cast("long").alias("types_cur"),
+        F.col("shared_types").cast("long").alias("shared_types"),
+        F.col("new_types").cast("long").alias("new_types"),
+        F.expr(_rnd("__new")).alias("new_mass"),
+        F.expr(_rnd("__jsd")).alias("jsd"),
+        F.expr(_rnd("__tv")).alias("tv"),
+    )
+
+
+def token_drift_sql(
+    ref_table: str, cur_table: str, text_col: str = "text"
+) -> str:
+    """DuckDB oracle reproducing :func:`token_drift` exactly — same
+    tokenization, 0·ln(0) ≡ 0 cases, per-term decimal(28,18) casts,
+    6 dp half-up rounding.  ``ref_table`` / ``cur_table`` may be
+    subqueries."""
+    toks = (
+        f"[t for t in string_split_regex(lower({text_col}), '\\s+')"
+        f" if t != '']"
+    )
+    p = (
+        "coalesce(CAST(cr AS DOUBLE)"
+        " / nullif(CAST(n_ref AS DOUBLE), 0.0), CAST(0.0 AS DOUBLE))"
+    )
+    q = (
+        "coalesce(CAST(cc AS DOUBLE)"
+        " / nullif(CAST(n_cur AS DOUBLE), 0.0), CAST(0.0 AS DOUBLE))"
+    )
+    m = f"(({p} + {q}) / CAST(2.0 AS DOUBLE))"
+    jsd_t = (
+        f"CAST(0.5 AS DOUBLE) * ("
+        f"(CASE WHEN {p} > CAST(0.0 AS DOUBLE)"
+        f" THEN {p} * ln({p} / {m}) ELSE CAST(0.0 AS DOUBLE) END)"
+        f" + (CASE WHEN {q} > CAST(0.0 AS DOUBLE)"
+        f" THEN {q} * ln({q} / {m}) ELSE CAST(0.0 AS DOUBLE) END))"
+    )
+    tv_t = f"CAST(0.5 AS DOUBLE) * abs({q} - {p})"
+    new_t = (
+        f"CASE WHEN cr = 0 THEN {q} ELSE CAST(0.0 AS DOUBLE) END"
+    )
+
+    def _rnd(col: str) -> str:
+        return (
+            f"CAST(floor(CAST(CAST({col} AS DOUBLE) AS DECIMAL(28,10))"
+            f" * 1000000 + 0.5) AS DOUBLE) / 1000000.0"
+        )
+
+    return f"""
+    WITH runi AS (SELECT unnest({toks}) AS token FROM {ref_table}),
+    cuni AS (SELECT unnest({toks}) AS token FROM {cur_table}),
+    rc AS (SELECT token, count(*) AS cnt FROM runi GROUP BY token),
+    cc AS (SELECT token, count(*) AS cnt FROM cuni GROUP BY token),
+    rt AS (SELECT coalesce(sum(cnt), 0) AS n_ref, count(*) AS types_ref
+           FROM rc),
+    ct AS (SELECT coalesce(sum(cnt), 0) AS n_cur, count(*) AS types_cur
+           FROM cc),
+    j AS (
+        SELECT coalesce(rc.cnt, 0) AS cr, coalesce(cc.cnt, 0) AS cc
+        FROM rc FULL OUTER JOIN cc USING (token)
+    ),
+    terms AS (
+        SELECT cr, cc, n_ref, n_cur, types_ref, types_cur,
+               CAST({jsd_t} AS DECIMAL(28,18)) AS jsd_t,
+               CAST({tv_t} AS DECIMAL(28,18)) AS tv_t,
+               CAST({new_t} AS DECIMAL(28,18)) AS new_t
+        FROM j CROSS JOIN rt CROSS JOIN ct
+    )
+    SELECT CAST(max(n_ref) AS BIGINT) AS n_ref,
+           CAST(max(n_cur) AS BIGINT) AS n_cur,
+           CAST(max(types_ref) AS BIGINT) AS types_ref,
+           CAST(max(types_cur) AS BIGINT) AS types_cur,
+           CAST(sum(CASE WHEN cr > 0 AND cc > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS shared_types,
+           CAST(sum(CASE WHEN cr = 0 AND cc > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_types,
+           {_rnd('sum(new_t)')} AS new_mass,
+           {_rnd('sum(jsd_t)')} AS jsd,
+           {_rnd('sum(tv_t)')} AS tv
+    FROM terms
+    """

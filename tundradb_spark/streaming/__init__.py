@@ -73,6 +73,10 @@ continuously-ingesting graph/analytics deployment needs:
   reference snapshot with ``groups × (n_bins + 1)`` longs of state per
   epoch (count sum-merge + the batch operator's shared binning and
   scoring == distribution_drift exactly)
+- :func:`read_token_drift` — live corpus-composition drift (token-level
+  JSD / TV / new-token mass vs a reference snapshot) from the SAME
+  ``stream_token_counts`` table the vocab-coverage reader uses (one
+  state table, two readers; == token_drift exactly)
 - :func:`compact_stream_index` — atomic per-epoch → single-epoch fold
   for any of the streaming index/sketch tables
 """
@@ -97,6 +101,7 @@ from tundradb_spark.streaming.ops import (
     read_vocab_coverage,
     stream_drift_bins,
     read_drift,
+    read_token_drift,
     read_outliers,
     stream_markov_pairs,
     stream_cohort_periods,
@@ -167,4 +172,5 @@ __all__ = [
     "read_vocab_coverage",
     "stream_drift_bins",
     "read_drift",
+    "read_token_drift",
 ]

@@ -2319,3 +2319,32 @@ def read_drift(
     )
     rb = drift_bin_counts(ref, group_col, value_col, bounds, n_bins)
     return drift_score(rb, merged, group_col, min_n=min_n, eps=eps)
+
+
+def read_token_drift(
+    spark,
+    path: str,
+    ref_docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Merge all epochs of a :func:`stream_token_counts` table (the
+    sink ALREADY maintained for the live vocab-coverage curve — one
+    state table serves both readers) and score the stream's token
+    distribution against the ``ref_docs`` snapshot — IDENTICAL to
+    ``token_drift(ref_docs, delivered)`` when the stream has delivered
+    exactly those documents (counts merge by plain sum; tokenization
+    and scoring shared verbatim via ``token_counts`` /
+    ``token_drift_score``).  Live corpus-composition monitoring: a
+    crawl ingest stream scored continuously against the corpus the
+    current tokenizer/LM/DSIR weights were fit on."""
+    from tundradb_spark.pipeline.text import (
+        token_counts,
+        token_drift_score,
+    )
+
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return token_drift_score(token_counts(ref_docs, text_col), merged)
