@@ -1002,3 +1002,39 @@ class TestQLDiff:
 
         assert "SUMMARY" in hint_for("DIFF ")
         assert "DIFF" in COMPLETION_KEYWORDS
+
+
+class TestQLTokenDrift:
+    """r11: TOKENDRIFT statement — the shell surface for
+    pipeline.text.token_drift."""
+
+    def test_parse_and_defaults(self):
+        st = parse_statement("TOKENDRIFT ON crawl2 WITH crawl1 TEXT body;")
+        assert isinstance(st, ast.TokenDrift)
+        assert (st.cur, st.ref, st.text_col) == ("crawl2", "crawl1", "body")
+        st2 = parse_statement("TOKENDRIFT ON crawl2 WITH crawl1;")
+        assert st2.text_col == "text"
+        with pytest.raises(QueryError):
+            parse_statement("TOKENDRIFT ON crawl2;")  # missing WITH
+
+    def test_executes_like_operator(self, db, spark):
+        from tundradb_spark.pipeline.text import token_drift
+
+        schema = "row_id long, text string"
+        ref = spark.createDataFrame(
+            [(0, "a a a b"), (1, "b c")], schema)
+        cur = spark.createDataFrame([(0, "a a c c")], schema)
+        db.register_node_table("td_ref", ref, "row_id",
+                               resume_counter=False)
+        db.register_node_table("td_cur", cur, "row_id",
+                               resume_counter=False)
+        got = rows_set(db.sql("TOKENDRIFT ON td_cur WITH td_ref;"))
+        want = rows_set(token_drift(
+            db.get_table("td_ref"), db.get_table("td_cur")))
+        assert got == want and len(got) == 1
+
+    def test_hint_and_completion(self):
+        from tundradb_spark.ql.shell import COMPLETION_KEYWORDS, hint_for
+
+        assert "WITH" in hint_for("TOKENDRIFT ")
+        assert "TOKENDRIFT" in COMPLETION_KEYWORDS

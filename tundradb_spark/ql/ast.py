@@ -315,6 +315,17 @@ class Drift:
 
 
 @dataclass(frozen=True)
+class TokenDrift:
+    """TOKENDRIFT ON <cur> WITH <ref> [TEXT col] — corpus-composition
+    drift: token-level JSD / TV + new-token mass between two document
+    snapshots (pipeline.text.token_drift)."""
+
+    cur: str
+    ref: str
+    text_col: str = "text"
+
+
+@dataclass(frozen=True)
 class Diff:
     """DIFF ON <new> WITH <old> [ID col] [TEXT col] [ALL] [SUMMARY] —
     snapshot-to-snapshot corpus diff by md5 content digest
@@ -351,5 +362,6 @@ Statement = (
     | Calibration
     | Rrf
     | Drift
+    | TokenDrift
     | Diff
 )

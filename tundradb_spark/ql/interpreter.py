@@ -331,6 +331,15 @@ def execute_ast(db: "Database", stmt: ast.Statement) -> DataFrame | None:
             eps=stmt.eps,
         )
 
+    if isinstance(stmt, ast.TokenDrift):
+        from tundradb_spark.pipeline.text import token_drift
+
+        return token_drift(
+            db.get_table(stmt.ref),
+            db.get_table(stmt.cur),
+            text_col=stmt.text_col,
+        )
+
     if isinstance(stmt, ast.Diff):
         from tundradb_spark.pipeline.dedup import (
             corpus_diff,

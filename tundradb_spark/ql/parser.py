@@ -274,6 +274,8 @@ class Parser:
             stmt = self.rrf_statement()
         elif kw == "DRIFT":
             stmt = self.drift_statement()
+        elif kw == "TOKENDRIFT":
+            stmt = self.tokendrift_statement()
         elif kw == "DIFF":
             stmt = self.diff_statement()
         else:
@@ -1043,6 +1045,19 @@ class Parser:
             min_n=min_n,
             eps=eps,
         )
+
+    def tokendrift_statement(self) -> ast.TokenDrift:
+        """TOKENDRIFT ON cur WITH ref [TEXT col]"""
+        self.expect("TOKENDRIFT")
+        self.expect("ON")
+        cur = self.ident()
+        self.expect("WITH")
+        ref = self.ident()
+        text_col = "text"
+        if self.at_kw("TEXT"):
+            self.next()
+            text_col = self.ident()
+        return ast.TokenDrift(cur=cur, ref=ref, text_col=text_col)
 
     def diff_statement(self) -> ast.Diff:
         """DIFF ON new WITH old [ID col] [TEXT col] [ALL] [SUMMARY]"""

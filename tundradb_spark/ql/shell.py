@@ -76,7 +76,7 @@ COMPLETION_KEYWORDS = [
     # by the HINTS templates instead of polluting the global pool
     "FUNNEL", "RETENTION", "OUTLIERS", "CUSUM", "NGRAMS", "MARKOV",
     "SIMILARITY", "COOCCURRENCE", "WINSORIZE", "BENFORD", "CALIBRATION",
-    "RRF", "DRIFT", "DIFF", "ON",
+    "RRF", "DRIFT", "TOKENDRIFT", "DIFF", "ON",
 ]
 
 
@@ -110,6 +110,7 @@ HINTS = {
     "RRF ": "ON table_a WITH table_b [K k] [TOP n] [QUERY col] [ID col] [SCORE col]",
     "DRIFT ": "ON cur WITH ref [GROUP col] [VALUE col] [LO x] [HI y] [BINS n] [MIN n] [EPS x]",
     "DIFF ": "ON new WITH old [ID col] [TEXT col] [ALL] [SUMMARY]",
+    "TOKENDRIFT ": "ON cur WITH ref [TEXT col]",
 }
 
 
