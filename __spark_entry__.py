@@ -189,7 +189,12 @@ q_token_drift (text.token_drift), measures corpus-COMPOSITION drift —
 token-level JSD / TV + new-token mass between snapshots on the shared
 house tokenization — with its live reader (read_token_drift) reusing
 the stream_token_counts sketch the vocab-coverage reader already
-maintains.
+maintains.  Two join-safety diagnostics complete the r11 additions:
+q_key_skew (relational.key_skew — top-N heaviest keys with exact
+share/cumulative share, the pre-shuffle report) and q_join_fanout
+(relational.join_fanout — EXACT inner-join output cardinality from
+per-key counts, never running the join; est_rows test-pinned equal to
+the real join count).
 
 The per-round narrative above records WHY each rotation happened; the
 AUTHORITATIVE seated/parked lists at HEAD are runtime facts — read them
@@ -4168,3 +4173,48 @@ def _token_drift_oracle() -> str:
 
 PARKED_QUERIES["q_token_drift"] = q_token_drift
 PARKED_ORACLES["q_token_drift"] = _token_drift_oracle()
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: key-distribution skew report (relational.key_skew) over
+    lineitem's supplier key — the pre-shuffle diagnostic: top-10 keys
+    with exact counts, share, and cumulative share; ONE map-side
+    groupBy is the only data-sized work."""
+    from tundradb_spark.operators.relational import key_skew
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return key_skew(li, "l_suppkey", top_n=10)
+
+
+def _key_skew_oracle() -> str:
+    from tundradb_spark.operators.relational import key_skew_sql
+
+    return key_skew_sql("lineitem", "l_suppkey", top_n=10)
+
+
+PARKED_QUERIES["q_key_skew"] = q_key_skew
+PARKED_ORACLES["q_key_skew"] = _key_skew_oracle()
+
+
+def q_join_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: exact pre-join cardinality (relational.join_fanout) for
+    lineitem ⋈ orders on the order key — the 100 TB safety check priced
+    as two count aggregates + a key-universe join instead of the join
+    itself; est_rows IS the inner-join row count (test-pinned equal)."""
+    from tundradb_spark.operators.relational import join_fanout
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return join_fanout(li, od, "l_orderkey", "o_orderkey", top_n=10)
+
+
+def _join_fanout_oracle() -> str:
+    from tundradb_spark.operators.relational import join_fanout_sql
+
+    return join_fanout_sql(
+        "lineitem", "orders", "l_orderkey", "o_orderkey", top_n=10
+    )
+
+
+PARKED_QUERIES["q_join_fanout"] = q_join_fanout
+PARKED_ORACLES["q_join_fanout"] = _join_fanout_oracle()

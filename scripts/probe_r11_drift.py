@@ -64,6 +64,21 @@ def token_drift_at(spark, sf_dir: str):
     return token_drift(docs, cur)
 
 
+def key_skew_at(spark, sf_dir: str):
+    from tundradb_spark.operators.relational import key_skew
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return key_skew(li, "l_suppkey", top_n=10)
+
+
+def join_fanout_at(spark, sf_dir: str):
+    from tundradb_spark.operators.relational import join_fanout
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return join_fanout(li, od, "l_orderkey", "o_orderkey", top_n=10)
+
+
 def main() -> None:
     sf01 = "/root/testdata/sf0.1"
     sf1 = os.path.join(
@@ -78,6 +93,8 @@ def main() -> None:
         ("drift", drift_at),
         ("corpus_diff", diff_at),
         ("token_drift", token_drift_at),
+        ("key_skew", key_skew_at),
+        ("join_fanout", join_fanout_at),
     ]:
         for label, sf in [("sf0.1", sf01), ("sf1", sf1)]:
             df = build(spark, sf)
@@ -93,7 +110,9 @@ def main() -> None:
                 f"[{op} {label}] wall={wall:6.2f}s out={n:>7,}"
                 f" exchanges={n_ex}"
             )
-    for op in ("drift", "corpus_diff", "token_drift"):
+    for op in (
+        "drift", "corpus_diff", "token_drift", "key_skew", "join_fanout"
+    ):
         w0, n0, e0 = results[(op, "sf0.1")]
         w1, n1, e1 = results[(op, "sf1")]
         ratio = w1 / w0

@@ -812,3 +812,35 @@ def test_token_drift_one_count_per_side(spark):
     # exchanges; the single-row totals must be BroadcastNestedLoop-free
     # (crossJoin of 1-row frames broadcasts)
     assert audit.count_exchanges(df) <= 9, plan
+
+
+def test_key_skew_one_aggregate(spark):
+    """r11: the skew report's only data-sized work is ONE
+    map-side-combined groupBy(key); the rank/total windows run on the
+    key-universe frame."""
+    from tundradb_spark.operators.relational import key_skew
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    df = key_skew(li, "l_suppkey", top_n=10)
+    audit.assert_no_nested_loop(df)
+    plan = audit.formatted_plan(df)
+    assert "partial" in plan.lower(), plan  # map-side combine
+    assert audit.count_exchanges(df) <= 3, plan
+
+
+def test_join_fanout_never_runs_the_join(spark):
+    """r11: the cardinality check must cost two count aggregates + a
+    key-universe join — the data-sized tables are each scanned ONCE
+    into their counts and never joined row-to-row."""
+    from tundradb_spark.operators.relational import join_fanout
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    od = spark.read.parquet(f"{SF}/orders.parquet")
+    df = join_fanout(li, od, "l_orderkey", "o_orderkey", top_n=10)
+    audit.assert_no_nested_loop(df)
+    plan = audit.formatted_plan(df)
+    assert "partial" in plan.lower(), plan
+    # the one join in the plan is between the two COUNT frames
+    joins = audit.join_strategies(df)
+    assert sum(joins.values()) / 2 <= 1 or sum(joins.values()) <= 2, joins
+    assert audit.count_exchanges(df) <= 5, plan

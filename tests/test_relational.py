@@ -936,3 +936,91 @@ class TestCusumAlarms:
             cusum_alarms(
                 df, "user", "value", slack=0.0, threshold=1.0, target="median"
             )
+
+
+class TestKeySkew:
+    """r11: key-distribution skew report — the pre-shuffle diagnostic."""
+
+    def test_report_by_hand(self, spark):
+        from tundradb_spark.operators.relational import key_skew
+
+        df = spark.createDataFrame(
+            [("a",)] * 6 + [("b",)] * 3 + [(None,)] * 1,
+            "k string",
+        )
+        got = [tuple(r) for r in key_skew(df, "k", top_n=2).collect()]
+        assert got == [
+            (1, "a", 6, 0.6, 0.6, 3, 10),
+            (2, "b", 3, 0.3, 0.9, 3, 10),
+        ]
+
+    def test_null_sentinel_and_tie_order(self, spark):
+        from tundradb_spark.operators.relational import key_skew
+
+        df = spark.createDataFrame(
+            [(None,)] * 2 + [("z",)] * 2 + [("a",)] * 2, "k string")
+        got = [(r["rank"], r["key"]) for r in key_skew(df, "k").collect()]
+        # ties break key ASC: '<null>' < 'a' < 'z'
+        assert got == [(1, "<null>"), (2, "a"), (3, "z")]
+
+    def test_numeric_keys_stringify(self, spark):
+        from tundradb_spark.operators.relational import key_skew
+
+        df = spark.createDataFrame([(7,), (7,), (8,)], "k long")
+        got = {r["key"]: r["cnt"] for r in key_skew(df, "k").collect()}
+        assert got == {"7": 2, "8": 1}
+
+    def test_validation(self, spark):
+        from tundradb_spark.operators.relational import key_skew
+        from tundradb_spark.errors import QueryError
+
+        df = spark.createDataFrame([("a",)], "k string")
+        with pytest.raises(QueryError):
+            key_skew(df, "k", top_n=0)
+
+
+class TestJoinFanout:
+    """r11: exact pre-join cardinality + hot-key contributions."""
+
+    def _t(self, spark, rows, col="k"):
+        return spark.createDataFrame([(r,) for r in rows], f"{col} string")
+
+    def test_exact_cardinality_by_hand(self, spark):
+        from tundradb_spark.operators.relational import join_fanout
+
+        a = self._t(spark, ["x"] * 3 + ["y"] * 2 + ["only_a"])
+        b = self._t(spark, ["x"] * 4 + ["y"] * 1 + ["only_b"])
+        got = [tuple(r) for r in join_fanout(a, b, "k", top_n=5).collect()]
+        # x: 3*4=12, y: 2*1=2 → est 14; unmatched keys contribute
+        # nothing; shares are floor(x*1e6+0.5)/1e6 of 12/14 and 2/14
+        assert got == [
+            (1, "x", 3, 4, 12, 0.857143, 2, 14),
+            (2, "y", 2, 1, 2, 0.142857, 2, 14),
+        ]
+
+    def test_equals_real_join_count(self, spark):
+        from tundradb_spark.operators.relational import join_fanout
+
+        import random
+        rnd = random.Random(7)
+        a = self._t(spark, [str(rnd.randint(0, 20)) for _ in range(200)])
+        b = self._t(spark, [str(rnd.randint(0, 25)) for _ in range(150)],
+                    col="j")
+        est = join_fanout(a, b, "k", "j", top_n=1).collect()[0]["est_rows"]
+        real = a.join(b, a.k == b.j).count()
+        assert est == real
+
+    def test_nulls_excluded(self, spark):
+        from tundradb_spark.operators.relational import join_fanout
+
+        a = spark.createDataFrame([("x",), (None,)], "k string")
+        b = spark.createDataFrame([("x",), (None,), (None,)], "k string")
+        got = [tuple(r) for r in join_fanout(a, b, "k").collect()]
+        assert len(got) == 1 and got[0][1] == "x" and got[0][7] == 1
+
+    def test_disjoint_sides_empty_report(self, spark):
+        from tundradb_spark.operators.relational import join_fanout
+
+        a = self._t(spark, ["p"])
+        b = self._t(spark, ["q"])
+        assert join_fanout(a, b, "k").count() == 0

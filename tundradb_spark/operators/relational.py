@@ -1330,3 +1330,222 @@ def cusum_alarms_sql(
                 AS DOUBLE) / 1000000.0 AS cusum
     FROM st WHERE s >= {threshold!r}
     """
+
+
+def key_skew(
+    df: DataFrame, key_col: str, top_n: int = 20
+) -> DataFrame:
+    """Key-distribution skew report: the ``top_n`` heaviest values of
+    ``key_col`` with each key's row count, share of all rows, and
+    cumulative share — the pre-flight diagnostic for every shuffle this
+    engine plans (a join or groupBy on a key whose top value holds 30%
+    of the rows straggles on one task at 100 TB; AQE's skew-join split
+    and the dedup/wedge hub caps exist for exactly the shape this
+    report surfaces BEFORE the job runs).
+
+    NULL keys are counted like any other value (rendered as the string
+    ``'<null>'`` — a NULL-heavy key column is the single most common
+    real-world skew) and keys are cast to string so one report schema
+    serves every key type.  Ranks use the total order ``(cnt DESC,
+    key ASC)`` — deterministic on ties; shares round half-up to 6 dp
+    with exact long counts carried alongside.
+
+    Plan / 100 TB shape: ONE map-side-combined ``groupBy(key)`` (the
+    only data-sized shuffle — identical cost to the aggregation being
+    diagnosed, minus its payload), a key-universe-sized window for the
+    rank/cumulative sums, ``top_n`` output rows.  ``n_keys`` /
+    ``total_rows`` ride every row, so the report is self-contained.
+
+    Output: ``(rank, key, cnt, share, cum_share, n_keys, total_rows)``.
+    """
+    if top_n < 1:
+        raise QueryError(f"top_n must be >= 1, got {top_n}")
+    counts = (
+        df.select(
+            F.coalesce(F.col(key_col).cast("string"), F.lit("<null>"))
+            .alias("key")
+        )
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    every = Window.partitionBy()
+    ranked = counts.select(
+        F.row_number().over(w).alias("rank"),
+        "key",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("__cum"),
+        F.count(F.lit(1)).over(every).alias("n_keys"),
+        F.sum("cnt").over(every).alias("total_rows"),
+    ).filter(F.col("rank") <= top_n)
+
+    def _share(expr: str) -> str:
+        return (
+            f"cast(floor(cast({expr} as double)"
+            f" / cast(total_rows as double) * 1000000 + 0.5)"
+            f" as double) / 1000000.0"
+        )
+
+    return ranked.select(
+        F.col("rank").cast("long").alias("rank"),
+        "key",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.expr(_share("cnt")).alias("share"),
+        F.expr(_share("__cum")).alias("cum_share"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("total_rows").cast("long").alias("total_rows"),
+    )
+
+
+def key_skew_sql(
+    table: str, key_col: str, top_n: int = 20
+) -> str:
+    """DuckDB oracle reproducing :func:`key_skew` exactly — same NULL
+    sentinel, total order, and 6 dp half-up share rounding."""
+    return f"""
+    WITH counts AS (
+        SELECT coalesce(CAST({key_col} AS VARCHAR), '<null>') AS key,
+               count(*) AS cnt
+        FROM {table} GROUP BY 1
+    ),
+    ranked AS (
+        SELECT row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank,
+               key, cnt,
+               sum(cnt) OVER (ORDER BY cnt DESC, key ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cum,
+               count(*) OVER () AS n_keys,
+               sum(cnt) OVER () AS total_rows
+        FROM counts
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, key,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST(floor(CAST(cnt AS DOUBLE) / CAST(total_rows AS DOUBLE)
+                      * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS share,
+           CAST(floor(CAST(cum AS DOUBLE) / CAST(total_rows AS DOUBLE)
+                      * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS cum_share,
+           CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(total_rows AS BIGINT) AS total_rows
+    FROM ranked WHERE rank <= {top_n}
+    """
+
+
+def join_fanout(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str | None = None,
+    top_n: int = 10,
+) -> DataFrame:
+    """EXACT inner-join output cardinality, computed WITHOUT running
+    the join: per-key counts on each side, matched on the key, output
+    contribution ``cnt_a · cnt_b`` per key — the 100 TB safety check
+    before an expensive join ("will this 2-row-per-key join actually
+    explode to 10¹² rows on three hot keys?").  This is not an
+    estimate: ``Σ cnt_a·cnt_b over matched keys`` IS the inner-join row
+    count, obtained for the price of two count aggregates and a
+    key-universe-sized join instead of the join itself.
+
+    NULL keys are excluded (inner equi-joins never match NULLs — the
+    contract being priced).  Output rows are the ``top_n`` keys by
+    contribution (ties broken on key ASC, keys cast to string), each
+    carrying its side counts, output rows, share of the total output,
+    and the self-contained totals (``matched_keys``, ``est_rows`` — the
+    exact join cardinality).
+
+    Plan / 100 TB shape: one map-side-combined ``groupBy(key)`` per
+    side (strictly cheaper than the join being priced: same shuffle
+    keys, count-only payload), one key-universe-sized inner join and
+    window pass, ``top_n`` output rows.
+
+    ``key_b`` defaults to ``key_a`` (same-named keys); TPC-H-style
+    schemas name the two sides differently (``l_orderkey`` vs
+    ``o_orderkey``), so both spellings are first-class.
+
+    Output: ``(rank, key, n_a, n_b, out_rows, share, matched_keys,
+    est_rows)``.
+    """
+    if top_n < 1:
+        raise QueryError(f"top_n must be >= 1, got {top_n}")
+    kb = key_a if key_b is None else key_b
+
+    def _counts(df: DataFrame, key: str, side: str) -> DataFrame:
+        return (
+            df.select(F.col(key).cast("string").alias("key"))
+            .filter(F.col("key").isNotNull())
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+        )
+
+    j = _counts(a, key_a, "a").join(_counts(b, kb, "b"), "key").select(
+        "key",
+        "n_a",
+        "n_b",
+        (F.col("n_a") * F.col("n_b")).alias("out_rows"),
+    )
+    w = Window.orderBy(F.col("out_rows").desc(), F.col("key").asc())
+    every = Window.partitionBy()
+    ranked = j.select(
+        F.row_number().over(w).alias("rank"),
+        "key",
+        "n_a",
+        "n_b",
+        "out_rows",
+        F.count(F.lit(1)).over(every).alias("matched_keys"),
+        F.sum("out_rows").over(every).alias("est_rows"),
+    ).filter(F.col("rank") <= top_n)
+    return ranked.select(
+        F.col("rank").cast("long").alias("rank"),
+        "key",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("out_rows").cast("long").alias("out_rows"),
+        F.expr(
+            "cast(floor(cast(out_rows as double)"
+            " / cast(est_rows as double) * 1000000 + 0.5)"
+            " as double) / 1000000.0"
+        ).alias("share"),
+        F.col("matched_keys").cast("long").alias("matched_keys"),
+        F.col("est_rows").cast("long").alias("est_rows"),
+    )
+
+
+def join_fanout_sql(
+    table_a: str,
+    table_b: str,
+    key_a: str,
+    key_b: str | None = None,
+    top_n: int = 10,
+) -> str:
+    """DuckDB oracle reproducing :func:`join_fanout` exactly."""
+    kb = key_a if key_b is None else key_b
+    return f"""
+    WITH ca AS (
+        SELECT CAST({key_a} AS VARCHAR) AS key, count(*) AS n_a
+        FROM {table_a} WHERE {key_a} IS NOT NULL GROUP BY 1
+    ),
+    cb AS (
+        SELECT CAST({kb} AS VARCHAR) AS key, count(*) AS n_b
+        FROM {table_b} WHERE {kb} IS NOT NULL GROUP BY 1
+    ),
+    j AS (
+        SELECT key, n_a, n_b, n_a * n_b AS out_rows
+        FROM ca JOIN cb USING (key)
+    ),
+    ranked AS (
+        SELECT row_number() OVER (ORDER BY out_rows DESC, key ASC) AS rank,
+               key, n_a, n_b, out_rows,
+               count(*) OVER () AS matched_keys,
+               sum(out_rows) OVER () AS est_rows
+        FROM j
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, key,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(out_rows AS BIGINT) AS out_rows,
+           CAST(floor(CAST(out_rows AS DOUBLE) / CAST(est_rows AS DOUBLE)
+                      * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS share,
+           CAST(matched_keys AS BIGINT) AS matched_keys,
+           CAST(est_rows AS BIGINT) AS est_rows
+    FROM ranked WHERE rank <= {top_n}
+    """
