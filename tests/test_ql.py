@@ -1038,3 +1038,58 @@ class TestQLTokenDrift:
 
         assert "WITH" in hint_for("TOKENDRIFT ")
         assert "TOKENDRIFT" in COMPLETION_KEYWORDS
+
+
+class TestQLSkewFanout:
+    """r11: SKEW and FANOUT statements — the shell surface for the
+    join-safety diagnostics (relational.key_skew / join_fanout)."""
+
+    def test_parse_and_defaults(self):
+        st = parse_statement("SKEW ON events KEY user_id TOP 5;")
+        assert isinstance(st, ast.Skew)
+        assert (st.table, st.key_col, st.top_n) == ("events", "user_id", 5)
+        assert parse_statement("SKEW ON events KEY t;").top_n == 20
+        fo = parse_statement(
+            "FANOUT ON lineitem WITH orders KEY l_orderkey "
+            "KEYB o_orderkey TOP 3;")
+        assert isinstance(fo, ast.Fanout)
+        assert (fo.table_a, fo.table_b, fo.key_a, fo.key_b, fo.top_n) == (
+            "lineitem", "orders", "l_orderkey", "o_orderkey", 3)
+        fo2 = parse_statement("FANOUT ON a WITH b KEY k;")
+        assert (fo2.key_b, fo2.top_n) == (None, 10)
+
+    def test_bad_args_rejected(self):
+        with pytest.raises(QueryError):
+            parse_statement("SKEW ON events KEY k TOP 0;")
+        with pytest.raises(QueryError):
+            parse_statement("SKEW ON events;")  # KEY required
+        with pytest.raises(QueryError):
+            parse_statement("FANOUT ON a WITH b;")  # KEY required
+
+    def test_execute_like_operators(self, db, spark):
+        from tundradb_spark.operators.relational import (
+            join_fanout,
+            key_skew,
+        )
+
+        a = spark.createDataFrame(
+            [(0, "x"), (1, "x"), (2, "y")], "row_id long, k string")
+        b = spark.createDataFrame(
+            [(0, "x"), (1, "z")], "row_id long, j string")
+        db.register_node_table("sk_a", a, "row_id", resume_counter=False)
+        db.register_node_table("sk_b", b, "row_id", resume_counter=False)
+        got = rows_set(db.sql("SKEW ON sk_a KEY k TOP 5;"))
+        want = rows_set(key_skew(db.get_table("sk_a"), "k", top_n=5))
+        assert got == want
+        gf = rows_set(db.sql("FANOUT ON sk_a WITH sk_b KEY k KEYB j;"))
+        wf = rows_set(join_fanout(
+            db.get_table("sk_a"), db.get_table("sk_b"), "k", "j"))
+        assert gf == wf and len(gf) == 1
+
+    def test_hints_and_completions(self):
+        from tundradb_spark.ql.shell import COMPLETION_KEYWORDS, hint_for
+
+        assert "KEY" in hint_for("SKEW ")
+        assert "KEYB" in hint_for("FANOUT ")
+        assert "SKEW" in COMPLETION_KEYWORDS
+        assert "FANOUT" in COMPLETION_KEYWORDS

@@ -326,6 +326,28 @@ class TokenDrift:
 
 
 @dataclass(frozen=True)
+class Skew:
+    """SKEW ON <table> KEY <col> [TOP n] — key-distribution skew
+    report (operators.relational.key_skew)."""
+
+    table: str
+    key_col: str
+    top_n: int = 20
+
+
+@dataclass(frozen=True)
+class Fanout:
+    """FANOUT ON <table_a> WITH <table_b> KEY <col> [KEYB col] [TOP n]
+    — exact pre-join cardinality (operators.relational.join_fanout)."""
+
+    table_a: str
+    table_b: str
+    key_a: str
+    key_b: str | None = None
+    top_n: int = 10
+
+
+@dataclass(frozen=True)
 class Diff:
     """DIFF ON <new> WITH <old> [ID col] [TEXT col] [ALL] [SUMMARY] —
     snapshot-to-snapshot corpus diff by md5 content digest
@@ -364,4 +386,6 @@ Statement = (
     | Drift
     | TokenDrift
     | Diff
+    | Skew
+    | Fanout
 )

@@ -361,6 +361,24 @@ def execute_ast(db: "Database", stmt: ast.Statement) -> DataFrame | None:
             include_unchanged=stmt.include_unchanged,
         )
 
+    if isinstance(stmt, ast.Skew):
+        from tundradb_spark.operators.relational import key_skew
+
+        return key_skew(
+            db.get_table(stmt.table), stmt.key_col, top_n=stmt.top_n
+        )
+
+    if isinstance(stmt, ast.Fanout):
+        from tundradb_spark.operators.relational import join_fanout
+
+        return join_fanout(
+            db.get_table(stmt.table_a),
+            db.get_table(stmt.table_b),
+            stmt.key_a,
+            stmt.key_b,
+            top_n=stmt.top_n,
+        )
+
     if isinstance(stmt, ast.Explain):
         # plan introspection (extension): the compiled MATCH's PHYSICAL
         # plan, one output row per line so the shell renders it verbatim

@@ -278,6 +278,10 @@ class Parser:
             stmt = self.tokendrift_statement()
         elif kw == "DIFF":
             stmt = self.diff_statement()
+        elif kw == "SKEW":
+            stmt = self.skew_statement()
+        elif kw == "FANOUT":
+            stmt = self.fanout_statement()
         else:
             raise QueryError(f"TundraQL: unknown statement {kw!r}")
         self.accept(";")
@@ -1090,6 +1094,50 @@ class Parser:
             text_col=text_col,
             include_unchanged=include_unchanged,
             summary=summary,
+        )
+
+    def skew_statement(self) -> ast.Skew:
+        """SKEW ON table KEY col [TOP n]"""
+        self.expect("SKEW")
+        self.expect("ON")
+        table = self.ident()
+        self.expect("KEY")
+        key_col = self.ident()
+        top_n = 20
+        if self.at_kw("TOP"):
+            self.next()
+            top_n = self._int_clause("TOP")
+        if top_n < 1:
+            raise QueryError("TundraQL: SKEW TOP must be >= 1")
+        return ast.Skew(table=table, key_col=key_col, top_n=top_n)
+
+    def fanout_statement(self) -> ast.Fanout:
+        """FANOUT ON table_a WITH table_b KEY col [KEYB col] [TOP n]"""
+        self.expect("FANOUT")
+        self.expect("ON")
+        table_a = self.ident()
+        self.expect("WITH")
+        table_b = self.ident()
+        self.expect("KEY")
+        key_a = self.ident()
+        key_b, top_n = None, 10
+        while True:
+            if self.at_kw("KEYB"):
+                self.next()
+                key_b = self.ident()
+            elif self.at_kw("TOP"):
+                self.next()
+                top_n = self._int_clause("TOP")
+            else:
+                break
+        if top_n < 1:
+            raise QueryError("TundraQL: FANOUT TOP must be >= 1")
+        return ast.Fanout(
+            table_a=table_a,
+            table_b=table_b,
+            key_a=key_a,
+            key_b=key_b,
+            top_n=top_n,
         )
 
     def cusum_statement(self) -> ast.Cusum:

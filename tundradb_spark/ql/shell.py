@@ -76,7 +76,7 @@ COMPLETION_KEYWORDS = [
     # by the HINTS templates instead of polluting the global pool
     "FUNNEL", "RETENTION", "OUTLIERS", "CUSUM", "NGRAMS", "MARKOV",
     "SIMILARITY", "COOCCURRENCE", "WINSORIZE", "BENFORD", "CALIBRATION",
-    "RRF", "DRIFT", "TOKENDRIFT", "DIFF", "ON",
+    "RRF", "DRIFT", "TOKENDRIFT", "DIFF", "SKEW", "FANOUT", "ON",
 ]
 
 
@@ -111,6 +111,8 @@ HINTS = {
     "DRIFT ": "ON cur WITH ref [GROUP col] [VALUE col] [LO x] [HI y] [BINS n] [MIN n] [EPS x]",
     "DIFF ": "ON new WITH old [ID col] [TEXT col] [ALL] [SUMMARY]",
     "TOKENDRIFT ": "ON cur WITH ref [TEXT col]",
+    "SKEW ": "ON table KEY col [TOP n]",
+    "FANOUT ": "ON table_a WITH table_b KEY col [KEYB col] [TOP n]",
 }
 
 
