@@ -841,6 +841,10 @@ def test_join_fanout_never_runs_the_join(spark):
     plan = audit.formatted_plan(df)
     assert "partial" in plan.lower(), plan
     # the one join in the plan is between the two COUNT frames
-    joins = audit.join_strategies(df)
-    assert sum(joins.values()) / 2 <= 1 or sum(joins.values()) <= 2, joins
+    tree = audit.simple_plan(df)  # each node once
+    n_joins = sum(
+        tree.count(s)
+        for s in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+    assert n_joins == 1, tree
     assert audit.count_exchanges(df) <= 5, plan
