@@ -194,7 +194,11 @@ q_key_skew (relational.key_skew — top-N heaviest keys with exact
 share/cumulative share, the pre-shuffle report) and q_join_fanout
 (relational.join_fanout — EXACT inner-join output cardinality from
 per-key counts, never running the join; est_rows test-pinned equal to
-the real join count).
+the real join count).  The time-axis complement closes the family:
+q_trend (analytics.value_trend — per-group closed-form OLS slope/
+intercept/r² from five additive decimal moments, with the
+stream_trend_moments / read_trend streaming twin and a TundraQL TREND
+statement).
 
 The per-round narrative above records WHY each rotation happened; the
 AUTHORITATIVE seated/parked lists at HEAD are runtime facts — read them
@@ -4218,3 +4222,28 @@ def _join_fanout_oracle() -> str:
 
 PARKED_QUERIES["q_join_fanout"] = q_join_fanout
 PARKED_ORACLES["q_join_fanout"] = _join_fanout_oracle()
+
+
+TREND_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00Z — data fact:
+# the driver events tables all start on this day
+
+
+def q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: per-event-type linear trend (analytics.value_trend) —
+    closed-form OLS slope (per day) / intercept / r² of value over
+    time from five additive decimal(38,12) moments; ONE map-side
+    groupBy, per-group constant arithmetic after."""
+    from tundradb_spark.operators.analytics import value_trend
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return value_trend(ev, epoch_us=TREND_EPOCH_US, min_n=100)
+
+
+def _trend_oracle() -> str:
+    from tundradb_spark.operators.analytics import value_trend_sql
+
+    return value_trend_sql("events", epoch_us=TREND_EPOCH_US, min_n=100)
+
+
+PARKED_QUERIES["q_trend"] = q_trend
+PARKED_ORACLES["q_trend"] = _trend_oracle()

@@ -79,6 +79,13 @@ def join_fanout_at(spark, sf_dir: str):
     return join_fanout(li, od, "l_orderkey", "o_orderkey", top_n=10)
 
 
+def trend_at(spark, sf_dir: str):
+    from tundradb_spark.operators.analytics import value_trend
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return value_trend(ev, epoch_us=1_704_067_200_000_000, min_n=100)
+
+
 def main() -> None:
     sf01 = "/root/testdata/sf0.1"
     sf1 = os.path.join(
@@ -95,6 +102,7 @@ def main() -> None:
         ("token_drift", token_drift_at),
         ("key_skew", key_skew_at),
         ("join_fanout", join_fanout_at),
+        ("trend", trend_at),
     ]:
         for label, sf in [("sf0.1", sf01), ("sf1", sf1)]:
             df = build(spark, sf)
@@ -111,7 +119,8 @@ def main() -> None:
                 f" exchanges={n_ex}"
             )
     for op in (
-        "drift", "corpus_diff", "token_drift", "key_skew", "join_fanout"
+        "drift", "corpus_diff", "token_drift", "key_skew",
+        "join_fanout", "trend",
     ):
         w0, n0, e0 = results[(op, "sf0.1")]
         w1, n1, e1 = results[(op, "sf1")]

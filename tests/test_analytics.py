@@ -832,3 +832,83 @@ class TestDistributionDrift:
             distribution_drift(ev, ev, min_n=0)
         with pytest.raises(ValueError):
             distribution_drift(ev, ev, min_n=1, eps=0.0)
+
+
+class TestValueTrend:
+    """r11: per-group OLS trend over time — closed form from five
+    additive moments."""
+
+    SCHEMA = "event_type string, value double, ts long"
+    DAY_NS = 86_400 * 1_000_000_000
+
+    def _ev(self, spark, rows):
+        # ts in NANOS (integer ts columns are raw ns per epoch_micros)
+        return spark.createDataFrame(rows, self.SCHEMA)
+
+    def test_perfect_line_by_hand(self, spark):
+        from tundradb_spark.operators.analytics import value_trend
+
+        # y = 10 + 2·(days): slope 2/day, intercept 10, r² = 1
+        rows = [("A", 10.0 + 2.0 * d, d * self.DAY_NS) for d in range(5)]
+        r = value_trend(self._ev(spark, rows), epoch_us=0,
+                        min_n=1).collect()[0]
+        assert (r["event_type"], r["n"], r["excluded"]) == ("A", 5, 0)
+        assert (r["slope_per_day"], r["intercept"], r["r2"]) == (
+            2.0, 10.0, 1.0)
+
+    def test_constant_value_zero_slope_null_r2(self, spark):
+        from tundradb_spark.operators.analytics import value_trend
+
+        rows = [("A", 7.0, d * self.DAY_NS) for d in range(4)]
+        r = value_trend(self._ev(spark, rows), epoch_us=0,
+                        min_n=1).collect()[0]
+        assert (r["slope_per_day"], r["intercept"], r["r2"]) == (
+            0.0, 7.0, None)
+
+    def test_single_timestamp_degenerate(self, spark):
+        from tundradb_spark.operators.analytics import value_trend
+
+        rows = [("A", 1.0, 0), ("A", 2.0, 0), ("A", 3.0, 0)]
+        r = value_trend(self._ev(spark, rows), epoch_us=0,
+                        min_n=1).collect()[0]
+        # x variance 0: no fit, row still visible
+        assert (r["n"], r["slope_per_day"], r["intercept"], r["r2"]) == (
+            3, None, None, None)
+
+    def test_domain_rows_excluded_not_fitted(self, spark):
+        from tundradb_spark.operators.analytics import value_trend
+
+        good = [("A", 10.0 + 2.0 * d, d * self.DAY_NS) for d in range(5)]
+        rows = good + [
+            ("A", float("nan"), 1 * self.DAY_NS),
+            ("A", 1e300, 2 * self.DAY_NS),
+            ("A", None, 3 * self.DAY_NS),       # drops silently
+            ("A", 5.0, None),                    # NULL ts drops silently
+        ]
+        r = value_trend(self._ev(spark, rows), epoch_us=0,
+                        min_n=1).collect()[0]
+        assert (r["n"], r["excluded"]) == (5, 2)
+        assert (r["slope_per_day"], r["intercept"], r["r2"]) == (
+            2.0, 10.0, 1.0)
+
+    def test_min_n_gate_and_validation(self, spark):
+        from tundradb_spark.operators.analytics import value_trend
+
+        rows = [("A", 1.0, 0), ("A", 2.0, self.DAY_NS)]
+        assert value_trend(self._ev(spark, rows), epoch_us=0,
+                           min_n=3).count() == 0
+        with pytest.raises(ValueError):
+            value_trend(self._ev(spark, rows), epoch_us=0, min_n=0)
+
+    def test_noisy_line_r2_below_one(self, spark):
+        from tundradb_spark.operators.analytics import value_trend
+
+        rows = [
+            ("A", 10.0 + 2.0 * d + (1.0 if d % 2 else -1.0),
+             d * self.DAY_NS)
+            for d in range(10)
+        ]
+        r = value_trend(self._ev(spark, rows), epoch_us=0,
+                        min_n=1).collect()[0]
+        assert 0.0 < r["r2"] < 1.0
+        assert abs(r["slope_per_day"] - 2.0) < 0.2

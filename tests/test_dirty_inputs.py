@@ -368,3 +368,16 @@ class TestCorpusDiffSurvivesDirtyDocs:
         # confusion); identical kilo-char and emoji texts are unchanged
         assert got == {1: "changed", 2: "unchanged", 3: "unchanged",
                        4: "changed"}
+
+    def test_value_trend_survives_glitches(self, spark, dirty_events):
+        from tundradb_spark.operators.analytics import value_trend
+
+        out = value_trend(dirty_events, epoch_us=0, min_n=1).collect()
+        by_g = {r["event_type"]: r for r in out}
+        # kilo-char group: only the -1e308 glitch → n=0, gated out
+        assert "x" * 2000 not in by_g
+        # 'view': 1.0 (ts 1s) and 2.0 (NULL ts drops) → n=1; NaN excluded
+        v = by_g["view"]
+        assert (v["n"], v["excluded"]) == (1, 1)
+        # single in-domain point: no fit, visible row
+        assert v["slope_per_day"] is None and v["r2"] is None

@@ -848,3 +848,17 @@ def test_join_fanout_never_runs_the_join(spark):
     )
     assert n_joins == 1, tree
     assert audit.count_exchanges(df) <= 5, plan
+
+
+def test_value_trend_one_aggregate(spark):
+    """r11: the trend fit's only data-sized work is ONE
+    map-side-combined groupBy(group) emitting 7 additive cells; the
+    closed form is per-group constant arithmetic."""
+    from tundradb_spark.operators.analytics import value_trend
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    df = value_trend(ev, epoch_us=1_704_067_200_000_000, min_n=10)
+    audit.assert_no_nested_loop(df)
+    plan = audit.formatted_plan(df)
+    assert "partial" in plan.lower(), plan
+    assert audit.count_exchanges(df) <= 1, plan

@@ -1093,3 +1093,47 @@ class TestQLSkewFanout:
         assert "KEYB" in hint_for("FANOUT ")
         assert "SKEW" in COMPLETION_KEYWORDS
         assert "FANOUT" in COMPLETION_KEYWORDS
+
+
+class TestQLTrend:
+    """r11: TREND statement — the shell surface for
+    operators.analytics.value_trend."""
+
+    def test_parse_and_defaults(self):
+        st = parse_statement(
+            "TREND ON events EPOCH 1704067200000000 GROUP g VALUE v "
+            "TS t MIN 5;")
+        assert isinstance(st, ast.Trend)
+        assert (st.table, st.epoch_us, st.group_col, st.value_col,
+                st.ts_col, st.min_n) == (
+            "events", 1704067200000000, "g", "v", "t", 5)
+        st2 = parse_statement("TREND ON events EPOCH 0;")
+        assert (st2.group_col, st2.value_col, st2.ts_col, st2.min_n) == (
+            "event_type", "value", "ts", 100)
+
+    def test_epoch_required(self):
+        with pytest.raises(QueryError, match="EPOCH"):
+            parse_statement("TREND ON events;")
+        with pytest.raises(QueryError):
+            parse_statement("TREND ON events EPOCH 0 MIN 0;")
+
+    def test_executes_like_operator(self, db, spark):
+        from tundradb_spark.operators.analytics import value_trend
+
+        day = 86_400 * 1_000_000_000
+        rows = [(i, "A", 10.0 + 2.0 * d, d * day)
+                for i, d in enumerate(range(5))]
+        ev = spark.createDataFrame(
+            rows, "row_id long, event_type string, value double, ts long")
+        db.register_node_table("tr_ev", ev, "row_id",
+                               resume_counter=False)
+        got = rows_set(db.sql("TREND ON tr_ev EPOCH 0 MIN 1;"))
+        want = rows_set(value_trend(
+            db.get_table("tr_ev"), epoch_us=0, min_n=1))
+        assert got == want and len(got) == 1
+
+    def test_hint_and_completion(self):
+        from tundradb_spark.ql.shell import COMPLETION_KEYWORDS, hint_for
+
+        assert "EPOCH" in hint_for("TREND ")
+        assert "TREND" in COMPLETION_KEYWORDS

@@ -2088,3 +2088,54 @@ class TestReadTokenDrift:
         r = want[0]
         # new type 'd' (2 occurrences of 6 delivered tokens)
         assert (r[0], r[1], r[5]) == (6, 6, 1)
+
+
+class TestStreamTrend:
+    """r11: stream_trend_moments — additive per-group OLS moment
+    partials per epoch; sum-merge + the batch operator's shared closed
+    form (trend_score) == value_trend exactly."""
+
+    SCHEMA = "event_type string, value double, ts long"
+    DAY_NS = 86_400 * 1_000_000_000
+
+    def test_stream_merge_equals_batch_operator(self, spark, tmp_path):
+        from tundradb_spark.operators.analytics import value_trend
+        from tundradb_spark.streaming import (
+            read_trend,
+            stream_trend_moments,
+        )
+
+        src = str(tmp_path / "trsrc")
+        sink = str(tmp_path / "trsink")
+        ckpt = str(tmp_path / "trck")
+        os.makedirs(src)
+        # A crosses min_n=6 only ACROSS epochs; each epoch carries a
+        # domain glitch; the fitted line straddles the epoch boundary
+        batch1 = [
+            ("A", 10.0 + 2.0 * d, d * self.DAY_NS) for d in range(3)
+        ] + [("A", float("inf"), 0)]
+        batch2 = [
+            ("A", 10.0 + 2.0 * d, d * self.DAY_NS) for d in range(3, 7)
+        ] + [("A", -1e300, 0)]
+        spark.createDataFrame(batch1, self.SCHEMA).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(self.SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = stream_trend_moments(stream, sink, ckpt, epoch_us=0)
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(batch2, self.SCHEMA).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        allrows = spark.createDataFrame(batch1 + batch2, self.SCHEMA)
+        got = sorted(map(tuple, read_trend(
+            spark, sink, min_n=6).collect()))
+        want = sorted(map(tuple, value_trend(
+            allrows, epoch_us=0, min_n=6).collect()))
+        assert got == want
+        assert len(want) == 1
+        r = want[0]
+        # the merged fit recovers the exact line, glitches counted
+        assert (r[1], r[2], r[3], r[4], r[5]) == (7, 2, 2.0, 10.0, 1.0)

@@ -1737,3 +1737,216 @@ def distribution_drift_sql(
            {_rnd('sum(tv_t)')} AS tv
     FROM terms GROUP BY {group_col}
     """
+
+
+def value_trend(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    epoch_us: int = 0,
+    min_n: int = 100,
+) -> DataFrame:
+    """Per-group linear trend of a metric over time: ordinary-least-
+    squares ``slope`` (reported per DAY — readable at human cadences),
+    ``intercept`` (the fitted value at ``epoch_us``), and ``r2`` — the
+    drift-detection complement on the TIME axis:
+    :func:`distribution_drift` compares two snapshots' shapes, this
+    asks one window "is the metric trending, and how fast?"
+
+    ``epoch_us`` is a DATA FACT the caller fixes (the bounds
+    discipline): x is ``(ts − epoch_us) / 1e6`` seconds, keeping the
+    moment magnitudes bounded (Σx² of raw µs epochs would overflow any
+    fixed-precision sum at corpus row counts) and making the intercept
+    a meaningful "fitted value at epoch".  Closed-form OLS over five
+    additive moments — no iteration::
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)        [per second]
+        intercept = (Σy − slope·Σx) / n
+        r²    = (n·Σxy − Σx·Σy)² / ((n·Σx²−(Σx)²)(n·Σy²−(Σy)²))
+
+    Engine determinism: the moments are exact ``decimal(38,12)`` sums
+    of double per-row terms (the :func:`outlier_moments` convention —
+    partition order can never wobble them) and the closed form is ONE
+    fixed double expression chain per output column.  Degenerate
+    groups fall out of the formula: a single-timestamp group (x
+    variance 0) reports NULL slope/intercept/r²; a constant-value
+    group (y variance 0) reports its exact slope with NULL r².
+
+    Metric domain (house policy): rows with NULL value or NULL ts
+    drop; NaN/±Inf/|v| >= 1e9 values are excluded from the fit and
+    surfaced as ``excluded`` — visible, not silent.  ``min_n`` gates
+    groups with too few in-domain rows (the Benford precedent).
+
+    Plan / 100 TB shape: ONE map-side-combined ``groupBy(group)``
+    emitting 7 additive cells per group — the events table is scanned
+    once and never shuffled; the closed form is per-group constant
+    arithmetic.  The moments are the streaming twin's state
+    (streaming.ops.stream_trend_moments): live trend monitoring with
+    O(groups) state.
+
+    Output: ``(group, n, excluded, slope_per_day, intercept, r2)``
+    rounded half-up to 6 dp.
+    """
+    stats = trend_moments(events, group_col, value_col, ts_col, epoch_us)
+    return trend_score(stats, group_col, min_n)
+
+
+def trend_moments(
+    events: DataFrame,
+    group_col: str,
+    value_col: str,
+    ts_col: str,
+    epoch_us: int,
+) -> DataFrame:
+    """Per-group OLS moment partials ``(n_group, __ndom, __sx, __sy,
+    __sxx, __syy, __sxy)`` — the front half of :func:`value_trend`,
+    shared verbatim with the streaming sink.  Every column is ADDITIVE
+    (exact longs and exact ``decimal(38,12)`` sums of double per-row
+    terms), so partials from disjoint row sets merge by plain ``sum``
+    into exactly the single-pass aggregate."""
+    from tundradb_spark.functions.timecols import epoch_micros
+
+    v = F.col(value_col)
+    ev = (
+        events.select(
+            F.col(group_col).alias(group_col),
+            v.cast("double").alias("__y"),
+            epoch_micros(events, ts_col).alias("__tus"),
+        )
+        .filter(F.col("__y").isNotNull() & F.col("__tus").isNotNull())
+        .select(
+            group_col,
+            "__y",
+            (
+                (F.col("__tus") - F.lit(int(epoch_us)))
+                .cast("double") / F.lit(1000000.0)
+            ).alias("__x"),
+            (F.abs(F.col("__y")) < F.lit(1e9)).alias("__ok"),
+        )
+    )
+    x, y = F.col("__x"), F.col("__y")
+    dec = lambda c: c.cast("decimal(38,12)")  # noqa: E731
+    ok = F.col("__ok")
+    return ev.groupBy(group_col).agg(
+        F.sum(F.when(ok, 1).otherwise(0)).alias("n_group"),
+        F.sum(F.when(~ok, 1).otherwise(0)).alias("__ndom"),
+        F.sum(F.when(ok, dec(x))).alias("__sx"),
+        F.sum(F.when(ok, dec(y))).alias("__sy"),
+        F.sum(F.when(ok, dec(x * x))).alias("__sxx"),
+        F.sum(F.when(ok, dec(y * y))).alias("__syy"),
+        F.sum(F.when(ok, dec(x * y))).alias("__sxy"),
+    )
+
+
+def trend_score(
+    stats: DataFrame, group_col: str, min_n: int
+) -> DataFrame:
+    """Closed-form OLS over a :func:`trend_moments`-layout frame — the
+    back half of :func:`value_trend`, shared verbatim with the
+    streaming reader so sum-merged moments fit IDENTICALLY to the
+    batch operator.  ``min_n`` applies HERE (over merged totals)."""
+    if min_n < 1:
+        raise ValueError(f"min_n must be >= 1, got {min_n}")
+    stats = stats.filter(F.col("n_group") >= min_n)
+    n = "cast(n_group as double)"
+    sx, sy = "cast(__sx as double)", "cast(__sy as double)"
+    sxx, syy = "cast(__sxx as double)", "cast(__syy as double)"
+    sxy = "cast(__sxy as double)"
+    num = f"({n} * {sxy} - {sx} * {sy})"
+    dx = f"({n} * {sxx} - {sx} * {sx})"
+    dy = f"({n} * {syy} - {sy} * {sy})"
+    slope = f"(case when {dx} > 0.0 then {num} / {dx} end)"
+    intercept = (
+        f"(case when {dx} > 0.0"
+        f" then ({sy} - ({num} / {dx}) * {sx}) / {n} end)"
+    )
+    r2 = (
+        f"(case when {dx} > 0.0 and {dy} > 0.0"
+        f" then ({num} * {num}) / ({dx} * {dy}) end)"
+    )
+
+    def _rnd(expr: str) -> str:
+        return (
+            f"cast(floor(cast(({expr}) as decimal(28,10)) * 1000000"
+            f" + 0.5) as double) / 1000000.0"
+        )
+
+    return stats.select(
+        group_col,
+        F.col("n_group").cast("long").alias("n"),
+        F.col("__ndom").cast("long").alias("excluded"),
+        F.expr(_rnd(f"{slope} * 86400.0")).alias("slope_per_day"),
+        F.expr(_rnd(intercept)).alias("intercept"),
+        F.expr(_rnd(r2)).alias("r2"),
+    )
+
+
+def value_trend_sql(
+    table: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_expr: str = "epoch_us(ts)",
+    epoch_us: int = 0,
+    min_n: int = 100,
+) -> str:
+    """DuckDB oracle reproducing :func:`value_trend` exactly — the same
+    per-row double terms cast decimal(38,12) before exact sums, the
+    same fixed closed-form chain and NULL degeneracies."""
+    xe = (
+        f"CAST(({ts_expr}) - {int(epoch_us)} AS DOUBLE)"
+        f" / CAST(1000000.0 AS DOUBLE)"
+    )
+    n = "CAST(n_group AS DOUBLE)"
+    sx, sy = "CAST(sxv AS DOUBLE)", "CAST(syv AS DOUBLE)"
+    sxx, syy = "CAST(sxxv AS DOUBLE)", "CAST(syyv AS DOUBLE)"
+    sxy = "CAST(sxyv AS DOUBLE)"
+    num = f"({n} * {sxy} - {sx} * {sy})"
+    dx = f"({n} * {sxx} - {sx} * {sx})"
+    dy = f"({n} * {syy} - {sy} * {sy})"
+    slope = f"(CASE WHEN {dx} > 0.0 THEN {num} / {dx} END)"
+    intercept = (
+        f"(CASE WHEN {dx} > 0.0"
+        f" THEN ({sy} - ({num} / {dx}) * {sx}) / {n} END)"
+    )
+    r2 = (
+        f"(CASE WHEN {dx} > 0.0 AND {dy} > 0.0"
+        f" THEN ({num} * {num}) / ({dx} * {dy}) END)"
+    )
+
+    def _rnd(expr: str) -> str:
+        return (
+            f"CAST(floor(CAST(({expr}) AS DECIMAL(28,10)) * 1000000"
+            f" + 0.5) AS DOUBLE) / 1000000.0"
+        )
+
+    return f"""
+    WITH raw AS (
+        SELECT {group_col},
+               CAST({value_col} AS DOUBLE) AS y, {xe} AS x
+        FROM {table}
+        WHERE {value_col} IS NOT NULL AND ({ts_expr}) IS NOT NULL
+    ),
+    tagged AS (SELECT *, abs(y) < 1000000000.0 AS ok FROM raw),
+    stats AS (
+        SELECT {group_col},
+               sum(CASE WHEN ok THEN 1 ELSE 0 END) AS n_group,
+               sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS ndom,
+               sum(CASE WHEN ok THEN CAST(x AS DECIMAL(38,12)) END) AS sxv,
+               sum(CASE WHEN ok THEN CAST(y AS DECIMAL(38,12)) END) AS syv,
+               sum(CASE WHEN ok THEN CAST(x * x AS DECIMAL(38,12)) END)
+                   AS sxxv,
+               sum(CASE WHEN ok THEN CAST(y * y AS DECIMAL(38,12)) END)
+                   AS syyv,
+               sum(CASE WHEN ok THEN CAST(x * y AS DECIMAL(38,12)) END)
+                   AS sxyv
+        FROM tagged GROUP BY {group_col}
+        HAVING sum(CASE WHEN ok THEN 1 ELSE 0 END) >= {min_n}
+    )
+    SELECT {group_col}, CAST(n_group AS BIGINT) AS n,
+           CAST(ndom AS BIGINT) AS excluded,
+           {_rnd(f"{slope} * 86400.0")} AS slope_per_day,
+           {_rnd(intercept)} AS intercept,
+           {_rnd(r2)} AS r2
+    FROM stats
+    """

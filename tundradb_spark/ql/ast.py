@@ -326,6 +326,20 @@ class TokenDrift:
 
 
 @dataclass(frozen=True)
+class Trend:
+    """TREND ON <table> EPOCH <µs> [GROUP col] [VALUE col] [TS col]
+    [MIN n] — per-group OLS trend of a metric over time
+    (operators.analytics.value_trend)."""
+
+    table: str
+    epoch_us: int
+    group_col: str = "event_type"
+    value_col: str = "value"
+    ts_col: str = "ts"
+    min_n: int = 100
+
+
+@dataclass(frozen=True)
 class Skew:
     """SKEW ON <table> KEY <col> [TOP n] — key-distribution skew
     report (operators.relational.key_skew)."""
@@ -388,4 +402,5 @@ Statement = (
     | Diff
     | Skew
     | Fanout
+    | Trend
 )

@@ -361,6 +361,18 @@ def execute_ast(db: "Database", stmt: ast.Statement) -> DataFrame | None:
             include_unchanged=stmt.include_unchanged,
         )
 
+    if isinstance(stmt, ast.Trend):
+        from tundradb_spark.operators.analytics import value_trend
+
+        return value_trend(
+            db.get_table(stmt.table),
+            group_col=stmt.group_col,
+            value_col=stmt.value_col,
+            ts_col=stmt.ts_col,
+            epoch_us=stmt.epoch_us,
+            min_n=stmt.min_n,
+        )
+
     if isinstance(stmt, ast.Skew):
         from tundradb_spark.operators.relational import key_skew
 

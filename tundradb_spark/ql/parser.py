@@ -282,6 +282,8 @@ class Parser:
             stmt = self.skew_statement()
         elif kw == "FANOUT":
             stmt = self.fanout_statement()
+        elif kw == "TREND":
+            stmt = self.trend_statement()
         else:
             raise QueryError(f"TundraQL: unknown statement {kw!r}")
         self.accept(";")
@@ -1094,6 +1096,50 @@ class Parser:
             text_col=text_col,
             include_unchanged=include_unchanged,
             summary=summary,
+        )
+
+    def trend_statement(self) -> ast.Trend:
+        """TREND ON table EPOCH us [GROUP col] [VALUE col] [TS col]
+        [MIN n]"""
+        self.expect("TREND")
+        self.expect("ON")
+        table = self.ident()
+        epoch_us = None
+        group_col, value_col, ts_col, min_n = (
+            "event_type", "value", "ts", 100,
+        )
+        while True:
+            if self.at_kw("EPOCH"):
+                self.next()
+                epoch_us = self._int_clause("EPOCH")
+            elif self.at_kw("GROUP"):
+                self.next()
+                group_col = self.ident()
+            elif self.at_kw("VALUE"):
+                self.next()
+                value_col = self.ident()
+            elif self.at_kw("TS"):
+                self.next()
+                ts_col = self.ident()
+            elif self.at_kw("MIN"):
+                self.next()
+                min_n = self._int_clause("MIN")
+            else:
+                break
+        if epoch_us is None:
+            raise QueryError(
+                "TundraQL: TREND requires EPOCH <µs> — the time origin "
+                "is a data fact the caller fixes"
+            )
+        if min_n < 1:
+            raise QueryError("TundraQL: TREND MIN must be >= 1")
+        return ast.Trend(
+            table=table,
+            epoch_us=epoch_us,
+            group_col=group_col,
+            value_col=value_col,
+            ts_col=ts_col,
+            min_n=min_n,
         )
 
     def skew_statement(self) -> ast.Skew:

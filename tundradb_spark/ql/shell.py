@@ -76,7 +76,8 @@ COMPLETION_KEYWORDS = [
     # by the HINTS templates instead of polluting the global pool
     "FUNNEL", "RETENTION", "OUTLIERS", "CUSUM", "NGRAMS", "MARKOV",
     "SIMILARITY", "COOCCURRENCE", "WINSORIZE", "BENFORD", "CALIBRATION",
-    "RRF", "DRIFT", "TOKENDRIFT", "DIFF", "SKEW", "FANOUT", "ON",
+    "RRF", "DRIFT", "TOKENDRIFT", "DIFF", "SKEW", "FANOUT", "TREND",
+    "ON",
 ]
 
 
@@ -113,6 +114,7 @@ HINTS = {
     "TOKENDRIFT ": "ON cur WITH ref [TEXT col]",
     "SKEW ": "ON table KEY col [TOP n]",
     "FANOUT ": "ON table_a WITH table_b KEY col [KEYB col] [TOP n]",
+    "TREND ": "ON table EPOCH micros [GROUP col] [VALUE col] [TS col] [MIN n]",
 }
 
 

@@ -77,6 +77,10 @@ continuously-ingesting graph/analytics deployment needs:
   JSD / TV / new-token mass vs a reference snapshot) from the SAME
   ``stream_token_counts`` table the vocab-coverage reader uses (one
   state table, two readers; == token_drift exactly)
+- :func:`stream_trend_moments` / :func:`read_trend` — live per-group
+  OLS trend (slope/intercept/r² of a metric over time) with O(groups)
+  exact-decimal moment state per epoch (sum-merge + the batch
+  operator's shared closed form == value_trend exactly)
 - :func:`compact_stream_index` — atomic per-epoch → single-epoch fold
   for any of the streaming index/sketch tables
 """
@@ -102,6 +106,8 @@ from tundradb_spark.streaming.ops import (
     stream_drift_bins,
     read_drift,
     read_token_drift,
+    stream_trend_moments,
+    read_trend,
     read_outliers,
     stream_markov_pairs,
     stream_cohort_periods,
@@ -173,4 +179,6 @@ __all__ = [
     "stream_drift_bins",
     "read_drift",
     "read_token_drift",
+    "stream_trend_moments",
+    "read_trend",
 ]

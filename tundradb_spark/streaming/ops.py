@@ -2348,3 +2348,82 @@ def read_token_drift(
         .agg(F.sum("cnt").alias("cnt"))
     )
     return token_drift_score(token_counts(ref_docs, text_col), merged)
+
+
+def stream_trend_moments(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    epoch_us: int,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    query_name: str | None = None,
+) -> "StreamingQuery":
+    """r11: continuously maintain per-group OLS moment partials
+    (``operators.analytics.trend_moments`` layout: 2 longs + 5 exact
+    decimal(38,12) sums) from an event stream — live trend monitoring
+    ("is this metric drifting over time, and how fast?") with
+    O(groups) state per epoch.
+
+    Additivity does the work: per-epoch partials summed across epochs
+    equal the single-pass batch aggregate BIT-EXACTLY, and
+    :func:`read_trend` merges them and fits with the batch operator's
+    own closed form (``trend_score``, shared verbatim):
+    stream-maintained trends == ``value_trend(all_rows)`` (test-pinned,
+    including groups that cross ``min_n`` only across epochs and the
+    excluded-count visibility).  ``epoch_us`` is the same data-fact
+    time origin the batch operator takes — fixed once for the stream's
+    lifetime.  Idempotent under micro-batch replay via dynamic
+    partition overwrite on ``epoch``.
+    """
+    from tundradb_spark.operators.analytics import trend_moments
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        moments = trend_moments(
+            batch, group_col, value_col, ts_col, epoch_us
+        )
+        (
+            moments.withColumn("epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name or "trend-moments")
+        .start()
+    )
+
+
+def read_trend(
+    spark,
+    path: str,
+    group_col: str = "event_type",
+    min_n: int = 100,
+) -> DataFrame:
+    """Merge all epochs of a :func:`stream_trend_moments` table into
+    per-group moments and fit — IDENTICAL to ``value_trend`` over
+    everything the stream has delivered (decimal partial sums merge
+    exactly; the closed form is shared verbatim via
+    ``operators.analytics.trend_score``)."""
+    from tundradb_spark.operators.analytics import trend_score
+
+    merged = (
+        spark.read.parquet(path)
+        .groupBy(group_col)
+        .agg(
+            F.sum("n_group").alias("n_group"),
+            F.sum("__ndom").alias("__ndom"),
+            *[
+                F.sum(c).cast("decimal(38,12)").alias(c)
+                for c in ("__sx", "__sy", "__sxx", "__syy", "__sxy")
+            ],
+        )
+    )
+    return trend_score(merged, group_col, min_n)
