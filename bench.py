@@ -218,9 +218,14 @@ def _load_probe() -> tuple[float, int]:
     except OSError:  # platform without getloadavg
         load1 = -1.0
     me = os.getpid()
+    try:
+        my_sid = os.getsid(0)
+    except OSError:
+        my_sid = -1
     procs = 0
     try:
         ppid: dict[int, int] = {}
+        sid: dict[int, int] = {}
         comm: dict[int, str] = {}
         for pid in os.listdir("/proc"):
             if not pid.isdigit():
@@ -229,12 +234,23 @@ def _load_probe() -> tuple[float, int]:
                 with open(f"/proc/{pid}/stat") as fh:
                     parts = fh.read().rsplit(")", 1)[1].split()
                 ppid[int(pid)] = int(parts[1])  # field 4 = ppid
+                sid[int(pid)] = int(parts[3])   # field 6 = session
                 with open(f"/proc/{pid}/comm") as fh:
                     comm[int(pid)] = fh.read().strip()
             except (OSError, IndexError, ValueError):
                 continue
 
         def _mine(pid: int) -> bool:
+            # descendant walk, PLUS same-session membership (r11
+            # review): a pyspark worker whose subprocess-JVM parent
+            # already exited is reparented to PID 1, so the ppid walk
+            # alone would count the bench's own orphan as FOREIGN load
+            # in the artifact.  Session ids survive reparenting; they
+            # also fold the invoking driver (an ancestor, same
+            # session) out of the count — constant scaffolding, not
+            # variable machine load.
+            if sid.get(pid, -2) == my_sid:
+                return True
             seen = 0
             while pid > 1 and seen < 64:
                 if pid == me:

@@ -912,3 +912,30 @@ class TestValueTrend:
                         min_n=1).collect()[0]
         assert 0.0 < r["r2"] < 1.0
         assert abs(r["slope_per_day"] - 2.0) < 0.2
+
+    def test_large_single_timestamp_is_degenerate_not_noise(self, spark):
+        from tundradb_spark.operators.analytics import value_trend
+
+        # r11 review: 1000 rows sharing ONE timestamp far from the
+        # epoch — the double moment chain's n·Σx² − (Σx)² lands on
+        # rounding noise (measured +256.0 → slope −168.75/day before
+        # the exact extent guard); the fit must be NULL, not noise
+        ts_ns = 1_234_567_891_234_567_000  # ~39 years of seconds
+        rows = [("A", 10.0 + (i % 7), ts_ns) for i in range(1000)]
+        r = value_trend(self._ev(spark, rows), epoch_us=0,
+                        min_n=1).collect()[0]
+        assert (r["n"], r["slope_per_day"], r["intercept"], r["r2"]) == (
+            1000, None, None, None)
+
+    def test_constant_value_awkward_magnitudes_exact_zero(self, spark):
+        from tundradb_spark.operators.analytics import value_trend
+
+        # constant y at an awkward float with large x: slope must be
+        # EXACTLY 0.0 and intercept exactly the constant (extent
+        # override), not the moment chain's ~1e-9 residue
+        rows = [("A", 0.30000000000000004, d * self.DAY_NS + 123_456_789)
+                for d in range(9)]
+        r = value_trend(self._ev(spark, rows), epoch_us=0,
+                        min_n=1).collect()[0]
+        assert (r["slope_per_day"], r["intercept"], r["r2"]) == (
+            0.0, 0.3, None)

@@ -366,8 +366,8 @@ class TestCorpusDiffSurvivesDirtyDocs:
             old, new, include_unchanged=True).collect()}
         # NULL→'' is a CHANGE (null-safe compare, not digest-NULL
         # confusion); identical kilo-char and emoji texts are unchanged
-        assert got == {1: "changed", 2: "unchanged", 3: "unchanged",
-                       4: "changed"}
+        assert got == {"1": "changed", "2": "unchanged",
+                       "3": "unchanged", "4": "changed"}
 
     def test_value_trend_survives_glitches(self, spark, dirty_events):
         from tundradb_spark.operators.analytics import value_trend

@@ -2969,7 +2969,7 @@ class TestCorpusDiff:
         new = self._snap(spark, [(2, "b"), (3, "c2"), (4, "d")])
         got = {r["doc_id"]: r["status"]
                for r in corpus_diff(old, new).collect()}
-        assert got == {1: "removed", 3: "changed", 4: "added"}
+        assert got == {"1": "removed", "3": "changed", "4": "added"}
 
     def test_include_unchanged_and_digests(self, spark):
         import hashlib
@@ -2980,9 +2980,9 @@ class TestCorpusDiff:
         new = self._snap(spark, [(1, "a"), (2, "x")])
         got = {r["doc_id"]: r for r in corpus_diff(
             old, new, include_unchanged=True).collect()}
-        assert got[1]["status"] == "unchanged"
-        assert got[1]["old_digest"] == hashlib.md5(b"a").hexdigest()
-        assert got[2]["new_digest"] == hashlib.md5(b"x").hexdigest()
+        assert got["1"]["status"] == "unchanged"
+        assert got["1"]["old_digest"] == hashlib.md5(b"a").hexdigest()
+        assert got["2"]["new_digest"] == hashlib.md5(b"x").hexdigest()
 
     def test_null_text_is_null_safe(self, spark):
         from tundradb_spark.pipeline.dedup import corpus_diff
@@ -2992,7 +2992,7 @@ class TestCorpusDiff:
         got = {r["doc_id"]: r["status"] for r in corpus_diff(
             old, new, include_unchanged=True).collect()}
         # NULL→NULL is unchanged; NULL→text and text→NULL are changed
-        assert got == {1: "unchanged", 2: "changed", 3: "changed"}
+        assert got == {"1": "unchanged", "2": "changed", "3": "changed"}
 
     def test_summary_counts(self, spark):
         from tundradb_spark.pipeline.dedup import corpus_diff_summary
@@ -3013,3 +3013,20 @@ class TestCorpusDiff:
             == ["removed"]
         assert [r["status"] for r in corpus_diff(empty, old).collect()] \
             == ["added"]
+
+    def test_string_ids_first_class(self, spark):
+        # r11 review: crawls are keyed by URLs/hashes as often as ints —
+        # a numeric id cast would silently NULL every id and misreport
+        # the entire delta as removed+added
+        from tundradb_spark.pipeline.dedup import corpus_diff
+
+        old = spark.createDataFrame(
+            [("http://a/1", "x"), ("http://a/2", "y")],
+            "doc_id string, text string")
+        new = spark.createDataFrame(
+            [("http://a/1", "x"), ("http://a/2", "y2"),
+             ("http://b/9", "z")],
+            "doc_id string, text string")
+        got = {r["doc_id"]: r["status"]
+               for r in corpus_diff(old, new).collect()}
+        assert got == {"http://a/2": "changed", "http://b/9": "added"}

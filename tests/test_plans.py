@@ -747,12 +747,24 @@ def test_recall_gauge_sampled_no_nested_loop_and_coin_pushed(spark):
         docs, num_hashes=12, bands=4, shingle_k=5, sample_fraction=0.5
     )
     audit.assert_no_nested_loop(df)
-    plan = df._jdf.queryExecution().executedPlan().toString()
     # the coin is md5-based so it cannot be a parquet PushedFilter, but
-    # it must sit in the scan stage's Filter, upstream of every Exchange
-    first_exchange = plan.find("Exchange")
-    assert first_exchange != -1
-    assert "md5" in plan, "hash-coin filter vanished from the plan"
+    # in the OPTIMIZED plan it must sit as the Filter DIRECTLY over
+    # every corpus Relation — rows are pruned before any shuffle.  Pin
+    # the adjacency itself (r11 review: a bare "md5 in plan" was
+    # vacuous — the gauge's digest mine and MinHash are md5-based too,
+    # so the string survives even with the coin deleted).
+    opt = df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+    rel_idx = [
+        i for i, l in enumerate(opt)
+        if "Relation" in l and "parquet" in l
+    ]
+    assert rel_idx, "no parquet relations in the optimized plan?"
+    for i in rel_idx:
+        prev = opt[i - 1]
+        assert "Filter" in prev and "md5" in prev and "1000000" in prev, (
+            f"corpus scan at optimized-plan line {i} is not guarded by "
+            f"the hash-coin filter; line above: {prev[:120]}"
+        )
 
 
 def test_distribution_drift_scans_once_per_side(spark):

@@ -280,3 +280,22 @@ class TestTokenDrift:
         # count once each plus a's) → only distribution masses differ
         assert (r["types_ref"], r["types_cur"], r["new_types"]) == (4, 4, 0)
         assert r["new_mass"] == 0.0 and r["tv"] > 0.0
+
+
+def test_rrf_duplicate_null_doc_rows_still_raise(spark):
+    """r11 review: the lazy lag-based guard must treat NULL doc ids as
+    equal (the r10 eager groupBy check did) — two (query, NULL) rows
+    raise; a single NULL row does not false-positive on its NULL lag."""
+    from tundradb_spark.pipeline.text import rrf_fuse
+
+    clean = spark.createDataFrame(
+        [(1, 11, 1.0)], "query_id long, doc_id long, score double")
+    dup_null = spark.createDataFrame(
+        [(1, None, 5.0), (1, None, 4.0)],
+        "query_id long, doc_id long, score double")
+    with pytest.raises(Exception, match="duplicate"):
+        rrf_fuse(dup_null, clean).collect()
+    one_null = spark.createDataFrame(
+        [(1, None, 5.0), (1, 10, 4.0)],
+        "query_id long, doc_id long, score double")
+    assert rrf_fuse(one_null, clean).count() == 3

@@ -1779,7 +1779,8 @@ def value_trend(
     groups with too few in-domain rows (the Benford precedent).
 
     Plan / 100 TB shape: ONE map-side-combined ``groupBy(group)``
-    emitting 7 additive cells per group — the events table is scanned
+    emitting 11 mergeable cells per group (7 additive + 4 extents) — the
+    events table is scanned
     once and never shuffled; the closed form is per-group constant
     arithmetic.  The moments are the streaming twin's state
     (streaming.ops.stream_trend_moments): live trend monitoring with
@@ -1800,11 +1801,19 @@ def trend_moments(
     epoch_us: int,
 ) -> DataFrame:
     """Per-group OLS moment partials ``(n_group, __ndom, __sx, __sy,
-    __sxx, __syy, __sxy)`` — the front half of :func:`value_trend`,
-    shared verbatim with the streaming sink.  Every column is ADDITIVE
-    (exact longs and exact ``decimal(38,12)`` sums of double per-row
-    terms), so partials from disjoint row sets merge by plain ``sum``
-    into exactly the single-pass aggregate."""
+    __sxx, __syy, __sxy, __minx, __maxx, __miny, __maxy)`` — the front
+    half of :func:`value_trend`, shared verbatim with the streaming
+    sink.  The sums are ADDITIVE (exact longs and exact
+    ``decimal(38,12)`` sums of double per-row terms) and the extents
+    MERGEABLE (min of mins / max of maxes), so partials from disjoint
+    row sets merge into exactly the single-pass aggregate.  The extents
+    exist for EXACT degeneracy detection: ``n·Σx² − (Σx)²`` computed in
+    doubles lands on rounding noise of random sign when x has zero (or
+    tiny) variance at large magnitudes — e.g. 1000 rows sharing one
+    timestamp ~1e6 s past the epoch measured dx = +256.0 and a spurious
+    slope of −168.75/day — so variance-zero is decided by
+    ``min = max`` (exact doubles, portable), never by the double
+    moment chain's sign."""
     from tundradb_spark.functions.timecols import epoch_micros
 
     v = F.col(value_col)
@@ -1836,6 +1845,10 @@ def trend_moments(
         F.sum(F.when(ok, dec(x * x))).alias("__sxx"),
         F.sum(F.when(ok, dec(y * y))).alias("__syy"),
         F.sum(F.when(ok, dec(x * y))).alias("__sxy"),
+        F.min(F.when(ok, x)).alias("__minx"),
+        F.max(F.when(ok, x)).alias("__maxx"),
+        F.min(F.when(ok, y)).alias("__miny"),
+        F.max(F.when(ok, y)).alias("__maxy"),
     )
 
 
@@ -1856,15 +1869,30 @@ def trend_score(
     num = f"({n} * {sxy} - {sx} * {sy})"
     dx = f"({n} * {sxx} - {sx} * {sx})"
     dy = f"({n} * {syy} - {sy} * {sy})"
-    slope = f"(case when {dx} > 0.0 then {num} / {dx} end)"
+    # degeneracy is decided EXACTLY by the extents (min = max), never by
+    # the double moment chain, whose n·Σx² − (Σx)² lands on rounding
+    # noise of random sign at zero variance and large |x| (see
+    # trend_moments); the dx/dy > 0 terms remain as belt-and-braces
+    # against near-degenerate noise making the quotient explode
+    vx = f"(__minx <> __maxx and {dx} > 0.0)"
+    vy = f"(__miny <> __maxy and {dy} > 0.0)"
+    slope = f"(case when {vx} then {num} / {dx} end)"
     intercept = (
-        f"(case when {dx} > 0.0"
+        f"(case when {vx}"
         f" then ({sy} - ({num} / {dx}) * {sx}) / {n} end)"
     )
-    r2 = (
-        f"(case when {dx} > 0.0 and {dy} > 0.0"
-        f" then ({num} * {num}) / ({dx} * {dy}) end)"
+    # a zero-x-variance group has no fit at all; a zero-y-variance one
+    # keeps its (exactly zero) slope but r² is undefined
+    zero = "cast(0.0 as double)"
+    slope = (
+        f"(case when __minx <> __maxx and __miny = __maxy and {dx} > 0.0"
+        f" then {zero} else {slope} end)"
     )
+    intercept = (
+        f"(case when __minx <> __maxx and __miny = __maxy and {dx} > 0.0"
+        f" then cast(__miny as double) else {intercept} end)"
+    )
+    r2 = f"(case when {vx} and {vy} then ({num} * {num}) / ({dx} * {dy}) end)"
 
     def _rnd(expr: str) -> str:
         return (
@@ -1904,13 +1932,25 @@ def value_trend_sql(
     num = f"({n} * {sxy} - {sx} * {sy})"
     dx = f"({n} * {sxx} - {sx} * {sx})"
     dy = f"({n} * {syy} - {sy} * {sy})"
-    slope = f"(CASE WHEN {dx} > 0.0 THEN {num} / {dx} END)"
-    intercept = (
-        f"(CASE WHEN {dx} > 0.0"
+    # same exact extent-based degeneracy logic as trend_score
+    vx = f"(minx <> maxx AND {dx} > 0.0)"
+    vy = f"(miny <> maxy AND {dy} > 0.0)"
+    slope_fit = f"(CASE WHEN {vx} THEN {num} / {dx} END)"
+    icpt_fit = (
+        f"(CASE WHEN {vx}"
         f" THEN ({sy} - ({num} / {dx}) * {sx}) / {n} END)"
     )
+    ycst = f"(minx <> maxx AND miny = maxy AND {dx} > 0.0)"
+    slope = (
+        f"(CASE WHEN {ycst} THEN CAST(0.0 AS DOUBLE)"
+        f" ELSE {slope_fit} END)"
+    )
+    intercept = (
+        f"(CASE WHEN {ycst} THEN CAST(miny AS DOUBLE)"
+        f" ELSE {icpt_fit} END)"
+    )
     r2 = (
-        f"(CASE WHEN {dx} > 0.0 AND {dy} > 0.0"
+        f"(CASE WHEN {vx} AND {vy}"
         f" THEN ({num} * {num}) / ({dx} * {dy}) END)"
     )
 
@@ -1939,7 +1979,11 @@ def value_trend_sql(
                sum(CASE WHEN ok THEN CAST(y * y AS DECIMAL(38,12)) END)
                    AS syyv,
                sum(CASE WHEN ok THEN CAST(x * y AS DECIMAL(38,12)) END)
-                   AS sxyv
+                   AS sxyv,
+               min(CASE WHEN ok THEN x END) AS minx,
+               max(CASE WHEN ok THEN x END) AS maxx,
+               min(CASE WHEN ok THEN y END) AS miny,
+               max(CASE WHEN ok THEN y END) AS maxy
         FROM tagged GROUP BY {group_col}
         HAVING sum(CASE WHEN ok THEN 1 ELSE 0 END) >= {min_n}
     )

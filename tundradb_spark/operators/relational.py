@@ -1478,11 +1478,18 @@ def join_fanout(
             .agg(F.count(F.lit(1)).alias(f"n_{side}"))
         )
 
+    # the product is computed in DECIMAL, never bigint: a bigint
+    # n_a·n_b overflows (silently, non-ANSI) at ~9.2e18 — exactly the
+    # catastrophic-fanout regime this check exists to flag.
+    # decimal(19,0)·decimal(19,0) → decimal(38,0): exact to 1e38.
     j = _counts(a, key_a, "a").join(_counts(b, kb, "b"), "key").select(
         "key",
         "n_a",
         "n_b",
-        (F.col("n_a") * F.col("n_b")).alias("out_rows"),
+        (
+            F.col("n_a").cast("decimal(19,0)")
+            * F.col("n_b").cast("decimal(19,0)")
+        ).alias("out_rows"),
     )
     w = Window.orderBy(F.col("out_rows").desc(), F.col("key").asc())
     every = Window.partitionBy()
@@ -1500,14 +1507,14 @@ def join_fanout(
         "key",
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
-        F.col("out_rows").cast("long").alias("out_rows"),
+        F.col("out_rows").cast("decimal(38,0)").alias("out_rows"),
         F.expr(
             "cast(floor(cast(out_rows as double)"
             " / cast(est_rows as double) * 1000000 + 0.5)"
             " as double) / 1000000.0"
         ).alias("share"),
         F.col("matched_keys").cast("long").alias("matched_keys"),
-        F.col("est_rows").cast("long").alias("est_rows"),
+        F.col("est_rows").cast("decimal(38,0)").alias("est_rows"),
     )
 
 
@@ -1530,7 +1537,9 @@ def join_fanout_sql(
         FROM {table_b} WHERE {kb} IS NOT NULL GROUP BY 1
     ),
     j AS (
-        SELECT key, n_a, n_b, n_a * n_b AS out_rows
+        SELECT key, n_a, n_b,
+               CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+                    AS DECIMAL(38,0)) AS out_rows
         FROM ca JOIN cb USING (key)
     ),
     ranked AS (
@@ -1542,10 +1551,10 @@ def join_fanout_sql(
     )
     SELECT CAST(rank AS BIGINT) AS rank, key,
            CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-           CAST(out_rows AS BIGINT) AS out_rows,
+           CAST(out_rows AS DECIMAL(38,0)) AS out_rows,
            CAST(floor(CAST(out_rows AS DOUBLE) / CAST(est_rows AS DOUBLE)
                       * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS share,
            CAST(matched_keys AS BIGINT) AS matched_keys,
-           CAST(est_rows AS BIGINT) AS est_rows
+           CAST(est_rows AS DECIMAL(38,0)) AS est_rows
     FROM ranked WHERE rank <= {top_n}
     """

@@ -1624,13 +1624,17 @@ def corpus_diff(
     Output: ``(id, status, old_digest, new_digest)`` with ``status IN
     ('added', 'removed', 'changed'[, 'unchanged'])``.
     """
+    # ids are cast to STRING, not a numeric type: corpus snapshots are
+    # keyed by URLs/content hashes as often as by integers, and a
+    # numeric cast would silently NULL every such id (NULL ids never
+    # match in the join → a 100%-wrong all-removed/all-added delta)
     o = old.select(
-        F.col(id_col).cast("long").alias(id_col),
+        F.col(id_col).cast("string").alias(id_col),
         F.md5(F.col(text_col).cast("string")).alias("old_digest"),
         F.lit(True).alias("__in_old"),
     )
     n = new.select(
-        F.col(id_col).cast("long").alias(id_col),
+        F.col(id_col).cast("string").alias(id_col),
         F.md5(F.col(text_col).cast("string")).alias("new_digest"),
         F.lit(True).alias("__in_new"),
     )
@@ -1683,13 +1687,13 @@ def corpus_diff_sql(
     ``old_table`` / ``new_table`` may be subqueries."""
     base = f"""
     WITH o AS (
-        SELECT CAST({id_col} AS BIGINT) AS {id_col},
+        SELECT CAST({id_col} AS VARCHAR) AS {id_col},
                md5(CAST({text_col} AS VARCHAR)) AS old_digest,
                TRUE AS in_old
         FROM {old_table}
     ),
     n AS (
-        SELECT CAST({id_col} AS BIGINT) AS {id_col},
+        SELECT CAST({id_col} AS VARCHAR) AS {id_col},
                md5(CAST({text_col} AS VARCHAR)) AS new_digest,
                TRUE AS in_new
         FROM {new_table}

@@ -3803,7 +3803,7 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the first-class operator :func:`~tundradb_spark.pipeline.dedup.
     recall_gauge` (same plan; this query runs it in FULL mode — the
     deterministic ``sample_fraction`` mode is the corpus-scale path,
-    unit-pinned in tests/test_dedup_gauge.py)."""
+    unit-pinned in tests/test_pipeline.py::test_recall_gauge_sampled_mode_equals_full_on_subset)."""
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )

@@ -1338,23 +1338,33 @@ def rrf_fuse(
         w = Window.partitionBy(query_id_col).orderBy(
             F.col(score_col).desc(), F.col(id_col).asc()
         )
+        # coalesce both key renderings: concat() of a NULL id would
+        # null the WHOLE message and the raise would read
+        # "[USER_RAISED_EXCEPTION] null" with no diagnostic
         guard_msg = F.concat(
             F.lit(
                 f"rrf_fuse: ranker has duplicate ({query_id_col}, "
                 f"{id_col}) rows, e.g. ("
             ),
-            F.col(query_id_col).cast("string"),
+            F.coalesce(F.col(query_id_col).cast("string"), F.lit("<null>")),
             F.lit(", "),
-            F.col(id_col).cast("string"),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("<null>")),
             F.lit(") — rankings must be unique per (query, doc)"),
         )
+        # the adjacency test is NULL-SAFE (<=>) so duplicate
+        # (query, NULL-doc) rows still raise — plain equality would
+        # evaluate NULL and let them fuse silently, the exact outcome
+        # the precondition exists to prevent (the r10 eager groupBy
+        # check treated NULLs as equal; the lazy guard must too).  The
+        # rn > 1 conjunct keeps a group's FIRST row — whose lag is the
+        # no-previous-row NULL — from false-matching a NULL id.
+        dup = (
+            F.row_number().over(w_dup) > F.lit(1)
+        ) & F.lag(F.col(id_col)).over(w_dup).eqNullSafe(F.col(id_col))
         return df.select(
             F.col(query_id_col).cast("long").alias(query_id_col),
             F.col(id_col).cast("long").alias(id_col),
-            F.when(
-                F.lag(F.col(id_col)).over(w_dup) == F.col(id_col),
-                F.raise_error(guard_msg),
-            )
+            F.when(dup, F.raise_error(guard_msg))
             .otherwise(F.row_number().over(w))
             .alias(out),
         )

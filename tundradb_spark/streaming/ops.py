@@ -2424,6 +2424,10 @@ def read_trend(
                 F.sum(c).cast("decimal(38,12)").alias(c)
                 for c in ("__sx", "__sy", "__sxx", "__syy", "__sxy")
             ],
+            F.min("__minx").alias("__minx"),
+            F.max("__maxx").alias("__maxx"),
+            F.min("__miny").alias("__miny"),
+            F.max("__maxy").alias("__maxy"),
         )
     )
     return trend_score(merged, group_col, min_n)
