@@ -198,7 +198,9 @@ the real join count).  The time-axis complement closes the family:
 q_trend (analytics.value_trend — per-group closed-form OLS slope/
 intercept/r² from five additive decimal moments, with the
 stream_trend_moments / read_trend streaming twin and a TundraQL TREND
-statement).
+statement).  q_row_diff generalizes the snapshot diff to any keyed
+table over an explicit column list (per-column NULL sentinels, string
+ids) — the CDC primitive for a pipeline's metadata tables.
 
 The per-round narrative above records WHY each rotation happened; the
 AUTHORITATIVE seated/parked lists at HEAD are runtime facts — read them
@@ -4247,3 +4249,42 @@ def _trend_oracle() -> str:
 
 PARKED_QUERIES["q_trend"] = q_trend
 PARKED_ORACLES["q_trend"] = _trend_oracle()
+
+
+def q_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11: schema-agnostic snapshot diff (dedup.row_diff — the
+    corpus_diff machinery generalized to an explicit column list with
+    per-column NULL sentinels) over two deterministic versions of the
+    orders table: old drops %11, new drops %13 and flips %7 order
+    statuses.  Change columns are strings (status, priority), so the
+    cross-engine digest has zero numeric-rendering exposure."""
+    from tundradb_spark.pipeline.dedup import row_diff
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    old = od.filter("o_orderkey % 11 != 0")
+    new = od.filter("o_orderkey % 13 != 0").selectExpr(
+        "o_orderkey",
+        "case when o_orderkey % 7 = 0 then 'X' else o_orderstatus end"
+        " as o_orderstatus",
+        "o_orderpriority",
+    )
+    return row_diff(
+        old, new, "o_orderkey", ["o_orderstatus", "o_orderpriority"]
+    )
+
+
+def _row_diff_oracle() -> str:
+    from tundradb_spark.pipeline.dedup import row_diff_sql
+
+    return row_diff_sql(
+        "(SELECT * FROM orders WHERE o_orderkey % 11 != 0)",
+        "(SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 THEN 'X'"
+        " ELSE o_orderstatus END AS o_orderstatus, o_orderpriority"
+        " FROM orders WHERE o_orderkey % 13 != 0)",
+        "o_orderkey",
+        ["o_orderstatus", "o_orderpriority"],
+    )
+
+
+PARKED_QUERIES["q_row_diff"] = q_row_diff
+PARKED_ORACLES["q_row_diff"] = _row_diff_oracle()

@@ -3030,3 +3030,50 @@ class TestCorpusDiff:
         got = {r["doc_id"]: r["status"]
                for r in corpus_diff(old, new).collect()}
         assert got == {"http://a/2": "changed", "http://b/9": "added"}
+
+
+class TestRowDiff:
+    """r11: schema-agnostic snapshot diff over an explicit column list."""
+
+    SCHEMA = "k long, a string, b long"
+
+    def _t(self, spark, rows):
+        return spark.createDataFrame(rows, self.SCHEMA)
+
+    def test_statuses_and_column_scope(self, spark):
+        from tundradb_spark.pipeline.dedup import row_diff
+
+        old = self._t(spark, [(1, "x", 10), (2, "y", 20), (3, "z", 30)])
+        new = self._t(spark, [(2, "y", 20), (3, "z", 99), (4, "w", 40)])
+        got = {r["k"]: r["status"]
+               for r in row_diff(old, new, "k", ["a", "b"]).collect()}
+        assert got == {"1": "removed", "3": "changed", "4": "added"}
+        # change OUTSIDE the column list is invisible: diff on 'a' only
+        got_a = {r["k"]: r["status"]
+                 for r in row_diff(old, new, "k", ["a"]).collect()}
+        assert got_a == {"1": "removed", "4": "added"}
+
+    def test_null_sentinel_disambiguates_positions(self, spark):
+        from tundradb_spark.pipeline.dedup import row_diff
+
+        # ('a', NULL) vs (NULL, 'a')-style shifts must NOT collide
+        old = spark.createDataFrame(
+            [(1, "a", None)], "k long, a string, b string")
+        new = spark.createDataFrame(
+            [(1, None, "a")], "k long, a string, b string")
+        got = [r["status"] for r in row_diff(
+            old, new, "k", ["a", "b"]).collect()]
+        assert got == ["changed"]
+        # NULL == NULL is unchanged (null-safe, not digest-NULL)
+        same = spark.createDataFrame(
+            [(1, None, "q")], "k long, a string, b string")
+        assert row_diff(same, same, "k", ["a", "b"]).count() == 0
+
+    def test_validation_and_unchanged(self, spark):
+        from tundradb_spark.pipeline.dedup import row_diff
+
+        t = self._t(spark, [(1, "x", 10)])
+        with pytest.raises(ValueError):
+            row_diff(t, t, "k", [])
+        full = row_diff(t, t, "k", ["a"], include_unchanged=True)
+        assert [r["status"] for r in full.collect()] == ["unchanged"]

@@ -37,6 +37,7 @@ from tundradb_spark.pipeline.dedup import (
     apply_dedup,
     corpus_diff,
     corpus_diff_summary,
+    row_diff,
     incremental_dup_pairs,
     strip_duplicate_segments,
     embedding_dup_pairs,
@@ -124,6 +125,7 @@ from tundradb_spark.pipeline.text import (
 __all__ = [
     "corpus_diff",
     "corpus_diff_summary",
+    "row_diff",
     "exact_dedup",
     "hll_distinct",
     "hll_registers",

@@ -1716,3 +1716,123 @@ def corpus_diff_sql(
         )
     where = "" if include_unchanged else " WHERE status != 'unchanged'"
     return base + f"\n    SELECT * FROM d{where}"
+
+
+def row_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    cols: list[str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Schema-agnostic snapshot diff (:func:`corpus_diff` generalized
+    beyond a text column): which rows were ``added``, ``removed``, or
+    ``changed`` between two versions of ANY keyed table, with change
+    detected over an explicit column list — the CDC primitive for the
+    metadata tables a training pipeline tracks alongside its corpora
+    (source catalogs, license registers, mixture configs).
+
+    Row identity is ``md5`` over the listed columns rendered as
+    strings and joined with an ASCII unit separator, each NULL rendered
+    as a fixed sentinel BEFORE the join (``concat_ws`` alone would
+    silently collapse ``('a', NULL, 'b')`` and ``('a', 'b', NULL)``
+    into one digest) — byte-identical in Spark and DuckDB, so the
+    oracle twin (:func:`row_diff_sql`) reproduces every digest.  The
+    sentinel embeds its own separator, so a literal string equal to the
+    sentinel still differs from an actual NULL.  Ids are compared as
+    strings (the :func:`corpus_diff` r11 lesson: numeric casts silently
+    NULL non-numeric keys).
+
+    Same presence-flag / null-safe machinery, plan shape (digests in
+    the scan projection, ONE id hash join, delta-proportional output),
+    and output layout as :func:`corpus_diff`: ``(id, status,
+    old_digest, new_digest)``.
+    """
+    if not cols:
+        raise ValueError("row_diff needs a non-empty column list")
+    sep = "\x1f"
+
+    def _digest(df: DataFrame):
+        parts = []
+        for i, c in enumerate(cols):
+            if i:
+                parts.append(F.lit(sep))
+            parts.append(
+                F.coalesce(
+                    F.col(c).cast("string"), F.lit(f"{sep}<null>{sep}")
+                )
+            )
+        return F.md5(F.concat(*parts))
+
+    o = old.select(
+        F.col(id_col).cast("string").alias(id_col),
+        _digest(old).alias("old_digest"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(id_col).cast("string").alias(id_col),
+        _digest(new).alias("new_digest"),
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_digest").eqNullSafe(F.col("new_digest")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    out = j.select(id_col, status.alias("status"), "old_digest", "new_digest")
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out
+
+
+def row_diff_sql(
+    old_table: str,
+    new_table: str,
+    id_col: str,
+    cols: list[str],
+    include_unchanged: bool = False,
+) -> str:
+    """DuckDB oracle reproducing :func:`row_diff` exactly — same
+    per-column NULL sentinels, separator, digest, and statuses."""
+    if not cols:
+        raise ValueError("row_diff needs a non-empty column list")
+
+    def _digest() -> str:
+        parts = []
+        for i, c in enumerate(cols):
+            if i:
+                parts.append("chr(31)")
+            parts.append(
+                f"coalesce(CAST({c} AS VARCHAR),"
+                f" chr(31) || '<null>' || chr(31))"
+            )
+        return f"md5(concat({', '.join(parts)}))"
+
+    base = f"""
+    WITH o AS (
+        SELECT CAST({id_col} AS VARCHAR) AS {id_col},
+               {_digest()} AS old_digest, TRUE AS in_old
+        FROM {old_table}
+    ),
+    n AS (
+        SELECT CAST({id_col} AS VARCHAR) AS {id_col},
+               {_digest()} AS new_digest, TRUE AS in_new
+        FROM {new_table}
+    ),
+    d AS (
+        SELECT {id_col},
+               CASE WHEN in_old IS NULL THEN 'added'
+                    WHEN in_new IS NULL THEN 'removed'
+                    WHEN old_digest IS NOT DISTINCT FROM new_digest
+                        THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               old_digest, new_digest
+        FROM o FULL OUTER JOIN n USING ({id_col})
+    )"""
+    where = "" if include_unchanged else " WHERE status != 'unchanged'"
+    return base + f"\n    SELECT * FROM d{where}"
