@@ -1137,3 +1137,40 @@ class TestQLTrend:
 
         assert "EPOCH" in hint_for("TREND ")
         assert "TREND" in COMPLETION_KEYWORDS
+
+
+class TestQLDiffCols:
+    """r11: DIFF … COLS — the shell surface for pipeline.dedup.row_diff
+    (the schema-agnostic form of the DIFF statement)."""
+
+    def test_parse(self):
+        st = parse_statement(
+            "DIFF ON crawl2 WITH crawl1 ID k COLS a, b, c;")
+        assert isinstance(st, ast.Diff)
+        assert (st.id_col, st.cols) == ("k", ("a", "b", "c"))
+        assert parse_statement("DIFF ON n WITH o;").cols is None
+        with pytest.raises(QueryError, match="SUMMARY"):
+            parse_statement("DIFF ON n WITH o COLS a SUMMARY;")
+
+    def test_executes_like_operator(self, db, spark):
+        from tundradb_spark.pipeline.dedup import row_diff
+
+        schema = "row_id long, k long, a string, b long"
+        old = spark.createDataFrame(
+            [(0, 1, "x", 10), (1, 2, "y", 20)], schema)
+        new = spark.createDataFrame(
+            [(0, 1, "x", 99), (1, 3, "z", 30)], schema)
+        db.register_node_table("rd_old", old, "row_id",
+                               resume_counter=False)
+        db.register_node_table("rd_new", new, "row_id",
+                               resume_counter=False)
+        got = rows_set(db.sql("DIFF ON rd_new WITH rd_old ID k COLS a, b;"))
+        want = rows_set(row_diff(
+            db.get_table("rd_old"), db.get_table("rd_new"),
+            "k", ["a", "b"]))
+        assert got == want and len(got) == 3
+
+    def test_hint(self):
+        from tundradb_spark.ql.shell import hint_for
+
+        assert "COLS" in hint_for("DIFF ")

@@ -363,14 +363,17 @@ class Fanout:
 
 @dataclass(frozen=True)
 class Diff:
-    """DIFF ON <new> WITH <old> [ID col] [TEXT col] [ALL] [SUMMARY] —
-    snapshot-to-snapshot corpus diff by md5 content digest
-    (pipeline.dedup.corpus_diff / corpus_diff_summary)."""
+    """DIFF ON <new> WITH <old> [ID col] [TEXT col | COLS c1, c2, …]
+    [ALL] [SUMMARY] — snapshot-to-snapshot diff by md5 content digest:
+    the text-corpus form (pipeline.dedup.corpus_diff /
+    corpus_diff_summary) or, with COLS, the schema-agnostic row form
+    (pipeline.dedup.row_diff)."""
 
     new: str
     old: str
     id_col: str = "doc_id"
     text_col: str = "text"
+    cols: tuple[str, ...] | None = None
     include_unchanged: bool = False
     summary: bool = False
 

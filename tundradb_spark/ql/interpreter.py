@@ -344,8 +344,17 @@ def execute_ast(db: "Database", stmt: ast.Statement) -> DataFrame | None:
         from tundradb_spark.pipeline.dedup import (
             corpus_diff,
             corpus_diff_summary,
+            row_diff,
         )
 
+        if stmt.cols is not None:
+            return row_diff(
+                db.get_table(stmt.old),
+                db.get_table(stmt.new),
+                stmt.id_col,
+                list(stmt.cols),
+                include_unchanged=stmt.include_unchanged,
+            )
         if stmt.summary:
             return corpus_diff_summary(
                 db.get_table(stmt.old),

@@ -1066,13 +1066,15 @@ class Parser:
         return ast.TokenDrift(cur=cur, ref=ref, text_col=text_col)
 
     def diff_statement(self) -> ast.Diff:
-        """DIFF ON new WITH old [ID col] [TEXT col] [ALL] [SUMMARY]"""
+        """DIFF ON new WITH old [ID col] [TEXT col | COLS c1, c2, …]
+        [ALL] [SUMMARY]"""
         self.expect("DIFF")
         self.expect("ON")
         new = self.ident()
         self.expect("WITH")
         old = self.ident()
         id_col, text_col = "doc_id", "text"
+        cols: list[str] | None = None
         include_unchanged = summary = False
         while True:
             if self.at_kw("ID"):
@@ -1081,6 +1083,12 @@ class Parser:
             elif self.at_kw("TEXT"):
                 self.next()
                 text_col = self.ident()
+            elif self.at_kw("COLS"):
+                self.next()
+                cols = [self.ident()]
+                while self.peek().text == ",":
+                    self.next()
+                    cols.append(self.ident())
             elif self.at_kw("ALL"):
                 self.next()
                 include_unchanged = True
@@ -1089,11 +1097,17 @@ class Parser:
                 summary = True
             else:
                 break
+        if cols is not None and summary:
+            raise QueryError(
+                "TundraQL: DIFF SUMMARY applies to the text-corpus form "
+                "only (COLS diffs have no summary operator)"
+            )
         return ast.Diff(
             new=new,
             old=old,
             id_col=id_col,
             text_col=text_col,
+            cols=tuple(cols) if cols is not None else None,
             include_unchanged=include_unchanged,
             summary=summary,
         )

@@ -110,7 +110,7 @@ HINTS = {
     "CALIBRATION ": "ON table [PROB col] [LABEL col] [BINS n]",
     "RRF ": "ON table_a WITH table_b [K k] [TOP n] [QUERY col] [ID col] [SCORE col]",
     "DRIFT ": "ON cur WITH ref [GROUP col] [VALUE col] [LO x] [HI y] [BINS n] [MIN n] [EPS x]",
-    "DIFF ": "ON new WITH old [ID col] [TEXT col] [ALL] [SUMMARY]",
+    "DIFF ": "ON new WITH old [ID col] [TEXT col | COLS c1, c2, ...] [ALL] [SUMMARY]",
     "TOKENDRIFT ": "ON cur WITH ref [TEXT col]",
     "SKEW ": "ON table KEY col [TOP n]",
     "FANOUT ": "ON table_a WITH table_b KEY col [KEYB col] [TOP n]",
