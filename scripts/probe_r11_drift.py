@@ -79,6 +79,22 @@ def join_fanout_at(spark, sf_dir: str):
     return join_fanout(li, od, "l_orderkey", "o_orderkey", top_n=10)
 
 
+def row_diff_at(spark, sf_dir: str):
+    from tundradb_spark.pipeline.dedup import row_diff
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    old = od.filter("o_orderkey % 11 != 0")
+    new = od.filter("o_orderkey % 13 != 0").selectExpr(
+        "o_orderkey",
+        "case when o_orderkey % 7 = 0 then 'X' else o_orderstatus end"
+        " as o_orderstatus",
+        "o_orderpriority",
+    )
+    return row_diff(
+        old, new, "o_orderkey", ["o_orderstatus", "o_orderpriority"]
+    )
+
+
 def trend_at(spark, sf_dir: str):
     from tundradb_spark.operators.analytics import value_trend
 
@@ -103,6 +119,7 @@ def main() -> None:
         ("key_skew", key_skew_at),
         ("join_fanout", join_fanout_at),
         ("trend", trend_at),
+        ("row_diff", row_diff_at),
     ]:
         for label, sf in [("sf0.1", sf01), ("sf1", sf1)]:
             df = build(spark, sf)
@@ -120,7 +137,7 @@ def main() -> None:
             )
     for op in (
         "drift", "corpus_diff", "token_drift", "key_skew",
-        "join_fanout", "trend",
+        "join_fanout", "trend", "row_diff",
     ):
         w0, n0, e0 = results[(op, "sf0.1")]
         w1, n1, e1 = results[(op, "sf1")]
