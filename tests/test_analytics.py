@@ -810,13 +810,28 @@ class TestDistributionDrift:
         assert distribution_drift(small, big, **kw).count() == 0
         assert distribution_drift(big, big, **kw).count() == 1
 
-    def test_group_missing_one_side_drops(self, spark):
+    def test_group_missing_one_side_surfaces_flagged(self, spark):
+        # r12 ADVICE fix: total disappearance/appearance is the
+        # strongest drift signal — it must surface, not silently drop
         from tundradb_spark.operators.analytics import distribution_drift
 
         ref = self._ev(spark, [("A", 1.0), ("B", 2.0)])
-        cur = self._ev(spark, [("A", 1.0)])
-        got = distribution_drift(ref, cur, **self.KW).collect()
-        assert [r["event_type"] for r in got] == ["A"]
+        cur = self._ev(spark, [("A", 1.0), ("C", 3.0)])
+        got = {r["event_type"]: r
+               for r in distribution_drift(ref, cur, **self.KW).collect()}
+        assert set(got) == {"A", "B", "C"}
+        assert got["A"]["status"] == "ok" and got["A"]["psi"] == 0.0
+        b = got["B"]
+        assert (b["status"], b["n_ref"], b["n_cur"], b["psi"]) == (
+            "ref_only", 1, None, None)
+        c = got["C"]
+        assert (c["status"], c["n_ref"], c["n_cur"], c["jsd"]) == (
+            "cur_only", None, 1, None)
+        # below-min_n on a PRESENT side still drops (documented gate)
+        kw = dict(bounds=(0.0, 10.0), n_bins=5, min_n=5)
+        both = distribution_drift(ref, cur, **kw).collect()
+        assert {r["event_type"]: r["status"] for r in both} == {
+            "B": "ref_only", "C": "cur_only"}
 
     def test_validation(self, spark):
         from tundradb_spark.operators.analytics import distribution_drift
@@ -899,6 +914,26 @@ class TestValueTrend:
                            min_n=3).count() == 0
         with pytest.raises(ValueError):
             value_trend(self._ev(spark, rows), epoch_us=0, min_n=0)
+
+    def test_moment_overflow_raises_not_silent_null(self, spark):
+        # r12 ADVICE fix: a NULL decimal moment with n>0 means the
+        # capacity bound n·max(x²,y²,|xy|) < 1e26 was exceeded
+        # (non-ANSI Spark NULLs the sum) — the fit must FAIL loudly,
+        # never report a silently NULL slope for the biggest groups
+        from pyspark.errors import SparkRuntimeException
+        from tundradb_spark.operators.analytics import trend_score
+
+        stats = spark.createDataFrame(
+            [("A", 10, 0, None, None, None, None, None,
+              0.0, 1.0, 0.0, 1.0)],
+            "event_type string, n_group long, __ndom long,"
+            " __sx decimal(38,12), __sy decimal(38,12),"
+            " __sxx decimal(38,12), __syy decimal(38,12),"
+            " __sxy decimal(38,12), __minx double, __maxx double,"
+            " __miny double, __maxy double",
+        )
+        with pytest.raises(SparkRuntimeException, match="overflow"):
+            trend_score(stats, "event_type", min_n=1).collect()
 
     def test_noisy_line_r2_below_one(self, spark):
         from tundradb_spark.operators.analytics import value_trend

@@ -3077,3 +3077,54 @@ class TestRowDiff:
             row_diff(t, t, "k", [])
         full = row_diff(t, t, "k", ["a"], include_unchanged=True)
         assert [r["status"] for r in full.collect()] == ["unchanged"]
+
+    def test_separator_byte_cannot_shift_column_boundary(self, spark):
+        # the r11 scheme joined renders with \x1f, so ('a\x1fb','c') and
+        # ('a','b\x1fc') digested identically; per-column md5 tokens
+        # (r12, ADVICE fix) make any boundary shift a 'changed'
+        from tundradb_spark.pipeline.dedup import row_diff
+
+        old = spark.createDataFrame(
+            [(1, "a\x1fb", "c")], "k long, a string, b string")
+        new = spark.createDataFrame(
+            [(1, "a", "b\x1fc")], "k long, a string, b string")
+        got = [r["status"] for r in row_diff(
+            old, new, "k", ["a", "b"]).collect()]
+        assert got == ["changed"]
+
+    def test_literal_null_token_differs_from_null(self, spark):
+        # a literal 'N' string hashes to 32-hex; an actual NULL is the
+        # 1-char token 'N' — never equal
+        from tundradb_spark.pipeline.dedup import row_diff
+
+        old = spark.createDataFrame([(1, "N")], "k long, a string")
+        new = spark.createDataFrame([(1, None)], "k long, a string")
+        got = [r["status"] for r in row_diff(
+            old, new, "k", ["a"]).collect()]
+        assert got == ["changed"]
+
+    def test_typed_columns_supported_and_floats_rejected(self, spark):
+        from tundradb_spark.pipeline.dedup import row_diff
+
+        schema = ("k long, b boolean, d date, t timestamp,"
+                  " m decimal(18,6), f double")
+        import datetime as dt
+
+        r1 = (1, True, dt.date(2024, 3, 5),
+              dt.datetime(2024, 3, 5, 12, 0, 0), None, 1.5)
+        r2 = (1, True, dt.date(2024, 3, 5),
+              dt.datetime(2024, 3, 5, 12, 0, 1), None, 1.5)
+        old = spark.createDataFrame([r1], schema)
+        new = spark.createDataFrame([r2], schema)
+        # boolean/date/decimal unchanged, timestamp changed → 'changed'
+        got = [r["status"] for r in row_diff(
+            old, new, "k", ["b", "d", "t", "m"]).collect()]
+        assert got == ["changed"]
+        assert row_diff(old, new, "k", ["b", "d", "m"]).count() == 0
+        # raw double is rejected with the cast-to-decimal hint
+        with pytest.raises(ValueError, match="decimal"):
+            row_diff(old, new, "k", ["f"])
+        # caller-level decimal cast is the documented path
+        oc = old.withColumn("fm", F.col("f").cast("decimal(18,6)"))
+        nc = new.withColumn("fm", F.col("f").cast("decimal(18,6)"))
+        assert row_diff(oc, nc, "k", ["fm"]).count() == 0

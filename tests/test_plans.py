@@ -768,10 +768,15 @@ def test_recall_gauge_sampled_no_nested_loop_and_coin_pushed(spark):
 
 
 def test_distribution_drift_scans_once_per_side(spark):
-    """r11: each snapshot must collapse to ONE map-side-combined
-    groupBy(group, bin) — the only corpus-sized exchanges (2, one per
-    side); everything downstream (totals, gate, bin join) is
-    groups x bins sized and the gate frame comes back via broadcast."""
+    """r12: each snapshot collapses to ONE map-side-combined
+    groupBy(group, bin) and ONE bins-sized map gather — each side's
+    lineage referenced exactly once, so the corpus is scanned ONCE per
+    side (the r11 shape referenced each side twice and Spark recomputed
+    the corpus aggregation per reference: 6 scans with the full-outer
+    presence fix); totals, presence, gate, and metrics all derive from
+    the single groups-sized joined row."""
+    import re
+
     from tundradb_spark.operators.analytics import distribution_drift
 
     ev = spark.read.parquet(f"{SF}/events.parquet")
@@ -783,14 +788,13 @@ def test_distribution_drift_scans_once_per_side(spark):
         min_n=50,
     )
     audit.assert_no_nested_loop(df)
-    audit.assert_broadcast(df)
     plan = audit.formatted_plan(df)
-    # each side is scanned for its bin counts and its totals — Spark
-    # can't share a scan across the two aggregates without a CTE
-    # materialization, so allow up to 4 corpus-touching exchanges; the
-    # bin join and final agg must NOT add corpus-sized shuffles beyond
-    # the groups x bins frames
-    assert audit.count_exchanges(df) <= 8, plan
+    # 4 exchanges total: per side, 1 corpus-sized (group, bin) agg +
+    # 1 bins-sized map gather; the presence join adds no corpus shuffle
+    assert audit.count_exchanges(df) <= 4, plan
+    # ONE parquet scan per side ("Scan parquet" appears once in the
+    # tree and once as its detail-section header → 2 matches per scan)
+    assert len(re.findall(r"Scan parquet", plan)) <= 4, plan
 
 
 def test_corpus_diff_single_id_join(spark):

@@ -950,8 +950,8 @@ class TestKeySkew:
         )
         got = [tuple(r) for r in key_skew(df, "k", top_n=2).collect()]
         assert got == [
-            (1, "a", 6, 0.6, 0.6, 3, 10),
-            (2, "b", 3, 0.3, 0.9, 3, 10),
+            (1, "a", False, 6, 0.6, 0.6, 3, 10),
+            (2, "b", False, 3, 0.3, 0.9, 3, 10),
         ]
 
     def test_null_sentinel_and_tie_order(self, spark):
@@ -959,9 +959,22 @@ class TestKeySkew:
 
         df = spark.createDataFrame(
             [(None,)] * 2 + [("z",)] * 2 + [("a",)] * 2, "k string")
-        got = [(r["rank"], r["key"]) for r in key_skew(df, "k").collect()]
-        # ties break key ASC: '<null>' < 'a' < 'z'
-        assert got == [(1, "<null>"), (2, "a"), (3, "z")]
+        got = [(r["rank"], r["key"], r["is_null"])
+               for r in key_skew(df, "k").collect()]
+        # ties break (is_null ASC, key ASC): real keys first, NULL last
+        assert got == [
+            (1, "a", False), (2, "z", False), (3, "<null>", True)]
+
+    def test_literal_null_string_is_not_merged_with_nulls(self, spark):
+        # r12 ADVICE fix: a genuine '<null>' string key is its own row,
+        # distinguishable from actual NULLs by the is_null flag
+        from tundradb_spark.operators.relational import key_skew
+
+        df = spark.createDataFrame(
+            [("<null>",)] * 3 + [(None,)] * 2, "k string")
+        got = {(r["key"], r["is_null"]): r["cnt"]
+               for r in key_skew(df, "k").collect()}
+        assert got == {("<null>", False): 3, ("<null>", True): 2}
 
     def test_numeric_keys_stringify(self, spark):
         from tundradb_spark.operators.relational import key_skew

@@ -2012,7 +2012,8 @@ class TestStreamDrift:
         assert len(want) == 1  # A crosses min_n only merged
         r = want[0]
         # domain visibility survives the merge: ref 1 NaN, cur 2 glitches
-        assert (r[1], r[2], r[3], r[4]) == (20, 12, 1, 2)
+        # (r[1] is the r12 status column)
+        assert (r[1], r[2], r[3], r[4], r[5]) == ("ok", 20, 12, 1, 2)
 
     def test_replay_idempotent(self, spark, tmp_path):
         from tundradb_spark.streaming import stream_drift_bins

@@ -1478,8 +1478,14 @@ def distribution_drift(
     term sums) is ``groups × n_bins`` sized, with the group-sized gate
     frame broadcast.  Neither events table is ever shuffled.
 
-    Output: ``(group, n_ref, n_cur, excluded_ref, excluded_cur, psi,
-    jsd, tv)`` — one row per gated group.
+    Output: ``(group, status, n_ref, n_cur, excluded_ref,
+    excluded_cur, psi, jsd, tv)`` — one row per gated group
+    (``status = 'ok'``), plus one NULL-scored row per group present in
+    only ONE snapshot (``status = 'ref_only' | 'cur_only'`` — total
+    disappearance/appearance is the strongest drift signal and must
+    never be mistaken for "no drift"; r12 ADVICE fix).  Groups present
+    on both sides but below ``min_n`` on either still drop (documented
+    gate).
     """
     rb = drift_bin_counts(ref, group_col, value_col, bounds, n_bins)
     cb = drift_bin_counts(cur, group_col, value_col, bounds, n_bins)
@@ -1552,48 +1558,84 @@ def drift_score(
     the streaming reader so stream-merged counts score IDENTICALLY to
     the batch operator.  The ``min_n`` gate applies HERE (over merged
     totals), so a side that crosses the threshold only across epochs
-    still scores."""
+    still scores.  Groups present in only one frame surface as
+    ``status = 'ref_only' | 'cur_only'`` rows with NULL scores (r12);
+    ``status = 'ok'`` rows carry the metrics."""
     if min_n < 1:
         raise ValueError(f"min_n must be >= 1, got {min_n}")
     if not 0.0 < eps < 1.0:
         raise ValueError(f"eps must be in (0, 1), got {eps}")
 
-    def _tot(b: DataFrame, side: str) -> DataFrame:
-        return b.groupBy(group_col).agg(
-            F.sum(
-                F.when(F.col("__bin") >= 0, F.col("__c")).otherwise(0)
-            ).alias(f"n_{side}"),
-            F.sum(
-                F.when(F.col("__bin") < 0, F.col("__c")).otherwise(0)
-            ).alias(f"excluded_{side}"),
+    # Single-pass gather (r12): pack each side's bins into ONE
+    # per-group map, so each bin frame's lineage is referenced exactly
+    # ONCE — the r11 shape referenced each side twice (totals + bin
+    # join) and Spark recomputed the corpus-sized aggregation for each
+    # reference (4 corpus exchanges; the full-outer presence fix would
+    # have pushed it to 6).  Here: one corpus-sized (group, bin)
+    # aggregation per side, one bins-sized map gather per side, one
+    # groups-sized full-outer join — totals, presence, gate, and
+    # metrics all derive from that single joined row.  The inner
+    # (group, bin) re-aggregation also makes the function total over
+    # UN-merged epoch partials (duplicate (group, bin) rows sum first).
+    def _gather(b: DataFrame, side: str) -> DataFrame:
+        per = b.groupBy(group_col, "__bin").agg(
+            F.sum("__c").alias("__c")
+        )
+        return per.groupBy(group_col).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__bin", "__c"))
+            ).alias(f"__m{side}")
         )
 
-    gates = (
-        _tot(ref_bins, "ref")
-        .join(_tot(cur_bins, "cur"), group_col)
-        .filter((F.col("n_ref") >= min_n) & (F.col("n_cur") >= min_n))
+    joined = _gather(ref_bins, "r").join(
+        _gather(cur_bins, "c"), group_col, "full_outer"
     )
-    r = ref_bins.filter(F.col("__bin") >= 0).select(
-        group_col, "__bin", F.col("__c").alias("__cr")
-    )
-    c = cur_bins.filter(F.col("__bin") >= 0).select(
-        group_col, "__bin", F.col("__c").alias("__cc")
-    )
-    j = (
-        r.join(c, [group_col, "__bin"], "full_outer")
-        .join(F.broadcast(gates), group_col)
-        .select(
-            group_col,
-            "n_ref",
-            "n_cur",
-            "excluded_ref",
-            "excluded_cur",
-            F.coalesce("__cr", F.lit(0)).alias("__cr"),
-            F.coalesce("__cc", F.lit(0)).alias("__cc"),
+
+    def _tot(m: str) -> str:
+        # in-domain total: sum of bin >= 0 counts inside the map
+        return (
+            f"aggregate(map_entries({m}), cast(0 as bigint),"
+            f" (acc, e) -> acc + if(e.key >= 0, e.value,"
+            f" cast(0 as bigint)))"
         )
+
+    # FULL-OUTER presence (r12, ADVICE fix): a group present in only
+    # one snapshot — often the strongest drift signal — surfaces as a
+    # 'ref_only'/'cur_only' row with NULL scores instead of silently
+    # vanishing like a below-min_n group (that drop stays, documented).
+    presence = joined.select(
+        group_col,
+        F.expr(
+            "case when __mr is null then 'cur_only'"
+            " when __mc is null then 'ref_only' else 'ok' end"
+        ).alias("status"),
+        F.expr(_tot("__mr")).alias("n_ref"),
+        F.expr(_tot("__mc")).alias("n_cur"),
+        F.expr("coalesce(try_element_at(__mr, cast(-1 as bigint)),"
+               " if(__mr is null, null, cast(0 as bigint)))")
+        .alias("excluded_ref"),
+        F.expr("coalesce(try_element_at(__mc, cast(-1 as bigint)),"
+               " if(__mc is null, null, cast(0 as bigint)))")
+        .alias("excluded_cur"),
+        "__mr",
+        "__mc",
+    ).filter(
+        (F.col("status") != "ok")
+        | ((F.col("n_ref") >= min_n) & (F.col("n_cur") >= min_n))
     )
-    pr = "(cast(__cr as double) / cast(n_ref as double))"
-    pc = "(cast(__cc as double) / cast(n_cur as double))"
+
+    # metric terms, summed over the union of in-domain bins via a
+    # higher-order aggregate with a decimal(28,18) accumulator — the
+    # house order-proof-sum convention (sort_array makes the fold
+    # order deterministic besides)
+    keys = (
+        "sort_array(array_distinct(filter("
+        "concat(map_keys(__mr), map_keys(__mc)), k -> k >= 0)))"
+    )
+    cr = "cast(coalesce(try_element_at(__mr, k), 0) as double)"
+    cc = "cast(coalesce(try_element_at(__mc, k), 0) as double)"
+    pr = f"({cr} / cast(n_ref as double))"
+    pc = f"({cc} / cast(n_cur as double))"
     e = f"cast({eps!r} as double)"
     prs = f"greatest({pr}, {e})"
     pcs = f"greatest({pc}, {e})"
@@ -1607,31 +1649,29 @@ def drift_score(
         f" then {pc} * ln({pc} / {m}) else cast(0.0 as double) end))"
     )
     tv_t = f"cast(0.5 as double) * abs({pc} - {pr})"
-    agg = j.groupBy(group_col).agg(
-        F.max("n_ref").alias("n_ref"),
-        F.max("n_cur").alias("n_cur"),
-        F.max("excluded_ref").alias("excluded_ref"),
-        F.max("excluded_cur").alias("excluded_cur"),
-        F.sum(F.expr(f"cast({psi_t} as decimal(28,18))")).alias("__psi"),
-        F.sum(F.expr(f"cast({jsd_t} as decimal(28,18))")).alias("__jsd"),
-        F.sum(F.expr(f"cast({tv_t} as decimal(28,18))")).alias("__tv"),
-    )
 
-    def _rnd(col: str) -> str:
-        return (
-            f"cast(floor(cast(cast({col} as double) as decimal(28,10))"
+    def _metric(term: str) -> str:
+        fold = (
+            f"aggregate({keys}, cast(0 as decimal(28,18)),"
+            f" (acc, k) -> cast(acc + cast({term} as decimal(28,18))"
+            f" as decimal(28,18)))"
+        )
+        rnd = (
+            f"cast(floor(cast(cast({fold} as double) as decimal(28,10))"
             f" * 1000000 + 0.5) as double) / 1000000.0"
         )
+        return f"case when status = 'ok' then {rnd} end"
 
-    return agg.select(
+    return presence.select(
         group_col,
+        "status",
         F.col("n_ref").cast("long").alias("n_ref"),
         F.col("n_cur").cast("long").alias("n_cur"),
         F.col("excluded_ref").cast("long").alias("excluded_ref"),
         F.col("excluded_cur").cast("long").alias("excluded_cur"),
-        F.expr(_rnd("__psi")).alias("psi"),
-        F.expr(_rnd("__jsd")).alias("jsd"),
-        F.expr(_rnd("__tv")).alias("tv"),
+        F.expr(_metric(psi_t)).alias("psi"),
+        F.expr(_metric(jsd_t)).alias("jsd"),
+        F.expr(_metric(tv_t)).alias("tv"),
     )
 
 
@@ -1709,9 +1749,18 @@ def distribution_drift_sql(
                sum(CASE WHEN bin < 0 THEN c ELSE 0 END) AS excluded_cur
         FROM cbin GROUP BY {group_col}
     ),
+    presence AS (
+        SELECT {group_col},
+               CASE WHEN n_ref IS NULL THEN 'cur_only'
+                    WHEN n_cur IS NULL THEN 'ref_only'
+                    ELSE 'ok' END AS status,
+               n_ref, n_cur, excluded_ref, excluded_cur
+        FROM rtot FULL OUTER JOIN ctot USING ({group_col})
+    ),
     gates AS (
-        SELECT * FROM rtot JOIN ctot USING ({group_col})
-        WHERE n_ref >= {min_n} AND n_cur >= {min_n}
+        SELECT {group_col}, n_ref, n_cur, excluded_ref, excluded_cur
+        FROM presence
+        WHERE status = 'ok' AND n_ref >= {min_n} AND n_cur >= {min_n}
     ),
     j AS (
         SELECT {group_col}, bin, r.c AS cr, c.c AS cc
@@ -1727,7 +1776,7 @@ def distribution_drift_sql(
                CAST({tv_t} AS DECIMAL(28,18)) AS tv_t
         FROM j JOIN gates g USING ({group_col})
     )
-    SELECT {group_col},
+    SELECT {group_col}, 'ok' AS status,
            CAST(max(n_ref) AS BIGINT) AS n_ref,
            CAST(max(n_cur) AS BIGINT) AS n_cur,
            CAST(max(excluded_ref) AS BIGINT) AS excluded_ref,
@@ -1736,6 +1785,16 @@ def distribution_drift_sql(
            {_rnd('sum(jsd_t)')} AS jsd,
            {_rnd('sum(tv_t)')} AS tv
     FROM terms GROUP BY {group_col}
+    UNION ALL
+    SELECT {group_col}, status,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           CAST(excluded_ref AS BIGINT) AS excluded_ref,
+           CAST(excluded_cur AS BIGINT) AS excluded_cur,
+           CAST(NULL AS DOUBLE) AS psi,
+           CAST(NULL AS DOUBLE) AS jsd,
+           CAST(NULL AS DOUBLE) AS tv
+    FROM presence WHERE status != 'ok'
     """
 
 
@@ -1813,7 +1872,16 @@ def trend_moments(
     timestamp ~1e6 s past the epoch measured dx = +256.0 and a spurious
     slope of −168.75/day — so variance-zero is decided by
     ``min = max`` (exact doubles, portable), never by the double
-    moment chain's sign."""
+    moment chain's sign.
+
+    CAPACITY BOUND: decimal(38,12) carries 26 integer digits, so every
+    per-group sum needs ``n · max(x², y², |x·y|) < 1e26`` — with x in
+    seconds-from-epoch, a 3-year span (x ~ 1e8, x² ~ 1e16) caps a group
+    at ~1e10 rows; choosing ``epoch_us`` INSIDE the window (a 30-day
+    window → x ≤ 2.6e6, x² ≤ 7e12 → ~1e13 rows) buys three orders of
+    magnitude.  Exceeding the bound NULLs the sum under non-ANSI Spark;
+    :func:`trend_score` detects NULL-moment-with-nonzero-n and raises
+    (r12, ADVICE fix) instead of emitting a silently NULL fit."""
     from tundradb_spark.functions.timecols import epoch_micros
 
     v = F.col(value_col)
@@ -1862,6 +1930,22 @@ def trend_score(
     if min_n < 1:
         raise ValueError(f"min_n must be >= 1, got {min_n}")
     stats = stats.filter(F.col("n_group") >= min_n)
+    # Overflow guard (r12, ADVICE fix): decimal(38,12) holds 26 integer
+    # digits, so a group violates the capacity bound n·max(x²,y²,|xy|)
+    # < 1e26 — e.g. ~1e11 rows of x ~ a-few-years-in-seconds — its Σ
+    # goes NULL under non-ANSI Spark and the fit would silently report
+    # NULL slope/r² for exactly the largest groups.  A NULL moment with
+    # n_group ≥ min_n ≥ 1 has no other cause (all-excluded groups have
+    # n_group = 0), so fail LOUDLY instead: pick epoch_us inside the
+    # window (shrinking |x|) or shard the window.  DuckDB's decimal sum
+    # errors natively on overflow, so the oracle twin fails loudly too.
+    guard = (
+        "case when __sx is null or __sy is null or __sxx is null"
+        " or __syy is null or __sxy is null then"
+        " raise_error('trend_moments: decimal(38,12) moment overflow"
+        " (n*max(x^2,y^2,|x*y|) must stay < 1e26) — choose epoch_us"
+        " inside the window or shard it') end"
+    )
     n = "cast(n_group as double)"
     sx, sy = "cast(__sx as double)", "cast(__sy as double)"
     sxx, syy = "cast(__sxx as double)", "cast(__syy as double)"
@@ -1902,7 +1986,9 @@ def trend_score(
 
     return stats.select(
         group_col,
-        F.col("n_group").cast("long").alias("n"),
+        # the guard rides the always-evaluated n column — the metric
+        # CASEs short-circuit on NULL moments and would never reach it
+        F.expr(f"cast(coalesce({guard}, n_group) as long)").alias("n"),
         F.col("__ndom").cast("long").alias("excluded"),
         F.expr(_rnd(f"{slope} * 86400.0")).alias("slope_per_day"),
         F.expr(_rnd(intercept)).alias("intercept"),

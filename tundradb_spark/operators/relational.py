@@ -1343,12 +1343,17 @@ def key_skew(
     and the dedup/wedge hub caps exist for exactly the shape this
     report surfaces BEFORE the job runs).
 
-    NULL keys are counted like any other value (rendered as the string
-    ``'<null>'`` — a NULL-heavy key column is the single most common
-    real-world skew) and keys are cast to string so one report schema
-    serves every key type.  Ranks use the total order ``(cnt DESC,
-    key ASC)`` — deterministic on ties; shares round half-up to 6 dp
-    with exact long counts carried alongside.
+    NULL keys are counted like any other value (a NULL-heavy key
+    column is the single most common real-world skew) and keys are
+    cast to string so one report schema serves every key type.
+    NULL-ness is tracked as its own boolean GROUP DIMENSION (``is_null``
+    rides the output), so a genuine string key ``'<null>'`` is a
+    separate row from actual NULLs — the r11 rendering merged them,
+    inflating both counts (r12 ADVICE fix); ``'<null>'`` is applied to
+    the NULL row's key at OUTPUT time only.  Ranks use the total order
+    ``(cnt DESC, is_null ASC, key ASC)`` — deterministic on ties (the
+    single NULL-key row can never tie-compare against a NULL key text);
+    shares round half-up to 6 dp with exact long counts alongside.
 
     Plan / 100 TB shape: ONE map-side-combined ``groupBy(key)`` (the
     only data-sized shuffle — identical cost to the aggregation being
@@ -1356,24 +1361,32 @@ def key_skew(
     rank/cumulative sums, ``top_n`` output rows.  ``n_keys`` /
     ``total_rows`` ride every row, so the report is self-contained.
 
-    Output: ``(rank, key, cnt, share, cum_share, n_keys, total_rows)``.
+    Output: ``(rank, key, is_null, cnt, share, cum_share, n_keys,
+    total_rows)``.
     """
     if top_n < 1:
         raise QueryError(f"top_n must be >= 1, got {top_n}")
     counts = (
         df.select(
-            F.coalesce(F.col(key_col).cast("string"), F.lit("<null>"))
-            .alias("key")
+            F.col(key_col).cast("string").alias("key"),
+            F.col(key_col).isNull().alias("is_null"),
         )
-        .groupBy("key")
+        .groupBy("key", "is_null")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+    # is_null ASC breaks a (cnt) tie between the NULL row and a string
+    # key BEFORE key comparison — the NULL key text never has to order
+    # against a real string (Spark NULLS FIRST vs DuckDB NULLS LAST
+    # would diverge there)
+    w = Window.orderBy(
+        F.col("cnt").desc(), F.col("is_null").asc(), F.col("key").asc()
+    )
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     every = Window.partitionBy()
     ranked = counts.select(
         F.row_number().over(w).alias("rank"),
-        "key",
+        F.coalesce("key", F.lit("<null>")).alias("key"),
+        "is_null",
         "cnt",
         F.sum("cnt").over(wcum).alias("__cum"),
         F.count(F.lit(1)).over(every).alias("n_keys"),
@@ -1390,6 +1403,7 @@ def key_skew(
     return ranked.select(
         F.col("rank").cast("long").alias("rank"),
         "key",
+        "is_null",
         F.col("cnt").cast("long").alias("cnt"),
         F.expr(_share("cnt")).alias("share"),
         F.expr(_share("__cum")).alias("cum_share"),
@@ -1401,25 +1415,28 @@ def key_skew(
 def key_skew_sql(
     table: str, key_col: str, top_n: int = 20
 ) -> str:
-    """DuckDB oracle reproducing :func:`key_skew` exactly — same NULL
-    sentinel, total order, and 6 dp half-up share rounding."""
+    """DuckDB oracle reproducing :func:`key_skew` exactly — same
+    NULL-as-its-own-group-dimension, total order, output-time
+    ``'<null>'`` rendering, and 6 dp half-up share rounding."""
     return f"""
     WITH counts AS (
-        SELECT coalesce(CAST({key_col} AS VARCHAR), '<null>') AS key,
+        SELECT CAST({key_col} AS VARCHAR) AS key,
+               {key_col} IS NULL AS is_null,
                count(*) AS cnt
-        FROM {table} GROUP BY 1
+        FROM {table} GROUP BY 1, 2
     ),
     ranked AS (
-        SELECT row_number() OVER (ORDER BY cnt DESC, key ASC) AS rank,
-               key, cnt,
-               sum(cnt) OVER (ORDER BY cnt DESC, key ASC
+        SELECT row_number() OVER (ORDER BY cnt DESC, is_null ASC,
+                                  key ASC) AS rank,
+               coalesce(key, '<null>') AS key, is_null, cnt,
+               sum(cnt) OVER (ORDER BY cnt DESC, is_null ASC, key ASC
                               ROWS BETWEEN UNBOUNDED PRECEDING
                                        AND CURRENT ROW) AS cum,
                count(*) OVER () AS n_keys,
                sum(cnt) OVER () AS total_rows
         FROM counts
     )
-    SELECT CAST(rank AS BIGINT) AS rank, key,
+    SELECT CAST(rank AS BIGINT) AS rank, key, is_null,
            CAST(cnt AS BIGINT) AS cnt,
            CAST(floor(CAST(cnt AS DOUBLE) / CAST(total_rows AS DOUBLE)
                       * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS share,

@@ -1718,6 +1718,68 @@ def corpus_diff_sql(
     return base + f"\n    SELECT * FROM d{where}"
 
 
+#: change-column dtype categories row_diff can render portably
+#: (identical strings in Spark and DuckDB, probed r12):
+#:   string/char/varchar        → as-is
+#:   boolean                    → 'true'/'false' (both engines)
+#:   tinyint..bigint            → decimal digits (both engines)
+#:   decimal(p,s)               → plain fixed-scale text (both engines;
+#:                                 BigDecimal vs DuckDB render proved
+#:                                 byte-identical down to 1e-12)
+#:   date                       → 'YYYY-MM-DD' (both engines)
+#:   timestamp[_ntz]            → µs-since-epoch digits (unix_micros /
+#:                                 epoch_us — identical integers)
+#: float/double are REJECTED: Spark casts double→decimal through the
+#: SHORTEST decimal representation with HALF-UP ties while DuckDB uses
+#: the EXACT binary expansion with HALF-EVEN ties, so the rendered text
+#: diverges (probed: 1.23456789e25 and the 13-dp tie 2^-13) — the
+#: caller must pre-cast to an explicit decimal scale, which makes the
+#: comparison tolerance THEIR documented decision and is portable for
+#: |v| < 0.5·10^-s·2^53 (ulp/2 below half a final-digit step).
+_ROW_DIFF_RENDERS = {
+    "string": "str",
+    "boolean": "str",
+    "tinyint": "str",
+    "smallint": "str",
+    "int": "str",
+    "integer": "str",
+    "bigint": "str",
+    "long": "str",
+    "date": "str",
+    "timestamp": "ts",
+    "timestamp_ntz": "ts",
+}
+
+
+def _row_diff_render(df: DataFrame, col: str):
+    """Portable per-column string rendering for :func:`row_diff` —
+    raises on dtypes the two engines render differently (see
+    ``_ROW_DIFF_RENDERS``)."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype is None:
+        raise ValueError(f"row_diff: column {col!r} not in frame")
+    kind = (
+        "str" if dtype.startswith("decimal")
+        else _ROW_DIFF_RENDERS.get(dtype)
+    )
+    if kind == "ts":
+        return F.unix_micros(F.col(col).cast("timestamp")).cast("string")
+    if kind == "str":
+        return F.col(col).cast("string")
+    hint = (
+        " — cast it to an explicit decimal scale first (e.g."
+        f" CAST({col} AS DECIMAL(18,6))); Spark and DuckDB render"
+        " raw floats differently (shortest-repr half-up vs exact"
+        " half-even)"
+        if dtype in ("float", "double")
+        else ""
+    )
+    raise ValueError(
+        f"row_diff: unsupported change-column dtype {dtype!r} for"
+        f" {col!r}{hint}"
+    )
+
+
 def row_diff(
     old: DataFrame,
     new: DataFrame,
@@ -1732,16 +1794,22 @@ def row_diff(
     metadata tables a training pipeline tracks alongside its corpora
     (source catalogs, license registers, mixture configs).
 
-    Row identity is ``md5`` over the listed columns rendered as
-    strings and joined with an ASCII unit separator, each NULL rendered
-    as a fixed sentinel BEFORE the join (``concat_ws`` alone would
-    silently collapse ``('a', NULL, 'b')`` and ``('a', 'b', NULL)``
-    into one digest) — byte-identical in Spark and DuckDB, so the
-    oracle twin (:func:`row_diff_sql`) reproduces every digest.  The
-    sentinel embeds its own separator, so a literal string equal to the
-    sentinel still differs from an actual NULL.  Ids are compared as
-    strings (the :func:`corpus_diff` r11 lesson: numeric casts silently
-    NULL non-numeric keys).
+    Row identity is ``md5`` over the concatenation of PER-COLUMN
+    tokens: each listed column is rendered portably (see
+    ``_ROW_DIFF_RENDERS`` — strings, integrals, booleans, decimals,
+    dates as text; timestamps as µs-since-epoch; raw float/double
+    REJECTED with a cast-to-decimal hint), hashed individually, and
+    NULLs become the literal token ``'N'``.  Because every token is
+    either 32 lowercase-hex chars or ``'N'`` (not a hex char), no
+    value can shift bytes across a column boundary — the r11 separator
+    scheme collided for values containing the separator byte, e.g.
+    ``('a\\x1fb', 'c')`` vs ``('a', 'b\\x1fc')``; per-column digests
+    make that impossible, and a literal string ``'N'`` hashes to
+    32-hex so it can never collide with an actual NULL.  Renders are
+    byte-identical in Spark and DuckDB, so the oracle twin
+    (:func:`row_diff_sql`) reproduces every digest.  Ids are compared
+    as strings (the :func:`corpus_diff` r11 lesson: numeric casts
+    silently NULL non-numeric keys).
 
     Same presence-flag / null-safe machinery, plan shape (digests in
     the scan projection, ONE id hash join, delta-proportional output),
@@ -1750,18 +1818,12 @@ def row_diff(
     """
     if not cols:
         raise ValueError("row_diff needs a non-empty column list")
-    sep = "\x1f"
 
     def _digest(df: DataFrame):
-        parts = []
-        for i, c in enumerate(cols):
-            if i:
-                parts.append(F.lit(sep))
-            parts.append(
-                F.coalesce(
-                    F.col(c).cast("string"), F.lit(f"{sep}<null>{sep}")
-                )
-            )
+        parts = [
+            F.coalesce(F.md5(_row_diff_render(df, c)), F.lit("N"))
+            for c in cols
+        ]
         return F.md5(F.concat(*parts))
 
     o = old.select(
@@ -1796,21 +1858,27 @@ def row_diff_sql(
     id_col: str,
     cols: list[str],
     include_unchanged: bool = False,
+    ts_cols: tuple[str, ...] = (),
 ) -> str:
     """DuckDB oracle reproducing :func:`row_diff` exactly — same
-    per-column NULL sentinels, separator, digest, and statuses."""
+    per-column md5 tokens (NULL → literal ``'N'``), outer digest, and
+    statuses.  Every supported dtype except timestamps renders through
+    ``CAST(col AS VARCHAR)`` (proved byte-identical to Spark's cast for
+    strings/integrals/booleans/decimals/dates); list timestamp columns
+    in ``ts_cols`` so they render as ``epoch_us`` digits, mirroring the
+    Spark side's ``unix_micros``."""
     if not cols:
         raise ValueError("row_diff needs a non-empty column list")
+    ts = set(ts_cols)
 
     def _digest() -> str:
         parts = []
-        for i, c in enumerate(cols):
-            if i:
-                parts.append("chr(31)")
-            parts.append(
-                f"coalesce(CAST({c} AS VARCHAR),"
-                f" chr(31) || '<null>' || chr(31))"
+        for c in cols:
+            rendered = (
+                f"CAST(epoch_us({c}) AS VARCHAR)" if c in ts
+                else f"CAST({c} AS VARCHAR)"
             )
+            parts.append(f"coalesce(md5({rendered}), 'N')")
         return f"md5(concat({', '.join(parts)}))"
 
     base = f"""
