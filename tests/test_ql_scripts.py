@@ -178,3 +178,119 @@ def test_detach_runs_script_in_background(tmp_path):
         time.sleep(1)
     out = log.read_text()
     assert "bg" in out and "3 statement(s) executed, 0 failed" in out
+
+
+def test_analytics_statement_chain_script(db, spark):
+    """r12 (r11 verdict item 5): ONE script chaining EVERY analytics
+    statement the shell supports — FUNNEL RETENTION OUTLIERS CUSUM
+    NGRAMS MARKOV SIMILARITY COOCCURRENCE WINSORIZE BENFORD CALIBRATION
+    RRF DRIFT TOKENDRIFT DIFF (corpus + SUMMARY + COLS) SKEW FANOUT
+    TREND — through the script runner, pinning the SHELL path (parse →
+    execute → ASCII render) per statement, the reference's level-4
+    testing model (test_scripts/run_all_tests_with_assertions.sh,
+    SURVEY.md §5).  test_ql.py pins execute == operator per statement;
+    this pins the end-to-end surface a script user sees."""
+    day_ns = 86_400 * 1_000_000_000
+    ev = spark.createDataFrame(
+        [
+            # u1 walks the a→b→c funnel across three days
+            (0, 1, 1 * day_ns, "a", 1.0),
+            (1, 1, 2 * day_ns, "b", 2.0),
+            (2, 1, 3 * day_ns, "c", 9.0),
+            # u2 stops after b; returns on day 2 (retention)
+            (3, 2, 1 * day_ns, "a", 1.5),
+            (4, 2, 2 * day_ns, "b", 2.5),
+            # u3 repeats 'a' with a wild value (outliers / benford 8s)
+            (5, 3, 1 * day_ns, "a", 8.0),
+            (6, 3, 2 * day_ns, "a", 80.0),
+            (7, 3, 3 * day_ns, "a", 3.0),
+        ],
+        "row_id long, user_id long, ts long, event_type string,"
+        " value double",
+    )
+    probs = spark.createDataFrame(
+        [(0, 0.1, 0), (1, 0.4, 0), (2, 0.6, 1), (3, 0.9, 1)],
+        "row_id long, prob double, label int",
+    )
+    rank_a = spark.createDataFrame(
+        [(0, 1, 10, 3.0), (1, 1, 11, 2.0), (2, 1, 12, 1.0)],
+        "row_id long, query_id long, doc_id long, score double",
+    )
+    rank_b = spark.createDataFrame(
+        [(0, 1, 11, 9.0), (1, 1, 12, 8.0), (2, 1, 13, 7.0)],
+        "row_id long, query_id long, doc_id long, score double",
+    )
+    docs_old = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "lazy dog sleeps"),
+         (3, "gone tomorrow")],
+        "doc_id long, text string",
+    )
+    docs_new = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "lazy dog RUNS"),
+         (4, "brand new page")],
+        "doc_id long, text string",
+    )
+    sim_pairs = spark.createDataFrame(
+        [(0, 1, 10), (1, 2, 10), (2, 1, 11), (3, 2, 11), (4, 3, 12)],
+        "row_id long, id_a long, id_b long",
+    )
+    for name, df in [
+        ("ev", ev), ("probs", probs), ("rank_a", rank_a),
+        ("rank_b", rank_b), ("docs_old", docs_old),
+        ("docs_new", docs_new), ("sim_pairs", sim_pairs),
+    ]:
+        db.register_node_table(name, df, "row_id" if name != "docs_old"
+                               and name != "docs_new" else "doc_id",
+                               resume_counter=False)
+
+    script = """
+FUNNEL ON ev STEPS 'a', 'b', 'c' USER user_id TS ts;
+RETENTION ON ev USER user_id TS ts PERIOD 86400000000;
+OUTLIERS ON ev GROUP event_type VALUE value ID id Z 1;
+OUTLIERS ON ev GROUP event_type VALUE value ID id ROBUST;
+CUSUM ON ev SLACK 0 THRESHOLD 1 KEY user_id VALUE value TIEBREAK id;
+NGRAMS ON ev N 2 USER user_id TS ts MIN 1 TIEBREAK id;
+MARKOV ON ev USER user_id TS ts MIN 1 TIEBREAK id;
+SIMILARITY ON sim_pairs SRC id_a DST id_b MIN 1;
+COOCCURRENCE ON ev USER user_id TYPE event_type MIN 1 TOP 5;
+WINSORIZE ON ev GROUP event_type VALUE value ID id PLO 0.25 PHI 0.75;
+BENFORD ON ev GROUP event_type VALUE value MIN 1;
+CALIBRATION ON probs PROB prob LABEL label BINS 4;
+RRF ON rank_a WITH rank_b K 60 TOP 5;
+DRIFT ON ev WITH ev GROUP event_type VALUE value LO 0 HI 10 BINS 5 MIN 1;
+TOKENDRIFT ON docs_new WITH docs_old TEXT text;
+DIFF ON docs_new WITH docs_old ID id TEXT text;
+DIFF ON docs_new WITH docs_old ID id TEXT text SUMMARY;
+DIFF ON docs_new WITH docs_old ID id COLS text;
+SKEW ON ev KEY event_type TOP 3;
+FANOUT ON ev WITH ev KEY user_id TOP 3;
+TREND ON ev EPOCH 0 GROUP event_type VALUE value TS ts MIN 1;
+"""
+    out, failures = run(db, script)
+    assert failures == 0, out
+    assert "-- 21 statement(s) executed, 0 failed" in out
+    # one distinctive rendered column per statement family — proves each
+    # result table actually reached the ASCII sink
+    for marker in [
+        "step_idx",         # FUNNEL
+        "period_offset",    # RETENTION
+        "|z ",              # OUTLIERS (z mode)
+        "n_group",          # OUTLIERS (robust mode shares the layout)
+        "cusum",            # CUSUM
+        "n_occurrences",    # NGRAMS
+        "n_transitions",    # MARKOV
+        "common_neighbors", # SIMILARITY
+        "n_users_both",     # COOCCURRENCE
+        "clipped",          # WINSORIZE
+        "worst_digit",      # BENFORD
+        "mean_pred",        # CALIBRATION
+        "fused_rank",       # RRF
+        "excluded_ref",     # DRIFT (with the r12 status column)
+        "new_mass",         # TOKENDRIFT
+        "old_digest",       # DIFF + DIFF COLS
+        "n_docs",           # DIFF SUMMARY
+        "cum_share",        # SKEW (with the r12 is_null column)
+        "est_rows",         # FANOUT
+        "slope_per_day",    # TREND
+    ]:
+        assert marker in out, f"missing rendered column {marker!r}"
