@@ -4448,10 +4448,365 @@ if set(PARKED_QUERIES) != set(PARKED_ORACLES):
 #: longer silently ride CI without ever earning the driver signal (the
 #: r11 verdict found q_text_lm/q_text_repetition had done exactly that
 #: since ~r5 because the hand-maintained note undercounted).
-SEATING_QUEUE = frozenset({"q_row_diff_numeric"})
+SEATING_QUEUE = frozenset(
+    {"q_row_diff_numeric", "q_lr_quality", "q_lr_calibration"}
+)
 
 #: the four rows that must stay seated through every rotation — their
 #: bench slots carry the numbers the judge compares to BASELINE.md
 BASELINE_ANCHORS = frozenset(
     {"q_scan_filter", "q_inner_join", "q_two_hop", "q_outer_joins"}
 )
+
+
+# ---------------------------------------------------------------------------
+# r12 additions (post-rotation, r11 verdict item 6): the learned linear
+# quality classifier.  Training (classify.lr_train — IRLS over additive
+# decimal moments, distributed gradient/Gram aggregation + bounded driver
+# solve) is NOT SQL-expressible, so the DRIVER rows follow the DSIR
+# precedent: the deployment shape of a learned filter is scoring with a
+# FROZEN weight table, and that is exactly checkable.  The literal table
+# below was produced by lr_train on the sf0.01 documents with label
+# ``lang = 'en'`` (n_buckets=256, bigrams, 4 IRLS steps, ridge 1.0 —
+# deterministic: beta_0 = 0, fixed iteration count, decimal-exact moment
+# sums; regenerate with scripts/train_lr_weights.py) and rendered through
+# classify.lr_weight_literals so Spark's double->decimal(20,10) cast and
+# the SQL literals are byte-identical.  Both rows land in PARKED (window
+# full; queued for the r13 rotation) and are CI-checked from day one.
+# ---------------------------------------------------------------------------
+
+LR_WEIGHTS = [
+    (-1, "-0.3967373727"),
+    (0, "0E-10"),
+    (1, "-0.1316752307"),
+    (2, "-0.1070073010"),
+    (3, "-0.1872139929"),
+    (4, "0.0026388840"),
+    (5, "-0.0476385775"),
+    (6, "-0.0334148128"),
+    (7, "0.2265222081"),
+    (8, "-0.1613772895"),
+    (9, "-0.0714587599"),
+    (10, "-0.0821439741"),
+    (11, "0.2391833420"),
+    (12, "0.6509786672"),
+    (13, "-0.0448499756"),
+    (14, "0.3590141414"),
+    (15, "0.2104498047"),
+    (16, "-0.5853877307"),
+    (17, "0.5172609541"),
+    (18, "-0.2136820972"),
+    (19, "-0.2942514865"),
+    (20, "0.2616981118"),
+    (21, "-0.0293798034"),
+    (22, "0.4141434136"),
+    (23, "-0.6211447850"),
+    (24, "-0.3884819353"),
+    (25, "0.2515954137"),
+    (26, "-0.3404869498"),
+    (27, "-0.0144980056"),
+    (28, "0.1805049209"),
+    (29, "-0.2858453917"),
+    (30, "-0.6468036673"),
+    (31, "-0.8117769003"),
+    (32, "-0.1232102727"),
+    (33, "0.2206747853"),
+    (34, "-0.0698027526"),
+    (35, "-0.0644964252"),
+    (36, "0.2301988590"),
+    (37, "0.4815410852"),
+    (38, "-0.0033133832"),
+    (39, "-0.2847893715"),
+    (40, "0.6375198372"),
+    (41, "-0.8569743966"),
+    (42, "0.7491441757"),
+    (43, "0.4061761339"),
+    (44, "-0.2479232830"),
+    (45, "-0.3392041687"),
+    (46, "0.0939737185"),
+    (47, "-0.0349094285"),
+    (48, "0.8520625219"),
+    (49, "-0.1392763946"),
+    (50, "0.1062862601"),
+    (51, "0.2852071448"),
+    (52, "0.4809790259"),
+    (53, "0.1157635864"),
+    (54, "0.0999019383"),
+    (55, "-0.0465666490"),
+    (56, "0.0648924086"),
+    (57, "-0.1224296562"),
+    (58, "-0.5659211865"),
+    (59, "-0.3530298791"),
+    (60, "-0.1658261801"),
+    (61, "0.5926513063"),
+    (62, "0.3994890859"),
+    (63, "0.0517653256"),
+    (64, "0.1669485061"),
+    (65, "-0.7154024746"),
+    (66, "-0.6655764975"),
+    (67, "-1.6305961529"),
+    (68, "0.5829625495"),
+    (69, "0.8588531148"),
+    (70, "-0.0833907549"),
+    (71, "0.5945271327"),
+    (72, "0.2014448026"),
+    (73, "-0.7412490629"),
+    (74, "-0.3248334765"),
+    (75, "-0.8957198405"),
+    (76, "0.2708617265"),
+    (77, "-0.1913094723"),
+    (78, "-0.0737463157"),
+    (79, "-0.4999817798"),
+    (80, "-0.7357620772"),
+    (81, "-0.2159154820"),
+    (82, "-0.0505262655"),
+    (83, "1.1963678161"),
+    (84, "0.2426178154"),
+    (85, "0.4150156080"),
+    (86, "0.1926761054"),
+    (87, "0.2693521444"),
+    (88, "-0.3071045686"),
+    (89, "1.2989682100"),
+    (90, "-1.2868427250"),
+    (91, "-0.2476673581"),
+    (92, "0.0483187266"),
+    (93, "0.5420096819"),
+    (94, "-0.5160638844"),
+    (95, "0.0362994755"),
+    (96, "-0.0997491964"),
+    (97, "0.3541124734"),
+    (98, "0.0721612929"),
+    (99, "0.1454220774"),
+    (100, "0.7965277603"),
+    (101, "1.0082608714"),
+    (102, "0.2576503255"),
+    (103, "-0.6425628338"),
+    (104, "0.2069222768"),
+    (105, "0.0381654003"),
+    (106, "0.2451028603"),
+    (107, "-0.1014923110"),
+    (108, "-0.2450419903"),
+    (109, "0.0392070683"),
+    (110, "0.1107168796"),
+    (111, "0.5540555481"),
+    (112, "-0.3134419864"),
+    (113, "-0.4426743887"),
+    (114, "0.4739206284"),
+    (115, "-0.3746972991"),
+    (116, "0.3059333372"),
+    (117, "0.2134133895"),
+    (118, "0.2009196640"),
+    (119, "-0.4431761480"),
+    (120, "0.1030760799"),
+    (121, "0.2414455516"),
+    (122, "0.0103389301"),
+    (123, "0.1798372089"),
+    (124, "-0.1731719668"),
+    (125, "0.2209505104"),
+    (126, "-1.0517547291"),
+    (127, "0.3847239718"),
+    (128, "-0.3630072384"),
+    (129, "-0.1026450803"),
+    (130, "0.4880632546"),
+    (131, "-0.2863244021"),
+    (132, "0.4605036363"),
+    (133, "-0.0552188773"),
+    (134, "0.2381850992"),
+    (135, "-0.3457890345"),
+    (136, "0.4200867181"),
+    (137, "-0.5370418350"),
+    (138, "0.1064310500"),
+    (139, "0.3225200223"),
+    (140, "-0.3849670880"),
+    (141, "0.0463364485"),
+    (142, "-0.1621213231"),
+    (143, "0.3506791612"),
+    (144, "-0.1077211003"),
+    (145, "-0.0958801375"),
+    (146, "-0.7485096800"),
+    (147, "-0.1021848305"),
+    (148, "0.2118683022"),
+    (149, "-0.3479742483"),
+    (150, "0.4116801556"),
+    (151, "0.2520920719"),
+    (152, "0.1092643821"),
+    (153, "-0.1485394074"),
+    (154, "-0.3725439141"),
+    (155, "0E-10"),
+    (156, "0.0439590660"),
+    (157, "0.2525177415"),
+    (158, "-0.3618820459"),
+    (159, "-0.1634754344"),
+    (160, "0.5049095916"),
+    (161, "-0.0885642511"),
+    (162, "-0.1950659412"),
+    (163, "0E-10"),
+    (164, "-0.0888787952"),
+    (165, "-0.7565626266"),
+    (166, "0.2470371870"),
+    (167, "-0.4054914664"),
+    (168, "0.1584177488"),
+    (169, "0.5272131351"),
+    (170, "-0.4147851013"),
+    (171, "-0.2256666415"),
+    (172, "-0.0634710198"),
+    (173, "-0.4799666072"),
+    (174, "0.5022674117"),
+    (175, "-0.4906586808"),
+    (176, "0.2177949703"),
+    (177, "-0.4200286936"),
+    (178, "0.5474394520"),
+    (179, "-0.0380946510"),
+    (180, "-0.3956919024"),
+    (181, "0.5493015515"),
+    (182, "0.4642246969"),
+    (183, "0.1950762885"),
+    (184, "0.0563646190"),
+    (185, "-0.0143567869"),
+    (186, "-0.0264895803"),
+    (187, "0E-10"),
+    (188, "0.4116750959"),
+    (189, "-0.2637307591"),
+    (190, "0.2075181738"),
+    (191, "-0.3965168633"),
+    (192, "-0.1124191232"),
+    (193, "-0.0827380234"),
+    (194, "-0.7555687861"),
+    (195, "-0.3022932334"),
+    (196, "-0.6342104329"),
+    (197, "-0.1580028562"),
+    (198, "-0.0865632379"),
+    (199, "-0.4578525461"),
+    (200, "-0.4746175200"),
+    (201, "-0.0789515557"),
+    (202, "0.4406760096"),
+    (203, "0.3324837544"),
+    (204, "0.9048918399"),
+    (205, "0.2854685461"),
+    (206, "0.2776770224"),
+    (207, "0.1069914173"),
+    (208, "-0.1234255028"),
+    (209, "-0.6016077672"),
+    (210, "1.2062082346"),
+    (211, "0E-10"),
+    (212, "-1.0098206727"),
+    (213, "0.3066425783"),
+    (214, "-0.0697006013"),
+    (215, "0.0237442993"),
+    (216, "-0.1757951363"),
+    (217, "-0.1742874573"),
+    (218, "0.2092760453"),
+    (219, "-0.1101245778"),
+    (220, "-0.4571411854"),
+    (221, "0.2002898200"),
+    (222, "0.3008814426"),
+    (223, "0.0029866621"),
+    (224, "0.1473986898"),
+    (225, "-0.2706271073"),
+    (226, "0.4822956639"),
+    (227, "-0.6517349322"),
+    (228, "-0.2175787180"),
+    (229, "-0.6903336064"),
+    (230, "-0.7348748913"),
+    (231, "-0.0835509358"),
+    (232, "-0.0649233403"),
+    (233, "0.2359562485"),
+    (234, "-0.0769950514"),
+    (235, "0.2392679442"),
+    (236, "0.1724050019"),
+    (237, "-0.0341258345"),
+    (238, "-0.5217279473"),
+    (239, "-0.2349649945"),
+    (240, "-0.0388067887"),
+    (241, "1.1373654647"),
+    (242, "-0.3120198359"),
+    (243, "-0.3151150236"),
+    (244, "0.6261474453"),
+    (245, "0.2686548296"),
+    (246, "-0.0247609128"),
+    (247, "0E-10"),
+    (248, "-0.5791374176"),
+    (249, "-0.1282033354"),
+    (250, "0.2474496562"),
+    (251, "-0.5398940124"),
+    (252, "-0.6436999385"),
+    (253, "-0.4406481274"),
+    (254, "0.2046525997"),
+    (255, "-0.1737831240"),
+]
+
+
+LR_BUCKETS, LR_TOP = 256, 20
+
+
+def _lr_weights_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(b, float(w)) for b, w in LR_WEIGHTS], "bucket long, weight double"
+    )
+
+
+def q_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: learned quality filter scoring (classify.lr_score) — every
+    document scored under the frozen English-quality LR weight table
+    (one broadcast join of 257 weights against the hashed n-gram design,
+    one decimal-exact per-doc sum; text never shuffles), top-20 by
+    predicted probability with deterministic tiebreak."""
+    from tundradb_spark.pipeline.classify import lr_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        lr_score(docs, _lr_weights_df(spark), n_buckets=LR_BUCKETS)
+        .orderBy(F.desc("prob"), F.asc("doc_id"))
+        .limit(LR_TOP)
+    )
+
+
+def _lr_quality_oracle() -> str:
+    from tundradb_spark.pipeline.classify import lr_score_sql
+
+    inner = lr_score_sql("documents", LR_WEIGHTS, n_buckets=LR_BUCKETS)
+    return (
+        f"SELECT * FROM ({inner})"
+        f" ORDER BY prob DESC, doc_id ASC LIMIT {LR_TOP}"
+    )
+
+
+PARKED_QUERIES["q_lr_quality"] = q_lr_quality
+PARKED_ORACLES["q_lr_quality"] = _lr_quality_oracle()
+
+
+def q_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: calibration gauge for the frozen LR quality filter — the
+    classifier's probabilities against the true ``lang = 'en'`` labels
+    through the existing reliability bins (classify.calibration_bins):
+    per-bin mean predicted probability vs observed positive rate."""
+    from tundradb_spark.pipeline.classify import calibration_bins, lr_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = lr_score(
+        docs, _lr_weights_df(spark), n_buckets=LR_BUCKETS
+    ).join(
+        docs.select("doc_id", F.expr("cast(lang = 'en' as int)")
+                    .alias("label")),
+        "doc_id",
+    )
+    return calibration_bins(scored, prob_col="prob", label_col="label",
+                            n_bins=10)
+
+
+def _lr_calibration_oracle() -> str:
+    from tundradb_spark.pipeline.classify import (
+        calibration_bins_sql,
+        lr_score_sql,
+    )
+
+    inner = lr_score_sql("documents", LR_WEIGHTS, n_buckets=LR_BUCKETS)
+    joined = (
+        f"(SELECT s.prob, CAST(d.lang = 'en' AS INT) AS label"
+        f" FROM ({inner}) s JOIN documents d USING (doc_id))"
+    )
+    return calibration_bins_sql(joined, "prob", "label", n_bins=10)
+
+
+PARKED_QUERIES["q_lr_calibration"] = q_lr_calibration
+PARKED_ORACLES["q_lr_calibration"] = _lr_calibration_oracle()

@@ -3128,3 +3128,143 @@ class TestRowDiff:
         oc = old.withColumn("fm", F.col("f").cast("decimal(18,6)"))
         nc = new.withColumn("fm", F.col("f").cast("decimal(18,6)"))
         assert row_diff(oc, nc, "k", ["fm"]).count() == 0
+
+
+class TestLogisticRegression:
+    """r12 (r11 verdict item 6): learned linear quality classifier —
+    IRLS over additive decimal moments, scored with frozen weights."""
+
+    GOOD = [
+        "the research paper presents detailed analysis of results",
+        "careful methodology with thorough experiments and clear writing",
+        "comprehensive survey of the literature with detailed citations",
+        "the analysis presents clear results and careful discussion",
+    ]
+    JUNK = [
+        "click here buy now cheap cheap deals",
+        "win win win free money click click",
+        "cheap deals buy now free free offer",
+        "click buy cheap win free now now",
+    ]
+
+    def _docs(self, spark):
+        rows = [(i, t, 1) for i, t in enumerate(self.GOOD)] + [
+            (100 + i, t, 0) for i, t in enumerate(self.JUNK)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, label int"
+        )
+
+    def test_train_separates_and_is_deterministic(self, spark):
+        from tundradb_spark.pipeline.classify import lr_score, lr_train
+
+        docs = self._docs(spark)
+        w = lr_train(docs, n_buckets=64, n_iter=4, ridge=1.0)
+        scored = lr_score(docs, w, n_buckets=64).join(
+            docs.select("doc_id", "label"), "doc_id"
+        ).collect()
+        gp = [r["prob"] for r in scored if r["label"] == 1]
+        jp = [r["prob"] for r in scored if r["label"] == 0]
+        assert min(gp) > 0.8 and max(jp) < 0.2
+        # beta_0 = 0, fixed iterations, decimal-exact moments: bit-equal
+        w2 = lr_train(docs, n_buckets=64, n_iter=4, ridge=1.0)
+        assert sorted(map(tuple, w.collect())) == sorted(
+            map(tuple, w2.collect())
+        )
+
+    def test_more_iterations_sharpen_the_fit(self, spark):
+        from tundradb_spark.pipeline.classify import lr_score, lr_train
+
+        docs = self._docs(spark)
+
+        def spread(n_iter):
+            w = lr_train(docs, n_buckets=64, n_iter=n_iter, ridge=1.0)
+            s = lr_score(docs, w, n_buckets=64).join(
+                docs.select("doc_id", "label"), "doc_id"
+            ).collect()
+            gp = min(r["prob"] for r in s if r["label"] == 1)
+            jp = max(r["prob"] for r in s if r["label"] == 0)
+            return gp - jp
+
+        assert spread(3) > spread(1) > 0
+
+    def test_empty_text_scores_on_intercept(self, spark):
+        from tundradb_spark.pipeline.classify import lr_score
+
+        docs = spark.createDataFrame(
+            [(1, ""), (2, None)], "doc_id long, text string"
+        )
+        w = spark.createDataFrame(
+            [(-1, 2.0)] + [(b, 0.5) for b in range(8)],
+            "bucket long, weight double",
+        )
+        got = {r["doc_id"]: r for r in
+               lr_score(docs, w, n_buckets=8).collect()}
+        import math
+
+        sig = round(1.0 / (1.0 + math.exp(-2.0)), 6)
+        assert got[1]["n_feats"] == 0 and got[1]["prob"] == sig
+        assert got[2]["n_feats"] == 0 and got[2]["prob"] == sig
+
+    def test_score_decimal_scale_survives_long_counts(self, spark):
+        # the nb_score/tfidf trap: decimal(20,10) * LONG silently
+        # truncates the product scale to 7 under Spark's precision-loss
+        # rule; lr_score casts the count to decimal(10,0) first so the
+        # logit keeps all 10 weight places
+        from tundradb_spark.pipeline.classify import lr_score
+
+        docs = spark.createDataFrame(
+            [(1, "w w w w w w w")], "doc_id long, text string"
+        )
+        w = spark.createDataFrame(
+            [(-1, 0.0)] + [(b, 0.0000000001) for b in range(8)],
+            "bucket long, weight double",
+        )
+        r = lr_score(docs, w, n_buckets=8).collect()[0]
+        # 13 feature occurrences (7 unigrams + 6 bigrams) x 1e-10
+        assert r["logit"] == 1.3e-09
+
+    def test_validation(self, spark):
+        from tundradb_spark.pipeline.classify import lr_train
+
+        docs = self._docs(spark)
+        with pytest.raises(ValueError):
+            lr_train(docs, n_buckets=1)
+        with pytest.raises(ValueError):
+            lr_train(docs, n_buckets=8192)
+        with pytest.raises(ValueError):
+            lr_train(docs, n_iter=0)
+        with pytest.raises(ValueError):
+            lr_train(docs, ridge=0.0)
+
+    def test_null_labels_drop_from_training(self, spark):
+        from tundradb_spark.pipeline.classify import lr_train
+
+        docs = self._docs(spark)
+        noisy = docs.unionByName(
+            spark.createDataFrame(
+                [(500, "click cheap research paper", None)],
+                "doc_id long, text string, label int",
+            )
+        )
+        w1 = sorted(map(tuple, lr_train(
+            docs, n_buckets=64, n_iter=2).collect()))
+        w2 = sorted(map(tuple, lr_train(
+            noisy, n_buckets=64, n_iter=2).collect()))
+        assert w1 == w2
+
+    def test_weight_literals_match_spark_cast(self, spark):
+        from tundradb_spark.pipeline.classify import lr_weight_literals
+
+        vals = [0.05419099065852047, -1.977354624557643,
+                0.0001220703125, -0.3333333333333333]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)],
+            "bucket long, weight double",
+        )
+        got = {r["bucket"]: str(r["w"]) for r in df.select(
+            "bucket",
+            F.col("weight").cast("decimal(20,10)").alias("w")).collect()}
+        lits = dict(lr_weight_literals(
+            [(i, v) for i, v in enumerate(vals)]))
+        assert got == lits
