@@ -331,11 +331,13 @@ class TestR10AnalyticsSurviveDirtyEvents:
         ).collect()
         by_g = {r["event_type"]: r for r in out}
         # same frame both sides → zero drift everywhere it scores;
-        # NULL type is a group like any other group key? no — NULL
-        # groups survive the groupBy but a NULL key still joins
-        # null-safely nowhere, so they simply never gate in
+        # NULL type is a group like any other (r12: the presence join
+        # is null-safe, so the two sides' NULL groups MATCH instead of
+        # mis-reporting as one ref_only + one cur_only pair)
         for r in out:
+            assert r["status"] == "ok"
             assert (r["psi"], r["jsd"], r["tv"]) == (0.0, 0.0, 0.0)
+        assert None in by_g and by_g[None]["status"] == "ok"
         # 'view': 1.0, 2.0 in-domain; NaN excluded; NULL value dropped
         v = by_g["view"]
         assert (v["n_ref"], v["excluded_ref"]) == (2, 1)

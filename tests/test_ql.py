@@ -1174,3 +1174,84 @@ class TestQLDiffCols:
         from tundradb_spark.ql.shell import hint_for
 
         assert "COLS" in hint_for("DIFF ")
+
+
+class TestQLDiffColsDtypeContract:
+    """r12: DIFF … COLS surfaces row_diff's dtype rejection as a
+    statement-level QueryError (the shell catches QueryError; a bare
+    ValueError would crash script mode instead of counting a failure)."""
+
+    def test_float_column_is_statement_error(self, db, spark):
+        from tundradb_spark.errors import QueryError
+
+        t = spark.createDataFrame(
+            [(0, 1, 1.5)], "row_id long, k long, v double")
+        db.register_node_table("dc_old", t, "row_id",
+                               resume_counter=False)
+        db.register_node_table("dc_new", t, "row_id",
+                               resume_counter=False)
+        with pytest.raises(QueryError, match="DIFF COLS.*decimal"):
+            db.sql("DIFF ON dc_new WITH dc_old ID k COLS v;")
+
+    def test_script_mode_counts_failure_and_continues(self, db, spark):
+        from tundradb_spark.ql.shell import run_script
+
+        t = spark.createDataFrame(
+            [(0, 1, 1.5, "a")], "row_id long, k long, v double, s string")
+        db.register_node_table("dc2_old", t, "row_id",
+                               resume_counter=False)
+        db.register_node_table("dc2_new", t, "row_id",
+                               resume_counter=False)
+        script = ("DIFF ON dc2_new WITH dc2_old ID k COLS v;\n"
+                  "DIFF ON dc2_new WITH dc2_old ID k COLS s;")
+        assert run_script(db, script) == 1  # fails, then continues
+
+
+class TestQLQuality:
+    """r12: QUALITY statement — the shell surface for the learned
+    linear quality filter (pipeline.classify.lr_score with a frozen
+    weight table)."""
+
+    def test_parse_and_defaults(self):
+        st = parse_statement(
+            "QUALITY ON docs WITH w BUCKETS 64 ID k TEXT body UNIGRAMS;")
+        assert isinstance(st, ast.Quality)
+        assert (st.table, st.weights, st.n_buckets, st.id_col,
+                st.text_col, st.bigrams) == (
+            "docs", "w", 64, "k", "body", False)
+        st2 = parse_statement("QUALITY ON docs WITH w;")
+        assert (st2.n_buckets, st2.id_col, st2.text_col,
+                st2.bigrams) == (256, "doc_id", "text", True)
+
+    def test_bad_args_rejected(self):
+        with pytest.raises(QueryError):
+            parse_statement("QUALITY ON docs WITH w BUCKETS 1;")
+        with pytest.raises(QueryError):
+            parse_statement("QUALITY ON docs WITH w BUCKETS 8192;")
+        with pytest.raises(QueryError):
+            parse_statement("QUALITY ON docs;")  # WITH required
+
+    def test_executes_like_operator(self, db, spark):
+        from tundradb_spark.pipeline.classify import lr_score
+
+        docs = spark.createDataFrame(
+            [(0, 1, "good detailed analysis"), (1, 2, "click click buy")],
+            "row_id long, k long, text string",
+        )
+        w = spark.createDataFrame(
+            [(0, -1, 0.5)] + [(b + 1, b, 0.01 * (b % 5)) for b in range(16)],
+            "row_id long, bucket long, weight double",
+        )
+        db.register_node_table("qd", docs, "row_id", resume_counter=False)
+        db.register_node_table("qw", w, "row_id", resume_counter=False)
+        got = rows_set(db.sql("QUALITY ON qd WITH qw BUCKETS 16 ID k;"))
+        want = rows_set(lr_score(
+            db.get_table("qd"), db.get_table("qw"),
+            id_col="k", n_buckets=16))
+        assert got == want and len(got) == 2
+
+    def test_hint_and_completion(self):
+        from tundradb_spark.ql.shell import COMPLETION_KEYWORDS, hint_for
+
+        assert "WITH" in hint_for("QUALITY ")
+        assert "QUALITY" in COMPLETION_KEYWORDS

@@ -1587,8 +1587,17 @@ def drift_score(
             ).alias(f"__m{side}")
         )
 
-    joined = _gather(ref_bins, "r").join(
-        _gather(cur_bins, "c"), group_col, "full_outer"
+    # NULL-SAFE group join (r12): a NULL group key is a group like any
+    # other (the key_skew position — NULL-heavy keys are the most
+    # common real-world skew); a plain equi-join would never match the
+    # two sides' NULL groups and mis-report one as 'ref_only' and the
+    # other as 'cur_only'
+    rg = _gather(ref_bins, "r").withColumnRenamed(group_col, "__gr")
+    cg = _gather(cur_bins, "c").withColumnRenamed(group_col, "__gc")
+    joined = rg.join(
+        cg, F.col("__gr").eqNullSafe(F.col("__gc")), "full_outer"
+    ).select(
+        F.coalesce("__gr", "__gc").alias(group_col), "__mr", "__mc"
     )
 
     def _tot(m: str) -> str:
@@ -1750,12 +1759,16 @@ def distribution_drift_sql(
         FROM cbin GROUP BY {group_col}
     ),
     presence AS (
-        SELECT {group_col},
+        -- null-safe group join: NULL is a group like any other (the
+        -- Spark side joins with <=>); plain USING would split the two
+        -- sides' NULL groups into spurious one-sided rows
+        SELECT coalesce(r.{group_col}, c.{group_col}) AS {group_col},
                CASE WHEN n_ref IS NULL THEN 'cur_only'
                     WHEN n_cur IS NULL THEN 'ref_only'
                     ELSE 'ok' END AS status,
                n_ref, n_cur, excluded_ref, excluded_cur
-        FROM rtot FULL OUTER JOIN ctot USING ({group_col})
+        FROM rtot r FULL OUTER JOIN ctot c
+          ON r.{group_col} IS NOT DISTINCT FROM c.{group_col}
     ),
     gates AS (
         SELECT {group_col}, n_ref, n_cur, excluded_ref, excluded_cur
@@ -1763,10 +1776,12 @@ def distribution_drift_sql(
         WHERE status = 'ok' AND n_ref >= {min_n} AND n_cur >= {min_n}
     ),
     j AS (
-        SELECT {group_col}, bin, r.c AS cr, c.c AS cc
+        SELECT coalesce(r.{group_col}, c.{group_col}) AS {group_col},
+               coalesce(r.bin, c.bin) AS bin, r.c AS cr, c.c AS cc
         FROM (SELECT * FROM rbin WHERE bin >= 0) r
         FULL OUTER JOIN (SELECT * FROM cbin WHERE bin >= 0) c
-        USING ({group_col}, bin)
+          ON r.{group_col} IS NOT DISTINCT FROM c.{group_col}
+         AND r.bin = c.bin
     ),
     terms AS (
         SELECT j.{group_col}, g.n_ref, g.n_cur,
@@ -1774,7 +1789,8 @@ def distribution_drift_sql(
                CAST({psi_t} AS DECIMAL(28,18)) AS psi_t,
                CAST({jsd_t} AS DECIMAL(28,18)) AS jsd_t,
                CAST({tv_t} AS DECIMAL(28,18)) AS tv_t
-        FROM j JOIN gates g USING ({group_col})
+        FROM j JOIN gates g
+          ON j.{group_col} IS NOT DISTINCT FROM g.{group_col}
     )
     SELECT {group_col}, 'ok' AS status,
            CAST(max(n_ref) AS BIGINT) AS n_ref,

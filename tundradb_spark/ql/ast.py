@@ -378,6 +378,22 @@ class Diff:
     summary: bool = False
 
 
+@dataclass(frozen=True)
+class Quality:
+    """QUALITY ON <docs> WITH <weights> [BUCKETS n] [ID col] [TEXT col]
+    [UNIGRAMS] — learned linear quality-filter scoring
+    (pipeline.classify.lr_score): every document scored under a frozen
+    LR weight table ``(bucket, weight)`` with the intercept at
+    ``bucket = -1``."""
+
+    table: str
+    weights: str
+    n_buckets: int = 256
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    bigrams: bool = True
+
+
 Statement = (
     CreateSchema
     | CreateNode
@@ -406,4 +422,5 @@ Statement = (
     | Skew
     | Fanout
     | Trend
+    | Quality
 )

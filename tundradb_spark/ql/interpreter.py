@@ -348,13 +348,20 @@ def execute_ast(db: "Database", stmt: ast.Statement) -> DataFrame | None:
         )
 
         if stmt.cols is not None:
-            return row_diff(
-                db.get_table(stmt.old),
-                db.get_table(stmt.new),
-                stmt.id_col,
-                list(stmt.cols),
-                include_unchanged=stmt.include_unchanged,
-            )
+            # row_diff's dtype contract raises ValueError on columns the
+            # portable digest can't render (raw float/double, nested
+            # types) — surface it as a statement error, not a shell
+            # crash (run_script catches QueryError only)
+            try:
+                return row_diff(
+                    db.get_table(stmt.old),
+                    db.get_table(stmt.new),
+                    stmt.id_col,
+                    list(stmt.cols),
+                    include_unchanged=stmt.include_unchanged,
+                )
+            except ValueError as e:
+                raise QueryError(f"DIFF COLS: {e}") from e
         if stmt.summary:
             return corpus_diff_summary(
                 db.get_table(stmt.old),
@@ -380,6 +387,18 @@ def execute_ast(db: "Database", stmt: ast.Statement) -> DataFrame | None:
             ts_col=stmt.ts_col,
             epoch_us=stmt.epoch_us,
             min_n=stmt.min_n,
+        )
+
+    if isinstance(stmt, ast.Quality):
+        from tundradb_spark.pipeline.classify import lr_score
+
+        return lr_score(
+            db.get_table(stmt.table),
+            db.get_table(stmt.weights),
+            text_col=stmt.text_col,
+            id_col=stmt.id_col,
+            n_buckets=stmt.n_buckets,
+            bigrams=stmt.bigrams,
         )
 
     if isinstance(stmt, ast.Skew):

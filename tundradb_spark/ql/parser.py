@@ -284,6 +284,8 @@ class Parser:
             stmt = self.fanout_statement()
         elif kw == "TREND":
             stmt = self.trend_statement()
+        elif kw == "QUALITY":
+            stmt = self.quality_statement()
         else:
             raise QueryError(f"TundraQL: unknown statement {kw!r}")
         self.accept(";")
@@ -1154,6 +1156,44 @@ class Parser:
             value_col=value_col,
             ts_col=ts_col,
             min_n=min_n,
+        )
+
+    def quality_statement(self) -> ast.Quality:
+        """QUALITY ON docs WITH weights [BUCKETS n] [ID col] [TEXT col]
+        [UNIGRAMS]"""
+        self.expect("QUALITY")
+        self.expect("ON")
+        table = self.ident()
+        self.expect("WITH")
+        weights = self.ident()
+        n_buckets, id_col, text_col, bigrams = 256, "doc_id", "text", True
+        while True:
+            if self.at_kw("BUCKETS"):
+                self.next()
+                n_buckets = self._int_clause("BUCKETS")
+            elif self.at_kw("ID"):
+                self.next()
+                id_col = self.ident()
+            elif self.at_kw("TEXT"):
+                self.next()
+                text_col = self.ident()
+            elif self.at_kw("UNIGRAMS"):
+                self.next()
+                bigrams = False
+            else:
+                break
+        if not 2 <= n_buckets <= 4096:
+            raise QueryError(
+                "TundraQL: QUALITY BUCKETS must be in [2, 4096] (must"
+                " match the weight table's training dimension)"
+            )
+        return ast.Quality(
+            table=table,
+            weights=weights,
+            n_buckets=n_buckets,
+            id_col=id_col,
+            text_col=text_col,
+            bigrams=bigrams,
         )
 
     def skew_statement(self) -> ast.Skew:

@@ -77,6 +77,7 @@ COMPLETION_KEYWORDS = [
     "FUNNEL", "RETENTION", "OUTLIERS", "CUSUM", "NGRAMS", "MARKOV",
     "SIMILARITY", "COOCCURRENCE", "WINSORIZE", "BENFORD", "CALIBRATION",
     "RRF", "DRIFT", "TOKENDRIFT", "DIFF", "SKEW", "FANOUT", "TREND",
+    "QUALITY",
     "ON",
 ]
 
@@ -115,6 +116,7 @@ HINTS = {
     "SKEW ": "ON table KEY col [TOP n]",
     "FANOUT ": "ON table_a WITH table_b KEY col [KEYB col] [TOP n]",
     "TREND ": "ON table EPOCH micros [GROUP col] [VALUE col] [TS col] [MIN n]",
+    "QUALITY ": "ON docs WITH weights [BUCKETS n] [ID col] [TEXT col] [UNIGRAMS]",
 }
 
 
