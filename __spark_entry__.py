@@ -214,9 +214,13 @@ module).  Parked in exchange: q_dedup_recall (the FULL-mode gauge —
 duplicate mass; its 100 TB path q_dedup_recall_sampled takes the seat,
 r11 verdict "what's wrong" item 2) and the 9 longest-green rows whose
 operators r12 doesn't touch — q_dml (streak 10), q_versioned,
-q_snapshot (9), q_bfs_levels (8), q_text_scores, q_text_quality,
-q_text_profile, q_sample_stratified, q_pipeline_e2e (7).  The four
-baseline anchors stay seated as always.  The never-checked queue is now
+q_snapshot (9), q_text_scores, q_text_quality, q_text_profile,
+q_sample_stratified, q_pipeline_e2e (7), q_resample (6).  The four
+baseline anchors stay seated as always, and q_bfs_levels (streak 8)
+stays seated DESPITE outranking the parked 7s: it is the only seated
+GRAPH_ITER query, so parking it would leave the bench's
+fresh-JVM-per-graph-query path and spread-gate floor with no subject
+(the r11 tie-break rationale, carried forward).  The never-checked queue is now
 CONTRACT-TESTED (tests/test_seating_contract.py computes
 ``set(parked) − set(ever-driver-checked)`` from the CORRECTNESS_r*.json
 history and pins it to the documented queue) so parked rows can never
@@ -4390,8 +4394,12 @@ PARKED_ORACLES["q_row_diff_numeric"] = _row_diff_numeric_oracle()
 # seated so the quiet-load re-measurement lands in the shipped artifact.
 # Streak ranking (consecutive green driver rounds ending r11, computed
 # from CORRECTNESS_r01..r11): q_dml 10; q_versioned/q_snapshot 9;
-# q_bfs_levels 8; q_text_scores/q_text_quality/q_text_profile/
-# q_sample_stratified/q_pipeline_e2e 7.
+# q_bfs_levels 8 — deliberately KEPT SEATED despite outranking the 7s:
+# it is the only seated GRAPH_ITER query, and parking it would leave the
+# bench's fresh-JVM-per-graph-query path and the tightened spread-gate
+# floor with no subject (the r11 tie-break rationale, carried forward);
+# q_text_scores/q_text_quality/q_text_profile/q_sample_stratified/
+# q_pipeline_e2e 7; q_resample 6 fills the tenth slot.
 # ---------------------------------------------------------------------------
 
 _SEAT_R12 = [
@@ -4415,12 +4423,12 @@ _PARK_R12 = [
     "q_dml",
     "q_versioned",
     "q_snapshot",
-    "q_bfs_levels",
     "q_text_scores",
     "q_text_quality",
     "q_text_profile",
     "q_sample_stratified",
     "q_pipeline_e2e",
+    "q_resample",
 ]
 
 for _n in _SEAT_R12:
