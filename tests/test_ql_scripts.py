@@ -185,7 +185,8 @@ def test_analytics_statement_chain_script(db, spark):
     statement the shell supports — FUNNEL RETENTION OUTLIERS CUSUM
     NGRAMS MARKOV SIMILARITY COOCCURRENCE WINSORIZE BENFORD CALIBRATION
     RRF DRIFT TOKENDRIFT DIFF (corpus + SUMMARY + COLS) SKEW FANOUT
-    TREND — through the script runner, pinning the SHELL path (parse →
+    TREND QUALITY — through the script runner, pinning the SHELL path
+    (parse →
     execute → ASCII render) per statement, the reference's level-4
     testing model (test_scripts/run_all_tests_with_assertions.sh,
     SURVEY.md §5).  test_ql.py pins execute == operator per statement;
@@ -234,10 +235,15 @@ def test_analytics_statement_chain_script(db, spark):
         [(0, 1, 10), (1, 2, 10), (2, 1, 11), (3, 2, 11), (4, 3, 12)],
         "row_id long, id_a long, id_b long",
     )
+    lr_w = spark.createDataFrame(
+        [(0, -1, 0.25)] + [(b + 1, b, 0.02 * (b % 3)) for b in range(16)],
+        "row_id long, bucket long, weight double",
+    )
     for name, df in [
         ("ev", ev), ("probs", probs), ("rank_a", rank_a),
         ("rank_b", rank_b), ("docs_old", docs_old),
         ("docs_new", docs_new), ("sim_pairs", sim_pairs),
+        ("lr_w", lr_w),
     ]:
         db.register_node_table(name, df, "row_id" if name != "docs_old"
                                and name != "docs_new" else "doc_id",
@@ -265,10 +271,11 @@ DIFF ON docs_new WITH docs_old ID id COLS text;
 SKEW ON ev KEY event_type TOP 3;
 FANOUT ON ev WITH ev KEY user_id TOP 3;
 TREND ON ev EPOCH 0 GROUP event_type VALUE value TS ts MIN 1;
+QUALITY ON docs_new WITH lr_w BUCKETS 16 ID id;
 """
     out, failures = run(db, script)
     assert failures == 0, out
-    assert "-- 21 statement(s) executed, 0 failed" in out
+    assert "-- 22 statement(s) executed, 0 failed" in out
     # one distinctive rendered column per statement family — proves each
     # result table actually reached the ASCII sink
     for marker in [
@@ -292,5 +299,6 @@ TREND ON ev EPOCH 0 GROUP event_type VALUE value TS ts MIN 1;
         "cum_share",        # SKEW (with the r12 is_null column)
         "est_rows",         # FANOUT
         "slope_per_day",    # TREND
+        "logit",            # QUALITY
     ]:
         assert marker in out, f"missing rendered column {marker!r}"
