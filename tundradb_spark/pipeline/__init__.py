@@ -21,6 +21,10 @@ operations a large-scale LLM training-data pipeline needs, built Spark-first:
   portable hash family
 - :mod:`importance` — DSIR hashed n-gram importance weights (target-domain
   log-likelihood ratios) for importance resampling
+- :mod:`classify` — in-engine text classifiers: closed-form multinomial
+  Naive Bayes, the r12 IRLS logistic-regression quality filter over hashed
+  n-gram features (``lr_train`` / ``lr_score``), and reliability-diagram
+  calibration bins with a streaming twin
 - :mod:`recipe` — the composed corpus-prep pipeline (gate → dedup → chunk →
   sample as one lazy plan)
 - :mod:`multimodal` — binary (image/audio/video) column plumbing with
