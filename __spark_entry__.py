@@ -4457,7 +4457,8 @@ if set(PARKED_QUERIES) != set(PARKED_ORACLES):
 #: r11 verdict found q_text_lm/q_text_repetition had done exactly that
 #: since ~r5 because the hand-maintained note undercounted).
 SEATING_QUEUE = frozenset(
-    {"q_row_diff_numeric", "q_lr_quality", "q_lr_calibration"}
+    {"q_row_diff_numeric", "q_lr_quality", "q_lr_calibration",
+     "q_salted_join", "q_leakage_split"}
 )
 
 #: the four rows that must stay seated through every rotation — their
@@ -4818,3 +4819,112 @@ def _lr_calibration_oracle() -> str:
 
 PARKED_QUERIES["q_lr_calibration"] = q_lr_calibration
 PARKED_ORACLES["q_lr_calibration"] = _lr_calibration_oracle()
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: skew-mitigated equi-join (relational.salted_join — the
+    MITIGATION half of the q_key_skew/q_join_fanout diagnostics):
+    lineitem ⋈ orders with four explicitly-salted hot keys (salt 8) and
+    the result aggregated per order priority.  The operator's contract
+    is that salting NEVER changes the result multiset, so the oracle is
+    the PLAIN SQL join — the strongest possible check that the
+    scatter/replicate machinery is invisible."""
+    from tundradb_spark.operators.relational import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    j = salted_join(
+        li, od, "l_orderkey", "o_orderkey",
+        hot_keys=["1", "2", "3", "7"], salt=8,
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(28,10)"))
+            .cast("decimal(38,10)")
+            .alias("sum_qty"),
+        )
+    )
+
+
+def _salted_join_oracle() -> str:
+    return """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(28,10)))
+                AS DECIMAL(38,10)) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """
+
+
+PARKED_QUERIES["q_salted_join"] = q_salted_join
+PARKED_ORACLES["q_salted_join"] = _salted_join_oracle()
+
+
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: leakage-safe train/val/test split
+    (sampling.leakage_safe_split): the hash coin flips on the
+    MinHash-LSH dup-CLUSTER key (connected components' min member id),
+    so near-duplicates can never straddle splits — the contamination
+    channel decontamination can't see.  Singletons key on themselves,
+    i.e. they keep exactly the q_split assignment."""
+    from tundradb_spark.pipeline.queries import (
+        PIPELINE_QUERIES, SPLIT_BP,
+    )
+    from tundradb_spark.pipeline.sampling import leakage_safe_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = PIPELINE_QUERIES["q_dedup_minhash"](spark, sf_dir)
+    return leakage_safe_split(docs, pairs, SPLIT_BP).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "split_key",
+        "split",
+    )
+
+
+def _leakage_split_oracle() -> str:
+    from tundradb_spark.pipeline.hashing import h32_sql
+    from tundradb_spark.pipeline.queries import (
+        PIPELINE_ORACLES, SPLIT_BP,
+    )
+
+    arg = "'97:' || CAST(split_key AS VARCHAR)"
+    coin = f"({h32_sql(arg)}) % 10000"
+    cases, lo = [], 0
+    for label, bp in sorted(SPLIT_BP.items()):
+        hi = lo + bp
+        cases.append(
+            f"WHEN {coin} >= {lo} AND {coin} < {hi} THEN '{label}'"
+        )
+        lo = hi
+    whens = " ".join(cases)
+    return f"""
+    WITH RECURSIVE pairs AS ({PIPELINE_ORACLES['q_dedup_minhash']}),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+    ),
+    comp AS (
+        SELECT a AS vertex, LEAST(a, MIN(b)) AS component
+        FROM reach GROUP BY a
+    ),
+    keyed AS (
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+               CAST(coalesce(c.component, d.doc_id) AS BIGINT)
+                   AS split_key
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.vertex
+    )
+    SELECT doc_id, split_key, CASE {whens} END AS split FROM keyed
+    """
+
+
+PARKED_QUERIES["q_leakage_split"] = q_leakage_split
+PARKED_ORACLES["q_leakage_split"] = _leakage_split_oracle()

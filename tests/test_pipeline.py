@@ -3268,3 +3268,63 @@ class TestLogisticRegression:
         lits = dict(lr_weight_literals(
             [(i, v) for i, v in enumerate(vals)]))
         assert got == lits
+
+
+class TestLeakageSafeSplit:
+    """r12: split on the dup-cluster key so near-duplicates never
+    straddle train/val/test."""
+
+    SPLITS = {"train": 8000, "val": 1000, "test": 1000}
+
+    def _fixture(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"text {i}") for i in range(200)],
+            "doc_id long, text string",
+        )
+        # three dup clusters: {1,2,3}, {50,51}, {120,121,122,123}
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (50, 51), (120, 121), (121, 122),
+             (122, 123)],
+            "id_a long, id_b long",
+        )
+        return docs, pairs
+
+    def test_clusters_never_straddle_and_singletons_match_plain(
+        self, spark
+    ):
+        from tundradb_spark.pipeline.sampling import (
+            leakage_safe_split, split_corpus,
+        )
+
+        docs, pairs = self._fixture(spark)
+        out = leakage_safe_split(docs, pairs, self.SPLITS)
+        rows = {r["doc_id"]: (r["split_key"], r["split"])
+                for r in out.collect()}
+        assert len(rows) == 200
+        # every pair's two docs share key AND split
+        for a, b in [(1, 2), (2, 3), (50, 51), (120, 123)]:
+            assert rows[a] == rows[b]
+        # cluster key = min member id
+        assert rows[3][0] == 1 and rows[123][0] == 120
+        # singletons keep EXACTLY the plain split_corpus assignment
+        plain = {r["doc_id"]: r["split"]
+                 for r in split_corpus(docs, self.SPLITS).collect()}
+        members = {1, 2, 3, 50, 51, 120, 121, 122, 123}
+        for d, (_, s) in rows.items():
+            if d not in members:
+                assert s == plain[d], d
+
+    def test_deterministic_and_validated(self, spark):
+        from tundradb_spark.pipeline.sampling import leakage_safe_split
+
+        docs, pairs = self._fixture(spark)
+        a = sorted(map(tuple, leakage_safe_split(
+            docs, pairs, self.SPLITS).collect()))
+        b = sorted(map(tuple, leakage_safe_split(
+            docs, pairs, self.SPLITS).collect()))
+        assert a == b
+        with pytest.raises(ValueError):
+            leakage_safe_split(docs, pairs, {"train": 5000})
+        with pytest.raises(ValueError):
+            leakage_safe_split(
+                docs, pairs, {"a": 11000, "b": -1000})

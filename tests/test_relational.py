@@ -1037,3 +1037,97 @@ class TestJoinFanout:
         a = self._t(spark, ["p"])
         b = self._t(spark, ["q"])
         assert join_fanout(a, b, "k").count() == 0
+
+
+class TestSaltedJoin:
+    """r12: skew-mitigated equi-join — result must be EXACTLY the plain
+    join (the mitigation half of the key_skew/join_fanout diagnostics)."""
+
+    def _skewed(self, spark):
+        # key 'hot' carries 80% of a's rows; b has 3 rows per key
+        a = spark.createDataFrame(
+            [(i, "hot" if i % 10 < 8 else f"k{i % 10}", i * 1.5)
+             for i in range(200)],
+            "rid long, k string, v double",
+        )
+        b = spark.createDataFrame(
+            [(f"{k}", j, k * 100 + j) for k in ["hot", "k8", "k9"]
+             for j in range(3)][:9] if False else
+            [(k, j) for k in ["hot", "k8", "k9"] for j in range(3)],
+            "kk string, payload long",
+        )
+        return a, b
+
+    def _rows(self, df):
+        return sorted(map(tuple, df.collect()))
+
+    def test_inner_equals_plain_join(self, spark):
+        from tundradb_spark.operators.relational import salted_join
+
+        a, b = self._skewed(spark)
+        plain = a.join(b, a["k"] == b["kk"], "inner")
+        salted = salted_join(a, b, "k", "kk", hot_keys=["hot"], salt=4)
+        assert self._rows(salted) == self._rows(plain)
+
+    def test_left_keeps_unmatched_once(self, spark):
+        from tundradb_spark.operators.relational import salted_join
+
+        a, b = self._skewed(spark)
+        plain = a.join(b, a["k"] == b["kk"], "left")
+        salted = salted_join(a, b, "k", "kk", how="left",
+                             hot_keys=["hot"], salt=8)
+        assert self._rows(salted) == self._rows(plain)
+
+    def test_auto_probe_finds_the_hot_key(self, spark):
+        from tundradb_spark.operators.relational import salted_join
+
+        a, b = self._skewed(spark)
+        plain = a.join(b, a["k"] == b["kk"], "inner")
+        # no hot_keys given: one key_skew probe derives {'hot'} (80%)
+        salted = salted_join(a, b, "k", "kk", salt=4, min_share=0.5)
+        assert self._rows(salted) == self._rows(plain)
+
+    def test_no_hot_keys_degenerates_to_plain_join(self, spark):
+        from tundradb_spark.operators.relational import salted_join
+
+        a = spark.createDataFrame(
+            [(i, f"k{i}") for i in range(20)], "rid long, k string")
+        b = spark.createDataFrame(
+            [(f"k{i}", i) for i in range(20)], "kk string, p long")
+        out = salted_join(a, b, "k", "kk", min_share=0.5)
+        assert out.count() == 20 and "__salt" not in out.columns
+
+    def test_null_keys_pass_through_unsalted(self, spark):
+        from tundradb_spark.operators.relational import salted_join
+
+        a = spark.createDataFrame(
+            [(1, None), (2, "hot")], "rid long, k string")
+        b = spark.createDataFrame(
+            [("hot", 7)], "kk string, p long")
+        inner = salted_join(a, b, "k", "kk", hot_keys=["hot"], salt=4)
+        assert inner.count() == 1
+        left = salted_join(a, b, "k", "kk", how="left",
+                           hot_keys=["hot"], salt=4)
+        assert left.count() == 2  # NULL-key row survives exactly once
+
+    def test_b_side_replicates_hot_keys_only(self, spark):
+        from tundradb_spark.operators.relational import salted_join
+
+        a, b = self._skewed(spark)
+        out = salted_join(a, b, "k", "kk", hot_keys=["hot"], salt=4)
+        # structural check via the plan: b side carries an explode of a
+        # 4-element sequence, a side a pmod scatter
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "explode" in plan.lower()
+
+    def test_validation(self, spark):
+        from tundradb_spark.errors import QueryError
+        from tundradb_spark.operators.relational import salted_join
+
+        a, b = self._skewed(spark)
+        with pytest.raises(QueryError):
+            salted_join(a, b, "k", "kk", how="full")
+        with pytest.raises(QueryError):
+            salted_join(a, b, "k", "kk", salt=1)
+        with pytest.raises(QueryError):
+            salted_join(a, b, "k", "kk", min_share=0.0)

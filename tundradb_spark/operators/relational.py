@@ -1575,3 +1575,93 @@ def join_fanout_sql(
            CAST(est_rows AS DECIMAL(38,0)) AS est_rows
     FROM ranked WHERE rank <= {top_n}
     """
+
+
+def salted_join(
+    a: DataFrame,
+    b: DataFrame,
+    key_a: str,
+    key_b: str | None = None,
+    how: str = "inner",
+    hot_keys: list | None = None,
+    salt: int = 16,
+    min_share: float = 0.05,
+    probe_top_n: int = 20,
+) -> DataFrame:
+    """Skew-mitigated equi-join: the MITIGATION half of the pre-shuffle
+    diagnostics (:func:`key_skew` reports the hot keys, this operator
+    neutralizes them) for the cases AQE's runtime skew-split cannot
+    reach — hot keys so large one post-split partition still straggles,
+    or plans where the skewed exchange is reused and AQE declines to
+    split it.
+
+    Result is EXACTLY the plain equi-join (same multiset of rows —
+    the oracle twin IS ``a JOIN b``): ``a``'s hot-key rows scatter
+    across ``salt`` sub-keys by a deterministic row hash, ``b``'s
+    hot-key rows replicate once per sub-key, every non-hot row keeps
+    sub-key 0, and the join runs on ``(key, sub-key)`` — each former
+    single-reducer hot key becomes ``salt`` evenly-loaded reducers at
+    the price of ``(hot b-rows) × salt`` replicas, which is why only
+    HOT keys are salted, never the whole table.
+
+    ``hot_keys``: explicit list (cast to string — the :func:`key_skew`
+    report's key rendering), or ``None`` to derive them with one
+    :func:`key_skew` probe over ``a`` (keys with ``share >=
+    min_share`` among the top ``probe_top_n``; a bounded
+    top-N collect, same model-state class as k-means centroids).
+    NULL keys never join in an inner equi-join and pass through
+    un-salted; ``how`` supports ``inner`` and ``left`` (the shapes
+    where ``a`` is the big probe side — RIGHT/FULL would also need
+    ``b``'s unmatched rows deduplicated across replicas).
+
+    Plan / 100 TB shape: one optional key_skew probe (map-side groupBy
+    + top-N), then ONE shuffle of each side on ``(key, __salt)`` —
+    identical exchange count to the plain join; the scatter hash and
+    replicate-explode are narrow projections.
+    """
+    if how not in ("inner", "left"):
+        raise QueryError(
+            f"salted_join supports how in ('inner', 'left'), got {how!r}"
+        )
+    if salt < 2:
+        raise QueryError(f"salt must be >= 2, got {salt}")
+    if not 0.0 < min_share <= 1.0:
+        raise QueryError(f"min_share must be in (0, 1], got {min_share}")
+    kb = key_a if key_b is None else key_b
+    if hot_keys is None:
+        report = key_skew(a, key_a, top_n=probe_top_n).collect()
+        hot_keys = [
+            r["key"] for r in report
+            if r["share"] >= min_share and not r["is_null"]
+        ]
+    hot = [str(k) for k in hot_keys]
+    if not hot:
+        return a.join(b, a[key_a] == b[kb], how)
+
+    hot_arr = F.array(*[F.lit(k) for k in hot])
+    a_key_s = F.col(key_a).cast("string")
+    b_key_s = F.col(kb).cast("string")
+    # scatter: deterministic per-row hash over ALL of a's columns —
+    # routing only, the join result is salt-invariant
+    scatter = F.pmod(F.xxhash64(*[F.col(c) for c in a.columns]),
+                     F.lit(salt)).cast("int")
+    a_s = a.withColumn(
+        "__salt",
+        F.when(F.array_contains(hot_arr, a_key_s), scatter)
+        .otherwise(F.lit(0).cast("int")),
+    )
+    b_s = b.withColumn(
+        "__rep",
+        F.when(
+            F.array_contains(hot_arr, b_key_s),
+            F.sequence(F.lit(0), F.lit(salt - 1)),
+        ).otherwise(F.array(F.lit(0))),
+    ).withColumn("__exp", F.explode("__rep")).withColumn(
+        "__salt", F.col("__exp").cast("int")
+    ).drop("__rep", "__exp")
+    joined = a_s.join(
+        b_s,
+        (a_s[key_a] == b_s[kb]) & (a_s["__salt"] == b_s["__salt"]),
+        how,
+    )
+    return joined.drop("__salt")

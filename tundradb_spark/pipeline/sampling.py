@@ -451,6 +451,12 @@ def split_corpus(
     if any(bp < 0 for bp in splits.values()):
         raise ValueError(f"split basis points must be >= 0: {splits}")
     coin = sample_hash_col(id_col, seed)
+    return docs.withColumn("split", _split_label_expr(coin, splits))
+
+
+def _split_label_expr(coin: Column, splits: dict[str, int]) -> Column:
+    """The label-sorted basis-point CASE ladder shared by
+    :func:`split_corpus` and :func:`leakage_safe_split`."""
     expr = None
     lo = 0
     for label, bp in sorted(splits.items()):
@@ -462,7 +468,64 @@ def split_corpus(
             else expr.when(cond, F.lit(label))
         )
         lo = hi
-    return docs.withColumn("split", expr)
+    return expr
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    splits: dict[str, int],
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    seed: int = 97,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Train/val/test split that near-duplicates can never straddle:
+    :func:`split_corpus` flips its hash coin on the DUP-CLUSTER key
+    instead of the document id, so every member of a duplicate cluster
+    lands in the SAME split — the leakage guard a benchmark-grade
+    pipeline needs (a near-copy of a validation document inside train
+    is contamination :mod:`~tundradb_spark.pipeline.decontaminate`
+    can't see, because it entered through the split, not the benchmark).
+
+    ``pairs`` is any duplicate-pair frame (MinHash-LSH, SimHash,
+    embedding pairs — the :mod:`dedup` miners' common output shape);
+    connected components over it assign each doc its cluster's MIN id
+    as ``split_key``; docs in no pair key on themselves, so
+    non-duplicates get EXACTLY the :func:`split_corpus` assignment
+    (same seed → only cluster members ever move).
+
+    Plan / 100 TB shape: the component propagation is pair-graph-sized
+    (duplicate pairs, not the corpus); the corpus pays ONE left hash
+    join on the id plus a narrow hash-coin projection.  Deterministic
+    end-to-end — same engine-portable md5 coin as every sampler here.
+
+    Output: docs columns + ``split_key`` (long) + ``split``.
+    """
+    total = sum(splits.values())
+    if total != 10000:
+        raise ValueError(
+            f"split basis points must sum to 10000, got {total}: {splits}"
+        )
+    if any(bp < 0 for bp in splits.values()):
+        raise ValueError(f"split basis points must be >= 0: {splits}")
+    from tundradb_spark.graphs.algorithms import connected_components
+
+    cc = connected_components(pairs, src, dst, max_iters=max_iters).select(
+        F.col("vertex").alias("__v"), F.col("component").alias("__comp")
+    )
+    keyed = docs.join(
+        cc, docs[id_col] == cc["__v"], "left"
+    ).select(
+        *[docs[c] for c in docs.columns],
+        F.coalesce("__comp", docs[id_col]).cast("long").alias("split_key"),
+    )
+    coin = (
+        h32(F.concat(F.lit(f"{seed}:"),
+                     F.col("split_key").cast("string"))) % 10000
+    )
+    return keyed.withColumn("split", _split_label_expr(coin, splits))
 
 
 def cdc_chunks(
