@@ -880,3 +880,23 @@ def test_value_trend_one_aggregate(spark):
     plan = audit.formatted_plan(df)
     assert "partial" in plan.lower(), plan
     assert audit.count_exchanges(df) <= 1, plan
+
+
+def test_salted_join_adds_no_exchanges_over_plain_join(spark):
+    """r12: salting must not add shuffles — the scatter hash and the
+    replicate-explode are narrow projections feeding the SAME
+    exchange count as the plain join (just on (key, salt) instead of
+    key), or the mitigation would cost what it saves."""
+    from tundradb_spark.operators.relational import salted_join
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    od = spark.read.parquet(f"{SF}/orders.parquet")
+    plain = li.join(od, li["l_orderkey"] == od["o_orderkey"])
+    salted = salted_join(
+        li, od, "l_orderkey", "o_orderkey",
+        hot_keys=["1", "2", "3"], salt=8,
+    )
+    audit.assert_no_nested_loop(salted)
+    assert audit.count_exchanges(salted) <= max(
+        audit.count_exchanges(plain), 2
+    )

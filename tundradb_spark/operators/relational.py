@@ -1616,8 +1616,14 @@ def salted_join(
 
     Plan / 100 TB shape: one optional key_skew probe (map-side groupBy
     + top-N), then ONE shuffle of each side on ``(key, __salt)`` —
-    identical exchange count to the plain join; the scatter hash and
-    replicate-explode are narrow projections.
+    identical exchange count to the plain join (test-pinned); the
+    scatter hash and replicate-explode are narrow projections.
+    Measured (SCALE_PROBE_r12): a 6M-row join with one key at 70% of
+    the rows dropped its max reducer load 12.5× at salt 32.  Caveat:
+    the scatter hashes the ROW's columns, so its flatness is bounded by
+    hot-row distinctness — a hot key whose rows are near-identical
+    scatters only as far as their distinct values (the probe's
+    synthetic 50-value rows reached 12.5× of the theoretical 32×).
     """
     if how not in ("inner", "left"):
         raise QueryError(
