@@ -3328,3 +3328,46 @@ class TestLeakageSafeSplit:
         with pytest.raises(ValueError):
             leakage_safe_split(
                 docs, pairs, {"a": 11000, "b": -1000})
+
+
+class TestLrInlineScoring:
+    """r12: lr_logit_col / lr_prob_col — the stateless expression-only
+    face of the quality filter, pinned bit-equal to the join-based
+    lr_score."""
+
+    def test_inline_equals_join_scorer(self, spark):
+        from tundradb_spark.pipeline.classify import (
+            lr_logit_col, lr_prob_col, lr_score,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "good detailed analysis of results"),
+             (2, "click click buy now"),
+             (3, ""), (4, None), (5, "one")],
+            "doc_id long, text string",
+        )
+        weights = [(-1, 0.25)] + [(b, 0.01 * (b % 7) - 0.02)
+                                  for b in range(32)]
+        wdf = spark.createDataFrame(weights, "bucket long, weight double")
+        join_based = {r["doc_id"]: (r["logit"], r["prob"])
+                      for r in lr_score(docs, wdf, n_buckets=32).collect()}
+        inline = {r["doc_id"]: (r["logit"], r["prob"])
+                  for r in docs.select(
+                      "doc_id",
+                      lr_logit_col(weights, n_buckets=32).cast("double")
+                      .alias("logit"),
+                      lr_prob_col(weights, n_buckets=32).alias("prob"),
+                  ).collect()}
+        # including NULL text: both paths score the bare intercept
+        assert inline == join_based
+
+    def test_no_shuffle_in_plan(self, spark):
+        from tundradb_spark.pipeline.classify import lr_prob_col
+        from tundradb_spark.plans import audit
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        df = docs.select(
+            "doc_id", lr_prob_col([(-1, 0.1), (0, 0.2)], n_buckets=8)
+            .alias("q"))
+        assert audit.count_exchanges(df) == 0

@@ -463,6 +463,58 @@ class TestStreamGateCorpus:
         # arbitrary member — documented on stream_gate_corpus)
         assert len(got) == 2 and got[1] == 4 and got[0] in (0, 1)
 
+    def test_quality_gate_drops_low_prob_rows(self, spark, tmp_path):
+        """r12: the optional learned-quality gate (classify.lr_prob_col,
+        stateless inline fold) drops rows scoring below min_quality —
+        pinned against the batch lr_score probabilities on the same
+        frozen weights."""
+        import os
+
+        from tundradb_spark.pipeline.classify import lr_score
+        from tundradb_spark.streaming import stream_gate_corpus
+
+        src = str(tmp_path / "qsrc")
+        os.makedirs(src)
+        texts = [
+            (0, "solid careful analysis with detailed clear results"),
+            (1, "buy cheap click now win free offer deal"),
+            (2, "another genuinely informative research document body"),
+        ]
+        # ts shifted off epoch 0: a ts-0 row sits AT the stream's
+        # initial watermark and dropDuplicatesWithinWatermark sheds it
+        # as late (probed r12) — unrelated to the gate under test
+        df = spark.createDataFrame(
+            texts, "doc_id long, text string"
+        ).withColumn(
+            "ts", F.expr("timestamp_micros((doc_id + 7200) * 1000000)")
+        )
+        df.coalesce(1).write.mode("append").parquet(src)
+        # frozen weights that happen to separate these rows: score them
+        # with the batch path first and pick a threshold between the two
+        weights = [(-1, 0.0)] + [(b, 0.03 * (b % 5) - 0.05)
+                                 for b in range(64)]
+        wdf = spark.createDataFrame(weights, "bucket long, weight double")
+        probs = {r["doc_id"]: r["prob"] for r in lr_score(
+            df, wdf, n_buckets=64).collect()}
+        # threshold between the extremes so both sides are non-empty
+        thr = (min(probs.values()) + max(probs.values())) / 2
+        keep = {d for d, p in probs.items() if p >= thr}
+        drop = set(probs) - keep
+        assert keep and drop  # the fixture actually separates
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        gated = stream_gate_corpus(
+            stream, quality_weights=weights, min_quality=thr,
+            n_quality_buckets=64,
+        )
+        out = str(tmp_path / "qout")
+        ckpt = str(tmp_path / "qck")
+        q = (gated.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert got == keep
+
 
 class TestStreamIngestDedup:
     def test_cross_batch_near_dups_dropped(self, spark, tmp_path):

@@ -24,7 +24,7 @@ from tundradb_spark.pipeline.text import tokens
 
 __all__ = [
     "nb_train", "nb_score", "lr_train", "lr_score",
-    "lr_score_sql", "lr_weight_literals",
+    "lr_score_sql", "lr_weight_literals", "lr_logit_col", "lr_prob_col",
 ]
 
 
@@ -651,3 +651,93 @@ def lr_score_sql(
                  + exp(-CAST(z AS DOUBLE))), 6) AS prob
     FROM agg
     """
+
+
+def lr_logit_col(
+    weights: list[tuple[int, float | str]],
+    text_col: str = "text",
+    n_buckets: int = 256,
+    bigrams: bool = True,
+) -> "Column":
+    """The LR logit as ONE stateless column expression — no explode, no
+    groupBy, no shuffle: tokens → (optional) bigrams → per-gram hashed
+    bucket (``transform``) → decimal fold of literal weights
+    (``aggregate``) + intercept.  Pinned equal to :func:`lr_score`'s
+    join-based logit (same md5 buckets, same decimal(20,10) weights,
+    same exact sum — the fold casts every step back to decimal so the
+    result is order-proof like the join path's SUM).
+
+    This is the STREAMING face of the quality filter: a per-row
+    projection composes into ``stream_gate_corpus`` (or any narrow
+    pipeline stage) with zero state, where the join-based scorer's
+    groupBy(doc) would be a stateful streaming aggregation.  Batch
+    callers scoring huge corpora can prefer it too — it trades the
+    broadcast join for a 256-slot literal array lookup in whole-stage
+    codegen.
+
+    ``weights`` as in :func:`lr_score_sql` (intercept at bucket −1;
+    floats are rendered through the same shortest-repr half-up
+    decimal(20,10) rule Spark's cast applies).
+    """
+    import decimal as _d
+
+    q = _d.Decimal("1.0000000000")
+    table: dict[int, str] = {}
+    for b, w in weights:
+        table[int(b)] = (
+            w if isinstance(w, str)
+            else str(_d.Decimal(str(w)).quantize(
+                q, rounding=_d.ROUND_HALF_UP))
+        )
+    icpt = table.get(-1, "0")
+    slots = ", ".join(
+        f"cast({table.get(b, '0')} as decimal(20,10))"
+        for b in range(n_buckets)
+    )
+    # NULL text folds to the bare intercept (coalesce to an empty token
+    # array), matching lr_score's intercept-only row exactly
+    toks = (
+        f"coalesce(filter(split(lower({text_col}), '\\\\s+'),"
+        f" t -> t != ''), cast(array() as array<string>))"
+    )
+    grams = (
+        f"concat(__lrt, case when size(__lrt) > 1 then"
+        f" zip_with(slice(__lrt, 1, size(__lrt) - 1),"
+        f" slice(__lrt, 2, size(__lrt) - 1),"
+        f" (a, b) -> concat(a, ' ', b))"
+        f" else cast(array() as array<string>) end)"
+        if bigrams else "__lrt"
+    )
+    # Spark-side h32 (hashing.hbits): conv(hex prefix of md5, 16, 10)
+    bucket = (
+        f"(cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint))"
+        f" % {n_buckets}"
+    )
+    fold = (
+        f"aggregate(transform({grams}, g -> {bucket}),"
+        f" cast({icpt} as decimal(28,10)),"
+        f" (acc, b) -> cast(acc + element_at(array({slots}),"
+        f" cast(b + 1 as int)) as decimal(28,10)))"
+    )
+    # bind the token array once via a lateral-style nested expression:
+    # transform over a 1-element wrapper avoids re-inlining tokenization
+    # into every gram reference
+    full = (
+        f"element_at(transform(array({toks}),"
+        f" __lrt -> {fold}), 1)"
+    )
+    return F.expr(full)
+
+
+def lr_prob_col(
+    weights: list[tuple[int, float | str]],
+    text_col: str = "text",
+    n_buckets: int = 256,
+    bigrams: bool = True,
+) -> "Column":
+    """``round(sigmoid(lr_logit_col(...)), 6)`` — the inline quality
+    probability (see :func:`lr_logit_col`)."""
+    logit = lr_logit_col(weights, text_col, n_buckets, bigrams)
+    return F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-logit.cast("double"))), 6
+    )

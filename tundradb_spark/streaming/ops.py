@@ -404,11 +404,24 @@ def stream_gate_corpus(
     max_bigram_rep: float = 0.5,
     sample_bp: int = 10000,
     sample_seed: int = 97,
+    quality_weights: list | None = None,
+    min_quality: float = 0.5,
+    n_quality_buckets: int = 256,
 ) -> DataFrame:
     """Streaming face of ``pipeline.recipe.prepare_corpus``'s gate phase:
-    PII gate → repetition gate → watermark-bounded exact dedup →
-    deterministic sample, over a LIVE document stream — the shape of a
-    continuously-ingesting training-corpus front door.
+    PII gate → repetition gate → [optional learned-quality gate] →
+    watermark-bounded exact dedup → deterministic sample, over a LIVE
+    document stream — the shape of a continuously-ingesting
+    training-corpus front door.
+
+    The quality gate (r12) activates when ``quality_weights`` is given
+    (the frozen ``(bucket, weight)`` table from
+    ``pipeline.classify.lr_train``): rows whose
+    ``classify.lr_prob_col`` falls below ``min_quality`` drop.  The
+    inline fold is pinned bit-equal to the batch ``lr_score`` (same
+    buckets, same decimal weights, same exact sum) and is a STATELESS
+    per-row projection — the join-based scorer's groupBy(doc) would be
+    a stateful streaming aggregation.
 
     The row-level gates and the content-hash sample are the IDENTICAL
     inline predicates the batch recipe compiles (stateless, fused into the
@@ -421,7 +434,10 @@ def stream_gate_corpus(
     long-running mostly-unique stream would grow state without bound.
     The within-watermark form evicts each key once the watermark passes
     it — the horizon trade documented on :func:`streaming_dedup`: a copy
-    re-arriving after the horizon is re-admitted.  Within a single
+    re-arriving after the horizon is re-admitted.  Caveat (probed r12):
+    a row whose event time sits AT the stream's initial watermark
+    (epoch 0) is shed as late by the state store — synthetic fixtures
+    must offset their timestamps.  Within a single
     micro-batch the retained copy is whichever partition's row the state
     store sees first, so the surviving ID — not the surviving TEXT — is
     arbitrary among duplicates.
@@ -445,6 +461,14 @@ def stream_gate_corpus(
     gated = toked.filter(
         bigram_repetition_col("__t") <= max_bigram_rep
     ).drop("__t")
+    if quality_weights is not None:
+        from tundradb_spark.pipeline.classify import lr_prob_col
+
+        gated = gated.filter(
+            lr_prob_col(
+                quality_weights, text_col, n_buckets=n_quality_buckets
+            ) >= F.lit(float(min_quality))
+        )
     deduped = (
         gated.withColumn("__h", F.md5(normalized_text(F.col(text_col))))
         .withWatermark(ts_col, watermark)
