@@ -232,6 +232,23 @@ decimal-overflow guard that raises instead of NULLing the fit) and
 added q_row_diff_numeric (parked, next rotation's queue) proving the
 decimal/timestamp/bigint digest contract.
 
+**New in r12** (all parked — window full — and queued in
+``SEATING_QUEUE`` for r13, CI-checked from day one): the learned
+linear quality classifier (classify.lr_train — distributed IRLS over
+additive decimal moments with a bounded driver solve; lr_score — the
+frozen-weight scorer whose decimal-exact logit the DuckDB twin
+reproduces byte-for-byte; q_lr_quality + q_lr_calibration; the
+TundraQL QUALITY statement; lr_prob_col — the same scorer as ONE
+stateless column expression, pinned bit-equal to lr_score and wired
+into stream_gate_corpus as the streaming quality gate);
+q_salted_join (relational.salted_join — the skew MITIGATION the
+key_skew/join_fanout diagnostics recommend: hot keys scatter/replicate
+on (key, salt), result pinned to the PLAIN join, max reducer load
+measured 12.5× flatter in SCALE_PROBE_r12); and q_leakage_split
+(sampling.leakage_safe_split — the train/val/test coin flips on the
+dup-CLUSTER key so near-duplicates never straddle splits; recursive-CTE
+component oracle).
+
 The per-round narrative above records WHY each rotation happened; the
 AUTHORITATIVE seated/parked lists at HEAD are runtime facts — read them
 from ``queries()`` / ``parked_queries()`` (or the ``_SEAT_R*`` /

@@ -3371,3 +3371,35 @@ class TestLrInlineScoring:
             "doc_id", lr_prob_col([(-1, 0.1), (0, 0.2)], n_buckets=8)
             .alias("q"))
         assert audit.count_exchanges(df) == 0
+
+
+class TestRecipeQualityGate:
+    """r12: prepare_corpus's optional learned-quality gate — the batch
+    twin of stream_gate_corpus's gate, same inline lr_prob_col
+    predicate."""
+
+    def test_gate_filters_and_defaults_off(self, spark):
+        from tundradb_spark.pipeline.classify import lr_score
+        from tundradb_spark.pipeline.recipe import prepare_corpus
+
+        docs = spark.createDataFrame(
+            [(1, "solid careful analysis with detailed clear results"),
+             (2, "buy cheap click now win free offer deal"),
+             (3, "another genuinely informative research document body")],
+            "doc_id long, text string",
+        )
+        weights = [(-1, 0.0)] + [(b, 0.03 * (b % 5) - 0.05)
+                                 for b in range(64)]
+        wdf = spark.createDataFrame(weights, "bucket long, weight double")
+        probs = {r["doc_id"]: r["prob"] for r in lr_score(
+            docs, wdf, n_buckets=64).collect()}
+        thr = (min(probs.values()) + max(probs.values())) / 2
+        keep = {d for d, p in probs.items() if p >= thr}
+        assert keep != set(probs)  # fixture separates
+        base = prepare_corpus(docs, chunk_tokens=8)
+        gated = prepare_corpus(
+            docs, chunk_tokens=8, quality_weights=weights,
+            min_quality=thr, n_quality_buckets=64,
+        )
+        assert {r["doc_id"] for r in base.collect()} == set(probs)
+        assert {r["doc_id"] for r in gated.collect()} == keep

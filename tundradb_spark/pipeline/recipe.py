@@ -32,6 +32,9 @@ def prepare_corpus(
     chunk_overlap: int = 0,
     sample_bp: int = 10000,
     sample_seed: int = 97,
+    quality_weights: list | None = None,
+    min_quality: float = 0.5,
+    n_quality_buckets: int = 256,
 ) -> DataFrame:
     """Clean → dedup → gate → chunk → sample, returning the chunk rows
     (``doc_id, chunk_idx, n_chunk_tokens, chunk`` + the doc's passthrough
@@ -45,11 +48,21 @@ def prepare_corpus(
        have identical token lists, so the gate treats every member of a
        dedup group the same and the ordering is semantics-neutral, while
        gated-out docs never pay the dedup shuffle.
-    3. **Exact dedup**: md5(normalized text) groups; only each group's
+    3. **Learned-quality gate** (r12, optional — activates when
+       ``quality_weights`` is given, the frozen ``(bucket, weight)``
+       table from :func:`~tundradb_spark.pipeline.classify.lr_train`):
+       drop documents whose
+       :func:`~tundradb_spark.pipeline.classify.lr_prob_col` falls
+       below ``min_quality``.  An inline column fold like the other
+       gates — it fuses into the same scan projection, and it is the
+       IDENTICAL predicate the streaming front door
+       (``stream_gate_corpus``) applies, so batch and live ingest admit
+       the same documents.
+    4. **Exact dedup**: md5(normalized text) groups; only each group's
        minimum-id member survives (broadcast semi-join against the groupBy
        winners — the one shuffle in the plan).
-    4. **Chunking**: fixed-token windows with overlap.
-    5. **Sampling**: deterministic content-hash downsample to
+    5. **Chunking**: fixed-token windows with overlap.
+    6. **Sampling**: deterministic content-hash downsample to
        ``sample_bp``/10000 of the surviving documents.
     """
     # both row-level gates are inline column predicates, NOT joins back to
@@ -65,6 +78,14 @@ def prepare_corpus(
     gated = toked.filter(
         bigram_repetition_col("__t") <= max_bigram_rep
     ).drop("__t")
+    if quality_weights is not None:
+        from tundradb_spark.pipeline.classify import lr_prob_col
+
+        gated = gated.filter(
+            lr_prob_col(
+                quality_weights, text_col, n_buckets=n_quality_buckets
+            ) >= F.lit(float(min_quality))
+        )
 
     # dedup winners genuinely need the groupBy round-trip; the winner set
     # is one long per distinct text — broadcastable at any realistic scale
