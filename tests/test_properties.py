@@ -585,3 +585,73 @@ def test_exact_substring_spans_match_brute_force(spark, texts, k):
         assert r.text_clean == " ".join(kept)
         assert r.n_tokens == len(toks[d])
         assert r.n_removed == len(covered)
+
+
+@settings(**_SETTINGS)
+@given(
+    a_rows=st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from(["h", "x", "y"]),
+                  st.integers(-5, 5)),
+        min_size=1, max_size=20,
+    ),
+    b_rows=st.lists(
+        st.tuples(st.sampled_from(["h", "x", "z"]), st.integers(0, 3)),
+        min_size=0, max_size=10,
+    ),
+    salt=st.sampled_from([2, 4]),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_salted_join_is_invisible(spark, a_rows, b_rows, salt, how):
+    """DEFINITION of salted_join: the result multiset equals the plain
+    join for every input, join type, salt, and hot-key set — salting is
+    pure routing."""
+    from tundradb_spark.operators.relational import salted_join
+
+    a = spark.createDataFrame(a_rows, "rid long, k string, v long")
+    b = spark.createDataFrame(b_rows, "kk string, p long") if b_rows \
+        else spark.createDataFrame([], "kk string, p long")
+    plain = sorted(
+        map(tuple, a.join(b, a["k"] == b["kk"], how).collect()))
+    salted = sorted(map(tuple, salted_join(
+        a, b, "k", "kk", how=how, hot_keys=["h"], salt=salt).collect()))
+    assert salted == plain
+
+
+@settings(**_SETTINGS)
+@given(
+    old_rows=st.lists(
+        st.tuples(st.integers(0, 15), st.text(max_size=4),
+                  st.integers(-9, 9)),
+        min_size=0, max_size=12, unique_by=lambda r: r[0],
+    ),
+    new_rows=st.lists(
+        st.tuples(st.integers(0, 15), st.text(max_size=4),
+                  st.integers(-9, 9)),
+        min_size=0, max_size=12, unique_by=lambda r: r[0],
+    ),
+)
+def test_row_diff_matches_bruteforce(spark, old_rows, new_rows):
+    """DEFINITION of row_diff: added = new ids only, removed = old ids
+    only, changed = shared ids whose (a, b) tuples differ (NULL-safe) —
+    for ANY keyed snapshots, including values containing the old
+    separator byte or the literal 'N' token."""
+    from tundradb_spark.pipeline.dedup import row_diff
+
+    schema = "k long, a string, b long"
+    old = (spark.createDataFrame(old_rows, schema) if old_rows
+           else spark.createDataFrame([], schema))
+    new = (spark.createDataFrame(new_rows, schema) if new_rows
+           else spark.createDataFrame([], schema))
+    got = {r["k"]: r["status"] for r in row_diff(
+        old, new, "k", ["a", "b"]).collect()}
+    om = {k: (x, y) for k, x, y in old_rows}
+    nm = {k: (x, y) for k, x, y in new_rows}
+    want = {}
+    for k in set(om) | set(nm):
+        if k not in om:
+            want[str(k)] = "added"
+        elif k not in nm:
+            want[str(k)] = "removed"
+        elif om[k] != nm[k]:
+            want[str(k)] = "changed"
+    assert got == want
