@@ -4475,7 +4475,7 @@ if set(PARKED_QUERIES) != set(PARKED_ORACLES):
 #: since ~r5 because the hand-maintained note undercounted).
 SEATING_QUEUE = frozenset(
     {"q_row_diff_numeric", "q_lr_quality", "q_lr_calibration",
-     "q_salted_join", "q_leakage_split"}
+     "q_salted_join", "q_leakage_split", "q_lm_buckets"}
 )
 
 #: the four rows that must stay seated through every rotation — their
@@ -4945,3 +4945,32 @@ def _leakage_split_oracle() -> str:
 
 PARKED_QUERIES["q_leakage_split"] = q_leakage_split
 PARKED_ORACLES["q_leakage_split"] = _leakage_split_oracle()
+
+
+def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r12: CCNet-style per-language LM quality buckets
+    (text.lm_buckets): every document labeled head/middle/tail by where
+    its unigram-LM fluency sits within ITS LANGUAGE's score terciles —
+    the classic perplexity-bucket filter feeding quality-weighted
+    mixtures.  Full corpus output (one row per doc), bucket counts
+    verifiable per group."""
+    from tundradb_spark.pipeline.text import lm_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_buckets(docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "lm_logprob",
+        "bucket",
+    )
+
+
+def _lm_buckets_oracle() -> str:
+    from tundradb_spark.pipeline.text import lm_buckets_sql
+
+    return lm_buckets_sql("documents")
+
+
+PARKED_QUERIES["q_lm_buckets"] = q_lm_buckets
+PARKED_ORACLES["q_lm_buckets"] = _lm_buckets_oracle()

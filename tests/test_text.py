@@ -299,3 +299,66 @@ def test_rrf_duplicate_null_doc_rows_still_raise(spark):
         [(1, None, 5.0), (1, 10, 4.0)],
         "query_id long, doc_id long, score double")
     assert rrf_fuse(one_null, clean).count() == 3
+
+
+class TestLmBuckets:
+    """r12: CCNet-style per-group LM quality terciles."""
+
+    def test_buckets_partition_each_group(self, spark):
+        from tundradb_spark.pipeline.text import lm_buckets
+
+        # varying common/rare token mixes so within-group scores differ
+        docs = spark.createDataFrame(
+            [(i, " ".join(["common"] * (9 - i) + [f"rare{i}"]), "en")
+             for i in range(9)]
+            + [(100 + i, " ".join(["mot"] * (6 - i) + [f"x{i}"] * (i + 1)),
+                "fr")
+               for i in range(6)],
+            "doc_id long, text string, lang string",
+        )
+        out = lm_buckets(docs).collect()
+        assert len(out) == 15
+        by_lang = {}
+        for r in out:
+            by_lang.setdefault(r["lang"], []).append(r["bucket"])
+        # every group has all three labels nowhere near-empty and the
+        # head docs score >= tail docs within the group
+        for lang, buckets in by_lang.items():
+            assert set(buckets) <= {"head", "middle", "tail"}
+            assert "head" in buckets and "tail" in buckets
+        scores = {(r["lang"], r["bucket"]): r["lm_logprob"] for r in out}
+        for lang in by_lang:
+            if (lang, "head") in scores and (lang, "tail") in scores:
+                head_min = min(r["lm_logprob"] for r in out
+                               if r["lang"] == lang
+                               and r["bucket"] == "head")
+                tail_max = max(r["lm_logprob"] for r in out
+                               if r["lang"] == lang
+                               and r["bucket"] == "tail")
+                assert head_min >= tail_max
+
+    def test_null_group_buckets_within_itself(self, spark):
+        from tundradb_spark.pipeline.text import lm_buckets
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta", None), (2, "alpha alpha", None),
+             (3, "beta gamma delta", None), (4, "solo", "en")],
+            "doc_id long, text string, lang string",
+        )
+        out = {r["doc_id"]: (r["lang"], r["bucket"])
+               for r in lm_buckets(docs).collect()}
+        assert len(out) == 4
+        assert all(out[d][0] is None for d in (1, 2, 3))
+        assert out[4] == ("en", "head")  # single-doc group: q == score
+
+    def test_validation(self, spark):
+        from tundradb_spark.pipeline.text import lm_buckets, lm_buckets_sql
+
+        docs = spark.createDataFrame(
+            [(1, "a", "en")], "doc_id long, text string, lang string")
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            lm_buckets(docs, cuts=(0.5, 0.5))
+        with _pt.raises(ValueError):
+            lm_buckets_sql(cuts=(0.0, 0.5))

@@ -1804,3 +1804,126 @@ def token_drift_sql(
            {_rnd('sum(tv_t)')} AS tv
     FROM terms
     """
+
+
+def lm_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet-style LM quality buckets: label every document ``head`` /
+    ``middle`` / ``tail`` by where its unigram-LM fluency score
+    (:func:`lm_scores`) falls WITHIN ITS OWN GROUP's score distribution
+    — the classic perplexity-bucket mechanism (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): per-language terciles, because a fluency score is only
+    comparable against text of the same language, and downstream
+    mixtures sample head > middle > tail.
+
+    ``head`` is the TOP tercile (``lm_logprob`` ≥ the upper cut —
+    higher mean log-prob = more fluent; CCNet's perplexity orientation
+    inverted), ``tail`` the bottom; thresholds are exact
+    ``percentile_cont`` interpolations of the (already 6-dp-rounded,
+    engine-portable) scores, rounded to 6 dp themselves, so the bucket
+    decision compares identical doubles in every engine.  NULL groups
+    bucket within their own NULL group (null-safe joins — the house
+    NULL-is-a-group position).
+
+    Plan / 100 TB shape: :func:`lm_scores`' two token shuffles, one
+    id-keyed hash join to recover the group column, ONE
+    groups-sized quantile aggregate (exact percentile buffers per-group
+    distinct values — fine for scores rounded to 6 dp: ≤ ~1e7 distinct),
+    and a broadcast threshold join.  Output: ``(id, group, n_tokens,
+    lm_logprob, bucket)``.
+    """
+    c1, c2 = float(cuts[0]), float(cuts[1])
+    if not 0.0 < c1 < c2 < 1.0:
+        raise ValueError(f"need 0 < cuts[0] < cuts[1] < 1, got {cuts}")
+    scores = lm_scores(docs, text_col, id_col)
+    labeled = scores.join(
+        docs.select(
+            F.col(id_col).alias("__lid"),
+            F.col(group_col).alias(group_col),
+        ),
+        scores[id_col] == F.col("__lid"),
+    ).drop("__lid")
+    th = (
+        labeled.groupBy(group_col)
+        .agg(
+            F.expr(
+                f"percentile(lm_logprob, array({c1!r}, {c2!r}))"
+            ).alias("__q")
+        )
+        .select(
+            F.col(group_col).alias("__tg"),
+            F.round(F.element_at("__q", 1), 6).alias("__qlo"),
+            F.round(F.element_at("__q", 2), 6).alias("__qhi"),
+        )
+    )
+    return labeled.join(
+        F.broadcast(th),
+        F.col(group_col).eqNullSafe(F.col("__tg")),
+    ).select(
+        id_col,
+        group_col,
+        "n_tokens",
+        "lm_logprob",
+        F.when(F.col("lm_logprob") >= F.col("__qhi"), F.lit("head"))
+        .when(F.col("lm_logprob") >= F.col("__qlo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def lm_buckets_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> str:
+    """DuckDB oracle reproducing :func:`lm_buckets` exactly — same
+    decimal-truncated LM scores, same ``quantile_cont`` thresholds
+    rounded to 6 dp, same boundary rule and null-safe group joins."""
+    c1, c2 = float(cuts[0]), float(cuts[1])
+    if not 0.0 < c1 < c2 < 1.0:
+        raise ValueError(f"need 0 < cuts[0] < cuts[1] < 1, got {cuts}")
+    return rf"""
+    WITH toks AS (
+      SELECT {id_col}, unnest([x for x in
+             string_split_regex(lower({text_col}), '\s+') if x != ''])
+             AS tok
+      FROM {table}
+    ),
+    freqs AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+    total AS (SELECT sum(freq) AS total FROM freqs),
+    scores AS (
+      SELECT t.{id_col},
+             count(*) AS n_tokens,
+             ROUND(CAST(sum(CAST(ln(CAST(f.freq AS DOUBLE)
+                                     / CAST(tt.total AS DOUBLE))
+                                 AS DECIMAL(20,10))) / count(*)
+                        AS DOUBLE), 6) AS lm_logprob
+      FROM toks t JOIN freqs f ON t.tok = f.tok, total tt
+      GROUP BY t.{id_col}
+    ),
+    labeled AS (
+      SELECT s.*, d.{group_col}
+      FROM scores s JOIN {table} d USING ({id_col})
+    ),
+    th AS (
+      SELECT {group_col} AS tg,
+             ROUND(quantile_cont(lm_logprob, {c1!r}), 6) AS qlo,
+             ROUND(quantile_cont(lm_logprob, {c2!r}), 6) AS qhi
+      FROM labeled GROUP BY {group_col}
+    )
+    SELECT {id_col}, {group_col}, CAST(n_tokens AS BIGINT) AS n_tokens,
+           lm_logprob,
+           CASE WHEN lm_logprob >= qhi THEN 'head'
+                WHEN lm_logprob >= qlo THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM labeled JOIN th
+      ON labeled.{group_col} IS NOT DISTINCT FROM th.tg
+    """
