@@ -244,10 +244,15 @@ into stream_gate_corpus as the streaming quality gate);
 q_salted_join (relational.salted_join — the skew MITIGATION the
 key_skew/join_fanout diagnostics recommend: hot keys scatter/replicate
 on (key, salt), result pinned to the PLAIN join, max reducer load
-measured 12.5× flatter in SCALE_PROBE_r12); and q_leakage_split
+measured 12.5× flatter in SCALE_PROBE_r12); q_leakage_split
 (sampling.leakage_safe_split — the train/val/test coin flips on the
 dup-CLUSTER key so near-duplicates never straddle splits; recursive-CTE
-component oracle).
+component oracle); and q_lm_buckets (text.lm_buckets — CCNet-style
+per-language head/middle/tail LM-fluency terciles over exact
+percentile_cont thresholds, the classic perplexity-bucket filter).
+prepare_corpus and stream_gate_corpus both grew the OPTIONAL
+learned-quality gate (the same inline lr_prob_col predicate in batch
+and streaming, so both ingest paths admit identical documents).
 
 The per-round narrative above records WHY each rotation happened; the
 AUTHORITATIVE seated/parked lists at HEAD are runtime facts — read them

@@ -12,6 +12,7 @@ operations a large-scale LLM training-data pipeline needs, built Spark-first:
   prune files and read precomputed codes
 - :mod:`text` — language ID, quality scoring, token counting,
   fingerprinting, repetition scoring, PII pattern sweeps, unigram-LM fluency
+  and the CCNet-style per-language LM quality buckets (``lm_buckets``)
 - :mod:`sampling` — deterministic/stratified content-hash sampling,
   fixed-token document chunking, sequence packing, exact/approximate
   token-budget mixture building, and the deterministic global shuffle /
@@ -61,6 +62,8 @@ from tundradb_spark.pipeline.recipe import corpus_report, prepare_corpus
 from tundradb_spark.pipeline.sampling import (
     chunk_docs,
     deterministic_sample,
+    leakage_safe_split,
+    split_corpus,
     mixture_budget_sample,
     mixture_threshold_sample,
     pack_chunks,
@@ -105,6 +108,7 @@ from tundradb_spark.pipeline.similarity import (
 )
 from tundradb_spark.pipeline.text import (
     build_vocab,
+    lm_buckets,
     compression_ratios,
     encode_tokens,
     fingerprints,
@@ -197,6 +201,9 @@ __all__ = [
     "pack_chunks",
     "pack_summary",
     "deterministic_sample",
+    "split_corpus",
+    "leakage_safe_split",
+    "lm_buckets",
     "stratified_sample",
     "mixture_budget_sample",
     "mixture_threshold_sample",
