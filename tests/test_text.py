@@ -351,6 +351,17 @@ class TestLmBuckets:
         assert all(out[d][0] is None for d in (1, 2, 3))
         assert out[4] == ("en", "head")  # single-doc group: q == score
 
+    def test_zero_token_docs_are_absent(self, spark):
+        # empty/NULL text carries no fluency evidence — absent, like
+        # the DSIR convention (documented on the operator)
+        from tundradb_spark.pipeline.text import lm_buckets
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta", "en"), (2, "", "en"), (3, None, "en")],
+            "doc_id long, text string, lang string",
+        )
+        assert [r["doc_id"] for r in lm_buckets(docs).collect()] == [1]
+
     def test_validation(self, spark):
         from tundradb_spark.pipeline.text import lm_buckets, lm_buckets_sql
 

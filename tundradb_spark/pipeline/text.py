@@ -1836,7 +1836,10 @@ def lm_buckets(
     groups-sized quantile aggregate (exact percentile buffers per-group
     distinct values — fine for scores rounded to 6 dp: ≤ ~1e7 distinct),
     and a broadcast threshold join.  Output: ``(id, group, n_tokens,
-    lm_logprob, bucket)``.
+    lm_logprob, bucket)``.  Zero-token documents (empty/NULL text) have
+    no LM score and are ABSENT from the output — they carry no fluency
+    evidence either way (the :func:`~tundradb_spark.pipeline.importance.
+    dsir_weights` convention); gate them separately on length.
     """
     c1, c2 = float(cuts[0]), float(cuts[1])
     if not 0.0 < c1 < c2 < 1.0:
