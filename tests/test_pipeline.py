@@ -3403,3 +3403,55 @@ class TestRecipeQualityGate:
         )
         assert {r["doc_id"] for r in base.collect()} == set(probs)
         assert {r["doc_id"] for r in gated.collect()} == keep
+
+
+class TestLrTrainDegenerate:
+    """r12: IRLS robustness on degenerate training sets — the ridge
+    term must keep every solve finite and the fit deterministic."""
+
+    def test_single_class_stays_finite(self, spark):
+        from tundradb_spark.pipeline.classify import lr_score, lr_train
+
+        docs = spark.createDataFrame(
+            [(i, f"doc body {i} words", 1) for i in range(6)],
+            "doc_id long, text string, label int",
+        )
+        w = lr_train(docs, n_buckets=16, n_iter=4, ridge=1.0)
+        rows = {r["bucket"]: r["weight"] for r in w.collect()}
+        import math
+
+        assert all(math.isfinite(v) for v in rows.values())
+        # all-positive labels: every prediction pulled toward 1
+        probs = [r["prob"] for r in lr_score(
+            docs, w, n_buckets=16).collect()]
+        assert all(p > 0.5 for p in probs)
+
+    def test_empty_text_corpus_trains_on_intercept(self, spark):
+        from tundradb_spark.pipeline.classify import lr_train
+
+        docs = spark.createDataFrame(
+            [(1, "", 1), (2, "", 0), (3, None, 1)],
+            "doc_id long, text string, label int",
+        )
+        w = {r["bucket"]: r["weight"]
+             for r in lr_train(docs, n_buckets=8, n_iter=3).collect()}
+        import math
+
+        # only the intercept carries signal (2/3 positive → > 0);
+        # feature weights stay exactly 0 (never observed, ridge-pinned)
+        assert math.isfinite(w[-1]) and w[-1] > 0
+        assert all(w[b] == 0.0 for b in range(8))
+
+    def test_conflicting_labels_fit_base_rate(self, spark):
+        from tundradb_spark.pipeline.classify import lr_score, lr_train
+
+        # identical text, opposite labels: the only consistent fit is
+        # the 50% base rate
+        docs = spark.createDataFrame(
+            [(1, "same words here", 1), (2, "same words here", 0)],
+            "doc_id long, text string, label int",
+        )
+        w = lr_train(docs, n_buckets=16, n_iter=5, ridge=1.0)
+        probs = [r["prob"] for r in lr_score(
+            docs, w, n_buckets=16).collect()]
+        assert all(abs(p - 0.5) < 1e-9 for p in probs)
