@@ -4859,13 +4859,25 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, od, "l_orderkey", "o_orderkey",
         hot_keys=["1", "2", "3", "7"], salt=8,
     )
+    # decimal INTERNALLY (exact, partition-order-independent sum) but
+    # rendered via the house floor-round-to-double metric convention:
+    # DecimalType is driver-unhashable (r12's q_join_fanout red row)
+    # and banned from seated/parked schemas by tests/test_contract.py.
     return (
         j.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.sum(F.col("l_quantity").cast("decimal(28,10)"))
             .cast("decimal(38,10)")
-            .alias("sum_qty"),
+            .alias("__sum_qty_dec"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_rows",
+            F.expr(
+                "cast(floor(cast(__sum_qty_dec as double) * 1000000"
+                " + 0.5) as double) / 1000000.0"
+            ).alias("sum_qty"),
         )
     )
 
@@ -4874,8 +4886,9 @@ def _salted_join_oracle() -> str:
     return """
     SELECT o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(CAST(l_quantity AS DECIMAL(28,10)))
-                AS DECIMAL(38,10)) AS sum_qty
+           CAST(floor(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(28,10)))
+                                AS DECIMAL(38,10)) AS DOUBLE) * 1000000
+                      + 0.5) AS DOUBLE) / 1000000.0 AS sum_qty
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """
@@ -4940,7 +4953,7 @@ def _leakage_split_oracle() -> str:
     ),
     keyed AS (
         SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-               CAST(coalesce(c.component, d.doc_id) AS BIGINT)
+               CAST(coalesce(c.component, d.doc_id) AS VARCHAR)
                    AS split_key
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.vertex
     )

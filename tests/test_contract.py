@@ -45,7 +45,16 @@ def test_seated_schema_is_driver_canonicalizable(spark, name):
     was exactly this — correct values, uncheckable shape).  Digest such
     columns to a scalar (see q_encode's ids_md5) before seating.  Parked
     rows are covered too (r7 verdict item 7) so a future rotation can
-    never seat an uncanonicalizable shape."""
+    never seat an uncanonicalizable shape.
+
+    r13 (r12 verdict items 2/3): DecimalType joins the banned class.
+    Evidence, not theory: the ONLY seated r12 query with decimal output
+    columns (q_join_fanout, decimal(38,0)) was the ONLY hash mismatch
+    in six rounds, with bit-identical Spark-vs-DuckDB values verified —
+    Spark's Decimal objects and DuckDB's decimal land as different
+    pandas dtypes and a type-sensitive value hash diverges.  Keep
+    decimal math INTERNAL; render outputs as string (exact counts) or
+    the house round-to-double (metrics) before seating."""
     from pyspark.sql import types as T
 
     fn = {**entry.parked_queries(), **entry.queries()}[name]
@@ -54,11 +63,12 @@ def test_seated_schema_is_driver_canonicalizable(spark, name):
         f.name
         for f in df.schema.fields
         if any(
-            isinstance(t, (T.ArrayType, T.MapType))
+            isinstance(t, (T.ArrayType, T.MapType, T.DecimalType))
             for t in _flat_types(f.dataType)
         )
     ]
     assert not bad, (
-        f"{name}: driver-unhashable Array/Map columns {bad} — digest them "
-        "to scalars before seating (driver canonicalizer contract)"
+        f"{name}: driver-unhashable Array/Map/Decimal columns {bad} — "
+        "digest/render them to scalars (string or rounded double) before "
+        "seating (driver canonicalizer contract)"
     )

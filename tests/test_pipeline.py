@@ -3304,8 +3304,8 @@ class TestLeakageSafeSplit:
         # every pair's two docs share key AND split
         for a, b in [(1, 2), (2, 3), (50, 51), (120, 123)]:
             assert rows[a] == rows[b]
-        # cluster key = min member id
-        assert rows[3][0] == 1 and rows[123][0] == 120
+        # cluster key = min member id, string-rendered (r13 ADVICE fix)
+        assert rows[3][0] == "1" and rows[123][0] == "120"
         # singletons keep EXACTLY the plain split_corpus assignment
         plain = {r["doc_id"]: r["split"]
                  for r in split_corpus(docs, self.SPLITS).collect()}
@@ -3313,6 +3313,42 @@ class TestLeakageSafeSplit:
         for d, (_, s) in rows.items():
             if d not in members:
                 assert s == plain[d], d
+
+    def test_string_ids_never_null_and_match_plain(self, spark):
+        """r13 ADVICE fix: non-numeric string ids used to cast-to-long
+        as NULL, NULLing every split; numeric strings like '007' coined
+        on '7'.  The string-keyed coin must (a) never produce a NULL
+        split and (b) keep singletons byte-equal to split_corpus."""
+        from tundradb_spark.pipeline.sampling import (
+            leakage_safe_split, split_corpus,
+        )
+
+        docs = spark.createDataFrame(
+            [(f"doc-{i:03d}", f"text {i}") for i in range(60)]
+            + [("007", "leading zero"), ("7", "plain seven")],
+            "doc_id string, text string",
+        )
+        pairs = spark.createDataFrame(
+            [("doc-001", "doc-002"), ("doc-002", "doc-003")],
+            "id_a string, id_b string",
+        )
+        out = leakage_safe_split(docs, pairs, self.SPLITS)
+        rows = {r["doc_id"]: (r["split_key"], r["split"])
+                for r in out.collect()}
+        assert len(rows) == 62
+        assert all(k is not None and s is not None
+                   for k, s in rows.values())
+        # cluster shares the min STRING id and one split
+        assert rows["doc-001"] == rows["doc-002"] == rows["doc-003"]
+        assert rows["doc-003"][0] == "doc-001"
+        # singletons (incl. '007' vs '7' — distinct coins) keep the
+        # plain split_corpus assignment exactly
+        plain = {r["doc_id"]: r["split"]
+                 for r in split_corpus(docs, self.SPLITS).collect()}
+        members = {"doc-001", "doc-002", "doc-003"}
+        for d, (k, s) in rows.items():
+            if d not in members:
+                assert k == d and s == plain[d], d
 
     def test_deterministic_and_validated(self, spark):
         from tundradb_spark.pipeline.sampling import leakage_safe_split
@@ -3403,6 +3439,43 @@ class TestRecipeQualityGate:
         )
         assert {r["doc_id"] for r in base.collect()} == set(probs)
         assert {r["doc_id"] for r in gated.collect()} == keep
+
+    def test_quality_bigrams_passthrough(self, spark):
+        """r13 ADVICE fix: a unigram-trained weight table must be scored
+        with unigram features in the gate — prepare_corpus(quality_
+        bigrams=False) must admit exactly the docs lr_prob_col(bigrams=
+        False) admits, and differ from the (misscoring) bigram fold."""
+        from tundradb_spark.pipeline.classify import lr_prob_col
+        from tundradb_spark.pipeline.recipe import prepare_corpus
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(
+                ["alpha beta gamma delta words here",
+                 "beta beta beta spam spam spam spam",
+                 "solid careful analysis detailed clear",
+                 "gamma delta alpha beta mixed tokens"])],
+            "doc_id long, text string",
+        )
+        weights = [(-1, 0.0)] + [(b, 0.21 * ((b * 7) % 5) - 0.4)
+                                 for b in range(32)]
+
+        def admitted(bigrams):
+            col = lr_prob_col(weights, n_buckets=32, bigrams=bigrams)
+            return {r["doc_id"] for r in
+                    docs.filter(col >= 0.5).collect()}
+
+        uni, bi = admitted(False), admitted(True)
+        assert uni != bi  # fixture separates the feature spaces
+
+        def gate(bigrams):
+            return {r["doc_id"] for r in prepare_corpus(
+                docs, chunk_tokens=8, quality_weights=weights,
+                min_quality=0.5, n_quality_buckets=32,
+                quality_bigrams=bigrams,
+            ).select("doc_id").distinct().collect()}
+
+        assert gate(False) == uni
+        assert gate(True) == bi
 
 
 class TestLrTrainDegenerate:

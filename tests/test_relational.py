@@ -1005,10 +1005,11 @@ class TestJoinFanout:
         b = self._t(spark, ["x"] * 4 + ["y"] * 1 + ["only_b"])
         got = [tuple(r) for r in join_fanout(a, b, "k", top_n=5).collect()]
         # x: 3*4=12, y: 2*1=2 → est 14; unmatched keys contribute
-        # nothing; shares are floor(x*1e6+0.5)/1e6 of 12/14 and 2/14
+        # nothing; shares are floor(x*1e6+0.5)/1e6 of 12/14 and 2/14;
+        # counts render as STRING (r13: decimal is driver-unhashable)
         assert got == [
-            (1, "x", 3, 4, 12, 0.857143, 2, 14),
-            (2, "y", 2, 1, 2, 0.142857, 2, 14),
+            (1, "x", 3, 4, "12", 0.857143, 2, "14"),
+            (2, "y", 2, 1, "2", 0.142857, 2, "14"),
         ]
 
     def test_equals_real_join_count(self, spark):
@@ -1021,7 +1022,7 @@ class TestJoinFanout:
                     col="j")
         est = join_fanout(a, b, "k", "j", top_n=1).collect()[0]["est_rows"]
         real = a.join(b, a.k == b.j).count()
-        assert est == real
+        assert int(est) == real
 
     def test_nulls_excluded(self, spark):
         from tundradb_spark.operators.relational import join_fanout
@@ -1029,7 +1030,7 @@ class TestJoinFanout:
         a = spark.createDataFrame([("x",), (None,)], "k string")
         b = spark.createDataFrame([("x",), (None,), (None,)], "k string")
         got = [tuple(r) for r in join_fanout(a, b, "k").collect()]
-        assert len(got) == 1 and got[0][1] == "x" and got[0][7] == 1
+        assert len(got) == 1 and got[0][1] == "x" and got[0][7] == "1"
 
     def test_disjoint_sides_empty_report(self, spark):
         from tundradb_spark.operators.relational import join_fanout
@@ -1051,8 +1052,6 @@ class TestSaltedJoin:
             "rid long, k string, v double",
         )
         b = spark.createDataFrame(
-            [(f"{k}", j, k * 100 + j) for k in ["hot", "k8", "k9"]
-             for j in range(3)][:9] if False else
             [(k, j) for k in ["hot", "k8", "k9"] for j in range(3)],
             "kk string, payload long",
         )

@@ -1481,7 +1481,12 @@ def join_fanout(
     ``o_orderkey``), so both spellings are first-class.
 
     Output: ``(rank, key, n_a, n_b, out_rows, share, matched_keys,
-    est_rows)``.
+    est_rows)``.  ``out_rows``/``est_rows`` are computed in
+    decimal(38,0) (exact far past the bigint overflow this check
+    exists to flag) but RENDERED AS STRING — plain digits, lossless at
+    any magnitude, and portable across result canonicalizers that
+    disagree on Decimal object types (the r12 driver hash mismatch:
+    correct values, type-sensitive hash).
     """
     if top_n < 1:
         raise QueryError(f"top_n must be >= 1, got {top_n}")
@@ -1524,14 +1529,16 @@ def join_fanout(
         "key",
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
-        F.col("out_rows").cast("decimal(38,0)").alias("out_rows"),
+        F.col("out_rows").cast("decimal(38,0)").cast("string")
+        .alias("out_rows"),
         F.expr(
             "cast(floor(cast(out_rows as double)"
             " / cast(est_rows as double) * 1000000 + 0.5)"
             " as double) / 1000000.0"
         ).alias("share"),
         F.col("matched_keys").cast("long").alias("matched_keys"),
-        F.col("est_rows").cast("decimal(38,0)").alias("est_rows"),
+        F.col("est_rows").cast("decimal(38,0)").cast("string")
+        .alias("est_rows"),
     )
 
 
@@ -1568,12 +1575,13 @@ def join_fanout_sql(
     )
     SELECT CAST(rank AS BIGINT) AS rank, key,
            CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-           CAST(out_rows AS DECIMAL(38,0)) AS out_rows,
+           CAST(CAST(out_rows AS DECIMAL(38,0)) AS VARCHAR) AS out_rows,
            CAST(floor(CAST(out_rows AS DOUBLE) / CAST(est_rows AS DOUBLE)
                       * 1000000 + 0.5) AS DOUBLE) / 1000000.0 AS share,
            CAST(matched_keys AS BIGINT) AS matched_keys,
-           CAST(est_rows AS DECIMAL(38,0)) AS est_rows
+           CAST(CAST(est_rows AS DECIMAL(38,0)) AS VARCHAR) AS est_rows
     FROM ranked WHERE rank <= {top_n}
+    ORDER BY rank
     """
 
 

@@ -35,6 +35,7 @@ def prepare_corpus(
     quality_weights: list | None = None,
     min_quality: float = 0.5,
     n_quality_buckets: int = 256,
+    quality_bigrams: bool = True,
 ) -> DataFrame:
     """Clean → dedup → gate → chunk → sample, returning the chunk rows
     (``doc_id, chunk_idx, n_chunk_tokens, chunk`` + the doc's passthrough
@@ -57,7 +58,10 @@ def prepare_corpus(
        gates — it fuses into the same scan projection, and it is the
        IDENTICAL predicate the streaming front door
        (``stream_gate_corpus``) applies, so batch and live ingest admit
-       the same documents.
+       the same documents.  ``quality_bigrams`` must match the feature
+       space the weight table was TRAINED with (``lr_train``'s
+       ``bigrams`` flag) — a unigram-trained table scored with bigram
+       features silently misscores.
     4. **Exact dedup**: md5(normalized text) groups; only each group's
        minimum-id member survives (broadcast semi-join against the groupBy
        winners — the one shuffle in the plan).
@@ -83,7 +87,8 @@ def prepare_corpus(
 
         gated = gated.filter(
             lr_prob_col(
-                quality_weights, text_col, n_buckets=n_quality_buckets
+                quality_weights, text_col, n_buckets=n_quality_buckets,
+                bigrams=quality_bigrams,
             ) >= F.lit(float(min_quality))
         )
 

@@ -501,7 +501,14 @@ def leakage_safe_split(
     join on the id plus a narrow hash-coin projection.  Deterministic
     end-to-end — same engine-portable md5 coin as every sampler here.
 
-    Output: docs columns + ``split_key`` (long) + ``split``.
+    ``split_key`` is the STRING render of the cluster key (r13, ADVICE
+    fix): the previous ``cast(... as long)`` silently NULLed the key —
+    and therefore the whole split assignment — for non-numeric string
+    doc ids, and collapsed distinct ids like ``'007'`` and ``'7'`` onto
+    one coin.  Keying on the string keeps singleton coins byte-equal to
+    :func:`split_corpus`'s ``sample_hash_col`` for EVERY id type.
+
+    Output: docs columns + ``split_key`` (string) + ``split``.
     """
     total = sum(splits.values())
     if total != 10000:
@@ -519,12 +526,11 @@ def leakage_safe_split(
         cc, docs[id_col] == cc["__v"], "left"
     ).select(
         *[docs[c] for c in docs.columns],
-        F.coalesce("__comp", docs[id_col]).cast("long").alias("split_key"),
+        F.coalesce(
+            F.col("__comp").cast("string"), docs[id_col].cast("string")
+        ).alias("split_key"),
     )
-    coin = (
-        h32(F.concat(F.lit(f"{seed}:"),
-                     F.col("split_key").cast("string"))) % 10000
-    )
+    coin = h32(F.concat(F.lit(f"{seed}:"), F.col("split_key"))) % 10000
     return keyed.withColumn("split", _split_label_expr(coin, splits))
 
 

@@ -407,6 +407,7 @@ def stream_gate_corpus(
     quality_weights: list | None = None,
     min_quality: float = 0.5,
     n_quality_buckets: int = 256,
+    quality_bigrams: bool = True,
 ) -> DataFrame:
     """Streaming face of ``pipeline.recipe.prepare_corpus``'s gate phase:
     PII gate → repetition gate → [optional learned-quality gate] →
@@ -466,7 +467,8 @@ def stream_gate_corpus(
 
         gated = gated.filter(
             lr_prob_col(
-                quality_weights, text_col, n_buckets=n_quality_buckets
+                quality_weights, text_col, n_buckets=n_quality_buckets,
+                bigrams=quality_bigrams,
             ) >= F.lit(float(min_quality))
         )
     deduped = (
