@@ -254,6 +254,18 @@ prepare_corpus and stream_gate_corpus both grew the OPTIONAL
 learned-quality gate (the same inline lr_prob_col predicate in batch
 and streaming, so both ingest paths admit identical documents).
 
+**Round-13 rotation** (r12 verdict item 4): the six SEATING_QUEUE rows
+seat (``_SEAT_R13`` at the bottom of this module, rationale inline);
+parked in exchange, longest-green-first: q_ann_ivf_trained, q_ann_pq,
+q_chunking (streak 8), q_decontaminate, q_dup_spans,
+q_dedup_incremental (7).  r13 first closed the r12 red row's hazard
+class: join_fanout renders its exact decimal counts as STRINGS (the
+decimal(38,0) schema was the round's only hash mismatch — correct
+values, type-sensitive driver hash), q_salted_join's sum_qty moved to
+the house floor-round-to-double BEFORE seating, and the
+canonicalizability contract (tests/test_contract.py) now bans
+DecimalType from every seated and parked schema alongside Array/Map.
+
 The per-round narrative above records WHY each rotation happened; the
 AUTHORITATIVE seated/parked lists at HEAD are runtime facts — read them
 from ``queries()`` / ``parked_queries()`` (or the ``_SEAT_R*`` /
@@ -4478,10 +4490,9 @@ if set(PARKED_QUERIES) != set(PARKED_ORACLES):
 #: longer silently ride CI without ever earning the driver signal (the
 #: r11 verdict found q_text_lm/q_text_repetition had done exactly that
 #: since ~r5 because the hand-maintained note undercounted).
-SEATING_QUEUE = frozenset(
-    {"q_row_diff_numeric", "q_lr_quality", "q_lr_calibration",
-     "q_salted_join", "q_leakage_split", "q_lm_buckets"}
-)
+SEATING_QUEUE = frozenset()  # the six r12 rows seated at the r13
+# rotation (``_SEAT_R13`` at the bottom of this module); new r13 parked
+# additions join the queue here as they are registered.
 
 #: the four rows that must stay seated through every rotation — their
 #: bench slots carry the numbers the judge compares to BASELINE.md
@@ -4992,3 +5003,62 @@ def _lm_buckets_oracle() -> str:
 
 PARKED_QUERIES["q_lm_buckets"] = q_lm_buckets
 PARKED_ORACLES["q_lm_buckets"] = _lm_buckets_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round-13 rotation (r12 verdict item 4): seat the six SEATING_QUEUE rows
+# (q_row_diff_numeric, q_lr_quality, q_lr_calibration, q_salted_join,
+# q_leakage_split, q_lm_buckets) — every parked row that had never held a
+# driver CORRECTNESS row, all CI-green against their DuckDB oracles since
+# they were added.  q_salted_join seats with its r13 schema fix (sum_qty
+# rendered via the house floor-round-to-double — DecimalType is now
+# contract-banned from registry schemas after r12's q_join_fanout hash
+# mismatch).  Parked in exchange, longest-green-first among non-anchors:
+# q_ann_ivf_trained, q_ann_pq, q_chunking (streak 8) and q_decontaminate,
+# q_dup_spans, q_dedup_incremental (streak 7).  Tie-breaks at streak 7/8,
+# recorded: q_multimodal (streak 8) stays seated because its 3.07× r12
+# bench jump is under investigation (r12 verdict item 5) and parking it
+# would remove the r13 data point that confirms or refutes the
+# worker-warmup hypothesis; q_bfs_levels stays as the only GRAPH_ITER
+# bench subject (standing rationale); q_ann_recall (7) stays so the ANN
+# family keeps one seated row while its two siblings park; q_hits,
+# q_clustering, q_hist_quantiles, q_time_rollup (7) lose the tie to the
+# three dedup-family rows because dedup keeps FOUR other seated rows
+# (q_dedup_recall_sampled, q_semantic_dedup, q_row_diff + the seating
+# q_row_diff_numeric) — parking there costs no family coverage.
+# ---------------------------------------------------------------------------
+
+_SEAT_R13 = [
+    "q_row_diff_numeric",
+    "q_lr_quality",
+    "q_lr_calibration",
+    "q_salted_join",
+    "q_leakage_split",
+    "q_lm_buckets",
+]
+
+_PARK_R13 = [
+    "q_ann_ivf_trained",
+    "q_ann_pq",
+    "q_chunking",
+    "q_decontaminate",
+    "q_dup_spans",
+    "q_dedup_incremental",
+]
+
+for _n in _SEAT_R13:
+    QUERIES[_n] = PARKED_QUERIES.pop(_n)
+    ORACLES[_n] = PARKED_ORACLES.pop(_n)
+for _n in _PARK_R13:
+    PARKED_QUERIES[_n] = QUERIES.pop(_n)
+    PARKED_ORACLES[_n] = ORACLES.pop(_n)
+
+if len(QUERIES) != 50 or set(QUERIES) != set(ORACLES):
+    raise RuntimeError(
+        f"r13 rotation broke the 50-slot window: {len(QUERIES)} seated, "
+        f"query/oracle diff {set(QUERIES) ^ set(ORACLES)}"
+    )
+if set(PARKED_QUERIES) != set(PARKED_ORACLES):
+    raise RuntimeError(
+        f"parked query/oracle diff: {set(PARKED_QUERIES) ^ set(PARKED_ORACLES)}"
+    )
