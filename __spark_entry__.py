@@ -5062,3 +5062,94 @@ if set(PARKED_QUERIES) != set(PARKED_ORACLES):
     raise RuntimeError(
         f"parked query/oracle diff: {set(PARKED_QUERIES) ^ set(PARKED_ORACLES)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# r13 additions (post-rotation, r12 verdict item 7): calibrate-then-gate.
+# The quality gate's knob stops being a hand-set number: the measured
+# operating-point curve (classify.precision_thresholds — cumulative
+# precision/recall at every calibration-bin edge) picks the max-recall
+# threshold meeting a precision target (classify.calibrated_threshold, an
+# n_bins-row bounded collect), and prepare_corpus gates at that measured
+# value (quality_target_precision/quality_labeled).  TundraQL exposes the
+# curve as QUALITY ... THRESHOLDS LABEL col [BINS n].
+# ---------------------------------------------------------------------------
+
+GATE_TARGET_PRECISION, GATE_BINS = 0.4, 10
+# 0.4 is deliberately reachable at EVERY testdata scale (the frozen
+# weights were trained at sf0.01; their curve tops out at ~0.47 on
+# sf0.001 and ~0.41 on sf0.1, so a higher fixed target would make the
+# picker raise — correctly — on corpora the classifier can't separate).
+
+
+def q_calibrated_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: the thresholded gate composition (r12 verdict item 7) —
+    calibrate, pick, gate, all from measured data: score the corpus
+    under the frozen LR weight table, measure the keep-rule
+    precision/recall curve against the lang=='en' label
+    (classify.precision_thresholds), pick the max-recall edge meeting
+    the precision target (classify.calibrated_threshold — a 10-row
+    bounded collect, the only eager step), then admit documents whose
+    INLINE score (classify.lr_prob_col, the zero-shuffle fold pinned
+    bit-equal to lr_score and the predicate prepare_corpus deploys)
+    clears the measured threshold.  Output: per-language admitted
+    counts + the picked threshold."""
+    from tundradb_spark.pipeline.classify import (
+        calibrated_threshold,
+        lr_prob_col,
+        lr_score,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labeled = lr_score(docs, _lr_weights_df(spark), n_buckets=LR_BUCKETS).join(
+        docs.select(
+            "doc_id", (F.col("lang") == "en").cast("int").alias("label")
+        ),
+        "doc_id",
+    )
+    thr = calibrated_threshold(
+        labeled, "prob", "label",
+        GATE_TARGET_PRECISION, n_bins=GATE_BINS,
+    )
+    prob = lr_prob_col(LR_WEIGHTS, n_buckets=LR_BUCKETS)
+    return (
+        docs.filter(prob >= F.lit(thr))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn("threshold", F.lit(float(thr)))
+    )
+
+
+def _calibrated_gate_oracle() -> str:
+    from tundradb_spark.pipeline.classify import (
+        lr_score_sql,
+        precision_thresholds_sql,
+    )
+
+    inner = lr_score_sql("documents", LR_WEIGHTS, n_buckets=LR_BUCKETS)
+    labeled = (
+        f"(SELECT s.prob, CAST(d.lang = 'en' AS INT) AS label"
+        f" FROM ({inner}) s JOIN documents d USING (doc_id))"
+    )
+    curve = precision_thresholds_sql(
+        labeled, "prob", "label", n_bins=GATE_BINS
+    )
+    return f"""
+    WITH scored AS ({inner}),
+    curve AS ({curve}),
+    pick AS (
+        SELECT min(threshold) AS thr FROM curve
+        WHERE precision >= {GATE_TARGET_PRECISION}
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           (SELECT thr FROM pick) AS threshold
+    FROM documents d JOIN scored s USING (doc_id)
+    WHERE s.prob >= (SELECT thr FROM pick)
+    GROUP BY d.lang
+    """
+
+
+PARKED_QUERIES["q_calibrated_gate"] = q_calibrated_gate
+PARKED_ORACLES["q_calibrated_gate"] = _calibrated_gate_oracle()
+SEATING_QUEUE = SEATING_QUEUE | {"q_calibrated_gate"}

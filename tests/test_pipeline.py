@@ -3478,6 +3478,123 @@ class TestRecipeQualityGate:
         assert gate(True) == bi
 
 
+class TestPrecisionThresholds:
+    """r13 (r12 verdict item 7): the measured operating-point curve and
+    the calibrated gate knob picked from it."""
+
+    def _scored(self, spark):
+        # bins at n_bins=4: b0[0,.25) b1[.25,.5) b2[.5,.75) b3[.75,1];
+        # 1.5 is out of range, the NULL label row is excluded
+        rows = [(0.10, 0), (0.30, 0), (0.40, 1), (0.60, 1), (0.70, 0),
+                (0.90, 1), (1.00, 1), (1.50, 1), (0.80, None)]
+        return spark.createDataFrame(rows, "p double, y int")
+
+    def test_curve_by_hand(self, spark):
+        from tundradb_spark.pipeline.classify import precision_thresholds
+
+        got = [tuple(r) for r in
+               precision_thresholds(self._scored(spark), "p", "y",
+                                    n_bins=4).collect()]
+        assert got == [
+            (0, 0.0, 7, 4, 0.571429, 1.0),
+            (1, 0.25, 6, 4, 0.666667, 1.0),
+            (2, 0.5, 4, 3, 0.75, 0.75),
+            (3, 0.75, 2, 2, 1.0, 0.5),
+        ]
+
+    def test_empty_tail_is_null_precision(self, spark):
+        from tundradb_spark.pipeline.classify import precision_thresholds
+
+        scored = spark.createDataFrame(
+            [(0.1, 1), (0.2, 0)], "p double, y int")
+        rows = {r["bin"]: (r["cum_n"], r["precision"], r["recall"])
+                for r in precision_thresholds(
+                    scored, "p", "y", n_bins=4).collect()}
+        assert rows[0] == (2, 0.5, 1.0)
+        # bins above the data: zero predictions → NULL precision,
+        # recall 0 of the 1 positive
+        assert rows[2] == (0, None, 0.0)
+        assert rows[3] == (0, None, 0.0)
+
+    def test_calibrated_threshold_picks_max_recall_edge(self, spark):
+        from tundradb_spark.pipeline.classify import calibrated_threshold
+
+        scored = self._scored(spark)
+        assert calibrated_threshold(scored, "p", "y", 0.75,
+                                    n_bins=4) == 0.5
+        assert calibrated_threshold(scored, "p", "y", 0.99,
+                                    n_bins=4) == 0.75
+        # the whole set qualifies at a low bar → lowest edge wins
+        assert calibrated_threshold(scored, "p", "y", 0.5,
+                                    n_bins=4) == 0.0
+
+    def test_calibrated_threshold_raises_loudly(self, spark):
+        from tundradb_spark.pipeline.classify import calibrated_threshold
+
+        scored = self._scored(spark)
+        with pytest.raises(ValueError):
+            calibrated_threshold(scored, "p", "y", 1.5)
+        with pytest.raises(ValueError):
+            calibrated_threshold(scored, "p", "y", 0.0)
+        all_neg = spark.createDataFrame(
+            [(0.9, 0), (0.8, 0)], "p double, y int")
+        with pytest.raises(ValueError, match="no threshold reaches"):
+            calibrated_threshold(all_neg, "p", "y", 0.5, n_bins=4)
+
+    def test_recipe_calibrated_gate_equals_manual(self, spark):
+        """prepare_corpus(quality_target_precision=...) must gate at
+        EXACTLY the threshold calibrated_threshold measures — the knob
+        is the measured quantity, nothing else changes."""
+        from tundradb_spark.pipeline.classify import (
+            calibrated_threshold, lr_prob_col,
+        )
+        from tundradb_spark.pipeline.recipe import prepare_corpus
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(
+                ["solid careful analysis with detailed clear results",
+                 "buy cheap click now win free offer deal",
+                 "another genuinely informative research document body",
+                 "spam spam offer click free deal now buy",
+                 "measured report with clear careful methods"])],
+            "doc_id long, text string",
+        )
+        weights = [(-1, 0.0)] + [(b, 0.05 * (b % 7) - 0.12)
+                                 for b in range(64)]
+        prob = lr_prob_col(weights, n_buckets=64)
+        # label the top-scoring docs positive so a mid-precision target
+        # is reachable but not trivial
+        probs = {r["doc_id"]: r["q"] for r in
+                 docs.select("doc_id", prob.alias("q")).collect()}
+        med = sorted(probs.values())[len(probs) // 2]
+        labeled = docs.withColumn(
+            "label", (prob >= F.lit(med)).cast("int"))
+        thr = calibrated_threshold(
+            labeled.select(prob.alias("__prob"),
+                           F.col("label").alias("__label")),
+            "__prob", "__label", 0.9, n_bins=10)
+        manual = prepare_corpus(
+            docs, chunk_tokens=8, quality_weights=weights,
+            min_quality=thr, n_quality_buckets=64)
+        auto = prepare_corpus(
+            docs, chunk_tokens=8, quality_weights=weights,
+            n_quality_buckets=64, quality_labeled=labeled,
+            quality_target_precision=0.9)
+        assert sorted(map(tuple, auto.collect())) == \
+            sorted(map(tuple, manual.collect()))
+
+    def test_recipe_validates_calibration_args(self, spark):
+        from tundradb_spark.pipeline.recipe import prepare_corpus
+
+        docs = spark.createDataFrame(
+            [(1, "a doc")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="quality_weights"):
+            prepare_corpus(docs, quality_target_precision=0.9)
+        with pytest.raises(ValueError, match="quality_labeled"):
+            prepare_corpus(docs, quality_weights=[(-1, 0.0)],
+                           quality_target_precision=0.9)
+
+
 class TestLrTrainDegenerate:
     """r12: IRLS robustness on degenerate training sets — the ridge
     term must keep every solve finite and the fit deterministic."""

@@ -1250,8 +1250,51 @@ class TestQLQuality:
             id_col="k", n_buckets=16))
         assert got == want and len(got) == 2
 
+    def test_thresholds_parse(self):
+        st = parse_statement(
+            "QUALITY ON docs WITH w THRESHOLDS LABEL y BINS 20;")
+        assert (st.label_col, st.n_bins) == ("y", 20)
+        st2 = parse_statement("QUALITY ON docs WITH w THRESHOLDS LABEL y;")
+        assert (st2.label_col, st2.n_bins) == ("y", 10)
+        assert parse_statement("QUALITY ON docs WITH w;").label_col is None
+        with pytest.raises(QueryError):  # BINS needs THRESHOLDS
+            parse_statement("QUALITY ON docs WITH w BINS 5;")
+        with pytest.raises(QueryError):
+            parse_statement(
+                "QUALITY ON docs WITH w THRESHOLDS LABEL y BINS 0;")
+        with pytest.raises(QueryError):  # LABEL required
+            parse_statement("QUALITY ON docs WITH w THRESHOLDS;")
+
+    def test_thresholds_executes_like_operator(self, db, spark):
+        from tundradb_spark.pipeline.classify import (
+            lr_score, precision_thresholds,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, 1, "good detailed analysis", 1),
+             (1, 2, "click click buy", 0),
+             (2, 3, "careful measured report", 1)],
+            "row_id long, k long, text string, y int",
+        )
+        w = spark.createDataFrame(
+            [(0, -1, 0.5)] + [(b + 1, b, 0.01 * (b % 5)) for b in range(16)],
+            "row_id long, bucket long, weight double",
+        )
+        db.register_node_table("qtd", docs, "row_id", resume_counter=False)
+        db.register_node_table("qtw", w, "row_id", resume_counter=False)
+        got = rows_set(db.sql(
+            "QUALITY ON qtd WITH qtw BUCKETS 16 ID k"
+            " THRESHOLDS LABEL y BINS 4;"))
+        scored = lr_score(db.get_table("qtd"), db.get_table("qtw"),
+                          id_col="k", n_buckets=16)
+        want = rows_set(precision_thresholds(
+            scored.join(db.get_table("qtd").select("k", "y"), "k"),
+            "prob", "y", n_bins=4))
+        assert got == want and len(got) == 4
+
     def test_hint_and_completion(self):
         from tundradb_spark.ql.shell import COMPLETION_KEYWORDS, hint_for
 
         assert "WITH" in hint_for("QUALITY ")
+        assert "THRESHOLDS" in hint_for("QUALITY ")
         assert "QUALITY" in COMPLETION_KEYWORDS

@@ -36,6 +36,10 @@ def prepare_corpus(
     min_quality: float = 0.5,
     n_quality_buckets: int = 256,
     quality_bigrams: bool = True,
+    quality_labeled: DataFrame | None = None,
+    quality_label_col: str = "label",
+    quality_target_precision: float | None = None,
+    quality_calibration_bins: int = 10,
 ) -> DataFrame:
     """Clean → dedup → gate → chunk → sample, returning the chunk rows
     (``doc_id, chunk_idx, n_chunk_tokens, chunk`` + the doc's passthrough
@@ -61,7 +65,17 @@ def prepare_corpus(
        the same documents.  ``quality_bigrams`` must match the feature
        space the weight table was TRAINED with (``lr_train``'s
        ``bigrams`` flag) — a unigram-trained table scored with bigram
-       features silently misscores.
+       features silently misscores.  **Calibrated knob** (r13, r12
+       verdict item 7): pass ``quality_target_precision`` plus a
+       ``quality_labeled`` frame (docs with ``quality_label_col``) and
+       the gate's threshold is MEASURED instead of hand-set —
+       :func:`~tundradb_spark.pipeline.classify.calibrated_threshold`
+       scores the labeled set with the SAME inline predicate and picks
+       the max-recall edge meeting the precision target (an
+       ``n_bins``-row bounded collect at plan-build time; the corpus
+       plan itself is unchanged — the measured value substitutes for
+       ``min_quality``).  Streaming callers measure once in batch and
+       pass the result as ``stream_gate_corpus(min_quality=...)``.
     4. **Exact dedup**: md5(normalized text) groups; only each group's
        minimum-id member survives (broadcast semi-join against the groupBy
        winners — the one shuffle in the plan).
@@ -82,15 +96,38 @@ def prepare_corpus(
     gated = toked.filter(
         bigram_repetition_col("__t") <= max_bigram_rep
     ).drop("__t")
-    if quality_weights is not None:
-        from tundradb_spark.pipeline.classify import lr_prob_col
-
-        gated = gated.filter(
-            lr_prob_col(
-                quality_weights, text_col, n_buckets=n_quality_buckets,
-                bigrams=quality_bigrams,
-            ) >= F.lit(float(min_quality))
+    if quality_target_precision is not None and quality_weights is None:
+        raise ValueError(
+            "quality_target_precision needs quality_weights (the frozen"
+            " lr_train table the gate scores with)"
         )
+    if quality_weights is not None:
+        from tundradb_spark.pipeline.classify import (
+            calibrated_threshold,
+            lr_prob_col,
+        )
+
+        prob = lr_prob_col(
+            quality_weights, text_col, n_buckets=n_quality_buckets,
+            bigrams=quality_bigrams,
+        )
+        threshold = float(min_quality)
+        if quality_target_precision is not None:
+            if quality_labeled is None:
+                raise ValueError(
+                    "quality_target_precision needs quality_labeled"
+                    " (a labeled frame to measure the threshold on)"
+                )
+            threshold = calibrated_threshold(
+                quality_labeled.select(
+                    prob.alias("__prob"),
+                    F.col(quality_label_col).alias("__label"),
+                ),
+                "__prob", "__label",
+                quality_target_precision,
+                n_bins=quality_calibration_bins,
+            )
+        gated = gated.filter(prob >= F.lit(threshold))
 
     # dedup winners genuinely need the groupBy round-trip; the winner set
     # is one long per distinct text — broadcastable at any realistic scale

@@ -381,10 +381,14 @@ class Diff:
 @dataclass(frozen=True)
 class Quality:
     """QUALITY ON <docs> WITH <weights> [BUCKETS n] [ID col] [TEXT col]
-    [UNIGRAMS] — learned linear quality-filter scoring
-    (pipeline.classify.lr_score): every document scored under a frozen
-    LR weight table ``(bucket, weight)`` with the intercept at
-    ``bucket = -1``."""
+    [UNIGRAMS] [THRESHOLDS LABEL col [BINS n]] — learned linear
+    quality-filter scoring (pipeline.classify.lr_score): every document
+    scored under a frozen LR weight table ``(bucket, weight)`` with the
+    intercept at ``bucket = -1``.  The THRESHOLDS form instead returns
+    the measured operating-point curve
+    (pipeline.classify.precision_thresholds) of the keep-rule
+    ``prob >= edge`` against ``<docs>``'s label column — the table a
+    pipeline reads to pick its gate knob at a precision target."""
 
     table: str
     weights: str
@@ -392,6 +396,8 @@ class Quality:
     id_col: str = "doc_id"
     text_col: str = "text"
     bigrams: bool = True
+    label_col: str | None = None
+    n_bins: int = 10
 
 
 Statement = (

@@ -390,15 +390,29 @@ def execute_ast(db: "Database", stmt: ast.Statement) -> DataFrame | None:
         )
 
     if isinstance(stmt, ast.Quality):
-        from tundradb_spark.pipeline.classify import lr_score
+        from tundradb_spark.pipeline.classify import (
+            lr_score,
+            precision_thresholds,
+        )
 
-        return lr_score(
+        scored = lr_score(
             db.get_table(stmt.table),
             db.get_table(stmt.weights),
             text_col=stmt.text_col,
             id_col=stmt.id_col,
             n_buckets=stmt.n_buckets,
             bigrams=stmt.bigrams,
+        )
+        if stmt.label_col is None:
+            return scored
+        labeled = scored.join(
+            db.get_table(stmt.table).select(
+                stmt.id_col, stmt.label_col
+            ),
+            stmt.id_col,
+        )
+        return precision_thresholds(
+            labeled, "prob", stmt.label_col, n_bins=stmt.n_bins
         )
 
     if isinstance(stmt, ast.Skew):

@@ -1160,13 +1160,15 @@ class Parser:
 
     def quality_statement(self) -> ast.Quality:
         """QUALITY ON docs WITH weights [BUCKETS n] [ID col] [TEXT col]
-        [UNIGRAMS]"""
+        [UNIGRAMS] [THRESHOLDS LABEL col [BINS n]]"""
         self.expect("QUALITY")
         self.expect("ON")
         table = self.ident()
         self.expect("WITH")
         weights = self.ident()
         n_buckets, id_col, text_col, bigrams = 256, "doc_id", "text", True
+        label_col: str | None = None
+        n_bins, saw_bins = 10, False
         while True:
             if self.at_kw("BUCKETS"):
                 self.next()
@@ -1180,12 +1182,29 @@ class Parser:
             elif self.at_kw("UNIGRAMS"):
                 self.next()
                 bigrams = False
+            elif self.at_kw("THRESHOLDS"):
+                self.next()
+                self.expect("LABEL")
+                label_col = self.ident()
+            elif self.at_kw("BINS"):
+                self.next()
+                n_bins = self._int_clause("BINS")
+                saw_bins = True
             else:
                 break
         if not 2 <= n_buckets <= 4096:
             raise QueryError(
                 "TundraQL: QUALITY BUCKETS must be in [2, 4096] (must"
                 " match the weight table's training dimension)"
+            )
+        if saw_bins and label_col is None:
+            raise QueryError(
+                "TundraQL: QUALITY BINS only applies to the THRESHOLDS"
+                " form (THRESHOLDS LABEL col [BINS n])"
+            )
+        if not 1 <= n_bins <= 1000:
+            raise QueryError(
+                "TundraQL: QUALITY BINS must be in [1, 1000]"
             )
         return ast.Quality(
             table=table,
@@ -1194,6 +1213,8 @@ class Parser:
             id_col=id_col,
             text_col=text_col,
             bigrams=bigrams,
+            label_col=label_col,
+            n_bins=n_bins,
         )
 
     def skew_statement(self) -> ast.Skew:

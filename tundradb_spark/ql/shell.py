@@ -116,7 +116,8 @@ HINTS = {
     "SKEW ": "ON table KEY col [TOP n]",
     "FANOUT ": "ON table_a WITH table_b KEY col [KEYB col] [TOP n]",
     "TREND ": "ON table EPOCH micros [GROUP col] [VALUE col] [TS col] [MIN n]",
-    "QUALITY ": "ON docs WITH weights [BUCKETS n] [ID col] [TEXT col] [UNIGRAMS]",
+    "QUALITY ": "ON docs WITH weights [BUCKETS n] [ID col] [TEXT col]"
+                " [UNIGRAMS] [THRESHOLDS LABEL col [BINS n]]",
 }
 
 
