@@ -4821,16 +4821,26 @@ def q_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r12: calibration gauge for the frozen LR quality filter — the
     classifier's probabilities against the true ``lang = 'en'`` labels
     through the existing reliability bins (classify.calibration_bins):
-    per-bin mean predicted probability vs observed positive rate."""
-    from tundradb_spark.pipeline.classify import calibration_bins, lr_score
+    per-bin mean predicted probability vs observed positive rate.
+
+    r13 plan upgrade: probabilities come from the INLINE scorer
+    (classify.lr_prob_col — pinned bit-equal to lr_score, measured
+    2.42x cheaper in SCALE_PROBE_r12), so prob and label live on the
+    SAME row with no design-matrix groupBy and no join back: the whole
+    query is one narrow projection into calibration_bins' single
+    map-side-combined 10-row groupBy — the deployment-shaped plan
+    (prepare_corpus gates with this exact expression).  The oracle is
+    unchanged (lr_score_sql probabilities): the bit-equality pin is
+    what the driver row now exercises end-to-end."""
+    from tundradb_spark.pipeline.classify import (
+        calibration_bins,
+        lr_prob_col,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    scored = lr_score(
-        docs, _lr_weights_df(spark), n_buckets=LR_BUCKETS
-    ).join(
-        docs.select("doc_id", F.expr("cast(lang = 'en' as int)")
-                    .alias("label")),
-        "doc_id",
+    scored = docs.select(
+        lr_prob_col(LR_WEIGHTS, n_buckets=LR_BUCKETS).alias("prob"),
+        F.expr("cast(lang = 'en' as int)").alias("label"),
     )
     return calibration_bins(scored, prob_col="prob", label_col="label",
                             n_bins=10)

@@ -104,6 +104,25 @@ def test_sessionize_single_shuffle_partial_merge(spark):
     assert "partial" in audit.formatted_plan(df).lower()
 
 
+def test_lr_calibration_single_corpus_exchange(spark):
+    # r13: q_lr_calibration scores with the INLINE fold (lr_prob_col —
+    # prob and label on the same row, no design groupBy, no join back),
+    # so the ONLY corpus-sized exchange is calibration_bins' 10-row
+    # map-side-combined groupBy
+    df = _q("q_lr_calibration")(spark, SF)
+    assert audit.count_exchanges(df) <= 1, audit.formatted_plan(df)
+    assert "partial" in audit.formatted_plan(df).lower()
+
+
+def test_calibrated_gate_inline_scorer_no_design_shuffle(spark):
+    # r13: the gate side of q_calibrated_gate filters with the inline
+    # expression — after the bounded threshold pick, the corpus pays the
+    # per-lang groupBy and nothing else (no design-matrix exchange, no
+    # join of a score frame)
+    df = _q("q_calibrated_gate")(spark, SF)
+    assert audit.count_exchanges(df) <= 1, audit.formatted_plan(df)
+
+
 def test_ivf_no_nested_loop_and_pruned_probe(spark):
     # IVF probe: candidate filter is a literal cell predicate (scan-side
     # with cell-partitioned storage); no nested-loop anywhere, and the
