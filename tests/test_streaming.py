@@ -1849,6 +1849,55 @@ class TestStreamCalibration:
         # excluded rows reached neither side
         assert sum(r[3] for r in want) == 7
 
+    def test_thresholds_reader_equals_batch_curve(self, spark, tmp_path):
+        """r13: read_precision_thresholds — the live operating-point
+        curve from the SAME calibration state table, pinned row-for-row
+        to the batch precision_thresholds over all delivered rows."""
+        from tundradb_spark.pipeline.classify import precision_thresholds
+        from tundradb_spark.streaming import (
+            read_precision_thresholds,
+            stream_calibration_bins,
+        )
+
+        src = str(tmp_path / "ptsrc")
+        sink = str(tmp_path / "ptsink")
+        ckpt = str(tmp_path / "ptck")
+        os.makedirs(src)
+        batch1 = [
+            (1, 0.05, False), (2, 0.22, False), (3, 0.28, True),
+            (4, 1.0, True),
+        ]
+        batch2 = [
+            (5, 0.25, True), (6, 0.95, True), (7, 0.91, False),
+            (8, 0.5, None), (9, -0.1, True), (10, 1.5, False),
+        ]
+        spark.createDataFrame(batch1, self.SCHEMA).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(self.SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = stream_calibration_bins(stream, sink, ckpt, n_bins=10)
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(batch2, self.SCHEMA).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        allrows = spark.createDataFrame(batch1 + batch2, self.SCHEMA)
+        got = sorted(map(tuple, read_precision_thresholds(
+            spark, sink, n_bins=10).collect()))
+        want = sorted(map(tuple, precision_thresholds(
+            allrows, "prob", "label", n_bins=10).collect()))
+        assert got == want
+        d = {r[0]: r for r in want}
+        # every row admitted at edge 0.0: 7 kept, 4 positives
+        assert (d[0][2], d[0][3]) == (7, 4)
+        # top bin: {0.91 F, 0.95 T, 1.0 T} → precision 2/3, recall 2/4
+        assert (d[9][2], d[9][3], d[9][4], d[9][5]) == (
+            3, 2, 0.666667, 0.5)
+        # empty mid-curve edges still inherit the cumulative top
+        assert d[5][2] == 3 and d[5][4] == 0.666667
+
 
 class TestReadWinsorizeBounds:
     """r10: approximate streaming winsorization — clip bounds from the

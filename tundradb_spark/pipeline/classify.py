@@ -368,14 +368,24 @@ def precision_thresholds(
     tails (no predictions at or above the edge), ``recall`` is NULL
     when the labeled set has no positives.
     """
+    return precision_threshold_score(
+        calibration_partials(scored, prob_col, label_col, n_bins), n_bins
+    )
+
+
+def precision_threshold_score(agg: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Score per-bin partials (:func:`calibration_partials` layout —
+    only ``(bin, n, __sy)`` is read) into the operating-point curve:
+    the back half of :func:`precision_thresholds`, shared verbatim with
+    the streaming reader (``streaming.ops.read_precision_thresholds``)
+    so stream-merged partials produce the IDENTICAL curve."""
     from pyspark.sql import Window
 
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
-    spark = scored.sparkSession
-    parts = calibration_partials(scored, prob_col, label_col, n_bins)
+    spark = agg.sparkSession
     grid = spark.range(n_bins).select(F.col("id").alias("bin"))
-    filled = grid.join(parts, "bin", "left").select(
+    filled = grid.join(agg, "bin", "left").select(
         "bin",
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         F.coalesce(F.col("__sy"), F.lit(0)).cast("long").alias("pos"),

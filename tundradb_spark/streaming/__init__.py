@@ -67,7 +67,10 @@ continuously-ingesting graph/analytics deployment needs:
 - :func:`stream_calibration_bins` / :func:`read_calibration` — live
   reliability-diagram bins with ``n_bins`` rows of state per epoch
   (decimal partial sum-merge + the batch operator's shared scoring ==
-  calibration_bins exactly)
+  calibration_bins exactly); :func:`read_precision_thresholds` reads
+  the SAME state table into the live keep-rule operating-point curve
+  (== pipeline.classify.precision_thresholds exactly — r13's
+  calibrated quality-gate knob, re-pickable as the stream drifts)
 - :func:`stream_drift_bins` / :func:`read_drift` — live distribution
   drift (PSI / Jensen-Shannon / total-variation) against a frozen
   reference snapshot with ``groups × (n_bins + 1)`` longs of state per
@@ -100,6 +103,7 @@ from tundradb_spark.streaming.ops import (
     read_benford,
     stream_calibration_bins,
     read_calibration,
+    read_precision_thresholds,
     read_winsorize_bounds,
     stream_token_counts,
     read_vocab_coverage,
@@ -173,6 +177,7 @@ __all__ = [
     "read_benford",
     "stream_calibration_bins",
     "read_calibration",
+    "read_precision_thresholds",
     "read_winsorize_bounds",
     "stream_token_counts",
     "read_vocab_coverage",

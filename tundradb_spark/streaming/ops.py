@@ -2126,6 +2126,32 @@ def read_calibration(
     return calibration_score(merged, n_bins)
 
 
+def read_precision_thresholds(
+    spark,
+    path: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Merge all epochs of a :func:`stream_calibration_bins` table and
+    score them through the BATCH operating-point expressions
+    (``pipeline.classify.precision_threshold_score``) — the live
+    keep-rule precision/recall curve at every candidate threshold,
+    identical to running
+    :func:`~tundradb_spark.pipeline.classify.precision_thresholds`
+    over every prediction the stream has delivered (r13; same
+    state table as :func:`read_calibration`, no extra stream).  Feed
+    the result to
+    :func:`~tundradb_spark.pipeline.classify.calibrated_threshold`'s
+    selection rule to re-pick the gate knob as the stream's class
+    balance drifts."""
+    from tundradb_spark.pipeline.classify import precision_threshold_score
+
+    merged = spark.read.parquet(path).groupBy("bin").agg(
+        F.sum("n").alias("n"),
+        F.sum("__sy").alias("__sy"),
+    )
+    return precision_threshold_score(merged, n_bins)
+
+
 def read_winsorize_bounds(
     spark,
     path: str,
