@@ -5103,7 +5103,15 @@ def q_calibrated_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     INLINE score (classify.lr_prob_col, the zero-shuffle fold pinned
     bit-equal to lr_score and the predicate prepare_corpus deploys)
     clears the measured threshold.  Output: per-language admitted
-    counts + the picked threshold."""
+    counts + the picked threshold.
+
+    Totality: when NO edge meets the target (a corpus the classifier
+    can't separate), the row returns the EMPTY frame — exactly the
+    oracle's rowset (its pick CTE yields NULL, and ``prob >= NULL``
+    admits nothing).  The loud ``ValueError`` stays where a silent
+    wide-open gate would be a defect (``calibrated_threshold`` /
+    ``prepare_corpus``); a driver correctness row must stay comparable
+    on every input instead."""
     from tundradb_spark.pipeline.classify import (
         calibrated_threshold,
         lr_prob_col,
@@ -5117,10 +5125,15 @@ def q_calibrated_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "doc_id",
     )
-    thr = calibrated_threshold(
-        labeled, "prob", "label",
-        GATE_TARGET_PRECISION, n_bins=GATE_BINS,
-    )
+    try:
+        thr = calibrated_threshold(
+            labeled, "prob", "label",
+            GATE_TARGET_PRECISION, n_bins=GATE_BINS,
+        )
+    except ValueError:
+        return spark.createDataFrame(
+            [], "lang string, n_docs long, threshold double"
+        )
     prob = lr_prob_col(LR_WEIGHTS, n_buckets=LR_BUCKETS)
     return (
         docs.filter(prob >= F.lit(thr))
@@ -5137,9 +5150,11 @@ def _calibrated_gate_oracle() -> str:
     )
 
     inner = lr_score_sql("documents", LR_WEIGHTS, n_buckets=LR_BUCKETS)
+    # the curve reads the scored CTE (by name) rather than re-embedding
+    # the corpus-wide scoring subquery a second time
     labeled = (
-        f"(SELECT s.prob, CAST(d.lang = 'en' AS INT) AS label"
-        f" FROM ({inner}) s JOIN documents d USING (doc_id))"
+        "(SELECT s.prob, CAST(d.lang = 'en' AS INT) AS label"
+        " FROM scored s JOIN documents d USING (doc_id))"
     )
     curve = precision_thresholds_sql(
         labeled, "prob", "label", n_bins=GATE_BINS

@@ -3516,6 +3516,27 @@ class TestPrecisionThresholds:
         assert rows[2] == (0, None, 0.0)
         assert rows[3] == (0, None, 0.0)
 
+    def test_degenerate_inputs(self, spark):
+        """n_bins=1 collapses to the totals row; an all-NULL-label (or
+        empty) input yields a defined curve of zeros with NULL
+        precision/recall — never a crash, never a fabricated number."""
+        from tundradb_spark.pipeline.classify import precision_thresholds
+
+        scored = self._scored(spark)
+        one = [tuple(r) for r in precision_thresholds(
+            scored, "p", "y", n_bins=1).collect()]
+        assert one == [(0, 0.0, 7, 4, 0.571429, 1.0)]
+
+        nolab = spark.createDataFrame(
+            [(0.5, None), (0.9, None)], "p double, y int")
+        rows = [tuple(r) for r in precision_thresholds(
+            nolab, "p", "y", n_bins=2).collect()]
+        assert rows == [(0, 0.0, 0, 0, None, None),
+                        (1, 0.5, 0, 0, None, None)]
+
+        with pytest.raises(ValueError):
+            precision_thresholds(scored, "p", "y", n_bins=0)
+
     def test_calibrated_threshold_picks_max_recall_edge(self, spark):
         from tundradb_spark.pipeline.classify import calibrated_threshold
 
@@ -3593,6 +3614,47 @@ class TestPrecisionThresholds:
         with pytest.raises(ValueError, match="quality_labeled"):
             prepare_corpus(docs, quality_weights=[(-1, 0.0)],
                            quality_target_precision=0.9)
+        # a labeled frame without a target would be silently ignored —
+        # must refuse instead
+        with pytest.raises(ValueError,
+                           match="quality_target_precision"):
+            prepare_corpus(docs, quality_weights=[(-1, 0.0)],
+                           quality_labeled=docs)
+
+    def test_seated_gate_row_is_total_on_unreachable_target(
+        self, spark, monkeypatch
+    ):
+        """q_calibrated_gate must mirror its oracle when no edge meets
+        the precision target: the oracle's pick CTE yields NULL and
+        admits nothing, so the Spark side returns the EMPTY frame (same
+        schema) instead of raising — a driver row stays comparable on
+        every input."""
+        import __spark_entry__ as entry
+
+        monkeypatch.setattr(entry, "GATE_TARGET_PRECISION", 0.999)
+        df = entry.q_calibrated_gate(spark, "/root/testdata/sf0.001")
+        assert df.count() == 0
+        assert [f.name for f in df.schema.fields] == [
+            "lang", "n_docs", "threshold"]
+
+    def test_thresholds_reader_rejects_smaller_n_bins(
+        self, spark, tmp_path
+    ):
+        """read_precision_thresholds with n_bins below the writer's
+        would silently drop the high bins via the grid left-join —
+        must fail loudly instead."""
+        from tundradb_spark.streaming import read_precision_thresholds
+
+        path = str(tmp_path / "ptstate")
+        spark.createDataFrame(
+            [(0, 17, 3, 5), (1, 12, 2, 4)],
+            "epoch long, bin long, n long, __sy long",
+        ).write.parquet(path)
+        with pytest.raises(ValueError, match="n_bins"):
+            read_precision_thresholds(spark, path, n_bins=10)
+        # correct n_bins reads fine
+        rows = read_precision_thresholds(spark, path, n_bins=20)
+        assert rows.count() == 20
 
 
 class TestLrTrainDegenerate:

@@ -1265,6 +1265,22 @@ class TestQLQuality:
         with pytest.raises(QueryError):  # LABEL required
             parse_statement("QUALITY ON docs WITH w THRESHOLDS;")
 
+    def test_thresholds_label_collision_rejected(self, db, spark):
+        # a label column named like a scorer output (or the id) would
+        # make the internal join ambiguous — refused at the QL level
+        docs = spark.createDataFrame(
+            [(0, 1, "text body", 1)],
+            "row_id long, k long, text string, prob int",
+        )
+        w = spark.createDataFrame(
+            [(0, -1, 0.5)], "row_id long, bucket long, weight double")
+        db.register_node_table("qcd", docs, "row_id", resume_counter=False)
+        db.register_node_table("qcw", w, "row_id", resume_counter=False)
+        with pytest.raises(QueryError, match="collides"):
+            db.sql("QUALITY ON qcd WITH qcw ID k THRESHOLDS LABEL prob;")
+        with pytest.raises(QueryError, match="collides"):
+            db.sql("QUALITY ON qcd WITH qcw ID k THRESHOLDS LABEL k;")
+
     def test_thresholds_executes_like_operator(self, db, spark):
         from tundradb_spark.pipeline.classify import (
             lr_score, precision_thresholds,

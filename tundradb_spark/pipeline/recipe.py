@@ -101,6 +101,13 @@ def prepare_corpus(
             "quality_target_precision needs quality_weights (the frozen"
             " lr_train table the gate scores with)"
         )
+    if quality_labeled is not None and quality_target_precision is None:
+        raise ValueError(
+            "quality_labeled was given without quality_target_precision"
+            " — the labeled frame would be silently ignored and the gate"
+            " would run at the hand-set min_quality; pass the precision"
+            " target the threshold should be measured against"
+        )
     if quality_weights is not None:
         from tundradb_spark.pipeline.classify import (
             calibrated_threshold,

@@ -405,6 +405,13 @@ def execute_ast(db: "Database", stmt: ast.Statement) -> DataFrame | None:
         )
         if stmt.label_col is None:
             return scored
+        if stmt.label_col in ("prob", "n_feats", "logit", stmt.id_col):
+            raise QueryError(
+                f"TundraQL: QUALITY THRESHOLDS LABEL {stmt.label_col!r}"
+                " collides with a scorer output column"
+                " (prob/n_feats/logit) or the id column — rename the"
+                " label column on the source table"
+            )
         labeled = scored.join(
             db.get_table(stmt.table).select(
                 stmt.id_col, stmt.label_col

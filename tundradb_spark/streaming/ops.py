@@ -2149,6 +2149,19 @@ def read_precision_thresholds(
         F.sum("n").alias("n"),
         F.sum("__sy").alias("__sy"),
     )
+    # precision_threshold_score's bin grid LEFT-joins the partials, so a
+    # reader n_bins smaller than the writer's would silently drop the
+    # high bins and report a wrong curve (read_calibration under the
+    # same mistake at least surfaces the extra rows) — fail loudly
+    # instead; the check reads the already-n_bins-sized merge, not the
+    # stream history.
+    top = merged.agg(F.max("bin").alias("m")).collect()[0]["m"]
+    if top is not None and top >= n_bins:
+        raise ValueError(
+            f"state table at {path!r} holds bin {top} but the reader was"
+            f" given n_bins={n_bins} — pass the n_bins the stream was"
+            f" written with (>= {top + 1})"
+        )
     return precision_threshold_score(merged, n_bins)
 
 
