@@ -853,38 +853,60 @@ def test_token_drift_one_count_per_side(spark):
 
 def test_key_skew_one_aggregate(spark):
     """r11: the skew report's only data-sized work is ONE
-    map-side-combined groupBy(key); the rank/total windows run on the
-    key-universe frame."""
+    map-side-combined groupBy(key).  r13: the top-N comes from a
+    DISTRIBUTED TakeOrdered (never a key-universe single-partition
+    window sort), totals attach via a 1-row broadcast cross join (the
+    one benign nested loop), and runtime exchange reuse dedupes the
+    totals branch's recomputation of the counts."""
     from tundradb_spark.operators.relational import key_skew
 
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     df = key_skew(li, "l_suppkey", top_n=10)
-    audit.assert_no_nested_loop(df)
     plan = audit.formatted_plan(df)
+    tree = audit.simple_plan(df)
     assert "partial" in plan.lower(), plan  # map-side combine
+    assert "TakeOrderedAndProject" in tree, tree  # distributed top-N
+    # the only nested loop is the 1-row totals attach
+    assert tree.count("BroadcastNestedLoopJoin") == 1, tree
     assert audit.count_exchanges(df) <= 3, plan
+    # the scan is computed once: the totals branch reuses the counts
+    # exchange at runtime
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed[:4000]
 
 
 def test_join_fanout_never_runs_the_join(spark):
     """r11: the cardinality check must cost two count aggregates + a
     key-universe join — the data-sized tables are each scanned ONCE
-    into their counts and never joined row-to-row."""
+    into their counts and never joined row-to-row.  r13: the top-N is
+    a DISTRIBUTED TakeOrdered (never a matched-key-universe
+    single-partition window sort); the totals branch's second
+    reference to the counts join appears in the static tree but its
+    exchanges are REUSED at runtime, so each table is still scanned
+    once."""
     from tundradb_spark.operators.relational import join_fanout
 
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
     od = spark.read.parquet(f"{SF}/orders.parquet")
     df = join_fanout(li, od, "l_orderkey", "o_orderkey", top_n=10)
-    audit.assert_no_nested_loop(df)
     plan = audit.formatted_plan(df)
     assert "partial" in plan.lower(), plan
-    # the one join in the plan is between the two COUNT frames
-    tree = audit.simple_plan(df)  # each node once
+    tree = audit.simple_plan(df)  # each node once per static branch
     n_joins = sum(
         tree.count(s)
         for s in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
-    assert n_joins == 1, tree
+    # top-N branch + totals branch, each joining the two COUNT frames;
+    # never a row-to-row join of the data-sized tables
+    assert n_joins == 2, tree
+    assert "TakeOrderedAndProject" in tree, tree
+    # the only nested loop is the 1-row totals attach
+    assert tree.count("BroadcastNestedLoopJoin") == 1, tree
     assert audit.count_exchanges(df) <= 5, plan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed[:4000]
 
 
 def test_value_trend_one_aggregate(spark):

@@ -1355,11 +1355,18 @@ def key_skew(
     single NULL-key row can never tie-compare against a NULL key text);
     shares round half-up to 6 dp with exact long counts alongside.
 
-    Plan / 100 TB shape: ONE map-side-combined ``groupBy(key)`` (the
-    only data-sized shuffle — identical cost to the aggregation being
-    diagnosed, minus its payload), a key-universe-sized window for the
-    rank/cumulative sums, ``top_n`` output rows.  ``n_keys`` /
-    ``total_rows`` ride every row, so the report is self-contained.
+    Plan / 100 TB shape (r13 rewrite): ONE map-side-combined
+    ``groupBy(key)`` (the only data-sized shuffle — identical cost to
+    the aggregation being diagnosed, minus its payload), then the
+    top-``top_n`` keys via a DISTRIBUTED ``orderBy().limit()``
+    (TakeOrdered — every partition contributes its local top-N, the
+    driver merges) and ``n_keys``/``total_rows`` via a scalar aggregate
+    broadcast back onto the ``top_n`` survivors.  The previous shape
+    ranked with a key-universe-sized single-partition window — a
+    billions-of-distinct-keys column would sort its whole universe on
+    one task; now the only window runs over ≤ ``top_n`` rows, and the
+    cumulative sums are identical because the top-N prefix of a TOTAL
+    order is the same rows either way.
 
     Output: ``(rank, key, is_null, cnt, share, cum_share, n_keys,
     total_rows)``.
@@ -1374,24 +1381,30 @@ def key_skew(
         .groupBy("key", "is_null")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+    )
     # is_null ASC breaks a (cnt) tie between the NULL row and a string
     # key BEFORE key comparison — the NULL key text never has to order
     # against a real string (Spark NULLS FIRST vs DuckDB NULLS LAST
-    # would diverge there)
-    w = Window.orderBy(
+    # would diverge there); the order is TOTAL, so limit() is
+    # deterministic
+    order = [
         F.col("cnt").desc(), F.col("is_null").asc(), F.col("key").asc()
-    )
+    ]
+    top = counts.orderBy(*order).limit(top_n)
+    w = Window.orderBy(*order)
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    every = Window.partitionBy()
-    ranked = counts.select(
+    ranked = top.crossJoin(F.broadcast(totals)).select(
         F.row_number().over(w).alias("rank"),
         F.coalesce("key", F.lit("<null>")).alias("key"),
         "is_null",
         "cnt",
         F.sum("cnt").over(wcum).alias("__cum"),
-        F.count(F.lit(1)).over(every).alias("n_keys"),
-        F.sum("cnt").over(every).alias("total_rows"),
-    ).filter(F.col("rank") <= top_n)
+        "n_keys",
+        "total_rows",
+    )
 
     def _share(expr: str) -> str:
         return (
@@ -1513,17 +1526,29 @@ def join_fanout(
             * F.col("n_b").cast("decimal(19,0)")
         ).alias("out_rows"),
     )
-    w = Window.orderBy(F.col("out_rows").desc(), F.col("key").asc())
-    every = Window.partitionBy()
-    ranked = j.select(
+    # r13: totals via a scalar aggregate + the top-N via a DISTRIBUTED
+    # orderBy().limit() (TakeOrdered) instead of a matched-key-universe
+    # single-partition window — at 100 TB the matched-key universe can
+    # be billions of rows and the old shape sorted all of them on one
+    # task; the only window now runs over <= top_n rows.  (out_rows
+    # DESC, key ASC) is a total order, so limit() is deterministic and
+    # the ranks are unchanged.
+    totals = j.agg(
+        F.count(F.lit(1)).alias("matched_keys"),
+        F.sum("out_rows").alias("est_rows"),
+    )
+    order = [F.col("out_rows").desc(), F.col("key").asc()]
+    top = j.orderBy(*order).limit(top_n)
+    w = Window.orderBy(*order)
+    ranked = top.crossJoin(F.broadcast(totals)).select(
         F.row_number().over(w).alias("rank"),
         "key",
         "n_a",
         "n_b",
         "out_rows",
-        F.count(F.lit(1)).over(every).alias("matched_keys"),
-        F.sum("out_rows").over(every).alias("est_rows"),
-    ).filter(F.col("rank") <= top_n)
+        "matched_keys",
+        "est_rows",
+    )
     return ranked.select(
         F.col("rank").cast("long").alias("rank"),
         "key",

@@ -24,8 +24,13 @@ operations a large-scale LLM training-data pipeline needs, built Spark-first:
   log-likelihood ratios) for importance resampling
 - :mod:`classify` — in-engine text classifiers: closed-form multinomial
   Naive Bayes, the r12 IRLS logistic-regression quality filter over hashed
-  n-gram features (``lr_train`` / ``lr_score``), and reliability-diagram
-  calibration bins with a streaming twin
+  n-gram features (``lr_train`` / ``lr_score``), reliability-diagram
+  calibration bins with a streaming twin, and the r13 calibrated gate
+  knob (``precision_thresholds`` — the measured keep-rule
+  precision/recall curve at every bin edge — with
+  ``calibrated_threshold`` picking the max-recall edge meeting a
+  precision target; ``recipe.prepare_corpus`` deploys it via
+  ``quality_target_precision``)
 - :mod:`recipe` — the composed corpus-prep pipeline (gate → dedup → chunk →
   sample as one lazy plan)
 - :mod:`multimodal` — binary (image/audio/video) column plumbing with
