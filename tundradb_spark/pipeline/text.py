@@ -855,10 +855,18 @@ def build_vocab(
         F.count_distinct(id_col).alias("df"),
     )
     kept = counts.filter(F.col("df") >= min_df)
+    # r13: with a vocabulary cap, take the top-max_vocab types via a
+    # DISTRIBUTED orderBy().limit() (TakeOrdered) BEFORE the id-ranking
+    # window, so the single-partition sort sees max_vocab rows instead
+    # of the whole type universe (hundreds of millions of unique tokens
+    # at 100 TB).  The order is total, so limit-then-rank assigns the
+    # identical ids the old rank-then-filter did.  Uncapped calls ask
+    # for a full-universe ranking by definition and keep the global
+    # window.
+    if max_vocab is not None:
+        kept = kept.orderBy(F.desc("count"), F.asc("token")).limit(max_vocab)
     w = Window.orderBy(F.desc("count"), F.asc("token"))
     ranked = kept.withColumn("tok_id", (F.row_number().over(w) - 1).cast("long"))
-    if max_vocab is not None:
-        ranked = ranked.filter(F.col("tok_id") < max_vocab)
     return ranked.select("token", "tok_id", "count", "df")
 
 
@@ -1511,9 +1519,18 @@ def vocab_coverage_curve(counts: DataFrame, sizes: list[int]) -> DataFrame:
         raise ValueError(f"sizes must be non-empty positive ints: {sizes}")
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    # r13: the curve only ever reads ranks 1..max(sizes) (each probe
+    # takes the LAST rank <= its n_vocab), so the single-partition
+    # ranking window runs over a TakeOrdered top-max(sizes) frame —
+    # bounded by the caller's largest requested vocabulary, never the
+    # type universe.  The total-order limit keeps ranks identical, and
+    # a size beyond the universe still covers everything (the limit
+    # returns the whole universe when it is smaller).
+    order = [F.col("cnt").desc(), F.col("token").asc()]
+    top = counts.orderBy(*order).limit(max(sizes))
+    w = Window.orderBy(*order)
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranked = counts.select(
+    ranked = top.select(
         F.row_number().over(w).alias("rank"),
         F.sum("cnt").over(wcum).alias("cum"),
     )
