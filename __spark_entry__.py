@@ -5178,3 +5178,37 @@ def _calibrated_gate_oracle() -> str:
 PARKED_QUERIES["q_calibrated_gate"] = q_calibrated_gate
 PARKED_ORACLES["q_calibrated_gate"] = _calibrated_gate_oracle()
 SEATING_QUEUE = SEATING_QUEUE | {"q_calibrated_gate"}
+
+
+def q_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: the gate-attrition funnel (recipe.gate_funnel) — documents
+    and tokens lost at each prepare_corpus row-level gate (pii →
+    repetition → learned quality under the frozen LR weights), per
+    language, labeled by the FIRST failing gate with the recipe's own
+    inline predicates.  One narrow projection + one map-side
+    gates×languages groupBy; the quality branch exercises the inline
+    lr_prob_col fold against the oracle's lr_score_sql join (the
+    bit-equality pin, end-to-end)."""
+    from tundradb_spark.pipeline.recipe import gate_funnel
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gate_funnel(
+        docs, group_col="lang",
+        quality_weights=LR_WEIGHTS, min_quality=0.5,
+        n_quality_buckets=LR_BUCKETS,
+    )
+
+
+def _gate_funnel_oracle() -> str:
+    from tundradb_spark.pipeline.recipe import gate_funnel_sql
+
+    return gate_funnel_sql(
+        "documents", group_col="lang",
+        quality_weights=LR_WEIGHTS, min_quality=0.5,
+        n_quality_buckets=LR_BUCKETS,
+    )
+
+
+PARKED_QUERIES["q_gate_funnel"] = q_gate_funnel
+PARKED_ORACLES["q_gate_funnel"] = _gate_funnel_oracle()
+SEATING_QUEUE = SEATING_QUEUE | {"q_gate_funnel"}

@@ -3657,6 +3657,93 @@ class TestPrecisionThresholds:
         assert rows.count() == 20
 
 
+class TestGateFunnel:
+    """r13: gate_reasons / gate_funnel — per-doc first-failing-gate
+    labels and the per-group attrition report, pinned to the recipe's
+    own survivor set."""
+
+    def _docs(self, spark):
+        rows = [
+            (1, "a clean well written document body here", "en"),
+            (2, "contact me mail@example.com for details", "en"),  # pii
+            (3, "spam spam spam spam spam spam spam spam", "en"),  # rep
+            (4, "visit https://example.com now", "de"),            # pii
+            (5, None, "de"),                                        # pii
+            (6, "another perfectly ordinary document text", "de"),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string")
+
+    def test_reasons_by_hand_and_null_text(self, spark):
+        from tundradb_spark.pipeline.recipe import gate_reasons
+
+        got = {r["doc_id"]: r["gate"] for r in
+               gate_reasons(self._docs(spark)).collect()}
+        assert got == {1: "pass", 2: "pii", 3: "repetition",
+                       4: "pii", 5: "pii", 6: "pass"}
+
+    def test_quality_label_and_order(self, spark):
+        """The quality gate fires only when weights are given, and only
+        for docs that survived pii+repetition (first-fail order)."""
+        from tundradb_spark.pipeline.classify import lr_prob_col
+        from tundradb_spark.pipeline.recipe import gate_reasons
+
+        docs = self._docs(spark)
+        weights = [(-1, 0.0)] + [(b, 0.05 * (b % 7) - 0.12)
+                                 for b in range(64)]
+        prob = lr_prob_col(weights, n_buckets=64)
+        probs = {r["doc_id"]: r["q"] for r in docs.select(
+            "doc_id", prob.alias("q")).collect()}
+        thr = (probs[1] + probs[6]) / 2  # separates the two pass docs
+        got = {r["doc_id"]: r["gate"] for r in gate_reasons(
+            docs, quality_weights=weights, min_quality=thr,
+            n_quality_buckets=64).collect()}
+        lo, hi = (1, 6) if probs[1] < probs[6] else (6, 1)
+        assert got[lo] == "quality" and got[hi] == "pass"
+        # pii/repetition docs keep their earlier labels regardless of
+        # their quality scores
+        assert (got[2], got[3], got[4], got[5]) == (
+            "pii", "repetition", "pii", "pii")
+
+    def test_pass_set_equals_recipe_survivors(self, spark):
+        """gate == 'pass' is EXACTLY prepare_corpus's pre-dedup survivor
+        set (all-distinct texts, full sample → chunk doc_ids = pass)."""
+        from tundradb_spark.pipeline.recipe import (
+            gate_reasons, prepare_corpus,
+        )
+
+        docs = self._docs(spark).filter(F.col("text").isNotNull())
+        passed = {r["doc_id"] for r in gate_reasons(docs).collect()
+                  if r["gate"] == "pass"}
+        chunks = {r["doc_id"] for r in prepare_corpus(
+            docs, chunk_tokens=4).collect()}
+        assert passed == chunks and passed
+
+    def test_funnel_counts_docs_and_tokens(self, spark):
+        from tundradb_spark.pipeline.recipe import gate_funnel
+
+        got = {(r["gate"], r["lang"]): (r["n_docs"], r["n_tokens"])
+               for r in gate_funnel(self._docs(spark)).collect()}
+        # en: doc1 pass (7 toks), doc2 pii (5), doc3 repetition (8)
+        # de: doc4+doc5 pii (3 + 0 NULL-text tokens), doc6 pass (5)
+        assert got == {
+            ("pass", "en"): (1, 7), ("pii", "en"): (1, 5),
+            ("repetition", "en"): (1, 8),
+            ("pii", "de"): (2, 3), ("pass", "de"): (1, 5),
+        }
+
+    def test_plan_is_one_scan_one_groupby(self, spark):
+        from tundradb_spark.pipeline.recipe import gate_funnel, gate_reasons
+        from tundradb_spark.plans import audit
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        assert audit.count_exchanges(gate_reasons(docs)) == 0
+        f = gate_funnel(docs)
+        assert audit.count_exchanges(f) <= 1, audit.formatted_plan(f)
+        assert "partial" in audit.formatted_plan(f).lower()
+
+
 class TestLrTrainDegenerate:
     """r12: IRLS robustness on degenerate training sets — the ridge
     term must keep every solve finite and the fit deterministic."""

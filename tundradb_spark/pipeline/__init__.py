@@ -63,7 +63,12 @@ from tundradb_spark.pipeline.importance import (
     hashed_ngram_features,
     importance_resample,
 )
-from tundradb_spark.pipeline.recipe import corpus_report, prepare_corpus
+from tundradb_spark.pipeline.recipe import (
+    corpus_report,
+    gate_funnel,
+    gate_reasons,
+    prepare_corpus,
+)
 from tundradb_spark.pipeline.sampling import (
     chunk_docs,
     deterministic_sample,
@@ -146,6 +151,8 @@ __all__ = [
     "bloom_contains",
     "bloom_semi_join",
     "corpus_report",
+    "gate_funnel",
+    "gate_reasons",
     "cm_build",
     "cm_estimate",
     "hll_estimate",

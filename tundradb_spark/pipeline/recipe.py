@@ -258,3 +258,140 @@ def corpus_report(
         ).alias("m")
     ).select(F.col("m.metric").alias("metric"), F.col("m.value").alias("value"))
     return rows
+
+
+def gate_reasons(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_bigram_rep: float = 0.5,
+    quality_weights: list | None = None,
+    min_quality: float = 0.5,
+    n_quality_buckets: int = 256,
+    quality_bigrams: bool = True,
+) -> DataFrame:
+    """Per-document FIRST-failing-gate label for :func:`prepare_corpus`'s
+    row-level gates — the debugging face of the recipe: every doc tagged
+    ``pass`` / ``pii`` / ``repetition`` / ``quality`` using the
+    IDENTICAL inline predicates the recipe compiles (same patterns, same
+    rounded repetition, same lr_prob_col fold), in the recipe's gate
+    order, so ``gate == 'pass'`` is EXACTLY the pre-dedup survivor set
+    (test-pinned).
+
+    NULL text dies at the PII gate, matching the recipe (a NULL
+    predicate fails a ``filter``); the ``quality`` label only exists
+    when ``quality_weights`` is given.  Pure narrow projection — zero
+    shuffle, fuses into the scan.
+
+    Output: ``docs.*`` + ``gate`` (string).
+    """
+    no_pii = None
+    for pat in DEFAULT_PII_PATTERNS.values():
+        pred = F.regexp_count(F.col(text_col), F.lit(pat)) == 0
+        no_pii = pred if no_pii is None else (no_pii & pred)
+    toked = docs.withColumn("__t", tokens(F.col(text_col)))
+    gate = F.when(no_pii.isNull() | ~no_pii, F.lit("pii")).when(
+        bigram_repetition_col("__t") > max_bigram_rep,
+        F.lit("repetition"),
+    )
+    if quality_weights is not None:
+        from tundradb_spark.pipeline.classify import lr_prob_col
+
+        gate = gate.when(
+            lr_prob_col(
+                quality_weights, text_col, n_buckets=n_quality_buckets,
+                bigrams=quality_bigrams,
+            ) < F.lit(float(min_quality)),
+            F.lit("quality"),
+        )
+    return toked.withColumn("gate", gate.otherwise(F.lit("pass"))).drop(
+        "__t"
+    )
+
+
+def gate_funnel(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    max_bigram_rep: float = 0.5,
+    quality_weights: list | None = None,
+    min_quality: float = 0.5,
+    n_quality_buckets: int = 256,
+    quality_bigrams: bool = True,
+) -> DataFrame:
+    """The gate-attrition funnel — the first table a curation run reads:
+    documents and tokens lost at each :func:`prepare_corpus` row-level
+    gate, per ``group_col`` (language/source), from ONE corpus scan
+    (:func:`gate_reasons` is a narrow projection; this adds a single
+    map-side-combined groupBy whose output is ``gates × groups`` rows).
+
+    Output: ``(gate, <group_col>, n_docs, n_tokens)``; ``n_tokens``
+    counts house-tokenized tokens (NULL text counts 0).
+    """
+    r = gate_reasons(
+        docs, text_col=text_col, max_bigram_rep=max_bigram_rep,
+        quality_weights=quality_weights, min_quality=min_quality,
+        n_quality_buckets=n_quality_buckets,
+        quality_bigrams=quality_bigrams,
+    )
+    return r.groupBy("gate", group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0))
+        ).cast("long").alias("n_tokens"),
+    )
+
+
+def gate_funnel_sql(
+    table: str,
+    group_col: str = "lang",
+    text_col: str = "text",
+    max_bigram_rep: float = 0.5,
+    quality_weights: list | None = None,
+    min_quality: float = 0.5,
+    n_quality_buckets: int = 256,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle reproducing :func:`gate_funnel` exactly (bigram
+    feature space; the quality branch joins the lr_score_sql
+    probabilities, pinned bit-equal to the inline fold)."""
+    pii_fail = " OR ".join(
+        f"len(regexp_extract_all({text_col}, '{pat}')) > 0"
+        for pat in DEFAULT_PII_PATTERNS.values()
+    )
+    rep = (
+        "ROUND(CASE WHEN len(__toks) > 1 THEN 1.0 -"
+        " CAST(len(list_distinct([__toks[i] || ' ' || __toks[i + 1]"
+        " for i in range(1, len(__toks))])) AS DOUBLE)"
+        " / CAST(len(__toks) - 1 AS DOUBLE) ELSE 0.0 END, 6)"
+    )
+    qual_cte, qual_join, qual_when = "", "", ""
+    if quality_weights is not None:
+        from tundradb_spark.pipeline.classify import lr_score_sql
+
+        inner = lr_score_sql(
+            table, quality_weights, n_buckets=n_quality_buckets,
+            id_col=id_col, text_col=text_col,
+        )
+        qual_cte = f", scored AS ({inner})"
+        qual_join = f" LEFT JOIN scored s ON t.{id_col} = s.{id_col}"
+        qual_when = (
+            f" WHEN s.prob < {float(min_quality)} THEN 'quality'"
+        )
+    return f"""
+    WITH t AS (
+        SELECT *,
+               [x for x in string_split_regex(lower({text_col}), '\\s+')
+                if x != ''] AS __toks
+        FROM {table}
+    ){qual_cte}
+    SELECT CASE
+             WHEN ({pii_fail}) IS NULL OR ({pii_fail}) THEN 'pii'
+             WHEN {rep} > {max_bigram_rep} THEN 'repetition'{qual_when}
+             ELSE 'pass'
+           END AS gate,
+           t.{group_col},
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(coalesce(len(__toks), 0)) AS BIGINT) AS n_tokens
+    FROM t{qual_join}
+    GROUP BY 1, 2
+    """
