@@ -1314,3 +1314,65 @@ class TestQLQuality:
         assert "WITH" in hint_for("QUALITY ")
         assert "THRESHOLDS" in hint_for("QUALITY ")
         assert "QUALITY" in COMPLETION_KEYWORDS
+
+
+class TestQLGates:
+    """r13: GATES statement — the shell surface for the gate-attrition
+    funnel (pipeline.recipe.gate_funnel)."""
+
+    def test_parse_and_defaults(self):
+        st = parse_statement(
+            "GATES ON docs GROUP source TEXT body MAXREP 0.3"
+            " WITH w BUCKETS 64 MIN 0.7 UNIGRAMS;")
+        assert isinstance(st, ast.Gates)
+        assert (st.table, st.group_col, st.text_col, st.max_bigram_rep,
+                st.weights, st.n_buckets, st.min_quality, st.bigrams) == (
+            "docs", "source", "body", 0.3, "w", 64, 0.7, False)
+        st2 = parse_statement("GATES ON docs;")
+        assert (st2.group_col, st2.text_col, st2.max_bigram_rep,
+                st2.weights) == ("lang", "text", 0.5, None)
+
+    def test_bad_args_rejected(self):
+        with pytest.raises(QueryError):  # quality knobs need WITH
+            parse_statement("GATES ON docs MIN 0.7;")
+        with pytest.raises(QueryError):
+            parse_statement("GATES ON docs BUCKETS 64;")
+        with pytest.raises(QueryError):
+            parse_statement("GATES ON docs UNIGRAMS;")
+        with pytest.raises(QueryError):
+            parse_statement("GATES ON docs MAXREP 1.5;")
+        with pytest.raises(QueryError):
+            parse_statement("GATES ON docs WITH w BUCKETS 1;")
+
+    def test_executes_like_operator(self, db, spark):
+        from tundradb_spark.pipeline.recipe import gate_funnel
+
+        docs = spark.createDataFrame(
+            [(0, "good detailed analysis", "en"),
+             (1, "mail@example.com spam", "en"),
+             (2, "spam spam spam spam spam spam", "de"),
+             (3, "ordinary boring sentence here", "de")],
+            "row_id long, text string, lang string",
+        )
+        w = spark.createDataFrame(
+            [(0, -1, 0.5)] + [(b + 1, b, 0.01 * (b % 5)) for b in range(16)],
+            "row_id long, bucket long, weight double",
+        )
+        db.register_node_table("gfd", docs, "row_id", resume_counter=False)
+        db.register_node_table("gfw", w, "row_id", resume_counter=False)
+        got = rows_set(db.sql(
+            "GATES ON gfd WITH gfw BUCKETS 16 MIN 0.6;"))
+        weights = [(r["bucket"], r["weight"]) for r in w.select(
+            "bucket", "weight").collect()]
+        want = rows_set(gate_funnel(
+            db.get_table("gfd"), quality_weights=weights,
+            min_quality=0.6, n_quality_buckets=16))
+        assert got == want and got
+        plain = rows_set(db.sql("GATES ON gfd;"))
+        assert plain == rows_set(gate_funnel(db.get_table("gfd")))
+
+    def test_hint_and_completion(self):
+        from tundradb_spark.ql.shell import COMPLETION_KEYWORDS, hint_for
+
+        assert "MAXREP" in hint_for("GATES ")
+        assert "GATES" in COMPLETION_KEYWORDS

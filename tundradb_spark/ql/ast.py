@@ -340,6 +340,25 @@ class Trend:
 
 
 @dataclass(frozen=True)
+class Gates:
+    """GATES ON <docs> [GROUP col] [TEXT col] [MAXREP x]
+    [WITH weights [BUCKETS n] [MIN q] [UNIGRAMS]] — the gate-attrition
+    funnel (pipeline.recipe.gate_funnel): documents/tokens lost at each
+    prepare_corpus row-level gate per group, labeled by the FIRST
+    failing gate; the learned-quality gate joins the report when a
+    weight table is given."""
+
+    table: str
+    group_col: str = "lang"
+    text_col: str = "text"
+    max_bigram_rep: float = 0.5
+    weights: str | None = None
+    n_buckets: int = 256
+    min_quality: float = 0.5
+    bigrams: bool = True
+
+
+@dataclass(frozen=True)
 class Skew:
     """SKEW ON <table> KEY <col> [TOP n] — key-distribution skew
     report (operators.relational.key_skew)."""
@@ -429,4 +448,5 @@ Statement = (
     | Fanout
     | Trend
     | Quality
+    | Gates
 )

@@ -422,6 +422,28 @@ def execute_ast(db: "Database", stmt: ast.Statement) -> DataFrame | None:
             labeled, "prob", stmt.label_col, n_bins=stmt.n_bins
         )
 
+    if isinstance(stmt, ast.Gates):
+        from tundradb_spark.pipeline.recipe import gate_funnel
+
+        weights = None
+        if stmt.weights is not None:
+            weights = [
+                (r["bucket"], r["weight"])
+                for r in db.get_table(stmt.weights)
+                .select("bucket", "weight")
+                .collect()
+            ]
+        return gate_funnel(
+            db.get_table(stmt.table),
+            group_col=stmt.group_col,
+            text_col=stmt.text_col,
+            max_bigram_rep=stmt.max_bigram_rep,
+            quality_weights=weights,
+            min_quality=stmt.min_quality,
+            n_quality_buckets=stmt.n_buckets,
+            quality_bigrams=stmt.bigrams,
+        )
+
     if isinstance(stmt, ast.Skew):
         from tundradb_spark.operators.relational import key_skew
 

@@ -286,6 +286,8 @@ class Parser:
             stmt = self.trend_statement()
         elif kw == "QUALITY":
             stmt = self.quality_statement()
+        elif kw == "GATES":
+            stmt = self.gates_statement()
         else:
             raise QueryError(f"TundraQL: unknown statement {kw!r}")
         self.accept(";")
@@ -1215,6 +1217,64 @@ class Parser:
             bigrams=bigrams,
             label_col=label_col,
             n_bins=n_bins,
+        )
+
+    def gates_statement(self) -> ast.Gates:
+        """GATES ON docs [GROUP col] [TEXT col] [MAXREP x]
+        [WITH weights [BUCKETS n] [MIN q] [UNIGRAMS]]"""
+        self.expect("GATES")
+        self.expect("ON")
+        table = self.ident()
+        group_col, text_col, max_rep = "lang", "text", 0.5
+        weights: str | None = None
+        n_buckets, min_quality, bigrams = 256, 0.5, True
+        while True:
+            if self.at_kw("GROUP"):
+                self.next()
+                group_col = self.ident()
+            elif self.at_kw("TEXT"):
+                self.next()
+                text_col = self.ident()
+            elif self.at_kw("MAXREP"):
+                self.next()
+                max_rep = self._num_clause("MAXREP")
+            elif self.at("WITH"):
+                self.next()
+                weights = self.ident()
+            elif self.at_kw("BUCKETS"):
+                self.next()
+                n_buckets = self._int_clause("BUCKETS")
+            elif self.at_kw("MIN"):
+                self.next()
+                min_quality = self._num_clause("MIN")
+            elif self.at_kw("UNIGRAMS"):
+                self.next()
+                bigrams = False
+            else:
+                break
+        if weights is None and (
+            n_buckets != 256 or min_quality != 0.5 or not bigrams
+        ):
+            raise QueryError(
+                "TundraQL: GATES BUCKETS/MIN/UNIGRAMS only apply to the"
+                " learned-quality gate (WITH weights ...)"
+            )
+        if not 2 <= n_buckets <= 4096:
+            raise QueryError(
+                "TundraQL: GATES BUCKETS must be in [2, 4096] (must"
+                " match the weight table's training dimension)"
+            )
+        if not 0.0 <= max_rep <= 1.0:
+            raise QueryError("TundraQL: GATES MAXREP must be in [0, 1]")
+        return ast.Gates(
+            table=table,
+            group_col=group_col,
+            text_col=text_col,
+            max_bigram_rep=max_rep,
+            weights=weights,
+            n_buckets=n_buckets,
+            min_quality=min_quality,
+            bigrams=bigrams,
         )
 
     def skew_statement(self) -> ast.Skew:

@@ -77,7 +77,7 @@ COMPLETION_KEYWORDS = [
     "FUNNEL", "RETENTION", "OUTLIERS", "CUSUM", "NGRAMS", "MARKOV",
     "SIMILARITY", "COOCCURRENCE", "WINSORIZE", "BENFORD", "CALIBRATION",
     "RRF", "DRIFT", "TOKENDRIFT", "DIFF", "SKEW", "FANOUT", "TREND",
-    "QUALITY",
+    "QUALITY", "GATES",
     "ON",
 ]
 
@@ -118,6 +118,8 @@ HINTS = {
     "TREND ": "ON table EPOCH micros [GROUP col] [VALUE col] [TS col] [MIN n]",
     "QUALITY ": "ON docs WITH weights [BUCKETS n] [ID col] [TEXT col]"
                 " [UNIGRAMS] [THRESHOLDS LABEL col [BINS n]]",
+    "GATES ": "ON docs [GROUP col] [TEXT col] [MAXREP x]"
+              " [WITH weights [BUCKETS n] [MIN q] [UNIGRAMS]]",
 }
 
 
