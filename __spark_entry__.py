@@ -5212,3 +5212,62 @@ def _gate_funnel_oracle() -> str:
 PARKED_QUERIES["q_gate_funnel"] = q_gate_funnel
 PARKED_ORACLES["q_gate_funnel"] = _gate_funnel_oracle()
 SEATING_QUEUE = SEATING_QUEUE | {"q_gate_funnel"}
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: the split-contamination AUDIT (sampling.split_leakage_summary)
+    — duplicate pairs straddling train/val/test under the PLAIN
+    split_corpus assignment (deliberately cluster-blind, so the leaks
+    this measures are exactly the ones leakage_safe_split closes by
+    construction; the zero-leak property of the safe split is
+    unit-pinned).  Two pair-graph-sized hash joins against the (id,
+    split) projection, counts per ordered (split_a, split_b) channel."""
+    from tundradb_spark.pipeline.queries import (
+        PIPELINE_QUERIES, SPLIT_BP,
+    )
+    from tundradb_spark.pipeline.sampling import (
+        split_corpus, split_leakage_summary,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assigned = split_corpus(docs, SPLIT_BP)
+    pairs = PIPELINE_QUERIES["q_dedup_minhash"](spark, sf_dir)
+    return split_leakage_summary(assigned, pairs)
+
+
+def _split_leakage_oracle() -> str:
+    from tundradb_spark.pipeline.hashing import h32_sql
+    from tundradb_spark.pipeline.queries import (
+        PIPELINE_ORACLES, SPLIT_BP,
+    )
+
+    arg = "'97:' || CAST(doc_id AS VARCHAR)"
+    coin = f"({h32_sql(arg)}) % 10000"
+    cases, lo = [], 0
+    for label, bp in sorted(SPLIT_BP.items()):
+        hi = lo + bp
+        cases.append(
+            f"WHEN {coin} >= {lo} AND {coin} < {hi} THEN '{label}'"
+        )
+        lo = hi
+    whens = " ".join(cases)
+    return f"""
+    WITH pairs AS ({PIPELINE_ORACLES['q_dedup_minhash']}),
+    s AS (
+        SELECT doc_id, CASE {whens} END AS split FROM documents
+    ),
+    v AS (
+        SELECT sa.split AS split_a, sb.split AS split_b
+        FROM pairs p
+        JOIN s sa ON p.id_a = sa.doc_id
+        JOIN s sb ON p.id_b = sb.doc_id
+        WHERE sa.split <> sb.split
+    )
+    SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM v GROUP BY 1, 2
+    """
+
+
+PARKED_QUERIES["q_split_leakage"] = q_split_leakage
+PARKED_ORACLES["q_split_leakage"] = _split_leakage_oracle()
+SEATING_QUEUE = SEATING_QUEUE | {"q_split_leakage"}

@@ -25,6 +25,28 @@ def test_connected_components_chain(spark):
     assert {r.component for r in cc.collect()} == {1}
 
 
+def test_connected_components_long_path_pointer_jumping(spark):
+    """r13: pointer jumping converges a 200-vertex path (diameter 199)
+    inside the default 50-round budget — the shape that silently
+    exhausted the old one-hop loop and returned a partially-merged
+    labeling (which leaked near-duplicates across splits)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    cc = ga.connected_components(pairs)
+    assert {r.component for r in cc.collect()} == {0}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """r13: exhausting max_iters with labels still moving is an ERROR,
+    never a silently under-merged labeling."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        ga.connected_components(pairs, max_iters=2)
+
+
 def test_dedup_clusters(spark):
     pairs = spark.createDataFrame([(7, 3), (3, 9)], "id_a long, id_b long")
     out = ga.dedup_clusters(pairs)

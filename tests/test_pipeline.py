@@ -3350,6 +3350,55 @@ class TestLeakageSafeSplit:
             if d not in members:
                 assert k == d and s == plain[d], d
 
+    def test_audit_by_hand_and_exclusions(self, spark):
+        """r13: split_leakage — violating pairs only; endpoints missing
+        from docs or with NULL split are excluded, not miscounted."""
+        from tundradb_spark.pipeline.sampling import (
+            split_leakage, split_leakage_summary,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "train"), (2, "val"), (3, "train"), (4, None),
+             (5, "test")],
+            "doc_id long, split string",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2),    # train→val: violation
+             (1, 3),    # same split: fine
+             (1, 4),    # NULL split endpoint: excluded
+             (1, 99),   # endpoint not in docs: excluded
+             (5, 2)],   # test→val: violation
+            "id_a long, id_b long",
+        )
+        got = sorted(map(tuple, split_leakage(docs, pairs).collect()))
+        assert got == [(1, 2, "train", "val"), (5, 2, "test", "val")]
+        summary = {(r["split_a"], r["split_b"]): r["n_pairs"]
+                   for r in split_leakage_summary(docs, pairs).collect()}
+        assert summary == {("train", "val"): 1, ("test", "val"): 1}
+
+    def test_safe_split_audits_clean_and_plain_split_leaks(self, spark):
+        """The family's closing property: leakage_safe_split's output
+        has ZERO violating pairs under the very pair frame it was built
+        from, while the cluster-blind split_corpus leaks on the same
+        fixture."""
+        from tundradb_spark.pipeline.sampling import (
+            leakage_safe_split, split_corpus, split_leakage,
+        )
+
+        docs, pairs = self._fixture(spark)
+        safe = leakage_safe_split(docs, pairs, self.SPLITS)
+        assert split_leakage(safe, pairs).count() == 0
+        # a denser pair graph (an id chain) under the cluster-blind
+        # split: 76 of its 199 pairs straddle splits (fixed coin, fixed
+        # fixture — deterministic), while the safe split over the SAME
+        # chain collapses everything into one cluster and leaks nothing
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(199)], "id_a long, id_b long")
+        plain = split_corpus(docs, self.SPLITS)
+        assert split_leakage(plain, chain).count() == 76
+        safe_chain = leakage_safe_split(docs, chain, self.SPLITS)
+        assert split_leakage(safe_chain, chain).count() == 0
+
     def test_deterministic_and_validated(self, spark):
         from tundradb_spark.pipeline.sampling import leakage_safe_split
 

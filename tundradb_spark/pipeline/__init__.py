@@ -73,6 +73,8 @@ from tundradb_spark.pipeline.sampling import (
     chunk_docs,
     deterministic_sample,
     leakage_safe_split,
+    split_leakage,
+    split_leakage_summary,
     split_corpus,
     mixture_budget_sample,
     mixture_threshold_sample,
@@ -215,6 +217,8 @@ __all__ = [
     "deterministic_sample",
     "split_corpus",
     "leakage_safe_split",
+    "split_leakage",
+    "split_leakage_summary",
     "lm_buckets",
     "stratified_sample",
     "mixture_budget_sample",

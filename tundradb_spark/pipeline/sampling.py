@@ -680,3 +680,61 @@ def temperature_mixture(
         .filter(sample_hash_col(id_col, seed) < F.col("kept_bp"))
         .drop("__nt")
     )
+
+
+def split_leakage(
+    docs: DataFrame,
+    pairs: DataFrame,
+    split_col: str = "split",
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """The AUDIT twin of :func:`leakage_safe_split`: given an EXISTING
+    split assignment (any provenance — ``split_corpus``, an upstream
+    system, a hand-made holdout) and a duplicate-pair frame, return
+    every pair whose endpoints landed in DIFFERENT splits — the exact
+    contamination channel :func:`leakage_safe_split` closes by
+    construction, measurable here for splits it did not make.
+
+    Endpoints missing from ``docs`` (or with a NULL split) cannot be
+    judged and are excluded (inner joins); a NULL-split doc that IS a
+    leak risk should be caught by the caller's completeness checks, not
+    silently counted as a violation.
+
+    Plan / 100 TB shape: two hash joins of the PAIR graph against the
+    two-column ``(id, split)`` projection — pair-graph-sized, the
+    corpus is never shuffled beyond that narrow projection.
+
+    Output: ``(id_a, id_b, split_a, split_b)``, violations only.
+    """
+    s = docs.select(
+        F.col(id_col).alias("__id"), F.col(split_col).alias("__sp")
+    ).filter(F.col("__sp").isNotNull())
+    a = s.select(F.col("__id").alias("__ia"), F.col("__sp").alias("split_a"))
+    b = s.select(F.col("__id").alias("__ib"), F.col("__sp").alias("split_b"))
+    return (
+        pairs.select(F.col(src).alias("id_a"), F.col(dst).alias("id_b"))
+        .join(a, F.col("id_a") == F.col("__ia"))
+        .join(b, F.col("id_b") == F.col("__ib"))
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b")
+    )
+
+
+def split_leakage_summary(
+    docs: DataFrame,
+    pairs: DataFrame,
+    split_col: str = "split",
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Violation counts per ``(split_a, split_b)`` ordered channel —
+    the one-screen read of :func:`split_leakage` (the train→val cell is
+    the contamination number a benchmark report quotes)."""
+    return (
+        split_leakage(docs, pairs, split_col, id_col, src, dst)
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
