@@ -266,6 +266,28 @@ the house floor-round-to-double BEFORE seating, and the
 canonicalizability contract (tests/test_contract.py) now bans
 DecimalType from every seated and parked schema alongside Array/Map.
 
+**New in r13** (all parked — window full — and queued in
+``SEATING_QUEUE`` for r14, CI-checked from day one): the calibrated
+quality-gate knob (classify.precision_thresholds — the measured
+keep-rule precision/recall curve at every bin edge, with its
+streaming reader over the existing calibration state table;
+classify.calibrated_threshold picks the max-recall edge meeting a
+precision target; prepare_corpus deploys it via
+quality_target_precision; QUALITY grew THRESHOLDS LABEL col [BINS n])
+— q_calibrated_gate; the gate-attrition funnel
+(recipe.gate_reasons/gate_funnel — per-doc first-failing-gate labels
+with the recipe's own inline predicates, gate=='pass' pinned equal to
+the pre-dedup survivor set; TundraQL GATES statement) — q_gate_funnel;
+and the split-contamination audit (sampling.split_leakage — duplicate
+pairs straddling splits, the measurable twin of leakage_safe_split's
+by-construction guarantee) — q_split_leakage.  r13 also rewrote
+key_skew/join_fanout's ranking from a key-universe single-partition
+window to a distributed TakeOrdered (A/B at sf1: 3.81x, tuple-equal),
+bounded build_vocab/vocab_coverage_curve's ranking windows by their
+caller caps, and fixed connected_components to pointer-jump
+(log-diameter rounds) and RAISE on non-convergence instead of
+silently returning a partially-merged labeling.
+
 The per-round narrative above records WHY each rotation happened; the
 AUTHORITATIVE seated/parked lists at HEAD are runtime facts — read them
 from ``queries()`` / ``parked_queries()`` (or the ``_SEAT_R*`` /
