@@ -1899,6 +1899,58 @@ class TestStreamCalibration:
         assert d[5][2] == 3 and d[5][4] == 0.666667
 
 
+class TestStreamGateFunnel:
+    """r13: stream_gate_funnel — per-epoch (gate, group) attrition
+    partials from the recipe's own inline predicates; exact-long
+    sum-merge == recipe.gate_funnel over every delivered row."""
+
+    SCHEMA = "doc_id long, text string, lang string"
+
+    def test_stream_merge_equals_batch_funnel(self, spark, tmp_path):
+        from tundradb_spark.pipeline.recipe import gate_funnel
+        from tundradb_spark.streaming import (
+            read_gate_funnel,
+            stream_gate_funnel,
+        )
+
+        src = str(tmp_path / "gfsrc")
+        sink = str(tmp_path / "gfsink")
+        ckpt = str(tmp_path / "gfck")
+        os.makedirs(src)
+        batch1 = [
+            (1, "a clean well written document body here", "en"),
+            (2, "contact me mail@example.com for details", "en"),
+            (3, "spam spam spam spam spam spam spam spam", "en"),
+        ]
+        batch2 = [
+            (4, "visit https://example.com now", "de"),
+            (5, None, "de"),                     # NULL text → pii
+            (6, "another ordinary document text", "de"),
+            (7, "ham ham ham ham ham ham ham", "en"),  # rep, 2nd epoch
+        ]
+        spark.createDataFrame(batch1, self.SCHEMA).coalesce(1).write.mode(
+            "append").parquet(src)
+        stream = spark.readStream.schema(self.SCHEMA).option(
+            "maxFilesPerTrigger", 1).parquet(src)
+        q = stream_gate_funnel(stream, sink, ckpt)
+        try:
+            q.processAllAvailable()
+            spark.createDataFrame(batch2, self.SCHEMA).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        allrows = spark.createDataFrame(batch1 + batch2, self.SCHEMA)
+        got = sorted(map(tuple, read_gate_funnel(spark, sink).collect()))
+        want = sorted(map(tuple, gate_funnel(allrows).collect()))
+        assert got == want
+        d = {(r[0], r[1]): (r[2], r[3]) for r in got}
+        # the repetition cell merges across epochs (doc 3 + doc 7)
+        assert d[("repetition", "en")] == (2, 15)
+        # NULL text died at the pii gate with 0 tokens
+        assert d[("pii", "de")] == (2, 3)
+
+
 class TestReadWinsorizeBounds:
     """r10: approximate streaming winsorization — clip bounds from the
     live histogram sketches, pinned to within one bin width of the

@@ -71,6 +71,12 @@ continuously-ingesting graph/analytics deployment needs:
   the SAME state table into the live keep-rule operating-point curve
   (== pipeline.classify.precision_thresholds exactly — r13's
   calibrated quality-gate knob, re-pickable as the stream drifts)
+- :func:`stream_gate_funnel` / :func:`read_gate_funnel` — live
+  gate-attrition monitoring for the ingest front door (r13):
+  per-epoch ``(gate, group)`` doc/token partials from the recipe's own
+  inline predicates; exact-long sum-merge == recipe.gate_funnel over
+  every delivered document (what ``stream_gate_corpus`` dropped, and
+  why, without re-scanning history)
 - :func:`stream_drift_bins` / :func:`read_drift` — live distribution
   drift (PSI / Jensen-Shannon / total-variation) against a frozen
   reference snapshot with ``groups × (n_bins + 1)`` longs of state per
@@ -102,7 +108,9 @@ from tundradb_spark.streaming.ops import (
     stream_benford_counts,
     read_benford,
     stream_calibration_bins,
+    stream_gate_funnel,
     read_calibration,
+    read_gate_funnel,
     read_precision_thresholds,
     read_winsorize_bounds,
     stream_token_counts,
@@ -176,7 +184,9 @@ __all__ = [
     "stream_benford_counts",
     "read_benford",
     "stream_calibration_bins",
+    "stream_gate_funnel",
     "read_calibration",
+    "read_gate_funnel",
     "read_precision_thresholds",
     "read_winsorize_bounds",
     "stream_token_counts",

@@ -2104,6 +2104,81 @@ def stream_calibration_bins(
     )
 
 
+def stream_gate_funnel(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    group_col: str = "lang",
+    text_col: str = "text",
+    max_bigram_rep: float = 0.5,
+    quality_weights: list | None = None,
+    min_quality: float = 0.5,
+    n_quality_buckets: int = 256,
+    quality_bigrams: bool = True,
+    query_name: str | None = None,
+) -> "StreamingQuery":
+    """r13: continuously maintain gate-attrition partials from a LIVE
+    document stream — the streaming half of
+    :func:`~tundradb_spark.pipeline.recipe.gate_funnel`, so the ingest
+    front door's losses (``stream_gate_corpus`` silently DROPS gated
+    docs; this is where a pipeline watches what it dropped and why) are
+    monitorable without re-scanning history.
+
+    Per micro-batch: label every doc with its first-failing gate using
+    the recipe's OWN inline predicates
+    (:func:`~tundradb_spark.pipeline.recipe.gate_reasons`), aggregate
+    ``(gate, group) → (n_docs, n_tokens)``, append under an ``epoch``
+    partition.  Both partials are exact longs, so epoch sums merged by
+    :func:`read_gate_funnel` equal the single-pass batch funnel
+    BIT-EXACTLY (test-pinned).  Idempotent under micro-batch replay via
+    dynamic partition overwrite on ``epoch``; state is
+    ``gates × groups × epochs`` rows regardless of stream volume (fold
+    with :func:`compact_stream_index` when epochs pile up).
+    """
+    from tundradb_spark.pipeline.recipe import gate_funnel
+
+    def _sink(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        partials = gate_funnel(
+            batch, group_col=group_col, text_col=text_col,
+            max_bigram_rep=max_bigram_rep,
+            quality_weights=quality_weights, min_quality=min_quality,
+            n_quality_buckets=n_quality_buckets,
+            quality_bigrams=quality_bigrams,
+        )
+        (
+            partials.withColumn("epoch", F.lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name or "gate-funnel")
+        .start()
+    )
+
+
+def read_gate_funnel(spark, path: str, group_col: str = "lang") -> DataFrame:
+    """Merge all epochs of a :func:`stream_gate_funnel` table (plain
+    sums — both partials are exact longs) — identical to running
+    ``recipe.gate_funnel`` over every document the stream has
+    delivered.  ``gates × groups × epochs`` rows in, ``gates × groups``
+    out."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("gate", group_col)
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def read_calibration(
     spark,
     path: str,
