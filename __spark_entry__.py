@@ -5293,3 +5293,51 @@ def _split_leakage_oracle() -> str:
 PARKED_QUERIES["q_split_leakage"] = q_split_leakage
 PARKED_ORACLES["q_split_leakage"] = _split_leakage_oracle()
 SEATING_QUEUE = SEATING_QUEUE | {"q_split_leakage"}
+
+
+def q_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: the multimodal resize stage (multimodal.resize_image, fake
+    codec — the deterministic 1-D nearest-neighbor kernel; the real PIL
+    path shares schema/batching/plumbing and is import-gated): every
+    payload normalized to a 16x4 pixel buffer through Arrow-batched
+    mapInPandas, digested per doc so the driver hash checks the resized
+    BYTES, not just their shape."""
+    from tundradb_spark.pipeline.multimodal import (
+        attach_binary, resize_image,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rz = resize_image(attach_binary(docs), width=16, height=4,
+                      codec="fake")
+    return rz.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_bytes_in",
+        F.md5("resized").alias("out_md5"),
+    )
+
+
+def _resize_oracle() -> str:
+    # the fake kernel's rule, replayed on the text (the payload is the
+    # text's UTF-8 bytes and the testdata is ASCII, so byte i == char
+    # i+1): output pixel i = byte (i * n) // (w*h); empty text -> empty
+    wh = 16 * 4
+    px = (
+        f"[substr(text, 1 + (i * len(text)) // {wh}, 1)"
+        f" for i in range({wh})]"
+    )
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(4 AS BIGINT) AS height,
+           CAST(len(text) AS BIGINT) AS n_bytes_in,
+           md5(CASE WHEN len(text) = 0 THEN ''
+                    ELSE array_to_string({px}, '') END) AS out_md5
+    FROM documents
+    """
+
+
+PARKED_QUERIES["q_resize"] = q_resize
+PARKED_ORACLES["q_resize"] = _resize_oracle()
+SEATING_QUEUE = SEATING_QUEUE | {"q_resize"}

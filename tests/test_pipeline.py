@@ -364,6 +364,40 @@ class TestMultimodal:
         assert rows[0].width == 44  # (43 % 640) + 1
         assert rows[0].height == ord("t") * 4 + 1
 
+    def test_fake_resize_by_hand(self, spark):
+        """r13: the 1-D nearest-neighbor rule — output pixel i is input
+        byte (i*n)//(w*h) — verified on down- and up-sampling, plus the
+        empty-payload edge."""
+        from tundradb_spark.pipeline.multimodal import resize_image
+
+        docs = spark.createDataFrame(
+            [(1, "abcdefgh"), (2, "xy"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in resize_image(
+            attach_binary(docs), width=2, height=2, codec="fake"
+        ).collect()}
+        # doc 1: n=8, wh=4 -> bytes at (0,2,4,6) = a c e g
+        assert bytes(out[1].resized) == b"aceg"
+        assert (out[1].width, out[1].height, out[1].n_bytes_in) == (2, 2, 8)
+        # doc 2: n=2 upsamples -> indices (0,0,1,1) = x x y y
+        assert bytes(out[2].resized) == b"xxyy"
+        # doc 3: empty stays empty
+        assert bytes(out[3].resized) == b""
+        with pytest.raises(ValueError):
+            resize_image(attach_binary(docs), width=0, codec="fake")
+
+    def test_resize_real_probes_pil(self, docs):
+        from tundradb_spark.pipeline.multimodal import resize_image
+
+        try:
+            import PIL  # noqa: F401
+        except ImportError:
+            with pytest.raises(NotImplementedError):
+                resize_image(attach_binary(docs))
+        else:  # pragma: no cover — container ships no pillow
+            pytest.skip("PIL present: real resize exercised elsewhere")
+
     def test_frame_sampling(self, docs):
         frames = sample_frames(attach_binary(docs), frame_bytes=8, every_n=2).collect()
         f0 = [r for r in frames if r.doc_id == 0]

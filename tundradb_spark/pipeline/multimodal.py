@@ -163,6 +163,119 @@ def decode_image(blobs: DataFrame, codec: str = "real") -> DataFrame:
     return blobs.select("doc_id", "blob").mapInPandas(gen, IMAGE_META_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_bytes_in", LongType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+
+def _fake_resize_batch(
+    pdf: pd.DataFrame, width: int, height: int
+) -> pd.DataFrame:
+    """Deterministic stand-in for an image resize: 1-D nearest-neighbor
+    over the payload bytes — output pixel ``i`` is input byte
+    ``(i * n) // (w*h)`` (an empty payload resizes to empty).  The rule
+    is engine-portable, so the SQL oracle reproduces the resized bytes
+    (and their digest) exactly.  Vectorized per row via numpy take."""
+    import numpy as np
+
+    wh = width * height
+    grid = np.arange(wh, dtype="int64")
+
+    def rz(b: bytes) -> bytes:
+        n = len(b)
+        if n == 0:
+            return b""
+        return np.frombuffer(b, dtype="uint8")[(grid * n) // wh].tobytes()
+
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "width": width,
+            "height": height,
+            "n_bytes_in": pdf["blob"].map(len),
+            "resized": pdf["blob"].map(rz),
+        }
+    )
+
+
+def _pil_resize_batch(
+    pdf: pd.DataFrame, width: int, height: int
+) -> pd.DataFrame:
+    """Real resize (PIL): decode → grayscale → nearest-neighbor resize →
+    raw pixel buffer, one image per payload within the Arrow batch."""
+    import io
+
+    from PIL import Image
+
+    out = []
+    for b in pdf["blob"]:
+        with Image.open(io.BytesIO(b)) as im:
+            out.append(
+                im.convert("L").resize((width, height)).tobytes()
+            )
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "width": width,
+            "height": height,
+            "n_bytes_in": pdf["blob"].map(len),
+            "resized": out,
+        }
+    )
+
+
+def resize_image(
+    blobs: DataFrame,
+    width: int = 16,
+    height: int = 4,
+    codec: str = "real",
+) -> DataFrame:
+    """Resize image payloads to a fixed ``width × height`` pixel buffer
+    via Arrow-batched ``mapInPandas`` — the normalize-before-embed stage
+    of a multimodal pipeline (every downstream feature extractor wants
+    one shape).
+
+    Same codec contract as :func:`decode_image`: ``codec='real'`` uses
+    PIL when importable and raises ``NotImplementedError`` otherwise
+    (this container ships no image libs — an honest, clearly-marked
+    stub); ``codec='fake'`` runs the deterministic nearest-neighbor
+    stand-in through the identical Spark plumbing (schema, batching,
+    partition-preserving narrow execution).  Output rows carry the
+    resized BYTES (``w·h`` per row, or empty for empty payloads) — a
+    deliberate payload-forwarding stage, unlike the metadata-only
+    ``decode_image``; digest it (``F.md5``) before any driver-checked
+    surface.
+    """
+    if width < 1 or height < 1:
+        raise ValueError(f"width/height must be >= 1, got {width}x{height}")
+    if codec == "real":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "image resizing requires PIL (pillow), not available here;"
+                " use codec='fake' for the deterministic test kernel"
+            ) from exc
+        kernel = _pil_resize_batch
+    elif codec == "fake":
+        kernel = _fake_resize_batch
+    else:
+        raise ValueError(f"unknown codec: {codec}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield kernel(pdf, width, height)
+
+    return blobs.select("doc_id", "blob").mapInPandas(gen, RESIZED_SCHEMA)
+
+
 def sample_frames(
     blobs: DataFrame, frame_bytes: int = 64, every_n: int = 4
 ) -> DataFrame:
