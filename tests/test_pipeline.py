@@ -387,6 +387,19 @@ class TestMultimodal:
         with pytest.raises(ValueError):
             resize_image(attach_binary(docs), width=0, codec="fake")
 
+    def test_fake_resize_null_payload(self, spark):
+        """r13 review fix: a NULL payload resizes to NULL (n_bytes_in
+        NULL too) instead of crashing the Arrow batch."""
+        from tundradb_spark.pipeline.multimodal import resize_image
+
+        docs = spark.createDataFrame(
+            [(1, "abcd"), (2, None)], "doc_id long, text string")
+        out = {r.doc_id: r for r in resize_image(
+            attach_binary(docs), width=2, height=1, codec="fake"
+        ).collect()}
+        assert bytes(out[1].resized) == b"ac"
+        assert out[2].resized is None and out[2].n_bytes_in is None
+
     def test_resize_real_probes_pil(self, docs):
         from tundradb_spark.pipeline.multimodal import resize_image
 
@@ -3738,6 +3751,44 @@ class TestPrecisionThresholds:
         # correct n_bins reads fine
         rows = read_precision_thresholds(spark, path, n_bins=20)
         assert rows.count() == 20
+
+    def test_readers_reject_n_bins_mismatch_both_ways(
+        self, spark, tmp_path
+    ):
+        """r13 review fix: state rows stamped with the writer's n_bins
+        make BOTH mismatch directions loud — a larger reader n_bins
+        would silently rescale every bin/n_bins threshold (the lower
+        bound from max(bin) can only prove the smaller direction)."""
+        from tundradb_spark.streaming import (
+            read_calibration,
+            read_precision_thresholds,
+            stream_calibration_bins,
+        )
+
+        import os as _os
+
+        src = str(tmp_path / "nbsrc")
+        sink = str(tmp_path / "nbsink")
+        ckpt = str(tmp_path / "nbck")
+        _os.makedirs(src)
+        spark.createDataFrame(
+            [(1, 0.95, True), (2, 0.1, False)],
+            "row_id long, prob double, label boolean",
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "row_id long, prob double, label boolean"
+        ).parquet(src)
+        q = stream_calibration_bins(stream, sink, ckpt, n_bins=10)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        for reader in (read_precision_thresholds, read_calibration):
+            with pytest.raises(ValueError, match="n_bins"):
+                reader(spark, sink, n_bins=20)  # larger: rescale bug
+            with pytest.raises(ValueError, match="n_bins"):
+                reader(spark, sink, n_bins=5)   # smaller: dropped bins
+            assert reader(spark, sink, n_bins=10).count() > 0
 
 
 class TestGateFunnel:

@@ -1339,6 +1339,12 @@ class TestQLGates:
             parse_statement("GATES ON docs BUCKETS 64;")
         with pytest.raises(QueryError):
             parse_statement("GATES ON docs UNIGRAMS;")
+        # presence-tracked (r13 review fix): typing the DEFAULT value
+        # without WITH is the same forgot-the-weights mistake
+        with pytest.raises(QueryError):
+            parse_statement("GATES ON docs MIN 0.5;")
+        with pytest.raises(QueryError):
+            parse_statement("GATES ON docs BUCKETS 256;")
         with pytest.raises(QueryError):
             parse_statement("GATES ON docs MAXREP 1.5;")
         with pytest.raises(QueryError):

@@ -187,7 +187,9 @@ def _fake_resize_batch(
     wh = width * height
     grid = np.arange(wh, dtype="int64")
 
-    def rz(b: bytes) -> bytes:
+    def rz(b):
+        if b is None:  # NULL payload -> NULL output, like any SQL fn
+            return None
         n = len(b)
         if n == 0:
             return b""
@@ -198,7 +200,9 @@ def _fake_resize_batch(
             "doc_id": pdf["doc_id"],
             "width": width,
             "height": height,
-            "n_bytes_in": pdf["blob"].map(len),
+            "n_bytes_in": pdf["blob"].map(
+                lambda b: len(b) if b is not None else None
+            ),
             "resized": pdf["blob"].map(rz),
         }
     )
@@ -215,6 +219,9 @@ def _pil_resize_batch(
 
     out = []
     for b in pdf["blob"]:
+        if b is None:  # NULL payload -> NULL output
+            out.append(None)
+            continue
         with Image.open(io.BytesIO(b)) as im:
             out.append(
                 im.convert("L").resize((width, height)).tobytes()
@@ -224,7 +231,9 @@ def _pil_resize_batch(
             "doc_id": pdf["doc_id"],
             "width": width,
             "height": height,
-            "n_bytes_in": pdf["blob"].map(len),
+            "n_bytes_in": pdf["blob"].map(
+                lambda b: len(b) if b is not None else None
+            ),
             "resized": out,
         }
     )

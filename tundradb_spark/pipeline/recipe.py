@@ -23,6 +23,21 @@ from tundradb_spark.pipeline.text import (
 )
 
 
+def no_pii_col(text_col: str = "text") -> "F.Column":
+    """TRUE iff none of the default PII patterns fires (NULL text →
+    NULL, which every ``filter`` drops and :func:`gate_reasons` labels
+    ``pii``).  THE canonical PII-gate predicate — prepare_corpus,
+    corpus_report, gate_reasons, and the streaming front door
+    (``streaming.ops.stream_gate_corpus``) all consume this single
+    definition, so a pattern change cannot desynchronize the gates
+    (r13 review: the fold previously lived in four copies)."""
+    no_pii = None
+    for pat in DEFAULT_PII_PATTERNS.values():
+        pred = F.regexp_count(F.col(text_col), F.lit(pat)) == 0
+        no_pii = pred if no_pii is None else (no_pii & pred)
+    return no_pii
+
+
 def prepare_corpus(
     docs: DataFrame,
     text_col: str = "text",
@@ -86,11 +101,7 @@ def prepare_corpus(
     # both row-level gates are inline column predicates, NOT joins back to
     # per-doc score frames — the whole pre-dedup phase is one scan (four
     # scans → two measured 6.6s → ~2s at sf0.1)
-    no_pii = None
-    for pat in DEFAULT_PII_PATTERNS.values():
-        pred = F.regexp_count(F.col(text_col), F.lit(pat)) == 0
-        no_pii = pred if no_pii is None else (no_pii & pred)
-    clean = docs.filter(no_pii)
+    clean = docs.filter(no_pii_col(text_col))
 
     toked = clean.withColumn("__t", tokens(F.col(text_col)))
     gated = toked.filter(
@@ -180,16 +191,10 @@ def corpus_report(
     Values are exact-integer ratios / decimal-summed means rounded to 6 —
     engine-reproducible.
     """
-    from tundradb_spark.pipeline.text import (
-        DEFAULT_PII_PATTERNS as _PII,
-        quality_scores,
-    )
+    from tundradb_spark.pipeline.text import quality_scores
 
     t = tokens(F.col(text_col))
-    no_pii = None
-    for pat in _PII.values():
-        p = F.regexp_count(F.col(text_col), F.lit(pat)) == 0
-        no_pii = p if no_pii is None else (no_pii & p)
+    no_pii = no_pii_col(text_col)
     base = docs.select(
         F.col(id_col).cast("long").alias(id_col),
         F.size(t).alias("__nt"),
@@ -268,6 +273,7 @@ def gate_reasons(
     min_quality: float = 0.5,
     n_quality_buckets: int = 256,
     quality_bigrams: bool = True,
+    _keep_tokens: bool = False,
 ) -> DataFrame:
     """Per-document FIRST-failing-gate label for :func:`prepare_corpus`'s
     row-level gates — the debugging face of the recipe: every doc tagged
@@ -282,12 +288,11 @@ def gate_reasons(
     when ``quality_weights`` is given.  Pure narrow projection — zero
     shuffle, fuses into the scan.
 
-    Output: ``docs.*`` + ``gate`` (string).
+    Output: ``docs.*`` + ``gate`` (string); with ``_keep_tokens`` the
+    internal ``__t`` token array survives too (private — the funnel
+    aggregates token counts from it instead of re-tokenizing).
     """
-    no_pii = None
-    for pat in DEFAULT_PII_PATTERNS.values():
-        pred = F.regexp_count(F.col(text_col), F.lit(pat)) == 0
-        no_pii = pred if no_pii is None else (no_pii & pred)
+    no_pii = no_pii_col(text_col)
     toked = docs.withColumn("__t", tokens(F.col(text_col)))
     gate = F.when(no_pii.isNull() | ~no_pii, F.lit("pii")).when(
         bigram_repetition_col("__t") > max_bigram_rep,
@@ -303,9 +308,8 @@ def gate_reasons(
             ) < F.lit(float(min_quality)),
             F.lit("quality"),
         )
-    return toked.withColumn("gate", gate.otherwise(F.lit("pass"))).drop(
-        "__t"
-    )
+    out = toked.withColumn("gate", gate.otherwise(F.lit("pass")))
+    return out if _keep_tokens else out.drop("__t")
 
 
 def gate_funnel(
@@ -332,11 +336,12 @@ def gate_funnel(
         quality_weights=quality_weights, min_quality=min_quality,
         n_quality_buckets=n_quality_buckets,
         quality_bigrams=quality_bigrams,
+        _keep_tokens=True,  # count from __t — never tokenize twice
     )
     return r.groupBy("gate", group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(
-            F.coalesce(F.size(tokens(F.col(text_col))), F.lit(0))
+            F.coalesce(F.size("__t"), F.lit(0))
         ).cast("long").alias("n_tokens"),
     )
 

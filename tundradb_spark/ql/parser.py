@@ -1228,6 +1228,7 @@ class Parser:
         group_col, text_col, max_rep = "lang", "text", 0.5
         weights: str | None = None
         n_buckets, min_quality, bigrams = 256, 0.5, True
+        saw_quality_clause = False
         while True:
             if self.at_kw("GROUP"):
                 self.next()
@@ -1244,17 +1245,21 @@ class Parser:
             elif self.at_kw("BUCKETS"):
                 self.next()
                 n_buckets = self._int_clause("BUCKETS")
+                saw_quality_clause = True
             elif self.at_kw("MIN"):
                 self.next()
                 min_quality = self._num_clause("MIN")
+                saw_quality_clause = True
             elif self.at_kw("UNIGRAMS"):
                 self.next()
                 bigrams = False
+                saw_quality_clause = True
             else:
                 break
-        if weights is None and (
-            n_buckets != 256 or min_quality != 0.5 or not bigrams
-        ):
+        # presence-tracked, not value-compared: `GATES ON docs MIN 0.5;`
+        # (the forgot-WITH mistake typed with a default value) must fail
+        # exactly like any other quality knob without a weight table
+        if weights is None and saw_quality_clause:
             raise QueryError(
                 "TundraQL: GATES BUCKETS/MIN/UNIGRAMS only apply to the"
                 " learned-quality gate (WITH weights ...)"

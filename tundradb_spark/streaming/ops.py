@@ -447,18 +447,16 @@ def stream_gate_corpus(
     dropped); chunk/pack downstream or write to a corpus sink.
     """
     from tundradb_spark.pipeline.dedup import normalized_text
+    from tundradb_spark.pipeline.recipe import no_pii_col
     from tundradb_spark.pipeline.sampling import sample_hash_col
     from tundradb_spark.pipeline.text import (
-        DEFAULT_PII_PATTERNS,
         bigram_repetition_col,
         tokens,
     )
 
-    no_pii = None
-    for pat in DEFAULT_PII_PATTERNS.values():
-        pred = F.regexp_count(F.col(text_col), F.lit(pat)) == 0
-        no_pii = pred if no_pii is None else (no_pii & pred)
-    toked = stream.filter(no_pii).withColumn("__t", tokens(F.col(text_col)))
+    toked = stream.filter(no_pii_col(text_col)).withColumn(
+        "__t", tokens(F.col(text_col))
+    )
     gated = toked.filter(
         bigram_repetition_col("__t") <= max_bigram_rep
     ).drop("__t")
@@ -2089,7 +2087,11 @@ def stream_calibration_bins(
             batch, prob_col, label_col, n_bins
         )
         (
-            partials.withColumn("epoch", F.lit(epoch))
+            # n_bins rides every state row (r13): the readers rescale
+            # bin -> threshold by THEIR n_bins, so a reader/writer
+            # mismatch must be detectable in either direction
+            partials.withColumn("n_bins", F.lit(int(n_bins)))
+            .withColumn("epoch", F.lit(epoch))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("epoch")
@@ -2193,12 +2195,45 @@ def read_calibration(
     prediction volume."""
     from tundradb_spark.pipeline.classify import calibration_score
 
-    merged = spark.read.parquet(path).groupBy("bin").agg(
+    state = spark.read.parquet(path)
+    _check_state_n_bins(state, n_bins, path)
+    merged = state.groupBy("bin").agg(
         F.sum("n").alias("n"),
         F.sum("__sp").cast("decimal(38,12)").alias("__sp"),
         F.sum("__sy").alias("__sy"),
     )
     return calibration_score(merged, n_bins)
+
+
+def _check_state_n_bins(state: DataFrame, n_bins: int, path: str) -> None:
+    """Reader/writer n_bins mismatch detection for the calibration
+    state table.  Both directions are silent-wrong-curve bugs: a
+    SMALLER reader n_bins drops the high bins through the scoring
+    grid's left join; a LARGER one rescales every ``bin/n_bins``
+    threshold (bin 9 of a 10-bin writer scores as 0.45 under a 20-bin
+    reader) and zero-fills the phantom top bins.  r13 state rows carry
+    the writer's ``n_bins``; pre-r13 tables fall back to the max-bin
+    lower bound (the only direction the data itself can prove)."""
+    if "n_bins" in state.columns:
+        written = [
+            r["n_bins"]
+            for r in state.select("n_bins").distinct().collect()
+        ]
+        if written and written != [n_bins]:
+            raise ValueError(
+                f"state table at {path!r} was written with n_bins="
+                f"{sorted(written)} but the reader was given"
+                f" n_bins={n_bins} — thresholds would silently rescale;"
+                f" pass the writer's n_bins"
+            )
+        return
+    top = state.agg(F.max("bin").alias("m")).collect()[0]["m"]
+    if top is not None and top >= n_bins:
+        raise ValueError(
+            f"state table at {path!r} holds bin {top} but the reader was"
+            f" given n_bins={n_bins} — pass the n_bins the stream was"
+            f" written with (>= {top + 1})"
+        )
 
 
 def read_precision_thresholds(
@@ -2220,23 +2255,12 @@ def read_precision_thresholds(
     balance drifts."""
     from tundradb_spark.pipeline.classify import precision_threshold_score
 
-    merged = spark.read.parquet(path).groupBy("bin").agg(
+    state = spark.read.parquet(path)
+    _check_state_n_bins(state, n_bins, path)
+    merged = state.groupBy("bin").agg(
         F.sum("n").alias("n"),
         F.sum("__sy").alias("__sy"),
     )
-    # precision_threshold_score's bin grid LEFT-joins the partials, so a
-    # reader n_bins smaller than the writer's would silently drop the
-    # high bins and report a wrong curve (read_calibration under the
-    # same mistake at least surfaces the extra rows) — fail loudly
-    # instead; the check reads the already-n_bins-sized merge, not the
-    # stream history.
-    top = merged.agg(F.max("bin").alias("m")).collect()[0]["m"]
-    if top is not None and top >= n_bins:
-        raise ValueError(
-            f"state table at {path!r} holds bin {top} but the reader was"
-            f" given n_bins={n_bins} — pass the n_bins the stream was"
-            f" written with (>= {top + 1})"
-        )
     return precision_threshold_score(merged, n_bins)
 
 
