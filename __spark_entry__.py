@@ -5341,3 +5341,56 @@ def _resize_oracle() -> str:
 PARKED_QUERIES["q_resize"] = q_resize
 PARKED_ORACLES["q_resize"] = _resize_oracle()
 SEATING_QUEUE = SEATING_QUEUE | {"q_resize"}
+
+
+def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r13: quality-score drift — the retrain signal a deployed quality
+    gate watches: PSI / Jensen-Shannon / total-variation of the learned
+    LR probability's per-language histogram between two deterministic
+    snapshot halves (ref = doc_id % 3 < 2, cur = % 3 = 2 — a
+    same-process split, so the reading baselines sampling noise exactly
+    like q_drift).  One lazy plan: the zero-shuffle inline scorer
+    (classify.lr_prob_col) feeds analytics.distribution_drift's
+    (group, bin) aggregation; probability space pins bounds to [0, 1]."""
+    from tundradb_spark.operators.analytics import distribution_drift
+    from tundradb_spark.pipeline.classify import lr_prob_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        "doc_id", "lang",
+        lr_prob_col(LR_WEIGHTS, n_buckets=LR_BUCKETS).alias("q"),
+    )
+    return distribution_drift(
+        scored.filter("doc_id % 3 < 2"),
+        scored.filter("doc_id % 3 = 2"),
+        group_col="lang",
+        value_col="q",
+        bounds=(0.0, 1.0),
+        n_bins=10,
+        min_n=20,
+    )
+
+
+def _quality_drift_oracle() -> str:
+    from tundradb_spark.operators.analytics import distribution_drift_sql
+    from tundradb_spark.pipeline.classify import lr_score_sql
+
+    inner = lr_score_sql("documents", LR_WEIGHTS, n_buckets=LR_BUCKETS)
+    half = (
+        "(SELECT d.lang, s.prob AS q FROM documents d"
+        " JOIN ({inner}) s USING (doc_id) WHERE d.doc_id % 3 {cond})"
+    )
+    return distribution_drift_sql(
+        half.format(inner=inner, cond="< 2"),
+        half.format(inner=inner, cond="= 2"),
+        group_col="lang",
+        value_col="q",
+        bounds=(0.0, 1.0),
+        n_bins=10,
+        min_n=20,
+    )
+
+
+PARKED_QUERIES["q_quality_drift"] = q_quality_drift
+PARKED_ORACLES["q_quality_drift"] = _quality_drift_oracle()
+SEATING_QUEUE = SEATING_QUEUE | {"q_quality_drift"}
