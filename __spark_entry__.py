@@ -288,6 +288,15 @@ caller caps, and fixed connected_components to pointer-jump
 (log-diameter rounds) and RAISE on non-convergence instead of
 silently returning a partially-merged labeling.
 
+**Round-14 rotation** (r13 verdict item 1): the five SEATING_QUEUE
+rows seat (``_SEAT_R14`` at the bottom of this module, rationale
+inline) after passing BOTH pre-seating gates (scripts/check_oracle.py
+value parity + scripts/check_dtypes.py pandas-dtype-kind parity);
+parked in exchange, longest-green-first: q_ann_recall, q_hits,
+q_clustering, q_hist_quantiles, q_time_rollup (streak 8).
+q_multimodal stays seated one more round as a characterized same-code
+control for the q_semantic_dedup bench isolation (r13 verdict item 3).
+
 The per-round narrative above records WHY each rotation happened; the
 AUTHORITATIVE seated/parked lists at HEAD are runtime facts — read them
 from ``queries()`` / ``parked_queries()`` (or the ``_SEAT_R*`` /
@@ -5394,3 +5403,63 @@ def _quality_drift_oracle() -> str:
 PARKED_QUERIES["q_quality_drift"] = q_quality_drift
 PARKED_ORACLES["q_quality_drift"] = _quality_drift_oracle()
 SEATING_QUEUE = SEATING_QUEUE | {"q_quality_drift"}
+
+
+# ---------------------------------------------------------------------------
+# Round-14 rotation (r13 verdict item 1): seat the five SEATING_QUEUE rows
+# (q_calibrated_gate, q_gate_funnel, q_split_leakage, q_resize,
+# q_quality_drift) — the r13 operator additions, each CI-green against its
+# DuckDB oracle since registration and passed through scripts/
+# check_oracle.py AND scripts/check_dtypes.py this session before seating
+# (the r12 decimal-hash lesson).  Parked in exchange, longest-green-first
+# among non-anchors, exactly the five the verdict names: q_ann_recall,
+# q_hits, q_clustering, q_hist_quantiles, q_time_rollup (streak 8 each).
+# Tie-breaks recorded: q_multimodal (streak 8, anomaly closed in r13)
+# COULD park but stays seated one more round so the r14 bench carries an
+# untouched same-code control row for the q_semantic_dedup isolation run
+# (r13 verdict item 3 — the control class needs a member whose history is
+# already characterized); q_bfs_levels stays as the only GRAPH_ITER bench
+# subject (standing rationale); the four BASELINE_ANCHORS never rotate.
+# Parking q_ann_recall leaves the ANN family with parked-CI coverage only
+# this round — accepted because all five ANN siblings are parked-green
+# with streaks >= 7 and the family's scale story is probe-documented
+# (SCALE_PROBE_r08/r10).
+# ---------------------------------------------------------------------------
+
+_SEAT_R14 = [
+    "q_calibrated_gate",
+    "q_gate_funnel",
+    "q_split_leakage",
+    "q_resize",
+    "q_quality_drift",
+]
+
+_PARK_R14 = [
+    "q_ann_recall",
+    "q_hits",
+    "q_clustering",
+    "q_hist_quantiles",
+    "q_time_rollup",
+]
+
+for _n in _SEAT_R14:
+    QUERIES[_n] = PARKED_QUERIES.pop(_n)
+    ORACLES[_n] = PARKED_ORACLES.pop(_n)
+for _n in _PARK_R14:
+    PARKED_QUERIES[_n] = QUERIES.pop(_n)
+    PARKED_ORACLES[_n] = ORACLES.pop(_n)
+SEATING_QUEUE = SEATING_QUEUE - frozenset(_SEAT_R14)
+
+if len(QUERIES) != 50 or set(QUERIES) != set(ORACLES):
+    raise RuntimeError(
+        f"r14 rotation broke the 50-slot window: {len(QUERIES)} seated, "
+        f"query/oracle diff {set(QUERIES) ^ set(ORACLES)}"
+    )
+if set(PARKED_QUERIES) != set(PARKED_ORACLES):
+    raise RuntimeError(
+        f"parked query/oracle diff: {set(PARKED_QUERIES) ^ set(PARKED_ORACLES)}"
+    )
+if SEATING_QUEUE & set(QUERIES):
+    raise RuntimeError(
+        f"seated rows still queued: {SEATING_QUEUE & set(QUERIES)}"
+    )
