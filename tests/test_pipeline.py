@@ -3790,6 +3790,46 @@ class TestPrecisionThresholds:
                 reader(spark, sink, n_bins=5)   # smaller: dropped bins
             assert reader(spark, sink, n_bins=10).count() > 0
 
+    def test_readers_survive_upgrade_straddling_state(
+        self, spark, tmp_path
+    ):
+        """r14 ADVICE fix: a state table whose epochs straddle the r13
+        n_bins-stamp upgrade (old epochs lack the column -> NULL under
+        mergeSchema) must not crash the guard with a None-vs-int sort;
+        stamped epochs compare against the reader, pre-upgrade epochs
+        fall under the max-bin lower bound — and mergeSchema makes the
+        column's presence deterministic instead of sampled-file luck."""
+        from tundradb_spark.streaming import (
+            read_calibration,
+            read_precision_thresholds,
+        )
+
+        path = str(tmp_path / "straddle")
+        # epoch 0: pre-r13 layout, no n_bins column
+        spark.createDataFrame(
+            [(0, 3, 5, "1.23", 2), (0, 9, 4, "2.10", 3)],
+            "epoch long, bin long, n long, __sp string, __sy long",
+        ).withColumn("__sp", F.col("__sp").cast("decimal(38,12)")
+                     ).write.mode("append").parquet(path)
+        # epoch 1: r13 layout with the writer stamp
+        spark.createDataFrame(
+            [(1, 2, 2, "0.55", 1, 10)],
+            "epoch long, bin long, n long, __sp string, __sy long,"
+            " n_bins int",
+        ).withColumn("__sp", F.col("__sp").cast("decimal(38,12)")
+                     ).write.mode("append").parquet(path)
+        for reader in (read_precision_thresholds, read_calibration):
+            # matching reader merges both generations fine (the curve
+            # reader grids to n_bins rows; calibration emits only the
+            # occupied bins)
+            assert reader(spark, path, n_bins=10).count() in (3, 10)
+            # stamp mismatch still loud (ValueError, never TypeError)
+            with pytest.raises(ValueError, match="n_bins"):
+                reader(spark, path, n_bins=20)
+            # pre-upgrade epochs still enforce their max-bin bound
+            with pytest.raises(ValueError, match="n_bins"):
+                reader(spark, path, n_bins=5)
+
 
 class TestGateFunnel:
     """r13: gate_reasons / gate_funnel — per-doc first-failing-gate
@@ -3876,6 +3916,54 @@ class TestGateFunnel:
         f = gate_funnel(docs)
         assert audit.count_exchanges(f) <= 1, audit.formatted_plan(f)
         assert "partial" in audit.formatted_plan(f).lower()
+
+    def test_unigram_quality_gate_matches_sql_twin(self, spark):
+        """r14 ADVICE fix: gate_funnel_sql grew the quality_bigrams
+        passthrough — a unigram-trained weight table now has a matching
+        oracle instead of the SQL twin silently scoring with bigram
+        features (which mislabels quality/pass rows whenever the two
+        feature spaces disagree)."""
+        import duckdb
+
+        from tundradb_spark.pipeline.classify import lr_weight_literals
+        from tundradb_spark.pipeline.recipe import (
+            gate_funnel, gate_funnel_sql,
+        )
+
+        rows = [
+            (1, "a clean well written document body here", "en"),
+            (2, "spam spam spam spam spam spam spam spam", "en"),
+            (3, "another perfectly ordinary document text", "de"),
+            (4, "some middling piece of webcrawl prose", "de"),
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string")
+        weights = [(-1, 0.0)] + [(b, 0.3 * (b % 5) - 0.6)
+                                 for b in range(64)]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR,"
+                    " lang VARCHAR)")
+        con.executemany("INSERT INTO d VALUES (?, ?, ?)", rows)
+        lits = lr_weight_literals(weights)
+        for bigrams in (False, True):
+            got = sorted(map(tuple, gate_funnel(
+                docs, quality_weights=weights, n_quality_buckets=64,
+                min_quality=0.55, quality_bigrams=bigrams,
+            ).collect()))
+            want = sorted(map(tuple, con.execute(gate_funnel_sql(
+                "d", quality_weights=lits, n_quality_buckets=64,
+                min_quality=0.55, quality_bigrams=bigrams,
+            )).fetchall()))
+            assert got == want, (bigrams, got, want)
+        # and the two feature spaces genuinely disagree on this fixture
+        # (otherwise the passthrough is untested)
+        uni = sorted(map(tuple, gate_funnel(
+            docs, quality_weights=weights, n_quality_buckets=64,
+            min_quality=0.55, quality_bigrams=False).collect()))
+        bi = sorted(map(tuple, gate_funnel(
+            docs, quality_weights=weights, n_quality_buckets=64,
+            min_quality=0.55, quality_bigrams=True).collect()))
+        assert uni != bi
 
 
 class TestLrTrainDegenerate:

@@ -2293,3 +2293,327 @@ class TestStreamTrend:
         r = want[0]
         # the merged fit recovers the exact line, glitches counted
         assert (r[1], r[2], r[3], r[4], r[5]) == (7, 2, 2.0, 10.0, 1.0)
+
+
+class TestCalibratedStreamGate:
+    """r14 (r13 verdict item 2): the streaming gate's threshold SOURCE —
+    the knob read from the live calibration state table with the batch
+    selection rule, so the stream front door admits exactly what a
+    batch prepare_corpus(quality_target_precision=...) replay admits."""
+
+    # wide weights so the 10 texts spread across the prob range (probed:
+    # 0.047 .. 0.818) — labels split AT a bin edge so a precision-1.0
+    # operating point exists on the 10-bin curve
+    W64 = [(-1, 0.0)] + [(b, 0.3 * (b % 5) - 0.6) for b in range(64)]
+    TEXTS = [
+        "solid careful analysis with detailed clear results",
+        "buy cheap click now win free offer deal",
+        "another genuinely informative research document body",
+        "limited offer deal cheap cheap win now",
+        "thorough methodical experiments reported with context",
+        "free free win prize now click here fast",
+        "careful detailed writeup of a reproducible finding",
+        "spam deal offer click win free now cheap",
+        "longform reasoned discussion of tradeoffs and evidence",
+        "click click win offer free deal prize now",
+    ]
+
+    def _labeled_and_threshold(self, spark, target):
+        """Labeled docs whose labels perfectly track the score median,
+        plus the batch calibrated_threshold — the ground truth both
+        sides must pick."""
+        from tundradb_spark.pipeline.classify import (
+            calibrated_threshold,
+            lr_prob_col,
+        )
+
+        labeled = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)],
+            "doc_id long, text string",
+        )
+        prob = lr_prob_col(self.W64, "text", n_buckets=64)
+        probs = [r["p"] for r in labeled.select(prob.alias("p")).collect()]
+        med = sorted(probs)[len(probs) // 2]
+        edge = int(med * 10) / 10.0  # split exactly at a curve edge
+        assert min(probs) < edge <= max(probs)  # both classes non-empty
+        labeled = labeled.withColumn("label", prob >= F.lit(float(edge)))
+        thr = calibrated_threshold(
+            labeled.select(prob.alias("__prob"), F.col("label").alias("__label")),
+            "__prob", "__label", target, n_bins=10,
+        )
+        return labeled, prob, thr
+
+    def _write_state(self, spark, labeled, prob, src, sink, ckpt):
+        """Build the live calibration state table the stream reads: the
+        labeled predictions streamed through stream_calibration_bins."""
+        from tundradb_spark.streaming import stream_calibration_bins
+
+        os.makedirs(src, exist_ok=True)
+        scored = labeled.select(
+            F.col("doc_id").alias("row_id"),
+            prob.alias("prob"),
+            "label",
+        )
+        scored.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "row_id long, prob double, label boolean"
+        ).parquet(src)
+        q = stream_calibration_bins(stream, sink, ckpt, n_bins=10)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def test_threshold_source_equals_batch_rule(self, spark, tmp_path):
+        from tundradb_spark.streaming import calibrated_gate_threshold
+
+        labeled, prob, want = self._labeled_and_threshold(spark, 1.0)
+        sink = str(tmp_path / "csink")
+        self._write_state(
+            spark, labeled, prob,
+            str(tmp_path / "csrc"), sink, str(tmp_path / "cck"),
+        )
+        got = calibrated_gate_threshold(spark, sink, 1.0, n_bins=10)
+        assert got == want
+
+    def test_stream_gate_admits_equals_batch_prepare_corpus(
+        self, spark, tmp_path
+    ):
+        """The done-condition pin: stream_gate_corpus with a measured
+        knob admits the IDENTICAL doc set as the batch
+        prepare_corpus(quality_target_precision=...) over the same
+        documents (unique texts — dedup tie-breaking is not in play)."""
+        from tundradb_spark.pipeline.recipe import prepare_corpus
+        from tundradb_spark.streaming import stream_gate_corpus
+
+        target = 1.0
+        labeled, prob, thr = self._labeled_and_threshold(spark, target)
+        sink = str(tmp_path / "psink")
+        self._write_state(
+            spark, labeled, prob,
+            str(tmp_path / "psrc"), sink, str(tmp_path / "pck"),
+        )
+        # corpus docs: the labeled texts under fresh ids (all unique)
+        docs = spark.createDataFrame(
+            [(100 + i, t) for i, t in enumerate(self.TEXTS)],
+            "doc_id long, text string",
+        )
+        want = sorted(
+            r["doc_id"]
+            for r in prepare_corpus(
+                docs,
+                quality_weights=self.W64,
+                n_quality_buckets=64,
+                quality_labeled=labeled,
+                quality_target_precision=target,
+                sample_bp=10000,
+            ).select("doc_id").distinct().collect()
+        )
+        # fixture must actually split on the measured knob
+        n_total = docs.count()
+        assert 0 < len(want) < n_total
+
+        dsrc = str(tmp_path / "dsrc")
+        os.makedirs(dsrc)
+        sdocs = docs.withColumn(
+            "ts", F.expr("timestamp_micros((doc_id + 7200) * 1000000)")
+        )
+        sdocs.coalesce(1).write.mode("append").parquet(dsrc)
+        stream = spark.readStream.schema(sdocs.schema).parquet(dsrc)
+        gated = stream_gate_corpus(
+            stream,
+            quality_weights=self.W64,
+            n_quality_buckets=64,
+            quality_target_precision=target,
+            quality_calibration_path=sink,
+            sample_bp=10000,
+        )
+        out, ckpt = str(tmp_path / "dout"), str(tmp_path / "dck")
+        q = (gated.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        )
+        assert got == want
+
+    def test_funnel_repicks_per_epoch_and_records_knob(
+        self, spark, tmp_path
+    ):
+        """Per-epoch re-pick: the funnel reads the LIVE curve at every
+        epoch, gates at the fresh pick, and records it as
+        picked_min_quality — and when new labeled predictions shift the
+        curve between epochs, the recorded knob moves with it."""
+        from tundradb_spark.pipeline.classify import (
+            calibrated_threshold,
+            lr_prob_col,
+        )
+        from tundradb_spark.pipeline.recipe import gate_funnel
+        from tundradb_spark.streaming import (
+            stream_calibration_bins,
+            stream_gate_funnel,
+        )
+
+        target = 1.0
+        labeled, prob, thr1 = self._labeled_and_threshold(spark, target)
+        csrc = str(tmp_path / "fcsrc")
+        sink = str(tmp_path / "fcsink")
+        self._write_state(
+            spark, labeled, prob, csrc, sink, str(tmp_path / "fcck"),
+        )
+
+        dsrc = str(tmp_path / "fdsrc")
+        os.makedirs(dsrc)
+        docs1 = spark.createDataFrame(
+            [(100 + i, t, "en") for i, t in enumerate(self.TEXTS[:5])],
+            "doc_id long, text string, lang string",
+        )
+        docs1.coalesce(1).write.mode("append").parquet(dsrc)
+        fsink, fck = str(tmp_path / "fsink"), str(tmp_path / "fck")
+        stream = spark.readStream.schema(docs1.schema).option(
+            "maxFilesPerTrigger", 1).parquet(dsrc)
+        q = stream_gate_funnel(
+            stream, fsink, fck,
+            quality_weights=self.W64, n_quality_buckets=64,
+            quality_target_precision=target,
+            quality_calibration_path=sink,
+        )
+        try:
+            q.processAllAvailable()
+            # shift the curve: new perfectly-separated predictions in a
+            # HIGHER band move the max-recall edge up
+            extra = spark.createDataFrame(
+                [(1000, 0.92, True), (1001, 0.95, True), (1002, 0.55, False),
+                 (1003, 0.35, False), (1004, 0.25, False)],
+                "row_id long, prob double, label boolean",
+            )
+            extra.coalesce(1).write.mode("append").parquet(csrc)
+            cstream = spark.readStream.schema(
+                "row_id long, prob double, label boolean"
+            ).parquet(csrc)
+            cq = stream_calibration_bins(
+                cstream, sink, str(tmp_path / "fcck2"), n_bins=10)
+            try:
+                cq.processAllAvailable()
+            finally:
+                cq.stop()
+            docs2 = spark.createDataFrame(
+                [(200 + i, t, "en") for i, t in enumerate(self.TEXTS[5:])],
+                docs1.schema,
+            )
+            docs2.coalesce(1).write.mode("append").parquet(dsrc)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        state = spark.read.parquet(fsink)
+        picked = {
+            r["epoch"]: r["picked_min_quality"]
+            for r in state.select("epoch", "picked_min_quality")
+            .distinct().collect()
+        }
+        # one knob per epoch, first epoch = the batch pick
+        assert len(picked) == 2 and picked[0] == thr1
+        # second epoch re-picked from the merged (shifted) curve
+        allscored = labeled.select(
+            F.col("doc_id").alias("row_id"), prob.alias("prob"), "label"
+        ).unionByName(spark.createDataFrame(
+            [(1000, 0.92, True), (1001, 0.95, True), (1002, 0.55, False),
+             (1003, 0.35, False), (1004, 0.25, False)],
+            "row_id long, prob double, label boolean",
+        ))
+        thr2 = calibrated_threshold(
+            allscored.select(
+                F.col("prob").alias("__prob"),
+                F.col("label").alias("__label")),
+            "__prob", "__label", target, n_bins=10,
+        )
+        assert picked[1] == thr2 and thr1 != thr2
+        # each epoch's partials equal the batch funnel AT ITS OWN knob
+        for epoch, docs_e, thr_e in ((0, docs1, thr1), (1, docs2, thr2)):
+            got = sorted(map(tuple, state.filter(
+                F.col("epoch") == epoch
+            ).select("gate", "lang", "n_docs", "n_tokens").collect()))
+            want = sorted(map(tuple, gate_funnel(
+                docs_e, quality_weights=self.W64,
+                n_quality_buckets=64, min_quality=thr_e,
+            ).collect()))
+            assert got == want
+
+    def test_knob_validation_at_construction(self, spark, tmp_path):
+        """Misconfigured knobs die BEFORE .start(), with the same
+        contract prepare_corpus enforces."""
+        from tundradb_spark.streaming import (
+            stream_gate_corpus,
+            stream_gate_funnel,
+        )
+
+        src = str(tmp_path / "vsrc")
+        os.makedirs(src)
+        spark.createDataFrame(
+            [(1, "x", "en")], "doc_id long, text string, lang string"
+        ).withColumn("ts", F.current_timestamp()).coalesce(1).write.mode(
+            "append").parquet(src)
+        schema = ("doc_id long, text string, lang string, ts timestamp")
+        stream = spark.readStream.schema(schema).parquet(src)
+        with pytest.raises(ValueError, match="needs quality_weights"):
+            stream_gate_corpus(stream, quality_target_precision=0.9)
+        with pytest.raises(ValueError, match="without"):
+            stream_gate_corpus(
+                stream, quality_weights=self.W64,
+                quality_calibration_path=str(tmp_path / "nope"),
+            )
+        with pytest.raises(
+            ValueError, match="needs quality_calibration_path"
+        ):
+            stream_gate_corpus(
+                stream, quality_weights=self.W64,
+                quality_target_precision=0.9,
+            )
+        with pytest.raises(ValueError, match="needs quality_weights"):
+            stream_gate_funnel(
+                stream, str(tmp_path / "o"), str(tmp_path / "c"),
+                quality_target_precision=0.9,
+            )
+
+    def test_funnel_without_target_records_handset_knob(
+        self, spark, tmp_path
+    ):
+        """No precision target: picked_min_quality carries the hand-set
+        min_quality when a quality gate exists, NULL when none does —
+        the state schema never forks on knob mode."""
+        from tundradb_spark.streaming import stream_gate_funnel
+
+        src = str(tmp_path / "hsrc")
+        os.makedirs(src)
+        docs = spark.createDataFrame(
+            [(1, "plain useful text body", "en")],
+            "doc_id long, text string, lang string",
+        )
+        docs.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(docs.schema).parquet(src)
+        q = stream_gate_funnel(
+            stream, str(tmp_path / "hsink"), str(tmp_path / "hck"),
+            quality_weights=self.W64, n_quality_buckets=64,
+            min_quality=0.42,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        vals = {r["picked_min_quality"] for r in spark.read.parquet(
+            str(tmp_path / "hsink")).select(
+            "picked_min_quality").distinct().collect()}
+        assert vals == {0.42}
+        q2 = stream_gate_funnel(
+            stream, str(tmp_path / "h2sink"), str(tmp_path / "h2ck"),
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        vals2 = {r["picked_min_quality"] for r in spark.read.parquet(
+            str(tmp_path / "h2sink")).select(
+            "picked_min_quality").distinct().collect()}
+        assert vals2 == {None}

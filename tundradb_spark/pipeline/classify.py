@@ -497,13 +497,31 @@ def calibrated_threshold(
     the caller must see, not a silent gate-wide-open), and on a
     ``target_precision`` outside (0, 1].
     """
+    return calibrated_threshold_from_curve(
+        precision_thresholds(scored, prob_col, label_col, n_bins),
+        target_precision,
+    )
+
+
+def calibrated_threshold_from_curve(
+    curve: DataFrame,
+    target_precision: float,
+) -> float:
+    """:func:`calibrated_threshold`'s selection rule applied to an
+    ALREADY-SCORED operating-point curve — the frame
+    :func:`precision_thresholds` /
+    :func:`~tundradb_spark.streaming.ops.read_precision_thresholds`
+    returns (only ``threshold`` and ``precision`` are read).  Factored
+    out (r14) so a STREAMING pipeline can re-pick its gate knob from
+    the live calibration state table with the identical rule the batch
+    recipe deploys — same max-recall-at-target-precision semantics,
+    same loud failure when no edge qualifies.  The collect is the
+    curve: ``n_bins`` rows, bounded model state."""
     if not 0.0 < target_precision <= 1.0:
         raise ValueError(
             f"target_precision must be in (0, 1], got {target_precision}"
         )
-    rows = precision_thresholds(
-        scored, prob_col, label_col, n_bins
-    ).collect()
+    rows = curve.collect()
     ok = [
         r["threshold"]
         for r in rows

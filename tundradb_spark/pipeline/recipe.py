@@ -354,11 +354,15 @@ def gate_funnel_sql(
     quality_weights: list | None = None,
     min_quality: float = 0.5,
     n_quality_buckets: int = 256,
+    quality_bigrams: bool = True,
     id_col: str = "doc_id",
 ) -> str:
-    """DuckDB oracle reproducing :func:`gate_funnel` exactly (bigram
-    feature space; the quality branch joins the lr_score_sql
-    probabilities, pinned bit-equal to the inline fold)."""
+    """DuckDB oracle reproducing :func:`gate_funnel` exactly (the
+    quality branch joins the lr_score_sql probabilities, pinned
+    bit-equal to the inline fold; ``quality_bigrams`` mirrors
+    :func:`gate_funnel`'s feature-space knob — r14 ADVICE fix: without
+    the passthrough a unigram-trained weight table had no matching
+    oracle and the SQL twin silently scored with bigram features)."""
     pii_fail = " OR ".join(
         f"len(regexp_extract_all({text_col}, '{pat}')) > 0"
         for pat in DEFAULT_PII_PATTERNS.values()
@@ -375,7 +379,7 @@ def gate_funnel_sql(
 
         inner = lr_score_sql(
             table, quality_weights, n_buckets=n_quality_buckets,
-            id_col=id_col, text_col=text_col,
+            bigrams=quality_bigrams, id_col=id_col, text_col=text_col,
         )
         qual_cte = f", scored AS ({inner})"
         qual_join = f" LEFT JOIN scored s ON t.{id_col} = s.{id_col}"

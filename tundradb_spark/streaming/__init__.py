@@ -107,6 +107,7 @@ from tundradb_spark.streaming.ops import (
     read_cooccurrence,
     stream_benford_counts,
     read_benford,
+    calibrated_gate_threshold,
     stream_calibration_bins,
     stream_gate_funnel,
     read_calibration,
@@ -183,6 +184,7 @@ __all__ = [
     "read_cooccurrence",
     "stream_benford_counts",
     "read_benford",
+    "calibrated_gate_threshold",
     "stream_calibration_bins",
     "stream_gate_funnel",
     "read_calibration",

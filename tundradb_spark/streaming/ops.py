@@ -395,6 +395,89 @@ def stream_stream_join(
     return joined.drop(rw[on])
 
 
+def calibrated_gate_threshold(
+    spark,
+    path: str,
+    target_precision: float,
+    n_bins: int = 10,
+) -> float:
+    """The streaming pipeline's THRESHOLD SOURCE (r14, r13 verdict
+    item 2): read the live calibration state table
+    (:func:`read_precision_thresholds` — the same parquet a
+    :func:`stream_calibration_bins` query maintains) and pick the
+    quality gate's knob with the BATCH selection rule
+    (``pipeline.classify.calibrated_threshold_from_curve`` — lowest
+    operating-point edge meeting ``target_precision``, i.e. max recall
+    at the demanded precision).  Returns the picked threshold; raises
+    the batch rule's loud ``ValueError`` when no edge qualifies, and
+    Spark's path error when the state table does not exist yet — seed
+    it from the training-time labeled predictions before starting a
+    calibrated gate, never default to gate-wide-open."""
+    from tundradb_spark.pipeline.classify import (
+        calibrated_threshold_from_curve,
+    )
+
+    return calibrated_threshold_from_curve(
+        read_precision_thresholds(spark, path, n_bins), target_precision
+    )
+
+
+def _validate_gate_knob(
+    quality_weights: list | None,
+    quality_target_precision: float | None,
+    quality_calibration_path: str | None,
+) -> None:
+    """Shared knob validation for the streaming gates, mirroring
+    ``prepare_corpus``: a precision target needs both the frozen
+    weights and a calibration table to measure against; a calibration
+    path without a target would be silently ignored — raise instead.
+    Runs at stream CONSTRUCTION, so a misconfigured gate dies before
+    ``.start()``, not at its first micro-batch."""
+    if quality_target_precision is not None and quality_weights is None:
+        raise ValueError(
+            "quality_target_precision needs quality_weights (the frozen"
+            " lr_train table the gate scores with)"
+        )
+    if quality_calibration_path is not None and (
+        quality_target_precision is None
+    ):
+        raise ValueError(
+            "quality_calibration_path was given without"
+            " quality_target_precision — the state table would be"
+            " silently ignored and the gate would run at the hand-set"
+            " min_quality; pass the precision target the threshold"
+            " should be measured against"
+        )
+    if quality_target_precision is not None and (
+        quality_calibration_path is None
+    ):
+        raise ValueError(
+            "quality_target_precision needs quality_calibration_path"
+            " (the stream_calibration_bins state table to measure the"
+            " threshold on)"
+        )
+
+
+def _resolve_gate_threshold(
+    spark,
+    min_quality: float,
+    quality_target_precision: float | None,
+    quality_calibration_path: str | None,
+    quality_calibration_bins: int,
+) -> float:
+    """Knob resolution AFTER :func:`_validate_gate_knob`: the hand-set
+    ``min_quality`` when no precision target was demanded, else the
+    measured pick from the live calibration table."""
+    if quality_target_precision is None:
+        return float(min_quality)
+    return calibrated_gate_threshold(
+        spark,
+        quality_calibration_path,
+        quality_target_precision,
+        n_bins=quality_calibration_bins,
+    )
+
+
 def stream_gate_corpus(
     stream: DataFrame,
     text_col: str = "text",
@@ -408,6 +491,9 @@ def stream_gate_corpus(
     min_quality: float = 0.5,
     n_quality_buckets: int = 256,
     quality_bigrams: bool = True,
+    quality_target_precision: float | None = None,
+    quality_calibration_path: str | None = None,
+    quality_calibration_bins: int = 10,
 ) -> DataFrame:
     """Streaming face of ``pipeline.recipe.prepare_corpus``'s gate phase:
     PII gate → repetition gate → [optional learned-quality gate] →
@@ -423,6 +509,20 @@ def stream_gate_corpus(
     buckets, same decimal weights, same exact sum) and is a STATELESS
     per-row projection — the join-based scorer's groupBy(doc) would be
     a stateful streaming aggregation.
+
+    Calibrated knob (r14, r13 verdict item 2): pass
+    ``quality_target_precision`` + ``quality_calibration_path`` (a
+    :func:`stream_calibration_bins` state table) and the gate's
+    threshold is MEASURED at stream-construction time via
+    :func:`calibrated_gate_threshold` — the exact rule the batch
+    ``prepare_corpus(quality_target_precision=...)`` deploys, so the
+    stream front door and a batch replay of the same documents admit
+    the IDENTICAL set (test-pinned).  The pick happens ONCE, when this
+    plan is built: a pure streaming transform cannot re-read driver
+    state per micro-batch, so restart the stream (cheap — the
+    checkpoint carries the position) to re-pick as the live curve
+    drifts; :func:`stream_gate_funnel` is the per-epoch-re-picking
+    variant, use its funnel metadata to decide WHEN.
 
     The row-level gates and the content-hash sample are the IDENTICAL
     inline predicates the batch recipe compiles (stateless, fused into the
@@ -454,6 +554,16 @@ def stream_gate_corpus(
         tokens,
     )
 
+    _validate_gate_knob(
+        quality_weights, quality_target_precision, quality_calibration_path
+    )
+    threshold = _resolve_gate_threshold(
+        stream.sparkSession,
+        min_quality,
+        quality_target_precision,
+        quality_calibration_path,
+        quality_calibration_bins,
+    )
     toked = stream.filter(no_pii_col(text_col)).withColumn(
         "__t", tokens(F.col(text_col))
     )
@@ -467,7 +577,7 @@ def stream_gate_corpus(
             lr_prob_col(
                 quality_weights, text_col, n_buckets=n_quality_buckets,
                 bigrams=quality_bigrams,
-            ) >= F.lit(float(min_quality))
+            ) >= F.lit(threshold)
         )
     deduped = (
         gated.withColumn("__h", F.md5(normalized_text(F.col(text_col))))
@@ -2117,6 +2227,9 @@ def stream_gate_funnel(
     min_quality: float = 0.5,
     n_quality_buckets: int = 256,
     quality_bigrams: bool = True,
+    quality_target_precision: float | None = None,
+    quality_calibration_path: str | None = None,
+    quality_calibration_bins: int = 10,
     query_name: str | None = None,
 ) -> "StreamingQuery":
     """r13: continuously maintain gate-attrition partials from a LIVE
@@ -2136,21 +2249,54 @@ def stream_gate_funnel(
     dynamic partition overwrite on ``epoch``; state is
     ``gates × groups × epochs`` rows regardless of stream volume (fold
     with :func:`compact_stream_index` when epochs pile up).
+
+    Calibrated knob (r14, r13 verdict item 2): with
+    ``quality_target_precision`` + ``quality_calibration_path`` the
+    quality gate's threshold is RE-PICKED from the live calibration
+    state table at EVERY epoch (``foreachBatch`` runs driver-side, so
+    the per-epoch read is possible here where it is not in the pure
+    transform :func:`stream_gate_corpus`), and the picked value rides
+    every partial row of that epoch as ``picked_min_quality`` — the
+    audit trail a pipeline reads to see which knob each epoch's
+    attrition was measured under, and the drift signal that decides
+    when to restart the corpus gate.  One curve read per epoch:
+    ``n_bins × epochs_so_far`` state rows in, an ``n_bins``-row
+    collect — never prediction-volume-sized.  Without a target the
+    column still exists and carries the hand-set ``min_quality``
+    (NULL when there is no quality gate at all), so the state schema
+    does not fork on the knob mode.
     """
     from tundradb_spark.pipeline.recipe import gate_funnel
+
+    _validate_gate_knob(
+        quality_weights, quality_target_precision, quality_calibration_path
+    )
 
     def _sink(batch: DataFrame, epoch: int) -> None:
         if batch.isEmpty():
             return
+        threshold = _resolve_gate_threshold(
+            batch.sparkSession,
+            min_quality,
+            quality_target_precision,
+            quality_calibration_path,
+            quality_calibration_bins,
+        )
         partials = gate_funnel(
             batch, group_col=group_col, text_col=text_col,
             max_bigram_rep=max_bigram_rep,
-            quality_weights=quality_weights, min_quality=min_quality,
+            quality_weights=quality_weights, min_quality=threshold,
             n_quality_buckets=n_quality_buckets,
             quality_bigrams=quality_bigrams,
         )
+        picked = (
+            F.lit(float(threshold))
+            if quality_weights is not None
+            else F.lit(None).cast("double")
+        )
         (
-            partials.withColumn("epoch", F.lit(epoch))
+            partials.withColumn("picked_min_quality", picked)
+            .withColumn("epoch", F.lit(epoch))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("epoch")
@@ -2195,7 +2341,9 @@ def read_calibration(
     prediction volume."""
     from tundradb_spark.pipeline.classify import calibration_score
 
-    state = spark.read.parquet(path)
+    # mergeSchema: an n_bins-straddling table (pre-/post-r13 epochs) must
+    # surface the column deterministically, not per sampled file
+    state = spark.read.option("mergeSchema", "true").parquet(path)
     _check_state_n_bins(state, n_bins, path)
     merged = state.groupBy("bin").agg(
         F.sum("n").alias("n"),
@@ -2215,18 +2363,25 @@ def _check_state_n_bins(state: DataFrame, n_bins: int, path: str) -> None:
     the writer's ``n_bins``; pre-r13 tables fall back to the max-bin
     lower bound (the only direction the data itself can prove)."""
     if "n_bins" in state.columns:
-        written = [
+        # a table whose epochs STRADDLE the r13 upgrade reads pre-r13
+        # rows as NULL n_bins (and parquet schema inference may or may
+        # not surface the column at all depending on which file it
+        # samples — the caller reads with mergeSchema so this branch is
+        # deterministic); NULL rows fall under the max-bin lower-bound
+        # check below, only explicit writer stamps are compared here
+        written = sorted(
             r["n_bins"]
             for r in state.select("n_bins").distinct().collect()
-        ]
+            if r["n_bins"] is not None
+        )
         if written and written != [n_bins]:
             raise ValueError(
                 f"state table at {path!r} was written with n_bins="
-                f"{sorted(written)} but the reader was given"
+                f"{written} but the reader was given"
                 f" n_bins={n_bins} — thresholds would silently rescale;"
                 f" pass the writer's n_bins"
             )
-        return
+        state = state.filter(F.col("n_bins").isNull())
     top = state.agg(F.max("bin").alias("m")).collect()[0]["m"]
     if top is not None and top >= n_bins:
         raise ValueError(
@@ -2255,7 +2410,9 @@ def read_precision_thresholds(
     balance drifts."""
     from tundradb_spark.pipeline.classify import precision_threshold_score
 
-    state = spark.read.parquet(path)
+    # mergeSchema: deterministic n_bins column surfacing (see
+    # read_calibration)
+    state = spark.read.option("mergeSchema", "true").parquet(path)
     _check_state_n_bins(state, n_bins, path)
     merged = state.groupBy("bin").agg(
         F.sum("n").alias("n"),
