@@ -5463,3 +5463,96 @@ if SEATING_QUEUE & set(QUERIES):
     raise RuntimeError(
         f"seated rows still queued: {SEATING_QUEUE & set(QUERIES)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# r14 addition (post-rotation, r13 verdict item 6): curation run report
+# v2 — the one-call artifact a 100 TB curation run reads, composing the
+# r13 observability operators (gate funnel at the MEASURED calibrated
+# threshold + achieved precision/recall at the pick, exact-dup cluster
+# stats, split-leakage channel counts) into a single flat
+# (section, metric, grp, value) frame.  THREE corpus scans + one
+# labeled-frame scan, stated in the operator docstring; the oracle is a
+# composition of the proven fragment oracles (gate_funnel_sql with the
+# pick CTE inlined, precision_thresholds_sql, the normalized-hash dedup
+# stats, the channel roll-up).  Parked (window full) and queued for the
+# r15 rotation.
+# ---------------------------------------------------------------------------
+
+_REPORT_SPLIT_EXPR = (
+    "CASE WHEN doc_id % 3 = 0 THEN 'train'"
+    " WHEN doc_id % 3 = 1 THEN 'val' ELSE 'test' END"
+)
+_REPORT_PAIRS_SQL = """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM (SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+      FROM documents) a
+JOIN (SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+      FROM documents) b
+  ON a.h = b.h AND a.doc_id < b.doc_id"""
+
+
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: curation run report v2 (recipe.curation_report) — funnel
+    attrition at the calibrated threshold, the picked operating point
+    with its achieved precision/recall, exact-dup cluster stats, and
+    split-contamination channel counts, in one flat frame.  Totality:
+    an unreachable precision target returns the EMPTY frame (the
+    oracle's pick CTE guard), mirroring q_calibrated_gate."""
+    from tundradb_spark.pipeline.dedup import normalized_text
+    from tundradb_spark.pipeline.recipe import curation_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = docs.select(
+        "doc_id", F.md5(normalized_text(F.col("text"))).alias("__h")
+    )
+    pairs = (
+        h.alias("a")
+        .join(h.alias("b"), F.col("a.__h") == F.col("b.__h"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+    )
+    labeled = docs.select(
+        "doc_id", "text", (F.col("lang") == "en").cast("int").alias("label")
+    )
+    try:
+        return curation_report(
+            docs.withColumn("split", F.expr(_REPORT_SPLIT_EXPR)),
+            group_col="lang",
+            quality_weights=LR_WEIGHTS,
+            n_quality_buckets=LR_BUCKETS,
+            quality_labeled=labeled,
+            quality_target_precision=GATE_TARGET_PRECISION,
+            quality_calibration_bins=GATE_BINS,
+            dup_pairs=pairs,
+            split_col="split",
+        )
+    except ValueError:
+        return spark.createDataFrame(
+            [], "section string, metric string, grp string, value double"
+        )
+
+
+def _curation_report_oracle() -> str:
+    from tundradb_spark.pipeline.recipe import curation_report_sql
+
+    return curation_report_sql(
+        "documents",
+        group_col="lang",
+        quality_weights=LR_WEIGHTS,
+        n_quality_buckets=LR_BUCKETS,
+        quality_label_expr="d.lang = 'en'",
+        quality_target_precision=GATE_TARGET_PRECISION,
+        quality_calibration_bins=GATE_BINS,
+        pairs_sql=_REPORT_PAIRS_SQL,
+        split_expr=_REPORT_SPLIT_EXPR,
+    )
+
+
+PARKED_QUERIES["q_curation_report"] = q_curation_report
+PARKED_ORACLES["q_curation_report"] = _curation_report_oracle()
+SEATING_QUEUE = SEATING_QUEUE | {"q_curation_report"}

@@ -4016,3 +4016,159 @@ class TestLrTrainDegenerate:
         probs = [r["prob"] for r in lr_score(
             docs, w, n_buckets=16).collect()]
         assert all(abs(p - 0.5) < 1e-9 for p in probs)
+
+
+class TestCurationReport:
+    """r14 (r13 verdict item 6): curation_report v2 — the composed
+    one-call artifact, pinned to its fragment-composition oracle."""
+
+    ROWS = [
+        (0, "a clean well written document body here", "en"),
+        (1, "contact me mail@example.com for details", "en"),   # pii
+        (2, "spam spam spam spam spam spam spam spam", "en"),   # rep
+        (3, "another perfectly ordinary document text", "de"),
+        (4, "another perfectly ordinary document text", "de"),  # dup of 3
+        (5, "some middling piece of webcrawl prose", "de"),
+    ]
+    SPLIT = ("CASE WHEN doc_id % 2 = 0 THEN 'train' ELSE 'val' END")
+    W = [(-1, 0.0)] + [(b, 0.3 * (b % 5) - 0.6) for b in range(64)]
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            self.ROWS, "doc_id long, text string, lang string")
+
+    def _pairs(self, spark):
+        from tundradb_spark.pipeline.dedup import normalized_text
+
+        h = self._docs(spark).select(
+            "doc_id", F.md5(normalized_text(F.col("text"))).alias("h"))
+        return (h.alias("a").join(h.alias("b"),
+                                  F.col("a.h") == F.col("b.h"))
+                .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+                .select(F.col("a.doc_id").alias("id_a"),
+                        F.col("b.doc_id").alias("id_b")))
+
+    def test_matches_composition_oracle(self, spark):
+        import duckdb
+
+        from tundradb_spark.pipeline.classify import lr_weight_literals
+        from tundradb_spark.pipeline.recipe import (
+            curation_report, curation_report_sql,
+        )
+
+        docs = self._docs(spark)
+        labeled = docs.select(
+            "doc_id", "text",
+            (F.col("lang") == "en").cast("int").alias("label"))
+        rep = curation_report(
+            docs.withColumn("split", F.expr(self.SPLIT)),
+            quality_weights=self.W, n_quality_buckets=64,
+            quality_labeled=labeled, quality_target_precision=0.3,
+            dup_pairs=self._pairs(spark), split_col="split",
+        )
+        got = sorted(map(tuple, rep.collect()))
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT,"
+                    " text VARCHAR, lang VARCHAR)")
+        con.executemany(
+            "INSERT INTO documents VALUES (?, ?, ?)", self.ROWS)
+        norm = ("md5(regexp_replace(trim(lower(text)), '\\s+', ' ',"
+                " 'g'))")
+        pairs_sql = (
+            f"SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM"
+            f" (SELECT doc_id, {norm} AS h FROM documents) a JOIN"
+            f" (SELECT doc_id, {norm} AS h FROM documents) b"
+            f" ON a.h = b.h AND a.doc_id < b.doc_id")
+        want = sorted(map(tuple, con.execute(curation_report_sql(
+            "documents",
+            quality_weights=lr_weight_literals(self.W),
+            n_quality_buckets=64,
+            quality_label_expr="d.lang = 'en'",
+            quality_target_precision=0.3,
+            pairs_sql=pairs_sql, split_expr=self.SPLIT,
+        )).fetchall()))
+        assert got == want
+        d = {(r[0], r[1], r[2]): r[3] for r in got}
+        # dedup section saw the planted pair
+        assert d[("dedup", "n_dup_groups", None)] == 1.0
+        assert d[("dedup", "max_group_size", None)] == 2.0
+        # the leak: docs 3 (val... doc 3 odd -> val) and 4 (train)
+        assert d[("leakage", "n_pairs", "val->train")] == 1.0
+        # the measured knob rode along with its achieved operating point
+        assert ("quality_gate", "picked_threshold", None) in d
+        assert d[("quality_gate", "precision", None)] >= 0.3
+
+    def test_validation_contract(self, spark):
+        from tundradb_spark.pipeline.recipe import (
+            curation_report, curation_report_sql,
+        )
+
+        docs = self._docs(spark)
+        with pytest.raises(ValueError, match="BOTH dup_pairs"):
+            curation_report(docs, split_col="split")
+        with pytest.raises(ValueError, match="BOTH dup_pairs"):
+            curation_report(docs, dup_pairs=self._pairs(spark))
+        with pytest.raises(ValueError, match="needs quality_weights"):
+            curation_report(docs, quality_target_precision=0.5)
+        with pytest.raises(ValueError, match="needs quality_labeled"):
+            curation_report(docs, quality_weights=self.W,
+                            quality_target_precision=0.5)
+        with pytest.raises(ValueError, match="without"):
+            curation_report(docs, quality_weights=self.W,
+                            quality_labeled=docs)
+        with pytest.raises(ValueError, match="go together"):
+            curation_report_sql("documents", pairs_sql="SELECT 1")
+
+    def test_registry_row_empty_on_unreachable_target(
+        self, spark, monkeypatch
+    ):
+        """The parked row's totality: an unreachable target empties
+        BOTH sides (the operator raises; the row catches and returns
+        the empty 4-col frame — the oracle's EXISTS guard twin)."""
+        import duckdb
+
+        import __spark_entry__ as entry
+
+        monkeypatch.setattr(entry, "GATE_TARGET_PRECISION", 0.999)
+        df = entry.q_curation_report(spark, "/root/testdata/sf0.001")
+        assert df.count() == 0
+        assert [f.name for f in df.schema.fields] == [
+            "section", "metric", "grp", "value"]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM"
+            " '/root/testdata/sf0.001/documents.parquet'")
+        sql = entry._curation_report_oracle().replace(
+            "precision >= 0.4", "precision >= 0.999")
+        assert con.execute(sql).fetchall() == []
+
+    def test_scan_count_is_bounded(self, spark):
+        """The docstring's cost claim: the full report plan reads the
+        corpus a BOUNDED number of times (3 corpus scans + 1 labeled)
+        — pinned by counting scan nodes, so a refactor that silently
+        multiplies scans fails here."""
+        from tundradb_spark.pipeline.recipe import curation_report
+        from tundradb_spark.plans import audit
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        labeled = docs.select(
+            "doc_id", "text",
+            (F.col("lang") == "en").cast("int").alias("label"))
+        rep = curation_report(
+            docs.withColumn(
+                "split",
+                F.when(F.col("doc_id") % 2 == 0, "train").otherwise("val"),
+            ),
+            quality_weights=self.W, n_quality_buckets=64,
+            quality_labeled=labeled, quality_target_precision=0.1,
+        )
+        import re
+
+        plan = audit.formatted_plan(rep)
+        # funnel + dedup hash groupBy read the corpus; the curve's
+        # labeled scan happened eagerly at build time (bounded
+        # collect).  Count the detail nodes, not tree mentions (the
+        # formatted plan prints each scan twice).
+        scans = re.findall(r"\(\d+\) Scan parquet", plan)
+        assert len(scans) <= 3, plan

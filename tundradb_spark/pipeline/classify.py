@@ -517,13 +517,23 @@ def calibrated_threshold_from_curve(
     recipe deploys — same max-recall-at-target-precision semantics,
     same loud failure when no edge qualifies.  The collect is the
     curve: ``n_bins`` rows, bounded model state."""
+    return float(
+        _pick_operating_point(curve.collect(), target_precision)["threshold"]
+    )
+
+
+def _pick_operating_point(rows, target_precision: float):
+    """The selection rule over COLLECTED curve rows: the row at the
+    lowest threshold whose precision meets the target (max recall at
+    the demanded precision).  Returns the full row so callers can also
+    report the ACHIEVED precision/recall at the pick (curation_report);
+    raises the loud no-qualifying-edge error."""
     if not 0.0 < target_precision <= 1.0:
         raise ValueError(
             f"target_precision must be in (0, 1], got {target_precision}"
         )
-    rows = curve.collect()
     ok = [
-        r["threshold"]
+        r
         for r in rows
         if r["precision"] is not None
         and r["precision"] >= target_precision
@@ -538,7 +548,7 @@ def calibrated_threshold_from_curve(
             f" labeled set (best achievable: {best}) — retrain, lower"
             f" the target, or widen n_bins"
         )
-    return float(min(ok))
+    return min(ok, key=lambda r: r["threshold"])
 
 
 # ---------------------------------------------------------------------------

@@ -352,7 +352,7 @@ def gate_funnel_sql(
     text_col: str = "text",
     max_bigram_rep: float = 0.5,
     quality_weights: list | None = None,
-    min_quality: float = 0.5,
+    min_quality: float | str = 0.5,
     n_quality_buckets: int = 256,
     quality_bigrams: bool = True,
     id_col: str = "doc_id",
@@ -381,11 +381,17 @@ def gate_funnel_sql(
             table, quality_weights, n_buckets=n_quality_buckets,
             bigrams=quality_bigrams, id_col=id_col, text_col=text_col,
         )
+        # min_quality may be a SQL expression string (e.g. the pick CTE
+        # of a calibrated composition — curation_report_sql) instead of
+        # a float literal
+        thr_sql = (
+            min_quality
+            if isinstance(min_quality, str)
+            else str(float(min_quality))
+        )
         qual_cte = f", scored AS ({inner})"
         qual_join = f" LEFT JOIN scored s ON t.{id_col} = s.{id_col}"
-        qual_when = (
-            f" WHEN s.prob < {float(min_quality)} THEN 'quality'"
-        )
+        qual_when = f" WHEN s.prob < {thr_sql} THEN 'quality'"
     return f"""
     WITH t AS (
         SELECT *,
@@ -404,3 +410,392 @@ def gate_funnel_sql(
     FROM t{qual_join}
     GROUP BY 1, 2
     """
+
+
+def curation_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    max_bigram_rep: float = 0.5,
+    quality_weights: list | None = None,
+    min_quality: float = 0.5,
+    n_quality_buckets: int = 256,
+    quality_bigrams: bool = True,
+    quality_labeled: DataFrame | None = None,
+    quality_label_col: str = "label",
+    quality_target_precision: float | None = None,
+    quality_calibration_bins: int = 10,
+    dup_pairs: DataFrame | None = None,
+    split_col: str | None = None,
+    pair_src: str = "id_a",
+    pair_dst: str = "id_b",
+) -> DataFrame:
+    """Curation run report v2 (r14, r13 verdict item 6): the ONE
+    artifact a 100 TB curation run reads after (or instead of dry-run
+    before) :func:`prepare_corpus`, composing the proven r13
+    observability operators into a single flat frame
+    ``(section, metric, grp, value)``:
+
+    - ``funnel_docs`` / ``funnel_tokens``: per-``(gate, group)``
+      attrition from :func:`gate_funnel` — evaluated at the MEASURED
+      threshold when a precision target is given, the hand-set
+      ``min_quality`` otherwise.
+    - ``corpus``: ``n_docs`` / ``total_tokens`` totals (summed from the
+      funnel partials — no extra scan).
+    - ``quality_gate`` (only with ``quality_target_precision``):
+      ``picked_threshold`` plus the ACHIEVED ``precision`` / ``recall``
+      at the picked operating point
+      (``classify.precision_thresholds``'s curve, the same rows
+      :func:`~tundradb_spark.pipeline.classify.calibrated_threshold`
+      picks from — one bounded ``n_bins``-row collect).
+    - ``dedup``: exact-duplicate cluster stats over the normalized-text
+      hash — ``n_dup_groups`` (clusters with >1 member),
+      ``max_group_size``, ``dup_doc_rate`` (fraction of docs that are
+      a non-canonical copy).
+    - ``leakage`` (only with ``dup_pairs`` + ``split_col``): violation
+      counts per ordered split channel from
+      :func:`~tundradb_spark.pipeline.sampling.split_leakage_summary`
+      (``grp = 'train->val'`` etc.).
+
+    Cost, stated: TWO corpus scans (the funnel projection — both
+    funnel sections explode from ONE pass; and the dedup hash groupBy,
+    which also carries the corpus totals) plus the leakage section's
+    two-column ``(id, split)`` projection and ONE scan of the labeled
+    frame for the curve — every section is otherwise
+    partial-aggregated and model-state- or channel-sized (plan-pinned:
+    the full report plan holds <= 3 parquet scans).  Raises ``calibrated_threshold``'s loud error when
+    the precision target is unreachable (a report that silently gated
+    wide-open would be a defect); driver registry rows wrap this with
+    the documented empty-frame totality instead.
+
+    All values are doubles (counts are exact longs rendered as doubles;
+    rates/curve points use the house floor-round-to-6) — the schema is
+    canonicalizable by contract (no Decimal/Array/Map).
+    """
+    if (dup_pairs is None) != (split_col is None):
+        raise ValueError(
+            "leakage section needs BOTH dup_pairs and split_col (got"
+            " one without the other — a half-configured audit would be"
+            " silently skipped)"
+        )
+    threshold = float(min_quality)
+    qg_rows: list[tuple[str, str, str | None, float]] = []
+    if quality_target_precision is not None:
+        from tundradb_spark.pipeline.classify import (
+            _pick_operating_point,
+            lr_prob_col,
+            precision_thresholds,
+        )
+
+        if quality_weights is None:
+            raise ValueError(
+                "quality_target_precision needs quality_weights (the"
+                " frozen lr_train table the gate scores with)"
+            )
+        if quality_labeled is None:
+            raise ValueError(
+                "quality_target_precision needs quality_labeled (a"
+                " labeled frame to measure the threshold on)"
+            )
+        prob = lr_prob_col(
+            quality_weights, text_col, n_buckets=n_quality_buckets,
+            bigrams=quality_bigrams,
+        )
+        pick = _pick_operating_point(
+            precision_thresholds(
+                quality_labeled.select(
+                    prob.alias("__prob"),
+                    F.col(quality_label_col).alias("__label"),
+                ),
+                "__prob", "__label", quality_calibration_bins,
+            ).collect(),
+            quality_target_precision,
+        )
+        threshold = float(pick["threshold"])
+        qg_rows = [
+            ("quality_gate", "picked_threshold", None, threshold),
+            ("quality_gate", "precision", None, pick["precision"]),
+            ("quality_gate", "recall", None, pick["recall"]),
+        ]
+    elif quality_labeled is not None:
+        raise ValueError(
+            "quality_labeled was given without quality_target_precision"
+            " — pass the precision target the threshold should be"
+            " measured against"
+        )
+
+    spark = docs.sparkSession
+    # ONE funnel pass: each (gate, group) partial explodes into its
+    # docs + tokens rows in a single projection — referencing the
+    # funnel frame once keeps the plan at ONE corpus scan here (three
+    # separate union branches would re-plan the scan per branch;
+    # plan-pinned in tests)
+    fun = gate_funnel(
+        docs, group_col=group_col, text_col=text_col,
+        max_bigram_rep=max_bigram_rep,
+        quality_weights=quality_weights, min_quality=threshold,
+        n_quality_buckets=n_quality_buckets,
+        quality_bigrams=quality_bigrams,
+    )
+    sections = [
+        fun.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("funnel_docs").alias("section"),
+                        F.col("n_docs").cast("double").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("funnel_tokens").alias("section"),
+                        F.col("n_tokens").cast("double").alias("value"),
+                    ),
+                )
+            ).alias("m"),
+            F.col("gate").alias("metric"),
+            F.col(group_col).cast("string").alias("grp"),
+        ).select(
+            F.col("m.section").alias("section"),
+            "metric",
+            "grp",
+            F.col("m.value").alias("value"),
+        ),
+    ]
+    if qg_rows:
+        sections.append(
+            spark.createDataFrame(
+                qg_rows,
+                "section string, metric string, grp string, value double",
+            )
+        )
+    # corpus totals ride the dedup scan (sum of group sizes == n_docs;
+    # per-group token sums give total_tokens) instead of re-aggregating
+    # the funnel — the second and last corpus scan
+    groups = (
+        docs.select(
+            F.md5(normalized_text(F.col(text_col))).alias("__h"),
+            F.coalesce(
+                F.size(tokens(F.col(text_col))), F.lit(0)
+            ).alias("__nt"),
+        )
+        .groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum("__nt").alias("__tk"),
+        )
+    )
+    r6 = (
+        "cast(floor(cast({num} as double) / cast({den} as double)"
+        " * 1000000 + 0.5) as double) / 1000000.0"
+    )
+    sections.append(
+        groups.agg(
+            F.sum(F.when(F.col("__c") > 1, 1).otherwise(0)).alias("__g"),
+            F.max("__c").alias("__m"),
+            F.sum(F.col("__c") - 1).alias("__extra"),
+            F.sum("__c").alias("__n"),
+            F.sum("__tk").alias("__t"),
+        ).select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("corpus").alias("section"),
+                        F.lit("n_docs").alias("metric"),
+                        F.col("__n").cast("double").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("corpus").alias("section"),
+                        F.lit("total_tokens").alias("metric"),
+                        F.col("__t").cast("double").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("dedup").alias("section"),
+                        F.lit("n_dup_groups").alias("metric"),
+                        F.col("__g").cast("double").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("dedup").alias("section"),
+                        F.lit("max_group_size").alias("metric"),
+                        F.col("__m").cast("double").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("dedup").alias("section"),
+                        F.lit("dup_doc_rate").alias("metric"),
+                        F.when(
+                            F.col("__n") > 0,
+                            F.expr(r6.format(num="__extra", den="__n")),
+                        ).alias("value"),
+                    ),
+                )
+            ).alias("m")
+        ).select(
+            F.col("m.section").alias("section"),
+            F.col("m.metric").alias("metric"),
+            F.lit(None).cast("string").alias("grp"),
+            F.col("m.value").alias("value"),
+        )
+    )
+    if dup_pairs is not None:
+        from tundradb_spark.pipeline.sampling import split_leakage_summary
+
+        sections.append(
+            split_leakage_summary(
+                docs, dup_pairs, split_col, id_col, pair_src, pair_dst
+            ).select(
+                F.lit("leakage").alias("section"),
+                F.lit("n_pairs").alias("metric"),
+                F.concat_ws(
+                    "->", F.col("split_a"), F.col("split_b")
+                ).alias("grp"),
+                F.col("n_pairs").cast("double").alias("value"),
+            )
+        )
+    out = sections[0]
+    for s in sections[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def curation_report_sql(
+    table: str,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bigram_rep: float = 0.5,
+    quality_weights: list | None = None,
+    min_quality: float = 0.5,
+    n_quality_buckets: int = 256,
+    quality_bigrams: bool = True,
+    quality_label_expr: str | None = None,
+    quality_target_precision: float | None = None,
+    quality_calibration_bins: int = 10,
+    pairs_sql: str | None = None,
+    split_expr: str | None = None,
+) -> str:
+    """DuckDB oracle reproducing :func:`curation_report` exactly, as a
+    COMPOSITION of the proven fragment oracles: :func:`gate_funnel_sql`
+    (with the threshold inlined as the pick CTE when a precision target
+    is given), ``classify.precision_thresholds_sql``'s curve + the
+    min-qualifying-edge pick, the normalized-hash dedup stats, and a
+    leakage-channel roll-up over ``pairs_sql`` (a subquery yielding
+    ``id_a, id_b``) against ``split_expr`` (a SQL expression over the
+    table's columns — the Spark side's ``withColumn`` twin)."""
+    if (pairs_sql is None) != (split_expr is None):
+        raise ValueError("pairs_sql and split_expr go together")
+    calibrated = quality_target_precision is not None
+    if calibrated and (
+        quality_weights is None or quality_label_expr is None
+    ):
+        raise ValueError(
+            "a precision target needs quality_weights +"
+            " quality_label_expr"
+        )
+    r6 = (
+        "CAST(floor(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)"
+        " * 1000000 + 0.5) AS DOUBLE) / 1000000.0"
+    )
+    ctes = []
+    thr: float | str = float(min_quality)
+    if calibrated:
+        from tundradb_spark.pipeline.classify import (
+            lr_score_sql,
+            precision_thresholds_sql,
+        )
+
+        inner = lr_score_sql(
+            table, quality_weights, n_buckets=n_quality_buckets,
+            bigrams=quality_bigrams, id_col=id_col, text_col=text_col,
+        )
+        labeled = (
+            f"(SELECT s.prob, CAST({quality_label_expr} AS INT) AS label"
+            f" FROM qscored s JOIN {table} d USING ({id_col}))"
+        )
+        curve = precision_thresholds_sql(
+            labeled, "prob", "label", n_bins=quality_calibration_bins
+        )
+        ctes += [
+            f"qscored AS ({inner})",
+            f"curve AS ({curve})",
+            "pick AS (SELECT min(threshold) AS thr FROM curve"
+            f" WHERE precision >= {quality_target_precision})",
+        ]
+        thr = "(SELECT thr FROM pick)"
+    funnel = gate_funnel_sql(
+        table, group_col=group_col, text_col=text_col,
+        max_bigram_rep=max_bigram_rep,
+        quality_weights=quality_weights, min_quality=thr,
+        n_quality_buckets=n_quality_buckets,
+        quality_bigrams=quality_bigrams, id_col=id_col,
+    )
+    ctes.append(f"funnel AS ({funnel})")
+    ctes.append(
+        f"""dgroups AS (
+        SELECT md5(regexp_replace(trim(lower({text_col})), '\\s+', ' ',
+                   'g')) AS h,
+               count(*) AS c,
+               sum(coalesce(len([x for x in
+                   string_split_regex(lower({text_col}), '\\s+')
+                   if x != '']), 0)) AS nt
+        FROM {table} GROUP BY 1
+    )"""
+    )
+    branches = [
+        f"""SELECT 'funnel_docs' AS section, gate AS metric,
+               CAST({group_col} AS VARCHAR) AS grp,
+               CAST(n_docs AS DOUBLE) AS value FROM funnel""",
+        f"""SELECT 'funnel_tokens', gate, CAST({group_col} AS VARCHAR),
+               CAST(n_tokens AS DOUBLE) FROM funnel""",
+        """SELECT 'corpus', 'n_docs', NULL,
+               CAST(sum(c) AS DOUBLE) FROM dgroups""",
+        """SELECT 'corpus', 'total_tokens', NULL,
+               CAST(sum(nt) AS DOUBLE) FROM dgroups""",
+        """SELECT 'dedup', 'n_dup_groups', NULL,
+               CAST(count(*) FILTER (WHERE c > 1) AS DOUBLE)
+        FROM dgroups""",
+        """SELECT 'dedup', 'max_group_size', NULL,
+               CAST(max(c) AS DOUBLE) FROM dgroups""",
+        f"""SELECT 'dedup', 'dup_doc_rate', NULL,
+               CASE WHEN sum(c) > 0
+                    THEN {r6.format(num="sum(c - 1)", den="sum(c)")}
+               END
+        FROM dgroups""",
+    ]
+    if calibrated:
+        branches += [
+            """SELECT 'quality_gate', 'picked_threshold', NULL,
+                   (SELECT thr FROM pick)""",
+            """SELECT 'quality_gate', 'precision', NULL,
+                   (SELECT precision FROM curve
+                    WHERE threshold = (SELECT thr FROM pick))""",
+            """SELECT 'quality_gate', 'recall', NULL,
+                   (SELECT recall FROM curve
+                    WHERE threshold = (SELECT thr FROM pick))""",
+        ]
+    if pairs_sql is not None:
+        branches.append(
+            f"""SELECT 'leakage', 'n_pairs',
+                   sa.sp || '->' || sb.sp,
+                   CAST(count(*) AS DOUBLE)
+        FROM ({pairs_sql}) p
+        JOIN (SELECT {id_col} AS __id, {split_expr} AS sp
+              FROM {table} WHERE ({split_expr}) IS NOT NULL) sa
+          ON p.id_a = sa.__id
+        JOIN (SELECT {id_col} AS __id, {split_expr} AS sp
+              FROM {table} WHERE ({split_expr}) IS NOT NULL) sb
+          ON p.id_b = sb.__id
+        WHERE sa.sp != sb.sp
+        GROUP BY 3"""
+        )
+    body = "\n    UNION ALL\n    ".join(branches)
+    cte_block = ",\n    ".join(ctes)
+    if calibrated:
+        # totality twin of the Spark side's loud error: an unreachable
+        # target empties BOTH sides (registry rows catch the ValueError
+        # and return the empty frame).  The guard lives INSIDE the WITH
+        # scope so the pick CTE is visible to it.
+        return (
+            f"WITH {cte_block}\n    SELECT * FROM (\n    {body}\n"
+            "    ) __r WHERE EXISTS"
+            " (SELECT 1 FROM pick WHERE thr IS NOT NULL)"
+        )
+    return f"WITH {cte_block}\n    {body}"
