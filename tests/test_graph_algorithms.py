@@ -397,6 +397,8 @@ class TestConvergenceEarlyExit:
     iters becomes a cap, not a fixed cost; tol=None keeps the
     oracle-pinned exact-iteration mode."""
 
+    @pytest.mark.fulltier  # ~95 s 60-iter equivalence re-run;
+    # the cheap tol=None exactness pin below stays in the fast tier
     def test_pagerank_tol_matches_long_run(self, spark):
         from tundradb_spark.graphs.algorithms import pagerank
 
@@ -422,6 +424,8 @@ class TestConvergenceEarlyExit:
         b = sorted(map(tuple, pagerank(e, iters=3, tol=None).collect()))
         assert a == b
 
+    @pytest.mark.fulltier  # ~95 s 60-iter equivalence re-run;
+    # the cheap tol=None exactness pin below stays in the fast tier
     def test_ppr_tol_matches_long_run(self, spark):
         from tundradb_spark.graphs.algorithms import personalized_pagerank
 
