@@ -1382,3 +1382,80 @@ class TestQLGates:
 
         assert "MAXREP" in hint_for("GATES ")
         assert "GATES" in COMPLETION_KEYWORDS
+
+
+class TestQLReport:
+    """r14: REPORT statement — the shell surface for the curation run
+    report v2 (pipeline.recipe.curation_report)."""
+
+    def test_parse_and_defaults(self):
+        st = parse_statement(
+            "REPORT ON docs GROUP source TEXT body ID rid MAXREP 0.3"
+            " WITH w BUCKETS 64 MIN 0.7 UNIGRAMS"
+            " LABELED lab LABEL y PRECISION 0.8 BINS 20"
+            " SPLIT part PAIRS dup SRC a DST b;")
+        assert isinstance(st, ast.Report)
+        assert (st.table, st.group_col, st.text_col, st.id_col,
+                st.max_bigram_rep, st.weights, st.n_buckets,
+                st.min_quality, st.bigrams) == (
+            "docs", "source", "body", "rid", 0.3, "w", 64, 0.7, False)
+        assert (st.labeled, st.label_col, st.target_precision,
+                st.calibration_bins) == ("lab", "y", 0.8, 20)
+        assert (st.split_col, st.pairs, st.pair_src, st.pair_dst) == (
+            "part", "dup", "a", "b")
+        st2 = parse_statement("REPORT ON docs;")
+        assert (st2.group_col, st2.weights, st2.labeled,
+                st2.split_col) == ("lang", None, None, None)
+
+    def test_bad_args_rejected(self):
+        with pytest.raises(QueryError):  # quality knobs need WITH
+            parse_statement("REPORT ON docs MIN 0.7;")
+        with pytest.raises(QueryError):  # LABELED needs WITH
+            parse_statement(
+                "REPORT ON docs LABELED lab PRECISION 0.5;")
+        with pytest.raises(QueryError):  # LABELED and PRECISION pair
+            parse_statement("REPORT ON docs WITH w LABELED lab;")
+        with pytest.raises(QueryError):
+            parse_statement("REPORT ON docs WITH w PRECISION 0.5;")
+        with pytest.raises(QueryError):  # SPLIT and PAIRS pair
+            parse_statement("REPORT ON docs SPLIT part;")
+        with pytest.raises(QueryError):
+            parse_statement("REPORT ON docs PAIRS dup;")
+        with pytest.raises(QueryError):  # PRECISION domain
+            parse_statement(
+                "REPORT ON docs WITH w LABELED lab PRECISION 1.5;")
+        with pytest.raises(QueryError):
+            parse_statement("REPORT ON docs MAXREP 1.5;")
+
+    def test_executes_like_operator(self, db, spark):
+        from tundradb_spark.pipeline.recipe import curation_report
+
+        docs = spark.createDataFrame(
+            [(0, "good detailed analysis", "en", "train"),
+             (1, "mail@example.com spam", "en", "val"),
+             (2, "spam spam spam spam spam spam", "de", "train"),
+             (3, "ordinary boring sentence here", "de", "val"),
+             (4, "ordinary boring sentence here", "de", "train")],
+            "row_id long, text string, lang string, part string",
+        )
+        pairs = spark.createDataFrame(
+            [(0, 3, 4)], "row_id long, id_a long, id_b long")
+        db.register_node_table("crd", docs, "row_id",
+                               resume_counter=False)
+        db.register_node_table("crp", pairs, "row_id",
+                               resume_counter=False)
+        # register_node_table exposes the registration key as `id`
+        got = rows_set(db.sql(
+            "REPORT ON crd ID id SPLIT part PAIRS crp;"))
+        want = rows_set(curation_report(
+            db.get_table("crd"), id_col="id",
+            dup_pairs=db.get_table("crp"), split_col="part"))
+        assert got == want and got
+        # the leak channel surfaced
+        assert any(r[0] == "leakage" for r in got)
+
+    def test_hint_and_completion(self):
+        from tundradb_spark.ql.shell import COMPLETION_KEYWORDS, hint_for
+
+        assert "LABELED" in hint_for("REPORT ")
+        assert "REPORT" in COMPLETION_KEYWORDS

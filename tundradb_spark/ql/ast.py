@@ -359,6 +359,37 @@ class Gates:
 
 
 @dataclass(frozen=True)
+class Report:
+    """REPORT ON <docs> [GROUP col] [TEXT col] [ID col] [MAXREP x]
+    [WITH weights [BUCKETS n] [MIN q] [UNIGRAMS]]
+    [LABELED tbl [LABEL col] PRECISION p [BINS n]]
+    [SPLIT col PAIRS tbl [SRC col] [DST col]] — curation run report v2
+    (pipeline.recipe.curation_report): funnel attrition (at the
+    measured threshold when LABELED/PRECISION are given), the picked
+    operating point, exact-dup cluster stats, corpus totals, and
+    split-leakage channels, one flat (section, metric, grp, value)
+    frame."""
+
+    table: str
+    group_col: str = "lang"
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    max_bigram_rep: float = 0.5
+    weights: str | None = None
+    n_buckets: int = 256
+    min_quality: float = 0.5
+    bigrams: bool = True
+    labeled: str | None = None
+    label_col: str = "label"
+    target_precision: float | None = None
+    calibration_bins: int = 10
+    split_col: str | None = None
+    pairs: str | None = None
+    pair_src: str = "id_a"
+    pair_dst: str = "id_b"
+
+
+@dataclass(frozen=True)
 class Skew:
     """SKEW ON <table> KEY <col> [TOP n] — key-distribution skew
     report (operators.relational.key_skew)."""
@@ -449,4 +480,5 @@ Statement = (
     | Trend
     | Quality
     | Gates
+    | Report
 )

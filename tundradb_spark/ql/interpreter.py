@@ -444,6 +444,45 @@ def execute_ast(db: "Database", stmt: ast.Statement) -> DataFrame | None:
             quality_bigrams=stmt.bigrams,
         )
 
+    if isinstance(stmt, ast.Report):
+        from tundradb_spark.pipeline.recipe import curation_report
+
+        weights = None
+        if stmt.weights is not None:
+            weights = [
+                (r["bucket"], r["weight"])
+                for r in db.get_table(stmt.weights)
+                .select("bucket", "weight")
+                .collect()
+            ]
+        return curation_report(
+            db.get_table(stmt.table),
+            text_col=stmt.text_col,
+            id_col=stmt.id_col,
+            group_col=stmt.group_col,
+            max_bigram_rep=stmt.max_bigram_rep,
+            quality_weights=weights,
+            min_quality=stmt.min_quality,
+            n_quality_buckets=stmt.n_buckets,
+            quality_bigrams=stmt.bigrams,
+            quality_labeled=(
+                db.get_table(stmt.labeled)
+                if stmt.labeled is not None
+                else None
+            ),
+            quality_label_col=stmt.label_col,
+            quality_target_precision=stmt.target_precision,
+            quality_calibration_bins=stmt.calibration_bins,
+            dup_pairs=(
+                db.get_table(stmt.pairs)
+                if stmt.pairs is not None
+                else None
+            ),
+            split_col=stmt.split_col,
+            pair_src=stmt.pair_src,
+            pair_dst=stmt.pair_dst,
+        )
+
     if isinstance(stmt, ast.Skew):
         from tundradb_spark.operators.relational import key_skew
 

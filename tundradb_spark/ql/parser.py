@@ -288,6 +288,8 @@ class Parser:
             stmt = self.quality_statement()
         elif kw == "GATES":
             stmt = self.gates_statement()
+        elif kw == "REPORT":
+            stmt = self.report_statement()
         else:
             raise QueryError(f"TundraQL: unknown statement {kw!r}")
         self.accept(";")
@@ -1280,6 +1282,135 @@ class Parser:
             n_buckets=n_buckets,
             min_quality=min_quality,
             bigrams=bigrams,
+        )
+
+    def report_statement(self) -> ast.Report:
+        """REPORT ON docs [GROUP col] [TEXT col] [ID col] [MAXREP x]
+        [WITH weights [BUCKETS n] [MIN q] [UNIGRAMS]]
+        [LABELED tbl [LABEL col] PRECISION p [BINS n]]
+        [SPLIT col PAIRS tbl [SRC col] [DST col]]"""
+        self.expect("REPORT")
+        self.expect("ON")
+        table = self.ident()
+        group_col, text_col, id_col = "lang", "text", "doc_id"
+        max_rep = 0.5
+        weights: str | None = None
+        n_buckets, min_quality, bigrams = 256, 0.5, True
+        labeled: str | None = None
+        label_col, target, cbins = "label", None, 10
+        split_col: str | None = None
+        pairs: str | None = None
+        pair_src, pair_dst = "id_a", "id_b"
+        saw_quality_clause = False
+        while True:
+            if self.at_kw("GROUP"):
+                self.next()
+                group_col = self.ident()
+            elif self.at_kw("TEXT"):
+                self.next()
+                text_col = self.ident()
+            elif self.at_kw("ID"):
+                self.next()
+                id_col = self.ident()
+            elif self.at_kw("MAXREP"):
+                self.next()
+                max_rep = self._num_clause("MAXREP")
+            elif self.at("WITH"):
+                self.next()
+                weights = self.ident()
+            elif self.at_kw("BUCKETS"):
+                self.next()
+                n_buckets = self._int_clause("BUCKETS")
+                saw_quality_clause = True
+            elif self.at_kw("MIN"):
+                self.next()
+                min_quality = self._num_clause("MIN")
+                saw_quality_clause = True
+            elif self.at_kw("UNIGRAMS"):
+                self.next()
+                bigrams = False
+                saw_quality_clause = True
+            elif self.at_kw("LABELED"):
+                self.next()
+                labeled = self.ident()
+            elif self.at_kw("LABEL"):
+                self.next()
+                label_col = self.ident()
+            elif self.at_kw("PRECISION"):
+                self.next()
+                target = self._num_clause("PRECISION")
+            elif self.at_kw("BINS"):
+                self.next()
+                cbins = self._int_clause("BINS")
+            elif self.at_kw("SPLIT"):
+                self.next()
+                split_col = self.ident()
+            elif self.at_kw("PAIRS"):
+                self.next()
+                pairs = self.ident()
+            elif self.at_kw("SRC"):
+                self.next()
+                pair_src = self.ident()
+            elif self.at_kw("DST"):
+                self.next()
+                pair_dst = self.ident()
+            else:
+                break
+        # the same presence contracts the operator enforces, surfaced at
+        # PARSE time so a typo dies before any table is read
+        if weights is None and saw_quality_clause:
+            raise QueryError(
+                "TundraQL: REPORT BUCKETS/MIN/UNIGRAMS only apply to the"
+                " learned-quality gate (WITH weights ...)"
+            )
+        if labeled is not None and weights is None:
+            raise QueryError(
+                "TundraQL: REPORT LABELED needs the weight table"
+                " (WITH weights ...) the threshold is measured for"
+            )
+        if (labeled is None) != (target is None):
+            raise QueryError(
+                "TundraQL: REPORT LABELED and PRECISION go together"
+                " (a labeled table without a target, or vice versa,"
+                " would silently fall back to the hand-set MIN)"
+            )
+        if (split_col is None) != (pairs is None):
+            raise QueryError(
+                "TundraQL: REPORT SPLIT and PAIRS go together (the"
+                " leakage section needs both the assignment column and"
+                " the duplicate-pair table)"
+            )
+        if not 2 <= n_buckets <= 4096:
+            raise QueryError(
+                "TundraQL: REPORT BUCKETS must be in [2, 4096] (must"
+                " match the weight table's training dimension)"
+            )
+        if not 0.0 <= max_rep <= 1.0:
+            raise QueryError("TundraQL: REPORT MAXREP must be in [0, 1]")
+        if target is not None and not 0.0 < target <= 1.0:
+            raise QueryError(
+                "TundraQL: REPORT PRECISION must be in (0, 1]"
+            )
+        if not 1 <= cbins <= 100000:
+            raise QueryError("TundraQL: REPORT BINS must be in [1, 1e5]")
+        return ast.Report(
+            table=table,
+            group_col=group_col,
+            text_col=text_col,
+            id_col=id_col,
+            max_bigram_rep=max_rep,
+            weights=weights,
+            n_buckets=n_buckets,
+            min_quality=min_quality,
+            bigrams=bigrams,
+            labeled=labeled,
+            label_col=label_col,
+            target_precision=target,
+            calibration_bins=cbins,
+            split_col=split_col,
+            pairs=pairs,
+            pair_src=pair_src,
+            pair_dst=pair_dst,
         )
 
     def skew_statement(self) -> ast.Skew:

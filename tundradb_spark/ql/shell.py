@@ -77,7 +77,7 @@ COMPLETION_KEYWORDS = [
     "FUNNEL", "RETENTION", "OUTLIERS", "CUSUM", "NGRAMS", "MARKOV",
     "SIMILARITY", "COOCCURRENCE", "WINSORIZE", "BENFORD", "CALIBRATION",
     "RRF", "DRIFT", "TOKENDRIFT", "DIFF", "SKEW", "FANOUT", "TREND",
-    "QUALITY", "GATES",
+    "QUALITY", "GATES", "REPORT",
     "ON",
 ]
 
@@ -120,6 +120,10 @@ HINTS = {
                 " [UNIGRAMS] [THRESHOLDS LABEL col [BINS n]]",
     "GATES ": "ON docs [GROUP col] [TEXT col] [MAXREP x]"
               " [WITH weights [BUCKETS n] [MIN q] [UNIGRAMS]]",
+    "REPORT ": "ON docs [GROUP col] [TEXT col] [ID col] [MAXREP x]"
+               " [WITH weights [BUCKETS n] [MIN q] [UNIGRAMS]]"
+               " [LABELED tbl [LABEL col] PRECISION p [BINS n]]"
+               " [SPLIT col PAIRS tbl [SRC col] [DST col]]",
 }
 
 
