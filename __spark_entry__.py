@@ -5146,15 +5146,16 @@ def q_calibrated_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tundradb_spark.pipeline.classify import (
         calibrated_threshold,
         lr_prob_col,
-        lr_score,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    labeled = lr_score(docs, _lr_weights_df(spark), n_buckets=LR_BUCKETS).join(
-        docs.select(
-            "doc_id", (F.col("lang") == "en").cast("int").alias("label")
-        ),
-        "doc_id",
+    prob0 = lr_prob_col(LR_WEIGHTS, n_buckets=LR_BUCKETS)
+    # r14: the curve pass uses the INLINE fold (zero-shuffle, pinned
+    # bit-equal to lr_score) instead of the join-based scorer — same
+    # r13 rewrite q_lr_calibration got, one exchange less per pass
+    labeled = docs.select(
+        prob0.alias("prob"),
+        (F.col("lang") == "en").cast("int").alias("label"),
     )
     try:
         thr = calibrated_threshold(
