@@ -2617,3 +2617,75 @@ class TestCalibratedStreamGate:
             str(tmp_path / "h2sink")).select(
             "picked_min_quality").distinct().collect()}
         assert vals2 == {None}
+
+
+class TestReadCurationReport:
+    """r14: the live report reader — funnel/corpus/quality_gate
+    sections composed from the state tables, pinned to the batch
+    curation_report's corresponding sections over the same documents."""
+
+    def test_matches_batch_report_sections(self, spark, tmp_path):
+        from tundradb_spark.pipeline.recipe import curation_report
+        from tundradb_spark.streaming import (
+            read_curation_report,
+            stream_gate_funnel,
+        )
+
+        W = TestCalibratedStreamGate.W64
+        helper = TestCalibratedStreamGate()
+        target = 1.0
+        labeled, prob, thr = helper._labeled_and_threshold(spark, target)
+        csink = str(tmp_path / "rcsink")
+        helper._write_state(
+            spark, labeled, prob,
+            str(tmp_path / "rcsrc"), csink, str(tmp_path / "rcck"),
+        )
+        docs = spark.createDataFrame(
+            [(100 + i, t, "en" if i % 2 else "de")
+             for i, t in enumerate(helper.TEXTS)],
+            "doc_id long, text string, lang string",
+        )
+        dsrc = str(tmp_path / "rdsrc")
+        os.makedirs(dsrc)
+        docs.coalesce(1).write.mode("append").parquet(dsrc)
+        stream = spark.readStream.schema(docs.schema).parquet(dsrc)
+        q = stream_gate_funnel(
+            stream, str(tmp_path / "rfsink"), str(tmp_path / "rfck"),
+            quality_weights=W, n_quality_buckets=64,
+            quality_target_precision=target,
+            quality_calibration_path=csink,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        live = sorted(map(tuple, read_curation_report(
+            spark, str(tmp_path / "rfsink"),
+            calibration_path=csink, target_precision=target,
+        ).collect()))
+        batch = sorted(map(tuple, curation_report(
+            docs, quality_weights=W, n_quality_buckets=64,
+            quality_labeled=labeled, quality_target_precision=target,
+        ).filter(
+            F.col("section").isin(
+                "funnel_docs", "funnel_tokens", "corpus", "quality_gate"
+            )
+        ).collect()))
+        assert live == batch and live
+
+    def test_validation_and_funnel_only_mode(self, spark, tmp_path):
+        from tundradb_spark.streaming import read_curation_report
+
+        path = str(tmp_path / "fstate")
+        spark.createDataFrame(
+            [(0, "pass", "en", 3, 30), (1, "pii", "en", 1, 4)],
+            "epoch long, gate string, lang string, n_docs long,"
+            " n_tokens long",
+        ).write.parquet(path)
+        with pytest.raises(ValueError, match="go together"):
+            read_curation_report(spark, path, calibration_path="x")
+        rep = {(r[0], r[1], r[2]): r[3] for r in read_curation_report(
+            spark, path).collect()}
+        assert rep[("corpus", "n_docs", None)] == 4.0
+        assert rep[("funnel_docs", "pii", "en")] == 1.0
+        assert not any(k[0] == "quality_gate" for k in rep)

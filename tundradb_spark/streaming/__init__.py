@@ -92,6 +92,16 @@ continuously-ingesting graph/analytics deployment needs:
   operator's shared closed form == value_trend exactly)
 - :func:`compact_stream_index` — atomic per-epoch → single-epoch fold
   for any of the streaming index/sketch tables
+- :func:`calibrated_gate_threshold` — the streaming gate's measured
+  knob (r14): read the live calibration table and pick with the batch
+  selection rule; ``stream_gate_corpus`` accepts
+  ``quality_target_precision`` + ``quality_calibration_path`` (picked
+  at stream start), ``stream_gate_funnel`` re-picks per epoch and
+  records ``picked_min_quality`` in its partials
+- :func:`read_curation_report` — the live face of
+  ``recipe.curation_report`` (r14): funnel/corpus/quality_gate
+  sections composed from the state tables alone (dedup/leakage stay
+  batch-only — they have no streaming state)
 """
 
 from tundradb_spark.streaming.ops import (
@@ -111,6 +121,7 @@ from tundradb_spark.streaming.ops import (
     stream_calibration_bins,
     stream_gate_funnel,
     read_calibration,
+    read_curation_report,
     read_gate_funnel,
     read_precision_thresholds,
     read_winsorize_bounds,
@@ -188,6 +199,7 @@ __all__ = [
     "stream_calibration_bins",
     "stream_gate_funnel",
     "read_calibration",
+    "read_curation_report",
     "read_gate_funnel",
     "read_precision_thresholds",
     "read_winsorize_bounds",

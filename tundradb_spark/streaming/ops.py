@@ -2327,6 +2327,120 @@ def read_gate_funnel(spark, path: str, group_col: str = "lang") -> DataFrame:
     )
 
 
+def read_curation_report(
+    spark,
+    funnel_path: str,
+    group_col: str = "lang",
+    calibration_path: str | None = None,
+    target_precision: float | None = None,
+    n_bins: int = 10,
+) -> DataFrame:
+    """The LIVE face of ``pipeline.recipe.curation_report`` (r14):
+    compose the report's flat ``(section, metric, grp, value)`` frame
+    from the state tables a streaming curation pipeline already
+    maintains — no corpus re-scan, ever:
+
+    - ``funnel_docs`` / ``funnel_tokens`` / ``corpus`` from the
+      :func:`stream_gate_funnel` table (epoch partials are exact longs;
+      corpus totals are the funnel sums by construction — every
+      delivered doc carries exactly one gate label).
+    - ``quality_gate`` (with ``calibration_path`` + a
+      ``target_precision``) from the :func:`stream_calibration_bins`
+      table: the live operating-point pick
+      (:func:`calibrated_gate_threshold`'s rule) plus its achieved
+      precision/recall.
+
+    The ``dedup`` and ``leakage`` sections are batch-only by design —
+    their inputs (normalized-hash groups, duplicate-pair graphs) have
+    no streaming state table; run the batch
+    :func:`~tundradb_spark.pipeline.recipe.curation_report` for the
+    full artifact.  Cost: ``gates x groups x epochs`` + ``n_bins x
+    epochs`` state rows in, report rows out — never stream-volume-
+    sized."""
+    from tundradb_spark.pipeline.classify import _pick_operating_point
+
+    fun = spark.read.parquet(funnel_path).groupBy(
+        "gate", group_col
+    ).agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    sections = [
+        fun.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("funnel_docs").alias("section"),
+                        F.col("n_docs").cast("double").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("funnel_tokens").alias("section"),
+                        F.col("n_tokens").cast("double").alias("value"),
+                    ),
+                )
+            ).alias("m"),
+            F.col("gate").alias("metric"),
+            F.col(group_col).cast("string").alias("grp"),
+        ).select(
+            F.col("m.section").alias("section"),
+            "metric",
+            "grp",
+            F.col("m.value").alias("value"),
+        ),
+        fun.agg(
+            F.sum("n_docs").alias("__d"), F.sum("n_tokens").alias("__t")
+        ).select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("n_docs").alias("metric"),
+                        F.col("__d").cast("double").alias("value"),
+                    ),
+                    F.struct(
+                        F.lit("total_tokens").alias("metric"),
+                        F.col("__t").cast("double").alias("value"),
+                    ),
+                )
+            ).alias("m")
+        ).select(
+            F.lit("corpus").alias("section"),
+            F.col("m.metric").alias("metric"),
+            F.lit(None).cast("string").alias("grp"),
+            F.col("m.value").alias("value"),
+        ),
+    ]
+    if (calibration_path is None) != (target_precision is None):
+        raise ValueError(
+            "calibration_path and target_precision go together (a"
+            " curve without a target, or vice versa, cannot pick the"
+            " quality_gate operating point)"
+        )
+    if calibration_path is not None:
+        pick = _pick_operating_point(
+            read_precision_thresholds(
+                spark, calibration_path, n_bins
+            ).collect(),
+            target_precision,
+        )
+        sections.append(
+            spark.createDataFrame(
+                [
+                    ("quality_gate", "picked_threshold", None,
+                     float(pick["threshold"])),
+                    ("quality_gate", "precision", None,
+                     pick["precision"]),
+                    ("quality_gate", "recall", None, pick["recall"]),
+                ],
+                "section string, metric string, grp string,"
+                " value double",
+            )
+        )
+    out = sections[0]
+    for sec in sections[1:]:
+        out = out.unionByName(sec)
+    return out
+
+
 def read_calibration(
     spark,
     path: str,
