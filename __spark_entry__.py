@@ -5557,3 +5557,85 @@ def _curation_report_oracle() -> str:
 PARKED_QUERIES["q_curation_report"] = q_curation_report
 PARKED_ORACLES["q_curation_report"] = _curation_report_oracle()
 SEATING_QUEUE = SEATING_QUEUE | {"q_curation_report"}
+
+
+# ---------------------------------------------------------------------------
+# r14 additions #2: two more observability rows for the r15 queue.
+# q_gate_reasons is the funnel's per-doc debugging face (the label a
+# curation engineer greps for one document); q_precision_curve is the
+# raw operating-point curve the calibrated gate picks from — both reuse
+# the proven shared fragments (_gate_sql_parts / precision_thresholds)
+# so their oracles are compositions, not new SQL.
+# ---------------------------------------------------------------------------
+
+
+def q_gate_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: per-document first-failing-gate labels (recipe.gate_reasons)
+    under the frozen LR quality weights — pii → repetition → quality →
+    pass, the recipe's own inline predicates, pure narrow projection
+    (zero shuffle; the oracle shares the gate CASE via
+    _gate_sql_parts)."""
+    from tundradb_spark.pipeline.recipe import gate_reasons
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gate_reasons(
+        docs.select("doc_id", "text"),
+        quality_weights=LR_WEIGHTS, min_quality=0.5,
+        n_quality_buckets=LR_BUCKETS,
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), "gate")
+
+
+def _gate_reasons_oracle() -> str:
+    from tundradb_spark.pipeline.recipe import gate_reasons_sql
+
+    return gate_reasons_sql(
+        "documents",
+        quality_weights=LR_WEIGHTS, min_quality=0.5,
+        n_quality_buckets=LR_BUCKETS,
+    )
+
+
+PARKED_QUERIES["q_gate_reasons"] = q_gate_reasons
+PARKED_ORACLES["q_gate_reasons"] = _gate_reasons_oracle()
+SEATING_QUEUE = SEATING_QUEUE | {"q_gate_reasons"}
+
+
+def q_precision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r14: the raw keep-rule operating-point curve
+    (classify.precision_thresholds) under the frozen LR weights with
+    the lang=='en' label — the table calibrated_threshold and the
+    streaming knob pick from, exposed as its own driver row.  One
+    map-side groupBy(bin) over the inline zero-shuffle score; n_bins
+    rows out."""
+    from tundradb_spark.pipeline.classify import (
+        lr_prob_col,
+        precision_thresholds,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.select(
+        lr_prob_col(LR_WEIGHTS, n_buckets=LR_BUCKETS).alias("prob"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return precision_thresholds(scored, "prob", "label", n_bins=GATE_BINS)
+
+
+def _precision_curve_oracle() -> str:
+    from tundradb_spark.pipeline.classify import (
+        lr_score_sql,
+        precision_thresholds_sql,
+    )
+
+    inner = lr_score_sql("documents", LR_WEIGHTS, n_buckets=LR_BUCKETS)
+    labeled = (
+        "(SELECT s.prob, CAST(d.lang = 'en' AS INT) AS label"
+        f" FROM ({inner}) s JOIN documents d USING (doc_id))"
+    )
+    return precision_thresholds_sql(
+        labeled, "prob", "label", n_bins=GATE_BINS
+    )
+
+
+PARKED_QUERIES["q_precision_curve"] = q_precision_curve
+PARKED_ORACLES["q_precision_curve"] = _precision_curve_oracle()
+SEATING_QUEUE = SEATING_QUEUE | {"q_precision_curve"}

@@ -363,6 +363,61 @@ def gate_funnel_sql(
     :func:`gate_funnel`'s feature-space knob — r14 ADVICE fix: without
     the passthrough a unigram-trained weight table had no matching
     oracle and the SQL twin silently scored with bigram features)."""
+    with_block, case_expr, join_clause = _gate_sql_parts(
+        table, text_col, max_bigram_rep, quality_weights, min_quality,
+        n_quality_buckets, quality_bigrams, id_col,
+    )
+    return f"""
+    {with_block}
+    SELECT {case_expr} AS gate,
+           t.{group_col},
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(coalesce(len(__toks), 0)) AS BIGINT) AS n_tokens
+    FROM t{join_clause}
+    GROUP BY 1, 2
+    """
+
+
+def gate_reasons_sql(
+    table: str,
+    text_col: str = "text",
+    max_bigram_rep: float = 0.5,
+    quality_weights: list | None = None,
+    min_quality: float | str = 0.5,
+    n_quality_buckets: int = 256,
+    quality_bigrams: bool = True,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle reproducing :func:`gate_reasons` exactly (r14):
+    the per-doc first-failing-gate label — the same shared gate CASE
+    the funnel oracle aggregates (:func:`_gate_sql_parts`), ungrouped.
+    Output: ``(id_col, gate)``."""
+    with_block, case_expr, join_clause = _gate_sql_parts(
+        table, text_col, max_bigram_rep, quality_weights, min_quality,
+        n_quality_buckets, quality_bigrams, id_col,
+    )
+    return f"""
+    {with_block}
+    SELECT t.{id_col} AS {id_col},
+           {case_expr} AS gate
+    FROM t{join_clause}
+    """
+
+
+def _gate_sql_parts(
+    table: str,
+    text_col: str,
+    max_bigram_rep: float,
+    quality_weights: list | None,
+    min_quality: float | str,
+    n_quality_buckets: int,
+    quality_bigrams: bool,
+    id_col: str,
+) -> tuple[str, str, str]:
+    """The shared SQL fragments behind :func:`gate_funnel_sql` and
+    :func:`gate_reasons_sql`: the tokenized-docs WITH block (plus the
+    lr_score_sql CTE when a quality gate is active), the first-failing-
+    gate CASE expression, and the quality join clause."""
     pii_fail = " OR ".join(
         f"len(regexp_extract_all({text_col}, '{pat}')) > 0"
         for pat in DEFAULT_PII_PATTERNS.values()
@@ -392,24 +447,18 @@ def gate_funnel_sql(
         qual_cte = f", scored AS ({inner})"
         qual_join = f" LEFT JOIN scored s ON t.{id_col} = s.{id_col}"
         qual_when = f" WHEN s.prob < {thr_sql} THEN 'quality'"
-    return f"""
-    WITH t AS (
+    with_block = f"""WITH t AS (
         SELECT *,
                [x for x in string_split_regex(lower({text_col}), '\\s+')
                 if x != ''] AS __toks
         FROM {table}
-    ){qual_cte}
-    SELECT CASE
+    ){qual_cte}"""
+    case_expr = f"""CASE
              WHEN ({pii_fail}) IS NULL OR ({pii_fail}) THEN 'pii'
              WHEN {rep} > {max_bigram_rep} THEN 'repetition'{qual_when}
              ELSE 'pass'
-           END AS gate,
-           t.{group_col},
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(coalesce(len(__toks), 0)) AS BIGINT) AS n_tokens
-    FROM t{qual_join}
-    GROUP BY 1, 2
-    """
+           END"""
+    return with_block, case_expr, qual_join
 
 
 def curation_report(
