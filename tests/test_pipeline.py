@@ -4312,3 +4312,64 @@ class TestPilKernelsStubbed:
 
         if importlib.util.find_spec("PIL") is not None:
             pytest.skip("pillow present: real path exercised for real")
+
+
+class TestCurationReportDirtyInputs:
+    """r14 dirty-input coverage: the report must stay total (and match
+    its oracle) on NULL text, empty corpora, and empty pair frames."""
+
+    def test_null_text_and_empty_pairs_match_oracle(self, spark):
+        import duckdb
+
+        from tundradb_spark.pipeline.recipe import (
+            curation_report, curation_report_sql,
+        )
+
+        rows = [
+            (0, None, "en"),                                   # NULL text
+            (1, "", "en"),                                     # empty text
+            (2, "an ordinary document body here", "de"),
+            (3, "mail@example.com", None),                     # NULL group
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string")
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        rep = curation_report(
+            docs.withColumn(
+                "split",
+                F.when(F.col("doc_id") % 2 == 0, "train").otherwise("val"),
+            ),
+            dup_pairs=pairs, split_col="split",
+        )
+        key = lambda t: tuple(str(x) for x in t)  # noqa: E731
+        got = sorted(map(tuple, rep.collect()), key=key)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT,"
+                    " text VARCHAR, lang VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+        want = sorted(map(tuple, con.execute(curation_report_sql(
+            "documents",
+            pairs_sql="SELECT NULL::BIGINT AS id_a, NULL::BIGINT AS id_b"
+                      " WHERE 1 = 0",
+            split_expr="CASE WHEN doc_id % 2 = 0 THEN 'train'"
+                       " ELSE 'val' END",
+        )).fetchall()), key=key)
+        assert got == want
+        d = {(r[0], r[1], r[2]): r[3] for r in got}
+        # NULL text dies at the pii gate (matching the recipe) and its
+        # tokens count 0; NULL group stays a visible NULL-group row
+        assert d[("funnel_docs", "pii", None)] == 1.0
+        assert d[("corpus", "n_docs", None)] == 4.0
+        # no leakage rows from an empty pair frame
+        assert not any(k[0] == "leakage" for k in d)
+
+    def test_empty_corpus_is_total(self, spark):
+        from tundradb_spark.pipeline.recipe import curation_report
+
+        docs = spark.createDataFrame(
+            [], "doc_id long, text string, lang string")
+        got = {(r[0], r[1]): r[3] for r in curation_report(docs).collect()}
+        # funnel contributes no rows; the scalar sections stay total
+        assert got[("corpus", "n_docs")] is None or got[
+            ("corpus", "n_docs")] == 0.0
+        assert ("dedup", "n_dup_groups") in got
