@@ -5472,8 +5472,9 @@ if SEATING_QUEUE & set(QUERIES):
 # r13 observability operators (gate funnel at the MEASURED calibrated
 # threshold + achieved precision/recall at the pick, exact-dup cluster
 # stats, split-leakage channel counts) into a single flat
-# (section, metric, grp, value) frame.  THREE corpus scans + one
-# labeled-frame scan, stated in the operator docstring; the oracle is a
+# (section, metric, grp, value) frame.  TWO corpus scans (+ the
+# leakage projection and one labeled-frame scan), stated and plan-pinned
+# in the operator docstring; the oracle is a
 # composition of the proven fragment oracles (gate_funnel_sql with the
 # pick CTE inlined, precision_thresholds_sql, the normalized-hash dedup
 # stats, the channel roll-up).  Parked (window full) and queued for the

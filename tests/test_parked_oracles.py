@@ -79,14 +79,19 @@ def duck():
 
 def _fast_tier() -> set[str]:
     repo = os.path.dirname(os.path.abspath(entry.__file__))
-    files = glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
-    newest = max(
-        files,
+    files = sorted(
+        glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")),
         key=lambda f: int(re.search(r"_r(\d+)\.json$", f).group(1)),
     )
-    recently_parked = set(entry.parked_queries()) & set(
-        json.load(open(newest))
-    )
+    # rows parked at the most recent rotation were SEATED one round
+    # earlier, so they appear in the round-(N-1) file and never in the
+    # round-N file the driver writes mid-round — key off the newest TWO
+    # files so the fast set survives the current round's artifact
+    # landing (r14 review)
+    recent: set[str] = set()
+    for f in files[-2:]:
+        recent |= set(json.load(open(f)))
+    recently_parked = set(entry.parked_queries()) & recent
     return set(entry.SEATING_QUEUE) | recently_parked
 
 

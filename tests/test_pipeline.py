@@ -4363,13 +4363,26 @@ class TestCurationReportDirtyInputs:
         # no leakage rows from an empty pair frame
         assert not any(k[0] == "leakage" for k in d)
 
-    def test_empty_corpus_is_total(self, spark):
-        from tundradb_spark.pipeline.recipe import curation_report
+    def test_empty_corpus_matches_oracle(self, spark):
+        """r14 review fix: the empty corpus is oracle-parity-pinned —
+        n_dup_groups counts (0), the NULL-able aggregates stay NULL on
+        BOTH sides."""
+        import duckdb
+
+        from tundradb_spark.pipeline.recipe import (
+            curation_report, curation_report_sql,
+        )
 
         docs = spark.createDataFrame(
             [], "doc_id long, text string, lang string")
-        got = {(r[0], r[1]): r[3] for r in curation_report(docs).collect()}
-        # funnel contributes no rows; the scalar sections stay total
-        assert got[("corpus", "n_docs")] is None or got[
-            ("corpus", "n_docs")] == 0.0
-        assert ("dedup", "n_dup_groups") in got
+        key = lambda t: tuple(str(x) for x in t)  # noqa: E731
+        got = sorted(map(tuple, curation_report(docs).collect()), key=key)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT,"
+                    " text VARCHAR, lang VARCHAR)")
+        want = sorted(map(tuple, con.execute(
+            curation_report_sql("documents")).fetchall()), key=key)
+        assert got == want
+        d = {(r[0], r[1]): r[3] for r in got}
+        assert d[("dedup", "n_dup_groups")] == 0.0
+        assert d[("corpus", "n_docs")] is None

@@ -1426,6 +1426,14 @@ class TestQLReport:
                 "REPORT ON docs WITH w LABELED lab PRECISION 1.5;")
         with pytest.raises(QueryError):
             parse_statement("REPORT ON docs MAXREP 1.5;")
+        # r14 review fix: orphan clauses die loudly instead of being
+        # silently dropped
+        with pytest.raises(QueryError):
+            parse_statement("REPORT ON docs LABEL y;")
+        with pytest.raises(QueryError):
+            parse_statement("REPORT ON docs WITH w BINS 20;")
+        with pytest.raises(QueryError):
+            parse_statement("REPORT ON docs SRC a DST b;")
 
     def test_executes_like_operator(self, db, spark):
         from tundradb_spark.pipeline.recipe import curation_report

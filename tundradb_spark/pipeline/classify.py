@@ -516,10 +516,20 @@ def calibrated_threshold_from_curve(
     the live calibration state table with the identical rule the batch
     recipe deploys — same max-recall-at-target-precision semantics,
     same loud failure when no edge qualifies.  The collect is the
-    curve: ``n_bins`` rows, bounded model state."""
+    curve: ``n_bins`` rows, bounded model state.  The target's range is
+    validated BEFORE the collect so a bad knob never costs the corpus
+    aggregation behind the curve (r14 review)."""
+    _validate_target_precision(target_precision)
     return float(
         _pick_operating_point(curve.collect(), target_precision)["threshold"]
     )
+
+
+def _validate_target_precision(target_precision: float) -> None:
+    if not 0.0 < target_precision <= 1.0:
+        raise ValueError(
+            f"target_precision must be in (0, 1], got {target_precision}"
+        )
 
 
 def _pick_operating_point(rows, target_precision: float):
@@ -528,10 +538,7 @@ def _pick_operating_point(rows, target_precision: float):
     the demanded precision).  Returns the full row so callers can also
     report the ACHIEVED precision/recall at the pick (curation_report);
     raises the loud no-qualifying-edge error."""
-    if not 0.0 < target_precision <= 1.0:
-        raise ValueError(
-            f"target_precision must be in (0, 1], got {target_precision}"
-        )
+    _validate_target_precision(target_precision)
     ok = [
         r
         for r in rows

@@ -639,7 +639,9 @@ def curation_report(
     )
     sections.append(
         groups.agg(
-            F.sum(F.when(F.col("__c") > 1, 1).otherwise(0)).alias("__g"),
+            # count, not sum: over an EMPTY corpus sum() yields NULL
+            # while the oracle's count(*) FILTER yields 0 (r14 review)
+            F.count(F.when(F.col("__c") > 1, 1)).alias("__g"),
             F.max("__c").alias("__m"),
             F.sum(F.col("__c") - 1).alias("__extra"),
             F.sum("__c").alias("__n"),

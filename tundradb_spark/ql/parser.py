@@ -1302,6 +1302,8 @@ class Parser:
         pairs: str | None = None
         pair_src, pair_dst = "id_a", "id_b"
         saw_quality_clause = False
+        saw_label_clause = False
+        saw_pair_cols = False
         while True:
             if self.at_kw("GROUP"):
                 self.next()
@@ -1336,12 +1338,14 @@ class Parser:
             elif self.at_kw("LABEL"):
                 self.next()
                 label_col = self.ident()
+                saw_label_clause = True
             elif self.at_kw("PRECISION"):
                 self.next()
                 target = self._num_clause("PRECISION")
             elif self.at_kw("BINS"):
                 self.next()
                 cbins = self._int_clause("BINS")
+                saw_label_clause = True
             elif self.at_kw("SPLIT"):
                 self.next()
                 split_col = self.ident()
@@ -1351,9 +1355,11 @@ class Parser:
             elif self.at_kw("SRC"):
                 self.next()
                 pair_src = self.ident()
+                saw_pair_cols = True
             elif self.at_kw("DST"):
                 self.next()
                 pair_dst = self.ident()
+                saw_pair_cols = True
             else:
                 break
         # the same presence contracts the operator enforces, surfaced at
@@ -1373,6 +1379,16 @@ class Parser:
                 "TundraQL: REPORT LABELED and PRECISION go together"
                 " (a labeled table without a target, or vice versa,"
                 " would silently fall back to the hand-set MIN)"
+            )
+        if labeled is None and saw_label_clause:
+            raise QueryError(
+                "TundraQL: REPORT LABEL/BINS only apply to the measured"
+                " threshold (LABELED tbl ... PRECISION p)"
+            )
+        if pairs is None and saw_pair_cols:
+            raise QueryError(
+                "TundraQL: REPORT SRC/DST only apply to the duplicate-"
+                "pair table (PAIRS tbl)"
             )
         if (split_col is None) != (pairs is None):
             raise QueryError(

@@ -2265,6 +2265,18 @@ def stream_gate_funnel(
     column still exists and carries the hand-set ``min_quality``
     (NULL when there is no quality gate at all), so the state schema
     does not fork on the knob mode.
+
+    Concurrency caveat (documented, not solved): the per-epoch read of
+    the calibration table has NO snapshot isolation against a LIVE
+    ``stream_calibration_bins`` writer — a read concurrent with an
+    epoch commit (multi-file write / replay overwrite) can see a
+    partial epoch and pick off a slightly stale or torn curve.  The
+    blast radius is one funnel epoch's knob, and the value is RECORDED
+    (``picked_min_quality``), so the audit trail shows exactly which
+    knob each epoch used; run the calibration stream on a slower
+    trigger than the funnel, or point the funnel at a
+    :func:`compact_stream_index`-folded copy, when that epoch-level
+    wobble matters.
     """
     from tundradb_spark.pipeline.recipe import gate_funnel
 
@@ -2359,12 +2371,7 @@ def read_curation_report(
     sized."""
     from tundradb_spark.pipeline.classify import _pick_operating_point
 
-    fun = spark.read.parquet(funnel_path).groupBy(
-        "gate", group_col
-    ).agg(
-        F.sum("n_docs").cast("long").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("n_tokens"),
-    )
+    fun = read_gate_funnel(spark, funnel_path, group_col)
     sections = [
         fun.select(
             F.explode(
