@@ -297,6 +297,28 @@ q_clustering, q_hist_quantiles, q_time_rollup (streak 8).
 q_multimodal stays seated one more round as a characterized same-code
 control for the q_semantic_dedup bench isolation (r13 verdict item 3).
 
+**New in r14** (all parked — window full — and queued in
+``SEATING_QUEUE`` for r15, CI-checked from day one): the curation run
+report v2 (recipe.curation_report — funnel attrition at the MEASURED
+calibrated threshold, the picked operating point with achieved
+precision/recall, exact-dup cluster stats, corpus totals, and
+split-leakage channels in one flat frame; TWO corpus scans,
+plan-pinned; TundraQL ``REPORT`` statement; live reader
+streaming.read_curation_report composes the same sections from the
+state tables) — q_curation_report; the funnel's per-doc debugging
+face (gate_reasons, SQL twin via the shared ``_gate_sql_parts``
+CASE) — q_gate_reasons; and the raw operating-point curve as its own
+row — q_precision_curve.  r14 also closed the calibrated-gate loop in
+STREAMING (calibrated_gate_threshold reads the live
+stream_calibration_bins table and picks with the batch rule;
+stream_gate_corpus measures its knob at stream start,
+stream_gate_funnel re-picks per epoch and records
+``picked_min_quality`` — stream admits == batch
+prepare_corpus(quality_target_precision=…) on replay, test-pinned),
+tiered the CI (pytest.ini ``fulltier``; default run <20 min, full
+tier mandatory pre-rotation), and root-caused the q_semantic_dedup
+bench drift as environment (README).
+
 The per-round narrative above records WHY each rotation happened; the
 AUTHORITATIVE seated/parked lists at HEAD are runtime facts — read them
 from ``queries()`` / ``parked_queries()`` (or the ``_SEAT_R*`` /
