@@ -185,7 +185,7 @@ def test_analytics_statement_chain_script(db, spark):
     statement the shell supports — FUNNEL RETENTION OUTLIERS CUSUM
     NGRAMS MARKOV SIMILARITY COOCCURRENCE WINSORIZE BENFORD CALIBRATION
     RRF DRIFT TOKENDRIFT DIFF (corpus + SUMMARY + COLS) SKEW FANOUT
-    TREND QUALITY — through the script runner, pinning the SHELL path
+    TREND QUALITY GATES REPORT (r14) — through the script runner, pinning the SHELL path
     (parse →
     execute → ASCII render) per statement, the reference's level-4
     testing model (test_scripts/run_all_tests_with_assertions.sh,
@@ -272,10 +272,12 @@ SKEW ON ev KEY event_type TOP 3;
 FANOUT ON ev WITH ev KEY user_id TOP 3;
 TREND ON ev EPOCH 0 GROUP event_type VALUE value TS ts MIN 1;
 QUALITY ON docs_new WITH lr_w BUCKETS 16 ID id;
+GATES ON docs_new GROUP id TEXT text;
+REPORT ON docs_new GROUP id TEXT text ID id;
 """
     out, failures = run(db, script)
     assert failures == 0, out
-    assert "-- 22 statement(s) executed, 0 failed" in out
+    assert "-- 24 statement(s) executed, 0 failed" in out
     # one distinctive rendered column per statement family — proves each
     # result table actually reached the ASCII sink
     for marker in [
@@ -300,5 +302,7 @@ QUALITY ON docs_new WITH lr_w BUCKETS 16 ID id;
         "est_rows",         # FANOUT
         "slope_per_day",    # TREND
         "logit",            # QUALITY
+        "n_tokens",         # GATES (funnel column rendered)
+        "funnel_docs",      # REPORT (section rendered)
     ]:
         assert marker in out, f"missing rendered column {marker!r}"
