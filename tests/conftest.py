@@ -5,7 +5,11 @@ from tundradb_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tundradb-spark-tests", cpus=4, shuffle_partitions=4)
+    # local[8] (r14): the suite is wall-clock-bound on task latency, not
+    # correctness — 8 threads cut the heavy shuffle/iteration tests'
+    # turnaround on a 32-core box; shuffle_partitions stays 4 so the
+    # plan-pin tests see the same exchanges
+    s = get_spark("tundradb-spark-tests", cpus=8, shuffle_partitions=4)
     yield s
 
 

@@ -6,9 +6,19 @@ counterexample is a real bug, not a fixture artifact.
 
 Spark jobs are slow per-example, so examples are capped low and each
 property folds many assertions into one DataFrame round-trip.
+
+Tier (r14): the whole module is ``fulltier`` — randomized deep
+re-verification of long-stable operator definitions is exactly the
+nightly/pre-rotation class (pytest.ini); the example-based suites keep
+every operator covered on the default run, and any property touched by
+a code change should be run directly (append ``-m ""``).
 """
 
+import pytest
+
 from hypothesis import HealthCheck, example, given, settings, strategies as st
+
+pytestmark = pytest.mark.fulltier
 
 from tests.conftest import rows_set
 from tundradb_spark.operators.relational import asof_join
