@@ -4841,16 +4841,24 @@ def _lr_weights_df(spark: SparkSession) -> DataFrame:
 
 
 def q_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """r12: learned quality filter scoring (classify.lr_score) — every
-    document scored under the frozen English-quality LR weight table
-    (one broadcast join of 257 weights against the hashed n-gram design,
-    one decimal-exact per-doc sum; text never shuffles), top-20 by
-    predicted probability with deterministic tiebreak."""
-    from tundradb_spark.pipeline.classify import lr_score
+    """r12: learned quality filter scoring — every document scored
+    under the frozen English-quality LR weight table, top-20 by
+    predicted probability with deterministic tiebreak.
+
+    r14 plan upgrade (optimization round): scores come from the INLINE
+    fold (classify.lr_score_inline — pinned row-equal to lr_score
+    including n_feats, tests/test_pipeline.py::TestLrInlineScoring), so
+    the whole query is one zero-shuffle scan projection into a
+    TakeOrderedAndProject: the join scorer's two design exchanges
+    (groupBy(doc, bucket) + groupBy(doc)) and the weight broadcast are
+    gone.  The oracle is unchanged (lr_score_sql): the bit-equality pin
+    is what the driver row exercises end-to-end — the same r13
+    precedent as q_lr_calibration."""
+    from tundradb_spark.pipeline.classify import lr_score_inline
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
-        lr_score(docs, _lr_weights_df(spark), n_buckets=LR_BUCKETS)
+        lr_score_inline(docs, LR_WEIGHTS, n_buckets=LR_BUCKETS)
         .orderBy(F.desc("prob"), F.asc("doc_id"))
         .limit(LR_TOP)
     )

@@ -3504,6 +3504,41 @@ class TestLrInlineScoring:
             .alias("q"))
         assert audit.count_exchanges(df) == 0
 
+    def test_score_inline_equals_join_scorer_full_schema(self, spark):
+        """r14: lr_score_inline — the whole lr_score frame (including
+        n_feats) from the zero-shuffle fold, pinned row-equal on edge
+        texts (empty, NULL, single-token: the bigram-count boundaries)."""
+        from tundradb_spark.pipeline.classify import (
+            lr_score, lr_score_inline,
+        )
+        from tundradb_spark.plans import audit
+
+        docs = spark.createDataFrame(
+            [(1, "good detailed analysis of results"),
+             (2, "click click buy now"),
+             (3, ""), (4, None), (5, "one"), (6, "two words")],
+            "doc_id long, text string",
+        )
+        weights = [(-1, 0.25)] + [(b, 0.01 * (b % 7) - 0.02)
+                                  for b in range(32)]
+        wdf = spark.createDataFrame(weights, "bucket long, weight double")
+        for bigrams in (True, False):
+            join_based = lr_score(docs, wdf, n_buckets=32,
+                                  bigrams=bigrams)
+            inline = lr_score_inline(docs, weights, n_buckets=32,
+                                     bigrams=bigrams)
+            assert inline.columns == join_based.columns
+            assert {f.name: f.dataType for f in inline.schema} == {
+                f.name: f.dataType for f in join_based.schema
+            }
+            assert sorted(map(tuple, inline.collect())) == sorted(
+                map(tuple, join_based.collect())
+            )
+        # the point of the rewrite: no exchange anywhere in the plan
+        assert audit.count_exchanges(
+            lr_score_inline(docs, weights, n_buckets=32)
+        ) == 0
+
 
 class TestRecipeQualityGate:
     """r12: prepare_corpus's optional learned-quality gate — the batch

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from tundradb_spark.pipeline.text import tokens
 
 __all__ = [
-    "nb_train", "nb_score", "lr_train", "lr_score",
+    "nb_train", "nb_score", "lr_train", "lr_score", "lr_score_inline",
     "lr_score_sql", "lr_weight_literals", "lr_logit_col", "lr_prob_col",
 ]
 
@@ -963,4 +963,54 @@ def lr_prob_col(
     logit = lr_logit_col(weights, text_col, n_buckets, bigrams)
     return F.round(
         F.lit(1.0) / (F.lit(1.0) + F.exp(-logit.cast("double"))), 6
+    )
+
+
+def lr_score_inline(
+    docs: DataFrame,
+    weights: list[tuple[int, float | str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    bigrams: bool = True,
+) -> DataFrame:
+    """:func:`lr_score`'s output frame ``(id, n_feats, logit, prob)``
+    through the zero-shuffle inline fold — one narrow projection, no
+    explode, no groupBy, no broadcast join.
+
+    Row-for-row equal to ``lr_score`` on id-keyed corpora (the operator
+    contract both scorers share): ``logit``/``prob`` via
+    :func:`lr_logit_col` / :func:`lr_prob_col` (pinned bit-equal —
+    same md5 buckets, same decimal(20,10) weights, order-proof decimal
+    fold), and ``n_feats`` is the total gram count — exactly the
+    design matrix's ``sum(c) over bucket >= 0``, since every gram lands
+    in some bucket.  ``weights`` as in :func:`lr_score_sql` (literal
+    list, intercept at −1); pass ``lr_train`` output through
+    ``[(r["bucket"], r["weight"]) for r in w.collect()]`` if needed.
+
+    This is the batch-scoring face of the r13 inline rewrite: the join
+    scorer shuffles the exploded design twice (groupBy(id, bucket) +
+    groupBy(id)); at corpus scale both exchanges carry one row per
+    distinct (doc, gram) — this folds per row inside the scan
+    projection instead.
+    """
+    # same token rule as lr_logit_col: whitespace split of lower(text),
+    # empties dropped, NULL text -> empty array (intercept-only row)
+    toks = (
+        f"coalesce(filter(split(lower({text_col}), '\\\\s+'),"
+        f" t -> t != ''), cast(array() as array<string>))"
+    )
+    n_tok = f"size({toks})"
+    n_feats = (
+        f"cast({n_tok} + greatest({n_tok} - 1, 0) as long)"
+        if bigrams else f"cast({n_tok} as long)"
+    )
+    logit = lr_logit_col(weights, text_col, n_buckets, bigrams)
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.expr(n_feats).alias("n_feats"),
+        logit.cast("double").alias("logit"),
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-logit.cast("double"))), 6
+        ).alias("prob"),
     )
