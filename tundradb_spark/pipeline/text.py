@@ -1869,6 +1869,16 @@ def lm_buckets(
         ),
         scores[id_col] == F.col("__lid"),
     ).drop("__lid")
+    # ONE scoring pass for both consumers (r14 optimization round): the
+    # threshold aggregate AND the final bucket join both read `labeled`,
+    # and the threshold side lives inside a broadcast build, so
+    # ReuseExchange cannot collapse the shared subtree — without a
+    # barrier the two token shuffles of lm_scores run TWICE (A/B at
+    # sf0.1, best-of-4 x2 each: 1.26-1.54s -> 1.07-1.11s).  The
+    # checkpoint is doc-count sized (id,
+    # group, n_tokens, lm_logprob — no text), i.e. summary-sized at any
+    # corpus scale, and lazy: materialized once at first action.
+    labeled = labeled.localCheckpoint(eager=False)
     th = (
         labeled.groupBy(group_col)
         .agg(
