@@ -137,11 +137,29 @@ def char_shingles(text: Column, k: int = 5, distinct: bool = True) -> Column:
     ``distinct=True`` dedups (order of first appearance; callers treat it as
     a set). Pass ``distinct=False`` for consumers that are invariant to
     duplicates — e.g. MinHash, where ``min`` over a multiset equals ``min``
-    over its support — saving array_distinct's O(len²) comparisons."""
-    lowered = F.lower(text)
-    out = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))),
-        lambda i: F.substring(lowered, i, k),
+    over its support — saving array_distinct's O(len²) comparisons.
+
+    ``lower(text)`` is bound ONCE per row through a 1-element transform
+    (the lr_logit_col trick): a plain outer reference inside the inner
+    lambda would inline the lower() into every element — re-lowering and
+    copying the whole document once PER SHINGLE (measured at sf0.1:
+    2x the whole shingle pass)."""
+    out = F.element_at(
+        F.transform(
+            F.array(F.lower(text)),
+            # window count stays keyed on length(text) — NOT length(t):
+            # toLowerCase may change the character count for a handful
+            # of Unicode titlecase forms, and the shingle windows have
+            # always been positioned by the RAW length
+            lambda t: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length(text) - (k - 1), F.lit(1)),
+                ),
+                lambda i: t.substr(i, F.lit(k)),
+            ),
+        ),
+        1,
     )
     return F.array_distinct(out) if distinct else out
 
