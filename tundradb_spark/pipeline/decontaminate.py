@@ -70,9 +70,16 @@ def contamination_scores(
     ).withColumn("__hit", F.lit(1))
     if broadcast:
         bench = F.broadcast(bench)
+    # tokenize in its own projection: passing the computed token
+    # expression straight into _distinct_ngrams would inline it into the
+    # slice lambda and re-split the text once per n-gram (the
+    # char_shingles/ngram_jaccard lesson)
     grams = corpus.select(
         F.col(id_col).cast("long").alias(id_col),
-        _distinct_ngrams(_tokens(F.col(text_col)), n).alias("__grams"),
+        _tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        id_col,
+        _distinct_ngrams(F.col("__toks"), n).alias("__grams"),
     ).select(
         id_col,
         F.size("__grams").alias("__n_grams"),

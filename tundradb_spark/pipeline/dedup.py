@@ -711,9 +711,16 @@ def strip_duplicate_segments(
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     if mode == "line":
         segs_col = F.split(F.col(text_col), r"\n")
+        base = docs.select(
+            F.col(id_col).cast("long").alias(id_col),
+            segs_col.alias("__segs"),
+        )
         sep = "\n"
     else:
-        toks = _tokens(F.col(text_col))
+        # tokenize in its own projection: a computed token expression
+        # referenced inside the slice lambda would re-split the text once
+        # per window (the char_shingles lesson)
+        toks = F.col("__toks")
         segs_col = F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(window)),
             lambda i: F.array_join(F.slice(toks, i, window), " "),
@@ -723,10 +730,14 @@ def strip_duplicate_segments(
         segs_col = F.when(F.size(toks) > 0, segs_col).otherwise(
             F.array().cast("array<string>")
         )
+        base = docs.select(
+            F.col(id_col).cast("long").alias(id_col),
+            _tokens(F.col(text_col)).alias("__toks"),
+        ).select(id_col, segs_col.alias("__segs"))
         sep = " "
-    segs = docs.select(
-        F.col(id_col).cast("long").alias(id_col),
-        F.posexplode(segs_col).alias("idx", "seg"),
+    segs = base.select(
+        id_col,
+        F.posexplode(F.col("__segs")).alias("idx", "seg"),
     ).withColumn("dg", F.md5("seg"))
     dup = (
         segs.groupBy("dg")
