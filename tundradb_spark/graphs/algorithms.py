@@ -185,7 +185,16 @@ def pagerank(
 
     Returns ``(vertex, rank)``.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    # the edge list and out-degrees are loop-invariant: checkpoint them
+    # ONCE so each power-iteration round reads materialized blocks —
+    # without the barrier every round's plan re-runs the source scan,
+    # the distinct shuffle, and the degree groupBy (r14 optimization
+    # round, the same discipline connected_components already applies)
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
     verts = (
         e.select(F.col("u").alias("vertex"))
         .union(e.select(F.col("v").alias("vertex")))
@@ -195,7 +204,7 @@ def pagerank(
     n = verts.count()
     outdeg = e.groupBy(F.col("u").alias("vertex")).agg(
         F.count(F.lit(1)).alias("outdeg")
-    )
+    ).localCheckpoint()
     ranks = verts.withColumn("rank", F.lit(1.0)).localCheckpoint()
     for _ in range(iters):
         contribs = (
@@ -263,7 +272,12 @@ def bfs_levels(
         F.col(vertex_col).alias("vertex")
     ).distinct().localCheckpoint(eager=True)
     visited = frontier.withColumn("level", F.lit(0))
-    out = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # loop-invariant edge list materialized once: otherwise every hop's
+    # plan replays the caller's edge construction (scans, unions,
+    # projections) from scratch (r14 optimization round)
+    out = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
     for hop in range(1, max_hops + 1):
         nxt = (
             out.join(frontier.withColumnRenamed("vertex", "u"), "u")
@@ -466,9 +480,10 @@ def sssp(
         .withColumn("dist", F.lit(0.0))
         .localCheckpoint(eager=True)
     )
+    # loop-invariant edge list materialized once (see bfs_levels)
     out = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(max_iters):
         relaxed = (
             dist.withColumnRenamed("vertex", "u")
@@ -528,7 +543,12 @@ def personalized_pagerank(
     stop when a round's L1 rank delta < ``tol``; ``None`` (default) runs
     exactly ``iters`` rounds (the oracle-pinned mode).
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    # loop-invariant frames checkpointed once per fit (see pagerank)
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
     s = sources.select(F.col(vertex_col).alias("vertex")).distinct()
     n_src = s.count()
     if n_src == 0:
@@ -553,7 +573,7 @@ def personalized_pagerank(
     )
     outdeg = e.groupBy(F.col("u").alias("vertex")).agg(
         F.count(F.lit(1)).alias("outdeg")
-    )
+    ).localCheckpoint()
     ranks = pv.select("vertex", F.col("p").alias("rank")).localCheckpoint()
     for _ in range(iters):
         contribs = (
@@ -637,10 +657,13 @@ def label_propagation(
 
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    # non-presymmetrized path checkpoints the symmetrize-distinct ONCE
+    # (the connected_components discipline) — otherwise every round's
+    # join replays it; presymmetrized callers already materialized theirs
     e = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         if presymmetrized
-        else _sym_edges(pairs, src, dst)
+        else _sym_edges(pairs, src, dst).localCheckpoint()
     )
     verts = e.select(F.col("u").alias("vertex")).distinct().localCheckpoint()
     labels = verts.withColumn("label", F.col("vertex"))
@@ -691,7 +714,12 @@ def hits(
     destination groupBys, checkpointed.  Returns
     ``(vertex, hub, authority)``; sinks hold hub 0, sources authority 0.
     """
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    # loop-invariant edge list checkpointed once per fit (see pagerank)
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
     verts = (
         e.select(F.col("u").alias("vertex"))
         .union(e.select(F.col("v").alias("vertex")))
