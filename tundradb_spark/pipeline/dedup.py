@@ -1287,6 +1287,15 @@ def exact_substring_spans(
     ).select(id_col, (F.col("pos0") + 1).alias("pos"), "dg").filter(
         F.col("dg").isNotNull()
     )
+    # ONE positional digest pass for both consumers (r14 optimization
+    # round): the min_docs aggregate and the hits join both read
+    # `grams`, and the duplicated md5-per-position pass was the
+    # pipeline's dominant cost (A/B at sf0.1: 2.35s -> 1.53s).  The
+    # lazy checkpoint materializes (id, pos, 32-char digest) rows —
+    # bytes comparable to what the min_docs groupBy already shuffles
+    # for its (dg, doc) distinct partials, paid once to local disk
+    # instead of recomputing tokenize+md5 over the corpus a second time.
+    grams = grams.localCheckpoint(eager=False)
     dup = (
         grams.groupBy("dg")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))
