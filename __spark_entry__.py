@@ -356,6 +356,23 @@ def _bt(name: str):
     return F.col("`" + name + "`")
 
 
+def _spread(
+    spark: SparkSession, sf_dir: str, table: str, key: str
+) -> DataFrame:
+    """Read a testdata table and spread an under-split scan across the
+    session's cores (session.spread_scan — the guide's §2.5 unsplittable-
+    input fix; a no-op whenever the file layout already provides enough
+    splits, i.e. on any real at-scale table).  Used by the queries whose
+    first stage does heavy per-row work (text folds, shingle hashing,
+    window sorts): the sf testdata ships ONE row group per file, so the
+    raw scan plans a single partition and that work ran single-task."""
+    from tundradb_spark.session import spread_scan
+
+    return spread_scan(
+        spark.read.parquet(f"{sf_dir}/{table}.parquet"), key
+    )
+
+
 @contextmanager
 def _tmpdirs(*prefixes: str) -> Iterator[list[str]]:
     """Temp dirs for a streaming query (stage/out/checkpoint), removed on
@@ -3544,7 +3561,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the query terms' posting lists."""
     from tundradb_spark.pipeline.text import bm25_topk
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, sf_dir, "documents", "doc_id")
     qdf = spark.createDataFrame(BM25_QUERY_SET, "query_id long, query string")
     return bm25_topk(docs, qdf, k=BM25_K, k1=BM25_K1, b=BM25_B)
 
@@ -3565,7 +3582,7 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     events scan."""
     from tundradb_spark.operators.analytics import value_outliers
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _spread(spark, sf_dir, "events", "event_id")
     return value_outliers(ev, z_threshold=OUTLIER_Z)
 
 
@@ -3935,7 +3952,7 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     glitches surfaced as flag='domain' rows."""
     from tundradb_spark.operators.analytics import robust_outliers
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _spread(spark, sf_dir, "events", "event_id")
     return robust_outliers(ev, k=ROBUST_K)
 
 
@@ -4052,7 +4069,7 @@ def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame is checkpointed once (queries x matching docs rows, narrow)
     # and each ranking is a per-query top-k window over it.  Isolated
     # best 2.73 -> ~1.9 s; output tuple-identical (A/B-asserted).
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, sf_dir, "documents", "doc_id")
     qdf = spark.createDataFrame(BM25_QUERY_SET, "query_id long, query string")
     scored = bm25_scored(
         docs, qdf, k1=BM25_K1, b=BM25_B
@@ -4357,7 +4374,7 @@ def q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy, per-group constant arithmetic after."""
     from tundradb_spark.operators.analytics import value_trend
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _spread(spark, sf_dir, "events", "event_id")
     return value_trend(ev, epoch_us=TREND_EPOCH_US, min_n=100)
 
 
@@ -4859,7 +4876,7 @@ def q_lr_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent as q_lr_calibration."""
     from tundradb_spark.pipeline.classify import lr_score_inline
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, sf_dir, "documents", "doc_id")
     return (
         lr_score_inline(docs, LR_WEIGHTS, n_buckets=LR_BUCKETS)
         .orderBy(F.desc("prob"), F.asc("doc_id"))
@@ -4901,7 +4918,7 @@ def q_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         lr_prob_col,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, sf_dir, "documents", "doc_id")
     scored = docs.select(
         lr_prob_col(LR_WEIGHTS, n_buckets=LR_BUCKETS).alias("prob"),
         F.expr("cast(lang = 'en' as int)").alias("label"),
@@ -4995,7 +5012,7 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from tundradb_spark.pipeline.sampling import leakage_safe_split
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, sf_dir, "documents", "doc_id")
     pairs = PIPELINE_QUERIES["q_dedup_minhash"](spark, sf_dir)
     return leakage_safe_split(docs, pairs, SPLIT_BP).select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -5059,7 +5076,7 @@ def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifiable per group."""
     from tundradb_spark.pipeline.text import lm_buckets
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, sf_dir, "documents", "doc_id")
     return lm_buckets(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "lang",
@@ -5181,7 +5198,7 @@ def q_calibrated_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         lr_prob_col,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, sf_dir, "documents", "doc_id")
     # r14 opt (guide §2.4/§5): the curve pass and the gate pass both
     # need the SAME inline fold over the corpus — the eager threshold
     # collect forces the curve branch, so without materialization the
@@ -5261,7 +5278,7 @@ def q_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-equality pin, end-to-end)."""
     from tundradb_spark.pipeline.recipe import gate_funnel
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, sf_dir, "documents", "doc_id")
     return gate_funnel(
         docs, group_col="lang",
         quality_weights=LR_WEIGHTS, min_quality=0.5,
@@ -5299,7 +5316,7 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_corpus, split_leakage_summary,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, sf_dir, "documents", "doc_id")
     assigned = split_corpus(docs, SPLIT_BP)
     pairs = PIPELINE_QUERIES["q_dedup_minhash"](spark, sf_dir)
     return split_leakage_summary(assigned, pairs)
@@ -5403,7 +5420,7 @@ def q_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tundradb_spark.operators.analytics import distribution_drift
     from tundradb_spark.pipeline.classify import lr_prob_col
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, sf_dir, "documents", "doc_id")
     # r14 opt (guide §2.4/§5): distribution_drift bins ref and cur in
     # two separate aggregations, and both sides are filters of this one
     # scored frame — without materialization the inline LR fold runs
@@ -5549,7 +5566,7 @@ def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tundradb_spark.pipeline.dedup import normalized_text
     from tundradb_spark.pipeline.recipe import curation_report
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, sf_dir, "documents", "doc_id")
     h = docs.select(
         "doc_id", F.md5(normalized_text(F.col("text"))).alias("__h")
     )
@@ -5622,7 +5639,7 @@ def q_gate_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     _gate_sql_parts)."""
     from tundradb_spark.pipeline.recipe import gate_reasons
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, sf_dir, "documents", "doc_id")
     return gate_reasons(
         docs.select("doc_id", "text"),
         quality_weights=LR_WEIGHTS, min_quality=0.5,
@@ -5657,7 +5674,7 @@ def q_precision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         precision_thresholds,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark, sf_dir, "documents", "doc_id")
     scored = docs.select(
         lr_prob_col(LR_WEIGHTS, n_buckets=LR_BUCKETS).alias("prob"),
         (F.col("lang") == "en").cast("int").alias("label"),

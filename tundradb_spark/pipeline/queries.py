@@ -60,8 +60,29 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _wide_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 opt: the sf testdata ships one row group per file, so the raw
+    # scan plans ONE partition and every per-row text expression above
+    # it (shingles, folds, regexes) ran single-task — spread it across
+    # the session's cores (session.spread_scan; a no-op whenever the
+    # scan is already split, i.e. on any real multi-file table).  Used
+    # ONLY by the queries whose first stage is measured compute-bound
+    # (shingle/minhash and LM-score families: bench −0.1 to −3.0 s
+    # each); the cheap projection/explode queries measured a small LOSS
+    # from the extra exchange and keep the plain scan.
+    from tundradb_spark.session import spread_scan
+
+    return spread_scan(_docs(spark, sf_dir), "doc_id")
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # spread like _wide_docs: per-vector dot/cosine arithmetic is
+    # compute-bound (q_semantic_dedup measured 2.24 -> ~1.0 s)
+    from tundradb_spark.session import spread_scan
+
+    return spread_scan(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), "vec_id"
+    )
 
 
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -680,7 +701,7 @@ def q_text_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """20 least-fluent docs under the corpus's own unigram LM
     (lm_logprob asc, doc_id asc — total order for a deterministic LIMIT)."""
     return (
-        text.lm_scores(_docs(spark, sf_dir))
+        text.lm_scores(_wide_docs(spark, sf_dir))
         .orderBy(F.asc("lm_logprob"), F.asc("doc_id"))
         .limit(20)
     )
@@ -690,7 +711,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most phrase-repetitive docs (bigram_rep desc, doc_id asc —
     a total order, so LIMIT is deterministic for the oracle)."""
     return (
-        text.repetition_scores(_docs(spark, sf_dir))
+        text.repetition_scores(_wide_docs(spark, sf_dir))
         .orderBy(F.desc("bigram_rep"), F.asc("doc_id"))
         .limit(20)
     )
@@ -3398,7 +3419,7 @@ def q_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed blocks.  Spans are corpus-SUMMARY sized (one row per
     # merged span, no text), so the checkpoint is small at any scale.
     spans_raw = exact_substring_spans(
-        _docs(spark, sf_dir), k=SUBSTR_K, min_docs=SUBSTR_MIN_DOCS
+        _wide_docs(spark, sf_dir), k=SUBSTR_K, min_docs=SUBSTR_MIN_DOCS
     ).localCheckpoint(eager=False)
     spans = spans_raw.select(
         F.lit("span").alias("grp"),
@@ -3409,7 +3430,7 @@ def q_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         _NS().alias("s"),
     )
     stripped = strip_duplicate_spans(
-        _docs(spark, sf_dir),
+        _wide_docs(spark, sf_dir),
         k=SUBSTR_K,
         min_docs=SUBSTR_MIN_DOCS,
         spans=spans_raw,
@@ -3804,7 +3825,7 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall_gauge` (same plan; this query runs it in FULL mode — the
     deterministic ``sample_fraction`` mode is the corpus-scale path,
     unit-pinned in tests/test_pipeline.py::test_recall_gauge_sampled_mode_equals_full_on_subset)."""
-    docs = _docs(spark, sf_dir).select(
+    docs = _wide_docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
     corpus = docs.unionAll(
@@ -3886,7 +3907,7 @@ def q_dedup_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     is thinned by the deterministic 50% hash-coin before every stage.
     Recall stays structurally 1.0 (surviving exact dups still share all
     shingles); the pair populations shrink ~fraction²."""
-    docs = _docs(spark, sf_dir).select(
+    docs = _wide_docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
     corpus = docs.unionAll(
