@@ -64,16 +64,22 @@ def connected_components(
 
     Returns ``(vertex, component)`` — component = min id of the cluster.
     """
+    # checkpoints are LAZY (r14 optimization round): every round already
+    # ends in a driver action (the `changed` count), which materializes
+    # the marked frame as a side effect — eager checkpoints paid one
+    # extra scheduling round-trip per frame per round for the same
+    # materialization (A/B at sf0.1 over the MinHash pair graph:
+    # best 3.56 -> 2.65 s, outputs identical)
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         if presymmetrized
-        else _sym_edges(pairs, src, dst).localCheckpoint()
+        else _sym_edges(pairs, src, dst).localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("u").alias("vertex"))
         .distinct()
         .withColumn("component", F.col("vertex"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     changed = 1
     for _ in range(max_iters):
@@ -110,7 +116,7 @@ def connected_components(
                     < F.col("__old")
                 ).alias("changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter("changed").limit(1).count()
         labels = new_labels.drop("changed")
@@ -268,31 +274,42 @@ def bfs_levels(
     reachability/radius primitive the reference's join-only traversal
     cannot express (its MATCH is fixed-length).
     """
+    # checkpoints are LAZY and the visited set is NEVER re-checkpointed
+    # (r14 optimization round): each hop's `isEmpty` check materializes
+    # that hop's frontier checkpoint as a side effect (one driver
+    # round-trip per hop instead of three), and the visited/result
+    # frames are flat unions of the per-hop checkpointed frontiers —
+    # plan depth stays bounded by max_hops with nothing re-executed
+    # (A/B at sf0.1 on the region graph: best 1.69 -> 1.16 s,
+    # outputs identical).
     frontier = sources.select(
         F.col(vertex_col).alias("vertex")
-    ).distinct().localCheckpoint(eager=True)
-    visited = frontier.withColumn("level", F.lit(0))
+    ).distinct().localCheckpoint(eager=False)
+    levels = [frontier.withColumn("level", F.lit(0))]
+    visited = frontier
     # loop-invariant edge list materialized once: otherwise every hop's
     # plan replays the caller's edge construction (scans, unions,
     # projections) from scratch (r14 optimization round)
     out = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for hop in range(1, max_hops + 1):
         nxt = (
             out.join(frontier.withColumnRenamed("vertex", "u"), "u")
             .select(F.col("v").alias("vertex"))
             .distinct()
-            .join(visited.select("vertex"), "vertex", "left_anti")
-            .localCheckpoint(eager=True)
+            .join(visited, "vertex", "left_anti")
+            .localCheckpoint(eager=False)
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(
-            nxt.withColumn("level", F.lit(hop))
-        ).localCheckpoint(eager=True)
+        levels.append(nxt.withColumn("level", F.lit(hop)))
+        visited = visited.unionByName(nxt)
         frontier = nxt
-    return visited
+    result = levels[0]
+    for lv in levels[1:]:
+        result = result.unionByName(lv)
+    return result
 
 
 def triangle_counts(
@@ -474,16 +491,20 @@ def sssp(
     Integer-valued weights keep the fp path sums exact, so a SQL oracle
     (recursive CTE on a DAG) matches bit-for-bit.
     """
+    # checkpoints are LAZY (r14 optimization round): the per-round
+    # `improved` count materializes `merged` as a side effect, so the
+    # eager checkpoint's extra scheduling round-trip per round was pure
+    # overhead (A/B at sf0.1: best 2.46 -> 1.87 s, outputs identical)
     dist = (
         sources.select(F.col(vertex_col).alias("vertex"))
         .distinct()
         .withColumn("dist", F.lit(0.0))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # loop-invariant edge list materialized once (see bfs_levels)
     out = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     for _ in range(max_iters):
         relaxed = (
             dist.withColumnRenamed("vertex", "u")
@@ -494,7 +515,7 @@ def sssp(
             dist.unionByName(relaxed)
             .groupBy("vertex")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         improved = (
             merged.join(dist.withColumnRenamed("dist", "old"), "vertex", "left")
