@@ -1252,7 +1252,8 @@ def exact_substring_spans(
     ``n_windows`` the count of duplicated k-windows merged into the span,
     ``span_tokens = span_end - span_start``.
 
-    Scale design: positional k-gram digests (32-char md5, text never
+    Scale design: positional k-gram digests (8-byte xxhash64 — internal
+    only, so the narrow type halves the digest exchanges; text never
     shuffled) → one map-side-combined groupBy for the ``min_docs`` filter
     → one digest-keyed equi-join to mark duplicated positions → one
     doc-keyed window pass (classic gaps-and-islands: a new island starts
@@ -1273,6 +1274,14 @@ def exact_substring_spans(
         F.col(id_col).cast("long").alias(id_col),
         _tokens(F.col(text_col)).alias("toks"),
     )
+    # the window digest is INTERNAL (only positions reach the output), so
+    # it is xxhash64 — an 8-byte long instead of md5's 32-char hex string
+    # (r14 optimization round, guide "shuffle fewer bytes"): the min_docs
+    # groupBy and the duplicated-position join both key on it, so every
+    # gram row in those exchanges and in the materialized checkpoint
+    # drops ~3x in width; output spans verified byte-equal to the md5
+    # digest at sf0.001/0.01/0.1 (collision odds ~n²/2^64 — a spurious
+    # window match needs two distinct k-grams hashing equal)
     grams = toked.select(
         id_col,
         F.posexplode_outer(
@@ -1280,21 +1289,23 @@ def exact_substring_spans(
                 F.size("toks") >= k,
                 F.transform(
                     F.sequence(F.lit(1), F.size("toks") - F.lit(k - 1)),
-                    lambda i: F.md5(F.array_join(F.slice("toks", i, k), " ")),
+                    lambda i: F.xxhash64(
+                        F.array_join(F.slice("toks", i, k), " ")
+                    ),
                 ),
-            ).otherwise(F.array().cast("array<string>"))
+            ).otherwise(F.array().cast("array<long>"))
         ).alias("pos0", "dg"),
     ).select(id_col, (F.col("pos0") + 1).alias("pos"), "dg").filter(
         F.col("dg").isNotNull()
     )
     # ONE positional digest pass for both consumers (r14 optimization
     # round): the min_docs aggregate and the hits join both read
-    # `grams`, and the duplicated md5-per-position pass was the
+    # `grams`, and the duplicated digest-per-position pass was the
     # pipeline's dominant cost (A/B at sf0.1: 2.35s -> 1.53s).  The
-    # lazy checkpoint materializes (id, pos, 32-char digest) rows —
+    # lazy checkpoint materializes (id, pos, 8-byte digest) rows —
     # bytes comparable to what the min_docs groupBy already shuffles
     # for its (dg, doc) distinct partials, paid once to local disk
-    # instead of recomputing tokenize+md5 over the corpus a second time.
+    # instead of recomputing tokenize+hash over the corpus a second time.
     grams = grams.localCheckpoint(eager=False)
     dup = (
         grams.groupBy("dg")
