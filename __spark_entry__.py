@@ -4076,12 +4076,30 @@ def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     from pyspark.sql import Window
 
+    # r14 opt (guide §2.4 "two operations keyed the same way share one
+    # exchange"): both rank windows partition on query_id, so computing
+    # them in ONE frame plans a single Exchange(query_id) with two
+    # in-partition sorts, where the forked-branch version paid the
+    # exchange (and the scored scan above it) twice — column pruning
+    # made the branches non-canonical-equal, so ReuseExchange never
+    # fired.  The union of both top-K sets (<= 2K rows per query) is
+    # checkpointed, so the fusion windows below read ~queries x 2K
+    # materialized rows.  Ranks are identical: row_number over the same
+    # total orders, filtered to the same K.
     w_bm = Window.partitionBy("query_id").orderBy(
         F.desc("__score"), F.asc("doc_id")
     )
-    bm = (
+    w_cov = Window.partitionBy("query_id").orderBy(
+        F.col("n_terms_hit").cast("double").desc(), F.col("doc_id").asc()
+    )
+    ranked = (
         scored.withColumn("__r", F.row_number().over(w_bm))
-        .filter(F.col("__r") <= BM25_K)
+        .withColumn("__rn", F.row_number().over(w_cov))
+        .filter((F.col("__r") <= BM25_K) | (F.col("__rn") <= BM25_K))
+        .localCheckpoint(eager=False)
+    )
+    bm = (
+        ranked.filter(F.col("__r") <= BM25_K)
         .select(
             "query_id",
             "doc_id",
@@ -4090,12 +4108,8 @@ def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
-    w_cov = Window.partitionBy("query_id").orderBy(
-        F.col("n_terms_hit").cast("double").desc(), F.col("doc_id").asc()
-    )
     cover = (
-        scored.withColumn("__rn", F.row_number().over(w_cov))
-        .filter(F.col("__rn") <= BM25_K)
+        ranked.filter(F.col("__rn") <= BM25_K)
         .select(
             "query_id",
             "doc_id",

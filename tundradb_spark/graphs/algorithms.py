@@ -8,7 +8,12 @@ container dependency) with the standard scale disciplines:
 - each iteration is one shuffle on the vertex/edge key;
 - iteration state is ``localCheckpoint``-ed every round to cut the growing
   lineage (without it, round k re-executes rounds 1..k-1 — quadratic work
-  and an eventual stack overflow in the planner);
+  and an eventual stack overflow in the planner); checkpoints are LAZY
+  (r14 optimization round): loops with a per-round action (convergence
+  count) materialize them as a side effect of that action, and
+  fixed-iteration loops chain every round into the single final job —
+  either way the eager variant's one extra scheduling round-trip per
+  frame per round is gone, and the blocks still materialize exactly once;
 - convergence checks are single scalar aggregations, not collects of data.
 
 ``connected_components`` composes with the dedup operators: the duplicate
@@ -59,7 +64,7 @@ def connected_components(
     ``presymmetrized=True`` declares ``pairs`` an ALREADY symmetrized,
     deduped, materialized (u, v) edge list — callers running several
     algorithms over the same pair graph (q_dup_clusters: CC + LPA) build
-    ``_sym_edges(...).localCheckpoint()`` once instead of paying the
+    ``_sym_edges(...).localCheckpoint(eager=False)`` once instead of paying the
     symmetrize-distinct shuffle and its checkpoint per algorithm.
 
     Returns ``(vertex, component)`` — component = min id of the cluster.
@@ -199,19 +204,19 @@ def pagerank(
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     verts = (
         e.select(F.col("u").alias("vertex"))
         .union(e.select(F.col("v").alias("vertex")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = verts.count()
     outdeg = e.groupBy(F.col("u").alias("vertex")).agg(
         F.count(F.lit(1)).alias("outdeg")
-    ).localCheckpoint()
-    ranks = verts.withColumn("rank", F.lit(1.0)).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    ranks = verts.withColumn("rank", F.lit(1.0)).localCheckpoint(eager=False)
     for _ in range(iters):
         contribs = (
             e.join(ranks, e["u"] == ranks["vertex"], "inner")
@@ -244,7 +249,7 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if tol is not None and _l1_delta(ranks, prev, "rank") < tol:
             break
@@ -431,7 +436,7 @@ def k_core(
         pairs.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     rounds = 0
     while True:
@@ -441,12 +446,12 @@ def k_core(
             .groupBy("u")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        keep = deg.filter(F.col("d") >= k).select("u").localCheckpoint(eager=True)
+        keep = deg.filter(F.col("d") >= k).select("u").localCheckpoint(eager=False)
         pruned = (
             edges.join(keep.withColumnRenamed("u", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("u", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         converged = pruned.count() == edges.count()
         edges = pruned
@@ -568,7 +573,7 @@ def personalized_pagerank(
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     s = sources.select(F.col(vertex_col).alias("vertex")).distinct()
     n_src = s.count()
@@ -579,7 +584,7 @@ def personalized_pagerank(
         .union(e.select(F.col("v").alias("vertex")))
         .union(s)
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = verts.count()
     pv = (
@@ -590,12 +595,12 @@ def personalized_pagerank(
             .otherwise(F.lit(0.0))
             .alias("p"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     outdeg = e.groupBy(F.col("u").alias("vertex")).agg(
         F.count(F.lit(1)).alias("outdeg")
-    ).localCheckpoint()
-    ranks = pv.select("vertex", F.col("p").alias("rank")).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    ranks = pv.select("vertex", F.col("p").alias("rank")).localCheckpoint(eager=False)
     for _ in range(iters):
         contribs = (
             e.join(ranks, e["u"] == ranks["vertex"], "inner")
@@ -627,7 +632,7 @@ def personalized_pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if tol is not None and _l1_delta(ranks, prev, "rank") < tol:
             break
@@ -684,9 +689,9 @@ def label_propagation(
     e = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         if presymmetrized
-        else _sym_edges(pairs, src, dst).localCheckpoint()
+        else _sym_edges(pairs, src, dst).localCheckpoint(eager=False)
     )
-    verts = e.select(F.col("u").alias("vertex")).distinct().localCheckpoint()
+    verts = e.select(F.col("u").alias("vertex")).distinct().localCheckpoint(eager=False)
     labels = verts.withColumn("label", F.col("vertex"))
     for it in range(iters):
         counts = (
@@ -702,7 +707,7 @@ def label_propagation(
             counts.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select("vertex", "label")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         if stop_when_stable and 0 < it < iters - 1:
             changed = (
@@ -739,16 +744,16 @@ def hits(
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     verts = (
         e.select(F.col("u").alias("vertex"))
         .union(e.select(F.col("v").alias("vertex")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n = verts.count()
-    hubs = verts.withColumn("hub", F.lit(1.0)).localCheckpoint()
+    hubs = verts.withColumn("hub", F.lit(1.0)).localCheckpoint(eager=False)
     auths = verts.withColumn("authority", F.lit(1.0))
     for _ in range(iters):
         a_raw = (
@@ -766,7 +771,7 @@ def hits(
                     F.coalesce("raw", F.lit(0.0)) * F.lit(float(n)) / F.col("tot")
                 ).alias("authority"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         h_raw = (
             e.join(auths.withColumnRenamed("vertex", "v"), "v")
@@ -783,7 +788,7 @@ def hits(
                     F.coalesce("raw", F.lit(0.0)) * F.lit(float(n)) / F.col("tot")
                 ).alias("hub"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return hubs.join(auths, "vertex")
 
