@@ -80,10 +80,20 @@ def connected_components(
         if presymmetrized
         else _sym_edges(pairs, src, dst).localCheckpoint(eager=False)
     )
+    # seed each vertex with its 1-hop neighborhood minimum instead of the
+    # identity label (r14 optimization round): the groupBy costs the same
+    # one shuffle the old `distinct` init paid, but starts the loop in
+    # exactly the state round 1's neighbor-min step would have produced —
+    # one fewer full round (2 joins + checkpoint + count action) on every
+    # graph (A/B at sf0.1 over the MinHash pair graph: best 2.46 -> 1.93 s;
+    # labelings identical, including on a 300-vertex path)
     labels = (
-        edges.select(F.col("u").alias("vertex"))
-        .distinct()
-        .withColumn("component", F.col("vertex"))
+        edges.groupBy(F.col("u").alias("vertex"))
+        .agg(F.min("v").alias("__nb"))
+        .select(
+            "vertex",
+            F.least(F.col("vertex"), F.col("__nb")).alias("component"),
+        )
         .localCheckpoint(eager=False)
     )
     changed = 1
