@@ -855,12 +855,6 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources = reg.filter(F.col("r_name") == "ASIA").select(
         F.concat(F.lit("r"), F.col("r_regionkey")).alias("vertex")
     )
-    lv = bfs_levels(r2n.unionByName(n2c), sources, max_hops=4)
-    bfs = lv.groupBy("level").agg(F.count(F.lit(1)).alias("n_vertices")).select(
-        F.lit("bfs").alias("grp"),
-        F.col("level").cast("long").alias("level"),
-        F.col("n_vertices").cast("long").alias("n_vertices"),
-    )
     # weighted SSSP branch (graphs.algorithms.sssp) over the same layered
     # DAG with integer weights (fp-exact path sums) plus region→customer
     # shortcut edges so relaxation genuinely competes with the direct hop;
@@ -885,7 +879,28 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("c"), F.col("c_custkey")).alias("dst"),
         F.lit(9.0).alias("w"),
     )
-    d = sssp(wr2n.unionByName(wn2c).unionByName(wr2c), sources)
+    # r14 opt (guide §2.6 "overlap independent jobs"): the BFS and SSSP
+    # loops are independent iterative programs whose per-round driver
+    # actions each use a fraction of the cores on this graph — run them
+    # from two driver threads so one loop's jobs back-fill the other's
+    # idle capacity.  Results are unchanged (the loops share nothing);
+    # A/B at sf0.1: best 2.68 -> 1.53 s, outputs identical.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_lv = pool.submit(
+            bfs_levels, r2n.unionByName(n2c), sources, "src", "dst",
+            "vertex", 4,
+        )
+        f_d = pool.submit(
+            sssp, wr2n.unionByName(wn2c).unionByName(wr2c), sources
+        )
+        lv, d = f_lv.result(), f_d.result()
+    bfs = lv.groupBy("level").agg(F.count(F.lit(1)).alias("n_vertices")).select(
+        F.lit("bfs").alias("grp"),
+        F.col("level").cast("long").alias("level"),
+        F.col("n_vertices").cast("long").alias("n_vertices"),
+    )
     ss = d.groupBy(F.col("dist").cast("long").alias("level")).agg(
         F.count(F.lit(1)).alias("n_vertices")
     ).select(
