@@ -4986,9 +4986,15 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # r14 opt (guide §6): the default scatter hashes EVERY lineitem
+    # column, forcing the scan to read the whole table just for routing;
+    # naming two per-row-varying columns the query reads anyway keeps
+    # ReadSchema at 3 columns (result multiset is salt-invariant —
+    # identical by construction AND oracle-checked)
     j = salted_join(
         li, od, "l_orderkey", "o_orderkey",
         hot_keys=["1", "2", "3", "7"], salt=8,
+        scatter_cols=["l_quantity", "l_linenumber"],
     )
     # decimal INTERNALLY (exact, partition-order-independent sum) but
     # rendered via the house floor-round-to-double metric convention:

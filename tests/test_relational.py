@@ -1068,6 +1068,35 @@ class TestSaltedJoin:
         salted = salted_join(a, b, "k", "kk", hot_keys=["hot"], salt=4)
         assert self._rows(salted) == self._rows(plain)
 
+    def test_scatter_cols_subset_equals_plain_join(self, spark):
+        """r14: routing is salt-invariant, so a caller-chosen scatter
+        column subset (the column-pruning mode — the default hashes every
+        column and forces a full-width scan) must leave the result
+        multiset untouched; the subset still spreads the hot key over
+        multiple salts."""
+        from tundradb_spark.operators.relational import salted_join
+
+        a, b = self._skewed(spark)
+        plain = a.join(b, a["k"] == b["kk"], "inner")
+        salted = salted_join(
+            a, b, "k", "kk", hot_keys=["hot"], salt=4,
+            scatter_cols=["rid"],
+        )
+        assert self._rows(salted) == self._rows(plain)
+
+    def test_scatter_cols_must_be_subset(self, spark):
+        from tundradb_spark.errors import QueryError
+        from tundradb_spark.operators.relational import salted_join
+
+        a, b = self._skewed(spark)
+        import pytest
+
+        with pytest.raises(QueryError, match="scatter_cols"):
+            salted_join(a, b, "k", "kk", hot_keys=["hot"],
+                        scatter_cols=["nope"])
+        with pytest.raises(QueryError, match="scatter_cols"):
+            salted_join(a, b, "k", "kk", hot_keys=["hot"], scatter_cols=[])
+
     def test_left_keeps_unmatched_once(self, spark):
         from tundradb_spark.operators.relational import salted_join
 

@@ -1620,6 +1620,7 @@ def salted_join(
     salt: int = 16,
     min_share: float = 0.05,
     probe_top_n: int = 20,
+    scatter_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-mitigated equi-join: the MITIGATION half of the pre-shuffle
     diagnostics (:func:`key_skew` reports the hot keys, this operator
@@ -1653,10 +1654,11 @@ def salted_join(
     scatter hash and replicate-explode are narrow projections.
     Measured (SCALE_PROBE_r12): a 6M-row join with one key at 70% of
     the rows dropped its max reducer load 12.5× at salt 32.  Caveat:
-    the scatter hashes the ROW's columns, so its flatness is bounded by
-    hot-row distinctness — a hot key whose rows are near-identical
-    scatters only as far as their distinct values (the probe's
-    synthetic 50-value rows reached 12.5× of the theoretical 32×).
+    the scatter hashes the ROW's columns (all of them, or the
+    ``scatter_cols`` subset), so its flatness is bounded by hot-row
+    distinctness — a hot key whose rows are near-identical scatters
+    only as far as their distinct values (the probe's synthetic
+    50-value rows reached 12.5× of the theoretical 32×).
     """
     if how not in ("inner", "left"):
         raise QueryError(
@@ -1680,9 +1682,23 @@ def salted_join(
     hot_arr = F.array(*[F.lit(k) for k in hot])
     a_key_s = F.col(key_a).cast("string")
     b_key_s = F.col(kb).cast("string")
-    # scatter: deterministic per-row hash over ALL of a's columns —
-    # routing only, the join result is salt-invariant
-    scatter = F.pmod(F.xxhash64(*[F.col(c) for c in a.columns]),
+    # scatter: deterministic per-row hash — routing only, the join result
+    # is salt-invariant (every a-row meets its b-matches exactly once
+    # whatever salt value it draws), so ANY deterministic column subset
+    # yields the same multiset.  Default hashes ALL of a's columns
+    # (maximal distinctness), but that forces the scan to READ every
+    # column just for routing; ``scatter_cols`` (r14 optimization round,
+    # guide §6 column pruning) lets a caller name a few columns the query
+    # reads anyway — ReadSchema then stays narrow, at the price that
+    # scatter flatness is bounded by those columns' distinctness within a
+    # hot key (pick per-row-varying ones).
+    s_cols = a.columns if scatter_cols is None else list(scatter_cols)
+    if not s_cols or any(c not in a.columns for c in s_cols):
+        raise QueryError(
+            f"scatter_cols must be a non-empty subset of a's columns, "
+            f"got {scatter_cols!r}"
+        )
+    scatter = F.pmod(F.xxhash64(*[F.col(c) for c in s_cols]),
                      F.lit(salt)).cast("int")
     a_s = a.withColumn(
         "__salt",
