@@ -37,6 +37,18 @@ def test_connected_components_long_path_pointer_jumping(spark):
     assert {r.component for r in cc.collect()} == {0}
 
 
+def test_connected_components_self_pairs_ignored(spark):
+    """r14: the seeded init groups the symmetrized edges per vertex — a
+    degenerate self-pair (u, u) must neither seed a phantom vertex nor
+    shift any component label (``_sym_edges`` drops it before the
+    groupBy)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (9, 9)], "id_a long, id_b long"
+    )
+    cc = ga.connected_components(pairs)
+    assert rows_set(cc, "vertex", "component") == {(1, 1), (2, 1)}
+
+
 def test_connected_components_nonconvergence_raises(spark):
     """r13: exhausting max_iters with labels still moving is an ERROR,
     never a silently under-merged labeling."""
@@ -163,6 +175,17 @@ class TestSssp:
         out = {r["vertex"]: r["dist"] for r in sssp(e, s).collect()}
         assert out == {0: 0.0, 1: 2.0, 5: 0.0, 6: 1.0}
         assert 99 not in out
+
+    def test_isolated_source_keeps_dist_zero(self, spark):
+        """r14: the seeded init derives the first relaxation from the
+        edge list — a source with NO outgoing edges must still come back
+        at distance 0 through the union path, not vanish."""
+        from tundradb_spark.graphs.algorithms import sssp
+
+        e = spark.createDataFrame([(0, 1, 2.0)], "src long, dst long, w double")
+        s = spark.createDataFrame([(0,), (7,)], "vertex long")
+        out = {r["vertex"]: r["dist"] for r in sssp(e, s).collect()}
+        assert out == {0: 0.0, 1: 2.0, 7: 0.0}
 
     def test_relaxation_beats_greedy(self, spark):
         from tundradb_spark.graphs.algorithms import sssp
