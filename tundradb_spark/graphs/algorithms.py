@@ -75,11 +75,22 @@ def connected_components(
     # extra scheduling round-trip per frame per round for the same
     # materialization (A/B at sf0.1 over the MinHash pair graph:
     # best 3.56 -> 2.65 s, outputs identical)
-    edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        if presymmetrized
-        else _sym_edges(pairs, src, dst).localCheckpoint(eager=False)
-    )
+    if presymmetrized:
+        edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    else:
+        # symmetrize WITHOUT _sym_edges' dedup shuffle (r14 optimization
+        # round): every aggregate this loop takes over edges is a MIN —
+        # duplicate-invariant — so the distinct bought nothing but a full
+        # exchange of the edge list before round 1 (A/B at sf0.1: best
+        # 2.65 -> 2.37 s; labelings identical, including on an input with
+        # repeated pairs).  degrees()/label_propagation keep _sym_edges'
+        # distinct — their COUNT aggregates are not duplicate-invariant.
+        e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        edges = (
+            e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .localCheckpoint(eager=False)
+        )
     # seed each vertex with its 1-hop neighborhood minimum instead of the
     # identity label (r14 optimization round): the groupBy costs the same
     # one shuffle the old `distinct` init paid, but starts the loop in
