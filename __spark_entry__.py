@@ -4074,7 +4074,7 @@ def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     rankers' incomparable score scales cancel; every rank is total-
     ordered by (score DESC, doc_id) and the fused score is one fixed
     two-term double addition — engine-exact."""
-    from tundradb_spark.pipeline.text import bm25_scored, rrf_fuse
+    from tundradb_spark.pipeline.text import bm25_scored
 
     # r14 opt (guide §2.4): BOTH rankers derive from bm25_scored's one
     # candidate build — the coverage ranker's support set is exactly the
@@ -4091,16 +4091,23 @@ def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     from pyspark.sql import Window
 
-    # r14 opt (guide §2.4 "two operations keyed the same way share one
-    # exchange"): both rank windows partition on query_id, so computing
-    # them in ONE frame plans a single Exchange(query_id) with two
-    # in-partition sorts, where the forked-branch version paid the
-    # exchange (and the scored scan above it) twice — column pruning
-    # made the branches non-canonical-equal, so ReuseExchange never
-    # fired.  The union of both top-K sets (<= 2K rows per query) is
-    # checkpointed, so the fusion windows below read ~queries x 2K
-    # materialized rows.  Ranks are identical: row_number over the same
-    # total orders, filtered to the same K.
+    # r14 opt session 5 (guide §2.4, §3.4 "the join you can delete"):
+    # both top-K sets live in the SAME frame, so the rrf_fuse full-outer
+    # join on (query_id, doc_id) is the identity — a row is in both
+    # rankings iff both its rank columns clear K.  Fusing INLINE deletes
+    # the join (2 exchanges), rrf_fuse's per-branch re-rank windows
+    # (2 x 2 sorts + dup guards, vacuous here: (query, doc) is unique by
+    # construction), and the intermediate checkpoint; what remains is
+    # ONE Exchange(query_id) feeding a chain of in-partition window
+    # sorts.  Semantics are pinned to rrf_fuse exactly: the bm ranking
+    # re-ranks the ROUNDED score (rounding can merge __score ties, so
+    # __ra is a running count of bm-subset rows under the rounded-score
+    # order, not __r), the coverage ranking's re-rank reproduces __rn
+    # verbatim (same total order, rank-preserving filter), absent
+    # rankers contribute 0.0 via the same coalesce shape, fused_rank
+    # orders on the UNROUNDED __rrf.  Isolated interleaved A/B best
+    # 2.24-3.19 -> 1.67-1.79 s; output tuple- and dtype-identical at
+    # sf0.001/0.01/0.1 (A/B-asserted) and oracle green.
     w_bm = Window.partitionBy("query_id").orderBy(
         F.desc("__score"), F.asc("doc_id")
     )
@@ -4111,27 +4118,44 @@ def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("__r", F.row_number().over(w_bm))
         .withColumn("__rn", F.row_number().over(w_cov))
         .filter((F.col("__r") <= BM25_K) | (F.col("__rn") <= BM25_K))
-        .localCheckpoint(eager=False)
-    )
-    bm = (
-        ranked.filter(F.col("__r") <= BM25_K)
-        .select(
-            "query_id",
-            "doc_id",
+        .withColumn(
+            "__sbm",
             F.expr(
                 "cast(floor(__score * 1000000 + 0.5) as double) / 1000000.0"
-            ).alias("score"),
+            ),
         )
     )
-    cover = (
-        ranked.filter(F.col("__rn") <= BM25_K)
-        .select(
-            "query_id",
-            "doc_id",
-            F.col("n_terms_hit").cast("double").alias("score"),
-        )
+    w_order = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("__sbm").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return rrf_fuse(bm, cover, k=RRF_K, top_n=RRF_TOP)
+    ra = F.sum(F.when(F.col("__r") <= BM25_K, 1)).over(w_order)
+    fused = ranked.withColumn(
+        "__rrf",
+        F.when(
+            F.col("__r") <= BM25_K,
+            F.lit(1.0) / (F.lit(RRF_K).cast("double") + ra.cast("double")),
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("__rn") <= BM25_K,
+            F.lit(1.0)
+            / (F.lit(RRF_K).cast("double") + F.col("__rn").cast("double")),
+        ).otherwise(F.lit(0.0)),
+    )
+    wout = Window.partitionBy("query_id").orderBy(
+        F.col("__rrf").desc(), F.col("doc_id").asc()
+    )
+    out = fused.select(
+        "query_id",
+        "doc_id",
+        F.expr(
+            "cast(floor(cast(__rrf as decimal(20,12)) * 1000000 + 0.5)"
+            " as double) / 1000000.0"
+        ).alias("rrf_score"),
+        F.row_number().over(wout).cast("long").alias("fused_rank"),
+    )
+    return out.filter(F.col("fused_rank") <= RRF_TOP)
 
 
 def _rrf_oracle() -> str:
