@@ -4972,10 +4972,20 @@ def q_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _spread(spark, sf_dir, "documents", "doc_id")
+    # r14 opt session 5 (guide §1.2 "the same expensive expression
+    # evaluated more than once"): calibration_bins' domain filter
+    # (p >= 0 AND p <= 1) is alias-substituted by predicate pushdown,
+    # so the md5-gram fold appeared THREE times in the executed plan
+    # (Project + both filter conjuncts) and ran 3x per row.  The lazy
+    # checkpoint pins the 2-column (prob, label) frame so the fold runs
+    # once and the filter reads materialized doubles: plan md5 refs
+    # 3 -> 1 (the checkpointed scan), isolated interleaved best
+    # 1.18-2.29 -> 0.56-0.86 s; output tuple- and dtype-identical at
+    # all three SFs (A/B-asserted), oracle green.
     scored = docs.select(
         lr_prob_col(LR_WEIGHTS, n_buckets=LR_BUCKETS).alias("prob"),
         F.expr("cast(lang = 'en' as int)").alias("label"),
-    )
+    ).localCheckpoint(eager=False)
     return calibration_bins(scored, prob_col="prob", label_col="label",
                             n_bins=10)
 
@@ -5734,10 +5744,14 @@ def q_precision_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _spread(spark, sf_dir, "documents", "doc_id")
+    # r14 opt session 5: same 3x-fold pathology as q_lr_calibration —
+    # precision_thresholds routes through calibration_partials, whose
+    # [0, 1] domain filter alias-substitutes the md5-gram fold into both
+    # filter conjuncts; the lazy checkpoint pays the fold once.
     scored = docs.select(
         lr_prob_col(LR_WEIGHTS, n_buckets=LR_BUCKETS).alias("prob"),
         (F.col("lang") == "en").cast("int").alias("label"),
-    )
+    ).localCheckpoint(eager=False)
     return precision_thresholds(scored, "prob", "label", n_bins=GATE_BINS)
 
 
