@@ -202,6 +202,25 @@ def run_group(
     return best, spread, med_drift
 
 
+def _steal_ticks() -> int:
+    """Cumulative hypervisor steal ticks (field 8 of /proc/stat's cpu
+    line; USER_HZ=100).  r14 session 5 measured the same HEAD at 42 s
+    and 84 s depending on host-level CPU steal alone (isolated A/Bs
+    collapsed 10.8 -> 2.8 s and 9.0 -> 1.8 s the moment steal went
+    quiet), so the artifact now carries the steal DELTA across the run:
+    a large steal_s labels the run hypervisor-contended in the record
+    itself, the same way l1/procs label in-guest load."""
+    try:
+        with open("/proc/stat") as fh:
+            for ln in fh:
+                if ln.startswith("cpu "):
+                    parts = ln.split()
+                    return int(parts[8]) if len(parts) > 8 else 0
+    except (OSError, ValueError, IndexError):
+        pass
+    return -1
+
+
 def _load_probe() -> tuple[float, int]:
     """(1-minute loadavg, count of FOREIGN java/python processes) —
     recorded at bench start and end into the final JSON (r10 verdict
@@ -283,6 +302,7 @@ def main() -> None:
         return
 
     load1_start, procs_start = _load_probe()  # before any JVM exists
+    steal_start = _steal_ticks()
 
     import __spark_entry__ as entry_mod
 
@@ -365,6 +385,13 @@ def main() -> None:
             "l1_end": load1_end,
             "procs_start": procs_start,
             "procs_end": procs_end,
+            # hypervisor steal over the whole run, in CPU-seconds
+            # (USER_HZ=100); -1 when /proc/stat is unreadable
+            "steal_s": (
+                round((_steal_ticks() - steal_start) / 100.0, 1)
+                if steal_start >= 0 and _steal_ticks() >= 0
+                else -1
+            ),
         },
     }
     line = json.dumps(out)
