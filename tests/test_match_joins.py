@@ -358,3 +358,34 @@ def test_string_ops(jdb):
     assert rows_set(df, "u.name") == {("matt",)}
     df = jdb.query(Query.from_("u:users").where("u.name", "ends_with", "m"))
     assert rows_set(df, "u.name") == {("sam",)}
+
+
+def test_single_hop_outer_plan_is_native_join_and_row_equal(jdb):
+    # r14 optimization: a non-INNER traverse whose child subtree has no
+    # further descendants compiles to ONE native left join instead of the
+    # matched ∪ no-connection union (same rows — "no connection" is defined
+    # against the child base table, which IS the subtree in the single-hop
+    # case).  Pins both the plan shape (no Union; parent scanned once) and
+    # the row set next to the union-shape quirk tests above.
+    jdb.connect("friend", ("users", 0), ("users", 1))
+    jdb.connect("works-at", ("users", 1), ("companies", 1))
+    q = (
+        Query.from_("u:users")
+        .traverse("u", "works-at", "c:companies", "left")
+    )
+    df = jdb.query(q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    assert rows_set(df, "u.id", "c.id") == {
+        (0, None), (1, 1), (2, None), (3, None), (4, None),
+    }
+    # multi-level left (deeper subtree) keeps the union shape — the
+    # reference's BFS-skip semantics require it (test_multi_level_left_join
+    # pins its rows; here we pin that the rewrite did NOT fire)
+    q2 = (
+        Query.from_("u:users")
+        .traverse("u", "friend", "f:users", "left")
+        .traverse("f", "works-at", "c:companies", "left")
+    )
+    plan2 = jdb.query(q2)._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan2

@@ -431,6 +431,22 @@ class MatchCompiler:
         )
         if jt is TraverseType.INNER:
             out = matched
+        elif sub is child_base:
+            # Single-hop non-INNER (r14 optimization round, guide §2.4):
+            # when the child subtree has no further descendants, the
+            # reference's "no connection" set (no edge to a child passing
+            # the child's OWN filters, i.e. child_base) is exactly the
+            # native left join's unmatched set against edge ⨝ sub — the
+            # matched ∪ no-connection union collapses to ONE outer join.
+            # Same rows, same null padding, same schema; the union shape
+            # below stays for deeper subtrees, where reference BFS-skip
+            # semantics (prune-through-descendants) diverge from a plain
+            # outer join.  Halves the parent/edge/child scans per hop.
+            out = parent.join(
+                edf.join(sub, _bt(ccol) == _bt(ckey), "inner"),
+                _bt(pkey) == _bt(pcol),
+                "left",
+            )
         else:
             # Non-INNER: parent rows with NO connection (edge to a child
             # passing the child's own filters) ride along null-padded; rows
@@ -443,18 +459,18 @@ class MatchCompiler:
             )
             no_conn = parent.join(conn_src, _bt(pkey) == _bt("__csrc"), "anti")
             out = matched.unionByName(no_conn, allowMissingColumns=True)
-            if jt in (TraverseType.RIGHT, TraverseType.FULL):
-                # J4 self-join exclusion (matched sources never reappear as
-                # unmatched targets, src/query/join.cpp:184-198). Not applied
-                # to reversed builds: there the appended rows are the WRITTEN
-                # SOURCES, whose pad set (all − matched) is disjoint by
-                # construction (src/query/join.cpp:119-137).
-                msrc = (
-                    matched.select(_bt(pkey).alias("__srcid")).distinct()
-                    if self_join and not bh.reversed_build
-                    else None
-                )
-                self._extras.append(_PendingExtra(bh.child_alias, sub, msrc))
+        if jt in (TraverseType.RIGHT, TraverseType.FULL):
+            # J4 self-join exclusion (matched sources never reappear as
+            # unmatched targets, src/query/join.cpp:184-198). Not applied
+            # to reversed builds: there the appended rows are the WRITTEN
+            # SOURCES, whose pad set (all − matched) is disjoint by
+            # construction (src/query/join.cpp:119-137).
+            msrc = (
+                matched.select(_bt(pkey).alias("__srcid")).distinct()
+                if self_join and not bh.reversed_build
+                else None
+            )
+            self._extras.append(_PendingExtra(bh.child_alias, sub, msrc))
         if drop:
             out = out.drop(*drop)
         return out
