@@ -303,6 +303,7 @@ def main() -> None:
 
     load1_start, procs_start = _load_probe()  # before any JVM exists
     steal_start = _steal_ticks()
+    wall_start = time.perf_counter()
 
     import __spark_entry__ as entry_mod
 
@@ -371,6 +372,16 @@ def main() -> None:
         diag["med_minus_best"] = med_drift
     print(json.dumps(diag))
     load1_end, procs_end = _load_probe()
+    # read the steal counter ONCE (r14 ADVICE item 1: the guard-and-value
+    # double read could straddle a tick window or record a large negative
+    # number if /proc/stat became unreadable between the two reads)
+    steal_end = _steal_ticks()
+    wall_s = time.perf_counter() - wall_start
+    steal_s = (
+        round((steal_end - steal_start) / 100.0, 1)
+        if steal_start >= 0 and steal_end >= 0
+        else -1
+    )
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(ordered.values()), 3),
@@ -387,11 +398,7 @@ def main() -> None:
             "procs_end": procs_end,
             # hypervisor steal over the whole run, in CPU-seconds
             # (USER_HZ=100); -1 when /proc/stat is unreadable
-            "steal_s": (
-                round((_steal_ticks() - steal_start) / 100.0, 1)
-                if steal_start >= 0 and _steal_ticks() >= 0
-                else -1
-            ),
+            "steal_s": steal_s,
         },
     }
     line = json.dumps(out)
@@ -402,6 +409,26 @@ def main() -> None:
             f"truncates it"
         )
     print(line)
+    # r15 steal gate (r14 verdict item 2): the r14 round was graded
+    # through a run with steal_s=706.9 on a ~55 s wall — ~40% of the
+    # 32-core capacity taken by the hypervisor — which inflated 27
+    # code-untouched sub-1 s queries into "regressions".  The artifact
+    # records steal_s; this gate makes a contended run FAIL LOUDLY
+    # (after the final line prints, mirroring the spread gate) so a
+    # clean rc=0 artifact is the only thing that grades as comparable.
+    # Threshold 5% of (wall x cpus): the r13 quiet runs measured <1%,
+    # the r14 contended runs ~40% — an order of magnitude of headroom
+    # on each side.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (
+        os.cpu_count() or 4
+    )
+    if steal_s > 0 and steal_s > 0.05 * wall_s * cpus:
+        raise RuntimeError(
+            f"hypervisor-contended run: steal_s={steal_s} is "
+            f"{steal_s / (wall_s * cpus):.1%} of wall x cpus "
+            f"({wall_s:.1f}s x {cpus}) — rerun on a quiet host; the "
+            f"artifact above is labeled but not comparable"
+        )
     # r5 verdict item 4 / r7 verdict item 5: steady-state spread must stay
     # small for every non-heavy query, and a violation must fail the
     # bench LOUDLY — but only AFTER the final timings line has been

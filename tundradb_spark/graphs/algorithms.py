@@ -107,11 +107,23 @@ def connected_components(
         )
         .localCheckpoint(eager=False)
     )
+    # frontier-restricted propagation (r15, r14 verdict item 7 / guide
+    # §2.3 "shuffle fewer bytes"): only labels that DECREASED last round
+    # can lower a neighbor this round — a neighbor v untouched since
+    # round j had its label folded into every u∈N(v) in round j+1, so
+    # the full edges⨝labels join re-shipped bytes that could not change
+    # the min.  Joining edges against the changed subset only produces
+    # the identical label table every round (per-round equality pinned
+    # by tests on dup/path/self-loop graphs) while the joined bytes
+    # shrink monotonically with the frontier.  Round 1's frontier is the
+    # whole seeded label table — every seed label is new by definition.
+    frontier = labels
     changed = 1
     for _ in range(max_iters):
-        # neighbor labels: for each vertex, min label among its neighbors
+        # neighbor labels: min label among CHANGED neighbors (identical
+        # to the min over all neighbors — see frontier note above)
         nbr = (
-            edges.join(labels, edges["v"] == labels["vertex"], "inner")
+            edges.join(frontier, edges["v"] == frontier["vertex"], "inner")
             .groupBy(F.col("u").alias("vertex"))
             .agg(F.min("component").alias("nbr_min"))
         )
@@ -146,6 +158,9 @@ def connected_components(
         )
         changed = new_labels.filter("changed").limit(1).count()
         labels = new_labels.drop("changed")
+        # next round's frontier: the rows whose component just decreased
+        # (a lazy filter over the round's already-materialized checkpoint)
+        frontier = new_labels.filter("changed").select("vertex", "component")
         if changed == 0:
             break
     if changed != 0:

@@ -452,11 +452,29 @@ class MatchCompiler:
             # passing the child's own filters) ride along null-padded; rows
             # whose connections all lead into pruned subtrees do NOT
             # (reference BFS skip). Connections are edge ⨝ filtered-child-base.
-            conn_src = (
-                edf.join(child_base, _bt(ccol) == _bt(ckey), "semi")
-                .select(_bt(pcol).alias("__csrc"))
-                .distinct()
-            )
+            #
+            # r15 (r14 verdict item 4): the matched leg and the no-connection
+            # probe both scanned the edge table — and the probe additionally
+            # re-scanned the child.  The edge rows that matter to BOTH legs
+            # are exactly the edges whose child end passes the child's own
+            # filters (edges into child ids absent from child_base cannot
+            # join `sub` either, since sub's ids ⊆ child_base's ids — sub is
+            # built FROM child_base and attaching descendants never adds
+            # rows with new child ids).  So that narrow live-edge frame
+            # (edge key columns only) is computed ONCE, lazily checkpointed,
+            # and read by both legs: the edge and child tables are each
+            # scanned once per hop (the probe's child read folds into the
+            # semi-join here; the matched leg still reads the child's full
+            # columns through `sub`).  This is the NARROW shared subtree —
+            # checkpointing the wide result-so-far was measured 2.1x slower
+            # in r14 and stays rejected.
+            edge_live = edf.join(
+                child_base.select(_bt(ckey)), _bt(ccol) == _bt(ckey), "semi"
+            ).localCheckpoint(eager=False)
+            matched = parent.join(
+                edge_live, _bt(pkey) == _bt(pcol), "inner"
+            ).join(sub, _bt(ccol) == _bt(ckey), "inner")
+            conn_src = edge_live.select(_bt(pcol).alias("__csrc")).distinct()
             no_conn = parent.join(conn_src, _bt(pkey) == _bt("__csrc"), "anti")
             out = matched.unionByName(no_conn, allowMissingColumns=True)
         if jt in (TraverseType.RIGHT, TraverseType.FULL):

@@ -1252,8 +1252,10 @@ def exact_substring_spans(
     ``n_windows`` the count of duplicated k-windows merged into the span,
     ``span_tokens = span_end - span_start``.
 
-    Scale design: positional k-gram digests (8-byte xxhash64 — internal
-    only, so the narrow type halves the digest exchanges; text never
+    Scale design: positional k-gram digests (16-byte two-seed xxhash64
+    pair — internal only, so the narrow fixed-width type halves the
+    digest exchanges vs the 32-char md5 hex while the 2^128 keyspace
+    keeps the collision bound safe at 10^12+ grams; text never
     shuffled) → one map-side-combined groupBy for the ``min_docs`` filter
     → one digest-keyed equi-join to mark duplicated positions → one
     doc-keyed window pass (classic gaps-and-islands: a new island starts
@@ -1275,25 +1277,40 @@ def exact_substring_spans(
         _tokens(F.col(text_col)).alias("toks"),
     )
     # the window digest is INTERNAL (only positions reach the output), so
-    # it is xxhash64 — an 8-byte long instead of md5's 32-char hex string
-    # (r14 optimization round, guide "shuffle fewer bytes"): the min_docs
-    # groupBy and the duplicated-position join both key on it, so every
-    # gram row in those exchanges and in the materialized checkpoint
-    # drops ~3x in width; output spans verified byte-equal to the md5
-    # digest at sf0.001/0.01/0.1 (collision odds ~n²/2^64 — a spurious
-    # window match needs two distinct k-grams hashing equal)
+    # it is hashed, not carried as text (r14 optimization round, guide
+    # "shuffle fewer bytes"): the min_docs groupBy and the
+    # duplicated-position join both key on it, so every gram row in those
+    # exchanges and in the materialized checkpoint is a fixed-width key.
+    # r15 (r14 verdict item 3): ONE xxhash64 collides at 100 TB — the
+    # birthday bound puts even odds of a single collision at ~5e9
+    # distinct grams, and a trillion-gram corpus would see false
+    # duplicate spans.  The digest is now TWO independent xxhash64
+    # passes (the second seeded by hashing a literal discriminator
+    # first) packed in a struct<long,long>: 16 bytes — still half the
+    # old 32-char md5 hex — with a 2^128 keyspace, whose birthday bound
+    # (~2^64 ≈ 1.8e19 grams) holds past any 100 TB corpus.  The gram
+    # string is bound once per window via the inner transform so the
+    # slice+join is not re-evaluated per hash (the change-3 discipline).
+    # Output spans verified byte-equal to the md5 digest at
+    # sf0.001/0.01/0.1.
     grams = toked.select(
         id_col,
         F.posexplode_outer(
             F.when(
                 F.size("toks") >= k,
                 F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - F.lit(k - 1)),
-                    lambda i: F.xxhash64(
-                        F.array_join(F.slice("toks", i, k), " ")
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("toks") - F.lit(k - 1)),
+                        lambda i: F.array_join(F.slice("toks", i, k), " "),
+                    ),
+                    lambda g: F.struct(
+                        F.xxhash64(g).alias("h1"),
+                        F.xxhash64(F.lit(1), g).alias("h2"),
                     ),
                 ),
-            ).otherwise(F.array().cast("array<long>"))
+            ).otherwise(
+                F.array().cast("array<struct<h1:bigint,h2:bigint>>")
+            )
         ).alias("pos0", "dg"),
     ).select(id_col, (F.col("pos0") + 1).alias("pos"), "dg").filter(
         F.col("dg").isNotNull()
@@ -1302,7 +1319,7 @@ def exact_substring_spans(
     # round): the min_docs aggregate and the hits join both read
     # `grams`, and the duplicated digest-per-position pass was the
     # pipeline's dominant cost (A/B at sf0.1: 2.35s -> 1.53s).  The
-    # lazy checkpoint materializes (id, pos, 8-byte digest) rows —
+    # lazy checkpoint materializes (id, pos, 16-byte digest) rows —
     # bytes comparable to what the min_docs groupBy already shuffles
     # for its (dg, doc) distinct partials, paid once to local disk
     # instead of recomputing tokenize+hash over the corpus a second time.
