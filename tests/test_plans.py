@@ -877,14 +877,16 @@ def test_key_skew_one_aggregate(spark):
 
 
 def test_join_fanout_never_runs_the_join(spark):
-    """r11: the cardinality check must cost two count aggregates + a
-    key-universe join — the data-sized tables are each scanned ONCE
-    into their counts and never joined row-to-row.  r13: the top-N is
-    a DISTRIBUTED TakeOrdered (never a matched-key-universe
-    single-partition window sort); the totals branch's second
-    reference to the counts join appears in the static tree but its
-    exchanges are REUSED at runtime, so each table is still scanned
-    once."""
+    """r11: the cardinality check must never join the data-sized tables
+    row-to-row.  r15: it no longer joins ANYTHING key-sized either —
+    both key scans union into one tagged stream, ONE map-side-combined
+    groupBy counts each side, and "matched" is a filter, so the plan
+    has ZERO equi-joins (was: two count groupBys + a key-universe
+    join).  r13: the top-N is a DISTRIBUTED TakeOrdered (never a
+    matched-key-universe single-partition window sort); the totals
+    branch's second reference to the counts aggregate appears in the
+    static tree but its exchange is REUSED at runtime, so each table
+    is still scanned once."""
     from tundradb_spark.operators.relational import join_fanout
 
     li = spark.read.parquet(f"{SF}/lineitem.parquet")
@@ -897,13 +899,13 @@ def test_join_fanout_never_runs_the_join(spark):
         tree.count(s)
         for s in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
-    # top-N branch + totals branch, each joining the two COUNT frames;
-    # never a row-to-row join of the data-sized tables
-    assert n_joins == 2, tree
+    # no equi-join anywhere: the matched-key filter replaced the
+    # key-universe join of the two count frames
+    assert n_joins == 0, tree
     assert "TakeOrderedAndProject" in tree, tree
     # the only nested loop is the 1-row totals attach
     assert tree.count("BroadcastNestedLoopJoin") == 1, tree
-    assert audit.count_exchanges(df) <= 5, plan
+    assert audit.count_exchanges(df) <= 3, plan
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed, executed[:4000]

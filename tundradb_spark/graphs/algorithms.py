@@ -884,7 +884,14 @@ def link_prediction(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    adj = _sym_edges(e, "a", "b")  # (u, v): v neighbor of u
+    # e is canonical (a < b, deduped), so the reversed copy is disjoint
+    # from the forward copy and the union is already duplicate-free:
+    # symmetrizing needs NO second dedup (r15, guide §2.4 — _sym_edges'
+    # distinct here was a full exchange re-deduping an already-distinct
+    # union).  (u, v): v neighbor of u.
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
     deg = adj.groupBy(F.col("u").alias("z")).agg(
         F.count(F.lit(1)).alias("dz")
     )
@@ -962,17 +969,23 @@ def neighborhood_similarity(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    adj = _sym_edges(e, "a", "b")
+    # same canonical-input symmetrize-without-dedup as link_prediction
+    # (r15, guide §2.4): e's reversed copy is disjoint, the distinct
+    # exchange bought nothing
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
     deg = adj.groupBy(F.col("u").alias("z")).agg(
         F.count(F.lit(1)).alias("dz")
     )
-    mid_deg = (
-        deg.filter(F.col("dz") <= max_degree) if max_degree is not None
-        else deg
-    )
-    mid = adj.select(F.col("v").alias("z"), F.col("u")).join(
-        mid_deg.select("z"), "z"
-    )
+    mid = adj.select(F.col("v").alias("z"), F.col("u"))
+    if max_degree is not None:
+        # cap skewed middles; with no cap the join was a NO-OP filter
+        # (every v in the symmetrized adj has a degree row) that still
+        # paid a join — skipped entirely now (r15, guide §2.4)
+        mid = mid.join(
+            deg.filter(F.col("dz") <= max_degree).select("z"), "z"
+        )
     l, r = mid.alias("l"), mid.alias("r")
     cn = (
         l.join(r, "z")

@@ -1182,7 +1182,12 @@ def fuzzy_string_pairs(
             F.col("a.s").alias("sa"),
             F.col("b.s").alias("sb"),
         )
-        .distinct()
+        # no per-leg distinct (r15, guide §2.4): the final
+        # dropDuplicates([id_a, id_b]) below already dedups with
+        # map-side partial aggregation (gram-shared duplicates collapse
+        # before its one exchange), and sa/sb are functionally
+        # determined by the pair, so the per-leg distinct was a second
+        # full dedup exchange stacked on the first for the same rows
     )
     short = base.filter(F.col("n") <= short_max)
     # short×long pairs: the long side's length bound keeps the gram arm
@@ -1219,7 +1224,7 @@ def fuzzy_string_pairs(
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"), F.col("b.s")
             ).otherwise(F.col("a.s")).alias("sb"),
         )
-        .distinct()
+        # per-leg distinct dropped — see long_cands note
     )
     cands = long_cands.unionByName(short_cands).dropDuplicates(
         ["id_a", "id_b"]
