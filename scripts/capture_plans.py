@@ -1,6 +1,7 @@
 #!/usr/bin/env python3
 """Capture .explain("formatted") for every seated query into
-plans/r14/<query>_<tag>.txt (the optimization round's plan evidence).
+plans/$PLANS_ROUND/<query>_<tag>.txt (the optimization round's plan
+evidence; PLANS_ROUND defaults to r15).
 
 Usage: python scripts/capture_plans.py <tag> [query ...]
        (tag = "before" | "after"; no query list = all seated)
@@ -18,7 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("PLANS_ROUND", "r15"),
 )
 
 

@@ -1,3 +1,6 @@
+import json
+import os
+
 import pytest
 
 from tundradb_spark.session import get_spark
@@ -9,7 +12,11 @@ def spark():
     # correctness — 8 threads cut the heavy shuffle/iteration tests'
     # turnaround on a 32-core box; shuffle_partitions stays 4 so the
     # plan-pin tests see the same exchanges
-    s = get_spark("tundradb-spark-tests", cpus=8, shuffle_partitions=4)
+    extra = json.loads(os.environ.get("TEST_SPARK_EXTRA", "{}"))
+    s = get_spark(
+        "tundradb-spark-tests", cpus=8, shuffle_partitions=4,
+        extra_conf=extra,
+    )
     yield s
 
 

@@ -433,6 +433,23 @@ class Database:
         raise QueryError(f"bad selector: {sel!r}")
 
     def _resolve_selector(self, sel: tuple[str, Any]) -> list[int]:
+        # integer-id fast path (r15, guide §5 — the driver should not run
+        # a distributed job for a point lookup it can answer itself): a
+        # node still in the PENDING buffer was just created and is alive
+        # by construction (updates/deletes flush pending into the frame
+        # first), so the id probe is a driver-side list scan.  When the
+        # table has no physical frame at all, pending IS the table.  Any
+        # other case falls through to the distributed path unchanged.
+        # Interactive edge wiring (connect after create_node, the
+        # reference shell's shape) previously paid two Spark jobs per
+        # edge just to re-find ids it had assigned moments before.
+        schema, key = sel
+        if isinstance(key, int) and not isinstance(key, bool):
+            t = self._node(schema)
+            if any(r.get(ID_COL) == key for r in t.pending):
+                return [key]
+            if t.frame is None:
+                return []
         ids_df = self._selector_df(sel)
         rows = ids_df.limit(self.MAX_SELECTOR_IDS + 1).collect()
         if len(rows) > self.MAX_SELECTOR_IDS:
@@ -906,8 +923,18 @@ def _checkpoint(df: DataFrame) -> DataFrame:
     # every mutation
     df = df.coalesce(cap)
     if sc.getCheckpointDir() is not None:
+        # reliable checkpoints stay EAGER: a lazy Dataset.checkpoint
+        # recomputes the frame a second time to write the checkpoint
+        # files unless it was cached first — the eager form avoids that
         return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    # LAZY local checkpoint (r15, the r14 graph-loop discipline applied
+    # to DML): every mutation path follows its compaction with a count
+    # action (hit/changed detection), which materializes the blocks as a
+    # side effect — the eager form paid one extra scheduling round-trip
+    # per mutation for the same materialization.  Callers with no
+    # immediate action (explicit compact(), unversioned delete) simply
+    # defer the same one-time materialization to the table's next read.
+    return df.localCheckpoint(eager=False)
 
 
 #: monotonically_increasing_id layout: partition id in the high bits, the
